@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Range / as-of join family (reference `src/preprocessing/transform_data.py:25-47`:
+  * `pd.merge_asof(..., direction='backward')` + the post-filter that voids a
+  * match when `ip_int > upper_bound`).
+  *
+  * The reference realizes this as a sorted merge scan over two pre-sorted
+  * pandas frames. Spark-first realization: declare the predicate and let
+  * Catalyst pick the physical join; three strategies by data shape:
+  *
+  *   1. [[rangeJoin]] — `left JOIN right ON v BETWEEN lb AND ub`. With a
+  *      small right side we `broadcast()` it: BroadcastNestedLoopJoin where
+  *      each left row scans the broadcast ranges — no shuffle of the big
+  *      side at all. Equivalent to merge_asof+post-filter when ranges are
+  *      disjoint (≤1 match per row, misses stay null).
+  *   2. [[asOfJoinBackward]] — exact merge_asof parity under *overlapping*
+  *      ranges: keep only the match with the greatest lb via row_number.
+  *   3. [[bucketedRangeJoin]] — the 100 TB path. A non-equi join has no
+  *      hash strategy, so we mint one: bucket = value >> shiftBits as an
+  *      equi-key; each range row is exploded to every bucket it spans.
+  *      Catalyst then plans a plain (broadcast/sort-merge) HASH join on the
+  *      bucket key with the BETWEEN as a cheap residual filter — shuffle
+  *      is O(data), never O(left × right).
+  */
+object RangeJoin {
+
+  /** Left range join: attach `right`'s columns where
+    * `left(valueCol) BETWEEN right(lbCol) AND right(ubCol)`.
+    */
+  def rangeJoin(
+      left: DataFrame,
+      right: DataFrame,
+      valueCol: String,
+      lbCol: String,
+      ubCol: String,
+      joinType: String = "left",
+      broadcastRight: Boolean = true): DataFrame = {
+    val r = if (broadcastRight) broadcast(right) else right
+    val cond = left(valueCol) >= r(lbCol) && left(valueCol) <= r(ubCol)
+    left.join(r, cond, joinType)
+  }
+
+  /** Backward as-of join: for each left row, the right row with the
+    * greatest `rightOn <= leftOn` (left outer; unmatched -> nulls).
+    * Exact `pd.merge_asof(direction='backward')` semantics, including
+    * overlapping / non-disjoint right intervals.
+    *
+    * `leftKey` must uniquely identify left rows (used to pick the single
+    * best match). Right side is broadcast by default — the as-of side is
+    * a dimension table in every use here.
+    */
+  def asOfJoinBackward(
+      left: DataFrame,
+      right: DataFrame,
+      leftOn: String,
+      rightOn: String,
+      leftKey: String,
+      broadcastRight: Boolean = true): DataFrame = {
+    val r = if (broadcastRight) broadcast(right) else right
+    val joined = left.join(r, left(leftOn) >= r(rightOn), "left")
+    val w = Window.partitionBy(left(leftKey)).orderBy(r(rightOn).desc_nulls_last)
+    joined
+      .withColumn("__asof_rn", row_number().over(w))
+      .filter(col("__asof_rn") === 1)
+      .drop("__asof_rn")
+  }
+
+  /** Scale-out range join: prefix-bucket rewrite. Explodes each right
+    * range over the `value >> shiftBits` buckets it spans, then equi-joins
+    * on the bucket with the BETWEEN predicate as residual. Pick
+    * `shiftBits` so that ranges span few buckets (e.g. 16 for /16-sized
+    * IP blocks). Right side may be large — Catalyst is free to choose
+    * sort-merge on the bucket key.
+    */
+  def bucketedRangeJoin(
+      left: DataFrame,
+      right: DataFrame,
+      valueCol: String,
+      lbCol: String,
+      ubCol: String,
+      shiftBits: Int,
+      joinType: String = "left"): DataFrame = {
+    val bucketed = right.withColumn(
+      "__bucket",
+      explode(sequence(
+        shiftright(col(lbCol), shiftBits),
+        shiftright(col(ubCol), shiftBits))))
+    val l = left.withColumn("__bucket", shiftright(col(valueCol), shiftBits))
+    val cond = l("__bucket") === bucketed("__bucket") &&
+      l(valueCol) >= bucketed(lbCol) && l(valueCol) <= bucketed(ubCol)
+    l.join(bucketed, cond, joinType)
+      .drop(bucketed("__bucket")).drop(l("__bucket"))
+  }
+
+  /** The reference's geolocation flow (`transform_data.py:25-47`): as-of
+    * match transactions to IP ranges, then void out-of-range matches to
+    * the `'Unknown'` sentinel (`transform_data.py:38-43`). Disjoint
+    * ranges make the broadcast range join equivalent — and cheaper.
+    */
+  def geolocate(
+      tx: DataFrame,
+      ipRanges: DataFrame,
+      ipCol: String = "ip_address_int",
+      lbCol: String = "lower_bound_ip_address_int",
+      ubCol: String = "upper_bound_ip_address_int",
+      countryCol: String = "country"): DataFrame = {
+    val ranges = ipRanges.select(col(lbCol), col(ubCol), col(countryCol))
+    rangeJoin(tx, ranges, ipCol, lbCol, ubCol)
+      .withColumn(countryCol, coalesce(col(countryCol), lit("Unknown")))
+      .drop(lbCol, ubCol)
+  }
+}
