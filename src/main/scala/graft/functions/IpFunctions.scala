@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** IPv4 conversion functions (reference `src/preprocessing/clean_data.py:44-61`).
   *
@@ -32,9 +33,10 @@ object IpFunctions {
       parts.getItem(1).cast("long") * lit(65536L) +
       parts.getItem(2).cast("long") * lit(256L) +
       parts.getItem(3).cast("long")
-    // cast string->double yields null on garbage; double->long truncates
-    // toward zero, matching Python int(float(s)).
-    when(s.rlike(Ipv4Regex), quad).otherwise(s.cast("double").cast("long"))
+    // try_cast string->double yields null on garbage (ANSI-safe, matching
+    // errors='coerce'); double->long truncates toward zero like int(float(s)).
+    when(s.rlike(Ipv4Regex), quad)
+      .otherwise(s.try_cast(DoubleType).try_cast(LongType))
   }
 
   /** uint32 -> dotted-quad string (clean_data.py:55-61 `int_to_ip`). */

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.IpFunctions
+
+/** Cleaning-stage operators (reference `src/preprocessing/clean_data.py`).
+  *
+  * Every operator is a pure `DataFrame => DataFrame` stage — the
+  * reference's defensive `.copy()` calls (`transform_data.py:117-118`)
+  * are free under Spark's immutable lineage. All coercions use `try_*`
+  * forms so Spark 4's default ANSI mode keeps pandas' `errors='coerce'`
+  * null-on-failure semantics instead of raising.
+  */
+object Cleaning {
+
+  /** P1/A4: per-column null counts, one row (clean_data.py:19
+    * `df[col].isnull().sum()`), plus the total row count.
+    */
+  def nullAudit(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.map(c =>
+      sum(col(c).isNull.cast("long")).as(s"${c}_nulls")) :+
+      count(lit(1)).as("n_rows")
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** P2: drop rows with nulls in any of `cols` (clean_data.py:14-26,
+    * strategy 'drop'; applied to ip_address at clean_data.py:78).
+    */
+  def dropNullRows(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.na.drop(cols)
+
+  /** P3: parse string columns to timestamps, null on failure
+    * (clean_data.py:28-35 `pd.to_datetime(..., errors='coerce')`).
+    */
+  def coerceTimestamps(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.foldLeft(df)((d, c) => d.withColumn(c, try_to_timestamp(col(c))))
+
+  /** P4: whole-row dedup (clean_data.py:37-42 `drop_duplicates()`).
+    * The removed-row count the reference logs is `count` before/after —
+    * an action the caller takes when needed, not forced here.
+    */
+  def dedup(df: DataFrame): DataFrame = df.dropDuplicates()
+
+  /** P4 keyed variant: first row per key set (deterministic winner needs
+    * an explicit tie-break ordering — Spark's dropDuplicates(keys) keeps
+    * an arbitrary row, which is nondeterministic across runs/partitions).
+    */
+  def dedupByKey(df: DataFrame, keys: Seq[String], orderBy: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderBy: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** F1 applied: add the uint32 form of an IP column
+    * (clean_data.py:63-69 `convert_ip_addresses_to_int`).
+    */
+  def withIpInt(df: DataFrame, ipCol: String, outCol: String): DataFrame =
+    df.withColumn(outCol, IpFunctions.ipToInt(col(ipCol)))
+}

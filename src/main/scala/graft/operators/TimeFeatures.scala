@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Temporal feature engineering (reference `src/preprocessing/
+  * transform_data.py:54-57`): hour-of-day, day-of-week (pandas
+  * `dt.dayofweek`, **Monday=0**), and elapsed time between two
+  * timestamps in seconds / hours.
+  *
+  * All pure `Column` expressions — codegen'd, no UDFs.
+  */
+object TimeFeatures {
+
+  /** F3: hour of day 0-23, as Long for cross-engine schema parity. */
+  def hourOfDay(ts: Column): Column = hour(ts).cast("long")
+
+  /** F4: pandas `dt.dayofweek` — Monday=0..Sunday=6. Spark's `weekday`
+    * matches; `dayofweek` (Sunday=1) does NOT (SURVEY.md F4 trap).
+    */
+  def dayOfWeekMon0(ts: Column): Column = weekday(ts).cast("long")
+
+  /** F5: elapsed seconds `(later - earlier).dt.total_seconds()`, double,
+    * microsecond-precise.
+    */
+  def secondsBetween(earlier: Column, later: Column): Column =
+    (unix_micros(later) - unix_micros(earlier)) / lit(1000000.0)
+
+  /** F6: elapsed hours. */
+  def hoursBetween(earlier: Column, later: Column): Column =
+    secondsBetween(earlier, later) / lit(3600.0)
+
+  /** The reference's full feature block (transform_data.py:54-65), over
+    * generic column names: adds hour_of_day, day_of_week,
+    * time_since_signup_seconds/_hours, then the three velocity counts.
+    */
+  def engineerFraudFeatures(
+      df: DataFrame,
+      purchaseTs: String = "purchase_time",
+      signupTs: String = "signup_time",
+      velocityKeys: Seq[String] = Seq("user_id", "device_id", "ip_address")): DataFrame = {
+    val withTime = df
+      .withColumn("hour_of_day", hourOfDay(col(purchaseTs)))
+      .withColumn("day_of_week", dayOfWeekMon0(col(purchaseTs)))
+      .withColumn("time_since_signup_seconds",
+        secondsBetween(col(signupTs), col(purchaseTs)))
+      .withColumn("time_since_signup_hours",
+        hoursBetween(col(signupTs), col(purchaseTs)))
+    Velocity.rollingCounts(withTime, purchaseTs, velocityKeys,
+      suffix = "_transactions_24h")
+  }
+}

@@ -1,5 +1,136 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+
+import graft.functions.IpFunctions
+import graft.operators.Cleaning
+import graft.sources.Tables
+
+/** M1: cleaning + scalar-conversion operators (SURVEY.md §2.2/§2.3) as
+  * oracle-checked queries over `events`.
+  *
+  * DuckDB type parity notes: DuckDB `sum(BIGINT)` is HUGEINT — every
+  * oracle casts sums back to BIGINT; Spark integer-ish outputs are cast
+  * to LongType to match DuckDB's BIGINT-by-default arithmetic.
+  */
 object CleaningQueries {
-  def all: Seq[HarnessQuery] = Seq.empty
+
+  /** P1/A4: null audit — per-column null counts + row count, one row. */
+  val q10NullAudit = HarnessQuery(
+    "q10_null_audit",
+    (spark, dir) =>
+      Cleaning.nullAudit(
+        Tables.events(spark, dir), Seq("value", "props", "event_type")),
+    Some("""
+      SELECT CAST(count(*) - count(value) AS BIGINT) AS value_nulls,
+             CAST(count(*) - count(props) AS BIGINT) AS props_nulls,
+             CAST(count(*) - count(event_type) AS BIGINT) AS event_type_nulls,
+             count(*) AS n_rows
+      FROM events
+    """.trim))
+
+  /** P2 + predicate: drop-null filter composed with a pushed-down value
+    * predicate, then aggregate.
+    */
+  val q11DropNullFilter = HarnessQuery(
+    "q11_drop_null_filter",
+    (spark, dir) => {
+      val ev = Cleaning.dropNullRows(Tables.events(spark, dir), Seq("value"))
+      ev.filter(col("value") > 5.0)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), Parity.dsum(col("value")).as("sum_value"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+      FROM events
+      WHERE value IS NOT NULL AND value > 5.0
+      GROUP BY event_type ORDER BY event_type
+    """.trim))
+
+  /** P4: whole-row distinct over a projection. */
+  val q12Dedup = HarnessQuery(
+    "q12_dedup",
+    (spark, dir) =>
+      Cleaning.dedup(
+        Tables.events(spark, dir).select(col("event_type"), col("user_id")))
+        .orderBy(col("event_type"), col("user_id")),
+    Some("""
+      SELECT DISTINCT event_type, user_id FROM events
+      ORDER BY event_type, user_id
+    """.trim))
+
+  /** P4 keyed: deterministic first-event-per-user dedup. */
+  val q13DedupByKey = HarnessQuery(
+    "q13_dedup_by_key",
+    (spark, dir) =>
+      Cleaning.dedupByKey(
+        Tables.events(spark, dir),
+        Seq("user_id"), Seq(col("ts"), col("event_id")))
+        .select(col("user_id"), col("event_id"), col("value"))
+        .orderBy(col("user_id")),
+    Some("""
+      SELECT user_id, event_id, value FROM (
+        SELECT user_id, event_id, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events) t
+      WHERE rn = 1 ORDER BY user_id
+    """.trim))
+
+  /** F1/F2/P8: IPv4 string <-> uint32 round trip, both parse paths
+    * (dotted-quad and numeric-string), as pure Column expressions.
+    */
+  val q14IpRoundtrip = HarnessQuery(
+    "q14_ip_roundtrip",
+    (spark, dir) => {
+      val ev = Tables.events(spark, dir)
+        .withColumn("ip", concat_ws(".",
+          pmod(col("user_id"), lit(200L)),
+          pmod(col("event_id"), lit(256L)),
+          lit(3L), lit(4L)))
+      ev.select(
+          col("event_id"),
+          col("ip"),
+          IpFunctions.ipToInt(col("ip")).as("ip_int"),
+          IpFunctions.intToIp(IpFunctions.ipToInt(col("ip"))).as("ip_back"),
+          IpFunctions.ipToInt(concat(col("event_id") * 37, lit(".5")))
+            .as("num_int"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT event_id,
+             (user_id % 200)::VARCHAR || '.' || (event_id % 256)::VARCHAR || '.3.4' AS ip,
+             (user_id % 200) * 16777216 + (event_id % 256) * 65536 + 3 * 256 + 4 AS ip_int,
+             (user_id % 200)::VARCHAR || '.' || (event_id % 256)::VARCHAR || '.3.4' AS ip_back,
+             CAST(TRUNC(TRY_CAST(event_id * 37 || '.5' AS DOUBLE)) AS BIGINT) AS num_int
+      FROM events ORDER BY event_id
+    """.trim))
+
+  /** P3: timestamp coercion — format then reparse keeps microsecond
+    * fidelity; unparseable strings coerce to null, not error (ANSI-safe).
+    */
+  val q15TimestampCoerce = HarnessQuery(
+    "q15_timestamp_coerce",
+    (spark, dir) => {
+      val ev = Tables.events(spark, dir)
+        .withColumn("s", date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+        .withColumn("bad", col("props"))
+      Cleaning.coerceTimestamps(ev, Seq("s", "bad"))
+        .select(
+          col("event_id"),
+          unix_micros(col("s")).as("parsed_us"),
+          col("bad").isNull.cast("long").as("bad_is_null"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS parsed_us,
+             CAST(CASE WHEN TRY_CAST(props AS TIMESTAMP) IS NULL THEN 1 ELSE 0 END AS BIGINT) AS bad_is_null
+      FROM events ORDER BY event_id
+    """.trim))
+
+  def all: Seq[HarnessQuery] = Seq(
+    q10NullAudit, q11DropNullFilter, q12Dedup, q13DedupByKey,
+    q14IpRoundtrip, q15TimestampCoerce)
 }

@@ -1,5 +1,81 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{TimeFeatures, Velocity}
+import graft.sources.Tables
+
+/** M2: temporal feature engineering + 24 h velocity windows
+  * (SURVEY.md §2.3 F3-F6, §2.6 W1) over `events`.
+  */
 object FeatureQueries {
-  def all: Seq[HarnessQuery] = Seq.empty
+
+  /** W1: trailing-24 h event counts per key (user and event_type), RANGE
+    * frame over event-time microseconds; -1 excludes the row itself.
+    */
+  val q20Velocity = HarnessQuery(
+    "q20_velocity_24h",
+    (spark, dir) =>
+      Velocity.rollingCounts(
+        Tables.events(spark, dir), "ts", Seq("user_id", "event_type"))
+        .select(col("event_id"), col("user_id_tx_24h"), col("event_type_tx_24h"))
+        .orderBy(col("event_id")),
+    Some("""
+      SELECT event_id,
+             count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+               RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW) - 1 AS user_id_tx_24h,
+             count(*) OVER (PARTITION BY event_type ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+               RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW) - 1 AS event_type_tx_24h
+      FROM events ORDER BY event_id
+    """.trim))
+
+  /** W1 at scale: hot-key-safe pre-aggregated variant — collapse to
+    * per-(key, second) counts before the range window, join back. Bounds
+    * window partition size by distinct seconds, not raw events.
+    */
+  val q21VelocityPreAgg = HarnessQuery(
+    "q21_velocity_preagg",
+    (spark, dir) =>
+      Velocity.rollingCountsPreAgg(
+        Tables.events(spark, dir), "ts", "user_id", outCol = "user_tx_24h")
+        .select(col("event_id"), col("user_tx_24h"))
+        .orderBy(col("event_id")),
+    Some("""
+      SELECT event_id,
+             count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) // 1000000
+               RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW) - 1 AS user_tx_24h
+      FROM events ORDER BY event_id
+    """.trim))
+
+  /** F3-F6: hour-of-day, Monday=0 day-of-week, elapsed time since each
+    * user's first event in seconds and hours.
+    */
+  val q22TimeFeatures = HarnessQuery(
+    "q22_time_features",
+    (spark, dir) => {
+      val ev = Tables.events(spark, dir)
+      val firstTs = min(col("ts")).over(Window.partitionBy(col("user_id")))
+      ev.select(
+          col("event_id"),
+          TimeFeatures.hourOfDay(col("ts")).as("hour_of_day"),
+          TimeFeatures.dayOfWeekMon0(col("ts")).as("day_of_week"),
+          TimeFeatures.secondsBetween(firstTs, col("ts")).as("secs_since_first"),
+          TimeFeatures.hoursBetween(firstTs, col("ts")).as("hours_since_first"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT event_id,
+             hour(ts) AS hour_of_day,
+             isodow(ts) - 1 AS day_of_week,
+             (epoch_us(CAST(ts AS TIMESTAMP)) -
+              min(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id)) / 1000000.0
+               AS secs_since_first,
+             ((epoch_us(CAST(ts AS TIMESTAMP)) -
+               min(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id)) / 1000000.0) / 3600.0
+               AS hours_since_first
+      FROM events ORDER BY event_id
+    """.trim))
+
+  def all: Seq[HarnessQuery] = Seq(q20Velocity, q21VelocityPreAgg, q22TimeFeatures)
 }

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
 import org.apache.spark.sql.types._
 
 /** Typed access to the harness star schema + events/documents/embeddings
@@ -91,14 +92,30 @@ object Tables {
     "lineitem" -> lineitem, "events" -> events,
     "documents" -> documents, "embeddings" -> embeddings)
 
+  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
+    * reader rejects ([PARQUET_TYPE_ILLEGAL]). Physical-read schema: nanos
+    * as Long (via the legacy conf), then integer-divide to microseconds —
+    * `div`, not `/`: double division loses bits at 1.7e18 and shifts
+    * timestamps by up to ±256 ns, enough to flip a microsecond.
+    */
+  private val eventsRaw: StructType = StructType(
+    events.fields.map(f =>
+      if (f.name == "ts") StructField("ts", LongType) else f))
+
   /** Load one named table from an sf directory. Explicit schema keeps the
     * scan inference-free; parquet logical types still dictate physical
     * decode, so this is a checked cast, not a blind one.
     */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val schema = schemas.getOrElse(name,
-      throw new IllegalArgumentException(s"unknown table: $name"))
-    spark.read.schema(schema).parquet(s"$sfDir/$name.parquet")
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.schema(eventsRaw).parquet(s"$sfDir/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else {
+      val schema = schemas.getOrElse(name,
+        throw new IllegalArgumentException(s"unknown table: $name"))
+      spark.read.schema(schema).parquet(s"$sfDir/$name.parquet")
+    }
   }
 
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.RangeJoin
+
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ranges = Seq(
+    (0L, 99L, "A"),
+    (100L, 199L, "B"),
+    // gap 200-299
+    (300L, 399L, "C")
+  ).toDF("lb", "ub", "country")
+
+  private val tx = Seq(
+    (1L, 0L),    // exact lower bound -> A
+    (2L, 99L),   // exact upper bound -> A
+    (3L, 150L),  // interior -> B
+    (4L, 250L),  // in gap -> miss
+    (5L, 400L),  // beyond all -> miss
+    (6L, 399L)   // exact last ub -> C
+  ).toDF("id", "ip")
+
+  test("broadcast range join: bound-inclusive matches, misses null") {
+    val got = RangeJoin.rangeJoin(tx, ranges, "ip", "lb", "ub")
+      .select($"id", $"country").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "A", 2L -> "A", 3L -> "B", 4L -> null, 5L -> null, 6L -> "C"))
+  }
+
+  test("bucketed range join equals broadcast range join") {
+    val a = RangeJoin.rangeJoin(tx, ranges, "ip", "lb", "ub")
+      .select($"id", $"country")
+    val b = RangeJoin.bucketedRangeJoin(tx, ranges, "ip", "lb", "ub", shiftBits = 4)
+      .select($"id", $"country")
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
+  }
+
+  test("as-of backward picks greatest lb <= value, even past ub (merge_asof parity)") {
+    val got = RangeJoin.asOfJoinBackward(tx, ranges, "ip", "lb", "id")
+      .select($"id", $"country").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 250 as-of matches range starting at 100 (backward), 400 matches 300
+    assert(got === Map(1L -> "A", 2L -> "A", 3L -> "B", 4L -> "B", 5L -> "C", 6L -> "C"))
+  }
+
+  test("as-of backward with overlapping ranges keeps exactly one match per row") {
+    val overlapping = Seq((0L, 500L, "X"), (100L, 600L, "Y")).toDF("lb", "ub", "country")
+    val got = RangeJoin.asOfJoinBackward(tx, overlapping, "ip", "lb", "id")
+    assert(got.count() === tx.count())
+    val m = got.select($"id", $"country").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(3L) === "Y" && m(1L) === "X") // greatest lb wins
+  }
+
+  test("geolocate voids misses to Unknown sentinel (transform_data.py:38-43)") {
+    val named = ranges.withColumnRenamed("lb", "lower_bound_ip_address_int")
+      .withColumnRenamed("ub", "upper_bound_ip_address_int")
+    val got = RangeJoin.geolocate(tx.withColumnRenamed("ip", "ip_address_int"), named)
+      .select($"id", $"country").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(4L) === "Unknown" && got(5L) === "Unknown" && got(3L) === "B")
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Cleaning, TimeFeatures, Velocity}
+
+class VelocitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // user 1: events at t0, t0+1h, t0+24h exactly, t0+25h
+  private val events = Seq(
+    (1L, "u1", ts("2024-01-01 00:00:00")),
+    (2L, "u1", ts("2024-01-01 01:00:00")),
+    (3L, "u1", ts("2024-01-02 00:00:00")), // exactly 24h after e1
+    (4L, "u1", ts("2024-01-02 01:00:00")), // 24h after e2, 25h after e1
+    (5L, "u2", ts("2024-01-01 00:00:00")),
+    (6L, "u2", ts("2024-01-01 00:00:00"))  // same-timestamp peer
+  ).toDF("event_id", "user", "t")
+
+  test("rolling 24h counts: closed-closed frame, self excluded, peers included") {
+    val got = Velocity.rollingCounts(events, "t", Seq("user"), suffix = "_n")
+      .select($"event_id", $"user_n").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // e3 sees e1 (exactly 24h -> included in closed-closed RANGE) and e2
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L, 6L -> 1L))
+  }
+
+  test("pre-aggregated variant matches direct window at second granularity") {
+    val a = Velocity.rollingCounts(events, "t", Seq("user"), suffix = "_n")
+      .select($"event_id", col("user_n").as("n"))
+    val b = Velocity.rollingCountsPreAgg(events, "t", "user", outCol = "n")
+      .select($"event_id", $"n")
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
+  }
+
+  test("hour / weekday (Mon=0) / elapsed match pandas semantics") {
+    // 2024-01-01 is a Monday
+    val r = events.filter($"event_id" === 2L)
+      .select(
+        TimeFeatures.hourOfDay($"t"),
+        TimeFeatures.dayOfWeekMon0($"t"),
+        TimeFeatures.secondsBetween(lit(ts("2024-01-01 00:00:00")), $"t"),
+        TimeFeatures.hoursBetween(lit(ts("2024-01-01 00:00:00")), $"t"))
+      .collect()(0)
+    assert(r.getLong(0) === 1L)
+    assert(r.getLong(1) === 0L)
+    assert(r.getDouble(2) === 3600.0)
+    assert(r.getDouble(3) === 1.0)
+  }
+
+  test("coerceTimestamps nulls unparseable strings (errors='coerce')") {
+    val df = Seq("2024-01-01 10:00:00", "garbage", null).toDF("s")
+    val got = Cleaning.coerceTimestamps(df, Seq("s")).collect().map(_.isNullAt(0))
+    assert(got.toSeq === Seq(false, true, true))
+  }
+
+  test("dedup removes exact duplicate rows (clean_data.py:37-42)") {
+    val df = Seq((1, "a"), (1, "a"), (2, "b")).toDF("x", "y")
+    assert(Cleaning.dedup(df).count() === 2)
+  }
+}
