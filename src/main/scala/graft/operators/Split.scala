@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** T1: stratified train/test split (reference `transform_data.py:121-123`,
+  * sklearn `train_test_split(test_size, random_state, stratify=y)`).
+  *
+  * Exact per-class fractions, deterministic under seed: rank rows within
+  * each class by `rand(seed)` (with a caller-supplied tie-break for full
+  * determinism), send the first `ceil(n * testFrac)` to test — sklearn
+  * also sizes the test split with ceil. Row-identical parity with
+  * sklearn is impossible (different PRNG streams); parity is
+  * distributional: disjoint, exhaustive, per-class sizes exact.
+  *
+  * Scale: one shuffle on the class column; the per-class window is the
+  * only ordering — no global sort. Class cardinality is tiny, so AQE
+  * coalesces fine; for a pathological single-class skew use more salt in
+  * `tieBreak` and a two-level rank.
+  */
+object Split {
+
+  final case class SplitResult(train: DataFrame, test: DataFrame)
+
+  def stratified(
+      df: DataFrame,
+      labelCol: String,
+      testFrac: Double,
+      seed: Long,
+      tieBreak: Seq[Column] = Nil): SplitResult = {
+    val order = rand(seed) +: tieBreak
+    val wRank = Window.partitionBy(col(labelCol)).orderBy(order: _*)
+    val wAll = Window.partitionBy(col(labelCol))
+    val tagged = df
+      .withColumn("__rn", row_number().over(wRank))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__is_test", col("__rn") <= ceil(col("__n") * lit(testFrac)))
+    SplitResult(
+      train = tagged.filter(!col("__is_test")).drop("__rn", "__n", "__is_test"),
+      test = tagged.filter(col("__is_test")).drop("__rn", "__n", "__is_test"))
+  }
+
+  /** Split-size audit: per-class train/test row counts. The counts (not
+    * the membership) are fully determined by n and testFrac — oracle-able.
+    */
+  def summary(df: DataFrame, labelCol: String, testFrac: Double, seed: Long): DataFrame = {
+    val SplitResult(train, test) = stratified(df, labelCol, testFrac, seed)
+    val t = train.groupBy(col(labelCol)).agg(count(lit(1)).as("n_train"))
+    val s = test.groupBy(col(labelCol)).agg(count(lit(1)).as("n_test"))
+    t.join(s, labelCol).orderBy(col(labelCol))
+  }
+}

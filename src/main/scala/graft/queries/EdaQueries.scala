@@ -1,5 +1,121 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+
+import graft.operators.Eda
+import graft.sources.Tables
+
+/** M3: EDA aggregates (SURVEY.md §2.5 A1-A8) as oracle-checked queries. */
 object EdaQueries {
-  def all: Seq[HarnessQuery] = Seq.empty
+
+  /** A1: describe() over three lineitem numerics — exact quartiles. */
+  val q30Describe = HarnessQuery(
+    "q30_describe",
+    (spark, dir) =>
+      Eda.describe(
+        Tables.lineitem(spark, dir),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .orderBy(col("column_name")),
+    Some("""
+      WITH stats AS (
+        SELECT 'l_quantity' AS column_name, count(l_quantity) AS n_count,
+               CAST(sum(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS s,
+               CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS ss,
+               CAST(min(l_quantity) AS DOUBLE) AS min_val,
+               quantile_cont(l_quantity, 0.25) AS p25,
+               quantile_cont(l_quantity, 0.5) AS p50,
+               quantile_cont(l_quantity, 0.75) AS p75,
+               CAST(max(l_quantity) AS DOUBLE) AS max_val
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice', count(l_extendedprice),
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE),
+               CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,8))) AS DOUBLE),
+               CAST(min(l_extendedprice) AS DOUBLE),
+               quantile_cont(l_extendedprice, 0.25), quantile_cont(l_extendedprice, 0.5),
+               quantile_cont(l_extendedprice, 0.75), CAST(max(l_extendedprice) AS DOUBLE)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_discount', count(l_discount),
+               CAST(sum(CAST(l_discount AS DECIMAL(30,8))) AS DOUBLE),
+               CAST(sum(CAST(l_discount * l_discount AS DECIMAL(30,8))) AS DOUBLE),
+               CAST(min(l_discount) AS DOUBLE),
+               quantile_cont(l_discount, 0.25), quantile_cont(l_discount, 0.5),
+               quantile_cont(l_discount, 0.75), CAST(max(l_discount) AS DOUBLE)
+        FROM lineitem)
+      SELECT column_name, n_count, s / n_count AS mean,
+             sqrt((ss - s * s / n_count) / (n_count - 1)) AS std,
+             min_val, p25, p50, p75, max_val
+      FROM stats ORDER BY column_name
+    """.trim))
+
+  /** A2/A7: value_counts, most-frequent-first with value tie-break. */
+  val q31ValueCounts = HarnessQuery(
+    "q31_value_counts",
+    (spark, dir) =>
+      Eda.valueCounts(Tables.orders(spark, dir), "o_orderpriority"),
+    Some("""
+      SELECT o_orderpriority, count(*) AS count
+      FROM orders GROUP BY o_orderpriority
+      ORDER BY count DESC, o_orderpriority
+    """.trim))
+
+  /** A5: grouped mean sorted desc (fraud-rate-by-category shape). */
+  val q32GroupedMean = HarnessQuery(
+    "q32_grouped_mean",
+    (spark, dir) =>
+      Eda.groupedMean(Tables.customer(spark, dir), "c_mktsegment", "c_acctbal"),
+    Some("""
+      SELECT c_mktsegment,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(30,8))) AS DOUBLE) / count(c_acctbal)
+               AS mean_target
+      FROM customer GROUP BY c_mktsegment
+      ORDER BY mean_target DESC, c_mktsegment
+    """.trim))
+
+  /** A6: 50-bin histogram of l_extendedprice split by return flag. */
+  val q33Histogram = HarnessQuery(
+    "q33_histogram",
+    (spark, dir) =>
+      Eda.histogram(Tables.lineitem(spark, dir), "l_extendedprice",
+        "l_returnflag", bins = 50),
+    Some("""
+      WITH b AS (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+                 FROM lineitem)
+      SELECT CAST(least(floor((l_extendedprice - mn) / ((mx - mn) / 50.0)), 49.0) AS BIGINT)
+               AS bucket,
+             l_returnflag, count(*) AS count
+      FROM lineitem, b
+      GROUP BY 1, 2 ORDER BY 1, 2
+    """.trim))
+
+  /** A3: exact distinct count (approx HLL column checked rows-only in
+    * unit tests — HLL implementations differ across engines).
+    */
+  val q34DistinctCount = HarnessQuery(
+    "q34_distinct_count",
+    (spark, dir) =>
+      Eda.distinctCount(Tables.orders(spark, dir), "o_custkey")
+        .drop("n_distinct_approx"),
+    Some("""
+      SELECT count(DISTINCT o_custkey) AS n_distinct, count(*) AS n_rows
+      FROM orders
+    """.trim))
+
+  /** A8: class-frequency audit on the embeddings label column. */
+  val q35ClassFreq = HarnessQuery(
+    "q35_class_freq",
+    (spark, dir) =>
+      Tables.embeddings(spark, dir)
+        .groupBy(col("label").cast("long").as("label"))
+        .agg(count(lit(1)).as("count"))
+        .orderBy(col("label")),
+    Some("""
+      SELECT CAST(label AS BIGINT) AS label, count(*) AS count
+      FROM embeddings GROUP BY 1 ORDER BY 1
+    """.trim))
+
+  def all: Seq[HarnessQuery] = Seq(
+    q30Describe, q31ValueCounts, q32GroupedMean, q33Histogram,
+    q34DistinctCount, q35ClassFreq)
 }

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Balance, Smote, Split}
+
+class SplitBalanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = (1 to 100).map(i => (i.toLong, if (i <= 80) 0 else 1, i * 1.0))
+    .toDF("id", "label", "x")
+
+  test("stratified split: disjoint, exhaustive, exact per-class ceil sizes") {
+    val r = Split.stratified(df, "label", 0.2, seed = 42L, tieBreak = Seq($"id"))
+    assert(r.train.count() + r.test.count() === 100)
+    assert(r.train.join(r.test, "id").count() === 0)
+    val testByClass = r.test.groupBy("label").count().collect()
+      .map(x => x.getInt(0) -> x.getLong(1)).toMap
+    assert(testByClass === Map(0 -> 16L, 1 -> 4L)) // ceil(80*.2), ceil(20*.2)
+  }
+
+  test("stratified split deterministic under seed") {
+    val a = Split.stratified(df, "label", 0.2, 42L, Seq($"id")).test
+      .select("id").collect().map(_.getLong(0)).toSet
+    val b = Split.stratified(df, "label", 0.2, 42L, Seq($"id")).test
+      .select("id").collect().map(_.getLong(0)).toSet
+    val c = Split.stratified(df, "label", 0.2, 7L, Seq($"id")).test
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a === b)
+    assert(a !== c) // different seed shuffles membership
+  }
+
+  test("undersample: balanced at minority size, subset of original") {
+    val u = Balance.undersample(df, "label", 42L, Seq($"id"))
+    val counts = u.groupBy("label").count().collect()
+      .map(x => x.getInt(0) -> x.getLong(1)).toMap
+    assert(counts === Map(0 -> 20L, 1 -> 20L))
+    assert(u.join(df, Seq("id"), "left_anti").count() === 0)
+  }
+
+  test("oversampleRandom: all classes at majority size, rows from original") {
+    val o = Balance.oversampleRandom(df, "label", 42L)
+    val counts = o.groupBy("label").count().collect()
+      .map(x => x.getInt(0) -> x.getLong(1)).toMap
+    assert(counts === Map(0 -> 80L, 1 -> 80L))
+    assert(o.select("id").distinct()
+      .join(df, Seq("id"), "left_anti").count() === 0)
+  }
+
+  test("smote: exact balance; synthetics inside minority bounding box") {
+    val feat = df.withColumn("f", array($"x", $"x" * 2.0))
+      .select($"id", $"label", $"f")
+    val s = Smote.smote(feat, "label", "f", k = 3, seed = 42L,
+      bucketLength = 50.0)
+    val counts = s.groupBy("label").count().collect()
+      .map(x => x.getInt(0) -> x.getLong(1)).toMap
+    assert(counts === Map(0 -> 80L, 1 -> 80L))
+    // minority x range is [81, 100]; every synthetic f[0] must stay inside
+    val mins = s.filter($"label" === 1)
+      .select(element_at($"f", 1)).collect().map(_.getDouble(0))
+    assert(mins.forall(v => v >= 81.0 && v <= 100.0))
+    // synthetics lie on segments: f[1] == 2 * f[0] is preserved by
+    // linear interpolation between points on that line
+    val ratios = s.filter($"label" === 1)
+      .select(element_at($"f", 2) / element_at($"f", 1)).collect().map(_.getDouble(0))
+    assert(ratios.forall(r => math.abs(r - 2.0) < 1e-9))
+  }
+}
