@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Text-analysis operators for training-data pipelines: quality scoring,
+  * token counting, language identification, fingerprinting. Pure column
+  * expressions over a text column — one narrow map stage, no shuffle.
+  */
+object TextAnalysis {
+
+  /** Per-document surface statistics: char/token counts, mean token
+    * length, punctuation/digit/whitespace ratios.
+    */
+  def textStats(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = TextFunctions.tokens(t)
+    val nChars = length(t).cast("long")
+    df
+      .withColumn("n_chars", nChars)
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("mean_token_len",
+        length(array_join(toks, "")).cast("double") / size(toks))
+      .withColumn("punct_ratio",
+        (nChars - length(regexp_replace(t, "[\\p{Punct}]", ""))).cast("double")
+          / nChars)
+      .withColumn("digit_ratio",
+        (nChars - length(regexp_replace(t, "[0-9]", ""))).cast("double")
+          / nChars)
+      .withColumn("space_ratio",
+        (nChars - length(regexp_replace(t, "\\s", ""))).cast("double")
+          / nChars)
+  }
+
+  /** BPE-ish token count: letter runs, digit runs, and single
+    * non-alphanumeric marks each count as one token — the standard cheap
+    * proxy for subword-tokenizer counts.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+      .cast("long")
+
+  /** Stopword tables for the n-gram-free language-ID heuristic. Public
+    * top-frequency function words per language.
+    */
+  private val Stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "den", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "en", "por", "que"))
+
+  /** Language-ID heuristic: the language whose stopword table has the
+    * highest hit count over the document's tokens; 'und' (undetermined)
+    * when nothing hits. Deterministic tie-break: alphabetical language
+    * order via greatest(struct) on (hits, reversed-rank).
+    */
+  def languageId(text: Column): Column = {
+    val toks = TextFunctions.tokens(text)
+    val scored = Stopwords.toSeq.sortBy(_._1).map { case (langCode, words) =>
+      val hits = size(filter(toks, t => t.isInCollection(words)))
+      struct(hits.as("hits"), lit(langCode).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Composite quality score in [0,1] — the usual cheap filters:
+    * penalize extreme length, high punctuation/digit density, and
+    * one-char mean token length. Weights are explicit config, not magic.
+    */
+  def qualityScore(df: DataFrame, textCol: String): DataFrame = {
+    val stats = textStats(df, textCol)
+    stats.withColumn("quality_score",
+      greatest(lit(0.0), lit(1.0)
+        - when(col("n_tokens") < 5, 0.5).otherwise(0.0)
+        - when(col("punct_ratio") > 0.3, 0.3).otherwise(0.0)
+        - when(col("digit_ratio") > 0.3, 0.2).otherwise(0.0)
+        - when(col("mean_token_len") < 2.0, 0.2).otherwise(0.0)))
+  }
+
+  /** Canonical + order-sensitive document fingerprints. */
+  def fingerprints(df: DataFrame, textCol: String): DataFrame =
+    df
+      .withColumn("fingerprint", TextFunctions.fingerprint(col(textCol)))
+      .withColumn("rolling_hash",
+        TextFunctions.rollingHash(TextFunctions.tokens(col(textCol))))
+}

@@ -1,0 +1,152 @@
+package graft.pipeline
+
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ml.FeaturePipeline
+import graft.ml.FeaturePipeline.FeatureConfig
+import graft.operators._
+import graft.sources.{CsvSource, PipelineConfig}
+
+/** EP1/EP2/EP3 orchestration (reference `src/processor.py` +
+  * `run_pipeline.py`): config -> load -> clean -> transform -> split ->
+  * featurize -> rebalance -> parquet sinks.
+  *
+  * Spark shape (SURVEY.md §3): steps up to the split are ONE lazy
+  * DataFrame DAG — narrow maps, one broadcast range join, three window
+  * shuffles; nothing materializes until the split's window ranking. The
+  * MLlib fit triggers its own aggregation jobs on the cached train set.
+  */
+object Processor {
+
+  /** Clean the fraud table (clean_data.py:71-86): drop null-IP rows,
+    * coerce the two time columns, dedup, derive the uint32 IP.
+    */
+  def cleanFraud(df: DataFrame): DataFrame = {
+    val noNull = Cleaning.dropNullRows(df, Seq("ip_address"))
+    val times = Cleaning.coerceTimestamps(noNull, Seq("signup_time", "purchase_time"))
+    Cleaning.withIpInt(Cleaning.dedup(times), "ip_address", "ip_address_int")
+  }
+
+  /** Clean the IP->country map (clean_data.py:88-96). */
+  def cleanIpMap(df: DataFrame): DataFrame = {
+    val d = Cleaning.dedup(df)
+    Cleaning.withIpInt(
+      Cleaning.withIpInt(d, "lower_bound_ip_address", "lower_bound_ip_address_int"),
+      "upper_bound_ip_address", "upper_bound_ip_address_int")
+  }
+
+  /** Clean the creditcard table (clean_data.py:98-105): dedup only. */
+  def cleanCreditcard(df: DataFrame): DataFrame = Cleaning.dedup(df)
+
+  /** transform_data.py:113-132 fraud branch up to X/y prep: geolocate,
+    * engineer temporal + velocity features, drop leak/id columns.
+    */
+  def transformFraud(fraud: DataFrame, ipMap: DataFrame): DataFrame = {
+    val geo = RangeJoin.geolocate(fraud, ipMap)
+    val feat = TimeFeatures.engineerFraudFeatures(geo)
+    feat
+      .drop("signup_time", "purchase_time", "device_id", "ip_address",
+        "ip_address_int")
+      .withColumnRenamed("class", "label")
+  }
+
+  final case class PreppedDataset(
+      train: DataFrame,
+      test: DataFrame,
+      featureNames: Seq[String])
+
+  /** EP3 (processor.py:56-85): stratified split -> fit-on-train
+    * featurization -> rebalance train by strategy. Test is never
+    * resampled (imblearn contract).
+    */
+  def preprocessDataset(
+      df: DataFrame,
+      cfg: PipelineConfig,
+      numericCols: Seq[String],
+      categoricalCols: Seq[String],
+      idCol: String): PreppedDataset = {
+    // missing_value_strategy "drop" extends to engineered features: a row
+    // whose timestamp failed coercion has null time features, which no
+    // estimator accepts downstream
+    val complete =
+      if (cfg.missingValueStrategy == "drop") df.na.drop(numericCols)
+      else df
+    // categorical inputs must be strings for StringIndexer; numeric
+    // category codes (hour_of_day) cast through
+    val stringified = categoricalCols.foldLeft(complete)(
+      (d, c) => d.withColumn(c, col(c).cast("string")))
+    val split = Split.stratified(
+      stringified, "label", cfg.testSize, cfg.randomState, Seq(col(idCol)))
+    val fcfg = FeatureConfig(numericCols, categoricalCols)
+    val (model, trainF, testF) =
+      FeaturePipeline.fitTransform(split.train.cache(), split.test, fcfg)
+    val names = FeaturePipeline.featureNames(model, fcfg)
+
+    val slim = (d: DataFrame) => d.select(
+      col(idCol), col("label").cast("long").as("label"),
+      vector_to_array(col("features")).as("features"))
+    val train = cfg.imbalanceStrategy match {
+      case "smote" =>
+        Smote.smote(slim(trainF), "label", "features", k = 5,
+          seed = cfg.randomState)
+      case "undersample" =>
+        Balance.undersample(slim(trainF), "label", cfg.randomState,
+          Seq(col(idCol)))
+      case other =>
+        throw new IllegalArgumentException(s"unknown imbalance strategy: $other")
+    }
+    PreppedDataset(train, slim(testF), names)
+  }
+
+  final case class PipelineOutputs(
+      fraud: PreppedDataset,
+      creditcard: PreppedDataset)
+
+  /** EP1 (processor.py:87-113): full batch pipeline over the three domain
+    * CSVs. Returns both prepped datasets; [[writeOutputs]] persists the
+    * named parquet sinks (the reference's result dict,
+    * transform_data.py:150-161).
+    */
+  def runPipeline(spark: SparkSession, cfg: PipelineConfig): PipelineOutputs = {
+    val tables = CsvSource.loadAll(spark, cfg.dataPaths)
+    val fraud = cleanFraud(tables("fraud_data"))
+    val ipMap = cleanIpMap(tables("ip_to_country"))
+    val credit = cleanCreditcard(tables("creditcard_data"))
+
+    val fraudX = transformFraud(fraud, ipMap)
+    val fraudPrep = preprocessDataset(
+      fraudX, cfg, cfg.numericalFeatures, cfg.categoricalFeatures, "user_id")
+
+    val creditX = credit.withColumnRenamed("Class", "label")
+      .withColumn("__row_id", monotonically_increasing_id())
+    val creditNums = credit.columns.filterNot(c => c == "Class").toSeq
+    val creditPrep = preprocessDataset(
+      creditX, cfg, creditNums, Seq.empty, "__row_id")
+    PipelineOutputs(fraudPrep, creditPrep)
+  }
+
+  def writeOutputs(out: PipelineOutputs, outDir: String): Unit = {
+    out.fraud.train.write.mode("overwrite").parquet(s"$outDir/fraud_train")
+    out.fraud.test.write.mode("overwrite").parquet(s"$outDir/fraud_test")
+    out.creditcard.train.write.mode("overwrite").parquet(s"$outDir/credit_train")
+    out.creditcard.test.write.mode("overwrite").parquet(s"$outDir/credit_test")
+  }
+
+  /** EP2 (processor.py:21-54): the EDA fan-out as named result frames
+    * over one cached input.
+    */
+  def edaReport(df: DataFrame, numericCols: Seq[String],
+      categoricalCols: Seq[String], targetCol: String): Map[String, DataFrame] = {
+    val cached = df.cache()
+    val base = Map(
+      "describe" -> Eda.describe(cached, numericCols),
+      "class_distribution" -> Eda.valueCounts(cached, targetCol))
+    val rates = categoricalCols.map(c =>
+      s"rate_by_$c" -> Eda.groupedMean(cached, c, targetCol)).toMap
+    val hists = numericCols.map(c =>
+      s"hist_$c" -> Eda.histogram(cached, c, targetCol, bins = 50)).toMap
+    base ++ rates ++ hists
+  }
+}

@@ -1,5 +1,276 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.{Multimodal, Similarity, TextAnalysis, TextDedup}
+import graft.sources.Tables
+
+/** M7: LLM-training-data operators over `documents` / `embeddings` —
+  * dedup family, similarity search, text analysis, multimodal plumbing.
+  *
+  * Oracle strategy: the oracle reproduces the ANSWER, not the algorithm.
+  * LSH-based queries are verified against brute-force SQL — both sides
+  * are deterministic (seeded hashes, fixed data), so local equality at
+  * sf0.01 is frozen-in for the driver run. Heuristic scores without a
+  * clean SQL twin (language-ID, simhash with xxhash64) are rows-only
+  * here and pinned by unit specs instead.
+  */
 object LlmQueries {
-  def all: Seq[HarnessQuery] = Seq.empty
+
+  /** Text surface statistics (length / token / punctuation profile). */
+  val q50TextStats = HarnessQuery(
+    "q50_text_stats",
+    (spark, dir) =>
+      TextAnalysis.textStats(Tables.documents(spark, dir), "text")
+        .select(col("doc_id"), col("n_chars"), col("n_tokens"),
+          col("mean_token_len"), col("punct_ratio"), col("digit_ratio"),
+          col("space_ratio"))
+        .orderBy(col("doc_id")),
+    Some("""
+      WITH t AS (SELECT doc_id, text, length(text) AS n_chars,
+                        regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                 FROM documents)
+      SELECT doc_id, n_chars, len(toks) AS n_tokens,
+             CAST(length(array_to_string(toks, '')) AS DOUBLE) / len(toks) AS mean_token_len,
+             CAST(n_chars - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / n_chars AS punct_ratio,
+             CAST(n_chars - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / n_chars AS digit_ratio,
+             CAST(n_chars - length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / n_chars AS space_ratio
+      FROM t ORDER BY doc_id
+    """.trim))
+
+  /** BPE-ish token counting (letter runs / digit runs / marks). */
+  val q51TokenCount = HarnessQuery(
+    "q51_token_count",
+    (spark, dir) =>
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish"))
+        .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT)
+               AS n_bpeish
+      FROM documents ORDER BY doc_id
+    """.trim))
+
+  /** Language-ID heuristic + quality score — rows-only (heuristic has no
+    * SQL twin); invariants pinned in TextAnalysisSpec.
+    */
+  val q52LangQuality = HarnessQuery(
+    "q52_lang_quality",
+    (spark, dir) => {
+      val scored = TextAnalysis.qualityScore(Tables.documents(spark, dir), "text")
+        .withColumn("lang_pred", TextAnalysis.languageId(col("text")))
+      scored.groupBy(col("lang_pred"))
+        .agg(count(lit(1)).as("n"),
+          Parity.dsum(col("quality_score")).as("sum_quality"))
+        .orderBy(col("lang_pred"))
+    },
+    None)
+
+  /** Canonical document fingerprint (md5 of normalized text). */
+  val q53Fingerprint = HarnessQuery(
+    "q53_fingerprint",
+    (spark, dir) =>
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          TextFunctions.fingerprint(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id,
+             md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\s+'), ' '))
+               AS fingerprint
+      FROM documents ORDER BY doc_id
+    """.trim))
+
+  /** Word-3-gram shingle sets (the dedup primitive), exploded for a
+    * bounded id range.
+    */
+  val q54Shingles = HarnessQuery(
+    "q54_shingles",
+    (spark, dir) =>
+      Tables.documents(spark, dir)
+        .filter(col("doc_id") < 20)
+        .select(col("doc_id"),
+          explode(TextFunctions.shingles(col("text"), 3)).as("shingle"))
+        .orderBy(col("doc_id"), col("shingle")),
+    Some("""
+      WITH t AS (SELECT doc_id,
+                        regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                 FROM documents WHERE doc_id < 20)
+      SELECT doc_id, shingle FROM (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(generate_series(1, len(toks) - 2),
+                 i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+        FROM t) u
+      ORDER BY doc_id, shingle
+    """.trim))
+
+  /** MinHash+LSH near-dup pairs (16 hashes, 8 bands, exact-Jaccard
+    * verified at 0.8). Oracle = brute-force pairwise Jaccard: banding
+    * recall on this corpus is exactly 1 (verified locally, deterministic
+    * under the fixed xxhash64 seed).
+    */
+  val q55MinhashPairs = HarnessQuery(
+    "q55_minhash_pairs",
+    (spark, dir) =>
+      TextDedup.minhashNearDupPairs(
+        Tables.documents(spark, dir), "text", "doc_id",
+        n = 3, numHashes = 16, bands = 8, threshold = 0.8,
+        hashFn = TextFunctions.fastHash)
+        .orderBy(col("id_a"), col("id_b")),
+    Some("""
+      WITH t AS (SELECT doc_id,
+                   list_distinct(list_transform(
+                     generate_series(1, len(regexp_split_to_array(trim(lower(text)), '\s+')) - 2),
+                     i -> array_to_string((regexp_split_to_array(trim(lower(text)), '\s+'))[i:i+2], ' ')))
+                     AS sh
+                 FROM documents)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+               len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+      FROM t a, t b
+      WHERE a.doc_id < b.doc_id
+        AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+      ORDER BY id_a, id_b
+    """.trim))
+
+  /** Exact dedup on a corpus with planted clones: originals + the first
+    * 50 docs re-inserted under shifted ids; the keep-lowest-id rule must
+    * return exactly the original ids.
+    */
+  val q56ExactDedup = HarnessQuery(
+    "q56_exact_dedup",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val clones = docs.filter(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      TextDedup.exactDedup(docs.unionByName(clones), "text", "doc_id")
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    },
+    Some("SELECT doc_id FROM documents ORDER BY doc_id"))
+
+  /** SimHash near-dup pairs (xxhash64 token hashes, Hamming <= 8) —
+    * rows-only; semantics pinned in TextDedupSpec.
+    */
+  val q57SimhashPairs = HarnessQuery(
+    "q57_simhash_pairs",
+    (spark, dir) =>
+      TextDedup.simhashNearDupPairs(
+        Tables.documents(spark, dir), "text", "doc_id", maxHamming = 8)
+        .orderBy(col("id_a"), col("id_b")),
+    None)
+
+  /** Brute-force exact cosine top-5 for the first 10 vectors — the ANN
+    * correctness baseline, decimal-exact dot products.
+    */
+  val q58CosineTopK = HarnessQuery(
+    "q58_cosine_topk",
+    (spark, dir) => {
+      val em = Tables.embeddings(spark, dir)
+      Similarity.cosineTopK(
+        em, em.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .withColumn("cosine", round(col("cosine"), 12))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""
+      WITH n AS (
+        SELECT vec_id, embedding,
+               sqrt(CAST(sum(CAST(CAST(embedding[g.i] AS DOUBLE) * CAST(embedding[g.i] AS DOUBLE)
+                 AS DECIMAL(20,18))) AS DOUBLE)) AS nrm
+        FROM embeddings, generate_series(1, 64) g(i) GROUP BY 1, 2),
+      pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(sum(CAST(CAST(q.embedding[g.i] AS DOUBLE) * CAST(c.embedding[g.i] AS DOUBLE)
+                 AS DECIMAL(20,18))) AS DOUBLE) / (any_value(q.nrm) * any_value(c.nrm)) AS cosine
+        FROM n q, n c, generate_series(1, 64) g(i)
+        WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT query_id, neighbor_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM pairs)
+      SELECT query_id, rank, neighbor_id, round(cosine, 12) AS cosine FROM ranked
+      WHERE rank <= 5 ORDER BY query_id, rank
+    """.trim))
+
+  /** LSH-bucketed ANN over the same queries — the scale path; recall vs
+    * the exact baseline is pinned in SimilaritySpec, rows-only here.
+    */
+  val q59AnnLsh = HarnessQuery(
+    "q59_ann_lsh",
+    (spark, dir) => {
+      val em = Tables.embeddings(spark, dir)
+      Similarity.lshCosineTopK(
+        em, em.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, numBits = 8, bands = 4)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    None)
+
+  /** Embedding near-dup within label blocks (blocking-key pattern):
+    * pairs with cosine >= 0.4, exact.
+    */
+  val q60CosineNearDup = HarnessQuery(
+    "q60_cosine_neardup",
+    (spark, dir) => {
+      val em = Tables.embeddings(spark, dir)
+      val a = em.select(col("label").as("blk"), col("vec_id").as("id_a"),
+        col("embedding").as("va"))
+      val b = em.select(col("label").as("blk"), col("vec_id").as("id_b"),
+        col("embedding").as("vb"))
+      a.join(b, Seq("blk"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("cosine", Similarity.cosine(col("va"), col("vb")))
+        .filter(col("cosine") >= 0.4)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 12).as("cosine"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""
+      WITH n AS (
+        SELECT vec_id, label, embedding,
+               sqrt(CAST(sum(CAST(CAST(embedding[g.i] AS DOUBLE) * CAST(embedding[g.i] AS DOUBLE)
+                 AS DECIMAL(20,18))) AS DOUBLE)) AS nrm
+        FROM embeddings, generate_series(1, 64) g(i) GROUP BY 1, 2, 3)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(CAST(sum(CAST(CAST(a.embedding[g.i] AS DOUBLE) * CAST(b.embedding[g.i] AS DOUBLE)
+               AS DECIMAL(20,18))) AS DOUBLE) / (any_value(a.nrm) * any_value(b.nrm)), 12) AS cosine
+      FROM n a, n b, generate_series(1, 64) g(i)
+      WHERE a.label = b.label AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+      HAVING CAST(sum(CAST(CAST(a.embedding[g.i] AS DOUBLE) * CAST(b.embedding[g.i] AS DOUBLE)
+               AS DECIMAL(20,18))) AS DOUBLE) / (any_value(a.nrm) * any_value(b.nrm)) >= 0.4
+      ORDER BY id_a, id_b
+    """.trim))
+
+  /** Multimodal plumbing: binary media column -> partition-batched stub
+    * decode -> per-item byte stats. n_bytes and mean_byte are exact
+    * (ASCII corpus), decoded via the typed Dataset path.
+    */
+  val q61Multimodal = HarnessQuery(
+    "q61_multimodal",
+    (spark, dir) => {
+      val media = Multimodal.mediaFromText(
+        Tables.documents(spark, dir), "doc_id", "text")
+      Multimodal.decodeFeatures(media)
+        .select(col("media_id"), col("n_bytes"), col("mean_byte"))
+        .orderBy(col("media_id"))
+    },
+    Some("""
+      SELECT media_id, any_value(n_bytes) AS n_bytes,
+             CAST(sum(ascii(text[i])) AS DOUBLE) / length(text) AS mean_byte
+      FROM (SELECT doc_id AS media_id, text,
+                   octet_length(encode(text)) AS n_bytes,
+                   unnest(generate_series(1, length(text))) AS i
+            FROM documents) t
+      GROUP BY media_id, text ORDER BY media_id
+    """.trim))
+
+  def all: Seq[HarnessQuery] = Seq(
+    q50TextStats, q51TokenCount, q52LangQuality, q53Fingerprint,
+    q54Shingles, q55MinhashPairs, q56ExactDedup, q57SimhashPairs,
+    q58CosineTopK, q59AnnLsh, q60CosineNearDup, q61Multimodal)
 }

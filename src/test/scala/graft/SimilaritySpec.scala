@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Multimodal, Similarity}
+import graft.sources.Tables
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine of known vectors") {
+    val df = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+      (Array(1.0f, 1.0f), Array(1.0f, 0.0f))).toDF("a", "b")
+    val got = df.select(Similarity.cosine($"a", $"b")).collect().map(_.getDouble(0))
+    assert(got(0) === 0.0)
+    assert(got(1) === 1.0)
+    assert(math.abs(got(2) - 1.0 / math.sqrt(2)) < 1e-12)
+  }
+
+  test("cosineTopK: exact ordering on literal vectors") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val q = corpus.filter($"vec_id" === 1L)
+    val got = Similarity.cosineTopK(corpus, q, "vec_id", "embedding", k = 3)
+      .orderBy($"rank").collect().map(_.getLong(2))
+    assert(got.toSeq === Seq(2L, 3L, 4L))
+  }
+
+  test("LSH ANN recall vs brute force >= 0.6 on real embeddings") {
+    val em = Tables.embeddings(spark, "/root/testdata/sf0.001").cache()
+    val q = em.filter($"vec_id" < 10)
+    val exact = Similarity.cosineTopK(em, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.lshCosineTopK(em, q, "vec_id", "embedding", 5,
+      numBits = 8, bands = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall $recall")
+  }
+
+  test("multimodal: stub decode byte stats + resize + frame sampling") {
+    val media = Multimodal.mediaFromText(
+      Seq((1L, "abcd")).toDF("id", "text"), "id", "text")
+    val f = Multimodal.decodeFeatures(media).head()
+    assert(f.n_bytes === 4L)
+    assert(f.mean_byte === (97 + 98 + 99 + 100) / 4.0)
+    assert(f.feature.length === 16)
+    assert(math.abs(f.byte_entropy - 2.0) < 1e-12) // 4 distinct bytes, uniform
+    val resized = Multimodal.resizeStub(media, 2).head()
+    assert(resized.media.toSeq === Seq('a'.toByte, 'c'.toByte))
+    assert(resized.declared_width === 32)
+    val frames = Multimodal.frameSample(media, frameBytes = 1, stride = 2)
+      .collect().map(_.frame_idx).sorted
+    assert(frames.toSeq === Seq(0, 2))
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.{TextAnalysis, TextDedup}
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("textStats on a known string") {
+    val df = Seq((1L, "Hello, world! 42  wide")).toDF("doc_id", "text")
+    val r = TextAnalysis.textStats(df, "text").head
+    assert(r.getAs[Long]("n_chars") === 22L)
+    assert(r.getAs[Long]("n_tokens") === 4L)
+    assert(r.getAs[Double]("digit_ratio") === 2.0 / 22)
+    // puncts: , ! -> 2
+    assert(r.getAs[Double]("punct_ratio") === 2.0 / 22)
+  }
+
+  test("bpeish token count: runs + marks") {
+    val df = Seq("ab12cd, x!").toDF("text")
+    // [ab][12][cd][,][x][!] = 6
+    val n = df.select(TextAnalysis.bpeishTokenCount($"text")).head.getLong(0)
+    assert(n === 6L)
+  }
+
+  test("languageId picks the right stopword table; und on no hits") {
+    val samples = Seq(
+      ("the cat and the dog went to the park", "en"),
+      ("der hund und die katze ist nicht da", "de"),
+      ("le chat est dans la maison pour le chien", "fr"),
+      ("el perro y la casa es una fiesta", "es"),
+      ("zzz qqq xxx", "und"))
+    val df = samples.map(_._1).toDF("text")
+    val got = df.select(TextAnalysis.languageId($"text")).collect().map(_.getString(0))
+    assert(got.toSeq === samples.map(_._2))
+  }
+
+  test("fingerprint is whitespace/case-insensitive canonical") {
+    val df = Seq(("a  B\tc", "a b c")).toDF("x", "y")
+    val r = df.select(
+      TextFunctions.fingerprint($"x") === TextFunctions.fingerprint($"y")).head
+    assert(r.getBoolean(0))
+  }
+
+  test("shingles: distinct word n-grams; short docs give empty set") {
+    val df = Seq("a b c d", "a b").toDF("text")
+    val got = df.select(TextFunctions.shingles($"text", 3)).collect()
+      .map(_.getSeq[String](0).toSet)
+    assert(got(0) === Set("a b c", "b c d"))
+    assert(got(1) === Set.empty)
+  }
+
+  test("exactDedup keeps lowest id per duplicate text") {
+    val df = Seq((1L, "x y z"), (2L, "X  y z"), (3L, "other")).toDF("id", "text")
+    val kept = TextDedup.exactDedup(df, "text", "id")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L))
+  }
+
+  test("minhash near-dup pairs find planted near-dups, skip unrelated") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 20) "CHANGED" else s"w$i").mkString(" ")
+    val unrelated = (100 to 140).map(i => s"v$i").mkString(" ")
+    val df = Seq((1L, base), (2L, nearDup), (3L, unrelated)).toDF("id", "text")
+    val pairs = TextDedup.minhashNearDupPairs(df, "text", "id",
+      threshold = 0.5).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+    // jaccard of the planted pair: 35 shared / 41+... verify > 0.5 exact value
+    val j = pairs.head.getAs[Double]("jaccard")
+    assert(j > 0.7 && j < 1.0)
+    val deduped = TextDedup.minhashDedup(df, "text", "id", threshold = 0.5)
+    assert(deduped.select("id").collect().map(_.getLong(0)).toSet === Set(1L, 3L))
+  }
+
+  test("simhash: identical texts collide at hamming 0; near texts close") {
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val near = (1 to 60).map(i => if (i % 20 == 0) s"u$i" else s"w$i").mkString(" ")
+    val df = Seq((1L, base), (2L, base), (3L, near)).toDF("id", "text")
+    val sigs = df.select($"id",
+      TextFunctions.simhash64(TextFunctions.tokens($"text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) === sigs(2L))
+    val hd = java.lang.Long.bitCount(sigs(1L) ^ sigs(3L))
+    assert(hd > 0 && hd <= 16)
+    val pairs = TextDedup.simhashNearDupPairs(df, "text", "id", maxHamming = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("rollingHash is order-sensitive where fingerprint is not") {
+    val df = Seq(("a b c", "c b a")).toDF("x", "y")
+    val r = df.select(
+      TextFunctions.rollingHash(TextFunctions.tokens($"x")) ===
+        TextFunctions.rollingHash(TextFunctions.tokens($"y"))).head
+    assert(!r.getBoolean(0))
+  }
+}
