@@ -37,6 +37,25 @@ object Similarity {
       (acc, v) => (acc + v).cast("decimal(37,18)"))
       .cast("double")
 
+  /** Plain double dot product — sequential fold, no decimal boxing.
+    * ~10x cheaper than [[dot]]; used as a prefilter where the final
+    * answer is still decided by the exact path.
+    */
+  def dotDouble(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Fixed-dimension double dot product as an unrolled element_at chain —
+    * no higher-order functions, so the whole expression stays inside
+    * whole-stage codegen. Left-associated like the fold, hence
+    * bit-identical to [[dotDouble]]. The hot-loop form for known dims.
+    */
+  def dotDoubleFixed(a: Column, b: Column, dim: Int): Column =
+    (1 to dim).map(i =>
+      element_at(a, i).cast("double") * element_at(b, i).cast("double"))
+      .reduce(_ + _)
+
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
@@ -51,11 +70,15 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int): DataFrame = {
+    // norms once per row on each side — the per-pair work is one dot
     val q = broadcast(queries.select(
-      col(idCol).as("query_id"), col(vecCol).as("__qv")))
-    val scored = corpus
+      col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      norm(col(vecCol)).as("__qn")))
+    val c = corpus.withColumn("__cn", norm(col(vecCol)))
+    val scored = c
       .join(q, col(idCol) =!= col("query_id"))
-      .withColumn("cosine", cosine(col("__qv"), col(vecCol)))
+      .withColumn("cosine",
+        dot(col("__qv"), col(vecCol)) / (col("__qn") * col("__cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col(idCol))
     scored
@@ -106,28 +129,62 @@ object Similarity {
       seed: Long = 42L): DataFrame = {
     require(numBits % bands == 0)
     val r = numBits / bands
-    def banded(df: DataFrame, id: String, vec: String): DataFrame = {
+    // candidate pairs carry ids only through the join + distinct;
+    // vectors re-attach afterwards — no arrays through shuffles
+    def banded(df: DataFrame, id: String): DataFrame = {
       val sk = signSketch(col(vecCol), numBits, dim, seed)
       val bandKeys = (0 until bands).map(bi =>
         concat_ws("_", lit(bi),
           shiftright(sk, bi * r).bitwiseAND(lit((1L << r) - 1))))
-      df.select(col(idCol).as(id), col(vecCol).as(vec),
-        posexplode(array(bandKeys: _*)))
+      df.select(col(idCol).as(id), posexplode(array(bandKeys: _*)))
         .withColumnRenamed("col", "band_key").drop("pos")
     }
-    val c = banded(corpus, "neighbor_id", "__cv")
-    val q = banded(queries, "query_id", "__qv")
-    val cand = c.join(q, Seq("band_key"))
+    val cand = banded(corpus, "neighbor_id")
+      .join(banded(queries, "query_id"), Seq("band_key"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"), col("__qv"), col("__cv"))
+      .select(col("query_id"), col("neighbor_id"))
       .distinct()
-      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+    val withVecs = cand
+      .join(broadcast(queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("__qv"), norm(col(vecCol)).as("__qn"))), Seq("query_id"))
+      .join(corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("__cv"), norm(col(vecCol)).as("__cn")), Seq("neighbor_id"))
+      .withColumn("cosine",
+        dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    cand.withColumn("rank", row_number().over(w))
+    withVecs.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), col("cosine"))
+  }
+
+  /** Exact near-dup pairs within blocking-key groups: the per-pair cost
+    * is one double dot (prefilter with an epsilon guard band); the exact
+    * decimal path only runs for survivors, so the answer is identical to
+    * all-exact evaluation while the hot loop stays cheap.
+    */
+  def blockedCosineNearDup(
+      df: DataFrame,
+      blockCol: String,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      dim: Int = 64): DataFrame = {
+    val withN = df.select(col(blockCol).as("__blk"), col(idCol),
+      col(vecCol).as("__v"), norm(col(vecCol)).as("__n"))
+    val a = withN.select(col("__blk"), col(idCol).as("id_a"),
+      col("__v").as("__va"), col("__n").as("__na"))
+    val b = withN.select(col("__blk"), col(idCol).as("id_b"),
+      col("__v").as("__vb"), col("__n").as("__nb"))
+    a.join(b, Seq("__blk"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(dotDoubleFixed(col("__va"), col("__vb"), dim)
+        / (col("__na") * col("__nb")) >= threshold - 1e-6)
+      .withColumn("cosine",
+        dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
   /** Embedding near-dup: corpus pairs with cosine >= threshold, found
@@ -144,21 +201,27 @@ object Similarity {
       seed: Long = 42L): DataFrame = {
     require(numBits % bands == 0)
     val r = numBits / bands
-    val sk = corpus.select(col(idCol), col(vecCol).as("__v"),
+    val sk = corpus.select(col(idCol),
       signSketch(col(vecCol), numBits, dim, seed).as("__sk"))
     val bandKeys = (0 until bands).map(bi =>
       concat_ws("_", lit(bi),
         shiftright(col("__sk"), bi * r).bitwiseAND(lit((1L << r) - 1))))
-    val banded = sk.select(col(idCol), col("__v"),
-      posexplode(array(bandKeys: _*)))
+    val banded = sk.select(col(idCol), posexplode(array(bandKeys: _*)))
       .withColumnRenamed("col", "band_key").drop("pos")
-    val a = banded.select(col(idCol).as("id_a"), col("__v").as("__va"), col("band_key"))
-    val b = banded.select(col(idCol).as("id_b"), col("__v").as("__vb"), col("band_key"))
-    a.join(b, Seq("band_key"))
+    val cand = banded.select(col(idCol).as("id_a"), col("band_key"))
+      .join(banded.select(col(idCol).as("id_b"), col("band_key")), Seq("band_key"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("__va"), col("__vb"))
+      .select(col("id_a"), col("id_b"))
       .distinct()
-      .withColumn("cosine", cosine(col("__va"), col("__vb")))
+    val withN = corpus.select(col(idCol), col(vecCol).as("__v"),
+      norm(col(vecCol)).as("__n"))
+    cand
+      .join(withN.select(col(idCol).as("id_a"), col("__v").as("__va"),
+        col("__n").as("__na")), Seq("id_a"))
+      .join(withN.select(col(idCol).as("id_b"), col("__v").as("__vb"),
+        col("__n").as("__nb")), Seq("id_b"))
+      .withColumn("cosine",
+        dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }

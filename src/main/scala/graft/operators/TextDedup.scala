@@ -43,6 +43,25 @@ object TextDedup {
   def shingleSets(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
     df.select(col(idCol), TextFunctions.shingles(col(textCol), n).as("shingles"))
 
+  /** Exploded distinct (id, shingle) table in dataflow form: tokens via
+    * posexplode, n-grams via `lead` windows — every stage codegen'd (the
+    * array-lambda shingle builder is interpreted per element). Same
+    * distinct shingle set as [[shingleSets]], exploded.
+    */
+  def shingleTable(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
+    val toks = df.select(col(idCol),
+      posexplode(TextFunctions.tokens(col(textCol))))
+      .withColumnRenamed("pos", "__p").withColumnRenamed("col", "__t")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__p"))
+    val leads = (1 until n).map(i => lead(col("__t"), i).over(w).as(s"__l$i"))
+    val withLeads = toks.select(col(idCol) +: col("__t") +: leads: _*)
+    withLeads
+      .filter(col(s"__l${n - 1}").isNotNull)
+      .select(col(idCol), concat_ws(" ",
+        col("__t") +: (1 until n).map(i => col(s"__l$i")): _*).as("__s"))
+      .distinct()
+  }
+
   def dropBoilerplateShingles(
       sets: DataFrame, idCol: String, maxDocFrac: Double): DataFrame = {
     val nDocs = sets.count()
@@ -74,28 +93,48 @@ object TextDedup {
       hashFn: Column => Column = TextFunctions.md5Hash60): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sets = shingleSets(df, textCol, idCol, n)
-      .filter(size(col("shingles")) > 0)
-    val sigs = sets.withColumn("sig",
-      TextFunctions.minhashSignature(col("shingles"), numHashes, hashFn))
-    // band key = md5 of the band's slice of the signature (bands unrolled
-    // statically — shift/slice offsets are compile-time ints)
+    // One (id, shingle) exploded table drives everything — shingle
+    // arrays never travel through a shuffle or a distinct. At 100 TB
+    // this is the difference between shuffling ids+hashes and shuffling
+    // whole documents.
+    // persisted because four downstream stages reuse it (sizes,
+    // signatures, and both sides of the intersection join); evicted by
+    // the LRU block manager when memory is needed
+    val exploded: DataFrame = shingleTable(df, textCol, idCol, n).persist()
+    val sizes = exploded.groupBy(col(idCol)).agg(count(lit(1)).as("__sz"))
+      // signature via explode + multi-min aggregate: the numHashes hash
+    // evaluations per shingle run inside codegen'd HashAggregate, not
+    // interpreted array lambdas; values identical to
+    // TextFunctions.minhashSignature
+    val minAggs = (0 until numHashes).map(i =>
+      min(hashFn(concat(lit(s"$i:"), col("__s")))).as(s"__h$i"))
+    val sigs = exploded.groupBy(col(idCol))
+      .agg(minAggs.head, minAggs.tail: _*)
     val bandKeys = (0 until bands).map(bi =>
-      md5(concat_ws("_", slice(col("sig"), bi * r + 1, r))))
-    val banded = sigs.select(
-      col(idCol), col("shingles"),
-      posexplode(array(bandKeys: _*)))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "band_key")
-    val a = banded.select(col(idCol).as("id_a"), col("shingles").as("sh_a"),
-      col("band"), col("band_key"))
-    val b = banded.select(col(idCol).as("id_b"), col("shingles").as("sh_b"),
-      col("band"), col("band_key"))
-    a.join(b, Seq("band", "band_key"))
+      md5(concat_ws("_",
+        (bi * r until (bi + 1) * r).map(i => col(s"__h$i")): _*)))
+    val banded = sigs.select(col(idCol), posexplode(array(bandKeys: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+    val candidates = banded.select(col(idCol).as("id_a"),
+        col("band"), col("band_key"))
+      .join(banded.select(col(idCol).as("id_b"), col("band"), col("band_key")),
+        Seq("band", "band_key"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .select(col("id_a"), col("id_b"))
       .distinct()
-      .withColumn("jaccard", TextFunctions.jaccard(col("sh_a"), col("sh_b")))
+    // exact Jaccard by joining candidates back to the shingle table:
+    // |A ∩ B| from a (pair, shingle) equi-join, |A ∪ B| = |A|+|B|-|A∩B|
+    val inter = candidates
+      .join(exploded.select(col(idCol).as("id_a"), col("__s")), Seq("id_a"))
+      .join(exploded.select(col(idCol).as("id_b"), col("__s")), Seq("id_b", "__s"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("__inter"))
+    inter
+      .join(sizes.select(col(idCol).as("id_a"), col("__sz").as("__sza")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("__sz").as("__szb")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("__inter").cast("double") /
+          (col("__sza") + col("__szb") - col("__inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -115,11 +154,30 @@ object TextDedup {
   /** SimHash near-dup candidate pairs: equal signature in >=1 of four
     * 16-bit bands -> verify by Hamming distance <= maxHamming.
     */
+  /** SimHash signatures via explode + 64 vote-sum aggregates — the
+    * codegen'd dataflow form of [[TextFunctions.simhash64]] (identical
+    * values; token multiplicity preserved by explode).
+    */
+  def simhashSignatures(
+      df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val exploded = df.select(col(idCol),
+      explode(TextFunctions.tokens(col(textCol))).as("__t"))
+    val h = TextFunctions.fastHash(col("__t"))
+    val voteAggs = (0 until 64).map(b =>
+      sum(when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"__v$b"))
+    exploded.groupBy(col(idCol))
+      .agg(voteAggs.head, voteAggs.tail: _*)
+      .select(col(idCol),
+        (0 until 64).map(b =>
+          when(col(s"__v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sig"))
+  }
+
   def simhashNearDupPairs(
       df: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol),
-      TextFunctions.simhash64(TextFunctions.tokens(col(textCol))).as("sig"))
+    val sigs = simhashSignatures(df, textCol, idCol)
     val bandKeys = (0 until 4).map(bi =>
       shiftright(col("sig"), bi * 16).bitwiseAND(lit(0xFFFFL)))
     val banded = sigs.select(col(idCol), col("sig"),

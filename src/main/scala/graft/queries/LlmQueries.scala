@@ -216,19 +216,12 @@ object LlmQueries {
     */
   val q60CosineNearDup = HarnessQuery(
     "q60_cosine_neardup",
-    (spark, dir) => {
-      val em = Tables.embeddings(spark, dir)
-      val a = em.select(col("label").as("blk"), col("vec_id").as("id_a"),
-        col("embedding").as("va"))
-      val b = em.select(col("label").as("blk"), col("vec_id").as("id_b"),
-        col("embedding").as("vb"))
-      a.join(b, Seq("blk"))
-        .filter(col("id_a") < col("id_b"))
-        .withColumn("cosine", Similarity.cosine(col("va"), col("vb")))
-        .filter(col("cosine") >= 0.4)
-        .select(col("id_a"), col("id_b"), round(col("cosine"), 12).as("cosine"))
-        .orderBy(col("id_a"), col("id_b"))
-    },
+    (spark, dir) =>
+      Similarity.blockedCosineNearDup(
+        Tables.embeddings(spark, dir), "label", "vec_id", "embedding",
+        threshold = 0.4)
+        .withColumn("cosine", round(col("cosine"), 12))
+        .orderBy(col("id_a"), col("id_b")),
     Some("""
       WITH n AS (
         SELECT vec_id, label, embedding,
