@@ -1,0 +1,108 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.Velocity
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.{VCount, VEvent}
+
+/** Stream/batch equivalence for the streaming surface: the same rows fed
+  * through a MemoryStream must agree with the batch operators.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val rows = Seq(
+    (1L, "u1", ts("2024-01-01 00:00:00"), 10.0),
+    (2L, "u1", ts("2024-01-01 01:00:00"), 20.0),
+    (3L, "u1", ts("2024-01-02 00:30:00"), 30.0),
+    (4L, "u2", ts("2024-01-01 00:10:00"), 5.0),
+    (5L, "u2", ts("2024-01-01 05:00:00"), 15.0))
+
+  test("sliding-window velocity: stream output equals batch groupBy") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp, Double)]
+    val stream = mem.toDF().toDF("event_id", "user_id", "ts", "value")
+    val q = StreamingOps.slidingVelocity(stream, windowLen = "2 hours",
+        slide = "1 hour", watermark = "0 seconds")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sliding_out").start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    val got = spark.table("sliding_out")
+      .select($"window.start", $"user_id", $"n_events").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    q.stop()
+    val batch = rows.toDF("event_id", "user_id", "ts", "value")
+      .groupBy(window($"ts", "2 hours", "1 hour"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"window.start", $"user_id", $"n_events").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === batch)
+  }
+
+  test("streaming dedup drops duplicate keys within watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val stream = mem.toDF().toDF("event_id", "k", "ts")
+    val q = StreamingOps.streamingDedup(stream, "ts", Seq("k"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    mem.addData((1L, "a", ts("2024-01-01 00:00:00")),
+      (2L, "a", ts("2024-01-01 00:10:00")),
+      (3L, "b", ts("2024-01-01 00:20:00")))
+    q.processAllAvailable()
+    val got = spark.table("dedup_out").select($"k").collect().map(_.getString(0))
+    q.stop()
+    assert(got.sorted.toSeq === Seq("a", "b"))
+  }
+
+  test("sessionization groups by inactivity gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val stream = mem.toDF().toDF("event_id", "user_id", "ts")
+    val q = StreamingOps.sessionize(stream, gap = "30 minutes",
+        watermark = "0 seconds")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("session_out").start()
+    // u1: 2 events 10 min apart (one session), then one 2 h later
+    mem.addData((1L, "u1", ts("2024-01-01 00:00:00")),
+      (2L, "u1", ts("2024-01-01 00:10:00")),
+      (3L, "u1", ts("2024-01-01 02:10:00")))
+    q.processAllAvailable()
+    val sessions = spark.table("session_out")
+      .select($"n_events").collect().map(_.getLong(0)).sorted
+    q.stop()
+    assert(sessions.toSeq === Seq(1L, 2L))
+  }
+
+  test("stateful velocity equals batch RANGE-window counts across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = rows.map { case (id, u, t, _) =>
+      VEvent(u, t.getTime * 1000L, id)
+    }
+    val mem = MemoryStream[VEvent]
+    val q = StreamingOps.velocityWithState(mem.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("vel_out").start()
+    // feed in two micro-batches to exercise state carry-over
+    mem.addData(events.take(2): _*)
+    q.processAllAvailable()
+    mem.addData(events.drop(2): _*)
+    q.processAllAvailable()
+    val got = spark.table("vel_out").as[VCount].collect()
+      .map(c => c.eventId -> c.n).toMap
+    q.stop()
+    val batch = Velocity.rollingCounts(
+      rows.toDF("event_id", "user_id", "ts", "value"), "ts", Seq("user_id"),
+      suffix = "_n")
+      .select($"event_id", $"user_id_n").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === batch)
+  }
+}
