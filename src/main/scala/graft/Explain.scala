@@ -1,0 +1,39 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan auditor: dumps `explain("formatted")` for every harness query so
+  * pushdown / broadcast / codegen coverage can be reviewed offline.
+  * Usage: runMain graft.Explain <sfDir> <outFile> [queryName...]
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val outFile = if (args.length > 1) args(1) else "/tmp/plans.txt"
+    val only = args.drop(2).toSet
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sb = new StringBuilder
+    queries.Registry.all
+      .filter(q => only.isEmpty || only(q.name))
+      .foreach { q =>
+        sb.append(s"\n========== ${q.name} ==========\n")
+        try {
+          val df = q.run(spark, sfDir)
+          sb.append(df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+        } catch {
+          case e: Throwable => sb.append(s"ERROR: ${e.getMessage}\n")
+        }
+      }
+    Files.writeString(Paths.get(outFile), sb.toString)
+    spark.stop()
+  }
+}

@@ -113,5 +113,65 @@ object CoreQueries {
       GROUP BY r_name ORDER BY r_name
     """.trim))
 
-  def all: Seq[HarnessQuery] = Seq(q01PricingSummary, q02RangeJoin, q03StarJoin)
+  /** O-limit: global top-k — plans as TakeOrderedAndProject (per-partition
+    * heap + driver merge), never a full global sort.
+    */
+  val q04TopK = HarnessQuery(
+    "q04_topk",
+    (spark, dir) =>
+      Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100),
+    Some("""
+      SELECT o_orderkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """.trim))
+
+  /** J2 variants: left-semi (EXISTS) and left-anti (NOT EXISTS). */
+  val q05SemiAnti = HarnessQuery(
+    "q05_semi_anti",
+    (spark, dir) => {
+      val c = Tables.customer(spark, dir)
+      val o = Tables.orders(spark, dir).select(col("o_custkey"))
+      val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      val anti = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      semi.agg(count(lit(1)).as("n_with_orders"))
+        .crossJoin(anti.agg(count(lit(1)).as("n_without_orders")))
+    },
+    Some("""
+      SELECT
+        (SELECT count(*) FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_with_orders,
+        (SELECT count(*) FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_without_orders
+    """.trim))
+
+  /** Set operations (§2.8): distinct union / intersect / except over key
+    * projections.
+    */
+  val q06SetOps = HarnessQuery(
+    "q06_set_ops",
+    (spark, dir) => {
+      val a = Tables.orders(spark, dir).select(col("o_custkey").as("k"))
+      val b = Tables.customer(spark, dir)
+        .filter(col("c_acctbal") > 0).select(col("c_custkey").as("k"))
+      a.union(b).distinct().agg(count(lit(1)).as("n_union"))
+        .crossJoin(a.intersect(b).agg(count(lit(1)).as("n_intersect")))
+        .crossJoin(a.except(b).agg(count(lit(1)).as("n_except")))
+    },
+    Some("""
+      SELECT
+        (SELECT count(*) FROM (SELECT o_custkey AS k FROM orders UNION
+                               SELECT c_custkey FROM customer WHERE c_acctbal > 0) u) AS n_union,
+        (SELECT count(*) FROM (SELECT o_custkey AS k FROM orders INTERSECT
+                               SELECT c_custkey FROM customer WHERE c_acctbal > 0) i) AS n_intersect,
+        (SELECT count(*) FROM (SELECT DISTINCT o_custkey AS k FROM orders
+                               WHERE o_custkey NOT IN
+                                 (SELECT c_custkey FROM customer WHERE c_acctbal > 0)) e) AS n_except
+    """.trim))
+
+  def all: Seq[HarnessQuery] = Seq(
+    q01PricingSummary, q02RangeJoin, q03StarJoin, q04TopK, q05SemiAnti,
+    q06SetOps)
 }
