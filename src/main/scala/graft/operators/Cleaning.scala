@@ -60,4 +60,11 @@ object Cleaning {
     */
   def withIpInt(df: DataFrame, ipCol: String, outCol: String): DataFrame =
     df.withColumn(outCol, IpFunctions.ipToInt(col(ipCol)))
+
+  /** P7: target-column sniff (processor.py:25-28) — `class` else `Class`
+    * else none. Schema-only: driver-side metadata probe, no job runs.
+    */
+  def findTargetColumn(df: DataFrame,
+      candidates: Seq[String] = Seq("class", "Class")): Option[String] =
+    candidates.find(df.columns.contains)
 }

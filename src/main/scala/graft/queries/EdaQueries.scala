@@ -115,7 +115,33 @@ object EdaQueries {
       FROM embeddings GROUP BY 1 ORDER BY 1
     """.trim))
 
+  /** Hierarchical aggregation via ROLLUP (region -> nation -> total):
+    * grouping-set coverage beyond the reference's flat groupBys.
+    */
+  val q36Rollup = HarnessQuery(
+    "q36_rollup",
+    (spark, dir) => {
+      val n = Tables.nation(spark, dir)
+      val c = Tables.customer(spark, dir)
+      val r = Tables.region(spark, dir)
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+          Parity.dsum(col("c_acctbal")).as("sum_bal"))
+        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+    },
+    Some("""
+      SELECT r_name, n_name, count(*) AS n_cust,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS sum_bal
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP (r_name, n_name)
+      ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q30Describe, q31ValueCounts, q32GroupedMean, q33Histogram,
-    q34DistinctCount, q35ClassFreq)
+    q34DistinctCount, q35ClassFreq, q36Rollup)
 }
