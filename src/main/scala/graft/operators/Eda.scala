@@ -41,6 +41,29 @@ object Eda {
         .select(lit(name).as("column_name"), col("*"))
     }.reduce(_ unionAll _)
 
+  /** The 100 TB describe: identical shape, but quartiles via
+    * `approx_percentile` (single-pass KLL-style sketch, no sort) and
+    * HLL distinct support. Exact `percentile` buffers every value per
+    * group — fine at harness scale, wrong at cluster scale.
+    */
+  def describeApprox(df: DataFrame, cols: Seq[String], accuracy: Int = 10000): DataFrame =
+    cols.map { name =>
+      val c = col(name)
+      val n = count(c)
+      val s = sum(dec(c)).cast("double")
+      val ss = sum(dec(c * c)).cast("double")
+      df.agg(
+        n.as("n_count"),
+        (s / n).as("mean"),
+        sqrt((ss - s * s / n) / (n - lit(1))).as("std"),
+        min(c).cast("double").as("min_val"),
+        expr(s"approx_percentile($name, 0.25, $accuracy)").as("p25"),
+        expr(s"approx_percentile($name, 0.5, $accuracy)").as("p50"),
+        expr(s"approx_percentile($name, 0.75, $accuracy)").as("p75"),
+        max(c).cast("double").as("max_val"))
+        .select(lit(name).as("column_name"), col("*"))
+    }.reduce(_ unionAll _)
+
   /** A2/A7: `value_counts()` — counts per value, most frequent first
     * (value as deterministic tie-break).
     */

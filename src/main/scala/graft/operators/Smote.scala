@@ -79,15 +79,30 @@ object Smote {
       .groupBy(col("__id"))
       .agg(collect_list(col("__nn_feat")).as("__nns"))
 
-    // fan out each minority row to its exact synthetic copy count:
-    // base copies for all, one extra for the first (nNeeded % nMin) rows
-    // in a seeded random order
-    val wRank = Window.orderBy(rand(seed + 1), col("__id"))
+    // fan out each minority row to its exact synthetic copy count: base
+    // copies for all, one extra for the first (nNeeded % nMin) rows in a
+    // seeded pseudo-random global order. The global rank is two-level —
+    // rank within hash salt buckets plus collected per-bucket offsets —
+    // so no single partition ever holds the whole minority class.
     val base = nNeeded / nMin
     val extra = nNeeded % nMin
-    val fanned = minority
+    val salts = 64
+    val salted = minority
       .join(neighbors, Seq("__id"), "left")
-      .withColumn("__rn", row_number().over(wRank))
+      .withColumn("__salt", pmod(xxhash64(col("__id"), lit(seed)), lit(salts.toLong)))
+    val wRank = Window.partitionBy(col("__salt"))
+      .orderBy(rand(seed + 1), col("__id"))
+    val bucketCounts = salted.groupBy(col("__salt"))
+      .agg(count(lit(1)).as("__bn"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val offsets = bucketCounts.toSeq.sortBy(_._1)
+      .scanLeft((0L, 0L)) { case ((_, acc), (s, n)) => (s, acc + n) }
+      .sliding(2).collect { case Seq((_, off), (s, _)) => s -> off }.toMap
+    val offsetCol = bucketCounts.keys.toSeq.sorted.foldLeft(lit(0L)) {
+      (acc, s) => when(col("__salt") === s, lit(offsets.getOrElse(s, 0L))).otherwise(acc)
+    }
+    val fanned = salted
+      .withColumn("__rn", row_number().over(wRank) + offsetCol)
       .withColumn("__copies",
         lit(base) + when(col("__rn") <= extra, 1L).otherwise(0L))
       .filter(col("__copies") > 0)

@@ -104,6 +104,16 @@ class ProcessorSpec extends SparkSpec {
     assert(out.creditcard.featureNames.size === 30)
   }
 
+  test("runPipeline with SMOTE strategy balances via synthesis") {
+    val out = Processor.runPipeline(spark, cfg.copy(imbalanceStrategy = "smote"))
+    val counts = out.creditcard.train.groupBy("label").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts.size === 2 && counts.values.toSet.size === 1)
+    // SMOTE grows the train set (no rows discarded), unlike undersampling
+    val under = Processor.runPipeline(spark, cfg).creditcard.train.count()
+    assert(out.creditcard.train.count() > under)
+  }
+
   test("yaml config round-trip") {
     val y = writeTmp("pipeline_config.yaml",
       s"""data_paths:
