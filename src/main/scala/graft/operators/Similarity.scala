@@ -159,6 +159,62 @@ object Similarity {
         col("neighbor_id"), col("cosine"))
   }
 
+  /** IVF-style ANN top-k: partition the corpus into `nlist` KMeans cells
+    * (fit once, seeded), route each query to its `nprobe` nearest
+    * centroids, exact cosine re-rank inside the probed cells. The
+    * inverted-file layout of vector search as DataFrames: the corpus
+    * shuffles once on cell id; each query scores ~nprobe/nlist of the
+    * corpus. Complements [[lshCosineTopK]] — IVF adapts to the data
+    * distribution where the sign-sketch is data-independent.
+    */
+  def ivfCosineTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val corpusVec = corpus.select(col(idCol), col(vecCol))
+      .withColumn("__vec", array_to_vector(col(vecCol).cast("array<double>")))
+    val model = new KMeans()
+      .setK(nlist).setSeed(seed)
+      .setFeaturesCol("__vec").setPredictionCol("__cell")
+      .fit(corpusVec)
+    val assigned = model.transform(corpusVec)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+        norm(col(vecCol)).as("__cn"), col("__cell"))
+    val centroids = model.clusterCenters.zipWithIndex.map {
+      case (c, i) => (i, c.toArray)
+    }.toSeq
+    val centroidDf = broadcast(
+      corpus.sparkSession.createDataFrame(centroids)
+        .toDF("__cell", "__centroid"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv"), norm(col(vecCol)).as("__qn"))
+    val wCell = Window.partitionBy(col("query_id"))
+      .orderBy(col("__cdist").desc, col("__cell"))
+    val probed = q.crossJoin(centroidDf)
+      .withColumn("__cdist",
+        dotDouble(col("__qv"), col("__centroid")) / col("__qn"))
+      .withColumn("__cr", row_number().over(wCell))
+      .filter(col("__cr") <= nprobe)
+      .select(col("query_id"), col("__qv"), col("__qn"), col("__cell"))
+    val scored = broadcast(probed).join(assigned, Seq("__cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cosine"))
+  }
+
   /** Exact near-dup pairs within blocking-key groups: the per-pair cost
     * is one double dot (prefilter with an epsilon guard band); the exact
     * decimal path only runs for survivors, so the answer is identical to

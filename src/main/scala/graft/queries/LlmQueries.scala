@@ -211,6 +211,20 @@ object LlmQueries {
     },
     None)
 
+  /** IVF ANN over the same queries (KMeans cells + nprobe routing) —
+    * rows-only; recall vs the exact baseline pinned in SimilaritySpec.
+    */
+  val q62IvfAnn = HarnessQuery(
+    "q62_ivf_ann",
+    (spark, dir) => {
+      val em = Tables.embeddings(spark, dir)
+      Similarity.ivfCosineTopK(
+        em, em.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, nlist = 8, nprobe = 4)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    None)
+
   /** Embedding near-dup within label blocks (blocking-key pattern):
     * pairs with cosine >= 0.4, exact.
     */
@@ -265,5 +279,5 @@ object LlmQueries {
   def all: Seq[HarnessQuery] = Seq(
     q50TextStats, q51TokenCount, q52LangQuality, q53Fingerprint,
     q54Shingles, q55MinhashPairs, q56ExactDedup, q57SimhashPairs,
-    q58CosineTopK, q59AnnLsh, q60CosineNearDup, q61Multimodal)
+    q58CosineTopK, q59AnnLsh, q60CosineNearDup, q61Multimodal, q62IvfAnn)
 }

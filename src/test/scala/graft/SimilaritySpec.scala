@@ -42,6 +42,20 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"recall $recall")
   }
 
+  test("IVF ANN recall vs brute force >= 0.6 on real embeddings") {
+    val em = Tables.embeddings(spark, "/root/testdata/sf0.001").cache()
+    val q = em.filter($"vec_id" < 10)
+    val exact = Similarity.cosineTopK(em, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfCosineTopK(em, q, "vec_id", "embedding", 5,
+      nlist = 8, nprobe = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall $recall")
+  }
+
   test("multimodal: stub decode byte stats + resize + frame sampling") {
     val media = Multimodal.mediaFromText(
       Seq((1L, "abcd")).toDF("id", "text"), "id", "text")
