@@ -159,17 +159,19 @@ object TextDedup {
     * values; token multiplicity preserved by explode).
     */
   def simhashSignatures(
-      df: DataFrame, textCol: String, idCol: String): DataFrame = {
+      df: DataFrame, textCol: String, idCol: String,
+      hashFn: Column => Column = TextFunctions.fastHash,
+      bits: Int = 64): DataFrame = {
     val exploded = df.select(col(idCol),
       explode(TextFunctions.tokens(col(textCol))).as("__t"))
-    val h = TextFunctions.fastHash(col("__t"))
-    val voteAggs = (0 until 64).map(b =>
+    val h = hashFn(col("__t"))
+    val voteAggs = (0 until bits).map(b =>
       sum(when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L)
         .otherwise(-1L)).as(s"__v$b"))
     exploded.groupBy(col(idCol))
       .agg(voteAggs.head, voteAggs.tail: _*)
       .select(col(idCol),
-        (0 until 64).map(b =>
+        (0 until bits).map(b =>
           when(col(s"__v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
           .reduce(_ + _).as("sig"))
   }

@@ -55,13 +55,17 @@ object FeatureQueries {
     "q22_time_features",
     (spark, dir) => {
       val ev = Tables.events(spark, dir)
-      val firstTs = min(col("ts")).over(Window.partitionBy(col("user_id")))
+      val byUser = Window.partitionBy(col("user_id"))
+      val ordered = byUser.orderBy(col("ts"), col("event_id"))
+      val firstTs = min(col("ts")).over(byUser)
+      val prevTs = lag(col("ts"), 1).over(ordered)
       ev.select(
           col("event_id"),
           TimeFeatures.hourOfDay(col("ts")).as("hour_of_day"),
           TimeFeatures.dayOfWeekMon0(col("ts")).as("day_of_week"),
           TimeFeatures.secondsBetween(firstTs, col("ts")).as("secs_since_first"),
-          TimeFeatures.hoursBetween(firstTs, col("ts")).as("hours_since_first"))
+          TimeFeatures.hoursBetween(firstTs, col("ts")).as("hours_since_first"),
+          TimeFeatures.secondsBetween(prevTs, col("ts")).as("secs_since_prev"))
         .orderBy(col("event_id"))
     },
     Some("""
@@ -73,7 +77,11 @@ object FeatureQueries {
                AS secs_since_first,
              ((epoch_us(CAST(ts AS TIMESTAMP)) -
                min(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id)) / 1000000.0) / 3600.0
-               AS hours_since_first
+               AS hours_since_first,
+             (epoch_us(CAST(ts AS TIMESTAMP)) -
+              lag(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id)) / 1000000.0
+               AS secs_since_prev
       FROM events ORDER BY event_id
     """.trim))
 

@@ -163,6 +163,32 @@ object LlmQueries {
         .orderBy(col("id_a"), col("id_b")),
     None)
 
+  /** SimHash signatures on the md5-based 60-bit hash — fully
+    * oracle-checked bit-for-bit (the engine-independent hash makes the
+    * whole signature SQL-reproducible; q57 keeps the fast xxhash64 path).
+    */
+  val q63SimhashSig = HarnessQuery(
+    "q63_simhash_sig",
+    (spark, dir) =>
+      TextDedup.simhashSignatures(
+        Tables.documents(spark, dir).filter(col("doc_id") < 100),
+        "text", "doc_id",
+        hashFn = TextFunctions.md5Hash60, bits = 60)
+        .orderBy(col("doc_id")),
+    Some("""
+      WITH tok AS (SELECT doc_id,
+                          unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+                   FROM documents WHERE doc_id < 100),
+      h AS (SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS hv
+            FROM tok),
+      votes AS (SELECT doc_id, b.b,
+                       sum(CASE WHEN (hv >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+                FROM h, generate_series(0, 59) b(b) GROUP BY 1, 2)
+      SELECT doc_id,
+             CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sig
+      FROM votes GROUP BY doc_id ORDER BY doc_id
+    """.trim))
+
   /** Brute-force exact cosine top-5 for the first 10 vectors — the ANN
     * correctness baseline, decimal-exact dot products.
     */
@@ -279,5 +305,6 @@ object LlmQueries {
   def all: Seq[HarnessQuery] = Seq(
     q50TextStats, q51TokenCount, q52LangQuality, q53Fingerprint,
     q54Shingles, q55MinhashPairs, q56ExactDedup, q57SimhashPairs,
-    q58CosineTopK, q59AnnLsh, q60CosineNearDup, q61Multimodal, q62IvfAnn)
+    q58CosineTopK, q59AnnLsh, q60CosineNearDup, q61Multimodal, q62IvfAnn,
+    q63SimhashSig)
 }
