@@ -128,10 +128,20 @@ object Processor {
   }
 
   def writeOutputs(out: PipelineOutputs, outDir: String): Unit = {
+    val spark = out.fraud.train.sparkSession
+    import spark.implicits._
     out.fraud.train.write.mode("overwrite").parquet(s"$outDir/fraud_train")
     out.fraud.test.write.mode("overwrite").parquet(s"$outDir/fraud_test")
     out.creditcard.train.write.mode("overwrite").parquet(s"$outDir/credit_train")
     out.creditcard.test.write.mode("overwrite").parquet(s"$outDir/credit_test")
+    // the reference's feature-name lists (transform_data.py:150-161) as
+    // their own named sinks
+    out.fraud.featureNames.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+      .toDF("idx", "feature_name")
+      .write.mode("overwrite").parquet(s"$outDir/fraud_feature_names")
+    out.creditcard.featureNames.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+      .toDF("idx", "feature_name")
+      .write.mode("overwrite").parquet(s"$outDir/credit_feature_names")
   }
 
   /** EP2 (processor.py:21-54): the EDA fan-out as named result frames

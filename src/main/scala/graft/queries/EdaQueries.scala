@@ -8,14 +8,21 @@ import graft.sources.Tables
 /** M3: EDA aggregates (SURVEY.md §2.5 A1-A8) as oracle-checked queries. */
 object EdaQueries {
 
-  /** A1: describe() over three lineitem numerics — exact quartiles. */
+  /** A1: describe() over three lineitem numerics — exact quartiles.
+    * mean/std/quartiles rounded to 6 decimals on both sides: the
+    * double->decimal cast of squared values can land on rounding ties
+    * where Spark and DuckDB disagree in the last ulp (seen at sf0.1).
+    */
   val q30Describe = HarnessQuery(
     "q30_describe",
-    (spark, dir) =>
-      Eda.describe(
+    (spark, dir) => {
+      val d = Eda.describe(
         Tables.lineitem(spark, dir),
         Seq("l_quantity", "l_extendedprice", "l_discount"))
-        .orderBy(col("column_name")),
+      Seq("mean", "std", "p25", "p50", "p75")
+        .foldLeft(d)((df, c) => df.withColumn(c, round(col(c), 6)))
+        .orderBy(col("column_name"))
+    },
     Some("""
       WITH stats AS (
         SELECT 'l_quantity' AS column_name, count(l_quantity) AS n_count,
@@ -43,9 +50,10 @@ object EdaQueries {
                quantile_cont(l_discount, 0.25), quantile_cont(l_discount, 0.5),
                quantile_cont(l_discount, 0.75), CAST(max(l_discount) AS DOUBLE)
         FROM lineitem)
-      SELECT column_name, n_count, s / n_count AS mean,
-             sqrt((ss - s * s / n_count) / (n_count - 1)) AS std,
-             min_val, p25, p50, p75, max_val
+      SELECT column_name, n_count, round(s / n_count, 6) AS mean,
+             round(sqrt((ss - s * s / n_count) / (n_count - 1)), 6) AS std,
+             min_val, round(p25, 6) AS p25, round(p50, 6) AS p50,
+             round(p75, 6) AS p75, max_val
       FROM stats ORDER BY column_name
     """.trim))
 

@@ -150,7 +150,15 @@ object LlmQueries {
       TextDedup.exactDedup(docs.unionByName(clones), "text", "doc_id")
         .select(col("doc_id")).orderBy(col("doc_id"))
     },
-    Some("SELECT doc_id FROM documents ORDER BY doc_id"))
+    Some("""
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50)
+      SELECT min(doc_id) AS doc_id FROM corpus
+      GROUP BY md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\s+'), ' '))
+      ORDER BY doc_id
+    """.trim))
 
   /** SimHash near-dup pairs (xxhash64 token hashes, Hamming <= 8) —
     * rows-only; semantics pinned in TextDedupSpec.
