@@ -90,9 +90,12 @@ object Eda {
     val bounds = df.agg(
       min(col(c)).cast("double").as("__mn"),
       max(col(c)).cast("double").as("__mx"))
-    val bucket = least(
-      floor((col(c) - col("__mn")) / ((col("__mx") - col("__mn")) / lit(bins.toDouble))),
-      lit((bins - 1).toDouble)).cast("long")
+    // constant column -> zero width -> NaN buckets -> ANSI cast error;
+    // degenerate to a single bucket instead
+    val bucket = when(col("__mx") === col("__mn"), lit(0L)).otherwise(
+      least(
+        floor((col(c) - col("__mn")) / ((col("__mx") - col("__mn")) / lit(bins.toDouble))),
+        lit((bins - 1).toDouble)).cast("long"))
     df.crossJoin(broadcast(bounds))
       .withColumn("bucket", bucket)
       .groupBy(col("bucket"), col(classCol))
