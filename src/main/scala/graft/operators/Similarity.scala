@@ -47,9 +47,12 @@ object Similarity {
       lit(0.0), (acc, v) => acc + v)
 
   /** Fixed-dimension double dot product as an unrolled element_at chain —
-    * no higher-order functions, so the whole expression stays inside
-    * whole-stage codegen. Left-associated like the fold, hence
-    * bit-identical to [[dotDouble]]. The hot-loop form for known dims.
+    * no higher-order functions. Left-associated like the fold, hence
+    * bit-identical to [[dotDouble]]. Measured caveat: when the
+    * surrounding stage falls back to interpreted eval anyway, the
+    * 2·dim-node tree is ~2x SLOWER than the lambda fold — prefer
+    * [[dotDouble]] unless the stage provably stays in codegen (e.g.
+    * over pre-flattened scalar columns, as in [[blockedCosineNearDup]]).
     */
   def dotDoubleFixed(a: Column, b: Column, dim: Int): Column =
     (1 to dim).map(i =>
@@ -227,18 +230,27 @@ object Similarity {
       vecCol: String,
       threshold: Double,
       dim: Int = 64): DataFrame = {
-    val withN = df.select(col(blockCol).as("__blk"), col(idCol),
-      col(vecCol).as("__v"), norm(col(vecCol)).as("__n"))
-    val a = withN.select(col("__blk"), col(idCol).as("id_a"),
-      col("__v").as("__va"), col("__n").as("__na"))
-    val b = withN.select(col("__blk"), col(idCol).as("id_b"),
-      col("__v").as("__vb"), col("__n").as("__nb"))
+    // vectors flattened to `dim` scalar columns before the join: the
+    // per-pair stage then contains no array access and no lambdas, so
+    // prefilter AND exact dot both run inside whole-stage codegen. The
+    // unrolled decimal chain is value-identical to the [[dot]] fold
+    // (same left-association and casts).
+    def flat(side: String) = (0 until dim).map(i =>
+      element_at(col(vecCol), i + 1).cast("double").as(s"__$side$i"))
+    val a = df.select(col(blockCol).as("__blk") +: col(idCol).as("id_a") +:
+      norm(col(vecCol)).as("__na") +: flat("a"): _*)
+    val b = df.select(col(blockCol).as("__blk") +: col(idCol).as("id_b") +:
+      norm(col(vecCol)).as("__nb") +: flat("b"): _*)
+    val dotApprox = (0 until dim).map(i =>
+      col(s"__a$i") * col(s"__b$i")).reduce(_ + _)
+    val dotExact = (0 until dim).map(i =>
+      (col(s"__a$i") * col(s"__b$i")).cast("decimal(20,18)"))
+      .reduceLeft[Column]((acc, v) => (acc + v).cast("decimal(37,18)"))
+      .cast("double")
     a.join(b, Seq("__blk"))
       .filter(col("id_a") < col("id_b"))
-      .filter(dotDoubleFixed(col("__va"), col("__vb"), dim)
-        / (col("__na") * col("__nb")) >= threshold - 1e-6)
-      .withColumn("cosine",
-        dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+      .filter(dotApprox / (col("__na") * col("__nb")) >= threshold - 1e-6)
+      .withColumn("cosine", dotExact / (col("__na") * col("__nb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
