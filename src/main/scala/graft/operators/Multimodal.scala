@@ -88,6 +88,7 @@ object Multimodal {
   final case class Frame(media_id: Long, frame_idx: Int, frame: Array[Byte])
 
   def frameSample(ds: Dataset[MediaRow], frameBytes: Int, stride: Int): Dataset[Frame] = {
+    require(frameBytes > 0 && stride > 0, "frameBytes and stride must be positive")
     import ds.sparkSession.implicits._
     ds.flatMap { r =>
       r.media.grouped(frameBytes).zipWithIndex.collect {

@@ -80,6 +80,31 @@ object TextAnalysis {
         - when(col("mean_token_len") < 2.0, 0.2).otherwise(0.0)))
   }
 
+  /** TF-IDF term weights over a corpus, dataflow form: explode tokens ->
+    * per-(doc, term) counts -> document frequencies -> weight =
+    * (count/doc_len) * ln(N/df). Two hash aggregations and one join on
+    * the term — the standard scalable shape (no vocabulary collected to
+    * the driver, unlike fit-based vectorizers).
+    */
+  def tfidf(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(TextFunctions.tokens(col(textCol))).as("term"))
+    val termCounts = toks.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tc"))
+    val docLens = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val nDocs = df.select(col(idCol)).distinct().count()
+    val docFreq = termCounts.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    termCounts
+      .join(docLens, Seq(idCol.toString))
+      .join(docFreq, Seq("term"))
+      .withColumn("tf", col("tc").cast("double") / col("dl"))
+      .withColumn("idf", log(lit(nDocs.toDouble) / col("df")))
+      .withColumn("tfidf", col("tf") * col("idf"))
+      .select(col(idCol), col("term"), col("tc"), col("tf"), col("idf"),
+        col("tfidf"))
+  }
+
   /** Canonical + order-sensitive document fingerprints. */
   def fingerprints(df: DataFrame, textCol: String): DataFrame =
     df

@@ -310,9 +310,48 @@ object LlmQueries {
       GROUP BY media_id, text ORDER BY media_id
     """.trim))
 
+  /** TF-IDF: top-3 terms per document (doc_id < 20) by weight, exact.
+    * Cross-engine parity: tf and idf are double expressions over exact
+    * integer counts — identical operands, identical results; weight
+    * rounded to 12 to absorb ln() libm tail differences if any.
+    */
+  val q64Tfidf = HarnessQuery(
+    "q64_tfidf",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("term"))
+      TextAnalysis.tfidf(Tables.documents(spark, dir), "text", "doc_id")
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3 && col("doc_id") < 20)
+        .select(col("doc_id"), col("rank").cast("long").as("rank"),
+          col("term"), round(col("tfidf"), 12).as("tfidf"))
+        .orderBy(col("doc_id"), col("rank"))
+    },
+    Some("""
+      WITH toks AS (SELECT doc_id,
+                           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+                    FROM documents),
+      tc AS (SELECT doc_id, term, count(*) AS c FROM toks GROUP BY 1, 2),
+      dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+      dfreq AS (SELECT term, count(*) AS df FROM tc GROUP BY 1),
+      n AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
+      scored AS (
+        SELECT tc.doc_id, tc.term,
+               (CAST(tc.c AS DOUBLE) / dl.dl) * ln(CAST(nd AS DOUBLE) / dfreq.df) AS tfidf
+        FROM tc JOIN dl USING (doc_id) JOIN dfreq USING (term), n),
+      ranked AS (
+        SELECT doc_id, term, tfidf,
+               row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+        FROM scored)
+      SELECT doc_id, rank, term, round(tfidf, 12) AS tfidf
+      FROM ranked WHERE rank <= 3 AND doc_id < 20
+      ORDER BY doc_id, rank
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q50TextStats, q51TokenCount, q52LangQuality, q53Fingerprint,
     q54Shingles, q55MinhashPairs, q56ExactDedup, q57SimhashPairs,
     q58CosineTopK, q59AnnLsh, q60CosineNearDup, q61Multimodal, q62IvfAnn,
-    q63SimhashSig)
+    q63SimhashSig, q64Tfidf)
 }
