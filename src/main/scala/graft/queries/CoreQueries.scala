@@ -171,7 +171,92 @@ object CoreQueries {
                                  (SELECT c_custkey FROM customer WHERE c_acctbal > 0)) e) AS n_except
     """.trim))
 
+  /** J1 exact backward as-of join (merge_asof parity: greatest lb <=
+    * value even past the range's end) — DuckDB's native ASOF JOIN is the
+    * oracle.
+    */
+  val q07AsOfJoin = HarnessQuery(
+    "q07_asof_join",
+    (spark, dir) => {
+      val ev = Tables.events(spark, dir)
+        .withColumn("uk", pmod(col("user_id") * 7 + col("event_id"), lit(1000L)))
+      val marks = Tables.nation(spark, dir).select(
+        col("n_name"),
+        (col("n_nationkey").cast("long") * 37L + 5L).as("lb"))
+      RangeJoin.asOfJoinBackward(ev, marks, "uk", "lb", "event_id")
+        .select(col("event_id"), col("uk"),
+          coalesce(col("n_name"), lit("none")).as("mark"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT event_id, uk, coalesce(n_name, 'none') AS mark
+      FROM (SELECT event_id, (user_id * 7 + event_id) % 1000 AS uk FROM events) e
+      ASOF LEFT JOIN
+        (SELECT n_name, n_nationkey * 37 + 5 AS lb FROM nation) r
+        ON e.uk >= r.lb
+      ORDER BY event_id
+    """.trim))
+
+  /** J1 at scale: the prefix-bucket rewrite of the range join — same
+    * answer as q02's broadcast plan, but through an equi-join on minted
+    * bucket keys (the plan that survives a large range table).
+    */
+  val q08BucketedRange = HarnessQuery(
+    "q08_bucketed_range",
+    (spark, dir) => {
+      val ev = Tables.events(spark, dir)
+        .withColumn("uk", pmod(col("user_id"), lit(1000L)))
+      val ranges = Tables.nation(spark, dir).select(
+        col("n_name"),
+        (col("n_nationkey").cast("long") * 40L).as("lb"),
+        (col("n_nationkey").cast("long") * 40L + 29L).as("ub"))
+      RangeJoin.bucketedRangeJoin(ev, ranges, "uk", "lb", "ub", shiftBits = 5)
+        .withColumn("country", coalesce(col("n_name"), lit("Unknown")))
+        .groupBy(col("country"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .orderBy(col("country"))
+    },
+    q02RangeJoin.oracle)
+
+  /** Correlation / covariance aggregates from exact decimal sums — the
+    * describe-adjacent second-moment statistics.
+    */
+  val q09Corr = HarnessQuery(
+    "q09_corr",
+    (spark, dir) => {
+      val li = Tables.lineitem(spark, dir)
+      def d(c: Column) = c.cast("decimal(30,8)")
+      val n = count(lit(1)).cast("double")
+      val sx = sum(d(col("l_quantity"))).cast("double")
+      val sy = sum(d(col("l_extendedprice"))).cast("double")
+      val sxy = sum(d(col("l_quantity") * col("l_extendedprice"))).cast("double")
+      val sxx = sum(d(col("l_quantity") * col("l_quantity"))).cast("double")
+      val syy = sum(d(col("l_extendedprice") * col("l_extendedprice"))).cast("double")
+      li.groupBy(col("l_returnflag"))
+        .agg(
+          round((n * sxy - sx * sy) /
+            sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 10).as("corr_qty_price"),
+          round((n * sxy - sx * sy) / (n * (n - 1)), 6).as("covar_qty_price"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""
+      SELECT l_returnflag,
+             round((n * sxy - sx * sy) /
+               sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 10) AS corr_qty_price,
+             round((n * sxy - sx * sy) / (n * (n - 1)), 6) AS covar_qty_price
+      FROM (
+        SELECT l_returnflag,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) AS sxy,
+               CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) AS syy
+        FROM lineitem GROUP BY l_returnflag) t
+      ORDER BY l_returnflag
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q01PricingSummary, q02RangeJoin, q03StarJoin, q04TopK, q05SemiAnti,
-    q06SetOps)
+    q06SetOps, q07AsOfJoin, q08BucketedRange, q09Corr)
 }
