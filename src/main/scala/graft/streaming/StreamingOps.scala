@@ -104,4 +104,51 @@ object StreamingOps {
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.NoTimeout)(velocityFn)
   }
+
+  /** The same exact velocity on Spark 4's `transformWithState` API — a
+    * `StatefulProcessor` with a `ListState[Long]` timestamp buffer,
+    * pruned to the window horizon per batch. TWS is the forward-looking
+    * stateful runtime (typed composite state, TTL, timers, RocksDB
+    * provider); this processor uses only the list-state surface so
+    * semantics match [[velocityFn]] exactly.
+    */
+  class VelocityProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, VEvent, VCount] {
+    import org.apache.spark.sql.{Encoders => E}
+    import org.apache.spark.sql.streaming.{ListState, TimerValues, TTLConfig}
+
+    @transient private var times: ListState[Long] = _
+
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      times = getHandle.getListState[Long]("times", E.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: String,
+        inputRows: Iterator[VEvent],
+        timerValues: TimerValues): Iterator[VCount] = {
+      var buf: List[Long] = if (times.exists()) times.get().toList else Nil
+      val sorted = inputRows.toSeq.sortBy(e => (e.tsMicros, e.eventId))
+      val out = sorted.map { e =>
+        val n = buf.count(t => t >= e.tsMicros - WindowMicros && t <= e.tsMicros)
+        buf = e.tsMicros :: buf
+        VCount(key, e.eventId, e.tsMicros, n.toLong)
+      }
+      if (buf.nonEmpty) {
+        val horizon = buf.max - WindowMicros
+        times.put(buf.filter(_ >= horizon).toArray)
+      }
+      out.iterator
+    }
+  }
+
+  def velocityWithTws(events: Dataset[VEvent]): Dataset[VCount] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events
+      .groupByKey(_.key)
+      .transformWithState(
+        new VelocityProcessor, TimeMode.None(), OutputMode.Append())
+  }
 }

@@ -81,6 +81,37 @@ class StreamingSpec extends SparkSpec {
     assert(sessions.toSeq === Seq(1L, 2L))
   }
 
+  test("transformWithState velocity equals batch RANGE-window counts across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = rows.map { case (id, u, t, _) =>
+      VEvent(u, t.getTime * 1000L, id)
+    }
+    // transformWithState needs a provider with column-family support
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[VEvent]
+    val q = StreamingOps.velocityWithTws(mem.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("tws_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("tws_ckpt").toString)
+      .start()
+    mem.addData(events.take(2): _*)
+    q.processAllAvailable()
+    mem.addData(events.drop(2): _*)
+    q.processAllAvailable()
+    val got = spark.table("tws_out").as[VCount].collect()
+      .map(c => c.eventId -> c.n).toMap
+    q.stop()
+    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    val batch = Velocity.rollingCounts(
+      rows.toDF("event_id", "user_id", "ts", "value"), "ts", Seq("user_id"),
+      suffix = "_n")
+      .select($"event_id", $"user_id_n").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === batch)
+  }
+
   test("stateful velocity equals batch RANGE-window counts across batches") {
     implicit val sqlCtx = spark.sqlContext
     val events = rows.map { case (id, u, t, _) =>
