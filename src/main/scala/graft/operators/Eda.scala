@@ -112,4 +112,16 @@ object Eda {
       countDistinct(col(c)).as("n_distinct"),
       approx_count_distinct(col(c)).as("n_distinct_approx"),
       count(lit(1)).as("n_rows"))
+
+  /** Skew-safe grouped COUNT(DISTINCT): two-stage rewrite — dedup on
+    * (key, value) with map-side combine, then count per key. A plain
+    * grouped count-distinct funnels every value of a hot key through one
+    * task; this shape spreads stage one across (key, value) pairs, so a
+    * hot key's values distribute over the cluster. Same exact result.
+    */
+  def skewSafeCountDistinct(df: DataFrame, key: String, value: String): DataFrame =
+    df.groupBy(col(key), col(value)).agg(count(lit(1)).as("__c"))
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n_distinct"))
+      .orderBy(col(key))
 }

@@ -149,7 +149,20 @@ object EdaQueries {
       ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
     """.trim))
 
+  /** Skew-safe grouped distinct count (two-stage rewrite) — exact parity
+    * with the direct COUNT(DISTINCT) oracle.
+    */
+  val q37SkewDistinct = HarnessQuery(
+    "q37_skew_distinct",
+    (spark, dir) =>
+      Eda.skewSafeCountDistinct(
+        Tables.events(spark, dir), "event_type", "user_id"),
+    Some("""
+      SELECT event_type, count(DISTINCT user_id) AS n_distinct
+      FROM events GROUP BY event_type ORDER BY event_type
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q30Describe, q31ValueCounts, q32GroupedMean, q33Histogram,
-    q34DistinctCount, q35ClassFreq, q36Rollup)
+    q34DistinctCount, q35ClassFreq, q36Rollup, q37SkewDistinct)
 }

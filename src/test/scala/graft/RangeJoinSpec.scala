@@ -52,6 +52,13 @@ class RangeJoinSpec extends SparkSpec {
     assert(m(3L) === "Y" && m(1L) === "X") // greatest lb wins
   }
 
+  test("as-of backward: duplicate left values each get their own match") {
+    val dupTx = Seq((10L, 150L), (11L, 150L), (12L, 50L)).toDF("id", "ip")
+    val got = RangeJoin.asOfJoinBackward(dupTx, ranges, "ip", "lb", "id")
+      .select($"id", $"country").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(10L -> "B", 11L -> "B", 12L -> "A"))
+  }
+
   test("geolocate voids misses to Unknown sentinel (transform_data.py:38-43)") {
     val named = ranges.withColumnRenamed("lb", "lower_bound_ip_address_int")
       .withColumnRenamed("ub", "upper_bound_ip_address_int")

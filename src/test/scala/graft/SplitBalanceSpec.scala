@@ -30,6 +30,13 @@ class SplitBalanceSpec extends SparkSpec {
     assert(a !== c) // different seed shuffles membership
   }
 
+  test("stratified split extremes: frac 0 keeps all in train; frac 1 all in test") {
+    val zero = Split.stratified(df, "label", 0.0, 42L, Seq($"id"))
+    assert(zero.train.count() === 100 && zero.test.count() === 0)
+    val one = Split.stratified(df, "label", 1.0, 42L, Seq($"id"))
+    assert(one.train.count() === 0 && one.test.count() === 100)
+  }
+
   test("undersample: balanced at minority size, subset of original") {
     val u = Balance.undersample(df, "label", 42L, Seq($"id"))
     val counts = u.groupBy("label").count().collect()
