@@ -47,12 +47,32 @@ object Smote {
     val counts = df.groupBy(col(labelCol)).agg(count(lit(1)).as("cnt"))
       .collect().map(r => r.get(0) -> r.getLong(1))
     require(counts.length >= 2, "SMOTE needs at least two classes")
-    val (minLabel, nMin) = counts.minBy(_._2)
     val nMaj = counts.map(_._2).max
-    val nNeeded = nMaj - nMin
-    if (nNeeded == 0) return df
+    // imblearn 'auto': every non-majority class is synthesized up to the
+    // majority size, each from its own neighborhood graph
+    counts.filter(_._2 < nMaj).zipWithIndex.foldLeft(df) {
+      case (acc, ((classLabel, nClass), i)) =>
+        acc.unionByName(syntheticRows(
+          df, labelCol, featuresCol, classLabel, nClass, nMaj - nClass,
+          k, seed + 101 * i, numHashTables, bucketLength))
+    }
+  }
 
-    val minority = df.filter(col(labelCol) === lit(minLabel))
+  /** Synthetic rows for one class: LSH kNN over the class's rows, exact
+    * copy-count fanout, seeded interpolation (see object doc).
+    */
+  private def syntheticRows(
+      df: DataFrame,
+      labelCol: String,
+      featuresCol: String,
+      classLabel: Any,
+      nMin: Long,
+      nNeeded: Long,
+      k: Int,
+      seed: Long,
+      numHashTables: Int,
+      bucketLength: Double): DataFrame = {
+    val minority = df.filter(col(labelCol) === lit(classLabel))
       .withColumn("__id", monotonically_increasing_id())
       .withColumn("__vec", array_to_vector(col(featuresCol)))
       .cache()
@@ -122,6 +142,6 @@ object Smote {
           (x, y) => x + col("__u") * (y - x)))
       .select(df.columns.map(col): _*)
 
-    df.unionByName(synthetic)
+    synthetic
   }
 }

@@ -19,10 +19,16 @@ final case class HarnessQuery(
     oracle: Option[String])
 
 object Registry {
-  /** All registered queries, in build order. */
-  def all: Seq[HarnessQuery] =
-    CoreQueries.all ++ CleaningQueries.all ++ FeatureQueries.all ++
+  /** All registered queries, in build order. Names must be unique — a
+    * duplicate would silently shadow a query in the harness Maps.
+    */
+  def all: Seq[HarnessQuery] = {
+    val qs = CoreQueries.all ++ CleaningQueries.all ++ FeatureQueries.all ++
       EdaQueries.all ++ MlQueries.all ++ LlmQueries.all
+    val dups = qs.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+    qs
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

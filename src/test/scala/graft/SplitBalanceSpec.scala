@@ -54,6 +54,18 @@ class SplitBalanceSpec extends SparkSpec {
       .join(df, Seq("id"), "left_anti").count() === 0)
   }
 
+  test("smote multiclass: every non-majority class lifted to majority size") {
+    val tri = ((1 to 60).map(i => (i.toLong, 0)) ++
+      (61 to 80).map(i => (i.toLong, 1)) ++
+      (81 to 90).map(i => (i.toLong, 2)))
+      .map { case (id, lbl) => (id, lbl, Array(id * 1.0, id * 3.0)) }
+      .toDF("id", "label", "f")
+    val s = Smote.smote(tri, "label", "f", k = 3, seed = 42L, bucketLength = 50.0)
+    val counts = s.groupBy("label").count().collect()
+      .map(x => x.getInt(0) -> x.getLong(1)).toMap
+    assert(counts === Map(0 -> 60L, 1 -> 60L, 2 -> 60L))
+  }
+
   test("smote: exact balance; synthetics inside minority bounding box") {
     val feat = df.withColumn("f", array($"x", $"x" * 2.0))
       .select($"id", $"label", $"f")
