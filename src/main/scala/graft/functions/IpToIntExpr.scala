@@ -70,10 +70,14 @@ object IpToIntExpr {
     if (dotted && octets == 3 && octetOk)
       java.lang.Long.valueOf((acc << 8) | octet)
     else {
-      // fallback: int(float(s)) — parse as double, truncate toward zero
+      // fallback: int(float(s)) — parse as double, truncate toward zero;
+      // out-of-long-range values yield null (mirroring try_cast under
+      // ANSI) rather than saturating to Long.MaxValue
       try {
         val d = java.lang.Double.parseDouble(s)
-        if (d.isNaN || d.isInfinite) null else java.lang.Long.valueOf(d.toLong)
+        if (d.isNaN || d.isInfinite ||
+          d < Long.MinValue.toDouble || d > Long.MaxValue.toDouble) null
+        else java.lang.Long.valueOf(d.toLong)
       } catch { case _: NumberFormatException => null }
     }
   }

@@ -96,7 +96,11 @@ object Eda {
       least(
         floor((col(c) - col("__mn")) / ((col("__mx") - col("__mn")) / lit(bins.toDouble))),
         lit((bins - 1).toDouble)).cast("long"))
-    df.crossJoin(broadcast(bounds))
+    // nulls are dropped, matching pandas/seaborn histograms — without the
+    // filter, least() would skip the null bucket expression and silently
+    // bin every null row into the last bucket
+    df.filter(col(c).isNotNull)
+      .crossJoin(broadcast(bounds))
       .withColumn("bucket", bucket)
       .groupBy(col("bucket"), col(classCol))
       .agg(count(lit(1)).as("count"))
@@ -120,7 +124,10 @@ object Eda {
     * hot key's values distribute over the cluster. Same exact result.
     */
   def skewSafeCountDistinct(df: DataFrame, key: String, value: String): DataFrame =
-    df.groupBy(col(key), col(value)).agg(count(lit(1)).as("__c"))
+    // nulls excluded up front — COUNT(DISTINCT) ignores them, and the
+    // (key, NULL) group would otherwise count as one extra value
+    df.filter(col(value).isNotNull)
+      .groupBy(col(key), col(value)).agg(count(lit(1)).as("__c"))
       .groupBy(col(key))
       .agg(count(lit(1)).as("n_distinct"))
       .orderBy(col(key))

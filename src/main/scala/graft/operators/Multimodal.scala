@@ -38,7 +38,7 @@ object Multimodal {
     * implementation would decode pixels/samples here.
     */
   def decodeStub(bytes: Array[Byte]): (Double, Double, Array[Double]) = {
-    if (bytes.isEmpty) return (0.0, 0.0, Array.fill(16)(0.0))
+    if (bytes == null || bytes.isEmpty) return (0.0, 0.0, Array.fill(16)(0.0))
     val counts = new Array[Long](256)
     var sum = 0L
     bytes.foreach { b => val u = b & 0xFF; counts(u) += 1; sum += u }
@@ -61,8 +61,8 @@ object Multimodal {
     ds.mapPartitions { it =>
       it.map { row =>
         val (mean, entropy, hist) = decodeStub(row.media)
-        MediaFeatures(row.media_id, row.media_type,
-          row.media.length.toLong, mean, entropy, hist)
+        val n = if (row.media == null) 0L else row.media.length.toLong
+        MediaFeatures(row.media_id, row.media_type, n, mean, entropy, hist)
       }
     }
   }
@@ -106,7 +106,7 @@ object Multimodal {
     import spark.implicits._
     df.select(
       col(idCol).cast("long").as("media_id"),
-      col(textCol).cast("binary").as("media"),
+      coalesce(col(textCol), lit("")).cast("binary").as("media"),
       lit("image/fake").as("media_type"),
       lit(64).as("declared_width"),
       lit(64).as("declared_height"))

@@ -29,9 +29,9 @@ object Similarity {
   def dot(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double"))
-        .cast("decimal(20,18)")),
+        .cast("decimal(30,18)")),
       lit(java.math.BigDecimal.ZERO).cast("decimal(37,18)"),
-      // (37,18) + (20,18) -> (38,18): enough precision headroom that the
+      // (37,18) + (30,18) -> (38,18): enough precision headroom that the
       // add never rounds; the cast back to (37,18) keeps the accumulator
       // type fixed without touching the scale (values are << 10^19)
       (acc, v) => (acc + v).cast("decimal(37,18)"))
@@ -190,19 +190,21 @@ object Similarity {
     val assigned = model.transform(corpusVec)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
         norm(col(vecCol)).as("__cn"), col("__cell"))
-    val centroids = model.clusterCenters.zipWithIndex.map {
-      case (c, i) => (i, c.toArray)
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      val arr = c.toArray
+      (i, arr, math.sqrt(arr.map(x => x * x).sum))
     }.toSeq
     val centroidDf = broadcast(
       corpus.sparkSession.createDataFrame(centroids)
-        .toDF("__cell", "__centroid"))
+        .toDF("__cell", "__centroid", "__cnorm"))
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).as("__qv"), norm(col(vecCol)).as("__qn"))
     val wCell = Window.partitionBy(col("query_id"))
       .orderBy(col("__cdist").desc, col("__cell"))
     val probed = q.crossJoin(centroidDf)
       .withColumn("__cdist",
-        dotDouble(col("__qv"), col("__centroid")) / col("__qn"))
+        dotDouble(col("__qv"), col("__centroid")) /
+          (col("__qn") * col("__cnorm")))
       .withColumn("__cr", row_number().over(wCell))
       .filter(col("__cr") <= nprobe)
       .select(col("query_id"), col("__qv"), col("__qn"), col("__cell"))
@@ -244,7 +246,7 @@ object Similarity {
     val dotApprox = (0 until dim).map(i =>
       col(s"__a$i") * col(s"__b$i")).reduce(_ + _)
     val dotExact = (0 until dim).map(i =>
-      (col(s"__a$i") * col(s"__b$i")).cast("decimal(20,18)"))
+      (col(s"__a$i") * col(s"__b$i")).cast("decimal(30,18)"))
       .reduceLeft[Column]((acc, v) => (acc + v).cast("decimal(37,18)"))
       .cast("double")
     a.join(b, Seq("__blk"))

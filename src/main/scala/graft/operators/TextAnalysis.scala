@@ -58,9 +58,14 @@ object TextAnalysis {
     */
   def languageId(text: Column): Column = {
     val toks = TextFunctions.tokens(text)
-    val scored = Stopwords.toSeq.sortBy(_._1).map { case (langCode, words) =>
+    // greatest() picks max (hits, rank, lang); rank = reversed alphabet
+    // position so a hit-count tie resolves to the alphabetically FIRST
+    // language, as documented
+    val langs = Stopwords.toSeq.sortBy(_._1)
+    val scored = langs.zipWithIndex.map { case ((langCode, words), i) =>
       val hits = size(filter(toks, t => t.isInCollection(words)))
-      struct(hits.as("hits"), lit(langCode).as("lang"))
+      struct(hits.as("hits"), lit(langs.size - i).as("rank"),
+        lit(langCode).as("lang"))
     }
     val best = greatest(scored: _*)
     when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
@@ -92,14 +97,18 @@ object TextAnalysis {
     val termCounts = toks.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tc"))
     val docLens = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
-    val nDocs = df.select(col(idCol)).distinct().count()
+    // corpus size rides as a broadcast 1-row aggregate so the whole
+    // operator stays one lazy plan (no eager count() job on compose)
+    val nDocs = broadcast(
+      df.agg(countDistinct(col(idCol)).cast("double").as("__nd")))
     val docFreq = termCounts.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
     termCounts
       .join(docLens, Seq(idCol.toString))
       .join(docFreq, Seq("term"))
+      .crossJoin(nDocs)
       .withColumn("tf", col("tc").cast("double") / col("dl"))
-      .withColumn("idf", log(lit(nDocs.toDouble) / col("df")))
+      .withColumn("idf", log(col("__nd") / col("df")))
       .withColumn("tfidf", col("tf") * col("idf"))
       .select(col(idCol), col("term"), col("tc"), col("tf"), col("idf"),
         col("tfidf"))

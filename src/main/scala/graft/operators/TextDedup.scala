@@ -49,9 +49,12 @@ object TextDedup {
     * distinct shingle set as [[shingleSets]], exploded.
     */
   def shingleTable(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
+    require(n >= 1, "shingle size must be >= 1")
     val toks = df.select(col(idCol),
       posexplode(TextFunctions.tokens(col(textCol))))
       .withColumnRenamed("pos", "__p").withColumnRenamed("col", "__t")
+    if (n == 1)
+      return toks.select(col(idCol), col("__t").as("__s")).distinct()
     val w = Window.partitionBy(col(idCol)).orderBy(col("__p"))
     val leads = (1 until n).map(i => lead(col("__t"), i).over(w).as(s"__l$i"))
     val withLeads = toks.select(col(idCol) +: col("__t") +: leads: _*)
@@ -64,11 +67,13 @@ object TextDedup {
 
   def dropBoilerplateShingles(
       sets: DataFrame, idCol: String, maxDocFrac: Double): DataFrame = {
-    val nDocs = sets.count()
+    // corpus size stays inside the lazy plan (broadcast 1-row aggregate)
+    val nDocs = broadcast(sets.agg(count(lit(1)).cast("double").as("__nd")))
     val hot = sets
       .select(explode(col("shingles")).as("s"))
       .groupBy("s").agg(count(lit(1)).as("df"))
-      .filter(col("df") > lit(maxDocFrac * nDocs))
+      .crossJoin(nDocs)
+      .filter(col("df") > lit(maxDocFrac) * col("__nd"))
       .select(collect_list(col("s")).as("hot"))
     sets.crossJoin(broadcast(hot))
       .withColumn("shingles", array_except(col("shingles"), col("hot")))

@@ -213,12 +213,12 @@ object LlmQueries {
       WITH n AS (
         SELECT vec_id, embedding,
                sqrt(CAST(sum(CAST(CAST(embedding[g.i] AS DOUBLE) * CAST(embedding[g.i] AS DOUBLE)
-                 AS DECIMAL(20,18))) AS DOUBLE)) AS nrm
+                 AS DECIMAL(30,18))) AS DOUBLE)) AS nrm
         FROM embeddings, generate_series(1, 64) g(i) GROUP BY 1, 2),
       pairs AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                CAST(sum(CAST(CAST(q.embedding[g.i] AS DOUBLE) * CAST(c.embedding[g.i] AS DOUBLE)
-                 AS DECIMAL(20,18))) AS DOUBLE) / (any_value(q.nrm) * any_value(c.nrm)) AS cosine
+                 AS DECIMAL(30,18))) AS DOUBLE) / (any_value(q.nrm) * any_value(c.nrm)) AS cosine
         FROM n q, n c, generate_series(1, 64) g(i)
         WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
         GROUP BY 1, 2),
@@ -274,16 +274,16 @@ object LlmQueries {
       WITH n AS (
         SELECT vec_id, label, embedding,
                sqrt(CAST(sum(CAST(CAST(embedding[g.i] AS DOUBLE) * CAST(embedding[g.i] AS DOUBLE)
-                 AS DECIMAL(20,18))) AS DOUBLE)) AS nrm
+                 AS DECIMAL(30,18))) AS DOUBLE)) AS nrm
         FROM embeddings, generate_series(1, 64) g(i) GROUP BY 1, 2, 3)
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              round(CAST(sum(CAST(CAST(a.embedding[g.i] AS DOUBLE) * CAST(b.embedding[g.i] AS DOUBLE)
-               AS DECIMAL(20,18))) AS DOUBLE) / (any_value(a.nrm) * any_value(b.nrm)), 12) AS cosine
+               AS DECIMAL(30,18))) AS DOUBLE) / (any_value(a.nrm) * any_value(b.nrm)), 12) AS cosine
       FROM n a, n b, generate_series(1, 64) g(i)
       WHERE a.label = b.label AND a.vec_id < b.vec_id
       GROUP BY 1, 2
       HAVING CAST(sum(CAST(CAST(a.embedding[g.i] AS DOUBLE) * CAST(b.embedding[g.i] AS DOUBLE)
-               AS DECIMAL(20,18))) AS DOUBLE) / (any_value(a.nrm) * any_value(b.nrm)) >= 0.4
+               AS DECIMAL(30,18))) AS DOUBLE) / (any_value(a.nrm) * any_value(b.nrm)) >= 0.4
       ORDER BY id_a, id_b
     """.trim))
 

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{IpFunctions, IpToIntExpr}
+import graft.operators.{Eda, Multimodal, TextAnalysis, TextDedup}
+
+/** Regressions for review findings: null handling, range edges, and
+  * doc/behavior agreement.
+  */
+class ReviewRegressionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("histogram drops null values instead of binning them last") {
+    val df = Seq(Some(1.0), Some(2.0), None, None).map(v => (v, "a"))
+      .toDF("x", "cls")
+    val rows = Eda.histogram(df, "x", "cls", bins = 4).collect()
+    assert(rows.map(_.getLong(2)).sum === 2L) // only the two non-null rows
+  }
+
+  test("skewSafeCountDistinct ignores nulls like COUNT(DISTINCT)") {
+    val df = Seq(("a", Some(1)), ("a", Some(1)), ("a", None), ("b", Some(2)))
+      .toDF("k", "v")
+    val got = Eda.skewSafeCountDistinct(df, "k", "v").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> 1L, "b" -> 1L))
+  }
+
+  test("native ip parser nulls out-of-long-range numerics like try_cast") {
+    assert(IpToIntExpr.parseBoxed("2e19") === null)
+    assert(IpToIntExpr.parseBoxed("-2e19") === null)
+    assert(IpToIntExpr.parseBoxed("9e18") === java.lang.Long.valueOf(9000000000000000000L))
+    // and the Column path agrees
+    val r = Seq("2e19").toDF("ip").select(IpFunctions.ipToInt($"ip")).head
+    assert(r.isNullAt(0))
+  }
+
+  test("shingleTable n=1 yields distinct unigrams (no unresolved column)") {
+    val df = Seq((1L, "a b a c")).toDF("id", "text")
+    val got = TextDedup.shingleTable(df, "text", "id", n = 1)
+      .select("__s").collect().map(_.getString(0)).toSet
+    assert(got === Set("a", "b", "c"))
+  }
+
+  test("multimodal decode survives null text") {
+    val media = Multimodal.mediaFromText(
+      Seq((1L, null.asInstanceOf[String]), (2L, "ab")).toDF("id", "text"),
+      "id", "text")
+    val rows = Multimodal.decodeFeatures(media).collect()
+      .map(f => f.media_id -> f.n_bytes).toMap
+    assert(rows === Map(1L -> 0L, 2L -> 2L))
+  }
+
+  test("languageId hit-count tie resolves to alphabetically first language") {
+    // 'que' is in both es and fr stopword tables; tie -> es
+    val got = Seq("que zzz").toDF("text")
+      .select(TextAnalysis.languageId($"text")).head.getString(0)
+    assert(got === "es")
+  }
+
+  test("tfidf composes lazily and weights rarer terms higher") {
+    val docs = Seq((1L, "apple banana"), (2L, "apple cherry")).toDF("id", "text")
+    val w = TextAnalysis.tfidf(docs, "text", "id").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getAs[Double]("tfidf")).toMap
+    assert(w((1L, "apple")) === 0.0) // in every doc -> idf ln(1) = 0
+    assert(w((1L, "banana")) > 0.0)
+  }
+}
