@@ -46,7 +46,16 @@ object TimeFeatures {
         secondsBetween(col(signupTs), col(purchaseTs)))
       .withColumn("time_since_signup_hours",
         hoursBetween(col(signupTs), col(purchaseTs)))
-    Velocity.rollingCounts(withTime, purchaseTs, velocityKeys,
+    val counted = Velocity.rollingCounts(withTime, purchaseTs, velocityKeys,
       suffix = "_transactions_24h")
+    // reference column names (transform_data.py:60-62): the `_id` /
+    // `_address` part of the key is dropped in the feature name
+    val renames = Map(
+      "user_id_transactions_24h" -> "user_transactions_24h",
+      "device_id_transactions_24h" -> "device_transactions_24h",
+      "ip_address_transactions_24h" -> "ip_transactions_24h")
+    renames.foldLeft(counted) { case (d, (from, to)) =>
+      if (d.columns.contains(from)) d.withColumnRenamed(from, to) else d
+    }
   }
 }

@@ -29,37 +29,58 @@ object PipelineConfig {
     imbalanceStrategy = "smote",
     numericalFeatures = Seq(
       "purchase_value", "age", "time_since_signup_seconds",
-      "time_since_signup_hours", "user_id_transactions_24h",
-      "device_id_transactions_24h", "ip_address_transactions_24h"),
+      "time_since_signup_hours", "user_transactions_24h",
+      "device_transactions_24h", "ip_transactions_24h"),
     categoricalFeatures = Seq(
       "source", "browser", "sex", "hour_of_day", "day_of_week", "country"))
 
-  /** Parse the pipeline yaml; feature lists fall back to the reference's
-    * fraud_feature_config.yaml contents when absent.
+  private def loadYaml(path: String): scala.collection.mutable.Map[String, Object] = {
+    val in = new FileInputStream(path)
+    try new Yaml().load[java.util.Map[String, Object]](in).asScala
+    finally in.close()
+  }
+
+  /** Parse the pipeline yaml (reference `configs/pipeline_config.yaml`
+    * layout). A `feature_config_path` entry is followed and its
+    * `numerical:` / `categorical:` lists loaded (the reference's
+    * two-file layout); inline `numerical_features:` /
+    * `categorical_features:` keys also work for single-file configs.
     */
   def fromYaml(path: String): PipelineConfig = {
-    val in = new FileInputStream(path)
-    try {
-      val root = new Yaml().load[java.util.Map[String, Object]](in).asScala
-      def str(k: String, d: String): String =
-        root.get(k).map(_.toString).getOrElse(d)
-      val paths = root.get("data_paths") match {
-        case Some(m: java.util.Map[_, _]) =>
-          m.asScala.map { case (k, v) => k.toString -> v.toString }.toMap
-        case _ => Map.empty[String, String]
-      }
-      def strs(k: String, d: Seq[String]): Seq[String] = root.get(k) match {
+    val root = loadYaml(path)
+    def str(k: String, d: String): String =
+      root.get(k).map(_.toString).getOrElse(d)
+    val paths = root.get("data_paths") match {
+      case Some(m: java.util.Map[_, _]) =>
+        m.asScala.map { case (k, v) => k.toString -> v.toString }.toMap
+      case _ => Map.empty[String, String]
+    }
+    def strsFrom(m: scala.collection.Map[String, Object], keys: Seq[String],
+        d: Seq[String]): Seq[String] =
+      keys.iterator.map(m.get).collectFirst {
         case Some(l: java.util.List[_]) => l.asScala.map(_.toString).toSeq
-        case _ => d
+      }.getOrElse(d)
+    // two-file layout: follow feature_config_path (as given, else
+    // resolved next to the pipeline config)
+    val featureCfg: scala.collection.Map[String, Object] =
+      root.get("feature_config_path").map(_.toString) match {
+        case Some(p) =>
+          val direct = new java.io.File(p)
+          val resolved =
+            if (direct.exists()) direct
+            else new java.io.File(new java.io.File(path).getParentFile, new java.io.File(p).getName)
+          if (resolved.exists()) loadYaml(resolved.getPath) else root
+        case None => root
       }
-      Default.copy(
-        dataPaths = paths,
-        testSize = str("test_size", "0.2").toDouble,
-        randomState = str("random_state", "42").toLong,
-        missingValueStrategy = str("missing_value_strategy", "drop"),
-        imbalanceStrategy = str("imbalance_strategy", "smote"),
-        numericalFeatures = strs("numerical_features", Default.numericalFeatures),
-        categoricalFeatures = strs("categorical_features", Default.categoricalFeatures))
-    } finally in.close()
+    Default.copy(
+      dataPaths = paths,
+      testSize = str("test_size", "0.2").toDouble,
+      randomState = str("random_state", "42").toLong,
+      missingValueStrategy = str("missing_value_strategy", "drop"),
+      imbalanceStrategy = str("imbalance_strategy", "smote"),
+      numericalFeatures = strsFrom(featureCfg,
+        Seq("numerical", "numerical_features"), Default.numericalFeatures),
+      categoricalFeatures = strsFrom(featureCfg,
+        Seq("categorical", "categorical_features"), Default.categoricalFeatures))
   }
 }

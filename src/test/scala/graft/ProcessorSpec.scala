@@ -84,7 +84,7 @@ class ProcessorSpec extends SparkSpec {
     assert(str(4L, "country") === "Unknown") // 700000100 > upper bound 700000050
     assert(str(7L, "country") === "Unknown") // unparseable ip
     // D1 device: purchases at 01-02 10:00, 12:00(u3), 12:30(u7)
-    def vel(u: Long) = rows(u).getLong(rows(u).fieldIndex("device_id_transactions_24h"))
+    def vel(u: Long) = rows(u).getLong(rows(u).fieldIndex("device_transactions_24h"))
     assert(vel(1L) === 0L && vel(3L) === 1L && vel(7L) === 2L)
     assert(!t.columns.contains("device_id") && !t.columns.contains("ip_address"))
   }
@@ -130,5 +130,26 @@ class ProcessorSpec extends SparkSpec {
       c.imbalanceStrategy === "undersample" &&
       c.dataPaths("fraud_data") === fraudCsv &&
       c.numericalFeatures.contains("purchase_value"))
+  }
+
+  test("yaml config follows the reference two-file layout with numerical/categorical keys") {
+    val feat = writeTmp("fraud_feature_config.yaml",
+      """numerical:
+        |  - purchase_value
+        |  - user_transactions_24h
+        |categorical:
+        |  - source
+        |  - country
+        |""".stripMargin)
+    val y = writeTmp("pipeline_config.yaml",
+      s"""data_paths:
+         |  fraud_data: "$fraudCsv"
+         |feature_config_path: "$feat"
+         |imbalance_strategy: "smote"
+         |""".stripMargin)
+    val c = PipelineConfig.fromYaml(y)
+    assert(c.numericalFeatures === Seq("purchase_value", "user_transactions_24h"))
+    assert(c.categoricalFeatures === Seq("source", "country"))
+    assert(c.testSize === 0.2) // defaults preserved
   }
 }
