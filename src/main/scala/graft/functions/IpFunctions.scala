@@ -17,6 +17,11 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   *   - otherwise numeric strings, incl. scientific notation "3.2e9", via
   *     int(float(s)) i.e. parse-as-double then truncate toward zero;
   *   - otherwise null.
+  *
+  * Documented deviation: inet_aton's archaic short forms ("1.2.3" =
+  * 1.2.0.3, hex/octal octets) are NOT accepted — only canonical
+  * dotted-quads. The fraud datasets carry full quads or numeric floats,
+  * so the short forms never occur in practice.
   */
 object IpFunctions {
 
