@@ -19,8 +19,10 @@ object Cleaning {
     * `df[col].isnull().sum()`), plus the total row count.
     */
   def nullAudit(df: DataFrame, cols: Seq[String]): DataFrame = {
+    // coalesce: sum over an empty input is NULL, but an empty table has
+    // zero nulls, not unknown
     val aggs = cols.map(c =>
-      sum(col(c).isNull.cast("long")).as(s"${c}_nulls")) :+
+      coalesce(sum(col(c).isNull.cast("long")), lit(0L)).as(s"${c}_nulls")) :+
       count(lit(1)).as("n_rows")
     df.agg(aggs.head, aggs.tail: _*)
   }

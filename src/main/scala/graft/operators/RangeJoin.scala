@@ -59,10 +59,15 @@ object RangeJoin {
       leftOn: String,
       rightOn: String,
       leftKey: String,
-      broadcastRight: Boolean = true): DataFrame = {
+      broadcastRight: Boolean = true,
+      rightTieBreak: Seq[String] = Nil): DataFrame = {
     val r = if (broadcastRight) broadcast(right) else right
     val joined = left.join(r, left(leftOn) >= r(rightOn), "left")
-    val w = Window.partitionBy(left(leftKey)).orderBy(r(rightOn).desc_nulls_last)
+    // duplicate rightOn values would make the winner nondeterministic —
+    // callers with non-unique as-of keys must pass a tie-break column
+    val order = r(rightOn).desc_nulls_last +:
+      rightTieBreak.map(c => r(c).asc_nulls_last)
+    val w = Window.partitionBy(left(leftKey)).orderBy(order: _*)
     joined
       .withColumn("__asof_rn", row_number().over(w))
       .filter(col("__asof_rn") === 1)

@@ -48,6 +48,12 @@ object Split {
     val SplitResult(train, test) = stratified(df, labelCol, testFrac, seed)
     val t = train.groupBy(col(labelCol)).agg(count(lit(1)).as("n_train"))
     val s = test.groupBy(col(labelCol)).agg(count(lit(1)).as("n_test"))
-    t.join(s, labelCol).orderBy(col(labelCol))
+    // full outer + coalesce: a class whose train (or test) half is empty
+    // must still appear with a zero count, not vanish from the audit
+    t.join(s, Seq(labelCol), "full_outer")
+      .select(col(labelCol),
+        coalesce(col("n_train"), lit(0L)).as("n_train"),
+        coalesce(col("n_test"), lit(0L)).as("n_test"))
+      .orderBy(col(labelCol))
   }
 }

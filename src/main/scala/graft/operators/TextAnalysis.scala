@@ -18,6 +18,9 @@ object TextAnalysis {
     val t = col(textCol)
     val toks = TextFunctions.tokens(t)
     val nChars = length(t).cast("long")
+    // denominator via nullif: empty text yields NULL ratios (matching
+    // SQL division-by-zero), not NaN
+    val denom = nullif(nChars, lit(0L))
     df
       .withColumn("n_chars", nChars)
       .withColumn("n_tokens", size(toks).cast("long"))
@@ -25,13 +28,13 @@ object TextAnalysis {
         length(array_join(toks, "")).cast("double") / size(toks))
       .withColumn("punct_ratio",
         (nChars - length(regexp_replace(t, "[\\p{Punct}]", ""))).cast("double")
-          / nChars)
+          / denom)
       .withColumn("digit_ratio",
         (nChars - length(regexp_replace(t, "[0-9]", ""))).cast("double")
-          / nChars)
+          / denom)
       .withColumn("space_ratio",
         (nChars - length(regexp_replace(t, "\\s", ""))).cast("double")
-          / nChars)
+          / denom)
   }
 
   /** BPE-ish token count: letter runs, digit runs, and single

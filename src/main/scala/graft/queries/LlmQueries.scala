@@ -301,13 +301,18 @@ object LlmQueries {
         .orderBy(col("media_id"))
     },
     Some("""
-      SELECT media_id, any_value(n_bytes) AS n_bytes,
-             CAST(sum(ascii(text[i])) AS DOUBLE) / length(text) AS mean_byte
-      FROM (SELECT doc_id AS media_id, text,
-                   octet_length(encode(text)) AS n_bytes,
-                   unnest(generate_series(1, length(text))) AS i
-            FROM documents) t
-      GROUP BY media_id, text ORDER BY media_id
+      WITH sums AS (
+        SELECT doc_id, sum(ascii(text[i])) AS s
+        FROM (SELECT doc_id, text,
+                     unnest(generate_series(1, length(text))) AS i
+              FROM documents) t
+        GROUP BY doc_id)
+      SELECT d.doc_id AS media_id,
+             octet_length(encode(d.text)) AS n_bytes,
+             coalesce(CAST(p.s AS DOUBLE) / nullif(length(d.text), 0), 0.0)
+               AS mean_byte
+      FROM documents d LEFT JOIN sums p ON d.doc_id = p.doc_id
+      ORDER BY media_id
     """.trim))
 
   /** TF-IDF: top-3 terms per document (doc_id < 20) by weight, exact.
@@ -319,8 +324,10 @@ object LlmQueries {
     "q64_tfidf",
     (spark, dir) => {
       import org.apache.spark.sql.expressions.Window
+      // rank on the ROUNDED weight: ln() may differ by 1 ulp across
+      // engines, which must not be able to flip rank order
       val w = Window.partitionBy(col("doc_id"))
-        .orderBy(col("tfidf").desc, col("term"))
+        .orderBy(round(col("tfidf"), 12).desc, col("term"))
       TextAnalysis.tfidf(Tables.documents(spark, dir), "text", "doc_id")
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3 && col("doc_id") < 20)
@@ -342,7 +349,7 @@ object LlmQueries {
         FROM tc JOIN dl USING (doc_id) JOIN dfreq USING (term), n),
       ranked AS (
         SELECT doc_id, term, tfidf,
-               row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+               row_number() OVER (PARTITION BY doc_id ORDER BY round(tfidf, 12) DESC, term) AS rank
         FROM scored)
       SELECT doc_id, rank, term, round(tfidf, 12) AS tfidf
       FROM ranked WHERE rank <= 3 AND doc_id < 20

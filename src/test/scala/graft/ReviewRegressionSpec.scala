@@ -58,6 +58,28 @@ class ReviewRegressionSpec extends SparkSpec {
     assert(got === "es")
   }
 
+  test("split summary keeps classes whose train half is empty") {
+    val df = Seq((1L, 0), (2L, 0), (3L, 0), (4L, 0), (5L, 0), (6L, 1))
+      .toDF("id", "label")
+    val got = graft.operators.Split.summary(df, "label", 0.2, 42L).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // class 1 has 1 row: ceil(0.2) = 1 test, 0 train — must still appear
+    assert(got(1) === (0L, 1L))
+    assert(got(0) === (4L, 1L))
+  }
+
+  test("nullAudit on empty input returns zeros, not nulls") {
+    val df = Seq((1, "a")).toDF("x", "y").filter(lit(false))
+    val r = graft.operators.Cleaning.nullAudit(df, Seq("x", "y")).head
+    assert(r.getLong(0) === 0L && r.getLong(1) === 0L && r.getLong(2) === 0L)
+  }
+
+  test("textStats ratios are null (not NaN) for empty text") {
+    val r = TextAnalysis.textStats(Seq((1L, "")).toDF("id", "text"), "text")
+      .select("punct_ratio").head
+    assert(r.isNullAt(0))
+  }
+
   test("tfidf composes lazily and weights rarer terms higher") {
     val docs = Seq((1L, "apple banana"), (2L, "apple cherry")).toDF("id", "text")
     val w = TextAnalysis.tfidf(docs, "text", "id").collect()
