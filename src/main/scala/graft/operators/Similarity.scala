@@ -105,14 +105,19 @@ object Similarity {
     }
 
   /** Sign-bit sketch: bit h = sign(v . hyperplane_h), packed big-endian
-    * into a long.
+    * into a long. The hyperplane dot accumulates in DECIMAL so the sign
+    * is order-independent and engine-independent — a double fold could
+    * flip the sign of a near-zero projection under a different summation
+    * order, silently changing bucket assignments between engines.
     */
   def signSketch(vec: Column, numBits: Int, dim: Int, seed: Long): Column =
     (0 until numBits).map { h =>
       val hp = typedLit(hyperplaneValues(h, dim, seed))
       val dotP = aggregate(
-        zip_with(vec, hp, (x, p) => x.cast("double") * p),
-        lit(0.0), (acc, v) => acc + v)
+        zip_with(vec, hp, (x, p) => (x.cast("double") * p)
+          .cast("decimal(30,18)")),
+        lit(java.math.BigDecimal.ZERO).cast("decimal(37,18)"),
+        (acc, v) => (acc + v).cast("decimal(37,18)"))
       when(dotP > 0, lit(1L << (numBits - 1 - h))).otherwise(lit(0L))
     }.reduce(_ + _)
 

@@ -231,8 +231,11 @@ object LlmQueries {
       WHERE rank <= 5 ORDER BY query_id, rank
     """.trim))
 
-  /** LSH-bucketed ANN over the same queries — the scale path; recall vs
-    * the exact baseline is pinned in SimilaritySpec, rows-only here.
+  /** LSH-bucketed ANN over the same queries — the scale path. Fully
+    * oracle-checked: the md5-derived hyperplanes and decimal-exact
+    * projection signs make the entire candidate set SQL-reproducible,
+    * so the oracle replays sketch -> bands -> candidates -> exact
+    * re-rank end to end.
     */
   val q59AnnLsh = HarnessQuery(
     "q59_ann_lsh",
@@ -241,9 +244,54 @@ object LlmQueries {
       Similarity.lshCosineTopK(
         em, em.filter(col("vec_id") < 10), "vec_id", "embedding",
         k = 5, numBits = 8, bands = 4)
+        .withColumn("cosine", round(col("cosine"), 12))
         .orderBy(col("query_id"), col("rank"))
     },
-    None)
+    Some("""
+      WITH hp AS (
+        SELECT h.h AS h, d.d AS d,
+               (CAST(('0x' || substr(md5('42_' || h.h || '_' || d.d), 1, 15)) AS BIGINT)
+                 % 1000000) / 1000000.0 - 0.5 AS v
+        FROM generate_series(0, 7) h(h), generate_series(0, 63) d(d)),
+      dots AS (
+        SELECT e.vec_id, hp.h,
+               CAST(sum(CAST(CAST(e.embedding[hp.d + 1] AS DOUBLE) * hp.v
+                 AS DECIMAL(30,18))) AS DOUBLE) AS dv
+        FROM embeddings e, hp GROUP BY 1, 2),
+      sk AS (
+        SELECT vec_id,
+               CAST(sum(CASE WHEN dv > 0 THEN (CAST(1 AS BIGINT) << (7 - h))
+                 ELSE 0 END) AS BIGINT) AS sk
+        FROM dots GROUP BY 1),
+      bands AS (
+        SELECT s.vec_id, b.b || '_' || ((s.sk >> (b.b * 2)) & 3) AS band_key
+        FROM sk s, generate_series(0, 3) b(b)),
+      cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM bands q JOIN bands c USING (band_key)
+        WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+      n AS (
+        SELECT vec_id, embedding,
+               sqrt(CAST(sum(CAST(CAST(embedding[g.i] AS DOUBLE) * CAST(embedding[g.i] AS DOUBLE)
+                 AS DECIMAL(30,18))) AS DOUBLE)) AS nrm
+        FROM embeddings, generate_series(1, 64) g(i) GROUP BY 1, 2),
+      scored AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               CAST(sum(CAST(CAST(q.embedding[g.i] AS DOUBLE) * CAST(c.embedding[g.i] AS DOUBLE)
+                 AS DECIMAL(30,18))) AS DOUBLE) / (any_value(q.nrm) * any_value(c.nrm)) AS cosine
+        FROM cand
+        JOIN n q ON q.vec_id = cand.query_id
+        JOIN n c ON c.vec_id = cand.neighbor_id,
+        generate_series(1, 64) g(i)
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT query_id, neighbor_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored)
+      SELECT query_id, rank, neighbor_id, round(cosine, 12) AS cosine
+      FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+    """.trim))
 
   /** IVF ANN over the same queries (KMeans cells + nprobe routing) —
     * rows-only; recall vs the exact baseline pinned in SimilaritySpec.
