@@ -1,0 +1,22 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Between-query cleanup for the harness mains (Bench / Verify /
+  * Profile): each harness query is an independent workload, but
+  * operator-internal `persist()` calls (minhash shingle reuse) and
+  * MLlib-internal caching (KMeans / pipeline fits) register blocks that
+  * outlive the query. Left alone, 46 sequential queries accumulate
+  * dozens of cached datasets in one 8g driver JVM — GC pressure then
+  * degrades later queries by 10x+ (observed: minhash pairs 11s -> 191s
+  * when run late in a polluted session). Dropping all cache entries and
+  * persistent RDDs after every query keeps each measurement independent
+  * of run order.
+  */
+object SessionHygiene {
+  def reset(spark: SparkSession): Unit = {
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+  }
+}

@@ -63,9 +63,94 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Per-id exact norms in dataflow form: explode dims, decimal-`sum`
+    * the squares, sqrt — equal to [[norm]] (exact decimal adds), but a
+    * tiny generic aggregate instead of a 64-term generated expression.
+    * Generated-code size is the cold-start cost that dominates these
+    * queries on a fresh JVM: a 64-wide unrolled decimal chain costs
+    * seconds of janino+JIT per distinct stage, while this shape reuses
+    * Spark's stock HashAggregate codegen.
+    */
+  private def normTable(
+      df: DataFrame, idCol: String, outId: String, vecCol: String,
+      outNorm: String): DataFrame =
+    df.select(col(idCol).as(outId), posexplode(col(vecCol)))
+      .select(col(outId), col("col").cast("double").as("__x"))
+      .groupBy(col(outId))
+      .agg(sqrt(sum((col("__x") * col("__x")).cast("decimal(30,18)"))
+        .cast("double")).as(outNorm))
+
+  /** Exact cosine for an explicit (query_id, neighbor_id) pair list:
+    * explode corpus dims once, broadcast-join the exploded query dims,
+    * decimal-`sum` per pair, then attach norms. All shuffles carry ids
+    * and scalars; the expensive side (corpus) is joined by id, so cost
+    * is O(|pairs| * dim) rows through one HashAggregate.
+    */
+  private def scorePairs(
+      pairs: DataFrame, corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    val cDim = corpus.select(col(idCol).as("neighbor_id"), posexplode(col(vecCol)))
+      .select(col("neighbor_id"), col("pos").as("__d"),
+        col("col").cast("double").as("__xc"))
+    val qDim = broadcast(
+      queries.select(col(idCol).as("query_id"), posexplode(col(vecCol)))
+        .select(col("query_id"), col("pos").as("__d"),
+          col("col").cast("double").as("__xq")))
+    val dots = pairs
+      .join(cDim, Seq("neighbor_id"))
+      .join(qDim, Seq("query_id", "__d"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum((col("__xq") * col("__xc")).cast("decimal(30,18)")).as("__dot"))
+    val cN = normTable(corpus, idCol, "neighbor_id", vecCol, "__cn")
+    val qN = broadcast(normTable(queries, idCol, "query_id", vecCol, "__qn"))
+    dots
+      .join(qN, Seq("query_id"))
+      .join(cN, Seq("neighbor_id"))
+      .withColumn("cosine",
+        col("__dot").cast("double") / (col("__qn") * col("__cn")))
+  }
+
+  /** Exact cosine for symmetric (id_a, id_b) corpus pairs — like
+    * [[scorePairs]] but with both sides joined by id (no broadcast:
+    * corpus-scale on both ends, pair list assumed small relative to the
+    * corpus).
+    */
+  private def exactPairCosine(
+      pairs: DataFrame, df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val aDim = df.select(col(idCol).as("id_a"), posexplode(col(vecCol)))
+      .select(col("id_a"), col("pos").as("__d"),
+        col("col").cast("double").as("__xa"))
+    val bDim = df.select(col(idCol).as("id_b"), posexplode(col(vecCol)))
+      .select(col("id_b"), col("pos").as("__d"),
+        col("col").cast("double").as("__xb"))
+    val aN = normTable(df, idCol, "id_a", vecCol, "__na")
+    val bN = normTable(df, idCol, "id_b", vecCol, "__nb")
+    pairs
+      .join(aDim, Seq("id_a"))
+      .join(bDim, Seq("id_b", "__d"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum((col("__xa") * col("__xb")).cast("decimal(30,18)")).as("__dot"))
+      .join(aN, Seq("id_a"))
+      .join(bN, Seq("id_b"))
+      .withColumn("cosine",
+        col("__dot").cast("double") / (col("__na") * col("__nb")))
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cosine"))
+  }
+
   /** Brute-force exact cosine top-k: for each row of `queries`, the k
-    * nearest corpus rows (excluding identical ids). Query side is
-    * broadcast — the corpus never shuffles.
+    * nearest corpus rows (excluding identical ids). The pair list is
+    * corpus x queries (queries broadcast — the corpus never shuffles
+    * whole vectors, only (id, dim, value) triples into the dot
+    * aggregate).
     */
   def cosineTopK(
       corpus: DataFrame,
@@ -73,22 +158,10 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int): DataFrame = {
-    // norms once per row on each side — the per-pair work is one dot
-    val q = broadcast(queries.select(
-      col(idCol).as("query_id"), col(vecCol).as("__qv"),
-      norm(col(vecCol)).as("__qn")))
-    val c = corpus.withColumn("__cn", norm(col(vecCol)))
-    val scored = c
-      .join(q, col(idCol) =!= col("query_id"))
-      .withColumn("cosine",
-        dot(col("__qv"), col(vecCol)) / (col("__qn") * col("__cn")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col(idCol))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col(idCol).as("neighbor_id"), col("cosine"))
+    val pairs = corpus.select(col(idCol).as("neighbor_id"))
+      .crossJoin(broadcast(queries.select(col(idCol).as("query_id"))))
+      .filter(col("neighbor_id") =!= col("query_id"))
+    rankTopK(scorePairs(pairs, corpus, queries, idCol, vecCol), k)
   }
 
   /** Deterministic pseudo-random hyperplanes, computed ONCE on the
@@ -121,6 +194,34 @@ object Similarity {
       when(dotP > 0, lit(1L << (numBits - 1 - h))).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Sign sketches in dataflow form: explode dimensions, broadcast-join
+    * the (bit, dim) hyperplane table, decimal-`sum` per (id, bit), pack
+    * bits. Bit-identical to [[signSketch]] (decimal sums below precision
+    * 38 are exact, so fold-vs-sum order is irrelevant), but every stage
+    * is a codegen'd HashAggregate instead of a per-row interpreted
+    * lambda tree — and shuffle volume is ids + 64 doubles, then ids +
+    * numBits decimals. Returns (id, __sk).
+    */
+  private def signSketchTable(
+      df: DataFrame, idCol: String, outId: String, vecCol: String,
+      numBits: Int, dim: Int, seed: Long): DataFrame = {
+    val spark = df.sparkSession
+    val hp = broadcast(spark.createDataFrame(
+      for { h <- 0 until numBits; d <- 0 until dim }
+        yield (h, d, hyperplaneValues(h, dim, seed)(d)))
+      .toDF("__h", "__d", "__v"))
+    df.select(col(idCol).as(outId), posexplode(col(vecCol)))
+      .select(col(outId), col("pos").as("__d"),
+        col("col").cast("double").as("__x"))
+      .join(hp, Seq("__d"))
+      .groupBy(col(outId), col("__h"))
+      .agg(sum((col("__x") * col("__v")).cast("decimal(30,18)")).as("__dv"))
+      .groupBy(col(outId))
+      .agg(sum(when(col("__dv") > 0,
+        expr(s"shiftleft(CAST(1 AS BIGINT), ${numBits - 1} - __h)"))
+        .otherwise(lit(0L))).as("__sk"))
+  }
+
   /** LSH ANN top-k: bucket corpus + queries by band keys of the sign
     * sketch, exact cosine re-rank within collisions. Recall < 1 by
     * construction; tune bits/bands for the recall target.
@@ -140,11 +241,11 @@ object Similarity {
     // candidate pairs carry ids only through the join + distinct;
     // vectors re-attach afterwards — no arrays through shuffles
     def banded(df: DataFrame, id: String): DataFrame = {
-      val sk = signSketch(col(vecCol), numBits, dim, seed)
+      val sk = signSketchTable(df, idCol, id, vecCol, numBits, dim, seed)
       val bandKeys = (0 until bands).map(bi =>
         concat_ws("_", lit(bi),
-          shiftright(sk, bi * r).bitwiseAND(lit((1L << r) - 1))))
-      df.select(col(idCol).as(id), posexplode(array(bandKeys: _*)))
+          shiftright(col("__sk"), bi * r).bitwiseAND(lit((1L << r) - 1))))
+      sk.select(col(id), posexplode(array(bandKeys: _*)))
         .withColumnRenamed("col", "band_key").drop("pos")
     }
     val cand = banded(corpus, "neighbor_id")
@@ -152,19 +253,7 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"))
       .distinct()
-    val withVecs = cand
-      .join(broadcast(queries.select(col(idCol).as("query_id"),
-        col(vecCol).as("__qv"), norm(col(vecCol)).as("__qn"))), Seq("query_id"))
-      .join(corpus.select(col(idCol).as("neighbor_id"),
-        col(vecCol).as("__cv"), norm(col(vecCol)).as("__cn")), Seq("neighbor_id"))
-      .withColumn("cosine",
-        dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    withVecs.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("neighbor_id"), col("cosine"))
+    rankTopK(scorePairs(cand, corpus, queries, idCol, vecCol), k)
   }
 
   /** IVF-style ANN top-k: partition the corpus into `nlist` KMeans cells
@@ -193,8 +282,7 @@ object Similarity {
       .setFeaturesCol("__vec").setPredictionCol("__cell")
       .fit(corpusVec)
     val assigned = model.transform(corpusVec)
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
-        norm(col(vecCol)).as("__cn"), col("__cell"))
+      .select(col(idCol).as("neighbor_id"), col("__cell"))
     val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
       val arr = c.toArray
       (i, arr, math.sqrt(arr.map(x => x * x).sum))
@@ -202,8 +290,11 @@ object Similarity {
     val centroidDf = broadcast(
       corpus.sparkSession.createDataFrame(centroids)
         .toDF("__cell", "__centroid", "__cnorm"))
-    val q = queries.select(col(idCol).as("query_id"),
-      col(vecCol).as("__qv"), norm(col(vecCol)).as("__qn"))
+    // routing: each query to its nprobe nearest centroids by double
+    // cosine (ranking only, never output — exactness not needed here)
+    val qN = normTable(queries, idCol, "query_id", vecCol, "__qn")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .join(qN, Seq("query_id"))
     val wCell = Window.partitionBy(col("query_id"))
       .orderBy(col("__cdist").desc, col("__cell"))
     val probed = q.crossJoin(centroidDf)
@@ -212,17 +303,13 @@ object Similarity {
           (col("__qn") * col("__cnorm")))
       .withColumn("__cr", row_number().over(wCell))
       .filter(col("__cr") <= nprobe)
-      .select(col("query_id"), col("__qv"), col("__qn"), col("__cell"))
-    val scored = broadcast(probed).join(assigned, Seq("__cell"))
+      .select(col("query_id"), col("__cell"))
+    // probed cells -> candidate pairs (ids only), exact re-rank shared
+    // with the other ANN paths
+    val pairs = broadcast(probed).join(assigned, Seq("__cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine",
-        dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("neighbor_id"), col("cosine"))
+      .select(col("query_id"), col("neighbor_id"))
+    rankTopK(scorePairs(pairs, corpus, queries, idCol, vecCol), k)
   }
 
   /** Exact near-dup pairs within blocking-key groups: the per-pair cost
@@ -238,26 +325,27 @@ object Similarity {
       threshold: Double,
       dim: Int = 64): DataFrame = {
     // vectors flattened to `dim` scalar columns before the join: the
-    // per-pair stage then contains no array access and no lambdas, so
-    // prefilter AND exact dot both run inside whole-stage codegen. The
-    // unrolled decimal chain is value-identical to the [[dot]] fold
-    // (same left-association and casts).
+    // hot per-pair stage (all within-block pairs) then contains only a
+    // plain double product chain inside whole-stage codegen — no array
+    // access, no lambdas, no decimal. The approx filter keeps a 1e-6
+    // guard band, far wider than double-vs-exact summation error over
+    // 64 bounded terms; the exact decimal dot then runs only for the
+    // few survivors, in dataflow form (tiny generated code).
     def flat(side: String) = (0 until dim).map(i =>
       element_at(col(vecCol), i + 1).cast("double").as(s"__$side$i"))
+    val aN = normTable(df, idCol, "id_a", vecCol, "__na")
+    val bN = normTable(df, idCol, "id_b", vecCol, "__nb")
     val a = df.select(col(blockCol).as("__blk") +: col(idCol).as("id_a") +:
-      norm(col(vecCol)).as("__na") +: flat("a"): _*)
+      flat("a"): _*).join(aN, Seq("id_a"))
     val b = df.select(col(blockCol).as("__blk") +: col(idCol).as("id_b") +:
-      norm(col(vecCol)).as("__nb") +: flat("b"): _*)
+      flat("b"): _*).join(bN, Seq("id_b"))
     val dotApprox = (0 until dim).map(i =>
       col(s"__a$i") * col(s"__b$i")).reduce(_ + _)
-    val dotExact = (0 until dim).map(i =>
-      (col(s"__a$i") * col(s"__b$i")).cast("decimal(30,18)"))
-      .reduceLeft[Column]((acc, v) => (acc + v).cast("decimal(37,18)"))
-      .cast("double")
-    a.join(b, Seq("__blk"))
+    val survivors = a.join(b, Seq("__blk"))
       .filter(col("id_a") < col("id_b"))
       .filter(dotApprox / (col("__na") * col("__nb")) >= threshold - 1e-6)
-      .withColumn("cosine", dotExact / (col("__na") * col("__nb")))
+      .select(col("id_a"), col("id_b"))
+    exactPairCosine(survivors, df, idCol, vecCol)
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
@@ -276,8 +364,7 @@ object Similarity {
       seed: Long = 42L): DataFrame = {
     require(numBits % bands == 0)
     val r = numBits / bands
-    val sk = corpus.select(col(idCol),
-      signSketch(col(vecCol), numBits, dim, seed).as("__sk"))
+    val sk = signSketchTable(corpus, idCol, idCol, vecCol, numBits, dim, seed)
     val bandKeys = (0 until bands).map(bi =>
       concat_ws("_", lit(bi),
         shiftright(col("__sk"), bi * r).bitwiseAND(lit((1L << r) - 1))))
@@ -288,15 +375,7 @@ object Similarity {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    val withN = corpus.select(col(idCol), col(vecCol).as("__v"),
-      norm(col(vecCol)).as("__n"))
-    cand
-      .join(withN.select(col(idCol).as("id_a"), col("__v").as("__va"),
-        col("__n").as("__na")), Seq("id_a"))
-      .join(withN.select(col(idCol).as("id_b"), col("__v").as("__vb"),
-        col("__n").as("__nb")), Seq("id_b"))
-      .withColumn("cosine",
-        dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+    exactPairCosine(cand, corpus, idCol, vecCol)
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }

@@ -101,42 +101,46 @@ object TextDedup {
     // One (id, shingle) exploded table drives everything — shingle
     // arrays never travel through a shuffle or a distinct. At 100 TB
     // this is the difference between shuffling ids+hashes and shuffling
-    // whole documents.
-    // persisted because four downstream stages reuse it (sizes,
-    // signatures, and both sides of the intersection join); evicted by
-    // the LRU block manager when memory is needed
-    val exploded: DataFrame = shingleTable(df, textCol, idCol, n).persist()
-    val sizes = exploded.groupBy(col(idCol)).agg(count(lit(1)).as("__sz"))
-      // signature via explode + multi-min aggregate: the numHashes hash
+    // whole documents. The four downstream consumers (sizes, signatures,
+    // both sides of the intersection join) share the distinct's shuffle
+    // via ReusedExchange — they are one plan, so no persist is needed
+    // (explicit persist() measurably destabilizes long sessions: block
+    // churn + GC pressure in the driver JVM).
+    val exploded: DataFrame = shingleTable(df, textCol, idCol, n)
+    // signature via explode + multi-min aggregate: the numHashes hash
     // evaluations per shingle run inside codegen'd HashAggregate, not
     // interpreted array lambdas; values identical to
-    // TextFunctions.minhashSignature
-    val minAggs = (0 until numHashes).map(i =>
-      min(hashFn(concat(lit(s"$i:"), col("__s")))).as(s"__h$i"))
+    // TextFunctions.minhashSignature. Set size rides along in the same
+    // single-pass aggregate so no separate sizes subtree/join exists.
+    val minAggs = count(lit(1)).as("__sz") +:
+      (0 until numHashes).map(i =>
+        min(hashFn(concat(lit(s"$i:"), col("__s")))).as(s"__h$i"))
     val sigs = exploded.groupBy(col(idCol))
       .agg(minAggs.head, minAggs.tail: _*)
     val bandKeys = (0 until bands).map(bi =>
       md5(concat_ws("_",
         (bi * r until (bi + 1) * r).map(i => col(s"__h$i")): _*)))
-    val banded = sigs.select(col(idCol), posexplode(array(bandKeys: _*)))
+    // band keys carry the set size, so the final Jaccard needs no
+    // re-join against a sizes table — candidates alone decide |A|+|B|
+    val banded = sigs.select(col(idCol), col("__sz"),
+        posexplode(array(bandKeys: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
     val candidates = banded.select(col(idCol).as("id_a"),
-        col("band"), col("band_key"))
-      .join(banded.select(col(idCol).as("id_b"), col("band"), col("band_key")),
+        col("__sz").as("__sza"), col("band"), col("band_key"))
+      .join(banded.select(col(idCol).as("id_b"), col("__sz").as("__szb"),
+          col("band"), col("band_key")),
         Seq("band", "band_key"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
+      .select(col("id_a"), col("id_b"), col("__sza"), col("__szb"))
       .distinct()
     // exact Jaccard by joining candidates back to the shingle table:
     // |A ∩ B| from a (pair, shingle) equi-join, |A ∪ B| = |A|+|B|-|A∩B|
-    val inter = candidates
+    candidates
       .join(exploded.select(col(idCol).as("id_a"), col("__s")), Seq("id_a"))
       .join(exploded.select(col(idCol).as("id_b"), col("__s")), Seq("id_b", "__s"))
       .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("__inter"))
-    inter
-      .join(sizes.select(col(idCol).as("id_a"), col("__sz").as("__sza")), Seq("id_a"))
-      .join(sizes.select(col(idCol).as("id_b"), col("__sz").as("__szb")), Seq("id_b"))
+      .agg(count(lit(1)).as("__inter"),
+        first(col("__sza")).as("__sza"), first(col("__szb")).as("__szb"))
       .withColumn("jaccard",
         col("__inter").cast("double") /
           (col("__sza") + col("__szb") - col("__inter")).cast("double"))

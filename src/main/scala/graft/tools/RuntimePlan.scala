@@ -1,0 +1,33 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Prints the post-execution adaptive plan of a harness query — the
+  * only way to see what AQE actually did (runtime exchange reuse,
+  * skew-join splits, coalesced partitions don't appear in static
+  * explain). Usage: runMain graft.tools.RuntimePlan <sfDir> <query>
+  */
+object RuntimePlan {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val name = args(1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = graft.SparkEntry.queries(name)(spark, sfDir)
+    // collect() (not count()) so the printed queryExecution is the one
+    // that actually ran — count() builds its own execution
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    println("==== RUNTIME PLAN " + name + " ====")
+    println(plan)
+    println("==== reused exchanges: " +
+      plan.linesIterator.count(_.contains("ReusedExchange")))
+    spark.stop()
+  }
+}
