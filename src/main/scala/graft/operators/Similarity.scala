@@ -277,8 +277,11 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val corpusVec = corpus.select(col(idCol), col(vecCol))
       .withColumn("__vec", array_to_vector(col(vecCol).cast("array<double>")))
+    // coarse quantizer: a handful of Lloyd iterations is plenty for
+    // routing cells (FAISS-style IVF trains its quantizer the same way);
+    // default 20 iterations just burn bench time
     val model = new KMeans()
-      .setK(nlist).setSeed(seed)
+      .setK(nlist).setSeed(seed).setMaxIter(5)
       .setFeaturesCol("__vec").setPredictionCol("__cell")
       .fit(corpusVec)
     val assigned = model.transform(corpusVec)
@@ -311,6 +314,21 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"))
     rankTopK(scorePairs(pairs, corpus, queries, idCol, vecCol), k)
   }
+
+  /** Per-label centroid embeddings in long form (label, d, mean_x) —
+    * the vector aggregate of a training-data pipeline (class prototypes,
+    * cluster summaries). Dataflow: explode dims, one hash aggregate;
+    * exact decimal sums over the float inputs so the mean is
+    * order-independent; rounded to 12 decimals for cross-engine parity.
+    */
+  def labelCentroids(
+      df: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    df.select(col(labelCol), posexplode(col(vecCol)))
+      .groupBy(col(labelCol), col("pos"))
+      .agg(round(
+        sum(col("col").cast("double").cast("decimal(30,18)")).cast("double")
+          / count(lit(1)), 12).as("mean_x"))
+      .select(col(labelCol), col("pos").cast("long").as("d"), col("mean_x"))
 
   /** Exact near-dup pairs within blocking-key groups: the per-pair cost
     * is one double dot (prefilter with an epsilon guard band); the exact

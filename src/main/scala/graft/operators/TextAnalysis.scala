@@ -117,6 +117,40 @@ object TextAnalysis {
         col("tfidf"))
   }
 
+  /** Okapi BM25 term weights over a corpus — same dataflow shape as
+    * [[tfidf]] (two hash aggregations + a term join, nothing collected
+    * to the driver) with the BM25 saturation/length normalization:
+    * idf = ln(1 + (N - df + 0.5)/(df + 0.5)),
+    * score = idf * tc*(k1+1) / (tc + k1*(1 - b + b*dl/avgdl)).
+    */
+  def bm25(
+      df: DataFrame, textCol: String, idCol: String,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(TextFunctions.tokens(col(textCol))).as("term"))
+    val termCounts = toks.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tc"))
+    val docLens = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val docFreq = termCounts.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    // corpus constants ride as a broadcast 1-row aggregate (lazy plan);
+    // avgdl = total tokens / total docs, both exact longs
+    val consts = broadcast(docLens.agg(
+      sum(col("dl")).cast("double").as("__tot"),
+      count(lit(1)).cast("double").as("__nd")))
+    termCounts
+      .join(docLens, Seq(idCol.toString))
+      .join(docFreq, Seq("term"))
+      .crossJoin(consts)
+      .withColumn("idf",
+        log(lit(1.0) + (col("__nd") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("bm25",
+        col("idf") * (col("tc") * lit(k1 + 1.0)) /
+          (col("tc") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * col("dl") / (col("__tot") / col("__nd")))))
+      .select(col(idCol), col("term"), col("tc"), col("idf"), col("bm25"))
+  }
+
   /** Canonical + order-sensitive document fingerprints. */
   def fingerprints(df: DataFrame, textCol: String): DataFrame =
     df

@@ -154,10 +154,29 @@ object TextDedup {
   def minhashDedup(
       df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, numHashes: Int = 16, bands: Int = 8,
-      threshold: Double = 0.8): DataFrame = {
-    val losers = minhashNearDupPairs(df, textCol, idCol, n, numHashes, bands, threshold)
+      threshold: Double = 0.8,
+      hashFn: Column => Column = TextFunctions.fastHash): DataFrame = {
+    val losers = minhashNearDupPairs(df, textCol, idCol, n, numHashes, bands,
+        threshold, hashFn)
       .select(col("id_b").as(idCol)).distinct()
     df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Exploded (id, shingle) table with boilerplate shingles (doc
+    * frequency > maxDocFrac of the corpus) removed — the dataflow form
+    * of [[dropBoilerplateShingles]]: one groupBy for document
+    * frequencies, one broadcast anti-join; shingle ARRAYS never shuffle.
+    */
+  def keptShingleTable(
+      df: DataFrame, textCol: String, idCol: String, n: Int,
+      maxDocFrac: Double): DataFrame = {
+    val ex = shingleTable(df, textCol, idCol, n)
+    val nDocs = broadcast(df.agg(count(lit(1)).cast("double").as("__nd")))
+    val hot = ex.groupBy(col("__s")).agg(count(lit(1)).as("__df"))
+      .crossJoin(nDocs)
+      .filter(col("__df") > lit(maxDocFrac) * col("__nd"))
+      .select(col("__s"))
+    ex.join(broadcast(hot), Seq("__s"), "left_anti")
   }
 
   /** SimHash near-dup candidate pairs: equal signature in >=1 of four
@@ -185,12 +204,21 @@ object TextDedup {
           .reduce(_ + _).as("sig"))
   }
 
+  /** @param hashFn token hash — [[TextFunctions.fastHash]] (xxhash64)
+    *               for production, [[TextFunctions.md5Hash60]] with
+    *               bits=60 for engine-independent signatures;
+    * @param bits   signature width; must be divisible by 4 (bands).
+    */
   def simhashNearDupPairs(
       df: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val sigs = simhashSignatures(df, textCol, idCol)
+      maxHamming: Int = 3,
+      hashFn: Column => Column = TextFunctions.fastHash,
+      bits: Int = 64): DataFrame = {
+    require(bits % 4 == 0, "bits must divide into 4 bands")
+    val r = bits / 4
+    val sigs = simhashSignatures(df, textCol, idCol, hashFn, bits)
     val bandKeys = (0 until 4).map(bi =>
-      shiftright(col("sig"), bi * 16).bitwiseAND(lit(0xFFFFL)))
+      shiftright(col("sig"), bi * r).bitwiseAND(lit((1L << r) - 1)))
     val banded = sigs.select(col(idCol), col("sig"),
       posexplode(array(bandKeys: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{TimeFeatures, Velocity}
+import graft.operators.{Sessions, TimeFeatures, Velocity}
 import graft.sources.Tables
 
 /** M2: temporal feature engineering + 24 h velocity windows
@@ -85,5 +85,38 @@ object FeatureQueries {
       FROM events ORDER BY event_id
     """.trim))
 
-  def all: Seq[HarnessQuery] = Seq(q20Velocity, q21VelocityPreAgg, q22TimeFeatures)
+  /** Batch sessionization via native session_window (4 h inactivity
+    * gap) — the same grouping runs unchanged under Structured Streaming.
+    * Oracle: classic gaps-and-islands SQL. Session end = last ts + gap;
+    * a new session starts only when the inter-event gap EXCEEDS 4 h
+    * (touching windows merge: an event exactly gap after the previous
+    * one extends the session — probed against session_window directly).
+    */
+  val q23Sessions = HarnessQuery(
+    "q23_sessions",
+    (spark, dir) =>
+      Sessions.sessionize(
+        Tables.events(spark, dir), "ts", "user_id", "4 hours", "value")
+        .orderBy(col("user_id"), col("session_start_us")),
+    Some("""
+      WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value
+                 FROM events),
+      m AS (SELECT user_id, us, value,
+                   CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                          <= 14400000000 THEN 0 ELSE 1 END AS brk
+            FROM e),
+      s AS (SELECT user_id, us, value,
+                   sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                     ROWS UNBOUNDED PRECEDING) AS sid
+            FROM m)
+      SELECT user_id, min(us) AS session_start_us,
+             max(us) + 14400000000 AS session_end_us,
+             count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+      FROM s GROUP BY user_id, sid
+      ORDER BY user_id, session_start_us
+    """.trim))
+
+  def all: Seq[HarnessQuery] =
+    Seq(q20Velocity, q21VelocityPreAgg, q22TimeFeatures, q23Sessions)
 }

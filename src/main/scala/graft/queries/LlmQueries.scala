@@ -54,8 +54,10 @@ object LlmQueries {
       FROM documents ORDER BY doc_id
     """.trim))
 
-  /** Language-ID heuristic + quality score — rows-only (heuristic has no
-    * SQL twin); invariants pinned in TextAnalysisSpec.
+  /** Language-ID heuristic + quality score — exact oracle: both are
+    * deterministic arithmetic over token/char counts, so the SQL twin
+    * replays the stopword-hit vote (alphabetical-first tie-break via
+    * ordered CASE) and the penalty ladder verbatim.
     */
   val q52LangQuality = HarnessQuery(
     "q52_lang_quality",
@@ -67,7 +69,43 @@ object LlmQueries {
           Parity.dsum(col("quality_score")).as("sum_quality"))
         .orderBy(col("lang_pred"))
     },
-    None)
+    Some("""
+      WITH t AS (SELECT doc_id, text,
+                        regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+                        length(text) AS n_chars
+                 FROM documents),
+      st AS (SELECT doc_id, toks, len(toks) AS n_tokens,
+                    CAST(length(array_to_string(toks, '')) AS DOUBLE) / len(toks) AS mean_token_len,
+                    CAST(n_chars - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+                      / nullif(n_chars, 0) AS punct_ratio,
+                    CAST(n_chars - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                      / nullif(n_chars, 0) AS digit_ratio
+             FROM t),
+      q AS (SELECT doc_id, greatest(0.0, 1.0
+              - CASE WHEN n_tokens < 5 THEN 0.5 ELSE 0.0 END
+              - CASE WHEN punct_ratio > 0.3 THEN 0.3 ELSE 0.0 END
+              - CASE WHEN digit_ratio > 0.3 THEN 0.2 ELSE 0.0 END
+              - CASE WHEN mean_token_len < 2.0 THEN 0.2 ELSE 0.0 END) AS quality_score
+            FROM st),
+      tokx AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+      hits AS (SELECT doc_id,
+                 sum(CASE WHEN tk IN ('der','die','das','und','ist','nicht','ein','mit','den','zu') THEN 1 ELSE 0 END) AS de,
+                 sum(CASE WHEN tk IN ('the','and','of','to','a','in','is','it','that','for') THEN 1 ELSE 0 END) AS en,
+                 sum(CASE WHEN tk IN ('el','la','los','y','es','un','una','en','por','que') THEN 1 ELSE 0 END) AS es,
+                 sum(CASE WHEN tk IN ('le','la','les','et','est','un','une','dans','pour','que') THEN 1 ELSE 0 END) AS fr
+               FROM tokx GROUP BY doc_id),
+      pred AS (SELECT t.doc_id,
+                 CASE WHEN h.doc_id IS NULL OR greatest(h.de, h.en, h.es, h.fr) = 0 THEN 'und'
+                      WHEN h.de >= h.en AND h.de >= h.es AND h.de >= h.fr THEN 'de'
+                      WHEN h.en >= h.es AND h.en >= h.fr THEN 'en'
+                      WHEN h.es >= h.fr THEN 'es'
+                      ELSE 'fr' END AS lang_pred
+               FROM t LEFT JOIN hits h ON t.doc_id = h.doc_id)
+      SELECT p.lang_pred, count(*) AS n,
+             CAST(sum(CAST(q.quality_score AS DECIMAL(25,6))) AS DOUBLE) AS sum_quality
+      FROM pred p JOIN q ON p.doc_id = q.doc_id
+      GROUP BY 1 ORDER BY 1
+    """.trim))
 
   /** Canonical document fingerprint (md5 of normalized text). */
   val q53Fingerprint = HarnessQuery(
@@ -160,16 +198,44 @@ object LlmQueries {
       ORDER BY doc_id
     """.trim))
 
-  /** SimHash near-dup pairs (xxhash64 token hashes, Hamming <= 8) —
-    * rows-only; semantics pinned in TextDedupSpec.
+  /** SimHash near-dup pairs on the engine-independent md5-based 60-bit
+    * hash — full pipeline (signatures -> 4x15-bit bands -> candidate
+    * join -> Hamming verify) replayed in SQL, so banding AND verification
+    * are both oracle-checked. The xxhash64 fast path keeps its unit-spec
+    * pins in TextDedupSpec.
     */
   val q57SimhashPairs = HarnessQuery(
     "q57_simhash_pairs",
     (spark, dir) =>
       TextDedup.simhashNearDupPairs(
-        Tables.documents(spark, dir), "text", "doc_id", maxHamming = 8)
+        Tables.documents(spark, dir), "text", "doc_id", maxHamming = 8,
+        hashFn = TextFunctions.md5Hash60, bits = 60)
         .orderBy(col("id_a"), col("id_b")),
-    None)
+    Some("""
+      WITH tok AS (SELECT doc_id,
+                          unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+                   FROM documents),
+      h AS (SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS hv
+            FROM tok),
+      votes AS (SELECT doc_id, b.b,
+                       sum(CASE WHEN (hv >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+                FROM h, generate_series(0, 59) b(b) GROUP BY 1, 2),
+      sig AS (SELECT doc_id,
+                     CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sig
+              FROM votes GROUP BY doc_id),
+      bands AS (SELECT doc_id, sig, b.b AS band,
+                       (sig >> (b.b * 15)) & 32767 AS band_key
+                FROM sig, generate_series(0, 3) b(b)),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                      a.sig AS sig_a, b.sig AS sig_b
+               FROM bands a JOIN bands b
+                 ON a.band = b.band AND a.band_key = b.band_key
+               WHERE a.doc_id < b.doc_id)
+      SELECT id_a, id_b,
+             CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+      FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 8
+      ORDER BY id_a, id_b
+    """.trim))
 
   /** SimHash signatures on the md5-based 60-bit hash — fully
     * oracle-checked bit-for-bit (the engine-independent hash makes the
@@ -404,9 +470,160 @@ object LlmQueries {
       ORDER BY doc_id, rank
     """.trim))
 
+  /** MinHash near-dedup end to end: keep the lowest-id member of every
+    * near-dup pair (single-link, one hop). Oracle replays the ANSWER via
+    * brute-force pairwise Jaccard — banding recall is exactly 1 on this
+    * corpus (near-dup pairs are at jaccard >= 0.8 where
+    * P(miss all 8 bands) < 1e-11), so the surviving-id set is frozen.
+    */
+  val q65MinhashDedup = HarnessQuery(
+    "q65_minhash_dedup",
+    (spark, dir) =>
+      TextDedup.minhashDedup(
+        Tables.documents(spark, dir), "text", "doc_id",
+        n = 3, numHashes = 16, bands = 8, threshold = 0.8)
+        .select(col("doc_id")).orderBy(col("doc_id")),
+    Some("""
+      WITH t AS (SELECT doc_id,
+                   list_distinct(list_transform(
+                     generate_series(1, len(regexp_split_to_array(trim(lower(text)), '\s+')) - 2),
+                     i -> array_to_string((regexp_split_to_array(trim(lower(text)), '\s+'))[i:i+2], ' ')))
+                     AS sh
+                 FROM documents),
+      losers AS (SELECT DISTINCT b.doc_id AS id_b
+                 FROM t a, t b
+                 WHERE a.doc_id < b.doc_id
+                   AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                       len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8)
+      SELECT doc_id FROM documents
+      WHERE doc_id NOT IN (SELECT id_b FROM losers)
+      ORDER BY doc_id
+    """.trim))
+
+  /** Multimodal frame sampling: the binary payload split into 64-byte
+    * fake frames, every 2nd frame kept — the partition-batched
+    * row-generating transform (video keyframe extraction shape). Frames
+    * are ASCII here, so the frame bytes round-trip as strings exactly.
+    */
+  val q66FrameSample = HarnessQuery(
+    "q66_frame_sample",
+    (spark, dir) => {
+      val media = Multimodal.mediaFromText(
+        Tables.documents(spark, dir), "doc_id", "text")
+      Multimodal.frameSample(media, frameBytes = 64, stride = 2).toDF()
+        .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+          length(col("frame")).cast("long").as("n_bytes"),
+          col("frame").cast("string").as("frame_text"))
+        .orderBy(col("media_id"), col("frame_idx"))
+    },
+    Some("""
+      WITH f AS (SELECT doc_id, text,
+                        unnest(generate_series(0,
+                          CAST(ceil(length(text) / 64.0) AS BIGINT) - 1)) AS i
+                 FROM documents)
+      SELECT doc_id AS media_id, CAST(i AS BIGINT) AS frame_idx,
+             CAST(length(substr(text, CAST(i * 64 + 1 AS INT), 64)) AS BIGINT) AS n_bytes,
+             substr(text, CAST(i * 64 + 1 AS INT), 64) AS frame_text
+      FROM f WHERE i % 2 = 0
+      ORDER BY media_id, frame_idx
+    """.trim))
+
+  /** Okapi BM25 top-3 terms per document (doc_id < 20) — same parity
+    * discipline as q64: exact integer counts through double arithmetic
+    * mirrored operation-for-operation, rank on the rounded weight.
+    */
+  val q67Bm25 = HarnessQuery(
+    "q67_bm25",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(round(col("bm25"), 12).desc, col("term"))
+      TextAnalysis.bm25(Tables.documents(spark, dir), "text", "doc_id")
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3 && col("doc_id") < 20)
+        .select(col("doc_id"), col("rank").cast("long").as("rank"),
+          col("term"), round(col("bm25"), 12).as("bm25"))
+        .orderBy(col("doc_id"), col("rank"))
+    },
+    Some("""
+      WITH toks AS (SELECT doc_id,
+                           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+                    FROM documents),
+      tc AS (SELECT doc_id, term, count(*) AS c FROM toks GROUP BY 1, 2),
+      dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+      dfreq AS (SELECT term, count(*) AS df FROM tc GROUP BY 1),
+      consts AS (SELECT CAST(sum(dl) AS DOUBLE) AS tot,
+                        CAST(count(*) AS DOUBLE) AS nd FROM dl),
+      scored AS (
+        SELECT tc.doc_id, tc.term,
+               ln(1.0 + (nd - df + 0.5) / (df + 0.5)) *
+                 (tc.c * (1.2 + 1.0)) /
+                 (tc.c + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / (tot / nd))) AS bm25
+        FROM tc JOIN dl USING (doc_id) JOIN dfreq USING (term), consts),
+      ranked AS (
+        SELECT doc_id, term, bm25,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY round(bm25, 12) DESC, term) AS rank
+        FROM scored)
+      SELECT doc_id, rank, term, round(bm25, 12) AS bm25
+      FROM ranked WHERE rank <= 3 AND doc_id < 20
+      ORDER BY doc_id, rank
+    """.trim))
+
+  /** Per-label centroid embeddings (class prototypes) in long form —
+    * exact decimal mean per dimension, rounded to 12.
+    */
+  val q68LabelCentroid = HarnessQuery(
+    "q68_label_centroid",
+    (spark, dir) =>
+      Similarity.labelCentroids(
+        Tables.embeddings(spark, dir), "label", "embedding")
+        .orderBy(col("label"), col("d")),
+    Some("""
+      SELECT label, CAST(g.i - 1 AS BIGINT) AS d,
+             round(CAST(sum(CAST(CAST(embedding[g.i] AS DOUBLE) AS DECIMAL(30,18))) AS DOUBLE)
+               / count(*), 12) AS mean_x
+      FROM embeddings, generate_series(1, 64) g(i)
+      GROUP BY 1, 2 ORDER BY label, d
+    """.trim))
+
+  /** Boilerplate-shingle removal: shingles present in > 25% of docs are
+    * dropped from every document's set (the standard defense against
+    * template text poisoning minhash). Output: surviving set size.
+    */
+  val q69Boilerplate = HarnessQuery(
+    "q69_boilerplate",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val kept = TextDedup.keptShingleTable(docs, "text", "doc_id", 3, 0.25)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_kept"))
+      docs.select(col("doc_id"))
+        .join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH t AS (SELECT doc_id,
+                   list_distinct(list_transform(
+                     generate_series(1, len(regexp_split_to_array(trim(lower(text)), '\s+')) - 2),
+                     i -> array_to_string((regexp_split_to_array(trim(lower(text)), '\s+'))[i:i+2], ' ')))
+                     AS sh
+                 FROM documents),
+      n AS (SELECT count(*) AS nd FROM t),
+      ex AS (SELECT doc_id, unnest(sh) AS s FROM t),
+      dfreq AS (SELECT s, count(*) AS df FROM ex GROUP BY 1),
+      hot AS (SELECT s FROM dfreq, n WHERE df > 0.25 * nd),
+      kept AS (SELECT e.doc_id, count(*) AS n_kept FROM ex e
+               WHERE e.s NOT IN (SELECT s FROM hot) GROUP BY 1)
+      SELECT t.doc_id, coalesce(k.n_kept, 0) AS n_kept
+      FROM t LEFT JOIN kept k ON t.doc_id = k.doc_id
+      ORDER BY t.doc_id
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q50TextStats, q51TokenCount, q52LangQuality, q53Fingerprint,
     q54Shingles, q55MinhashPairs, q56ExactDedup, q57SimhashPairs,
     q58CosineTopK, q59AnnLsh, q60CosineNearDup, q61Multimodal, q62IvfAnn,
-    q63SimhashSig, q64Tfidf)
+    q63SimhashSig, q64Tfidf, q65MinhashDedup, q66FrameSample, q67Bm25,
+    q68LabelCentroid, q69Boilerplate)
 }
