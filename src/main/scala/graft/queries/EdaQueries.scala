@@ -162,7 +162,41 @@ object EdaQueries {
       FROM events GROUP BY event_type ORDER BY event_type
     """.trim))
 
+  /** Sketch accuracy audit — the 100 TB cardinality/quantile path:
+    * HyperLogLog++ distinct (5% rsd) and approx_percentile vs their
+    * exact counterparts, per group. Both sketches are deterministic for
+    * fixed data, so the pass flags are frozen; the oracle recomputes the
+    * exact counts and asserts the flags — a drifting sketch breaks the
+    * hash match.
+    */
+  val q38Sketches = HarnessQuery(
+    "q38_sketches",
+    (spark, dir) => {
+      val ev = Tables.events(spark, dir)
+      val exact = ev.groupBy(col("event_type")).agg(
+        countDistinct(col("user_id")).as("n_exact"),
+        expr("percentile(value, 0.5)").as("__p50_exact"))
+      val approx = ev.groupBy(col("event_type")).agg(
+        // rsd is a STANDARD DEVIATION, not a bound — audit at 5x the
+        // configured rsd so the flag tests the sketch, not the tail
+        approx_count_distinct(col("user_id"), 0.01).as("__n_approx"),
+        expr("approx_percentile(value, 0.5, 1000)").as("__p50_approx"))
+      exact.join(approx, Seq("event_type"))
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("__n_approx") - col("n_exact")).cast("double") /
+            col("n_exact") <= 0.05).as("hll_ok"),
+          (abs(col("__p50_approx") - col("__p50_exact")) <=
+            lit(0.05) * (abs(col("__p50_exact")) + lit(1.0))).as("p50_ok"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      SELECT event_type, count(DISTINCT user_id) AS n_exact,
+             true AS hll_ok, true AS p50_ok
+      FROM events GROUP BY 1 ORDER BY 1
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q30Describe, q31ValueCounts, q32GroupedMean, q33Histogram,
-    q34DistinctCount, q35ClassFreq, q36Rollup, q37SkewDistinct)
+    q34DistinctCount, q35ClassFreq, q36Rollup, q37SkewDistinct,
+    q38Sketches)
 }
