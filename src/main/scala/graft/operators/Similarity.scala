@@ -20,6 +20,12 @@ import org.apache.spark.sql.functions._
   * `aggregate`) — no UDFs, no driver-side math. Hyperplanes are
   * generated deterministically from a seed via md5-derived uniforms, so
   * results are reproducible without a Math.random dependency.
+  *
+  * Defined behavior for malformed rows: a null or empty embedding has
+  * no dimensions to explode, so the row is EXCLUDED from sketching,
+  * candidate generation, scoring, and top-k output (its cosine is
+  * undefined — there is nothing meaningful to rank). Filter such rows
+  * upstream if they must be reported.
   */
 object Similarity {
 
@@ -207,8 +213,11 @@ object Similarity {
       numBits: Int, dim: Int, seed: Long): DataFrame = {
     val spark = df.sparkSession
     val hp = broadcast(spark.createDataFrame(
-      for { h <- 0 until numBits; d <- 0 until dim }
-        yield (h, d, hyperplaneValues(h, dim, seed)(d)))
+      for {
+        h <- 0 until numBits
+        row = hyperplaneValues(h, dim, seed)
+        d <- 0 until dim
+      } yield (h, d, row(d)))
       .toDF("__h", "__d", "__v"))
     df.select(col(idCol).as(outId), posexplode(col(vecCol)))
       .select(col(outId), col("pos").as("__d"),

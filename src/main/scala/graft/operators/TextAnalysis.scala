@@ -94,18 +94,29 @@ object TextAnalysis {
     * the term — the standard scalable shape (no vocabulary collected to
     * the driver, unlike fit-based vectorizers).
     */
-  def tfidf(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+  /** Shared term statistics for the weighting schemes: per-(doc, term)
+    * counts, per-doc lengths, per-term document frequencies — one
+    * tokenization, two hash aggregations.
+    */
+  private def termStats(
+      df: DataFrame, textCol: String, idCol: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val toks = df.select(col(idCol),
       explode(TextFunctions.tokens(col(textCol))).as("term"))
     val termCounts = toks.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tc"))
     val docLens = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val docFreq = termCounts.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    (termCounts, docLens, docFreq)
+  }
+
+  def tfidf(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val (termCounts, docLens, docFreq) = termStats(df, textCol, idCol)
     // corpus size rides as a broadcast 1-row aggregate so the whole
     // operator stays one lazy plan (no eager count() job on compose)
     val nDocs = broadcast(
       df.agg(countDistinct(col(idCol)).cast("double").as("__nd")))
-    val docFreq = termCounts.groupBy(col("term"))
-      .agg(count(lit(1)).as("df"))
     termCounts
       .join(docLens, Seq(idCol.toString))
       .join(docFreq, Seq("term"))
@@ -126,13 +137,7 @@ object TextAnalysis {
   def bm25(
       df: DataFrame, textCol: String, idCol: String,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val toks = df.select(col(idCol),
-      explode(TextFunctions.tokens(col(textCol))).as("term"))
-    val termCounts = toks.groupBy(col(idCol), col("term"))
-      .agg(count(lit(1)).as("tc"))
-    val docLens = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
-    val docFreq = termCounts.groupBy(col("term"))
-      .agg(count(lit(1)).as("df"))
+    val (termCounts, docLens, docFreq) = termStats(df, textCol, idCol)
     // corpus constants ride as a broadcast 1-row aggregate (lazy plan);
     // avgdl = total tokens / total docs, both exact longs
     val consts = broadcast(docLens.agg(

@@ -155,7 +155,7 @@ object TextDedup {
       df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, numHashes: Int = 16, bands: Int = 8,
       threshold: Double = 0.8,
-      hashFn: Column => Column = TextFunctions.fastHash): DataFrame = {
+      hashFn: Column => Column = TextFunctions.md5Hash60): DataFrame = {
     val losers = minhashNearDupPairs(df, textCol, idCol, n, numHashes, bands,
         threshold, hashFn)
       .select(col("id_b").as(idCol)).distinct()

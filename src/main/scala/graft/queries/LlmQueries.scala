@@ -481,7 +481,8 @@ object LlmQueries {
     (spark, dir) =>
       TextDedup.minhashDedup(
         Tables.documents(spark, dir), "text", "doc_id",
-        n = 3, numHashes = 16, bands = 8, threshold = 0.8)
+        n = 3, numHashes = 16, bands = 8, threshold = 0.8,
+        hashFn = TextFunctions.fastHash)
         .select(col("doc_id")).orderBy(col("doc_id")),
     Some("""
       WITH t AS (SELECT doc_id,
