@@ -117,6 +117,35 @@ object FeatureQueries {
       ORDER BY user_id, session_start_us
     """.trim))
 
+  /** Semi-structured extraction: schema'd from_json over the `props`
+    * JSON column (Catalyst JsonToStructs — codegen'd, pushes no work to
+    * a UDF), aggregated per event type. Nulls and parse failures yield
+    * null k, excluded by count/sum like SQL.
+    */
+  val q24JsonExtract = HarnessQuery(
+    "q24_json_extract",
+    (spark, dir) =>
+      Tables.events(spark, dir)
+        .withColumn("k",
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k LONG"))
+            .getField("k"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n_with_k"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+        .orderBy(col("event_type")),
+    Some("""
+      SELECT event_type,
+             count(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_with_k,
+             CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+             max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+      FROM events GROUP BY 1 ORDER BY 1
+    """.trim))
+
   def all: Seq[HarnessQuery] =
-    Seq(q20Velocity, q21VelocityPreAgg, q22TimeFeatures, q23Sessions)
+    Seq(q20Velocity, q21VelocityPreAgg, q22TimeFeatures, q23Sessions,
+      q24JsonExtract)
 }
