@@ -156,6 +156,62 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("tc"), col("idf"), col("bm25"))
   }
 
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val UrlRe = "https?://[^\\s]+"
+
+  /** PII scrubbing: redact emails and URLs (the regexes are plain
+    * RE2/Java-compatible, so any engine replays them), with match counts
+    * for audit. Emails are replaced before URLs so an address inside a
+    * URL query-string counts once, as a URL.
+    */
+  def redactPii(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df
+      .withColumn("n_emails",
+        size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("long"))
+      .withColumn("n_urls",
+        size(regexp_extract_all(t, lit(UrlRe), lit(0))).cast("long"))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(t, EmailRe, "<EMAIL>"),
+          UrlRe, "<URL>"))
+  }
+
+  /** Token-window chunking for training-data preparation: fixed-size
+    * token windows with overlap (`step = size - overlap`), the standard
+    * pre-tokenizer document splitter. Chunk starts are a `sequence`
+    * column exploded per document — a narrow row-generating map, no
+    * shuffle; clamped slices make the last chunk short instead of
+    * padded.
+    */
+  def chunkTokens(
+      df: DataFrame, textCol: String, idCol: String,
+      chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize > overlap && overlap >= 0,
+      "need chunkSize > overlap >= 0")
+    val step = chunkSize - overlap
+    val toks = TextFunctions.tokens(col(textCol))
+    val n = size(toks)
+    val nChunks = when(n <= chunkSize, lit(1)).otherwise(
+      ceil((n - lit(chunkSize)).cast("double") / step).cast("int") + 1)
+    df.select(col(idCol), toks.as("__toks"),
+        posexplode(sequence(lit(0), nChunks - 1)))
+      .select(col(idCol), col("pos").cast("long").as("chunk_idx"),
+        slice(col("__toks"), col("pos") * step + 1, lit(chunkSize)).as("__c"))
+      .select(col(idCol), col("chunk_idx"),
+        size(col("__c")).cast("long").as("n_chunk_tokens"),
+        array_join(col("__c"), " ").as("chunk_text"))
+  }
+
+  /** Vocabulary richness: token/type counts and type-token ratio. */
+  def vocabStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    df.select(col(idCol),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_types"),
+      round(size(array_distinct(toks)).cast("double") / size(toks), 12)
+        .as("ttr"))
+  }
+
   /** Canonical + order-sensitive document fingerprints. */
   def fingerprints(df: DataFrame, textCol: String): DataFrame =
     df

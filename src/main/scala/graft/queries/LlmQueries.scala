@@ -621,10 +621,86 @@ object LlmQueries {
       ORDER BY t.doc_id
     """.trim))
 
+  /** PII redaction audit: the corpus has no natural emails/URLs, so a
+    * deterministic synthetic tail is appended to every 10th doc before
+    * scrubbing — both engines see the same planted PII, the regex
+    * pipeline is exercised end to end, and zero-hit docs prove the
+    * no-op path.
+    */
+  val q70Redact = HarnessQuery(
+    "q70_redact",
+    (spark, dir) => {
+      val planted = Tables.documents(spark, dir)
+        .withColumn("text", concat(col("text"),
+          when(col("doc_id") % 10 === 0,
+            lit(" contact user@example.com or https://example.com/a b@c.io"))
+            .otherwise(lit(""))))
+      TextAnalysis.redactPii(planted, "text")
+        .select(col("doc_id"), col("n_emails"), col("n_urls"),
+          length(col("redacted")).cast("long").as("len_redacted"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH p AS (SELECT doc_id,
+                        text || CASE WHEN doc_id % 10 = 0
+                          THEN ' contact user@example.com or https://example.com/a b@c.io'
+                          ELSE '' END AS text
+                 FROM documents)
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+             CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+             CAST(length(regexp_replace(
+               regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+               'https?://[^\s]+', '<URL>', 'g')) AS BIGINT) AS len_redacted
+      FROM p ORDER BY doc_id
+    """.trim))
+
+  /** Token-window chunking (size 50, overlap 10): every document split
+    * into training-ready chunks; clamped last chunk, short docs yield
+    * one chunk.
+    */
+  val q71Chunk = HarnessQuery(
+    "q71_chunk",
+    (spark, dir) =>
+      TextAnalysis.chunkTokens(
+        Tables.documents(spark, dir), "text", "doc_id",
+        chunkSize = 50, overlap = 10)
+        .orderBy(col("doc_id"), col("chunk_idx")),
+    Some("""
+      WITH t AS (SELECT doc_id,
+                        regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                 FROM documents),
+      k AS (SELECT doc_id, toks, len(toks) AS n,
+                   CASE WHEN len(toks) <= 50 THEN 1
+                        ELSE CAST(ceil((len(toks) - 50) / 40.0) AS BIGINT) + 1 END AS nc
+            FROM t),
+      e AS (SELECT doc_id, toks, unnest(generate_series(0, nc - 1)) AS i FROM k)
+      SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+             CAST(len(toks[CAST(i*40 + 1 AS INT):CAST(i*40 + 50 AS INT)]) AS BIGINT) AS n_chunk_tokens,
+             array_to_string(toks[CAST(i*40 + 1 AS INT):CAST(i*40 + 50 AS INT)], ' ') AS chunk_text
+      FROM e ORDER BY doc_id, chunk_idx
+    """.trim))
+
+  /** Vocabulary richness: type-token ratio per document. */
+  val q72Vocab = HarnessQuery(
+    "q72_vocab",
+    (spark, dir) =>
+      TextAnalysis.vocabStats(Tables.documents(spark, dir), "text", "doc_id")
+        .orderBy(col("doc_id")),
+    Some("""
+      WITH t AS (SELECT doc_id,
+                        regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                 FROM documents)
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+             round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 12) AS ttr
+      FROM t ORDER BY doc_id
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q50TextStats, q51TokenCount, q52LangQuality, q53Fingerprint,
     q54Shingles, q55MinhashPairs, q56ExactDedup, q57SimhashPairs,
     q58CosineTopK, q59AnnLsh, q60CosineNearDup, q61Multimodal, q62IvfAnn,
     q63SimhashSig, q64Tfidf, q65MinhashDedup, q66FrameSample, q67Bm25,
-    q68LabelCentroid, q69Boilerplate)
+    q68LabelCentroid, q69Boilerplate, q70Redact, q71Chunk, q72Vocab)
 }

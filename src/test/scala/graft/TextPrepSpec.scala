@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.TextAnalysis
+
+/** PII redaction, token chunking, vocab stats — edge-case pins. */
+class TextPrepSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("redactPii: counts and replaces emails and urls, no-op otherwise") {
+    val df = Seq(
+      (1L, "mail me at a.b@test.org or see https://x.io/path?q=1 now"),
+      (2L, "nothing to scrub here"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.redactPii(df, "text")
+      .orderBy($"doc_id").collect()
+    assert(got(0).getAs[Long]("n_emails") === 1)
+    assert(got(0).getAs[Long]("n_urls") === 1)
+    assert(got(0).getAs[String]("redacted") ===
+      "mail me at <EMAIL> or see <URL> now")
+    assert(got(1).getAs[Long]("n_emails") === 0)
+    assert(got(1).getAs[String]("redacted") === "nothing to scrub here")
+  }
+
+  test("chunkTokens: boundaries at exactly size, size+1, and short docs") {
+    def doc(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, doc(50)),   // exactly one chunk
+      (2L, doc(51)),   // two chunks; second = tokens 41..51 (11 tokens)
+      (3L, doc(5)),    // short: one 5-token chunk
+      (4L, doc(90)))   // starts 0,40: chunks 50 + 50
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.chunkTokens(df, "text", "doc_id", 50, 10)
+      .orderBy($"doc_id", $"chunk_idx")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.count(_._1 == 1L) === 1)
+    assert(got.filter(_._1 == 2L).map(_._3).toSeq === Seq(50L, 11L))
+    assert(got.filter(_._1 == 3L).map(_._3).toSeq === Seq(5L))
+    assert(got.filter(_._1 == 4L).map(_._3).toSeq === Seq(50L, 50L))
+    // overlap: chunk 1 of doc 2 starts at token 41
+    val c1 = TextAnalysis.chunkTokens(df.filter($"doc_id" === 2L),
+      "text", "doc_id", 50, 10)
+      .filter($"chunk_idx" === 1L).head().getAs[String]("chunk_text")
+    assert(c1.startsWith("w41 "))
+    assert(c1.endsWith(" w51"))
+  }
+
+  test("vocabStats: type-token ratio with repeats") {
+    val df = Seq((1L, "a b a c a b")).toDF("doc_id", "text")
+    val r = TextAnalysis.vocabStats(df, "text", "doc_id").head()
+    assert(r.getAs[Long]("n_tokens") === 6)
+    assert(r.getAs[Long]("n_types") === 3)
+    assert(r.getAs[Double]("ttr") === 0.5)
+  }
+}
