@@ -156,13 +156,15 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("tc"), col("idf"), col("bm25"))
   }
 
-  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-  private val UrlRe = "https?://[^\\s]+"
+  private val EmailRe = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val UrlRe = "(?i)https?://[^\\s]+"
 
-  /** PII scrubbing: redact emails and URLs (the regexes are plain
-    * RE2/Java-compatible, so any engine replays them), with match counts
-    * for audit. Emails are replaced before URLs so an address inside a
-    * URL query-string counts once, as a URL.
+  /** PII scrubbing: redact emails and URLs (case-insensitive; the
+    * regexes are plain RE2/Java-compatible, so any engine replays
+    * them), with match counts for audit. The two audit counts run
+    * independent extracts over the original text, so an email embedded
+    * in a URL query-string is counted in BOTH audits; the redacted
+    * output replaces emails first, then URLs.
     */
   def redactPii(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -163,11 +163,15 @@ object EdaQueries {
     """.trim))
 
   /** Sketch accuracy audit — the 100 TB cardinality/quantile path:
-    * HyperLogLog++ distinct (5% rsd) and approx_percentile vs their
-    * exact counterparts, per group. Both sketches are deterministic for
-    * fixed data, so the pass flags are frozen; the oracle recomputes the
-    * exact counts and asserts the flags — a drifting sketch breaks the
-    * hash match.
+    * HyperLogLog++ distinct (1% rsd, audited at a 5% band = 5x the rsd,
+    * since rsd is a standard deviation, not a bound) and
+    * approx_percentile vs their exact counterparts, per group. The
+    * flags must be frozen for ANY partition layout the driver runs
+    * with: HLL register-max merges are order-invariant, and the
+    * quantile flag brackets the sketch between exact quantiles at 5x
+    * its guaranteed rank error (eps = 1/accuracy), which holds under
+    * every merge order by the GK mergeability bound — never compare an
+    * order-sensitive sketch VALUE against a frozen constant.
     */
   val q38Sketches = HarnessQuery(
     "q38_sketches",
@@ -175,18 +179,17 @@ object EdaQueries {
       val ev = Tables.events(spark, dir)
       val exact = ev.groupBy(col("event_type")).agg(
         countDistinct(col("user_id")).as("n_exact"),
-        expr("percentile(value, 0.5)").as("__p50_exact"))
+        expr("percentile(value, 0.495)").as("__p_lo"),
+        expr("percentile(value, 0.505)").as("__p_hi"))
       val approx = ev.groupBy(col("event_type")).agg(
-        // rsd is a STANDARD DEVIATION, not a bound — audit at 5x the
-        // configured rsd so the flag tests the sketch, not the tail
         approx_count_distinct(col("user_id"), 0.01).as("__n_approx"),
         expr("approx_percentile(value, 0.5, 1000)").as("__p50_approx"))
       exact.join(approx, Seq("event_type"))
         .select(col("event_type"), col("n_exact"),
           (abs(col("__n_approx") - col("n_exact")).cast("double") /
             col("n_exact") <= 0.05).as("hll_ok"),
-          (abs(col("__p50_approx") - col("__p50_exact")) <=
-            lit(0.05) * (abs(col("__p50_exact")) + lit(1.0))).as("p50_ok"))
+          (col("__p50_approx") >= col("__p_lo") &&
+            col("__p50_approx") <= col("__p_hi")).as("p50_ok"))
         .orderBy(col("event_type"))
     },
     Some("""

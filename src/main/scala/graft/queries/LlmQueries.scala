@@ -647,11 +647,11 @@ object LlmQueries {
                           ELSE '' END AS text
                  FROM documents)
       SELECT doc_id,
-             CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
-             CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+             CAST(len(regexp_extract_all(text, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+             CAST(len(regexp_extract_all(text, '(?i)https?://[^\s]+')) AS BIGINT) AS n_urls,
              CAST(length(regexp_replace(
-               regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
-               'https?://[^\s]+', '<URL>', 'g')) AS BIGINT) AS len_redacted
+               regexp_replace(text, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+               '(?i)https?://[^\s]+', '<URL>', 'g')) AS BIGINT) AS len_redacted
       FROM p ORDER BY doc_id
     """.trim))
 

@@ -21,6 +21,15 @@ class TextPrepSpec extends SparkSpec {
     assert(got(1).getAs[String]("redacted") === "nothing to scrub here")
   }
 
+  test("redactPii is case-insensitive") {
+    val df = Seq((1L, "John.Doe@Example.COM and HTTPS://X.IO/P"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.redactPii(df, "text").head()
+    assert(r.getAs[Long]("n_emails") === 1)
+    assert(r.getAs[Long]("n_urls") === 1)
+    assert(r.getAs[String]("redacted") === "<EMAIL> and <URL>")
+  }
+
   test("chunkTokens: boundaries at exactly size, size+1, and short docs") {
     def doc(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
     val df = Seq(
