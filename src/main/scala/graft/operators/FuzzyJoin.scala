@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fuzzy (edit-distance) matching — the record-linkage/data-cleaning
+  * join, with PassJoin-style pigeonhole blocking (Li et al., ICDE'11):
+  * split every string into k+1 contiguous segments; at most k edits
+  * cannot touch all k+1 segments, so for any pair within distance k the
+  * probe string contains at least one of the source's segments EXACTLY,
+  * start-shifted by at most k. Candidates therefore come from an
+  * equi-join on (segment index, source length, segment content) —
+  * shuffle O(n · k²) index entries, never an all-pairs scan — and the
+  * O(|a|·|b|) levenshtein DP runs only on candidates.
+  *
+  * (A first cut used length-band blocking + a char-histogram L1
+  * prefilter; the bands collapse on length-clustered corpora — O(n²)
+  * candidates — and 28 per-side histogram columns sent Catalyst's
+  * optimizer into minutes of planning. Segment blocking keeps both the
+  * plan and the candidate stream small.)
+  */
+object FuzzyJoin {
+
+  /** Self-join: pairs (id_a, id_b, dist) with
+    * levenshtein(strCol_a, strCol_b) <= maxDist, id_a < id_b.
+    */
+  def levenshteinSelfJoin(
+      df: DataFrame,
+      idCol: String,
+      strCol: String,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 1, "maxDist must be >= 1")
+    val k = maxDist
+    val m = k + 1 // segments per string
+    val s = col("__s")
+    val len = col("__len")
+    val base = df.select(col(idCol).as("__id"), col(strCol).as("__s"))
+      .withColumn("__len", length(s))
+
+    // deterministic split of length l into m segments: the last (l % m)
+    // segments are one longer; 1-based start of segment i and its length
+    def segStart(i: Int, l: Column): Column =
+      lit(1) + lit(i) * floor(l / m).cast("int") +
+        greatest(lit(0), lit(i) - (lit(m) - pmod(l, lit(m)).cast("int")))
+    def segLen(i: Int, l: Column): Column =
+      floor(l / m).cast("int") +
+        when(lit(i) >= lit(m) - pmod(l, lit(m)).cast("int"), 1).otherwise(0)
+
+    // index side: each string's own m segments, keyed by (i, own length)
+    val idxEntries = (0 until m).map { i =>
+      struct(lit(i).as("i"), len.as("l"),
+        substring(s, segStart(i, len), segLen(i, len)).as("sub"),
+        segLen(i, len).as("sl"))
+    }
+    val index = base.select(col("__id").as("id_a"),
+        posexplode(array(idxEntries: _*)))
+      .select(col("id_a"), col("col.i").as("__i"), col("col.l").as("__l"),
+        col("col.sub").as("__sub"))
+      .filter(length(col("__sub")) > 0)
+
+    // probe side: for every plausible source length l in [len-k, len+k]
+    // and every start shift d in [-k, k], the substring the source's
+    // segment i would occupy
+    val probeEntries = for {
+      i <- 0 until m
+      dl <- -k to k
+      d <- -k to k
+    } yield {
+      val l = len + dl
+      struct(lit(i).as("i"), l.as("l"),
+        substring(s, segStart(i, l) + d, segLen(i, l)).as("sub"),
+        (segLen(i, l) > 0 && segStart(i, l) + d >= 1 && l >= m).as("ok"))
+    }
+    val probe = base.select(col("__id").as("id_b"),
+        posexplode(array(probeEntries: _*)))
+      .filter(col("col.ok"))
+      .select(col("id_b"), col("col.i").as("__i"), col("col.l").as("__l"),
+        col("col.sub").as("__sub"))
+      .filter(length(col("__sub")) > 0)
+
+    val segCands = index.join(probe, Seq("__i", "__l", "__sub"))
+      .select(col("id_a"), col("id_b"))
+
+    // strings shorter than m have empty segments the pigeonhole can't
+    // use; they can only pair with strings of length <= 2k, so the
+    // side-channel is a bounded join among near-empty strings
+    val tinyA = base.filter(len < m).select(col("__id").as("id_a"))
+    val tinyPartners = base.filter(len <= lit(2 * k)).select(col("__id").as("id_b"))
+    val tinyCands = tinyA.crossJoin(tinyPartners)
+      .unionByName(tinyPartners.select(col("id_b").as("id_a"))
+        .crossJoin(tinyA.select(col("id_a").as("id_b"))))
+
+    val strs = base.select(col("__id"), col("__s"), col("__len"))
+    segCands.unionByName(tinyCands)
+      .filter(col("id_a") < col("id_b"))
+      .distinct()
+      .join(strs.select(col("__id").as("id_a"), col("__s").as("__sa"),
+        col("__len").as("__la")), Seq("id_a"))
+      .join(strs.select(col("__id").as("id_b"), col("__s").as("__sb"),
+        col("__len").as("__lb")), Seq("id_b"))
+      .filter(abs(col("__la") - col("__lb")) <= k)
+      .withColumn("dist", levenshtein(col("__sa"), col("__sb")).cast("long"))
+      .filter(col("dist") <= k)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+}

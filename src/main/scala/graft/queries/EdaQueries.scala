@@ -198,8 +198,30 @@ object EdaQueries {
       FROM events GROUP BY 1 ORDER BY 1
     """.trim))
 
+  /** Full CUBE over (event_type, weekday): all four grouping-set
+    * combinations in one pass (GROUP BY CUBE lowers to Expand +
+    * HashAggregate — no re-scan per grouping set).
+    */
+  val q39Cube = HarnessQuery(
+    "q39_cube",
+    (spark, dir) =>
+      Tables.events(spark, dir)
+        .withColumn("dow",
+          graft.operators.TimeFeatures.dayOfWeekMon0(col("ts")))
+        .cube(col("event_type"), col("dow"))
+        .agg(count(lit(1)).as("n"),
+          Parity.dsum(col("value")).as("sum_value"))
+        .orderBy(col("event_type").asc_nulls_first, col("dow").asc_nulls_first),
+    Some("""
+      SELECT event_type, isodow(ts) - 1 AS dow, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+      FROM events
+      GROUP BY CUBE (event_type, dow)
+      ORDER BY event_type NULLS FIRST, dow NULLS FIRST
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q30Describe, q31ValueCounts, q32GroupedMean, q33Histogram,
     q34DistinctCount, q35ClassFreq, q36Rollup, q37SkewDistinct,
-    q38Sketches)
+    q38Sketches, q39Cube)
 }

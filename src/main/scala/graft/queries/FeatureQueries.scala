@@ -145,7 +145,55 @@ object FeatureQueries {
       FROM events GROUP BY 1 ORDER BY 1
     """.trim))
 
+  /** Quantile binning (feature discretization): decile of `value`
+    * within each event type. Deterministic tie-break on event_id; null
+    * ordering pinned on both sides (Spark defaults NULLS FIRST for ASC,
+    * DuckDB NULLS LAST).
+    */
+  val q25Ntile = HarnessQuery(
+    "q25_ntile",
+    (spark, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value").asc_nulls_first, col("event_id"))
+      Tables.events(spark, dir)
+        .select(col("event_id"), col("event_type"),
+          ntile(10).over(w).cast("long").as("decile"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT event_id, event_type,
+             ntile(10) OVER (PARTITION BY event_type
+               ORDER BY value ASC NULLS FIRST, event_id) AS decile
+      FROM events ORDER BY event_id
+    """.trim))
+
+  /** Pivot (crosstab): events per (weekday, event_type) as a wide
+    * table — explicit value list so the output schema is static; empty
+    * cells filled with 0 to match SQL conditional counts.
+    */
+  val q26Pivot = HarnessQuery(
+    "q26_pivot",
+    (spark, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      Tables.events(spark, dir)
+        .withColumn("dow", TimeFeatures.dayOfWeekMon0(col("ts")))
+        .groupBy(col("dow"))
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0L, types)
+        .orderBy(col("dow"))
+    },
+    Some("""
+      SELECT isodow(ts) - 1 AS dow,
+             count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+             count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+             count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+             count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+             count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+      FROM events GROUP BY 1 ORDER BY dow
+    """.trim))
+
   def all: Seq[HarnessQuery] =
     Seq(q20Velocity, q21VelocityPreAgg, q22TimeFeatures, q23Sessions,
-      q24JsonExtract)
+      q24JsonExtract, q25Ntile, q26Pivot)
 }

@@ -697,10 +697,40 @@ object LlmQueries {
       FROM t ORDER BY doc_id
     """.trim))
 
+  /** Fuzzy (edit-distance) self-join on an 8-token document prefix:
+    * pairs within levenshtein 2, found via lossless length-band
+    * blocking (never a cross join), verified brute-force by the
+    * oracle.
+    */
+  val q73Fuzzy = HarnessQuery(
+    "q73_fuzzy",
+    (spark, dir) => {
+      val prefixed = Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          array_join(slice(TextFunctions.tokens(col("text")), 1, 8), " ")
+            .as("prefix"))
+      graft.operators.FuzzyJoin.levenshteinSelfJoin(
+        prefixed, "doc_id", "prefix", maxDist = 2)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""
+      WITH p AS (SELECT doc_id,
+                        array_to_string(
+                          (regexp_split_to_array(trim(lower(text)), '\s+'))[1:8], ' ')
+                          AS prefix
+                 FROM documents)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS dist
+      FROM p a, p b
+      WHERE a.doc_id < b.doc_id AND levenshtein(a.prefix, b.prefix) <= 2
+      ORDER BY id_a, id_b
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q50TextStats, q51TokenCount, q52LangQuality, q53Fingerprint,
     q54Shingles, q55MinhashPairs, q56ExactDedup, q57SimhashPairs,
     q58CosineTopK, q59AnnLsh, q60CosineNearDup, q61Multimodal, q62IvfAnn,
     q63SimhashSig, q64Tfidf, q65MinhashDedup, q66FrameSample, q67Bm25,
-    q68LabelCentroid, q69Boilerplate, q70Redact, q71Chunk, q72Vocab)
+    q68LabelCentroid, q69Boilerplate, q70Redact, q71Chunk, q72Vocab,
+    q73Fuzzy)
 }

@@ -54,6 +54,43 @@ class TextPrepSpec extends SparkSpec {
     assert(c1.endsWith(" w51"))
   }
 
+  test("fuzzy self-join finds pairs straddling a length-band boundary") {
+    // band=8: len 7 ("abcdefg") is band 0, len 9 ("abcdefgxy") band 1 —
+    // distance 2, found only because the probe side fans out to both
+    val df = Seq(
+      (1L, "abcdefg"),      // len 7
+      (2L, "abcdefgxy"),    // len 9, dist 2 from id 1
+      (3L, "zzzzzzz"),      // len 7, far from everything
+      (4L, "abcdefgx"))     // len 8, dist 1 from id 1, dist 1 from id 2
+      .toDF("id", "s")
+    val got = graft.operators.FuzzyJoin
+      .levenshteinSelfJoin(df, "id", "s", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 2L, 2L), (1L, 4L, 1L), (2L, 4L, 1L)))
+  }
+
+  test("fuzzy self-join: edits at segment boundaries, tiny strings, exacts") {
+    val df = Seq(
+      (1L, "abcdefghij"),   // baseline, len 10
+      (2L, "Xbcdefghij"),   // sub in segment 0
+      (3L, "abcdXfghij"),   // sub in segment 1
+      (4L, "abcdefghiX"),   // sub in segment 2
+      (5L, "bcdefghij"),    // deletion at front (shifts all segments)
+      (6L, "abcdefghijXY"), // two inserts at end
+      (7L, ""),             // empty
+      (8L, "ab"),           // tiny
+      (9L, "abcdefghij"))   // exact duplicate of 1
+      .toDF("id", "s")
+    val got = graft.operators.FuzzyJoin
+      .levenshteinSelfJoin(df, "id", "s", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every row 2-6 and 9 is within distance 2 of row 1
+    for (other <- Seq(2L, 3L, 4L, 5L, 6L, 9L))
+      assert(got.contains((1L, other)), s"missing (1,$other)")
+    assert(got.contains((7L, 8L))) // "" vs "ab" = dist 2, tiny channel
+    assert(!got.exists(p => p._1 == 7L && p._2 == 9L))
+  }
+
   test("vocabStats: type-token ratio with repeats") {
     val df = Seq((1L, "a b a c a b")).toDF("doc_id", "text")
     val r = TextAnalysis.vocabStats(df, "text", "doc_id").head()
