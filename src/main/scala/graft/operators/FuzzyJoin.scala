@@ -38,44 +38,40 @@ object FuzzyJoin {
       .withColumn("__len", length(s))
 
     // deterministic split of length l into m segments: the last (l % m)
-    // segments are one longer; 1-based start of segment i and its length
-    def segStart(i: Int, l: Column): Column =
-      lit(1) + lit(i) * floor(l / m).cast("int") +
-        greatest(lit(0), lit(i) - (lit(m) - pmod(l, lit(m)).cast("int")))
-    def segLen(i: Int, l: Column): Column =
+    // segments are one longer; 1-based start of segment i and its
+    // length — all-column arithmetic so the (i, dl, d) enumeration can
+    // ride a tiny broadcast table instead of a giant struct array
+    // (75-struct expression trees cost real codegen/planning time)
+    def segStart(i: Column, l: Column): Column =
+      lit(1) + i * floor(l / m).cast("int") +
+        greatest(lit(0), i - (lit(m) - pmod(l, lit(m)).cast("int")))
+    def segLen(i: Column, l: Column): Column =
       floor(l / m).cast("int") +
-        when(lit(i) >= lit(m) - pmod(l, lit(m)).cast("int"), 1).otherwise(0)
+        when(i >= lit(m) - pmod(l, lit(m)).cast("int"), 1).otherwise(0)
 
+    val spark = df.sparkSession
+    val segIdx = broadcast(
+      spark.createDataFrame((0 until m).map(Tuple1(_))).toDF("__i"))
     // index side: each string's own m segments, keyed by (i, own length)
-    val idxEntries = (0 until m).map { i =>
-      struct(lit(i).as("i"), len.as("l"),
-        substring(s, segStart(i, len), segLen(i, len)).as("sub"),
-        segLen(i, len).as("sl"))
-    }
-    val index = base.select(col("__id").as("id_a"),
-        posexplode(array(idxEntries: _*)))
-      .select(col("id_a"), col("col.i").as("__i"), col("col.l").as("__l"),
-        col("col.sub").as("__sub"))
+    val index = base.crossJoin(segIdx)
+      .select(col("__id").as("id_a"), col("__i"), len.as("__l"),
+        substring(s, segStart(col("__i"), len), segLen(col("__i"), len))
+          .as("__sub"))
       .filter(length(col("__sub")) > 0)
 
     // probe side: for every plausible source length l in [len-k, len+k]
     // and every start shift d in [-k, k], the substring the source's
     // segment i would occupy
-    val probeEntries = for {
-      i <- 0 until m
-      dl <- -k to k
-      d <- -k to k
-    } yield {
-      val l = len + dl
-      struct(lit(i).as("i"), l.as("l"),
-        substring(s, segStart(i, l) + d, segLen(i, l)).as("sub"),
-        (segLen(i, l) > 0 && segStart(i, l) + d >= 1 && l >= m).as("ok"))
-    }
-    val probe = base.select(col("__id").as("id_b"),
-        posexplode(array(probeEntries: _*)))
-      .filter(col("col.ok"))
-      .select(col("id_b"), col("col.i").as("__i"), col("col.l").as("__l"),
-        col("col.sub").as("__sub"))
+    val offsets = broadcast(spark.createDataFrame(
+      for { i <- 0 until m; dl <- -k to k; d <- -k to k }
+        yield (i, dl, d)).toDF("__i", "__dl", "__d"))
+    val probeL = len + col("__dl")
+    val probeStart = segStart(col("__i"), probeL) + col("__d")
+    val probe = base.crossJoin(offsets)
+      .filter(probeL >= m && probeStart >= 1 &&
+        segLen(col("__i"), probeL) > 0)
+      .select(col("__id").as("id_b"), col("__i"), probeL.as("__l"),
+        substring(s, probeStart, segLen(col("__i"), probeL)).as("__sub"))
       .filter(length(col("__sub")) > 0)
 
     val segCands = index.join(probe, Seq("__i", "__l", "__sub"))
