@@ -13,12 +13,7 @@ object Explain {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val outFile = if (args.length > 1) args(1) else "/tmp/plans.txt"
     val only = args.drop(2).toSet
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = HarnessSession.build("4")
     spark.sparkContext.setLogLevel("ERROR")
     val sb = new StringBuilder
     queries.Registry.all

@@ -24,8 +24,11 @@ import org.apache.spark.sql.functions._
   * Defined behavior for malformed rows: a null or empty embedding has
   * no dimensions to explode, so the row is EXCLUDED from sketching,
   * candidate generation, scoring, and top-k output (its cosine is
-  * undefined — there is nothing meaningful to rank). Filter such rows
-  * upstream if they must be reported.
+  * undefined — there is nothing meaningful to rank). Vectors are
+  * assumed uniform-dimension: a ragged row scores over the dimensions
+  * it shares with its partner (the per-dimension join keeps only
+  * common indices), it is not detected. Validate dimensions upstream
+  * if the source cannot guarantee them.
   */
 object Similarity {
 

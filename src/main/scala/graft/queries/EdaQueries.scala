@@ -177,10 +177,15 @@ object EdaQueries {
     "q38_sketches",
     (spark, dir) => {
       val ev = Tables.events(spark, dir)
+      // single percentile buffer for both bounds — stacking two exact
+      // percentile aggregates forces the sort-agg fallback (round-1
+      // perf lesson)
       val exact = ev.groupBy(col("event_type")).agg(
         countDistinct(col("user_id")).as("n_exact"),
-        expr("percentile(value, 0.495)").as("__p_lo"),
-        expr("percentile(value, 0.505)").as("__p_hi"))
+        expr("percentile(value, array(0.495, 0.505))").as("__p_arr"))
+        .select(col("event_type"), col("n_exact"),
+          element_at(col("__p_arr"), 1).as("__p_lo"),
+          element_at(col("__p_arr"), 2).as("__p_hi"))
       val approx = ev.groupBy(col("event_type")).agg(
         approx_count_distinct(col("user_id"), 0.01).as("__n_approx"),
         expr("approx_percentile(value, 0.5, 1000)").as("__p50_approx"))

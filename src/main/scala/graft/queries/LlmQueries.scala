@@ -473,8 +473,11 @@ object LlmQueries {
   /** MinHash near-dedup end to end: keep the lowest-id member of every
     * near-dup pair (single-link, one hop). Oracle replays the ANSWER via
     * brute-force pairwise Jaccard — banding recall is exactly 1 on this
-    * corpus (near-dup pairs are at jaccard >= 0.8 where
-    * P(miss all 8 bands) < 1e-11), so the surviving-id set is frozen.
+    * corpus because its true pairs sit at jaccard >= 0.98, where
+    * P(miss all 8 bands) = (1 - j²)^8 < 1e-11. (A pair at exactly the
+    * 0.8 threshold would miss with p ≈ 2.8e-4 — the frozen oracle
+    * depends on the corpus keeping its near-dup pairs well above the
+    * threshold, which the generator guarantees.)
     */
   val q65MinhashDedup = HarnessQuery(
     "q65_minhash_dedup",
@@ -557,9 +560,14 @@ object LlmQueries {
                         CAST(count(*) AS DOUBLE) AS nd FROM dl),
       scored AS (
         SELECT tc.doc_id, tc.term,
+               -- every derived constant forced through DOUBLE: DuckDB
+               -- folds bare (1.2 + 1.0) in DECIMAL (exactly 2.2, which
+               -- rounds to a different double than the engine's
+               -- double-add 1.2 + 1.0) — a confirmed 1-2 ulp divergence
                ln(1.0 + (nd - df + 0.5) / (df + 0.5)) *
-                 (tc.c * (1.2 + 1.0)) /
-                 (tc.c + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / (tot / nd))) AS bm25
+                 (tc.c * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))) /
+                 (tc.c + 1.2 * ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE))
+                   + 0.75 * dl.dl / (tot / nd))) AS bm25
         FROM tc JOIN dl USING (doc_id) JOIN dfreq USING (term), consts),
       ranked AS (
         SELECT doc_id, term, bm25,
@@ -583,7 +591,7 @@ object LlmQueries {
     Some("""
       SELECT label, CAST(g.i - 1 AS BIGINT) AS d,
              round(CAST(sum(CAST(CAST(embedding[g.i] AS DOUBLE) AS DECIMAL(30,18))) AS DOUBLE)
-               / count(*), 12) AS mean_x
+               / count(embedding[g.i]), 12) AS mean_x
       FROM embeddings, generate_series(1, 64) g(i)
       GROUP BY 1, 2 ORDER BY label, d
     """.trim))
