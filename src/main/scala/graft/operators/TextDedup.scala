@@ -87,6 +87,53 @@ object TextDedup {
     *                  1 - (1 - j^r)^b — tune for the target threshold.
     * @param threshold final exact-Jaccard cut applied to candidates.
     */
+  /** Shared per-side machinery for the minhash family: the exploded
+    * (id, shingle) table plus its banded signatures. Signatures via
+    * explode + multi-min aggregate (codegen'd HashAggregate, values
+    * identical to TextFunctions.minhashSignature); set size rides in
+    * the same single-pass aggregate; band keys carry it so the final
+    * Jaccard needs no re-join against a sizes table.
+    */
+  private def bandedSide(
+      df: DataFrame, textCol: String, idCol: String, outId: String,
+      n: Int, numHashes: Int, bands: Int,
+      hashFn: Column => Column): (DataFrame, DataFrame) = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val exploded = shingleTable(df, textCol, idCol, n)
+    val minAggs = count(lit(1)).as("__sz") +:
+      (0 until numHashes).map(i =>
+        min(hashFn(concat(lit(s"$i:"), col("__s")))).as(s"__h$i"))
+    val sigs = exploded.groupBy(col(idCol))
+      .agg(minAggs.head, minAggs.tail: _*)
+    val bandKeys = (0 until bands).map(bi =>
+      md5(concat_ws("_",
+        (bi * r until (bi + 1) * r).map(i => col(s"__h$i")): _*)))
+    val banded = sigs.select(col(idCol).as(outId), col("__sz"),
+        posexplode(array(bandKeys: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+    (exploded.withColumnRenamed(idCol, outId), banded)
+  }
+
+  /** Exact-Jaccard verification of banded candidate pairs:
+    * |A ∩ B| from a (pair, shingle) equi-join,
+    * |A ∪ B| = |A| + |B| - |A ∩ B|.
+    */
+  private def verifyJaccard(
+      candidates: DataFrame, exA: DataFrame, exB: DataFrame,
+      threshold: Double): DataFrame =
+    candidates
+      .join(exA, Seq("id_a"))
+      .join(exB, Seq("id_b", "__s"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("__inter"),
+        first(col("__sza")).as("__sza"), first(col("__szb")).as("__szb"))
+      .withColumn("jaccard",
+        col("__inter").cast("double") /
+          (col("__sza") + col("__szb") - col("__inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+
   def minhashNearDupPairs(
       df: DataFrame,
       textCol: String,
@@ -96,35 +143,16 @@ object TextDedup {
       bands: Int = 8,
       threshold: Double = 0.8,
       hashFn: Column => Column = TextFunctions.md5Hash60): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
     // One (id, shingle) exploded table drives everything — shingle
     // arrays never travel through a shuffle or a distinct. At 100 TB
     // this is the difference between shuffling ids+hashes and shuffling
-    // whole documents. The four downstream consumers (sizes, signatures,
-    // both sides of the intersection join) share the distinct's shuffle
-    // via ReusedExchange — they are one plan, so no persist is needed
+    // whole documents. The downstream consumers (signatures, both sides
+    // of the intersection join) share the distinct's shuffle via
+    // ReusedExchange — they are one plan, so no persist is needed
     // (explicit persist() measurably destabilizes long sessions: block
     // churn + GC pressure in the driver JVM).
-    val exploded: DataFrame = shingleTable(df, textCol, idCol, n)
-    // signature via explode + multi-min aggregate: the numHashes hash
-    // evaluations per shingle run inside codegen'd HashAggregate, not
-    // interpreted array lambdas; values identical to
-    // TextFunctions.minhashSignature. Set size rides along in the same
-    // single-pass aggregate so no separate sizes subtree/join exists.
-    val minAggs = count(lit(1)).as("__sz") +:
-      (0 until numHashes).map(i =>
-        min(hashFn(concat(lit(s"$i:"), col("__s")))).as(s"__h$i"))
-    val sigs = exploded.groupBy(col(idCol))
-      .agg(minAggs.head, minAggs.tail: _*)
-    val bandKeys = (0 until bands).map(bi =>
-      md5(concat_ws("_",
-        (bi * r until (bi + 1) * r).map(i => col(s"__h$i")): _*)))
-    // band keys carry the set size, so the final Jaccard needs no
-    // re-join against a sizes table — candidates alone decide |A|+|B|
-    val banded = sigs.select(col(idCol), col("__sz"),
-        posexplode(array(bandKeys: _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+    val (exploded, banded) =
+      bandedSide(df, textCol, idCol, idCol, n, numHashes, bands, hashFn)
     val candidates = banded.select(col(idCol).as("id_a"),
         col("__sz").as("__sza"), col("band"), col("band_key"))
       .join(banded.select(col(idCol).as("id_b"), col("__sz").as("__szb"),
@@ -133,19 +161,59 @@ object TextDedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("__sza"), col("__szb"))
       .distinct()
-    // exact Jaccard by joining candidates back to the shingle table:
-    // |A ∩ B| from a (pair, shingle) equi-join, |A ∪ B| = |A|+|B|-|A∩B|
-    candidates
-      .join(exploded.select(col(idCol).as("id_a"), col("__s")), Seq("id_a"))
-      .join(exploded.select(col(idCol).as("id_b"), col("__s")), Seq("id_b", "__s"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("__inter"),
-        first(col("__sza")).as("__sza"), first(col("__szb")).as("__szb"))
-      .withColumn("jaccard",
-        col("__inter").cast("double") /
-          (col("__sza") + col("__szb") - col("__inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    verifyJaccard(candidates,
+      exploded.select(col(idCol).as("id_a"), col("__s")),
+      exploded.select(col(idCol).as("id_b"), col("__s")),
+      threshold)
+  }
+
+  /** Incremental near-dedup: candidate pairs between an EXISTING corpus
+    * and an INCOMING batch (the production ingestion pattern — new data
+    * is checked against what's already stored, never corpus x corpus).
+    * Ids must be disjoint across the two inputs. Returns
+    * (id_a = corpus id, id_b = incoming id, jaccard >= threshold).
+    */
+  def minhashNearDupPairsAgainst(
+      corpus: DataFrame,
+      incoming: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 8,
+      threshold: Double = 0.8,
+      hashFn: Column => Column = TextFunctions.md5Hash60): DataFrame = {
+    val (exA, bandedA) =
+      bandedSide(corpus, textCol, idCol, "id_a", n, numHashes, bands, hashFn)
+    val (exB, bandedB) =
+      bandedSide(incoming, textCol, idCol, "id_b", n, numHashes, bands, hashFn)
+    val candidates = bandedA
+      .select(col("id_a"), col("__sz").as("__sza"), col("band"), col("band_key"))
+      .join(bandedB.select(col("id_b"), col("__sz").as("__szb"),
+          col("band"), col("band_key")),
+        Seq("band", "band_key"))
+      .select(col("id_a"), col("id_b"), col("__sza"), col("__szb"))
+      .distinct()
+    verifyJaccard(candidates,
+      exA.select(col("id_a"), col("__s")),
+      exB.select(col("id_b"), col("__s")),
+      threshold)
+  }
+
+  /** Transitive near-dup clusters: pairwise hits chained into
+    * connected components (A~B, B~C groups A, B, C together even when
+    * A~C never fired), every doc labeled with its component's minimum
+    * id. The clustering step real dedup needs — keep one row per
+    * cluster_id to dedup with full transitivity.
+    */
+  def dedupClusters(
+      df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, numHashes: Int = 16, bands: Int = 8,
+      threshold: Double = 0.8,
+      hashFn: Column => Column = TextFunctions.md5Hash60): DataFrame = {
+    val pairs = minhashNearDupPairs(df, textCol, idCol, n, numHashes,
+      bands, threshold, hashFn).select(col("id_a"), col("id_b"))
+    Components.connectedComponents(df.select(col(idCol)), pairs, idCol)
   }
 
   /** Near-dedup: drop all but the lowest-id member of each near-dup

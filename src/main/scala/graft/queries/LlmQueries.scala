@@ -734,11 +734,78 @@ object LlmQueries {
       ORDER BY id_a, id_b
     """.trim))
 
+  /** Transitive dedup clusters: pairwise near-dup hits chained into
+    * connected components (iterative min-label propagation), every doc
+    * labeled with its component minimum. Oracle: the same closure via a
+    * recursive CTE over the brute-force pair list.
+    */
+  val q74DedupClusters = HarnessQuery(
+    "q74_dedup_clusters",
+    (spark, dir) =>
+      TextDedup.dedupClusters(
+        Tables.documents(spark, dir), "text", "doc_id",
+        hashFn = TextFunctions.fastHash)
+        .orderBy(col("doc_id")),
+    Some("""
+      WITH RECURSIVE t AS (SELECT doc_id,
+                   list_distinct(list_transform(
+                     generate_series(1, len(regexp_split_to_array(trim(lower(text)), '\s+')) - 2),
+                     i -> array_to_string((regexp_split_to_array(trim(lower(text)), '\s+'))[i:i+2], ' ')))
+                     AS sh
+                 FROM documents),
+      pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM t a, t b
+                WHERE a.doc_id < b.doc_id
+                  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs),
+      reach(id, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id)
+      SELECT id AS doc_id, min(label) AS cluster_id
+      FROM reach GROUP BY id ORDER BY doc_id
+    """.trim))
+
+  /** Incremental dedup: an incoming batch (the first 50 docs cloned
+    * under shifted ids) checked against the EXISTING corpus — new data
+    * never joins against itself, only against what's stored. Every
+    * clone must hit its original exactly (jaccard 1).
+    */
+  val q75IncrementalDedup = HarnessQuery(
+    "q75_incremental_dedup",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val incoming = docs.filter(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      TextDedup.minhashNearDupPairsAgainst(
+        docs, incoming, "text", "doc_id",
+        hashFn = TextFunctions.fastHash)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""
+      WITH t AS (SELECT doc_id,
+                   list_distinct(list_transform(
+                     generate_series(1, len(regexp_split_to_array(trim(lower(text)), '\s+')) - 2),
+                     i -> array_to_string((regexp_split_to_array(trim(lower(text)), '\s+'))[i:i+2], ' ')))
+                     AS sh
+                 FROM documents),
+      inc AS (SELECT doc_id + 1000000 AS doc_id, sh FROM t WHERE doc_id < 50)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+               len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+      FROM t a, inc b
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+      ORDER BY id_a, id_b
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q50TextStats, q51TokenCount, q52LangQuality, q53Fingerprint,
     q54Shingles, q55MinhashPairs, q56ExactDedup, q57SimhashPairs,
     q58CosineTopK, q59AnnLsh, q60CosineNearDup, q61Multimodal, q62IvfAnn,
     q63SimhashSig, q64Tfidf, q65MinhashDedup, q66FrameSample, q67Bm25,
     q68LabelCentroid, q69Boilerplate, q70Redact, q71Chunk, q72Vocab,
-    q73Fuzzy)
+    q73Fuzzy, q74DedupClusters, q75IncrementalDedup)
 }

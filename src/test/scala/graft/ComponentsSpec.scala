@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.{Components, TextDedup}
+
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connectedComponents: chain, clique, isolated vertex") {
+    val vertices = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("id")
+    // path 1-2-3-4 (diameter 3, needs multiple rounds), clique 5-6, 7 alone
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L)).toDF("id_a", "id_b")
+    val got = Components.connectedComponents(vertices, edges, "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
+  test("connectedComponents: long path converges within maxIter") {
+    val n = 17
+    val vertices = (1 to n).map(_.toLong).toDF("id")
+    val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("id_a", "id_b")
+    val got = Components.connectedComponents(vertices, edges, "id")
+      .collect().map(_.getLong(1)).distinct
+    assert(got.toSeq === Seq(1L))
+  }
+
+  test("incremental dedup finds cross-batch pairs only") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely different text with many unique words in this row"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again"),
+      (101L, "nothing like anything stored so far by any measure at all"))
+      .toDF("doc_id", "text")
+    val pairs = TextDedup.minhashNearDupPairsAgainst(
+      corpus, incoming, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((1L, 100L)))
+  }
+
+  test("dedupClusters groups transitive near-dups under the min id") {
+    val base = "one two three four five six seven eight nine ten " * 4
+    val docs = Seq(
+      (10L, base), (11L, base + "tail"), (12L, base),
+      (20L, "entirely unrelated content goes here with distinct words " * 4))
+      .toDF("doc_id", "text")
+    val got = TextDedup.dedupClusters(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(10L) === 10L && got(11L) === 10L && got(12L) === 10L)
+    assert(got(20L) === 20L)
+  }
+}
