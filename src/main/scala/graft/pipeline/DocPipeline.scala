@@ -1,0 +1,81 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{TextAnalysis, TextDedup}
+
+/** End-to-end training-corpus preparation — the LLM-data analogue of
+  * [[Processor]]'s fraud pipeline, chaining the document operators
+  * into the canonical flow:
+  *
+  *   PII scrub -> quality filter -> language filter -> exact dedup ->
+  *   transitive near-dup clustering (keep cluster minimum) ->
+  *   token-window chunking
+  *
+  * Every stage is the already-tested operator; this object only owns
+  * the composition and the per-stage audit (row counts), which any
+  * production corpus pipeline must emit to explain its yield.
+  */
+object DocPipeline {
+
+  final case class DocPipelineConfig(
+      minQuality: Double = 0.5,
+      langs: Set[String] = Set("en"),
+      nearDupThreshold: Double = 0.8,
+      chunkSize: Int = 50,
+      overlap: Int = 10)
+
+  final case class DocPipelineResult(
+      chunks: DataFrame,
+      keptDocs: DataFrame,
+      audit: Seq[(String, Long)])
+
+  def run(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      cfg: DocPipelineConfig = DocPipelineConfig()): DocPipelineResult = {
+    val audit = Seq.newBuilder[(String, Long)]
+    audit += ("input" -> docs.count())
+
+    // each stage boundary is materialized once (localCheckpoint): the
+    // audit count AND the next stage both read the materialized result
+    // instead of re-executing every upstream stage per action — without
+    // this, six audit counts execute the scrub/quality/language lambdas
+    // six, five, four... times over the full corpus
+    val scrubbed = TextAnalysis.redactPii(docs, textCol)
+      .drop(textCol).withColumnRenamed("redacted", textCol)
+      .drop("n_emails", "n_urls")
+
+    val quality = TextAnalysis.qualityScore(scrubbed, textCol)
+      .filter(col("quality_score") >= cfg.minQuality)
+      .select(col(idCol), col(textCol))
+      .localCheckpoint(true)
+    audit += ("quality" -> quality.count())
+
+    val lang = quality
+      .filter(TextAnalysis.languageId(col(textCol)).isInCollection(cfg.langs))
+      .localCheckpoint(true)
+    audit += ("language" -> lang.count())
+
+    val exact = TextDedup.exactDedup(lang, textCol, idCol)
+      .localCheckpoint(true)
+    audit += ("exact_dedup" -> exact.count())
+
+    // transitive near-dup clusters; keep each cluster's minimum id
+    val clusters = TextDedup.dedupClusters(
+      exact, textCol, idCol, threshold = cfg.nearDupThreshold)
+    val kept = exact.join(
+      clusters.filter(col(idCol) === col("cluster_id")).select(col(idCol)),
+      Seq(idCol))
+      .localCheckpoint(true)
+    audit += ("near_dedup" -> kept.count())
+
+    val chunks = TextAnalysis.chunkTokens(
+      kept, textCol, idCol, cfg.chunkSize, cfg.overlap)
+    audit += ("chunks" -> chunks.count())
+
+    DocPipelineResult(chunks, kept, audit.result())
+  }
+}

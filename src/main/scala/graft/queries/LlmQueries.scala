@@ -801,11 +801,112 @@ object LlmQueries {
       ORDER BY id_a, id_b
     """.trim))
 
+  /** The WHOLE corpus-prep pipeline (PII scrub -> quality filter ->
+    * language filter -> exact dedup -> transitive near-dedup ->
+    * chunking) audited stage by stage and replayed end to end in one
+    * oracle SQL statement — every stage's semantics are individually
+    * oracle-proven (q70/q52/q56/q74/q71); this chains them.
+    */
+  val q76DocPipeline = HarnessQuery(
+    "q76_doc_pipeline",
+    (spark, dir) => {
+      // bounded corpus slice (covers the whole corpus at the verify
+      // scale factor), matching the harness convention for
+      // whole-pipeline queries
+      val res = graft.pipeline.DocPipeline.run(
+        Tables.documents(spark, dir).filter(col("doc_id") < 1000),
+        "text", "doc_id")
+      import spark.implicits._
+      res.audit.zipWithIndex
+        .map { case ((stage, n), i) => (i.toLong, stage, n) }
+        .toDF("ord", "stage", "n")
+        .orderBy(col("ord"))
+    },
+    Some("""
+      WITH RECURSIVE docs AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 1000),
+      scrub AS (
+        SELECT doc_id,
+               regexp_replace(regexp_replace(text,
+                 '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+                 '(?i)https?://[^\s]+', '<URL>', 'g') AS text
+        FROM docs),
+      t AS (SELECT doc_id, text,
+                   regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+                   length(text) AS n_chars
+            FROM scrub),
+      st AS (SELECT doc_id, len(toks) AS n_tokens,
+                    CAST(length(array_to_string(toks, '')) AS DOUBLE) / len(toks) AS mean_token_len,
+                    CAST(n_chars - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+                      / nullif(n_chars, 0) AS punct_ratio,
+                    CAST(n_chars - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                      / nullif(n_chars, 0) AS digit_ratio
+             FROM t),
+      q AS (SELECT doc_id, greatest(0.0, 1.0
+              - CASE WHEN n_tokens < 5 THEN 0.5 ELSE 0.0 END
+              - CASE WHEN punct_ratio > 0.3 THEN 0.3 ELSE 0.0 END
+              - CASE WHEN digit_ratio > 0.3 THEN 0.2 ELSE 0.0 END
+              - CASE WHEN mean_token_len < 2.0 THEN 0.2 ELSE 0.0 END) AS quality_score
+            FROM st),
+      qual AS (SELECT t.doc_id, t.toks FROM t
+               JOIN q ON t.doc_id = q.doc_id WHERE q.quality_score >= 0.5),
+      tokx AS (SELECT doc_id, unnest(toks) AS tk FROM qual),
+      hits AS (SELECT doc_id,
+                 sum(CASE WHEN tk IN ('der','die','das','und','ist','nicht','ein','mit','den','zu') THEN 1 ELSE 0 END) AS de,
+                 sum(CASE WHEN tk IN ('the','and','of','to','a','in','is','it','that','for') THEN 1 ELSE 0 END) AS en,
+                 sum(CASE WHEN tk IN ('el','la','los','y','es','un','una','en','por','que') THEN 1 ELSE 0 END) AS es,
+                 sum(CASE WHEN tk IN ('le','la','les','et','est','un','une','dans','pour','que') THEN 1 ELSE 0 END) AS fr
+               FROM tokx GROUP BY doc_id),
+      lang AS (SELECT qual.doc_id, qual.toks FROM qual
+               LEFT JOIN hits h ON qual.doc_id = h.doc_id
+               WHERE NOT (h.doc_id IS NULL OR greatest(h.de, h.en, h.es, h.fr) = 0)
+                 AND NOT (h.de >= h.en AND h.de >= h.es AND h.de >= h.fr)
+                 AND (h.en >= h.es AND h.en >= h.fr)),
+      exact AS (SELECT min(doc_id) AS doc_id FROM lang
+                GROUP BY md5(array_to_string(toks, ' '))),
+      exdocs AS (SELECT l.doc_id, l.toks FROM lang l
+                 JOIN exact e ON l.doc_id = e.doc_id),
+      sh AS (SELECT doc_id,
+                    list_distinct(list_transform(
+                      generate_series(1, len(toks) - 2),
+                      i -> array_to_string(toks[i:i+2], ' '))) AS sh
+             FROM exdocs),
+      pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM sh a, sh b
+                WHERE a.doc_id < b.doc_id
+                  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs),
+      reach(id, label) AS (
+        SELECT doc_id, doc_id FROM exdocs
+        UNION
+        SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+      kept AS (SELECT id AS doc_id FROM
+                 (SELECT id, min(label) AS lab FROM reach GROUP BY id)
+               WHERE id = lab),
+      kdocs AS (SELECT e.doc_id, e.toks FROM exdocs e
+                JOIN kept k ON e.doc_id = k.doc_id),
+      chunks AS (SELECT CAST(sum(CASE WHEN len(toks) <= 50 THEN 1
+                   ELSE CAST(ceil((len(toks) - 50) / 40.0) AS BIGINT) + 1 END)
+                   AS BIGINT) AS n
+                 FROM kdocs)
+      SELECT * FROM (
+        SELECT CAST(0 AS BIGINT) AS ord, 'input' AS stage,
+               (SELECT count(*) FROM docs) AS n
+        UNION ALL SELECT 1, 'quality', (SELECT count(*) FROM qual)
+        UNION ALL SELECT 2, 'language', (SELECT count(*) FROM lang)
+        UNION ALL SELECT 3, 'exact_dedup', (SELECT count(*) FROM exdocs)
+        UNION ALL SELECT 4, 'near_dedup', (SELECT count(*) FROM kept)
+        UNION ALL SELECT 5, 'chunks', (SELECT coalesce(n, 0) FROM chunks)
+      ) ORDER BY ord
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q50TextStats, q51TokenCount, q52LangQuality, q53Fingerprint,
     q54Shingles, q55MinhashPairs, q56ExactDedup, q57SimhashPairs,
     q58CosineTopK, q59AnnLsh, q60CosineNearDup, q61Multimodal, q62IvfAnn,
     q63SimhashSig, q64Tfidf, q65MinhashDedup, q66FrameSample, q67Bm25,
     q68LabelCentroid, q69Boilerplate, q70Redact, q71Chunk, q72Vocab,
-    q73Fuzzy, q74DedupClusters, q75IncrementalDedup)
+    q73Fuzzy, q74DedupClusters, q75IncrementalDedup, q76DocPipeline)
 }
