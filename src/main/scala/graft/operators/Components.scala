@@ -61,6 +61,11 @@ object Components {
       converged = changed == 0
       i += 1
     }
+    // partially-propagated labels are silently WRONG (one component
+    // reported as several) — refuse to return them
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxIter rounds — " +
+        "a component's diameter exceeds maxIter; raise maxIter")
     labels.select(col("__id").as(idCol), col("__label").as("cluster_id"))
   }
 }

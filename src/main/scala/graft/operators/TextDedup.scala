@@ -115,6 +115,22 @@ object TextDedup {
     (exploded.withColumnRenamed(idCol, outId), banded)
   }
 
+  /** Banded candidate pairs between two banded sides (id_a side, id_b
+    * side): equi-join on (band, band key), carrying both set sizes;
+    * `ordered = true` keeps only id_a < id_b (self-join dedup).
+    */
+  private def bandCandidates(
+      bandedA: DataFrame, bandedB: DataFrame, ordered: Boolean): DataFrame = {
+    val joined = bandedA
+      .select(col("id_a"), col("__sz").as("__sza"), col("band"), col("band_key"))
+      .join(bandedB.select(col("id_b"), col("__sz").as("__szb"),
+          col("band"), col("band_key")),
+        Seq("band", "band_key"))
+    (if (ordered) joined.filter(col("id_a") < col("id_b")) else joined)
+      .select(col("id_a"), col("id_b"), col("__sza"), col("__szb"))
+      .distinct()
+  }
+
   /** Exact-Jaccard verification of banded candidate pairs:
     * |A ∩ B| from a (pair, shingle) equi-join,
     * |A ∪ B| = |A| + |B| - |A ∩ B|.
@@ -153,14 +169,10 @@ object TextDedup {
     // churn + GC pressure in the driver JVM).
     val (exploded, banded) =
       bandedSide(df, textCol, idCol, idCol, n, numHashes, bands, hashFn)
-    val candidates = banded.select(col(idCol).as("id_a"),
-        col("__sz").as("__sza"), col("band"), col("band_key"))
-      .join(banded.select(col(idCol).as("id_b"), col("__sz").as("__szb"),
-          col("band"), col("band_key")),
-        Seq("band", "band_key"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("__sza"), col("__szb"))
-      .distinct()
+    val candidates = bandCandidates(
+      banded.withColumnRenamed(idCol, "id_a"),
+      banded.withColumnRenamed(idCol, "id_b"),
+      ordered = true)
     verifyJaccard(candidates,
       exploded.select(col(idCol).as("id_a"), col("__s")),
       exploded.select(col(idCol).as("id_b"), col("__s")),
@@ -187,13 +199,7 @@ object TextDedup {
       bandedSide(corpus, textCol, idCol, "id_a", n, numHashes, bands, hashFn)
     val (exB, bandedB) =
       bandedSide(incoming, textCol, idCol, "id_b", n, numHashes, bands, hashFn)
-    val candidates = bandedA
-      .select(col("id_a"), col("__sz").as("__sza"), col("band"), col("band_key"))
-      .join(bandedB.select(col("id_b"), col("__sz").as("__szb"),
-          col("band"), col("band_key")),
-        Seq("band", "band_key"))
-      .select(col("id_a"), col("id_b"), col("__sza"), col("__szb"))
-      .distinct()
+    val candidates = bandCandidates(bandedA, bandedB, ordered = false)
     verifyJaccard(candidates,
       exA.select(col("id_a"), col("__s")),
       exB.select(col("id_b"), col("__s")),

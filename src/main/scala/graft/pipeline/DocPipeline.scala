@@ -24,7 +24,13 @@ object DocPipeline {
       langs: Set[String] = Set("en"),
       nearDupThreshold: Double = 0.8,
       chunkSize: Int = 50,
-      overlap: Int = 10)
+      overlap: Int = 10,
+      numHashes: Int = 16,
+      bands: Int = 8,
+      // xxhash64: the production fast path (single codegen'd pass);
+      // md5Hash60 only exists for engine-independent reproducibility
+      hashFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        graft.functions.TextFunctions.fastHash)
 
   final case class DocPipelineResult(
       chunks: DataFrame,
@@ -65,7 +71,8 @@ object DocPipeline {
 
     // transitive near-dup clusters; keep each cluster's minimum id
     val clusters = TextDedup.dedupClusters(
-      exact, textCol, idCol, threshold = cfg.nearDupThreshold)
+      exact, textCol, idCol, numHashes = cfg.numHashes, bands = cfg.bands,
+      threshold = cfg.nearDupThreshold, hashFn = cfg.hashFn)
     val kept = exact.join(
       clusters.filter(col(idCol) === col("cluster_id")).select(col(idCol)),
       Seq(idCol))
@@ -74,6 +81,7 @@ object DocPipeline {
 
     val chunks = TextAnalysis.chunkTokens(
       kept, textCol, idCol, cfg.chunkSize, cfg.overlap)
+      .localCheckpoint(true)
     audit += ("chunks" -> chunks.count())
 
     DocPipelineResult(chunks, kept, audit.result())

@@ -23,13 +23,21 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
+  /** @param tasksPerPartition parallelism within one partition VALUE —
+    *        repartitioning on the partition column alone would funnel a
+    *        skewed value (80% of rows = one event_type) through a
+    *        single task; a sort-key-derived salt splits it across this
+    *        many tasks while keeping each file internally sorted.
+    */
   def writePartitioned(
       df: DataFrame,
       path: String,
       partCol: String,
       sortCol: String,
-      targetFileRows: Long = 5000000L): Unit =
-    df.repartition(col(partCol))
+      targetFileRows: Long = 5000000L,
+      tasksPerPartition: Int = 8): Unit =
+    df.repartition(col(partCol),
+        pmod(hash(col(sortCol)), lit(tasksPerPartition)))
       .sortWithinPartitions(col(partCol), col(sortCol))
       .write
       .mode(SaveMode.Overwrite)
