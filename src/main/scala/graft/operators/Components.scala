@@ -3,19 +3,30 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.Materialize
+
 /** Connected components over an edge list — the clustering step real
   * dedup pipelines need (pairwise near-dup hits chain: A~B, B~C puts A
   * and C in one duplicate group even when A~C was never emitted).
   *
-  * Algorithm: iterative min-label propagation. Every vertex starts
-  * labeled with its own id; each round every vertex takes the minimum
-  * of its label and its neighbors' labels; convergence in O(component
-  * diameter) rounds. Near-dup components are shallow (cliques and
-  * short chains), so 3-5 rounds typically suffice; `maxIter` bounds
-  * the worst case. Each round is one shuffle (edge join + min
-  * aggregate); lineage is cut per round with localCheckpoint so plans
-  * don't grow unboundedly — the standard Spark iterative-DataFrame
-  * pattern.
+  * Algorithm: iterative min-label propagation over the EDGE-INCIDENT
+  * vertices only. In a deduped corpus the overwhelming majority of
+  * vertices touch no edge at all; they can never change label, so
+  * iterating over them is pure waste — each is its own singleton
+  * component (`cluster_id = id`), attached with one anti-join at the
+  * end. The propagation loop therefore runs on a table bounded by
+  * 2·|edges| distinct ids, not |vertices|: at 100 TB that is the
+  * difference between joining a few hundred million near-dup ids per
+  * round and joining the whole corpus per round.
+  *
+  * Each round is one shuffle (edge join + min aggregate); convergence
+  * in O(component diameter) rounds — near-dup components are shallow
+  * (cliques and short chains), so 3-5 rounds typically suffice;
+  * `maxIter` bounds the worst case. Lineage is cut per round with
+  * [[graft.Materialize.cut]] (localCheckpoint by default; reliable
+  * `checkpoint()` under `spark.graft.reliableCheckpoint=true`) so
+  * plans don't grow unboundedly and a cluster job can survive executor
+  * loss — the standard Spark iterative-DataFrame pattern.
   */
 object Components {
 
@@ -33,11 +44,18 @@ object Components {
     // round, and its lineage may be an expensive pipeline (minhash
     // candidate generation); without the checkpoint each iteration and
     // each convergence check re-executes that whole upstream plan
-    val sym = edges.select(col("id_a").as("__src"), col("id_b").as("__dst"))
-      .unionByName(edges.select(col("id_b").as("__src"), col("id_a").as("__dst")))
-      .localCheckpoint(true)
-    var labels = vertices.select(col(idCol).as("__id"), col(idCol).as("__label"))
-      .localCheckpoint(true)
+    val sym = Materialize.cut(
+      edges.select(col("id_a").as("__src"), col("id_b").as("__dst"))
+        .unionByName(edges.select(col("id_b").as("__src"), col("id_a").as("__dst"))))
+    // only vertices incident to >=1 edge can ever change label; the
+    // semi-join against the vertex set keeps the old contract that
+    // edges mentioning unknown ids neither label them nor route
+    // propagation through them
+    val active = Materialize.cut(
+      vertices.select(col(idCol).as("__id"))
+        .join(sym.select(col("__src").as("__id")).distinct(),
+          Seq("__id"), "left_semi"))
+    var labels = active.select(col("__id"), col("__id").as("__label"))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -48,14 +66,13 @@ object Components {
       // one pass computes the new label AND whether it moved — the
       // convergence check costs a filter on the checkpointed result,
       // not a second join against the previous labels
-      val next = labels
+      val next = Materialize.cut(labels
         .join(nbrMin.select(col("__src").as("__id"), col("__nbr")), Seq("__id"), "left")
         .select(col("__id"),
           least(col("__label"), coalesce(col("__nbr"), col("__label")))
             .as("__label"),
           (col("__nbr").isNotNull && col("__nbr") < col("__label"))
-            .as("__moved"))
-        .localCheckpoint(true)
+            .as("__moved")))
       val changed = next.filter(col("__moved")).count()
       labels = next.select(col("__id"), col("__label"))
       converged = changed == 0
@@ -66,6 +83,11 @@ object Components {
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge within $maxIter rounds — " +
         "a component's diameter exceeds maxIter; raise maxIter")
+    // isolated vertices: singleton components, never iterated over
+    val isolated = vertices.select(col(idCol).as("__id"))
+      .join(active, Seq("__id"), "left_anti")
+      .select(col("__id").as(idCol), col("__id").as("cluster_id"))
     labels.select(col("__id").as(idCol), col("__label").as("cluster_id"))
+      .unionByName(isolated)
   }
 }

@@ -3,6 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.Materialize
 import graft.operators.{TextAnalysis, TextDedup}
 
 /** End-to-end training-corpus preparation — the LLM-data analogue of
@@ -45,43 +46,42 @@ object DocPipeline {
     val audit = Seq.newBuilder[(String, Long)]
     audit += ("input" -> docs.count())
 
-    // each stage boundary is materialized once (localCheckpoint): the
-    // audit count AND the next stage both read the materialized result
-    // instead of re-executing every upstream stage per action — without
-    // this, six audit counts execute the scrub/quality/language lambdas
-    // six, five, four... times over the full corpus
+    // each stage boundary is materialized once (Materialize.cut —
+    // localCheckpoint by default, reliable checkpoint() under
+    // spark.graft.reliableCheckpoint=true for cluster jobs that must
+    // survive executor loss): the audit count AND the next stage both
+    // read the materialized result instead of re-executing every
+    // upstream stage per action — without this, six audit counts
+    // execute the scrub/quality/language lambdas six, five, four...
+    // times over the full corpus
     val scrubbed = TextAnalysis.redactPii(docs, textCol)
       .drop(textCol).withColumnRenamed("redacted", textCol)
       .drop("n_emails", "n_urls")
 
-    val quality = TextAnalysis.qualityScore(scrubbed, textCol)
-      .filter(col("quality_score") >= cfg.minQuality)
-      .select(col(idCol), col(textCol))
-      .localCheckpoint(true)
+    val quality = Materialize.cut(
+      TextAnalysis.qualityScore(scrubbed, textCol)
+        .filter(col("quality_score") >= cfg.minQuality)
+        .select(col(idCol), col(textCol)))
     audit += ("quality" -> quality.count())
 
-    val lang = quality
-      .filter(TextAnalysis.languageId(col(textCol)).isInCollection(cfg.langs))
-      .localCheckpoint(true)
+    val lang = Materialize.cut(quality
+      .filter(TextAnalysis.languageId(col(textCol)).isInCollection(cfg.langs)))
     audit += ("language" -> lang.count())
 
-    val exact = TextDedup.exactDedup(lang, textCol, idCol)
-      .localCheckpoint(true)
+    val exact = Materialize.cut(TextDedup.exactDedup(lang, textCol, idCol))
     audit += ("exact_dedup" -> exact.count())
 
     // transitive near-dup clusters; keep each cluster's minimum id
     val clusters = TextDedup.dedupClusters(
       exact, textCol, idCol, numHashes = cfg.numHashes, bands = cfg.bands,
       threshold = cfg.nearDupThreshold, hashFn = cfg.hashFn)
-    val kept = exact.join(
+    val kept = Materialize.cut(exact.join(
       clusters.filter(col(idCol) === col("cluster_id")).select(col(idCol)),
-      Seq(idCol))
-      .localCheckpoint(true)
+      Seq(idCol)))
     audit += ("near_dedup" -> kept.count())
 
-    val chunks = TextAnalysis.chunkTokens(
-      kept, textCol, idCol, cfg.chunkSize, cfg.overlap)
-      .localCheckpoint(true)
+    val chunks = Materialize.cut(TextAnalysis.chunkTokens(
+      kept, textCol, idCol, cfg.chunkSize, cfg.overlap))
     audit += ("chunks" -> chunks.count())
 
     DocPipelineResult(chunks, kept, audit.result())

@@ -24,6 +24,43 @@ class ComponentsSpec extends SparkSpec {
     assert(got.toSeq === Seq(1L))
   }
 
+  test("connectedComponents: all-isolated vertices (no edges) label themselves") {
+    val vertices = Seq(3L, 9L, 27L).toDF("id")
+    val edges = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val got = Components.connectedComponents(vertices, edges, "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(3L -> 3L, 9L -> 9L, 27L -> 27L))
+  }
+
+  test("Materialize.cut reliable mode requires a checkpoint dir") {
+    assume(spark.sparkContext.getCheckpointDir.isEmpty)
+    spark.conf.set(Materialize.ReliableKey, "true")
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        Materialize.cut(Seq(1L).toDF("id"))
+      }
+      assert(ex.getMessage.contains("setCheckpointDir"))
+    } finally spark.conf.unset(Materialize.ReliableKey)
+  }
+
+  test("reliable checkpoint path: CC correct and checkpoint files written") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    spark.conf.set(Materialize.ReliableKey, "true")
+    try {
+      val vertices = Seq(1L, 2L, 3L, 4L).toDF("id")
+      val edges = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+      val got = Components.connectedComponents(vertices, edges, "id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
+      // the reliable path must actually have gone through checkpoint()
+      // files, not executor blocks
+      val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(files > 0, "no checkpoint files written under the reliable path")
+    } finally spark.conf.unset(Materialize.ReliableKey)
+  }
+
   test("incremental dedup finds cross-batch pairs only") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
