@@ -12,8 +12,10 @@ import org.apache.spark.sql.functions._
   * SURVEY.md preamble; here strategy is an explicit argument).
   *
   * Undersampling: exact without-replacement downsample of every class to
-  * the minority size — per-class `row_number` over `rand(seed)`, keep
-  * `rn <= n_min`. One shuffle on the label column.
+  * the minority size — per-class `row_number` over a seeded content hash
+  * of the tie-break columns (recompute-stable; see [[Split]] on why
+  * `rand(seed)` order is a cluster hazard), keep `rn <= n_min`. One
+  * shuffle on the label column.
   *
   * SMOTE ([[Smote]]): minority kNN in feature space via LSH bucketing,
   * then seeded linear interpolation toward a sampled neighbor. No
@@ -29,7 +31,11 @@ object Balance {
       labelCol: String,
       seed: Long,
       tieBreak: Seq[Column] = Nil): DataFrame = {
-    val wRank = Window.partitionBy(col(labelCol)).orderBy(rand(seed) +: tieBreak: _*)
+    val order: Seq[Column] = tieBreak match {
+      case Nil => Seq(rand(seed))
+      case tb  => xxhash64(tb :+ lit(seed): _*) +: tb
+    }
+    val wRank = Window.partitionBy(col(labelCol)).orderBy(order: _*)
     val counts = df.groupBy(col(labelCol)).agg(count(lit(1)).as("__cnt"))
     val minCount = counts.agg(min(col("__cnt"))).first().getLong(0)
     df.withColumn("__rn", row_number().over(wRank))

@@ -29,6 +29,15 @@ import org.apache.spark.sql.functions._
   * Rows with no LSH bucket collision fall back to self-duplication
   * (u·0 interpolation) so the output size is always exact.
   *
+  * Row identity: pass `idCol` (a unique key) whenever one exists — the
+  * plan then carries the caller's stable id and holds NO persisted
+  * state, so the operator composes into long-lived sessions without
+  * leaking cache blocks, and recomputed lineage (executor loss) cannot
+  * re-identify rows differently. Without an id column the operator
+  * falls back to `monotonically_increasing_id` + an internal cache (ids
+  * from `mid` are only stable while the blocks stay pinned); the cache
+  * lives as long as the returned plan — prefer the id path.
+  *
   * Features ride in an `array<double>` column; non-feature columns of a
   * synthetic row are inherited from its seed row; parity with imblearn is
   * via invariants (balanced counts, synthetics on minority segments), not
@@ -43,7 +52,8 @@ object Smote {
       k: Int = 5,
       seed: Long = 42L,
       numHashTables: Int = 3,
-      bucketLength: Double = 2.0): DataFrame = {
+      bucketLength: Double = 2.0,
+      idCol: Option[String] = None): DataFrame = {
     val counts = df.groupBy(col(labelCol)).agg(count(lit(1)).as("cnt"))
       .collect().map(r => r.get(0) -> r.getLong(1))
     require(counts.length >= 2, "SMOTE needs at least two classes")
@@ -54,7 +64,7 @@ object Smote {
       case (acc, ((classLabel, nClass), i)) =>
         acc.unionByName(syntheticRows(
           df, labelCol, featuresCol, classLabel, nClass, nMaj - nClass,
-          k, seed + 101 * i, numHashTables, bucketLength))
+          k, seed + 101 * i, numHashTables, bucketLength, idCol))
     }
   }
 
@@ -71,11 +81,18 @@ object Smote {
       k: Int,
       seed: Long,
       numHashTables: Int,
-      bucketLength: Double): DataFrame = {
-    val minority = df.filter(col(labelCol) === lit(classLabel))
-      .withColumn("__id", monotonically_increasing_id())
-      .withColumn("__vec", array_to_vector(col(featuresCol)))
-      .cache()
+      bucketLength: Double,
+      idCol: Option[String]): DataFrame = {
+    val filtered = df.filter(col(labelCol) === lit(classLabel))
+    val minority = idCol match {
+      case Some(c) => filtered
+        .withColumn("__id", col(c))
+        .withColumn("__vec", array_to_vector(col(featuresCol)))
+      case None => filtered
+        .withColumn("__id", monotonically_increasing_id())
+        .withColumn("__vec", array_to_vector(col(featuresCol)))
+        .cache() // mid is only consistent across plan branches while pinned
+    }
 
     val lsh = new BucketedRandomProjectionLSH()
       .setInputCol("__vec").setOutputCol("__hashes")
@@ -102,8 +119,10 @@ object Smote {
     // fan out each minority row to its exact synthetic copy count: base
     // copies for all, one extra for the first (nNeeded % nMin) rows in a
     // seeded pseudo-random global order. The global rank is two-level —
-    // rank within hash salt buckets plus collected per-bucket offsets —
-    // so no single partition ever holds the whole minority class.
+    // rank within hash salt buckets plus per-bucket offsets — so no
+    // single partition ever holds the whole minority class. Offsets are
+    // a window over the 64-row per-salt count aggregate, broadcast back
+    // in-plan: no driver collect, one job instead of two.
     val base = nNeeded / nMin
     val extra = nNeeded % nMin
     val salts = 64
@@ -111,18 +130,16 @@ object Smote {
       .join(neighbors, Seq("__id"), "left")
       .withColumn("__salt", pmod(xxhash64(col("__id"), lit(seed)), lit(salts.toLong)))
     val wRank = Window.partitionBy(col("__salt"))
-      .orderBy(rand(seed + 1), col("__id"))
-    val bucketCounts = salted.groupBy(col("__salt"))
+      .orderBy(xxhash64(col("__id"), lit(seed + 1)), col("__id"))
+    val wOff = Window.orderBy(col("__salt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = salted.groupBy(col("__salt"))
       .agg(count(lit(1)).as("__bn"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val offsets = bucketCounts.toSeq.sortBy(_._1)
-      .scanLeft((0L, 0L)) { case ((_, acc), (s, n)) => (s, acc + n) }
-      .sliding(2).collect { case Seq((_, off), (s, _)) => s -> off }.toMap
-    val offsetCol = bucketCounts.keys.toSeq.sorted.foldLeft(lit(0L)) {
-      (acc, s) => when(col("__salt") === s, lit(offsets.getOrElse(s, 0L))).otherwise(acc)
-    }
+      .select(col("__salt"),
+        coalesce(sum(col("__bn")).over(wOff), lit(0L)).as("__off"))
     val fanned = salted
-      .withColumn("__rn", row_number().over(wRank) + offsetCol)
+      .join(broadcast(offsets), Seq("__salt"))
+      .withColumn("__rn", row_number().over(wRank) + col("__off"))
       .withColumn("__copies",
         lit(base) + when(col("__rn") <= extra, 1L).otherwise(0L))
       .filter(col("__copies") > 0)

@@ -8,10 +8,17 @@ import org.apache.spark.sql.functions._
   * sklearn `train_test_split(test_size, random_state, stratify=y)`).
   *
   * Exact per-class fractions, deterministic under seed: rank rows within
-  * each class by `rand(seed)` (with a caller-supplied tie-break for full
-  * determinism), send the first `ceil(n * testFrac)` to test — sklearn
-  * also sizes the test split with ceil. Row-identical parity with
-  * sklearn is impossible (different PRNG streams); parity is
+  * each class by a seeded content hash of the caller-supplied tie-break
+  * columns (`xxhash64(tieBreak..., seed)`), send the first
+  * `ceil(n * testFrac)` to test — sklearn also sizes the test split with
+  * ceil. The hash order is a pure function of row CONTENT, never of
+  * partitioning: a recomputed lineage (executor loss, unpersisted
+  * upstream, AQE re-plan) reproduces the identical membership, where a
+  * `rand(seed)` order silently depends on partition layout and row
+  * arrival order — on a real cluster that is a train/test-overlap bug
+  * waiting for the first retried stage. `rand(seed)` is only used when
+  * no tie-break columns are given (no content to hash). Row-identical
+  * parity with sklearn is impossible (different PRNG streams); parity is
   * distributional: disjoint, exhaustive, per-class sizes exact.
   *
   * Scale: one shuffle on the class column; the per-class window is the
@@ -29,7 +36,10 @@ object Split {
       testFrac: Double,
       seed: Long,
       tieBreak: Seq[Column] = Nil): SplitResult = {
-    val order = rand(seed) +: tieBreak
+    val order: Seq[Column] = tieBreak match {
+      case Nil => Seq(rand(seed))
+      case tb  => xxhash64(tb :+ lit(seed): _*) +: tb
+    }
     val wRank = Window.partitionBy(col(labelCol)).orderBy(order: _*)
     val wAll = Window.partitionBy(col(labelCol))
     val tagged = df

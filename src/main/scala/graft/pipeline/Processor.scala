@@ -80,9 +80,15 @@ object Processor {
     val split = Split.stratified(
       stringified, "label", cfg.testSize, cfg.randomState, Seq(col(idCol)))
     val fcfg = FeatureConfig(numericCols, categoricalCols)
+    // cache the train side across the estimator fits (StringIndexer /
+    // StandardScaler each scan it), then RELEASE the blocks: the split
+    // membership is a content hash, so the lazy downstream transforms
+    // recompute it identically — no leaked cache in a long session
+    val cachedTrain = split.train.cache()
     val (model, trainF, testF) =
-      FeaturePipeline.fitTransform(split.train.cache(), split.test, fcfg)
+      FeaturePipeline.fitTransform(cachedTrain, split.test, fcfg)
     val names = FeaturePipeline.featureNames(model, fcfg)
+    cachedTrain.unpersist(false)
 
     val slim = (d: DataFrame) => d.select(
       col(idCol), col("label").cast("long").as("label"),
@@ -90,7 +96,7 @@ object Processor {
     val train = cfg.imbalanceStrategy match {
       case "smote" =>
         Smote.smote(slim(trainF), "label", "features", k = 5,
-          seed = cfg.randomState)
+          seed = cfg.randomState, idCol = Some(idCol))
       case "undersample" =>
         Balance.undersample(slim(trainF), "label", cfg.randomState,
           Seq(col(idCol)))
@@ -149,14 +155,18 @@ object Processor {
     */
   def edaReport(df: DataFrame, numericCols: Seq[String],
       categoricalCols: Seq[String], targetCol: String): Map[String, DataFrame] = {
-    val cached = df.cache()
+    // no internal cache: each report frame re-scans the input, which at
+    // corpus scale is the right default (pinning a 100 TB input for a
+    // handful of small aggregates is the wrong trade, and a returned
+    // Map gives no hook to ever unpersist). A caller holding a small,
+    // expensive-to-recompute input can cache it around this call.
     val base = Map(
-      "describe" -> Eda.describe(cached, numericCols),
-      "class_distribution" -> Eda.valueCounts(cached, targetCol))
+      "describe" -> Eda.describe(df, numericCols),
+      "class_distribution" -> Eda.valueCounts(df, targetCol))
     val rates = categoricalCols.map(c =>
-      s"rate_by_$c" -> Eda.groupedMean(cached, c, targetCol)).toMap
+      s"rate_by_$c" -> Eda.groupedMean(df, c, targetCol)).toMap
     val hists = numericCols.map(c =>
-      s"hist_$c" -> Eda.histogram(cached, c, targetCol, bins = 50)).toMap
+      s"hist_$c" -> Eda.histogram(df, c, targetCol, bins = 50)).toMap
     base ++ rates ++ hists
   }
 }

@@ -60,7 +60,8 @@ object MlQueries {
         .withColumn("feat", col("embedding").cast("array<double>"))
         .select(col("vec_id"), col("y"), col("feat"))
       Balance.classCounts(
-        Smote.smote(df, "y", "feat", k = 5, seed = 42L), "y")
+        Smote.smote(df, "y", "feat", k = 5, seed = 42L,
+          idCol = Some("vec_id")), "y")
         .withColumnRenamed("y", "label")
     },
     Some("""

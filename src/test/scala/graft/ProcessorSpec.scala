@@ -114,6 +114,16 @@ class ProcessorSpec extends SparkSpec {
     assert(out.creditcard.train.count() > under)
   }
 
+  test("runPipeline leaves no net persisted blocks once outputs materialize") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val out = Processor.runPipeline(spark, cfg.copy(imbalanceStrategy = "smote"))
+    out.fraud.train.count(); out.fraud.test.count()
+    out.creditcard.train.count(); out.creditcard.test.count()
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty,
+      s"runPipeline leaked persisted RDDs: ${after -- before}")
+  }
+
   test("yaml config round-trip") {
     val y = writeTmp("pipeline_config.yaml",
       s"""data_paths:
