@@ -327,6 +327,60 @@ object Similarity {
     rankTopK(scorePairs(pairs, corpus, queries, idCol, vecCol), k)
   }
 
+  /** IVF search against an EXPLICIT centroid table (`cell`, `cvec`) —
+    * the quantizer is separated from the search so the routing can be
+    * driven either by [[ivfCosineTopK]]'s KMeans fit (adaptive, not
+    * replayable outside Spark) or by caller-chosen deterministic seeds
+    * (replayable end to end in plain SQL, which is how the harness
+    * oracles it). Assignment and probing both use the decimal-exact
+    * cosine, so cell membership is bit-reproducible across engines and
+    * partitionings; ties break toward the smaller cell id.
+    *
+    * Plan shape: centroid dim + norm tables broadcast (nlist × dim is
+    * tiny by construction), corpus explodes once into (id, dim, value)
+    * triples through one HashAggregate per side — the corpus shuffles
+    * ids and scalars only, never whole vectors, and each query scores
+    * just the members of its nprobe probed cells.
+    */
+  def ivfSearchTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroids: DataFrame,
+      nprobe: Int): DataFrame = {
+    val cellDim = broadcast(
+      centroids.select(col("cell"), posexplode(col("cvec")))
+        .select(col("cell"), col("pos").as("__d"),
+          col("col").cast("double").as("__cv")))
+    val cellNorm = broadcast(normTable(centroids, "cell", "cell", "cvec", "__cn"))
+    // top-N cells per row by exact cosine (N=1: assignment; N=nprobe:
+    // query routing) — same code path so the two sides can never skew
+    def topCells(df: DataFrame, outId: String, topN: Int): DataFrame = {
+      val dims = df.select(col(idCol).as(outId), posexplode(col(vecCol)))
+        .select(col(outId), col("pos").as("__d"),
+          col("col").cast("double").as("__x"))
+      val dots = dims.join(cellDim, Seq("__d"))
+        .groupBy(col(outId), col("cell"))
+        .agg(sum((col("__x") * col("__cv")).cast("decimal(30,18)")).as("__dot"))
+      val nrm = normTable(df, idCol, outId, vecCol, "__nr")
+      val w = Window.partitionBy(col(outId)).orderBy(
+        (col("__dot").cast("double") / (col("__nr") * col("__cn"))).desc,
+        col("cell"))
+      dots.join(nrm, Seq(outId)).join(cellNorm, Seq("cell"))
+        .withColumn("__cr", row_number().over(w))
+        .filter(col("__cr") <= topN)
+        .select(col(outId), col("cell"))
+    }
+    val assigned = topCells(corpus, "neighbor_id", 1)
+    val probed = topCells(queries, "query_id", nprobe)
+    val pairs = broadcast(probed).join(assigned, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"))
+    rankTopK(scorePairs(pairs, corpus, queries, idCol, vecCol), k)
+  }
+
   /** Per-label centroid embeddings in long form (label, d, mean_x) —
     * the vector aggregate of a training-data pipeline (class prototypes,
     * cluster summaries). Dataflow: explode dims, one hash aggregate;

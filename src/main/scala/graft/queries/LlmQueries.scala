@@ -359,19 +359,81 @@ object LlmQueries {
       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
     """.trim))
 
-  /** IVF ANN over the same queries (KMeans cells + nprobe routing) —
-    * rows-only; recall vs the exact baseline pinned in SimilaritySpec.
+  /** IVF ANN over the same queries. The quantizer here is deterministic
+    * (cells seeded from the first nlist corpus vectors, assignment and
+    * routing by exact decimal cosine), so the ENTIRE inverted-file
+    * pipeline — assignment -> nprobe routing -> candidate cells ->
+    * exact re-rank — replays in the oracle SQL, like q59 does for LSH.
+    * The adaptive KMeans quantizer ([[Similarity.ivfCosineTopK]]) stays
+    * spec-pinned (recall vs exact baseline in SimilaritySpec); KMeans
+    * cell membership is not reproducible outside Spark, which is why
+    * the harness query routes through fixed centroids instead.
     */
   val q62IvfAnn = HarnessQuery(
     "q62_ivf_ann",
     (spark, dir) => {
       val em = Tables.embeddings(spark, dir)
-      Similarity.ivfCosineTopK(
+      val centroids = em.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cell"), col("embedding").as("cvec"))
+      Similarity.ivfSearchTopK(
         em, em.filter(col("vec_id") < 10), "vec_id", "embedding",
-        k = 5, nlist = 8, nprobe = 4)
+        k = 5, centroids = centroids, nprobe = 4)
+        .withColumn("cosine", round(col("cosine"), 12))
         .orderBy(col("query_id"), col("rank"))
     },
-    None)
+    Some("""
+      WITH cent AS (
+        SELECT CAST(vec_id AS INT) AS cell, embedding AS cvec
+        FROM embeddings WHERE vec_id < 8),
+      cn AS (
+        SELECT cell,
+               sqrt(CAST(sum(CAST(CAST(cvec[g.i] AS DOUBLE) * CAST(cvec[g.i] AS DOUBLE)
+                 AS DECIMAL(30,18))) AS DOUBLE)) AS cnrm
+        FROM cent, generate_series(1, 64) g(i) GROUP BY 1),
+      n AS (
+        SELECT vec_id, embedding,
+               sqrt(CAST(sum(CAST(CAST(embedding[g.i] AS DOUBLE) * CAST(embedding[g.i] AS DOUBLE)
+                 AS DECIMAL(30,18))) AS DOUBLE)) AS nrm
+        FROM embeddings, generate_series(1, 64) g(i) GROUP BY 1, 2),
+      acos AS (
+        SELECT e.vec_id, c.cell,
+               CAST(sum(CAST(CAST(e.embedding[g.i] AS DOUBLE) * CAST(c.cvec[g.i] AS DOUBLE)
+                 AS DECIMAL(30,18))) AS DOUBLE) / (any_value(n.nrm) * any_value(cn.cnrm)) AS csim
+        FROM embeddings e
+        JOIN n ON n.vec_id = e.vec_id, cent c
+        JOIN cn ON cn.cell = c.cell, generate_series(1, 64) g(i)
+        GROUP BY 1, 2),
+      assign AS (
+        SELECT vec_id, cell FROM (
+          SELECT vec_id, cell,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS r
+          FROM acos) WHERE r = 1),
+      probe AS (
+        SELECT vec_id AS query_id, cell FROM (
+          SELECT vec_id, cell,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS r
+          FROM acos WHERE vec_id < 10) WHERE r <= 4),
+      cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id
+        FROM probe p JOIN assign a USING (cell)
+        WHERE a.vec_id <> p.query_id),
+      scored AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               CAST(sum(CAST(CAST(q.embedding[g.i] AS DOUBLE) * CAST(c.embedding[g.i] AS DOUBLE)
+                 AS DECIMAL(30,18))) AS DOUBLE) / (any_value(q.nrm) * any_value(c.nrm)) AS cosine
+        FROM cand
+        JOIN n q ON q.vec_id = cand.query_id
+        JOIN n c ON c.vec_id = cand.neighbor_id,
+        generate_series(1, 64) g(i)
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT query_id, neighbor_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored)
+      SELECT query_id, rank, neighbor_id, round(cosine, 12) AS cosine
+      FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+    """.trim))
 
   /** Embedding near-dup within label blocks (blocking-key pattern):
     * pairs with cosine >= 0.4, exact.
