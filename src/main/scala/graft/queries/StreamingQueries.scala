@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.streaming.StreamingOps
+
+/** §2.10 streaming surface under the correctness harness, via
+  * batch/stream equivalence: every operator here runs the SAME plan on
+  * a batch frame and a `readStream` source (Spark's unified engine),
+  * so oracling the batch execution pins the streaming semantics — the
+  * StreamingSpec suites separately prove the stream side produces the
+  * same rows through MemoryStream micro-batches. This is the q23
+  * (session window) trick extended to the rest of the surface.
+  */
+object StreamingQueries {
+
+  /** Sliding-window velocity ([[StreamingOps.slidingVelocity]]): 24 h
+    * windows sliding hourly; every event lands in 24 windows. The
+    * oracle enumerates window starts per event (floor-to-hour minus
+    * 0..23 h) — exactly Spark's epoch-aligned window() assignment.
+    * Input restricted to one event type to keep the dumped result
+    * bounded (the operator is unchanged by the pre-filter).
+    */
+  val q77StreamWindow = HarnessQuery(
+    "q77_stream_window",
+    (spark, dir) =>
+      StreamingOps.slidingVelocity(
+        Tables.events(spark, dir).filter(col("event_type") === "purchase"),
+        "ts", "user_id", "24 hours", "1 hour", "1 hour")
+        .select(col("user_id"),
+          unix_micros(col("window.start")).as("window_start_us"),
+          unix_micros(col("window.end")).as("window_end_us"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("user_id"), col("window_start_us")),
+    Some("""
+      WITH e AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value
+        FROM events WHERE event_type = 'purchase'),
+      w AS (
+        SELECT user_id, value,
+               (us // 3600000000 - g.i) * 3600000000 AS ws
+        FROM e, generate_series(0, 23) g(i))
+      SELECT user_id, ws AS window_start_us,
+             ws + 86400000000 AS window_end_us,
+             count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+      FROM w GROUP BY 1, 2, 3
+      ORDER BY user_id, window_start_us
+    """.trim))
+
+  /** Streaming dedup semantics ([[StreamingOps.streamingDedup]] /
+    * [[StreamingOps.dedupFirstByTime]]): first event per
+    * (user, event_type) fingerprint in event time wins.
+    */
+  val q78StreamDedup = HarnessQuery(
+    "q78_stream_dedup",
+    (spark, dir) =>
+      StreamingOps.dedupFirstByTime(
+        Tables.events(spark, dir), "ts",
+        Seq("user_id", "event_type"), Seq("event_id"))
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"))
+        .orderBy(col("user_id"), col("event_type")),
+    Some("""
+      SELECT user_id, event_type, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY user_id, event_type
+              ORDER BY ts, event_id) AS rn
+            FROM events)
+      WHERE rn = 1 ORDER BY user_id, event_type
+    """.trim))
+
+  /** Exact stateful trailing-24 h velocity
+    * ([[StreamingOps.velocityWithState]], `flatMapGroupsWithState`) run
+    * in batch mode — the state function sees each key's full history in
+    * one call, sorted by (ts, event_id), so every event counts the
+    * strictly-earlier arrivals within its window. The oracle is the
+    * sequential-arrival frame: a self-join counting same-key events in
+    * [ts - 24 h, ts] that precede in (ts, event_id) order.
+    */
+  val q79StatefulVelocity = HarnessQuery(
+    "q79_stateful_velocity",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+        .select(col("user_id").cast("string").as("key"),
+          unix_micros(col("ts")).as("tsMicros"),
+          col("event_id").as("eventId"))
+        .as[StreamingOps.VEvent]
+      StreamingOps.velocityWithState(ev).toDF()
+        .select(col("key").cast("long").as("user_id"),
+          col("eventId").as("event_id"), col("n").as("n_24h"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT a.user_id, a.event_id, count(b.event_id) AS n_24h
+      FROM events a LEFT JOIN events b
+        ON b.user_id = a.user_id
+       AND epoch_us(CAST(b.ts AS TIMESTAMP))
+             >= epoch_us(CAST(a.ts AS TIMESTAMP)) - 86400000000
+       AND (b.ts < a.ts OR (b.ts = a.ts AND b.event_id < a.event_id))
+      GROUP BY 1, 2 ORDER BY a.event_id
+    """.trim))
+
+  def all: Seq[HarnessQuery] =
+    Seq(q77StreamWindow, q78StreamDedup, q79StatefulVelocity)
+}

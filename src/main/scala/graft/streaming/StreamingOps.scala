@@ -34,7 +34,11 @@ object StreamingOps {
     events
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowLen, slide), col(keyCol))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      // decimal-accumulated sum: exact and merge-order independent, so
+      // stream (incremental state merge) and batch (parallel partial
+      // aggregation) produce bit-identical sums
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(25,6)")).cast("double").as("sum_value"))
 
   /** Session windows: events grouped into per-key sessions separated by
     * `gap` of inactivity.
@@ -64,6 +68,28 @@ object StreamingOps {
     events
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys)
+
+  /** The deterministic batch form of [[streamingDedup]]'s semantics:
+    * per key set, keep the FIRST row in event time (tie-broken by
+    * `tieBreak` for full determinism). When a stream delivers rows in
+    * event-time order, `dropDuplicatesWithinWatermark` keeps exactly
+    * these rows; on a batch frame the streaming operator degrades to
+    * an arbitrary-row `dropDuplicates`, so pipelines that re-run over
+    * history need this window form to reproduce what the stream kept.
+    * One shuffle on the key columns.
+    */
+  def dedupFirstByTime(
+      events: DataFrame,
+      tsCol: String,
+      keys: Seq[String],
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy((tsCol +: tieBreak).map(col): _*)
+    events.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
 
   // ---- exact stateful velocity ----------------------------------------
 

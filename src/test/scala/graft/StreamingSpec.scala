@@ -62,6 +62,31 @@ class StreamingSpec extends SparkSpec {
     assert(got.sorted.toSeq === Seq("a", "b"))
   }
 
+  test("streamingDedup on an in-order stream keeps exactly dedupFirstByTime's rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val data = Seq(
+      (1L, "a", ts("2024-01-01 00:00:00")),
+      (2L, "a", ts("2024-01-01 00:10:00")),
+      (3L, "b", ts("2024-01-01 00:20:00")),
+      (4L, "b", ts("2024-01-01 00:20:00")), // same-ts tie: smaller id wins
+      (5L, "c", ts("2024-01-01 00:30:00")))
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val stream = mem.toDF().toDF("event_id", "k", "ts")
+    val q = StreamingOps.streamingDedup(stream, "ts", Seq("k"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_eq_out").start()
+    mem.addData(data: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("dedup_eq_out")
+      .select($"event_id").collect().map(_.getLong(0)).toSet
+    q.stop()
+    val batch = StreamingOps.dedupFirstByTime(
+      data.toDF("event_id", "k", "ts"), "ts", Seq("k"), Seq("event_id"))
+      .select($"event_id").collect().map(_.getLong(0)).toSet
+    assert(batch === Set(1L, 3L, 5L))
+    assert(streamed === batch)
+  }
+
   test("sessionization groups by inactivity gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, Timestamp)]
