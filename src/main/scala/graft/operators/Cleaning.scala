@@ -57,6 +57,31 @@ object Cleaning {
       .drop("__rn")
   }
 
+  /** P2 'impute' strategy: fill nulls in each numeric column with that
+    * column's mean — the branch the reference DECLARES but leaves
+    * unimplemented (clean_data.py:24-25 logs "Imputation not
+    * implemented"); here it is a real strategy. Means are computed in
+    * one distributed aggregate (decimal-accumulated, so the fill value
+    * is order-independent and engine-reproducible) and only the k
+    * scalar results come back to the driver — the same shape MLlib's
+    * Imputer uses, and the only sound one at scale: a global window
+    * would funnel the whole table through one partition.
+    *
+    * Rows where the column is entirely null (empty input) are left
+    * null — there is no mean to impute.
+    */
+  def imputeMean(df: DataFrame, cols: Seq[String]): DataFrame = {
+    if (cols.isEmpty) return df
+    val aggs = cols.map(c =>
+      (sum(col(c).cast("decimal(30,12)")).cast("double") /
+        count(col(c))).as(c))
+    val row = df.agg(aggs.head, aggs.tail: _*).first()
+    val means = cols.zipWithIndex.collect {
+      case (c, i) if !row.isNullAt(i) => c -> row.getDouble(i)
+    }.toMap
+    df.na.fill(means)
+  }
+
   /** F1 applied: add the uint32 form of an IP column
     * (clean_data.py:63-69 `convert_ip_addresses_to_int`).
     */

@@ -67,12 +67,16 @@ object Processor {
       numericCols: Seq[String],
       categoricalCols: Seq[String],
       idCol: String): PreppedDataset = {
-    // missing_value_strategy "drop" extends to engineered features: a row
-    // whose timestamp failed coercion has null time features, which no
-    // estimator accepts downstream
-    val complete =
-      if (cfg.missingValueStrategy == "drop") df.na.drop(numericCols)
-      else df
+    // missing_value_strategy extends to engineered features: a row whose
+    // timestamp failed coercion has null time features, which no
+    // estimator accepts downstream. "drop" removes such rows; "impute"
+    // fills them with the column mean (the strategy the reference
+    // declares but never implemented — clean_data.py:24-25)
+    val complete = cfg.missingValueStrategy match {
+      case "drop"   => df.na.drop(numericCols)
+      case "impute" => Cleaning.imputeMean(df, numericCols)
+      case _        => df
+    }
     // categorical inputs must be strings for StringIndexer; numeric
     // category codes (hour_of_day) cast through
     val stringified = categoricalCols.foldLeft(complete)(

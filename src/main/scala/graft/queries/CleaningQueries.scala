@@ -130,7 +130,40 @@ object CleaningQueries {
       FROM events ORDER BY event_id
     """.trim))
 
+  /** P2 'impute' strategy ([[Cleaning.imputeMean]]): the testdata has no
+    * natural nulls, so the query plants a deterministic null pattern
+    * (value of every 'error' event), mean-fills it, and aggregates per
+    * type — the filled groups must sum to exactly n × mean of the
+    * surviving values, which the oracle replays with the same decimal
+    * mean formula.
+    */
+  val q80ImputeMean = HarnessQuery(
+    "q80_impute_mean",
+    (spark, dir) => {
+      val planted = Tables.events(spark, dir)
+        .withColumn("value",
+          when(col("event_type") === "error", lit(null).cast("double"))
+            .otherwise(col("value")))
+      Cleaning.imputeMean(planted, Seq("value"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), Parity.dsum(col("value")).as("sum_value"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_type,
+               CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value
+        FROM events),
+      m AS (
+        SELECT CAST(sum(CAST(value AS DECIMAL(30,12))) AS DOUBLE) / count(value) AS mean
+        FROM e)
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(coalesce(value, (SELECT mean FROM m)) AS DECIMAL(25,6)))
+               AS DOUBLE) AS sum_value
+      FROM e GROUP BY 1 ORDER BY 1
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q10NullAudit, q11DropNullFilter, q12Dedup, q13DedupByKey,
-    q14IpRoundtrip, q15TimestampCoerce)
+    q14IpRoundtrip, q15TimestampCoerce, q80ImputeMean)
 }

@@ -13,6 +13,23 @@ class CleaningExtraSpec extends SparkSpec {
     assert(Cleaning.findTargetColumn(Seq((1, 0)).toDF("x", "y")) === None)
   }
 
+  test("imputeMean fills nulls with the exact column mean, leaves the rest") {
+    val df = Seq(
+      (1L, Some(2.0), Some(10.0)),
+      (2L, None, Some(20.0)),
+      (3L, Some(4.0), None),
+      (4L, None, None)).toDF("id", "a", "b")
+    val got = Cleaning.imputeMean(df, Seq("a", "b"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got(1L) === ((2.0, 10.0))) // non-null untouched
+    assert(got(2L)._1 === 3.0 && got(2L)._2 === 20.0) // mean(2,4)
+    assert(got(3L)._2 === 15.0) // mean(10,20)
+    assert(got(4L) === ((3.0, 15.0)))
+    // a column with no non-null values stays null (no mean exists)
+    val allNull = Seq((1L, Option.empty[Double])).toDF("id", "x")
+    assert(Cleaning.imputeMean(allNull, Seq("x")).collect().head.isNullAt(1))
+  }
+
   test("dropBoilerplateShingles removes shingles above the doc-frequency cap") {
     // "common words here" appears in every doc; unique tails differ
     val docs = (1 to 10).map(i => (i.toLong, s"common words here unique$i tail$i end$i"))

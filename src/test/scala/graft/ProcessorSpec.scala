@@ -114,6 +114,21 @@ class ProcessorSpec extends SparkSpec {
     assert(out.creditcard.train.count() > under)
   }
 
+  test("impute strategy retains rows that drop would discard") {
+    // user 5's unparseable purchase_time nulls the engineered time
+    // features; 'drop' removes the row, 'impute' mean-fills and keeps
+    // it. SMOTE lifts every class to the (now larger) majority size, so
+    // the retained majority row must strictly grow the output — an
+    // undersampled train would mask it behind the minority size.
+    val smoteCfg = cfg.copy(imbalanceStrategy = "smote")
+    val dropped = Processor.runPipeline(spark, smoteCfg)
+    val imputed = Processor.runPipeline(
+      spark, smoteCfg.copy(missingValueStrategy = "impute"))
+    def fraudRows(o: Processor.PipelineOutputs) =
+      o.fraud.train.count() + o.fraud.test.count()
+    assert(fraudRows(imputed) > fraudRows(dropped))
+  }
+
   test("runPipeline leaves no net persisted blocks once outputs materialize") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val out = Processor.runPipeline(spark, cfg.copy(imbalanceStrategy = "smote"))
