@@ -1,7 +1,15 @@
 package graft
 object Bench {
+  /** Per-query median over N trials (default 3, SPARK_GRAFT_TRIALS to
+    * override). Single-run timings on this surface swing ±3-50s from
+    * JIT/codegen warm-up and ambient host noise — far more than a real
+    * regression — so the headline number is the per-query MEDIAN (the
+    * cold first trial falls out naturally) and the raw trials ride
+    * along under "trials" for spread inspection.
+    */
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val trials = sys.env.get("SPARK_GRAFT_TRIALS").map(_.toInt).getOrElse(3)
     val spark = HarnessSession.fromEnv()
     // untimed session warm-up: codegen/shuffle infrastructure + parquet
     // footer cache, so the first measured query isn't charged for JVM
@@ -18,16 +26,31 @@ object Bench {
       case None        => SparkEntry.queries
     }
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      SessionHygiene.reset(spark)
-      name -> dt
+      val times = (1 to trials).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        SessionHygiene.reset(spark)
+        if (ok) dt else -1.0
+      }
+      name -> times
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    val meds = results.map { case (k, ts) =>
+      k -> (if (ts.contains(-1.0)) -1.0 else median(ts))
+    }
+    val qs = meds.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val raw = results.map { case (k, ts) =>
+      s"\"" + k + "\":" + ts.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val total = if (meds.nonEmpty) meds.values.sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"trials":$raw,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

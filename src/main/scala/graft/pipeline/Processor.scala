@@ -73,9 +73,10 @@ object Processor {
     // fills them with the column mean (the strategy the reference
     // declares but never implemented — clean_data.py:24-25)
     val complete = cfg.missingValueStrategy match {
-      case "drop"   => df.na.drop(numericCols)
-      case "impute" => Cleaning.imputeMean(df, numericCols)
-      case _        => df
+      case "drop"          => df.na.drop(numericCols)
+      case "impute"        => Cleaning.imputeMean(df, numericCols)
+      case "impute_median" => Cleaning.imputeMedian(df, numericCols)
+      case _               => df
     }
     // categorical inputs must be strings for StringIndexer; numeric
     // category codes (hour_of_day) cast through

@@ -163,7 +163,40 @@ object CleaningQueries {
       FROM e GROUP BY 1 ORDER BY 1
     """.trim))
 
+  /** P2 'impute_median' ([[Cleaning.imputeMedian]]): same planted null
+    * pattern, exact-median fill. Group min/max (not sums) make the
+    * check: the filled group's min = max = the median of the surviving
+    * values. Rounded to 9 decimals because continuous-quantile
+    * interpolation (`a + (b-a)/2` vs `(a+b)/2`) may differ by 1 ulp
+    * between engines.
+    */
+  val q81ImputeMedian = HarnessQuery(
+    "q81_impute_median",
+    (spark, dir) => {
+      val planted = Tables.events(spark, dir)
+        .withColumn("value",
+          when(col("event_type") === "error", lit(null).cast("double"))
+            .otherwise(col("value")))
+      Cleaning.imputeMedian(planted, Seq("value"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("value")), 9).as("min_value"),
+          round(max(col("value")), 9).as("max_value"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_type,
+               CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value
+        FROM events),
+      m AS (SELECT quantile_cont(value, 0.5) AS med FROM e)
+      SELECT event_type, count(*) AS n,
+             round(min(coalesce(value, (SELECT med FROM m))), 9) AS min_value,
+             round(max(coalesce(value, (SELECT med FROM m))), 9) AS max_value
+      FROM e GROUP BY 1 ORDER BY 1
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q10NullAudit, q11DropNullFilter, q12Dedup, q13DedupByKey,
-    q14IpRoundtrip, q15TimestampCoerce, q80ImputeMean)
+    q14IpRoundtrip, q15TimestampCoerce, q80ImputeMean, q81ImputeMedian)
 }

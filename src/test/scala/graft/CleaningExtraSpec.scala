@@ -30,6 +30,16 @@ class CleaningExtraSpec extends SparkSpec {
     assert(Cleaning.imputeMean(allNull, Seq("x")).collect().head.isNullAt(1))
   }
 
+  test("imputeMedian fills nulls with the exact interpolated median") {
+    val df = Seq(
+      (1L, Some(1.0)), (2L, Some(2.0)), (3L, Some(10.0)), (4L, Some(100.0)),
+      (5L, None)).toDF("id", "x")
+    val got = Cleaning.imputeMedian(df, Seq("x"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(5L) === 6.0) // median of (1,2,10,100) = (2+10)/2
+    assert(got(1L) === 1.0 && got(4L) === 100.0)
+  }
+
   test("dropBoilerplateShingles removes shingles above the doc-frequency cap") {
     // "common words here" appears in every doc; unique tails differ
     val docs = (1 to 10).map(i => (i.toLong, s"common words here unique$i tail$i end$i"))
