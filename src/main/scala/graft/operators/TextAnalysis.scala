@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -202,6 +203,36 @@ object TextAnalysis {
       .select(col(idCol), col("chunk_idx"),
         size(col("__c")).cast("long").as("n_chunk_tokens"),
         array_join(col("__c"), " ").as("chunk_text"))
+  }
+
+  /** Sequence packing (concat-and-cut): assign documents/chunks to
+    * fixed-token-budget training bins. The stream is SHARDED by
+    * `pmod(id, shards)` so no partition ever carries a global running
+    * sum — the per-shard window is the only ordering, and shards scale
+    * horizontally (each is an independent packing stream, which is how
+    * production packers parallelize). Within a shard, docs concatenate
+    * in id order and a doc belongs to the bin where its FIRST token
+    * lands (the concat-then-split convention: a doc may straddle the
+    * cut; the trainer's splitter owns the tail). Deterministic — pure
+    * arithmetic on (id, token count), no rand, no partition
+    * dependence. Returns one row per (shard, bin) with doc and token
+    * tallies.
+    */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      tokenCountCol: String,
+      targetTokens: Int,
+      shards: Int = 64): DataFrame = {
+    require(targetTokens > 0 && shards > 0, "need positive target and shards")
+    val w = Window.partitionBy(col("__shard")).orderBy(col(idCol))
+    df.withColumn("__shard", pmod(col(idCol), lit(shards)))
+      .withColumn("__end", sum(col(tokenCountCol)).over(w))
+      .withColumn("bin",
+        floor((col("__end") - col(tokenCountCol)) / lit(targetTokens)))
+      .groupBy(col("__shard").cast("long").as("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(tokenCountCol)).cast("long").as("sum_tokens"))
   }
 
   /** Vocabulary richness: token/type counts and type-token ratio. */

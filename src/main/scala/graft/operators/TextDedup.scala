@@ -222,6 +222,38 @@ object TextDedup {
     Components.connectedComponents(df.select(col(idCol)), pairs, idCol)
   }
 
+  /** Benchmark decontamination: per corpus doc, how many of its
+    * distinct n-gram shingles appear anywhere in the benchmark set —
+    * the overlap audit every training corpus runs against eval
+    * benchmarks before release. Plan shape: two exploded (id, shingle)
+    * tables equi-joined on the shingle string, distinct (doc, shingle)
+    * hits, one count aggregate — ids and shingles through the shuffle,
+    * never documents, so the benchmark side (small by construction) is
+    * broadcast by AQE and the corpus streams. Returns (idCol, n_shared)
+    * for contaminated docs only.
+    */
+  def contaminationHits(
+      corpus: DataFrame, bench: DataFrame,
+      textCol: String, idCol: String, n: Int = 8): DataFrame = {
+    val cs = shingleTable(corpus, textCol, idCol, n)
+    val bs = broadcast(
+      shingleTable(bench, textCol, idCol, n).select(col("__s")).distinct())
+    cs.join(bs, Seq("__s"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Corpus with every contaminated doc removed (any shingle overlap
+    * with the benchmark set): the release-gate form of
+    * [[contaminationHits]].
+    */
+  def decontaminate(
+      corpus: DataFrame, bench: DataFrame,
+      textCol: String, idCol: String, n: Int = 8): DataFrame =
+    corpus.join(
+      contaminationHits(corpus, bench, textCol, idCol, n).select(col(idCol)),
+      Seq(idCol), "left_anti")
+
   /** Near-dedup: drop all but the lowest-id member of each near-dup
     * pair cluster (single-link, one hop — the standard greedy pass).
     */

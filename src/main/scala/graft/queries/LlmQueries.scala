@@ -964,11 +964,68 @@ object LlmQueries {
       ) ORDER BY ord
     """.trim))
 
+  /** Sequence packing ([[TextAnalysis.packSequences]]): concat-and-cut
+    * token binning into 256-token training sequences over 16 shards —
+    * pure window arithmetic, replayed verbatim by the oracle.
+    */
+  val q82PackSequences = HarnessQuery(
+    "q82_pack_sequences",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
+      TextAnalysis.packSequences(docs, "doc_id", "n_tokens",
+        targetTokens = 256, shards = 16)
+        .orderBy(col("shard"), col("bin"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, doc_id % 16 AS shard,
+               CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n
+        FROM documents),
+      c AS (
+        SELECT shard, n,
+               sum(n) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+        FROM t)
+      SELECT CAST(shard AS BIGINT) AS shard,
+             CAST(floor((cum - n) / 256) AS BIGINT) AS bin,
+             count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS sum_tokens
+      FROM c GROUP BY 1, 2 ORDER BY shard, bin
+    """.trim))
+
+  /** Benchmark decontamination ([[TextDedup.contaminationHits]]):
+    * corpus docs sharing any 5-gram with the benchmark subset
+    * (doc_id % 97 == 0), with the count of distinct shared shingles.
+    */
+  val q83Decontaminate = HarnessQuery(
+    "q83_decontaminate",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      TextDedup.contaminationHits(docs, bench, "text", "doc_id", n = 5)
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 generate_series(1, len(regexp_split_to_array(trim(lower(text)), '\s+')) - 4),
+                 i -> array_to_string((regexp_split_to_array(trim(lower(text)), '\s+'))[i:i+4], ' ')))
+                 AS sh
+        FROM documents),
+      cs AS (SELECT doc_id, unnest(sh) AS s FROM t),
+      bs AS (SELECT DISTINCT unnest(sh) AS s FROM t WHERE doc_id % 97 = 0)
+      SELECT cs.doc_id, count(*) AS n_shared
+      FROM cs JOIN bs USING (s)
+      GROUP BY 1 ORDER BY 1
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q50TextStats, q51TokenCount, q52LangQuality, q53Fingerprint,
     q54Shingles, q55MinhashPairs, q56ExactDedup, q57SimhashPairs,
     q58CosineTopK, q59AnnLsh, q60CosineNearDup, q61Multimodal, q62IvfAnn,
     q63SimhashSig, q64Tfidf, q65MinhashDedup, q66FrameSample, q67Bm25,
     q68LabelCentroid, q69Boilerplate, q70Redact, q71Chunk, q72Vocab,
-    q73Fuzzy, q74DedupClusters, q75IncrementalDedup, q76DocPipeline)
+    q73Fuzzy, q74DedupClusters, q75IncrementalDedup, q76DocPipeline,
+    q82PackSequences, q83Decontaminate)
 }
