@@ -1,11 +1,20 @@
 package graft
+
 object Bench {
   /** Per-query median over N trials (default 3, SPARK_GRAFT_TRIALS to
-    * override). Single-run timings on this surface swing ±3-50s from
+    * override), with spread-triggered retrials: if the 3 trials spread
+    * more than 3x (ambient host noise hitting one trial of a heavy
+    * shuffle query), 2 more trials run and the median-of-5 absorbs the
+    * outlier. Single-run timings on this surface swing ±3-50s from
     * JIT/codegen warm-up and ambient host noise — far more than a real
-    * regression — so the headline number is the per-query MEDIAN (the
-    * cold first trial falls out naturally) and the raw trials ride
-    * along under "trials" for spread inspection.
+    * regression — so the headline number is the per-query MEDIAN.
+    *
+    * Output discipline: the driver keeps only the TAIL of stdout, so the
+    * final line must be short enough to survive truncation. Medians are
+    * rounded to 1 ms and the raw trials go to a PRECEDING line (and to
+    * target/bench_trials.json), never inline in the final line — a
+    * full-precision trials map once pushed the line past the tail window
+    * and the driver recorded `parsed: null` for the whole round.
     */
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -25,32 +34,50 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None        => SparkEntry.queries
     }
+    def runOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      val ok = try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+      val dt = (System.nanoTime() - t0) / 1e9
+      SessionHygiene.reset(spark)
+      if (ok) dt else -1.0
+    }
     val results = selected.map { case (name, fn) =>
-      val times = (1 to trials).map { _ =>
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
-          catch { case _: Throwable => false }
-        val dt = (System.nanoTime() - t0) / 1e9
-        SessionHygiene.reset(spark)
-        if (ok) dt else -1.0
-      }
-      name -> times
+      val first = (1 to trials).map(_ => runOnce(fn))
+      val all =
+        if (first.contains(-1.0)) first
+        else if (first.max > 3.0 * math.max(first.min, 0.05) && first.max - first.min > 1.0)
+          // >3x spread (and >1s absolute, so sub-second jitter doesn't
+          // trigger): ambient noise hit a trial — 2 more, median of 5
+          first ++ (1 to 2).map(_ => runOnce(fn))
+        else first
+      name -> all
     }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       val n = s.length
       if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
     }
+    def ms(d: Double): String =
+      if (d < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     val meds = results.map { case (k, ts) =>
       k -> (if (ts.contains(-1.0)) -1.0 else median(ts))
     }
-    val qs = meds.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = meds.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val raw = results.map { case (k, ts) =>
-      s"\"" + k + "\":" + ts.mkString("[", ",", "]")
+      "\"" + k + "\":" + ts.map(ms).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val total = if (meds.nonEmpty) meds.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"trials":$raw,"sf":"$sfDir"}""")
+    val total = if (meds.nonEmpty) meds.values.filter(_ >= 0).sum else 0.0
+    // raw trials: separate line + file, so the final line stays compact
+    val trialsLine = s"""{"bench_trials":$raw,"sf":"$sfDir"}"""
+    println(trialsLine)
+    try {
+      val p = java.nio.file.Paths.get("target", "bench_trials.json")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, trialsLine.getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -21,41 +21,80 @@ import org.apache.spark.sql.functions._
   * parity with sklearn is impossible (different PRNG streams); parity is
   * distributional: disjoint, exhaustive, per-class sizes exact.
   *
-  * Scale: one shuffle on the class column; the per-class window is the
-  * only ordering — no global sort. Class cardinality is tiny, so AQE
-  * coalesces fine; for a pathological single-class skew use more salt in
-  * `tieBreak` and a two-level rank.
+  * Scale: the rank is TWO-LEVEL so no partition ever holds a whole
+  * class (the fraud workload is 2 classes, 90%/10% — a per-class window
+  * would funnel ~90% of the data through ONE task's sort). Rows are
+  * range-bucketed into 64 salt buckets by the TOP BITS of the ordering
+  * hash (sign bit flipped so bucket id is monotone in the hash's signed
+  * sort order): every row of bucket b precedes every row of bucket b+1
+  * in the global hash order, so
+  * `row_number within (class, bucket) + rows in earlier buckets`
+  * IS the global per-class rank — byte-identical membership to a
+  * single-window rank, computed across 64-way parallelism per class.
+  * Per-bucket offsets and class totals come from a window over the tiny
+  * (classes × 64)-row count aggregate, broadcast back in-plan (the same
+  * pattern as Smote's copy-fanout rank): no driver collect.
   */
 object Split {
 
   final case class SplitResult(train: DataFrame, test: DataFrame)
+
+  private val SaltBuckets = 64
+  private val SaltShift = 58 // 64 - log2(SaltBuckets) top bits
 
   def stratified(
       df: DataFrame,
       labelCol: String,
       testFrac: Double,
       seed: Long,
-      tieBreak: Seq[Column] = Nil): SplitResult = {
-    val order: Seq[Column] = tieBreak match {
-      case Nil => Seq(rand(seed))
-      case tb  => xxhash64(tb :+ lit(seed): _*) +: tb
-    }
-    val wRank = Window.partitionBy(col(labelCol)).orderBy(order: _*)
-    val wAll = Window.partitionBy(col(labelCol))
-    val tagged = df
-      .withColumn("__rn", row_number().over(wRank))
-      .withColumn("__n", count(lit(1)).over(wAll))
-      .withColumn("__is_test", col("__rn") <= ceil(col("__n") * lit(testFrac)))
-    SplitResult(
-      train = tagged.filter(!col("__is_test")).drop("__rn", "__n", "__is_test"),
-      test = tagged.filter(col("__is_test")).drop("__rn", "__n", "__is_test"))
+      tieBreak: Seq[Column] = Nil): SplitResult = tieBreak match {
+    case Nil =>
+      // no content to hash: single-window rand order. rand is partition-
+      // dependent anyway (documented), so there is nothing to salt — the
+      // content-hashed path below is the scale path.
+      val wRank = Window.partitionBy(col(labelCol)).orderBy(rand(seed))
+      val wAll = Window.partitionBy(col(labelCol))
+      val tagged = df
+        .withColumn("__rn", row_number().over(wRank))
+        .withColumn("__n", count(lit(1)).over(wAll))
+        .withColumn("__is_test", col("__rn") <= ceil(col("__n") * lit(testFrac)))
+      SplitResult(
+        train = tagged.filter(!col("__is_test")).drop("__rn", "__n", "__is_test"),
+        test = tagged.filter(col("__is_test")).drop("__rn", "__n", "__is_test"))
+    case tb =>
+      val hash = xxhash64(tb :+ lit(seed): _*)
+      // signed order ⟺ unsigned order of (hash ^ Long.MinValue); top 6
+      // bits of that are an order-aligned range bucketing: bucket id is
+      // monotone non-decreasing along the (hash, tb...) sort, and hash
+      // ties (which compare by tb next) share a bucket by construction
+      val salt = shiftrightunsigned(hash.bitwiseXOR(lit(Long.MinValue)), SaltShift)
+      val tagged0 = df.withColumn("__salt", salt)
+      val wRank = Window.partitionBy(col(labelCol), col("__salt"))
+        .orderBy(hash +: tb: _*)
+      val wOff = Window.partitionBy(col(labelCol)).orderBy(col("__salt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wTot = Window.partitionBy(col(labelCol))
+      val offsets = tagged0.groupBy(col(labelCol), col("__salt"))
+        .agg(count(lit(1)).as("__bn"))
+        .select(col(labelCol), col("__salt"),
+          coalesce(sum(col("__bn")).over(wOff), lit(0L)).as("__off"),
+          sum(col("__bn")).over(wTot).as("__n"))
+      val tagged = tagged0
+        .join(broadcast(offsets), Seq(labelCol, "__salt"))
+        .withColumn("__rn", row_number().over(wRank) + col("__off"))
+        .withColumn("__is_test", col("__rn") <= ceil(col("__n") * lit(testFrac)))
+      val aux = Seq("__salt", "__off", "__n", "__rn", "__is_test")
+      SplitResult(
+        train = tagged.filter(!col("__is_test")).drop(aux: _*).select(df.columns.map(col): _*),
+        test = tagged.filter(col("__is_test")).drop(aux: _*).select(df.columns.map(col): _*))
   }
 
   /** Split-size audit: per-class train/test row counts. The counts (not
     * the membership) are fully determined by n and testFrac — oracle-able.
     */
-  def summary(df: DataFrame, labelCol: String, testFrac: Double, seed: Long): DataFrame = {
-    val SplitResult(train, test) = stratified(df, labelCol, testFrac, seed)
+  def summary(df: DataFrame, labelCol: String, testFrac: Double, seed: Long,
+      tieBreak: Seq[Column] = Nil): DataFrame = {
+    val SplitResult(train, test) = stratified(df, labelCol, testFrac, seed, tieBreak)
     val t = train.groupBy(col(labelCol)).agg(count(lit(1)).as("n_train"))
     val s = test.groupBy(col(labelCol)).agg(count(lit(1)).as("n_test"))
     // full outer + coalesce: a class whose train (or test) half is empty

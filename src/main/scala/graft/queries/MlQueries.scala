@@ -25,7 +25,7 @@ object MlQueries {
       Split.summary(
         Tables.embeddings(spark, dir)
           .withColumn("label", col("label").cast("long")),
-        "label", testFrac = 0.2, seed = 42L),
+        "label", testFrac = 0.2, seed = 42L, tieBreak = Seq(col("vec_id"))),
     Some("""
       SELECT CAST(label AS BIGINT) AS label,
              n - CAST(ceil(n * 0.2) AS BIGINT) AS n_train,

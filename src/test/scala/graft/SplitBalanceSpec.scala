@@ -30,6 +30,28 @@ class SplitBalanceSpec extends SparkSpec {
     assert(a !== c) // different seed shuffles membership
   }
 
+  test("stratified split: salted two-level rank equals the single-window rank") {
+    import org.apache.spark.sql.expressions.Window
+    val seed = 42L
+    val hash = xxhash64($"id", lit(seed))
+    // reference membership: the unsalted per-class global rank (the
+    // pre-salting formulation) — the salted rank must be byte-identical
+    val wR = Window.partitionBy($"label").orderBy(hash, $"id")
+    val wN = Window.partitionBy($"label")
+    val ref = df.withColumn("rn", row_number().over(wR))
+      .withColumn("n", count(lit(1)).over(wN))
+      .filter($"rn" <= ceil($"n" * lit(0.2))).select("id")
+      .collect().map(_.getLong(0)).toSet
+    val got = Split.stratified(df, "label", 0.2, seed, Seq($"id")).test
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got === ref)
+    // and the salt genuinely spreads the class across >1 bucket
+    val buckets = df.select(
+      shiftrightunsigned(hash.bitwiseXOR(lit(Long.MinValue)), 58).as("s"))
+      .distinct().count()
+    assert(buckets > 1, s"expected >1 salt bucket, got $buckets")
+  }
+
   test("stratified split extremes: frac 0 keeps all in train; frac 1 all in test") {
     val zero = Split.stratified(df, "label", 0.0, 42L, Seq($"id"))
     assert(zero.train.count() === 100 && zero.test.count() === 0)
