@@ -104,6 +104,49 @@ object StreamingQueries {
       GROUP BY 1, 2 ORDER BY a.event_id
     """.trim))
 
+  /** The same exact velocity on the `transformWithState` runtime
+    * ([[StreamingOps.velocityWithTws]]) run in batch mode — TWS and
+    * `flatMapGroupsWithState` share one counting core
+    * (`StreamingOps.countBatch`), and this row proves the TWS plumbing
+    * (StatefulProcessor, ListState, RocksDB provider) end-to-end against
+    * the same sequential-arrival oracle as q79. The provider conf is
+    * required: TWS uses column-family state, which the default
+    * HDFS-backed provider rejects even in batch execution.
+    */
+  val q84TwsVelocity = HarnessQuery(
+    "q84_tws_velocity",
+    (spark, dir) => {
+      import spark.implicits._
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // batch execution never starts a streaming query, so the driver's
+      // StateStoreCoordinator RPC endpoint (normally registered by
+      // StreamingQueryManager on first stream start) does not exist and
+      // RocksDB's snapshot-upload report would fail its RPC lookup —
+      // register it up front; forDriver is idempotent (returns the
+      // existing endpoint on re-registration)
+      org.apache.spark.sql.execution.streaming.state.StateStoreCoordinatorRef
+        .forDriver(org.apache.spark.SparkEnv.get, spark.sessionState.conf)
+      val ev = Tables.events(spark, dir)
+        .select(col("user_id").cast("string").as("key"),
+          unix_micros(col("ts")).as("tsMicros"),
+          col("event_id").as("eventId"))
+        .as[StreamingOps.VEvent]
+      StreamingOps.velocityWithTws(ev).toDF()
+        .select(col("key").cast("long").as("user_id"),
+          col("eventId").as("event_id"), col("n").as("n_24h"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT a.user_id, a.event_id, count(b.event_id) AS n_24h
+      FROM events a LEFT JOIN events b
+        ON b.user_id = a.user_id
+       AND epoch_us(CAST(b.ts AS TIMESTAMP))
+             >= epoch_us(CAST(a.ts AS TIMESTAMP)) - 86400000000
+       AND (b.ts < a.ts OR (b.ts = a.ts AND b.event_id < a.event_id))
+      GROUP BY 1, 2 ORDER BY a.event_id
+    """.trim))
+
   def all: Seq[HarnessQuery] =
-    Seq(q77StreamWindow, q78StreamDedup, q79StatefulVelocity)
+    Seq(q77StreamWindow, q78StreamDedup, q79StatefulVelocity, q84TwsVelocity)
 }

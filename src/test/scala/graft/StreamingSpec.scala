@@ -137,6 +137,37 @@ class StreamingSpec extends SparkSpec {
     assert(got === batch)
   }
 
+  test("stateful velocity hot key: 20k single-key events stay exact") {
+    // the pre-fix buffer scan was O(b²) per key per batch — 4·10⁸
+    // comparisons for this case; the sorted-buffer binary search makes
+    // it ~3·10⁵. Events 10 s apart, so the 24 h window holds 8640
+    // predecessors: n(i) = min(i, 8640), which also pins the window's
+    // closed lower edge (event i=8640 sees exactly ts-24h inclusive).
+    val n = 20000
+    val events = (0 until n).map(i => VEvent("hot", i.toLong * 10000000L, i.toLong))
+    val got = StreamingOps.velocityWithState(spark.createDataset(events))
+      .collect().map(c => c.eventId -> c.n).toMap
+    assert(got.size === n)
+    (0 until n).foreach { i =>
+      val expect = math.min(i.toLong, 8640L)
+      assert(got(i.toLong) === expect, s"event $i: got ${got(i.toLong)}, want $expect")
+    }
+  }
+
+  test("transformWithState velocity runs in batch mode and matches flatMapGroupsWithState") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val events = rows.map { case (id, u, t, _) => VEvent(u, t.getTime * 1000L, id) }
+      val ds = spark.createDataset(events)
+      val tws = StreamingOps.velocityWithTws(ds)
+        .collect().map(c => c.eventId -> c.n).toMap
+      val fm = StreamingOps.velocityWithState(ds)
+        .collect().map(c => c.eventId -> c.n).toMap
+      assert(tws === fm)
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("stateful velocity equals batch RANGE-window counts across batches") {
     implicit val sqlCtx = spark.sqlContext
     val events = rows.map { case (id, u, t, _) =>
