@@ -56,6 +56,30 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"recall $recall")
   }
 
+  test("multimodal: real PNG decodes to true dimensions, bands, luma histogram") {
+    // 8x4 RGB PNG generated in-memory: left half black, right half white
+    val img = new java.awt.image.BufferedImage(
+      8, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 8)
+      img.setRGB(x, y, if (x < 4) 0x000000 else 0xFFFFFF)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val media = Seq((7L, bos.toByteArray, "image/png", 8, 4))
+      .toDF("media_id", "media", "media_type", "declared_width", "declared_height")
+      .as[Multimodal.MediaRow]
+    val f = Multimodal.decodeFeatures(media).head()
+    assert(f.decoded_width === 8)
+    assert(f.decoded_height === 4)
+    assert(f.channels === 3)
+    assert(f.feature(0) === 0.5)  // the black half
+    assert(f.feature(15) === 0.5) // the white half
+    assert(math.abs(f.feature.sum - 1.0) < 1e-12)
+    // non-image payloads keep the byte-stat fallback with sentinel dims
+    val t = Multimodal.decodeFeatures(Multimodal.mediaFromText(
+      Seq((1L, "ab")).toDF("id", "text"), "id", "text")).head()
+    assert(t.decoded_width === -1 && t.decoded_height === -1 && t.channels === 0)
+  }
+
   test("multimodal: stub decode byte stats + resize + frame sampling") {
     val media = Multimodal.mediaFromText(
       Seq((1L, "abcd")).toDF("id", "text"), "id", "text")
