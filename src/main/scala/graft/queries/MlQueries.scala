@@ -117,7 +117,102 @@ object MlQueries {
       ORDER BY idx
     """.trim))
 
+  /** EP1 end-to-end over testdata: the reference's flagship
+    * load→clean→transform→split chain (run_pipeline.py → processor.py)
+    * driven through the REAL operators on a fraud-shaped frame derived
+    * from `events` — string timestamps (1 in 101 corrupted, so coercion
+    * has something to coerce), a device id, an ip-like key into derived
+    * nation ranges, and a deterministic label. Every stage is
+    * individually oracled elsewhere (q15 coerce, q12 dedup, q02 range
+    * join, q22 time features, q20 velocity, q40 split); this row proves
+    * the COMPOSITION: one SQL oracle replays the whole chain. The final
+    * shape is per-(label, day_of_week) feature aggregates joined with
+    * the per-label split audit — counts and decimal-exact sums, so the
+    * hash pins every stage's output without depending on engine-specific
+    * split membership.
+    */
+  val q85Ep1Pipeline = HarnessQuery(
+    "q85_ep1_pipeline",
+    (spark, dir) => {
+      import graft.operators.{Cleaning, RangeJoin, TimeFeatures}
+      val shaped = Tables.events(spark, dir).select(
+        col("event_id"), col("user_id"), col("value"),
+        when(pmod(col("event_id"), lit(101L)) === 0, lit("not-a-timestamp"))
+          .otherwise(col("ts").cast("string")).as("purchase_time"),
+        concat(lit("d"), pmod(col("user_id"), lit(50L))).as("device_id"),
+        pmod(col("user_id"), lit(1000L)).as("ip_address_int"),
+        when(pmod(col("event_id"), lit(10L)) === 0, 1L).otherwise(0L).as("label"))
+      // clean: coerce (errors='coerce'), drop failed rows, dedup
+      val coerced = Cleaning.coerceTimestamps(shaped, Seq("purchase_time"))
+      val clean = Cleaning.dedup(coerced.na.drop(Seq("purchase_time")))
+      // geolocate into derived nation ranges (the q02 shape)
+      val ranges = Tables.nation(spark, dir).select(
+        col("n_name").as("country"),
+        (col("n_nationkey").cast("long") * 40L).as("lower_bound_ip_address_int"),
+        (col("n_nationkey").cast("long") * 40L + 29L).as("upper_bound_ip_address_int"))
+      val geo = RangeJoin.geolocate(clean, ranges)
+      // temporal + velocity features; signup derived so elapsed time is
+      // deterministic (user_id % 97 + 1 whole hours before purchase)
+      val signup = geo.withColumn("signup_time",
+        timestamp_micros(unix_micros(col("purchase_time")) -
+          (pmod(col("user_id"), lit(97L)) + 1L) * 3600000000L))
+      val feat = TimeFeatures.engineerFraudFeatures(signup,
+        purchaseTs = "purchase_time", signupTs = "signup_time",
+        velocityKeys = Seq("user_id"))
+      // stratified split audit joined onto per-(label, weekday) sums
+      val splitCounts = Split.summary(feat, "label", 0.2, 42L,
+        tieBreak = Seq(col("event_id")))
+      feat.groupBy(col("label"), col("day_of_week"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("user_transactions_24h")).as("sum_user_tx"),
+          sum(col("hour_of_day")).as("sum_hour"),
+          sum(col("time_since_signup_seconds").cast("decimal(25,6)"))
+            .cast("double").as("sum_tss"),
+          sum(when(col("country") === "Unknown", 1L).otherwise(0L)).as("n_unknown"))
+        .join(broadcast(splitCounts), Seq("label"))
+        .select(col("label"), col("day_of_week"), col("n"), col("sum_user_tx"),
+          col("sum_hour"), col("sum_tss"), col("n_unknown"),
+          col("n_train"), col("n_test"))
+        .orderBy(col("label"), col("day_of_week"))
+    },
+    Some("""
+      WITH clean AS (
+        SELECT event_id, user_id,
+               CAST(ts AS TIMESTAMP) AS pt,
+               user_id % 1000 AS uk,
+               CASE WHEN event_id % 10 = 0 THEN 1 ELSE 0 END AS label
+        FROM events WHERE event_id % 101 <> 0),
+      geo AS (
+        SELECT c.*, coalesce(r.n_name, 'Unknown') AS country
+        FROM clean c LEFT JOIN
+          (SELECT n_name, n_nationkey * 40 AS lb, n_nationkey * 40 + 29 AS ub
+           FROM nation) r
+          ON c.uk >= r.lb AND c.uk <= r.ub),
+      feat AS (
+        SELECT *,
+               CAST(hour(pt) AS BIGINT) AS hour_of_day,
+               CAST(isodow(pt) - 1 AS BIGINT) AS day_of_week,
+               CAST((user_id % 97 + 1) * 3600 AS DOUBLE) AS tss,
+               count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(pt)
+                 RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW) - 1
+                 AS user_tx
+        FROM geo),
+      sizes AS (
+        SELECT label, count(*) AS cnt FROM feat GROUP BY label)
+      SELECT CAST(f.label AS BIGINT) AS label, f.day_of_week,
+             count(*) AS n,
+             CAST(sum(f.user_tx) AS BIGINT) AS sum_user_tx,
+             CAST(sum(f.hour_of_day) AS BIGINT) AS sum_hour,
+             CAST(sum(CAST(f.tss AS DECIMAL(25,6))) AS DOUBLE) AS sum_tss,
+             CAST(sum(CASE WHEN f.country = 'Unknown' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unknown,
+             min(s.cnt - CAST(ceil(s.cnt * 0.2) AS BIGINT)) AS n_train,
+             min(CAST(ceil(s.cnt * 0.2) AS BIGINT)) AS n_test
+      FROM feat f JOIN sizes s ON f.label = s.label
+      GROUP BY 1, 2 ORDER BY 1, 2
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q40SplitSummary, q41UndersampleCounts, q42SmoteCounts,
-    q43FeaturePipeline, q44FeatureNames)
+    q43FeaturePipeline, q44FeatureNames, q85Ep1Pipeline)
 }
