@@ -29,14 +29,16 @@ import org.apache.spark.sql.functions._
   * Rows with no LSH bucket collision fall back to self-duplication
   * (u·0 interpolation) so the output size is always exact.
   *
-  * Row identity: pass `idCol` (a unique key) whenever one exists — the
-  * plan then carries the caller's stable id and holds NO persisted
-  * state, so the operator composes into long-lived sessions without
-  * leaking cache blocks, and recomputed lineage (executor loss) cannot
-  * re-identify rows differently. Without an id column the operator
-  * falls back to `monotonically_increasing_id` + an internal cache (ids
-  * from `mid` are only stable while the blocks stay pinned); the cache
-  * lives as long as the returned plan — prefer the id path.
+  * Row identity: `idCol` (a unique key) is REQUIRED — the plan carries
+  * the caller's stable id and holds NO persisted state, so the operator
+  * composes into long-lived sessions without leaking cache blocks, and
+  * recomputed lineage (executor loss) cannot re-identify rows
+  * differently. There is deliberately no `monotonically_increasing_id`
+  * fallback: mid is only stable while its blocks stay pinned, so any
+  * fallback either leaks persisted state (contradicting this contract)
+  * or silently mis-identifies rows under recompute. A caller without a
+  * natural key should derive one deterministically (a content hash, or
+  * a key minted upstream of the pipeline).
   *
   * Features ride in an `array<double>` column; non-feature columns of a
   * synthetic row are inherited from its seed row; parity with imblearn is
@@ -53,7 +55,7 @@ object Smote {
       seed: Long = 42L,
       numHashTables: Int = 3,
       bucketLength: Double = 2.0,
-      idCol: Option[String] = None): DataFrame = {
+      idCol: String): DataFrame = {
     val counts = df.groupBy(col(labelCol)).agg(count(lit(1)).as("cnt"))
       .collect().map(r => r.get(0) -> r.getLong(1))
     require(counts.length >= 2, "SMOTE needs at least two classes")
@@ -82,17 +84,10 @@ object Smote {
       seed: Long,
       numHashTables: Int,
       bucketLength: Double,
-      idCol: Option[String]): DataFrame = {
-    val filtered = df.filter(col(labelCol) === lit(classLabel))
-    val minority = idCol match {
-      case Some(c) => filtered
-        .withColumn("__id", col(c))
-        .withColumn("__vec", array_to_vector(col(featuresCol)))
-      case None => filtered
-        .withColumn("__id", monotonically_increasing_id())
-        .withColumn("__vec", array_to_vector(col(featuresCol)))
-        .cache() // mid is only consistent across plan branches while pinned
-    }
+      idCol: String): DataFrame = {
+    val minority = df.filter(col(labelCol) === lit(classLabel))
+      .withColumn("__id", col(idCol))
+      .withColumn("__vec", array_to_vector(col(featuresCol)))
 
     val lsh = new BucketedRandomProjectionLSH()
       .setInputCol("__vec").setOutputCol("__hashes")

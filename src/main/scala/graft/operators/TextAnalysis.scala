@@ -217,6 +217,13 @@ object TextAnalysis {
     * arithmetic on (id, token count), no rand, no partition
     * dependence. Returns one row per (shard, bin) with doc and token
     * tallies.
+    *
+    * Sizing `shards`: set it ≈ total cluster cores — parallelism is
+    * bounded by it (each shard is one window partition carrying
+    * ~1/shards of the corpus). Any value ≥ 1 is semantically correct;
+    * `shards = 1` is the fully-serial degenerate case (one global
+    * packing stream), useful only when exact single-stream bin layout
+    * matters more than parallelism.
     */
   def packSequences(
       df: DataFrame,

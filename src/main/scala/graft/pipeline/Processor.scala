@@ -101,7 +101,7 @@ object Processor {
     val train = cfg.imbalanceStrategy match {
       case "smote" =>
         Smote.smote(slim(trainF), "label", "features", k = 5,
-          seed = cfg.randomState, idCol = Some(idCol))
+          seed = cfg.randomState, idCol = idCol)
       case "undersample" =>
         Balance.undersample(slim(trainF), "label", cfg.randomState,
           Seq(col(idCol)))

@@ -61,7 +61,7 @@ object MlQueries {
         .select(col("vec_id"), col("y"), col("feat"))
       Balance.classCounts(
         Smote.smote(df, "y", "feat", k = 5, seed = 42L,
-          idCol = Some("vec_id")), "y")
+          idCol = "vec_id"), "y")
         .withColumnRenamed("y", "label")
     },
     Some("""

@@ -83,7 +83,7 @@ class SplitBalanceSpec extends SparkSpec {
       .map { case (id, lbl) => (id, lbl, Array(id * 1.0, id * 3.0)) }
       .toDF("id", "label", "f")
     val s = Smote.smote(tri, "label", "f", k = 3, seed = 42L, bucketLength = 50.0,
-      idCol = Some("id"))
+      idCol = "id")
     val counts = s.groupBy("label").count().collect()
       .map(x => x.getInt(0) -> x.getLong(1)).toMap
     assert(counts === Map(0 -> 60L, 1 -> 60L, 2 -> 60L))
@@ -94,17 +94,21 @@ class SplitBalanceSpec extends SparkSpec {
       .select($"id", $"label", $"f")
     val before = spark.sparkContext.getPersistentRDDs.keySet
     Smote.smote(feat, "label", "f", k = 3, seed = 42L,
-      bucketLength = 50.0, idCol = Some("id")).count()
+      bucketLength = 50.0, idCol = "id").count()
     val after = spark.sparkContext.getPersistentRDDs.keySet
     assert((after -- before).isEmpty,
       s"smote leaked persisted RDDs: ${after -- before}")
   }
 
+  // there is deliberately NO no-idCol smote test: the operator requires
+  // a caller-supplied unique key at the type level — a mid fallback
+  // either pins persisted state or mis-identifies rows under recompute
+
   test("smote: exact balance; synthetics inside minority bounding box") {
     val feat = df.withColumn("f", array($"x", $"x" * 2.0))
       .select($"id", $"label", $"f")
     val s = Smote.smote(feat, "label", "f", k = 3, seed = 42L,
-      bucketLength = 50.0, idCol = Some("id"))
+      bucketLength = 50.0, idCol = "id")
     val counts = s.groupBy("label").count().collect()
       .map(x => x.getInt(0) -> x.getLong(1)).toMap
     assert(counts === Map(0 -> 80L, 1 -> 80L))

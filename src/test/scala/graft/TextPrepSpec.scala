@@ -98,4 +98,19 @@ class TextPrepSpec extends SparkSpec {
     assert(r.getAs[Long]("n_types") === 3)
     assert(r.getAs[Double]("ttr") === 0.5)
   }
+
+  test("packSequences shards=1: the serial degenerate case packs one global stream") {
+    // token counts (4,3,5,2,6), target 8: running ends 4,7,12,14,20 ->
+    // first-token offsets 0,4,7,12,14 -> bins 0,0,0,1,1
+    val df = Seq((1L, 4L), (2L, 3L), (3L, 5L), (4L, 2L), (5L, 6L))
+      .toDF("doc_id", "n_tokens")
+    val got = TextAnalysis
+      .packSequences(df, "doc_id", "n_tokens", targetTokens = 8, shards = 1)
+      .collect().map(r => (r.getAs[Long]("shard"), r.getAs[Long]("bin"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("sum_tokens"))).toSet
+    assert(got === Set((0L, 0L, 3L, 12L), (0L, 1L, 2L, 8L)))
+    assertThrows[IllegalArgumentException] {
+      TextAnalysis.packSequences(df, "doc_id", "n_tokens", 8, shards = 0)
+    }
+  }
 }
