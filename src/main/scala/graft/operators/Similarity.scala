@@ -173,6 +173,59 @@ object Similarity {
     rankTopK(scorePairs(pairs, corpus, queries, idCol, vecCol), k)
   }
 
+  /** Fixed-point int8 quantization of a float vector:
+    * `q_i = clamp(floor(v_i * 128), -128, 127)` — the memory-compression
+    * step of quantized ANN (4x smaller vectors, integer dot products).
+    * The scale is a FIXED power of two, not a data-dependent min/max:
+    * float→double widening is exact and multiplying by 2^7 is exact in
+    * binary floating point, so every engine computes the identical
+    * codes bit-for-bit (a learned scale would inherit the traversal
+    * order of its float statistics). Embeddings are unit-scale
+    * (|v_i| < 1 after normalization), so the code range is never
+    * saturated in practice; the clamp guards pathological inputs.
+    */
+  def quantizeFixed(vec: Column): Column =
+    transform(vec, x =>
+      greatest(lit(-128L), least(lit(127L), floor(x.cast("double") * 128))))
+
+  /** Top-k neighbors by integer dot product in the quantized space —
+    * the cheap first pass of a quantized retrieval stack (the exact
+    * decimal re-rank of [[cosineTopK]] is the refine pass). Same
+    * dataflow as [[cosineTopK]]: queries broadcast, corpus ships
+    * (id, dim, int8-code) triples — a quarter of the float traffic —
+    * into one HashAggregate; the dot is a LONG sum (dim * 128² per
+    * term, overflow-free for any realistic dim) so scores are exact
+    * integers with no float parity concerns at all.
+    */
+  def quantizedTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val cQ = corpus.select(col(idCol).as("neighbor_id"),
+        posexplode(quantizeFixed(col(vecCol))))
+      .select(col("neighbor_id"), col("pos").as("__d"), col("col").as("__qc"))
+    val qQ = broadcast(
+      queries.select(col(idCol).as("query_id"),
+          posexplode(quantizeFixed(col(vecCol))))
+        .select(col("query_id"), col("pos").as("__d"), col("col").as("__qq")))
+    val pairs = corpus.select(col(idCol).as("neighbor_id"))
+      .crossJoin(broadcast(queries.select(col(idCol).as("query_id"))))
+      .filter(col("neighbor_id") =!= col("query_id"))
+    val dots = pairs
+      .join(cQ, Seq("neighbor_id"))
+      .join(qQ, Seq("query_id", "__d"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("__qq") * col("__qc")).as("qdot"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("qdot").desc, col("neighbor_id"))
+    dots.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("qdot").cast("long").as("qdot"))
+  }
+
   /** Deterministic pseudo-random hyperplanes, computed ONCE on the
     * driver (md5-derived uniforms in [-0.5, 0.5), seeded) and shipped as
     * literal arrays — the per-row cost is just the dot product, no

@@ -242,6 +242,59 @@ object TextAnalysis {
         sum(col(tokenCountCol)).cast("long").as("sum_tokens"))
   }
 
+  /** Gopher-style repetition statistics (the public repetition filter
+    * family of Rae et al. 2021, "Scaling Language Models: Methods,
+    * Analysis & Insights from Training Gopher", appendix A1.1):
+    * repetitive documents are low-value training data, and the cheap
+    * signals are the share of the most frequent token and the fraction
+    * of n-gram occurrences whose n-gram appears more than once. Per
+    * document: `n_tokens`, `top_token_frac` (count of the modal token /
+    * total tokens), `dup_token_frac`, `dup_2gram_frac`, `dup_3gram_frac`
+    * (occurrences belonging to repeated uni/bi/tri-grams over total
+    * occurrences of that order).
+    *
+    * Dataflow shape is [[tfidf]]'s: per gram order, one explode + two
+    * hash aggregations keyed by (doc, gram) then (doc) — partial
+    * aggregation absorbs the repetition map-side, nothing is collected,
+    * and no per-row O(len²) array scan (the arrays stay O(len) per row;
+    * counting happens in the aggregate). Documents shorter than n
+    * tokens have no n-grams: their fraction is NULL, not 0.
+    */
+  def repetitionStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val base = df.select(col(idCol),
+      TextFunctions.tokens(col(textCol)).as("__toks"))
+    def gramStats(n: Int, total: String, top: String, dup: String): DataFrame = {
+      val grams =
+        if (n == 1) col("__toks")
+        else {
+          val cnt = size(col("__toks")) - (n - 1)
+          when(cnt > 0, transform(sequence(lit(1), cnt),
+            i => array_join(slice(col("__toks"), i, lit(n)), " ")))
+            .otherwise(array().cast("array<string>"))
+        }
+      base.select(col(idCol), explode(grams).as("__g"))
+        .groupBy(col(idCol), col("__g"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col(idCol))
+        .agg(sum(col("__c")).as(total), max(col("__c")).as(top),
+          sum(when(col("__c") > 1, col("__c")).otherwise(0L)).as(dup))
+    }
+    val t1 = gramStats(1, "__n1", "__top1", "__dup1")
+    val t2 = gramStats(2, "__n2", "__top2", "__dup2")
+    val t3 = gramStats(3, "__n3", "__top3", "__dup3")
+    t1.join(t2, Seq(idCol), "left").join(t3, Seq(idCol), "left")
+      .select(col(idCol),
+        col("__n1").cast("long").as("n_tokens"),
+        round(col("__top1").cast("double") / col("__n1"), 12)
+          .as("top_token_frac"),
+        round(col("__dup1").cast("double") / col("__n1"), 12)
+          .as("dup_token_frac"),
+        round(col("__dup2").cast("double") / col("__n2"), 12)
+          .as("dup_2gram_frac"),
+        round(col("__dup3").cast("double") / col("__n3"), 12)
+          .as("dup_3gram_frac"))
+  }
+
   /** Vocabulary richness: token/type counts and type-token ratio. */
   def vocabStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val toks = TextFunctions.tokens(col(textCol))

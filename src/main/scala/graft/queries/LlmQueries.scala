@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Multimodal, Similarity, TextAnalysis, TextDedup}
+import graft.operators.{Mixture, Multimodal, Similarity, TextAnalysis, TextDedup}
 import graft.sources.Tables
 
 /** M7: LLM-training-data operators over `documents` / `embeddings` —
@@ -1020,6 +1020,117 @@ object LlmQueries {
       GROUP BY 1 ORDER BY 1
     """.trim))
 
+  /** Gopher-style repetition filters
+    * ([[TextAnalysis.repetitionStats]]): top-token share and duplicate
+    * uni/bi/tri-gram occurrence fractions per document — the oracle
+    * replays the explode + two-aggregation dataflow per gram order.
+    */
+  val q86RepetitionStats = HarnessQuery(
+    "q86_repetition_stats",
+    (spark, dir) =>
+      TextAnalysis.repetitionStats(Tables.documents(spark, dir), "text", "doc_id")
+        .orderBy(col("doc_id")),
+    Some("""
+      WITH toks AS (SELECT doc_id,
+                           regexp_split_to_array(trim(lower(text)), '\s+') AS t
+                    FROM documents),
+      c1 AS (SELECT doc_id, g, count(*) AS c
+             FROM (SELECT doc_id, unnest(t) AS g FROM toks) GROUP BY 1, 2),
+      s1 AS (SELECT doc_id, sum(c) AS total, max(c) AS top,
+                    sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+             FROM c1 GROUP BY 1),
+      c2 AS (SELECT doc_id, g, count(*) AS c
+             FROM (SELECT doc_id, unnest(list_transform(
+                     generate_series(1, len(t) - 1),
+                     i -> t[i] || ' ' || t[i+1])) AS g
+                   FROM toks) GROUP BY 1, 2),
+      s2 AS (SELECT doc_id, sum(c) AS total,
+                    sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+             FROM c2 GROUP BY 1),
+      c3 AS (SELECT doc_id, g, count(*) AS c
+             FROM (SELECT doc_id, unnest(list_transform(
+                     generate_series(1, len(t) - 2),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+                   FROM toks) GROUP BY 1, 2),
+      s3 AS (SELECT doc_id, sum(c) AS total,
+                    sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+             FROM c3 GROUP BY 1)
+      SELECT s1.doc_id, CAST(s1.total AS BIGINT) AS n_tokens,
+             round(CAST(s1.top AS DOUBLE) / s1.total, 12) AS top_token_frac,
+             round(CAST(s1.dup AS DOUBLE) / s1.total, 12) AS dup_token_frac,
+             round(CAST(s2.dup AS DOUBLE) / s2.total, 12) AS dup_2gram_frac,
+             round(CAST(s3.dup AS DOUBLE) / s3.total, 12) AS dup_3gram_frac
+      FROM s1 LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id)
+      ORDER BY doc_id
+    """.trim))
+
+  /** Domain-mixture sampling ([[Mixture.sampleMixture]]): the retained
+    * MEMBERSHIP is the oracle target, not just sizes — the md5-based
+    * ordering hash replays in SQL, so the per-domain quota arithmetic
+    * and the content-hash rank are both pinned.
+    */
+  val q88MixtureSample = HarnessQuery(
+    "q88_mixture_sample",
+    (spark, dir) =>
+      Mixture.sampleMixture(
+        Tables.documents(spark, dir), "source",
+        Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1),
+        "doc_id", seed = 42L)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("source"), col("doc_id")),
+    Some("""
+      WITH w AS (SELECT * FROM (VALUES
+               ('src0', CAST(0.4 AS DOUBLE)), ('src1', CAST(0.3 AS DOUBLE)),
+               ('src2', CAST(0.2 AS DOUBLE)), ('src3', CAST(0.1 AS DOUBLE)))
+               t(source, w)),
+      c AS (SELECT source, count(*) AS cnt, max(w) AS w
+            FROM documents JOIN w USING (source) GROUP BY 1),
+      n AS (SELECT CAST(min(floor(cnt / w)) AS BIGINT) AS total FROM c),
+      q AS (SELECT source, CAST(floor(w * total) AS BIGINT) AS quota
+            FROM w, n),
+      r AS (SELECT doc_id, source,
+              row_number() OVER (PARTITION BY source ORDER BY
+                CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15))
+                  AS BIGINT),
+                doc_id) AS rn
+            FROM documents JOIN w USING (source))
+      SELECT doc_id, source FROM r JOIN q USING (source)
+      WHERE rn <= quota ORDER BY source, doc_id
+    """.trim))
+
+  /** Quantized ANN first pass ([[Similarity.quantizedTopK]]): int8
+    * fixed-point codes, integer dot products — every score is an exact
+    * integer, so the oracle is a bit-exact replay with zero float
+    * tolerance anywhere.
+    */
+  val q89QuantizedTopK = HarnessQuery(
+    "q89_quantized_topk",
+    (spark, dir) => {
+      val em = Tables.embeddings(spark, dir)
+      Similarity.quantizedTopK(
+        em, em.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""
+      WITH q AS (SELECT vec_id,
+               list_transform(embedding, x -> GREATEST(-128, LEAST(127,
+                 CAST(floor(CAST(x AS DOUBLE) * 128) AS BIGINT)))) AS qv
+             FROM embeddings),
+      pairs AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               sum(a.qv[g.i] * b.qv[g.i]) AS qdot
+        FROM q a, q b, generate_series(1, 64) g(i)
+        WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT query_id, neighbor_id, qdot,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY qdot DESC, neighbor_id) AS rank
+        FROM pairs)
+      SELECT query_id, rank, neighbor_id, CAST(qdot AS BIGINT) AS qdot
+      FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q50TextStats, q51TokenCount, q52LangQuality, q53Fingerprint,
     q54Shingles, q55MinhashPairs, q56ExactDedup, q57SimhashPairs,
@@ -1027,5 +1138,6 @@ object LlmQueries {
     q63SimhashSig, q64Tfidf, q65MinhashDedup, q66FrameSample, q67Bm25,
     q68LabelCentroid, q69Boilerplate, q70Redact, q71Chunk, q72Vocab,
     q73Fuzzy, q74DedupClusters, q75IncrementalDedup, q76DocPipeline,
-    q82PackSequences, q83Decontaminate)
+    q82PackSequences, q83Decontaminate, q86RepetitionStats,
+    q88MixtureSample, q89QuantizedTopK)
 }

@@ -147,6 +147,54 @@ object StreamingQueries {
       GROUP BY 1, 2 ORDER BY a.event_id
     """.trim))
 
+  /** The real-time scoring enrichment
+    * ([[graft.streaming.StreamingScoring.enrich]]) run in batch mode:
+    * stream-static broadcast geolocation + stateless temporal features
+    * are the same plan on both engines (StreamingScoringSpec proves the
+    * MemoryStream side produces these rows through micro-batches), so
+    * this row oracles the scoring pipeline's feature semantics — the
+    * last streaming surface that was spec-only. Input is the q85
+    * fraud-shaped frame: ip key into derived nation ranges, signup a
+    * deterministic whole-hour offset before purchase.
+    */
+  val q87StreamEnrich = HarnessQuery(
+    "q87_stream_enrich",
+    (spark, dir) => {
+      val tx = Tables.events(spark, dir).select(
+        col("event_id"), col("user_id"),
+        col("ts").as("purchase_time"),
+        timestamp_micros(unix_micros(col("ts")) -
+          (pmod(col("user_id"), lit(97L)) + 1L) * 3600000000L)
+          .as("signup_time"),
+        pmod(col("user_id"), lit(1000L)).as("ip_address_int"))
+      val ranges = Tables.nation(spark, dir).select(
+        col("n_name").as("country"),
+        (col("n_nationkey").cast("long") * 40L)
+          .as("lower_bound_ip_address_int"),
+        (col("n_nationkey").cast("long") * 40L + 29L)
+          .as("upper_bound_ip_address_int"))
+      graft.streaming.StreamingScoring.enrich(tx, ranges)
+        .select(col("event_id"), col("country"), col("hour_of_day"),
+          col("day_of_week"), col("time_since_signup_seconds"),
+          col("time_since_signup_hours"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT e.event_id,
+             coalesce(r.n_name, 'Unknown') AS country,
+             CAST(hour(CAST(e.ts AS TIMESTAMP)) AS BIGINT) AS hour_of_day,
+             CAST(isodow(CAST(e.ts AS TIMESTAMP)) - 1 AS BIGINT) AS day_of_week,
+             CAST((e.user_id % 97 + 1) * 3600 AS DOUBLE)
+               AS time_since_signup_seconds,
+             CAST(e.user_id % 97 + 1 AS DOUBLE) AS time_since_signup_hours
+      FROM events e LEFT JOIN
+        (SELECT n_name, n_nationkey * 40 AS lb, n_nationkey * 40 + 29 AS ub
+         FROM nation) r
+        ON e.user_id % 1000 >= r.lb AND e.user_id % 1000 <= r.ub
+      ORDER BY e.event_id
+    """.trim))
+
   def all: Seq[HarnessQuery] =
-    Seq(q77StreamWindow, q78StreamDedup, q79StatefulVelocity, q84TwsVelocity)
+    Seq(q77StreamWindow, q78StreamDedup, q79StatefulVelocity,
+      q84TwsVelocity, q87StreamEnrich)
 }

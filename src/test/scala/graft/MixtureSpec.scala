@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.Mixture
+
+class MixtureSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 3 domains with skewed counts: a=60, b=30, c=10
+  private def corpus = {
+    val rows = (0 until 60).map(i => (i.toLong, "a")) ++
+      (100 until 130).map(i => (i.toLong, "b")) ++
+      (200 until 210).map(i => (i.toLong, "c"))
+    rows.toDF("id", "dom")
+  }
+
+  test("quota arithmetic: largest total servable without upsampling") {
+    val w = Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2)
+    // N = min(floor(60/.5)=120, floor(30/.3)=100, floor(10/.2)=50) = 50
+    // quotas: floor(.5*50)=25, floor(.3*50)=15, floor(.2*50)=10
+    val got = Mixture.mixtureSummary(corpus, "dom", w, "id", 42L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> 25L, "b" -> 15L, "c" -> 10L))
+  }
+
+  test("membership: deterministic, equals the unsalted single-window rank") {
+    val w = Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2)
+    val s1 = Mixture.sampleMixture(corpus, "dom", w, "id", 42L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val s2 = Mixture.sampleMixture(corpus.repartition(7), "dom", w, "id", 42L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(s1 === s2, "membership must not depend on partitioning")
+    // reference: plain per-domain window over the same hash order
+    val h = TextFunctions.md5Hash60(concat($"id".cast("string"), lit(":42")))
+    val ranked = corpus.withColumn("__h", h)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"dom").orderBy($"__h", $"id")))
+    val quota = Map("a" -> 25, "b" -> 15, "c" -> 10)
+    val ref = ranked.collect()
+      .filter(r => r.getAs[Int]("rn") <= quota(r.getAs[String]("dom")))
+      .map(_.getAs[Long]("id")).toSet
+    assert(s1 === ref, "salted two-level rank must equal the global rank")
+  }
+
+  test("unweighted domains are dropped; different seed shifts membership") {
+    val w = Map("a" -> 1.0)
+    val kept = Mixture.sampleMixture(corpus, "dom", w, "id", 42L)
+    assert(kept.select("dom").distinct().collect().map(_.getString(0)).toSeq
+      === Seq("a"))
+    assert(kept.count() === 60L) // floor(1.0 * floor(60/1.0)) = 60
+    val w2 = Map("a" -> 0.5, "b" -> 0.5)
+    val m1 = Mixture.sampleMixture(corpus, "dom", w2, "id", 1L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val m2 = Mixture.sampleMixture(corpus, "dom", w2, "id", 2L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(m1 !== m2, "seed must drive the content-hash order")
+  }
+}

@@ -28,6 +28,27 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq === Seq(2L, 3L, 4L))
   }
 
+  test("quantizeFixed: floor codes, clamped at the int8 edges") {
+    val df = Seq(Array(0.5f, -0.5f, 0.9999f, -1.5f, 2.0f, 0.0f)).toDF("v")
+    val got = df.select(Similarity.quantizeFixed($"v")).head.getSeq[Long](0)
+    // 0.5*128=64; -0.5*128=-64; 0.9999*128=127.98->127; -1.5*128=-192->-128
+    // (clamp); 2*128=256->127 (clamp); 0->0
+    assert(got === Seq(64L, -64L, 127L, -128L, 127L, 0L))
+  }
+
+  test("quantizedTopK: integer dots rank like cosine on separated vectors") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val q = corpus.filter($"vec_id" === 1L)
+    val got = Similarity.quantizedTopK(corpus, q, "vec_id", "embedding", k = 3)
+      .orderBy($"rank").collect()
+    assert(got.map(_.getLong(2)).toSeq === Seq(2L, 3L, 4L))
+    // dot(q1, c2) with codes: 1.0->127 (clamped from 128), 0.9*128=115.2->115,
+    // 0.1*128=12.8->12, so 127*115 + 0*12 = 14605 — exact integer scores
+    assert(got(0).getLong(3) === 14605L)
+  }
+
   test("LSH ANN recall vs brute force >= 0.6 on real embeddings") {
     val em = Tables.embeddings(spark, "/root/testdata/sf0.001").cache()
     val q = em.filter($"vec_id" < 10)

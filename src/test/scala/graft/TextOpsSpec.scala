@@ -37,6 +37,27 @@ class TextOpsSpec extends SparkSpec {
     assert(got.toSeq === samples.map(_._2))
   }
 
+  test("repetitionStats: hand-computed fractions on known docs") {
+    val df = Seq(
+      (1L, "a a a b"),      // tokens: a x3, b -> top 3/4, dup 3/4
+                            // 2-grams: "a a" x2, "a b" -> dup 2/3
+                            // 3-grams: "a a a", "a a b" -> dup 0/2
+      (2L, "x y z"),        // all unique: top 1/3, dup 0 everywhere
+      (3L, "q w")           // no 3-grams -> NULL dup_3gram_frac
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionStats(df, "text", "doc_id")
+      .orderBy($"doc_id").collect()
+    assert(r(0).getAs[Long]("n_tokens") === 4L)
+    assert(r(0).getAs[Double]("top_token_frac") === 0.75)
+    assert(r(0).getAs[Double]("dup_token_frac") === 0.75)
+    assert(math.abs(r(0).getAs[Double]("dup_2gram_frac") - 2.0 / 3) < 1e-12)
+    assert(r(0).getAs[Double]("dup_3gram_frac") === 0.0)
+    assert(math.abs(r(1).getAs[Double]("top_token_frac") - 1.0 / 3) < 1e-12)
+    assert(r(1).getAs[Double]("dup_token_frac") === 0.0)
+    assert(r(2).getAs[Long]("n_tokens") === 2L)
+    assert(r(2).isNullAt(r(2).fieldIndex("dup_3gram_frac")))
+  }
+
   test("fingerprint is whitespace/case-insensitive canonical") {
     val df = Seq(("a  B\tc", "a b c")).toDF("x", "y")
     val r = df.select(
