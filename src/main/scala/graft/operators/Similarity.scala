@@ -190,12 +190,15 @@ object Similarity {
 
   /** Top-k neighbors by integer dot product in the quantized space —
     * the cheap first pass of a quantized retrieval stack (the exact
-    * decimal re-rank of [[cosineTopK]] is the refine pass). Same
-    * dataflow as [[cosineTopK]]: queries broadcast, corpus ships
-    * (id, dim, int8-code) triples — a quarter of the float traffic —
-    * into one HashAggregate; the dot is a LONG sum (dim * 128² per
-    * term, overflow-free for any realistic dim) so scores are exact
-    * integers with no float parity concerns at all.
+    * decimal re-rank of [[cosineTopK]] is the refine pass). The plan is
+    * a pure broadcast map: quantized query vectors (tiny — int8 codes)
+    * broadcast against the corpus, the dot computed per pair by the
+    * codegen'd [[graft.functions.QuantizedDotExpr]] — the corpus never
+    * shuffles AT ALL; only (query_id, neighbor_id, qdot) id/score rows
+    * enter the top-k rank. The dot is a LONG sum (dim * 128² per term,
+    * overflow-free for any realistic dim), so scores are exact integers
+    * with no float parity concerns. Rows with null/empty vectors are
+    * excluded (the object-level undefined-cosine contract).
     */
   def quantizedTopK(
       corpus: DataFrame,
@@ -203,21 +206,19 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int): DataFrame = {
-    val cQ = corpus.select(col(idCol).as("neighbor_id"),
-        posexplode(quantizeFixed(col(vecCol))))
-      .select(col("neighbor_id"), col("pos").as("__d"), col("col").as("__qc"))
-    val qQ = broadcast(
-      queries.select(col(idCol).as("query_id"),
-          posexplode(quantizeFixed(col(vecCol))))
-        .select(col("query_id"), col("pos").as("__d"), col("col").as("__qq")))
-    val pairs = corpus.select(col(idCol).as("neighbor_id"))
-      .crossJoin(broadcast(queries.select(col(idCol).as("query_id"))))
+    corpus.sparkSession.sessionState.functionRegistry
+      .createOrReplaceTempFunction("graft_quantized_dot",
+        exprs => graft.functions.QuantizedDotExpr(exprs(0), exprs(1)),
+        "scala_udf")
+    def codes(df: DataFrame, outId: String, outVec: String): DataFrame =
+      df.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+        .select(col(idCol).as(outId), quantizeFixed(col(vecCol)).as(outVec))
+    val dots = codes(corpus, "neighbor_id", "__qc")
+      .crossJoin(broadcast(codes(queries, "query_id", "__qq")))
       .filter(col("neighbor_id") =!= col("query_id"))
-    val dots = pairs
-      .join(cQ, Seq("neighbor_id"))
-      .join(qQ, Seq("query_id", "__d"))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(sum(col("__qq") * col("__qc")).as("qdot"))
+      .select(col("query_id"), col("neighbor_id"),
+        call_function("graft_quantized_dot", col("__qc"), col("__qq"))
+          .as("qdot"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("qdot").desc, col("neighbor_id"))
     dots.withColumn("rank", row_number().over(w))

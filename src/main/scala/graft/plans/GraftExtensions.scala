@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.IpToIntExpr
+import graft.functions.{IpToIntExpr, QuantizedDotExpr}
 
 /** Engine extensions, installed with
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or
@@ -25,5 +25,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         IpToIntExpr(org.apache.spark.sql.catalyst.expressions.Cast(
           children.head, org.apache.spark.sql.types.StringType))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_quantized_dot"),
+      new ExpressionInfo(classOf[QuantizedDotExpr].getName,
+        "graft_quantized_dot"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        QuantizedDotExpr(children(0), children(1))))
   }
 }

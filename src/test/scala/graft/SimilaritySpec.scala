@@ -36,6 +36,27 @@ class SimilaritySpec extends SparkSpec {
     assert(got === Seq(64L, -64L, 127L, -128L, 127L, 0L))
   }
 
+  test("QuantizedDotExpr agrees with the lambda fold; ragged and null-element cases") {
+    import graft.functions.QuantizedDotExpr
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_quantized_dot",
+      exprs => QuantizedDotExpr(exprs(0), exprs(1)), "scala_udf")
+    val df = Seq(
+      (Seq[java.lang.Long](1L, 2L, 3L), Seq[java.lang.Long](4L, 5L, 6L)),
+      (Seq[java.lang.Long](-7L, 127L), Seq[java.lang.Long](3L, -128L)),
+      (Seq[java.lang.Long](1L, 2L, 3L), Seq[java.lang.Long](10L, 20L)), // ragged: shared prefix
+      (Seq[java.lang.Long](1L, null, 3L), Seq[java.lang.Long](5L, 7L, 11L)) // null elem -> 0
+    ).toDF("a", "b")
+    val got = df.select(call_function("graft_quantized_dot", $"a", $"b"))
+      .collect().map(_.getLong(0))
+    assert(got.toSeq === Seq(32L, -16277L, 50L, 38L))
+    // fold reference on the dense rows
+    val fold = df.limit(2).select(
+      aggregate(zip_with($"a", $"b", (x, y) => x * y), lit(0L), (acc, v) => acc + v))
+      .collect().map(_.getLong(0))
+    assert(fold.toSeq === Seq(32L, -16277L))
+  }
+
   test("quantizedTopK: integer dots rank like cosine on separated vectors") {
     val corpus = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
