@@ -81,6 +81,72 @@ object Mixture {
       .select(df.columns.map(col): _*)
   }
 
+  /** Token-budget mixture sampling — the same target-weights contract
+    * as [[sampleMixture]] measured in TOKENS, which is how production
+    * pretraining mixes actually specify composition (a domain's share
+    * of the training budget is its token share, not its document
+    * share). The total budget is the largest servable without
+    * upsampling, `B = min_d floor(tokens_d / w_d)`; domain d keeps its
+    * content-hash-ordered prefix of documents while the running
+    * inclusive token sum stays within `floor(w_d * B)` (first-fit
+    * prefix: a document that would cross the quota is dropped along
+    * with everything after it in hash order — deterministic and
+    * engine-replayable, no knapsack).
+    *
+    * Scale: identical two-level topology to [[sampleMixture]], with the
+    * per-(domain, salt-bucket) window computing a running SUM instead
+    * of a rank; per-bucket token offsets come from the broadcast
+    * (domains × 64)-row aggregate, so the global running sum is
+    * `within-bucket cumsum + offset` and no task ever scans a whole
+    * domain.
+    *
+    * @param tokenCol precomputed per-row token count (e.g.
+    *                 `size(TextFunctions.tokens(col))` or
+    *                 [[TextAnalysis.bpeishTokenCount]])
+    */
+  def sampleByTokenBudget(
+      df: DataFrame,
+      domainCol: String,
+      weights: Map[String, Double],
+      tokenCol: String,
+      idCol: String,
+      seed: Long): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "mixture weights must be non-empty and positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wdf = weights.toSeq.sortBy(_._1).toDF(domainCol, "__w")
+    val dfW = df.join(broadcast(wdf), Seq(domainCol))
+    val totals = dfW.groupBy(col(domainCol))
+      .agg(sum(col(tokenCol)).cast("long").as("__tok"), max(col("__w")).as("__wd"))
+    val budget = totals.agg(
+      min(floor(col("__tok") / col("__wd"))).cast("long").as("__B"))
+    val quotas = totals.crossJoin(broadcast(budget))
+      .select(col(domainCol),
+        floor(col("__wd") * col("__B")).cast("long").as("__tq"))
+    val hash = TextFunctions.md5Hash60(
+      concat(col(idCol).cast("string"), lit(":" + seed)))
+    val tagged0 = dfW
+      .withColumn("__h", hash)
+      .withColumn("__salt", shiftright(col("__h"), SaltShift))
+    val wSum = Window.partitionBy(col(domainCol), col("__salt"))
+      .orderBy(col("__h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOff = Window.partitionBy(col(domainCol)).orderBy(col("__salt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = tagged0.groupBy(col(domainCol), col("__salt"))
+      .agg(sum(col(tokenCol)).cast("long").as("__bt"))
+      .select(col(domainCol), col("__salt"),
+        coalesce(sum(col("__bt")).over(wOff), lit(0L)).as("__off"))
+    tagged0
+      .join(broadcast(offsets), Seq(domainCol, "__salt"))
+      .join(broadcast(quotas), Seq(domainCol))
+      .withColumn("__cum",
+        sum(col(tokenCol)).over(wSum).cast("long") + col("__off"))
+      .filter(col("__cum") <= col("__tq"))
+      .select(df.columns.map(col): _*)
+  }
+
   /** Mixture audit: per-domain retained counts (the size contract). */
   def mixtureSummary(
       df: DataFrame,

@@ -1098,6 +1098,48 @@ object LlmQueries {
       WHERE rn <= quota ORDER BY source, doc_id
     """.trim))
 
+  /** Token-budget mixture sampling ([[Mixture.sampleByTokenBudget]]):
+    * the same membership-oracle discipline as q88, but quotas are in
+    * tokens and selection is a windowed cumulative token sum over the
+    * md5 hash order — both fully SQL-replayable. Output keeps the
+    * per-doc token count so the oracle pins the cumsum arithmetic too.
+    */
+  val q90TokenBudget = HarnessQuery(
+    "q90_token_budget",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+        .withColumn("n_tokens",
+          size(TextFunctions.tokens(col("text"))).cast("long"))
+      Mixture.sampleByTokenBudget(docs, "source",
+        Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1),
+        "n_tokens", "doc_id", seed = 42L)
+        .select(col("doc_id"), col("source"), col("n_tokens"))
+        .orderBy(col("source"), col("doc_id"))
+    },
+    Some("""
+      WITH w AS (SELECT * FROM (VALUES
+               ('src0', CAST(0.4 AS DOUBLE)), ('src1', CAST(0.3 AS DOUBLE)),
+               ('src2', CAST(0.2 AS DOUBLE)), ('src3', CAST(0.1 AS DOUBLE)))
+               t(source, w)),
+      tok AS (SELECT doc_id, source,
+                     CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
+                       AS BIGINT) AS n_tokens
+              FROM documents JOIN w USING (source)),
+      tot AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS tn, max(w) AS w
+              FROM tok JOIN w USING (source) GROUP BY 1),
+      b AS (SELECT CAST(min(floor(tn / w)) AS BIGINT) AS budget FROM tot),
+      q AS (SELECT source, CAST(floor(w * budget) AS BIGINT) AS tq
+            FROM w, b),
+      r AS (SELECT doc_id, source, n_tokens,
+              sum(n_tokens) OVER (PARTITION BY source ORDER BY
+                CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15))
+                  AS BIGINT),
+                doc_id) AS cum
+            FROM tok)
+      SELECT doc_id, source, n_tokens FROM r JOIN q USING (source)
+      WHERE cum <= tq ORDER BY source, doc_id
+    """.trim))
+
   /** Quantized ANN first pass ([[Similarity.quantizedTopK]]): int8
     * fixed-point codes, integer dot products — every score is an exact
     * integer, so the oracle is a bit-exact replay with zero float
@@ -1139,5 +1181,5 @@ object LlmQueries {
     q68LabelCentroid, q69Boilerplate, q70Redact, q71Chunk, q72Vocab,
     q73Fuzzy, q74DedupClusters, q75IncrementalDedup, q76DocPipeline,
     q82PackSequences, q83Decontaminate, q86RepetitionStats,
-    q88MixtureSample, q89QuantizedTopK)
+    q88MixtureSample, q89QuantizedTopK, q90TokenBudget)
 }

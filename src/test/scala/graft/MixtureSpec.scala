@@ -45,6 +45,32 @@ class MixtureSpec extends SparkSpec {
     assert(s1 === ref, "salted two-level rank must equal the global rank")
   }
 
+  test("sampleByTokenBudget: first-fit prefix within token quotas, salt-invariant") {
+    // tokens: domain a rows carry 10 tokens each (60 rows -> 600),
+    // b carry 20 (30 rows -> 600), c carry 5 (10 rows -> 50)
+    val toks = corpus.withColumn("n_tok",
+      when($"dom" === "a", 10L).when($"dom" === "b", 20L).otherwise(5L))
+    val w = Map("a" -> 0.5, "b" -> 0.4, "c" -> 0.1)
+    // B = min(floor(600/.5)=1200, floor(600/.4)=1500, floor(50/.1)=500) = 500
+    // quotas: a floor(250)=250 -> 25 rows; b floor(200)=200 -> 10 rows;
+    // c floor(50)=50 -> all 10 rows
+    val got = Mixture.sampleByTokenBudget(toks, "dom", w, "n_tok", "id", 42L)
+    val counts = got.groupBy("dom").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts === Map("a" -> 25L, "b" -> 10L, "c" -> 10L))
+    // membership equals the unsalted single-window cumsum reference
+    val h = TextFunctions.md5Hash60(concat($"id".cast("string"), lit(":42")))
+    val ref = toks.withColumn("__h", h)
+      .withColumn("cum", sum($"n_tok").over(
+        Window.partitionBy($"dom").orderBy($"__h", $"id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .collect()
+      .filter(r => r.getAs[Long]("cum") <=
+        Map("a" -> 250L, "b" -> 200L, "c" -> 50L)(r.getAs[String]("dom")))
+      .map(_.getAs[Long]("id")).toSet
+    assert(got.select("id").collect().map(_.getLong(0)).toSet === ref)
+  }
+
   test("unweighted domains are dropped; different seed shifts membership") {
     val w = Map("a" -> 1.0)
     val kept = Mixture.sampleMixture(corpus, "dom", w, "id", 42L)
