@@ -341,4 +341,62 @@ object TextDedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
+
+  /** Exact repeated-substring coverage — substring-level dedup at
+    * k-token granularity (the public ExactSubstr analysis of Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models Better",
+    * re-expressed as dataflow instead of a suffix array): any k-token
+    * window occurring >= 2 times in the corpus (across documents or
+    * repeated within one) marks its span as duplicated; per document
+    * the overlapping marked spans merge (gaps-and-islands: spans all
+    * have length k, so consecutive marked positions p, p' belong to one
+    * island iff p' - p < k) and the output reports how many tokens sit
+    * inside duplicated spans.
+    *
+    * Scale shape: positions and 60-bit shingle hashes are built
+    * in-array per row (one `transform`, no token-array duplication
+    * through the explode), the duplicate-shingle set is one hash
+    * groupBy, marking is an equi-join on the hash (ids + hashes
+    * shuffle, never text), and the interval merge is a per-DOCUMENT
+    * window — partitioned by doc id, never by any low-cardinality key.
+    *
+    * @return (idCol, n_tokens, dup_span_count, dup_tokens,
+    *         dup_token_frac) — one row per input document
+    */
+  def substringDupCoverage(
+      df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    val base = df.select(col(idCol),
+      TextFunctions.tokens(col(textCol)).as("__toks"))
+    val nSh = size(col("__toks")) - (k - 1)
+    val shingleStructs = when(nSh > 0,
+      transform(sequence(lit(1), nSh), i =>
+        struct(i.as("p"),
+          TextFunctions.md5Hash60(
+            array_join(slice(col("__toks"), i, lit(k)), " ")).as("sh"))))
+      .otherwise(array().cast("array<struct<p:int,sh:bigint>>"))
+    val pos = base.select(col(idCol), explode(shingleStructs).as("__s"))
+      .select(col(idCol), col("__s.p").as("__p"), col("__s.sh").as("__sh"))
+    val dups = pos.groupBy(col("__sh")).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= 2).select(col("__sh"))
+    val wDoc = Window.partitionBy(col(idCol)).orderBy(col("__p"))
+    val islands = pos.join(dups, Seq("__sh"))
+      .withColumn("__new",
+        when(lag(col("__p"), 1).over(wDoc).isNull ||
+          col("__p") - lag(col("__p"), 1).over(wDoc) >= k, 1).otherwise(0))
+      .withColumn("__isl", sum(col("__new")).over(
+        wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val perDoc = islands.groupBy(col(idCol), col("__isl"))
+      .agg((max(col("__p")) - min(col("__p")) + k).as("__cov"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("dup_span_count"),
+        sum(col("__cov")).cast("long").as("dup_tokens"))
+    base.select(col(idCol), size(col("__toks")).cast("long").as("n_tokens"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("dup_span_count"), lit(0L)).as("dup_span_count"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L)).cast("double")
+          / col("n_tokens"), 12).as("dup_token_frac"))
+  }
 }

@@ -1173,6 +1173,51 @@ object LlmQueries {
       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
     """.trim))
 
+  /** Substring-level dedup coverage
+    * ([[TextDedup.substringDupCoverage]], k = 5): duplicated 5-gram
+    * spans merged per document. The md5-based shingle hashes and the
+    * gaps-and-islands interval merge replay verbatim in SQL (positions
+    * and hashes zip through parallel unnests).
+    */
+  val q91SubstringDup = HarnessQuery(
+    "q91_substring_dup",
+    (spark, dir) =>
+      TextDedup.substringDupCoverage(
+        Tables.documents(spark, dir), "text", "doc_id", k = 5)
+        .orderBy(col("doc_id")),
+    Some("""
+      WITH toks AS (SELECT doc_id,
+                           regexp_split_to_array(trim(lower(text)), '\s+') AS t
+                    FROM documents),
+      pos AS (SELECT doc_id,
+                     unnest(generate_series(1, len(t) - 4)) AS p,
+                     unnest(list_transform(generate_series(1, len(t) - 4), i ->
+                       CAST(('0x' || substr(md5(array_to_string(t[i:i+4], ' ')), 1, 15))
+                         AS BIGINT))) AS sh
+              FROM toks),
+      dups AS (SELECT sh FROM pos GROUP BY sh HAVING count(*) >= 2),
+      marked AS (SELECT doc_id, p FROM pos JOIN dups USING (sh)),
+      isl AS (SELECT doc_id, p,
+                     CASE WHEN lag(p) OVER w IS NULL
+                            OR p - lag(p) OVER w >= 5 THEN 1 ELSE 0 END AS nw
+              FROM marked WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+      isl2 AS (SELECT doc_id, p,
+                      sum(nw) OVER (PARTITION BY doc_id ORDER BY p) AS isl
+               FROM isl),
+      per_isl AS (SELECT doc_id, isl, max(p) - min(p) + 5 AS cov
+                  FROM isl2 GROUP BY 1, 2),
+      per_doc AS (SELECT doc_id, count(*) AS nspan,
+                         CAST(sum(cov) AS BIGINT) AS dup_tokens
+                  FROM per_isl GROUP BY 1),
+      n AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks)
+      SELECT n.doc_id, n_tokens,
+             coalesce(nspan, 0) AS dup_span_count,
+             coalesce(dup_tokens, 0) AS dup_tokens,
+             round(CAST(coalesce(dup_tokens, 0) AS DOUBLE) / n_tokens, 12)
+               AS dup_token_frac
+      FROM n LEFT JOIN per_doc USING (doc_id) ORDER BY doc_id
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q50TextStats, q51TokenCount, q52LangQuality, q53Fingerprint,
     q54Shingles, q55MinhashPairs, q56ExactDedup, q57SimhashPairs,
@@ -1181,5 +1226,5 @@ object LlmQueries {
     q68LabelCentroid, q69Boilerplate, q70Redact, q71Chunk, q72Vocab,
     q73Fuzzy, q74DedupClusters, q75IncrementalDedup, q76DocPipeline,
     q82PackSequences, q83Decontaminate, q86RepetitionStats,
-    q88MixtureSample, q89QuantizedTopK, q90TokenBudget)
+    q88MixtureSample, q89QuantizedTopK, q90TokenBudget, q91SubstringDup)
 }

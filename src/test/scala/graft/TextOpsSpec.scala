@@ -58,6 +58,27 @@ class TextOpsSpec extends SparkSpec {
     assert(r(2).isNullAt(r(2).fieldIndex("dup_3gram_frac")))
   }
 
+  test("substringDupCoverage: islands merge overlapping k-spans; cross-doc hits count") {
+    val df = Seq(
+      (1L, "a b c d e a b c d e x"), // "a b c","b c d","c d e" repeat at +5
+      (2L, "q w e r t"),             // clean
+      (3L, "a b c z z")              // shares "a b c" with doc 1
+    ).toDF("doc_id", "text")
+    val r = TextDedup.substringDupCoverage(df, "text", "doc_id", k = 3)
+      .orderBy($"doc_id").collect()
+    // doc 1: marked positions 1,2,3 and 6,7,8 -> two islands, each
+    // covering max-min+k = 5 tokens ("a b c d e" twice) -> 10 of 11
+    assert(r(0).getAs[Long]("n_tokens") === 11L)
+    assert(r(0).getAs[Long]("dup_span_count") === 2L)
+    assert(r(0).getAs[Long]("dup_tokens") === 10L)
+    assert(math.abs(r(0).getAs[Double]("dup_token_frac") - 10.0 / 11) < 1e-11)
+    assert(r(1).getAs[Long]("dup_span_count") === 0L)
+    assert(r(1).getAs[Long]("dup_tokens") === 0L)
+    // doc 3: only "a b c" (pos 1) is duplicated (cross-doc) -> 3 tokens
+    assert(r(2).getAs[Long]("dup_span_count") === 1L)
+    assert(r(2).getAs[Long]("dup_tokens") === 3L)
+  }
+
   test("fingerprint is whitespace/case-insensitive canonical") {
     val df = Seq(("a  B\tc", "a b c")).toDF("x", "y")
     val r = df.select(
