@@ -222,6 +222,35 @@ object TextDedup {
     Components.connectedComponents(df.select(col(idCol)), pairs, idCol)
   }
 
+  /** Quality-aware transitive dedup: near-dup clusters via
+    * [[dedupClusters]], ONE representative kept per cluster — the
+    * highest `scoreCol`, ties broken to the lowest id. Plain
+    * lowest-id dedup keeps whichever clone happened to be ingested
+    * first; production corpus prep keeps the BEST version (longest /
+    * cleanest / highest quality score) of each duplicate group.
+    *
+    * `df` must already carry `scoreCol` (e.g.
+    * [[TextAnalysis.qualityScore]]'s `quality_score`). The selection
+    * window partitions by `cluster_id` — component sizes are duplicate
+    * groups, bounded and small by construction, so no skew concern.
+    * Returns the kept rows with `cluster_id` attached; singletons are
+    * their own cluster and always survive.
+    */
+  def dedupKeepBest(
+      df: DataFrame, textCol: String, idCol: String, scoreCol: String,
+      n: Int = 3, numHashes: Int = 16, bands: Int = 8,
+      threshold: Double = 0.8,
+      hashFn: Column => Column = TextFunctions.md5Hash60): DataFrame = {
+    val clusters = dedupClusters(df, textCol, idCol, n, numHashes,
+      bands, threshold, hashFn)
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    df.join(clusters, Seq(idCol))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /** Benchmark decontamination: per corpus doc, how many of its
     * distinct n-gram shingles appear anywhere in the benchmark set —
     * the overlap audit every training corpus runs against eval

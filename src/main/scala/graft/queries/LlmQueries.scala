@@ -1218,6 +1218,68 @@ object LlmQueries {
       FROM n LEFT JOIN per_doc USING (doc_id) ORDER BY doc_id
     """.trim))
 
+  /** Quality-aware dedup ([[TextDedup.dedupKeepBest]]): q74's
+    * transitive clusters + q52's quality ladder, the best-scoring doc
+    * kept per cluster (ties to lowest id). The oracle composes both
+    * already-proven replays and adds the selection rank.
+    */
+  val q92DedupKeepBest = HarnessQuery(
+    "q92_dedup_keep_best",
+    (spark, dir) => {
+      val scored = TextAnalysis.qualityScore(
+        Tables.documents(spark, dir), "text")
+        .select(col("doc_id"), col("text"), col("quality_score"))
+      TextDedup.dedupKeepBest(scored, "text", "doc_id", "quality_score",
+        hashFn = TextFunctions.fastHash)
+        .select(col("doc_id"), col("cluster_id"),
+          round(col("quality_score"), 12).as("quality"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH RECURSIVE t AS (SELECT doc_id,
+                   list_distinct(list_transform(
+                     generate_series(1, len(regexp_split_to_array(trim(lower(text)), '\s+')) - 2),
+                     i -> array_to_string((regexp_split_to_array(trim(lower(text)), '\s+'))[i:i+2], ' ')))
+                     AS sh
+                 FROM documents),
+      pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM t a, t b
+                WHERE a.doc_id < b.doc_id
+                  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs),
+      reach(id, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+      clusters AS (SELECT id AS doc_id, min(label) AS cluster_id
+                   FROM reach GROUP BY id),
+      tq AS (SELECT doc_id, text,
+                    regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+                    length(text) AS n_chars
+             FROM documents),
+      st AS (SELECT doc_id, len(toks) AS n_tokens,
+                    CAST(length(array_to_string(toks, '')) AS DOUBLE) / len(toks) AS mean_token_len,
+                    CAST(n_chars - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+                      / nullif(n_chars, 0) AS punct_ratio,
+                    CAST(n_chars - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                      / nullif(n_chars, 0) AS digit_ratio
+             FROM tq),
+      q AS (SELECT doc_id, greatest(0.0, 1.0
+              - CASE WHEN n_tokens < 5 THEN 0.5 ELSE 0.0 END
+              - CASE WHEN punct_ratio > 0.3 THEN 0.3 ELSE 0.0 END
+              - CASE WHEN digit_ratio > 0.3 THEN 0.2 ELSE 0.0 END
+              - CASE WHEN mean_token_len < 2.0 THEN 0.2 ELSE 0.0 END) AS quality_score
+            FROM st),
+      ranked AS (SELECT c.doc_id, c.cluster_id, q.quality_score,
+                   row_number() OVER (PARTITION BY c.cluster_id
+                     ORDER BY q.quality_score DESC, c.doc_id) AS rn
+                 FROM clusters c JOIN q USING (doc_id))
+      SELECT doc_id, cluster_id, round(quality_score, 12) AS quality
+      FROM ranked WHERE rn = 1 ORDER BY doc_id
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q50TextStats, q51TokenCount, q52LangQuality, q53Fingerprint,
     q54Shingles, q55MinhashPairs, q56ExactDedup, q57SimhashPairs,
@@ -1226,5 +1288,6 @@ object LlmQueries {
     q68LabelCentroid, q69Boilerplate, q70Redact, q71Chunk, q72Vocab,
     q73Fuzzy, q74DedupClusters, q75IncrementalDedup, q76DocPipeline,
     q82PackSequences, q83Decontaminate, q86RepetitionStats,
-    q88MixtureSample, q89QuantizedTopK, q90TokenBudget, q91SubstringDup)
+    q88MixtureSample, q89QuantizedTopK, q90TokenBudget, q91SubstringDup,
+    q92DedupKeepBest)
 }

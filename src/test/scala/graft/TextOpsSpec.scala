@@ -79,6 +79,23 @@ class TextOpsSpec extends SparkSpec {
     assert(r(2).getAs[Long]("dup_tokens") === 3L)
   }
 
+  test("dedupKeepBest keeps the highest-quality doc per cluster, not the lowest id") {
+    val shared = "aa bb cc dd ee ff gg hh ii jj kk ll"
+    val df = Seq(
+      (1L, shared + " 111111111 222222222"), // digit_ratio > 0.3 -> quality 0.8
+      (2L, shared),                          // clean -> quality 1.0
+      (3L, "zz yy xx ww vv uu tt ss rr qq")  // unrelated singleton
+    ).toDF("doc_id", "text")
+    val scored = TextAnalysis.qualityScore(df, "text")
+      .select($"doc_id", $"text", $"quality_score")
+    val kept = TextDedup.dedupKeepBest(scored, "text", "doc_id", "quality_score")
+      .select("doc_id", "cluster_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // docs 1,2 share 10 of 12 3-shingles (jaccard 0.833 >= 0.8) -> one
+    // cluster labeled min id 1; the KEPT doc is 2 (quality beats id)
+    assert(kept === Map(2L -> 1L, 3L -> 3L))
+  }
+
   test("fingerprint is whitespace/case-insensitive canonical") {
     val df = Seq(("a  B\tc", "a b c")).toDF("x", "y")
     val r = df.select(
