@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions._
+
+import graft.functions.QuantizedDotExpr
+import graft.operators.TextDedup
+
+/** Seeded fuzz coverage for the scalar kernels and operator invariants
+  * — deterministic (fixed seeds), so failures reproduce exactly.
+  */
+class FuzzSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("QuantizedDotExpr.dot matches the reference fold on 1000 random arrays") {
+    val rnd = new scala.util.Random(42)
+    (1 to 1000).foreach { _ =>
+      val a = Array.fill(rnd.nextInt(130))(rnd.nextInt(257) - 128L)
+      val b = Array.fill(rnd.nextInt(130))(rnd.nextInt(257) - 128L)
+      val expected = a.zip(b).map { case (x, y) => x * y }.sum
+      val got = QuantizedDotExpr.dot(new GenericArrayData(a), new GenericArrayData(b))
+      assert(got === expected)
+    }
+  }
+
+  test("mixture quota arithmetic never oversubscribes a domain (10k random cases)") {
+    // the plan computes N = min_d floor(c_d / w_d), quota_d = floor(w_d * N)
+    // in double arithmetic; the no-upsampling contract is quota_d <= c_d
+    val rnd = new scala.util.Random(7)
+    (1 to 10000).foreach { _ =>
+      val k = 1 + rnd.nextInt(6)
+      val counts = Array.fill(k)(1L + rnd.nextInt(1000000))
+      val weights = Array.fill(k)(rnd.nextDouble() * 0.99 + 0.01)
+      val n = counts.zip(weights).map { case (c, w) =>
+        math.floor(c / w) }.min.toLong
+      counts.zip(weights).foreach { case (c, w) =>
+        assert(math.floor(w * n).toLong <= c,
+          s"quota overshoot: c=$c w=$w N=$n") }
+    }
+  }
+
+  test("substringDupCoverage invariants on random small corpora") {
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+    val docs = (1L to 30L).map { i =>
+      val words = Seq.fill(3 + rnd.nextInt(25))(vocab(rnd.nextInt(vocab.size)))
+      (i, words.mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val k = 4
+    val r = TextDedup.substringDupCoverage(df, "text", "doc_id", k).collect()
+    assert(r.length === 30)
+    r.foreach { row =>
+      val n = row.getAs[Long]("n_tokens")
+      val spans = row.getAs[Long]("dup_span_count")
+      val cov = row.getAs[Long]("dup_tokens")
+      assert(cov >= 0 && cov <= n, s"coverage outside [0, n]: $row")
+      // every island covers at least k tokens and islands are disjoint
+      assert(spans == 0 || cov >= k * spans, s"island shorter than k: $row")
+      val frac = row.getAs[Double]("dup_token_frac")
+      assert(frac >= 0.0 && frac <= 1.0)
+    }
+    // a verbatim clone makes BOTH copies fully covered
+    val withClone = df.unionByName(
+      df.filter($"doc_id" === 1L).select(lit(1000L).as("doc_id"), $"text"))
+    val cloned = TextDedup.substringDupCoverage(withClone, "text", "doc_id", k)
+      .filter($"doc_id".isin(1L, 1000L)).collect()
+    cloned.foreach { row =>
+      val n = row.getAs[Long]("n_tokens")
+      if (n >= k)
+        assert(row.getAs[Long]("dup_tokens") === n,
+          s"clone not fully covered: $row")
+    }
+  }
+}
