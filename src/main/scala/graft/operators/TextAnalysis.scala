@@ -157,6 +157,32 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("tc"), col("idf"), col("bm25"))
   }
 
+  /** Unigram LM score: mean natural-log-probability of the document's
+    * token occurrences under the CORPUS unigram distribution — the
+    * cheap end of the CCNet-style LM perplexity filter (low score =
+    * tokens rare in this corpus = off-distribution or noise). Same
+    * dataflow as [[tfidf]]: one tokenization, two hash aggregations, a
+    * term join; corpus total rides as a broadcast 1-row aggregate.
+    * Per-term contributions are cast to DECIMAL before the per-doc sum
+    * so accumulation order can't perturb the double result (the q64/q67
+    * ln-parity discipline).
+    */
+  def unigramLogProb(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val (termCounts, docLens, _) = termStats(df, textCol, idCol)
+    val globalCounts = termCounts.groupBy(col("term"))
+      .agg(sum(col("tc")).as("__gc"))
+    val total = broadcast(docLens.agg(sum(col("dl")).cast("double").as("__tot")))
+    termCounts
+      .join(globalCounts, Seq("term"))
+      .crossJoin(total)
+      .withColumn("__contrib",
+        (col("tc") * log(col("__gc") / col("__tot"))).cast("decimal(30,12)"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__contrib")).as("__slp"), sum(col("tc")).as("__dl"))
+      .select(col(idCol), col("__dl").cast("long").as("n_tokens"),
+        (col("__slp").cast("double") / col("__dl")).as("unigram_logprob"))
+  }
+
   private val EmailRe = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   private val UrlRe = "(?i)https?://[^\\s]+"
 
@@ -303,6 +329,27 @@ object TextAnalysis {
       size(array_distinct(toks)).cast("long").as("n_types"),
       round(size(array_distinct(toks)).cast("double") / size(toks), 12)
         .as("ttr"))
+  }
+
+  /** Per-domain corpus report — the dataset-card rollup every corpus
+    * release ships: document and token counts, aggregate quality, and
+    * language diversity per source. Pure composition of the already-
+    * verified signals ([[qualityScore]], [[languageId]]) into one
+    * grouped aggregate; quality sums accumulate in DECIMAL so the
+    * rollup is order-independent.
+    */
+  def corpusReport(
+      df: DataFrame, textCol: String, idCol: String,
+      domainCol: String): DataFrame = {
+    val scored = qualityScore(df, textCol)
+      .withColumn("__lang", languageId(col(textCol)))
+    scored.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("sum_tokens"),
+        sum(col("quality_score").cast("decimal(25,6)")).cast("double")
+          .as("sum_quality"),
+        countDistinct(col("__lang")).as("n_langs"))
+      .orderBy(col(domainCol))
   }
 
   /** Canonical + order-sensitive document fingerprints. */

@@ -1280,6 +1280,82 @@ object LlmQueries {
       FROM ranked WHERE rn = 1 ORDER BY doc_id
     """.trim))
 
+  /** Unigram LM scoring ([[TextAnalysis.unigramLogProb]]): corpus
+    * unigram distribution replayed in SQL; contributions decimal-summed
+    * per doc so the hash is order-independent, output rounded to 10
+    * (the q64 ln-parity discipline).
+    */
+  val q93UnigramLogProb = HarnessQuery(
+    "q93_unigram_logprob",
+    (spark, dir) =>
+      TextAnalysis.unigramLogProb(Tables.documents(spark, dir), "text", "doc_id")
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("unigram_logprob"), 10).as("unigram_logprob"))
+        .orderBy(col("doc_id")),
+    Some("""
+      WITH toks AS (SELECT doc_id,
+                           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+                    FROM documents),
+      tc AS (SELECT doc_id, term, count(*) AS tc FROM toks GROUP BY 1, 2),
+      gc AS (SELECT term, CAST(sum(tc) AS BIGINT) AS gc FROM tc GROUP BY 1),
+      tot AS (SELECT CAST(count(*) AS DOUBLE) AS tot FROM toks)
+      SELECT doc_id, CAST(sum(tc) AS BIGINT) AS n_tokens,
+             round(CAST(sum(CAST(tc * ln(gc / tot) AS DECIMAL(30,12))) AS DOUBLE)
+                   / sum(tc), 10) AS unigram_logprob
+      FROM tc JOIN gc USING (term), tot
+      GROUP BY doc_id ORDER BY doc_id
+    """.trim))
+
+  /** Dataset-card rollup ([[TextAnalysis.corpusReport]]): q52's quality
+    * ladder and language vote re-aggregated per source — counts, token
+    * totals, decimal-exact quality sums, language diversity.
+    */
+  val q94CorpusReport = HarnessQuery(
+    "q94_corpus_report",
+    (spark, dir) =>
+      TextAnalysis.corpusReport(
+        Tables.documents(spark, dir), "text", "doc_id", "source")
+        .orderBy(col("source")),
+    Some("""
+      WITH t AS (SELECT doc_id, source, text,
+                        regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+                        length(text) AS n_chars
+                 FROM documents),
+      st AS (SELECT doc_id, len(toks) AS n_tokens,
+                    CAST(length(array_to_string(toks, '')) AS DOUBLE) / len(toks) AS mean_token_len,
+                    CAST(n_chars - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+                      / nullif(n_chars, 0) AS punct_ratio,
+                    CAST(n_chars - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                      / nullif(n_chars, 0) AS digit_ratio
+             FROM t),
+      q AS (SELECT doc_id, greatest(0.0, 1.0
+              - CASE WHEN n_tokens < 5 THEN 0.5 ELSE 0.0 END
+              - CASE WHEN punct_ratio > 0.3 THEN 0.3 ELSE 0.0 END
+              - CASE WHEN digit_ratio > 0.3 THEN 0.2 ELSE 0.0 END
+              - CASE WHEN mean_token_len < 2.0 THEN 0.2 ELSE 0.0 END) AS quality_score
+            FROM st),
+      tokx AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+      hits AS (SELECT doc_id,
+                 sum(CASE WHEN tk IN ('der','die','das','und','ist','nicht','ein','mit','den','zu') THEN 1 ELSE 0 END) AS de,
+                 sum(CASE WHEN tk IN ('the','and','of','to','a','in','is','it','that','for') THEN 1 ELSE 0 END) AS en,
+                 sum(CASE WHEN tk IN ('el','la','los','y','es','un','una','en','por','que') THEN 1 ELSE 0 END) AS es,
+                 sum(CASE WHEN tk IN ('le','la','les','et','est','un','une','dans','pour','que') THEN 1 ELSE 0 END) AS fr
+               FROM tokx GROUP BY doc_id),
+      pred AS (SELECT t.doc_id,
+                 CASE WHEN h.doc_id IS NULL OR greatest(h.de, h.en, h.es, h.fr) = 0 THEN 'und'
+                      WHEN h.de >= h.en AND h.de >= h.es AND h.de >= h.fr THEN 'de'
+                      WHEN h.en >= h.es AND h.en >= h.fr THEN 'en'
+                      WHEN h.es >= h.fr THEN 'es'
+                      ELSE 'fr' END AS lang_pred
+               FROM t LEFT JOIN hits h ON t.doc_id = h.doc_id)
+      SELECT t.source, count(*) AS n_docs,
+             CAST(sum(len(t.toks)) AS BIGINT) AS sum_tokens,
+             CAST(sum(CAST(q.quality_score AS DECIMAL(25,6))) AS DOUBLE) AS sum_quality,
+             CAST(count(DISTINCT p.lang_pred) AS BIGINT) AS n_langs
+      FROM t JOIN q USING (doc_id) JOIN pred p ON t.doc_id = p.doc_id
+      GROUP BY 1 ORDER BY 1
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q50TextStats, q51TokenCount, q52LangQuality, q53Fingerprint,
     q54Shingles, q55MinhashPairs, q56ExactDedup, q57SimhashPairs,
@@ -1289,5 +1365,5 @@ object LlmQueries {
     q73Fuzzy, q74DedupClusters, q75IncrementalDedup, q76DocPipeline,
     q82PackSequences, q83Decontaminate, q86RepetitionStats,
     q88MixtureSample, q89QuantizedTopK, q90TokenBudget, q91SubstringDup,
-    q92DedupKeepBest)
+    q92DedupKeepBest, q93UnigramLogProb, q94CorpusReport)
 }

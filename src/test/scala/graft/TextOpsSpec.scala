@@ -96,6 +96,32 @@ class TextOpsSpec extends SparkSpec {
     assert(kept === Map(2L -> 1L, 3L -> 3L))
   }
 
+  test("unigramLogProb: hand-computed corpus distribution") {
+    val df = Seq((1L, "a a b"), (2L, "a b")).toDF("doc_id", "text")
+    // corpus: a x3, b x2, total 5
+    val r = TextAnalysis.unigramLogProb(df, "text", "doc_id")
+      .orderBy($"doc_id").collect()
+    val exp1 = (2 * math.log(3.0 / 5) + math.log(2.0 / 5)) / 3
+    val exp2 = (math.log(3.0 / 5) + math.log(2.0 / 5)) / 2
+    assert(r(0).getAs[Long]("n_tokens") === 3L)
+    assert(math.abs(r(0).getAs[Double]("unigram_logprob") - exp1) < 1e-9)
+    assert(math.abs(r(1).getAs[Double]("unigram_logprob") - exp2) < 1e-9)
+  }
+
+  test("corpusReport rolls up counts, tokens, quality, languages per source") {
+    val df = Seq(
+      (1L, "the cat and the dog went to the park", "web"),
+      (2L, "der hund und die katze ist nicht da", "web"),
+      (3L, "zz", "books") // short: quality 1 - 0.5(len) - 0 - 0 - 0 = 0.5
+    ).toDF("doc_id", "text", "source")
+    val r = TextAnalysis.corpusReport(df, "text", "doc_id", "source")
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("web").getAs[Long]("n_docs") === 2L)
+    assert(r("web").getAs[Long]("sum_tokens") === 17L)
+    assert(r("web").getAs[Long]("n_langs") === 2L) // en + de
+    assert(r("books").getAs[Double]("sum_quality") === 0.5)
+  }
+
   test("fingerprint is whitespace/case-insensitive canonical") {
     val df = Seq(("a  B\tc", "a b c")).toDF("x", "y")
     val r = df.select(
