@@ -20,7 +20,8 @@ object Explain {
     // the workload, and the resulting "plan" is a projection over
     // checkpoint scans — nothing to audit here; their stage plans are
     // covered by the operator queries they compose (q52/q56/q71/q74)
-    val eager = Set("q74_dedup_clusters", "q76_doc_pipeline")
+    val eager = Set("q74_dedup_clusters", "q76_doc_pipeline",
+      "q92_dedup_keep_best", "q95_pipeline_v2")
     val sb = new StringBuilder
     queries.Registry.all
       .filter(q => (only.isEmpty || only(q.name)) && !eager(q.name))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.Materialize
-import graft.operators.{TextAnalysis, TextDedup}
+import graft.operators.{Mixture, TextAnalysis, TextDedup}
 
 /** End-to-end training-corpus preparation — the LLM-data analogue of
   * [[Processor]]'s fraud pipeline, chaining the document operators
@@ -85,5 +85,73 @@ object DocPipeline {
     audit += ("chunks" -> chunks.count())
 
     DocPipelineResult(chunks, kept, audit.result())
+  }
+
+  /** Second-generation corpus prep, composing the round-6 operators:
+    *
+    *   quality floor -> repetition filter (Gopher top-token share) ->
+    *   quality-aware near-dup selection (keep BEST per cluster, not
+    *   first) -> token-budget domain mixture -> per-source report
+    *
+    * Same discipline as [[run]]: every stage is its own oracle-verified
+    * operator, stage boundaries go through [[Materialize.cut]], and the
+    * audit explains the yield.
+    */
+  final case class DocPipelineV2Config(
+      minQuality: Double = 0.5,
+      maxTopTokenFrac: Double = 0.12,
+      nearDupThreshold: Double = 0.8,
+      weights: Map[String, Double] = Map.empty,
+      seed: Long = 42L,
+      numHashes: Int = 16,
+      bands: Int = 8,
+      hashFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        graft.functions.TextFunctions.fastHash)
+
+  final case class DocPipelineV2Result(
+      corpus: DataFrame,
+      report: DataFrame,
+      audit: Seq[(String, Long)])
+
+  def runV2(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      domainCol: String,
+      cfg: DocPipelineV2Config): DocPipelineV2Result = {
+    require(cfg.weights.nonEmpty, "runV2 needs target mixture weights")
+    val audit = Seq.newBuilder[(String, Long)]
+    audit += ("input" -> docs.count())
+
+    val scored = Materialize.cut(
+      TextAnalysis.qualityScore(docs, textCol)
+        .filter(col("quality_score") >= cfg.minQuality)
+        .select(col(idCol), col(textCol), col(domainCol),
+          col("quality_score")))
+    audit += ("quality" -> scored.count())
+
+    // repetition stats ride back on the id; n_tokens is kept — the
+    // mixture stage budgets with it, no second tokenization pass
+    val rep = TextAnalysis.repetitionStats(scored, textCol, idCol)
+    val filtered = Materialize.cut(scored.join(
+      rep.filter(col("top_token_frac") <= cfg.maxTopTokenFrac)
+        .select(col(idCol), col("n_tokens")), Seq(idCol)))
+    audit += ("repetition" -> filtered.count())
+
+    val kept = Materialize.cut(TextDedup.dedupKeepBest(
+      filtered, textCol, idCol, "quality_score",
+      numHashes = cfg.numHashes, bands = cfg.bands,
+      threshold = cfg.nearDupThreshold, hashFn = cfg.hashFn))
+    audit += ("near_dedup_best" -> kept.count())
+
+    val mixed = Materialize.cut(Mixture.sampleByTokenBudget(
+      kept, domainCol, cfg.weights, "n_tokens", idCol, cfg.seed))
+    audit += ("mixture" -> mixed.count())
+
+    val report = mixed.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("sum_tokens"))
+      .orderBy(col(domainCol))
+    DocPipelineV2Result(mixed, report, audit.result())
   }
 }

@@ -1356,6 +1356,94 @@ object LlmQueries {
       GROUP BY 1 ORDER BY 1
     """.trim))
 
+  /** Whole-pipeline oracle for the v2 corpus prep
+    * ([[graft.pipeline.DocPipeline.runV2]]): quality floor → Gopher
+    * repetition filter → keep-best near-dedup → token-budget mixture →
+    * per-source report, replayed end-to-end in one SQL statement from
+    * the q52/q86/q92/q90 pieces. The q76 whole-pipeline pattern applied
+    * to the new operator generation.
+    */
+  val q95PipelineV2 = HarnessQuery(
+    "q95_pipeline_v2",
+    (spark, dir) => {
+      import graft.pipeline.DocPipeline
+      DocPipeline.runV2(
+        Tables.documents(spark, dir), "text", "doc_id", "source",
+        DocPipeline.DocPipelineV2Config(
+          weights = Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2,
+            "src3" -> 0.1))).report
+    },
+    Some("""
+      WITH RECURSIVE tq AS (SELECT doc_id, source, text,
+                        regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+                        length(text) AS n_chars
+                 FROM documents),
+      st AS (SELECT doc_id, len(toks) AS n_tokens,
+                    CAST(length(array_to_string(toks, '')) AS DOUBLE) / len(toks) AS mean_token_len,
+                    CAST(n_chars - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+                      / nullif(n_chars, 0) AS punct_ratio,
+                    CAST(n_chars - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                      / nullif(n_chars, 0) AS digit_ratio
+             FROM tq),
+      q AS (SELECT doc_id, greatest(0.0, 1.0
+              - CASE WHEN n_tokens < 5 THEN 0.5 ELSE 0.0 END
+              - CASE WHEN punct_ratio > 0.3 THEN 0.3 ELSE 0.0 END
+              - CASE WHEN digit_ratio > 0.3 THEN 0.2 ELSE 0.0 END
+              - CASE WHEN mean_token_len < 2.0 THEN 0.2 ELSE 0.0 END) AS quality_score
+            FROM st),
+      c1 AS (SELECT doc_id, g, count(*) AS c
+             FROM (SELECT doc_id, unnest(toks) AS g FROM tq) GROUP BY 1, 2),
+      s1 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                    CAST(max(c) AS DOUBLE) / sum(c) AS tf
+             FROM c1 GROUP BY 1),
+      surv AS (SELECT tq.doc_id, tq.source, tq.toks, q.quality_score, s1.n_tokens
+               FROM tq JOIN q USING (doc_id) JOIN s1 USING (doc_id)
+               WHERE q.quality_score >= 0.5 AND s1.tf <= 0.12),
+      sh AS (SELECT doc_id,
+                    list_distinct(list_transform(
+                      generate_series(1, len(toks) - 2),
+                      i -> array_to_string(toks[i:i+2], ' '))) AS sh
+             FROM surv),
+      pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM sh a, sh b
+                WHERE a.doc_id < b.doc_id
+                  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs),
+      reach(id, label) AS (
+        SELECT doc_id, doc_id FROM surv
+        UNION
+        SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+      clusters AS (SELECT id AS doc_id, min(label) AS cluster_id
+                   FROM reach GROUP BY id),
+      ranked AS (SELECT s.doc_id, s.source, s.n_tokens,
+                   row_number() OVER (PARTITION BY c.cluster_id
+                     ORDER BY s.quality_score DESC, s.doc_id) AS rn
+                 FROM surv s JOIN clusters c USING (doc_id)),
+      kept AS (SELECT doc_id, source, n_tokens FROM ranked WHERE rn = 1),
+      w AS (SELECT * FROM (VALUES
+               ('src0', CAST(0.4 AS DOUBLE)), ('src1', CAST(0.3 AS DOUBLE)),
+               ('src2', CAST(0.2 AS DOUBLE)), ('src3', CAST(0.1 AS DOUBLE)))
+               t(source, w)),
+      tot AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS tn, max(w) AS w
+              FROM kept JOIN w USING (source) GROUP BY 1),
+      b AS (SELECT CAST(min(floor(tn / w)) AS BIGINT) AS budget FROM tot),
+      qq AS (SELECT source, CAST(floor(w * budget) AS BIGINT) AS tq2
+             FROM w, b),
+      r AS (SELECT doc_id, source, n_tokens,
+              sum(n_tokens) OVER (PARTITION BY source ORDER BY
+                CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15))
+                  AS BIGINT),
+                doc_id) AS cum
+            FROM kept JOIN w USING (source)),
+      fin AS (SELECT doc_id, source, n_tokens FROM r JOIN qq USING (source)
+              WHERE cum <= tq2)
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+      FROM fin GROUP BY 1 ORDER BY 1
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q50TextStats, q51TokenCount, q52LangQuality, q53Fingerprint,
     q54Shingles, q55MinhashPairs, q56ExactDedup, q57SimhashPairs,
@@ -1365,5 +1453,5 @@ object LlmQueries {
     q73Fuzzy, q74DedupClusters, q75IncrementalDedup, q76DocPipeline,
     q82PackSequences, q83Decontaminate, q86RepetitionStats,
     q88MixtureSample, q89QuantizedTopK, q90TokenBudget, q91SubstringDup,
-    q92DedupKeepBest, q93UnigramLogProb, q94CorpusReport)
+    q92DedupKeepBest, q93UnigramLogProb, q94CorpusReport, q95PipelineV2)
 }

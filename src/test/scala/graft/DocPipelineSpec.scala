@@ -37,4 +37,26 @@ class DocPipelineSpec extends SparkSpec {
     assert(keptIds === Set(1L))
     assert(res.chunks.count() > 0)
   }
+
+  test("runV2: yield shrinks monotonically; report totals match the corpus") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val res = DocPipeline.runV2(docs, "text", "doc_id", "source",
+      DocPipeline.DocPipelineV2Config(
+        weights = Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2,
+          "src3" -> 0.1)))
+    assert(res.audit.map(_._1) === Seq("input", "quality", "repetition",
+      "near_dedup_best", "mixture"))
+    val counts = res.audit.map(_._2)
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
+      s"audit not monotone: ${res.audit}")
+    assert(counts.last > 0, "pipeline produced an empty corpus")
+    // the report is exactly the final corpus re-aggregated
+    val fromCorpus = res.corpus.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fromReport = res.report.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fromReport === fromCorpus)
+    // only weighted domains survive the mixture
+    assert(fromReport.keySet.subsetOf(Set("src0", "src1", "src2", "src3")))
+  }
 }

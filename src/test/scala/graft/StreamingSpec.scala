@@ -192,4 +192,30 @@ class StreamingSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === batch)
   }
+
+  test("text quality/language/repetition-ready ops compose with a document stream") {
+    // the LLM text signals are narrow maps, so they must run unchanged
+    // on a streaming frame (filter-at-ingest: score documents as they
+    // arrive, before they ever land in the corpus)
+    import graft.operators.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val scored = TextAnalysis.qualityScore(docs, "text")
+      .withColumn("lang", TextAnalysis.languageId($"text"))
+      .withColumn("n_bpeish", TextAnalysis.bpeishTokenCount($"text"))
+    assert(scored.isStreaming)
+    val q = scored.select($"doc_id", $"quality_score", $"lang", $"n_bpeish")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("quality_out").start()
+    mem.addData(
+      (1L, "the cat and the dog went to the park"),
+      (2L, "zz"))
+    q.processAllAvailable()
+    val got = spark.table("quality_out").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2))).toMap
+    q.stop()
+    assert(got(1L) === ((1.0, "en")))
+    assert(got(2L) === ((0.5, "und")))
+  }
 }
