@@ -70,21 +70,30 @@ object Bench {
     val meds = results.map { case (k, ts) =>
       k -> (if (ts.contains(-1.0)) -1.0 else median(ts))
     }
-    val qs = meds.map { case (k, v) => "\"" + k + "\":" + ms(v) }
+    // The driver keeps only the LAST 2000 characters of stdout. With 83+
+    // queries a full-name medians map alone is ~2 KB, so every prior
+    // round's final line was cut mid-JSON and recorded `parsed: null`.
+    // Fix: the FINAL line keys queries by their unique "qNN" prefix
+    // (~1 KB total); the full-name medians and raw trials go to a
+    // committed repo file (BENCH_SELF.json) and to earlier stdout lines
+    // that may be truncated without harm.
+    def shortKey(name: String): String = name.takeWhile(_ != '_')
+    val qs = meds.map { case (k, v) => "\"" + shortKey(k) + "\":" + ms(v) }
+      .mkString("{", ",", "}")
+    val qsFull = meds.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val raw = results.map { case (k, ts) =>
       "\"" + k + "\":" + ts.map(ms).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = if (meds.nonEmpty) meds.values.filter(_ >= 0).sum else 0.0
-    // raw trials: separate line + file, so the final line stays compact
-    val trialsLine = s"""{"bench_trials":$raw,"sf":"$sfDir"}"""
-    println(trialsLine)
-    try {
-      val p = java.nio.file.Paths.get("target", "bench_trials.json")
-      java.nio.file.Files.createDirectories(p.getParent)
-      java.nio.file.Files.write(p, trialsLine.getBytes("UTF-8"))
-    } catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val selfJson =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qsFull,"trials":$raw,"sf":"$sfDir"}"""
+    println(selfJson) // full-name line first: may be cut by the tail, harmless
+    try
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_SELF.json"), selfJson.getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","full_names":"BENCH_SELF.json"}""")
     spark.stop()
   }
 }

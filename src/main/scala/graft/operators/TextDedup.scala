@@ -283,6 +283,50 @@ object TextDedup {
       contaminationHits(corpus, bench, textCol, idCol, n).select(col(idCol)),
       Seq(idCol), "left_anti")
 
+  /** Benchmark decontamination with a broadcast Bloom-filter pre-prune —
+    * the 100 TB form of [[decontaminate]]. [[contaminationHits]] equi-joins
+    * EVERY corpus shingle against the bench set; even with the bench side
+    * broadcast, all |corpus|·shingles rows flow through the join operator.
+    * Here a Bloom filter built over the distinct bench shingles (bench is
+    * small by definition — an eval suite, not a corpus) rides the codegen
+    * reference array into a map-side `filter`, so only the tiny
+    * bloom-positive fraction of corpus shingles reaches the verify join.
+    * The verify join against the broadcast exact bench set removes Bloom
+    * false positives, so the RESULT IS EXACT for any `fpp` — fpp only
+    * trades filter size against prune selectivity.
+    *
+    * Driver-side state: one `count()` + one `stat.bloomFilter` aggregate
+    * over the BENCH side only (both distributed scans; the collected
+    * sketch is `numItems·ln(1/fpp)·1.44/8` bytes — ~12 MB for 10M
+    * shingles at 1%, exactly what a broadcast would ship anyway). The
+    * corpus side stays map-only until the final per-doc aggregate.
+    *
+    * Returns the surviving corpus rows (no shingle shared with bench).
+    */
+  def decontaminateBloom(
+      corpus: DataFrame, bench: DataFrame,
+      textCol: String, idCol: String, n: Int = 8,
+      fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val bs = shingleTable(bench, textCol, idCol, n).select(col("__s")).distinct()
+    val expected = math.max(bs.count(), 1L)
+    val bloom = bs.stat.bloomFilter("__s", expected, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    corpus.sparkSession.sessionState.functionRegistry
+      .createOrReplaceTempFunction("graft_bloom_might_contain",
+        exprs => graft.functions.BloomMightContainExpr(bytes, exprs.head),
+        "scala_udf")
+    val pruned = shingleTable(corpus, textCol, idCol, n)
+      .filter(call_function("graft_bloom_might_contain", col("__s")))
+    val contaminated = pruned.join(broadcast(bs), Seq("__s"))
+      .select(col(idCol)).distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Near-dedup: drop all but the lowest-id member of each near-dup
     * pair cluster (single-link, one hop — the standard greedy pass).
     */

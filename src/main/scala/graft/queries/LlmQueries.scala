@@ -1444,6 +1444,38 @@ object LlmQueries {
       FROM fin GROUP BY 1 ORDER BY 1
     """.trim))
 
+  /** Bloom-pruned benchmark decontamination
+    * ([[TextDedup.decontaminateBloom]]): corpus docs surviving removal
+    * of anything sharing a 5-gram with the benchmark subset
+    * (doc_id % 97 == 0). The Bloom pass is a pure pruning optimization —
+    * the exact verify join makes the result independent of fpp, so the
+    * oracle is the plain NOT-EXISTS over the same shingle join.
+    */
+  val q96DecontaminateBloom = HarnessQuery(
+    "q96_decontaminate_bloom",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      TextDedup.decontaminateBloom(docs, bench, "text", "doc_id", n = 5)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 generate_series(1, len(regexp_split_to_array(trim(lower(text)), '\s+')) - 4),
+                 i -> array_to_string((regexp_split_to_array(trim(lower(text)), '\s+'))[i:i+4], ' ')))
+                 AS sh
+        FROM documents),
+      cs AS (SELECT doc_id, unnest(sh) AS s FROM t),
+      bs AS (SELECT DISTINCT unnest(sh) AS s FROM t WHERE doc_id % 97 = 0),
+      bad AS (SELECT DISTINCT cs.doc_id FROM cs JOIN bs USING (s))
+      SELECT d.doc_id, d.source FROM documents d
+      WHERE d.doc_id NOT IN (SELECT doc_id FROM bad)
+      ORDER BY 1
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q50TextStats, q51TokenCount, q52LangQuality, q53Fingerprint,
     q54Shingles, q55MinhashPairs, q56ExactDedup, q57SimhashPairs,
@@ -1453,5 +1485,6 @@ object LlmQueries {
     q73Fuzzy, q74DedupClusters, q75IncrementalDedup, q76DocPipeline,
     q82PackSequences, q83Decontaminate, q86RepetitionStats,
     q88MixtureSample, q89QuantizedTopK, q90TokenBudget, q91SubstringDup,
-    q92DedupKeepBest, q93UnigramLogProb, q94CorpusReport, q95PipelineV2)
+    q92DedupKeepBest, q93UnigramLogProb, q94CorpusReport, q95PipelineV2,
+    q96DecontaminateBloom)
 }

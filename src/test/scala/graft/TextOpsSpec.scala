@@ -174,6 +174,50 @@ class TextOpsSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("decontaminateBloom equals plain decontaminate at any fpp") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta"), // contains a bench 5-gram
+      (2L, "totally unrelated words about something else here"),
+      (3L, "beta gamma delta epsilon zeta more tail"), // contains a bench 5-gram
+      (4L, "short doc"))                               // no 5-grams at all
+    val cdf = corpus.toDF("doc_id", "text")
+    val bdf = bench.toDF("doc_id", "text")
+    val exact = TextDedup.decontaminate(cdf, bdf, "text", "doc_id", n = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(exact === Set(2L, 4L))
+    // loose fpp: false positives must be cleaned up by the verify join
+    for (fpp <- Seq(0.5, 0.01)) {
+      val got = TextDedup.decontaminateBloom(cdf, bdf, "text", "doc_id",
+        n = 5, fpp = fpp).select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got === exact, s"fpp=$fpp")
+    }
+  }
+
+  test("bloom might-contain expression has no false negatives vs the sketch") {
+    val vals = (1 to 500).map(i => s"item-$i")
+    val df = vals.toDF("s")
+    val bf = df.stat.bloomFilter("s", 500, 0.03)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream(); bf.writeTo(bos); bos.toByteArray
+    }
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("graft_bloom_might_contain",
+        exprs => graft.functions.BloomMightContainExpr(bytes, exprs.head),
+        "scala_udf")
+    // every inserted value probes true through the codegen'd expression
+    val hits = df.filter(call_function("graft_bloom_might_contain", $"s")).count()
+    assert(hits === 500L)
+    // expression agrees with the driver-side sketch on non-members too
+    val probes = (1 to 500).map(i => s"other-$i")
+    val exprSays = probes.toDF("s")
+      .select($"s", call_function("graft_bloom_might_contain", $"s").as("m"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    probes.foreach { p =>
+      assert(exprSays(p) === bf.mightContainString(p), p)
+    }
+  }
+
   test("rollingHash is order-sensitive where fingerprint is not") {
     val df = Seq(("a b c", "c b a")).toDF("x", "y")
     val r = df.select(
