@@ -74,6 +74,62 @@ object RangeJoin {
       .drop("__asof_rn")
   }
 
+  /** General as-of join: the full `pd.merge_asof` direction/tolerance
+    * surface ([[asOfJoinBackward]] is the reference's case, kept as the
+    * explicit entry point the pipeline calls).
+    *
+    *   - `backward`: greatest `rightOn <= leftOn`
+    *   - `forward` : smallest `rightOn >= leftOn`
+    *   - `nearest` : smallest `|leftOn - rightOn|`; an exact tie
+    *     (equidistant backward and forward candidates) resolves to the
+    *     backward one, matching pandas
+    *   - `tolerance`: only matches with `|leftOn - rightOn| <= tolerance`
+    *     qualify; rows with no qualifying match keep nulls (left outer)
+    *
+    * Plan shape is the same single broadcast join + per-left-key
+    * row_number as backward: the right side is the small as-of dimension,
+    * so even `nearest`'s full-candidate scan never shuffles the big side.
+    * For large-large as-of, pre-bucket with [[bucketedRangeJoin]].
+    */
+  def asOfJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftOn: String,
+      rightOn: String,
+      leftKey: String,
+      direction: String = "backward",
+      tolerance: Option[Long] = None,
+      broadcastRight: Boolean = true,
+      rightTieBreak: Seq[String] = Nil): DataFrame = {
+    val r = if (broadcastRight) broadcast(right) else right
+    val dist = abs(left(leftOn) - r(rightOn))
+    val dirCond = direction match {
+      case "backward" => left(leftOn) >= r(rightOn)
+      case "forward"  => left(leftOn) <= r(rightOn)
+      case "nearest"  => lit(true)
+      case other => throw new IllegalArgumentException(
+        s"direction must be backward|forward|nearest, got $other")
+    }
+    val cond = tolerance match {
+      case Some(t) => dirCond && dist <= lit(t)
+      case None    => dirCond
+    }
+    val order: Seq[Column] = direction match {
+      case "backward" => r(rightOn).desc_nulls_last +:
+        rightTieBreak.map(c => r(c).asc_nulls_last)
+      case "forward" => r(rightOn).asc_nulls_last +:
+        rightTieBreak.map(c => r(c).asc_nulls_last)
+      case "nearest" => dist.asc_nulls_last +:
+        when(r(rightOn) <= left(leftOn), 0).otherwise(1).asc_nulls_last +:
+        rightTieBreak.map(c => r(c).asc_nulls_last)
+    }
+    val w = Window.partitionBy(left(leftKey)).orderBy(order: _*)
+    left.join(r, cond, "left")
+      .withColumn("__asof_rn", row_number().over(w))
+      .filter(col("__asof_rn") === 1)
+      .drop("__asof_rn")
+  }
+
   /** Scale-out range join: prefix-bucket rewrite. Explodes each right
     * range over the `value >> shiftBits` buckets it spans, then equi-joins
     * on the bucket with the BETWEEN predicate as residual. Pick

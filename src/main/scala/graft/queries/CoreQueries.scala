@@ -218,6 +218,38 @@ object CoreQueries {
     },
     q02RangeJoin.oracle)
 
+  /** The general as-of join's `nearest` direction with a tolerance bound
+    * ([[RangeJoin.asOfJoin]]): nearest mark within 10, equidistant ties
+    * to the backward candidate (pandas `merge_asof` parity), out-of-
+    * tolerance rows keep the 'none' sentinel. Mark spacing is even (38)
+    * so equidistant ties actually occur in the data, and the replay
+    * oracle states the same ordering: distance, then backward-first.
+    */
+  val q97AsOfNearest = HarnessQuery(
+    "q97_asof_nearest",
+    (spark, dir) => {
+      val ev = Tables.events(spark, dir)
+        .withColumn("uk", pmod(col("user_id") * 7 + col("event_id"), lit(1000L)))
+      val marks = Tables.nation(spark, dir).select(
+        col("n_name"),
+        (col("n_nationkey").cast("long") * 38L + 5L).as("lb"))
+      RangeJoin.asOfJoin(ev, marks, "uk", "lb", "event_id",
+        direction = "nearest", tolerance = Some(10L))
+        .select(col("event_id"), col("uk"),
+          coalesce(col("n_name"), lit("none")).as("mark"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT event_id, uk, coalesce(n_name, 'none') AS mark
+      FROM (SELECT event_id, (user_id * 7 + event_id) % 1000 AS uk FROM events) e
+      LEFT JOIN (SELECT n_name, n_nationkey * 38 + 5 AS lb FROM nation) r
+        ON abs(e.uk - r.lb) <= 10
+      QUALIFY row_number() OVER (
+        PARTITION BY event_id
+        ORDER BY abs(uk - lb), CASE WHEN lb <= uk THEN 0 ELSE 1 END) = 1
+      ORDER BY event_id
+    """.trim))
+
   /** Correlation / covariance aggregates from exact decimal sums — the
     * describe-adjacent second-moment statistics.
     */
@@ -258,5 +290,5 @@ object CoreQueries {
 
   def all: Seq[HarnessQuery] = Seq(
     q01PricingSummary, q02RangeJoin, q03StarJoin, q04TopK, q05SemiAnti,
-    q06SetOps, q07AsOfJoin, q08BucketedRange, q09Corr)
+    q06SetOps, q07AsOfJoin, q08BucketedRange, q09Corr, q97AsOfNearest)
 }

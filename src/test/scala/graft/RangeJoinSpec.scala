@@ -59,6 +59,44 @@ class RangeJoinSpec extends SparkSpec {
     assert(got === Map(10L -> "B", 11L -> "B", 12L -> "A"))
   }
 
+  test("asOfJoin backward direction equals asOfJoinBackward") {
+    val a = RangeJoin.asOfJoinBackward(tx, ranges, "ip", "lb", "id")
+      .select($"id", $"country")
+    val b = RangeJoin.asOfJoin(tx, ranges, "ip", "lb", "id",
+      direction = "backward").select($"id", $"country")
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
+  }
+
+  test("asOfJoin forward picks smallest lb >= value; past-the-end misses") {
+    val got = RangeJoin.asOfJoin(tx, ranges, "ip", "lb", "id",
+      direction = "forward")
+      .select($"id", $"country").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 0 -> A (lb 0), 99 -> B (lb 100), 150 -> C (lb 300), 250 -> C,
+    // 400 -> none ahead, 399 -> none ahead except... lb 300 < 399 -> miss
+    assert(got === Map(1L -> "A", 2L -> "B", 3L -> "C", 4L -> "C",
+      5L -> null, 6L -> null))
+  }
+
+  test("asOfJoin nearest: closest lb wins, equidistant ties go backward") {
+    val marks = Seq((0L, "lo"), (100L, "hi")).toDF("lb", "name")
+    val probes = Seq((1L, 20L), (2L, 80L), (3L, 50L)).toDF("id", "v")
+    val got = RangeJoin.asOfJoin(probes, marks, "v", "lb", "id",
+      direction = "nearest")
+      .select($"id", $"name").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 50 is equidistant from 0 and 100 -> backward (0, "lo") wins
+    assert(got === Map(1L -> "lo", 2L -> "hi", 3L -> "lo"))
+  }
+
+  test("asOfJoin tolerance voids out-of-range matches to null") {
+    val got = RangeJoin.asOfJoin(tx, ranges, "ip", "lb", "id",
+      direction = "backward", tolerance = Some(60L))
+      .select($"id", $"country").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // within 60 of its backward lb: 0 (dist 0) and 150 (dist 50); 99,
+    // 250, 400, 399 sit 99-150 past their lb -> all voided
+    assert(got === Map(1L -> "A", 2L -> null, 3L -> "B", 4L -> null,
+      5L -> null, 6L -> null))
+  }
+
   test("geolocate voids misses to Unknown sentinel (transform_data.py:38-43)") {
     val named = ranges.withColumnRenamed("lb", "lower_bound_ip_address_int")
       .withColumnRenamed("ub", "upper_bound_ip_address_int")
