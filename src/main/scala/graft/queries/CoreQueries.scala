@@ -250,6 +250,33 @@ object CoreQueries {
       ORDER BY event_id
     """.trim))
 
+  /** Salted skew join ([[graft.operators.SkewJoin.saltedJoin]]): events
+    * fan onto 25 nation keys — a hot-key shape where a plain shuffle
+    * join serializes each key through one task. The salt spreads every
+    * key over 8 tasks; the oracle is the UNSALTED join, proving salting
+    * is invisible to semantics.
+    */
+  val q98SaltedJoin = HarnessQuery(
+    "q98_salted_join",
+    (spark, dir) => {
+      val ev = Tables.events(spark, dir)
+        .withColumn("nk", pmod(col("user_id"), lit(25L)))
+      val nations = Tables.nation(spark, dir)
+        .select(col("n_nationkey").cast("long").as("nk"), col("n_name"))
+      graft.operators.SkewJoin
+        .saltedJoin(ev, nations, Seq("nk"), col("event_id"), salts = 8)
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .orderBy(col("n_name"))
+    },
+    Some("""
+      SELECT n_name, count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+      FROM (SELECT user_id % 25 AS nk, value FROM events) e
+      JOIN (SELECT n_nationkey AS nk, n_name FROM nation) n USING (nk)
+      GROUP BY 1 ORDER BY 1
+    """.trim))
+
   /** Correlation / covariance aggregates from exact decimal sums — the
     * describe-adjacent second-moment statistics.
     */
@@ -290,5 +317,6 @@ object CoreQueries {
 
   def all: Seq[HarnessQuery] = Seq(
     q01PricingSummary, q02RangeJoin, q03StarJoin, q04TopK, q05SemiAnti,
-    q06SetOps, q07AsOfJoin, q08BucketedRange, q09Corr, q97AsOfNearest)
+    q06SetOps, q07AsOfJoin, q08BucketedRange, q09Corr, q97AsOfNearest,
+    q98SaltedJoin)
 }

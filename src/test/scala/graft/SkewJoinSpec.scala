@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.SkewJoin
+
+class SkewJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def facts = Seq(
+    (1L, "a", 10.0), (2L, "a", 20.0), (3L, "a", 30.0), // hot key
+    (4L, "b", 1.0), (5L, "zz", 9.0)                    // zz: no dim row
+  ).toDF("id", "k", "v")
+
+  private def dim = Seq(("a", "Alpha"), ("b", "Beta"), ("c", "Gamma"))
+    .toDF("k", "name")
+
+  test("salted inner join equals the plain join for every salt count") {
+    val plain = facts.join(dim, Seq("k")).select($"id", $"name")
+    for (salts <- Seq(1, 2, 16)) {
+      val salted = SkewJoin.saltedJoin(facts, dim, Seq("k"), $"id", salts)
+        .select($"id", $"name")
+      assert(plain.exceptAll(salted).count() === 0 &&
+        salted.exceptAll(plain).count() === 0, s"salts=$salts")
+    }
+  }
+
+  test("salted left join keeps unmatched rows exactly once") {
+    val got = SkewJoin.saltedJoin(facts, dim, Seq("k"), $"id", salts = 4,
+      joinType = "left")
+    assert(got.count() === 5)
+    val zz = got.filter($"k" === "zz").select($"name").collect()
+    assert(zz.length === 1 && zz.head.isNullAt(0))
+  }
+
+  test("unsupported join types are rejected") {
+    intercept[IllegalArgumentException] {
+      SkewJoin.saltedJoin(facts, dim, Seq("k"), $"id", 4, joinType = "left_semi")
+    }
+  }
+
+  test("the physical join keys include the salt") {
+    val plan = SkewJoin.saltedJoin(facts, dim, Seq("k"), $"id", salts = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__graft_salt"))
+  }
+}
