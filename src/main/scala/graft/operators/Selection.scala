@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Materialize
+
+/** Skew-safe exact per-key top-fraction selection — the adaptive
+  * quality-cut every curated-corpus pipeline runs ("keep each source's
+  * best 40% by quality score"), as a first-class operator.
+  *
+  * The naive form is one window per key (`row_number` over
+  * `partitionBy(key).orderBy(score desc)`), which funnels each key's
+  * ENTIRE partition through one task — a multi-terabyte single-task
+  * sort for any large source at corpus scale (the same defect class
+  * [[Split.stratified]] fixed for the per-class rank). The fix here is
+  * the same two-level rank, with one twist: the stratified split orders
+  * by a UNIFORM hash, so order-aligned range buckets fall out of the
+  * hash's top bits for free — a quality score has arbitrary skewed
+  * distribution, so the order-aligned buckets come from per-key
+  * **approximate quantile boundaries** instead.
+  *
+  * Approximation NEVER touches the answer: boundaries only decide which
+  * bucket a row sorts in (balance), while the per-(key, bucket) counts
+  * that merge local ranks into the exact global rank are computed
+  * exactly. A badly estimated boundary costs balance, not correctness.
+  * The boundary table is materialized ([[Materialize.cut]]) before use:
+  * both the bucket assignment and the offset aggregate must read the
+  * SAME boundaries — an in-plan re-execution of `percentile_approx`
+  * could legally return different estimates per branch.
+  *
+  * Residual skew: rows with literally identical (key, score) beyond a
+  * bucket's worth sort in one task — irreducible for an exact rank, as
+  * ties must be ordered by the tie-break within one sort.
+  */
+object Selection {
+
+  /** Rows ranking in the top `ceil(frac · n_key)` of their key by
+    * (`scoreCol` desc, `tieBreak` asc). Deterministic: the tie-break
+    * must make the ordering total (an id column).
+    */
+  def topFracPerKey(
+      df: DataFrame,
+      keyCol: String,
+      scoreCol: String,
+      frac: Double,
+      tieBreak: Seq[String],
+      buckets: Int = 64): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, s"frac must be in (0,1], got $frac")
+    require(tieBreak.nonEmpty,
+      "tieBreak columns are required: without a total order the kept set " +
+        "is nondeterministic across runs")
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val score = col(scoreCol)
+    val probs = (1 until buckets).map(i => i.toDouble / buckets)
+    val bounds =
+      if (buckets == 1)
+        df.select(col(keyCol)).distinct()
+          .withColumn("__bounds", typedLit(Seq.empty[Double]))
+      else Materialize.cut(
+        df.groupBy(col(keyCol))
+          .agg(percentile_approx(score.cast("double"),
+            array(probs.map(lit): _*), lit(10000)).as("__bounds")))
+    // bucket id = #boundaries strictly above the score: 0 for the top
+    // slice, monotone non-decreasing along (score desc) — equal scores
+    // share a bucket by construction, so the per-bucket sort owns its
+    // ties and local rank + earlier-bucket counts IS the global rank
+    val bucketed = df.join(broadcast(bounds), Seq(keyCol))
+      .withColumn("__b", size(filter(col("__bounds"), b => b > score)))
+      .drop("__bounds")
+    val order = score.desc +: tieBreak.map(c => col(c).asc)
+    val wRank = Window.partitionBy(col(keyCol), col("__b")).orderBy(order: _*)
+    val wOff = Window.partitionBy(col(keyCol)).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy(col(keyCol))
+    val offsets = bucketed.groupBy(col(keyCol), col("__b"))
+      .agg(count(lit(1)).as("__bn"))
+      .select(col(keyCol), col("__b"),
+        coalesce(sum(col("__bn")).over(wOff), lit(0L)).as("__off"),
+        sum(col("__bn")).over(wTot).as("__n"))
+    bucketed.join(broadcast(offsets), Seq(keyCol, "__b"))
+      .withColumn("__rn", row_number().over(wRank) + col("__off"))
+      .filter(col("__rn") <= ceil(col("__n") * lit(frac)))
+      .select(df.columns.map(col): _*)
+  }
+}

@@ -1476,6 +1476,50 @@ object LlmQueries {
       ORDER BY 1
     """.trim))
 
+  /** Per-source adaptive quality cut
+    * ([[graft.operators.Selection.topFracPerKey]]): each source keeps
+    * its best 40% of docs by quality score (ties to the lower doc_id) —
+    * exact membership, computed through the skew-safe two-level rank.
+    * The oracle is the naive single-window rank over the q52-proven
+    * quality-score replay, so the bucketed merge must reproduce the
+    * global ordering bit-for-bit.
+    */
+  val q99QualityCut = HarnessQuery(
+    "q99_quality_cut",
+    (spark, dir) => {
+      val scored = TextAnalysis.qualityScore(Tables.documents(spark, dir), "text")
+        .select(col("doc_id"), col("source"), col("quality_score"))
+      graft.operators.Selection
+        .topFracPerKey(scored, "source", "quality_score", 0.4, Seq("doc_id"))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, source, text,
+                        regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+                        length(text) AS n_chars
+                 FROM documents),
+      st AS (SELECT doc_id, source, len(toks) AS n_tokens,
+                    CAST(length(array_to_string(toks, '')) AS DOUBLE) / len(toks) AS mean_token_len,
+                    CAST(n_chars - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+                      / nullif(n_chars, 0) AS punct_ratio,
+                    CAST(n_chars - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                      / nullif(n_chars, 0) AS digit_ratio
+             FROM t),
+      q AS (SELECT doc_id, source, greatest(0.0, 1.0
+              - CASE WHEN n_tokens < 5 THEN 0.5 ELSE 0.0 END
+              - CASE WHEN punct_ratio > 0.3 THEN 0.3 ELSE 0.0 END
+              - CASE WHEN digit_ratio > 0.3 THEN 0.2 ELSE 0.0 END
+              - CASE WHEN mean_token_len < 2.0 THEN 0.2 ELSE 0.0 END) AS quality_score
+            FROM st),
+      r AS (SELECT doc_id, source,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY quality_score DESC, doc_id) AS rn,
+                   count(*) OVER (PARTITION BY source) AS n
+            FROM q)
+      SELECT doc_id, source FROM r WHERE rn <= ceil(n * 0.4) ORDER BY 1
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q50TextStats, q51TokenCount, q52LangQuality, q53Fingerprint,
     q54Shingles, q55MinhashPairs, q56ExactDedup, q57SimhashPairs,
@@ -1486,5 +1530,5 @@ object LlmQueries {
     q82PackSequences, q83Decontaminate, q86RepetitionStats,
     q88MixtureSample, q89QuantizedTopK, q90TokenBudget, q91SubstringDup,
     q92DedupKeepBest, q93UnigramLogProb, q94CorpusReport, q95PipelineV2,
-    q96DecontaminateBloom)
+    q96DecontaminateBloom, q99QualityCut)
 }

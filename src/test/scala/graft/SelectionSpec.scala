@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.prop.TableDrivenPropertyChecks
+
+import graft.operators.Selection
+
+class SelectionSpec extends SparkSpec with TableDrivenPropertyChecks {
+  import spark.implicits._
+
+  /** Naive single-window reference implementation. */
+  private def naive(df: org.apache.spark.sql.DataFrame, frac: Double) = {
+    val w = Window.partitionBy($"k").orderBy($"s".desc, $"id".asc)
+    val n = Window.partitionBy($"k")
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(n))
+      .filter($"__rn" <= ceil($"__n" * lit(frac)))
+      .select($"id", $"k", $"s")
+  }
+
+  private def mkDf(rows: Seq[(Long, String, Double)]) = rows.toDF("id", "k", "s")
+
+  test("bucketed rank equals the naive single-window rank, incl. heavy score ties") {
+    val rnd = new scala.util.Random(7)
+    // two keys, skewed sizes; duplicate scores on purpose (coarse grid)
+    val rows = (1 to 400).map(i =>
+      (i.toLong, if (i % 10 == 0) "small" else "big",
+        (rnd.nextInt(12) / 4.0))) // many exact ties
+    val df = mkDf(rows)
+    for (frac <- Seq(0.1, 0.4, 1.0); buckets <- Seq(1, 4, 64)) {
+      val got = Selection.topFracPerKey(df, "k", "s", frac, Seq("id"), buckets)
+        .select($"id", $"k", $"s")
+      val want = naive(df, frac)
+      assert(got.exceptAll(want).count() === 0 &&
+        want.exceptAll(got).count() === 0, s"frac=$frac buckets=$buckets")
+    }
+  }
+
+  test("frac=1 keeps everything; tiny keys survive bucketing") {
+    val df = mkDf(Seq((1L, "a", 0.5), (2L, "a", 0.1), (3L, "b", 0.9)))
+    assert(Selection.topFracPerKey(df, "k", "s", 1.0, Seq("id")).count() === 3)
+    // single-row key with frac .4 -> ceil(.4) = 1 row kept
+    val got = Selection.topFracPerKey(df, "k", "s", 0.4, Seq("id"))
+      .select($"id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L, 3L))
+  }
+
+  test("rejects empty tie-break and bad frac") {
+    val df = mkDf(Seq((1L, "a", 0.5)))
+    intercept[IllegalArgumentException] {
+      Selection.topFracPerKey(df, "k", "s", 0.4, Nil)
+    }
+    intercept[IllegalArgumentException] {
+      Selection.topFracPerKey(df, "k", "s", 0.0, Seq("id"))
+    }
+  }
+}
