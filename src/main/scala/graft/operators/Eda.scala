@@ -143,6 +143,44 @@ object Eda {
       approx_count_distinct(col(c)).as("n_distinct_approx"),
       count(lit(1)).as("n_rows"))
 
+  /** Per-column profile — the ingest audit (one row per column:
+    * null count, distinct count, numeric min/max). Single scan: all
+    * per-column aggregates ride one `agg` (multiple exact
+    * COUNT(DISTINCT)s plan through one Expand pass), then the wide
+    * 1-row result unpivots via `stack` — no per-column job, no driver
+    * loop. `exact = false` swaps the distincts for
+    * `approx_count_distinct` (HLL): the 100 TB default, where an exact
+    * per-column distinct of a high-cardinality id is a full shuffle per
+    * Expand replica. Non-numeric columns report null min/max (string
+    * collation differs across engines; not worth cross-engine parity).
+    */
+  def profile(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val numeric = df.schema.fields.collect {
+      case f if cols.contains(f.name) &&
+        f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] => f.name
+    }.toSet
+    def nd(c: String): Column =
+      if (exact) countDistinct(col(c)) else approx_count_distinct(col(c))
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(col(c).isNull.cast("long")).as(s"__nn_$c"),
+        nd(c).as(s"__nd_$c"),
+        (if (numeric(c)) min(col(c)).cast("double") else lit(null).cast("double"))
+          .as(s"__mn_$c"),
+        (if (numeric(c)) max(col(c)).cast("double") else lit(null).cast("double"))
+          .as(s"__mx_$c"))
+    }
+    val wide = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', __nn_$c, __nd_$c, __mn_$c, __mx_$c").mkString(", ")
+    wide.selectExpr("__n",
+      s"stack(${cols.size}, $stackArgs) AS (col_name, n_nulls, n_distinct, min_val, max_val)")
+      .select(col("col_name"), col("__n").as("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("min_val"), col("max_val"))
+      .orderBy(col("col_name"))
+  }
+
   /** Skew-safe grouped COUNT(DISTINCT): two-stage rewrite — dedup on
     * (key, value) with map-side combine, then count per key. A plain
     * grouped count-distinct funnels every value of a hot key through one

@@ -225,8 +225,47 @@ object EdaQueries {
       ORDER BY event_type NULLS FIRST, dow NULLS FIRST
     """.trim))
 
+  /** Per-column ingest profile ([[Eda.profile]]): nulls, exact
+    * distincts, numeric min/max for every `events` column, one scan.
+    * The oracle is a per-column UNION ALL of the same aggregates.
+    */
+  val q100Profile = HarnessQuery(
+    "q100_profile",
+    (spark, dir) => Eda.profile(Tables.events(spark, dir),
+      Seq("event_id", "ts", "user_id", "event_type", "value")),
+    Some("""
+      SELECT 'event_id' AS col_name, count(*) AS n_rows,
+             CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+             count(DISTINCT event_id) AS n_distinct,
+             CAST(min(event_id) AS DOUBLE) AS min_val, CAST(max(event_id) AS DOUBLE) AS max_val
+      FROM events
+      UNION ALL
+      SELECT 'ts', count(*),
+             CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             count(DISTINCT ts), NULL, NULL
+      FROM events
+      UNION ALL
+      SELECT 'user_id', count(*),
+             CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             count(DISTINCT user_id),
+             CAST(min(user_id) AS DOUBLE), CAST(max(user_id) AS DOUBLE)
+      FROM events
+      UNION ALL
+      SELECT 'event_type', count(*),
+             CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             count(DISTINCT event_type), NULL, NULL
+      FROM events
+      UNION ALL
+      SELECT 'value', count(*),
+             CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             count(DISTINCT value),
+             CAST(min(value) AS DOUBLE), CAST(max(value) AS DOUBLE)
+      FROM events
+      ORDER BY 1
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q30Describe, q31ValueCounts, q32GroupedMean, q33Histogram,
     q34DistinctCount, q35ClassFreq, q36Rollup, q37SkewDistinct,
-    q38Sketches, q39Cube)
+    q38Sketches, q39Cube, q100Profile)
 }

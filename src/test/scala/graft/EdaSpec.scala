@@ -37,4 +37,33 @@ class EdaSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(buckets === Map(0L -> 1L, 4L -> 1L))
   }
+
+  test("profile: one row per column with nulls, distincts, numeric min/max") {
+    val df = Seq(
+      (Some(1L), Some("a"), Some(2.5)),
+      (Some(2L), None, Some(-1.0)),
+      (Some(2L), Some("b"), None)
+    ).toDF("id", "s", "v")
+    val rows = Eda.profile(df, Seq("id", "s", "v")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet === Set("id", "s", "v"))
+    val id = rows("id")
+    assert(id.getLong(1) === 3L && id.getLong(2) === 0L && id.getLong(3) === 2L)
+    assert(id.getDouble(4) === 1.0 && id.getDouble(5) === 2.0)
+    val s = rows("s")
+    assert(s.getLong(2) === 1L && s.getLong(3) === 2L)
+    assert(s.isNullAt(4) && s.isNullAt(5)) // non-numeric: no min/max
+    val v = rows("v")
+    assert(v.getLong(2) === 1L && v.getLong(3) === 2L)
+    assert(v.getDouble(4) === -1.0 && v.getDouble(5) === 2.5)
+  }
+
+  test("profile approx mode keeps the same shape with HLL distincts") {
+    val df = (1 to 100).map(i => (i.toLong, i % 7)).toDF("a", "b")
+    val rows = Eda.profile(df, Seq("a", "b"), exact = false).collect()
+    assert(rows.length === 2)
+    // HLL estimate is within its published 5% band on this cardinality
+    val a = rows.find(_.getString(0) == "a").get
+    assert(math.abs(a.getLong(3) - 100L) <= 10L)
+  }
 }
