@@ -194,7 +194,42 @@ object StreamingQueries {
       ORDER BY e.event_id
     """.trim))
 
+  /** Stream-stream interval join ([[StreamingOps.intervalJoin]]) in
+    * batch mode: even events pair with the same user's odd events up to
+    * one hour later. StreamingSpec proves the identical row set arrives
+    * through MemoryStream micro-batches; this row oracles the interval
+    * semantics themselves.
+    */
+  val q101StreamJoin = HarnessQuery(
+    "q101_stream_join",
+    (spark, dir) => {
+      val ev = Tables.events(spark, dir)
+      val views = ev.filter(pmod(col("event_id"), lit(2L)) === 0)
+        .select(col("event_id").as("view_id"), col("user_id"), col("ts"))
+      val actions = ev.filter(pmod(col("event_id"), lit(2L)) === 1)
+        .select(col("event_id").as("action_id"), col("user_id"),
+          col("ts").as("action_ts"))
+      graft.streaming.StreamingOps
+        .intervalJoin(views, actions, "user_id", "ts", "action_ts",
+          beforeSec = 0L, afterSec = 3600L)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("action_id")).as("n_actions"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      SELECT v.user_id, count(*) AS n_pairs,
+             count(DISTINCT a.event_id) AS n_actions
+      FROM (SELECT event_id, user_id, ts FROM events WHERE event_id % 2 = 0) v
+      JOIN (SELECT event_id, user_id, ts FROM events WHERE event_id % 2 = 1) a
+        ON a.user_id = v.user_id
+       AND epoch_us(CAST(a.ts AS TIMESTAMP)) >= epoch_us(CAST(v.ts AS TIMESTAMP))
+       AND epoch_us(CAST(a.ts AS TIMESTAMP))
+             <= epoch_us(CAST(v.ts AS TIMESTAMP)) + 3600000000
+      GROUP BY 1 ORDER BY 1
+    """.trim))
+
   def all: Seq[HarnessQuery] =
     Seq(q77StreamWindow, q78StreamDedup, q79StatefulVelocity,
-      q84TwsVelocity, q87StreamEnrich)
+      q84TwsVelocity, q87StreamEnrich, q101StreamJoin)
 }

@@ -91,6 +91,46 @@ object StreamingOps {
       .drop("__rn")
   }
 
+  /** Stream-stream interval join: left rows pair with same-key right
+    * rows whose event time falls in
+    * `[leftTs - beforeSec, leftTs + afterSec]`. The time predicate is
+    * written in the `ts BETWEEN ts ± INTERVAL` shape Structured
+    * Streaming requires to derive state-retention bounds from the two
+    * watermarks — each side's buffered state is evicted as soon as the
+    * other side's watermark passes the interval edge, so state is
+    * bounded by (watermark + interval) per key, never the full stream.
+    *
+    * The same call works on batch frames (`withWatermark` is a no-op
+    * there), which is what lets the harness oracle the join's semantics
+    * in SQL while StreamingSpec proves micro-batch delivery produces
+    * the identical row set.
+    *
+    * Column names must be disjoint apart from `keyCol` (the joined
+    * frame keeps left's key column).
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTsCol: String,
+      rightTsCol: String,
+      beforeSec: Long,
+      afterSec: Long,
+      joinType: String = "inner",
+      watermark: String = "1 hour"): DataFrame = {
+    require(beforeSec >= 0 && afterSec >= 0,
+      s"interval bounds must be >= 0, got [-$beforeSec, +$afterSec]")
+    val overlap = right.columns.toSet.intersect(left.columns.toSet) - keyCol
+    require(overlap.isEmpty,
+      s"non-key columns must be disjoint, both sides have: ${overlap.mkString(", ")}")
+    val l = left.withWatermark(leftTsCol, watermark)
+    val r = right.withWatermark(rightTsCol, watermark)
+    val cond = l(keyCol) === r(keyCol) &&
+      r(rightTsCol) >= l(leftTsCol) - expr(s"INTERVAL $beforeSec seconds") &&
+      r(rightTsCol) <= l(leftTsCol) + expr(s"INTERVAL $afterSec seconds")
+    l.join(r, cond, joinType).drop(r(keyCol))
+  }
+
   // ---- exact stateful velocity ----------------------------------------
 
   final case class VEvent(key: String, tsMicros: Long, eventId: Long)

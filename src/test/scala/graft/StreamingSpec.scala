@@ -193,6 +193,42 @@ class StreamingSpec extends SparkSpec {
     assert(got === batch)
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    implicit val sqlCtx = spark.sqlContext
+    val viewRows = Seq(
+      (10L, "u1", ts("2024-01-01 00:00:00")),
+      (11L, "u1", ts("2024-01-01 02:00:00")),
+      (12L, "u2", ts("2024-01-01 00:00:00")))
+    val actionRows = Seq(
+      (20L, "u1", ts("2024-01-01 00:30:00")), // within 1h of view 10
+      (21L, "u1", ts("2024-01-01 02:59:00")), // within 1h of view 11
+      (22L, "u1", ts("2024-01-01 04:00:00")), // matches nothing
+      (23L, "u2", ts("2024-01-01 00:10:00"))) // within 1h of view 12
+    def join(l: org.apache.spark.sql.DataFrame, r: org.apache.spark.sql.DataFrame) =
+      StreamingOps.intervalJoin(l, r, "user_id", "ts", "action_ts",
+        beforeSec = 0L, afterSec = 3600L, watermark = "0 seconds")
+    val batch = join(
+      viewRows.toDF("view_id", "user_id", "ts"),
+      actionRows.toDF("action_id", "user_id", "action_ts"))
+      .select($"view_id", $"action_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch === Set((10L, 20L), (11L, 21L), (12L, 23L)))
+    val lMem = MemoryStream[(Long, String, Timestamp)]
+    val rMem = MemoryStream[(Long, String, Timestamp)]
+    val q = join(
+      lMem.toDF().toDF("view_id", "user_id", "ts"),
+      rMem.toDF().toDF("action_id", "user_id", "action_ts"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ij_out").start()
+    lMem.addData(viewRows: _*)
+    rMem.addData(actionRows: _*)
+    q.processAllAvailable()
+    val got = spark.table("ij_out").select($"view_id", $"action_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    assert(got === batch)
+  }
+
   test("text quality/language/repetition-ready ops compose with a document stream") {
     // the LLM text signals are narrow maps, so they must run unchanged
     // on a streaming frame (filter-at-ingest: score documents as they
