@@ -72,4 +72,57 @@ class FuzzSpec extends SparkSpec {
           s"clone not fully covered: $row")
     }
   }
+
+  test("asOfJoin all directions match a driver-side reference on random data") {
+    val rnd = new scala.util.Random(23)
+    val marks = (0 until 12).map(i => (rnd.nextInt(200).toLong, s"m$i"))
+      .distinct.groupBy(_._1).map(_._2.head).toSeq // unique mark keys
+    val probes = (1L to 60L).map(i => (i, rnd.nextInt(220).toLong))
+    val mdf = marks.toDF("lb", "name")
+    val pdf = probes.toDF("id", "v")
+    def reference(dir: String, tol: Option[Long]): Map[Long, Option[String]] =
+      probes.map { case (id, v) =>
+        val cands = marks.filter { case (lb, _) =>
+          (dir match {
+            case "backward" => lb <= v
+            case "forward"  => lb >= v
+            case "nearest"  => true
+          }) && tol.forall(t => math.abs(v - lb) <= t)
+        }
+        val best = dir match {
+          case "backward" => cands.sortBy(-_._1).headOption
+          case "forward"  => cands.sortBy(_._1).headOption
+          case "nearest"  => cands.sortBy(c =>
+            (math.abs(v - c._1), if (c._1 <= v) 0L else 1L)).headOption
+        }
+        id -> best.map(_._2)
+      }.toMap
+    for (dir <- Seq("backward", "forward", "nearest");
+         tol <- Seq(None, Some(15L))) {
+      val got = graft.operators.RangeJoin
+        .asOfJoin(pdf, mdf, "v", "lb", "id", dir, tol)
+        .select($"id", $"name").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(got === reference(dir, tol), s"dir=$dir tol=$tol")
+    }
+  }
+
+  test("saltedJoin row multiset equals the plain join on random skewed data") {
+    val rnd = new scala.util.Random(31)
+    // zipf-ish: key 0 is hot
+    val facts = (1L to 300L).map(i =>
+      (i, if (rnd.nextInt(10) < 6) 0L else rnd.nextInt(20).toLong))
+    val dim = (0L to 14L).flatMap(k => // duplicate dim keys: multiplicity matters
+      Seq.fill(1 + (k % 3).toInt)((k, s"d$k-${rnd.nextInt(100)}")))
+    val fdf = facts.toDF("id", "k")
+    val ddf = dim.toDF("k", "payload")
+    for (jt <- Seq("inner", "left")) {
+      val plain = fdf.join(ddf, Seq("k"), jt).select($"id", $"payload")
+      val salted = graft.operators.SkewJoin
+        .saltedJoin(fdf, ddf, Seq("k"), $"id", salts = 7, joinType = jt)
+        .select($"id", $"payload")
+      assert(plain.exceptAll(salted).count() === 0 &&
+        salted.exceptAll(plain).count() === 0, s"joinType=$jt")
+    }
+  }
 }
