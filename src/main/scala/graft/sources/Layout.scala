@@ -57,4 +57,57 @@ object Layout {
       .mode(SaveMode.Overwrite)
       .option("maxRecordsPerFile", targetFileRows)
       .parquet(path)
+
+  /** Z-order (Morton-curve) clustering across SEVERAL columns:
+    * [[writeClustered]] gives perfect min/max pruning on ONE column and
+    * none on any other; interleaving the bits of per-column bucket ids
+    * gives every z-column a bounded per-file value range, so rowgroup
+    * stats prune scans filtered on ANY of them (the layout Delta's
+    * `OPTIMIZE ZORDER BY` produces, built from public parquet + range
+    * partitioning).
+    *
+    * Columns are first rank-normalized into `2^bitsPerDim` buckets via
+    * approximate quantile boundaries (equal-POPULATION buckets — an
+    * equal-width mapping would collapse under skew and waste curve
+    * resolution on empty space; the approximation shifts bucket edges,
+    * never breaks the curve's locality). The boundary collect is one
+    * distributed aggregate returning `dims × (2^bitsPerDim − 1)` doubles
+    * to the driver — vanishing next to the write it organizes.
+    */
+  def writeZOrdered(
+      df: DataFrame,
+      path: String,
+      zCols: Seq[String],
+      numFiles: Int,
+      bitsPerDim: Int = 8,
+      targetFileRows: Long = 5000000L): Unit = {
+    require(zCols.size >= 2,
+      "z-order needs >= 2 columns (use writeClustered for one)")
+    require(bitsPerDim >= 1 && bitsPerDim * zCols.size <= 62,
+      s"bitsPerDim * dims must fit a long, got $bitsPerDim * ${zCols.size}")
+    val b = 1 << bitsPerDim
+    val probs = (1 until b).map(_.toDouble / b)
+    val boundsRow = df.select(zCols.map(c =>
+      percentile_approx(col(c).cast("double"),
+        array(probs.map(lit): _*), lit(10000)).as(c)): _*).head()
+    val zvalue = zCols.zipWithIndex.map { case (c, d) =>
+      val bounds = boundsRow.getSeq[Double](d)
+      // bucket = #boundaries <= value, i.e. equal-population rank bucket
+      val bucket = size(filter(typedlit(bounds),
+        bd => bd <= col(c).cast("double")))
+      // spread bucket bit i to z-bit (i*dims + d)
+      (0 until bitsPerDim).map(i =>
+        shiftleft(shiftright(bucket, i).bitwiseAND(lit(1)).cast("long"),
+          i * zCols.size + d))
+        .reduce(_ + _)
+    }.reduce(_ + _)
+    df.withColumn("__z", zvalue)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write
+      .mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", targetFileRows)
+      .parquet(path)
+  }
 }

@@ -28,6 +28,36 @@ class LayoutSpec extends SparkSpec {
       s"partition filter not pushed:\n$plan")
   }
 
+  test("writeZOrdered: every z-column gets bounded per-file ranges") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val df = (1 to 20000).map(_ =>
+      (rnd.nextInt(100000).toLong, rnd.nextInt(100000).toLong))
+      .toDF("x", "y")
+    def meanSpread(path: String, c: String): Double = {
+      val perFile = spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg((max(col(c)) - min(col(c))).cast("double").as("spread"))
+        .select(avg($"spread")).head.getDouble(0)
+      perFile / 100000.0
+    }
+    val zDir = Files.createTempDirectory("graft_z").toString + "/z"
+    Layout.writeZOrdered(df, zDir, Seq("x", "y"), numFiles = 16)
+    val cDir = Files.createTempDirectory("graft_z").toString + "/c"
+    Layout.writeClustered(df, cDir, "x", numFiles = 16)
+    // single-column clustering: x prunes perfectly, y not at all
+    assert(meanSpread(cDir, "x") < 0.15)
+    assert(meanSpread(cDir, "y") > 0.8)
+    // z-order: BOTH dims bounded well below the global range — 16 files
+    // tile the curve into regions no wider than ~half the space per dim
+    assert(meanSpread(zDir, "x") < 0.6, s"x spread ${meanSpread(zDir, "x")}")
+    assert(meanSpread(zDir, "y") < 0.6, s"y spread ${meanSpread(zDir, "y")}")
+    // round-trip intact
+    val back = spark.read.parquet(zDir)
+    assert(back.count() === 20000 &&
+      back.columns.toSeq.sorted === Seq("x", "y"))
+  }
+
   test("writeClustered: per-file value ranges do not overlap") {
     val dir = Files.createTempDirectory("graft_layout").toString + "/ev2"
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
