@@ -59,4 +59,39 @@ class DocPipelineSpec extends SparkSpec {
     // only weighted domains survive the mixture
     assert(fromReport.keySet.subsetOf(Set("src0", "src1", "src2", "src3")))
   }
+
+  test("doc pipeline configs load from yaml; absent keys keep defaults") {
+    val yaml = java.nio.file.Files.createTempFile("graft_doc", ".yaml")
+    java.nio.file.Files.writeString(yaml,
+      """v1:
+        |  min_quality: 0.7
+        |  langs: [en, de]
+        |  chunk_size: 128
+        |v2:
+        |  max_top_token_frac: 0.2
+        |  seed: 7
+        |  weights:
+        |    src0: 0.5
+        |    src1: 0.5
+        |""".stripMargin)
+    val v1 = graft.sources.DocConfig.v1FromYaml(yaml.toString)
+    assert(v1.minQuality === 0.7 && v1.langs === Set("en", "de") &&
+      v1.chunkSize === 128)
+    assert(v1.overlap === DocPipeline.DocPipelineConfig().overlap) // default kept
+    val v2 = graft.sources.DocConfig.v2FromYaml(yaml.toString)
+    assert(v2.maxTopTokenFrac === 0.2 && v2.seed === 7L &&
+      v2.weights === Map("src0" -> 0.5, "src1" -> 0.5))
+    assert(v2.minQuality === DocPipeline.DocPipelineV2Config().minQuality)
+    // missing weights is an error, not a silent empty mixture
+    val bare = java.nio.file.Files.createTempFile("graft_doc", ".yaml")
+    java.nio.file.Files.writeString(bare, "v2:\n  seed: 1\n")
+    intercept[IllegalArgumentException] {
+      graft.sources.DocConfig.v2FromYaml(bare.toString)
+    }
+    // the parsed config drives the real pipeline
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .limit(100).localCheckpoint(true)
+    val res = DocPipeline.runV2(docs, "text", "doc_id", "source", v2)
+    assert(res.audit.head._1 === "input" && res.audit.head._2 === 100L)
+  }
 }
