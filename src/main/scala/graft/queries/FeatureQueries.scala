@@ -193,7 +193,41 @@ object FeatureQueries {
       FROM events GROUP BY 1 ORDER BY dow
     """.trim))
 
+  /** Daily resampling with gap fill
+    * ([[graft.operators.Resample.resample]]): per user-group daily
+    * event counts/sums with EMPTY days present as zero rows — the
+    * oracle replays the dense grid via generate_series.
+    */
+  val q102Resample = HarnessQuery(
+    "q102_resample",
+    (spark, dir) => {
+      val ev = Tables.events(spark, dir)
+        .withColumn("grp", pmod(col("user_id"), lit(20L)))
+      graft.operators.Resample
+        .resample(ev, "ts", "grp", 86400000000L, "value")
+        // harness convention: timestamps cross the oracle as micros longs
+        .select(col("grp"), unix_micros(col("bucket_start")).as("bucket_us"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("grp"), col("bucket_us"))
+    },
+    Some("""
+      WITH e AS (SELECT user_id % 20 AS grp,
+                        epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS b,
+                        value
+                 FROM events),
+      a AS (SELECT grp, b, count(*) AS n,
+                   sum(CAST(value AS DECIMAL(25,6))) AS s
+            FROM e GROUP BY 1, 2),
+      span AS (SELECT grp, min(b) AS mn, max(b) AS mx FROM a GROUP BY 1),
+      grid AS (SELECT grp, unnest(generate_series(mn, mx)) AS b FROM span)
+      SELECT g.grp, g.b * 86400000000 AS bucket_us,
+             coalesce(a.n, 0) AS n_events,
+             coalesce(CAST(a.s AS DOUBLE), 0.0) AS sum_value
+      FROM grid g LEFT JOIN a USING (grp, b)
+      ORDER BY 1, 2
+    """.trim))
+
   def all: Seq[HarnessQuery] =
     Seq(q20Velocity, q21VelocityPreAgg, q22TimeFeatures, q23Sessions,
-      q24JsonExtract, q25Ntile, q26Pivot)
+      q24JsonExtract, q25Ntile, q26Pivot, q102Resample)
 }

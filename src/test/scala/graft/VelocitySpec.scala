@@ -62,4 +62,25 @@ class VelocitySpec extends SparkSpec {
     val df = Seq((1, "a"), (1, "a"), (2, "b")).toDF("x", "y")
     assert(Cleaning.dedup(df).count() === 2)
   }
+
+  test("resample fills gaps with zero rows; sums stay exact") {
+    import java.sql.Timestamp
+    val df = Seq(
+      ("u1", Timestamp.valueOf("2024-01-01 10:00:00"), 1.5),
+      ("u1", Timestamp.valueOf("2024-01-01 23:59:59"), 2.5),
+      // 2024-01-02: gap day for u1
+      ("u1", Timestamp.valueOf("2024-01-03 00:00:00"), 4.0),
+      ("u2", Timestamp.valueOf("2024-01-05 12:00:00"), 7.0)
+    ).toDF("k", "ts", "v")
+    val got = graft.operators.Resample
+      .resample(df, "ts", "k", 86400000000L, "v")
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString,
+        r.getLong(2), r.getDouble(3))).toSet
+    assert(got === Set(
+      ("u1", "2024-01-01 00:00:00.0", 2L, 4.0),
+      ("u1", "2024-01-02 00:00:00.0", 0L, 0.0), // the filled gap
+      ("u1", "2024-01-03 00:00:00.0", 1L, 4.0),
+      ("u2", "2024-01-05 00:00:00.0", 1L, 7.0)))
+  }
 }
