@@ -174,6 +174,18 @@ class TextOpsSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("repetitionStats single-scan shape equals the three-branch shape") {
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("aa", "bb", "cc", "dd")
+    val docs = (1L to 40L).map { i =>
+      (i, Seq.fill(rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val a = TextAnalysis.repetitionStats(df, "text", "doc_id")
+    val b = TextAnalysis.repetitionStats(df, "text", "doc_id", singleScan = true)
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
+  }
+
   test("decontaminateBloom equals plain decontaminate at any fpp") {
     val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
     val corpus = Seq(
