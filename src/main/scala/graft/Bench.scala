@@ -40,6 +40,11 @@ object Bench {
         catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
       SessionHygiene.reset(spark)
+      // JMH-style forced GC between timed runs: 90 queries of generated
+      // code + checkpoint blocks otherwise build old-gen pressure that
+      // lands a full GC inside some later query's timing (observed: two
+      // 90s+ trials on a 4s query late in a full run)
+      System.gc()
       if (ok) dt else -1.0
     }
     val results = selected.map { case (name, fn) =>

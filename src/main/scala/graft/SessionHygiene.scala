@@ -16,7 +16,10 @@ import org.apache.spark.sql.SparkSession
 object SessionHygiene {
   def reset(spark: SparkSession): Unit = {
     spark.sharedState.cacheManager.clearCache()
+    // blocking: an async unpersist can still be draining while the next
+    // query is timed — with 90 sequential queries the lag compounds into
+    // storage-memory pressure that hit two mid-run trials for 90s+
     spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = false))
+      .foreach(_.unpersist(blocking = true))
   }
 }
