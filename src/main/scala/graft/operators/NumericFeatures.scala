@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Numeric feature conditioning — the standard pre-model cleanups
+  * applied after the reference's feature engineering (scaling lives in
+  * [[graft.ml.FeaturePipeline]]; these are the distribution-shape
+  * repairs that happen before any fitted scaler).
+  *
+  * Exactness discipline (the engine-wide parity rules): means/stds come
+  * from decimal-accumulated sums (order-independent), percentiles from
+  * the exact `percentile` aggregate, and corpus-level constants ride as
+  * broadcast 1-row aggregates inside the lazy plan — composing these
+  * into a pipeline never triggers an eager driver action.
+  */
+object NumericFeatures {
+
+  private def dec(c: Column): Column = c.cast("decimal(30,8)")
+
+  /** Winsorize: clamp `valueCol` into its exact [pLo, pHi] percentile
+    * range (the outlier treatment that keeps rows — dropping tails
+    * biases event data where the tail IS the signal). One exact
+    * percentile aggregate (single buffer for both bounds) broadcasts
+    * back over the data; the clamp is a pure projection.
+    */
+  def winsorize(
+      df: DataFrame, valueCol: String,
+      pLo: Double = 0.01, pHi: Double = 0.99,
+      outCol: String = "winsorized"): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi,
+      s"need 0 <= pLo < pHi <= 1, got [$pLo, $pHi]")
+    val bounds = broadcast(df.agg(
+      expr(s"percentile(`$valueCol`, array($pLo, $pHi))").as("__wb")))
+    df.crossJoin(bounds)
+      .withColumn(outCol,
+        greatest(col("__wb").getItem(0),
+          least(col("__wb").getItem(1), col(valueCol).cast("double"))))
+      .drop("__wb")
+  }
+
+  /** Per-group z-score: (x − mean_g) / std_g with the group's sample
+    * std (n−1), from decimal-exact sums. Groups with fewer than two
+    * rows or zero variance yield null (division by zero/null), never
+    * NaN/Infinity. One hash aggregate on the key, broadcast back —
+    * group cardinality is what's small here, not the data.
+    */
+  def standardizeByKey(
+      df: DataFrame, keyCol: String, valueCol: String,
+      outCol: String = "zscore"): DataFrame = {
+    val v = col(valueCol)
+    val stats = broadcast(df.groupBy(col(keyCol)).agg(
+      count(v).as("__zn"),
+      (sum(dec(v)).cast("double") / count(v)).as("__zmean"),
+      sqrt((sum(dec(v * v)).cast("double")
+        - sum(dec(v)).cast("double") * sum(dec(v)).cast("double") / count(v))
+        // nullif: a single-row group has n-1 = 0, which ANSI mode turns
+        // into a DIVIDE_BY_ZERO error instead of the intended null std
+        / nullif((count(v) - lit(1)).cast("double"), lit(0.0))).as("__zstd")))
+    df.join(stats, Seq(keyCol))
+      .withColumn(outCol,
+        (v - col("__zmean")) / nullif(col("__zstd"), lit(0.0)))
+      .drop("__zn", "__zmean", "__zstd")
+  }
+}

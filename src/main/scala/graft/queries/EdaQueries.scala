@@ -264,8 +264,62 @@ object EdaQueries {
       ORDER BY 1
     """.trim))
 
+  /** Winsorization ([[graft.operators.NumericFeatures.winsorize]]):
+    * clamp event values into the exact [p01, p99] range, then audit the
+    * clamped distribution per type — the oracle replays the same exact
+    * percentiles via quantile_cont.
+    */
+  val q103Winsorize = HarnessQuery(
+    "q103_winsorize",
+    (spark, dir) => {
+      val w = graft.operators.NumericFeatures
+        .winsorize(Tables.events(spark, dir), "value")
+      w.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("winsorized").cast("decimal(25,6)")).cast("double")
+            .as("sum_w"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH p AS (SELECT quantile_cont(value, 0.01) AS lo,
+                        quantile_cont(value, 0.99) AS hi
+                 FROM events)
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(greatest(p.lo, least(p.hi, value))
+                           AS DECIMAL(25,6))) AS DOUBLE) AS sum_w
+      FROM events, p GROUP BY 1 ORDER BY 1
+    """.trim))
+
+  /** Per-group z-scores
+    * ([[graft.operators.NumericFeatures.standardizeByKey]]): value
+    * standardized within its event_type, per-row output — the oracle
+    * recomputes mean/std from the same decimal sums and formula, so
+    * every double matches bit-for-bit (rounded to 12 for transport).
+    */
+  val q104Zscore = HarnessQuery(
+    "q104_zscore",
+    (spark, dir) => {
+      graft.operators.NumericFeatures
+        .standardizeByKey(Tables.events(spark, dir), "event_type", "value")
+        .select(col("event_id"), col("event_type"),
+          round(col("zscore"), 12).as("z"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      WITH s AS (SELECT event_type, count(value) AS n,
+                        CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS sm,
+                        CAST(sum(CAST(value * value AS DECIMAL(30,8))) AS DOUBLE) AS ss
+                 FROM events GROUP BY 1)
+      SELECT e.event_id, e.event_type,
+             round((e.value - s.sm / s.n)
+                   / nullif(sqrt((s.ss - s.sm * s.sm / s.n) / (s.n - 1)), 0.0),
+                   12) AS z
+      FROM events e JOIN s USING (event_type)
+      ORDER BY 1
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q30Describe, q31ValueCounts, q32GroupedMean, q33Histogram,
     q34DistinctCount, q35ClassFreq, q36Rollup, q37SkewDistinct,
-    q38Sketches, q39Cube, q100Profile)
+    q38Sketches, q39Cube, q100Profile, q103Winsorize, q104Zscore)
 }

@@ -1,8 +1,11 @@
 package graft
 
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
 import graft.operators.Eda
 
-class EdaSpec extends SparkSpec {
+class EdaSpec extends SparkSpec with Matchers {
   import spark.implicits._
 
   test("describe matches hand-computed stats incl. interpolated quartiles") {
@@ -56,6 +59,36 @@ class EdaSpec extends SparkSpec {
     val v = rows("v")
     assert(v.getLong(2) === 1L && v.getLong(3) === 2L)
     assert(v.getDouble(4) === -1.0 && v.getDouble(5) === 2.5)
+  }
+
+  test("winsorize clamps tails to the exact percentile bounds, keeps all rows") {
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val w = graft.operators.NumericFeatures
+      .winsorize(df, "v", pLo = 0.1, pHi = 0.9)
+    assert(w.count() === 100)
+    // exact percentile of 1..100 at 0.1/0.9 interpolates to 10.9 / 90.1
+    val (mn, mx) = w.agg(min($"winsorized"), max($"winsorized"))
+      .as[(Double, Double)].head()
+    assert(mn === 10.9 +- 1e-12 && mx === 90.1 +- 1e-12)
+    // interior values untouched
+    assert(w.filter($"v" === 50.0).head.getAs[Double]("winsorized") === 50.0)
+  }
+
+  test("standardizeByKey: hand-computed z-scores; degenerate groups null") {
+    val df = Seq(
+      ("a", 1.0), ("a", 2.0), ("a", 3.0), // mean 2, sample std 1
+      ("b", 5.0),                         // single row: std null
+      ("c", 4.0), ("c", 4.0)              // zero variance: std 0 -> null
+    ).toDF("k", "v")
+    val z = graft.operators.NumericFeatures.standardizeByKey(df, "k", "v")
+      .collect().map(r => (r.getString(0), r.getDouble(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    val byKV = z.groupBy(t => (t._1, t._2)).view.mapValues(_.head._3).toMap
+    assert(byKV(("a", 1.0)) === Some(-1.0))
+    assert(byKV(("a", 2.0)) === Some(0.0))
+    assert(byKV(("a", 3.0)) === Some(1.0))
+    assert(byKV(("b", 5.0)) === None)
+    assert(byKV(("c", 4.0)) === None)
   }
 
   test("profile approx mode keeps the same shape with HLL distincts") {
