@@ -9,12 +9,13 @@ object Bench {
     * JIT/codegen warm-up and ambient host noise — far more than a real
     * regression — so the headline number is the per-query MEDIAN.
     *
-    * Output discipline: the driver keeps only the TAIL of stdout, so the
-    * final line must be short enough to survive truncation. Medians are
-    * rounded to 1 ms and the raw trials go to a PRECEDING line (and to
-    * target/bench_trials.json), never inline in the final line — a
-    * full-precision trials map once pushed the line past the tail window
-    * and the driver recorded `parsed: null` for the whole round.
+    * Output discipline: the driver keeps only the last 2000 characters
+    * of stdout, so the FINAL line keys queries by their short "qNN"
+    * prefix and stays ~1 KB. Full-name medians and raw trials go to
+    * BENCH_SELF.json (committed) and to a preceding stdout line that may
+    * be truncated harmlessly — a full-precision full-name line once
+    * pushed the final line past the tail window and the driver recorded
+    * `parsed: null` for the whole round.
     */
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -33,9 +33,13 @@ object NumericFeatures {
     val bounds = broadcast(df.agg(
       expr(s"percentile(`$valueCol`, array($pLo, $pHi))").as("__wb")))
     df.crossJoin(bounds)
+      // least/greatest SKIP nulls (SQL semantics), so an unguarded clamp
+      // would rewrite a NULL measurement into the upper bound — nulls
+      // must stay null
       .withColumn(outCol,
-        greatest(col("__wb").getItem(0),
-          least(col("__wb").getItem(1), col(valueCol).cast("double"))))
+        when(col(valueCol).isNull, lit(null).cast("double"))
+          .otherwise(greatest(col("__wb").getItem(0),
+            least(col("__wb").getItem(1), col(valueCol).cast("double")))))
       .drop("__wb")
   }
 
@@ -49,17 +53,25 @@ object NumericFeatures {
       df: DataFrame, keyCol: String, valueCol: String,
       outCol: String = "zscore"): DataFrame = {
     val v = col(valueCol)
-    val stats = broadcast(df.groupBy(col(keyCol)).agg(
+    // nullif: a single-row group has n-1 = 0, which ANSI mode turns
+    // into a DIVIDE_BY_ZERO error instead of the intended null std.
+    // The radicand is gated > 0 before sqrt: decimal rounding of v and
+    // v*v is independent, so a zero-variance group of sub-precision
+    // values can land an epsilon-NEGATIVE radicand, and sqrt(negative)
+    // is NaN — which would leak through the nullif(std, 0) guard.
+    val radicand = (sum(dec(v * v)).cast("double")
+      - sum(dec(v)).cast("double") * sum(dec(v)).cast("double") / count(v)) /
+      nullif((count(v) - lit(1)).cast("double"), lit(0.0))
+    val stats = df.groupBy(col(keyCol)).agg(
       count(v).as("__zn"),
       (sum(dec(v)).cast("double") / count(v)).as("__zmean"),
-      sqrt((sum(dec(v * v)).cast("double")
-        - sum(dec(v)).cast("double") * sum(dec(v)).cast("double") / count(v))
-        // nullif: a single-row group has n-1 = 0, which ANSI mode turns
-        // into a DIVIDE_BY_ZERO error instead of the intended null std
-        / nullif((count(v) - lit(1)).cast("double"), lit(0.0))).as("__zstd")))
-    df.join(stats, Seq(keyCol))
-      .withColumn(outCol,
-        (v - col("__zmean")) / nullif(col("__zstd"), lit(0.0)))
-      .drop("__zn", "__zmean", "__zstd")
+      when(radicand > 0.0, sqrt(radicand)).as("__zstd"))
+    // null-safe key equality: groupBy treats NULL as a real group, so
+    // the join back must too — a plain equi-join would silently DROP
+    // every null-key row from the returned frame
+    df.join(broadcast(stats.withColumnRenamed(keyCol, "__zk")),
+        col(keyCol) <=> col("__zk"))
+      .withColumn(outCol, (v - col("__zmean")) / col("__zstd"))
+      .drop("__zk", "__zn", "__zmean", "__zstd")
   }
 }

@@ -42,7 +42,12 @@ object Resample {
       .agg(min(col("__b")).as("__mn"), max(col("__b")).as("__mx"))
       .select(col(keyCol),
         explode(sequence(col("__mn"), col("__mx"))).as("__b"))
-    grid.join(agg, Seq(keyCol, "__b"), "left")
+    // null-safe key equality: a NULL key is a real group out of the
+    // aggregate, but NULL never equi-matches — a plain join would emit
+    // fabricated all-zero buckets for the null key while its real
+    // counts vanish
+    grid.join(agg.withColumnRenamed(keyCol, "__k2").withColumnRenamed("__b", "__b2"),
+        col(keyCol) <=> col("__k2") && col("__b") === col("__b2"), "left")
       .select(col(keyCol),
         timestamp_micros(col("__b") * lit(bucketMicros)).as("bucket_start"),
         coalesce(col("__n"), lit(0L)).as("n_events"),

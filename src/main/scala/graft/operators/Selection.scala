@@ -65,9 +65,16 @@ object Selection {
     // bucket id = #boundaries strictly above the score: 0 for the top
     // slice, monotone non-decreasing along (score desc) — equal scores
     // share a bucket by construction, so the per-bucket sort owns its
-    // ties and local rank + earlier-bucket counts IS the global rank
+    // ties and local rank + earlier-bucket counts IS the global rank.
+    // NULL scores sort LAST under (score desc) = desc_nulls_last, so
+    // they get their own bucket beyond every boundary bucket — the
+    // unguarded filter() would have dropped all elements on a null
+    // comparison and put them in bucket 0, ranking missing scores ABOVE
+    // every real one
     val bucketed = df.join(broadcast(bounds), Seq(keyCol))
-      .withColumn("__b", size(filter(col("__bounds"), b => b > score)))
+      .withColumn("__b",
+        when(score.isNull, lit(buckets))
+          .otherwise(size(filter(col("__bounds"), b => b > score))))
       .drop("__bounds")
     val order = score.desc +: tieBreak.map(c => col(c).asc)
     val wRank = Window.partitionBy(col(keyCol), col("__b")).orderBy(order: _*)

@@ -219,11 +219,14 @@ object CoreQueries {
     q02RangeJoin.oracle)
 
   /** The general as-of join's `nearest` direction with a tolerance bound
-    * ([[RangeJoin.asOfJoin]]): nearest mark within 10, equidistant ties
+    * ([[RangeJoin.asOfJoin]]): nearest mark within 19, equidistant ties
     * to the backward candidate (pandas `merge_asof` parity), out-of-
-    * tolerance rows keep the 'none' sentinel. Mark spacing is even (38)
-    * so equidistant ties actually occur in the data, and the replay
-    * oracle states the same ordering: distance, then backward-first.
+    * tolerance rows keep the 'none' sentinel. Marks sit 38 apart, so a
+    * tolerance of exactly half the spacing makes BOTH paths live in the
+    * data: midpoints (lb+19) have two equidistant candidates and
+    * exercise the backward tie-break, while uk beyond the last mark+19
+    * exercises the miss path. (A tolerance below half-spacing would
+    * make ties impossible and the tie-break dead code.)
     */
   val q97AsOfNearest = HarnessQuery(
     "q97_asof_nearest",
@@ -234,7 +237,7 @@ object CoreQueries {
         col("n_name"),
         (col("n_nationkey").cast("long") * 38L + 5L).as("lb"))
       RangeJoin.asOfJoin(ev, marks, "uk", "lb", "event_id",
-        direction = "nearest", tolerance = Some(10L))
+        direction = "nearest", tolerance = Some(19L))
         .select(col("event_id"), col("uk"),
           coalesce(col("n_name"), lit("none")).as("mark"))
         .orderBy(col("event_id"))
@@ -243,7 +246,7 @@ object CoreQueries {
       SELECT event_id, uk, coalesce(n_name, 'none') AS mark
       FROM (SELECT event_id, (user_id * 7 + event_id) % 1000 AS uk FROM events) e
       LEFT JOIN (SELECT n_name, n_nationkey * 38 + 5 AS lb FROM nation) r
-        ON abs(e.uk - r.lb) <= 10
+        ON abs(e.uk - r.lb) <= 19
       QUALIFY row_number() OVER (
         PARTITION BY event_id
         ORDER BY abs(uk - lb), CASE WHEN lb <= uk THEN 0 ELSE 1 END) = 1

@@ -242,7 +242,7 @@ object EdaQueries {
       UNION ALL
       SELECT 'ts', count(*),
              CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-             count(DISTINCT ts), NULL, NULL
+             count(DISTINCT CAST(ts AS TIMESTAMP)), NULL, NULL
       FROM events
       UNION ALL
       SELECT 'user_id', count(*),

@@ -22,7 +22,10 @@ object DocConfig {
 
   private def loadYaml(path: String): scala.collection.Map[String, Object] = {
     val in = new FileInputStream(path)
-    try new Yaml().load[java.util.Map[String, Object]](in).asScala
+    // SnakeYAML returns null for an empty / comments-only document —
+    // that's a valid "all defaults" config, not an NPE
+    try Option(new Yaml().load[java.util.Map[String, Object]](in))
+      .map(_.asScala).getOrElse(scala.collection.Map.empty)
     finally in.close()
   }
 

@@ -72,6 +72,25 @@ class EdaSpec extends SparkSpec with Matchers {
     assert(mn === 10.9 +- 1e-12 && mx === 90.1 +- 1e-12)
     // interior values untouched
     assert(w.filter($"v" === 50.0).head.getAs[Double]("winsorized") === 50.0)
+    // nulls stay null — least/greatest would otherwise rewrite a
+    // missing measurement into the upper bound
+    val withNull = (1 to 100).map(i => Some(i.toDouble)).:+(None).toDF("v")
+    val wn = graft.operators.NumericFeatures
+      .winsorize(withNull, "v", pLo = 0.1, pHi = 0.9)
+    assert(wn.filter($"v".isNull).head.isNullAt(1))
+    assert(wn.count() === 101)
+  }
+
+  test("standardizeByKey keeps null-key rows and z-scores them as a group") {
+    val df = Seq((Some("a"), 1.0), (Some("a"), 3.0),
+      (None, 10.0), (None, 14.0)).toDF("k", "v")
+    val z = graft.operators.NumericFeatures.standardizeByKey(df, "k", "v")
+    assert(z.count() === 4) // null-key rows NOT dropped
+    val nullz = z.filter($"k".isNull).select($"v", $"zscore").collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    // mean 12, sample std sqrt(8): z = ±2/sqrt(8)
+    assert(math.abs(nullz(10.0) - (-2.0 / math.sqrt(8))) < 1e-12)
+    assert(math.abs(nullz(14.0) - (2.0 / math.sqrt(8))) < 1e-12)
   }
 
   test("standardizeByKey: hand-computed z-scores; degenerate groups null") {

@@ -37,6 +37,17 @@ class SelectionSpec extends SparkSpec with TableDrivenPropertyChecks {
     }
   }
 
+  test("null scores rank LAST, matching the naive desc_nulls_last order") {
+    val df = Seq((1L, "a", Some(0.9)), (2L, "a", Some(0.5)),
+      (3L, "a", None), (4L, "a", Some(0.7))).toDF("id", "k", "s")
+    // top half of 4 rows = 2 rows: the two best REAL scores, never the null
+    val got = Selection.topFracPerKey(df, "k", "s", 0.5, Seq("id"))
+      .select($"id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L, 4L))
+    // frac=1 still keeps the null-score row
+    assert(Selection.topFracPerKey(df, "k", "s", 1.0, Seq("id")).count() === 4)
+  }
+
   test("frac=1 keeps everything; tiny keys survive bucketing") {
     val df = mkDf(Seq((1L, "a", 0.5), (2L, "a", 0.1), (3L, "b", 0.9)))
     assert(Selection.topFracPerKey(df, "k", "s", 1.0, Seq("id")).count() === 3)

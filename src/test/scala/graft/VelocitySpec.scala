@@ -83,4 +83,23 @@ class VelocitySpec extends SparkSpec {
       ("u1", "2024-01-03 00:00:00.0", 1L, 4.0),
       ("u2", "2024-01-05 00:00:00.0", 1L, 7.0)))
   }
+
+  test("resample keeps a null key's real counts (null-safe grid join)") {
+    import java.sql.Timestamp
+    val df = Seq(
+      (Option.empty[String], Timestamp.valueOf("2024-01-01 10:00:00"), 3.0),
+      (Option.empty[String], Timestamp.valueOf("2024-01-03 10:00:00"), 4.0),
+      (Some("u1"), Timestamp.valueOf("2024-01-01 01:00:00"), 1.0)
+    ).toDF("k", "ts", "v")
+    val got = graft.operators.Resample
+      .resample(df, "ts", "k", 86400000000L, "v")
+      .filter($"k".isNull)
+      .collect().map(r => (r.getTimestamp(1).toString, r.getLong(2), r.getDouble(3)))
+      .toSet
+    // the null key is a real group: counts present, gap day filled
+    assert(got === Set(
+      ("2024-01-01 00:00:00.0", 1L, 3.0),
+      ("2024-01-02 00:00:00.0", 0L, 0.0),
+      ("2024-01-03 00:00:00.0", 1L, 4.0)))
+  }
 }
