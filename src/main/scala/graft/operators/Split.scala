@@ -62,31 +62,65 @@ object Split {
         train = tagged.filter(!col("__is_test")).drop("__rn", "__n", "__is_test"),
         test = tagged.filter(col("__is_test")).drop("__rn", "__n", "__is_test"))
     case tb =>
-      val hash = xxhash64(tb :+ lit(seed): _*)
-      // signed order ⟺ unsigned order of (hash ^ Long.MinValue); top 6
-      // bits of that are an order-aligned range bucketing: bucket id is
-      // monotone non-decreasing along the (hash, tb...) sort, and hash
-      // ties (which compare by tb next) share a bucket by construction
-      val salt = shiftrightunsigned(hash.bitwiseXOR(lit(Long.MinValue)), SaltShift)
-      val tagged0 = df.withColumn("__salt", salt)
-      val wRank = Window.partitionBy(col(labelCol), col("__salt"))
-        .orderBy(hash +: tb: _*)
-      val wOff = Window.partitionBy(col(labelCol)).orderBy(col("__salt"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val wTot = Window.partitionBy(col(labelCol))
-      val offsets = tagged0.groupBy(col(labelCol), col("__salt"))
-        .agg(count(lit(1)).as("__bn"))
-        .select(col(labelCol), col("__salt"),
-          coalesce(sum(col("__bn")).over(wOff), lit(0L)).as("__off"),
-          sum(col("__bn")).over(wTot).as("__n"))
-      val tagged = tagged0
-        .join(broadcast(offsets), Seq(labelCol, "__salt"))
-        .withColumn("__rn", row_number().over(wRank) + col("__off"))
+      val tagged = saltedRank(df, labelCol, seed, tb)
         .withColumn("__is_test", col("__rn") <= ceil(col("__n") * lit(testFrac)))
       val aux = Seq("__salt", "__off", "__n", "__rn", "__is_test")
       SplitResult(
         train = tagged.filter(!col("__is_test")).drop(aux: _*).select(df.columns.map(col): _*),
         test = tagged.filter(col("__is_test")).drop(aux: _*).select(df.columns.map(col): _*))
+  }
+
+  /** The shared two-level salted per-class global rank: df plus
+    * `__salt`, `__off`, `__n` (class size) and `__rn` (exact 1-based
+    * rank in the seeded content-hash order within the class).
+    */
+  private def saltedRank(
+      df: DataFrame, labelCol: String, seed: Long,
+      tb: Seq[Column]): DataFrame = {
+    val hash = xxhash64(tb :+ lit(seed): _*)
+    // signed order ⟺ unsigned order of (hash ^ Long.MinValue); top 6
+    // bits of that are an order-aligned range bucketing: bucket id is
+    // monotone non-decreasing along the (hash, tb...) sort, and hash
+    // ties (which compare by tb next) share a bucket by construction
+    val salt = shiftrightunsigned(hash.bitwiseXOR(lit(Long.MinValue)), SaltShift)
+    val tagged0 = df.withColumn("__salt", salt)
+    val wRank = Window.partitionBy(col(labelCol), col("__salt"))
+      .orderBy(hash +: tb: _*)
+    val wOff = Window.partitionBy(col(labelCol)).orderBy(col("__salt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy(col(labelCol))
+    val offsets = tagged0.groupBy(col(labelCol), col("__salt"))
+      .agg(count(lit(1)).as("__bn"))
+      .select(col(labelCol), col("__salt"),
+        coalesce(sum(col("__bn")).over(wOff), lit(0L)).as("__off"),
+        sum(col("__bn")).over(wTot).as("__n"))
+    tagged0
+      .join(broadcast(offsets), Seq(labelCol, "__salt"))
+      .withColumn("__rn", row_number().over(wRank) + col("__off"))
+  }
+
+  /** Stratified k-fold assignment (sklearn `StratifiedKFold` semantics
+    * at the membership level): every row gets a `fold` in [0, k) via
+    * `(rank − 1) mod k` of the same seeded content-hash rank the
+    * train/test split uses, so per-class fold sizes are exactly
+    * balanced (differ by at most one) and membership is deterministic
+    * under the seed and recomputation-stable — same two-level salted
+    * rank, no whole-class window. Fold f's validation set is
+    * `fold === f`; its training set is everything else.
+    */
+  def stratifiedKFold(
+      df: DataFrame,
+      labelCol: String,
+      k: Int,
+      seed: Long,
+      tieBreak: Seq[Column]): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(tieBreak.nonEmpty,
+      "stratifiedKFold needs content tie-break columns: fold membership " +
+        "must be a function of row content, not partition layout")
+    saltedRank(df, labelCol, seed, tieBreak)
+      .withColumn("fold", pmod(col("__rn") - 1, lit(k.toLong)))
+      .drop("__salt", "__off", "__n", "__rn")
   }
 
   /** Split-size audit: per-class train/test row counts. The counts (not

@@ -212,7 +212,34 @@ object MlQueries {
       GROUP BY 1, 2 ORDER BY 1, 2
     """.trim))
 
+  /** Stratified k-fold ([[Split.stratifiedKFold]]): per-(class, fold)
+    * row counts. The rank-mod-k assignment makes fold sizes a pure
+    * function of each class's size — fold f of a class with n rows
+    * holds floor((n - f - 1) / k) + 1 rows — which the oracle states
+    * directly over generate_series.
+    */
+  val q105KFold = HarnessQuery(
+    "q105_kfold",
+    (spark, dir) =>
+      Split.stratifiedKFold(
+        Tables.embeddings(spark, dir)
+          .withColumn("label", col("label").cast("long")),
+        "label", k = 5, seed = 42L, tieBreak = Seq(col("vec_id")))
+        .groupBy(col("label"), col("fold"))
+        .agg(count(lit(1)).as("n_rows"))
+        .orderBy(col("label"), col("fold")),
+    Some("""
+      WITH c AS (SELECT CAST(label AS BIGINT) AS label, count(*) AS n
+                 FROM embeddings GROUP BY 1),
+      f AS (SELECT unnest(generate_series(0, 4)) AS fold)
+      SELECT c.label, CAST(f.fold AS BIGINT) AS fold,
+             CAST((c.n - f.fold - 1) // 5 + 1 AS BIGINT) AS n_rows
+      FROM c CROSS JOIN f
+      WHERE f.fold < c.n
+      ORDER BY 1, 2
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q40SplitSummary, q41UndersampleCounts, q42SmoteCounts,
-    q43FeaturePipeline, q44FeatureNames, q85Ep1Pipeline)
+    q43FeaturePipeline, q44FeatureNames, q85Ep1Pipeline, q105KFold)
 }

@@ -52,6 +52,28 @@ class SplitBalanceSpec extends SparkSpec {
     assert(buckets > 1, s"expected >1 salt bucket, got $buckets")
   }
 
+  test("stratifiedKFold: exhaustive, balanced per class, deterministic, disjoint from fold") {
+    val folded = Split.stratifiedKFold(df, "label", k = 5, seed = 42L,
+      tieBreak = Seq($"id"))
+    assert(folded.count() === 100)
+    // per-class fold sizes differ by at most one and sum to the class size
+    val sizes = folded.groupBy("label", "fold").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert((0 until 5).map(f => sizes((0, f.toLong))).sum === 80L)
+    assert((0 until 5).map(f => sizes((1, f.toLong))).sum === 20L)
+    assert(sizes.filterKeys(_._1 == 0).values.toSet === Set(16L)) // 80/5 exact
+    assert(sizes.filterKeys(_._1 == 1).values.toSet === Set(4L))  // 20/5 exact
+    // deterministic under seed; different seed shuffles membership
+    def m(seed: Long) = Split.stratifiedKFold(df, "label", 5, seed, Seq($"id"))
+      .select("id", "fold").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(42L) === m(42L))
+    assert(m(42L) !== m(7L))
+    // fold 0's validation and training sets partition the data
+    val v0 = folded.filter($"fold" === 0)
+    val t0 = folded.filter($"fold" =!= 0)
+    assert(v0.count() + t0.count() === 100 && v0.join(t0, "id").count() === 0)
+  }
+
   test("stratified split extremes: frac 0 keeps all in train; frac 1 all in test") {
     val zero = Split.stratified(df, "label", 0.0, 42L, Seq($"id"))
     assert(zero.train.count() === 100 && zero.test.count() === 0)
