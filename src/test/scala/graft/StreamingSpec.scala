@@ -193,6 +193,30 @@ class StreamingSpec extends SparkSpec {
     assert(got === batch)
   }
 
+  test("idempotent batch sink: a replayed micro-batch does not duplicate rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink")
+    val out = dir.resolve("data").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingSink.parquetExactlyOnce(
+      mem.toDF().toDF("id", "v"), out, ckpt)
+    mem.addData((1L, "a"), (2L, "b"))
+    q.processAllAvailable()
+    mem.addData((3L, "c"))
+    q.processAllAvailable()
+    q.stop()
+    val once = spark.read.parquet(out)
+    assert(once.count() === 3)
+    // simulate the failure-recovery replay of batch 0: same rows, same id
+    val replay = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    graft.streaming.StreamingSink.writeBatchIdempotent(replay, 0L, out)
+    val after = spark.read.parquet(out)
+    assert(after.count() === 3, "replayed batch duplicated rows")
+    // batch id is a readable partition column
+    assert(after.select("batch_id").distinct().count() === 2)
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     implicit val sqlCtx = spark.sqlContext
     val viewRows = Seq(
