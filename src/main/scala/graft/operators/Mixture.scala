@@ -35,6 +35,27 @@ object Mixture {
 
   private val SaltShift = 54 // md5Hash60 is 60-bit non-negative; top 6 bits
 
+  /** Content-stable Bernoulli sample: keep a row iff its seeded content
+    * hash falls under `frac` of the hash space. `df.sample(frac, seed)`
+    * is NOT this — its membership depends on partition layout and row
+    * order, so a recomputed lineage (executor loss, AQE re-plan, a
+    * retried stage) silently returns a DIFFERENT sample; on a real
+    * cluster that is a correctness bug in any pipeline that reads the
+    * sample twice. Hash membership is a pure function of (id, seed):
+    * stable under recomputation, mergeable across incremental batches,
+    * and replayable by any engine with md5 — so sampling is
+    * oracle-checkable row by row. Sample size is Binomial(n, frac),
+    * not exact-n (rank-based selection is [[sampleMixture]]'s job).
+    */
+  def sampleByHash(
+      df: DataFrame, idCol: String, frac: Double, seed: Long): DataFrame = {
+    require(frac >= 0.0 && frac <= 1.0, s"frac must be in [0,1], got $frac")
+    val h = TextFunctions.md5Hash60(
+      concat(col(idCol).cast("string"), lit(":"), lit(seed.toString)))
+    // 60-bit hash space: keep h < frac * 2^60, computed in exact longs
+    df.filter(h < lit((frac * (1L << 60).toDouble).toLong))
+  }
+
   /** Rows of `df` sampled to the target mixture; domains absent from
     * `weights` are dropped. Weights must be positive and are treated as
     * proportions (typically summing to 1).

@@ -1520,6 +1520,22 @@ object LlmQueries {
       SELECT doc_id, source FROM r WHERE rn <= ceil(n * 0.4) ORDER BY 1
     """.trim))
 
+  /** Content-stable Bernoulli sample ([[Mixture.sampleByHash]]): the
+    * kept doc_ids at frac 0.3, seed 42 — full membership oracle via the
+    * same md5-derived 60-bit hash threshold.
+    */
+  val q106HashSample = HarnessQuery(
+    "q106_hash_sample",
+    (spark, dir) =>
+      Mixture.sampleByHash(Tables.documents(spark, dir), "doc_id", 0.3, 42L)
+        .select(col("doc_id")).orderBy(col("doc_id")),
+    Some(s"""
+      SELECT doc_id FROM documents
+      WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15)) AS BIGINT)
+            < ${(0.3 * (1L << 60).toDouble).toLong}
+      ORDER BY 1
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q50TextStats, q51TokenCount, q52LangQuality, q53Fingerprint,
     q54Shingles, q55MinhashPairs, q56ExactDedup, q57SimhashPairs,
@@ -1530,5 +1546,5 @@ object LlmQueries {
     q82PackSequences, q83Decontaminate, q86RepetitionStats,
     q88MixtureSample, q89QuantizedTopK, q90TokenBudget, q91SubstringDup,
     q92DedupKeepBest, q93UnigramLogProb, q94CorpusReport, q95PipelineV2,
-    q96DecontaminateBloom, q99QualityCut)
+    q96DecontaminateBloom, q99QualityCut, q106HashSample)
 }

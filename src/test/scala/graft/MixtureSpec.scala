@@ -84,4 +84,24 @@ class MixtureSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(m1 !== m2, "seed must drive the content-hash order")
   }
+
+  test("sampleByHash: deterministic, near-frac rate, monotone in frac") {
+    val df = (1L to 5000L).toDF("id")
+    val a = Mixture.sampleByHash(df, "id", 0.3, 42L)
+      .collect().map(_.getLong(0)).toSet
+    val b = Mixture.sampleByHash(df, "id", 0.3, 42L)
+      .collect().map(_.getLong(0)).toSet
+    assert(a === b) // content-stable: same membership on recompute
+    assert(math.abs(a.size - 1500) < 120, s"rate off: ${a.size}") // ~4 sigma
+    val c = Mixture.sampleByHash(df, "id", 0.3, 7L)
+      .collect().map(_.getLong(0)).toSet
+    assert(a !== c) // seed changes membership
+    // a smaller frac under the same seed is a SUBSET (hash threshold)
+    val small = Mixture.sampleByHash(df, "id", 0.1, 42L)
+      .collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(a))
+    // edges
+    assert(Mixture.sampleByHash(df, "id", 0.0, 42L).count() === 0)
+    assert(Mixture.sampleByHash(df, "id", 1.0, 42L).count() === 5000)
+  }
 }
