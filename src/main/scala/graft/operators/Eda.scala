@@ -172,8 +172,13 @@ object Eda {
           .as(s"__mx_$c"))
     }
     val wide = df.agg(count(lit(1)).as("__n"), aggs: _*)
-    val stackArgs = cols.map(c =>
-      s"'$c', __nn_$c, __nd_$c, __mn_$c, __mx_$c").mkString(", ")
+    // backtick-quote the generated references and escape the label
+    // literal (describeWith's discipline): a column named "event time"
+    // or "a'b" must not break or corrupt the generated SQL
+    val stackArgs = cols.map { c =>
+      val label = c.replace("'", "''")
+      s"'$label', `__nn_$c`, `__nd_$c`, `__mn_$c`, `__mx_$c`"
+    }.mkString(", ")
     wide.selectExpr("__n",
       s"stack(${cols.size}, $stackArgs) AS (col_name, n_nulls, n_distinct, min_val, max_val)")
       .select(col("col_name"), col("__n").as("n_rows"), col("n_nulls"),

@@ -63,7 +63,6 @@ object NumericFeatures {
       - sum(dec(v)).cast("double") * sum(dec(v)).cast("double") / count(v)) /
       nullif((count(v) - lit(1)).cast("double"), lit(0.0))
     val stats = df.groupBy(col(keyCol)).agg(
-      count(v).as("__zn"),
       (sum(dec(v)).cast("double") / count(v)).as("__zmean"),
       when(radicand > 0.0, sqrt(radicand)).as("__zstd"))
     // null-safe key equality: groupBy treats NULL as a real group, so
@@ -72,6 +71,6 @@ object NumericFeatures {
     df.join(broadcast(stats.withColumnRenamed(keyCol, "__zk")),
         col(keyCol) <=> col("__zk"))
       .withColumn(outCol, (v - col("__zmean")) / col("__zstd"))
-      .drop("__zk", "__zn", "__zmean", "__zstd")
+      .drop("__zk", "__zmean", "__zstd")
   }
 }

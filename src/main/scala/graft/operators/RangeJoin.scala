@@ -106,7 +106,10 @@ object RangeJoin {
     val dirCond = direction match {
       case "backward" => left(leftOn) >= r(rightOn)
       case "forward"  => left(leftOn) <= r(rightOn)
-      case "nearest"  => lit(true)
+      // isNotNull, not lit(true): backward/forward's comparisons are
+      // null-rejecting, so a null leftOn gets the no-match null row —
+      // an unconditional true would hand it an ARBITRARY right row
+      case "nearest"  => left(leftOn).isNotNull
       case other => throw new IllegalArgumentException(
         s"direction must be backward|forward|nearest, got $other")
     }

@@ -24,6 +24,9 @@ import org.apache.spark.sql.functions._
   */
 object Resample {
 
+  /** Rows with a null `tsCol` are EXCLUDED (a row without an event time
+    * has no bucket) — an explicit filter, not a join accident.
+    */
   def resample(
       df: DataFrame,
       tsCol: String,
@@ -31,9 +34,20 @@ object Resample {
       bucketMicros: Long,
       valueCol: String): DataFrame = {
     require(bucketMicros > 0, s"bucket width must be > 0, got $bucketMicros")
+    // floor division, not SQL `div` (which truncates toward zero and
+    // would shift every pre-epoch bucket boundary): pmod is always
+    // non-negative, so (x - pmod(x, b)) is an exact multiple of b and
+    // the quotient is the true floor for any sign of x
+    val micros = unix_micros(col(tsCol))
+    // the numerator is an exact multiple of the width, so the decimal
+    // quotient is integral — decimal (not double) division keeps it
+    // exact for the full long range
+    val bucket =
+      ((micros - pmod(micros, lit(bucketMicros))).cast("decimal(30,0)")
+        / lit(bucketMicros)).cast("long")
     val agg = df
-      .select(col(keyCol),
-        expr(s"unix_micros($tsCol) div ${bucketMicros}L").as("__b"),
+      .filter(col(tsCol).isNotNull)
+      .select(col(keyCol), bucket.as("__b"),
         col(valueCol).cast("decimal(25,6)").as("__v"))
       .groupBy(col(keyCol), col("__b"))
       .agg(count(lit(1)).as("__n"), sum(col("__v")).as("__s"))

@@ -71,11 +71,16 @@ object Selection {
     // unguarded filter() would have dropped all elements on a null
     // comparison and put them in bucket 0, ranking missing scores ABOVE
     // every real one
-    val bucketed = df.join(broadcast(bounds), Seq(keyCol))
+    // null-safe key joins throughout: a NULL key is a real group (the
+    // naive window ranks it like any other partition) — plain equi-joins
+    // would silently drop every null-key row even at frac = 1
+    val bucketed = df
+      .join(broadcast(bounds.withColumnRenamed(keyCol, "__bk")),
+        col(keyCol) <=> col("__bk"))
       .withColumn("__b",
         when(score.isNull, lit(buckets))
           .otherwise(size(filter(col("__bounds"), b => b > score))))
-      .drop("__bounds")
+      .drop("__bk", "__bounds")
     val order = score.desc +: tieBreak.map(c => col(c).asc)
     val wRank = Window.partitionBy(col(keyCol), col("__b")).orderBy(order: _*)
     val wOff = Window.partitionBy(col(keyCol)).orderBy(col("__b"))
@@ -86,7 +91,10 @@ object Selection {
       .select(col(keyCol), col("__b"),
         coalesce(sum(col("__bn")).over(wOff), lit(0L)).as("__off"),
         sum(col("__bn")).over(wTot).as("__n"))
-    bucketed.join(broadcast(offsets), Seq(keyCol, "__b"))
+    bucketed
+      .join(broadcast(offsets
+          .withColumnRenamed(keyCol, "__ok").withColumnRenamed("__b", "__ob")),
+        col(keyCol) <=> col("__ok") && col("__b") === col("__ob"))
       .withColumn("__rn", row_number().over(wRank) + col("__off"))
       .filter(col("__rn") <= ceil(col("__n") * lit(frac)))
       .select(df.columns.map(col): _*)

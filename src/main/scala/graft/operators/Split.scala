@@ -94,8 +94,14 @@ object Split {
       .select(col(labelCol), col("__salt"),
         coalesce(sum(col("__bn")).over(wOff), lit(0L)).as("__off"),
         sum(col("__bn")).over(wTot).as("__n"))
+    // null-safe label equality: a NULL label is a real class out of
+    // groupBy/Window, but NULL never equi-matches — a plain join would
+    // silently drop every null-label row from the split/folds
     tagged0
-      .join(broadcast(offsets), Seq(labelCol, "__salt"))
+      .join(broadcast(offsets
+          .withColumnRenamed(labelCol, "__lk").withColumnRenamed("__salt", "__sk")),
+        col(labelCol) <=> col("__lk") && col("__salt") === col("__sk"))
+      .drop("__lk", "__sk")
       .withColumn("__rn", row_number().over(wRank) + col("__off"))
   }
 

@@ -316,12 +316,18 @@ object TextDedup {
       bloom.writeTo(bos)
       bos.toByteArray
     }
+    // unique per-call function name: a fixed name in the session-global
+    // registry would race under concurrent decontaminateBloom calls —
+    // one call's plan could silently bind the OTHER call's filter and
+    // prune shingles the verify join never gets to re-check
+    val fnName = "graft_bloom_might_contain_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
     corpus.sparkSession.sessionState.functionRegistry
-      .createOrReplaceTempFunction("graft_bloom_might_contain",
+      .createOrReplaceTempFunction(fnName,
         exprs => graft.functions.BloomMightContainExpr(bytes, exprs.head),
         "scala_udf")
     val pruned = shingleTable(corpus, textCol, idCol, n)
-      .filter(call_function("graft_bloom_might_contain", col("__s")))
+      .filter(call_function(fnName, col("__s")))
     val contaminated = pruned.join(broadcast(bs), Seq("__s"))
       .select(col(idCol)).distinct()
     corpus.join(contaminated, Seq(idCol), "left_anti")

@@ -103,5 +103,11 @@ class MixtureSpec extends SparkSpec {
     // edges
     assert(Mixture.sampleByHash(df, "id", 0.0, 42L).count() === 0)
     assert(Mixture.sampleByHash(df, "id", 1.0, 42L).count() === 5000)
+    // null ids sample deterministically as one group, never silently drop
+    val withNull = Seq(Some(1L), Some(2L), None, None).toDF("id")
+    assert(Mixture.sampleByHash(withNull, "id", 1.0, 42L).count() === 4)
+    val n0 = Mixture.sampleByHash(withNull, "id", 0.5, 42L)
+      .filter($"id".isNull).count()
+    assert(n0 === 0L || n0 === 2L) // all-or-nothing for the null group
   }
 }

@@ -87,6 +87,16 @@ class RangeJoinSpec extends SparkSpec {
     assert(got === Map(1L -> "lo", 2L -> "hi", 3L -> "lo"))
   }
 
+  test("asOfJoin nearest: null left value gets the no-match null row, not an arbitrary mark") {
+    val marks = Seq((0L, "lo"), (100L, "hi")).toDF("lb", "name")
+    val probes = Seq((1L, Some(20L)), (2L, Option.empty[Long])).toDF("id", "v")
+    val got = RangeJoin.asOfJoin(probes, marks, "v", "lb", "id",
+      direction = "nearest")
+      .select($"id", $"name").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got === Map(1L -> Some("lo"), 2L -> None))
+  }
+
   test("asOfJoin tolerance voids out-of-range matches to null") {
     val got = RangeJoin.asOfJoin(tx, ranges, "ip", "lb", "id",
       direction = "backward", tolerance = Some(60L))

@@ -57,6 +57,17 @@ class SelectionSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(got === Set(1L, 3L))
   }
 
+  test("null keys are a real group: kept at frac=1, ranked within their group") {
+    val df = Seq((1L, Some("a"), 0.9), (2L, Some("a"), 0.1),
+      (3L, Option.empty[String], 0.8), (4L, None, 0.2), (5L, None, 0.5))
+      .toDF("id", "k", "s")
+    assert(Selection.topFracPerKey(df, "k", "s", 1.0, Seq("id")).count() === 5)
+    val kept = Selection.topFracPerKey(df, "k", "s", 0.4, Seq("id"))
+      .select($"id").collect().map(_.getLong(0)).toSet
+    // ceil(2*.4)=1 of key a (id 1); ceil(3*.4)=2 of the null key (ids 3, 5)
+    assert(kept === Set(1L, 3L, 5L))
+  }
+
   test("rejects empty tie-break and bad frac") {
     val df = mkDf(Seq((1L, "a", 0.5)))
     intercept[IllegalArgumentException] {

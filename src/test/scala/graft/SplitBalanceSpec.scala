@@ -74,6 +74,18 @@ class SplitBalanceSpec extends SparkSpec {
     assert(v0.count() + t0.count() === 100 && v0.join(t0, "id").count() === 0)
   }
 
+  test("null labels are a real class: split and folds keep every row") {
+    val withNull = Seq((1L, Some(0)), (2L, Some(0)), (3L, Some(0)),
+      (4L, None), (5L, None)).toDF("id", "label")
+    val r = Split.stratified(withNull, "label", 0.4, 42L, Seq($"id"))
+    assert(r.train.count() + r.test.count() === 5)
+    val nullTest = r.test.filter($"label".isNull).count()
+    assert(nullTest === 1L) // ceil(2 * 0.4)
+    val folded = Split.stratifiedKFold(withNull, "label", 2, 42L, Seq($"id"))
+    assert(folded.count() === 5)
+    assert(folded.filter($"label".isNull).count() === 2L)
+  }
+
   test("stratified split extremes: frac 0 keeps all in train; frac 1 all in test") {
     val zero = Split.stratified(df, "label", 0.0, 42L, Seq($"id"))
     assert(zero.train.count() === 100 && zero.test.count() === 0)
