@@ -186,6 +186,28 @@ object Eda {
       .orderBy(col("col_name"))
   }
 
+  /** Top-k values per group by count (trending items per day, heaviest
+    * users per segment). The rank window runs over the AGGREGATED
+    * (group, value, count) rows — cardinality = distinct pairs, with the
+    * raw data already collapsed map-side by the hash aggregate — so the
+    * per-group sort that would be a skew hazard over raw events is a
+    * small post-aggregation shuffle. Ties break on the value for
+    * determinism.
+    */
+  def topKPerGroup(
+      df: DataFrame, groupCol: String, valueCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val counts = df.groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("n").desc, col(valueCol).asc)
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(groupCol), col("rank").cast("long").as("rank"),
+        col(valueCol), col("n"))
+  }
+
   /** Skew-safe grouped COUNT(DISTINCT): two-stage rewrite — dedup on
     * (key, value) with map-side combine, then count per key. A plain
     * grouped count-distinct funnels every value of a hot key through one

@@ -318,8 +318,36 @@ object EdaQueries {
       ORDER BY 1
     """.trim))
 
+  /** Trending users per day ([[Eda.topKPerGroup]]): the top-3 most
+    * active user_ids for each event day, ties to the lower id — the
+    * rank runs over aggregated (day, user) counts, never raw events.
+    */
+  val q107Trending = HarnessQuery(
+    "q107_trending",
+    (spark, dir) => {
+      val ev = Tables.events(spark, dir)
+        .withColumn("day", to_date(col("ts")))
+      Eda.topKPerGroup(ev, "day", "user_id", k = 3)
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("rank"), col("user_id"), col("n"))
+        .orderBy(col("day"), col("rank"))
+    },
+    Some("""
+      WITH c AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                        user_id, count(*) AS n
+                 FROM events GROUP BY 1, 2),
+      r AS (SELECT day, user_id, n,
+                   row_number() OVER (PARTITION BY day
+                                      ORDER BY n DESC, user_id) AS rank
+            FROM c)
+      SELECT strftime(day, '%Y-%m-%d') AS day, CAST(rank AS BIGINT) AS rank,
+             user_id, n
+      FROM r WHERE rank <= 3 ORDER BY 1, 2
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q30Describe, q31ValueCounts, q32GroupedMean, q33Histogram,
     q34DistinctCount, q35ClassFreq, q36Rollup, q37SkewDistinct,
-    q38Sketches, q39Cube, q100Profile, q103Winsorize, q104Zscore)
+    q38Sketches, q39Cube, q100Profile, q103Winsorize, q104Zscore,
+    q107Trending)
 }

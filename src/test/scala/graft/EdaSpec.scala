@@ -110,6 +110,21 @@ class EdaSpec extends SparkSpec with Matchers {
     assert(byKV(("c", 4.0)) === None)
   }
 
+  test("topKPerGroup: hand-computed ranks, count-desc then value-asc ties") {
+    val df = Seq(
+      ("d1", 7L), ("d1", 7L), ("d1", 7L), // 7 -> count 3
+      ("d1", 2L), ("d1", 2L),             // 2 -> count 2
+      ("d1", 9L), ("d1", 9L),             // 9 -> count 2 (tie: 2 before 9)
+      ("d1", 5L),                         // 5 -> count 1, cut at k=3
+      ("d2", 1L)
+    ).toDF("g", "v")
+    val got = Eda.topKPerGroup(df, "g", "v", k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.filter(_._1 == "d1").sortBy(_._2).toSeq === Seq(
+      ("d1", 1L, 7L, 3L), ("d1", 2L, 2L, 2L), ("d1", 3L, 9L, 2L)))
+    assert(got.filter(_._1 == "d2").toSeq === Seq(("d2", 1L, 1L, 1L)))
+  }
+
   test("profile approx mode keeps the same shape with HLL distincts") {
     val df = (1 to 100).map(i => (i.toLong, i % 7)).toDF("a", "b")
     val rows = Eda.profile(df, Seq("a", "b"), exact = false).collect()
