@@ -68,6 +68,32 @@ class SelectionSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(kept === Set(1L, 3L, 5L))
   }
 
+  test("fuzz: bucketed rank equals naive rank on random data with null keys and scores") {
+    val rnd = new scala.util.Random(17)
+    val rows = (1 to 500).map { i =>
+      val k = rnd.nextInt(4) match {
+        case 0 => null
+        case n => s"k$n"
+      }
+      val s = if (rnd.nextInt(10) == 0) null
+        else Double.box(rnd.nextInt(8) / 2.0) // coarse grid: many ties
+      (i.toLong, k, s)
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => org.apache.spark.sql.Row(r._1, r._2, r._3))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("s", org.apache.spark.sql.types.DoubleType))))
+    for (frac <- Seq(0.2, 0.7, 1.0)) {
+      val got = Selection.topFracPerKey(df, "k", "s", frac, Seq("id"))
+      val want = naive(df, frac)
+      assert(got.select($"id", $"k", $"s").exceptAll(want).count() === 0 &&
+        want.exceptAll(got.select($"id", $"k", $"s")).count() === 0,
+        s"frac=$frac")
+    }
+  }
+
   test("rejects empty tie-break and bad frac") {
     val df = mkDf(Seq((1L, "a", 0.5)))
     intercept[IllegalArgumentException] {
