@@ -43,6 +43,29 @@ object NumericFeatures {
       .drop("__wb")
   }
 
+  /** Tukey's IQR outlier filter: drop rows where `valueCol` falls
+    * outside [q1 − k·IQR, q3 + k·IQR] (k = 1.5 is the classic fence).
+    * The complement of [[winsorize]]: removal instead of capping, for
+    * pipelines where an extreme row is evidence of corruption rather
+    * than signal. Null values are KEPT (no evidence either way) — pair
+    * with an impute/drop-null stage for null policy. Same plan shape:
+    * one exact-percentile aggregate broadcast over the data.
+    */
+  def dropOutliersIqr(
+      df: DataFrame, valueCol: String, k: Double = 1.5): DataFrame = {
+    require(k >= 0, s"k must be >= 0, got $k")
+    val bounds = broadcast(df.agg(
+      expr(s"percentile(`$valueCol`, array(0.25, 0.75))").as("__qb")))
+    val q1 = col("__qb").getItem(0)
+    val q3 = col("__qb").getItem(1)
+    val iqr = q3 - q1
+    val v = col(valueCol).cast("double")
+    df.crossJoin(bounds)
+      .filter(v.isNull ||
+        (v >= q1 - lit(k) * iqr && v <= q3 + lit(k) * iqr))
+      .drop("__qb")
+  }
+
   /** Per-group z-score: (x − mean_g) / std_g with the group's sample
     * std (n−1), from decimal-exact sums. Groups with fewer than two
     * rows or zero variance yield null (division by zero/null), never

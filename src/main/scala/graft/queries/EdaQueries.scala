@@ -345,9 +345,37 @@ object EdaQueries {
       FROM r WHERE rank <= 3 ORDER BY 1, 2
     """.trim))
 
+  /** IQR outlier filter
+    * ([[graft.operators.NumericFeatures.dropOutliersIqr]]): events
+    * surviving Tukey's fence on value, audited per type — exact
+    * quartiles replayed via quantile_cont.
+    */
+  val q108IqrFilter = HarnessQuery(
+    "q108_iqr_filter",
+    (spark, dir) => {
+      graft.operators.NumericFeatures
+        .dropOutliersIqr(Tables.events(spark, dir), "value")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(25,6)")).cast("double").as("sum_v"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH q AS (SELECT quantile_cont(value, 0.25) AS q1,
+                        quantile_cont(value, 0.75) AS q3
+                 FROM events)
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_v
+      FROM events, q
+      WHERE value IS NULL
+         OR (value >= q.q1 - 1.5 * (q.q3 - q.q1)
+             AND value <= q.q3 + 1.5 * (q.q3 - q.q1))
+      GROUP BY 1 ORDER BY 1
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q30Describe, q31ValueCounts, q32GroupedMean, q33Histogram,
     q34DistinctCount, q35ClassFreq, q36Rollup, q37SkewDistinct,
     q38Sketches, q39Cube, q100Profile, q103Winsorize, q104Zscore,
-    q107Trending)
+    q107Trending, q108IqrFilter)
 }

@@ -110,6 +110,20 @@ class EdaSpec extends SparkSpec with Matchers {
     assert(byKV(("c", 4.0)) === None)
   }
 
+  test("dropOutliersIqr removes only fence-breakers; nulls kept") {
+    // 13 non-null values (outliers count toward the quartiles): sorted
+    // [-50, 1..11, 100] -> q1 = 3, q3 = 9, iqr = 6 -> fences [-6, 18]
+    val df = ((1 to 11).map(i => Some(i.toDouble)) ++
+      Seq(Some(100.0), Some(-50.0), None)).toDF("v")
+    val kept = graft.operators.NumericFeatures.dropOutliersIqr(df, "v")
+    assert(kept.count() === 12) // 11 in-fence + the null
+    assert(kept.filter($"v".isNull).count() === 1)
+    assert(kept.filter($"v" === 100.0 || $"v" === -50.0).count() === 0)
+    // k = 0: only [q1, q3] = [3, 9] survives
+    val tight = graft.operators.NumericFeatures.dropOutliersIqr(df, "v", k = 0)
+    assert(tight.filter($"v".isNotNull).count() === 7) // 3..9
+  }
+
   test("topKPerGroup: hand-computed ranks, count-desc then value-asc ties") {
     val df = Seq(
       ("d1", 7L), ("d1", 7L), ("d1", 7L), // 7 -> count 3
