@@ -36,20 +36,19 @@ import graft.Materialize
   */
 object Selection {
 
-  /** Rows ranking in the top `ceil(frac · n_key)` of their key by
-    * (`scoreCol` desc, `tieBreak` asc). Deterministic: the tie-break
-    * must make the ordering total (an id column).
+  /** The shared machinery: df plus `__rn` (exact 1-based global rank
+    * within the key by score desc, tieBreak asc) and `__n` (key size) —
+    * computed through the quantile-bucketed two-level rank described
+    * above, never a whole-key window.
     */
-  def topFracPerKey(
+  private def globalRankPerKey(
       df: DataFrame,
       keyCol: String,
       scoreCol: String,
-      frac: Double,
       tieBreak: Seq[String],
-      buckets: Int = 64): DataFrame = {
-    require(frac > 0.0 && frac <= 1.0, s"frac must be in (0,1], got $frac")
+      buckets: Int): DataFrame = {
     require(tieBreak.nonEmpty,
-      "tieBreak columns are required: without a total order the kept set " +
+      "tieBreak columns are required: without a total order the result " +
         "is nondeterministic across runs")
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     val score = col(scoreCol)
@@ -96,7 +95,44 @@ object Selection {
           .withColumnRenamed(keyCol, "__ok").withColumnRenamed("__b", "__ob")),
         col(keyCol) <=> col("__ok") && col("__b") === col("__ob"))
       .withColumn("__rn", row_number().over(wRank) + col("__off"))
+  }
+
+  /** Rows ranking in the top `ceil(frac · n_key)` of their key by
+    * (`scoreCol` desc, `tieBreak` asc). Deterministic: the tie-break
+    * must make the ordering total (an id column).
+    */
+  def topFracPerKey(
+      df: DataFrame,
+      keyCol: String,
+      scoreCol: String,
+      frac: Double,
+      tieBreak: Seq[String],
+      buckets: Int = 64): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, s"frac must be in (0,1], got $frac")
+    globalRankPerKey(df, keyCol, scoreCol, tieBreak, buckets)
       .filter(col("__rn") <= ceil(col("__n") * lit(frac)))
       .select(df.columns.map(col): _*)
   }
+
+  /** Skew-safe per-key rank features: the exact `rank` (1-based, score
+    * desc) and `percent_rank` ((rank − 1) / (n − 1); 0.0 for a
+    * single-row key, matching SQL) appended to every row — the
+    * feature-engineering form of the same machinery ("how does this row
+    * sit within its group's score distribution"). A plain
+    * `percent_rank() OVER (PARTITION BY key ORDER BY score)` sorts each
+    * whole key in one task; this never does.
+    */
+  def rankFeaturesPerKey(
+      df: DataFrame,
+      keyCol: String,
+      scoreCol: String,
+      tieBreak: Seq[String],
+      buckets: Int = 64): DataFrame =
+    globalRankPerKey(df, keyCol, scoreCol, tieBreak, buckets)
+      .withColumn("rank", col("__rn"))
+      .withColumn("percent_rank",
+        when(col("__n") === 1, lit(0.0))
+          .otherwise((col("__rn") - lit(1)).cast("double")
+            / (col("__n") - lit(1)).cast("double")))
+      .select((df.columns.map(col) :+ col("rank") :+ col("percent_rank")): _*)
 }

@@ -1536,6 +1536,50 @@ object LlmQueries {
       ORDER BY 1
     """.trim))
 
+  /** Skew-safe per-key rank features
+    * ([[graft.operators.Selection.rankFeaturesPerKey]]): every doc's
+    * exact rank and percent_rank within its source by quality — the
+    * oracle is the naive whole-partition window over the proven
+    * quality-score replay. The tie-break makes the order total, so
+    * row_number-based percent_rank equals SQL percent_rank.
+    */
+  val q109RankFeatures = HarnessQuery(
+    "q109_rank_features",
+    (spark, dir) => {
+      val scored = TextAnalysis.qualityScore(Tables.documents(spark, dir), "text")
+        .select(col("doc_id"), col("source"), col("quality_score"))
+      graft.operators.Selection
+        .rankFeaturesPerKey(scored, "source", "quality_score", Seq("doc_id"))
+        .select(col("doc_id"), col("source"), col("rank"),
+          round(col("percent_rank"), 12).as("pct_rank"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, source, text,
+                        regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+                        length(text) AS n_chars
+                 FROM documents),
+      st AS (SELECT doc_id, source, len(toks) AS n_tokens,
+                    CAST(length(array_to_string(toks, '')) AS DOUBLE) / len(toks) AS mean_token_len,
+                    CAST(n_chars - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+                      / nullif(n_chars, 0) AS punct_ratio,
+                    CAST(n_chars - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                      / nullif(n_chars, 0) AS digit_ratio
+             FROM t),
+      q AS (SELECT doc_id, source, greatest(0.0, 1.0
+              - CASE WHEN n_tokens < 5 THEN 0.5 ELSE 0.0 END
+              - CASE WHEN punct_ratio > 0.3 THEN 0.3 ELSE 0.0 END
+              - CASE WHEN digit_ratio > 0.3 THEN 0.2 ELSE 0.0 END
+              - CASE WHEN mean_token_len < 2.0 THEN 0.2 ELSE 0.0 END) AS quality_score
+            FROM st)
+      SELECT doc_id, source,
+             CAST(row_number() OVER w AS BIGINT) AS rank,
+             round(percent_rank() OVER w, 12) AS pct_rank
+      FROM q
+      WINDOW w AS (PARTITION BY source ORDER BY quality_score DESC, doc_id)
+      ORDER BY doc_id
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q50TextStats, q51TokenCount, q52LangQuality, q53Fingerprint,
     q54Shingles, q55MinhashPairs, q56ExactDedup, q57SimhashPairs,
@@ -1546,5 +1590,5 @@ object LlmQueries {
     q82PackSequences, q83Decontaminate, q86RepetitionStats,
     q88MixtureSample, q89QuantizedTopK, q90TokenBudget, q91SubstringDup,
     q92DedupKeepBest, q93UnigramLogProb, q94CorpusReport, q95PipelineV2,
-    q96DecontaminateBloom, q99QualityCut, q106HashSample)
+    q96DecontaminateBloom, q99QualityCut, q106HashSample, q109RankFeatures)
 }

@@ -94,6 +94,26 @@ class SelectionSpec extends SparkSpec with TableDrivenPropertyChecks {
     }
   }
 
+  test("rankFeaturesPerKey equals the naive window rank and percent_rank") {
+    val rnd = new scala.util.Random(29)
+    val rows = (1 to 300).map(i =>
+      (i.toLong, s"k${rnd.nextInt(3)}", rnd.nextInt(10) / 3.0))
+    val df = mkDf(rows)
+    val w = Window.partitionBy($"k").orderBy($"s".desc, $"id".asc)
+    val n = Window.partitionBy($"k")
+    val want = df
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("percent_rank", percent_rank().over(w))
+    val got = Selection.rankFeaturesPerKey(df, "k", "s", Seq("id"))
+    assert(got.exceptAll(want).count() === 0 &&
+      want.exceptAll(got).count() === 0)
+    // single-row key: percent_rank 0.0, not null/NaN
+    val one = Selection.rankFeaturesPerKey(
+      mkDf(Seq((1L, "solo", 0.5))), "k", "s", Seq("id")).head
+    assert(one.getAs[Long]("rank") === 1L &&
+      one.getAs[Double]("percent_rank") === 0.0)
+  }
+
   test("rejects empty tie-break and bad frac") {
     val df = mkDf(Seq((1L, "a", 0.5)))
     intercept[IllegalArgumentException] {
