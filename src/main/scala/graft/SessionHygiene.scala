@@ -21,5 +21,10 @@ object SessionHygiene {
     // storage-memory pressure that hit two mid-run trials for 90s+
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = true))
+    // q84 must set the RocksDB state-store provider (TWS requires it) and
+    // cannot restore it before its lazy plan executes — restore the
+    // session default here so no later query's stateful behavior depends
+    // on whether q84 ran first
+    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 }

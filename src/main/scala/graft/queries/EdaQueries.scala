@@ -90,8 +90,9 @@ object EdaQueries {
     Some("""
       WITH b AS (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
                  FROM lineitem)
-      SELECT CAST(least(floor((l_extendedprice - mn) / ((mx - mn) / 50.0)), 49.0) AS BIGINT)
-               AS bucket,
+      SELECT CASE WHEN mx = mn THEN 0
+                  ELSE CAST(least(floor((l_extendedprice - mn) / ((mx - mn) / 50.0)), 49.0) AS BIGINT)
+             END AS bucket,
              l_returnflag, count(*) AS count
       FROM lineitem, b
       GROUP BY 1, 2 ORDER BY 1, 2
@@ -276,8 +277,7 @@ object EdaQueries {
         .winsorize(Tables.events(spark, dir), "value")
       w.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(col("winsorized").cast("decimal(25,6)")).cast("double")
-            .as("sum_w"))
+          Parity.dsum(col("winsorized")).as("sum_w"))
         .orderBy(col("event_type"))
     },
     Some("""
@@ -357,7 +357,7 @@ object EdaQueries {
         .dropOutliersIqr(Tables.events(spark, dir), "value")
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(25,6)")).cast("double").as("sum_v"))
+          Parity.dsum(col("value")).as("sum_v"))
         .orderBy(col("event_type"))
     },
     Some("""

@@ -33,9 +33,9 @@ object LlmQueries {
                  FROM documents)
       SELECT doc_id, n_chars, len(toks) AS n_tokens,
              CAST(length(array_to_string(toks, '')) AS DOUBLE) / len(toks) AS mean_token_len,
-             CAST(n_chars - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / n_chars AS punct_ratio,
-             CAST(n_chars - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / n_chars AS digit_ratio,
-             CAST(n_chars - length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / n_chars AS space_ratio
+             CAST(n_chars - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / nullif(n_chars, 0) AS punct_ratio,
+             CAST(n_chars - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / nullif(n_chars, 0) AS digit_ratio,
+             CAST(n_chars - length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / nullif(n_chars, 0) AS space_ratio
       FROM t ORDER BY doc_id
     """.trim))
 

@@ -166,8 +166,7 @@ object MlQueries {
         .agg(count(lit(1)).as("n"),
           sum(col("user_transactions_24h")).as("sum_user_tx"),
           sum(col("hour_of_day")).as("sum_hour"),
-          sum(col("time_since_signup_seconds").cast("decimal(25,6)"))
-            .cast("double").as("sum_tss"),
+          Parity.dsum(col("time_since_signup_seconds")).as("sum_tss"),
           sum(when(col("country") === "Unknown", 1L).otherwise(0L)).as("n_unknown"))
         .join(broadcast(splitCounts), Seq("label"))
         .select(col("label"), col("day_of_week"), col("n"), col("sum_user_tx"),

@@ -91,10 +91,16 @@ object Layout {
       percentile_approx(col(c).cast("double"),
         array(probs.map(lit): _*), lit(10000)).as(c)): _*).head()
     val zvalue = zCols.zipWithIndex.map { case (c, d) =>
-      val bounds = boundsRow.getSeq[Double](d)
+      // an all-null column gives null percentile bounds; null VALUES give
+      // a null filter result — either way the dimension falls back to
+      // bucket 0 (contributes no bits) instead of nulling the whole
+      // z-value, which would range-partition every row into ONE task and
+      // silently lose clustering on the other dimensions too
+      val bounds = Option(boundsRow.getSeq[Double](d)).getOrElse(Seq.empty)
       // bucket = #boundaries <= value, i.e. equal-population rank bucket
-      val bucket = size(filter(typedlit(bounds),
-        bd => bd <= col(c).cast("double")))
+      val bucket = coalesce(
+        size(filter(typedlit(bounds), bd => bd <= col(c).cast("double"))),
+        lit(0))
       // spread bucket bit i to z-bit (i*dims + d)
       (0 until bitsPerDim).map(i =>
         shiftleft(shiftright(bucket, i).bitwiseAND(lit(1)).cast("long"),

@@ -34,9 +34,12 @@ object PipelineConfig {
     categoricalFeatures = Seq(
       "source", "browser", "sex", "hour_of_day", "day_of_week", "country"))
 
-  private def loadYaml(path: String): scala.collection.mutable.Map[String, Object] = {
+  private def loadYaml(path: String): scala.collection.Map[String, Object] = {
     val in = new FileInputStream(path)
-    try new Yaml().load[java.util.Map[String, Object]](in).asScala
+    // SnakeYAML returns null for an empty / comments-only document —
+    // a valid "all defaults" config, not an NPE (DocConfig's guard)
+    try Option(new Yaml().load[java.util.Map[String, Object]](in))
+      .map(_.asScala).getOrElse(scala.collection.Map.empty)
     finally in.close()
   }
 
@@ -60,16 +63,24 @@ object PipelineConfig {
       keys.iterator.map(m.get).collectFirst {
         case Some(l: java.util.List[_]) => l.asScala.map(_.toString).toSeq
       }.getOrElse(d)
-    // two-file layout: follow feature_config_path (as given, else
-    // resolved next to the pipeline config)
+    // two-file layout: follow feature_config_path — as given, else the
+    // FULL relative path resolved against the pipeline config's
+    // directory (getName would drop intermediate dirs and miss
+    // configs/features.yaml). A named-but-missing file FAILS FAST: the
+    // silent fallback to hardcoded default feature lists would train on
+    // the wrong features with no error (CsvSource's fail-fast rule).
     val featureCfg: scala.collection.Map[String, Object] =
       root.get("feature_config_path").map(_.toString) match {
         case Some(p) =>
           val direct = new java.io.File(p)
           val resolved =
             if (direct.exists()) direct
-            else new java.io.File(new java.io.File(path).getParentFile, new java.io.File(p).getName)
-          if (resolved.exists()) loadYaml(resolved.getPath) else root
+            else new java.io.File(new java.io.File(path).getParentFile, p)
+          if (!resolved.exists())
+            throw new IllegalArgumentException(
+              s"feature_config_path '$p' (from $path) does not exist " +
+                s"(tried '$direct' and '$resolved')")
+          loadYaml(resolved.getPath)
         case None => root
       }
     Default.copy(

@@ -108,6 +108,13 @@ object Tables {
     */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
+      // SESSION-WIDE side effect, deliberately: events.parquet stores
+      // TIMESTAMP(NANOS), which Spark only decodes under this legacy
+      // conf (as raw nanos longs, converted to micros right here). It
+      // cannot be scoped to one read, so any OTHER nanos-timestamp
+      // parquet read in the same session will also decode as longs
+      // instead of erroring — callers mixing in external nanos data
+      // must handle the conversion as this method does.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.schema(eventsRaw).parquet(s"$sfDir/events.parquet")
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -177,4 +177,18 @@ class ProcessorSpec extends SparkSpec {
     assert(c.categoricalFeatures === Seq("source", "country"))
     assert(c.testSize === 0.2) // defaults preserved
   }
+
+  test("yaml config: missing feature file fails fast; empty yaml gives defaults") {
+    val y = writeTmp("broken.yaml",
+      """feature_config_path: "does/not/exist.yaml"
+        |""".stripMargin)
+    val e = intercept[IllegalArgumentException] {
+      PipelineConfig.fromYaml(y)
+    }
+    assert(e.getMessage.contains("does/not/exist.yaml"))
+    // empty / comments-only config is a valid all-defaults config
+    val empty = writeTmp("empty.yaml", "# nothing here\n")
+    val c = PipelineConfig.fromYaml(empty)
+    assert(c.testSize === 0.2 && c.imbalanceStrategy === "smote")
+  }
 }
