@@ -28,15 +28,24 @@ import org.apache.spark.util.sketch.BloomFilter
   *
   * Registered per-session as SQL function `graft_bloom_might_contain`
   * by [[graft.operators.TextDedup.decontaminateBloom]].
+  *
+  * The filter travels as an immutable `ArraySeq[Byte]` (not a raw
+  * array) so case-class equality is content-based: Catalyst's
+  * canonicalization / common-subexpression elimination can recognize
+  * two probes with byte-identical filters as the same expression,
+  * which reference-equality on `Array[Byte]` would defeat.
   */
-case class BloomMightContainExpr(filterBytes: Array[Byte], child: Expression)
+case class BloomMightContainExpr(
+    filterBytes: scala.collection.immutable.ArraySeq[Byte],
+    child: Expression)
     extends UnaryExpression {
 
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = child.nullable
 
   @transient private lazy val bloom: BloomFilter =
-    BloomFilter.readFrom(new ByteArrayInputStream(filterBytes))
+    BloomFilter.readFrom(new ByteArrayInputStream(filterBytes.unsafeArray
+      .asInstanceOf[Array[Byte]]))
 
   override def nullSafeEval(v: Any): Any =
     bloom.mightContainBinary(v.asInstanceOf[UTF8String].getBytes)

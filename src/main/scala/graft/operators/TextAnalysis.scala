@@ -358,6 +358,23 @@ object TextAnalysis {
     }
   }
 
+  /** The unigram slice of [[repetitionStats]] — n_tokens and
+    * top_token_frac only, from ONE explode + aggregate. A pipeline that
+    * gates on the top-token share alone (the strongest single Gopher
+    * signal) pays one gram order instead of three; values are identical
+    * to the full operator's columns of the same name.
+    */
+  def topTokenStats(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("__t"))
+      .groupBy(col(idCol), col("__t"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("__tot"), max(col("__c")).as("__top"))
+      .select(col(idCol),
+        col("__tot").cast("long").as("n_tokens"),
+        round(col("__top").cast("double") / col("__tot"), 12)
+          .as("top_token_frac"))
+
   /** Vocabulary richness: token/type counts and type-token ratio. */
   def vocabStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val toks = TextFunctions.tokens(col(textCol))

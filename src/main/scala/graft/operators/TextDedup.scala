@@ -324,7 +324,8 @@ object TextDedup {
       java.util.UUID.randomUUID().toString.replace("-", "")
     corpus.sparkSession.sessionState.functionRegistry
       .createOrReplaceTempFunction(fnName,
-        exprs => graft.functions.BloomMightContainExpr(bytes, exprs.head),
+        exprs => graft.functions.BloomMightContainExpr(
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(bytes), exprs.head),
         "scala_udf")
     val pruned = shingleTable(corpus, textCol, idCol, n)
       .filter(call_function(fnName, col("__s")))

@@ -130,9 +130,12 @@ object DocPipeline {
           col("quality_score")))
     audit += ("quality" -> scored.count())
 
-    // repetition stats ride back on the id; n_tokens is kept — the
-    // mixture stage budgets with it, no second tokenization pass
-    val rep = TextAnalysis.repetitionStats(scored, textCol, idCol)
+    // the gate only reads top_token_frac, so the unigram-only slice
+    // (one gram order) replaces full repetitionStats (three) — the
+    // bigram/trigram explode+aggregate passes were computed and thrown
+    // away. n_tokens is kept: the mixture stage budgets with it, no
+    // second tokenization pass.
+    val rep = TextAnalysis.topTokenStats(scored, textCol, idCol)
     val filtered = Materialize.cut(scored.join(
       rep.filter(col("top_token_frac") <= cfg.maxTopTokenFrac)
         .select(col(idCol), col("n_tokens")), Seq(idCol)))

@@ -76,7 +76,12 @@ object Processor {
       case "drop"          => df.na.drop(numericCols)
       case "impute"        => Cleaning.imputeMean(df, numericCols)
       case "impute_median" => Cleaning.imputeMedian(df, numericCols)
-      case _               => df
+      // a typo'd strategy must fail here, like imbalanceStrategy does —
+      // silently skipping null handling surfaces later as an opaque
+      // VectorAssembler error (or worse, a clean-looking wrong run)
+      case other => throw new IllegalArgumentException(
+        s"unknown missing value strategy: $other " +
+          "(expected drop | impute | impute_median)")
     }
     // categorical inputs must be strings for StringIndexer; numeric
     // category codes (hour_of_day) cast through
@@ -119,6 +124,16 @@ object Processor {
     * CSVs. Returns both prepped datasets; [[writeOutputs]] persists the
     * named parquet sinks (the reference's result dict,
     * transform_data.py:150-161).
+    *
+    * Execution note: the returned frames are LAZY — each downstream
+    * action (SMOTE's internal fits, each of writeOutputs' four writes)
+    * re-executes its upstream DAG. That is correct by construction
+    * (split membership and row ids are content hashes, identical on
+    * every recomputation) and the right default for the domain-CSV
+    * scale this pipeline targets; a deployment where the upstream is
+    * expensive should cut a stage boundary on the [[PreppedDataset]]
+    * frames with [[graft.Materialize.cut]] before writing, trading
+    * checkpoint storage for the re-executions.
     */
   def runPipeline(spark: SparkSession, cfg: PipelineConfig): PipelineOutputs = {
     val tables = CsvSource.loadAll(spark, cfg.dataPaths)
@@ -130,8 +145,18 @@ object Processor {
     val fraudPrep = preprocessDataset(
       fraudX, cfg, cfg.numericalFeatures, cfg.categoricalFeatures, "user_id")
 
-    val creditX = credit.withColumnRenamed("Class", "label")
-      .withColumn("__row_id", monotonically_increasing_id())
+    // content-hash row id, NOT monotonically_increasing_id: the split
+    // membership and SMOTE's row identity hash on this id, and a
+    // monotonic id is a function of partition layout — each downstream
+    // action (SMOTE's fits, the four writes) re-executes this DAG, and
+    // any layout change between executions would reassign ids, flipping
+    // split membership (train/test leakage). Rows are distinct after
+    // cleanCreditcard's dedup, so the full-row hash is unique up to a
+    // 2^-64-scale birthday collision — and a pure function of content,
+    // identical on every recomputation.
+    val creditRenamed = credit.withColumnRenamed("Class", "label")
+    val creditX = creditRenamed
+      .withColumn("__row_id", xxhash64(creditRenamed.columns.map(col): _*))
     val creditNums = credit.columns.filterNot(c => c == "Class").toSeq
     val creditPrep = preprocessDataset(
       creditX, cfg, creditNums, Seq.empty, "__row_id")

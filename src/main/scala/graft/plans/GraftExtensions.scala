@@ -18,18 +18,39 @@ import graft.functions.{IpToIntExpr, QuantizedDotExpr}
   * pushdown fully applicable.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  // arity must be checked in the builder: the registry applies it
+  // blindly, so a pure-SQL user calling graft_ip_to_int(ip, fmt) would
+  // otherwise have the extra argument silently DISCARDED (plausible
+  // wrong usage runs clean), and a missing argument would surface as a
+  // raw NoSuchElementException instead of an analysis-time error
+  private def arity(
+      name: String, n: Int,
+      children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Unit =
+    if (children.size != n)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> name,
+          "expectedNum" -> n.toString,
+          "actualNum" -> children.size.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("graft_ip_to_int"),
       new ExpressionInfo(classOf[IpToIntExpr].getName, "graft_ip_to_int"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        arity("graft_ip_to_int", 1, children)
         IpToIntExpr(org.apache.spark.sql.catalyst.expressions.Cast(
-          children.head, org.apache.spark.sql.types.StringType))))
+          children.head, org.apache.spark.sql.types.StringType))
+      }))
     ext.injectFunction((
       new FunctionIdentifier("graft_quantized_dot"),
       new ExpressionInfo(classOf[QuantizedDotExpr].getName,
         "graft_quantized_dot"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        QuantizedDotExpr(children(0), children(1))))
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        arity("graft_quantized_dot", 2, children)
+        QuantizedDotExpr(children(0), children(1))
+      }))
   }
 }

@@ -14,9 +14,11 @@ object RuntimePlan {
     val spark = graft.HarnessSession.fromEnv(default = "32")
     spark.sparkContext.setLogLevel("ERROR")
     val df = graft.SparkEntry.queries(name)(spark, sfDir)
-    // collect() (not count()) so the printed queryExecution is the one
-    // that actually ran — count() builds its own execution
-    df.collect()
+    // noop write (not count()) so the printed queryExecution is the one
+    // that actually ran — count() builds its own execution, and a
+    // collect() would ship a detail query's full result to the driver
+    // just to throw it away
+    df.write.format("noop").mode("overwrite").save()
     val plan = df.queryExecution.executedPlan.toString
     println("==== RUNTIME PLAN " + name + " ====")
     println(plan)

@@ -215,7 +215,8 @@ class TextOpsSpec extends SparkSpec {
     }
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("graft_bloom_might_contain",
-        exprs => graft.functions.BloomMightContainExpr(bytes, exprs.head),
+        exprs => graft.functions.BloomMightContainExpr(
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(bytes), exprs.head),
         "scala_udf")
     // every inserted value probes true through the codegen'd expression
     val hits = df.filter(call_function("graft_bloom_might_contain", $"s")).count()
