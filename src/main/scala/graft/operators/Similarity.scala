@@ -517,4 +517,82 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
+
+  /** SemDeDup-style semantic dedup (cluster-then-prune, after Abbas et
+    * al. 2023, arXiv:2303.09540): assign every vector to its nearest
+    * centroid by exact decimal cosine, find within-cell pairs with
+    * cosine >= `threshold`, connect them transitively, and keep ONE
+    * representative per semantic cluster — the member most similar to
+    * its cell centroid (ties to the smallest id), i.e. the most
+    * prototypical copy.
+    *
+    * Centroids are an EXPLICIT (cell, cvec) table, like
+    * [[ivfSearchTopK]]: deterministic, replayable in plain SQL, and the
+    * caller can feed KMeans centers for the adaptive variant. Rows with
+    * null/empty embeddings have no dimensions to score and are excluded
+    * (the object-level contract).
+    *
+    * Plan shape at 100 TB: the centroid dim/norm tables broadcast
+    * (nlist x dim is tiny by construction); the corpus moves as (id,
+    * dim, value) triples through one HashAggregate for assignment; the
+    * pairwise stage is confined within cells — the SemDeDup bargain is
+    * exactly that nlist must grow with the corpus (the paper runs ~50k
+    * clusters on billions of docs) so each cell stays a bounded block;
+    * the component loop then touches edge-incident ids only
+    * ([[Components.connectedComponents]]).
+    *
+    * @return (idCol, cell, cluster_id, centroid_cosine, kept) for every
+    *         assigned row — `kept=false` rows are the semantic
+    *         duplicates a caller would drop
+    */
+  def semanticDedup(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      threshold: Double,
+      dim: Int = 64,
+      maxIter: Int = 20): DataFrame = {
+    val cellDim = broadcast(
+      centroids.select(col("cell"), posexplode(col("cvec")))
+        .select(col("cell"), col("pos").as("__d"),
+          col("col").cast("double").as("__cv")))
+    val cellNorm = broadcast(normTable(centroids, "cell", "cell", "cvec", "__cn"))
+    val dims = corpus.select(col(idCol).as("__id"), posexplode(col(vecCol)))
+      .select(col("__id"), col("pos").as("__d"),
+        col("col").cast("double").as("__x"))
+    val dots = dims.join(cellDim, Seq("__d"))
+      .groupBy(col("__id"), col("cell"))
+      .agg(sum((col("__x") * col("__cv")).cast("decimal(30,18)")).as("__dot"))
+    val nrm = normTable(corpus, idCol, "__id", vecCol, "__nr")
+    val wCell = Window.partitionBy(col("__id")).orderBy(
+      (col("__dot").cast("double") / (col("__nr") * col("__cn"))).desc,
+      col("cell"))
+    // materialize the assignment once: it re-enters the plan from six
+    // directions (both pair-join sides + their norm tables, the vertex
+    // set, the final labeling join) and each re-entry would otherwise
+    // replay the explode + aggregate + window
+    val assigned = graft.Materialize.cut(
+      dots.join(nrm, Seq("__id")).join(cellNorm, Seq("cell"))
+        .withColumn("__ccos",
+          col("__dot").cast("double") / (col("__nr") * col("__cn")))
+        .withColumn("__cr", row_number().over(wCell))
+        .filter(col("__cr") === 1)
+        .select(col("__id"), col("cell"), col("__ccos")))
+    val withCell = corpus.select(col(idCol), col(vecCol))
+      .join(assigned.select(col("__id").as(idCol), col("cell")), Seq(idCol))
+    val pairs =
+      blockedCosineNearDup(withCell, "cell", idCol, vecCol, threshold, dim)
+    val labels = Components.connectedComponents(
+      withCell.select(col(idCol)),
+      pairs.select(col("id_a"), col("id_b")), idCol, maxIter)
+    val wRep = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("__ccos").desc, col(idCol))
+    labels
+      .join(assigned.select(col("__id").as(idCol), col("cell"), col("__ccos")),
+        Seq(idCol))
+      .withColumn("__rn", row_number().over(wRep))
+      .select(col(idCol), col("cell"), col("cluster_id"),
+        col("__ccos").as("centroid_cosine"), (col("__rn") === 1).as("kept"))
+  }
 }

@@ -1580,6 +1580,86 @@ object LlmQueries {
       ORDER BY doc_id
     """.trim))
 
+  /** SemDeDup semantic dedup ([[Similarity.semanticDedup]]): explicit
+    * deterministic centroids (first 8 corpus vectors, the q62
+    * discipline) so the WHOLE cluster-then-prune pipeline — nearest-cell
+    * assignment, within-cell exact pairs at cosine >= 0.4, transitive
+    * closure, keep-most-prototypical — replays in one SQL statement
+    * (q62's assignment + q60's pairwise + q92's recursive-CTE
+    * components, composed).
+    */
+  val q110SemanticDedup = HarnessQuery(
+    "q110_semantic_dedup",
+    (spark, dir) => {
+      val em = Tables.embeddings(spark, dir)
+      val centroids = em.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cell"), col("embedding").as("cvec"))
+      Similarity.semanticDedup(em, "vec_id", "embedding",
+        centroids, threshold = 0.4)
+        .select(col("vec_id"), col("cell"), col("cluster_id"),
+          // 9 decimals, not the usual 12: the decimal->double cast is
+          // correctly rounded in Java but not in DuckDB's int128/1e18
+          // division, so 1-ulp straddles at digit 12 show up once per
+          // few thousand values on this column
+          round(col("centroid_cosine"), 9).as("centroid_cosine"),
+          col("kept").cast("int").as("kept"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""
+      WITH RECURSIVE cent AS (
+        SELECT CAST(vec_id AS INT) AS cell, embedding AS cvec
+        FROM embeddings WHERE vec_id < 8),
+      cn AS (
+        SELECT cell,
+               sqrt(CAST(sum(CAST(CAST(cvec[g.i] AS DOUBLE) * CAST(cvec[g.i] AS DOUBLE)
+                 AS DECIMAL(30,18))) AS DOUBLE)) AS cnrm
+        FROM cent, generate_series(1, 64) g(i) GROUP BY 1),
+      n AS (
+        SELECT vec_id, embedding,
+               sqrt(CAST(sum(CAST(CAST(embedding[g.i] AS DOUBLE) * CAST(embedding[g.i] AS DOUBLE)
+                 AS DECIMAL(30,18))) AS DOUBLE)) AS nrm
+        FROM embeddings, generate_series(1, 64) g(i) GROUP BY 1, 2),
+      acos AS (
+        SELECT e.vec_id, c.cell,
+               CAST(sum(CAST(CAST(e.embedding[g.i] AS DOUBLE) * CAST(c.cvec[g.i] AS DOUBLE)
+                 AS DECIMAL(30,18))) AS DOUBLE) / (any_value(n.nrm) * any_value(cn.cnrm)) AS csim
+        FROM embeddings e
+        JOIN n ON n.vec_id = e.vec_id, cent c
+        JOIN cn ON cn.cell = c.cell, generate_series(1, 64) g(i)
+        GROUP BY 1, 2),
+      assign AS (
+        SELECT vec_id, cell, csim FROM (
+          SELECT vec_id, cell, csim,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS r
+          FROM acos) WHERE r = 1),
+      pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        JOIN n na ON na.vec_id = a.vec_id
+        JOIN n nb ON nb.vec_id = b.vec_id,
+        generate_series(1, 64) g(i)
+        GROUP BY 1, 2
+        HAVING CAST(sum(CAST(CAST(na.embedding[g.i] AS DOUBLE) * CAST(nb.embedding[g.i] AS DOUBLE)
+                 AS DECIMAL(30,18))) AS DOUBLE) / (any_value(na.nrm) * any_value(nb.nrm)) >= 0.4),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs),
+      reach(id, label) AS (
+        SELECT vec_id, vec_id FROM assign
+        UNION
+        SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+      clusters AS (SELECT id AS vec_id, min(label) AS cluster_id
+                   FROM reach GROUP BY id),
+      ranked AS (
+        SELECT a.vec_id, a.cell, c.cluster_id, a.csim,
+               row_number() OVER (PARTITION BY c.cluster_id
+                 ORDER BY a.csim DESC, a.vec_id) AS rn
+        FROM assign a JOIN clusters c USING (vec_id))
+      SELECT vec_id, cell, cluster_id,
+             round(csim, 9) AS centroid_cosine,
+             CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS INT) AS kept
+      FROM ranked ORDER BY vec_id
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q50TextStats, q51TokenCount, q52LangQuality, q53Fingerprint,
     q54Shingles, q55MinhashPairs, q56ExactDedup, q57SimhashPairs,
@@ -1590,5 +1670,6 @@ object LlmQueries {
     q82PackSequences, q83Decontaminate, q86RepetitionStats,
     q88MixtureSample, q89QuantizedTopK, q90TokenBudget, q91SubstringDup,
     q92DedupKeepBest, q93UnigramLogProb, q94CorpusReport, q95PipelineV2,
-    q96DecontaminateBloom, q99QualityCut, q106HashSample, q109RankFeatures)
+    q96DecontaminateBloom, q99QualityCut, q106HashSample, q109RankFeatures,
+    q110SemanticDedup)
 }

@@ -137,4 +137,33 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.frame_idx).sorted
     assert(frames.toSeq === Seq(0, 2))
   }
+
+  test("semanticDedup: near-dups pruned to the most prototypical, one kept per cluster") {
+    // two cells along the axes; ids 1,2,3 are near-identical in cell
+    // 0's direction (2 is closest to the centroid), 4 is alone near
+    // cell 1, 5 is in cell 0 but orthogonal-ish to the 1/2/3 bundle
+    val corpus = Seq(
+      (1L, Array(0.98f, 0.17f)), (2L, Array(1.0f, 0.05f)),
+      (3L, Array(0.96f, 0.20f)), (4L, Array(0.1f, 1.0f)),
+      (5L, Array(0.75f, -0.66f))).toDF("vec_id", "embedding")
+    val centroids = Seq(
+      (0, Array(1.0f, 0.0f)), (1, Array(0.0f, 1.0f))).toDF("cell", "cvec")
+    val got = Similarity.semanticDedup(
+      corpus, "vec_id", "embedding", centroids, threshold = 0.99, dim = 2)
+      .orderBy($"vec_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(4)))
+    // 1,2,3 chain into one cluster (min id 1); only 2 (max centroid
+    // cosine) survives; 4 and 5 are singletons and kept
+    assert(got.toSeq === Seq(
+      (1L, 0, 1L, false), (2L, 0, 1L, true), (3L, 0, 1L, false),
+      (4L, 1, 4L, true), (5L, 0, 5L, true)))
+    // exactly one kept row per cluster, always
+    val perCluster = Similarity.semanticDedup(
+      corpus, "vec_id", "embedding", centroids, threshold = 0.99, dim = 2)
+      .groupBy($"cluster_id")
+      .agg(sum(when($"kept", 1).otherwise(0)).as("n_kept"))
+      .collect().map(_.getLong(1))
+    assert(perCluster.forall(_ == 1L))
+  }
 }
