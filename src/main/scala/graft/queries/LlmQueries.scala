@@ -1660,6 +1660,53 @@ object LlmQueries {
       FROM ranked ORDER BY vec_id
     """.trim))
 
+  /** DSIR importance resampling ([[Mixture.importanceResample]]):
+    * select 100 docs whose hashed-unigram distribution best matches the
+    * src0 slice, Gumbel top-n over md5-derived noise. The oracle replays
+    * the full chain — bucket hashing, add-one smoothed log-ratios,
+    * decimal-summed doc scores, Gumbel keys, top-n — in one statement;
+    * only md5 and ln are required of the engine.
+    */
+  val q111ImportanceResample = HarnessQuery(
+    "q111_importance_resample",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      Mixture.importanceResample(
+        docs, docs.filter(col("source") === "src0"), "text", "doc_id",
+        n = 100, numBuckets = 1024, seed = 7L)
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH toks AS (SELECT doc_id,
+                           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+                    FROM documents),
+      dc AS (SELECT doc_id,
+                    CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) % 1024 AS b,
+                    count(*) AS tc
+             FROM toks GROUP BY 1, 2),
+      rawb AS (SELECT b, CAST(sum(tc) AS BIGINT) AS rc FROM dc GROUP BY 1),
+      rtot AS (SELECT CAST(sum(rc) AS DOUBLE) AS rt FROM rawb),
+      tgtb AS (SELECT b, CAST(sum(tc) AS BIGINT) AS gc
+               FROM dc JOIN documents USING (doc_id)
+               WHERE source = 'src0' GROUP BY 1),
+      gtot AS (SELECT CAST(coalesce(sum(gc), 0) AS DOUBLE) AS gt FROM tgtb),
+      logw AS (SELECT rawb.b,
+                      ln((coalesce(tgtb.gc, 0) + 1) / (gtot.gt + 1024))
+                        - ln((rawb.rc + 1) / (rtot.rt + 1024)) AS lw
+               FROM rawb LEFT JOIN tgtb USING (b), rtot, gtot),
+      scored AS (SELECT doc_id, CAST(sum(tc) AS BIGINT) AS n_tokens,
+                        CAST(sum(CAST(tc * lw AS DECIMAL(30,15))) AS DOUBLE) AS score
+                 FROM dc JOIN logw USING (b) GROUP BY 1),
+      keyed AS (SELECT doc_id, n_tokens, score,
+                       score - ln(-ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 15))
+                         AS BIGINT) + 0.5) / 1152921504606846976.0)) AS k
+                FROM scored),
+      top AS (SELECT doc_id, n_tokens, score FROM keyed
+              ORDER BY k DESC, doc_id LIMIT 100)
+      SELECT doc_id, n_tokens, round(score, 8) AS logratio
+      FROM top ORDER BY doc_id
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q50TextStats, q51TokenCount, q52LangQuality, q53Fingerprint,
     q54Shingles, q55MinhashPairs, q56ExactDedup, q57SimhashPairs,
@@ -1671,5 +1718,5 @@ object LlmQueries {
     q88MixtureSample, q89QuantizedTopK, q90TokenBudget, q91SubstringDup,
     q92DedupKeepBest, q93UnigramLogProb, q94CorpusReport, q95PipelineV2,
     q96DecontaminateBloom, q99QualityCut, q106HashSample, q109RankFeatures,
-    q110SemanticDedup)
+    q110SemanticDedup, q111ImportanceResample)
 }

@@ -110,4 +110,32 @@ class MixtureSpec extends SparkSpec {
       .filter($"id".isNull).count()
     assert(n0 === 0L || n0 === 2L) // all-or-nothing for the null group
   }
+
+  test("importanceResample: target-like docs score higher; deterministic; n caps") {
+    // two sub-languages with disjoint vocabularies; target is the "alpha"
+    // slice, so alpha docs must carry strictly higher log importance
+    val alpha = "alpha beta gamma delta epsilon zeta eta theta"
+    val beta = "omega psi chi phi upsilon tau sigma rho"
+    val raw = Seq(
+      (1L, alpha, "t"), (2L, alpha + " " + alpha, "t"),
+      (3L, beta, "r"), (4L, beta + " " + beta, "r"),
+      (5L, alpha + " " + beta, "m")).toDF("doc_id", "text", "src")
+    val target = raw.filter($"src" === "t")
+    val all = Mixture.importanceResample(
+      raw, target, "text", "doc_id", n = 5, numBuckets = 64, seed = 1L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(all.size === 5) // n >= |raw| returns everything
+    // pure-alpha docs beat the mixed doc, which beats pure-beta docs
+    assert(all(1L) > all(5L) && all(2L) > all(5L))
+    assert(all(5L) > all(3L) && all(5L) > all(4L))
+    // membership and scores are identical on a second run (content-hash
+    // Gumbel, not rand())
+    val a = Mixture.importanceResample(
+      raw, target, "text", "doc_id", n = 3, numBuckets = 64, seed = 1L)
+      .collect().map(_.getLong(0)).toSet
+    val b = Mixture.importanceResample(
+      raw, target, "text", "doc_id", n = 3, numBuckets = 64, seed = 1L)
+      .collect().map(_.getLong(0)).toSet
+    assert(a === b && a.size === 3)
+  }
 }
