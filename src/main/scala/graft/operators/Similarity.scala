@@ -545,6 +545,38 @@ object Similarity {
     *         assigned row — `kept=false` rows are the semantic
     *         duplicates a caller would drop
     */
+  /** Nearest-centroid assignment with the exact decimal cosine:
+    * (__id, cell, __ccos), materialized — every caller re-enters the
+    * assignment from several plan directions, and each re-entry would
+    * otherwise replay the explode + aggregate + window.
+    */
+  private def assignCells(
+      df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame = {
+    val cellDim = broadcast(
+      centroids.select(col("cell"), posexplode(col("cvec")))
+        .select(col("cell"), col("pos").as("__d"),
+          col("col").cast("double").as("__cv")))
+    val cellNorm = broadcast(normTable(centroids, "cell", "cell", "cvec", "__cn"))
+    val dims = df.select(col(idCol).as("__id"), posexplode(col(vecCol)))
+      .select(col("__id"), col("pos").as("__d"),
+        col("col").cast("double").as("__x"))
+    val dots = dims.join(cellDim, Seq("__d"))
+      .groupBy(col("__id"), col("cell"))
+      .agg(sum((col("__x") * col("__cv")).cast("decimal(30,18)")).as("__dot"))
+    val nrm = normTable(df, idCol, "__id", vecCol, "__nr")
+    val wCell = Window.partitionBy(col("__id")).orderBy(
+      (col("__dot").cast("double") / (col("__nr") * col("__cn"))).desc,
+      col("cell"))
+    graft.Materialize.cut(
+      dots.join(nrm, Seq("__id")).join(cellNorm, Seq("cell"))
+        .withColumn("__ccos",
+          col("__dot").cast("double") / (col("__nr") * col("__cn")))
+        .withColumn("__cr", row_number().over(wCell))
+        .filter(col("__cr") === 1)
+        .select(col("__id"), col("cell"), col("__ccos")))
+  }
+
   def semanticDedup(
       corpus: DataFrame,
       idCol: String,
@@ -553,32 +585,7 @@ object Similarity {
       threshold: Double,
       dim: Int = 64,
       maxIter: Int = 20): DataFrame = {
-    val cellDim = broadcast(
-      centroids.select(col("cell"), posexplode(col("cvec")))
-        .select(col("cell"), col("pos").as("__d"),
-          col("col").cast("double").as("__cv")))
-    val cellNorm = broadcast(normTable(centroids, "cell", "cell", "cvec", "__cn"))
-    val dims = corpus.select(col(idCol).as("__id"), posexplode(col(vecCol)))
-      .select(col("__id"), col("pos").as("__d"),
-        col("col").cast("double").as("__x"))
-    val dots = dims.join(cellDim, Seq("__d"))
-      .groupBy(col("__id"), col("cell"))
-      .agg(sum((col("__x") * col("__cv")).cast("decimal(30,18)")).as("__dot"))
-    val nrm = normTable(corpus, idCol, "__id", vecCol, "__nr")
-    val wCell = Window.partitionBy(col("__id")).orderBy(
-      (col("__dot").cast("double") / (col("__nr") * col("__cn"))).desc,
-      col("cell"))
-    // materialize the assignment once: it re-enters the plan from six
-    // directions (both pair-join sides + their norm tables, the vertex
-    // set, the final labeling join) and each re-entry would otherwise
-    // replay the explode + aggregate + window
-    val assigned = graft.Materialize.cut(
-      dots.join(nrm, Seq("__id")).join(cellNorm, Seq("cell"))
-        .withColumn("__ccos",
-          col("__dot").cast("double") / (col("__nr") * col("__cn")))
-        .withColumn("__cr", row_number().over(wCell))
-        .filter(col("__cr") === 1)
-        .select(col("__id"), col("cell"), col("__ccos")))
+    val assigned = assignCells(corpus, idCol, vecCol, centroids)
     val withCell = corpus.select(col(idCol), col(vecCol))
       .join(assigned.select(col("__id").as(idCol), col("cell")), Seq(idCol))
     val pairs =
@@ -594,5 +601,76 @@ object Similarity {
       .withColumn("__rn", row_number().over(wRep))
       .select(col(idCol), col("cell"), col("cluster_id"),
         col("__ccos").as("centroid_cosine"), (col("__rn") === 1).as("kept"))
+  }
+
+  /** Incremental semantic dedup — the ingestion twin of
+    * [[semanticDedup]], mirroring
+    * [[TextDedup.minhashNearDupPairsAgainst]]: an INCOMING batch is
+    * checked against the EXISTING corpus, never corpus x corpus. An
+    * incoming vector is dropped when any corpus vector in its assigned
+    * cell has cosine >= `threshold`; survivors are new semantic
+    * content. Within-batch duplicates are deliberately NOT collapsed
+    * here (run [[semanticDedup]] on the batch for that) — the two
+    * checks compose, and keeping them separate keeps each replayable.
+    *
+    * Both sides route through the same explicit centroid table, so the
+    * candidate join is cell-equi (|batch-in-cell| x |corpus-in-cell|,
+    * never |batch| x |corpus|), with ids + flattened scalars in the
+    * shuffle — the [[blockedCosineNearDup]] double-prefilter +
+    * decimal-exact verify discipline applied across two tables.
+    *
+    * @return incoming rows as (idCol, cell, is_dup, matched_id):
+    *         `matched_id` = the smallest matching corpus id (null when
+    *         `is_dup` is false)
+    */
+  def semanticDedupAgainst(
+      corpus: DataFrame,
+      incoming: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      threshold: Double,
+      dim: Int = 64): DataFrame = {
+    val corpusCells = assignCells(corpus, idCol, vecCol, centroids)
+      .select(col("__id").as("id_a"), col("cell"))
+    val batchCells = assignCells(incoming, idCol, vecCol, centroids)
+      .select(col("__id").as("id_b"), col("cell"))
+    def flat(df: DataFrame, outId: String, side: String) =
+      df.select(col(idCol).as(outId) +: (0 until dim).map(i =>
+        element_at(col(vecCol), i + 1).cast("double").as(s"__$side$i")): _*)
+    val aN = normTable(corpus, idCol, "id_a", vecCol, "__na")
+    val bN = normTable(incoming, idCol, "id_b", vecCol, "__nb")
+    val a = corpusCells.join(flat(corpus, "id_a", "a"), Seq("id_a"))
+      .join(aN, Seq("id_a"))
+    val b = batchCells.join(flat(incoming, "id_b", "b"), Seq("id_b"))
+      .join(bN, Seq("id_b"))
+    val dotApprox = (0 until dim).map(i =>
+      col(s"__a$i") * col(s"__b$i")).reduce(_ + _)
+    val survivors = a.join(b, Seq("cell"))
+      .filter(dotApprox / (col("__na") * col("__nb")) >= threshold - 1e-6)
+      .select(col("id_a"), col("id_b"))
+    // exact verify across the two tables: corpus dims joined by id_a,
+    // incoming dims by (id_b, dim)
+    val aDim = corpus.select(col(idCol).as("id_a"), posexplode(col(vecCol)))
+      .select(col("id_a"), col("pos").as("__d"),
+        col("col").cast("double").as("__xa"))
+    val bDim = incoming.select(col(idCol).as("id_b"), posexplode(col(vecCol)))
+      .select(col("id_b"), col("pos").as("__d"),
+        col("col").cast("double").as("__xb"))
+    val matches = survivors
+      .join(aDim, Seq("id_a"))
+      .join(bDim, Seq("id_b", "__d"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum((col("__xa") * col("__xb")).cast("decimal(30,18)")).as("__dot"))
+      .join(aN, Seq("id_a"))
+      .join(bN, Seq("id_b"))
+      .filter(col("__dot").cast("double") / (col("__na") * col("__nb"))
+        >= threshold)
+      .groupBy(col("id_b"))
+      .agg(min(col("id_a")).as("matched_id"))
+    batchCells
+      .join(matches, Seq("id_b"), "left")
+      .select(col("id_b").as(idCol), col("cell"),
+        col("matched_id").isNotNull.as("is_dup"), col("matched_id"))
   }
 }

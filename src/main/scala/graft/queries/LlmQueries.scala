@@ -1707,6 +1707,73 @@ object LlmQueries {
       FROM top ORDER BY doc_id
     """.trim))
 
+  /** Incremental semantic dedup ([[Similarity.semanticDedupAgainst]]):
+    * the vec_id % 5 == 0 slice arrives as a batch against the rest of
+    * the corpus; a batch vector is a dup when any same-cell corpus
+    * vector has cosine >= 0.4 (matched to the smallest such id). Same
+    * full-replay discipline as q110 — assignment + cross-side pairs in
+    * plain SQL.
+    */
+  val q112IncrementalSemanticDedup = HarnessQuery(
+    "q112_incremental_semantic_dedup",
+    (spark, dir) => {
+      val em = Tables.embeddings(spark, dir)
+      val centroids = em.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cell"), col("embedding").as("cvec"))
+      Similarity.semanticDedupAgainst(
+        em.filter(pmod(col("vec_id"), lit(5)) =!= 0),
+        em.filter(pmod(col("vec_id"), lit(5)) === 0),
+        "vec_id", "embedding", centroids, threshold = 0.4)
+        .select(col("vec_id"), col("cell"),
+          col("is_dup").cast("int").as("is_dup"), col("matched_id"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""
+      WITH cent AS (
+        SELECT CAST(vec_id AS INT) AS cell, embedding AS cvec
+        FROM embeddings WHERE vec_id < 8),
+      cn AS (
+        SELECT cell,
+               sqrt(CAST(sum(CAST(CAST(cvec[g.i] AS DOUBLE) * CAST(cvec[g.i] AS DOUBLE)
+                 AS DECIMAL(30,18))) AS DOUBLE)) AS cnrm
+        FROM cent, generate_series(1, 64) g(i) GROUP BY 1),
+      n AS (
+        SELECT vec_id, embedding,
+               sqrt(CAST(sum(CAST(CAST(embedding[g.i] AS DOUBLE) * CAST(embedding[g.i] AS DOUBLE)
+                 AS DECIMAL(30,18))) AS DOUBLE)) AS nrm
+        FROM embeddings, generate_series(1, 64) g(i) GROUP BY 1, 2),
+      acos AS (
+        SELECT e.vec_id, c.cell,
+               CAST(sum(CAST(CAST(e.embedding[g.i] AS DOUBLE) * CAST(c.cvec[g.i] AS DOUBLE)
+                 AS DECIMAL(30,18))) AS DOUBLE) / (any_value(n.nrm) * any_value(cn.cnrm)) AS csim
+        FROM embeddings e
+        JOIN n ON n.vec_id = e.vec_id, cent c
+        JOIN cn ON cn.cell = c.cell, generate_series(1, 64) g(i)
+        GROUP BY 1, 2),
+      assign AS (
+        SELECT vec_id, cell FROM (
+          SELECT vec_id, cell,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS r
+          FROM acos) WHERE r = 1),
+      corpus AS (SELECT * FROM assign WHERE vec_id % 5 <> 0),
+      batch AS (SELECT * FROM assign WHERE vec_id % 5 = 0),
+      hits AS (
+        SELECT b.vec_id AS id_b, a.vec_id AS id_a
+        FROM batch b JOIN corpus a ON a.cell = b.cell
+        JOIN n na ON na.vec_id = a.vec_id
+        JOIN n nb ON nb.vec_id = b.vec_id,
+        generate_series(1, 64) g(i)
+        GROUP BY 1, 2
+        HAVING CAST(sum(CAST(CAST(na.embedding[g.i] AS DOUBLE) * CAST(nb.embedding[g.i] AS DOUBLE)
+                 AS DECIMAL(30,18))) AS DOUBLE) / (any_value(na.nrm) * any_value(nb.nrm)) >= 0.4),
+      best AS (SELECT id_b, min(id_a) AS matched_id FROM hits GROUP BY 1)
+      SELECT b.vec_id, b.cell,
+             CAST(CASE WHEN best.matched_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS is_dup,
+             best.matched_id
+      FROM batch b LEFT JOIN best ON best.id_b = b.vec_id
+      ORDER BY b.vec_id
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q50TextStats, q51TokenCount, q52LangQuality, q53Fingerprint,
     q54Shingles, q55MinhashPairs, q56ExactDedup, q57SimhashPairs,
@@ -1718,5 +1785,5 @@ object LlmQueries {
     q88MixtureSample, q89QuantizedTopK, q90TokenBudget, q91SubstringDup,
     q92DedupKeepBest, q93UnigramLogProb, q94CorpusReport, q95PipelineV2,
     q96DecontaminateBloom, q99QualityCut, q106HashSample, q109RankFeatures,
-    q110SemanticDedup, q111ImportanceResample)
+    q110SemanticDedup, q111ImportanceResample, q112IncrementalSemanticDedup)
 }

@@ -125,4 +125,65 @@ class FuzzSpec extends SparkSpec {
         salted.exceptAll(plain).count() === 0, s"joinType=$jt")
     }
   }
+
+  test("semanticDedup matches a driver-side union-find reference on random vectors") {
+    val rnd = new scala.util.Random(23)
+    val dim = 4
+    val vecs = (1L to 60L).map(i =>
+      i -> Array.fill(dim)(rnd.nextGaussian().toFloat)).toMap
+    val cents = Seq(0, 1, 2).map(c => c -> vecs(c + 1L))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    // reference: argmax-cell assignment, union-find over within-cell
+    // pairs >= t, keep max centroid-cosine (ties: min id)
+    val t = 0.5
+    val cell = vecs.map { case (id, v) =>
+      id -> cents.maxBy { case (c, cv) => (cos(v, cv), -c) }._1 }
+    val parent = scala.collection.mutable.Map(vecs.keys.map(k => k -> k).toSeq: _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    for (a <- vecs.keys; b <- vecs.keys
+         if a < b && cell(a) == cell(b) && cos(vecs(a), vecs(b)) >= t) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val refCluster = vecs.keys.map(k => k -> find(k)).toMap
+    val refKept = refCluster.groupBy(_._2).map { case (_, members) =>
+      members.keys.maxBy(id => (cos(vecs(id), cents(cell(id))._2), -id))
+    }.toSet
+    val df = vecs.toSeq.sortBy(_._1).toDF("vec_id", "embedding")
+    val cdf = cents.toDF("cell", "cvec")
+    val got = graft.operators.Similarity.semanticDedup(
+      df, "vec_id", "embedding", cdf, threshold = t, dim = dim)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(4)))
+    got.foreach { case (id, c, cl, kept) =>
+      assert(c === cell(id), s"cell mismatch for $id")
+      assert(cl === refCluster(id), s"cluster mismatch for $id")
+      assert(kept === refKept.contains(id), s"kept mismatch for $id")
+    }
+    assert(got.length === vecs.size)
+  }
+
+  test("importanceResample membership is invariant under repartitioning") {
+    val rnd = new scala.util.Random(31)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    val docs = (1L to 200L).map { i =>
+      val words = (1 to 5 + rnd.nextInt(20)).map(_ => vocab(rnd.nextInt(vocab.size)))
+      (i, words.mkString(" "), if (i % 3 == 0) "t" else "r")
+    }.toDF("doc_id", "text", "src")
+    val target = docs.filter($"src" === "t")
+    def run(raw: org.apache.spark.sql.DataFrame) =
+      graft.operators.Mixture.importanceResample(
+        raw, target, "text", "doc_id", n = 50, numBuckets = 128, seed = 9L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val base = run(docs)
+    assert(base.size === 50)
+    assert(run(docs.repartition(7)) === base)
+    assert(run(docs.repartition(1)) === base)
+  }
 }

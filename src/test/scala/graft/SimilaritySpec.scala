@@ -166,4 +166,25 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.getLong(1))
     assert(perCluster.forall(_ == 1L))
   }
+
+  test("semanticDedupAgainst: batch vectors matched to same-cell corpus near-dups only") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val incoming = Seq(
+      (10L, Array(0.999f, 0.05f)), // near-dup of corpus 1 (same cell)
+      (11L, Array(0.7f, -0.71f)),  // cell 0, but far from corpus 1
+      (12L, Array(0.05f, 1.0f))    // near-dup of corpus 2
+    ).toDF("vec_id", "embedding")
+    val centroids = Seq(
+      (0, Array(1.0f, 0.0f)), (1, Array(0.0f, 1.0f))).toDF("cell", "cvec")
+    val got = Similarity.semanticDedupAgainst(
+      corpus, incoming, "vec_id", "embedding", centroids,
+      threshold = 0.99, dim = 2)
+      .orderBy($"vec_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(got.toSeq === Seq((10L, true, 1L), (11L, false, -1L),
+      (12L, true, 2L)))
+  }
 }
