@@ -173,6 +173,34 @@ object Similarity {
     rankTopK(scorePairs(pairs, corpus, queries, idCol, vecCol), k)
   }
 
+  /** Hard-negative mining for contrastive training: for each query row,
+    * the `k` corpus rows MOST similar to it among those with a
+    * DIFFERENT label — the negatives that sit right at the decision
+    * boundary, which is what embedding/reranker training wants (random
+    * negatives are trivially separable and teach nothing).
+    *
+    * Same plan shape as [[cosineTopK]]: the query (id, label) side
+    * broadcasts, the corpus never shuffles whole vectors (scoring is
+    * the shared (id, dim, value)-triple aggregate), and the label
+    * constraint prunes pairs BEFORE any dot product is computed.
+    */
+  def hardNegatives(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int): DataFrame = {
+    val pairs = corpus.select(col(idCol).as("neighbor_id"),
+        col(labelCol).as("__nl"))
+      .crossJoin(broadcast(queries.select(col(idCol).as("query_id"),
+        col(labelCol).as("__ql"))))
+      .filter(col("neighbor_id") =!= col("query_id") &&
+        !(col("__nl") <=> col("__ql")))
+      .select(col("query_id"), col("neighbor_id"))
+    rankTopK(scorePairs(pairs, corpus, queries, idCol, vecCol), k)
+  }
+
   /** Fixed-point int8 quantization of a float vector:
     * `q_i = clamp(floor(v_i * 128), -128, 127)` — the memory-compression
     * step of quantized ANN (4x smaller vectors, integer dot products).

@@ -1774,6 +1774,42 @@ object LlmQueries {
       ORDER BY b.vec_id
     """.trim))
 
+  /** Hard-negative mining ([[Similarity.hardNegatives]]): per query,
+    * the 5 most-similar corpus vectors with a DIFFERENT label — q58's
+    * exact top-k restricted to cross-label pairs.
+    */
+  val q113HardNegatives = HarnessQuery(
+    "q113_hard_negatives",
+    (spark, dir) => {
+      val em = Tables.embeddings(spark, dir)
+      Similarity.hardNegatives(
+        em, em.filter(col("vec_id") < 10), "vec_id", "embedding", "label",
+        k = 5)
+        .withColumn("cosine", round(col("cosine"), 12))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""
+      WITH n AS (
+        SELECT vec_id, label, embedding,
+               sqrt(CAST(sum(CAST(CAST(embedding[g.i] AS DOUBLE) * CAST(embedding[g.i] AS DOUBLE)
+                 AS DECIMAL(30,18))) AS DOUBLE)) AS nrm
+        FROM embeddings, generate_series(1, 64) g(i) GROUP BY 1, 2, 3),
+      pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(sum(CAST(CAST(q.embedding[g.i] AS DOUBLE) * CAST(c.embedding[g.i] AS DOUBLE)
+                 AS DECIMAL(30,18))) AS DOUBLE) / (any_value(q.nrm) * any_value(c.nrm)) AS cosine
+        FROM n q, n c, generate_series(1, 64) g(i)
+        WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id AND c.label <> q.label
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT query_id, neighbor_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM pairs)
+      SELECT query_id, rank, neighbor_id, round(cosine, 12) AS cosine FROM ranked
+      WHERE rank <= 5 ORDER BY query_id, rank
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q50TextStats, q51TokenCount, q52LangQuality, q53Fingerprint,
     q54Shingles, q55MinhashPairs, q56ExactDedup, q57SimhashPairs,
@@ -1785,5 +1821,6 @@ object LlmQueries {
     q88MixtureSample, q89QuantizedTopK, q90TokenBudget, q91SubstringDup,
     q92DedupKeepBest, q93UnigramLogProb, q94CorpusReport, q95PipelineV2,
     q96DecontaminateBloom, q99QualityCut, q106HashSample, q109RankFeatures,
-    q110SemanticDedup, q111ImportanceResample, q112IncrementalSemanticDedup)
+    q110SemanticDedup, q111ImportanceResample, q112IncrementalSemanticDedup,
+    q113HardNegatives)
 }

@@ -187,4 +187,19 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq === Seq((10L, true, 1L), (11L, false, -1L),
       (12L, true, 2L)))
   }
+
+  test("hardNegatives: nearest same-label vector is skipped, null labels count as different") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f), "A"), (2L, Array(0.99f, 0.1f), "A"),
+      (3L, Array(0.9f, 0.3f), "B"), (4L, Array(0.0f, 1.0f), "B"),
+      (5L, Array(0.95f, 0.2f), null.asInstanceOf[String]))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(
+      corpus, corpus.filter($"vec_id" === 1L), "vec_id", "embedding",
+      "label", k = 3)
+      .orderBy($"rank").collect().map(_.getLong(2))
+    // 2 is the nearest overall but shares label A -> excluded; the
+    // null-label 5 is "different from A" and ranks by cosine
+    assert(got.toSeq === Seq(5L, 3L, 4L))
+  }
 }
