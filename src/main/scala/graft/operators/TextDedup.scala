@@ -479,4 +479,61 @@ object TextDedup {
         round(coalesce(col("dup_tokens"), lit(0L)).cast("double")
           / col("n_tokens"), 12).as("dup_token_frac"))
   }
+
+  /** The REMOVE step [[substringDupCoverage]] only reports on: rebuild
+    * each document's text with every token that sits inside a
+    * corpus-duplicated k-gram span DELETED (the ExactSubstr scrub of
+    * Lee et al. 2022, arXiv:2107.06499, as dataflow — C4/RefinedWeb-
+    * style span removal rather than whole-doc dropping). A span is any
+    * k-gram whose hash occurs >= 2 times across the corpus, the same
+    * marking rule as the coverage stats, so report and scrub can never
+    * disagree.
+    *
+    * Scale shape: marking is the same ids+hashes equi-join; the only
+    * new stage is the rebuild — a per-DOCUMENT sort of surviving
+    * (position, token) pairs via one hash aggregate, bounded by
+    * document length, partitioned by doc id (never a low-cardinality
+    * key).
+    *
+    * @return (idCol, n_tokens, n_tokens_kept, n_tokens_dropped,
+    *         clean_text); a fully-duplicated document survives with
+    *         clean_text = "" rather than disappearing
+    */
+  def removeDupSpans(
+      df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    val base = df.select(col(idCol),
+      TextFunctions.tokens(col(textCol)).as("__toks"))
+    val nSh = size(col("__toks")) - (k - 1)
+    val shingleStructs = when(nSh > 0,
+      transform(sequence(lit(1), nSh), i =>
+        struct(i.as("p"),
+          TextFunctions.md5Hash60(
+            array_join(slice(col("__toks"), i, lit(k)), " ")).as("sh"))))
+      .otherwise(array().cast("array<struct<p:int,sh:bigint>>"))
+    val pos = base.select(col(idCol), explode(shingleStructs).as("__s"))
+      .select(col(idCol), col("__s.p").as("__p"), col("__s.sh").as("__sh"))
+    val dups = pos.groupBy(col("__sh")).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= 2).select(col("__sh"))
+    val covered = pos.join(dups, Seq("__sh"))
+      .select(col(idCol),
+        explode(sequence(col("__p"), col("__p") + (k - 1))).as("__p"))
+      .distinct()
+    val toks = base.select(col(idCol), posexplode(col("__toks")))
+      .select(col(idCol), (col("pos") + 1).as("__p"), col("col").as("__t"))
+    val rebuilt = toks.join(covered, Seq(idCol, "__p"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("__p"), col("__t")))),
+          s => s.getField("__t")), " ").as("clean_text"),
+        count(lit(1)).as("n_tokens_kept"))
+    base.select(col(idCol), size(col("__toks")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"),
+        (col("n_tokens") - coalesce(col("n_tokens_kept"), lit(0L)))
+          .as("n_tokens_dropped"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
 }

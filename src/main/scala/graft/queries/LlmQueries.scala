@@ -1810,6 +1810,47 @@ object LlmQueries {
       WHERE rank <= 5 ORDER BY query_id, rank
     """.trim))
 
+  /** Duplicated-span scrub ([[TextDedup.removeDupSpans]]): q91's
+    * marking rule, but producing the rebuilt clean text — tokens inside
+    * any corpus-duplicated 5-gram span deleted, order preserved,
+    * fully-scrubbed docs kept as empty strings.
+    */
+  val q114ScrubDupSpans = HarnessQuery(
+    "q114_scrub_dup_spans",
+    (spark, dir) =>
+      TextDedup.removeDupSpans(
+        Tables.documents(spark, dir), "text", "doc_id", k = 5)
+        .orderBy(col("doc_id")),
+    Some("""
+      WITH toks AS (SELECT doc_id,
+                           regexp_split_to_array(trim(lower(text)), '\s+') AS t
+                    FROM documents),
+      pos AS (SELECT doc_id,
+                     unnest(generate_series(1, len(t) - 4)) AS p,
+                     unnest(list_transform(generate_series(1, len(t) - 4), i ->
+                       CAST(('0x' || substr(md5(array_to_string(t[i:i+4], ' ')), 1, 15))
+                         AS BIGINT))) AS sh
+              FROM toks),
+      dups AS (SELECT sh FROM pos GROUP BY sh HAVING count(*) >= 2),
+      cov AS (SELECT DISTINCT doc_id, unnest(generate_series(p, p + 4)) AS p
+              FROM pos JOIN dups USING (sh)),
+      tk AS (SELECT doc_id, unnest(generate_series(1, len(t))) AS p,
+                    unnest(t) AS tok
+             FROM toks),
+      kept AS (SELECT tk.doc_id, tk.p, tk.tok
+               FROM tk LEFT JOIN cov ON cov.doc_id = tk.doc_id AND cov.p = tk.p
+               WHERE cov.p IS NULL),
+      reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+                     CAST(count(*) AS BIGINT) AS n_tokens_kept
+              FROM kept GROUP BY 1),
+      n AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks)
+      SELECT n.doc_id, n_tokens,
+             coalesce(n_tokens_kept, 0) AS n_tokens_kept,
+             n_tokens - coalesce(n_tokens_kept, 0) AS n_tokens_dropped,
+             coalesce(clean_text, '') AS clean_text
+      FROM n LEFT JOIN reb USING (doc_id) ORDER BY doc_id
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q50TextStats, q51TokenCount, q52LangQuality, q53Fingerprint,
     q54Shingles, q55MinhashPairs, q56ExactDedup, q57SimhashPairs,
@@ -1822,5 +1863,5 @@ object LlmQueries {
     q92DedupKeepBest, q93UnigramLogProb, q94CorpusReport, q95PipelineV2,
     q96DecontaminateBloom, q99QualityCut, q106HashSample, q109RankFeatures,
     q110SemanticDedup, q111ImportanceResample, q112IncrementalSemanticDedup,
-    q113HardNegatives)
+    q113HardNegatives, q114ScrubDupSpans)
 }

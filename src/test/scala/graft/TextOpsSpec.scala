@@ -238,4 +238,26 @@ class TextOpsSpec extends SparkSpec {
         TextFunctions.rollingHash(TextFunctions.tokens($"y"))).head
     assert(!r.getBoolean(0))
   }
+
+  test("removeDupSpans scrubs shared spans, keeps unique text, empties full dups") {
+    val docs = Seq(
+      (1L, "x1 a b c d e y1"), // shares "a b c d e" with doc 2
+      (2L, "z1 a b c d e w1"),
+      (3L, "p q r s t"),       // unique -> untouched
+      (4L, "m n o p2 q2"),     // identical to doc 5 -> fully scrubbed
+      (5L, "m n o p2 q2")).toDF("doc_id", "text")
+    val got = TextDedup.removeDupSpans(docs, "text", "doc_id", k = 5)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(4)))
+    assert(got.toSeq === Seq(
+      (1L, 2L, "x1 y1"), (2L, 2L, "z1 w1"),
+      (3L, 5L, "p q r s t"), (4L, 0L, ""), (5L, 0L, "")))
+    // the scrub and the coverage report can never disagree
+    val dropped = TextDedup.removeDupSpans(docs, "text", "doc_id", k = 5)
+      .select($"doc_id", $"n_tokens_dropped")
+    val reported = TextDedup.substringDupCoverage(docs, "text", "doc_id", k = 5)
+      .select($"doc_id", $"dup_tokens")
+    assert(dropped.join(reported, "doc_id")
+      .filter($"n_tokens_dropped" =!= $"dup_tokens").count() === 0)
+  }
 }
