@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{IpToIntExpr, QuantizedDotExpr}
+import graft.functions.{IpToIntExpr, NfcNormalizeExpr, QuantizedDotExpr}
 
 /** Engine extensions, installed with
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or
@@ -42,6 +42,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         arity("graft_ip_to_int", 1, children)
         IpToIntExpr(org.apache.spark.sql.catalyst.expressions.Cast(
+          children.head, org.apache.spark.sql.types.StringType))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalizeExpr].getName,
+        "graft_nfc_normalize"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        arity("graft_nfc_normalize", 1, children)
+        NfcNormalizeExpr(org.apache.spark.sql.catalyst.expressions.Cast(
           children.head, org.apache.spark.sql.types.StringType))
       }))
     ext.injectFunction((

@@ -1851,6 +1851,31 @@ object LlmQueries {
       FROM n LEFT JOIN reb USING (doc_id) ORDER BY doc_id
     """.trim))
 
+  /** Unicode NFC normalization ([[graft.functions.NfcNormalizeExpr]],
+    * codegen'd): per-doc post-normalization length + md5 fingerprint.
+    * Java's Normalizer and DuckDB's nfc_normalize implement the same
+    * Unicode standard algorithm, so the md5s must agree byte-for-byte;
+    * non-ASCII behavior is pinned by spec (composed/decomposed é,
+    * compatibility characters, the isNormalized fast path).
+    */
+  val q115NfcNormalize = HarnessQuery(
+    "q115_nfc_normalize",
+    (spark, dir) =>
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          graft.functions.NfcNormalizeExpr.nfcNormalize(spark, col("text"))
+            .as("__n"))
+        .select(col("doc_id"),
+          length(col("__n")).cast("long").as("n_chars_nfc"),
+          md5(col("__n")).as("nfc_md5"))
+        .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id,
+             CAST(length(nfc_normalize(text)) AS BIGINT) AS n_chars_nfc,
+             md5(nfc_normalize(text)) AS nfc_md5
+      FROM documents ORDER BY doc_id
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q50TextStats, q51TokenCount, q52LangQuality, q53Fingerprint,
     q54Shingles, q55MinhashPairs, q56ExactDedup, q57SimhashPairs,
@@ -1863,5 +1888,5 @@ object LlmQueries {
     q92DedupKeepBest, q93UnigramLogProb, q94CorpusReport, q95PipelineV2,
     q96DecontaminateBloom, q99QualityCut, q106HashSample, q109RankFeatures,
     q110SemanticDedup, q111ImportanceResample, q112IncrementalSemanticDedup,
-    q113HardNegatives, q114ScrubDupSpans)
+    q113HardNegatives, q114ScrubDupSpans, q115NfcNormalize)
 }
