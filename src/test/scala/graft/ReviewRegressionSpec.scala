@@ -87,4 +87,70 @@ class ReviewRegressionSpec extends SparkSpec {
     assert(w((1L, "apple")) === 0.0) // in every doc -> idf ln(1) = 0
     assert(w((1L, "banana")) > 0.0)
   }
+
+  test("removeDupSpans: short docs untouched; k=1 scrubs repeated tokens; empty text survives") {
+    // both docs are 3 tokens long, shorter than k=5: no shingles exist,
+    // so even identical docs stay untouched
+    val short = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    val gotShort = TextDedup.removeDupSpans(short, "text", "doc_id", k = 5)
+      .orderBy($"doc_id").collect().map(_.getString(4))
+    assert(gotShort.toSeq === Seq("a b c", "a b c"))
+    // k=1: every globally-repeated token is a span
+    val k1 = Seq((1L, "x y x"), (2L, "y z")).toDF("doc_id", "text")
+    val gotK1 = TextDedup.removeDupSpans(k1, "text", "doc_id", k = 1)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getString(4), r.getLong(3)))
+    assert(gotK1.toSeq === Seq(("", 3L), ("z", 1L))) // x repeats in-doc, y across
+    val empty = Seq((1L, "")).toDF("doc_id", "text")
+    val gotEmpty = TextDedup.removeDupSpans(empty, "text", "doc_id", k = 5).head
+    assert(gotEmpty.getString(4) === "" && gotEmpty.getLong(2) === 1L)
+  }
+
+  test("importanceResample: empty target degrades to smoothed-prior scoring, no crash") {
+    val raw = Seq((1L, "aa bb cc"), (2L, "dd ee ff gg")).toDF("doc_id", "text")
+    val target = raw.filter($"doc_id" < 0)
+    val got = graft.operators.Mixture.importanceResample(
+      raw, target, "text", "doc_id", n = 2, numBuckets = 16, seed = 3L)
+      .collect()
+    assert(got.length === 2) // every doc still scored and returned
+    got.foreach(r => assert(!r.isNullAt(2)))
+  }
+
+  test("semanticDedup excludes unassignable rows: empty centroids and null embeddings") {
+    import graft.operators.Similarity
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0, Array(1.0f, 0.0f))).toDF("cell", "cvec")
+    val got = Similarity.semanticDedup(
+      corpus, "vec_id", "embedding", cents, threshold = 0.9, dim = 2)
+      .collect().map(_.getLong(0))
+    assert(got.toSeq === Seq(1L)) // the null-embedding row is excluded
+    val noCents = cents.filter($"cell" < 0)
+    assert(Similarity.semanticDedup(
+      corpus, "vec_id", "embedding", noCents, threshold = 0.9, dim = 2)
+      .count() === 0L)
+  }
+
+  test("semanticDedupAgainst with empty corpus marks nothing as dup") {
+    import graft.operators.Similarity
+    val corpus = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+      .filter($"vec_id" < 0)
+    val batch = Seq((10L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val cents = Seq((0, Array(1.0f, 0.0f))).toDF("cell", "cvec")
+    val got = Similarity.semanticDedupAgainst(
+      corpus, batch, "vec_id", "embedding", cents, threshold = 0.5, dim = 2)
+      .collect()
+    assert(got.length === 1 && !got(0).getBoolean(2) && got(0).isNullAt(3))
+  }
+
+  test("hardNegatives yields nothing when every corpus row shares the query label") {
+    import graft.operators.Similarity
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f), "A"), (2L, Array(0.9f, 0.1f), "A"),
+      (3L, Array(0.8f, 0.2f), "A")).toDF("vec_id", "embedding", "label")
+    assert(Similarity.hardNegatives(
+      corpus, corpus.filter($"vec_id" === 1L), "vec_id", "embedding",
+      "label", k = 5).count() === 0L)
+  }
 }
