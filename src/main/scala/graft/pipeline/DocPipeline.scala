@@ -157,4 +157,84 @@ object DocPipeline {
       .orderBy(col(domainCol))
     DocPipelineV2Result(mixed, report, audit.result())
   }
+
+  final case class DocPipelineV3Config(
+      minQuality: Double = 0.5,
+      spanK: Int = 5,
+      nearDupThreshold: Double = 0.8,
+      targetSource: String = "src0",
+      nSelect: Int = 120,
+      numBuckets: Int = 1024,
+      seed: Long = 11L,
+      numHashes: Int = 16,
+      bands: Int = 8,
+      hashFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        graft.functions.TextFunctions.fastHash)
+
+  final case class DocPipelineV3Result(
+      corpus: DataFrame,
+      report: DataFrame,
+      audit: Seq[(String, Long)])
+
+  /** Third-generation corpus prep, composing this round's operators:
+    *
+    *   Unicode NFC normalize -> duplicated-span scrub (ExactSubstr
+    *   remove) -> quality floor on the SCRUBBED text -> quality-aware
+    *   near-dedup (keep best per cluster) -> DSIR importance selection
+    *   toward a target slice -> per-source report
+    *
+    * Ordering rationale: normalization precedes every hash (composed/
+    * decomposed byte splits would fracture dup groups); the span scrub
+    * precedes quality scoring so boilerplate-heavy docs are judged on
+    * what would actually be trained on; selection runs last, over
+    * deduplicated survivors, so importance weights aren't distorted by
+    * duplicate mass. Stage boundaries go through [[Materialize.cut]];
+    * the audit explains the yield.
+    */
+  def runV3(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      domainCol: String,
+      cfg: DocPipelineV3Config = DocPipelineV3Config()): DocPipelineV3Result = {
+    val spark = docs.sparkSession
+    val audit = Seq.newBuilder[(String, Long)]
+    audit += ("input" -> docs.count())
+
+    val normalized = docs.withColumn(textCol,
+      graft.functions.NfcNormalizeExpr.nfcNormalize(spark, col(textCol)))
+
+    val scrubbed = Materialize.cut(
+      TextDedup.removeDupSpans(normalized, textCol, idCol, cfg.spanK)
+        .select(col(idCol), col("clean_text").as(textCol))
+        .join(normalized.select(col(idCol), col(domainCol)), Seq(idCol)))
+    audit += ("scrubbed" -> scrubbed.count())
+
+    val quality = Materialize.cut(
+      TextAnalysis.qualityScore(scrubbed, textCol)
+        .filter(col("quality_score") >= cfg.minQuality)
+        .select(col(idCol), col(textCol), col(domainCol),
+          col("quality_score")))
+    audit += ("quality" -> quality.count())
+
+    val kept = Materialize.cut(TextDedup.dedupKeepBest(
+      quality, textCol, idCol, "quality_score",
+      numHashes = cfg.numHashes, bands = cfg.bands,
+      threshold = cfg.nearDupThreshold, hashFn = cfg.hashFn))
+    audit += ("near_dedup_best" -> kept.count())
+
+    val selected = Materialize.cut(
+      Mixture.importanceResample(
+        kept, kept.filter(col(domainCol) === cfg.targetSource),
+        textCol, idCol, cfg.nSelect, cfg.numBuckets, cfg.seed)
+        .join(kept.select(col(idCol), col(textCol), col(domainCol)),
+          Seq(idCol)))
+    audit += ("selected" -> selected.count())
+
+    val report = selected.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("sum_tokens"))
+      .orderBy(col(domainCol))
+    DocPipelineV3Result(selected, report, audit.result())
+  }
 }

@@ -1876,6 +1876,116 @@ object LlmQueries {
       FROM documents ORDER BY doc_id
     """.trim))
 
+  /** Whole-pipeline oracle for the v3 corpus prep
+    * ([[graft.pipeline.DocPipeline.runV3]]): NFC normalize -> dup-span
+    * scrub -> quality floor on the scrubbed text -> keep-best
+    * near-dedup -> DSIR selection toward the src0 slice -> per-source
+    * report, replayed end-to-end in one statement from the
+    * q115/q114/q52/q92/q111 pieces — the q76/q95 whole-pipeline
+    * discipline over this round's operator generation.
+    */
+  val q116PipelineV3 = HarnessQuery(
+    "q116_pipeline_v3",
+    (spark, dir) => {
+      import graft.pipeline.DocPipeline
+      DocPipeline.runV3(
+        Tables.documents(spark, dir), "text", "doc_id", "source",
+        DocPipeline.DocPipelineV3Config()).report
+    },
+    Some("""
+      WITH RECURSIVE t0 AS (
+        SELECT doc_id, source,
+               regexp_split_to_array(trim(lower(nfc_normalize(text))), '\s+') AS t
+        FROM documents),
+      pos AS (SELECT doc_id,
+                     unnest(generate_series(1, len(t) - 4)) AS p,
+                     unnest(list_transform(generate_series(1, len(t) - 4), i ->
+                       CAST(('0x' || substr(md5(array_to_string(t[i:i+4], ' ')), 1, 15))
+                         AS BIGINT))) AS sh
+              FROM t0),
+      dups AS (SELECT sh FROM pos GROUP BY sh HAVING count(*) >= 2),
+      cov AS (SELECT DISTINCT doc_id, unnest(generate_series(p, p + 4)) AS p
+              FROM pos JOIN dups USING (sh)),
+      tk AS (SELECT doc_id, unnest(generate_series(1, len(t))) AS p,
+                    unnest(t) AS tok
+             FROM t0),
+      keptk AS (SELECT tk.doc_id, tk.p, tk.tok
+                FROM tk LEFT JOIN cov ON cov.doc_id = tk.doc_id AND cov.p = tk.p
+                WHERE cov.p IS NULL),
+      sc AS (SELECT t0.doc_id, t0.source, coalesce(r.clean_text, '') AS text
+             FROM t0 LEFT JOIN (SELECT doc_id,
+                                       string_agg(tok, ' ' ORDER BY p) AS clean_text
+                                FROM keptk GROUP BY 1) r USING (doc_id)),
+      tq AS (SELECT doc_id, source, text,
+                    regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+                    length(text) AS n_chars
+             FROM sc),
+      st AS (SELECT doc_id, len(toks) AS n_tokens,
+                    CAST(length(array_to_string(toks, '')) AS DOUBLE) / len(toks) AS mean_token_len,
+                    CAST(n_chars - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+                      / nullif(n_chars, 0) AS punct_ratio,
+                    CAST(n_chars - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                      / nullif(n_chars, 0) AS digit_ratio
+             FROM tq),
+      q AS (SELECT doc_id, greatest(0.0, 1.0
+              - CASE WHEN n_tokens < 5 THEN 0.5 ELSE 0.0 END
+              - CASE WHEN punct_ratio > 0.3 THEN 0.3 ELSE 0.0 END
+              - CASE WHEN digit_ratio > 0.3 THEN 0.2 ELSE 0.0 END
+              - CASE WHEN mean_token_len < 2.0 THEN 0.2 ELSE 0.0 END) AS quality_score
+            FROM st),
+      surv AS (SELECT tq.doc_id, tq.source, tq.toks, q.quality_score
+               FROM tq JOIN q USING (doc_id) WHERE q.quality_score >= 0.5),
+      shs AS (SELECT doc_id, list_distinct(list_transform(
+                generate_series(1, len(toks) - 2),
+                i -> array_to_string(toks[i:i+2], ' '))) AS sh
+              FROM surv),
+      prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM shs a, shs b
+              WHERE a.doc_id < b.doc_id
+                AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                    len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+                UNION ALL SELECT id_b, id_a FROM prs),
+      reach(id, label) AS (
+        SELECT doc_id, doc_id FROM surv
+        UNION
+        SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+      clusters AS (SELECT id AS doc_id, min(label) AS cluster_id
+                   FROM reach GROUP BY id),
+      rankedd AS (SELECT s.doc_id, s.source, s.toks,
+                    row_number() OVER (PARTITION BY c.cluster_id
+                      ORDER BY s.quality_score DESC, s.doc_id) AS rn
+                  FROM surv s JOIN clusters c USING (doc_id)),
+      keptd AS (SELECT doc_id, source, toks FROM rankedd WHERE rn = 1),
+      dtk AS (SELECT doc_id, unnest(toks) AS term FROM keptd),
+      dc AS (SELECT doc_id,
+                    CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) % 1024 AS b,
+                    count(*) AS tc
+             FROM dtk GROUP BY 1, 2),
+      rawb AS (SELECT b, CAST(sum(tc) AS BIGINT) AS rc FROM dc GROUP BY 1),
+      rtot AS (SELECT CAST(sum(rc) AS DOUBLE) AS rt FROM rawb),
+      tgtb AS (SELECT b, CAST(sum(tc) AS BIGINT) AS gc
+               FROM dc JOIN keptd USING (doc_id)
+               WHERE source = 'src0' GROUP BY 1),
+      gtot AS (SELECT CAST(coalesce(sum(gc), 0) AS DOUBLE) AS gt FROM tgtb),
+      logw AS (SELECT rawb.b,
+                      ln((coalesce(tgtb.gc, 0) + 1) / (gtot.gt + 1024))
+                        - ln((rawb.rc + 1) / (rtot.rt + 1024)) AS lw
+               FROM rawb LEFT JOIN tgtb USING (b), rtot, gtot),
+      scored AS (SELECT doc_id, CAST(sum(tc) AS BIGINT) AS n_tokens,
+                        CAST(sum(CAST(tc * lw AS DECIMAL(30,15))) AS DOUBLE) AS score
+                 FROM dc JOIN logw USING (b) GROUP BY 1),
+      keyed AS (SELECT doc_id, n_tokens,
+                       score - ln(-ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':11'), 1, 15))
+                         AS BIGINT) + 0.5) / 1152921504606846976.0)) AS k2
+                FROM scored),
+      topd AS (SELECT doc_id, n_tokens FROM keyed ORDER BY k2 DESC, doc_id LIMIT 120)
+      SELECT k.source, count(*) AS n_docs,
+             CAST(sum(t.n_tokens) AS BIGINT) AS sum_tokens
+      FROM topd t JOIN keptd k USING (doc_id)
+      GROUP BY 1 ORDER BY 1
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q50TextStats, q51TokenCount, q52LangQuality, q53Fingerprint,
     q54Shingles, q55MinhashPairs, q56ExactDedup, q57SimhashPairs,
@@ -1888,5 +1998,5 @@ object LlmQueries {
     q92DedupKeepBest, q93UnigramLogProb, q94CorpusReport, q95PipelineV2,
     q96DecontaminateBloom, q99QualityCut, q106HashSample, q109RankFeatures,
     q110SemanticDedup, q111ImportanceResample, q112IncrementalSemanticDedup,
-    q113HardNegatives, q114ScrubDupSpans, q115NfcNormalize)
+    q113HardNegatives, q114ScrubDupSpans, q115NfcNormalize, q116PipelineV3)
 }

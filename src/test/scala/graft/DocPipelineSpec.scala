@@ -94,4 +94,28 @@ class DocPipelineSpec extends SparkSpec {
     val res = DocPipeline.runV2(docs, "text", "doc_id", "source", v2)
     assert(res.audit.head._1 === "input" && res.audit.head._2 === 100L)
   }
+
+  test("runV3: scrub precedes quality, selection bounded by n, report matches corpus") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .localCheckpoint(true)
+    val res = DocPipeline.runV3(docs, "text", "doc_id", "source",
+      DocPipeline.DocPipelineV3Config(nSelect = 60))
+    val audit = res.audit.toMap
+    assert(audit("scrubbed") === audit("input")) // scrub transforms, never drops
+    assert(audit("quality") <= audit("scrubbed"))
+    assert(audit("near_dedup_best") <= audit("quality"))
+    assert(audit("selected") === math.min(60L, audit("near_dedup_best")))
+    // report rows re-aggregate exactly to the selected corpus
+    val fromCorpus = res.corpus.groupBy($"source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fromReport = res.report.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fromReport === fromCorpus)
+    // selection is deterministic: same config, same membership
+    val again = DocPipeline.runV3(docs, "text", "doc_id", "source",
+      DocPipeline.DocPipelineV3Config(nSelect = 60))
+    val a = res.corpus.select($"doc_id").collect().map(_.getLong(0)).toSet
+    val b = again.corpus.select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(a === b)
+  }
 }
