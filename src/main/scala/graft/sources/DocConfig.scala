@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.yaml.snakeyaml.Yaml
 
-import graft.pipeline.DocPipeline.{DocPipelineConfig, DocPipelineV2Config}
+import graft.pipeline.DocPipeline.{DocPipelineConfig, DocPipelineV2Config, DocPipelineV3Config}
 
 /** YAML surface for the corpus-prep pipelines — the same config-driven
   * design the reference uses for its fraud pipeline
@@ -74,6 +74,33 @@ object DocConfig {
       maxTopTokenFrac = dbl(m, "max_top_token_frac", d.maxTopTokenFrac),
       nearDupThreshold = dbl(m, "near_dup_threshold", d.nearDupThreshold),
       weights = weights,
+      seed = m.get("seed").map(_.toString.toLong).getOrElse(d.seed),
+      numHashes = int(m, "num_hashes", d.numHashes),
+      bands = int(m, "bands", d.bands))
+  }
+
+  /** `v3:` section → [[DocPipelineV3Config]] (NFC→scrub→quality→
+    * keep-best→DSIR). Keys: min_quality, span_k, near_dup_threshold,
+    * target_source, n_select, num_buckets, seed, num_hashes, bands.
+    * `target_source` is required — DSIR selection without a target
+    * distribution is meaningless, and defaulting it would silently
+    * skew the corpus toward an arbitrary slice.
+    */
+  def v3FromYaml(path: String): DocPipelineV3Config = {
+    val m = section(path, "v3")
+    val d = DocPipelineV3Config()
+    val target = m.get("target_source") match {
+      case Some(t) => t.toString
+      case None => throw new IllegalArgumentException(
+        s"doc config $path: v3.target_source is required")
+    }
+    DocPipelineV3Config(
+      minQuality = dbl(m, "min_quality", d.minQuality),
+      spanK = int(m, "span_k", d.spanK),
+      nearDupThreshold = dbl(m, "near_dup_threshold", d.nearDupThreshold),
+      targetSource = target,
+      nSelect = int(m, "n_select", d.nSelect),
+      numBuckets = int(m, "num_buckets", d.numBuckets),
       seed = m.get("seed").map(_.toString.toLong).getOrElse(d.seed),
       numHashes = int(m, "num_hashes", d.numHashes),
       bands = int(m, "bands", d.bands))

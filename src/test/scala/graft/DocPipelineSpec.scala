@@ -73,6 +73,10 @@ class DocPipelineSpec extends SparkSpec {
         |  weights:
         |    src0: 0.5
         |    src1: 0.5
+        |v3:
+        |  target_source: src2
+        |  n_select: 40
+        |  span_k: 4
         |""".stripMargin)
     val v1 = graft.sources.DocConfig.v1FromYaml(yaml.toString)
     assert(v1.minQuality === 0.7 && v1.langs === Set("en", "de") &&
@@ -82,11 +86,17 @@ class DocPipelineSpec extends SparkSpec {
     assert(v2.maxTopTokenFrac === 0.2 && v2.seed === 7L &&
       v2.weights === Map("src0" -> 0.5, "src1" -> 0.5))
     assert(v2.minQuality === DocPipeline.DocPipelineV2Config().minQuality)
-    // missing weights is an error, not a silent empty mixture
+    val v3 = graft.sources.DocConfig.v3FromYaml(yaml.toString)
+    assert(v3.targetSource === "src2" && v3.nSelect === 40 && v3.spanK === 4)
+    assert(v3.minQuality === DocPipeline.DocPipelineV3Config().minQuality)
+    // missing weights / target_source is an error, not a silent default
     val bare = java.nio.file.Files.createTempFile("graft_doc", ".yaml")
-    java.nio.file.Files.writeString(bare, "v2:\n  seed: 1\n")
+    java.nio.file.Files.writeString(bare, "v2:\n  seed: 1\nv3:\n  seed: 1\n")
     intercept[IllegalArgumentException] {
       graft.sources.DocConfig.v2FromYaml(bare.toString)
+    }
+    intercept[IllegalArgumentException] {
+      graft.sources.DocConfig.v3FromYaml(bare.toString)
     }
     // the parsed config drives the real pipeline
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
