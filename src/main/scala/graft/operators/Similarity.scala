@@ -255,6 +255,102 @@ object Similarity {
         col("neighbor_id"), col("qdot").cast("long").as("qdot"))
   }
 
+  /** Product-quantization encode against an EXPLICIT codebook table
+    * (`sub`, `code`, `cvec` — one `subDim`-length entry per (subvector,
+    * code)): each row's vector is cut into `dim / subDim` subvectors and
+    * every subvector is replaced by the id of its nearest codebook entry
+    * (squared L2, decimal-exact, ties toward the smaller code). Output is
+    * (outId, sub, code) — the inverted-index payload of PQ: m single-byte
+    * codes per document instead of dim floats, a 32x+ compression of the
+    * searchable corpus. Like [[ivfSearchTopK]]'s explicit centroids, the
+    * codebook is separated from the search so a caller can train it any
+    * way (KMeans per subspace, sampled corpus rows) while the harness
+    * drives it with deterministic entries that replay in plain SQL.
+    *
+    * Plan shape: the codebook explodes to a broadcast (sub, dwi, code,
+    * value) table (m x codes x subDim rows — tiny by construction); the
+    * corpus explodes once into (id, dim, value) triples, joins the
+    * broadcast, and two stock HashAggregates later only (id, sub, code)
+    * rows remain. The corpus never shuffles vectors, and the argmin
+    * window partitions by (id, sub) — cardinality rows x m, no skew.
+    */
+  def pqEncode(
+      df: DataFrame,
+      idCol: String,
+      outId: String,
+      vecCol: String,
+      codebooks: DataFrame,
+      subDim: Int): DataFrame = {
+    require(subDim >= 1, s"subDim must be >= 1, got $subDim")
+    val cb = broadcast(
+      codebooks.select(col("sub"), col("code"), posexplode(col("cvec")))
+        .select(col("sub"), col("code"), col("pos").as("__dwi"),
+          col("col").cast("double").as("__cv")))
+    val dims = df.select(col(idCol).as(outId), posexplode(col(vecCol)))
+      .select(col(outId),
+        (col("pos") / lit(subDim)).cast("int").as("sub"),
+        pmod(col("pos"), lit(subDim)).as("__dwi"),
+        col("col").cast("double").as("__x"))
+    val dist = dims.join(cb, Seq("sub", "__dwi"))
+      .groupBy(col(outId), col("sub"), col("code"))
+      .agg(sum(((col("__x") - col("__cv")) * (col("__x") - col("__cv")))
+        .cast("decimal(30,18)")).as("__dist"))
+    val w = Window.partitionBy(col(outId), col("sub"))
+      .orderBy(col("__dist"), col("code"))
+    dist.withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .select(col(outId), col("sub"), col("code"))
+  }
+
+  /** PQ top-k by asymmetric distance computation (ADC): the corpus is
+    * its [[pqEncode]] code table; each query precomputes a distance
+    * table (dot of the query subvector with every codebook entry,
+    * decimal-exact) and scoring is ONE broadcast equi-join of the code
+    * table against the distance table plus a HashAggregate — the
+    * approximate dot is the sum of m table lookups, and raw corpus
+    * vectors are never read again after encoding. That is the PQ scale
+    * story at 100 TB: the per-query scan is over m-byte codes (ids +
+    * two small ints through the shuffle), not 256-byte vectors, and the
+    * re-encode is a one-time index build. Scores are approximate by
+    * construction (quantization error); recall vs the exact baseline is
+    * spec-pinned, and rank ties break toward the smaller neighbor id.
+    */
+  def pqSearchTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      codebooks: DataFrame,
+      subDim: Int): DataFrame = {
+    val codes = pqEncode(corpus, idCol, "neighbor_id", vecCol, codebooks, subDim)
+    val cb = broadcast(
+      codebooks.select(col("sub"), col("code"), posexplode(col("cvec")))
+        .select(col("sub"), col("code"), col("pos").as("__dwi"),
+          col("col").cast("double").as("__cv")))
+    val qDims = queries.select(col(idCol).as("query_id"), posexplode(col(vecCol)))
+      .select(col("query_id"),
+        (col("pos") / lit(subDim)).cast("int").as("sub"),
+        pmod(col("pos"), lit(subDim)).as("__dwi"),
+        col("col").cast("double").as("__xq"))
+    val qtab = broadcast(qDims.join(cb, Seq("sub", "__dwi"))
+      .groupBy(col("query_id"), col("sub"), col("code"))
+      .agg(sum((col("__xq") * col("__cv")).cast("decimal(30,18)"))
+        .as("__qdot")))
+    val scored = codes.join(qtab, Seq("sub", "code"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("__qdot")).as("__pq"))
+      .select(col("query_id"), col("neighbor_id"),
+        col("__pq").cast("double").as("pq_dot"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("pq_dot").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("pq_dot"))
+  }
+
   /** Deterministic pseudo-random hyperplanes, computed ONCE on the
     * driver (md5-derived uniforms in [-0.5, 0.5), seeded) and shipped as
     * literal arrays — the per-row cost is just the dot product, no

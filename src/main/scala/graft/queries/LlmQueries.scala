@@ -1173,6 +1173,78 @@ object LlmQueries {
       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
     """.trim))
 
+  /** Product-quantization ANN ([[Similarity.pqSearchTopK]]): the corpus
+    * is compressed to 8 one-byte codes per vector against an explicit
+    * codebook (subvector slices of the first 8 corpus vectors —
+    * deterministic, like q62's explicit centroids), and scoring is pure
+    * ADC: a broadcast join of the code table against per-query distance
+    * tables. Encoding (decimal-exact squared L2, ties toward the smaller
+    * code) and scoring (decimal sums of subvector dots) both replay
+    * bit-for-bit in SQL, so the WHOLE index-build-plus-search pipeline is
+    * oracled, not just the output shape. The adaptive-codebook path
+    * (KMeans per subspace) would not replay; recall vs the exact
+    * baseline is spec-pinned in SimilaritySpec instead.
+    */
+  val q117PqTopK = HarnessQuery(
+    "q117_pq_topk",
+    (spark, dir) => {
+      val em = Tables.embeddings(spark, dir)
+      val codebooks = em.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("code"),
+          explode(sequence(lit(0), lit(7))).as("sub"), col("embedding"))
+        .select(col("sub"), col("code"),
+          slice(col("embedding"), col("sub") * lit(8) + lit(1), lit(8))
+            .as("cvec"))
+      Similarity.pqSearchTopK(
+        em, em.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, codebooks = codebooks, subDim = 8)
+        .withColumn("pq_dot", round(col("pq_dot"), 12))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""
+      WITH cbsrc AS (
+        SELECT CAST(vec_id AS INT) AS code, embedding FROM embeddings
+        WHERE vec_id < 8),
+      enc AS (
+        SELECT e.vec_id, s.s AS sub, c.code,
+               sum(CAST((CAST(e.embedding[s.s*8+g.i] AS DOUBLE)
+                     - CAST(c.embedding[s.s*8+g.i] AS DOUBLE))
+                   * (CAST(e.embedding[s.s*8+g.i] AS DOUBLE)
+                     - CAST(c.embedding[s.s*8+g.i] AS DOUBLE))
+                   AS DECIMAL(30,18))) AS dist
+        FROM embeddings e, generate_series(0, 7) s(s), cbsrc c,
+             generate_series(1, 8) g(i)
+        GROUP BY 1, 2, 3),
+      codes AS (
+        SELECT vec_id, sub, code FROM (
+          SELECT vec_id, sub, code,
+                 row_number() OVER (PARTITION BY vec_id, sub
+                   ORDER BY dist, code) AS r
+          FROM enc) WHERE r = 1),
+      qtab AS (
+        SELECT q.vec_id AS query_id, s.s AS sub, c.code,
+               sum(CAST(CAST(q.embedding[s.s*8+g.i] AS DOUBLE)
+                   * CAST(c.embedding[s.s*8+g.i] AS DOUBLE)
+                   AS DECIMAL(30,18))) AS qdot
+        FROM embeddings q, generate_series(0, 7) s(s), cbsrc c,
+             generate_series(1, 8) g(i)
+        WHERE q.vec_id < 10
+        GROUP BY 1, 2, 3),
+      scored AS (
+        SELECT t.query_id, cd.vec_id AS neighbor_id,
+               CAST(sum(t.qdot) AS DOUBLE) AS pq_dot
+        FROM codes cd JOIN qtab t ON t.sub = cd.sub AND t.code = cd.code
+        WHERE cd.vec_id <> t.query_id
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT query_id, neighbor_id, pq_dot,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY pq_dot DESC, neighbor_id) AS rank
+        FROM scored)
+      SELECT query_id, rank, neighbor_id, round(pq_dot, 12) AS pq_dot
+      FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+    """.trim))
+
   /** Substring-level dedup coverage
     * ([[TextDedup.substringDupCoverage]], k = 5): duplicated 5-gram
     * spans merged per document. The md5-based shingle hashes and the
@@ -1998,5 +2070,6 @@ object LlmQueries {
     q92DedupKeepBest, q93UnigramLogProb, q94CorpusReport, q95PipelineV2,
     q96DecontaminateBloom, q99QualityCut, q106HashSample, q109RankFeatures,
     q110SemanticDedup, q111ImportanceResample, q112IncrementalSemanticDedup,
-    q113HardNegatives, q114ScrubDupSpans, q115NfcNormalize, q116PipelineV3)
+    q113HardNegatives, q114ScrubDupSpans, q115NfcNormalize, q116PipelineV3,
+    q117PqTopK)
 }

@@ -98,6 +98,60 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"recall $recall")
   }
 
+  test("pqEncode/pqSearchTopK: per-sub argmin, ADC equals true dot on codebook-exact vectors") {
+    // dim 4, subDim 2; entry 0 = (1,0,0,1), entry 1 = (0,1,1,0)
+    val codebooks = Seq(
+      (0, 0, Array(1.0f, 0.0f)), (1, 0, Array(0.0f, 1.0f)),
+      (0, 1, Array(0.0f, 1.0f)), (1, 1, Array(1.0f, 0.0f)))
+      .toDF("sub", "code", "cvec")
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.0f, 0.0f, 1.0f)),
+      (11L, Array(0.0f, 1.0f, 1.0f, 0.0f)),
+      (12L, Array(1.0f, 0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val codes = Similarity.pqEncode(corpus, "vec_id", "id", "embedding",
+      codebooks, subDim = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    // codebook-exact rows encode to their own entry; the mixed row picks
+    // the nearest entry per sub independently
+    assert(codes === Set((10L, 0, 0), (10L, 1, 0), (11L, 0, 1), (11L, 1, 1),
+      (12L, 0, 0), (12L, 1, 1)))
+    val queries = Seq((99L, Array(1.0f, 0.0f, 0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.pqSearchTopK(corpus, queries, "vec_id", "embedding",
+      k = 3, codebooks = codebooks, subDim = 2)
+      .orderBy($"rank").collect()
+      .map(r => (r.getLong(2), r.getDouble(3)))
+    // ADC score = dot(query, reconstruction); reconstructions here are the
+    // exact vectors, so scores are the true dots: 2, 1, 0
+    assert(got.toSeq === Seq((10L, 2.0), (12L, 1.0), (11L, 0.0)))
+  }
+
+  test("PQ ANN on real embeddings: full code table, bounded codes, recall floor") {
+    val em = Tables.embeddings(spark, "/root/testdata/sf0.001").cache()
+    val codebooks = em.filter($"vec_id" < 8)
+      .select($"vec_id".cast("int").as("code"),
+        explode(sequence(lit(0), lit(7))).as("sub"), $"embedding")
+      .select($"sub", $"code",
+        slice($"embedding", $"sub" * lit(8) + lit(1), lit(8)).as("cvec"))
+    val n = em.count()
+    val codes = Similarity.pqEncode(em, "vec_id", "id", "embedding",
+      codebooks, subDim = 8)
+    assert(codes.count() === n * 8) // exactly one code per (id, sub)
+    assert(codes.filter($"code" < 0 || $"code" >= 8).isEmpty)
+    val q = em.filter($"vec_id" < 10)
+    val exact = Similarity.cosineTopK(em, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.pqSearchTopK(em, q, "vec_id", "embedding", 5,
+      codebooks, subDim = 8)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    // 8 shared codes is a deliberately coarse codebook (it must replay in
+    // the q117 oracle) — the floor is correspondingly loose
+    assert(recall >= 0.2, s"recall $recall")
+  }
+
   test("multimodal: real PNG decodes to true dimensions, bands, luma histogram") {
     // 8x4 RGB PNG generated in-memory: left half black, right half white
     val img = new java.awt.image.BufferedImage(
