@@ -324,21 +324,83 @@ object Similarity {
       codebooks: DataFrame,
       subDim: Int): DataFrame = {
     val codes = pqEncode(corpus, idCol, "neighbor_id", vecCol, codebooks, subDim)
+    val qtab = broadcast(pqQueryTable(queries, idCol, vecCol, codebooks, subDim))
+    val scored = codes.join(qtab, Seq("sub", "code"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("__qdot")).as("__pq"))
+      .select(col("query_id"), col("neighbor_id"),
+        col("__pq").cast("double").as("pq_dot"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("pq_dot").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("pq_dot"))
+  }
+
+  /** Per-query ADC distance table: (query_id, sub, code, __qdot) — the
+    * decimal-exact dot of every query subvector with every codebook
+    * entry. Complete by construction (each (sub, code) appears for each
+    * query), m × codes rows per query: tiny, built once, broadcast.
+    */
+  private def pqQueryTable(
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codebooks: DataFrame,
+      subDim: Int): DataFrame = {
     val cb = broadcast(
       codebooks.select(col("sub"), col("code"), posexplode(col("cvec")))
         .select(col("sub"), col("code"), col("pos").as("__dwi"),
           col("col").cast("double").as("__cv")))
-    val qDims = queries.select(col(idCol).as("query_id"), posexplode(col(vecCol)))
+    queries.select(col(idCol).as("query_id"), posexplode(col(vecCol)))
       .select(col("query_id"),
         (col("pos") / lit(subDim)).cast("int").as("sub"),
         pmod(col("pos"), lit(subDim)).as("__dwi"),
         col("col").cast("double").as("__xq"))
-    val qtab = broadcast(qDims.join(cb, Seq("sub", "__dwi"))
+      .join(cb, Seq("sub", "__dwi"))
       .groupBy(col("query_id"), col("sub"), col("code"))
       .agg(sum((col("__xq") * col("__cv")).cast("decimal(30,18)"))
-        .as("__qdot")))
-    val scored = codes.join(qtab, Seq("sub", "code"))
+        .as("__qdot"))
+  }
+
+  /** IVF-PQ top-k — the composition that actually runs billion-vector
+    * ANN in practice: the coarse quantizer ([[topCellsByCosine]],
+    * explicit centroids) restricts each query to its `nprobe` cells'
+    * inverted lists, and scoring inside those lists is pure PQ ADC over
+    * the [[pqEncode]] code table. Per-query work is
+    * |corpus| × nprobe / nlist code rows — each an id plus two small
+    * ints — instead of a full-corpus vector scan; the raw vectors are
+    * touched only at index-build (assignment + encode), never at query
+    * time. The codebook is global (not per-cell residual): residual
+    * encoding would couple the codebook to the quantizer and make the
+    * explicit-table replay impossible; the recall gap at these codebook
+    * sizes is spec-pinned instead. Deterministic end to end — both
+    * stages replay in plain SQL, which is how the harness oracles it.
+    */
+  def ivfPqSearchTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroids: DataFrame,
+      nprobe: Int,
+      codebooks: DataFrame,
+      subDim: Int): DataFrame = {
+    val assigned = topCellsByCosine(corpus, idCol, "neighbor_id", vecCol,
+      centroids, 1)
+    val probed = topCellsByCosine(queries, idCol, "query_id", vecCol,
+      centroids, nprobe)
+    val codes = pqEncode(corpus, idCol, "neighbor_id", vecCol, codebooks, subDim)
+    val qtab = broadcast(pqQueryTable(queries, idCol, vecCol, codebooks, subDim))
+    // inverted lists = code table keyed by cell; candidates fan out only
+    // over probed cells, then ADC is one broadcast lookup + HashAggregate
+    val scored = codes.join(assigned, Seq("neighbor_id"))
+      .join(broadcast(probed), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
+      .join(qtab, Seq("query_id", "sub", "code"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(sum(col("__qdot")).as("__pq"))
       .select(col("query_id"), col("neighbor_id"),
@@ -528,35 +590,48 @@ object Similarity {
       k: Int,
       centroids: DataFrame,
       nprobe: Int): DataFrame = {
+    val assigned = topCellsByCosine(corpus, idCol, "neighbor_id", vecCol,
+      centroids, 1)
+    val probed = topCellsByCosine(queries, idCol, "query_id", vecCol,
+      centroids, nprobe)
+    val pairs = broadcast(probed).join(assigned, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"))
+    rankTopK(scorePairs(pairs, corpus, queries, idCol, vecCol), k)
+  }
+
+  /** Top-N centroid cells per row by exact cosine against an explicit
+    * (`cell`, `cvec`) table (N=1: corpus assignment; N=nprobe: query
+    * routing) — ONE code path for both sides of every IVF variant, so
+    * assignment and probing can never skew. Decimal-exact dots, ties
+    * toward the smaller cell id.
+    */
+  private def topCellsByCosine(
+      df: DataFrame,
+      idCol: String,
+      outId: String,
+      vecCol: String,
+      centroids: DataFrame,
+      topN: Int): DataFrame = {
     val cellDim = broadcast(
       centroids.select(col("cell"), posexplode(col("cvec")))
         .select(col("cell"), col("pos").as("__d"),
           col("col").cast("double").as("__cv")))
     val cellNorm = broadcast(normTable(centroids, "cell", "cell", "cvec", "__cn"))
-    // top-N cells per row by exact cosine (N=1: assignment; N=nprobe:
-    // query routing) — same code path so the two sides can never skew
-    def topCells(df: DataFrame, outId: String, topN: Int): DataFrame = {
-      val dims = df.select(col(idCol).as(outId), posexplode(col(vecCol)))
-        .select(col(outId), col("pos").as("__d"),
-          col("col").cast("double").as("__x"))
-      val dots = dims.join(cellDim, Seq("__d"))
-        .groupBy(col(outId), col("cell"))
-        .agg(sum((col("__x") * col("__cv")).cast("decimal(30,18)")).as("__dot"))
-      val nrm = normTable(df, idCol, outId, vecCol, "__nr")
-      val w = Window.partitionBy(col(outId)).orderBy(
-        (col("__dot").cast("double") / (col("__nr") * col("__cn"))).desc,
-        col("cell"))
-      dots.join(nrm, Seq(outId)).join(cellNorm, Seq("cell"))
-        .withColumn("__cr", row_number().over(w))
-        .filter(col("__cr") <= topN)
-        .select(col(outId), col("cell"))
-    }
-    val assigned = topCells(corpus, "neighbor_id", 1)
-    val probed = topCells(queries, "query_id", nprobe)
-    val pairs = broadcast(probed).join(assigned, Seq("cell"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"))
-    rankTopK(scorePairs(pairs, corpus, queries, idCol, vecCol), k)
+    val dims = df.select(col(idCol).as(outId), posexplode(col(vecCol)))
+      .select(col(outId), col("pos").as("__d"),
+        col("col").cast("double").as("__x"))
+    val dots = dims.join(cellDim, Seq("__d"))
+      .groupBy(col(outId), col("cell"))
+      .agg(sum((col("__x") * col("__cv")).cast("decimal(30,18)")).as("__dot"))
+    val nrm = normTable(df, idCol, outId, vecCol, "__nr")
+    val w = Window.partitionBy(col(outId)).orderBy(
+      (col("__dot").cast("double") / (col("__nr") * col("__cn"))).desc,
+      col("cell"))
+    dots.join(nrm, Seq(outId)).join(cellNorm, Seq("cell"))
+      .withColumn("__cr", row_number().over(w))
+      .filter(col("__cr") <= topN)
+      .select(col(outId), col("cell"))
   }
 
   /** Per-label centroid embeddings in long form (label, d, mean_x) —

@@ -1245,6 +1245,113 @@ object LlmQueries {
       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
     """.trim))
 
+  /** IVF-PQ ANN ([[Similarity.ivfPqSearchTopK]]): the billion-vector
+    * composition — coarse routing to nprobe=4 of 8 explicit-centroid
+    * cells, then PQ ADC scoring (8 one-byte codes per vector, q117's
+    * codebook) restricted to the probed cells' inverted lists. Both
+    * index stages (cell assignment, PQ encode) and the search replay
+    * bit-for-bit in SQL, so the oracle covers the whole pipeline:
+    * routing, candidate generation, and quantized scoring.
+    */
+  val q118IvfPqTopK = HarnessQuery(
+    "q118_ivfpq_topk",
+    (spark, dir) => {
+      val em = Tables.embeddings(spark, dir)
+      val centroids = em.filter(col("vec_id") >= 8 && col("vec_id") < 16)
+        .select((col("vec_id") - 8).cast("int").as("cell"),
+          col("embedding").as("cvec"))
+      val codebooks = em.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("code"),
+          explode(sequence(lit(0), lit(7))).as("sub"), col("embedding"))
+        .select(col("sub"), col("code"),
+          slice(col("embedding"), col("sub") * lit(8) + lit(1), lit(8))
+            .as("cvec"))
+      Similarity.ivfPqSearchTopK(
+        em, em.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, centroids = centroids, nprobe = 4,
+        codebooks = codebooks, subDim = 8)
+        .withColumn("pq_dot", round(col("pq_dot"), 12))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""
+      WITH cent AS (
+        SELECT CAST(vec_id - 8 AS INT) AS cell, embedding AS cvec
+        FROM embeddings WHERE vec_id >= 8 AND vec_id < 16),
+      cbsrc AS (
+        SELECT CAST(vec_id AS INT) AS code, embedding FROM embeddings
+        WHERE vec_id < 8),
+      cn AS (
+        SELECT cell,
+               sqrt(CAST(sum(CAST(CAST(cvec[g.i] AS DOUBLE) * CAST(cvec[g.i] AS DOUBLE)
+                 AS DECIMAL(30,18))) AS DOUBLE)) AS cnrm
+        FROM cent, generate_series(1, 64) g(i) GROUP BY 1),
+      n AS (
+        SELECT vec_id, embedding,
+               sqrt(CAST(sum(CAST(CAST(embedding[g.i] AS DOUBLE) * CAST(embedding[g.i] AS DOUBLE)
+                 AS DECIMAL(30,18))) AS DOUBLE)) AS nrm
+        FROM embeddings, generate_series(1, 64) g(i) GROUP BY 1, 2),
+      acos AS (
+        SELECT e.vec_id, c.cell,
+               CAST(sum(CAST(CAST(e.embedding[g.i] AS DOUBLE) * CAST(c.cvec[g.i] AS DOUBLE)
+                 AS DECIMAL(30,18))) AS DOUBLE) / (any_value(n.nrm) * any_value(cn.cnrm)) AS csim
+        FROM embeddings e
+        JOIN n ON n.vec_id = e.vec_id, cent c
+        JOIN cn ON cn.cell = c.cell, generate_series(1, 64) g(i)
+        GROUP BY 1, 2),
+      assign AS (
+        SELECT vec_id, cell FROM (
+          SELECT vec_id, cell,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS r
+          FROM acos) WHERE r = 1),
+      probe AS (
+        SELECT vec_id AS query_id, cell FROM (
+          SELECT vec_id, cell,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS r
+          FROM acos WHERE vec_id < 10) WHERE r <= 4),
+      enc AS (
+        SELECT e.vec_id, s.s AS sub, c.code,
+               sum(CAST((CAST(e.embedding[s.s*8+g.i] AS DOUBLE)
+                     - CAST(c.embedding[s.s*8+g.i] AS DOUBLE))
+                   * (CAST(e.embedding[s.s*8+g.i] AS DOUBLE)
+                     - CAST(c.embedding[s.s*8+g.i] AS DOUBLE))
+                   AS DECIMAL(30,18))) AS dist
+        FROM embeddings e, generate_series(0, 7) s(s), cbsrc c,
+             generate_series(1, 8) g(i)
+        GROUP BY 1, 2, 3),
+      codes AS (
+        SELECT vec_id, sub, code FROM (
+          SELECT vec_id, sub, code,
+                 row_number() OVER (PARTITION BY vec_id, sub
+                   ORDER BY dist, code) AS r
+          FROM enc) WHERE r = 1),
+      qtab AS (
+        SELECT q.vec_id AS query_id, s.s AS sub, c.code,
+               sum(CAST(CAST(q.embedding[s.s*8+g.i] AS DOUBLE)
+                   * CAST(c.embedding[s.s*8+g.i] AS DOUBLE)
+                   AS DECIMAL(30,18))) AS qdot
+        FROM embeddings q, generate_series(0, 7) s(s), cbsrc c,
+             generate_series(1, 8) g(i)
+        WHERE q.vec_id < 10
+        GROUP BY 1, 2, 3),
+      scored AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               CAST(sum(t.qdot) AS DOUBLE) AS pq_dot
+        FROM probe p
+        JOIN assign a USING (cell)
+        JOIN codes cd ON cd.vec_id = a.vec_id
+        JOIN qtab t ON t.query_id = p.query_id
+          AND t.sub = cd.sub AND t.code = cd.code
+        WHERE a.vec_id <> p.query_id
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT query_id, neighbor_id, pq_dot,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY pq_dot DESC, neighbor_id) AS rank
+        FROM scored)
+      SELECT query_id, rank, neighbor_id, round(pq_dot, 12) AS pq_dot
+      FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+    """.trim))
+
   /** Substring-level dedup coverage
     * ([[TextDedup.substringDupCoverage]], k = 5): duplicated 5-gram
     * spans merged per document. The md5-based shingle hashes and the
@@ -2071,5 +2178,5 @@ object LlmQueries {
     q96DecontaminateBloom, q99QualityCut, q106HashSample, q109RankFeatures,
     q110SemanticDedup, q111ImportanceResample, q112IncrementalSemanticDedup,
     q113HardNegatives, q114ScrubDupSpans, q115NfcNormalize, q116PipelineV3,
-    q117PqTopK)
+    q117PqTopK, q118IvfPqTopK)
 }

@@ -152,6 +152,39 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.2, s"recall $recall")
   }
 
+  test("ivfPqSearchTopK: equals flat PQ when every cell is probed; restricts to probed cells otherwise") {
+    val em = Tables.embeddings(spark, "/root/testdata/sf0.001").cache()
+    val centroids = em.filter($"vec_id" >= 8 && $"vec_id" < 16)
+      .select(($"vec_id" - 8).cast("int").as("cell"), $"embedding".as("cvec"))
+    val codebooks = em.filter($"vec_id" < 8)
+      .select($"vec_id".cast("int").as("code"),
+        explode(sequence(lit(0), lit(7))).as("sub"), $"embedding")
+      .select($"sub", $"code",
+        slice($"embedding", $"sub" * lit(8) + lit(1), lit(8)).as("cvec"))
+    val q = em.filter($"vec_id" < 5)
+    // nprobe = nlist: every inverted list is scanned, so IVF-PQ must
+    // reproduce flat PQ exactly (same ADC scores, same tie-breaks)
+    val flat = Similarity.pqSearchTopK(em, q, "vec_id", "embedding", 5,
+      codebooks, subDim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val all = Similarity.ivfPqSearchTopK(em, q, "vec_id", "embedding", 5,
+      centroids, nprobe = 8, codebooks = codebooks, subDim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(all === flat)
+    // nprobe = 2: neighbors must come only from the query's probed cells
+    val narrowed = Similarity.ivfPqSearchTopK(em, q, "vec_id", "embedding", 5,
+      centroids, nprobe = 2, codebooks = codebooks, subDim = 8)
+    assert(narrowed.count() > 0)
+    val ivf = Similarity.ivfSearchTopK(em, q, "vec_id", "embedding",
+      k = Int.MaxValue, centroids = centroids, nprobe = 2)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = narrowed.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(ivf),
+      s"IVF-PQ returned neighbors outside the probed cells: ${got -- ivf}")
+  }
+
   test("multimodal: real PNG decodes to true dimensions, bands, luma histogram") {
     // 8x4 RGB PNG generated in-memory: left half black, right half white
     val img = new java.awt.image.BufferedImage(
