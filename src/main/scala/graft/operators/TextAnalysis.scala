@@ -183,6 +183,84 @@ object TextAnalysis {
         (col("__slp").cast("double") / col("__dl")).as("unigram_logprob"))
   }
 
+  /** Interpolated bigram-LM score — the full CCNet-style perplexity
+    * filter (Wenzek et al. 2020 score documents under an LM trained on
+    * a clean reference corpus; high perplexity = off-distribution):
+    * train bigram + unigram counts on `ref` (the caller's clean slice —
+    * a trusted source, a curated sample), then score EVERY document of
+    * `df` by the mean natural-log-probability of its bigrams under
+    *
+    *   P(w2|w1) = lBigram · C(w1,w2)/C(w1)  +  lUnigram · C(w2)/T
+    *              +  lFloor / (V + 1)
+    *
+    * (T = reference token occurrences, V = reference vocab size). The
+    * uniform floor keeps P > 0 for unseen events, so the score is
+    * total — no OOV special-casing — and `lFloor > 0` is required.
+    * Output: (id, n_bigrams, bigram_logprob, perplexity =
+    * exp(-logprob)); documents with fewer than two tokens have no
+    * bigrams and are excluded. Per-bigram contributions go through
+    * DECIMAL before the per-doc sum (q93's accumulation-order
+    * discipline), so the whole train-plus-score pipeline replays
+    * bit-for-bit in SQL.
+    *
+    * Plan shape: reference counts are two hash aggregations; scoring
+    * joins the document bigram counts against them on term keys —
+    * shuffles carry (id, w1, w2, n) tuples, never documents — and T/V
+    * ride as a broadcast 1-row aggregate. Zipfian term skew lands on
+    * the JOIN key's build side, not a window, so AQE's skew handling
+    * applies; nothing is collected to the driver.
+    */
+  def bigramLogProb(
+      df: DataFrame,
+      ref: DataFrame,
+      textCol: String,
+      idCol: String,
+      lBigram: Double = 0.7,
+      lUnigram: Double = 0.2,
+      lFloor: Double = 0.1): DataFrame = {
+    require(lFloor > 0, s"lFloor must be > 0 (total probability), got $lFloor")
+    require(lBigram >= 0 && lUnigram >= 0, "negative interpolation weight")
+    def bigramCounts(d: DataFrame, outId: String): DataFrame = {
+      val t = col("__t")
+      d.select(col(idCol).as(outId), TextFunctions.tokens(col(textCol)).as("__t"))
+        .filter(size(t) >= 2)
+        .select(col(outId), explode(zip_with(
+          slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("__bg"))
+        .select(col(outId), col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+        .groupBy(col(outId), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("n"))
+    }
+    val refUni = ref
+      .select(explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("uc"))
+    val refStats = broadcast(refUni.agg(
+      sum(col("uc")).cast("double").as("__tot"),
+      count(lit(1)).cast("double").as("__v")))
+    val refBg = bigramCounts(ref, "__rid")
+      .groupBy(col("w1"), col("w2")).agg(sum(col("n")).as("bc"))
+    val scored = bigramCounts(df, idCol)
+      .join(refBg, Seq("w1", "w2"), "left")
+      .join(refUni.select(col("term").as("w1"), col("uc").as("__uc1")),
+        Seq("w1"), "left")
+      .join(refUni.select(col("term").as("w2"), col("uc").as("__uc2")),
+        Seq("w2"), "left")
+      .crossJoin(refStats)
+      .withColumn("__p",
+        lit(lBigram) * when(col("__uc1").isNotNull,
+          coalesce(col("bc"), lit(0L)) / col("__uc1").cast("double"))
+          .otherwise(lit(0.0))
+          + lit(lUnigram) * (coalesce(col("__uc2"), lit(0L)) / col("__tot"))
+          + lit(lFloor) / (col("__v") + lit(1.0)))
+    scored
+      .withColumn("__contrib", (col("n") * log(col("__p"))).cast("decimal(30,12)"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__contrib")).as("__slp"), sum(col("n")).as("__nb"))
+      .select(col(idCol), col("__nb").cast("long").as("n_bigrams"),
+        (col("__slp").cast("double") / col("__nb")).as("bigram_logprob"),
+        exp(-(col("__slp").cast("double") / col("__nb"))).as("perplexity"))
+  }
+
   private val EmailRe = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   private val UrlRe = "(?i)https?://[^\\s]+"
 

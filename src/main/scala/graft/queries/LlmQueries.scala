@@ -1352,6 +1352,67 @@ object LlmQueries {
       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
     """.trim))
 
+  /** CCNet-style interpolated bigram-LM perplexity
+    * ([[TextAnalysis.bigramLogProb]]): the LM trains on a clean
+    * reference slice (sources src0/src1) and every document is scored
+    * by mean bigram log-prob + perplexity. Training counts, the
+    * interpolation (0.7 bigram + 0.2 unigram + 0.1 uniform floor), and
+    * the decimal-accumulated per-doc sums all replay in SQL — DuckDB's
+    * zipped slice-unnest IS Spark's zip_with(slice, slice) — so the
+    * whole train-plus-score pipeline is oracled. ln/exp may differ by
+    * an ulp across libms: both columns round (10 and 8 digits).
+    */
+  val q119BigramPerplexity = HarnessQuery(
+    "q119_bigram_perplexity",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      TextAnalysis.bigramLogProb(
+        docs, docs.filter(col("source").isin("src0", "src1")),
+        "text", "doc_id")
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("bigram_logprob"), 10).as("bigram_logprob"),
+          round(col("perplexity"), 8).as("perplexity"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH ref AS (
+        SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS a
+        FROM documents WHERE source IN ('src0', 'src1')),
+      refuni AS (
+        SELECT t.term, count(*) AS uc
+        FROM (SELECT unnest(a) AS term FROM ref) t GROUP BY 1),
+      refstats AS (
+        SELECT CAST(sum(uc) AS DOUBLE) AS tot,
+               CAST(count(*) AS DOUBLE) AS v FROM refuni),
+      refbg AS (
+        SELECT w1, w2, count(*) AS bc FROM (
+          SELECT unnest(a[1:len(a)-1]) AS w1, unnest(a[2:len(a)]) AS w2
+          FROM ref WHERE len(a) >= 2) GROUP BY 1, 2),
+      docs AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS a
+        FROM documents),
+      tc AS (
+        SELECT doc_id, w1, w2, count(*) AS n FROM (
+          SELECT doc_id, unnest(a[1:len(a)-1]) AS w1, unnest(a[2:len(a)]) AS w2
+          FROM docs WHERE len(a) >= 2) GROUP BY 1, 2, 3),
+      scored AS (
+        SELECT tc.doc_id, tc.n,
+               0.7 * (CASE WHEN u1.uc IS NOT NULL
+                 THEN COALESCE(b.bc, 0) / CAST(u1.uc AS DOUBLE) ELSE 0 END)
+               + 0.2 * (COALESCE(u2.uc, 0) / s.tot)
+               + 0.1 / (s.v + 1.0) AS p
+        FROM tc
+        LEFT JOIN refbg b ON b.w1 = tc.w1 AND b.w2 = tc.w2
+        LEFT JOIN refuni u1 ON u1.term = tc.w1
+        LEFT JOIN refuni u2 ON u2.term = tc.w2, refstats s)
+      SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+             round(CAST(sum(CAST(n * ln(p) AS DECIMAL(30,12))) AS DOUBLE)
+                   / sum(n), 10) AS bigram_logprob,
+             round(exp(-(CAST(sum(CAST(n * ln(p) AS DECIMAL(30,12))) AS DOUBLE)
+                   / sum(n))), 8) AS perplexity
+      FROM scored GROUP BY doc_id ORDER BY doc_id
+    """.trim))
+
   /** Substring-level dedup coverage
     * ([[TextDedup.substringDupCoverage]], k = 5): duplicated 5-gram
     * spans merged per document. The md5-based shingle hashes and the
@@ -2178,5 +2239,5 @@ object LlmQueries {
     q96DecontaminateBloom, q99QualityCut, q106HashSample, q109RankFeatures,
     q110SemanticDedup, q111ImportanceResample, q112IncrementalSemanticDedup,
     q113HardNegatives, q114ScrubDupSpans, q115NfcNormalize, q116PipelineV3,
-    q117PqTopK, q118IvfPqTopK)
+    q117PqTopK, q118IvfPqTopK, q119BigramPerplexity)
 }

@@ -108,6 +108,32 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(r(1).getAs[Double]("unigram_logprob") - exp2) < 1e-9)
   }
 
+  test("bigramLogProb: hand-computed interpolation, OOV floor, short docs excluded") {
+    val ref = Seq((100L, "a b a")).toDF("doc_id", "text")
+    // ref model: unigrams a:2 b:1 (T=3, V=2); bigrams (a,b):1 (b,a):1
+    val docs = Seq(
+      (1L, "a b"), // seen bigram: 0.7*(1/2) + 0.2*(1/3) + 0.1/3
+      (2L, "b c"), // seen w1, unseen bigram+w2: floor only
+      (3L, "c a"), // unseen w1: unigram + floor terms
+      (4L, "z")    // one token: no bigrams, excluded
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.bigramLogProb(docs, ref, "text", "doc_id")
+      .orderBy($"doc_id").collect()
+    assert(r.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    val p1 = 0.7 * (1.0 / 2) + 0.2 * (1.0 / 3) + 0.1 / 3
+    val p2 = 0.1 / 3
+    val p3 = 0.2 * (2.0 / 3) + 0.1 / 3
+    val got = r.map(x => x.getAs[Double]("bigram_logprob"))
+    assert(math.abs(got(0) - math.log(p1)) < 1e-9)
+    assert(math.abs(got(1) - math.log(p2)) < 1e-9)
+    assert(math.abs(got(2) - math.log(p3)) < 1e-9)
+    assert(r.forall(x => x.getAs[Long]("n_bigrams") === 1L))
+    assert(math.abs(r(0).getAs[Double]("perplexity") - 1.0 / p1) < 1e-9)
+    // perplexity orders quality: the in-distribution doc scores lowest
+    assert(r(0).getAs[Double]("perplexity") < r(2).getAs[Double]("perplexity"))
+    assert(r(2).getAs[Double]("perplexity") < r(1).getAs[Double]("perplexity"))
+  }
+
   test("corpusReport rolls up counts, tokens, quality, languages per source") {
     val df = Seq(
       (1L, "the cat and the dog went to the park", "web"),
