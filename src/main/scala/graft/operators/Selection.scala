@@ -135,4 +135,39 @@ object Selection {
           .otherwise((col("__rn") - lit(1)).cast("double")
             / (col("__n") - lit(1)).cast("double")))
       .select((df.columns.map(col) :+ col("rank") :+ col("percent_rank")): _*)
+
+  /** Length-bucketed training-batch assembly: band each row by
+    * `floor(tokenCount / bucketWidth)`, rank within the band
+    * (tokenCount desc, id asc) and cut consecutive ranks into batches
+    * of `batchSize` — the standard padding-minimizing batching of a
+    * training pipeline (a batch pads every sequence to its longest
+    * member, so batching NEAR-EQUAL lengths together is what keeps the
+    * padded-token waste low; random batching at a 2048-token max can
+    * waste half the compute). Output: the input row plus `band` and
+    * `batch_id` (0-based within the band). Deterministic — band, rank
+    * and cut are pure functions of (tokenCount, id) — and the in-band
+    * rank goes through the same quantile-bucketed two-level machinery
+    * as [[topFracPerKey]], never a whole-band window: band counts are
+    * corpus-sized at 100 TB (most docs land in a few bands), exactly
+    * the skew a single-partition `row_number` dies on. A null
+    * tokenCount rows into the null band and sorts last — batches of
+    * unmeasured rows, not silently dropped.
+    */
+  def lengthBucketedBatches(
+      df: DataFrame,
+      idCol: String,
+      tokenCountCol: String,
+      bucketWidth: Int,
+      batchSize: Int,
+      buckets: Int = 64): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    val banded = df.withColumn("__band",
+      floor(col(tokenCountCol) / lit(bucketWidth)).cast("long"))
+    globalRankPerKey(banded, "__band", tokenCountCol, Seq(idCol), buckets)
+      .withColumn("batch_id",
+        floor((col("__rn") - lit(1)) / lit(batchSize)).cast("long"))
+      .select((df.columns.map(col) :+ col("__band").as("band")
+        :+ col("batch_id")): _*)
+  }
 }

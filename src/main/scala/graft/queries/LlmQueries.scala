@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Mixture, Multimodal, Similarity, TextAnalysis, TextDedup}
+import graft.operators.{Mixture, Multimodal, Selection, Similarity, TextAnalysis, TextDedup}
 import graft.sources.Tables
 
 /** M7: LLM-training-data operators over `documents` / `embeddings` —
@@ -1413,6 +1413,54 @@ object LlmQueries {
       FROM scored GROUP BY doc_id ORDER BY doc_id
     """.trim))
 
+  /** Length-bucketed batch assembly
+    * ([[Selection.lengthBucketedBatches]], width 32, batch 8) rolled up
+    * to per-batch padding stats: a batch pads to its longest member, so
+    * `pad_frac` = 1 − sum/(n·max) is the compute wasted per batch —
+    * the number this operator exists to minimize. Banding, the in-band
+    * rank (tokens desc, id asc), the batch cut, and the stats are all
+    * integer-exact, so the whole assembly replays in SQL.
+    */
+  val q120BucketedBatches = HarnessQuery(
+    "q120_bucketed_batches",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
+      Selection.lengthBucketedBatches(
+        docs, "doc_id", "n_tokens", bucketWidth = 32, batchSize = 8)
+        .groupBy(col("band"), col("batch_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          max(col("n_tokens")).as("max_tokens"),
+          sum(col("n_tokens")).as("sum_tokens"))
+        .withColumn("pad_frac",
+          round(lit(1.0) - col("sum_tokens")
+            / (col("n_docs") * col("max_tokens")).cast("double"), 12))
+        .orderBy(col("band"), col("batch_id"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT)
+                 AS n_tokens
+        FROM documents),
+      b AS (
+        SELECT doc_id, n_tokens,
+               CAST(floor(n_tokens / 32) AS BIGINT) AS band FROM t),
+      r AS (
+        SELECT *, row_number() OVER (PARTITION BY band
+                 ORDER BY n_tokens DESC, doc_id) AS rn FROM b),
+      a AS (
+        SELECT band, CAST(floor((rn - 1) / 8) AS BIGINT) AS batch_id,
+               count(*) AS n_docs, max(n_tokens) AS max_tokens,
+               CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+        FROM r GROUP BY 1, 2)
+      SELECT band, batch_id, n_docs, max_tokens, sum_tokens,
+             round(1.0 - sum_tokens / CAST(n_docs * max_tokens AS DOUBLE), 12)
+               AS pad_frac
+      FROM a ORDER BY band, batch_id
+    """.trim))
+
   /** Substring-level dedup coverage
     * ([[TextDedup.substringDupCoverage]], k = 5): duplicated 5-gram
     * spans merged per document. The md5-based shingle hashes and the
@@ -2239,5 +2287,5 @@ object LlmQueries {
     q96DecontaminateBloom, q99QualityCut, q106HashSample, q109RankFeatures,
     q110SemanticDedup, q111ImportanceResample, q112IncrementalSemanticDedup,
     q113HardNegatives, q114ScrubDupSpans, q115NfcNormalize, q116PipelineV3,
-    q117PqTopK, q118IvfPqTopK, q119BigramPerplexity)
+    q117PqTopK, q118IvfPqTopK, q119BigramPerplexity, q120BucketedBatches)
 }

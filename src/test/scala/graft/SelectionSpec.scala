@@ -114,6 +114,40 @@ class SelectionSpec extends SparkSpec with TableDrivenPropertyChecks {
       one.getAs[Double]("percent_rank") === 0.0)
   }
 
+  test("lengthBucketedBatches: hand-computed bands, batch cuts, naive-window parity") {
+    val docs = Seq(
+      (1L, 3L), (2L, 5L), (3L, 9L),    // band 0
+      (4L, 12L), (5L, 15L), (6L, 19L), // band 1
+      (7L, 25L)                        // band 2
+    ).toDF("doc_id", "n_tokens")
+    val got = Selection.lengthBucketedBatches(
+      docs, "doc_id", "n_tokens", bucketWidth = 10, batchSize = 2)
+      .select($"doc_id", $"band", $"batch_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // in-band rank is tokens desc, id asc; batches cut every 2 ranks
+    assert(got === Map(
+      3L -> (0L, 0L), 2L -> (0L, 0L), 1L -> (0L, 1L),
+      6L -> (1L, 0L), 5L -> (1L, 0L), 4L -> (1L, 1L),
+      7L -> (2L, 0L)))
+    // fuzz vs the naive single-window cut: same assignment on random data
+    val rnd = new scala.util.Random(11)
+    val big = (1 to 500).map(i => (i.toLong, rnd.nextInt(200).toLong))
+      .toDF("doc_id", "n_tokens")
+    val w = Window.partitionBy($"band").orderBy($"n_tokens".desc, $"doc_id".asc)
+    val want = big.withColumn("band", floor($"n_tokens" / lit(16)).cast("long"))
+      .withColumn("batch_id",
+        floor((row_number().over(w) - lit(1)) / lit(8)).cast("long"))
+      .select($"doc_id", $"band", $"batch_id")
+    val fuzz = Selection.lengthBucketedBatches(
+      big, "doc_id", "n_tokens", bucketWidth = 16, batchSize = 8)
+      .select($"doc_id", $"band", $"batch_id")
+    assert(fuzz.exceptAll(want).count() === 0 &&
+      want.exceptAll(fuzz).count() === 0)
+    // every batch is within size and single-band by construction
+    val sizes = fuzz.groupBy($"band", $"batch_id").count().collect()
+    assert(sizes.forall(_.getLong(2) <= 8))
+  }
+
   test("rejects empty tie-break and bad frac") {
     val df = mkDf(Seq((1L, "a", 0.5)))
     intercept[IllegalArgumentException] {
