@@ -261,6 +261,75 @@ object TextAnalysis {
         exp(-(col("__slp").cast("double") / col("__nb"))).as("perplexity"))
   }
 
+  /** Per-source distribution diagnostics against the corpus: unigram
+    * entropy, cross-entropy vs the whole-corpus distribution, and
+    * KL(source ‖ corpus) — the divergence table a data-mixing decision
+    * reads ("how far is this source from the mix", the quantity DSIR
+    * and DoReMi-style reweighting reason about). The corpus
+    * distribution contains every source term by construction, so q > 0
+    * wherever p > 0 and the KL is finite without smoothing. Per-term
+    * contributions are decimal-accumulated (q93's discipline); entropy,
+    * cross-entropy and KL are each their own sum, with
+    * KL = Σ p·(ln p − ln q) directly so the identity
+    * kl = cross_entropy − entropy holds to rounding.
+    *
+    * Dataflow: one tokenize, (source, term) counts, then the corpus
+    * marginal is a second aggregate OVER THOSE COUNTS (the scan doesn't
+    * run twice; the three reuses of the count table are the same
+    * aliased subplan, which AQE dedups via ReusedExchange). Shuffles
+    * carry (source, term, count) — Zipf skew lands on join keys, never
+    * a single-partition window.
+    */
+  def sourceDivergence(
+      df: DataFrame, textCol: String, domainCol: String): DataFrame = {
+    val st = df.select(col(domainCol),
+      explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy(col(domainCol), col("term"))
+      .agg(count(lit(1)).as("__tc"))
+    val srcTot = st.groupBy(col(domainCol))
+      .agg(sum(col("__tc")).as("__st"), count(lit(1)).as("__v"))
+    val gt = st.groupBy(col("term")).agg(sum(col("__tc")).as("__gc"))
+    val tot = broadcast(gt.agg(sum(col("__gc")).cast("double").as("__gt")))
+    val p = col("__tc").cast("double") / col("__st").cast("double")
+    val q = col("__gc").cast("double") / col("__gt")
+    st.join(gt, Seq("term"))
+      .join(srcTot, Seq(domainCol))
+      .crossJoin(tot)
+      .withColumn("__ent", (p * log(p)).cast("decimal(30,12)"))
+      .withColumn("__ce", (p * log(q)).cast("decimal(30,12)"))
+      .withColumn("__kl", (p * (log(p) - log(q))).cast("decimal(30,12)"))
+      .groupBy(col(domainCol))
+      .agg(max(col("__st")).cast("long").as("n_tokens"),
+        max(col("__v")).cast("long").as("vocab"),
+        (-sum(col("__ent")).cast("double")).as("entropy"),
+        (-sum(col("__ce")).cast("double")).as("cross_entropy"),
+        sum(col("__kl")).cast("double").as("kl_divergence"))
+  }
+
+  /** Hashing-trick term frequencies (Weinberger et al. 2009; the
+    * HashingTF vectorizer): sparse long-form vectors (id, bucket, tf)
+    * with `bucket = md5Hash60(term) mod numFeatures`. The point at
+    * corpus scale: NO vocabulary — a dictionary-based vectorizer needs
+    * a corpus-wide term index (a shuffle plus a broadcast that grows
+    * with the data); the hash needs one aggregate, features are
+    * fixed-width by construction, and an incremental batch vectorizes
+    * identically without ever seeing the corpus. Collisions fold rare
+    * terms together — the accepted trade, bounded by numFeatures. The
+    * md5-based hash replays in any engine (q53's discipline), so the
+    * whole vectorization is oracle-checkable.
+    */
+  def hashedTf(
+      df: DataFrame, textCol: String, idCol: String,
+      numFeatures: Int): DataFrame = {
+    require(numFeatures >= 1, s"numFeatures must be >= 1, got $numFeatures")
+    df.select(col(idCol),
+      explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol),
+        pmod(TextFunctions.md5Hash60(col("term")), lit(numFeatures.toLong))
+          .cast("long").as("bucket"))
+      .agg(count(lit(1)).as("tf"))
+  }
+
   private val EmailRe = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   private val UrlRe = "(?i)https?://[^\\s]+"
 

@@ -1461,6 +1461,104 @@ object LlmQueries {
       FROM a ORDER BY band, batch_id
     """.trim))
 
+  /** Temperature-scaled mixture design ([[Mixture.temperatureWeights]],
+    * T = 2): per-source token shares flattened to sampling weights with
+    * the implied upsampling factors. Counting is exact; the
+    * `pow`/division doubles round at 12 for cross-libm parity.
+    */
+  val q121TemperatureWeights = HarnessQuery(
+    "q121_temperature_weights",
+    (spark, dir) =>
+      Mixture.temperatureWeights(
+        Tables.documents(spark, dir), "source", "text", temperature = 2.0)
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("token_share"), 12).as("token_share"),
+          round(col("w_temp"), 12).as("w_temp"),
+          round(col("upsample"), 12).as("upsample"))
+        .orderBy(col("source")),
+    Some("""
+      WITH pd AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(len(regexp_split_to_array(trim(lower(text)), '\s+')))
+                 AS BIGINT) AS n_tokens
+        FROM documents GROUP BY 1),
+      tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS gt FROM pd),
+      sh AS (
+        SELECT source, n_docs, n_tokens, n_tokens / t.gt AS token_share,
+               pow(n_tokens / t.gt, 1.0 / 2.0) AS pw
+        FROM pd, tot t),
+      z AS (SELECT CAST(sum(CAST(pw AS DECIMAL(30,18))) AS DOUBLE) AS z FROM sh)
+      SELECT source, n_docs, n_tokens,
+             round(token_share, 12) AS token_share,
+             round(pw / z.z, 12) AS w_temp,
+             round((pw / z.z) / token_share, 12) AS upsample
+      FROM sh, z ORDER BY source
+    """.trim))
+
+  /** Per-source distribution diagnostics
+    * ([[TextAnalysis.sourceDivergence]]): unigram entropy,
+    * cross-entropy vs the corpus marginal, KL(source ‖ corpus). All
+    * three sums decimal-accumulate per term; ln parity rounds at 10.
+    */
+  val q122SourceDivergence = HarnessQuery(
+    "q122_source_divergence",
+    (spark, dir) =>
+      TextAnalysis.sourceDivergence(
+        Tables.documents(spark, dir), "text", "source")
+        .select(col("source"), col("n_tokens"), col("vocab"),
+          round(col("entropy"), 10).as("entropy"),
+          round(col("cross_entropy"), 10).as("cross_entropy"),
+          round(col("kl_divergence"), 10).as("kl_divergence"))
+        .orderBy(col("source")),
+    Some("""
+      WITH toks AS (
+        SELECT source,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        FROM documents),
+      st AS (SELECT source, term, count(*) AS tc FROM toks GROUP BY 1, 2),
+      srctot AS (SELECT source, CAST(sum(tc) AS BIGINT) AS stot,
+                        count(*) AS v FROM st GROUP BY 1),
+      gt AS (SELECT term, CAST(sum(tc) AS BIGINT) AS gc FROM st GROUP BY 1),
+      tot AS (SELECT CAST(sum(gc) AS DOUBLE) AS gtot FROM gt),
+      c AS (
+        SELECT st.source,
+               CAST(st.tc AS DOUBLE) / CAST(s.stot AS DOUBLE) AS p,
+               CAST(g.gc AS DOUBLE) / t.gtot AS q,
+               s.stot, s.v
+        FROM st JOIN gt g USING (term) JOIN srctot s USING (source), tot t)
+      SELECT source, CAST(max(stot) AS BIGINT) AS n_tokens,
+             CAST(max(v) AS BIGINT) AS vocab,
+             round(-CAST(sum(CAST(p * ln(p) AS DECIMAL(30,12))) AS DOUBLE), 10)
+               AS entropy,
+             round(-CAST(sum(CAST(p * ln(q) AS DECIMAL(30,12))) AS DOUBLE), 10)
+               AS cross_entropy,
+             round(CAST(sum(CAST(p * (ln(p) - ln(q)) AS DECIMAL(30,12))) AS DOUBLE), 10)
+               AS kl_divergence
+      FROM c GROUP BY source ORDER BY source
+    """.trim))
+
+  /** Hashing-trick vectorization ([[TextAnalysis.hashedTf]], 64
+    * features): sparse (doc, bucket, tf) rows for the first 20 docs —
+    * the md5-derived buckets replay exactly in SQL.
+    */
+  val q123HashedTf = HarnessQuery(
+    "q123_hashed_tf",
+    (spark, dir) =>
+      TextAnalysis.hashedTf(
+        Tables.documents(spark, dir).filter(col("doc_id") < 20),
+        "text", "doc_id", numFeatures = 64)
+        .orderBy(col("doc_id"), col("bucket")),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        FROM documents WHERE doc_id < 20)
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) % 64 AS bucket,
+             count(*) AS tf
+      FROM toks GROUP BY 1, 2 ORDER BY doc_id, bucket
+    """.trim))
+
   /** Substring-level dedup coverage
     * ([[TextDedup.substringDupCoverage]], k = 5): duplicated 5-gram
     * spans merged per document. The md5-based shingle hashes and the
@@ -2287,5 +2385,6 @@ object LlmQueries {
     q96DecontaminateBloom, q99QualityCut, q106HashSample, q109RankFeatures,
     q110SemanticDedup, q111ImportanceResample, q112IncrementalSemanticDedup,
     q113HardNegatives, q114ScrubDupSpans, q115NfcNormalize, q116PipelineV3,
-    q117PqTopK, q118IvfPqTopK, q119BigramPerplexity, q120BucketedBatches)
+    q117PqTopK, q118IvfPqTopK, q119BigramPerplexity, q120BucketedBatches,
+    q121TemperatureWeights, q122SourceDivergence, q123HashedTf)
 }

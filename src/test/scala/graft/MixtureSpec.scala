@@ -111,6 +111,31 @@ class MixtureSpec extends SparkSpec {
     assert(n0 === 0L || n0 === 2L) // all-or-nothing for the null group
   }
 
+  test("temperatureWeights: hand-computed flattening; T=1 is the natural mix") {
+    val df = Seq(
+      (1L, "A", "a b"),
+      (2L, "B", "c c c d d d")).toDF("doc_id", "source", "text")
+    val r = Mixture.temperatureWeights(df, "source", "text", temperature = 2.0)
+      .orderBy($"source").collect()
+    // token shares 2/8 and 6/8; T=2 takes square roots then normalizes
+    val pwA = math.sqrt(0.25); val pwB = math.sqrt(0.75); val z = pwA + pwB
+    assert(r(0).getAs[Long]("n_docs") === 1L &&
+      r(0).getAs[Long]("n_tokens") === 2L)
+    assert(math.abs(r(0).getAs[Double]("token_share") - 0.25) < 1e-12)
+    assert(math.abs(r(0).getAs[Double]("w_temp") - pwA / z) < 1e-12)
+    assert(math.abs(r(1).getAs[Double]("w_temp") - pwB / z) < 1e-12)
+    // temperature flattens: the small source is upsampled, the big one down
+    assert(r(0).getAs[Double]("upsample") > 1.0)
+    assert(r(1).getAs[Double]("upsample") < 1.0)
+    val t1 = Mixture.temperatureWeights(df, "source", "text", temperature = 1.0)
+      .orderBy($"source").collect()
+    t1.foreach { row =>
+      assert(math.abs(row.getAs[Double]("w_temp")
+        - row.getAs[Double]("token_share")) < 1e-12)
+      assert(math.abs(row.getAs[Double]("upsample") - 1.0) < 1e-12)
+    }
+  }
+
   test("importanceResample: target-like docs score higher; deterministic; n caps") {
     // two sub-languages with disjoint vocabularies; target is the "alpha"
     // slice, so alpha docs must carry strictly higher log importance

@@ -134,6 +134,47 @@ class TextOpsSpec extends SparkSpec {
     assert(r(2).getAs[Double]("perplexity") < r(1).getAs[Double]("perplexity"))
   }
 
+  test("sourceDivergence: hand-computed entropy/cross-entropy/KL, identity holds") {
+    val df = Seq(
+      (1L, "A", "a a b"),
+      (2L, "B", "b")).toDF("doc_id", "source", "text")
+    // corpus: a:2 b:2 (q = 0.5 each); A: p_a=2/3 p_b=1/3; B: p_b=1
+    val r = TextAnalysis.sourceDivergence(df, "text", "source")
+      .orderBy($"source").collect()
+    val entA = -(2.0 / 3 * math.log(2.0 / 3) + 1.0 / 3 * math.log(1.0 / 3))
+    val ceA = math.log(2.0)
+    assert(r(0).getAs[Long]("n_tokens") === 3L && r(0).getAs[Long]("vocab") === 2L)
+    assert(math.abs(r(0).getAs[Double]("entropy") - entA) < 1e-9)
+    assert(math.abs(r(0).getAs[Double]("cross_entropy") - ceA) < 1e-9)
+    assert(math.abs(r(0).getAs[Double]("kl_divergence") - (ceA - entA)) < 1e-9)
+    // a one-term source: zero entropy, KL = cross-entropy = ln 2
+    assert(math.abs(r(1).getAs[Double]("entropy")) < 1e-12)
+    assert(math.abs(r(1).getAs[Double]("kl_divergence") - math.log(2.0)) < 1e-9)
+    // KL >= 0 on both (Gibbs), identity ce = ent + kl within rounding
+    r.foreach { row =>
+      assert(row.getAs[Double]("kl_divergence") >= -1e-12)
+      assert(math.abs(row.getAs[Double]("cross_entropy")
+        - row.getAs[Double]("entropy") - row.getAs[Double]("kl_divergence")) < 1e-9)
+    }
+  }
+
+  test("hashedTf: buckets bounded, counts preserved, same term same bucket") {
+    val df = Seq(
+      (1L, "x y x"),
+      (2L, "x z")).toDF("doc_id", "text")
+    val r = TextAnalysis.hashedTf(df, "text", "doc_id", numFeatures = 16)
+    val rows = r.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(rows.forall { case (_, b, _) => b >= 0 && b < 16 })
+    // tf mass preserved per doc
+    val mass = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(mass === Map(1L -> 3L, 2L -> 2L))
+    // "x" lands in ONE bucket in both docs, with tf 2 and 1
+    val xBuckets = rows.filter(_._3 == 2L).map(_._2).toSet
+    assert(xBuckets.size === 1)
+    assert(rows.filter(t => t._1 == 2L && t._2 == xBuckets.head)
+      .map(_._3).toSeq === Seq(1L))
+  }
+
   test("corpusReport rolls up counts, tokens, quality, languages per source") {
     val df = Seq(
       (1L, "the cat and the dog went to the park", "web"),
