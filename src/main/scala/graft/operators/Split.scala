@@ -129,6 +129,29 @@ object Split {
       .drop("__salt", "__off", "__n", "__rn")
   }
 
+  /** Group-aware fold assignment (sklearn `GroupKFold`'s leakage
+    * contract): every row of a GROUP lands in the same fold, so no
+    * entity (a user's events, a domain's documents) straddles
+    * train/validation — the split that prevents within-entity leakage
+    * from inflating offline metrics. Fold is a pure function of the
+    * group value and seed (`md5Hash60("<group>:<seed>") mod k`): no
+    * rank, no shuffle — ONE narrow map, the cheapest possible split at
+    * corpus scale, and an incremental batch folds identically without
+    * seeing the corpus. Trade vs sklearn: hash-random fold SIZES
+    * (sklearn balances greedily, which needs a global group-size sort
+    * and is not recomputation-stable); at corpus group counts the
+    * imbalance is negligible. Null groups hash through a sentinel into
+    * one deterministic fold rather than being dropped.
+    */
+  def groupKFold(
+      df: DataFrame, groupCol: String, k: Int, seed: Long): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val g = coalesce(col(groupCol).cast("string"), lit(" graft_null"))
+    df.withColumn("fold",
+      pmod(graft.functions.TextFunctions.md5Hash60(
+        concat(g, lit(":" + seed))), lit(k.toLong)))
+  }
+
   /** Split-size audit: per-class train/test row counts. The counts (not
     * the membership) are fully determined by n and testFrac — oracle-able.
     */

@@ -238,7 +238,32 @@ object MlQueries {
       ORDER BY 1, 2
     """.trim))
 
+  /** Group-aware k-fold ([[Split.groupKFold]]): per-fold row and user
+    * counts over events, folded by user so no user straddles folds.
+    * Membership is the md5 hash mod k — fully replayable, so unlike the
+    * random-split rows this oracle pins MEMBERSHIP, not just sizes.
+    */
+  val q124GroupKFold = HarnessQuery(
+    "q124_group_kfold",
+    (spark, dir) =>
+      Split.groupKFold(Tables.events(spark, dir), "user_id", k = 5, seed = 42L)
+        .groupBy(col("fold"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("fold")),
+    Some("""
+      WITH f AS (
+        SELECT user_id,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':42'), 1, 15))
+                 AS BIGINT) % 5 AS fold
+        FROM events)
+      SELECT fold, count(*) AS n_rows,
+             count(DISTINCT user_id) AS n_users
+      FROM f GROUP BY 1 ORDER BY 1
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q40SplitSummary, q41UndersampleCounts, q42SmoteCounts,
-    q43FeaturePipeline, q44FeatureNames, q85Ep1Pipeline, q105KFold)
+    q43FeaturePipeline, q44FeatureNames, q85Ep1Pipeline, q105KFold,
+    q124GroupKFold)
 }

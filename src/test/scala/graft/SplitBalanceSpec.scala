@@ -138,6 +138,27 @@ class SplitBalanceSpec extends SparkSpec {
   // a caller-supplied unique key at the type level — a mid fallback
   // either pins persisted state or mis-identifies rows under recompute
 
+  test("groupKFold: whole groups share a fold, folds bounded, nulls kept") {
+    val df = (1 to 200).map(i => (i.toLong, (i % 17).toLong))
+      .toDF("id", "grp")
+      .union(Seq((900L, Option.empty[Long]), (901L, Option.empty[Long]))
+        .toDF("id", "grp"))
+    val r = graft.operators.Split.groupKFold(df, "grp", k = 4, seed = 7L)
+    assert(r.count() === 202) // null groups are kept, not dropped
+    assert(r.filter($"fold" < 0 || $"fold" >= 4).isEmpty)
+    // leakage contract: one fold per group (null group included)
+    val perGroup = r.groupBy($"grp").agg(countDistinct($"fold").as("nf"))
+    assert(perGroup.filter($"nf" =!= 1).isEmpty)
+    // deterministic under the seed; different seed moves some group
+    val a = r.select("id", "fold").collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val b = graft.operators.Split.groupKFold(df, "grp", k = 4, seed = 7L)
+      .select("id", "fold").collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(a === b)
+    val c = graft.operators.Split.groupKFold(df, "grp", k = 4, seed = 8L)
+      .select("id", "fold").collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(a !== c)
+  }
+
   test("smote: exact balance; synthetics inside minority bounding box") {
     val feat = df.withColumn("f", array($"x", $"x" * 2.0))
       .select($"id", $"label", $"f")
