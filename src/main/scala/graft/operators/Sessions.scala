@@ -34,4 +34,39 @@ object Sessions {
         unix_micros(col("session_window.start")).as("session_start_us"),
         unix_micros(col("session_window.end")).as("session_end_us"),
         col("n_events"), col("sum_value"))
+
+  /** Behavioral-sequence assembly: each key's events become ONE
+    * time-ordered token sequence (the log-to-training-document step of
+    * a behavioral/recommendation pipeline — "user 7 did: view view cart
+    * checkout"). Output per key: `n_events` (total), `seq_len`
+    * (min(n_events, maxLen)), `sequence` (first `maxLen` event tokens
+    * in (ts, tie) order, space-joined). The tie column must complete
+    * the order (an event id) — without it, equal timestamps would make
+    * the sequence nondeterministic across runs, which silently breaks
+    * dedup/caching on the training side.
+    *
+    * Scale shape: one hash aggregate keyed by the entity;
+    * `sort_array(collect_list(...))` holds ONE ENTITY's events, bounded
+    * by per-entity activity (the same bound sessionization lives with),
+    * never a partition's. The truncation happens after the sort inside
+    * the row — array ops, no window, no second shuffle.
+    */
+  def eventSequences(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieCol: String,
+      eventCol: String,
+      maxLen: Int): DataFrame = {
+    require(maxLen >= 1, s"maxLen must be >= 1, got $maxLen")
+    df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        sort_array(collect_list(struct(
+          col(tsCol).as("__ts"), col(tieCol).as("__tie"),
+          col(eventCol).cast("string").as("__ev")))).as("__seq"))
+      .select(col(keyCol), col("n_events"),
+        least(col("n_events"), lit(maxLen.toLong)).as("seq_len"),
+        array_join(transform(slice(col("__seq"), 1, maxLen),
+          e => e.getField("__ev")), " ").as("sequence"))
+  }
 }

@@ -330,6 +330,27 @@ object TextAnalysis {
       .agg(count(lit(1)).as("tf"))
   }
 
+  /** Lexicon-driven topic tagging: count each document's hits against a
+    * (topic, term) lexicon — the wordlist classifier of corpus curation
+    * (domain routing, FlashText-style tagging, blocklist scoring)
+    * where a trained classifier is overkill or not replayable. Output is
+    * long-form (id, topic, n_hits); docs with no lexicon hit emit no
+    * rows (tag absence, not zero rows per topic — callers outer-join if
+    * they need the dense grid). A term listed under two topics counts
+    * toward both. One tokenize + ONE broadcast join + a hash aggregate:
+    * the corpus never shuffles, because the lexicon is small by
+    * construction — this is the keyword path's whole advantage at
+    * 100 TB.
+    */
+  def keywordTag(
+      df: DataFrame, textCol: String, idCol: String,
+      lexicon: DataFrame): DataFrame =
+    df.select(col(idCol),
+      explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .join(broadcast(lexicon), Seq("term"))
+      .groupBy(col(idCol), col("topic"))
+      .agg(count(lit(1)).as("n_hits"))
+
   private val EmailRe = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   private val UrlRe = "(?i)https?://[^\\s]+"
 

@@ -37,6 +37,46 @@ object TextDedup {
       .drop("__fp", "__rn")
   }
 
+  /** Cross-source exact-duplicate matrix: `n_dup(a, b)` = documents of
+    * source `b` whose fingerprint ALSO occurs in source `a` (on another
+    * document — the diagonal is within-source duplication, docs with a
+    * same-source twin). The inter-source overlap audit a corpus curator
+    * reads before mixing ("how much of CC is already in Wiki"), and the
+    * asymmetry is the point: a tiny source fully contained in a huge one
+    * has n_dup(big, small) = |small| but a near-zero reverse share.
+    * Zero cells are emitted (a full sources × sources matrix via a
+    * cross join of the distinct source lists — domains are few by
+    * construction).
+    *
+    * Scale shape: fingerprints are md5 of normalized text; per-(fp,
+    * source) counts are one hash aggregate (corpus shuffles a 32-char
+    * hash + source, never text); the doc-level membership join is
+    * fp-keyed. Replays exactly in SQL.
+    */
+  def crossSourceDupMatrix(
+      df: DataFrame, textCol: String, idCol: String,
+      domainCol: String): DataFrame = {
+    val fps = df.select(col(idCol), col(domainCol),
+      TextFunctions.fingerprint(col(textCol)).as("__fp"))
+    val fpCounts = fps.groupBy(col("__fp"), col(domainCol))
+      .agg(count(lit(1)).as("__c"))
+    val hits = fps
+      .join(fpCounts
+          .select(col("__fp"), col(domainCol).as("source_a"), col("__c")),
+        Seq("__fp"))
+      .filter(col("source_a") =!= col(domainCol) || col("__c") >= 2)
+      .groupBy(col("source_a"), col(domainCol).as("source_b"))
+      .agg(count(lit(1)).as("n_dup"))
+    // tiny (one row per domain) but read twice by the cross join — cut
+    // so the corpus-distinct scan runs once
+    val sources = graft.Materialize.cut(df.select(col(domainCol)).distinct())
+    sources.select(col(domainCol).as("source_a"))
+      .crossJoin(sources.select(col(domainCol).as("source_b")))
+      .join(hits, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+  }
+
   /** Shingle-set table: (id, shingles) with optional boilerplate-shingle
     * removal (shingles appearing in more than `maxDocFrac` of docs).
     */

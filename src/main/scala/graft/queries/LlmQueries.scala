@@ -1,9 +1,10 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Mixture, Multimodal, Selection, Similarity, TextAnalysis, TextDedup}
+import graft.operators.{Mixture, Multimodal, Selection, Sessions, Similarity, TextAnalysis, TextDedup}
 import graft.sources.Tables
 
 /** M7: LLM-training-data operators over `documents` / `embeddings` —
@@ -1559,6 +1560,176 @@ object LlmQueries {
       FROM toks GROUP BY 1, 2 ORDER BY doc_id, bucket
     """.trim))
 
+  /** Behavioral-sequence assembly ([[Sessions.eventSequences]],
+    * maxLen 50): each user's events become one time-ordered token
+    * sequence. The (ts, event_id) order is total, so the concatenated
+    * string replays exactly via ordered string_agg.
+    */
+  val q125EventSequences = HarnessQuery(
+    "q125_event_sequences",
+    (spark, dir) =>
+      Sessions.eventSequences(
+        Tables.events(spark, dir), "user_id", "ts", "event_id",
+        "event_type", maxLen = 50)
+        .orderBy(col("user_id")),
+    Some("""
+      WITH r AS (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS n_events
+        FROM events)
+      SELECT user_id, CAST(max(n_events) AS BIGINT) AS n_events,
+             CAST(least(max(n_events), 50) AS BIGINT) AS seq_len,
+             string_agg(CASE WHEN rn <= 50 THEN event_type END, ' '
+               ORDER BY rn) AS sequence
+      FROM r GROUP BY user_id ORDER BY user_id
+    """.trim))
+
+  /** Cross-source duplication matrix
+    * ([[TextDedup.crossSourceDupMatrix]]): full sources × sources grid
+    * of exact-fingerprint overlap, diagonal = within-source dups.
+    */
+  val q126CrossSourceDups = HarnessQuery(
+    "q126_cross_source_dups",
+    (spark, dir) =>
+      TextDedup.crossSourceDupMatrix(
+        Tables.documents(spark, dir), "text", "doc_id", "source")
+        .orderBy(col("source_a"), col("source_b")),
+    Some("""
+      WITH fps AS (
+        SELECT doc_id, source,
+               md5(array_to_string(
+                 regexp_split_to_array(trim(lower(text)), '\s+'), ' ')) AS fp
+        FROM documents),
+      fc AS (SELECT fp, source, count(*) AS c FROM fps GROUP BY 1, 2),
+      hits AS (
+        SELECT a.source AS source_a, f.source AS source_b,
+               count(*) AS n_dup
+        FROM fps f JOIN fc a ON a.fp = f.fp
+        WHERE a.source <> f.source OR a.c >= 2
+        GROUP BY 1, 2),
+      s AS (SELECT DISTINCT source FROM documents)
+      SELECT sa.source AS source_a, sb.source AS source_b,
+             COALESCE(h.n_dup, 0) AS n_dup
+      FROM s sa CROSS JOIN s sb
+      LEFT JOIN hits h ON h.source_a = sa.source AND h.source_b = sb.source
+      ORDER BY 1, 2
+    """.trim))
+
+  /** Recency-decayed sampling ([[Mixture.sampleByDecay]], half-life 7
+    * days against 2024-02-01): full membership oracle — the md5
+    * threshold and the pow-decay replay exactly.
+    */
+  val q127DecaySample = HarnessQuery(
+    "q127_decay_sample",
+    (spark, dir) =>
+      Mixture.sampleByDecay(
+        Tables.events(spark, dir), "event_id", "ts",
+        refEpochUs = 1706745600000000L, halfLifeDays = 7.0, seed = 42L)
+        .select(col("event_id"), col("user_id"))
+        .orderBy(col("event_id")),
+    Some("""
+      SELECT event_id, user_id FROM events
+      WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':42'), 1, 15))
+              AS BIGINT)
+            < 1152921504606846976.0
+              * pow(0.5, greatest(
+                  (1706745600000000 - epoch_us(ts)) / 86400000000.0, 0.0) / 7.0)
+      ORDER BY event_id
+    """.trim))
+
+  /** Lexicon topic tagging ([[TextAnalysis.keywordTag]]) plus dominant
+    * topic per doc: a literal 3-topic lexicon over the synthetic vocab,
+    * ranked by (hits desc, topic asc). The whole path is counting — the
+    * oracle replays it with a VALUES lexicon.
+    */
+  val q128KeywordTag = HarnessQuery(
+    "q128_keyword_tag",
+    (spark, dir) => {
+      import spark.implicits._
+      val lexicon = Seq(
+        ("join", "engine"), ("merge", "engine"), ("scan", "engine"),
+        ("sort", "engine"), ("hash", "engine"),
+        ("customer", "commerce"), ("value", "commerce"),
+        ("order", "commerce"), ("part", "commerce"),
+        ("stream", "runtime"), ("batch", "runtime"), ("spark", "runtime"))
+        .toDF("term", "topic")
+      val tags = TextAnalysis.keywordTag(
+        Tables.documents(spark, dir), "text", "doc_id", lexicon)
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("n_hits").desc, col("topic"))
+      tags.withColumn("rank", row_number().over(w))
+        .filter(col("rank") === 1)
+        .select(col("doc_id"), col("topic").as("top_topic"), col("n_hits"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH lex(term, topic) AS (VALUES
+        ('join', 'engine'), ('merge', 'engine'), ('scan', 'engine'),
+        ('sort', 'engine'), ('hash', 'engine'),
+        ('customer', 'commerce'), ('value', 'commerce'),
+        ('order', 'commerce'), ('part', 'commerce'),
+        ('stream', 'runtime'), ('batch', 'runtime'), ('spark', 'runtime')),
+      toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        FROM documents),
+      tags AS (
+        SELECT doc_id, topic, count(*) AS n_hits
+        FROM toks JOIN lex USING (term) GROUP BY 1, 2),
+      ranked AS (
+        SELECT doc_id, topic, n_hits,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY n_hits DESC, topic) AS r
+        FROM tags)
+      SELECT doc_id, topic AS top_topic, n_hits
+      FROM ranked WHERE r = 1 ORDER BY doc_id
+    """.trim))
+
+  /** Split-leakage audit — pure composition: [[Split.groupKFold]] folds
+    * documents by SOURCE (whole sources share a fold), then
+    * [[TextDedup.crossSourceDupMatrix]] runs with the fold as the
+    * domain. Off-diagonal cells are exact-duplicate documents
+    * STRADDLING folds — the leakage grouping by source cannot prevent
+    * when duplicates cross sources — which is precisely what a curator
+    * must check before trusting a held-out fold.
+    */
+  val q129FoldLeakage = HarnessQuery(
+    "q129_fold_leakage",
+    (spark, dir) => {
+      val folded = graft.operators.Split.groupKFold(
+        Tables.documents(spark, dir), "source", k = 3, seed = 42L)
+      TextDedup.crossSourceDupMatrix(folded, "text", "doc_id", "fold")
+        .select(col("source_a").as("fold_a"), col("source_b").as("fold_b"),
+          col("n_dup"))
+        .orderBy(col("fold_a"), col("fold_b"))
+    },
+    Some("""
+      WITH folded AS (
+        SELECT doc_id, text,
+               CAST(('0x' || substr(md5(source || ':42'), 1, 15)) AS BIGINT) % 3
+                 AS fold
+        FROM documents),
+      fps AS (
+        SELECT doc_id, fold,
+               md5(array_to_string(
+                 regexp_split_to_array(trim(lower(text)), '\s+'), ' ')) AS fp
+        FROM folded),
+      fc AS (SELECT fp, fold, count(*) AS c FROM fps GROUP BY 1, 2),
+      hits AS (
+        SELECT a.fold AS fold_a, f.fold AS fold_b, count(*) AS n_dup
+        FROM fps f JOIN fc a ON a.fp = f.fp
+        WHERE a.fold <> f.fold OR a.c >= 2
+        GROUP BY 1, 2),
+      s AS (SELECT DISTINCT fold FROM folded)
+      SELECT sa.fold AS fold_a, sb.fold AS fold_b,
+             COALESCE(h.n_dup, 0) AS n_dup
+      FROM s sa CROSS JOIN s sb
+      LEFT JOIN hits h ON h.fold_a = sa.fold AND h.fold_b = sb.fold
+      ORDER BY 1, 2
+    """.trim))
+
   /** Substring-level dedup coverage
     * ([[TextDedup.substringDupCoverage]], k = 5): duplicated 5-gram
     * spans merged per document. The md5-based shingle hashes and the
@@ -2386,5 +2557,7 @@ object LlmQueries {
     q110SemanticDedup, q111ImportanceResample, q112IncrementalSemanticDedup,
     q113HardNegatives, q114ScrubDupSpans, q115NfcNormalize, q116PipelineV3,
     q117PqTopK, q118IvfPqTopK, q119BigramPerplexity, q120BucketedBatches,
-    q121TemperatureWeights, q122SourceDivergence, q123HashedTf)
+    q121TemperatureWeights, q122SourceDivergence, q123HashedTf,
+    q125EventSequences, q126CrossSourceDups, q127DecaySample,
+    q128KeywordTag, q129FoldLeakage)
 }

@@ -111,6 +111,29 @@ class MixtureSpec extends SparkSpec {
     assert(n0 === 0L || n0 === 2L) // all-or-nothing for the null group
   }
 
+  test("sampleByDecay: fresh rows always kept, thresholds nested, deterministic") {
+    val ref = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+    val refUs = ref.getTime * 1000L
+    val rows = (1 to 500).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-${1 + i % 30}%02d 12:00:00"))
+    } ++ Seq((900L, ref), (901L, java.sql.Timestamp.valueOf("2024-02-05 00:00:00")))
+    val df = rows.toDF("event_id", "ts")
+    val wide = Mixture.sampleByDecay(df, "event_id", "ts", refUs, 30.0, 42L)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val narrow = Mixture.sampleByDecay(df, "event_id", "ts", refUs, 3.0, 42L)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    // age <= 0 keeps with probability 1 (threshold = full hash range)
+    assert(wide.contains(900L) && wide.contains(901L))
+    assert(narrow.contains(900L) && narrow.contains(901L))
+    // shorter half-life only evicts, never admits: nested membership
+    assert(narrow.subsetOf(wide))
+    assert(narrow.size < wide.size)
+    // pure function of (id, seed, ts): identical on recompute
+    val again = Mixture.sampleByDecay(df, "event_id", "ts", refUs, 30.0, 42L)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(again === wide)
+  }
+
   test("temperatureWeights: hand-computed flattening; T=1 is the natural mix") {
     val df = Seq(
       (1L, "A", "a b"),

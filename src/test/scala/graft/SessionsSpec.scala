@@ -48,6 +48,24 @@ class SessionsSpec extends SparkSpec {
     assert(got.count() === 2)
   }
 
+  test("eventSequences: time order with tie-break, truncation, full counts") {
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:02"), 10L, "c"),
+      (1L, ts("2024-01-01 00:00:01"), 12L, "b"), // same ts as id 11: tie
+      (1L, ts("2024-01-01 00:00:01"), 11L, "a"), // -> id order decides
+      (1L, ts("2024-01-01 00:00:03"), 13L, "d"),
+      (2L, ts("2024-01-01 00:00:09"), 20L, "x"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Sessions.eventSequences(df, "user_id", "ts", "event_id",
+      "event_type", maxLen = 3)
+      .orderBy($"user_id").collect()
+    assert(got(0).getAs[Long]("n_events") === 4L)
+    assert(got(0).getAs[Long]("seq_len") === 3L)
+    assert(got(0).getAs[String]("sequence") === "a b c") // d truncated
+    assert(got(1).getAs[Long]("n_events") === 1L &&
+      got(1).getAs[String]("sequence") === "x")
+  }
+
   test("bm25: rare term outweighs common term; saturation in tc") {
     val df = Seq(
       (1L, "apple banana banana"),

@@ -134,6 +134,34 @@ class TextOpsSpec extends SparkSpec {
     assert(r(2).getAs[Double]("perplexity") < r(1).getAs[Double]("perplexity"))
   }
 
+  test("keywordTag: counts per topic, multi-topic terms count in both, no-hit docs absent") {
+    val lexicon = Seq(("cat", "pets"), ("dog", "pets"), ("cat", "memes"))
+      .toDF("term", "topic")
+    val df = Seq(
+      (1L, "cat dog cat bird"),
+      (2L, "fish only")).toDF("doc_id", "text")
+    val got = TextAnalysis.keywordTag(df, "text", "doc_id", lexicon)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    // doc 1: pets = 2 cats + 1 dog; memes = 2 cats; doc 2: no rows
+    assert(got === Map((1L, "pets") -> 3L, (1L, "memes") -> 2L))
+  }
+
+  test("crossSourceDupMatrix: asymmetric overlap, diagonal = within-source dups") {
+    val df = Seq(
+      (1L, "t one", "A"), (2L, "t one", "A"), // within-A dup pair
+      (3L, "t one", "B"), (4L, "t two", "B")) // B shares t-one with A
+      .toDF("doc_id", "text", "source")
+    val got = graft.operators.TextDedup
+      .crossSourceDupMatrix(df, "text", "doc_id", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got === Map(
+      ("A", "A") -> 2L, // both copies have a same-source twin
+      ("A", "B") -> 1L, // one B doc also occurs in A
+      ("B", "A") -> 2L, // both A copies occur in B
+      ("B", "B") -> 0L)) // no within-B dup
+  }
+
   test("sourceDivergence: hand-computed entropy/cross-entropy/KL, identity holds") {
     val df = Seq(
       (1L, "A", "a a b"),
