@@ -413,6 +413,38 @@ object Similarity {
         col("neighbor_id"), col("pq_dot"))
   }
 
+  /** Label-noise audit by neighborhood disagreement (the signal behind
+    * confident-learning / kNN label QA): for each query row, the share
+    * of its k nearest neighbors (exact cosine) whose label differs —
+    * rows whose neighborhoods vote against them are the mislabel
+    * candidates a training-data QA pass reviews first. Output per
+    * query: (query_id, label, n_neighbors, n_diff, disagreement).
+    * Label comparison is null-safe (a null label disagrees with a
+    * non-null one, agrees with another null). Same bounded-query
+    * contract as [[cosineTopK]]: the query set broadcasts, the corpus
+    * never shuffles vectors; swap in an ANN top-k upstream for
+    * corpus × corpus audits.
+    */
+  def labelDisagreement(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int): DataFrame =
+    cosineTopK(corpus, queries, idCol, vecCol, k)
+      .join(corpus.select(col(idCol).as("neighbor_id"),
+        col(labelCol).as("__nl")), Seq("neighbor_id"))
+      .join(broadcast(queries.select(col(idCol).as("query_id"),
+        col(labelCol).as("__ql"))), Seq("query_id"))
+      .groupBy(col("query_id"))
+      .agg(max(col("__ql")).as("label"),
+        count(lit(1)).as("n_neighbors"),
+        sum(when(not(col("__nl") <=> col("__ql")), 1L).otherwise(0L))
+          .as("n_diff"))
+      .withColumn("disagreement",
+        col("n_diff").cast("double") / col("n_neighbors"))
+
   /** Deterministic pseudo-random hyperplanes, computed ONCE on the
     * driver (md5-derived uniforms in [-0.5, 0.5), seeded) and shipped as
     * literal arrays — the per-row cost is just the dot product, no

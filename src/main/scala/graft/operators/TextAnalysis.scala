@@ -351,6 +351,53 @@ object TextAnalysis {
       .groupBy(col(idCol), col("topic"))
       .agg(count(lit(1)).as("n_hits"))
 
+  /** Zipf-law fit over the corpus term distribution: OLS of
+    * ln(frequency) on ln(rank) for the top `topN` terms — the one-row
+    * corpus health check (natural text sits near slope −1; synthetic or
+    * template-heavy corpora bend the curve, and a drifting slope across
+    * snapshots flags a pipeline regression). Returns (n_terms, slope,
+    * intercept, r2).
+    *
+    * Scale honesty: ranking the FULL vocabulary needs a global sort, so
+    * the fit is over the top-N head — `orderBy(...).limit(topN)` is a
+    * distributed top-k (per-partition heads, one tiny final merge), and
+    * the single-partition rank window after it sees only topN rows,
+    * bounded by the parameter, never by the corpus. The head is where
+    * Zipf structure lives; the long tail's fit contribution is noise.
+    * Every OLS sum decimal-accumulates ln values rounded to 12 places,
+    * so the fit replays bit-for-bit in SQL.
+    */
+  def zipfFit(df: DataFrame, textCol: String, topN: Int = 1000): DataFrame = {
+    require(topN >= 2, s"topN must be >= 2 to fit a line, got $topN")
+    val top = df
+      .select(explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("__f"))
+      .orderBy(col("__f").desc, col("term")).limit(topN)
+    val w = Window.orderBy(col("__f").desc, col("term"))
+    val xy = top.withColumn("__r", row_number().over(w))
+      .select(log(col("__r").cast("double")).as("__x"),
+        log(col("__f").cast("double")).as("__y"))
+    def dsum(c: Column) = sum(c.cast("decimal(30,12)")).cast("double")
+    xy.agg(count(lit(1)).cast("double").as("__n"),
+      dsum(col("__x")).as("__sx"), dsum(col("__y")).as("__sy"),
+      dsum(col("__x") * col("__x")).as("__sxx"),
+      dsum(col("__x") * col("__y")).as("__sxy"),
+      dsum(col("__y") * col("__y")).as("__syy"))
+      .select(col("__n").cast("long").as("n_terms"),
+        ((col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+          / (col("__n") * col("__sxx") - col("__sx") * col("__sx")))
+          .as("slope"),
+        ((col("__sy") - col("__sx")
+          * ((col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+            / (col("__n") * col("__sxx") - col("__sx") * col("__sx"))))
+          / col("__n")).as("intercept"),
+        (((col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+          * (col("__n") * col("__sxy") - col("__sx") * col("__sy")))
+          / ((col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+            * (col("__n") * col("__syy") - col("__sy") * col("__sy"))))
+          .as("r2"))
+  }
+
   private val EmailRe = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   private val UrlRe = "(?i)https?://[^\\s]+"
 

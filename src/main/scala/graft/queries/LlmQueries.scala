@@ -1730,6 +1730,92 @@ object LlmQueries {
       ORDER BY 1, 2
     """.trim))
 
+  /** Zipf fit ([[TextAnalysis.zipfFit]], top 200 terms): one-row corpus
+    * health check — OLS of ln(freq) on ln(rank). Every sum
+    * decimal-accumulates 12-place-rounded ln values, so slope,
+    * intercept, and r² replay exactly; outputs round at 10.
+    */
+  val q130ZipfFit = HarnessQuery(
+    "q130_zipf_fit",
+    (spark, dir) =>
+      TextAnalysis.zipfFit(Tables.documents(spark, dir), "text", topN = 200)
+        .select(col("n_terms"),
+          round(col("slope"), 10).as("slope"),
+          round(col("intercept"), 10).as("intercept"),
+          round(col("r2"), 10).as("r2")),
+    Some("""
+      WITH tf AS (
+        SELECT term, count(*) AS f FROM (
+          SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+          FROM documents) GROUP BY 1),
+      top AS (
+        SELECT f, row_number() OVER (ORDER BY f DESC, term) AS r
+        FROM tf ORDER BY f DESC, term LIMIT 200),
+      xy AS (
+        SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(f AS DOUBLE)) AS y FROM top),
+      s AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(x AS DECIMAL(30,12))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(y AS DECIMAL(30,12))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(x * y AS DECIMAL(30,12))) AS DOUBLE) AS sxy,
+               CAST(sum(CAST(y * y AS DECIMAL(30,12))) AS DOUBLE) AS syy
+        FROM xy)
+      SELECT CAST(n AS BIGINT) AS n_terms,
+             round((n * sxy - sx * sy) / (n * sxx - sx * sx), 10) AS slope,
+             round((sy - sx * ((n * sxy - sx * sy) / (n * sxx - sx * sx))) / n, 10)
+               AS intercept,
+             round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+               / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 10) AS r2
+      FROM s
+    """.trim))
+
+  /** kNN label-disagreement audit ([[Similarity.labelDisagreement]],
+    * k = 5 over the first 20 vectors): neighborhoods vote on each
+    * query's label; the count replay rides on q58's exact-cosine
+    * oracle plus two label joins.
+    */
+  val q131LabelDisagreement = HarnessQuery(
+    "q131_label_disagreement",
+    (spark, dir) => {
+      val em = Tables.embeddings(spark, dir)
+      Similarity.labelDisagreement(
+        em, em.filter(col("vec_id") < 20), "vec_id", "embedding",
+        "label", k = 5)
+        .select(col("query_id"), col("label").cast("long").as("label"),
+          col("n_neighbors"), col("n_diff"),
+          round(col("disagreement"), 12).as("disagreement"))
+        .orderBy(col("query_id"))
+    },
+    Some("""
+      WITH n AS (
+        SELECT vec_id, embedding, label,
+               sqrt(CAST(sum(CAST(CAST(embedding[g.i] AS DOUBLE) * CAST(embedding[g.i] AS DOUBLE)
+                 AS DECIMAL(30,18))) AS DOUBLE)) AS nrm
+        FROM embeddings, generate_series(1, 64) g(i) GROUP BY 1, 2, 3),
+      pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(sum(CAST(CAST(q.embedding[g.i] AS DOUBLE) * CAST(c.embedding[g.i] AS DOUBLE)
+                 AS DECIMAL(30,18))) AS DOUBLE) / (any_value(q.nrm) * any_value(c.nrm)) AS cosine,
+               any_value(q.label) AS ql, any_value(c.label) AS nl
+        FROM n q, n c, generate_series(1, 64) g(i)
+        WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT query_id, ql, nl,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM pairs)
+      SELECT query_id, CAST(max(ql) AS BIGINT) AS label,
+             count(*) AS n_neighbors,
+             CAST(sum(CASE WHEN nl IS DISTINCT FROM ql THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_diff,
+             round(CAST(sum(CASE WHEN nl IS DISTINCT FROM ql THEN 1 ELSE 0 END)
+               AS DOUBLE) / count(*), 12) AS disagreement
+      FROM ranked WHERE rank <= 5
+      GROUP BY query_id ORDER BY query_id
+    """.trim))
+
   /** Substring-level dedup coverage
     * ([[TextDedup.substringDupCoverage]], k = 5): duplicated 5-gram
     * spans merged per document. The md5-based shingle hashes and the
@@ -2559,5 +2645,5 @@ object LlmQueries {
     q117PqTopK, q118IvfPqTopK, q119BigramPerplexity, q120BucketedBatches,
     q121TemperatureWeights, q122SourceDivergence, q123HashedTf,
     q125EventSequences, q126CrossSourceDups, q127DecaySample,
-    q128KeywordTag, q129FoldLeakage)
+    q128KeywordTag, q129FoldLeakage, q130ZipfFit, q131LabelDisagreement)
 }

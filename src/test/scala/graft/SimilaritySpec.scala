@@ -185,6 +185,26 @@ class SimilaritySpec extends SparkSpec {
       s"IVF-PQ returned neighbors outside the probed cells: ${got -- ivf}")
   }
 
+  test("labelDisagreement: neighborhood vote with null-safe label compare") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f), Some(0)),
+      (2L, Array(1.0f, 0.1f), Some(0)),
+      (3L, Array(0.0f, 1.0f), Some(1)),
+      (4L, Array(1.0f, 0.05f), Some(1)),
+      (5L, Array(0.9f, 0.1f), Option.empty[Int]))
+      .toDF("vec_id", "embedding", "label")
+    val q = corpus.filter($"vec_id" === 1L)
+    val r = Similarity.labelDisagreement(
+      corpus, q, "vec_id", "embedding", "label", k = 4).collect()(0)
+    // neighbors of v1: v2 (L0), v4 (L1), v5 (null), v3 (L1)
+    // vs query L0 -> 3 of 4 disagree (null counts as different)
+    assert(r.getAs[Long]("query_id") === 1L)
+    assert(r.getAs[Int]("label") === 0)
+    assert(r.getAs[Long]("n_neighbors") === 4L)
+    assert(r.getAs[Long]("n_diff") === 3L)
+    assert(math.abs(r.getAs[Double]("disagreement") - 0.75) < 1e-12)
+  }
+
   test("multimodal: real PNG decodes to true dimensions, bands, luma histogram") {
     // 8x4 RGB PNG generated in-memory: left half black, right half white
     val img = new java.awt.image.BufferedImage(

@@ -134,6 +134,29 @@ class TextOpsSpec extends SparkSpec {
     assert(r(2).getAs[Double]("perplexity") < r(1).getAs[Double]("perplexity"))
   }
 
+  test("zipfFit: OLS matches a hand-computed fit over exact counts") {
+    // freqs: a x8, b x4, c x2, d x1 -> ranks 1..4
+    val df = Seq((1L, ("a " * 8 + "b " * 4 + "c c d").trim)).toDF("doc_id", "text")
+    val r = TextAnalysis.zipfFit(df, "text", topN = 10).collect()(0)
+    val xs = Seq(1, 2, 3, 4).map(i => math.log(i.toDouble))
+    val ys = Seq(8, 4, 2, 1).map(f => math.log(f.toDouble))
+    val n = 4.0
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxx = xs.map(x => x * x).sum
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+    val syy = ys.map(y => y * y).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val icept = (sy - sx * slope) / n
+    val r2 = math.pow(n * sxy - sx * sy, 2) /
+      ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert(r.getAs[Long]("n_terms") === 4L)
+    assert(math.abs(r.getAs[Double]("slope") - slope) < 1e-6)
+    assert(math.abs(r.getAs[Double]("intercept") - icept) < 1e-6)
+    assert(math.abs(r.getAs[Double]("r2") - r2) < 1e-6)
+    // near-Zipf data: slope negative, r2 high
+    assert(r.getAs[Double]("slope") < 0 && r.getAs[Double]("r2") > 0.9)
+  }
+
   test("keywordTag: counts per topic, multi-topic terms count in both, no-hit docs absent") {
     val lexicon = Seq(("cat", "pets"), ("dog", "pets"), ("cat", "memes"))
       .toDF("term", "topic")
