@@ -722,6 +722,50 @@ object Similarity {
   /** Embedding near-dup: corpus pairs with cosine >= threshold, found
     * via sketch-band candidates, verified exactly.
     */
+  /** Corpus-wide k-NN graph via LSH banding — the ALL-ROWS variant of
+    * [[lshCosineTopK]], for when the "query set" is the corpus itself
+    * (graph-based curation: community detection over the similarity
+    * graph, graph-propagated quality labels, diversity-aware selection).
+    * [[lshCosineTopK]] broadcasts its query side, which is exactly
+    * wrong here; this path scores candidates with the near-dup family's
+    * non-broadcast exact scorer, so BOTH sides shuffle ids and scalars
+    * only. Edges are directed (a → its top-k); a row whose sketch
+    * collides with nothing emits no edges (it has no measured
+    * neighbors) rather than forcing a full scan — the recall/cost knob
+    * is (numBits, bands), spec-pinned like every ANN path here.
+    */
+  def lshKnnGraph(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      numBits: Int = 16,
+      bands: Int = 4,
+      dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    require(numBits % bands == 0)
+    val r = numBits / bands
+    val sk = signSketchTable(corpus, idCol, idCol, vecCol, numBits, dim, seed)
+    val bandKeys = (0 until bands).map(bi =>
+      concat_ws("_", lit(bi),
+        shiftright(col("__sk"), bi * r).bitwiseAND(lit((1L << r) - 1))))
+    val bandedT = sk.select(col(idCol), posexplode(array(bandKeys: _*)))
+      .withColumnRenamed("col", "band_key").drop("pos")
+    val cand = bandedT.select(col(idCol).as("id_a"), col("band_key"))
+      .join(bandedT.select(col(idCol).as("id_b"), col("band_key")),
+        Seq("band_key"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val w = Window.partitionBy(col("id_a"))
+      .orderBy(col("cosine").desc, col("id_b"))
+    exactPairCosine(cand, corpus, idCol, vecCol)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id_a"), col("rank").cast("long").as("rank"),
+        col("id_b"), col("cosine"))
+  }
+
   def cosineNearDupPairs(
       corpus: DataFrame,
       idCol: String,

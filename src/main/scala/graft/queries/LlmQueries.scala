@@ -1816,6 +1816,65 @@ object LlmQueries {
       GROUP BY query_id ORDER BY query_id
     """.trim))
 
+  /** Corpus-wide LSH k-NN graph ([[Similarity.lshKnnGraph]], k = 3,
+    * 8-bit/4-band sketches): every vector's directed top-3 edges among
+    * its sketch collisions — q59's full LSH replay with the query
+    * filter dropped.
+    */
+  val q132KnnGraph = HarnessQuery(
+    "q132_knn_graph",
+    (spark, dir) =>
+      Similarity.lshKnnGraph(
+        Tables.embeddings(spark, dir), "vec_id", "embedding",
+        k = 3, numBits = 8, bands = 4)
+        .withColumn("cosine", round(col("cosine"), 12))
+        .orderBy(col("id_a"), col("rank")),
+    Some("""
+      WITH hp AS (
+        SELECT h.h AS h, d.d AS d,
+               (CAST(('0x' || substr(md5('42_' || h.h || '_' || d.d), 1, 15)) AS BIGINT)
+                 % 1000000) / 1000000.0 - 0.5 AS v
+        FROM generate_series(0, 7) h(h), generate_series(0, 63) d(d)),
+      dots AS (
+        SELECT e.vec_id, hp.h,
+               CAST(sum(CAST(CAST(e.embedding[hp.d + 1] AS DOUBLE) * hp.v
+                 AS DECIMAL(30,18))) AS DOUBLE) AS dv
+        FROM embeddings e, hp GROUP BY 1, 2),
+      sk AS (
+        SELECT vec_id,
+               CAST(sum(CASE WHEN dv > 0 THEN (CAST(1 AS BIGINT) << (7 - h))
+                 ELSE 0 END) AS BIGINT) AS sk
+        FROM dots GROUP BY 1),
+      bands AS (
+        SELECT s.vec_id, b.b || '_' || ((s.sk >> (b.b * 2)) & 3) AS band_key
+        FROM sk s, generate_series(0, 3) b(b)),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+        FROM bands a JOIN bands c USING (band_key)
+        WHERE a.vec_id <> c.vec_id),
+      n AS (
+        SELECT vec_id, embedding,
+               sqrt(CAST(sum(CAST(CAST(embedding[g.i] AS DOUBLE) * CAST(embedding[g.i] AS DOUBLE)
+                 AS DECIMAL(30,18))) AS DOUBLE)) AS nrm
+        FROM embeddings, generate_series(1, 64) g(i) GROUP BY 1, 2),
+      scored AS (
+        SELECT cand.id_a, cand.id_b,
+               CAST(sum(CAST(CAST(a.embedding[g.i] AS DOUBLE) * CAST(b.embedding[g.i] AS DOUBLE)
+                 AS DECIMAL(30,18))) AS DOUBLE) / (any_value(a.nrm) * any_value(b.nrm)) AS cosine
+        FROM cand
+        JOIN n a ON a.vec_id = cand.id_a
+        JOIN n b ON b.vec_id = cand.id_b,
+        generate_series(1, 64) g(i)
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT id_a, id_b, cosine,
+               row_number() OVER (PARTITION BY id_a
+                 ORDER BY cosine DESC, id_b) AS rank
+        FROM scored)
+      SELECT id_a, rank, id_b, round(cosine, 12) AS cosine
+      FROM ranked WHERE rank <= 3 ORDER BY id_a, rank
+    """.trim))
+
   /** Substring-level dedup coverage
     * ([[TextDedup.substringDupCoverage]], k = 5): duplicated 5-gram
     * spans merged per document. The md5-based shingle hashes and the
@@ -2645,5 +2704,6 @@ object LlmQueries {
     q117PqTopK, q118IvfPqTopK, q119BigramPerplexity, q120BucketedBatches,
     q121TemperatureWeights, q122SourceDivergence, q123HashedTf,
     q125EventSequences, q126CrossSourceDups, q127DecaySample,
-    q128KeywordTag, q129FoldLeakage, q130ZipfFit, q131LabelDisagreement)
+    q128KeywordTag, q129FoldLeakage, q130ZipfFit, q131LabelDisagreement,
+    q132KnnGraph)
 }

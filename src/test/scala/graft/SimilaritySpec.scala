@@ -205,6 +205,25 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("disagreement") - 0.75) < 1e-12)
   }
 
+  test("lshKnnGraph equals lshCosineTopK with corpus as queries") {
+    val em = Tables.embeddings(spark, "/root/testdata/sf0.001").cache()
+    val graph = Similarity.lshKnnGraph(em, "vec_id", "embedding",
+      k = 3, numBits = 8, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        math.rint(r.getDouble(3) * 1e10))).toSet
+    // the broadcast-query path must produce the identical graph: same
+    // candidates, same decimal-exact cosines, same tie-breaks
+    val viaTopK = Similarity.lshCosineTopK(em, em, "vec_id", "embedding",
+      k = 3, numBits = 8, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        math.rint(r.getDouble(3) * 1e10))).toSet
+    assert(graph === viaTopK)
+    assert(graph.nonEmpty)
+    // directed top-k: at most k edges per source
+    val perSrc = graph.groupBy(_._1).values.map(_.size)
+    assert(perSrc.forall(_ <= 3))
+  }
+
   test("multimodal: real PNG decodes to true dimensions, bands, luma histogram") {
     // 8x4 RGB PNG generated in-memory: left half black, right half white
     val img = new java.awt.image.BufferedImage(
