@@ -722,6 +722,45 @@ object Similarity {
   /** Embedding near-dup: corpus pairs with cosine >= threshold, found
     * via sketch-band candidates, verified exactly.
     */
+  /** Johnson–Lindenstrauss random projection to `outDim` dimensions in
+    * long form (outId, d, value): each output coordinate is the
+    * decimal-exact dot of the row's vector with a seeded md5-derived
+    * hyperplane — the same deterministic plane family the LSH sketches
+    * use ([[hyperplaneValues]]), so the reduction is reproducible
+    * across engines and incremental batches without shipping a fitted
+    * model. The standard pre-step before ANN/clustering when 64+ dims
+    * are mostly noise: distances are preserved to (1 ± ε) with
+    * outDim = O(ln n / ε²). Long form by design — every downstream
+    * operator here (norms, dots, centroids) consumes exploded
+    * dimensions anyway, so no array rebuild, no collect, one broadcast
+    * plane table + one HashAggregate.
+    */
+  def projectRandom(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      outDim: Int,
+      dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    require(outDim >= 1, s"outDim must be >= 1, got $outDim")
+    val spark = df.sparkSession
+    val hp = broadcast(spark.createDataFrame(
+      for {
+        h <- 0 until outDim
+        row = hyperplaneValues(h, dim, seed)
+        d <- 0 until dim
+      } yield (h, d, row(d)))
+      .toDF("__h", "__d", "__v"))
+    df.select(col(idCol), posexplode(col(vecCol)))
+      .select(col(idCol), col("pos").as("__d"),
+        col("col").cast("double").as("__x"))
+      .join(hp, Seq("__d"))
+      .groupBy(col(idCol), col("__h"))
+      .agg(sum((col("__x") * col("__v")).cast("decimal(30,18)"))
+        .cast("double").as("value"))
+      .select(col(idCol), col("__h").as("d"), col("value"))
+  }
+
   /** Corpus-wide k-NN graph via LSH banding — the ALL-ROWS variant of
     * [[lshCosineTopK]], for when the "query set" is the corpus itself
     * (graph-based curation: community detection over the similarity

@@ -1875,6 +1875,36 @@ object LlmQueries {
       FROM ranked WHERE rank <= 3 ORDER BY id_a, rank
     """.trim))
 
+  /** JL random projection ([[Similarity.projectRandom]], 64 → 8 dims)
+    * for the first 50 vectors, long form. The md5-derived planes and
+    * decimal dot sums replay exactly; values round at 12.
+    */
+  val q133RandomProjection = HarnessQuery(
+    "q133_random_projection",
+    (spark, dir) =>
+      Similarity.projectRandom(
+        Tables.embeddings(spark, dir).filter(col("vec_id") < 50),
+        "vec_id", "embedding", outDim = 8)
+        .select(col("vec_id"), col("d").cast("long").as("d"),
+          round(col("value"), 12).as("value"))
+        .orderBy(col("vec_id"), col("d")),
+    Some("""
+      WITH hp AS (
+        SELECT h.h AS h, d.d AS d,
+               (CAST(('0x' || substr(md5('42_' || h.h || '_' || d.d), 1, 15)) AS BIGINT)
+                 % 1000000) / 1000000.0 - 0.5 AS v
+        FROM generate_series(0, 7) h(h), generate_series(0, 63) d(d)),
+      proj AS (
+        SELECT e.vec_id, hp.h AS d,
+               CAST(sum(CAST(CAST(e.embedding[hp.d + 1] AS DOUBLE) * hp.v
+                 AS DECIMAL(30,18))) AS DOUBLE) AS value
+        FROM embeddings e, hp
+        WHERE e.vec_id < 50
+        GROUP BY 1, 2)
+      SELECT vec_id, d, round(value, 12) AS value
+      FROM proj ORDER BY vec_id, d
+    """.trim))
+
   /** Substring-level dedup coverage
     * ([[TextDedup.substringDupCoverage]], k = 5): duplicated 5-gram
     * spans merged per document. The md5-based shingle hashes and the
@@ -2705,5 +2735,5 @@ object LlmQueries {
     q121TemperatureWeights, q122SourceDivergence, q123HashedTf,
     q125EventSequences, q126CrossSourceDups, q127DecaySample,
     q128KeywordTag, q129FoldLeakage, q130ZipfFit, q131LabelDisagreement,
-    q132KnnGraph)
+    q132KnnGraph, q133RandomProjection)
 }

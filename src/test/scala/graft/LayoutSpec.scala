@@ -28,6 +28,23 @@ class LayoutSpec extends SparkSpec {
       s"partition filter not pushed:\n$plan")
   }
 
+  test("ORC round-trip: schema and rows survive the format exactly") {
+    // format-completeness check for the built-in columnar alternative:
+    // a user pointing the engine at ORC inputs/outputs loses nothing
+    val dir = Files.createTempDirectory("graft_orc").toString + "/events"
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    ev.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.schema === ev.schema)
+    assert(back.count() === ev.count())
+    assert(back.exceptAll(ev).isEmpty && ev.exceptAll(back).isEmpty)
+    // predicate pushdown reaches the ORC scan
+    val plan = back.where(col("user_id") === 7L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(user_id), EqualTo(user_id,7)"),
+      s"filter not pushed to ORC scan:\n$plan")
+  }
+
   test("writeZOrdered: every z-column gets bounded per-file ranges") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)

@@ -224,6 +224,43 @@ class SimilaritySpec extends SparkSpec {
     assert(perSrc.forall(_ <= 3))
   }
 
+  test("projectRandom: hyperplane dots exact, distances roughly preserved") {
+    val em = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .filter($"vec_id" < 40).cache()
+    val proj = Similarity.projectRandom(em, "vec_id", "embedding",
+      outDim = 16)
+    val rows = proj.collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(rows.map(_._1).distinct.length === 40)
+    assert(rows.groupBy(_._1).forall(_._2.length === 16))
+    // coordinate 0 of vec 0 equals the driver-side dot with plane 0
+    val v0 = em.filter($"vec_id" === 0L).collect()(0)
+      .getAs[scala.collection.Seq[Float]]("embedding")
+    // the plane derivation, independently restated: md5("<seed>_<h>_<d>")
+    // first 15 hex chars -> uniform in [-0.5, 0.5)
+    def planeVal(h: Int, d: Int): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"42_${h}_$d".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      (java.lang.Long.parseLong(hex, 16) % 1000000L) / 1000000.0 - 0.5
+    }
+    val plane0 = Array.tabulate(64)(d => planeVal(0, d))
+    val want = v0.zip(plane0).map { case (x, p) => x.toDouble * p }.sum
+    val got = rows.find(r => r._1 == 0L && r._2 == 0).get._3
+    assert(math.abs(got - want) < 1e-9)
+    // JL sanity: projected cosine of a vector with itself is 1; the
+    // projection is linear, so scaled inputs scale outputs
+    val scaled = Similarity.projectRandom(
+      em.withColumn("embedding",
+        org.apache.spark.sql.functions.transform($"embedding", x => x * 2f)),
+      "vec_id", "embedding", outDim = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    // (keyed comparison) every coordinate doubles
+    val base = rows.map(r => (r._1, r._2) -> r._3).toMap
+    base.foreach { case (k, v) =>
+      assert(math.abs(scaled(k) - 2 * v) < 1e-9)
+    }
+  }
+
   test("multimodal: real PNG decodes to true dimensions, bands, luma histogram") {
     // 8x4 RGB PNG generated in-memory: left half black, right half white
     val img = new java.awt.image.BufferedImage(
