@@ -1905,6 +1905,87 @@ object LlmQueries {
       FROM proj ORDER BY vec_id, d
     """.trim))
 
+  /** Embedding clustering = [[Similarity.lshKnnGraph]] edges (cosine
+    * >= 0.4 — without the floor the top-3 edges chain the whole corpus
+    * into one blob) + [[graft.operators.Components.connectedComponents]],
+    * rolled up to the cluster-size histogram — the "how blobby is my
+    * corpus" summary (singletons = diverse mass, giant components =
+    * near-dup families). The oracle chains q132's full LSH replay into
+    * q74's recursive-CTE reachability, so graph construction AND
+    * clustering replay.
+    */
+  val q134EmbeddingClusters = HarnessQuery(
+    "q134_embedding_clusters",
+    (spark, dir) => {
+      val em = Tables.embeddings(spark, dir)
+      val graph = Similarity.lshKnnGraph(
+        em, "vec_id", "embedding", k = 3, numBits = 8, bands = 4)
+        .filter(col("cosine") >= 0.4)
+      graft.operators.Components.connectedComponents(
+        em.select(col("vec_id")), graph.select(col("id_a"), col("id_b")),
+        "vec_id")
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("__n"))
+        .groupBy(col("__n").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .orderBy(col("cluster_size"))
+    },
+    Some("""
+      WITH RECURSIVE hp AS (
+        SELECT h.h AS h, d.d AS d,
+               (CAST(('0x' || substr(md5('42_' || h.h || '_' || d.d), 1, 15)) AS BIGINT)
+                 % 1000000) / 1000000.0 - 0.5 AS v
+        FROM generate_series(0, 7) h(h), generate_series(0, 63) d(d)),
+      dots AS (
+        SELECT e.vec_id, hp.h,
+               CAST(sum(CAST(CAST(e.embedding[hp.d + 1] AS DOUBLE) * hp.v
+                 AS DECIMAL(30,18))) AS DOUBLE) AS dv
+        FROM embeddings e, hp GROUP BY 1, 2),
+      sk AS (
+        SELECT vec_id,
+               CAST(sum(CASE WHEN dv > 0 THEN (CAST(1 AS BIGINT) << (7 - h))
+                 ELSE 0 END) AS BIGINT) AS sk
+        FROM dots GROUP BY 1),
+      bands AS (
+        SELECT s.vec_id, b.b || '_' || ((s.sk >> (b.b * 2)) & 3) AS band_key
+        FROM sk s, generate_series(0, 3) b(b)),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+        FROM bands a JOIN bands c USING (band_key)
+        WHERE a.vec_id <> c.vec_id),
+      n AS (
+        SELECT vec_id, embedding,
+               sqrt(CAST(sum(CAST(CAST(embedding[g.i] AS DOUBLE) * CAST(embedding[g.i] AS DOUBLE)
+                 AS DECIMAL(30,18))) AS DOUBLE)) AS nrm
+        FROM embeddings, generate_series(1, 64) g(i) GROUP BY 1, 2),
+      scored AS (
+        SELECT cand.id_a, cand.id_b,
+               CAST(sum(CAST(CAST(a.embedding[g.i] AS DOUBLE) * CAST(b.embedding[g.i] AS DOUBLE)
+                 AS DECIMAL(30,18))) AS DOUBLE) / (any_value(a.nrm) * any_value(b.nrm)) AS cosine
+        FROM cand
+        JOIN n a ON a.vec_id = cand.id_a
+        JOIN n b ON b.vec_id = cand.id_b,
+        generate_series(1, 64) g(i)
+        GROUP BY 1, 2),
+      topk AS (
+        SELECT id_a, id_b FROM (
+          SELECT id_a, id_b, cosine,
+                 row_number() OVER (PARTITION BY id_a
+                   ORDER BY cosine DESC, id_b) AS rank
+          FROM scored) WHERE rank <= 3 AND cosine >= 0.4),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM topk
+                UNION ALL SELECT id_b, id_a FROM topk),
+      reach(id, label) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+      labels AS (
+        SELECT id, min(label) AS cluster_id FROM reach GROUP BY id),
+      sizes AS (
+        SELECT cluster_id, count(*) AS n FROM labels GROUP BY 1)
+      SELECT n AS cluster_size, count(*) AS n_clusters
+      FROM sizes GROUP BY 1 ORDER BY 1
+    """.trim))
+
   /** Substring-level dedup coverage
     * ([[TextDedup.substringDupCoverage]], k = 5): duplicated 5-gram
     * spans merged per document. The md5-based shingle hashes and the
@@ -2735,5 +2816,5 @@ object LlmQueries {
     q121TemperatureWeights, q122SourceDivergence, q123HashedTf,
     q125EventSequences, q126CrossSourceDups, q127DecaySample,
     q128KeywordTag, q129FoldLeakage, q130ZipfFit, q131LabelDisagreement,
-    q132KnnGraph, q133RandomProjection)
+    q132KnnGraph, q133RandomProjection, q134EmbeddingClusters)
 }
