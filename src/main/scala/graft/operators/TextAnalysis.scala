@@ -398,6 +398,32 @@ object TextAnalysis {
           .as("r2"))
   }
 
+  /** Context-length sizing table: for each candidate training context
+    * length, how many documents would truncate and what token mass the
+    * cut loses — the one-table answer to "do we train at 1k, 2k, or 4k"
+    * before committing a packing run. Output per candidate length:
+    * (context_len, n_docs, n_truncated, sum_tokens, tokens_kept,
+    * frac_tokens_lost). One scan: the length grid is a literal array
+    * exploded against each row, folded by a single hash aggregate —
+    * |lengths| is a handful, so the fan-out is a constant factor on a
+    * narrow (token-count) projection, not a second pass per candidate.
+    */
+  def truncationStats(
+      df: DataFrame, tokenCountCol: String, lengths: Seq[Int]): DataFrame = {
+    require(lengths.nonEmpty && lengths.forall(_ >= 1),
+      s"lengths must be non-empty and positive, got $lengths")
+    val t = col("__t")
+    df.select(col(tokenCountCol).cast("long").as("__t"),
+      explode(array(lengths.map(l => lit(l.toLong)): _*)).as("context_len"))
+      .groupBy(col("context_len"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(t > col("context_len"), 1L).otherwise(0L)).as("n_truncated"),
+        sum(t).as("sum_tokens"),
+        sum(least(t, col("context_len"))).as("tokens_kept"))
+      .withColumn("frac_tokens_lost",
+        lit(1.0) - col("tokens_kept").cast("double") / col("sum_tokens"))
+  }
+
   private val EmailRe = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   private val UrlRe = "(?i)https?://[^\\s]+"
 

@@ -1986,6 +1986,37 @@ object LlmQueries {
       FROM sizes GROUP BY 1 ORDER BY 1
     """.trim))
 
+  /** Context-length sizing ([[TextAnalysis.truncationStats]] at 64 /
+    * 128 / 256 whitespace tokens): all-integer truncation accounting;
+    * only the loss fraction is a rounded double.
+    */
+  val q135TruncationStats = HarnessQuery(
+    "q135_truncation_stats",
+    (spark, dir) =>
+      TextAnalysis.truncationStats(
+        Tables.documents(spark, dir)
+          .select(size(TextFunctions.tokens(col("text"))).as("n_tokens")),
+        "n_tokens", lengths = Seq(64, 128, 256))
+        .select(col("context_len"), col("n_docs"), col("n_truncated"),
+          col("sum_tokens"), col("tokens_kept"),
+          round(col("frac_tokens_lost"), 12).as("frac_tokens_lost"))
+        .orderBy(col("context_len")),
+    Some("""
+      WITH t AS (
+        SELECT CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT)
+                 AS n
+        FROM documents),
+      grid(context_len) AS (VALUES (CAST(64 AS BIGINT)), (128), (256))
+      SELECT context_len, count(*) AS n_docs,
+             CAST(sum(CASE WHEN n > context_len THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_truncated,
+             CAST(sum(n) AS BIGINT) AS sum_tokens,
+             CAST(sum(least(n, context_len)) AS BIGINT) AS tokens_kept,
+             round(1.0 - CAST(sum(least(n, context_len)) AS DOUBLE) / sum(n), 12)
+               AS frac_tokens_lost
+      FROM t, grid GROUP BY 1 ORDER BY 1
+    """.trim))
+
   /** Substring-level dedup coverage
     * ([[TextDedup.substringDupCoverage]], k = 5): duplicated 5-gram
     * spans merged per document. The md5-based shingle hashes and the
@@ -2816,5 +2847,6 @@ object LlmQueries {
     q121TemperatureWeights, q122SourceDivergence, q123HashedTf,
     q125EventSequences, q126CrossSourceDups, q127DecaySample,
     q128KeywordTag, q129FoldLeakage, q130ZipfFit, q131LabelDisagreement,
-    q132KnnGraph, q133RandomProjection, q134EmbeddingClusters)
+    q132KnnGraph, q133RandomProjection, q134EmbeddingClusters,
+    q135TruncationStats)
 }

@@ -134,6 +134,21 @@ class TextOpsSpec extends SparkSpec {
     assert(r(2).getAs[Double]("perplexity") < r(1).getAs[Double]("perplexity"))
   }
 
+  test("truncationStats: hand-computed truncation accounting per candidate length") {
+    val df = Seq(3L, 10L, 4L).toDF("n_tokens")
+    val got = TextAnalysis.truncationStats(df, "n_tokens", Seq(4, 8))
+      .orderBy($"context_len").collect()
+    // L=4: doc 10 truncates (kept 4); kept = 3+4+4 = 11 of 17
+    assert(got(0).getAs[Long]("context_len") === 4L)
+    assert(got(0).getAs[Long]("n_docs") === 3L)
+    assert(got(0).getAs[Long]("n_truncated") === 1L)
+    assert(got(0).getAs[Long]("tokens_kept") === 11L)
+    assert(math.abs(got(0).getAs[Double]("frac_tokens_lost") - 6.0 / 17) < 1e-12)
+    // L=8: still only the 10-token doc truncates, kept 15 of 17
+    assert(got(1).getAs[Long]("n_truncated") === 1L)
+    assert(got(1).getAs[Long]("tokens_kept") === 15L)
+  }
+
   test("zipfFit: OLS matches a hand-computed fit over exact counts") {
     // freqs: a x8, b x4, c x2, d x1 -> ranks 1..4
     val df = Seq((1L, ("a " * 8 + "b " * 4 + "c c d").trim)).toDF("doc_id", "text")
