@@ -772,6 +772,14 @@ object Similarity {
     * collides with nothing emits no edges (it has no measured
     * neighbors) rather than forcing a full scan — the recall/cost knob
     * is (numBits, bands), spec-pinned like every ANN path here.
+    *
+    * Parameter warning, measured: candidate volume is
+    * Σ_bands Σ_buckets c² — with r = numBits/bands bits per band there
+    * are only 2^r buckets, so r = 2 makes the self-join ~n²/4 (at 5k
+    * vectors that is 25M pairs × dim rows; at corpus scale it is the
+    * whole job). Size r so 2^r approaches the per-band distinct-sketch
+    * count — r = 8 (bands of one byte) is the floor for corpus-sized
+    * inputs.
     */
   def lshKnnGraph(
       corpus: DataFrame,

@@ -312,6 +312,35 @@ object TextDedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** N-gram novelty against a REFERENCE CORPUS: per document, the
+    * fraction of its distinct n-grams that appear nowhere in `ref` —
+    * high novelty marks genuinely new content worth ingesting; low
+    * novelty marks paraphrase/recombination of what the corpus already
+    * holds (the incremental-crawl triage signal, and the inverse of a
+    * memorization-risk score). The complement of
+    * [[contaminationHits]]'s question, at the opposite scale: the
+    * reference is corpus-sized, so its shingle set is NOT broadcast —
+    * the membership check is a shuffle anti-join on the shingle string,
+    * ids and shingles only. Documents with fewer than n tokens have no
+    * n-grams and are excluded. Returns (idCol, n_grams, n_unseen,
+    * novelty).
+    */
+  def ngramNovelty(
+      df: DataFrame, ref: DataFrame,
+      textCol: String, idCol: String, n: Int = 3): DataFrame = {
+    val docS = shingleTable(df, textCol, idCol, n)
+    val refS = shingleTable(ref, textCol, idCol, n)
+      .select(col("__s")).distinct()
+    val totals = docS.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
+    val unseen = docS.join(refS, Seq("__s"), "left_anti")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_unseen"))
+    totals.join(unseen, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("n_unseen"), lit(0L)).as("n_unseen"),
+        (coalesce(col("n_unseen"), lit(0L)).cast("double") / col("n_grams"))
+          .as("novelty"))
+  }
+
   /** Corpus with every contaminated doc removed (any shingle overlap
     * with the benchmark set): the release-gate form of
     * [[contaminationHits]].

@@ -1817,16 +1817,17 @@ object LlmQueries {
     """.trim))
 
   /** Corpus-wide LSH k-NN graph ([[Similarity.lshKnnGraph]], k = 3,
-    * 8-bit/4-band sketches): every vector's directed top-3 edges among
-    * its sketch collisions — q59's full LSH replay with the query
-    * filter dropped.
+    * 24-bit/3-band sketches — byte-wide bands: 2-bit bands make the
+    * self-join ~n²/4, measured as the whole bench cost at sf0.1):
+    * every vector's directed top-3 edges among its sketch collisions —
+    * q59's LSH replay reparameterized, query filter dropped.
     */
   val q132KnnGraph = HarnessQuery(
     "q132_knn_graph",
     (spark, dir) =>
       Similarity.lshKnnGraph(
         Tables.embeddings(spark, dir), "vec_id", "embedding",
-        k = 3, numBits = 8, bands = 4)
+        k = 3, numBits = 24, bands = 3)
         .withColumn("cosine", round(col("cosine"), 12))
         .orderBy(col("id_a"), col("rank")),
     Some("""
@@ -1834,7 +1835,7 @@ object LlmQueries {
         SELECT h.h AS h, d.d AS d,
                (CAST(('0x' || substr(md5('42_' || h.h || '_' || d.d), 1, 15)) AS BIGINT)
                  % 1000000) / 1000000.0 - 0.5 AS v
-        FROM generate_series(0, 7) h(h), generate_series(0, 63) d(d)),
+        FROM generate_series(0, 23) h(h), generate_series(0, 63) d(d)),
       dots AS (
         SELECT e.vec_id, hp.h,
                CAST(sum(CAST(CAST(e.embedding[hp.d + 1] AS DOUBLE) * hp.v
@@ -1842,12 +1843,12 @@ object LlmQueries {
         FROM embeddings e, hp GROUP BY 1, 2),
       sk AS (
         SELECT vec_id,
-               CAST(sum(CASE WHEN dv > 0 THEN (CAST(1 AS BIGINT) << (7 - h))
+               CAST(sum(CASE WHEN dv > 0 THEN (CAST(1 AS BIGINT) << (23 - h))
                  ELSE 0 END) AS BIGINT) AS sk
         FROM dots GROUP BY 1),
       bands AS (
-        SELECT s.vec_id, b.b || '_' || ((s.sk >> (b.b * 2)) & 3) AS band_key
-        FROM sk s, generate_series(0, 3) b(b)),
+        SELECT s.vec_id, b.b || '_' || ((s.sk >> (b.b * 8)) & 255) AS band_key
+        FROM sk s, generate_series(0, 2) b(b)),
       cand AS (
         SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
         FROM bands a JOIN bands c USING (band_key)
@@ -1919,7 +1920,7 @@ object LlmQueries {
     (spark, dir) => {
       val em = Tables.embeddings(spark, dir)
       val graph = Similarity.lshKnnGraph(
-        em, "vec_id", "embedding", k = 3, numBits = 8, bands = 4)
+        em, "vec_id", "embedding", k = 3, numBits = 24, bands = 3)
         .filter(col("cosine") >= 0.4)
       graft.operators.Components.connectedComponents(
         em.select(col("vec_id")), graph.select(col("id_a"), col("id_b")),
@@ -1934,7 +1935,7 @@ object LlmQueries {
         SELECT h.h AS h, d.d AS d,
                (CAST(('0x' || substr(md5('42_' || h.h || '_' || d.d), 1, 15)) AS BIGINT)
                  % 1000000) / 1000000.0 - 0.5 AS v
-        FROM generate_series(0, 7) h(h), generate_series(0, 63) d(d)),
+        FROM generate_series(0, 23) h(h), generate_series(0, 63) d(d)),
       dots AS (
         SELECT e.vec_id, hp.h,
                CAST(sum(CAST(CAST(e.embedding[hp.d + 1] AS DOUBLE) * hp.v
@@ -1942,12 +1943,12 @@ object LlmQueries {
         FROM embeddings e, hp GROUP BY 1, 2),
       sk AS (
         SELECT vec_id,
-               CAST(sum(CASE WHEN dv > 0 THEN (CAST(1 AS BIGINT) << (7 - h))
+               CAST(sum(CASE WHEN dv > 0 THEN (CAST(1 AS BIGINT) << (23 - h))
                  ELSE 0 END) AS BIGINT) AS sk
         FROM dots GROUP BY 1),
       bands AS (
-        SELECT s.vec_id, b.b || '_' || ((s.sk >> (b.b * 2)) & 3) AS band_key
-        FROM sk s, generate_series(0, 3) b(b)),
+        SELECT s.vec_id, b.b || '_' || ((s.sk >> (b.b * 8)) & 255) AS band_key
+        FROM sk s, generate_series(0, 2) b(b)),
       cand AS (
         SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
         FROM bands a JOIN bands c USING (band_key)
@@ -2015,6 +2016,44 @@ object LlmQueries {
              round(1.0 - CAST(sum(least(n, context_len)) AS DOUBLE) / sum(n), 12)
                AS frac_tokens_lost
       FROM t, grid GROUP BY 1 ORDER BY 1
+    """.trim))
+
+  /** N-gram novelty ([[TextDedup.ngramNovelty]], 3-grams): src0/src1
+    * documents scored against the rest of the corpus as the reference.
+    * Counting + an anti-join — integer-exact; the fraction rounds.
+    */
+  val q136NgramNovelty = HarnessQuery(
+    "q136_ngram_novelty",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      TextDedup.ngramNovelty(
+        docs.filter(col("source").isin("src0", "src1")),
+        docs.filter(!col("source").isin("src0", "src1")),
+        "text", "doc_id", n = 3)
+        .select(col("doc_id"), col("n_grams"), col("n_unseen"),
+          round(col("novelty"), 12).as("novelty"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH sh AS (
+        SELECT doc_id, source, unnest(list_distinct(list_transform(
+                 generate_series(1, len(regexp_split_to_array(trim(lower(text)), '\s+')) - 2),
+                 i -> array_to_string(
+                   (regexp_split_to_array(trim(lower(text)), '\s+'))[i:i+2], ' '))))
+                 AS s
+        FROM documents),
+      docs AS (SELECT doc_id, s FROM sh WHERE source IN ('src0', 'src1')),
+      ref AS (SELECT DISTINCT s FROM sh WHERE source NOT IN ('src0', 'src1')),
+      tot AS (SELECT doc_id, count(*) AS n_grams FROM docs GROUP BY 1),
+      uns AS (
+        SELECT d.doc_id, count(*) AS n_unseen
+        FROM docs d ANTI JOIN ref r ON d.s = r.s
+        GROUP BY 1)
+      SELECT t.doc_id, t.n_grams, COALESCE(u.n_unseen, 0) AS n_unseen,
+             round(CAST(COALESCE(u.n_unseen, 0) AS DOUBLE) / t.n_grams, 12)
+               AS novelty
+      FROM tot t LEFT JOIN uns u ON u.doc_id = t.doc_id
+      ORDER BY t.doc_id
     """.trim))
 
   /** Substring-level dedup coverage
@@ -2848,5 +2887,5 @@ object LlmQueries {
     q125EventSequences, q126CrossSourceDups, q127DecaySample,
     q128KeywordTag, q129FoldLeakage, q130ZipfFit, q131LabelDisagreement,
     q132KnnGraph, q133RandomProjection, q134EmbeddingClusters,
-    q135TruncationStats)
+    q135TruncationStats, q136NgramNovelty)
 }

@@ -208,13 +208,13 @@ class SimilaritySpec extends SparkSpec {
   test("lshKnnGraph equals lshCosineTopK with corpus as queries") {
     val em = Tables.embeddings(spark, "/root/testdata/sf0.001").cache()
     val graph = Similarity.lshKnnGraph(em, "vec_id", "embedding",
-      k = 3, numBits = 8, bands = 4)
+      k = 3, numBits = 24, bands = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         math.rint(r.getDouble(3) * 1e10))).toSet
     // the broadcast-query path must produce the identical graph: same
     // candidates, same decimal-exact cosines, same tie-breaks
     val viaTopK = Similarity.lshCosineTopK(em, em, "vec_id", "embedding",
-      k = 3, numBits = 8, bands = 4)
+      k = 3, numBits = 24, bands = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         math.rint(r.getDouble(3) * 1e10))).toSet
     assert(graph === viaTopK)

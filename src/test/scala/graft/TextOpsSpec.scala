@@ -134,6 +134,25 @@ class TextOpsSpec extends SparkSpec {
     assert(r(2).getAs[Double]("perplexity") < r(1).getAs[Double]("perplexity"))
   }
 
+  test("ngramNovelty: unseen fraction, fully-known doc scores 0, short docs absent") {
+    val ref = Seq((10L, "a b c d")).toDF("doc_id", "text")
+    val df = Seq(
+      (1L, "a b c d"),   // all 2 distinct 3-grams seen -> novelty 0
+      (2L, "a b c x y"), // grams: abc(seen), bcx, cxy -> 2/3 unseen
+      (3L, "z q")        // no 3-grams -> absent
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextDedup
+      .ngramNovelty(df, ref, "text", "doc_id", n = 3)
+      .orderBy($"doc_id").collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(got(0).getAs[Long]("n_grams") === 2L &&
+      got(0).getAs[Long]("n_unseen") === 0L &&
+      got(0).getAs[Double]("novelty") === 0.0)
+    assert(got(1).getAs[Long]("n_grams") === 3L &&
+      got(1).getAs[Long]("n_unseen") === 2L)
+    assert(math.abs(got(1).getAs[Double]("novelty") - 2.0 / 3) < 1e-12)
+  }
+
   test("truncationStats: hand-computed truncation accounting per candidate length") {
     val df = Seq(3L, 10L, 4L).toDF("n_tokens")
     val got = TextAnalysis.truncationStats(df, "n_tokens", Seq(4, 8))
