@@ -424,6 +424,46 @@ object TextAnalysis {
         lit(1.0) - col("tokens_kept").cast("double") / col("sum_tokens"))
   }
 
+  /** Seeded token-dropout augmentation (the EDA random-deletion
+    * transform of Wei & Zou 2019, made reproducible): each token
+    * position drops independently when its content hash
+    * md5("<id>:<pos>:<seed>") falls under `dropFrac` of the 60-bit
+    * space, and the surviving tokens rebuild in order. Hash membership,
+    * not rand(): a recomputed lineage regenerates the IDENTICAL
+    * augmented corpus (the [[graft.operators.Mixture.sampleByHash]]
+    * discipline, per position), different seeds give independent
+    * augmentation epochs, and the whole transform replays in SQL.
+    * Output: (id, n_tokens, n_kept, aug_text); a fully-dropped document
+    * survives with aug_text = "" rather than disappearing. The rebuild
+    * is a per-DOCUMENT sorted collect — bounded by document length,
+    * partitioned by id, the same shape [[TextDedup.removeDupSpans]]
+    * uses.
+    */
+  def tokenDropout(
+      df: DataFrame, textCol: String, idCol: String,
+      dropFrac: Double, seed: Long): DataFrame = {
+    require(dropFrac >= 0.0 && dropFrac < 1.0,
+      s"dropFrac must be in [0,1), got $dropFrac")
+    val base = df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__t"))
+    val pos = base.select(col(idCol), posexplode(col("__t")))
+      .withColumnRenamed("pos", "__p").withColumnRenamed("col", "__tok")
+    val h = TextFunctions.md5Hash60(concat(
+      col(idCol).cast("string"), lit(":"), col("__p").cast("string"),
+      lit(":" + seed)))
+    val kept = pos
+      .filter(h >= lit((dropFrac * (1L << 60).toDouble).toLong))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("__p"), col("__tok")))),
+          e => e.getField("__tok")), " ").as("aug_text"))
+    base.select(col(idCol), size(col("__t")).cast("long").as("n_tokens"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("aug_text"), lit("")).as("aug_text"))
+  }
+
   private val EmailRe = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   private val UrlRe = "(?i)https?://[^\\s]+"
 

@@ -2056,6 +2056,44 @@ object LlmQueries {
       ORDER BY t.doc_id
     """.trim))
 
+  /** Seeded token dropout ([[TextAnalysis.tokenDropout]], 15% at seed
+    * 42) over the first 100 docs: per-position md5 membership and the
+    * ordered rebuild replay exactly — including the rebuilt string.
+    */
+  val q137TokenDropout = HarnessQuery(
+    "q137_token_dropout",
+    (spark, dir) =>
+      TextAnalysis.tokenDropout(
+        Tables.documents(spark, dir).filter(col("doc_id") < 100),
+        "text", "doc_id", dropFrac = 0.15, seed = 42L)
+        .orderBy(col("doc_id")),
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok,
+               unnest(generate_series(0,
+                 len(regexp_split_to_array(trim(lower(text)), '\\s+')) - 1)) AS p
+        FROM documents WHERE doc_id < 100),
+      base AS (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT)
+                 AS n_tokens
+        FROM documents WHERE doc_id < 100),
+      kept AS (
+        SELECT doc_id, count(*) AS n_kept,
+               string_agg(tok, ' ' ORDER BY p) AS aug_text
+        FROM t
+        WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                CAST(p AS VARCHAR) || ':42'), 1, 15)) AS BIGINT)
+              >= ${(0.15 * (1L << 60).toDouble).toLong}
+        GROUP BY 1)
+      SELECT b.doc_id, b.n_tokens,
+             COALESCE(k.n_kept, 0) AS n_kept,
+             COALESCE(k.aug_text, '') AS aug_text
+      FROM base b LEFT JOIN kept k ON k.doc_id = b.doc_id
+      ORDER BY b.doc_id
+    """.trim))
+
   /** Substring-level dedup coverage
     * ([[TextDedup.substringDupCoverage]], k = 5): duplicated 5-gram
     * spans merged per document. The md5-based shingle hashes and the
@@ -2887,5 +2925,5 @@ object LlmQueries {
     q125EventSequences, q126CrossSourceDups, q127DecaySample,
     q128KeywordTag, q129FoldLeakage, q130ZipfFit, q131LabelDisagreement,
     q132KnnGraph, q133RandomProjection, q134EmbeddingClusters,
-    q135TruncationStats, q136NgramNovelty)
+    q135TruncationStats, q136NgramNovelty, q137TokenDropout)
 }

@@ -134,6 +134,35 @@ class TextOpsSpec extends SparkSpec {
     assert(r(2).getAs[Double]("perplexity") < r(1).getAs[Double]("perplexity"))
   }
 
+  test("tokenDropout: deterministic, order-preserving, rate near dropFrac, frac 0 is identity") {
+    val docs = (1 to 50).map(i => (i.toLong, (("w" + i + " ") * 20).trim))
+      .toDF("doc_id", "text")
+    val a = TextAnalysis.tokenDropout(docs, "text", "doc_id", 0.3, 7L)
+    val b = TextAnalysis.tokenDropout(docs, "text", "doc_id", 0.3, 7L)
+    val ra = a.orderBy($"doc_id").collect()
+    assert(ra.map(_.getString(3)).toSeq ===
+      b.orderBy($"doc_id").collect().map(_.getString(3)).toSeq)
+    // aggregate drop rate near 30% (hash-uniform over 1000 positions)
+    val total = ra.map(_.getLong(1)).sum.toDouble
+    val keptN = ra.map(_.getLong(2)).sum.toDouble
+    assert(math.abs(1.0 - keptN / total - 0.3) < 0.08, s"rate ${1 - keptN / total}")
+    // surviving tokens keep their original order (subsequence check)
+    ra.foreach { r =>
+      val orig = (("w" + r.getLong(0) + " ") * 20).trim
+      val it = orig.split(" ").iterator
+      assert(r.getString(3).split(" ").filter(_.nonEmpty)
+        .forall(tok => it.contains(tok)))
+    }
+    // dropFrac 0 is the identity on tokens
+    val id0 = TextAnalysis.tokenDropout(docs, "text", "doc_id", 0.0, 7L)
+      .orderBy($"doc_id").collect()
+    assert(id0.forall(r => r.getLong(1) === r.getLong(2)))
+    // a different seed produces a different augmentation somewhere
+    val c = TextAnalysis.tokenDropout(docs, "text", "doc_id", 0.3, 8L)
+      .orderBy($"doc_id").collect().map(_.getString(3)).toSeq
+    assert(c !== ra.map(_.getString(3)).toSeq)
+  }
+
   test("ngramNovelty: unseen fraction, fully-known doc scores 0, short docs absent") {
     val ref = Seq((10L, "a b c d")).toDF("doc_id", "text")
     val df = Seq(
