@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{IpToIntExpr, NfcNormalizeExpr, QuantizedDotExpr}
+import graft.functions.{IpToIntExpr, NfcNormalizeExpr, QuantizedDotExpr, StripAccentsExpr}
 
 /** Engine extensions, installed with
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or
@@ -51,6 +51,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         arity("graft_nfc_normalize", 1, children)
         NfcNormalizeExpr(org.apache.spark.sql.catalyst.expressions.Cast(
+          children.head, org.apache.spark.sql.types.StringType))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_strip_accents"),
+      new ExpressionInfo(classOf[StripAccentsExpr].getName,
+        "graft_strip_accents"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        arity("graft_strip_accents", 1, children)
+        StripAccentsExpr(org.apache.spark.sql.catalyst.expressions.Cast(
           children.head, org.apache.spark.sql.types.StringType))
       }))
     ext.injectFunction((

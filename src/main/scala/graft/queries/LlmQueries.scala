@@ -2094,6 +2094,29 @@ object LlmQueries {
       ORDER BY b.doc_id
     """.trim))
 
+  /** Accent stripping ([[graft.functions.StripAccentsExpr]]): md5
+    * parity with DuckDB's `strip_accents` (q115's discipline — the
+    * corpus is ASCII-heavy, so the spec pins the accent cases and the
+    * oracle pins the two engines run the same transform end to end).
+    */
+  val q138StripAccents = HarnessQuery(
+    "q138_strip_accents",
+    (spark, dir) =>
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          graft.functions.StripAccentsExpr.stripAccents(spark, col("text"))
+            .as("__s"))
+        .select(col("doc_id"),
+          length(col("__s")).cast("long").as("n_chars_stripped"),
+          md5(col("__s")).as("stripped_md5"))
+        .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id,
+             CAST(length(strip_accents(text)) AS BIGINT) AS n_chars_stripped,
+             md5(strip_accents(text)) AS stripped_md5
+      FROM documents ORDER BY doc_id
+    """.trim))
+
   /** Substring-level dedup coverage
     * ([[TextDedup.substringDupCoverage]], k = 5): duplicated 5-gram
     * spans merged per document. The md5-based shingle hashes and the
@@ -2925,5 +2948,6 @@ object LlmQueries {
     q125EventSequences, q126CrossSourceDups, q127DecaySample,
     q128KeywordTag, q129FoldLeakage, q130ZipfFit, q131LabelDisagreement,
     q132KnnGraph, q133RandomProjection, q134EmbeddingClusters,
-    q135TruncationStats, q136NgramNovelty, q137TokenDropout)
+    q135TruncationStats, q136NgramNovelty, q137TokenDropout,
+    q138StripAccents)
 }
