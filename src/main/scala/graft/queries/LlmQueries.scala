@@ -2117,6 +2117,37 @@ object LlmQueries {
       FROM documents ORDER BY doc_id
     """.trim))
 
+  /** Weighted training-order interleave ([[Mixture.interleaveByWeight]],
+    * three sources at 0.5/0.3/0.2): the first 60 positions of the
+    * stride-scheduled order. Rank, stride key, and the global sort all
+    * replay; the oracle is the windowed rank restated in SQL.
+    */
+  val q139Interleave = HarnessQuery(
+    "q139_interleave",
+    (spark, dir) =>
+      Mixture.interleaveByWeight(
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), col("source")),
+        "source", "doc_id",
+        Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), seed = 42L)
+        .select(col("doc_id"), col("source"),
+          round(col("order_key"), 12).as("order_key"))
+        .orderBy(col("order_key"), col("source"), col("doc_id"))
+        .limit(60),
+    Some("""
+      WITH w(source, w) AS (VALUES
+        ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
+      r AS (
+        SELECT d.doc_id, d.source, w.w,
+               row_number() OVER (PARTITION BY d.source ORDER BY
+                 CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':42'), 1, 15))
+                   AS BIGINT), d.doc_id) AS rn
+        FROM documents d JOIN w USING (source))
+      SELECT doc_id, source,
+             round((CAST(rn AS DOUBLE) - 0.5) / w, 12) AS order_key
+      FROM r ORDER BY order_key, source, doc_id LIMIT 60
+    """.trim))
+
   /** Substring-level dedup coverage
     * ([[TextDedup.substringDupCoverage]], k = 5): duplicated 5-gram
     * spans merged per document. The md5-based shingle hashes and the
@@ -2949,5 +2980,5 @@ object LlmQueries {
     q128KeywordTag, q129FoldLeakage, q130ZipfFit, q131LabelDisagreement,
     q132KnnGraph, q133RandomProjection, q134EmbeddingClusters,
     q135TruncationStats, q136NgramNovelty, q137TokenDropout,
-    q138StripAccents)
+    q138StripAccents, q139Interleave)
 }

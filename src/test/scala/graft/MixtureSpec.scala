@@ -111,6 +111,33 @@ class MixtureSpec extends SparkSpec {
     assert(n0 === 0L || n0 === 2L) // all-or-nothing for the null group
   }
 
+  test("interleaveByWeight: every prefix tracks the weights within O(1), deterministic") {
+    val df = ((1 to 200).map(i => (i.toLong, "A")) ++
+      (1000 to 1100).map(i => (i.toLong, "B"))).toDF("doc_id", "source")
+    val w = Map("A" -> 2.0 / 3, "B" -> 1.0 / 3)
+    val order = Mixture.interleaveByWeight(df, "source", "doc_id", w, 42L)
+      .orderBy($"order_key", $"source", $"doc_id")
+      .select("source").collect().map(_.getString(0))
+    // stride scheduling: domain counts in every prefix stay within ~1
+    // of the weighted share
+    var a = 0
+    order.zipWithIndex.foreach { case (s, i) =>
+      if (s == "A") a += 1
+      val p = i + 1
+      assert(math.abs(a - w("A") * p) <= 1.0 + 1e-9,
+        s"prefix $p: A=$a want ${w("A") * p}")
+    }
+    // deterministic under the seed
+    val again = Mixture.interleaveByWeight(df, "source", "doc_id", w, 42L)
+      .orderBy($"order_key", $"source", $"doc_id")
+      .select("source").collect().map(_.getString(0))
+    assert(order.toSeq === again.toSeq)
+    // unweighted domains are dropped
+    val extra = df.union(Seq((5000L, "C")).toDF("doc_id", "source"))
+    assert(Mixture.interleaveByWeight(extra, "source", "doc_id", w, 42L)
+      .filter($"source" === "C").isEmpty)
+  }
+
   test("sampleByDecay: fresh rows always kept, thresholds nested, deterministic") {
     val ref = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
     val refUs = ref.getTime * 1000L
