@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Materialize
+
+/** Vertex-centrality over an edge list — the ranking companion to
+  * [[Components.connectedComponents]]: components tell you WHICH docs
+  * form a near-dup family / fraud ring, centrality tells you which
+  * member is the hub (the canonical doc to keep, the account to
+  * investigate first). Reference scope: the reference's pipeline ranks
+  * entities only by flat aggregates (counts); this is the graph-shaped
+  * extension a curation/fraud workload needs once edges exist.
+  *
+  * Power-iteration PageRank, expressed as plain relational algebra so
+  * Catalyst plans every round as one equi-join + one hash aggregate:
+  *
+  *   - out-degrees: one `groupBy(src).count` on the edge list;
+  *   - per round: contributions `pr/outdeg` routed along edges (hash
+  *     join on src), summed per dst (hash aggregate), dangling mass
+  *     (vertices with no out-edges) folded back uniformly via a 1-row
+  *     broadcast;
+  *   - iteration state is one (id, pr) table, lineage-cut per round
+  *     with [[graft.Materialize.cut]] exactly like the components loop.
+  *
+  * Shuffle per round is O(|edges| + |vertices|) ids+doubles — never
+  * adjacency materialization beyond the input edge list, no driver
+  * collect; a fixed iteration count (the common 100 TB choice: ranks
+  * stabilize in the order sense long before numeric convergence) keeps
+  * the job's stage count static so AQE can plan it.
+  *
+  * Numeric parity discipline: per-round sums accumulate in
+  * DECIMAL(30,18) (order-independent, engine-independent) and every
+  * scalar step is a plain double expression, so the whole iteration
+  * replays bit-for-bit in an external SQL engine (harness q140).
+  */
+object Graphs {
+
+  /** @param vertices one row per vertex (`idCol` unique)
+    * @param edges    directed edge list; rows whose src or dst is not
+    *                 in `vertices` contribute nothing
+    * @param iters    fixed number of power-iteration rounds
+    * @param damping  damping factor d; pr' = (1-d)/N + d·(inflow +
+    *                 danglingMass/N)
+    * @return (idCol, pagerank) — one row per vertex; sums to 1 up to
+    *         the per-round 1e-18 decimal quantization
+    */
+  def pageRank(
+      vertices: DataFrame,
+      idCol: String,
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int = 3,
+      damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(damping > 0.0 && damping < 1.0,
+      s"damping must be in (0,1), got $damping")
+    val verts = vertices.select(col(idCol).as("__id"))
+    // the edge list re-enters the plan every round; its lineage may be
+    // an expensive candidate-generation pipeline (LSH kNN graph) —
+    // materialize once, like the components loop does
+    val e = Materialize.cut(
+      edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst")))
+    val deg = e.groupBy(col("__src")).agg(count(lit(1)).as("__od"))
+    val nDf = verts.agg(count(lit(1)).as("__n")) // 1 row, broadcast below
+    val base = lit(1.0 - damping) // embedded as the same double literal the oracle uses
+    var pr = Materialize.cut(
+      verts.crossJoin(broadcast(nDf))
+        .select(col("__id"), (lit(1.0) / col("__n")).as("__pr")))
+    for (_ <- 1 to iters) {
+      // dangling mass: total pr sitting on vertices with no out-edges,
+      // redistributed uniformly (the standard teleport correction) — a
+      // 1-row aggregate, broadcast back in-plan
+      val dang = pr.join(deg.select(col("__src").as("__id")), Seq("__id"), "left_anti")
+        .agg(coalesce(sum(col("__pr").cast(DecimalType(30, 18))).cast("double"),
+          lit(0.0)).as("__dm"))
+      val inflow = e
+        .join(pr.select(col("__id").as("__src"), col("__pr")), Seq("__src"))
+        .join(deg, Seq("__src"))
+        .groupBy(col("__dst"))
+        .agg(sum((col("__pr") / col("__od")).cast(DecimalType(30, 18)))
+          .cast("double").as("__s"))
+      pr = Materialize.cut(
+        verts
+          .join(inflow.select(col("__dst").as("__id"), col("__s")), Seq("__id"), "left")
+          .crossJoin(broadcast(dang))
+          .crossJoin(broadcast(nDf))
+          .select(col("__id"),
+            (base / col("__n") + lit(damping) *
+              (coalesce(col("__s"), lit(0.0)) + col("__dm") / col("__n")))
+              .as("__pr")))
+    }
+    pr.select(col("__id").as(idCol), col("__pr").as("pagerank"))
+  }
+
+  /** Corpus snapshot diff — classify every doc id across two corpus
+    * snapshots by content fingerprint: `added` (only in `newDf`),
+    * `removed` (only in `oldDf`), `changed` (both, different
+    * fingerprint), `unchanged`. The continual-training primitive: an
+    * incremental crawl refresh needs exactly this to decide what to
+    * re-clean / re-dedup / re-embed instead of reprocessing 100 TB.
+    *
+    * One full-outer hash join on the id — both sides shuffle ids +
+    * 128-bit fingerprints only, never document bodies.
+    */
+  def snapshotDiff(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    def fp(df: DataFrame, side: String): DataFrame =
+      df.select(col(idCol).as(s"__id_$side"),
+        graft.functions.TextFunctions.fingerprint(col(textCol)).as(s"__fp_$side"))
+    fp(oldDf, "old")
+      .join(fp(newDf, "new"), col("__id_old") === col("__id_new"), "full_outer")
+      .select(
+        coalesce(col("__id_old"), col("__id_new")).as(idCol),
+        when(col("__id_old").isNull, "added")
+          .when(col("__id_new").isNull, "removed")
+          .when(col("__fp_old") =!= col("__fp_new"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+}

@@ -693,4 +693,96 @@ object TextAnalysis {
       .withColumn("fingerprint", TextFunctions.fingerprint(col(textCol)))
       .withColumn("rolling_hash",
         TextFunctions.rollingHash(TextFunctions.tokens(col(textCol))))
+
+  /** T5/UL2-style span corruption, block-local so membership is a pure
+    * per-position hash (seed-reproducible, engine-replayable — the same
+    * property [[tokenDropout]] has, lifted from single tokens to spans):
+    *
+    *   - positions split into fixed blocks of `blockSize` (a power of
+    *     two, so block id and offset are bit ops);
+    *   - a block is corrupted iff `hash(id, block, seed) % corruptDen
+    *     == 0` (expected corruption rate 1/corruptDen of blocks);
+    *   - inside a corrupted block, the span `[start, start+spanLen)`
+    *     (start hashed per block) is masked; the masked RUN collapses
+    *     to one `<extra_id_k>` sentinel in the corrupted text, and the
+    *     per-doc targets line is the T5 decoder string
+    *     `<extra_id_0> tok … <extra_id_1> tok …`.
+    *
+    * Block-locality means spans never straddle or merge across blocks —
+    * that is what makes the mask a stateless per-position expression
+    * instead of a sequential scan, so the whole operator is
+    * posexplode → narrow maps → one per-doc aggregate: embarrassingly
+    * parallel at 100 TB, shuffling (id, pos, token) triples once.
+    * Sentinel ids are dense per document in block order.
+    */
+  def spanCorrupt(
+      df: DataFrame, textCol: String, idCol: String,
+      blockSize: Int = 16, spanLen: Int = 3, corruptDen: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    require(blockSize > 0 && (blockSize & (blockSize - 1)) == 0,
+      s"blockSize must be a power of two, got $blockSize")
+    require(spanLen >= 1 && spanLen < blockSize,
+      s"spanLen must be in [1, blockSize), got $spanLen")
+    require(corruptDen >= 1, s"corruptDen must be >= 1, got $corruptDen")
+    val shift = Integer.numberOfTrailingZeros(blockSize)
+    val starts = blockSize - spanLen + 1
+    val base = df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__t"))
+    val pos = base.select(col(idCol), posexplode(col("__t")))
+      .withColumnRenamed("pos", "__p").withColumnRenamed("col", "__tok")
+      .withColumn("__b", shiftright(col("__p"), shift))
+    val hCorrupt = TextFunctions.md5Hash60(concat(
+      col(idCol).cast("string"), lit(":b:"), col("__b").cast("string"),
+      lit(":" + seed)))
+    val hStart = TextFunctions.md5Hash60(concat(
+      col(idCol).cast("string"), lit(":s:"), col("__b").cast("string"),
+      lit(":" + seed)))
+    val marked = pos
+      .withColumn("__start", when(pmod(hCorrupt, lit(corruptDen.toLong)) === 0,
+        pmod(hStart, lit(starts.toLong))).otherwise(lit(null)))
+      .withColumn("__off", col("__p").bitwiseAND(lit((blockSize - 1).toLong)))
+      .withColumn("__masked",
+        col("__start").isNotNull && col("__off") >= col("__start") &&
+          col("__off") < col("__start") + spanLen)
+    // sentinel ids: dense per doc, in block order, over blocks that
+    // actually masked >= 1 token (a hashed start past a short tail
+    // block masks nothing and gets no sentinel)
+    val spanHeads = marked.filter(col("__masked"))
+      .groupBy(col(idCol), col("__b"))
+      .agg(min(col("__p")).as("__hp"))
+      .withColumn("__k",
+        row_number().over(Window.partitionBy(col(idCol)).orderBy(col("__b"))) - 1)
+    val sentinels = spanHeads.select(col(idCol), col("__hp").as("__p"),
+      concat(lit("<extra_id_"), col("__k").cast("string"), lit(">")).as("__tok"))
+    val corrupted = marked.filter(!col("__masked"))
+      .select(col(idCol), col("__p"), col("__tok"))
+      .unionByName(sentinels)
+      .groupBy(col(idCol))
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("__p"), col("__tok")))),
+        e => e.getField("__tok")), " ").as("corrupted_text"))
+    // targets: "<extra_id_k> tok tok ..." in position order — prefix the
+    // sentinel onto each span's FIRST token, then one ordered aggregate
+    val targetToks = marked.filter(col("__masked"))
+      .join(spanHeads, Seq(idCol, "__b"))
+      .select(col(idCol), col("__p"),
+        when(col("__p") === col("__hp"),
+          concat(lit("<extra_id_"), col("__k").cast("string"), lit("> "), col("__tok")))
+          .otherwise(col("__tok")).as("__tok"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_masked"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("__p"), col("__tok")))),
+          e => e.getField("__tok")), " ").as("target_text"))
+    val nSpans = spanHeads.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"))
+    base.select(col(idCol), size(col("__t")).cast("long").as("n_tokens"))
+      .join(corrupted, Seq(idCol), "left")
+      .join(targetToks, Seq(idCol), "left")
+      .join(nSpans, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_masked"), lit(0L)).as("n_masked"),
+        coalesce(col("corrupted_text"), lit("")).as("corrupted_text"),
+        coalesce(col("target_text"), lit("")).as("target_text"))
+  }
 }

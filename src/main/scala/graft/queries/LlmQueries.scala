@@ -2961,6 +2961,202 @@ object LlmQueries {
       GROUP BY 1 ORDER BY 1
     """.trim))
 
+  /** PageRank centrality over the corpus kNN graph
+    * ([[graft.operators.Graphs.pageRank]], 3 rounds, d = 0.85, over
+    * q134's cosine-floored LSH kNN edges): the keep-the-hub signal for
+    * near-dup families and graph-based curation. The oracle chains
+    * q132's full LSH replay into three UNROLLED power-iteration rounds
+    * — decimal-accumulated inflow sums, dangling-mass teleport and all
+    * — so graph construction AND the iteration replay bit-for-bit.
+    */
+  val q140PageRank = HarnessQuery(
+    "q140_pagerank",
+    (spark, dir) => {
+      val em = Tables.embeddings(spark, dir)
+      val graph = Similarity.lshKnnGraph(
+        em, "vec_id", "embedding", k = 3, numBits = 24, bands = 3)
+        .filter(col("cosine") >= 0.4)
+      graft.operators.Graphs.pageRank(
+        em.select(col("vec_id")), "vec_id", graph, "id_a", "id_b",
+        iters = 3, damping = 0.85)
+        .select(col("vec_id"), round(col("pagerank"), 12).as("pagerank"))
+        .orderBy(col("vec_id"))
+    },
+    Some {
+      val prRound = (i: Int) => s"""
+      dang$i AS (
+        SELECT coalesce(CAST(sum(CAST(p.pr AS DECIMAL(30,18))) AS DOUBLE),
+                        CAST(0 AS DOUBLE)) AS dm
+        FROM pr$i p LEFT JOIN deg d ON p.id = d.src WHERE d.src IS NULL),
+      agg$i AS (
+        SELECT e.dst AS id,
+               CAST(sum(CAST(p.pr / d.od AS DECIMAL(30,18))) AS DOUBLE) AS s
+        FROM edges e JOIN pr$i p ON e.src = p.id JOIN deg d ON e.src = d.src
+        GROUP BY 1),
+      pr${i + 1} AS (
+        SELECT v.id,
+               CAST(0.15000000000000002 AS DOUBLE) / nn.n
+                 + CAST(0.85 AS DOUBLE) *
+                   (coalesce(a.s, CAST(0 AS DOUBLE)) + dg.dm / nn.n) AS pr
+        FROM verts v LEFT JOIN agg$i a ON v.id = a.id, dang$i dg, nn)"""
+      s"""
+      WITH hp AS (
+        SELECT h.h AS h, d.d AS d,
+               (CAST(('0x' || substr(md5('42_' || h.h || '_' || d.d), 1, 15)) AS BIGINT)
+                 % 1000000) / 1000000.0 - 0.5 AS v
+        FROM generate_series(0, 23) h(h), generate_series(0, 63) d(d)),
+      dots AS (
+        SELECT e.vec_id, hp.h,
+               CAST(sum(CAST(CAST(e.embedding[hp.d + 1] AS DOUBLE) * hp.v
+                 AS DECIMAL(30,18))) AS DOUBLE) AS dv
+        FROM embeddings e, hp GROUP BY 1, 2),
+      sk AS (
+        SELECT vec_id,
+               CAST(sum(CASE WHEN dv > 0 THEN (CAST(1 AS BIGINT) << (23 - h))
+                 ELSE 0 END) AS BIGINT) AS sk
+        FROM dots GROUP BY 1),
+      bands AS (
+        SELECT s.vec_id, b.b || '_' || ((s.sk >> (b.b * 8)) & 255) AS band_key
+        FROM sk s, generate_series(0, 2) b(b)),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+        FROM bands a JOIN bands c USING (band_key)
+        WHERE a.vec_id <> c.vec_id),
+      n AS (
+        SELECT vec_id, embedding,
+               sqrt(CAST(sum(CAST(CAST(embedding[g.i] AS DOUBLE) * CAST(embedding[g.i] AS DOUBLE)
+                 AS DECIMAL(30,18))) AS DOUBLE)) AS nrm
+        FROM embeddings, generate_series(1, 64) g(i) GROUP BY 1, 2),
+      scored AS (
+        SELECT cand.id_a, cand.id_b,
+               CAST(sum(CAST(CAST(a.embedding[g.i] AS DOUBLE) * CAST(b.embedding[g.i] AS DOUBLE)
+                 AS DECIMAL(30,18))) AS DOUBLE) / (any_value(a.nrm) * any_value(b.nrm)) AS cosine
+        FROM cand
+        JOIN n a ON a.vec_id = cand.id_a
+        JOIN n b ON b.vec_id = cand.id_b,
+        generate_series(1, 64) g(i)
+        GROUP BY 1, 2),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM (
+          SELECT id_a, id_b, cosine,
+                 row_number() OVER (PARTITION BY id_a
+                   ORDER BY cosine DESC, id_b) AS rank
+          FROM scored) WHERE rank <= 3 AND cosine >= 0.4),
+      deg AS (SELECT src, count(*) AS od FROM edges GROUP BY 1),
+      verts AS (SELECT vec_id AS id FROM embeddings),
+      nn AS (SELECT count(*) AS n FROM verts),
+      pr0 AS (SELECT id, CAST(1.0 AS DOUBLE) / nn.n AS pr FROM verts, nn),
+      ${prRound(0)},
+      ${prRound(1)},
+      ${prRound(2)}
+      SELECT id AS vec_id, round(pr, 12) AS pagerank
+      FROM pr3 ORDER BY vec_id
+      """.trim
+    })
+
+  /** Corpus snapshot diff ([[graft.operators.Graphs.snapshotDiff]]):
+    * old = the full corpus; new = the corpus minus every 7th doc, with
+    * every 5th doc's text revised and 30 fresh ids appended — the
+    * operator must label every id added / removed / changed / unchanged
+    * from fingerprints alone. Full per-id membership oracle.
+    */
+  val q141SnapshotDiff = HarnessQuery(
+    "q141_snapshot_diff",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val newDf = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" rev")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") < 30)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      graft.operators.Graphs.snapshotDiff(docs, newDf, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH oldc AS (
+        SELECT doc_id,
+               md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\s+'), ' ')) AS fp
+        FROM documents),
+      newraw AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0 THEN text || ' rev' ELSE text END AS text
+        FROM documents WHERE doc_id % 7 <> 0
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 30),
+      newc AS (
+        SELECT doc_id,
+               md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\s+'), ' ')) AS fp
+        FROM newraw)
+      SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+             CASE WHEN o.doc_id IS NULL THEN 'added'
+                  WHEN n.doc_id IS NULL THEN 'removed'
+                  WHEN o.fp <> n.fp THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM oldc o FULL OUTER JOIN newc n ON o.doc_id = n.doc_id
+      ORDER BY doc_id
+    """.trim))
+
+  /** T5/UL2 span corruption ([[TextAnalysis.spanCorrupt]], 16-token
+    * blocks, 3-token spans, 1-in-4 blocks, seed 42): the corrupted
+    * input AND the decoder-target string, both rebuilt token-exact in
+    * SQL from the same per-block md5 draws.
+    */
+  val q142SpanCorrupt = HarnessQuery(
+    "q142_span_corrupt",
+    (spark, dir) =>
+      TextAnalysis.spanCorrupt(
+        Tables.documents(spark, dir), "text", "doc_id",
+        blockSize = 16, spanLen = 3, corruptDen = 4, seed = 42L)
+        .orderBy(col("doc_id")),
+    Some("""
+      WITH toks AS (SELECT doc_id,
+                           regexp_split_to_array(trim(lower(text)), '\s+') AS t
+                    FROM documents),
+      pos AS (SELECT doc_id,
+                     unnest(generate_series(1, len(t))) - 1 AS p,
+                     unnest(t) AS tok
+              FROM toks),
+      m AS (SELECT doc_id, p, tok, p >> 4 AS b, p & 15 AS off FROM pos),
+      hh AS (SELECT doc_id, b,
+                    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':b:' ||
+                      CAST(b AS VARCHAR) || ':42'), 1, 15)) AS BIGINT) % 4 AS hc,
+                    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':s:' ||
+                      CAST(b AS VARCHAR) || ':42'), 1, 15)) AS BIGINT) % 14 AS hs
+             FROM (SELECT DISTINCT doc_id, b FROM m)),
+      mk AS (SELECT m.doc_id, m.p, m.tok, m.b,
+                    (hh.hc = 0 AND m.off >= hh.hs AND m.off < hh.hs + 3) AS masked
+             FROM m JOIN hh USING (doc_id, b)),
+      heads AS (SELECT doc_id, b, min(p) AS hp FROM mk WHERE masked GROUP BY 1, 2),
+      ks AS (SELECT doc_id, b, hp,
+                    row_number() OVER (PARTITION BY doc_id ORDER BY b) - 1 AS k
+             FROM heads),
+      corrupted AS (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS corrupted_text
+        FROM (SELECT doc_id, p, tok FROM mk WHERE NOT masked
+              UNION ALL
+              SELECT doc_id, hp, '<extra_id_' || CAST(k AS VARCHAR) || '>' FROM ks)
+        GROUP BY doc_id),
+      tgt AS (
+        SELECT mk.doc_id, count(*) AS n_masked,
+               string_agg(CASE WHEN mk.p = ks.hp
+                   THEN '<extra_id_' || CAST(ks.k AS VARCHAR) || '> ' || mk.tok
+                   ELSE mk.tok END, ' ' ORDER BY mk.p) AS target_text
+        FROM mk JOIN ks ON mk.doc_id = ks.doc_id AND mk.b = ks.b
+        WHERE mk.masked GROUP BY mk.doc_id),
+      spans AS (SELECT doc_id, count(*) AS n_spans FROM ks GROUP BY 1),
+      lens AS (SELECT doc_id, len(t) AS n_tokens FROM toks)
+      SELECT l.doc_id, CAST(l.n_tokens AS BIGINT) AS n_tokens,
+             CAST(coalesce(s.n_spans, 0) AS BIGINT) AS n_spans,
+             CAST(coalesce(g.n_masked, 0) AS BIGINT) AS n_masked,
+             coalesce(c.corrupted_text, '') AS corrupted_text,
+             coalesce(g.target_text, '') AS target_text
+      FROM lens l LEFT JOIN corrupted c USING (doc_id)
+      LEFT JOIN tgt g USING (doc_id)
+      LEFT JOIN spans s USING (doc_id)
+      ORDER BY l.doc_id
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q50TextStats, q51TokenCount, q52LangQuality, q53Fingerprint,
     q54Shingles, q55MinhashPairs, q56ExactDedup, q57SimhashPairs,
@@ -2980,5 +3176,6 @@ object LlmQueries {
     q128KeywordTag, q129FoldLeakage, q130ZipfFit, q131LabelDisagreement,
     q132KnnGraph, q133RandomProjection, q134EmbeddingClusters,
     q135TruncationStats, q136NgramNovelty, q137TokenDropout,
-    q138StripAccents, q139Interleave)
+    q138StripAccents, q139Interleave, q140PageRank, q141SnapshotDiff,
+    q142SpanCorrupt)
 }

@@ -1,0 +1,94 @@
+package graft
+
+import graft.operators.Graphs
+
+class GraphsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference PageRank on the driver, same quantization-free math
+    * shape (plain doubles; the 1e-18 decimal rounding inside the
+    * operator is below the comparison tolerance here).
+    */
+  private def refPageRank(
+      verts: Seq[Long], edges: Seq[(Long, Long)],
+      iters: Int, d: Double): Map[Long, Double] = {
+    val n = verts.size
+    val out = edges.groupBy(_._1).view.mapValues(_.size).toMap
+    var pr = verts.map(v => v -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val dangling = verts.filterNot(out.contains).map(pr).sum
+      val inflow = edges.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => pr(s) / out(s) }.sum).toMap
+      pr = verts.map(v => v ->
+        ((1.0 - d) / n + d * (inflow.getOrElse(v, 0.0) + dangling / n))).toMap
+    }
+    pr
+  }
+
+  test("pageRank: star + dangling sink matches driver-side reference") {
+    // 1 -> {2,3,4}; 2 -> 1; 3,4 dangling; 5 isolated
+    val verts = Seq(1L, 2L, 3L, 4L, 5L)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 1L))
+    val got = Graphs.pageRank(
+      verts.toDF("id"), "id", edges.toDF("s", "d"), "s", "d",
+      iters = 3, damping = 0.85)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = refPageRank(verts, edges, 3, 0.85)
+    verts.foreach { v =>
+      assert(math.abs(got(v) - want(v)) < 1e-12, s"vertex $v: ${got(v)} vs ${want(v)}")
+    }
+    // probability mass is conserved by the teleport correction
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+  }
+
+  test("pageRank: symmetric cycle is uniform; hub outranks leaves") {
+    val cycleV = Seq(1L, 2L, 3L)
+    val cycleE = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    val uniform = Graphs.pageRank(
+      cycleV.toDF("id"), "id", cycleE.toDF("s", "d"), "s", "d", iters = 4)
+      .collect().map(_.getDouble(1))
+    assert(uniform.forall(p => math.abs(p - 1.0 / 3) < 1e-12))
+
+    // leaves all point at the hub: hub must outrank every leaf
+    val hubV = Seq(1L, 2L, 3L, 4L)
+    val hubE = Seq((2L, 1L), (3L, 1L), (4L, 1L), (1L, 2L))
+    val ranks = Graphs.pageRank(
+      hubV.toDF("id"), "id", hubE.toDF("s", "d"), "s", "d", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ranks(1L) > ranks(3L) && ranks(1L) > ranks(4L))
+  }
+
+  test("pageRank: edges referencing unknown vertices contribute nothing") {
+    val got = Graphs.pageRank(
+      Seq(1L, 2L).toDF("id"), "id",
+      Seq((1L, 2L), (9L, 1L), (2L, 9L)).toDF("s", "d"), "s", "d", iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet === Set(1L, 2L))
+    // vertex 9's phantom inflow never lands; both prs stay finite, positive
+    assert(got.values.forall(p => p > 0 && p < 1))
+  }
+
+  test("pageRank rejects bad arguments") {
+    val v = Seq(1L).toDF("id"); val e = Seq((1L, 1L)).toDF("s", "d")
+    intercept[IllegalArgumentException] {
+      Graphs.pageRank(v, "id", e, "s", "d", iters = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Graphs.pageRank(v, "id", e, "s", "d", damping = 1.0)
+    }
+  }
+
+  test("snapshotDiff labels added / removed / changed / unchanged") {
+    val oldDf = Seq(
+      (1L, "alpha beta"), (2L, "gamma"), (3L, "delta")).toDF("doc_id", "text")
+    val newDf = Seq(
+      (1L, "  ALPHA   beta "), // normalizes to the same fingerprint
+      (3L, "delta prime"),     // changed
+      (9L, "epsilon")          // added
+    ).toDF("doc_id", "text")
+    val got = Graphs.snapshotDiff(oldDf, newDf, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(
+      1L -> "unchanged", 2L -> "removed", 3L -> "changed", 9L -> "added"))
+  }
+}

@@ -441,4 +441,44 @@ class TextOpsSpec extends SparkSpec {
     assert(dropped.join(reported, "doc_id")
       .filter($"n_tokens_dropped" =!= $"dup_tokens").count() === 0)
   }
+
+  test("spanCorrupt: sentinels dense in order, corrupted+target reconstruct the doc") {
+    val docs = (1 to 40).map(i => (i.toLong, (1 to 64).map(p => s"t$p").mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.spanCorrupt(docs, "text", "doc_id",
+      blockSize = 16, spanLen = 3, corruptDen = 2, seed = 9L)
+      .orderBy($"doc_id").collect()
+    assert(r.forall(_.getLong(1) === 64L))
+    // determinism
+    val r2 = TextAnalysis.spanCorrupt(docs, "text", "doc_id",
+      blockSize = 16, spanLen = 3, corruptDen = 2, seed = 9L)
+      .orderBy($"doc_id").collect()
+    assert(r.map(_.getString(4)).toSeq === r2.map(_.getString(4)).toSeq)
+    assert(r.exists(_.getLong(2) > 0), "corruptDen=2 over 4 blocks must corrupt somewhere")
+    r.foreach { row =>
+      val nSpans = row.getLong(2); val nMasked = row.getLong(3)
+      val corrupted = row.getString(4); val target = row.getString(5)
+      // sentinel ids dense and in order in BOTH strings
+      val sentRe = "<extra_id_(\\d+)>".r
+      val inCorrupted = sentRe.findAllMatchIn(corrupted).map(_.group(1).toInt).toSeq
+      val inTarget = sentRe.findAllMatchIn(target).map(_.group(1).toInt).toSeq
+      assert(inCorrupted === (0 until nSpans.toInt))
+      assert(inTarget === (0 until nSpans.toInt))
+      // splice the target's spans back into the corrupted text at the
+      // sentinels -> exactly the original document
+      val spans = target.split("<extra_id_\\d+> ?").filter(_.nonEmpty).map(_.trim)
+      assert(spans.length === nSpans.toInt)
+      assert(spans.map(_.split(" ").length).sum === nMasked.toInt)
+      var rebuilt = corrupted
+      spans.zipWithIndex.foreach { case (s, k) =>
+        rebuilt = rebuilt.replace(s"<extra_id_$k>", s)
+      }
+      assert(rebuilt === (1 to 64).map(p => s"t$p").mkString(" "))
+    }
+    // masked tokens never survive in the corrupted text, rate is plausible
+    val totMasked = r.map(_.getLong(3)).sum.toDouble
+    val totTokens = r.map(_.getLong(1)).sum.toDouble
+    assert(totMasked / totTokens > 0.03 && totMasked / totTokens < 0.2,
+      s"mask rate ${totMasked / totTokens}")
+  }
 }
