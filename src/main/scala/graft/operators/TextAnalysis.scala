@@ -694,6 +694,21 @@ object TextAnalysis {
       .withColumn("rolling_hash",
         TextFunctions.rollingHash(TextFunctions.tokens(col(textCol))))
 
+  /** Checksum-validated payment-card redaction via the codegen'd
+    * [[graft.functions.LuhnExpr]] scanner: maximal 13-19-digit runs
+    * that pass the Luhn check become `[CARD]`; everything else —
+    * including pattern-lookalike order ids that fail the checksum —
+    * passes through untouched. One narrow map, no regex engine, no
+    * shuffle; the complement to [[redactPii]]'s pattern-only scrub.
+    */
+  def redactCardNumbers(
+      df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    df.select(col(idCol),
+      graft.functions.LuhnExpr.luhnCount(spark, col(textCol)).as("n_cards"),
+      graft.functions.LuhnExpr.luhnMask(spark, col(textCol)).as("redacted_text"))
+  }
+
   /** T5/UL2-style span corruption, block-local so membership is a pure
     * per-position hash (seed-reproducible, engine-replayable — the same
     * property [[tokenDropout]] has, lifted from single tokens to spans):

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{IpToIntExpr, NfcNormalizeExpr, QuantizedDotExpr, StripAccentsExpr}
+import graft.functions.{IpToIntExpr, LuhnCardCountExpr, LuhnMaskExpr, NfcNormalizeExpr, QuantizedDotExpr, StripAccentsExpr}
 
 /** Engine extensions, installed with
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or
@@ -69,6 +69,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         arity("graft_quantized_dot", 2, children)
         QuantizedDotExpr(children(0), children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_luhn_mask"),
+      new ExpressionInfo(classOf[LuhnMaskExpr].getName, "graft_luhn_mask"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        arity("graft_luhn_mask", 1, children)
+        LuhnMaskExpr(org.apache.spark.sql.catalyst.expressions.Cast(
+          children.head, org.apache.spark.sql.types.StringType))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_luhn_count"),
+      new ExpressionInfo(classOf[LuhnCardCountExpr].getName,
+        "graft_luhn_count"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        arity("graft_luhn_count", 1, children)
+        LuhnCardCountExpr(org.apache.spark.sql.catalyst.expressions.Cast(
+          children.head, org.apache.spark.sql.types.StringType))
       }))
   }
 }

@@ -3157,6 +3157,60 @@ object LlmQueries {
       ORDER BY l.doc_id
     """.trim))
 
+  /** Luhn-validated card redaction ([[TextAnalysis.redactCardNumbers]],
+    * the codegen'd `graft_luhn_mask` / `graft_luhn_count` expressions):
+    * the corpus has no digits, so each doc gets a deterministic planted
+    * 16-digit number (4e15 + 7 * doc_id — about a tenth pass the
+    * checksum) plus a short trailing id run that must never be
+    * touched. The oracle re-derives the Luhn decision and the
+    * masked string per run in SQL (digit-run split + per-digit
+    * checksum), so the custom expression is checked end to end.
+    */
+  val q143LuhnRedact = HarnessQuery(
+    "q143_luhn_redact",
+    (spark, dir) =>
+      TextAnalysis.redactCardNumbers(
+        Tables.documents(spark, dir)
+          .select(col("doc_id"),
+            concat(col("text"), lit(" card "),
+              (lit(4000000000000000L) + col("doc_id") * 7L).cast("string"),
+              lit(" ref "), col("doc_id").cast("string")).as("text")),
+        "text", "doc_id")
+        .orderBy(col("doc_id")),
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+               text || ' card ' || CAST(4000000000000000 + doc_id * 7 AS VARCHAR)
+                    || ' ref ' || CAST(doc_id AS VARCHAR) AS text
+        FROM documents),
+      runs AS (
+        SELECT doc_id,
+               regexp_split_to_array(text, '[0-9]+') AS segs,
+               regexp_extract_all(text, '[0-9]+') AS digs
+        FROM t),
+      dig AS (
+        SELECT doc_id, i, digs[i] AS d,
+               len(digs[i]) BETWEEN 13 AND 19 AND
+               list_sum(list_transform(generate_series(1, len(digs[i])), j ->
+                 CASE WHEN (len(digs[i]) - j) % 2 = 1
+                      THEN CASE WHEN 2 * CAST(digs[i][j] AS INT) > 9
+                                THEN 2 * CAST(digs[i][j] AS INT) - 9
+                                ELSE 2 * CAST(digs[i][j] AS INT) END
+                      ELSE CAST(digs[i][j] AS INT) END)) % 10 = 0 AS valid
+        FROM runs, LATERAL unnest(generate_series(1, len(digs))) AS g(i)),
+      rebuilt AS (
+        SELECT r.doc_id,
+               CAST(coalesce(sum(CASE WHEN d.valid THEN 1 ELSE 0 END), 0) AS BIGINT)
+                 AS n_cards,
+               any_value(r.segs[1]) ||
+                 coalesce(string_agg(
+                   (CASE WHEN d.valid THEN '[CARD]' ELSE d.d END) || r.segs[d.i + 1],
+                   '' ORDER BY d.i), '') AS redacted_text
+        FROM runs r LEFT JOIN dig d USING (doc_id)
+        GROUP BY r.doc_id)
+      SELECT doc_id, n_cards, redacted_text FROM rebuilt ORDER BY doc_id
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q50TextStats, q51TokenCount, q52LangQuality, q53Fingerprint,
     q54Shingles, q55MinhashPairs, q56ExactDedup, q57SimhashPairs,
@@ -3177,5 +3231,5 @@ object LlmQueries {
     q132KnnGraph, q133RandomProjection, q134EmbeddingClusters,
     q135TruncationStats, q136NgramNovelty, q137TokenDropout,
     q138StripAccents, q139Interleave, q140PageRank, q141SnapshotDiff,
-    q142SpanCorrupt)
+    q142SpanCorrupt, q143LuhnRedact)
 }
