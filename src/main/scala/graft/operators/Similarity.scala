@@ -98,25 +98,26 @@ object Similarity {
   private def scorePairs(
       pairs: DataFrame, corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String): DataFrame = {
-    val cDim = corpus.select(col(idCol).as("neighbor_id"), posexplode(col(vecCol)))
-      .select(col("neighbor_id"), col("pos").as("__d"),
-        col("col").cast("double").as("__xc"))
-    val qDim = broadcast(
-      queries.select(col(idCol).as("query_id"), posexplode(col(vecCol)))
-        .select(col("query_id"), col("pos").as("__d"),
-          col("col").cast("double").as("__xq")))
-    val dots = pairs
-      .join(cDim, Seq("neighbor_id"))
-      .join(qDim, Seq("query_id", "__d"))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(sum((col("__xq") * col("__xc")).cast("decimal(30,18)")).as("__dot"))
-    val cN = normTable(corpus, idCol, "neighbor_id", vecCol, "__cn")
-    val qN = broadcast(normTable(queries, idCol, "query_id", vecCol, "__qn"))
-    dots
-      .join(qN, Seq("query_id"))
-      .join(cN, Seq("neighbor_id"))
+    // Same in-row shape as [[exactPairCosine]]: whole vectors +
+    // precomputed norms attach by id (corpus via one hash join of
+    // O(|pairs|) rows, queries broadcast), the exact decimal [[dot]]
+    // folds per row — bit-identical to the old explode/HashAggregate
+    // path, minus the |pairs|·dim keyed shuffle. Null/empty vectors had
+    // no dims to explode and so dropped their pairs; the filter keeps
+    // that contract.
+    val cSide = corpus.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__vc"),
+        norm(col(vecCol)).as("__cn"))
+    val qSide = broadcast(
+      queries.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+        .select(col(idCol).as("query_id"), col(vecCol).as("__vq"),
+          norm(col(vecCol)).as("__qn")))
+    pairs
+      .join(cSide, Seq("neighbor_id"))
+      .join(qSide, Seq("query_id"))
       .withColumn("cosine",
-        col("__dot").cast("double") / (col("__qn") * col("__cn")))
+        dot(col("__vq"), col("__vc")) / (col("__qn") * col("__cn")))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
   }
 
   /** Exact cosine for symmetric (id_a, id_b) corpus pairs — like
@@ -612,11 +613,11 @@ object Similarity {
     * cosine, so cell membership is bit-reproducible across engines and
     * partitionings; ties break toward the smaller cell id.
     *
-    * Plan shape: centroid dim + norm tables broadcast (nlist × dim is
-    * tiny by construction), corpus explodes once into (id, dim, value)
-    * triples through one HashAggregate per side — the corpus shuffles
-    * ids and scalars only, never whole vectors, and each query scores
-    * just the members of its nprobe probed cells.
+    * Plan shape: centroids broadcast whole (nlist × dim is tiny by
+    * construction), assignment/probing is a broadcast nested loop with
+    * an in-row decimal dot, and the exact re-rank joins packed vectors
+    * by id — each query scores just the members of its nprobe probed
+    * cells, and shuffles carry O(|pairs|) packed rows.
     */
   def ivfSearchTopK(
       corpus: DataFrame,
@@ -649,22 +650,19 @@ object Similarity {
       vecCol: String,
       centroids: DataFrame,
       topN: Int): DataFrame = {
-    val cellDim = broadcast(
-      centroids.select(col("cell"), posexplode(col("cvec")))
-        .select(col("cell"), col("pos").as("__d"),
-          col("col").cast("double").as("__cv")))
-    val cellNorm = broadcast(normTable(centroids, "cell", "cell", "cvec", "__cn"))
-    val dims = df.select(col(idCol).as(outId), posexplode(col(vecCol)))
-      .select(col(outId), col("pos").as("__d"),
-        col("col").cast("double").as("__x"))
-    val dots = dims.join(cellDim, Seq("__d"))
-      .groupBy(col(outId), col("cell"))
-      .agg(sum((col("__x") * col("__cv")).cast("decimal(30,18)")).as("__dot"))
-    val nrm = normTable(df, idCol, outId, vecCol, "__nr")
+    // centroids broadcast whole (nlist x dim is tiny by construction);
+    // the decimal-exact dot folds in-row per (row, cell), replacing the
+    // old explode/join/HashAggregate with one broadcast nested loop of
+    // |df| x nlist rows — same bit-exact cosines, two fewer shuffles
+    val cellSide = broadcast(centroids.select(col("cell"),
+      col("cvec").as("__cvec"), norm(col("cvec")).as("__cn")))
+    val dN = df.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      .select(col(idCol).as(outId), col(vecCol).as("__v"),
+        norm(col(vecCol)).as("__nr"))
     val w = Window.partitionBy(col(outId)).orderBy(
-      (col("__dot").cast("double") / (col("__nr") * col("__cn"))).desc,
-      col("cell"))
-    dots.join(nrm, Seq(outId)).join(cellNorm, Seq("cell"))
+      (col("__dot") / (col("__nr") * col("__cn"))).desc, col("cell"))
+    dN.crossJoin(cellSide)
+      .withColumn("__dot", dot(col("__v"), col("__cvec")))
       .withColumn("__cr", row_number().over(w))
       .filter(col("__cr") <= topN)
       .select(col(outId), col("cell"))
