@@ -208,6 +208,53 @@ object Eda {
         col(valueCol), col("n"))
   }
 
+  /** Benford's-law first-digit audit — the classic fabricated-numbers
+    * screen (invoice fraud, padded metrics, synthetic-row detection):
+    * per group, the observed leading-digit distribution against the
+    * Benford expectation P(d) = log10(1 + 1/d), with the chi-square
+    * statistic attached to every digit row. One narrow map + one hash
+    * aggregate + a 9-row-per-group window — no shuffle beyond the
+    * grouping.
+    *
+    * Cross-engine determinism: the leading digit comes from the exact
+    * DECIMAL(18,6) rendering of the value (first [1-9] of the fixed-
+    * scale string — no log10/pow, whose libm rounding differs between
+    * engines near powers of ten), and the chi-square terms accumulate
+    * in decimal. Zero / null values have no leading digit and are
+    * excluded.
+    */
+  def benfordAudit(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
+    val digit = regexp_extract(
+      col(valueCol).cast("decimal(18,6)").cast("string"), "[1-9]", 0)
+    val obs = df
+      .withColumn("digit", digit)
+      .filter(col("digit") =!= "")
+      .groupBy(col(groupCol), col("digit"))
+      .agg(count(lit(1)).as("n_obs"))
+    val fracMap = map((1 to 9).flatMap(d =>
+      Seq(lit(d.toString), lit(math.log10(1.0 + 1.0 / d)))): _*)
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    obs
+      // a digit a group never produced still contributes (0 - e)^2/e to
+      // the statistic, so rebuild the full (group x digit) grid from the
+      // group totals and left-join the observations back on
+      .groupBy(col(groupCol)).agg(sum(col("n_obs")).as("n_total"))
+      .select(col(groupCol), col("n_total"),
+        explode(array((1 to 9).map(d => lit(d.toString)): _*)).as("digit"))
+      .join(obs, Seq(groupCol.toString, "digit"), "left")
+      .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
+      .withColumn("benford_frac", element_at(fracMap, col("digit")))
+      .withColumn("__e", col("n_total") * col("benford_frac"))
+      .withColumn("__term",
+        (col("n_obs") - col("__e")) * (col("n_obs") - col("__e")) / col("__e"))
+      .withColumn("chi2",
+        sum(col("__term").cast("decimal(30,15)")).over(wg).cast("double"))
+      .select(col(groupCol), col("digit"), col("n_obs"), col("n_total"),
+        round(col("benford_frac"), 12).as("benford_frac"),
+        round(col("__term"), 12).as("chi2_term"),
+        round(col("chi2"), 12).as("chi2"))
+  }
+
   /** Skew-safe grouped COUNT(DISTINCT): two-stage rewrite — dedup on
     * (key, value) with map-side combine, then count per key. A plain
     * grouped count-distinct funnels every value of a hot key through one

@@ -373,9 +373,52 @@ object EdaQueries {
       GROUP BY 1 ORDER BY 1
     """.trim))
 
+  /** Benford's-law first-digit audit ([[Eda.benfordAudit]] on event
+    * values by type): observed vs expected digit distribution + the
+    * chi-square statistic, every number decimal-exact. The leading
+    * digit derives from the exact DECIMAL(18,6) rendering (no libm
+    * log10), so both engines classify every value identically.
+    */
+  val q145BenfordAudit = HarnessQuery(
+    "q145_benford_audit",
+    (spark, dir) =>
+      Eda.benfordAudit(Tables.events(spark, dir), "value", "event_type")
+        .orderBy(col("event_type"), col("digit")),
+    Some {
+      val fracRows = (1 to 9).map(d =>
+        s"('$d', CAST(${math.log10(1.0 + 1.0 / d)} AS DOUBLE))").mkString(", ")
+      s"""
+      WITH src AS (
+        SELECT event_type,
+               regexp_extract(CAST(CAST(value AS DECIMAL(18,6)) AS VARCHAR),
+                 '[1-9]', 0) AS digit
+        FROM events),
+      obs AS (SELECT event_type, digit, count(*) AS n_obs
+              FROM src WHERE digit <> '' GROUP BY 1, 2),
+      tot AS (SELECT event_type, CAST(sum(n_obs) AS BIGINT) AS n_total
+              FROM obs GROUP BY 1),
+      fr(digit, benford_frac) AS (VALUES $fracRows),
+      grid AS (SELECT t.event_type, t.n_total, CAST(d.d AS VARCHAR) AS digit
+               FROM tot t, generate_series(1, 9) d(d)),
+      j AS (SELECT g.event_type, g.digit,
+                   coalesce(o.n_obs, 0) AS n_obs, g.n_total, f.benford_frac,
+                   g.n_total * f.benford_frac AS e
+            FROM grid g
+            LEFT JOIN obs o ON o.event_type = g.event_type AND o.digit = g.digit
+            JOIN fr f ON f.digit = g.digit),
+      t2 AS (SELECT *, (n_obs - e) * (n_obs - e) / e AS term FROM j)
+      SELECT event_type, digit, CAST(n_obs AS BIGINT) AS n_obs, n_total,
+             round(benford_frac, 12) AS benford_frac,
+             round(term, 12) AS chi2_term,
+             round(CAST(sum(CAST(term AS DECIMAL(30,15)))
+               OVER (PARTITION BY event_type) AS DOUBLE), 12) AS chi2
+      FROM t2 ORDER BY event_type, digit
+      """.trim
+    })
+
   def all: Seq[HarnessQuery] = Seq(
     q30Describe, q31ValueCounts, q32GroupedMean, q33Histogram,
     q34DistinctCount, q35ClassFreq, q36Rollup, q37SkewDistinct,
     q38Sketches, q39Cube, q100Profile, q103Winsorize, q104Zscore,
-    q107Trending, q108IqrFilter)
+    q107Trending, q108IqrFilter, q145BenfordAudit)
 }

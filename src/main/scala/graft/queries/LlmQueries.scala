@@ -3211,6 +3211,97 @@ object LlmQueries {
       SELECT doc_id, n_cards, redacted_text FROM rebuilt ORDER BY doc_id
     """.trim))
 
+  /** Canonical-doc selection by centrality: minhash near-dup pairs
+    * ([[TextDedup.minhashNearDupPairs]], q55's parameters) become the
+    * edge list for BOTH [[graft.operators.Components.connectedComponents]]
+    * (who is a duplicate of whom) and [[graft.operators.Graphs.pageRank]]
+    * (who is the hub); each multi-member family keeps its
+    * highest-centrality member. The "keep the best copy" upgrade over
+    * q74's keep-min-id. Oracle: q74's brute-force-Jaccard + recursive
+    * reachability chained into q140's unrolled power iteration.
+    */
+  val q144CanonicalDocs = HarnessQuery(
+    "q144_canonical_docs",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val pairs = TextDedup.minhashNearDupPairs(
+        docs, "text", "doc_id", n = 3, numHashes = 16, bands = 8,
+        threshold = 0.8, hashFn = TextFunctions.fastHash)
+      val edges = pairs.select(col("id_a"), col("id_b"))
+      val clusters = graft.operators.Components.connectedComponents(
+        docs.select(col("doc_id")), edges, "doc_id")
+      val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      val pr = graft.operators.Graphs.pageRank(
+        docs.select(col("doc_id")), "doc_id", sym, "src", "dst",
+        iters = 3, damping = 0.85)
+      val wRank = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("pagerank").desc, col("doc_id"))
+      val wSize = Window.partitionBy(col("cluster_id"))
+      clusters.join(pr, Seq("doc_id"))
+        .withColumn("__rn", row_number().over(wRank))
+        .withColumn("n_members", count(lit(1)).over(wSize).cast("long"))
+        .filter(col("__rn") === 1 && col("n_members") >= 2)
+        .select(col("cluster_id"), col("doc_id").as("kept_id"),
+          col("n_members"), round(col("pagerank"), 12).as("pagerank"))
+        .orderBy(col("cluster_id"))
+    },
+    Some {
+      val prRound = (i: Int) => s"""
+      dang$i AS (
+        SELECT coalesce(CAST(sum(CAST(p.pr AS DECIMAL(30,18))) AS DOUBLE),
+                        CAST(0 AS DOUBLE)) AS dm
+        FROM pr$i p LEFT JOIN deg d ON p.id = d.src WHERE d.src IS NULL),
+      agg$i AS (
+        SELECT e.dst AS id,
+               CAST(sum(CAST(p.pr / d.od AS DECIMAL(30,18))) AS DOUBLE) AS s
+        FROM edges e JOIN pr$i p ON e.src = p.id JOIN deg d ON e.src = d.src
+        GROUP BY 1),
+      pr${i + 1} AS (
+        SELECT v.id,
+               CAST(0.15000000000000002 AS DOUBLE) / nn.n
+                 + CAST(0.85 AS DOUBLE) *
+                   (coalesce(a.s, CAST(0 AS DOUBLE)) + dg.dm / nn.n) AS pr
+        FROM verts v LEFT JOIN agg$i a ON v.id = a.id, dang$i dg, nn)"""
+      s"""
+      WITH RECURSIVE t AS (SELECT doc_id,
+                   list_distinct(list_transform(
+                     generate_series(1, len(regexp_split_to_array(trim(lower(text)), '\\s+')) - 2),
+                     i -> array_to_string((regexp_split_to_array(trim(lower(text)), '\\s+'))[i:i+2], ' ')))
+                     AS sh
+                 FROM documents),
+      pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM t a, t b
+                WHERE a.doc_id < b.doc_id
+                  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs),
+      reach(id, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+      labels AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id),
+      deg AS (SELECT src, count(*) AS od FROM edges GROUP BY 1),
+      verts AS (SELECT doc_id AS id FROM documents),
+      nn AS (SELECT count(*) AS n FROM verts),
+      pr0 AS (SELECT id, CAST(1.0 AS DOUBLE) / nn.n AS pr FROM verts, nn),
+      ${prRound(0)},
+      ${prRound(1)},
+      ${prRound(2)},
+      sized AS (
+        SELECT l.cluster_id, l.id AS doc_id, p.pr,
+               count(*) OVER (PARTITION BY l.cluster_id) AS n_members,
+               row_number() OVER (PARTITION BY l.cluster_id
+                 ORDER BY p.pr DESC, l.id) AS rn
+        FROM labels l JOIN pr3 p ON l.id = p.id)
+      SELECT cluster_id, doc_id AS kept_id,
+             CAST(n_members AS BIGINT) AS n_members,
+             round(pr, 12) AS pagerank
+      FROM sized WHERE rn = 1 AND n_members >= 2 ORDER BY cluster_id
+      """.trim
+    })
+
   def all: Seq[HarnessQuery] = Seq(
     q50TextStats, q51TokenCount, q52LangQuality, q53Fingerprint,
     q54Shingles, q55MinhashPairs, q56ExactDedup, q57SimhashPairs,
@@ -3231,5 +3322,5 @@ object LlmQueries {
     q132KnnGraph, q133RandomProjection, q134EmbeddingClusters,
     q135TruncationStats, q136NgramNovelty, q137TokenDropout,
     q138StripAccents, q139Interleave, q140PageRank, q141SnapshotDiff,
-    q142SpanCorrupt, q143LuhnRedact)
+    q142SpanCorrupt, q143LuhnRedact, q144CanonicalDocs)
 }

@@ -147,4 +147,35 @@ class EdaSpec extends SparkSpec with Matchers {
     val a = rows.find(_.getString(0) == "a").get
     assert(math.abs(a.getLong(3) - 100L) <= 10L)
   }
+
+  test("benfordAudit: digit classification, grid completeness, hand-computed chi2") {
+    // group g1: values with leading digits 1,1,2 (incl. <1 and negative
+    // forms); group g2: a perfect single-digit pile-up
+    val df = Seq(
+      ("g1", 123.4), ("g1", 0.19), ("g1", -25.0),
+      ("g2", 9.0), ("g2", 900.0), ("g2", 0.0009)).toDF("g", "v")
+    val got = Eda.benfordAudit(df, "v", "g")
+      .orderBy($"g", $"digit").collect()
+    assert(got.length === 18) // 2 groups x 9 digits, zeros included
+    val g1 = got.filter(_.getString(0) == "g1")
+    assert(g1.map(r => r.getString(1) -> r.getLong(2)).toMap
+      === Map("1" -> 2L, "2" -> 1L, "3" -> 0L, "4" -> 0L, "5" -> 0L,
+        "6" -> 0L, "7" -> 0L, "8" -> 0L, "9" -> 0L))
+    assert(g1.forall(_.getLong(3) === 3L)) // n_total
+    // chi2 recomputed by hand from the same expectation constants
+    val expChi2 = (1 to 9).map { d =>
+      val e = 3.0 * math.log10(1.0 + 1.0 / d)
+      val o = Map(1 -> 2.0, 2 -> 1.0).getOrElse(d, 0.0)
+      (o - e) * (o - e) / e
+    }.sum
+    assert(math.abs(g1.head.getDouble(6) - expChi2) < 1e-9)
+    // g2: all mass on digit 9 -> a large chi2; classification ignores
+    // magnitude (9.0, 900.0, 0.0009 all lead with 9)
+    val g2 = got.filter(_.getString(0) == "g2")
+    assert(g2.map(r => r.getString(1) -> r.getLong(2)).toMap.apply("9") === 3L)
+    // zero values have no leading digit: a group of only zeros vanishes
+    val zeros = Eda.benfordAudit(
+      Seq(("z", 0.0), ("z", 0.0)).toDF("g", "v"), "v", "g").collect()
+    assert(zeros.isEmpty)
+  }
 }
