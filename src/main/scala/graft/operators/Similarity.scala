@@ -515,6 +515,37 @@ object Similarity {
     * sketch, exact cosine re-rank within collisions. Recall < 1 by
     * construction; tune bits/bands for the recall target.
     */
+  /** ANN index-quality audit: per-query recall@k of the LSH path
+    * against the exact brute-force top-k over the same corpus — the
+    * measure-before-you-trust step of deploying an approximate index
+    * (tune bits/bands until the audited recall meets target, on a
+    * bounded query sample, never the full corpus). Denominator is the
+    * actual exact-neighbor count, so short corpora don't inflate
+    * recall. Both sides are this module's own operators; cost is the
+    * sample's brute-force scan plus the LSH probe.
+    */
+  def lshRecallAtK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      numBits: Int = 16,
+      bands: Int = 4,
+      dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val exact = cosineTopK(corpus, queries, idCol, vecCol, k)
+    val approx = lshCosineTopK(
+      corpus, queries, idCol, vecCol, k, numBits, bands, dim, seed)
+    exact.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id"),
+        lit(1L).as("__hit")), Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall", col("n_hit").cast("double") / col("n_exact"))
+  }
+
   def lshCosineTopK(
       corpus: DataFrame,
       queries: DataFrame,

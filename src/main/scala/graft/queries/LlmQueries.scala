@@ -3302,6 +3302,89 @@ object LlmQueries {
       """.trim
     })
 
+  /** ANN recall audit ([[Similarity.lshRecallAtK]], q59's 8-bit/4-band
+    * index at k = 5 over a 20-query sample): exact top-k and LSH top-k
+    * both replay in SQL (q58's brute-force pairs + q59's full
+    * sketch/band/candidate chain share one norm table), joined into
+    * per-query hit counts — the oracle checks the MEASUREMENT, not just
+    * the index.
+    */
+  val q146RecallAudit = HarnessQuery(
+    "q146_recall_audit",
+    (spark, dir) => {
+      val em = Tables.embeddings(spark, dir)
+      Similarity.lshRecallAtK(
+        em, em.filter(col("vec_id") < 20), "vec_id", "embedding",
+        k = 5, numBits = 8, bands = 4)
+        .withColumn("recall", round(col("recall"), 12))
+        .orderBy(col("query_id"))
+    },
+    Some("""
+      WITH n AS (
+        SELECT vec_id, embedding,
+               sqrt(CAST(sum(CAST(CAST(embedding[g.i] AS DOUBLE) * CAST(embedding[g.i] AS DOUBLE)
+                 AS DECIMAL(30,18))) AS DOUBLE)) AS nrm
+        FROM embeddings, generate_series(1, 64) g(i) GROUP BY 1, 2),
+      expairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(sum(CAST(CAST(q.embedding[g.i] AS DOUBLE) * CAST(c.embedding[g.i] AS DOUBLE)
+                 AS DECIMAL(30,18))) AS DOUBLE) / (any_value(q.nrm) * any_value(c.nrm)) AS cosine
+        FROM n q, n c, generate_series(1, 64) g(i)
+        WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id
+        GROUP BY 1, 2),
+      ex AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM expairs) WHERE rank <= 5),
+      hp AS (
+        SELECT h.h AS h, d.d AS d,
+               (CAST(('0x' || substr(md5('42_' || h.h || '_' || d.d), 1, 15)) AS BIGINT)
+                 % 1000000) / 1000000.0 - 0.5 AS v
+        FROM generate_series(0, 7) h(h), generate_series(0, 63) d(d)),
+      dots AS (
+        SELECT e.vec_id, hp.h,
+               CAST(sum(CAST(CAST(e.embedding[hp.d + 1] AS DOUBLE) * hp.v
+                 AS DECIMAL(30,18))) AS DOUBLE) AS dv
+        FROM embeddings e, hp GROUP BY 1, 2),
+      sk AS (
+        SELECT vec_id,
+               CAST(sum(CASE WHEN dv > 0 THEN (CAST(1 AS BIGINT) << (7 - h))
+                 ELSE 0 END) AS BIGINT) AS sk
+        FROM dots GROUP BY 1),
+      bands AS (
+        SELECT s.vec_id, b.b || '_' || ((s.sk >> (b.b * 2)) & 3) AS band_key
+        FROM sk s, generate_series(0, 3) b(b)),
+      cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM bands q JOIN bands c USING (band_key)
+        WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id),
+      apscored AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               CAST(sum(CAST(CAST(q.embedding[g.i] AS DOUBLE) * CAST(c.embedding[g.i] AS DOUBLE)
+                 AS DECIMAL(30,18))) AS DOUBLE) / (any_value(q.nrm) * any_value(c.nrm)) AS cosine
+        FROM cand
+        JOIN n q ON q.vec_id = cand.query_id
+        JOIN n c ON c.vec_id = cand.neighbor_id,
+        generate_series(1, 64) g(i)
+        GROUP BY 1, 2),
+      ap AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM apscored) WHERE rank <= 5)
+      SELECT e.query_id, count(*) AS n_exact,
+             CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_hit,
+             round(CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS DOUBLE) / count(*), 12) AS recall
+      FROM ex e LEFT JOIN ap a
+        ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+      GROUP BY e.query_id ORDER BY e.query_id
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q50TextStats, q51TokenCount, q52LangQuality, q53Fingerprint,
     q54Shingles, q55MinhashPairs, q56ExactDedup, q57SimhashPairs,
@@ -3322,5 +3405,5 @@ object LlmQueries {
     q132KnnGraph, q133RandomProjection, q134EmbeddingClusters,
     q135TruncationStats, q136NgramNovelty, q137TokenDropout,
     q138StripAccents, q139Interleave, q140PageRank, q141SnapshotDiff,
-    q142SpanCorrupt, q143LuhnRedact, q144CanonicalDocs)
+    q142SpanCorrupt, q143LuhnRedact, q144CanonicalDocs, q146RecallAudit)
 }

@@ -365,4 +365,31 @@ class SimilaritySpec extends SparkSpec {
     // null-label 5 is "different from A" and ranks by cosine
     assert(got.toSeq === Seq(5L, 3L, 4L))
   }
+
+  test("lshRecallAtK matches a hand-joined exact-vs-LSH comparison") {
+    val em = (0L until 60L).map { i =>
+      (i, Array.tabulate(64)(d => (math.sin(i * 31 + d) * 0.5).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = em.filter($"vec_id" < 6)
+    val audited = Similarity.lshRecallAtK(
+      em, queries, "vec_id", "embedding", k = 4, numBits = 8, bands = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val exact = Similarity.cosineTopK(em, queries, "vec_id", "embedding", k = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val approx = Similarity.lshCosineTopK(
+      em, queries, "vec_id", "embedding", k = 4, numBits = 8, bands = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(audited.keySet === exact.keySet)
+    audited.foreach { case (q, (nExact, nHit, recall)) =>
+      val want = exact(q).intersect(approx.getOrElse(q, Set.empty)).size
+      assert(nExact === exact(q).size.toLong)
+      assert(nHit === want.toLong, s"query $q")
+      assert(math.abs(recall - want.toDouble / exact(q).size) < 1e-15)
+    }
+    // denominators come from the exact side: recall is n_hit/n_exact
+    // even when fewer than k exact neighbors exist
+    assert(audited.values.forall { case (ne, nh, _) => nh <= ne && ne <= 4L })
+  }
 }
