@@ -96,6 +96,65 @@ object Graphs {
     pr.select(col("__id").as(idCol), col("__pr").as("pagerank"))
   }
 
+  /** Per-vertex triangle counts and local clustering coefficient over
+    * an undirected edge list — the ring-density metric: in a fraud
+    * graph, a vertex whose neighbors also link each other (coefficient
+    * near 1) sits inside a collusion clique, while a high-degree vertex
+    * with coefficient near 0 is a hub/mule pattern; in a near-dup
+    * corpus it separates tight clone cliques from chain-shaped false
+    * positives.
+    *
+    * Standard distributed shape: orient each edge low-id -> high-id
+    * (kills duplicate counting AND bounds the join fan-out by the
+    * smaller side's degree), self-join oriented edges on the low
+    * endpoint to enumerate wedges, then one hash semi-join of wedge
+    * closures against the edge set — two shuffles total, O(|wedges|)
+    * intermediate rows, never adjacency lists in memory.
+    *
+    * @param edges undirected; duplicates and self-loops tolerated
+    *              (deduped / dropped up front)
+    * @return (idCol, degree, n_triangles, clustering_coeff) for every
+    *         vertex of `vertices`; coefficient is null when degree < 2
+    */
+  def triangleStats(
+      vertices: DataFrame,
+      idCol: String,
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String): DataFrame = {
+    val norm = Materialize.cut(
+      edges.select(
+        least(col(srcCol), col(dstCol)).as("__lo"),
+        greatest(col(srcCol), col(dstCol)).as("__hi"))
+        .filter(col("__lo") =!= col("__hi"))
+        .distinct())
+    val deg = norm.select(col("__lo").as("__id"))
+      .unionByName(norm.select(col("__hi").as("__id")))
+      .groupBy(col("__id")).agg(count(lit(1)).as("__deg"))
+    // wedges around the low endpoint: (a<b), (a<c), b<c by ordering the
+    // two partners — each triangle is generated exactly once as its
+    // lowest-vertex wedge closed by the (b,c) edge
+    val wedges = norm.select(col("__lo").as("__a"), col("__hi").as("__b"))
+      .join(norm.select(col("__lo").as("__a"), col("__hi").as("__c")), Seq("__a"))
+      .filter(col("__b") < col("__c"))
+    val triangles = wedges
+      .join(norm.select(col("__lo").as("__b"), col("__hi").as("__c")),
+        Seq("__b", "__c"), "left_semi")
+    val perVertex = triangles
+      .select(explode(array(col("__a"), col("__b"), col("__c"))).as("__id"))
+      .groupBy(col("__id")).agg(count(lit(1)).as("__tri"))
+    vertices.select(col(idCol).as("__id"))
+      .join(deg, Seq("__id"), "left")
+      .join(perVertex, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("__deg"), lit(0L)).as("degree"),
+        coalesce(col("__tri"), lit(0L)).as("n_triangles"),
+        when(coalesce(col("__deg"), lit(0L)) >= 2,
+          coalesce(col("__tri"), lit(0L)).cast("double") * 2.0 /
+            (col("__deg") * (col("__deg") - 1)))
+          .as("clustering_coeff"))
+  }
+
   /** Corpus snapshot diff — classify every doc id across two corpus
     * snapshots by content fingerprint: `added` (only in `newDf`),
     * `removed` (only in `oldDf`), `changed` (both, different

@@ -3385,6 +3385,61 @@ object LlmQueries {
       GROUP BY e.query_id ORDER BY e.query_id
     """.trim))
 
+  /** Triangle / clustering-coefficient audit of the near-dup graph
+    * ([[graft.operators.Graphs.triangleStats]] over q55's minhash pair
+    * edges): clone families show up as coefficient-1 cliques, chain-
+    * shaped borderline matches as coefficient-0 paths. Oracle: q74's
+    * brute-Jaccard edges + the ordered wedge/closure enumeration in
+    * SQL.
+    */
+  val q147TriangleStats = HarnessQuery(
+    "q147_triangle_stats",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val pairs = TextDedup.minhashNearDupPairs(
+        docs, "text", "doc_id", n = 3, numHashes = 16, bands = 8,
+        threshold = 0.8, hashFn = TextFunctions.fastHash)
+      graft.operators.Graphs.triangleStats(
+        docs.select(col("doc_id")), "doc_id", pairs, "id_a", "id_b")
+        .filter(col("degree") >= 1)
+        .withColumn("clustering_coeff", round(col("clustering_coeff"), 12))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH t AS (SELECT doc_id,
+                   list_distinct(list_transform(
+                     generate_series(1, len(regexp_split_to_array(trim(lower(text)), '\s+')) - 2),
+                     i -> array_to_string((regexp_split_to_array(trim(lower(text)), '\s+'))[i:i+2], ' ')))
+                     AS sh
+                 FROM documents),
+      e AS (SELECT a.doc_id AS lo, b.doc_id AS hi
+            FROM t a, t b
+            WHERE a.doc_id < b.doc_id
+              AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                  len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+      deg AS (SELECT id, count(*) AS degree FROM (
+                SELECT lo AS id FROM e UNION ALL SELECT hi FROM e)
+              GROUP BY 1),
+      wedges AS (SELECT a.lo AS a, a.hi AS b, c.hi AS c
+                 FROM e a JOIN e c ON a.lo = c.lo
+                 WHERE a.hi < c.hi),
+      tri AS (SELECT w.a, w.b, w.c
+              FROM wedges w JOIN e ON w.b = e.lo AND w.c = e.hi),
+      pv AS (SELECT id, count(*) AS n_triangles FROM (
+               SELECT a AS id FROM tri
+               UNION ALL SELECT b FROM tri
+               UNION ALL SELECT c FROM tri)
+             GROUP BY 1)
+      SELECT d.id AS doc_id, d.degree,
+             CAST(coalesce(p.n_triangles, 0) AS BIGINT) AS n_triangles,
+             CASE WHEN d.degree >= 2 THEN
+               round(CAST(coalesce(p.n_triangles, 0) AS DOUBLE) * CAST(2.0 AS DOUBLE)
+                 / (d.degree * (d.degree - 1)), 12)
+             ELSE NULL END AS clustering_coeff
+      FROM deg d LEFT JOIN pv p ON d.id = p.id
+      ORDER BY doc_id
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q50TextStats, q51TokenCount, q52LangQuality, q53Fingerprint,
     q54Shingles, q55MinhashPairs, q56ExactDedup, q57SimhashPairs,
@@ -3405,5 +3460,6 @@ object LlmQueries {
     q132KnnGraph, q133RandomProjection, q134EmbeddingClusters,
     q135TruncationStats, q136NgramNovelty, q137TokenDropout,
     q138StripAccents, q139Interleave, q140PageRank, q141SnapshotDiff,
-    q142SpanCorrupt, q143LuhnRedact, q144CanonicalDocs, q146RecallAudit)
+    q142SpanCorrupt, q143LuhnRedact, q144CanonicalDocs, q146RecallAudit,
+    q147TriangleStats)
 }

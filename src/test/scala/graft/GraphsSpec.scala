@@ -78,6 +78,23 @@ class GraphsSpec extends SparkSpec {
     }
   }
 
+  test("triangleStats: clique closes, pendant doesn't; dup/reversed/self edges tolerated") {
+    val verts = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    // triangle 1-2-3, pendant 4 off 3, isolated 5; plus a reversed
+    // duplicate of (1,2) and a self-loop that must both be ignored
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (2L, 1L), (4L, 4L))
+      .toDF("s", "d")
+    val got = Graphs.triangleStats(verts, "id", edges, "s", "d")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toMap
+    assert(got(1L) === ((2L, 1L, Some(1.0))))
+    assert(got(2L) === ((2L, 1L, Some(1.0))))
+    assert(got(3L) === ((3L, 1L, Some(1.0 / 3))))
+    assert(got(4L) === ((1L, 0L, None)))
+    assert(got(5L) === ((0L, 0L, None)))
+  }
+
   test("snapshotDiff labels added / removed / changed / unchanged") {
     val oldDf = Seq(
       (1L, "alpha beta"), (2L, "gamma"), (3L, "delta")).toDF("doc_id", "text")
