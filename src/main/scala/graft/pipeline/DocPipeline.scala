@@ -237,4 +237,40 @@ object DocPipeline {
       .orderBy(col(domainCol))
     DocPipelineV3Result(selected, report, audit.result())
   }
+
+  /** Incremental refresh: re-score ONLY what a crawl refresh changed.
+    * [[graft.operators.Graphs.snapshotDiff]] classifies ids by
+    * fingerprint; `scoreFn` (the expensive per-doc computation —
+    * quality, LM scoring, embeddings) runs over added + changed docs
+    * only, while unchanged docs carry their previously-materialized
+    * scores through a join; removed docs drop out. At 100 TB this is
+    * the difference between scoring a few-percent delta and re-running
+    * the entire corpus every refresh; the plan never touches unchanged
+    * TEXT at all — only (id, score) pairs flow from the old results.
+    *
+    * @param oldScores previously materialized (idCol, scoreCols...) for
+    *                  the old snapshot — trusted as-is
+    * @param scoreFn   df with (idCol, textCol) -> df with (idCol,
+    *                  scoreCols...); must emit the same score schema as
+    *                  `oldScores`
+    * @return the new snapshot's scores: (idCol, scoreCols..., status)
+    */
+  def incrementalScore(
+      oldDocs: DataFrame,
+      oldScores: DataFrame,
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String)(scoreFn: DataFrame => DataFrame): DataFrame = {
+    val diff = Materialize.cut(graft.operators.Graphs.snapshotDiff(
+      oldDocs, newDocs, idCol, textCol))
+    val delta = newDocs.join(
+      diff.filter(col("status").isin("added", "changed")).select(col(idCol)),
+      Seq(idCol))
+    val fresh = scoreFn(delta.select(col(idCol), col(textCol)))
+      .join(diff.select(col(idCol), col("status")), Seq(idCol))
+    val carried = oldScores
+      .join(diff.filter(col("status") === "unchanged")
+        .select(col(idCol), col("status")), Seq(idCol))
+    fresh.unionByName(carried)
+  }
 }

@@ -3440,6 +3440,72 @@ object LlmQueries {
       ORDER BY doc_id
     """.trim))
 
+  /** Incremental refresh scoring ([[DocPipeline.incrementalScore]] over
+    * q141's snapshot pair): quality recomputes ONLY for added/changed
+    * docs, unchanged docs carry their old materialized score through an
+    * (id, score) join — the few-percent-delta plan a 100 TB refresh
+    * needs. The oracle scores the new snapshot directly (unchanged text
+    * is byte-identical here, so carried == recomputed) and re-derives
+    * every status.
+    */
+  val q148IncrementalScore = HarnessQuery(
+    "q148_incremental_score",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val newDf = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" rev")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") < 30)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val oldScores = TextAnalysis.qualityScore(docs, "text")
+        .select(col("doc_id"), col("quality_score"))
+      graft.pipeline.DocPipeline.incrementalScore(
+        docs, oldScores, newDf, "doc_id", "text")(d =>
+        TextAnalysis.qualityScore(d, "text")
+          .select(col("doc_id"), col("quality_score")))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH newraw AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0 THEN text || ' rev' ELSE text END AS text
+        FROM documents WHERE doc_id % 7 <> 0
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 30),
+      ofp AS (SELECT doc_id,
+                     md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\s+'), ' ')) AS fp
+              FROM documents),
+      nfp AS (SELECT doc_id,
+                     md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\s+'), ' ')) AS fp
+              FROM newraw),
+      st AS (SELECT n.doc_id,
+                    CASE WHEN o.doc_id IS NULL THEN 'added'
+                         WHEN o.fp <> n.fp THEN 'changed'
+                         ELSE 'unchanged' END AS status
+             FROM nfp n LEFT JOIN ofp o ON n.doc_id = o.doc_id),
+      t AS (SELECT doc_id, text,
+                   regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+                   length(text) AS n_chars
+            FROM newraw),
+      sx AS (SELECT doc_id, len(toks) AS n_tokens,
+                    CAST(length(array_to_string(toks, '')) AS DOUBLE) / len(toks) AS mean_token_len,
+                    CAST(n_chars - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+                      / nullif(n_chars, 0) AS punct_ratio,
+                    CAST(n_chars - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                      / nullif(n_chars, 0) AS digit_ratio
+             FROM t),
+      q AS (SELECT doc_id, greatest(0.0, 1.0
+              - CASE WHEN n_tokens < 5 THEN 0.5 ELSE 0.0 END
+              - CASE WHEN punct_ratio > 0.3 THEN 0.3 ELSE 0.0 END
+              - CASE WHEN digit_ratio > 0.3 THEN 0.2 ELSE 0.0 END
+              - CASE WHEN mean_token_len < 2.0 THEN 0.2 ELSE 0.0 END) AS quality_score
+            FROM sx)
+      SELECT q.doc_id, q.quality_score, s.status
+      FROM q JOIN st s ON q.doc_id = s.doc_id
+      ORDER BY q.doc_id
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q50TextStats, q51TokenCount, q52LangQuality, q53Fingerprint,
     q54Shingles, q55MinhashPairs, q56ExactDedup, q57SimhashPairs,
@@ -3461,5 +3527,5 @@ object LlmQueries {
     q135TruncationStats, q136NgramNovelty, q137TokenDropout,
     q138StripAccents, q139Interleave, q140PageRank, q141SnapshotDiff,
     q142SpanCorrupt, q143LuhnRedact, q144CanonicalDocs, q146RecallAudit,
-    q147TriangleStats)
+    q147TriangleStats, q148IncrementalScore)
 }

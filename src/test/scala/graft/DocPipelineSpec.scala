@@ -128,4 +128,29 @@ class DocPipelineSpec extends SparkSpec {
     val b = again.corpus.select($"doc_id").collect().map(_.getLong(0)).toSet
     assert(a === b)
   }
+
+  test("incrementalScore: unchanged rows CARRY old scores (never recomputed), delta is fresh") {
+    import graft.operators.TextAnalysis
+    val oldDocs = Seq(
+      (1L, "same text here ok"), (2L, "will change soon"),
+      (3L, "gone away entirely")).toDF("doc_id", "text")
+    val newDocs = Seq(
+      (1L, "same text here ok"),        // unchanged
+      (2L, "changed now really truly"), // changed
+      (4L, "a fresh doc appended")      // added
+    ).toDF("doc_id", "text")
+    // sentinel old scores: if the operator recomputed an unchanged doc,
+    // the 99.0 would be replaced by a real quality value
+    val oldScores = Seq((1L, 99.0), (2L, 88.0), (3L, 77.0))
+      .toDF("doc_id", "quality_score")
+    val out = DocPipeline.incrementalScore(
+      oldDocs, oldScores, newDocs, "doc_id", "text")(d =>
+      TextAnalysis.qualityScore(d, "text")
+        .select($"doc_id", $"quality_score"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2))).toMap
+    assert(out.keySet === Set(1L, 2L, 4L)) // removed id 3 dropped
+    assert(out(1L) === ((99.0, "unchanged"))) // carried sentinel, zero recompute
+    assert(out(2L)._2 === "changed" && out(2L)._1 <= 1.0)
+    assert(out(4L)._2 === "added" && out(4L)._1 <= 1.0)
+  }
 }
