@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Supervised categorical encodings and distribution-drift scoring —
+  * the feature-engineering layer a fraud model sits on (reference: the
+  * `transform_data.py` feature prep stops at one-hot; these are the
+  * standard credit-risk/fraud extensions).
+  *
+  * Scale shape: every encoding is a hash aggregation to the category
+  * (or category × fold) level followed by a join back on the category
+  * key — never a per-row window. Category keys are shuffle-join keys,
+  * so Zipf-skewed categories land where AQE skew-join splitting
+  * applies. Counts stay integer until one final division; `ln` enters
+  * only at the last step (harness queries round to 12 to absorb libm
+  * tails).
+  */
+object Encoding {
+
+  /** Weight-of-evidence table per category of `catCol`:
+    * `woe = ln(((pos_c + 0.5)/P) / ((neg_c + 0.5)/N))` (half-count
+    * smoothing — the standard guard for single-class categories) and
+    * the category's information-value term
+    * `iv_term = (pos_c/P − neg_c/N) · woe`. Σ iv_term over categories
+    * is the feature's IV — the classic "is this feature worth binning
+    * into the scorecard" statistic.
+    */
+  def woeIv(df: DataFrame, catCol: String, labelCol: String): DataFrame = {
+    val perCat = df.groupBy(col(catCol))
+      .agg(
+        sum(when(col(labelCol) === 1, 1L).otherwise(0L)).as("pos_c"),
+        sum(when(col(labelCol) === 1, 0L).otherwise(1L)).as("neg_c"))
+    val tot = perCat.select(sum(col("pos_c")).as("__P"), sum(col("neg_c")).as("__N"))
+    val woe = log(((col("pos_c") + lit(0.5)) / col("__P"))
+      / ((col("neg_c") + lit(0.5)) / col("__N")))
+    perCat.crossJoin(broadcast(tot))
+      .select(col(catCol), col("pos_c"), col("neg_c"),
+        woe.as("woe"),
+        ((col("pos_c").cast("double") / col("__P")
+          - col("neg_c").cast("double") / col("__N")) * woe).as("iv_term"))
+  }
+
+  /** Leakage-safe (out-of-fold) target encoding: each row's category
+    * mean is computed EXCLUDING the row's own fold, so the encoding
+    * never sees its own label — the difference between a useful feature
+    * and a train-only mirage. Folds are the hash-membership folds of
+    * [[Split.groupKFold]] on `idCol` (pure content function — a
+    * recomputed lineage or an incremental batch folds identically).
+    *
+    * Returns the (category, fold) → encoding table (`enc` is constant
+    * within a (category, fold) cell, so this IS the per-row encoding,
+    * normalized): `catCol, fold, enc`. Cells whose out-of-fold slice is
+    * empty (category present in one fold only) fall back to the global
+    * out-of-fold prior. Join it back on (category, fold) to encode rows.
+    *
+    * Exactness: per-cell sums are decimal; the single division happens
+    * per (category, fold) cell, not per row.
+    */
+  def targetEncodeOOF(
+      df: DataFrame, catCol: String, labelCol: String, idCol: String,
+      k: Int = 5, seed: Long = 42L): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val folded = Split.groupKFold(df, idCol, k, seed)
+    val perCell = folded.groupBy(col(catCol), col("fold"))
+      .agg(sum(col(labelCol).cast("decimal(28,6)")).as("__s"),
+        count(lit(1)).as("__n"))
+    val perCat = perCell.groupBy(col(catCol))
+      .agg(sum(col("__s")).as("__cs"), sum(col("__n")).as("__cn"))
+    val global = perCell.select(sum(col("__s")).as("__gs"), sum(col("__n")).as("__gn"))
+    perCell
+      .join(perCat, Seq(catCol))
+      .crossJoin(broadcast(global))
+      .select(col(catCol), col("fold"),
+        when(col("__cn") > col("__n"),
+          ((col("__cs") - col("__s")) / (col("__cn") - col("__n")))
+            .cast("double"))
+          .otherwise(((col("__gs") - col("__s")) / (col("__gn") - col("__n")))
+            .cast("double"))
+          .as("enc"))
+  }
+
+  /** Population stability index between two slices of `df` (classic
+    * drift monitor: expected = the reference slice, actual = the fresh
+    * slice). `sliceCol` must be a 0/1 column (0 = expected, 1 =
+    * actual). `valueCol` buckets into `bins` equal-width bins over
+    * [lo, hi] (out-of-range clamps to the edge bins — drift past the
+    * known range lands visibly in bin 0 / bins−1). Per bin:
+    * smoothed shares `p_expected`/`p_actual` (half-count Laplace, so an
+    * empty bin cannot produce ±∞) and
+    * `psi_term = (p_actual − p_expected) · ln(p_actual / p_expected)`.
+    * Σ psi_term is the PSI (rule of thumb: > 0.25 = investigate).
+    */
+  def psi(
+      df: DataFrame, valueCol: String, sliceCol: String,
+      lo: Double, hi: Double, bins: Int = 10): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi]")
+    val b = greatest(lit(0), least(lit(bins - 1),
+      floor((col(valueCol) - lit(lo)) / lit((hi - lo) / bins)).cast("int")))
+    val perBin = df.groupBy(b.as("bin"))
+      .agg(
+        sum(when(col(sliceCol) === 0, 1L).otherwise(0L)).as("n_expected"),
+        sum(when(col(sliceCol) === 1, 1L).otherwise(0L)).as("n_actual"))
+    val tot = perBin.select(sum(col("n_expected")).as("__E"),
+      sum(col("n_actual")).as("__A"))
+    val pe = (col("n_expected") + lit(0.5)) / (col("__E") + lit(0.5) * bins)
+    val pa = (col("n_actual") + lit(0.5)) / (col("__A") + lit(0.5) * bins)
+    perBin.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_expected"), col("n_actual"),
+        pe.as("p_expected"), pa.as("p_actual"),
+        ((pa - pe) * log(pa / pe)).as("psi_term"))
+      .orderBy(col("bin"))
+  }
+}

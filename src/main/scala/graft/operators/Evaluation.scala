@@ -1,0 +1,204 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Materialize
+
+/** Model-evaluation metrics over a (score, label) scored frame — the
+  * read-out end of the fraud pipeline (reference: the sklearn
+  * `classification_report`/AUC step a model-training notebook runs after
+  * `processor.py`'s prep; here first-class distributed operators).
+  *
+  * Numeric discipline: every metric reduces to INTEGER pair-counting
+  * arithmetic (counts, cumulative counts, products of counts in
+  * DECIMAL), divided exactly once at the end — so results are
+  * bit-identical across engines and partitionings; doubles appear only
+  * in the final division, rounded to 12 by the harness queries.
+  *
+  * Scale shape: everything funnels through ONE hash aggregation to the
+  * distinct-score table (cardinality = score precision, not corpus
+  * rows), and the cumulative counts over that table use quantile-bucketed
+  * two-level prefix sums — a window only ever sorts one score-range
+  * bucket, never the whole score axis (the [[Selection]] pattern; a
+  * plain `ORDER BY score` cumsum would be a single-task sort of every
+  * distinct score at 100 TB).
+  */
+object Evaluation {
+
+  /** Distinct-score table with exact cumulative counts:
+    * one row per distinct score value, columns
+    * `score, pos_c, neg_c, cum_pos_le, cum_neg_le` (counts of
+    * positives/negatives with score <= this row's score).
+    *
+    * Buckets: boundaries from `percentile_approx` over the scored rows
+    * (approximation affects balance only — counts merge exactly);
+    * within-bucket prefix sums by a per-bucket window; cross-bucket
+    * offsets from the `buckets`-row aggregate (broadcast).
+    */
+  def cumulativeByScore(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      buckets: Int = 64): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val score = col(scoreCol)
+    val label = col(labelCol)
+    val probs = (1 until buckets).map(i => i.toDouble / buckets)
+    // boundary table is materialized so every consumer reads the SAME
+    // approximate boundaries (an in-plan re-execution could differ)
+    val bounds =
+      if (buckets == 1) null
+      else Materialize.cut(
+        df.select(percentile_approx(score.cast("double"),
+          array(probs.map(lit): _*), lit(10000)).as("__bounds")))
+    val withBucket =
+      if (buckets == 1) df.withColumn("__b", lit(0))
+      else df.crossJoin(broadcast(bounds))
+        .withColumn("__b", size(filter(col("__bounds"), b => b < score)))
+        .drop("__bounds")
+    val distinctScores = withBucket
+      .groupBy(col("__b"), score.as("score"))
+      .agg(
+        sum(when(label === 1, 1L).otherwise(0L)).as("pos_c"),
+        sum(when(label === 1, 0L).otherwise(1L)).as("neg_c"))
+    val wIn = Window.partitionBy(col("__b")).orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOff = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // offsets: one row per bucket (<= `buckets` rows) — the only
+    // unpartitioned window runs over that tiny aggregate (benign)
+    val offsets = distinctScores.groupBy(col("__b"))
+      .agg(sum(col("pos_c")).as("__bp"), sum(col("neg_c")).as("__bn"))
+      .select(col("__b"),
+        coalesce(sum(col("__bp")).over(wOff), lit(0L)).as("__op"),
+        coalesce(sum(col("__bn")).over(wOff), lit(0L)).as("__on"))
+    distinctScores
+      .join(broadcast(offsets.withColumnRenamed("__b", "__ob")),
+        col("__b") === col("__ob"))
+      .select(col("score"), col("pos_c"), col("neg_c"),
+        (sum(col("pos_c")).over(wIn) + col("__op")).as("cum_pos_le"),
+        (sum(col("neg_c")).over(wIn) + col("__on")).as("cum_neg_le"))
+  }
+
+  /** Exact ROC AUC with average-rank tie handling (Mann–Whitney):
+    * AUC = [#(neg < pos) + ½·#(neg == pos)] / (P·N), computed as
+    * Σ_s pos_c(s) · (2·cum_neg_lt(s) + neg_c(s)) over 2·P·N — all
+    * integer until the final division. One row: `auc, n_pos, n_neg`.
+    */
+  def rocAuc(df: DataFrame, scoreCol: String, labelCol: String,
+      buckets: Int = 64): DataFrame =
+    cumulativeByScore(df, scoreCol, labelCol, buckets)
+      .select(
+        sum((col("pos_c") * (lit(2) * (col("cum_neg_le") - col("neg_c"))
+          + col("neg_c"))).cast("decimal(38,0)")).as("__num"),
+        sum(col("pos_c")).as("n_pos"),
+        sum(col("neg_c")).as("n_neg"))
+      .select(
+        (col("__num").cast("double")
+          / (lit(2.0) * col("n_pos") * col("n_neg"))).as("auc"),
+        col("n_pos"), col("n_neg"))
+
+  /** Kolmogorov–Smirnov statistic between the positive and negative
+    * score CDFs: max_s |cum_pos_le(s)/P − cum_neg_le(s)/N|, evaluated
+    * as the integer |cum_pos_le·N − cum_neg_le·P| over P·N. One row:
+    * `ks, ks_score` (the smallest score attaining the max — the natural
+    * alert threshold).
+    */
+  def ksStatistic(df: DataFrame, scoreCol: String, labelCol: String,
+      buckets: Int = 64): DataFrame = {
+    val cum = cumulativeByScore(df, scoreCol, labelCol, buckets)
+    val tot = cum.select(sum(col("pos_c")).as("__p"), sum(col("neg_c")).as("__n"))
+    val scoredGap = cum.crossJoin(broadcast(tot))
+      .withColumn("__gap",
+        abs((col("cum_pos_le") * col("__n") - col("cum_neg_le") * col("__p"))
+          .cast("decimal(38,0)")))
+    scoredGap
+      .select(max(struct(col("__gap"), (-col("score")).as("__ns"),
+        col("__p"), col("__n"))).as("m"))
+      .select(
+        (col("m.__gap").cast("double")
+          / (col("m.__p") * col("m.__n")).cast("double")).as("ks"),
+        (-col("m.__ns")).as("ks_score"))
+  }
+
+  /** Confusion matrix and derived metrics at `threshold` (predict
+    * positive when score >= threshold). One row:
+    * `tp, fp, tn, fn, precision, recall, f1, accuracy`.
+    */
+  def confusionAtThreshold(
+      df: DataFrame, scoreCol: String, labelCol: String,
+      threshold: Double): DataFrame = {
+    val pred = col(scoreCol) >= lit(threshold)
+    val label = col(labelCol) === 1
+    df.select(
+        sum(when(pred && label, 1L).otherwise(0L)).as("tp"),
+        sum(when(pred && !label, 1L).otherwise(0L)).as("fp"),
+        sum(when(!pred && !label, 1L).otherwise(0L)).as("tn"),
+        sum(when(!pred && label, 1L).otherwise(0L)).as("fn"))
+      .select(col("tp"), col("fp"), col("tn"), col("fn"),
+        (col("tp").cast("double") / (col("tp") + col("fp"))).as("precision"),
+        (col("tp").cast("double") / (col("tp") + col("fn"))).as("recall"),
+        (lit(2.0) * col("tp")
+          / (lit(2) * col("tp") + col("fp") + col("fn"))).as("f1"),
+        ((col("tp") + col("tn")).cast("double")
+          / (col("tp") + col("fp") + col("tn") + col("fn"))).as("accuracy"))
+  }
+
+  /** Reliability diagram data: `bins` equal-width score bins over
+    * [0, 1]; per bin the count, exact mean score (decimal sum over
+    * count) and observed positive rate. Scores outside [0, 1] clamp to
+    * the edge bins.
+    */
+  def calibrationBins(
+      df: DataFrame, scoreCol: String, labelCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val score = col(scoreCol)
+    val b = greatest(lit(0), least(lit(bins - 1),
+      floor(score * lit(bins)).cast("int")))
+    df.groupBy(b.as("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(score.cast("decimal(28,10)")).cast("double") / count(lit(1)))
+          .as("mean_score"),
+        (sum(when(col(labelCol) === 1, 1L).otherwise(0L)).cast("double")
+          / count(lit(1))).as("pos_rate"))
+      .orderBy(col("bin"))
+  }
+
+  /** Decile lift/gain table: rank all rows by (score desc, tieBreak
+    * asc) through the skew-safe [[Selection.rankFeaturesPerKey]] rank
+    * (quantile-bucketed two-level — no whole-corpus window), cut into
+    * `tiles` equal-depth tiles, and report per tile the size, positive
+    * count, cumulative capture rate (share of all positives found so
+    * far) and lift (tile positive rate over base rate). Integer-exact
+    * ratios, one division per output cell.
+    */
+  def liftTable(
+      df: DataFrame, scoreCol: String, labelCol: String,
+      tieBreak: Seq[String], tiles: Int = 10, buckets: Int = 64): DataFrame = {
+    require(tiles >= 1, s"tiles must be >= 1, got $tiles")
+    val ranked = Selection.rankFeaturesPerKey(
+      df.withColumn("__k", lit(1)), "__k", scoreCol, tieBreak, buckets)
+    val nTotal = df.select(count(lit(1)).as("__NT"))
+    val tiled = ranked.crossJoin(broadcast(nTotal))
+      .withColumn("tile",
+        ceil(col("rank") * lit(tiles) / col("__NT")).cast("int"))
+    val perTile = tiled.groupBy(col("tile"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(labelCol) === 1, 1L).otherwise(0L)).as("n_pos"))
+    val tot = perTile.select(sum(col("n")).as("__N"), sum(col("n_pos")).as("__P"))
+    val wCum = Window.orderBy(col("tile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the cumulative window runs over the `tiles`-row aggregate (benign)
+    perTile.crossJoin(broadcast(tot))
+      .select(col("tile"), col("n"), col("n_pos"),
+        (sum(col("n_pos")).over(wCum).cast("double") / col("__P"))
+          .as("cum_capture"),
+        ((col("n_pos") * col("__N")).cast("double")
+          / (col("n") * col("__P"))).as("lift"))
+      .orderBy(col("tile"))
+  }
+}

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality audit (the "expectations" contract every
+  * production ingest runs before a batch is allowed into the corpus —
+  * the formalization of `clean_data.py`'s ad-hoc null checks).
+  *
+  * All checks against one table compile into ONE pass: each check is a
+  * scalar aggregate expression, they evaluate together in a single
+  * 1-row HashAggregate over a single scan, and the report unpivots that
+  * row — auditing 50 columns costs one read of the table, not 50.
+  * (The exception is `Unique`, whose `count(distinct)` triggers
+  * Spark's Expand when mixed with other distinct aggregates — one extra
+  * shuffle per distinct column, still one scan.)
+  *
+  * Report row: `check, column, observed, threshold, pass` — `observed`
+  * is the measured fraction/ratio, `pass` the verdict, so the report is
+  * both a gate (`pass` conjunction) and a drift log (observed values
+  * over time).
+  */
+object Expectations {
+
+  sealed trait Check {
+    def column: String
+    def name: String
+    /** (observed aggregate, threshold, pass-predicate on observed) */
+    def compiled: (Column, Double, Column => Column)
+  }
+
+  /** Null fraction of `column` must be <= `maxNullFrac`. */
+  final case class NotNull(column: String, maxNullFrac: Double = 0.0)
+      extends Check {
+    val name = "not_null"
+    def compiled = (
+      sum(col(column).isNull.cast("long")).cast("double") / count(lit(1)),
+      maxNullFrac, _ <= lit(maxNullFrac))
+  }
+
+  /** Fraction of non-null values inside [lo, hi] must be >= `minFrac`. */
+  final case class InRange(column: String, lo: Double, hi: Double,
+      minFrac: Double = 1.0) extends Check {
+    val name = "in_range"
+    def compiled = (
+      sum((col(column) >= lo && col(column) <= hi).cast("long")).cast("double")
+        / sum(col(column).isNotNull.cast("long")),
+      minFrac, _ >= lit(minFrac))
+  }
+
+  /** Distinct-over-count ratio must be >= `minRatio` (1.0 = a true key). */
+  final case class Unique(column: String, minRatio: Double = 1.0)
+      extends Check {
+    val name = "unique"
+    def compiled = (
+      countDistinct(col(column)).cast("double") / count(lit(1)),
+      minRatio, _ >= lit(minRatio))
+  }
+
+  /** Fraction of non-null values matching `regex` must be >= `minFrac`. */
+  final case class MatchesRegex(column: String, regex: String,
+      minFrac: Double = 1.0) extends Check {
+    val name = "matches_regex"
+    def compiled = (
+      sum(col(column).rlike(regex).cast("long")).cast("double")
+        / sum(col(column).isNotNull.cast("long")),
+      minFrac, _ >= lit(minFrac))
+  }
+
+  /** Accepted-values check: fraction of non-null values in `allowed`
+    * must be >= `minFrac`.
+    */
+  final case class InSet(column: String, allowed: Seq[String],
+      minFrac: Double = 1.0) extends Check {
+    val name = "in_set"
+    def compiled = (
+      sum(col(column).cast("string").isin(allowed: _*).cast("long"))
+        .cast("double") / sum(col(column).isNotNull.cast("long")),
+      minFrac, _ >= lit(minFrac))
+  }
+
+  /** Run all checks in one pass; report one row per check, ordered by
+    * (check, column) for determinism.
+    */
+  def audit(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "audit needs at least one check")
+    val aggs = checks.zipWithIndex.map { case (c, i) =>
+      c.compiled._1.as(s"__m$i")
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = checks.zipWithIndex.map { case (c, i) =>
+      val (_, threshold, passFn) = c.compiled
+      struct(
+        lit(c.name).as("check"), lit(c.column).as("column"),
+        col(s"__m$i").as("observed"), lit(threshold).as("threshold"),
+        coalesce(passFn(col(s"__m$i")), lit(false)).as("pass"))
+    }
+    one.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.check"), col("r.column"), col("r.observed"),
+        col("r.threshold"), col("r.pass"))
+      .orderBy(col("check"), col("column"))
+  }
+}
