@@ -3,8 +3,6 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions
-
 /** Supervised categorical encodings and distribution-drift scoring —
   * the feature-engineering layer a fraud model sits on (reference: the
   * `transform_data.py` feature prep stops at one-hot; these are the
