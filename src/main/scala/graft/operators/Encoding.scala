@@ -72,11 +72,17 @@ object Encoding {
       .join(perCat, Seq(catCol))
       .crossJoin(broadcast(global))
       .select(col(catCol), col("fold"),
+        // Cast both operands to double and divide ONCE in double: a
+        // decimal-typed quotient collapses to DECIMAL(38,6) under
+        // Spark's precision-loss rule (6 decimal digits), while the
+        // oracle rounds a full double division to 12 — the sums are
+        // integer-valued so decimal→double is exact and both engines
+        // perform the same single correctly-rounded division.
         when(col("__cn") > col("__n"),
-          ((col("__cs") - col("__s")) / (col("__cn") - col("__n")))
-            .cast("double"))
-          .otherwise(((col("__gs") - col("__s")) / (col("__gn") - col("__n")))
-            .cast("double"))
+          (col("__cs") - col("__s")).cast("double")
+            / (col("__cn") - col("__n")).cast("double"))
+          .otherwise((col("__gs") - col("__s")).cast("double")
+            / (col("__gn") - col("__n")).cast("double"))
           .as("enc"))
   }
 

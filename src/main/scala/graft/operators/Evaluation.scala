@@ -91,8 +91,12 @@ object Evaluation {
       buckets: Int = 64): DataFrame =
     cumulativeByScore(df, scoreCol, labelCol, buckets)
       .select(
-        sum((col("pos_c") * (lit(2) * (col("cum_neg_le") - col("neg_c"))
-          + col("neg_c"))).cast("decimal(38,0)")).as("__num"),
+        // cast pos_c wide BEFORE the multiply: an int64 product of two
+        // cumulative counts overflows once P·N passes 2^63 (possible at
+        // the 100 TB design scale even though harness counts are tiny)
+        sum(col("pos_c").cast("decimal(38,0)")
+          * (lit(2) * (col("cum_neg_le") - col("neg_c"))
+            + col("neg_c"))).as("__num"),
         sum(col("pos_c")).as("n_pos"),
         sum(col("neg_c")).as("n_neg"))
       .select(
@@ -110,16 +114,20 @@ object Evaluation {
       buckets: Int = 64): DataFrame = {
     val cum = cumulativeByScore(df, scoreCol, labelCol, buckets)
     val tot = cum.select(sum(col("pos_c")).as("__p"), sum(col("neg_c")).as("__n"))
+    // wide casts BEFORE every count×count multiply: cum·N, cum·P and
+    // P·N all pass 2^63 at the 100 TB design scale (int64 would wrap
+    // silently, or throw under ANSI)
     val scoredGap = cum.crossJoin(broadcast(tot))
       .withColumn("__gap",
-        abs((col("cum_pos_le") * col("__n") - col("cum_neg_le") * col("__p"))
-          .cast("decimal(38,0)")))
+        abs(col("cum_pos_le").cast("decimal(38,0)") * col("__n")
+          - col("cum_neg_le").cast("decimal(38,0)") * col("__p")))
     scoredGap
       .select(max(struct(col("__gap"), (-col("score")).as("__ns"),
         col("__p"), col("__n"))).as("m"))
       .select(
         (col("m.__gap").cast("double")
-          / (col("m.__p") * col("m.__n")).cast("double")).as("ks"),
+          / (col("m.__p").cast("double") * col("m.__n").cast("double")))
+          .as("ks"),
         (-col("m.__ns")).as("ks_score"))
   }
 

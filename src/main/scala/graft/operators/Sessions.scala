@@ -69,4 +69,38 @@ object Sessions {
         array_join(transform(slice(col("__seq"), 1, maxLen),
           e => e.getField("__ev")), " ").as("sequence"))
   }
+
+  /** Supervised next-event training pairs: for each event past the
+    * first, emit (context = the up-to-`contextLen` PRECEDING event
+    * tokens in (ts, tie) order, target = this event) — the
+    * log-to-(X, y) step of a next-action / session-recommendation
+    * model, where [[eventSequences]] is the unsupervised document
+    * form. Output: key, pos (1-based position in the key's timeline),
+    * context (space-joined, shorter near the sequence start), target.
+    *
+    * Scale shape: one window partitioned by the ENTITY key — state per
+    * task is bounded by one entity's history (the same bound the
+    * sessionizer lives with), never a global sort. `collect_list` over
+    * the bounded sliding frame preserves frame order, so the context
+    * string is deterministic given the total (ts, tie) order.
+    */
+  def nextEventPairs(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieCol: String,
+      eventCol: String,
+      contextLen: Int): DataFrame = {
+    require(contextLen >= 1, s"contextLen must be >= 1, got $contextLen")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    df.select(col(keyCol), col(tsCol), col(tieCol),
+        col(eventCol).cast("string").as("__ev"))
+      .withColumn("pos", row_number().over(w))
+      .withColumn("context", array_join(
+        collect_list(col("__ev")).over(w.rowsBetween(-contextLen, -1)), " "))
+      .filter(col("pos") > 1)
+      .select(col(keyCol), col("pos"), col("context"),
+        col("__ev").as("target"))
+  }
 }

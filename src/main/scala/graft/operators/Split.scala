@@ -16,8 +16,8 @@ import org.apache.spark.sql.functions._
   * upstream, AQE re-plan) reproduces the identical membership, where a
   * `rand(seed)` order silently depends on partition layout and row
   * arrival order — on a real cluster that is a train/test-overlap bug
-  * waiting for the first retried stage. `rand(seed)` is only used when
-  * no tie-break columns are given (no content to hash). Row-identical
+  * waiting for the first retried stage. When no tie-break columns are
+  * given, ALL columns are hashed (full row content). Row-identical
   * parity with sklearn is impossible (different PRNG streams); parity is
   * distributional: disjoint, exhaustive, per-class sizes exact.
   *
@@ -47,27 +47,21 @@ object Split {
       labelCol: String,
       testFrac: Double,
       seed: Long,
-      tieBreak: Seq[Column] = Nil): SplitResult = tieBreak match {
-    case Nil =>
-      // no content to hash: single-window rand order. rand is partition-
-      // dependent anyway (documented), so there is nothing to salt — the
-      // content-hashed path below is the scale path.
-      val wRank = Window.partitionBy(col(labelCol)).orderBy(rand(seed))
-      val wAll = Window.partitionBy(col(labelCol))
-      val tagged = df
-        .withColumn("__rn", row_number().over(wRank))
-        .withColumn("__n", count(lit(1)).over(wAll))
-        .withColumn("__is_test", col("__rn") <= ceil(col("__n") * lit(testFrac)))
-      SplitResult(
-        train = tagged.filter(!col("__is_test")).drop("__rn", "__n", "__is_test"),
-        test = tagged.filter(col("__is_test")).drop("__rn", "__n", "__is_test"))
-    case tb =>
-      val tagged = saltedRank(df, labelCol, seed, tb)
-        .withColumn("__is_test", col("__rn") <= ceil(col("__n") * lit(testFrac)))
-      val aux = Seq("__salt", "__off", "__n", "__rn", "__is_test")
-      SplitResult(
-        train = tagged.filter(!col("__is_test")).drop(aux: _*).select(df.columns.map(col): _*),
-        test = tagged.filter(col("__is_test")).drop(aux: _*).select(df.columns.map(col): _*))
+      tieBreak: Seq[Column] = Nil): SplitResult = {
+    // No caller tie-break: hash ALL columns. Every path now goes
+    // through the two-level salted rank — the old rand() fallback ran a
+    // whole-class single-partition window (one task sorting 90% of a
+    // 100 TB table) AND its membership depended on partition layout.
+    // Hashing full row content is deterministic, recomputation-stable,
+    // and salts like any other tie-break; exact duplicate rows share a
+    // rank order arbitrarily but per-class COUNTS stay exact either way.
+    val tb = if (tieBreak.nonEmpty) tieBreak else df.columns.toSeq.map(col)
+    val tagged = saltedRank(df, labelCol, seed, tb)
+      .withColumn("__is_test", col("__rn") <= ceil(col("__n") * lit(testFrac)))
+    val aux = Seq("__salt", "__off", "__n", "__rn", "__is_test")
+    SplitResult(
+      train = tagged.filter(!col("__is_test")).drop(aux: _*).select(df.columns.map(col): _*),
+      test = tagged.filter(col("__is_test")).drop(aux: _*).select(df.columns.map(col): _*))
   }
 
   /** The shared two-level salted per-class global rank: df plus

@@ -63,8 +63,8 @@ object EvalQueries {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                  AS cum_neg_lt
         FROM per)
-      SELECT round(CAST(sum(CAST(pos_c * (2 * cum_neg_lt + neg_c)
-                                 AS DECIMAL(38,0))) AS DOUBLE)
+      SELECT round(CAST(sum(CAST(pos_c AS HUGEINT)
+                              * (2 * cum_neg_lt + neg_c)) AS DOUBLE)
                / (2.0 * (SELECT p FROM tot) * (SELECT n FROM tot)), 12) AS auc,
              (SELECT p FROM tot) AS n_pos,
              (SELECT n FROM tot) AS n_neg
@@ -88,13 +88,16 @@ object EvalQueries {
                sum(neg_c) OVER (ORDER BY score
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn
         FROM per)
-      SELECT round(CAST(abs(cp * (SELECT n FROM tot) - cn * (SELECT p FROM tot))
+      SELECT round(CAST(abs(CAST(cp AS HUGEINT) * (SELECT n FROM tot)
+                          - CAST(cn AS HUGEINT) * (SELECT p FROM tot))
                      AS DOUBLE)
-               / CAST((SELECT p FROM tot) * (SELECT n FROM tot) AS DOUBLE), 12)
+               / (CAST((SELECT p FROM tot) AS DOUBLE)
+                  * CAST((SELECT n FROM tot) AS DOUBLE)), 12)
                AS ks,
              score AS ks_score
       FROM cum
-      ORDER BY abs(cp * (SELECT n FROM tot) - cn * (SELECT p FROM tot)) DESC,
+      ORDER BY abs(CAST(cp AS HUGEINT) * (SELECT n FROM tot)
+                 - CAST(cn AS HUGEINT) * (SELECT p FROM tot)) DESC,
                score ASC
       LIMIT 1
     """.trim))
@@ -251,14 +254,14 @@ object EvalQueries {
         SELECT event_type,
                CAST(sum(s) AS BIGINT) AS cs, CAST(sum(n) AS BIGINT) AS cn
         FROM cell GROUP BY 1),
-      glob AS (
+      gtot AS (
         SELECT CAST(sum(s) AS BIGINT) AS gs, CAST(sum(n) AS BIGINT) AS gn
         FROM cell)
       SELECT event_type, cell.fold,
              round(CASE WHEN cat.cn > cell.n
                THEN CAST(cat.cs - cell.s AS DOUBLE) / (cat.cn - cell.n)
-               ELSE CAST((SELECT gs FROM glob) - cell.s AS DOUBLE)
-                    / ((SELECT gn FROM glob) - cell.n) END, 12) AS enc
+               ELSE CAST((SELECT gs FROM gtot) - cell.s AS DOUBLE)
+                    / ((SELECT gn FROM gtot) - cell.n) END, 12) AS enc
       FROM cell JOIN cat USING (event_type)
       ORDER BY event_type, fold
     """.trim))

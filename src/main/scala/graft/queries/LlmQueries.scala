@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Mixture, Multimodal, Selection, Sessions, Similarity, TextAnalysis, TextDedup}
+import graft.operators.{Curriculum, Mixture, Multimodal, Selection, Sessions, Similarity, TextAnalysis, TextDedup}
 import graft.sources.Tables
 
 /** M7: LLM-training-data operators over `documents` / `embeddings` —
@@ -3506,6 +3506,66 @@ object LlmQueries {
       ORDER BY q.doc_id
     """.trim))
 
+  /** Supervised next-event pairs ([[Sessions.nextEventPairs]],
+    * contextLen 3): per user, (last ≤3 event types, next event type) —
+    * the log-to-(X, y) step of a next-action model. The oracle builds
+    * the identical context via lag() + concat_ws (both engines skip
+    * NULLs), pinning frame order and the pos > 1 cut.
+    */
+  val q161NextEvent = HarnessQuery(
+    "q161_next_event",
+    (spark, dir) =>
+      Sessions.nextEventPairs(
+        Tables.events(spark, dir), "user_id", "ts", "event_id",
+        "event_type", contextLen = 3)
+        .withColumn("pos", col("pos").cast("long"))
+        .orderBy(col("user_id"), col("pos")),
+    Some("""
+      SELECT user_id, pos, context, target FROM (
+        SELECT user_id,
+               row_number() OVER w AS pos,
+               concat_ws(' ', lag(event_type, 3) OVER w,
+                              lag(event_type, 2) OVER w,
+                              lag(event_type, 1) OVER w) AS context,
+               event_type AS target
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      WHERE pos > 1 ORDER BY user_id, pos
+    """.trim))
+
+  /** Curriculum ordering ([[Curriculum.order]]): global easy-first
+    * training order over documents — difficulty bucket = length decile
+    * (shorter first), within-bucket order = seeded md5 content hash.
+    * The oracle's single `row_number() OVER (ORDER BY ...)` is the
+    * semantic spec; the operator computes the SAME total order through
+    * the two-level salted rank (no whole-corpus single-partition sort),
+    * so a byte-identical hash here proves the decomposition exact.
+    */
+  val q162Curriculum = HarnessQuery(
+    "q162_curriculum",
+    (spark, dir) =>
+      Curriculum.order(
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), col("n_chars"),
+            least(lit(9L), floor(col("n_chars") / lit(500L))).as("bucket")),
+        bucket = col("bucket"),
+        hash = TextFunctions.md5Hash60(
+          concat(col("doc_id").cast("string"), lit(":7"))),
+        tieCol = "doc_id")
+        .select(col("doc_id"), col("bucket"), col("train_order"))
+        .orderBy(col("train_order")),
+    Some("""
+      WITH h AS (
+        SELECT doc_id,
+               least(9, n_chars // 500) AS bucket,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 15))
+                 AS BIGINT) AS hh
+        FROM documents)
+      SELECT doc_id, bucket,
+             row_number() OVER (ORDER BY bucket, hh, doc_id) AS train_order
+      FROM h ORDER BY train_order
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q50TextStats, q51TokenCount, q52LangQuality, q53Fingerprint,
     q54Shingles, q55MinhashPairs, q56ExactDedup, q57SimhashPairs,
@@ -3527,5 +3587,5 @@ object LlmQueries {
     q135TruncationStats, q136NgramNovelty, q137TokenDropout,
     q138StripAccents, q139Interleave, q140PageRank, q141SnapshotDiff,
     q142SpanCorrupt, q143LuhnRedact, q144CanonicalDocs, q146RecallAudit,
-    q147TriangleStats, q148IncrementalScore)
+    q147TriangleStats, q148IncrementalScore, q161NextEvent, q162Curriculum)
 }

@@ -1,0 +1,121 @@
+package graft.queries
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.queries.Parity._
+import graft.sources.{CsvSource, PipelineConfig, Tables}
+
+/** Harness coverage for the source rows that previously rested on unit
+  * fixtures alone: S1 (CSV scan, reference `load_data.py:19-55`) and S2
+  * (YAML config, reference `config_loader.py:3-5`). Each query writes
+  * its own small input into a temp dir, round-trips it through the real
+  * source implementation, and aggregates — the oracle computes the same
+  * aggregate straight from the parquet tables, so a lossy or mis-parsed
+  * round-trip hash-mismatches.
+  */
+object SourceQueries {
+
+  private val customerCsv: StructType = StructType(Seq(
+    StructField("c_custkey", LongType),
+    StructField("c_name", StringType),
+    StructField("c_nationkey", IntegerType),
+    StructField("c_acctbal", DoubleType),
+    StructField("c_mktsegment", StringType)))
+
+  /** S1: parquet → CSV (header) → [[CsvSource.read]] with an explicit
+    * schema → per-segment aggregate. Doubles survive because Spark's
+    * CSV writer emits the shortest round-trip representation and the
+    * typed read parses it back to the identical bit pattern; the
+    * decimal-sum parity discipline then makes the aggregate
+    * order-independent. If the CSV path dropped precision, rows, or
+    * misaligned columns, the hash against the parquet-side oracle
+    * breaks.
+    */
+  val q159CsvRoundtrip = HarnessQuery(
+    "q159_csv_roundtrip",
+    (spark, dir) => {
+      val tmp = Files.createTempDirectory("graft_q159").toFile
+      tmp.deleteOnExit()
+      val csvDir = new java.io.File(tmp, "customer_csv").getPath
+      Tables.customer(spark, dir)
+        .write.mode("overwrite").option("header", "true").csv(csvDir)
+      CsvSource.read(spark, csvDir, customerCsv)
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n"),
+          dsum(col("c_acctbal")).as("sum_bal"),
+          countDistinct(col("c_nationkey")).as("n_nations"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some("""
+      SELECT c_mktsegment,
+             count(*) AS n,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS sum_bal,
+             CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations
+      FROM customer GROUP BY 1 ORDER BY 1
+    """.trim))
+
+  /** S2: write a pipeline YAML (inline feature lists, non-default
+    * test_size/random_state), parse it with [[PipelineConfig.fromYaml]],
+    * and let every parsed field drive a computation over `customer`:
+    * the feature lists pick the columns, test_size sizes the split,
+    * random_state lands as a row. The oracle hard-codes the YAML's
+    * values — any parse drift (defaults leaking through, list order
+    * lost, numbers as strings) mismatches.
+    */
+  val q160YamlConfig = HarnessQuery(
+    "q160_yaml_config",
+    (spark, dir) => {
+      val yaml =
+        """test_size: 0.25
+          |random_state: 7
+          |missing_value_strategy: drop
+          |imbalance_strategy: undersample
+          |numerical_features: [c_acctbal]
+          |categorical_features: [c_mktsegment]
+          |""".stripMargin
+      val f = Files.createTempFile("graft_q160", ".yaml")
+      Files.write(f, yaml.getBytes(StandardCharsets.UTF_8))
+      f.toFile.deleteOnExit()
+      val cfg = PipelineConfig.fromYaml(f.toString)
+      require(cfg.missingValueStrategy == "drop"
+        && cfg.imbalanceStrategy == "undersample",
+        s"yaml strategy keys mis-parsed: $cfg")
+      val cust = Tables.customer(spark, dir)
+      val numStats = cfg.numericalFeatures.map(c =>
+        cust.agg(dmean(col(c)).as("stat"))
+          .select(lit(s"mean:$c").as("feature"), col("stat")))
+      val catStats = cfg.categoricalFeatures.map(c =>
+        cust.agg(countDistinct(col(c)).cast("double").as("stat"))
+          .select(lit(s"distinct:$c").as("feature"), col("stat")))
+      val splitStats = cust.agg(
+          ceil(count(lit(1)) * lit(cfg.testSize)).cast("double").as("stat"))
+        .select(lit("test_rows").as("feature"), col("stat"))
+      val seedRow = cust.limit(1).select(
+        lit("random_state").as("feature"),
+        lit(cfg.randomState).cast("double").as("stat"))
+      (numStats ++ catStats :+ splitStats :+ seedRow)
+        .reduce(_.unionByName(_))
+        .orderBy(col("feature"))
+    },
+    Some("""
+      SELECT 'mean:c_acctbal' AS feature,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE)
+               / count(c_acctbal) AS stat
+      FROM customer
+      UNION ALL
+      SELECT 'distinct:c_mktsegment',
+             CAST(count(DISTINCT c_mktsegment) AS DOUBLE) FROM customer
+      UNION ALL
+      SELECT 'test_rows', CAST(ceil(count(*) * 0.25) AS DOUBLE) FROM customer
+      UNION ALL
+      SELECT 'random_state', 7.0
+      ORDER BY feature
+    """.trim))
+
+  def all: Seq[HarnessQuery] = Seq(q159CsvRoundtrip, q160YamlConfig)
+}

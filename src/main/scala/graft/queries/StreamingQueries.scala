@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
+import graft.Materialize
 import graft.sources.Tables
 import graft.streaming.StreamingOps
 
@@ -117,25 +118,41 @@ object StreamingQueries {
     "q84_tws_velocity",
     (spark, dir) => {
       import spark.implicits._
-      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      // Set/RESTORE the provider around an eager materialization, so
+      // the session conf is clean no matter what runner (or runner
+      // order) invokes this query — no reliance on SessionHygiene.
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prior = spark.conf.getOption(providerKey)
+      spark.conf.set(providerKey,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      // batch execution never starts a streaming query, so the driver's
-      // StateStoreCoordinator RPC endpoint (normally registered by
-      // StreamingQueryManager on first stream start) does not exist and
-      // RocksDB's snapshot-upload report would fail its RPC lookup —
-      // register it up front; forDriver is idempotent (returns the
-      // existing endpoint on re-registration)
-      org.apache.spark.sql.execution.streaming.state.StateStoreCoordinatorRef
-        .forDriver(org.apache.spark.SparkEnv.get, spark.sessionState.conf)
-      val ev = Tables.events(spark, dir)
-        .select(col("user_id").cast("string").as("key"),
-          unix_micros(col("ts")).as("tsMicros"),
-          col("event_id").as("eventId"))
-        .as[StreamingOps.VEvent]
-      StreamingOps.velocityWithTws(ev).toDF()
-        .select(col("key").cast("long").as("user_id"),
-          col("eventId").as("event_id"), col("n").as("n_24h"))
-        .orderBy(col("event_id"))
+      try {
+        // batch execution never starts a streaming query, so the driver's
+        // StateStoreCoordinator RPC endpoint (normally registered by
+        // StreamingQueryManager on first stream start) does not exist and
+        // RocksDB's snapshot-upload report would fail its RPC lookup —
+        // register it up front; forDriver is idempotent (returns the
+        // existing endpoint on re-registration)
+        org.apache.spark.sql.execution.streaming.state.StateStoreCoordinatorRef
+          .forDriver(org.apache.spark.SparkEnv.get, spark.sessionState.conf)
+        val ev = Tables.events(spark, dir)
+          .select(col("user_id").cast("string").as("key"),
+            unix_micros(col("ts")).as("tsMicros"),
+            col("event_id").as("eventId"))
+          .as[StreamingOps.VEvent]
+        // cut = eager: the TWS plan executes HERE, while the RocksDB
+        // provider conf is still in force; the returned frame reads the
+        // materialized blocks and no longer needs the conf
+        Materialize.cut(
+          StreamingOps.velocityWithTws(ev).toDF()
+            .select(col("key").cast("long").as("user_id"),
+              col("eventId").as("event_id"), col("n").as("n_24h")))
+          .orderBy(col("event_id"))
+      } finally {
+        prior match {
+          case Some(v) => spark.conf.set(providerKey, v)
+          case None => spark.conf.unset(providerKey)
+        }
+      }
     },
     Some("""
       SELECT a.user_id, a.event_id, count(b.event_id) AS n_24h

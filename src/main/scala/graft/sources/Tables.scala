@@ -1,7 +1,15 @@
 package graft.sources
 
+import scala.collection.concurrent.TrieMap
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.functions.{expr, timestamp_micros}
 import org.apache.spark.sql.types._
 
 /** Typed access to the harness star schema + events/documents/embeddings
@@ -92,15 +100,48 @@ object Tables {
     "lineitem" -> lineitem, "events" -> events,
     "documents" -> documents, "embeddings" -> embeddings)
 
-  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects ([PARQUET_TYPE_ILLEGAL]). Physical-read schema: nanos
-    * as Long (via the legacy conf), then integer-divide to microseconds —
-    * `div`, not `/`: double division loses bits at 1.7e18 and shifts
-    * timestamps by up to ±256 ns, enough to flip a microsecond.
+  /** Raw-long read schema for the TIMESTAMP(NANOS) vintage of
+    * events.parquet, which Spark's parquet reader otherwise rejects
+    * ([PARQUET_TYPE_ILLEGAL]). Nanos come in as Long (via the legacy
+    * conf), then integer-divide to microseconds — `div`, not `/`:
+    * double division loses bits at 1.7e18 and shifts timestamps by up
+    * to ±256 ns, enough to flip a microsecond.
     */
   private val eventsRaw: StructType = StructType(
     events.fields.map(f =>
       if (f.name == "ts") StructField("ts", LongType) else f))
+
+  /** Footer-sniffed timestamp unit of the `ts` column, cached per path.
+    * The harness testdata has shipped both TIMESTAMP(NANOS) and
+    * TIMESTAMP(MICROS) vintages across rounds; trusting either blindly
+    * poisons every ts-semantics query when the vintage flips (micros
+    * interpreted as nanos compresses a month into ~42 minutes), so the
+    * loader reads the parquet logical type and branches.
+    */
+  private val tsUnitCache = TrieMap.empty[String, TimeUnit]
+
+  private def eventsTsUnit(spark: SparkSession, path: String): TimeUnit =
+    tsUnitCache.getOrElseUpdate(path, {
+      val conf = spark.sessionState.newHadoopConf()
+      val p = new Path(path)
+      val fs = p.getFileSystem(conf)
+      val file =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).map(_.getPath)
+            .filter(f => f.getName.endsWith(".parquet") || f.getName.startsWith("part-"))
+            .sortBy(_.getName).headOption
+            .getOrElse(throw new IllegalArgumentException(s"no parquet files under $path"))
+        else p
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+      try {
+        val schema = reader.getFooter.getFileMetaData.getSchema
+        schema.getType(schema.getFieldIndex("ts"))
+          .asPrimitiveType().getLogicalTypeAnnotation match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation => t.getUnit
+          case _ => TimeUnit.MICROS // unannotated INT64: Spark's own convention is micros
+        }
+      } finally reader.close()
+    })
 
   /** Load one named table from an sf directory. Explicit schema keeps the
     * scan inference-free; parquet logical types still dictate physical
@@ -108,16 +149,21 @@ object Tables {
     */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
-      // SESSION-WIDE side effect, deliberately: events.parquet stores
-      // TIMESTAMP(NANOS), which Spark only decodes under this legacy
-      // conf (as raw nanos longs, converted to micros right here). It
-      // cannot be scoped to one read, so any OTHER nanos-timestamp
-      // parquet read in the same session will also decode as longs
-      // instead of erroring — callers mixing in external nanos data
-      // must handle the conversion as this method does.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.schema(eventsRaw).parquet(s"$sfDir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val path = s"$sfDir/events.parquet"
+      if (eventsTsUnit(spark, path) == TimeUnit.NANOS) {
+        // SESSION-WIDE side effect, deliberately: Spark only decodes
+        // TIMESTAMP(NANOS) under this legacy conf (as raw nanos longs,
+        // converted to micros right here). It cannot be scoped to one
+        // read, so any OTHER nanos-timestamp parquet read in the same
+        // session will also decode as longs instead of erroring —
+        // callers mixing in external nanos data must convert as here.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read.schema(eventsRaw).parquet(path)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      } else {
+        // MICROS (or MILLIS) — Spark-native units; plain typed read.
+        spark.read.schema(events).parquet(path)
+      }
     } else {
       val schema = schemas.getOrElse(name,
         throw new IllegalArgumentException(s"unknown table: $name"))

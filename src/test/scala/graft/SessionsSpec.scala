@@ -66,6 +66,29 @@ class SessionsSpec extends SparkSpec {
       got(1).getAs[String]("sequence") === "x")
   }
 
+  test("nextEventPairs: sliding context in (ts, tie) order, pos>1 cut") {
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:01"), 11L, "a"),
+      (1L, ts("2024-01-01 00:00:01"), 12L, "b"), // tie -> id order
+      (1L, ts("2024-01-01 00:00:02"), 13L, "c"),
+      (1L, ts("2024-01-01 00:00:03"), 14L, "d"),
+      (1L, ts("2024-01-01 00:00:04"), 15L, "e"),
+      (2L, ts("2024-01-01 00:00:09"), 20L, "x"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Sessions.nextEventPairs(df, "user_id", "ts", "event_id",
+      "event_type", contextLen = 3)
+      .orderBy($"user_id", $"pos")
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("pos"),
+        r.getAs[String]("context"), r.getAs[String]("target")))
+    // user 1: first event emits nothing; contexts grow to 3 then slide
+    assert(got.toSeq === Seq(
+      (1L, 2, "a", "b"),
+      (1L, 3, "a b", "c"),
+      (1L, 4, "a b c", "d"),
+      (1L, 5, "b c d", "e")))
+    // user 2 has a single event -> no pair at all
+  }
+
   test("bm25: rare term outweighs common term; saturation in tc") {
     val df = Seq(
       (1L, "apple banana banana"),
