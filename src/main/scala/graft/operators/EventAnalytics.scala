@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Cohort-retention and funnel analysis — the two workhorse event
+  * analytics over an activity log (the product-analytics layer next to
+  * the fraud features; same `events` input, entity + event-time
+  * semantics).
+  *
+  * Both are pure multi-stage hash aggregations keyed by the entity —
+  * no windows, no self-joins — so they scale with the activity volume
+  * and shuffle only (entity, small) pairs.
+  */
+object EventAnalytics {
+
+  private val MicrosPerDay = 86400L * 1000000L
+
+  /** Day-granularity cohort retention matrix: cohort = the entity's
+    * first active day (epoch days — integer arithmetic, no
+    * week-definition ambiguity between engines), offset = days since
+    * that first day; one row per (cohort_day, day_offset) with the
+    * count of DISTINCT entities active on that offset day. Row
+    * (c, 0) is the cohort's size; retention rate at offset d is
+    * n_active(c, d) / n_active(c, 0) for the reader.
+    *
+    * Shape: collapse to distinct (entity, day) first (the log may have
+    * thousands of events per entity-day), per-entity min-day as a
+    * second aggregate joined back ON THE ENTITY KEY, then the final
+    * (cohort, offset) count-distinct. Three key-partitioned hash
+    * aggregates; nothing global.
+    */
+  def cohortRetention(
+      df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val activeDays = df
+      .select(col(keyCol),
+        (unix_micros(col(tsCol))
+          - pmod(unix_micros(col(tsCol)), lit(MicrosPerDay)))
+          .divide(lit(MicrosPerDay)).cast("long").as("__day"))
+      .distinct()
+    val cohorts = activeDays.groupBy(col(keyCol))
+      .agg(min(col("__day")).as("__cohort"))
+    activeDays.join(cohorts, Seq(keyCol))
+      .groupBy(col("__cohort").as("cohort_day"),
+        (col("__day") - col("__cohort")).as("day_offset"))
+      .agg(countDistinct(col(keyCol)).as("n_active"))
+  }
+
+  /** Ordered funnel conversion: for `steps` = (s₁, …, sₖ), an entity
+    * converts through step i when it has events for every s₁…sᵢ and
+    * the FIRST occurrences are strictly time-ordered
+    * (min_ts(s₁) < … < min_ts(sᵢ)) — the standard first-touch funnel
+    * (re-visits don't resurrect an out-of-order prefix). One row per
+    * step: step index (1-based), step name, n_entities that reach it.
+    *
+    * Shape: filter to funnel events, one hash aggregate to
+    * (entity → min-ts per step, conditional-agg pivoted in-row), one
+    * summary aggregate of the k prefix predicates. The per-entity state
+    * is k longs regardless of activity volume.
+    */
+  def funnel(
+      df: DataFrame, keyCol: String, tsCol: String, eventCol: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2, s"funnel needs >= 2 steps, got ${steps.size}")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    val firstTs = steps.zipWithIndex.map { case (s, i) =>
+      min(when(col(eventCol) === s, unix_micros(col(tsCol)))).as(s"__t$i")
+    }
+    val perEntity = df
+      .filter(col(eventCol).isin(steps: _*))
+      .groupBy(col(keyCol))
+      .agg(firstTs.head, firstTs.tail: _*)
+    val reached = steps.indices.map { i =>
+      val prefixOk = (1 to i).foldLeft(col("__t0").isNotNull) { (acc, j) =>
+        acc && col(s"__t$j").isNotNull && col(s"__t${j - 1}") < col(s"__t$j")
+      }
+      sum(when(prefixOk, 1L).otherwise(0L)).as(s"__n$i")
+    }
+    val one = perEntity.agg(reached.head, reached.tail: _*)
+    val rows = steps.zipWithIndex.map { case (s, i) =>
+      struct(lit(i + 1).cast("long").as("step_idx"), lit(s).as("step"),
+        col(s"__n$i").as("n_entities"))
+    }
+    one.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.step_idx"), col("r.step"), col("r.n_entities"))
+      .orderBy(col("step_idx"))
+  }
+}

@@ -100,4 +100,46 @@ object Expectations {
         col("r.threshold"), col("r.pass"))
       .orderBy(col("check"), col("column"))
   }
+
+  /** One referential-integrity check: child rows whose `childKey` value
+    * has no match in `parent.parentKey`. NULL foreign keys are reported
+    * separately (`n_null`), not as orphans — SQL FK semantics, where a
+    * NULL reference is "absent", not "dangling".
+    */
+  final case class FkCheck(
+      name: String,
+      child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String)
+
+  /** Referential-integrity audit across FK edges of a star schema: one
+    * row per check — total child rows, NULL references, orphans
+    * (non-null childKey absent from parent), orphan fraction over
+    * non-null references, pass (zero orphans).
+    *
+    * Scale shape: each check is one LEFT ANTI join on the key — the
+    * parent side collapses to DISTINCT keys first, so a dimension
+    * parent broadcasts and a fact-fact edge shuffles only keys, never
+    * payloads. The per-check results are one-row aggregates unioned at
+    * the end (driver-free).
+    */
+  def fkAudit(checks: Seq[FkCheck]): DataFrame = {
+    require(checks.nonEmpty, "fkAudit needs at least one check")
+    checks.map { c =>
+      val base = c.child.select(col(c.childKey).as("__k"))
+      val totals = base.agg(
+        count(lit(1)).as("n_child"),
+        sum(when(col("__k").isNull, 1L).otherwise(0L)).as("n_null"))
+      val orphans = base.filter(col("__k").isNotNull)
+        .join(c.parent.select(col(c.parentKey).as("__k")).distinct(),
+          Seq("__k"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      totals.crossJoin(orphans).select(
+        lit(c.name).as("fk"),
+        col("n_child"), col("n_null"), col("n_orphans"),
+        (col("n_orphans").cast("double")
+          / greatest(col("n_child") - col("n_null"), lit(1L)))
+          .as("orphan_frac"),
+        (col("n_orphans") === 0L).as("pass"))
+    }.reduce(_.unionByName(_)).orderBy(col("fk"))
+  }
 }

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture merge: apply a keyed delta batch (upserts +
+  * deletes) to a snapshot — the MERGE INTO of a warehouse refresh cycle,
+  * expressed as pure dataflow so it runs on any snapshot a DataFrame can
+  * read. Last-writer-wins within the batch is the caller's contract
+  * (dedup the delta first with [[Cleaning]] keep-latest if needed).
+  *
+  * Scale shape: one LEFT ANTI join on the key (snapshot rows whose key
+  * appears in the delta drop out) plus a union with the delta's
+  * surviving rows — both sides shuffle ONLY on the key, payloads ride
+  * along untouched, and a small delta broadcasts its key set. No full
+  * outer join, no window.
+  */
+object Merge {
+
+  /** Apply `delta` to `snapshot`. `delta` carries the snapshot schema
+    * plus `opCol`; rows with `opCol === deleteOp` delete their key,
+    * every other delta row replaces (update) or introduces (insert)
+    * its key. Emits the merged snapshot with the snapshot's columns.
+    */
+  def upsert(
+      snapshot: DataFrame,
+      delta: DataFrame,
+      key: String,
+      opCol: String,
+      deleteOp: String = "D"): DataFrame = {
+    val untouched = snapshot.join(
+      delta.select(col(key)).distinct(), Seq(key), "left_anti")
+    val applied = delta.filter(col(opCol) =!= deleteOp).drop(opCol)
+      .select(snapshot.columns.map(col): _*)
+    untouched.unionByName(applied)
+  }
+
+  /** Audit counts for a merge without materializing it twice: one row —
+    * n_snapshot, n_delta, n_inserted (delta keys absent from the
+    * snapshot, non-delete), n_updated (present, non-delete), n_deleted
+    * (present, delete), n_result (what [[upsert]] would emit). Assumes
+    * the snapshot is KEYED (key unique) — the contract MERGE INTO has.
+    */
+  def audit(
+      snapshot: DataFrame,
+      delta: DataFrame,
+      key: String,
+      opCol: String,
+      deleteOp: String = "D"): DataFrame = {
+    val snapKeys = snapshot.select(col(key)).distinct()
+      .withColumn("__in_snap", lit(true))
+    val d = delta.select(col(key), col(opCol))
+      .join(snapKeys, Seq(key), "left")
+      .agg(
+        count(lit(1)).as("n_delta"),
+        sum(when(col(opCol) =!= deleteOp && col("__in_snap").isNull, 1L)
+          .otherwise(0L)).as("n_inserted"),
+        sum(when(col(opCol) =!= deleteOp && col("__in_snap").isNotNull, 1L)
+          .otherwise(0L)).as("n_updated"),
+        sum(when(col(opCol) === deleteOp && col("__in_snap").isNotNull, 1L)
+          .otherwise(0L)).as("n_deleted"))
+    snapshot.agg(count(lit(1)).as("n_snapshot"))
+      .crossJoin(d)
+      .select(col("n_snapshot"), col("n_delta"), col("n_inserted"),
+        col("n_updated"), col("n_deleted"),
+        (col("n_snapshot") + col("n_inserted") - col("n_deleted"))
+          .as("n_result"))
+  }
+}

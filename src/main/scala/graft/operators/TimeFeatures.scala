@@ -58,4 +58,36 @@ object TimeFeatures {
       if (d.columns.contains(from)) d.withColumnRenamed(from, to) else d
     }
   }
+
+  /** Per-entity inter-arrival profile: for each key, the number of
+    * events, number of gaps (n_events − 1), and the exact mean / min /
+    * max gap between consecutive events in (ts, tie) order, in
+    * MICROSECONDS (integer end-to-end; the mean is one exact
+    * decimal-sum ÷ count division in double — engine-neutral, no
+    * float accumulation). The inter-arrival distribution is a classic
+    * fraud/bot feature: humans have heavy-tailed gaps, scripted
+    * traffic is metronomic.
+    *
+    * Scale shape: one lag window partitioned by the ENTITY key (state
+    * bounded by one entity's history), then a hash aggregate on the
+    * same key — the window's shuffle is reused by the groupBy
+    * (same partitioning), so this is ONE shuffle total.
+    */
+  def interArrival(
+      df: DataFrame, keyCol: String, tsCol: String, tieCol: String): DataFrame = {
+    // order by the derived micros (bijective with ts) + tie — ts itself
+    // is projected away before the window
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("__us"), col(tieCol))
+    df.select(col(keyCol), col(tieCol), unix_micros(col(tsCol)).as("__us"))
+      .withColumn("__gap", col("__us") - lag(col("__us"), 1).over(w))
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(col("__gap")).as("n_gaps"),
+        (sum(col("__gap").cast("decimal(25,0)")).cast("double")
+          / count(col("__gap"))).as("mean_gap_us"),
+        min(col("__gap")).as("min_gap_us"),
+        max(col("__gap")).as("max_gap_us"))
+  }
 }

@@ -72,4 +72,41 @@ object Velocity {
       .withColumn(outCol, col("__win") - lit(1L))
       .drop("__k", "__sec", "__n", "__win")
   }
+
+  /** Burst detection: hour buckets where an entity's event count
+    * exceeds `factor` × its own mean hourly rate over its ACTIVE hours
+    * (hours with ≥1 event — idle hours don't dilute the baseline, so a
+    * once-a-day user with one 50-event hour still flags). Output: one
+    * row per bursty (key, hour): key, hour_start_us, n (events that
+    * hour), n_total, n_hours (the entity's totals).
+    *
+    * The comparison is kept INTEGER — `n · n_hours > factor · n_total`
+    * — so both engines decide each row with exact arithmetic (no
+    * mean-as-double threshold wobble at the boundary).
+    *
+    * Scale shape: collapse to per-(key, hour) counts first (one hash
+    * aggregate, map-side partial), then per-key totals as a second tiny
+    * aggregate joined back on the key — partition size is bounded by
+    * distinct active hours per entity, never raw events.
+    */
+  def burstHours(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      factor: Int = 3): DataFrame = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    // hour bucket via pure integer ops (us − us mod hour): double
+    // division could round across a bucket boundary at extreme epochs
+    val us = unix_micros(col(tsCol))
+    val perHour = df
+      .groupBy(col(keyCol),
+        (us - pmod(us, lit(3600L * MicrosPerSec))).as("hour_start_us"))
+      .agg(count(lit(1)).as("n"))
+    val perKey = perHour.groupBy(col(keyCol))
+      .agg(sum(col("n")).as("n_total"), count(lit(1)).as("n_hours"))
+    perHour.join(perKey, Seq(keyCol))
+      .filter(col("n") * col("n_hours") > lit(factor.toLong) * col("n_total"))
+      .select(col(keyCol), col("hour_start_us"), col("n"),
+        col("n_total"), col("n_hours"))
+  }
 }

@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.EventAnalytics
+import graft.sources.Tables
+
+/** Product-analytics queries over the events log: cohort retention and
+  * ordered funnel conversion ([[EventAnalytics]]).
+  */
+object AnalyticsQueries {
+
+  /** Day-granularity cohort retention matrix
+    * ([[EventAnalytics.cohortRetention]]) — integer epoch-day
+    * arithmetic on both engines, so the matrix hash-pins exactly.
+    */
+  val q168CohortRetention = HarnessQuery(
+    "q168_cohort_retention",
+    (spark, dir) =>
+      EventAnalytics.cohortRetention(
+        Tables.events(spark, dir), "user_id", "ts")
+        .orderBy(col("cohort_day"), col("day_offset")),
+    Some("""
+      WITH ad AS (
+        SELECT DISTINCT user_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+        FROM events),
+      co AS (SELECT user_id, min(day) AS cohort FROM ad GROUP BY 1)
+      SELECT co.cohort AS cohort_day, ad.day - co.cohort AS day_offset,
+             CAST(count(DISTINCT ad.user_id) AS BIGINT) AS n_active
+      FROM ad JOIN co USING (user_id)
+      GROUP BY 1, 2 ORDER BY 1, 2
+    """.trim))
+
+  /** First-touch ordered funnel ([[EventAnalytics.funnel]]) over
+    * view → click → purchase: per step, entities whose FIRST
+    * occurrences are strictly time-ordered through that step.
+    */
+  val q169Funnel = HarnessQuery(
+    "q169_funnel",
+    (spark, dir) =>
+      EventAnalytics.funnel(
+        Tables.events(spark, dir), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase")),
+    Some("""
+      WITH f AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view'
+                 THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t0,
+               min(CASE WHEN event_type = 'click'
+                 THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t1,
+               min(CASE WHEN event_type = 'purchase'
+                 THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t2
+        FROM events WHERE event_type IN ('view', 'click', 'purchase')
+        GROUP BY 1)
+      SELECT * FROM (
+        SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step,
+               CAST(sum(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_entities
+        FROM f
+        UNION ALL
+        SELECT 2, 'click',
+               CAST(sum(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL
+                 AND t0 < t1 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM f
+        UNION ALL
+        SELECT 3, 'purchase',
+               CAST(sum(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL
+                 AND t0 < t1 AND t2 IS NOT NULL AND t1 < t2
+                 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM f)
+      ORDER BY step_idx
+    """.trim))
+
+  def all: Seq[HarnessQuery] = Seq(q168CohortRetention, q169Funnel)
+}

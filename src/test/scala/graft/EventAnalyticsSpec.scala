@@ -1,0 +1,61 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.EventAnalytics
+
+/** cohortRetention / funnel — event-analytics semantics on literal
+  * frames with hand-computed answers.
+  */
+class EventAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("cohortRetention: first day defines the cohort; offsets count distinct users") {
+    val df = Seq(
+      // users 1,2 start day 0; user 1 returns day 1 and day 3 (twice)
+      (1L, ts("2024-01-01 08:00:00")),
+      (1L, ts("2024-01-02 09:00:00")),
+      (1L, ts("2024-01-04 10:00:00")),
+      (1L, ts("2024-01-04 11:00:00")), // same day twice -> one active-day
+      (2L, ts("2024-01-01 23:59:59")),
+      // user 3 starts day 1
+      (3L, ts("2024-01-02 00:00:00")))
+      .toDF("user_id", "ts")
+    val got = EventAnalytics.cohortRetention(df, "user_id", "ts")
+      .orderBy($"cohort_day", $"day_offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val day0 = ts("2024-01-01 00:00:00").getTime * 1000 / 86400000000L
+    assert(got.toSeq === Seq(
+      (day0, 0L, 2L),      // users 1 and 2 on their first day
+      (day0, 1L, 1L),      // user 1 returns next day
+      (day0, 3L, 1L),      // user 1 returns day 3 (deduped)
+      (day0 + 1, 0L, 1L))) // user 3's own cohort
+  }
+
+  test("funnel: strict first-touch ordering; out-of-order prefix blocks later steps") {
+    val df = Seq(
+      // u1 completes in order: view < click < purchase
+      (1L, ts("2024-01-01 00:00:01"), "view"),
+      (1L, ts("2024-01-01 00:00:02"), "click"),
+      (1L, ts("2024-01-01 00:00:03"), "purchase"),
+      // u2: click BEFORE first view -> never reaches step 2
+      (2L, ts("2024-01-01 00:00:01"), "click"),
+      (2L, ts("2024-01-01 00:00:02"), "view"),
+      (2L, ts("2024-01-01 00:00:03"), "purchase"),
+      // u3: view then click, no purchase
+      (3L, ts("2024-01-01 00:00:01"), "view"),
+      (3L, ts("2024-01-01 00:00:02"), "click"),
+      // u4: only noise events
+      (4L, ts("2024-01-01 00:00:01"), "error"))
+      .toDF("user_id", "ts", "event_type")
+    val got = EventAnalytics.funnel(df, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === Seq(
+      (1L, "view", 3L),      // u1, u2, u3 all have a view
+      (2L, "click", 2L),     // u1, u3 (u2's click precedes its view)
+      (3L, "purchase", 1L))) // u1 only
+  }
+}
