@@ -85,4 +85,33 @@ object EventAnalytics {
       .select(col("r.step_idx"), col("r.step"), col("r.n_entities"))
       .orderBy(col("step_idx"))
   }
+
+  /** Last-touch attribution: each conversion event credits the
+    * entity's most recent PRECEDING non-conversion event type (the
+    * "channel"); conversions with no preceding touch credit
+    * `direct`. Output per channel: n_conversions, sum_value (exact
+    * decimal-accumulated sum of the conversion's `valueCol`).
+    *
+    * Shape: one window partitioned by the entity key (last-ignore-nulls
+    * over an unbounded-preceding frame is O(1) running state per row),
+    * then a hash aggregate on the channel — the same
+    * one-shuffle-then-tiny-aggregate shape as the velocity features.
+    */
+  def lastTouchAttribution(
+      df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+      eventCol: String, valueCol: String,
+      conversionEvent: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.select(col(keyCol), col(tsCol), col(tieCol), col(eventCol),
+        col(valueCol))
+      .withColumn("__touch",
+        last(when(col(eventCol) =!= conversionEvent, col(eventCol)),
+          ignoreNulls = true).over(w))
+      .filter(col(eventCol) === conversionEvent)
+      .groupBy(coalesce(col("__touch"), lit("direct")).as("channel"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(col(valueCol).cast("decimal(25,6)")).cast("double").as("sum_value"))
+  }
 }

@@ -72,5 +72,34 @@ object AnalyticsQueries {
       ORDER BY step_idx
     """.trim))
 
-  def all: Seq[HarnessQuery] = Seq(q168CohortRetention, q169Funnel)
+  /** Last-touch attribution ([[EventAnalytics.lastTouchAttribution]]):
+    * purchase value credited to the most recent preceding
+    * non-purchase event type per user; both engines evaluate
+    * last-ignore-nulls over the identical (ts, event_id) frame.
+    */
+  val q170Attribution = HarnessQuery(
+    "q170_attribution",
+    (spark, dir) =>
+      EventAnalytics.lastTouchAttribution(
+        Tables.events(spark, dir), "user_id", "ts", "event_id",
+        "event_type", "value", conversionEvent = "purchase")
+        .orderBy(col("channel")),
+    Some("""
+      WITH t AS (
+        SELECT user_id, event_type, "value",
+               last_value(CASE WHEN event_type <> 'purchase'
+                 THEN event_type END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS touch
+        FROM events)
+      SELECT coalesce(touch, 'direct') AS channel,
+             count(*) AS n_conversions,
+             CAST(sum(CAST("value" AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+      FROM t WHERE event_type = 'purchase'
+      GROUP BY 1 ORDER BY 1
+    """.trim))
+
+  def all: Seq[HarnessQuery] =
+    Seq(q168CohortRetention, q169Funnel, q170Attribution)
 }

@@ -34,6 +34,27 @@ class EventAnalyticsSpec extends SparkSpec {
       (day0 + 1, 0L, 1L))) // user 3's own cohort
   }
 
+  test("lastTouchAttribution: latest preceding touch wins; no touch = direct") {
+    val df = Seq(
+      // u1: view, click, purchase(10) -> click credited
+      (1L, ts("2024-01-01 00:00:01"), 11L, "view", 0.0),
+      (1L, ts("2024-01-01 00:00:02"), 12L, "click", 0.0),
+      (1L, ts("2024-01-01 00:00:03"), 13L, "purchase", 10.0),
+      // u1 second purchase with no new touch -> still click (last touch)
+      (1L, ts("2024-01-01 00:00:04"), 14L, "purchase", 5.0),
+      // u2: purchase first (direct), then view, purchase -> view
+      (2L, ts("2024-01-01 00:00:01"), 21L, "purchase", 7.0),
+      (2L, ts("2024-01-01 00:00:02"), 22L, "view", 0.0),
+      (2L, ts("2024-01-01 00:00:03"), 23L, "purchase", 3.0))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val got = graft.operators.EventAnalytics.lastTouchAttribution(
+      df, "user_id", "ts", "event_id", "event_type", "value", "purchase")
+      .orderBy($"channel")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq(
+      ("click", 2L, 15.0), ("direct", 1L, 7.0), ("view", 1L, 3.0)))
+  }
+
   test("funnel: strict first-touch ordering; out-of-order prefix blocks later steps") {
     val df = Seq(
       // u1 completes in order: view < click < purchase
