@@ -269,4 +269,32 @@ object Eda {
       .groupBy(col(key))
       .agg(count(lit(1)).as("n_distinct"))
       .orderBy(col(key))
+
+  /** EXACT interpolated percentile bands per group (Spark `percentile`
+    * ≡ DuckDB `quantile_cont` — probed bit-identical on the harness
+    * data; a round-to-9 guards the 1-ulp interpolation tail anyway).
+    * One column per requested probability, named `p<percent>` (p25,
+    * p50, …; fractional percents get the dot stripped: 0.125 → p12_5).
+    *
+    * Scale note: exact percentiles sort each group's values (Spark
+    * buffers them per group) — the AUDIT path. For dashboard-grade
+    * numbers at full scale use [[describeApprox]] / percentile_approx,
+    * which streams in bounded memory; this operator is for the
+    * slices where exactness is the point (SLA verification, parity
+    * testing, release gates).
+    */
+  def percentileBands(
+      df: DataFrame, groupCol: String, valueCol: String,
+      probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
+      s"probs must be within [0, 1], got $probs")
+    def nameOf(p: Double): String = {
+      val pct = p * 100
+      if (pct == pct.floor) s"p${pct.toInt}"
+      else ("p" + pct.toString.replace('.', '_')).stripSuffix("_0")
+    }
+    val aggs = probs.map(p =>
+      round(expr(s"percentile($valueCol, ${p}d)"), 9).as(nameOf(p)))
+    df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
 }

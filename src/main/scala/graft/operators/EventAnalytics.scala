@@ -114,4 +114,43 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_conversions"),
         sum(col(valueCol).cast("decimal(25,6)")).cast("double").as("sum_value"))
   }
+
+  /** Time-weighted average value per entity (TWAP): each event's value
+    * is weighted by its DWELL — the microseconds until the entity's
+    * next event — so a value held for an hour counts 3600× one held a
+    * second (the right average for state-like signals sampled at
+    * irregular event times: balances, prices, risk scores). The last
+    * event has no dwell and is excluded; entities with one event emit
+    * a NULL twap. Output: key, n_weighted (events carrying weight),
+    * dwell_us_total, twap.
+    *
+    * Exactness: dwell is integer micros, value·dwell accumulates in
+    * DECIMAL (exact, order-independent), ONE double division at the
+    * end — the engine-parity discipline of the sum/mean operators.
+    * The operand precisions are deliberately tight — DECIMAL(18,6)
+    * value × DECIMAL(19,0) dwell = DECIMAL(38,6) — because an
+    * oversized product (> 38 digits) makes DuckDB fall back to double
+    * arithmetic, while an operand under 19 digits keeps DuckDB on
+    * overflow-checked INT64 storage — 18,6 × 19,0 is the window where
+    * both engines stay exact INT128 decimal.
+    * Shape: one entity-keyed lead window, then a hash aggregate that
+    * reuses the window's partitioning. One shuffle.
+    */
+  def timeWeightedAverage(
+      df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+      valueCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("__us"), col(tieCol))
+    df.select(col(keyCol), col(tieCol),
+        unix_micros(col(tsCol)).as("__us"),
+        col(valueCol).cast("decimal(18,6)").as("__v"))
+      .withColumn("__dwell", lead(col("__us"), 1).over(w) - col("__us"))
+      .groupBy(col(keyCol))
+      .agg(
+        count(col("__dwell")).as("n_weighted"),
+        sum(col("__dwell")).as("dwell_us_total"),
+        (sum(col("__v") * col("__dwell").cast("decimal(19,0)"))
+          .cast("double")
+          / sum(col("__dwell")).cast("double")).as("twap"))
+  }
 }

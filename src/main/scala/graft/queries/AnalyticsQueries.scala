@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.EventAnalytics
+import graft.operators.{Eda, EventAnalytics}
 import graft.sources.Tables
 
 /** Product-analytics queries over the events log: cohort retention and
@@ -100,6 +100,60 @@ object AnalyticsQueries {
       GROUP BY 1 ORDER BY 1
     """.trim))
 
-  def all: Seq[HarnessQuery] =
-    Seq(q168CohortRetention, q169Funnel, q170Attribution)
+  /** Exact percentile bands ([[Eda.percentileBands]]): Spark's
+    * interpolating `percentile` and DuckDB's `quantile_cont` compute
+    * the same statistic — probed bit-identical on this data; round(9)
+    * guards the interpolation's last ulp.
+    */
+  val q171PercentileBands = HarnessQuery(
+    "q171_percentile_bands",
+    (spark, dir) =>
+      Eda.percentileBands(
+        Tables.lineitem(spark, dir), "l_returnflag", "l_extendedprice",
+        Seq(0.25, 0.5, 0.75, 0.9))
+        .orderBy(col("l_returnflag")),
+    Some("""
+      SELECT l_returnflag,
+             round(quantile_cont(l_extendedprice, 0.25), 9) AS p25,
+             round(quantile_cont(l_extendedprice, 0.5), 9) AS p50,
+             round(quantile_cont(l_extendedprice, 0.75), 9) AS p75,
+             round(quantile_cont(l_extendedprice, 0.9), 9) AS p90
+      FROM lineitem GROUP BY 1 ORDER BY 1
+    """.trim))
+
+  /** Time-weighted average value per user
+    * ([[EventAnalytics.timeWeightedAverage]]): integer-microsecond
+    * dwell weights, decimal accumulation. The final ratio rounds to 9:
+    * the numerator/denominator decimals agree exactly across engines,
+    * but DuckDB folds cast-to-double + divide into a higher-precision
+    * decimal division (correctly rounded), while Spark divides two
+    * rounded doubles — a 1-2 ulp tail round(9) absorbs.
+    */
+  val q172Twap = HarnessQuery(
+    "q172_twap",
+    (spark, dir) =>
+      EventAnalytics.timeWeightedAverage(
+        Tables.events(spark, dir), "user_id", "ts", "event_id", "value")
+        .withColumn("twap", round(col("twap"), 9))
+        .orderBy(col("user_id")),
+    Some("""
+      WITH t AS (
+        SELECT user_id,
+               CAST("value" AS DECIMAL(18,6)) AS v,
+               lead(epoch_us(CAST(ts AS TIMESTAMP)), 1)
+                 OVER (PARTITION BY user_id
+                       ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+                 - epoch_us(CAST(ts AS TIMESTAMP)) AS dwell
+        FROM events)
+      SELECT user_id,
+             CAST(count(dwell) AS BIGINT) AS n_weighted,
+             CAST(sum(dwell) AS BIGINT) AS dwell_us_total,
+             round(CAST(sum(v * CAST(dwell AS DECIMAL(19,0))) AS DOUBLE)
+               / CAST(sum(dwell) AS DOUBLE), 9) AS twap
+      FROM t GROUP BY 1 ORDER BY 1
+    """.trim))
+
+  def all: Seq[HarnessQuery] = Seq(
+    q168CohortRetention, q169Funnel, q170Attribution, q171PercentileBands,
+    q172Twap)
 }

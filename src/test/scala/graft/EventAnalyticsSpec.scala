@@ -55,6 +55,41 @@ class EventAnalyticsSpec extends SparkSpec {
       ("click", 2L, 15.0), ("direct", 1L, 7.0), ("view", 1L, 3.0)))
   }
 
+  test("timeWeightedAverage: dwell-weighted mean; last event carries no weight") {
+    val df = Seq(
+      // u1: value 10 held 1s, value 100 held 3s, final value 7 unweighted
+      // twap = (10*1e6 + 100*3e6) / 4e6 = 77.5
+      (1L, ts("2024-01-01 00:00:00"), 1L, 10.0),
+      (1L, ts("2024-01-01 00:00:01"), 2L, 100.0),
+      (1L, ts("2024-01-01 00:00:04"), 3L, 7.0),
+      // u2: single event -> no dwell, NULL twap
+      (2L, ts("2024-01-01 00:00:00"), 4L, 50.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val got = graft.operators.EventAnalytics.timeWeightedAverage(
+      df, "user_id", "ts", "event_id", "value")
+      .orderBy($"user_id").collect()
+    val u1 = got(0)
+    assert(u1.getAs[Long]("n_weighted") === 2L)
+    assert(u1.getAs[Long]("dwell_us_total") === 4000000L)
+    assert(u1.getAs[Double]("twap") === 77.5)
+    val u2 = got(1)
+    assert(u2.getAs[Long]("n_weighted") === 0L &&
+      u2.isNullAt(u2.fieldIndex("twap")))
+  }
+
+  test("percentileBands: exact interpolated quartiles on a known set") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+      ("b", 10.0)).toDF("g", "v")
+    val got = graft.operators.Eda.percentileBands(
+      df, "g", "v", Seq(0.25, 0.5, 1.0))
+      .orderBy($"g").collect()
+    // 4 values: p25 interpolates at rank 1.75 -> 1.75; p50 -> 2.5
+    assert(got(0).getAs[Double]("p25") === 1.75)
+    assert(got(0).getAs[Double]("p50") === 2.5)
+    assert(got(0).getAs[Double]("p100") === 4.0)
+    assert(got(1).getAs[Double]("p50") === 10.0)
+  }
+
   test("funnel: strict first-touch ordering; out-of-order prefix blocks later steps") {
     val df = Seq(
       // u1 completes in order: view < click < purchase
