@@ -155,6 +155,59 @@ object Graphs {
           .as("clustering_coeff"))
   }
 
+  /** k-core membership via iterative peeling: repeatedly delete
+    * vertices of degree < k (with their edges) — what survives is the
+    * k-core, the maximal subgraph where everyone keeps ≥ k neighbors.
+    * The densest-region extractor of fraud-ring and clone-family
+    * analysis: a 2-core strips pendant chains off the near-dup graph,
+    * leaving the cliques; higher k isolates collusion cores.
+    *
+    * `rounds` is FIXED (the [[pageRank]] contract): each round is one
+    * degree aggregate + two semi-joins on the surviving vertex set,
+    * lineage-cut per round, O(|edges|) shuffle — no driver loop
+    * condition, so the stage graph is static. Peeling converges in few
+    * rounds on real graphs (each round removes every currently-light
+    * vertex at once); an unconverged run is still well-defined (the
+    * round-r peel state) and the harness oracle replays the SAME r
+    * rounds, so correctness is pinned regardless.
+    *
+    * @return (idCol, core_degree, in_kcore) for every vertex of
+    *         `vertices`: degree within the round-r surviving subgraph
+    *         (0 once peeled) and whether it still meets k.
+    */
+  def kCore(
+      vertices: DataFrame,
+      idCol: String,
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      k: Int,
+      rounds: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var e = Materialize.cut(
+      edges.select(
+        least(col(srcCol), col(dstCol)).as("__lo"),
+        greatest(col(srcCol), col(dstCol)).as("__hi"))
+        .filter(col("__lo") =!= col("__hi"))
+        .distinct())
+    def degrees(ed: DataFrame): DataFrame =
+      ed.select(col("__lo").as("__id"))
+        .unionByName(ed.select(col("__hi").as("__id")))
+        .groupBy(col("__id")).agg(count(lit(1)).as("__deg"))
+    for (_ <- 1 to rounds) {
+      val keep = degrees(e).filter(col("__deg") >= k).select(col("__id"))
+      e = Materialize.cut(
+        e.join(keep.withColumnRenamed("__id", "__lo"), Seq("__lo"), "left_semi")
+          .join(keep.withColumnRenamed("__id", "__hi"), Seq("__hi"), "left_semi"))
+    }
+    vertices.select(col(idCol).as("__id"))
+      .join(degrees(e), Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("__deg"), lit(0L)).as("core_degree"),
+        (coalesce(col("__deg"), lit(0L)) >= k).as("in_kcore"))
+  }
+
   /** Corpus snapshot diff — classify every doc id across two corpus
     * snapshots by content fingerprint: `added` (only in `newDf`),
     * `removed` (only in `oldDf`), `changed` (both, different

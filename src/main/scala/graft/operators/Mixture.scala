@@ -107,6 +107,44 @@ object Mixture {
       .select(df.columns.map(col): _*)
   }
 
+  /** Deterministic exact-k sample per group — the held-out/eval-set
+    * constructor: every group contributes its k smallest seeded
+    * content hashes, so the selection is content-stable (executor
+    * loss, incremental re-runs and external engines all reproduce the
+    * same k rows) and adding documents to a group only swaps members
+    * whose hash displaces a selected one — NOT a full reshuffle of the
+    * eval set, which would silently decalibrate metric history.
+    * Groups smaller than k keep everything.
+    *
+    * Scale: the same two-level salted topology as [[sampleMixture]] —
+    * rank within (group, hash-range salt), per-bucket offsets from the
+    * broadcast (groups × 64)-row aggregate — so no task ever sorts a
+    * whole group.
+    */
+  def evalSample(
+      df: DataFrame, groupCol: String, idCol: String, k: Int,
+      seed: Long): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val hash = TextFunctions.md5Hash60(
+      concat(col(idCol).cast("string"), lit(":" + seed)))
+    val tagged0 = df
+      .withColumn("__h", hash)
+      .withColumn("__salt", shiftright(col("__h"), SaltShift))
+    val wRank = Window.partitionBy(col(groupCol), col("__salt"))
+      .orderBy(col("__h"), col(idCol))
+    val wOff = Window.partitionBy(col(groupCol)).orderBy(col("__salt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = tagged0.groupBy(col(groupCol), col("__salt"))
+      .agg(count(lit(1)).as("__bn"))
+      .select(col(groupCol), col("__salt"),
+        coalesce(sum(col("__bn")).over(wOff), lit(0L)).as("__off"))
+    tagged0
+      .join(broadcast(offsets), Seq(groupCol, "__salt"))
+      .withColumn("__rn", row_number().over(wRank) + col("__off"))
+      .filter(col("__rn") <= k)
+      .select(df.columns.map(col): _*)
+  }
+
   /** Token-budget mixture sampling — the same target-weights contract
     * as [[sampleMixture]] measured in TOKENS, which is how production
     * pretraining mixes actually specify composition (a domain's share

@@ -3506,6 +3506,96 @@ object LlmQueries {
       ORDER BY q.doc_id
     """.trim))
 
+  /** 2-core of the near-dup graph ([[graft.operators.Graphs.kCore]],
+    * 4 peel rounds over q55's minhash pair edges): pendant chains and
+    * isolated pairs peel away, clone cliques survive. The oracle
+    * replays the SAME 4 peel rounds unrolled over q74's brute-Jaccard
+    * edges, so the iterative decomposition is pinned round-for-round.
+    */
+  val q173KCore = HarnessQuery(
+    "q173_kcore",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val pairs = TextDedup.minhashNearDupPairs(
+        docs, "text", "doc_id", n = 3, numHashes = 16, bands = 8,
+        threshold = 0.8, hashFn = TextFunctions.fastHash)
+      graft.operators.Graphs.kCore(
+        docs.select(col("doc_id")), "doc_id", pairs, "id_a", "id_b",
+        k = 2, rounds = 4)
+        .filter(col("core_degree") >= 1 || col("in_kcore"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH t AS (SELECT doc_id,
+                   list_distinct(list_transform(
+                     generate_series(1, len(regexp_split_to_array(trim(lower(text)), '\s+')) - 2),
+                     i -> array_to_string((regexp_split_to_array(trim(lower(text)), '\s+'))[i:i+2], ' ')))
+                     AS sh
+                 FROM documents),
+      e0 AS (SELECT a.doc_id AS lo, b.doc_id AS hi
+             FROM t a, t b
+             WHERE a.doc_id < b.doc_id
+               AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                   len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+      d0 AS (SELECT id, count(*) AS dg FROM (
+               SELECT lo AS id FROM e0 UNION ALL SELECT hi FROM e0) GROUP BY 1),
+      v1 AS (SELECT id FROM d0 WHERE dg >= 2),
+      e1 AS (SELECT lo, hi FROM e0
+             WHERE lo IN (SELECT id FROM v1) AND hi IN (SELECT id FROM v1)),
+      d1 AS (SELECT id, count(*) AS dg FROM (
+               SELECT lo AS id FROM e1 UNION ALL SELECT hi FROM e1) GROUP BY 1),
+      v2 AS (SELECT id FROM d1 WHERE dg >= 2),
+      e2 AS (SELECT lo, hi FROM e1
+             WHERE lo IN (SELECT id FROM v2) AND hi IN (SELECT id FROM v2)),
+      d2 AS (SELECT id, count(*) AS dg FROM (
+               SELECT lo AS id FROM e2 UNION ALL SELECT hi FROM e2) GROUP BY 1),
+      v3 AS (SELECT id FROM d2 WHERE dg >= 2),
+      e3 AS (SELECT lo, hi FROM e2
+             WHERE lo IN (SELECT id FROM v3) AND hi IN (SELECT id FROM v3)),
+      d3 AS (SELECT id, count(*) AS dg FROM (
+               SELECT lo AS id FROM e3 UNION ALL SELECT hi FROM e3) GROUP BY 1),
+      v4 AS (SELECT id FROM d3 WHERE dg >= 2),
+      e4 AS (SELECT lo, hi FROM e3
+             WHERE lo IN (SELECT id FROM v4) AND hi IN (SELECT id FROM v4)),
+      fd AS (SELECT id, count(*) AS dg FROM (
+               SELECT lo AS id FROM e4 UNION ALL SELECT hi FROM e4) GROUP BY 1)
+      SELECT d.doc_id,
+             CAST(coalesce(fd.dg, 0) AS BIGINT) AS core_degree,
+             coalesce(fd.dg, 0) >= 2 AS in_kcore
+      FROM documents d LEFT JOIN fd ON d.doc_id = fd.id
+      WHERE coalesce(fd.dg, 0) >= 1
+      ORDER BY d.doc_id
+    """.trim))
+
+  /** Deterministic per-source eval sample ([[Mixture.evalSample]],
+    * k = 25, seed 11): each source's 25 smallest seeded content hashes
+    * — the held-out set that stays stable across corpus refreshes. The
+    * oracle replays the md5 rank per source, pinning membership row by
+    * row.
+    */
+  val q174EvalSample = HarnessQuery(
+    "q174_eval_sample",
+    (spark, dir) =>
+      Mixture.evalSample(
+        Tables.documents(spark, dir), "source", "doc_id", k = 25,
+        seed = 11L)
+        .select(col("source"), col("doc_id"))
+        .orderBy(col("source"), col("doc_id")),
+    Some("""
+      WITH h AS (
+        SELECT source, doc_id,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':11'), 1, 15))
+                 AS BIGINT) AS hh
+        FROM documents),
+      r AS (
+        SELECT source, doc_id,
+               row_number() OVER (PARTITION BY source ORDER BY hh, doc_id)
+                 AS rn
+        FROM h)
+      SELECT source, doc_id FROM r WHERE rn <= 25
+      ORDER BY source, doc_id
+    """.trim))
+
   /** Supervised next-event pairs ([[Sessions.nextEventPairs]],
     * contextLen 3): per user, (last ≤3 event types, next event type) —
     * the log-to-(X, y) step of a next-action model. The oracle builds
@@ -3587,5 +3677,6 @@ object LlmQueries {
     q135TruncationStats, q136NgramNovelty, q137TokenDropout,
     q138StripAccents, q139Interleave, q140PageRank, q141SnapshotDiff,
     q142SpanCorrupt, q143LuhnRedact, q144CanonicalDocs, q146RecallAudit,
-    q147TriangleStats, q148IncrementalScore, q161NextEvent, q162Curriculum)
+    q147TriangleStats, q148IncrementalScore, q161NextEvent, q162Curriculum,
+    q173KCore, q174EvalSample)
 }

@@ -95,6 +95,25 @@ class GraphsSpec extends SparkSpec {
     assert(got(5L) === ((0L, 0L, None)))
   }
 
+  test("kCore: chain peels off in cascading rounds, clique survives") {
+    val verts = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
+    // triangle 1-2-3 with a chain 3-4-5 hanging off; isolated 6.
+    // round 1 peels 5 (deg 1), round 2 peels the now-light 4 —
+    // cascading removal is exactly what one-shot degree filtering gets
+    // wrong, so this pins the iteration.
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("s", "d")
+    val got = Graphs.kCore(verts, "id", edges, "s", "d", k = 2, rounds = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    assert(got(1L) === ((2L, true)))
+    assert(got(2L) === ((2L, true)))
+    assert(got(3L) === ((2L, true)))
+    assert(got(4L) === ((0L, false)))
+    assert(got(5L) === ((0L, false)))
+    assert(got(6L) === ((0L, false)))
+  }
+
   test("snapshotDiff labels added / removed / changed / unchanged") {
     val oldDf = Seq(
       (1L, "alpha beta"), (2L, "gamma"), (3L, "delta")).toDF("doc_id", "text")

@@ -45,6 +45,26 @@ class MixtureSpec extends SparkSpec {
     assert(s1 === ref, "salted two-level rank must equal the global rank")
   }
 
+  test("evalSample: exact k per group, small groups kept whole, partition-invariant") {
+    val df = ((1L to 40L).map(i => (i, "big")) ++ Seq((100L, "tiny"), (101L, "tiny")))
+      .toDF("id", "src")
+    val got = Mixture.evalSample(df, "src", "id", k = 5, seed = 7L)
+      .collect().map(r => (r.getString(1), r.getLong(0)))
+    assert(got.count(_._1 == "big") === 5)
+    assert(got.count(_._1 == "tiny") === 2) // group smaller than k: keep all
+    // equals the naive per-group hash rank
+    val h = TextFunctions.md5Hash60(concat($"id".cast("string"), lit(":7")))
+    val ref = df.withColumn("__h", h)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"src").orderBy($"__h", $"id")))
+      .filter($"rn" <= 5).select("id").collect().map(_.getLong(0)).toSet
+    assert(got.map(_._2).toSet === ref)
+    // and does not depend on physical layout
+    val re = Mixture.evalSample(df.repartition(13), "src", "id", k = 5, seed = 7L)
+      .collect().map(_.getLong(0)).toSet
+    assert(re === got.map(_._2).toSet)
+  }
+
   test("sampleByTokenBudget: first-fit prefix within token quotas, salt-invariant") {
     // tokens: domain a rows carry 10 tokens each (60 rows -> 600),
     // b carry 20 (30 rows -> 600), c carry 5 (10 rows -> 50)
