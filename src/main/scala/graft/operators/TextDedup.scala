@@ -190,6 +190,52 @@ object TextDedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
 
+  /** Containment near-dup pairs — |A∩B| / min(|A|, |B|) over n-gram
+    * shingle sets: the quote/subset detector. A short document fully
+    * quoted inside a long one has Jaccard ≈ |A|/|B| (arbitrarily low —
+    * invisible to the minhash family, whose banding is tuned for
+    * symmetric similarity) but containment ≈ 1. Pairs come from the
+    * shingle inverted index (docs sharing ≥1 surviving shingle), so
+    * recall is exact over the pruned shingle space rather than
+    * probabilistic.
+    *
+    * Scale contract: the inverted-index self-join fans out
+    * quadratically per shingle posting list, so shingles appearing in
+    * more than `maxDf` documents are dropped FIRST (the
+    * [[dropBoilerplateShingles]] mitigation, df-bounded instead of
+    * frac-bounded) — boilerplate n-grams carry no containment signal
+    * and are exactly the lists that explode. Containment is measured
+    * over the surviving (informative) shingles, and the denominator
+    * uses the pruned set sizes — document that semantic to callers.
+    */
+  def containmentPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      maxDf: Int = 50,
+      threshold: Double = 0.9): DataFrame = {
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1], got $threshold")
+    val ex = shingleTable(df, textCol, idCol, n)
+    val dfc = ex.groupBy(col("__s")).agg(count(lit(1)).as("__df"))
+    val kept = ex.join(dfc.filter(col("__df") <= maxDf), Seq("__s"))
+      .select(col(idCol), col("__s"))
+    val sz = kept.groupBy(col(idCol)).agg(count(lit(1)).as("__sz"))
+    val inter = kept.select(col(idCol).as("id_a"), col("__s"))
+      .join(kept.select(col(idCol).as("id_b"), col("__s")), Seq("__s"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("__i"))
+    inter
+      .join(sz.select(col(idCol).as("id_a"), col("__sz").as("__sza")), Seq("id_a"))
+      .join(sz.select(col(idCol).as("id_b"), col("__sz").as("__szb")), Seq("id_b"))
+      .withColumn("containment", col("__i").cast("double")
+        / least(col("__sza"), col("__szb")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
+  }
+
   def minhashNearDupPairs(
       df: DataFrame,
       textCol: String,

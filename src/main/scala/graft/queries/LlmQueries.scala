@@ -3567,6 +3567,44 @@ object LlmQueries {
       ORDER BY d.doc_id
     """.trim))
 
+  /** Containment pairs ([[TextDedup.containmentPairs]], 3-grams,
+    * maxDf 50, threshold 0.5 to surface partial quotes too): the
+    * subset/quote detector the Jaccard family can't see. Oracle
+    * replays the df-pruned inverted index and the min-denominator
+    * ratio exactly.
+    */
+  val q175Containment = HarnessQuery(
+    "q175_containment",
+    (spark, dir) =>
+      TextDedup.containmentPairs(
+        Tables.documents(spark, dir), "text", "doc_id",
+        n = 3, maxDf = 50, threshold = 0.5)
+        .withColumn("containment", round(col("containment"), 12))
+        .orderBy(col("id_a"), col("id_b")),
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+        FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct(list_transform(
+                 generate_series(1, len(tk) - 2),
+                 i -> array_to_string(tk[i:i+2], ' '))) AS s
+        FROM tok),
+      ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+      dfc AS (SELECT sg, count(*) AS d FROM ex GROUP BY 1),
+      kept AS (SELECT doc_id, sg FROM ex JOIN dfc USING (sg) WHERE d <= 50),
+      sz AS (SELECT doc_id, count(*) AS z FROM kept GROUP BY 1),
+      i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n
+            FROM kept a JOIN kept b ON a.sg = b.sg AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+      SELECT id_a, id_b,
+             round(CAST(n AS DOUBLE) / least(sa.z, sb.z), 12) AS containment
+      FROM i JOIN sz sa ON i.id_a = sa.doc_id
+             JOIN sz sb ON i.id_b = sb.doc_id
+      WHERE CAST(n AS DOUBLE) / least(sa.z, sb.z) >= 0.5
+      ORDER BY id_a, id_b
+    """.trim))
+
   /** Deterministic per-source eval sample ([[Mixture.evalSample]],
     * k = 25, seed 11): each source's 25 smallest seeded content hashes
     * — the held-out set that stays stable across corpus refreshes. The
@@ -3678,5 +3716,5 @@ object LlmQueries {
     q138StripAccents, q139Interleave, q140PageRank, q141SnapshotDiff,
     q142SpanCorrupt, q143LuhnRedact, q144CanonicalDocs, q146RecallAudit,
     q147TriangleStats, q148IncrementalScore, q161NextEvent, q162Curriculum,
-    q173KCore, q174EvalSample)
+    q173KCore, q174EvalSample, q175Containment)
 }

@@ -79,6 +79,28 @@ class TextOpsSpec extends SparkSpec {
     assert(r(2).getAs[Long]("dup_tokens") === 3L)
   }
 
+  test("containmentPairs: full quote scores 1.0 where Jaccard would be tiny; hot shingles pruned") {
+    val quote = "the five boxing wizards jump quickly over glass"
+    val filler = (1 to 40).map(i => s"filler$i word$i token$i").mkString(" ")
+    val df = Seq(
+      (1L, quote),                 // 6 shingles, all inside doc 2
+      (2L, s"$filler $quote"),     // long doc quoting doc 1 verbatim
+      (3L, "completely unrelated text about gardens and weather patterns"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextDedup.containmentPairs(
+      df, "text", "doc_id", n = 3, maxDf = 50, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq((1L, 2L, 1.0))) // |A∩B|/min = 1; Jaccard ≈ 0.05
+    // a shingle shared by > maxDf docs must not generate pairs
+    val boiler = (1L to 5L).map(i => (i, "same boiler plate line " + i))
+      .toDF("doc_id", "text")
+    val pruned = graft.operators.TextDedup.containmentPairs(
+      boiler, "text", "doc_id", n = 3, maxDf = 2, threshold = 0.1)
+    // "same boiler plate" and "boiler plate line" appear in 5 docs > maxDf=2;
+    // the only surviving shingle per doc is its unique "plate line <i>"
+    assert(pruned.count() === 0)
+  }
+
   test("dedupKeepBest keeps the highest-quality doc per cluster, not the lowest id") {
     val shared = "aa bb cc dd ee ff gg hh ii jj kk ll"
     val df = Seq(
