@@ -96,4 +96,34 @@ object NumericFeatures {
       .withColumn(outCol, (v - col("__zmean")) / col("__zstd"))
       .drop("__zk", "__zmean", "__zstd")
   }
+
+  /** Per-group robust scaling: (x − median_g) / IQR_g — the
+    * outlier-insensitive cousin of [[standardizeByKey]] (a single
+    * extreme value shifts a mean/std z-score arbitrarily but barely
+    * moves median/IQR; for fraud amounts and other heavy-tailed
+    * features this is the scaling that survives contact with real
+    * data). EXACT interpolated percentiles (the [[Eda.percentileBands]]
+    * parity: Spark `percentile` ≡ DuckDB `quantile_cont`); groups with
+    * zero IQR yield null (nullif guard), never Infinity.
+    *
+    * Shape: one hash aggregate per group for the three quantiles,
+    * broadcast back on a null-safe key — group cardinality is what's
+    * small, not the data. Exact per-group percentile buffers one
+    * GROUP's values (the audit-path contract); swap percentile_approx
+    * in for dashboard-grade numbers at extreme group sizes.
+    */
+  def robustScaleByKey(
+      df: DataFrame, keyCol: String, valueCol: String,
+      outCol: String = "rscaled"): DataFrame = {
+    val stats = df.groupBy(col(keyCol)).agg(
+      expr(s"percentile(`$valueCol`, array(0.25, 0.5, 0.75))").as("__q"))
+      .select(col(keyCol).as("__rk"),
+        col("__q").getItem(1).as("__med"),
+        nullif(col("__q").getItem(2) - col("__q").getItem(0), lit(0.0))
+          .as("__iqr"))
+    df.join(broadcast(stats), col(keyCol) <=> col("__rk"))
+      .withColumn(outCol,
+        (col(valueCol).cast("double") - col("__med")) / col("__iqr"))
+      .drop("__rk", "__med", "__iqr")
+  }
 }

@@ -318,6 +318,34 @@ object EdaQueries {
       ORDER BY 1
     """.trim))
 
+  /** Per-group robust scaling
+    * ([[graft.operators.NumericFeatures.robustScaleByKey]]):
+    * (value − median) / IQR within each event_type — the heavy-tail-
+    * safe sibling of q104's z-score, riding the exact-percentile
+    * parity (Spark `percentile` ≡ DuckDB `quantile_cont`).
+    */
+  val q176RobustScale = HarnessQuery(
+    "q176_robust_scale",
+    (spark, dir) => {
+      graft.operators.NumericFeatures
+        .robustScaleByKey(Tables.events(spark, dir), "event_type", "value")
+        .select(col("event_id"), col("event_type"),
+          round(col("rscaled"), 9).as("rs"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      WITH s AS (SELECT event_type,
+                        quantile_cont("value", 0.25) AS q1,
+                        quantile_cont("value", 0.5) AS med,
+                        quantile_cont("value", 0.75) AS q3
+                 FROM events GROUP BY 1)
+      SELECT e.event_id, e.event_type,
+             round((CAST(e."value" AS DOUBLE) - s.med)
+                   / nullif(s.q3 - s.q1, 0.0), 9) AS rs
+      FROM events e JOIN s USING (event_type)
+      ORDER BY 1
+    """.trim))
+
   /** Trending users per day ([[Eda.topKPerGroup]]): the top-3 most
     * active user_ids for each event day, ties to the lower id — the
     * rank runs over aggregated (day, user) counts, never raw events.
@@ -420,5 +448,5 @@ object EdaQueries {
     q30Describe, q31ValueCounts, q32GroupedMean, q33Histogram,
     q34DistinctCount, q35ClassFreq, q36Rollup, q37SkewDistinct,
     q38Sketches, q39Cube, q100Profile, q103Winsorize, q104Zscore,
-    q107Trending, q108IqrFilter, q145BenfordAudit)
+    q107Trending, q108IqrFilter, q145BenfordAudit, q176RobustScale)
 }

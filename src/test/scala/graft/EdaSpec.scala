@@ -110,6 +110,22 @@ class EdaSpec extends SparkSpec with Matchers {
     assert(byKV(("c", 4.0)) === None)
   }
 
+  test("robustScaleByKey: hand-computed median/IQR scaling; zero-IQR null; outlier-insensitive") {
+    val df = Seq(
+      ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", 1000.0),
+      ("b", 7.0), ("b", 7.0)).toDF("k", "v")
+    // group a: q1=2, med=3, q3=4 (interpolated over 5 values) -> iqr 2;
+    // the 1000.0 outlier moves none of them (that's the point)
+    val got = graft.operators.NumericFeatures.robustScaleByKey(df, "k", "v")
+      .collect().map(r => (r.getString(0), r.getDouble(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .groupBy(t => (t._1, t._2)).view.mapValues(_.head._3).toMap
+    assert(got(("a", 3.0)) === Some(0.0))
+    assert(got(("a", 1.0)) === Some(-1.0))
+    assert(got(("a", 1000.0)) === Some(498.5))
+    assert(got(("b", 7.0)) === None) // zero IQR -> null, not Infinity
+  }
+
   test("dropOutliersIqr removes only fence-breakers; nulls kept") {
     // 13 non-null values (outliers count toward the quartiles): sorted
     // [-50, 1..11, 100] -> q1 = 3, q3 = 9, iqr = 6 -> fences [-6, 18]
