@@ -115,6 +115,44 @@ object EventAnalytics {
         sum(col(valueCol).cast("decimal(25,6)")).cast("double").as("sum_value"))
   }
 
+  /** Behavioral entropy per entity: Shannon entropy (nats) of the
+    * entity's event-type distribution over a FIXED category list plus
+    * an `other` bucket — the bot/script detector (a human mixes
+    * views/clicks/purchases, entropy > 0; a scripted account hammering
+    * one action has entropy ≈ 0 at any volume, which raw counts hide).
+    *
+    * The category list is fixed so the entropy expression is one
+    * static left-associated chain of `p·ln p` terms — both engines
+    * evaluate the same additions in the same order, making an
+    * ln()-derived statistic deterministic enough to hash (with the
+    * round-to-12 transport convention). A dynamic per-group term set
+    * would sum doubles in nondeterministic order.
+    *
+    * Shape: one hash aggregate (conditional counts pivot in-row), the
+    * entropy is a scalar expression over that row. One shuffle.
+    */
+  def behavioralEntropy(
+      df: DataFrame, keyCol: String, eventCol: String,
+      categories: Seq[String]): DataFrame = {
+    require(categories.nonEmpty, "categories must be non-empty")
+    require(categories.distinct.size == categories.size,
+      "categories must be distinct")
+    val cat = when(col(eventCol).isin(categories: _*), col(eventCol))
+      .otherwise("other")
+    val buckets = categories :+ "other"
+    val aggs = count(lit(1)).as("n") +: buckets.zipWithIndex.map {
+      case (c, i) => sum(when(cat === c, 1L).otherwise(0L)).as(s"__c$i")
+    }
+    val counts = df.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+    val terms = buckets.indices.map { i =>
+      val p = col(s"__c$i").cast("double") / col("n")
+      when(col(s"__c$i") > 0, p * log(p)).otherwise(lit(0.0))
+    }
+    counts
+      .withColumn("entropy", -terms.reduce(_ + _))
+      .select(col(keyCol), col("n"), col("entropy"))
+  }
+
   /** Time-weighted average value per entity (TWAP): each event's value
     * is weighted by its DWELL — the microseconds until the entity's
     * next event — so a value held for an hour counts 3600× one held a

@@ -153,7 +153,40 @@ object AnalyticsQueries {
       FROM t GROUP BY 1 ORDER BY 1
     """.trim))
 
+  /** Behavioral entropy per user
+    * ([[EventAnalytics.behavioralEntropy]]) over the fixed event-type
+    * alphabet — the oracle evaluates the identical left-associated
+    * p·ln p chain, so the ln-derived value matches at round(12).
+    */
+  val q177Entropy = HarnessQuery(
+    "q177_entropy",
+    (spark, dir) =>
+      EventAnalytics.behavioralEntropy(
+        Tables.events(spark, dir), "user_id", "event_type",
+        Seq("click", "view", "purchase", "error"))
+        .withColumn("entropy", round(col("entropy"), 12))
+        .orderBy(col("user_id")),
+    Some("""
+      WITH c AS (
+        SELECT user_id, count(*) AS n,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+               CAST(sum(CASE WHEN event_type NOT IN ('click', 'view', 'purchase', 'error')
+                 THEN 1 ELSE 0 END) AS BIGINT) AS c4
+        FROM events GROUP BY 1)
+      SELECT user_id, n,
+             round(-((CASE WHEN c0 > 0 THEN (CAST(c0 AS DOUBLE) / n) * ln(CAST(c0 AS DOUBLE) / n) ELSE 0.0 END)
+                   + (CASE WHEN c1 > 0 THEN (CAST(c1 AS DOUBLE) / n) * ln(CAST(c1 AS DOUBLE) / n) ELSE 0.0 END)
+                   + (CASE WHEN c2 > 0 THEN (CAST(c2 AS DOUBLE) / n) * ln(CAST(c2 AS DOUBLE) / n) ELSE 0.0 END)
+                   + (CASE WHEN c3 > 0 THEN (CAST(c3 AS DOUBLE) / n) * ln(CAST(c3 AS DOUBLE) / n) ELSE 0.0 END)
+                   + (CASE WHEN c4 > 0 THEN (CAST(c4 AS DOUBLE) / n) * ln(CAST(c4 AS DOUBLE) / n) ELSE 0.0 END)), 12)
+               AS entropy
+      FROM c ORDER BY user_id
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q168CohortRetention, q169Funnel, q170Attribution, q171PercentileBands,
-    q172Twap)
+    q172Twap, q177Entropy)
 }

@@ -55,6 +55,23 @@ class EventAnalyticsSpec extends SparkSpec {
       ("click", 2L, 15.0), ("direct", 1L, 7.0), ("view", 1L, 3.0)))
   }
 
+  test("behavioralEntropy: uniform mix maxes, single-action zero, other-bucket folds") {
+    val df = Seq(
+      (1L, "view"), (1L, "click"),            // 50/50 -> ln 2
+      (2L, "view"), (2L, "view"), (2L, "view"), // single action -> 0
+      (3L, "weird"), (3L, "odd"), (3L, "view")) // 2 unknowns fold into other
+      .toDF("user_id", "event_type")
+    val got = graft.operators.EventAnalytics.behavioralEntropy(
+      df, "user_id", "event_type", Seq("click", "view", "purchase", "error"))
+      .orderBy($"user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(math.abs(got(0)._3 - math.log(2)) < 1e-12)
+    assert(got(1)._3 === 0.0)
+    // user 3: other=2/3, view=1/3
+    val p1 = 2.0 / 3; val p2 = 1.0 / 3
+    assert(math.abs(got(2)._3 - -(p1 * math.log(p1) + p2 * math.log(p2))) < 1e-12)
+  }
+
   test("timeWeightedAverage: dwell-weighted mean; last event carries no weight") {
     val df = Seq(
       // u1: value 10 held 1s, value 100 held 3s, final value 7 unweighted
