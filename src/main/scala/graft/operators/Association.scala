@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Association measures between two categorical columns, emitted
+  * PER CELL of the contingency table rather than as one scalar: a
+  * float total over thousands of cells would accumulate in a
+  * partition-order-dependent way, while per-cell contributions are
+  * each ONE double expression over exact counts — deterministic,
+  * hashable, and more useful (the analyst wants to know WHICH cells
+  * drive the dependence, not just that χ² is large).
+  *
+  * Shape: one (a, b) hash aggregate for the cells, two marginal
+  * aggregates derived FROM the cell table (tiny — at most the
+  * categorical domain product), broadcast back onto it. The raw input
+  * is scanned once.
+  */
+object Association {
+
+  /** Contingency cells with marginals attached: n_ab, n_a, n_b, n. */
+  private def cells(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val ab = df.groupBy(col(aCol), col(bCol)).agg(count(lit(1)).as("n_ab"))
+    val ma = ab.groupBy(col(aCol)).agg(sum(col("n_ab")).as("n_a"))
+    val mb = ab.groupBy(col(bCol)).agg(sum(col("n_ab")).as("n_b"))
+    val tot = ab.select(sum(col("n_ab")).as("n"))
+    ab.join(broadcast(ma), Seq(aCol))
+      .join(broadcast(mb), Seq(bCol))
+      .crossJoin(broadcast(tot))
+  }
+
+  /** Pointwise mutual information per observed cell:
+    * pmi = ln(n_ab · n / (n_a · n_b)). Positive cells co-occur more
+    * than independence predicts. Also emits the cell's weighted MI
+    * contribution (n_ab/n)·pmi — summing the column reproduces the
+    * mutual information I(A;B).
+    */
+  def pmiCells(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val pmi = log(
+      col("n_ab").cast("double") * col("n").cast("double")
+        / (col("n_a").cast("double") * col("n_b").cast("double")))
+    cells(df, aCol, bCol)
+      .select(col(aCol), col(bCol), col("n_ab"), col("n_a"), col("n_b"),
+        // round(12): Java Math.log and other libm lns disagree by an
+        // ulp on some inputs — 12 digits is the cross-engine contract
+        round(pmi, 12).as("pmi"),
+        // round(12) guards the product's last ulp: an engine fusing
+        // (a/n)·ln(x) with FMA lands one ulp off a strict two-step
+        round(col("n_ab").cast("double") / col("n").cast("double") * pmi, 12)
+          .as("mi_contrib"))
+  }
+
+  /** χ² independence-test contribution per observed cell:
+    * expected = n_a·n_b/n, contrib = (n_ab − expected)²/expected.
+    * (Cells with n_ab = 0 carry expected mass too; for sparse panels
+    * sum the emitted contribs and add Σ expected over absent cells =
+    * n − Σ_observed expected if the full statistic is needed.)
+    */
+  def chiSquareCells(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val expected = col("n_a").cast("double") * col("n_b").cast("double") /
+      col("n").cast("double")
+    cells(df, aCol, bCol)
+      .select(col(aCol), col(bCol), col("n_ab"),
+        expected.as("expected"),
+        ((col("n_ab").cast("double") - expected)
+          * (col("n_ab").cast("double") - expected) / expected)
+          .as("chi2_contrib"))
+  }
+}

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Cohort-retention and funnel analysis — the two workhorse event
@@ -190,5 +191,293 @@ object EventAnalytics {
         (sum(col("__v") * col("__dwell").cast("decimal(19,0)"))
           .cast("double")
           / sum(col("__dwell")).cast("double")).as("twap"))
+  }
+
+  private val MicrosPerDayTS = 86400L * 1000000L
+
+  /** Longest consecutive-active-day streak per entity — textbook
+    * gaps-and-islands: distinct (entity, epoch-day), island id =
+    * day − row_number() over the entity's day order (constant within a
+    * run of consecutive days), island length = count, then per-entity
+    * max. Also reports the streak's start day (earliest longest
+    * island — deterministic tie-break) and total active days.
+    *
+    * Shape: distinct + two entity-keyed aggregates and one entity
+    * window — every shuffle is on the entity key; per-entity row
+    * volume is bounded by the calendar (≤ days in the corpus), so no
+    * skew hazard even for bot-grade entities.
+    */
+  def activityStreaks(
+      df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val days = df.select(col(keyCol),
+        (unix_micros(col(tsCol)) - pmod(unix_micros(col(tsCol)),
+          lit(MicrosPerDayTS))).divide(lit(MicrosPerDayTS))
+          .cast("long").as("__day"))
+      .distinct()
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__day"))
+    val islands = days
+      .withColumn("__island", col("__day") - row_number().over(w))
+      .groupBy(col(keyCol), col("__island"))
+      .agg(count(lit(1)).as("__len"), min(col("__day")).as("__start"))
+    islands.groupBy(col(keyCol))
+      .agg(
+        max(col("__len")).as("longest_streak"),
+        min_by(col("__start"), struct(negate(col("__len")), col("__start")))
+          .as("streak_start_day"),
+        sum(col("__len")).as("active_days"))
+  }
+
+  /** First-order Markov transition matrix over per-entity event-type
+    * sequences: P(next = b | current = a) estimated from all adjacent
+    * pairs under the deterministic (ts, tie) ordering. Output one row
+    * per observed (from_type, to_type) with the pair count and the
+    * row-normalized probability (exact counts; one double division).
+    *
+    * Shape: one entity-keyed lead window, a hash aggregate on the
+    * (from, to) pair — tiny alphabet², so the final agg is trivially
+    * broadcastable downstream — and a from-type window for the
+    * normalizer (runs on the already-small pair table).
+    */
+  def markovTransitions(
+      df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+      eventCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val pairs = df
+      .select(col(keyCol), col(tsCol), col(tieCol),
+        col(eventCol).as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val wf = Window.partitionBy(col("from_type"))
+    pairs.select(col("from_type"), col("to_type"), col("n_pairs"),
+      (col("n_pairs").cast("double")
+        / sum(col("n_pairs")).over(wf).cast("double")).as("p"))
+  }
+
+  /** RFM (recency / frequency / monetary) segmentation — the classic
+    * customer-value cube: per entity, days since last activity
+    * (relative to the corpus's last day, so the operator is
+    * reproducible on a frozen snapshot), event count, and exact-sum
+    * monetary value; each dimension scored 1–5 against its own
+    * quintile breakpoints (5 = best: most recent / most frequent /
+    * highest value).
+    *
+    * Scoring uses exact interpolated quantile BREAKPOINTS broadcast
+    * onto the rows — not `ntile`, whose global ordering would funnel
+    * every entity through one window partition at scale. Breakpoint
+    * comparison is `<=` on the raw statistic, so entities tied on a
+    * breakpoint score identically (ntile would split them by
+    * partition order — nondeterministic).
+    */
+  def rfmSegments(
+      df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val perUser = df.groupBy(col(keyCol))
+      .agg(
+        max(unix_micros(col(tsCol))).as("__last_us"),
+        count(lit(1)).as("frequency"),
+        sum(col(valueCol).cast("decimal(28,6)")).cast("double")
+          .as("monetary"))
+    val maxDay = perUser.select(
+      max((col("__last_us") - pmod(col("__last_us"), lit(MicrosPerDayTS)))
+        .divide(lit(MicrosPerDayTS)).cast("long")).as("__max_day"))
+    val rfm = perUser
+      .crossJoin(broadcast(maxDay))
+      .select(col(keyCol),
+        (col("__max_day")
+          - (col("__last_us") - pmod(col("__last_us"), lit(MicrosPerDayTS)))
+            .divide(lit(MicrosPerDayTS)).cast("long")).as("recency_days"),
+        col("frequency"), col("monetary"))
+    val breaks = rfm.select(
+      expr("percentile(recency_days, array(0.2d, 0.4d, 0.6d, 0.8d))")
+        .as("__rb"),
+      expr("percentile(frequency, array(0.2d, 0.4d, 0.6d, 0.8d))")
+        .as("__fb"),
+      expr("percentile(monetary, array(0.2d, 0.4d, 0.6d, 0.8d))")
+        .as("__mb"))
+    def scoreAsc(c: org.apache.spark.sql.Column, b: String) =
+      lit(1L) + (0 to 3).map(i =>
+        when(c > element_at(col(b), i + 1), 1L).otherwise(0L))
+        .reduce(_ + _)
+    val scored = rfm.crossJoin(broadcast(breaks))
+      .select(col(keyCol), col("recency_days"), col("frequency"),
+        col("monetary"),
+        // recency: LOW days = best -> invert the ascending score
+        (lit(6L) - scoreAsc(col("recency_days").cast("double"), "__rb"))
+          .as("r_score"),
+        scoreAsc(col("frequency").cast("double"), "__fb").as("f_score"),
+        scoreAsc(col("monetary"), "__mb").as("m_score"))
+    scored.withColumn("segment",
+      concat(col("r_score"), col("f_score"), col("m_score")))
+  }
+
+  /** Kaplan–Meier survival TABLE for signup → first-purchase
+    * conversion: per distinct observed duration d (integer days from
+    * the entity's first `startEvent` to its first subsequent
+    * `endEvent`), the number of conversion events at d, the number
+    * censored at d (entities that never converted, censored at the
+    * corpus's last day), the at-risk count (entities with duration ≥
+    * d — converted or censored; the KM denominator), and the step
+    * factor 1 − d_events/at_risk. The survival curve is the running
+    * product of step factors — left to the reader because a float
+    * product is order-sensitive; every emitted column here is exact
+    * integers plus one double division.
+    *
+    * Shape: two entity-keyed aggregates, then the KM roll-up runs on
+    * the DURATION table — at most one row per distinct day, so the
+    * unpartitioned cumulative window at the end scans a
+    * calendar-bounded handful of rows, not the corpus.
+    */
+  def survivalTable(
+      df: DataFrame, keyCol: String, tsCol: String,
+      eventCol: String, startEvent: String, endEvent: String): DataFrame = {
+    val horizon = df.select(max(unix_micros(col(tsCol))).as("__h"))
+    val starts = df.where(col(eventCol) === startEvent)
+      .groupBy(col(keyCol))
+      .agg(min(unix_micros(col(tsCol))).as("__s_us"))
+    val ends = df.where(col(eventCol) === endEvent)
+      .select(col(keyCol).as("__ek"), unix_micros(col(tsCol)).as("__e_us"))
+    // e ≥ s lives IN the join condition: a post-join filter would drop
+    // entities whose only end-events precede the start (they must
+    // surface as censored, not vanish)
+    val durations = starts
+      .join(ends, starts(keyCol) === col("__ek")
+        && col("__e_us") >= col("__s_us"), "left")
+      .groupBy(col(keyCol), col("__s_us"))
+      .agg(min(col("__e_us")).as("__first_e"))
+      .crossJoin(broadcast(horizon))
+      .select(col(keyCol),
+        when(col("__first_e").isNotNull,
+          ((col("__first_e") - col("__s_us")) / lit(MicrosPerDayTS))
+            .cast("long"))
+          .otherwise(((col("__h") - col("__s_us")) / lit(MicrosPerDayTS))
+            .cast("long")).as("dur_day"),
+        col("__first_e").isNotNull.as("observed"))
+    val byDur = durations.groupBy(col("dur_day"))
+      .agg(
+        sum(when(col("observed"), 1L).otherwise(0L)).as("n_events"),
+        sum(when(col("observed"), 0L).otherwise(1L)).as("n_censored"),
+        count(lit(1)).as("__n_all"))
+    val w = Window.orderBy(col("dur_day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = durations.select(count(lit(1)).as("__total"))
+    byDur.crossJoin(broadcast(total))
+      .withColumn("n_at_risk",
+        col("__total") - sum(col("__n_all")).over(w) + col("__n_all"))
+      .where(col("n_events") > 0)
+      .select(col("dur_day"), col("n_events"), col("n_censored"),
+        col("n_at_risk"),
+        (lit(1.0d) - col("n_events").cast("double")
+          / col("n_at_risk").cast("double")).as("km_factor"))
+  }
+
+  /** Top event-type n-gram paths: the frequency table of length-`n`
+    * consecutive event-type sequences across per-entity timelines
+    * (the "what do users do next" path analysis). Deterministic
+    * (ts, tie) ordering; paths render as "a>b>c".
+    *
+    * Shape: n−1 stacked leads inside ONE entity-keyed window pass,
+    * then a hash aggregate on the path string — alphabetⁿ distinct
+    * keys at most.
+    */
+  def eventPathNgrams(
+      df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+      eventCol: String, n: Int): DataFrame = {
+    require(n >= 2 && n <= 5, s"path length out of range: $n")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val withLeads = (1 until n).foldLeft(
+      df.select(col(keyCol), col(tsCol), col(tieCol),
+        col(eventCol).as("__e0"))) { (acc, k) =>
+      acc.withColumn(s"__e$k", lead(col("__e0"), k).over(w))
+    }
+    withLeads
+      .where(col(s"__e${n - 1}").isNotNull)
+      .select(concat_ws(">", (0 until n).map(k => col(s"__e$k")): _*)
+        .as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_paths"))
+  }
+
+  /** Cumulative-user growth curve: per day, the number of entities
+    * whose FIRST activity fell on that day (new users) and the
+    * running total (the classic cumulative-signups chart). The
+    * cumulative window runs over the per-day table — calendar-bounded
+    * rows, so the unpartitioned frame is safe at any corpus size.
+    */
+  def cumulativeUsers(
+      df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val firstDay = df.groupBy(col(keyCol))
+      .agg(min((unix_micros(col(tsCol))
+        - pmod(unix_micros(col(tsCol)), lit(MicrosPerDayTS)))
+        .divide(lit(MicrosPerDayTS)).cast("long")).as("day"))
+    val perDay = firstDay.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_new"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDay.withColumn("n_cumulative", sum(col("n_new")).over(w))
+  }
+
+  /** Trailing-window active entities (the WAU/MAU family): per day,
+    * the count of DISTINCT entities active in the trailing
+    * `windowDays` days (inclusive). A count-distinct over a sliding
+    * range frame isn't expressible as a window, so each active
+    * (entity, day) is fanned out to the `windowDays` report days it
+    * supports — a constant ×w map-side fan-out of small rows, then
+    * distinct + count keyed by day. Report days are clamped to the
+    * corpus's observed range.
+    */
+  def rollingActiveUsers(
+      df: DataFrame, keyCol: String, tsCol: String,
+      windowDays: Int): DataFrame = {
+    require(windowDays >= 1 && windowDays <= 90,
+      s"windowDays out of range: $windowDays")
+    val days = df.select(col(keyCol),
+      (unix_micros(col(tsCol)) - pmod(unix_micros(col(tsCol)),
+        lit(MicrosPerDayTS))).divide(lit(MicrosPerDayTS))
+        .cast("long").as("__day"))
+      .distinct()
+    val bounds = days.select(max(col("__day")).as("__max_day"))
+    days
+      .select(col(keyCol), col("__day"),
+        explode(sequence(lit(0), lit(windowDays - 1))).as("__off"))
+      .select(col(keyCol), (col("__day") + col("__off")).as("day"))
+      .distinct()
+      .crossJoin(broadcast(bounds))
+      .where(col("day") <= col("__max_day"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col(keyCol)).as("n_active"))
+  }
+
+  /** Event-type co-occurrence similarity (the bipartite projection of
+    * the entity↔type graph): for each unordered type pair, the number
+    * of entities touching both, with cosine similarity
+    * n_both / √(n_a · n_b) over exact counts. The classic
+    * "items engaged together" signal.
+    *
+    * Shape: distinct (entity, type), an entity-keyed self-join — safe
+    * because the per-entity type list is bounded by the alphabet, so
+    * the join fan-out is ≤ |alphabet|² per entity, not |events|² —
+    * then a pair-keyed aggregate and a broadcast join against the
+    * per-type marginals.
+    */
+  def typeCooccurrence(
+      df: DataFrame, keyCol: String, eventCol: String): DataFrame = {
+    val et = df.select(col(keyCol), col(eventCol)).distinct()
+    val marg = et.groupBy(col(eventCol).as("t")).agg(count(lit(1)).as("n_t"))
+    val pairs = et.as("a")
+      .join(et.as("b"), col(s"a.$keyCol") === col(s"b.$keyCol")
+        && col(s"a.$eventCol") < col(s"b.$eventCol"))
+      .groupBy(col(s"a.$eventCol").as("type_a"),
+        col(s"b.$eventCol").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(marg).as("ma"), col("type_a") === col("ma.t"))
+      .join(broadcast(marg).as("mb"), col("type_b") === col("mb.t"))
+      .select(col("type_a"), col("type_b"), col("n_both"),
+        (col("n_both").cast("double")
+          / sqrt(col("ma.n_t").cast("double")
+            * col("mb.n_t").cast("double"))).as("cosine"))
   }
 }

@@ -235,4 +235,61 @@ object Graphs {
           .when(col("__fp_old") =!= col("__fp_new"), "changed")
           .otherwise("unchanged").as("status"))
   }
+
+  /** Degree distribution of an undirected edge list: one row per
+    * observed degree with the vertex count — the first diagnostic on
+    * any new graph (a power-law tail predicts hot-vertex skew in
+    * every downstream join; see [[ScaleAudit.keySkewProfile]]).
+    * Two hash aggregates (vertex degree, then degree histogram).
+    */
+  def degreeHistogram(
+      edges: DataFrame, srcCol: String = "src", dstCol: String = "dst")
+      : DataFrame =
+    edges.select(col(srcCol).as("__v"), col(dstCol).as("__o"))
+      .unionAll(edges.select(col(dstCol).as("__v"), col(srcCol).as("__o")))
+      .distinct()
+      .groupBy(col("__v")).agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_vertices"))
+
+  /** Bounded-depth BFS from a seed set over an undirected edge list:
+    * per seed, every vertex reachable in ≤ `maxHops` hops with its
+    * hop distance (the MINIMUM number of edges; a vertex reached at
+    * hop 1 is never re-labeled at hop 2). The workhorse for blast-
+    * radius questions — "which documents sit within two near-dup hops
+    * of this contaminated one", "which accounts are two transfers from
+    * a flagged one".
+    *
+    * Per hop: one equi-join frontier⋈edges + one (seed, vertex)
+    * dedup-aggregate against the visited set — O(frontier·degree)
+    * shuffle, never adjacency², with lineage cut per round like the
+    * components loop. `maxHops` is fixed (static stage count, AQE-
+    * plannable); seeds travel WITH the frontier rows, so one pass
+    * answers all seeds without a per-seed loop.
+    */
+  def bfsFromSeeds(
+      edges: DataFrame, seeds: DataFrame, idCol: String,
+      srcCol: String = "src", dstCol: String = "dst",
+      maxHops: Int = 2): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 10, s"maxHops out of range: $maxHops")
+    val und = edges.select(col(srcCol).as("__u"), col(dstCol).as("__v"))
+      .unionAll(edges.select(col(dstCol).as("__u"), col(srcCol).as("__v")))
+      .distinct()
+    var visited = seeds.select(col(idCol).as("seed"))
+      .withColumn("vertex", col("seed")).withColumn("hop", lit(0))
+    var frontier = visited
+    var h = 1
+    while (h <= maxHops) {
+      val next = frontier
+        .join(und, col("vertex") === col("__u"))
+        .select(col("seed"), col("__v").as("vertex"))
+        .distinct()
+        .join(visited.select(col("seed"), col("vertex")).as("vis"),
+          Seq("seed", "vertex"), "left_anti")
+        .withColumn("hop", lit(h))
+      frontier = Materialize.cut(next)
+      visited = Materialize.cut(visited.unionByName(frontier))
+      h += 1
+    }
+    visited
+  }
 }

@@ -17,6 +17,32 @@ import org.apache.spark.sql.functions._
   */
 object Merge {
 
+  /** SCD Type-2 dimension from a keyed change LOG: one validity
+    * interval per (key, change) with `valid_from` = the change's
+    * timestamp and `valid_to` = the NEXT change's timestamp for the
+    * key (exclusive; open intervals get null — "current"). The
+    * point-in-time join against it is a plain range join
+    * (`fact.ts >= valid_from AND (valid_to IS NULL OR fact.ts <
+    * valid_to)`) — [[RangeJoin]]'s territory; this builds the
+    * dimension side.
+    *
+    * Ordering ties break on `tieCol`, so two same-timestamp changes
+    * version deterministically (the later tie wins the shared
+    * instant with a zero-width interval, exactly like a warehouse
+    * sequence column). Shape: ONE key-partitioned lead window — the
+    * log is already the shuffle unit; no joins.
+    */
+  def scd2Intervals(
+      changeLog: DataFrame, key: String, tsCol: String,
+      tieCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(col(tsCol), col(tieCol))
+    changeLog
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
   /** Apply `delta` to `snapshot`. `delta` carries the snapshot schema
     * plus `opCol`; rows with `opCol === deleteOp` delete their key,
     * every other delta row replaces (update) or introduces (insert)

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Privacy audits for datasets about to leave a trust boundary
+  * (training-data exports, analyst extracts): k-anonymity equivalence
+  * classes and l-diversity of a sensitive attribute. The redaction
+  * side (Luhn card scrub) lives in [[graft.functions.LuhnExpr]]; these
+  * are the measurement side.
+  */
+object Privacy {
+
+  /** k-anonymity / l-diversity audit: group by the quasi-identifier
+    * columns, and per equivalence class report its size, whether it
+    * violates k-anonymity (size < k), the number of DISTINCT sensitive
+    * values (the class's l-diversity), and whether it violates
+    * l-diversity (distinct sensitive < l). A released row is
+    * re-identifiable in proportion to 1/size; a class with one
+    * sensitive value leaks the attribute even when k holds.
+    *
+    * Shape: one hash aggregate on the quasi-identifier tuple (the
+    * class count-distinct is a per-group agg, not a global one). The
+    * output is one row per equivalence class — by construction at most
+    * the quasi-identifier domain product, i.e. tiny relative to the
+    * input.
+    */
+  def kAnonymityAudit(
+      df: DataFrame, quasiCols: Seq[String], sensitiveCol: String,
+      k: Int, l: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    require(k >= 1 && l >= 1)
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("class_size"),
+        countDistinct(col(sensitiveCol)).as("l_diversity"))
+      .withColumn("k_violation", col("class_size") < k)
+      .withColumn("l_violation", col("l_diversity") < l)
+  }
+
+  /** Corpus-level privacy summary over the audit: total classes and
+    * rows, rows in k-violating classes (the at-risk mass), worst-case
+    * class size, and the count of l-violating classes. One broadcastable
+    * row — the release gate's dashboard number.
+    */
+  def kAnonymitySummary(
+      df: DataFrame, quasiCols: Seq[String], sensitiveCol: String,
+      k: Int, l: Int): DataFrame = {
+    kAnonymityAudit(df, quasiCols, sensitiveCol, k, l)
+      .agg(
+        count(lit(1)).as("n_classes"),
+        sum(col("class_size")).as("n_rows"),
+        sum(when(col("k_violation"), col("class_size")).otherwise(0L))
+          .as("rows_at_risk"),
+        min(col("class_size")).as("min_class_size"),
+        sum(when(col("l_violation"), 1L).otherwise(0L))
+          .as("classes_low_diversity"))
+  }
+}

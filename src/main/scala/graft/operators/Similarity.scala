@@ -1028,4 +1028,5 @@ object Similarity {
       .select(col("id_b").as(idCol), col("cell"),
         col("matched_id").isNotNull.as("is_dup"), col("matched_id"))
   }
+
 }

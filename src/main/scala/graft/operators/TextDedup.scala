@@ -614,6 +614,54 @@ object TextDedup {
     *         clean_text); a fully-duplicated document survives with
     *         clean_text = "" rather than disappearing
     */
+  /** Sorted-neighborhood near-duplicate pairs (the classic SNM record
+    * linkage method — Hernández & Stolfo, SIGMOD '95): sort the corpus
+    * by a normalized blocking key (here the lowercased, alphanumeric
+    * first `keyLen` chars), slide a window of `windowSize` neighbors
+    * over the sorted order, and score only adjacent candidates — edit
+    * distance over each document's leading `probeLen` chars, keeping
+    * pairs at distance ≤ `maxDistance`. A complement to MinHash: SNM
+    * catches short-prefix near-matches (titles, form records) that
+    * shingle-Jaccard under-weights, at O(n·w) comparisons.
+    *
+    * Scale shape: BLOCKED SNM — the slide window partitions by the
+    * key's first `blockLen` chars, so the sort-and-slide runs as one
+    * hash-partitioned window per block (fully parallel; a truly global
+    * window would funnel the corpus through a single task). Pairs
+    * whose keys straddle a block boundary are missed — inherent to
+    * any blocking method and mitigated the standard way (longer
+    * windows, multiple passes with different keys). Candidates emit
+    * via `lead`, so there is no self-join and no candidate blow-up;
+    * ordering ties break on the id, so pairs are deterministic.
+    */
+  def sortedNeighborhoodPairs(
+      df: DataFrame, textCol: String, idCol: String,
+      keyLen: Int = 16, windowSize: Int = 3, probeLen: Int = 64,
+      maxDistance: Int = 10, blockLen: Int = 4): DataFrame = {
+    require(windowSize >= 1 && keyLen >= 1 && probeLen >= 1)
+    require(blockLen >= 1 && blockLen <= keyLen)
+    val key = substring(
+      regexp_replace(lower(col(textCol)), "[^a-z0-9]", ""), 1, keyLen)
+    val probe = substring(col(textCol), 1, probeLen)
+    val w = Window.partitionBy(col("__block"))
+      .orderBy(col("__key"), col(idCol))
+    val base = df.select(col(idCol), key.as("__key"), probe.as("__probe"))
+      .withColumn("__block", substring(col("__key"), 1, blockLen))
+    val withLeads = (1 to windowSize).foldLeft(base) { (acc, k) =>
+      acc
+        .withColumn(s"__id$k", lead(col(idCol), k).over(w))
+        .withColumn(s"__pr$k", lead(col("__probe"), k).over(w))
+    }
+    val pairs = (1 to windowSize).map { k =>
+      withLeads.select(
+        col(idCol).as("id_a"), col(s"__id$k").as("id_b"),
+        levenshtein(col("__probe"), col(s"__pr$k")).cast("long")
+          .as("edit_distance"))
+    }.reduce(_ unionAll _)
+    pairs
+      .where(col("id_b").isNotNull && col("edit_distance") <= maxDistance)
+  }
+
   def removeDupSpans(
       df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
     require(k >= 1, "need k >= 1")

@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series resampling and monitoring operators over an event log:
+  * OHLC bars, rolling volatility, CUSUM changepoint location, and
+  * seasonal (day-of-week) anomaly scoring.
+  *
+  * Numeric discipline: every statistic is assembled from exact pieces —
+  * decimal sums, integer counts, integer epoch-day/epoch-micro
+  * arithmetic — with at most one double expression at the end, so the
+  * output hash-pins across engines and partitionings. Rolling windows
+  * are per-key event-time ranges (Spark `rangeBetween` over epoch
+  * micros); nothing windows over an unpartitioned global ordering.
+  */
+object TimeSeries {
+
+  private val MicrosPerDay = 86400L * 1000000L
+
+  private def epochDay(ts: Column): Column =
+    (unix_micros(ts) - pmod(unix_micros(ts), lit(MicrosPerDay)))
+      .divide(lit(MicrosPerDay)).cast("long")
+
+  /** OHLC bars: per (key, epoch-day) the open/high/low/close of
+    * `valueCol` plus the bar's event count and exact volume (decimal
+    * sum, surfaced as double). Open/close are the values at the
+    * first/last event of the day under the deterministic
+    * (ts, tieCol) ordering — a raw min_by/max_by on ts alone would be
+    * nondeterministic when timestamps collide.
+    *
+    * Shape: one window pass partitioned by (key, day) to tag first/last
+    * values, one hash aggregate. Both shuffle on (key, day) — high
+    * cardinality and uniform, the right 100 TB key.
+    */
+  def ohlcDaily(
+      df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+      valueCol: String): DataFrame = {
+    val day = epochDay(col(tsCol)).as("__day")
+    val w = Window.partitionBy(col(keyCol), col("__day"))
+      .orderBy(col(tsCol), col(tieCol))
+    val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    df.select(col(keyCol), day, col(tsCol), col(tieCol), col(valueCol))
+      .withColumn("__open", first(col(valueCol)).over(wAll))
+      .withColumn("__close", last(col(valueCol)).over(wAll))
+      .groupBy(col(keyCol), col("__day").as("day"))
+      .agg(
+        min(col("__open")).as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        min(col("__close")).as("close"),
+        count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast("decimal(28,6)")).cast("double").as("volume"))
+  }
+
+  /** Rolling population std-dev of `valueCol` over a trailing
+    * event-time window of `windowSeconds` per key (inclusive of the
+    * current row, like a 24 h volatility band). Variance comes from the
+    * exact in-window decimal sum and sum-of-squares:
+    * var = (ss − s²/n)/n, evaluated once in double — so two engines
+    * summing in different orders still agree bit-for-bit.
+    *
+    * Shape: one range-frame window partitioned by key over epoch
+    * micros. Per-key sequential scan — the standard rolling-feature
+    * shape; hot keys are the caller's concern (see
+    * [[Velocity.rollingCountsPreAgg]] for the mitigation pattern).
+    */
+  def rollingStd(
+      df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+      windowSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(unix_micros(col(tsCol)))
+      .rangeBetween(-windowSeconds * 1000000L + 1, 0)
+    // DECIMAL(18,6) operands: v² is then DECIMAL(37,12) — exact on both
+    // engines (an oversized operand pushes DuckDB past INT128 to double
+    // and Spark into precision-loss rounding; see timeWeightedAverage).
+    val v = col(valueCol).cast("decimal(18,6)")
+    val s = sum(v).over(w)
+    val ss = sum(v * v).over(w)
+    val n = count(lit(1)).over(w)
+    df.where(col(valueCol).isNotNull)
+      .select(col(keyCol), col(tsCol), col(valueCol),
+        n.as("n_window"),
+        ((ss.cast("double") - s.cast("double") * s.cast("double")
+          / n.cast("double")) / n.cast("double")).as("var_window"))
+      .withColumn("std_window", sqrt(greatest(col("var_window"), lit(0d))))
+  }
+
+  /** CUSUM changepoint locator over the per-group daily series of event
+    * counts: for each group, the day where the cumulative deviation
+    * |Σ_{i≤t} (xᵢ − x̄)| peaks — the classic single-changepoint
+    * estimate — plus the peak magnitude. The mean never materializes:
+    * N·CUSUM_t = N·S_t − t·S_N is pure integer arithmetic (S_t =
+    * cumulative count, S_N/N = group total/days), argmax-invariant
+    * under the positive scaling by N, and exact in DECIMAL(38,0) on
+    * both engines; the reported peak divides by N once in double.
+    *
+    * Ties on the peak break to the earliest day, so the argmax is
+    * deterministic. Shape: daily hash agg, per-group totals joined
+    * back on the group key, one per-group cumulative window over ≤
+    * a few hundred day-rows per group, final per-group argmax agg.
+    */
+  def cusumChangepoint(
+      df: DataFrame, groupCol: String, tsCol: String): DataFrame = {
+    val daily = df
+      .groupBy(col(groupCol), epochDay(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val totals = daily.groupBy(col(groupCol))
+      .agg(sum(col("n")).as("__SN"), count(lit(1)).as("__N"))
+    val wOrd = Window.partitionBy(col(groupCol)).orderBy(col("day"))
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCusum = daily.join(totals, Seq(groupCol))
+      .withColumn("__St", sum(col("n")).over(wCum))
+      .withColumn("__t", row_number().over(wOrd))
+      .withColumn("__mag", abs(
+        col("__N").cast("decimal(19,0)") * col("__St").cast("decimal(19,0)")
+          - col("__t").cast("decimal(19,0)") * col("__SN").cast("decimal(19,0)")))
+    withCusum.groupBy(col(groupCol))
+      .agg(
+        min_by(col("day"), struct(negate(col("__mag")), col("day"))).as("change_day"),
+        (max(col("__mag")).cast("double")
+          / max(col("__N")).cast("double")).as("cusum_peak"),
+        max(col("__N")).as("n_days"))
+  }
+
+  /** Seasonal anomaly score: each (group, day)'s event count against
+    * the group's same-day-of-week baseline. Per (group, dow) the mean
+    * and population std of daily counts are exact-decimal assembled;
+    * z = (n − mean)/std evaluates once in double (0 when the baseline
+    * is flat). Returns the per-day scores with their baselines —
+    * `abs(z) > threshold` is the caller's cut, kept out of the
+    * operator so the score stays reusable.
+    */
+  def seasonalAnomaly(
+      df: DataFrame, groupCol: String, tsCol: String): DataFrame = {
+    val daily = df
+      .groupBy(col(groupCol), epochDay(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+      // 1970-01-01 is a Thursday: epoch-day mod 7 = 0 ⇒ Thursday.
+      // Integer arithmetic on both engines — no locale WEEKDAY trap.
+      .withColumn("dow", pmod(col("day"), lit(7L)))
+    val base = daily.groupBy(col(groupCol), col("dow"))
+      .agg(
+        sum(col("n").cast("decimal(28,0)")).as("__s"),
+        // cast-then-multiply: n² in raw BIGINT overflows once a
+        // day-group passes ~3e9 rows; DECIMAL(19,0)² is exact INT128
+        sum(col("n").cast("decimal(19,0)")
+          * col("n").cast("decimal(19,0)")).as("__ss"),
+        count(lit(1)).as("__k"))
+      .select(col(groupCol), col("dow"),
+        (col("__s").cast("double") / col("__k").cast("double")).as("dow_mean"),
+        sqrt(greatest(
+          (col("__ss").cast("double")
+            - col("__s").cast("double") * col("__s").cast("double")
+              / col("__k").cast("double")) / col("__k").cast("double"),
+          lit(0d))).as("dow_std"))
+    daily.join(base, Seq(groupCol, "dow"))
+      .select(col(groupCol), col("day"), col("dow"), col("n"),
+        col("dow_mean"), col("dow_std"),
+        when(col("dow_std") > 0d,
+          (col("n").cast("double") - col("dow_mean")) / col("dow_std"))
+          .otherwise(lit(0d)).as("z"))
+  }
+}

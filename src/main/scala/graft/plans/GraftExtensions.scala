@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{IpToIntExpr, LuhnCardCountExpr, LuhnMaskExpr, NfcNormalizeExpr, QuantizedDotExpr, StripAccentsExpr}
+import graft.functions.{IpToIntExpr, LuhnCardCountExpr, LuhnMaskExpr, MortonExpr, NfcNormalizeExpr, QuantizedDotExpr, StripAccentsExpr}
 
 /** Engine extensions, installed with
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or
@@ -86,6 +86,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         arity("graft_luhn_count", 1, children)
         LuhnCardCountExpr(org.apache.spark.sql.catalyst.expressions.Cast(
           children.head, org.apache.spark.sql.types.StringType))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_morton"),
+      new ExpressionInfo(classOf[MortonExpr].getName, "graft_morton"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        arity("graft_morton", 2, children)
+        MortonExpr(
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            children(0), org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            children(1), org.apache.spark.sql.types.LongType))
       }))
   }
 }

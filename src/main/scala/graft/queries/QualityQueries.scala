@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Expectations, Merge, TimeFeatures, Velocity}
+import graft.operators.{Expectations, Merge, Privacy, TimeFeatures, Velocity}
 import graft.sources.Tables
 
 /** Data-quality and temporal-profile queries over the star schema and
@@ -216,6 +216,54 @@ object QualityQueries {
         ON d.c_custkey = s.c_custkey
     """.trim))
 
+  /** Per-class k-anonymity / l-diversity audit
+    * ([[Privacy.kAnonymityAudit]]) over the customer quasi-identifiers
+    * (nation, market segment) with account balance as the sensitive
+    * attribute.
+    */
+  val q186KAnonymity = HarnessQuery(
+    "q186_k_anonymity",
+    (spark, dir) =>
+      Privacy.kAnonymityAudit(
+        Tables.customer(spark, dir),
+        Seq("c_nationkey", "c_mktsegment"), "c_acctbal", k = 10, l = 5)
+        .orderBy(col("c_nationkey"), col("c_mktsegment")),
+    Some("""
+      SELECT c_nationkey, c_mktsegment,
+             count(*) AS class_size,
+             count(DISTINCT c_acctbal) AS l_diversity,
+             count(*) < 10 AS k_violation,
+             count(DISTINCT c_acctbal) < 5 AS l_violation
+      FROM customer
+      GROUP BY 1, 2 ORDER BY 1, 2
+    """.trim))
+
+  /** One-row release-gate summary ([[Privacy.kAnonymitySummary]]):
+    * total classes/rows, at-risk row mass, worst class, low-diversity
+    * class count.
+    */
+  val q187KAnonSummary = HarnessQuery(
+    "q187_k_anon_summary",
+    (spark, dir) =>
+      Privacy.kAnonymitySummary(
+        Tables.customer(spark, dir),
+        Seq("c_nationkey", "c_mktsegment"), "c_acctbal", k = 10, l = 5),
+    Some("""
+      WITH audit AS (
+        SELECT count(*) AS class_size,
+               count(DISTINCT c_acctbal) AS l_diversity
+        FROM customer GROUP BY c_nationkey, c_mktsegment)
+      SELECT count(*) AS n_classes,
+             CAST(sum(class_size) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN class_size < 10 THEN class_size
+               ELSE 0 END) AS BIGINT) AS rows_at_risk,
+             min(class_size) AS min_class_size,
+             CAST(sum(CASE WHEN l_diversity < 5 THEN 1 ELSE 0 END)
+               AS BIGINT) AS classes_low_diversity
+      FROM audit
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
-    q163FkAudit, q164InterArrival, q165BurstHours, q166CdcMerge, q167CdcAudit)
+    q163FkAudit, q164InterArrival, q165BurstHours, q166CdcMerge, q167CdcAudit,
+    q186KAnonymity, q187KAnonSummary)
 }

@@ -26,7 +26,8 @@ object Registry {
     val qs = CoreQueries.all ++ CleaningQueries.all ++ FeatureQueries.all ++
       EdaQueries.all ++ MlQueries.all ++ LlmQueries.all ++
       StreamingQueries.all ++ EvalQueries.all ++ SourceQueries.all ++
-      QualityQueries.all ++ AnalyticsQueries.all
+      QualityQueries.all ++ AnalyticsQueries.all ++ TimeSeriesQueries.all ++
+      WorkloadQueries.all
     val dups = qs.groupBy(_.name).filter(_._2.size > 1).keys
     require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
     qs

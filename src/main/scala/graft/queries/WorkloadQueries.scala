@@ -1,0 +1,455 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.MortonExpr
+import graft.operators.{Association, EventAnalytics, Graphs, Reshape, ScaleAudit, TextDedup}
+import graft.sources.Tables
+
+/** Assorted warehouse workloads rounding out the surface: RFM
+  * segmentation, Kaplan–Meier survival tables, per-cell association
+  * measures (PMI / χ²), melt/unpivot, join-key skew audit, Z-order
+  * layout keys, and bounded BFS over the near-dup graph.
+  */
+object WorkloadQueries {
+
+  /** RFM segmentation ([[EventAnalytics.rfmSegments]]): quintile
+    * breakpoints broadcast (never ntile's global window), 5 = best.
+    */
+  val q188Rfm = HarnessQuery(
+    "q188_rfm",
+    (spark, dir) =>
+      EventAnalytics.rfmSegments(
+        Tables.events(spark, dir), "user_id", "ts", "value")
+        .orderBy(col("user_id")),
+    Some("""
+      WITH pu AS (
+        SELECT user_id,
+               max(epoch_us(CAST(ts AS TIMESTAMP))) // 86400000000
+                 AS last_day,
+               count(*) AS frequency,
+               CAST(sum(CAST("value" AS DECIMAL(28,6))) AS DOUBLE)
+                 AS monetary
+        FROM events GROUP BY 1),
+      rfm AS (
+        SELECT user_id,
+               (SELECT max(last_day) FROM pu) - last_day AS recency_days,
+               frequency, monetary
+        FROM pu),
+      br AS (
+        SELECT quantile_cont(CAST(recency_days AS DOUBLE),
+                 [0.2, 0.4, 0.6, 0.8]) AS rb,
+               quantile_cont(CAST(frequency AS DOUBLE),
+                 [0.2, 0.4, 0.6, 0.8]) AS fb,
+               quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS mb
+        FROM rfm),
+      sc AS (
+        SELECT user_id, recency_days, frequency, monetary,
+               CAST(6 - (1
+                 + CASE WHEN CAST(recency_days AS DOUBLE) > rb[1]
+                     THEN 1 ELSE 0 END
+                 + CASE WHEN CAST(recency_days AS DOUBLE) > rb[2]
+                     THEN 1 ELSE 0 END
+                 + CASE WHEN CAST(recency_days AS DOUBLE) > rb[3]
+                     THEN 1 ELSE 0 END
+                 + CASE WHEN CAST(recency_days AS DOUBLE) > rb[4]
+                     THEN 1 ELSE 0 END) AS BIGINT) AS r_score,
+               CAST(1
+                 + CASE WHEN CAST(frequency AS DOUBLE) > fb[1]
+                     THEN 1 ELSE 0 END
+                 + CASE WHEN CAST(frequency AS DOUBLE) > fb[2]
+                     THEN 1 ELSE 0 END
+                 + CASE WHEN CAST(frequency AS DOUBLE) > fb[3]
+                     THEN 1 ELSE 0 END
+                 + CASE WHEN CAST(frequency AS DOUBLE) > fb[4]
+                     THEN 1 ELSE 0 END AS BIGINT) AS f_score,
+               CAST(1
+                 + CASE WHEN monetary > mb[1] THEN 1 ELSE 0 END
+                 + CASE WHEN monetary > mb[2] THEN 1 ELSE 0 END
+                 + CASE WHEN monetary > mb[3] THEN 1 ELSE 0 END
+                 + CASE WHEN monetary > mb[4] THEN 1 ELSE 0 END
+                 AS BIGINT) AS m_score
+        FROM rfm, br)
+      SELECT user_id, recency_days, frequency, monetary,
+             r_score, f_score, m_score,
+             r_score::VARCHAR || f_score::VARCHAR || m_score::VARCHAR
+               AS segment
+      FROM sc ORDER BY 1
+    """.trim))
+
+  /** Kaplan–Meier signup→purchase survival table
+    * ([[EventAnalytics.survivalTable]]): exact integer event/at-risk
+    * counts per duration day, censoring at the corpus horizon.
+    */
+  val q189Survival = HarnessQuery(
+    "q189_survival",
+    (spark, dir) =>
+      EventAnalytics.survivalTable(
+        Tables.events(spark, dir), "user_id", "ts", "event_type",
+        "signup", "purchase")
+        .orderBy(col("dur_day")),
+    Some("""
+      WITH s AS (
+        SELECT user_id, min(epoch_us(CAST(ts AS TIMESTAMP))) AS s_us
+        FROM events WHERE event_type = 'signup' GROUP BY 1),
+      e AS (
+        SELECT s.user_id, s.s_us,
+               min(epoch_us(CAST(ev.ts AS TIMESTAMP))) AS e_us
+        FROM s LEFT JOIN events ev
+          ON ev.user_id = s.user_id AND ev.event_type = 'purchase'
+          AND epoch_us(CAST(ev.ts AS TIMESTAMP)) >= s.s_us
+        GROUP BY 1, 2),
+      d AS (
+        SELECT user_id,
+               CASE WHEN e_us IS NOT NULL
+                 THEN (e_us - s_us) // 86400000000
+                 ELSE ((SELECT max(epoch_us(CAST(ts AS TIMESTAMP)))
+                        FROM events) - s_us) // 86400000000
+               END AS dur_day,
+               e_us IS NOT NULL AS observed
+        FROM e),
+      g AS (
+        SELECT dur_day,
+               CAST(sum(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_events,
+               CAST(sum(CASE WHEN observed THEN 0 ELSE 1 END) AS BIGINT)
+                 AS n_censored,
+               count(*) AS n_all
+        FROM d GROUP BY 1)
+      SELECT dur_day, n_events, n_censored,
+             CAST((SELECT count(*) FROM d)
+               - sum(n_all) OVER (ORDER BY dur_day) + n_all AS BIGINT)
+               AS n_at_risk,
+             1.0 - CAST(n_events AS DOUBLE)
+               / CAST((SELECT count(*) FROM d)
+                   - sum(n_all) OVER (ORDER BY dur_day) + n_all AS DOUBLE)
+               AS km_factor
+      FROM g WHERE n_events > 0 ORDER BY 1
+    """.trim))
+
+  /** PMI per (mktsegment, nation) cell ([[Association.pmiCells]]):
+    * exact counts, one log expression per cell.
+    */
+  val q190Pmi = HarnessQuery(
+    "q190_pmi",
+    (spark, dir) =>
+      Association.pmiCells(
+        Tables.customer(spark, dir), "c_mktsegment", "c_nationkey")
+        .orderBy(col("c_mktsegment"), col("c_nationkey")),
+    Some("""
+      WITH ab AS (
+        SELECT c_mktsegment, c_nationkey, count(*) AS n_ab
+        FROM customer GROUP BY 1, 2),
+      ma AS (SELECT c_mktsegment, CAST(sum(n_ab) AS BIGINT) AS n_a
+             FROM ab GROUP BY 1),
+      mb AS (SELECT c_nationkey, CAST(sum(n_ab) AS BIGINT) AS n_b
+             FROM ab GROUP BY 1),
+      t AS (SELECT CAST(sum(n_ab) AS BIGINT) AS n FROM ab)
+      SELECT ab.c_mktsegment, ab.c_nationkey, ab.n_ab, ma.n_a, mb.n_b,
+             round(ln(CAST(n_ab AS DOUBLE) * CAST(n AS DOUBLE)
+                / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))), 12) AS pmi,
+             round(CAST(n_ab AS DOUBLE) / CAST(n AS DOUBLE)
+               * ln(CAST(n_ab AS DOUBLE) * CAST(n AS DOUBLE)
+                    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))), 12)
+               AS mi_contrib
+      FROM ab JOIN ma USING (c_mktsegment)
+        JOIN mb USING (c_nationkey), t
+      ORDER BY 1, 2
+    """.trim))
+
+  /** χ² contribution per (mktsegment, nation) cell
+    * ([[Association.chiSquareCells]]).
+    */
+  val q191Chi2 = HarnessQuery(
+    "q191_chi2",
+    (spark, dir) =>
+      Association.chiSquareCells(
+        Tables.customer(spark, dir), "c_mktsegment", "c_nationkey")
+        .orderBy(col("c_mktsegment"), col("c_nationkey")),
+    Some("""
+      WITH ab AS (
+        SELECT c_mktsegment, c_nationkey, count(*) AS n_ab
+        FROM customer GROUP BY 1, 2),
+      ma AS (SELECT c_mktsegment, CAST(sum(n_ab) AS BIGINT) AS n_a
+             FROM ab GROUP BY 1),
+      mb AS (SELECT c_nationkey, CAST(sum(n_ab) AS BIGINT) AS n_b
+             FROM ab GROUP BY 1),
+      t AS (SELECT CAST(sum(n_ab) AS BIGINT) AS n FROM ab)
+      SELECT ab.c_mktsegment, ab.c_nationkey, ab.n_ab,
+             CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+               / CAST(n AS DOUBLE) AS expected,
+             (CAST(n_ab AS DOUBLE)
+               - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                 / CAST(n AS DOUBLE))
+             * (CAST(n_ab AS DOUBLE)
+               - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                 / CAST(n AS DOUBLE))
+             / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                 / CAST(n AS DOUBLE)) AS chi2_contrib
+      FROM ab JOIN ma USING (c_mktsegment)
+        JOIN mb USING (c_nationkey), t
+      ORDER BY 1, 2
+    """.trim))
+
+  /** Melt/unpivot ([[Reshape.melt]]): lineitem metrics to long
+    * format on a deterministic order slice.
+    */
+  val q192Melt = HarnessQuery(
+    "q192_melt",
+    (spark, dir) =>
+      Reshape.melt(
+        Tables.lineitem(spark, dir).where(col("l_orderkey") % 997 === 0),
+        Seq("l_orderkey", "l_linenumber"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric")),
+    Some("""
+      WITH src AS (
+        SELECT * FROM lineitem WHERE l_orderkey % 997 = 0)
+      SELECT l_orderkey, l_linenumber, metric, "value" FROM (
+        SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+               CAST(l_quantity AS DOUBLE) AS "value" FROM src
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+               CAST(l_extendedprice AS DOUBLE) FROM src
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_discount',
+               CAST(l_discount AS DOUBLE) FROM src
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_tax',
+               CAST(l_tax AS DOUBLE) FROM src)
+      ORDER BY 1, 2, 3
+    """.trim))
+
+  /** Join-key skew audit ([[ScaleAudit.keySkewProfile]]) over the
+    * lineitem join keys — the pre-flight check before keying a
+    * shuffle on any of them.
+    */
+  val q193SkewProfile = HarnessQuery(
+    "q193_skew_profile",
+    (spark, dir) =>
+      ScaleAudit.keySkewProfile(
+        Tables.lineitem(spark, dir),
+        Seq("l_orderkey", "l_partkey", "l_suppkey"))
+        .orderBy(col("key_col")),
+    Some("""
+      WITH p AS (
+        SELECT 'l_orderkey' AS key_col, count(*) AS n FROM lineitem
+          GROUP BY l_orderkey
+        UNION ALL
+        SELECT 'l_partkey', count(*) FROM lineitem GROUP BY l_partkey
+        UNION ALL
+        SELECT 'l_suppkey', count(*) FROM lineitem GROUP BY l_suppkey)
+      SELECT key_col, count(*) AS n_keys,
+             CAST(sum(n) AS BIGINT) AS n_rows, max(n) AS max_freq,
+             CAST(max(n) AS DOUBLE)
+               / (CAST(sum(n) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+               AS skew_ratio,
+             CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
+               AS top_key_share
+      FROM p GROUP BY 1 ORDER BY 1
+    """.trim))
+
+  /** Z-order layout keys ([[MortonExpr]], codegen'd): bucketed
+    * (part, supplier) dims interleaved into one clustering key — the
+    * multi-dimensional sort key a 100 TB layout writer orders files
+    * by. The oracle re-derives the interleave with plain bit
+    * arithmetic.
+    */
+  val q194Zorder = HarnessQuery(
+    "q194_zorder",
+    (spark, dir) =>
+      Tables.lineitem(spark, dir)
+        .where(col("l_orderkey") % 499 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          pmod(col("l_partkey"), lit(1024L)).as("x"),
+          pmod(col("l_suppkey"), lit(1024L)).as("y"))
+        .withColumn("z",
+          MortonExpr.morton(spark, col("x"), col("y")))
+        .orderBy(col("z"), col("l_orderkey"), col("l_linenumber")),
+    Some("""
+      WITH src AS (
+        SELECT l_orderkey, l_linenumber,
+               l_partkey % 1024 AS x, l_suppkey % 1024 AS y
+        FROM lineitem WHERE l_orderkey % 499 = 0)
+      SELECT l_orderkey, l_linenumber, x, y,
+             (SELECT CAST(sum((((x >> k) & 1) << (2 * k))
+                          + (((y >> k) & 1) << (2 * k + 1))) AS BIGINT)
+              FROM generate_series(0, 9) t(k)) AS z
+      FROM src ORDER BY z, l_orderkey, l_linenumber
+    """.trim))
+
+  /** Bounded BFS over the minhash near-dup graph
+    * ([[Graphs.bfsFromSeeds]]): 2-hop blast radius of the lowest-id
+    * documents. Oracle: brute-force-Jaccard edges (q55's CTE) +
+    * explicit hop-1/hop-2 expansion.
+    */
+  val q195Khop = HarnessQuery(
+    "q195_khop",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val edges = TextDedup.minhashNearDupPairs(
+        docs, "text", "doc_id", n = 3, numHashes = 16, bands = 8,
+        threshold = 0.8, hashFn = graft.functions.TextFunctions.fastHash)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      val seeds = docs.where(col("doc_id") < 20).select(col("doc_id"))
+      Graphs.bfsFromSeeds(edges, seeds, "doc_id", maxHops = 2)
+        .orderBy(col("seed"), col("vertex"))
+    },
+    Some("""
+      WITH t AS (SELECT doc_id,
+                   list_distinct(list_transform(
+                     generate_series(1, len(regexp_split_to_array(trim(lower(text)), '\s+')) - 2),
+                     i -> array_to_string((regexp_split_to_array(trim(lower(text)), '\s+'))[i:i+2], ' ')))
+                     AS sh
+                 FROM documents),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM t a, t b
+        WHERE a.doc_id < b.doc_id
+          AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+      und AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs),
+      seeds AS (
+        SELECT doc_id AS seed, doc_id AS vertex, 0 AS hop
+        FROM documents WHERE doc_id < 20),
+      h1 AS (
+        SELECT DISTINCT s.seed, u.v AS vertex
+        FROM seeds s JOIN und u ON s.vertex = u.u
+        WHERE NOT EXISTS (SELECT 1 FROM seeds x
+                          WHERE x.seed = s.seed AND x.vertex = u.v)),
+      h2 AS (
+        SELECT DISTINCT h.seed, u.v AS vertex
+        FROM h1 h JOIN und u ON h.vertex = u.u
+        WHERE NOT EXISTS (SELECT 1 FROM seeds x
+                          WHERE x.seed = h.seed AND x.vertex = u.v)
+          AND NOT EXISTS (SELECT 1 FROM h1 x
+                          WHERE x.seed = h.seed AND x.vertex = u.v))
+      SELECT seed, vertex, hop FROM seeds
+      UNION ALL SELECT seed, vertex, 1 FROM h1
+      UNION ALL SELECT seed, vertex, 2 FROM h2
+      ORDER BY 1, 2
+    """.trim))
+
+  /** SCD Type-2 intervals ([[graft.operators.Merge.scd2Intervals]])
+    * from the orders change log: one validity window per order under
+    * the (o_orderdate, o_orderkey) sequence; open window = current.
+    */
+  val q196Scd2 = HarnessQuery(
+    "q196_scd2",
+    (spark, dir) =>
+      graft.operators.Merge.scd2Intervals(
+        Tables.orders(spark, dir).where(col("o_custkey") % 100 === 0)
+          .select(col("o_custkey"), col("o_orderkey"),
+            col("o_orderdate"), col("o_totalprice")),
+        "o_custkey", "o_orderdate", "o_orderkey")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          unix_micros(col("valid_from")).as("valid_from_us"),
+          unix_micros(col("valid_to")).as("valid_to_us"),
+          col("is_current"))
+        .orderBy(col("o_custkey"), col("valid_from_us"), col("o_orderkey")),
+    Some("""
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS valid_from_us,
+             lead(epoch_us(CAST(o_orderdate AS TIMESTAMP)), 1) OVER win
+               AS valid_to_us,
+             lead(epoch_us(CAST(o_orderdate AS TIMESTAMP)), 1) OVER win
+               IS NULL AS is_current
+      FROM orders WHERE o_custkey % 100 = 0
+      WINDOW win AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey)
+      ORDER BY o_custkey, valid_from_us, o_orderkey
+    """.trim))
+
+  /** Event-type trigram paths ([[EventAnalytics.eventPathNgrams]]).
+    */
+  val q197PathTrigrams = HarnessQuery(
+    "q197_path_trigrams",
+    (spark, dir) =>
+      EventAnalytics.eventPathNgrams(
+        Tables.events(spark, dir), "user_id", "ts", "event_id",
+        "event_type", n = 3)
+        .orderBy(col("path")),
+    Some("""
+      WITH seq AS (
+        SELECT event_type AS e0,
+               lead(event_type, 1) OVER win AS e1,
+               lead(event_type, 2) OVER win AS e2
+        FROM events
+        WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT e0 || '>' || e1 || '>' || e2 AS path,
+             count(*) AS n_paths
+      FROM seq WHERE e2 IS NOT NULL
+      GROUP BY 1 ORDER BY 1
+    """.trim))
+
+  /** Cumulative-user growth ([[EventAnalytics.cumulativeUsers]]). */
+  val q198CumUsers = HarnessQuery(
+    "q198_cum_users",
+    (spark, dir) =>
+      EventAnalytics.cumulativeUsers(
+        Tables.events(spark, dir), "user_id", "ts")
+        .orderBy(col("day")),
+    Some("""
+      WITH fd AS (
+        SELECT user_id,
+               min(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000)
+                 AS day
+        FROM events GROUP BY 1),
+      pd AS (SELECT day, count(*) AS n_new FROM fd GROUP BY 1)
+      SELECT day, n_new,
+             CAST(sum(n_new) OVER (ORDER BY day) AS BIGINT)
+               AS n_cumulative
+      FROM pd ORDER BY 1
+    """.trim))
+
+  /** Trailing 7-day active users ([[EventAnalytics.rollingActiveUsers]]).
+    */
+  val q199Wau = HarnessQuery(
+    "q199_wau",
+    (spark, dir) =>
+      EventAnalytics.rollingActiveUsers(
+        Tables.events(spark, dir), "user_id", "ts", windowDays = 7)
+        .orderBy(col("day")),
+    Some("""
+      WITH days AS (
+        SELECT DISTINCT user_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+        FROM events),
+      f AS (
+        SELECT DISTINCT user_id, day + off AS rday
+        FROM days, generate_series(0, 6) t(off))
+      SELECT rday AS day, count(DISTINCT user_id) AS n_active
+      FROM f WHERE rday <= (SELECT max(day) FROM days)
+      GROUP BY 1 ORDER BY 1
+    """.trim))
+
+  /** Degree histogram ([[Graphs.degreeHistogram]]) of the
+    * part↔supplier bipartite graph (supplier ids offset into their
+    * own vertex range).
+    */
+  val q200DegreeHist = HarnessQuery(
+    "q200_degree_hist",
+    (spark, dir) =>
+      Graphs.degreeHistogram(
+        Tables.lineitem(spark, dir).where(col("l_orderkey") % 500 === 0)
+          .select(col("l_partkey").as("src"),
+            (col("l_suppkey") + 1000000L).as("dst")))
+        .orderBy(col("degree")),
+    Some("""
+      WITH e AS (
+        SELECT DISTINCT l_partkey AS s, l_suppkey + 1000000 AS d
+        FROM lineitem WHERE l_orderkey % 500 = 0),
+      und AS (SELECT s AS v, d AS o FROM e UNION SELECT d, s FROM e),
+      deg AS (SELECT v, count(*) AS degree FROM und GROUP BY 1)
+      SELECT degree, count(*) AS n_vertices
+      FROM deg GROUP BY 1 ORDER BY 1
+    """.trim))
+
+  def all: Seq[HarnessQuery] = Seq(
+    q188Rfm, q189Survival, q190Pmi, q191Chi2, q192Melt,
+    q193SkewProfile, q194Zorder, q195Khop, q196Scd2, q197PathTrigrams,
+    q198CumUsers, q199Wau, q200DegreeHist)
+}

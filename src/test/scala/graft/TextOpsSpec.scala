@@ -503,4 +503,40 @@ class TextOpsSpec extends SparkSpec {
     assert(totMasked / totTokens > 0.03 && totMasked / totTokens < 0.2,
       s"mask rate ${totMasked / totTokens}")
   }
+
+  test("sortedNeighborhoodPairs: adjacent sorted near-matches pair; blocks bound the slide") {
+    import graft.operators.TextDedup
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delte"),   // 1 edit from doc 1, same key prefix
+      (3L, "alpha beta gamma zzzzzz"),  // nearby in sort, larger distance
+      (4L, "zebra quail"),              // different block entirely
+      (5L, "zebra quaik"))              // 1 edit from doc 4
+      .toDF("doc_id", "text")
+    val got = TextDedup.sortedNeighborhoodPairs(
+      docs, "text", "doc_id",
+      keyLen = 16, windowSize = 2, probeLen = 64,
+      maxDistance = 2, blockLen = 4)
+      .orderBy($"id_a", $"id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // (1,2) pairs at distance 1; (5,4) pairs at 1 in the zebra block
+    // (id_a is the SORT-order predecessor — "zebraquaik" < "zebraquail");
+    // (1,3)/(2,3) exceed maxDistance; no cross-block candidates exist
+    assert(got.toSeq === Seq((1L, 2L, 1L), (5L, 4L, 1L)))
+  }
+
+  test("sortedNeighborhoodPairs: window width controls candidate reach") {
+    import graft.operators.TextDedup
+    val docs = Seq(
+      (1L, "aaaa one"), (2L, "aaaa two"), (3L, "aaaa three"))
+      .toDF("doc_id", "text")
+    val w1 = TextDedup.sortedNeighborhoodPairs(
+      docs, "text", "doc_id", windowSize = 1, maxDistance = 100)
+      .count()
+    val w2 = TextDedup.sortedNeighborhoodPairs(
+      docs, "text", "doc_id", windowSize = 2, maxDistance = 100)
+      .count()
+    assert(w1 === 2L) // adjacent only
+    assert(w2 === 3L) // plus the skip-one pair
+  }
 }

@@ -1,0 +1,202 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.MortonExpr
+import graft.operators.{Association, EventAnalytics, Graphs, Reshape, ScaleAudit}
+
+/** RFM / survival / association cells / melt / skew audit / Morton /
+  * BFS — batch semantics on literal frames with hand-computed answers.
+  */
+class WorkloadOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("rfmSegments: recency inverts, breakpoints score 1-5 deterministically") {
+    // 5 users, distinct frequency 1..5 -> f_score must be 1..5
+    val rows = (1 to 5).flatMap { u =>
+      (1 to u).map(i =>
+        (u.toLong, ts(f"2024-01-${u}%02d 0$i:00:00"), i * 10.0))
+    }
+    val got = EventAnalytics.rfmSegments(
+      rows.toDF("user_id", "ts", "value"), "user_id", "ts", "value")
+      .orderBy($"user_id").collect()
+    val fScores = got.map(_.getAs[Long]("f_score")).toSeq
+    assert(fScores === Seq(1L, 2L, 3L, 4L, 5L))
+    // user 5 is most recent (recency 0 -> r_score 5); user 1 least
+    assert(got(4).getAs[Long]("r_score") === 5L)
+    assert(got(0).getAs[Long]("r_score") === 1L)
+    assert(got(4).getAs[String]("segment") === "555")
+    // monetary = exact sum
+    assert(got(4).getAs[Double]("monetary") === 150.0)
+  }
+
+  test("survivalTable: durations, censoring at horizon, at-risk arithmetic") {
+    val df = Seq(
+      // u1 signs up day0, purchases day2 -> dur 2 observed
+      (1L, ts("2024-01-01 00:00:00"), "signup"),
+      (1L, ts("2024-01-03 00:00:00"), "purchase"),
+      // u2 signs up day0, never purchases -> censored at horizon (day4)
+      (2L, ts("2024-01-01 00:00:00"), "signup"),
+      // u3 signs up day2, purchases day2 -> dur 0 observed
+      (3L, ts("2024-01-03 00:00:00"), "signup"),
+      (3L, ts("2024-01-03 06:00:00"), "purchase"),
+      // u4: purchase BEFORE signup only -> censored, not dropped
+      (4L, ts("2024-01-02 00:00:00"), "purchase"),
+      (4L, ts("2024-01-05 00:00:00"), "signup"),
+      // horizon-setting event
+      (9L, ts("2024-01-05 00:00:00"), "view"))
+      .toDF("user_id", "ts", "event_type")
+    val got = EventAnalytics.survivalTable(
+      df, "user_id", "ts", "event_type", "signup", "purchase")
+      .orderBy($"dur_day").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // durations: u1 obs@2, u2 cens@4, u3 obs@0, u4 cens@0
+    // at-risk@0 = 4, events@0 = 1; at-risk@2 = 2, events@2 = 1
+    assert(got.toSeq === Seq((0L, 1L, 1L, 4L), (2L, 1L, 0L, 2L)))
+  }
+
+  test("pmiCells and chiSquareCells: independence gives pmi 0 / chi2 0") {
+    // perfectly independent 2x2: every cell n=5 of 20
+    val rows = for { a <- Seq("x", "y"); b <- Seq("u", "v"); _ <- 1 to 5 }
+      yield (a, b)
+    val pmi = Association.pmiCells(rows.toDF("a", "b"), "a", "b")
+      .collect().map(_.getAs[Double]("pmi"))
+    assert(pmi.forall(_ == 0.0))
+    val chi = Association.chiSquareCells(rows.toDF("a", "b"), "a", "b")
+      .collect().map(_.getAs[Double]("chi2_contrib"))
+    assert(chi.forall(_ == 0.0))
+  }
+
+  test("pmiCells: dependent cells sign correctly") {
+    // a=x always with b=u (10), a=y always with b=v (10)
+    val rows = Seq.fill(10)(("x", "u")) ++ Seq.fill(10)(("y", "v"))
+    val got = Association.pmiCells(rows.toDF("a", "b"), "a", "b")
+      .orderBy($"a").collect()
+    // pmi = ln(10*20/(10*10)) = ln 2 for both observed cells
+    got.foreach(r =>
+      assert(math.abs(r.getAs[Double]("pmi") - math.log(2)) < 1e-9))
+  }
+
+  test("melt: wide metrics to long rows, values cast to double") {
+    val df = Seq((1L, 2.0, 3.0), (2L, 5.0, 7.0)).toDF("id", "m1", "m2")
+    val got = Reshape.melt(df, Seq("id"), Seq("m1", "m2"))
+      .orderBy($"id", $"metric")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(got.toSeq === Seq(
+      (1L, "m1", 2.0), (1L, "m2", 3.0), (2L, "m1", 5.0), (2L, "m2", 7.0)))
+  }
+
+  test("keySkewProfile: hot key shows in ratio and share") {
+    val df = (Seq.fill(8)(1L) ++ Seq(2L, 3L)).toDF("k")
+    val got = ScaleAudit.keySkewProfile(df, Seq("k")).head()
+    assert(got.getAs[Long]("n_keys") === 3L)
+    assert(got.getAs[Long]("n_rows") === 10L)
+    assert(got.getAs[Long]("max_freq") === 8L)
+    assert(math.abs(got.getAs[Double]("skew_ratio") - 8.0 / (10.0 / 3)) < 1e-12)
+    assert(got.getAs[Double]("top_key_share") === 0.8)
+  }
+
+  test("MortonExpr: interleave matches the bit definition; codegen path runs") {
+    // x=0b101 (5), y=0b011 (3) -> z bits: x at even, y at odd
+    // = 1·1 + 1·2 + 0·4 + 1·8 + 1·16 + 0·32 = 27
+    assert(MortonExpr.interleave(5L, 3L) === 27L)
+    assert(MortonExpr.interleave(0L, 0L) === 0L)
+    // high-bit coverage: bit 31 of x lands at bit 62
+    assert(MortonExpr.interleave(1L << 31, 0L) === (1L << 62))
+    // inputs beyond 32 bits wrap mod 2^32
+    assert(MortonExpr.interleave(1L << 32, 0L) === 0L)
+    val got = Seq((5L, 3L), (1023L, 0L))
+      .toDF("x", "y")
+      .select(MortonExpr.morton(spark, $"x", $"y").as("z"))
+      .orderBy($"z")
+      .collect().map(_.getLong(0))
+    // spread(1023) = sum of 4^k for k<10 = (4^10-1)/3 = 349525
+    assert(got.toSeq === Seq(27L, 349525L))
+    // z-order locality sanity: nearby points interleave near each other
+    assert(MortonExpr.interleave(2L, 2L) < MortonExpr.interleave(512L, 512L))
+  }
+
+  test("scd2Intervals: lead closes windows; last change stays open; ties version in id order") {
+    val log = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 10L, "a"),
+      (1L, ts("2024-01-03 00:00:00"), 11L, "b"),
+      (1L, ts("2024-01-03 00:00:00"), 12L, "c"), // same ts: tie on id
+      (2L, ts("2024-01-02 00:00:00"), 20L, "x"))
+      .toDF("k", "ts", "seq", "v")
+    val got = graft.operators.Merge.scd2Intervals(log, "k", "ts", "seq")
+      .orderBy($"k", $"valid_from", $"seq")
+      .collect().map(r => (r.getAs[Long]("seq"),
+        Option(r.getAs[Timestamp]("valid_to")).map(_.toString),
+        r.getAs[Boolean]("is_current")))
+    assert(got.toSeq === Seq(
+      (10L, Some("2024-01-03 00:00:00.0"), false),
+      (11L, Some("2024-01-03 00:00:00.0"), false), // zero-width tie window
+      (12L, None, true),
+      (20L, None, true)))
+  }
+
+  test("eventPathNgrams: per-entity trigrams never span entities") {
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:01"), 1L, "a"),
+      (1L, ts("2024-01-01 00:00:02"), 2L, "b"),
+      (1L, ts("2024-01-01 00:00:03"), 3L, "c"),
+      (1L, ts("2024-01-01 00:00:04"), 4L, "a"),
+      (2L, ts("2024-01-01 00:00:01"), 5L, "b"),
+      (2L, ts("2024-01-01 00:00:02"), 6L, "c"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = EventAnalytics.eventPathNgrams(
+      df, "user_id", "ts", "event_id", "event_type", 3)
+      .orderBy($"path")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // user 1 yields a>b>c and b>c>a; user 2 too short
+    assert(got.toSeq === Seq(("a>b>c", 1L), ("b>c>a", 1L)))
+  }
+
+  test("cumulativeUsers and rollingActiveUsers: growth and trailing windows") {
+    val df = Seq(
+      (1L, ts("2024-01-01 01:00:00")),
+      (1L, ts("2024-01-09 01:00:00")), // not new on day 8
+      (2L, ts("2024-01-02 01:00:00")),
+      (3L, ts("2024-01-02 02:00:00")))
+      .toDF("user_id", "ts")
+    val day0 = ts("2024-01-01 00:00:00").getTime * 1000 / 86400000000L
+    val cum = EventAnalytics.cumulativeUsers(df, "user_id", "ts")
+      .orderBy($"day")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(cum.toSeq === Seq((day0, 1L, 1L), (day0 + 1, 2L, 3L)))
+    val wau = EventAnalytics.rollingActiveUsers(df, "user_id", "ts", 7)
+      .orderBy($"day")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // day0: {1}; day1..day6: {1,2,3}; day7: {2,3} (day0 aged out);
+    // day8: {1} only — u2/u3's day1 activity aged out, u1 re-active
+    assert(wau.toMap === Map(
+      day0 -> 1L, (day0 + 1) -> 3L, (day0 + 2) -> 3L, (day0 + 3) -> 3L,
+      (day0 + 4) -> 3L, (day0 + 5) -> 3L, (day0 + 6) -> 3L,
+      (day0 + 7) -> 2L, (day0 + 8) -> 1L))
+  }
+
+  test("degreeHistogram: undirected dedup'd degrees") {
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (4L, 5L))
+      .toDF("src", "dst")
+    val got = Graphs.degreeHistogram(edges)
+      .orderBy($"degree")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // degrees: 1->2, 2->1, 3->1, 4->1, 5->1 => histogram 1:4, 2:1
+    assert(got.toSeq === Seq((1L, 4L), (2L, 1L)))
+  }
+
+  test("bfsFromSeeds: minimum hop wins; depth bounded; seeds carried") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L), (5L, 6L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    val got = Graphs.bfsFromSeeds(edges, seeds, "id", maxHops = 2)
+      .orderBy($"vertex")
+      .collect().map(r => (r.getLong(1), r.getInt(2)))
+    // 1@0; 2,3@1 (3 via the direct edge, never relabeled 2); 4@2; 5,6 unreachable
+    assert(got.toSeq === Seq((1L, 0), (2L, 1), (3L, 1), (4L, 2)))
+  }
+}
