@@ -118,4 +118,24 @@ object Encoding {
         ((pa - pe) * log(pa / pe)).as("psi_term"))
       .orderBy(col("bin"))
   }
+
+  /** Rank (quantile) normalization per group: each value maps to its
+    * percent_rank within the group — the distribution-free feature
+    * transform (rank-gauss without the gauss; monotone, outlier-
+    * immune, identical scale across groups). Ties share a rank by
+    * ordering on the VALUE alone, so equal inputs get equal outputs
+    * regardless of partition order — the determinism ntile can't
+    * give.
+    *
+    * Shape: one group-partitioned sort window; per-group volume is
+    * the caller's skew concern (same contract as every per-key
+    * window here).
+    */
+  def rankNormalize(
+      df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(valueCol))
+    df.select(col(groupCol), col(valueCol))
+      .withColumn("pr", percent_rank().over(w))
+  }
 }

@@ -38,4 +38,47 @@ object ScaleAudit {
             .as("top_key_share"))
     }.reduce(_ unionAll _)
   }
+
+  /** Scan-pruning simulator: how many "files" of a layout would a 2-D
+    * box predicate touch, given per-file min/max column stats — the
+    * decision tool behind [[graft.functions.MortonExpr]] layouts.
+    * Rows are binned into files by `fileKey` (a layout key column:
+    * the Morton code for z-order, a single dimension for linear
+    * layout) divided into `stride`-wide value ranges; per file the
+    * simulator keeps min/max of both dimensions (exactly the footer
+    * stats a parquet writer would) and counts files whose stat range
+    * intersects the box [x1,x2]×[y1,y2]. One row: files total,
+    * files touched, rows total, rows in touched files, and the
+    * touched fraction.
+    *
+    * Shape: one hash aggregate keyed by file id, one single-row
+    * reduce. The simulation IS the plan a real layout would execute:
+    * row-group pruning on min/max is precisely this intersection
+    * test.
+    */
+  def pruningStats(
+      df: DataFrame, xCol: String, yCol: String,
+      fileKey: org.apache.spark.sql.Column, stride: Long,
+      x1: Long, x2: Long, y1: Long, y2: Long): DataFrame = {
+    require(stride > 0)
+    val files = df
+      .select(col(xCol).as("__x"), col(yCol).as("__y"),
+        (fileKey.cast("long") / lit(stride)).cast("long").as("__file"))
+      .groupBy(col("__file"))
+      .agg(
+        min(col("__x")).as("__xmin"), max(col("__x")).as("__xmax"),
+        min(col("__y")).as("__ymin"), max(col("__y")).as("__ymax"),
+        count(lit(1)).as("__rows"))
+    val touched = col("__xmin") <= x2 && col("__xmax") >= x1 &&
+      col("__ymin") <= y2 && col("__ymax") >= y1
+    files.agg(
+      count(lit(1)).as("n_files"),
+      sum(when(touched, 1L).otherwise(0L)).as("files_touched"),
+      sum(col("__rows")).as("n_rows"),
+      sum(when(touched, col("__rows")).otherwise(0L)).as("rows_touched"))
+      .select(col("n_files"), col("files_touched"), col("n_rows"),
+        col("rows_touched"),
+        (col("files_touched").cast("double") / col("n_files").cast("double"))
+          .as("touched_frac"))
+  }
 }

@@ -448,8 +448,220 @@ object WorkloadQueries {
       FROM deg GROUP BY 1 ORDER BY 1
     """.trim))
 
+  /** Scan-pruning simulator ([[ScaleAudit.pruningStats]]): the same
+    * box predicate against a Morton-keyed layout and a linear
+    * (x-major) layout — per-file min/max intersection, exactly the
+    * rowgroup-stat pruning a parquet reader performs. The z-order
+    * layout should touch a far smaller file fraction.
+    */
+  val q201PruneSim = HarnessQuery(
+    "q201_prune_sim",
+    (spark, dir) => {
+      val base = Tables.lineitem(spark, dir)
+        .select(pmod(col("l_partkey"), lit(1024L)).as("x"),
+          pmod(col("l_suppkey"), lit(1024L)).as("y"))
+      val zStats = ScaleAudit.pruningStats(
+        base, "x", "y",
+        MortonExpr.morton(spark, col("x"), col("y")), stride = 16384L,
+        x1 = 100L, x2 = 200L, y1 = 300L, y2 = 400L)
+        .select(lit("zorder").as("layout"), col("*"))
+      val linStats = ScaleAudit.pruningStats(
+        base, "x", "y",
+        col("x") * 2048L + col("y"), stride = 32768L,
+        x1 = 100L, x2 = 200L, y1 = 300L, y2 = 400L)
+        .select(lit("linear").as("layout"), col("*"))
+      zStats.unionAll(linStats).orderBy(col("layout"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT l_partkey % 1024 AS x, l_suppkey % 1024 AS y
+        FROM lineitem),
+      zf AS (
+        SELECT (SELECT CAST(sum((((x >> k) & 1) << (2 * k))
+                         + (((y >> k) & 1) << (2 * k + 1))) AS BIGINT)
+                FROM generate_series(0, 9) t(k)) // 16384 AS f,
+               x, y
+        FROM base),
+      za AS (
+        SELECT f, min(x) AS xmin, max(x) AS xmax,
+               min(y) AS ymin, max(y) AS ymax, count(*) AS n
+        FROM zf GROUP BY 1),
+      zs AS (
+        SELECT 'zorder' AS layout, count(*) AS n_files,
+               CAST(sum(CASE WHEN xmin <= 200 AND xmax >= 100
+                 AND ymin <= 400 AND ymax >= 300 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS files_touched,
+               CAST(sum(n) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN xmin <= 200 AND xmax >= 100
+                 AND ymin <= 400 AND ymax >= 300 THEN n ELSE 0 END)
+                 AS BIGINT) AS rows_touched
+        FROM za),
+      lf AS (SELECT (x * 2048 + y) // 32768 AS f, x, y FROM base),
+      la AS (
+        SELECT f, min(x) AS xmin, max(x) AS xmax,
+               min(y) AS ymin, max(y) AS ymax, count(*) AS n
+        FROM lf GROUP BY 1),
+      ls AS (
+        SELECT 'linear' AS layout, count(*) AS n_files,
+               CAST(sum(CASE WHEN xmin <= 200 AND xmax >= 100
+                 AND ymin <= 400 AND ymax >= 300 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS files_touched,
+               CAST(sum(n) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN xmin <= 200 AND xmax >= 100
+                 AND ymin <= 400 AND ymax >= 300 THEN n ELSE 0 END)
+                 AS BIGINT) AS rows_touched
+        FROM la)
+      SELECT layout, n_files, files_touched, n_rows, rows_touched,
+             CAST(files_touched AS DOUBLE) / CAST(n_files AS DOUBLE)
+               AS touched_frac
+      FROM (SELECT * FROM zs UNION ALL SELECT * FROM ls)
+      ORDER BY layout
+    """.trim))
+
+  /** Per-group rank normalization
+    * ([[graft.operators.Encoding.rankNormalize]]): percent_rank with
+    * value-only ordering so ties share the normalized output.
+    */
+  val q202RankNorm = HarnessQuery(
+    "q202_rank_norm",
+    (spark, dir) =>
+      graft.operators.Encoding.rankNormalize(
+        Tables.lineitem(spark, dir).where(col("l_orderkey") % 199 === 0),
+        "l_returnflag", "l_extendedprice")
+        .orderBy(col("l_returnflag"), col("l_extendedprice")),
+    Some("""
+      SELECT l_returnflag, l_extendedprice,
+             percent_rank() OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_extendedprice) AS pr
+      FROM lineitem WHERE l_orderkey % 199 = 0
+      ORDER BY 1, 2
+    """.trim))
+
+  /** TPC-H Q3-shaped shipping-priority query: segment-filtered
+    * 3-way join, revenue top-10. Broadcast the filtered customer dim;
+    * decimal-exact revenue.
+    */
+  val q203TpchQ3 = HarnessQuery(
+    "q203_tpch_q3",
+    (spark, dir) => {
+      val cust = Tables.customer(spark, dir)
+        .where(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val ord = Tables.orders(spark, dir)
+        .where(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val li = Tables.lineitem(spark, dir)
+        .where(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          unix_micros(col("o_orderdate")).as("o_orderdate_us"),
+          col("o_orderpriority"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0d) - col("l_discount")))
+          .cast("decimal(25,6)")).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+    Some("""
+      SELECT l_orderkey,
+             epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS o_orderdate_us,
+             o_orderpriority,
+             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+               AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+      FROM customer, orders, lineitem
+      WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        AND l_orderkey = o_orderkey
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+        AND l_shipdate > TIMESTAMP '1998-01-01'
+      GROUP BY 1, 2, 3
+      ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """.trim))
+
+  /** TPC-H Q5-shaped local-supplier-volume query: six-table join with
+    * the customer-supplier co-nation constraint; region/nation
+    * broadcast.
+    */
+  val q204TpchQ5 = HarnessQuery(
+    "q204_tpch_q5",
+    (spark, dir) => {
+      val nr = Tables.nation(spark, dir)
+        .join(Tables.region(spark, dir)
+          .where(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val sup = Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val cust = Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_nationkey"))
+      val ord = Tables.orders(spark, dir)
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      Tables.lineitem(spark, dir)
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .where(col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nr), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0d) - col("l_discount")))
+          .cast("decimal(25,6)")).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+    Some("""
+      SELECT n_name,
+             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+               AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+      FROM customer, orders, lineitem, supplier, nation, region
+      WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        AND r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1999-01-01'
+      GROUP BY 1 ORDER BY revenue DESC, n_name
+    """.trim))
+
+  /** TPC-H Q10-shaped returned-item ranking: customers by revenue
+    * lost to returns in a quarter-year window.
+    */
+  val q205TpchQ10 = HarnessQuery(
+    "q205_tpch_q10",
+    (spark, dir) => {
+      val nat = Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"))
+      val ord = Tables.orders(spark, dir)
+        .where(col("o_orderdate") >= lit("1997-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      Tables.lineitem(spark, dir)
+        .where(col("l_returnflag") === "R")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(spark, dir),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0d) - col("l_discount")))
+          .cast("decimal(25,6)")).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+    Some("""
+      SELECT c_custkey, c_name, c_acctbal, n_name,
+             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+               AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+      FROM customer, orders, lineitem, nation
+      WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        AND o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate < TIMESTAMP '1997-07-01'
+        AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+      GROUP BY 1, 2, 3, 4
+      ORDER BY revenue DESC, c_custkey LIMIT 20
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q188Rfm, q189Survival, q190Pmi, q191Chi2, q192Melt,
     q193SkewProfile, q194Zorder, q195Khop, q196Scd2, q197PathTrigrams,
-    q198CumUsers, q199Wau, q200DegreeHist)
+    q198CumUsers, q199Wau, q200DegreeHist, q201PruneSim, q202RankNorm,
+    q203TpchQ3, q204TpchQ5, q205TpchQ10)
 }

@@ -90,7 +90,7 @@ object Layout {
     val boundsRow = df.select(zCols.map(c =>
       percentile_approx(col(c).cast("double"),
         array(probs.map(lit): _*), lit(10000)).as(c)): _*).head()
-    val zvalue = zCols.zipWithIndex.map { case (c, d) =>
+    val buckets = zCols.zipWithIndex.map { case (c, d) =>
       // an all-null column gives null percentile bounds; null VALUES give
       // a null filter result — either way the dimension falls back to
       // bucket 0 (contributes no bits) instead of nulling the whole
@@ -98,15 +98,24 @@ object Layout {
       // silently lose clustering on the other dimensions too
       val bounds = Option(boundsRow.getSeq[Double](d)).getOrElse(Seq.empty)
       // bucket = #boundaries <= value, i.e. equal-population rank bucket
-      val bucket = coalesce(
+      coalesce(
         size(filter(typedlit(bounds), bd => bd <= col(c).cast("double"))),
         lit(0))
-      // spread bucket bit i to z-bit (i*dims + d)
-      (0 until bitsPerDim).map(i =>
-        shiftleft(shiftright(bucket, i).bitwiseAND(lit(1)).cast("long"),
-          i * zCols.size + d))
-        .reduce(_ + _)
-    }.reduce(_ + _)
+    }
+    val zvalue =
+      if (zCols.size == 2)
+        // 2-D: one codegen'd interleave call
+        // ([[graft.functions.MortonExpr]]) instead of 2·bits
+        // shift/mask Column nodes
+        graft.functions.MortonExpr.morton(df.sparkSession,
+          buckets(0).cast("long"), buckets(1).cast("long"))
+      else buckets.zipWithIndex.map { case (bucket, d) =>
+        // spread bucket bit i to z-bit (i*dims + d)
+        (0 until bitsPerDim).map(i =>
+          shiftleft(shiftright(bucket, i).bitwiseAND(lit(1)).cast("long"),
+            i * zCols.size + d))
+          .reduce(_ + _)
+      }.reduce(_ + _)
     df.withColumn("__z", zvalue)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))

@@ -77,4 +77,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"queries with non-broadcast cartesian products: $offenders")
   }
+
+  test("TPC-H-shaped joins: filtered dims broadcast, no cartesian") {
+    assume(haveData, s"$sfDir not present")
+    Seq("q203_tpch_q3", "q204_tpch_q5", "q205_tpch_q10").foreach { name =>
+      val plan = Registry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      SessionHygiene.reset(spark)
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$name lost its dimension broadcast:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"$name contains a cartesian product:\n$plan")
+    }
+  }
+
+  test("graft_morton stays inside whole-stage codegen") {
+    assume(haveData, s"$sfDir not present")
+    val df = Tables.lineitem(spark, sfDir)
+      .select(graft.functions.MortonExpr.morton(spark,
+        col("l_partkey"), col("l_suppkey")).as("z"))
+      .filter(col("z") > 0)
+    // the "*(n)" stage marker is executedPlan.toString's rendering of a
+    // WholeStageCodegen span; the morton project/filter must sit in one
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"),
+      s"morton projection fell out of codegen:\n$plan")
+    assert(plan.contains("graft_morton"),
+      s"morton expression missing from plan:\n$plan")
+  }
 }

@@ -199,4 +199,37 @@ class WorkloadOpsSpec extends SparkSpec {
     // 1@0; 2,3@1 (3 via the direct edge, never relabeled 2); 4@2; 5,6 unreachable
     assert(got.toSeq === Seq((1L, 0), (2L, 1), (3L, 1), (4L, 2)))
   }
+
+  test("pruningStats: z-order touches fewer files than linear on a box probe") {
+    // 32x32 grid, one row per cell: both layouts see identical data
+    val grid = (for { x <- 0 until 32; y <- 0 until 32 }
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+    // y-only predicate: the case x-major linear layout CANNOT prune
+    val box = (0L, 31L, 4L, 11L)
+    val z = ScaleAudit.pruningStats(grid, "x", "y",
+      MortonExpr.morton(spark, $"x", $"y"), stride = 64L,
+      box._1, box._2, box._3, box._4).head()
+    val lin = ScaleAudit.pruningStats(grid, "x", "y",
+      $"x" * 32L + $"y", stride = 64L,
+      box._1, box._2, box._3, box._4).head()
+    assert(z.getAs[Long]("n_files") === 16L)
+    assert(lin.getAs[Long]("n_files") === 16L)
+    // z-order: 64-value strides are aligned 8x8 Morton tiles, so only
+    // the y-tiles {0,1} × all x-tiles = 8 of 16 files carry the band;
+    // linear: every x-stripe spans the full y range -> all 16 touched
+    assert(z.getAs[Long]("files_touched") === 8L)
+    assert(lin.getAs[Long]("files_touched") === 16L)
+    assert(z.getAs[Long]("n_rows") === 1024L)
+  }
+
+  test("rankNormalize: ties share percent_rank; range is [0,1]") {
+    val df = Seq(("g", 1.0), ("g", 2.0), ("g", 2.0), ("g", 5.0))
+      .toDF("k", "v")
+    val got = graft.operators.Encoding.rankNormalize(df, "k", "v")
+      .orderBy($"v")
+      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    // percent_rank: 0, 1/3, 1/3, 1
+    assert(got.toSeq === Seq(
+      (1.0, 0.0), (2.0, 1.0 / 3), (2.0, 1.0 / 3), (5.0, 1.0)))
+  }
 }
