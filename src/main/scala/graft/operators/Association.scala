@@ -50,6 +50,48 @@ object Association {
           .as("mi_contrib"))
   }
 
+  /** Market-basket association: for each unordered item pair, the
+    * co-basket count and the LIFT n_ab·N/(n_a·n_b) (N = baskets;
+    * lift > 1 = bought together more than independence predicts),
+    * top-K by (lift, support) with deterministic item-pair
+    * tie-breaks. The shelf-placement / cross-sell primitive.
+    *
+    * Shape: distinct (basket, item), basket-keyed self-join whose
+    * fan-out is the per-basket item count squared (baskets are small;
+    * a degenerate mega-basket is the caller's pre-filter), pair-keyed
+    * aggregate, broadcast marginals, top-K via TakeOrdered.
+    */
+  def basketPairs(
+      df: DataFrame, basketCol: String, itemCol: String,
+      topK: Int): DataFrame = {
+    require(topK >= 1)
+    val bi = df.select(col(basketCol), col(itemCol)).distinct()
+    // NOT "__N": Spark resolves column names case-insensitively by
+    // default, so a total named __N would collide with the marginals'
+    // __n after the joins
+    val nBaskets = bi.select(countDistinct(col(basketCol)).as("__tot"))
+    val marg = bi.groupBy(col(itemCol).as("__it"))
+      .agg(count(lit(1)).as("__n"))
+    val pairs = bi.as("a")
+      .join(bi.as("b"), col(s"a.$basketCol") === col(s"b.$basketCol")
+        && col(s"a.$itemCol") < col(s"b.$itemCol"))
+      .groupBy(col(s"a.$itemCol").as("item_a"),
+        col(s"b.$itemCol").as("item_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(marg).as("ma"), col("item_a") === col("ma.__it"))
+      .join(broadcast(marg).as("mb"), col("item_b") === col("mb.__it"))
+      .crossJoin(broadcast(nBaskets))
+      .select(col("item_a"), col("item_b"), col("n_both"),
+        col("ma.__n").as("n_a"), col("mb.__n").as("n_b"),
+        (col("n_both").cast("double") * col("__tot").cast("double")
+          / (col("ma.__n").cast("double") * col("mb.__n").cast("double")))
+          .as("lift"))
+      .orderBy(col("lift").desc, col("n_both").desc,
+        col("item_a"), col("item_b"))
+      .limit(topK)
+  }
+
   /** χ² independence-test contribution per observed cell:
     * expected = n_a·n_b/n, contrib = (n_ab − expected)²/expected.
     * (Cells with n_ab = 0 carry expected mass too; for sparse panels

@@ -209,4 +209,38 @@ object Evaluation {
           / (col("n") * col("__P"))).as("lift"))
       .orderBy(col("tile"))
   }
+
+  /** Two-proportion z-test over a per-entity table (one row per
+    * experiment unit with its 0/1 group and 0/1 conversion): group
+    * sizes, conversion counts and rates, the pooled-variance z
+    * statistic, and the absolute uplift. One hash aggregate; every
+    * input to the one double expression is an exact count. Callers
+    * bring their own assignment column — a deterministic hash of the
+    * unit id, never a random() (reruns must agree).
+    */
+  def abTest(
+      perUnit: DataFrame, groupCol: String, convCol: String): DataFrame = {
+    val agg = perUnit.agg(
+      sum(when(col(groupCol) === 0, 1L).otherwise(0L)).as("n_control"),
+      sum(when(col(groupCol) === 0 && col(convCol) === 1, 1L)
+        .otherwise(0L)).as("c_control"),
+      sum(when(col(groupCol) === 1, 1L).otherwise(0L)).as("n_treat"),
+      sum(when(col(groupCol) === 1 && col(convCol) === 1, 1L)
+        .otherwise(0L)).as("c_treat"))
+    val p0 = col("c_control").cast("double") / col("n_control").cast("double")
+    val p1 = col("c_treat").cast("double") / col("n_treat").cast("double")
+    val pp = (col("c_control") + col("c_treat")).cast("double") /
+      (col("n_control") + col("n_treat")).cast("double")
+    // degenerate experiments (everyone or no one converts) zero the
+    // pooled variance; emit a NULL z rather than tripping ANSI
+    // divide-by-zero (Spark ANSI raises even for double /)
+    val se = sqrt(pp * (lit(1.0d) - pp)
+      * (lit(1.0d) / col("n_control").cast("double")
+        + lit(1.0d) / col("n_treat").cast("double")))
+    agg.select(
+      col("n_control"), col("c_control"), col("n_treat"), col("c_treat"),
+      p0.as("rate_control"), p1.as("rate_treat"),
+      (p1 - p0).as("uplift"),
+      when(se > 0d, (p1 - p0) / se).otherwise(lit(null)).as("z"))
+  }
 }

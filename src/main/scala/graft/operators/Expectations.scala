@@ -79,6 +79,53 @@ object Expectations {
       minFrac, _ >= lit(minFrac))
   }
 
+  /** Row-level quarantine router: each rule is (name, pass-predicate);
+    * rows failing ANY rule route to the reject side with the ordered
+    * list of failed rule names in `reject_reasons`. The audit
+    * ([[audit]]) tells you IF a batch is sick; this splits the batch
+    * so the healthy rows still ship and the rejects land in a
+    * quarantine table with their diagnosis — the standard ingest
+    * topology.
+    *
+    * One narrow map computes the reasons array; the two sides are two
+    * filters over it (Spark computes each branch from the same scan —
+    * cache upstream if the input is expensive). Null predicate results
+    * count as FAILURES: a rule that cannot evaluate must not wave the
+    * row through.
+    */
+  def quarantine(
+      df: DataFrame, rules: Seq[(String, Column)])
+      : (DataFrame, DataFrame) = {
+    require(rules.nonEmpty, "quarantine needs at least one rule")
+    val reasons = array(rules.map { case (n, p) =>
+      when(coalesce(p, lit(false)), lit(null: String)).otherwise(lit(n))
+    }: _*)
+    val tagged = df.withColumn("reject_reasons",
+      filter(reasons, r => r.isNotNull))
+    (tagged.where(size(col("reject_reasons")) === 0).drop("reject_reasons"),
+      tagged.where(size(col("reject_reasons")) > 0))
+  }
+
+  /** One-pass quarantine report: per rule the failing-row count, plus
+    * a `__clean__` row counting rows passing every rule. The gate's
+    * dashboard — same single-scan discipline as [[audit]].
+    */
+  def quarantineReport(
+      df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "quarantine needs at least one rule")
+    val aggs = rules.map { case (n, p) =>
+      sum(when(coalesce(p, lit(false)), 0L).otherwise(1L)).as(s"__f_$n")
+    } :+ sum(when(rules.map(r => coalesce(r._2, lit(false)))
+      .reduce(_ && _), 1L).otherwise(0L)).as("__clean")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    rules.map { case (n, _) =>
+      one.select(lit(n).as("rule"), col(s"__f_$n").as("n_rows"))
+    }.reduce(_ unionAll _)
+      .unionAll(one.select(lit("__clean__").as("rule"),
+        col("__clean").as("n_rows")))
+      .orderBy(col("rule"))
+  }
+
   /** Run all checks in one pass; report one row per check, ordered by
     * (check, column) for determinism.
     */

@@ -263,7 +263,73 @@ object QualityQueries {
       FROM audit
     """.trim))
 
+  /** Row-level quarantine report ([[Expectations.quarantineReport]]):
+    * per-rule reject counts + the clean-row count, one scan.
+    */
+  val q206Quarantine = HarnessQuery(
+    "q206_quarantine",
+    (spark, dir) =>
+      Expectations.quarantineReport(
+        Tables.events(spark, dir),
+        Seq(
+          "value_in_range" -> (col("value") >= 0 && col("value") <= 100),
+          "known_type" -> col("event_type").isin("view", "click",
+            "purchase", "signup"),
+          "user_in_fleet" -> (col("user_id") < 120))),
+    Some("""
+      WITH one AS (
+        SELECT
+          sum(CASE WHEN NOT coalesce("value" >= 0 AND "value" <= 100,
+            FALSE) THEN 1 ELSE 0 END) AS f_range,
+          sum(CASE WHEN NOT coalesce(event_type IN
+            ('view', 'click', 'purchase', 'signup'), FALSE)
+            THEN 1 ELSE 0 END) AS f_type,
+          sum(CASE WHEN NOT coalesce(user_id < 120, FALSE)
+            THEN 1 ELSE 0 END) AS f_user,
+          sum(CASE WHEN coalesce("value" >= 0 AND "value" <= 100, FALSE)
+            AND coalesce(event_type IN
+              ('view', 'click', 'purchase', 'signup'), FALSE)
+            AND coalesce(user_id < 120, FALSE)
+            THEN 1 ELSE 0 END) AS clean
+        FROM events)
+      SELECT rule, CAST(n_rows AS BIGINT) AS n_rows FROM (
+        SELECT 'value_in_range' AS rule, f_range AS n_rows FROM one
+        UNION ALL SELECT 'known_type', f_type FROM one
+        UNION ALL SELECT 'user_in_fleet', f_user FROM one
+        UNION ALL SELECT '__clean__', clean FROM one)
+      ORDER BY rule
+    """.trim))
+
+  /** CDC delta extraction ([[Merge.extractDelta]]): diff two customer
+    * snapshots into an I/U/D feed; the oracle derives the expected ops
+    * from the mutation rules directly.
+    */
+  val q207CdcExtract = HarnessQuery(
+    "q207_cdc_extract",
+    (spark, dir) => {
+      val old = Tables.customer(spark, dir)
+      val kept = old.where(col("c_custkey") % 97 =!= 0)
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 31 === 0, col("c_acctbal") + 10.0d)
+            .otherwise(col("c_acctbal")))
+      val inserted = old.where(col("c_custkey") < 50)
+        .withColumn("c_custkey", col("c_custkey") + 1000000L)
+      Merge.extractDelta(old, kept.unionByName(inserted), "c_custkey",
+        Seq("c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""
+      SELECT c_custkey, op FROM (
+        SELECT c_custkey, 'D' AS op FROM customer WHERE c_custkey % 97 = 0
+        UNION ALL
+        SELECT c_custkey, 'U' FROM customer
+        WHERE c_custkey % 31 = 0 AND c_custkey % 97 <> 0
+        UNION ALL
+        SELECT c_custkey + 1000000, 'I' FROM customer WHERE c_custkey < 50)
+      ORDER BY c_custkey
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q163FkAudit, q164InterArrival, q165BurstHours, q166CdcMerge, q167CdcAudit,
-    q186KAnonymity, q187KAnonSummary)
+    q186KAnonymity, q187KAnonSummary, q206Quarantine, q207CdcExtract)
 }

@@ -659,9 +659,93 @@ object WorkloadQueries {
       ORDER BY revenue DESC, c_custkey LIMIT 20
     """.trim))
 
+  /** Two-proportion A/B z-test
+    * ([[graft.operators.Evaluation.abTest]]): deterministic parity
+    * assignment (user_id mod 2), purchase conversion, pooled-variance
+    * z from exact counts.
+    */
+  val q208AbTest = HarnessQuery(
+    "q208_ab_test",
+    (spark, dir) => {
+      val perUser = Tables.events(spark, dir)
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase"
+          && col("value") > 300.0d, 1).otherwise(0)).as("conv"))
+        .withColumn("grp", (col("user_id") % 2).cast("int"))
+      graft.operators.Evaluation.abTest(perUser, "grp", "conv")
+    },
+    Some("""
+      WITH pu AS (
+        SELECT user_id, CAST(user_id % 2 AS INT) AS grp,
+               max(CASE WHEN event_type = 'purchase' AND "value" > 300
+                 THEN 1 ELSE 0 END) AS conv
+        FROM events GROUP BY 1),
+      a AS (
+        SELECT
+          CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_control,
+          CAST(sum(CASE WHEN grp = 0 AND conv = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS c_control,
+          CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_treat,
+          CAST(sum(CASE WHEN grp = 1 AND conv = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS c_treat
+        FROM pu)
+      SELECT n_control, c_control, n_treat, c_treat,
+             CAST(c_control AS DOUBLE) / CAST(n_control AS DOUBLE)
+               AS rate_control,
+             CAST(c_treat AS DOUBLE) / CAST(n_treat AS DOUBLE)
+               AS rate_treat,
+             CAST(c_treat AS DOUBLE) / CAST(n_treat AS DOUBLE)
+               - CAST(c_control AS DOUBLE) / CAST(n_control AS DOUBLE)
+               AS uplift,
+             (CAST(c_treat AS DOUBLE) / CAST(n_treat AS DOUBLE)
+               - CAST(c_control AS DOUBLE) / CAST(n_control AS DOUBLE))
+             / sqrt(
+                 (CAST(c_control + c_treat AS DOUBLE)
+                    / CAST(n_control + n_treat AS DOUBLE))
+                 * (1.0 - CAST(c_control + c_treat AS DOUBLE)
+                      / CAST(n_control + n_treat AS DOUBLE))
+                 * (1.0 / CAST(n_control AS DOUBLE)
+                    + 1.0 / CAST(n_treat AS DOUBLE))) AS z
+      FROM a
+    """.trim))
+
+  /** Market-basket lift top-K ([[Association.basketPairs]]): part
+    * buckets co-purchased within an order.
+    */
+  val q209BasketLift = HarnessQuery(
+    "q209_basket_lift",
+    (spark, dir) =>
+      Association.basketPairs(
+        Tables.lineitem(spark, dir)
+          .select(col("l_orderkey").as("basket"),
+            pmod(col("l_partkey"), lit(500L)).as("item")),
+        "basket", "item", topK = 50),
+    Some("""
+      WITH bi AS (
+        SELECT DISTINCT l_orderkey AS basket, l_partkey % 500 AS item
+        FROM lineitem),
+      nb AS (SELECT count(DISTINCT basket) AS N FROM bi),
+      marg AS (SELECT item, count(*) AS n FROM bi GROUP BY 1),
+      pairs AS (
+        SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_both
+        FROM bi a JOIN bi b
+          ON a.basket = b.basket AND a.item < b.item
+        GROUP BY 1, 2)
+      SELECT item_a, item_b, n_both, ma.n AS n_a, mb.n AS n_b,
+             CAST(n_both AS DOUBLE) * CAST((SELECT N FROM nb) AS DOUBLE)
+               / (CAST(ma.n AS DOUBLE) * CAST(mb.n AS DOUBLE)) AS lift
+      FROM pairs
+      JOIN marg ma ON item_a = ma.item
+      JOIN marg mb ON item_b = mb.item
+      ORDER BY lift DESC, n_both DESC, item_a, item_b
+      LIMIT 50
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q188Rfm, q189Survival, q190Pmi, q191Chi2, q192Melt,
     q193SkewProfile, q194Zorder, q195Khop, q196Scd2, q197PathTrigrams,
     q198CumUsers, q199Wau, q200DegreeHist, q201PruneSim, q202RankNorm,
-    q203TpchQ3, q204TpchQ5, q205TpchQ10)
+    q203TpchQ3, q204TpchQ5, q205TpchQ10, q208AbTest, q209BasketLift)
 }
