@@ -40,11 +40,15 @@ object Multimodal {
       channels: Int,
       feature: Array[Double])
 
-  /** A really-decoded image: dimensions, band count, and a 16-bin
-    * histogram of per-pixel mean band intensity (0..255 range).
+  /** A really-decoded image: dimensions, band count, a 16-bin
+    * histogram of per-pixel mean band intensity (0..255 range), and
+    * the 64-bit average-hash over the 8×8 block-mean luma grid
+    * (bit k set ⇔ block k brighter than the grid mean — the classic
+    * aHash; near-identical images differ in few bits).
     */
   final case class DecodedImage(
-      width: Int, height: Int, channels: Int, lumaHist: Array[Double])
+      width: Int, height: Int, channels: Int, lumaHist: Array[Double],
+      aHash: Long)
 
   /** Real image decode via the JDK's ImageIO (PNG/JPEG/BMP/GIF).
     * Returns None when no installed reader claims the payload — the
@@ -64,9 +68,14 @@ object Multimodal {
         val raster = img.getRaster
         val bands = raster.getNumBands
         val hist = new Array[Double](16)
+        // 8x8 block accumulators for the average-hash: block of (x, y)
+        // = (x*8/w, y*8/h) — integer mapping, no resample pass
+        val blockSum = new Array[Long](64)
+        val blockN = new Array[Long](64)
         val px = new Array[Int](bands)
         var y = 0
         while (y < h) {
+          val by = math.min(7, y * 8 / h)
           var x = 0
           while (x < w) {
             raster.getPixel(x, y, px)
@@ -75,6 +84,9 @@ object Multimodal {
             // mean band intensity; sample models beyond 8-bit clamp to 255
             val v = math.min(255, s / bands)
             hist(v >> 4) += 1.0
+            val bi = (by << 3) | math.min(7, x * 8 / w)
+            blockSum(bi) += v
+            blockN(bi) += 1
             x += 1
           }
           y += 1
@@ -82,7 +94,15 @@ object Multimodal {
         val n = (w.toLong * h).toDouble
         var i = 0
         while (i < 16) { hist(i) /= n; i += 1 }
-        Some(DecodedImage(w, h, bands, hist))
+        // aHash: block mean vs global mean of block means (empty blocks
+        // of tiny images inherit 0 — deterministic)
+        val means = Array.tabulate(64)(i =>
+          if (blockN(i) > 0) blockSum(i).toDouble / blockN(i) else 0.0)
+        val gm = means.sum / 64.0
+        var aHash = 0L
+        i = 0
+        while (i < 64) { if (means(i) > gm) aHash |= (1L << i); i += 1 }
+        Some(DecodedImage(w, h, bands, hist, aHash))
       }
     } catch { case _: Throwable => None }
   }
@@ -159,6 +179,84 @@ object Multimodal {
         case (chunk, i) if i % stride == 0 => Frame(r.media_id, i, chunk)
       }
     }
+  }
+
+  /** Per-media perceptual hash: the decoded 64-bit aHash when a JDK
+    * codec reads the payload ([[decodeImage]]), else a 16-bit
+    * byte-histogram signature (bin share > histogram mean) — both
+    * deterministic, both content-derived, so re-encodes of the same
+    * pixels (or byte-identical transports) collide. One partition-
+    * batched map; the hash travels through shuffles, never the media.
+    */
+  final case class MediaHash(
+      media_id: Long, phash: Long, decoded: Boolean)
+
+  def perceptualHash(ds: Dataset[MediaRow]): Dataset[MediaHash] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { row =>
+      decodeImage(row.media) match {
+        case Some(img) => MediaHash(row.media_id, img.aHash, decoded = true)
+        case None =>
+          // integer formulation of "bin share > mean share": every
+          // byte lands in exactly one of 16 bins, so mean share is
+          // 1/16 and share_i > mean ⇔ 16·count_i > n — exact, no
+          // double-summation-order hazard across engines
+          val bytes = if (row.media == null) Array.empty[Byte] else row.media
+          val counts = new Array[Long](16)
+          bytes.foreach(b => counts((b & 0xFF) >> 4) += 1)
+          val n = bytes.length.toLong
+          var h = 0L
+          var i = 0
+          while (i < 16) { if (16L * counts(i) > n) h |= (1L << i); i += 1 }
+          MediaHash(row.media_id, h, decoded = false)
+      }
+    })
+  }
+
+  /** Perceptual-duplicate clusters: group by exact hash, report each
+    * cluster's size and lowest-id representative. Exact-hash grouping
+    * is the scale-safe first cut (one shuffle on a 64-bit key);
+    * near-duplicate pairs under a Hamming radius use
+    * [[perceptualNearDupPairs]].
+    */
+  def perceptualClusters(ds: Dataset[MediaRow]): DataFrame =
+    perceptualHash(ds).toDF()
+      .groupBy(col("phash"))
+      .agg(count(lit(1)).as("n_members"),
+        min(col("media_id")).as("representative"))
+
+  /** Near-duplicate media pairs within Hamming distance `maxHamming`
+    * of the perceptual hash: band the hash into `bands` exact-match
+    * keys (pigeonhole: a pair within radius < bands shares ≥ 1 band —
+    * guaranteed recall for maxHamming ≤ bands−1), equi-join on
+    * (band, band-bits), verify with bit_count(xor). The SimHash
+    * banding shape applied to media.
+    */
+  def perceptualNearDupPairs(
+      ds: Dataset[MediaRow], maxHamming: Int, bands: Int = 4,
+      hashBits: Int = 64): DataFrame = {
+    require(bands >= 1 && hashBits % bands == 0)
+    require(maxHamming >= 0 && maxHamming < bands,
+      s"banding guarantees recall only for maxHamming < bands")
+    val width = hashBits / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val hashes = perceptualHash(ds).toDF()
+    val banded = hashes.select(col("media_id"), col("phash"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          (shiftright(col("phash"), b * width).bitwiseAND(lit(mask)))
+            .as("bits"))): _*)).as("bk"))
+      .select(col("media_id"), col("phash"),
+        col("bk.band").as("band"), col("bk.bits").as("bits"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bits") === col("b.bits")
+          && col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash")))
+          .cast("long").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
   }
 
   /** Lift any DataFrame with (id, text) into a fake media table — the

@@ -3694,7 +3694,41 @@ object LlmQueries {
       FROM h ORDER BY train_order
     """.trim))
 
+  /** Perceptual-hash duplicate clusters over the media table
+    * ([[Multimodal.perceptualClusters]]): stub-path 16-bit byte-
+    * histogram signature in the exact integer formulation
+    * (16·count_i > n), exact-hash grouping. The real decoded 64-bit
+    * aHash path is spec'd on generated PNGs (MultimodalSpec).
+    */
+  val q210PhashClusters = HarnessQuery(
+    "q210_phash_clusters",
+    (spark, dir) =>
+      Multimodal.perceptualClusters(
+        Multimodal.mediaFromText(
+          Tables.documents(spark, dir), "doc_id", "text"))
+        .orderBy(col("phash")),
+    Some("""
+      WITH ch AS (
+        SELECT doc_id, ascii(text[i]) // 16 AS bin
+        FROM (SELECT doc_id, text,
+                     unnest(generate_series(1, length(text))) AS i
+              FROM documents) t),
+      bc AS (SELECT doc_id, bin, count(*) AS c FROM ch GROUP BY 1, 2),
+      dl AS (SELECT doc_id, length(text) AS n FROM documents),
+      hx AS (
+        SELECT dl.doc_id,
+               coalesce(CAST(sum(CASE WHEN 16 * bc.c > dl.n
+                 THEN CAST(1 AS BIGINT) << bc.bin ELSE 0 END)
+                 AS BIGINT), 0) AS phash
+        FROM dl LEFT JOIN bc USING (doc_id)
+        GROUP BY dl.doc_id, dl.n)
+      SELECT phash, count(*) AS n_members,
+             min(doc_id) AS representative
+      FROM hx GROUP BY 1 ORDER BY 1
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
+    q210PhashClusters,
     q50TextStats, q51TokenCount, q52LangQuality, q53Fingerprint,
     q54Shingles, q55MinhashPairs, q56ExactDedup, q57SimhashPairs,
     q58CosineTopK, q59AnnLsh, q60CosineNearDup, q61Multimodal, q62IvfAnn,

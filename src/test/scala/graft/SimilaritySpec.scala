@@ -392,4 +392,50 @@ class SimilaritySpec extends SparkSpec {
     // even when fewer than k exact neighbors exist
     assert(audited.values.forall { case (ne, nh, _) => nh <= ne && ne <= 4L })
   }
+
+  private def pngBytes(w: Int, h: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pixel(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("multimodal: aHash pairs near-identical PNGs, separates different ones") {
+    // base: left-dark / right-bright gradient; near: same with one
+    // corner pixel flipped; far: inverted gradient
+    val base = pngBytes(16, 16, (x, _) => if (x < 8) 0x101010 else 0xF0F0F0)
+    val near = pngBytes(16, 16, (x, y) =>
+      if (x == 0 && y == 0) 0x202020
+      else if (x < 8) 0x101010 else 0xF0F0F0)
+    val far = pngBytes(16, 16, (x, _) => if (x < 8) 0xF0F0F0 else 0x101010)
+    val media = Seq(
+      (1L, base, "image/png", 16, 16),
+      (2L, near, "image/png", 16, 16),
+      (3L, far, "image/png", 16, 16))
+      .toDF("media_id", "media", "media_type", "declared_width", "declared_height")
+      .as[Multimodal.MediaRow]
+    val hashes = Multimodal.perceptualHash(media)
+      .collect().map(m => m.media_id -> m).toMap
+    assert(hashes.values.forall(_.decoded))
+    // base vs near: at most a couple of bits differ; base vs far: ~all 64
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hashes(1L).phash, hashes(2L).phash) <= 3)
+    assert(ham(hashes(1L).phash, hashes(3L).phash) >= 32)
+    val pairs = Multimodal.perceptualNearDupPairs(media, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((1L, 2L)))
+  }
+
+  test("multimodal: perceptual clusters group byte-identical stub payloads") {
+    val media = Multimodal.mediaFromText(
+      Seq((1L, "aaaa bbbb"), (2L, "aaaa bbbb"), (3L, "zzzz ffff qqqq"))
+        .toDF("id", "text"), "id", "text")
+    val clusters = Multimodal.perceptualClusters(media)
+      .orderBy($"representative")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    // docs 1,2 share a histogram signature; doc 3 stands alone
+    assert(clusters.toSeq === Seq((2L, 1L), (1L, 3L)))
+  }
 }
