@@ -292,4 +292,57 @@ object Graphs {
     }
     visited
   }
+
+  /** Semi-supervised label propagation: seed labels spread along
+    * edges for a fixed number of rounds — the cheap way to extend a
+    * small human-labeled set over a big near-dup/kNN graph ("label
+    * the cluster, not the document"). Seeds are CLAMPED (a labeled
+    * vertex never changes); an unlabeled vertex adopts the most
+    * common label among its labeled neighbors, ties broken by the
+    * smallest label, so the result is deterministic under any
+    * partitioning.
+    *
+    * `vertices` carries (idCol, labelCol) with NULL label = unlabeled.
+    * Per round: one frontier⋈edges equi-join + one (vertex, label)
+    * count aggregate + one rank — O(|edges|) shuffle, lineage-cut per
+    * round like the components loop; `rounds` is fixed so the stage
+    * count is static.
+    */
+  def labelPropagation(
+      vertices: DataFrame, idCol: String, labelCol: String,
+      edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 10, s"rounds out of range: $rounds")
+    val und = edges.select(col(srcCol).as("__u"), col(dstCol).as("__v"))
+      .unionAll(edges.select(col(dstCol).as("__u"), col(srcCol).as("__v")))
+      .distinct()
+    val seeds = vertices.select(col(idCol).as("__id"),
+      col(labelCol).as("__seed"))
+    var cur = seeds.withColumn("__lbl", col("__seed"))
+    var r = 0
+    while (r < rounds) {
+      val votes = und
+        .join(cur.select(col("__id").as("__v"), col("__lbl").as("__nl")),
+          Seq("__v"))
+        .where(col("__nl").isNotNull)
+        .groupBy(col("__u"), col("__nl"))
+        .agg(count(lit(1)).as("__c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__u"))
+        .orderBy(col("__c").desc, col("__nl"))
+      val winner = votes
+        .withColumn("__rk", row_number().over(w))
+        .where(col("__rk") === 1)
+        .select(col("__u").as("__id"), col("__nl").as("__win"))
+      cur = Materialize.cut(
+        cur.join(winner, Seq("__id"), "left")
+          // clamp: seeds keep their label; others adopt the round's
+          // winner, or keep last round's adoption when isolated
+          .select(col("__id"), col("__seed"),
+            coalesce(col("__seed"), col("__win"), col("__lbl")).as("__lbl")))
+      r += 1
+    }
+    cur.select(col("__id").as(idCol), col("__seed").as("seed_label"),
+      col("__lbl").as("label"))
+  }
 }

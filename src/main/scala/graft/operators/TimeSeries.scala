@@ -162,4 +162,40 @@ object TimeSeries {
           (col("n").cast("double") - col("dow_mean")) / col("dow_std"))
           .otherwise(lit(0d)).as("z"))
   }
+
+  /** Walk-forward (expanding-window) cross-validation folds over event
+    * time: the distinct epoch-days are ntile'd into `k` contiguous
+    * buckets; fold f tests on bucket f and trains on every earlier
+    * bucket. This is the split discipline time-ordered data demands —
+    * a random k-fold leaks the future into training.
+    *
+    * Returns one row per fold: test-day range, test row count, and the
+    * cumulative train row count (0 for fold 1, which has no past).
+    *
+    * Scale shape: the day->bucket map is |distinct days| rows (tiny;
+    * its ntile window is a deliberate single-partition sort over days,
+    * not events) and broadcasts back onto the event stream; row counts
+    * pre-aggregate per day BEFORE the broadcast join, so the fold
+    * summary shuffles day-level rows only.
+    */
+  def walkForwardFolds(
+      df: DataFrame, tsCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val perDay = df
+      .groupBy(epochDay(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val bucketed = perDay.withColumn("fold",
+      ntile(k).over(Window.orderBy(col("day"))))
+    val perFold = bucketed.groupBy(col("fold"))
+      .agg(min(col("day")).as("test_day_min"),
+        max(col("day")).as("test_day_max"),
+        sum(col("n")).as("test_rows"))
+    val w = Window.orderBy(col("fold"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perFold
+      .withColumn("train_rows",
+        coalesce(sum(col("test_rows")).over(w), lit(0L)))
+      .select(col("fold"), col("test_day_min"), col("test_day_max"),
+        col("test_rows"), col("train_rows"))
+  }
 }

@@ -1,0 +1,263 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Collocations, LinAlg, TimeSeries}
+import graft.sources.Tables
+
+/** Round-7 additions: corpus collocation statistics (PMI bigrams,
+  * token entropy), distributed dense linear algebra over the embedding
+  * table (Gram / covariance matrix — the pre-PCA statistics), and the
+  * walk-forward time split.
+  */
+object VectorTextQueries {
+
+  /** Corpus-wide adjacent-pair PMI ([[Collocations.adjacentPairsPmi]]):
+    * in-row bigram generation, vocabulary-keyed joins, integer-exact
+    * operands into one logged double.
+    */
+  val q211CollocPmi = HarnessQuery(
+    "q211_colloc_pmi",
+    (spark, dir) =>
+      Collocations.adjacentPairsPmi(Tables.documents(spark, dir), "text", 30L)
+        .orderBy(col("w1"), col("w2")),
+    Some("""
+      WITH t AS (
+        SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        FROM documents),
+      bi AS (
+        SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                 k -> struct_pack(w1 := toks[k], w2 := toks[k + 1]))) AS b
+        FROM t WHERE len(toks) >= 2),
+      pairs AS (
+        SELECT b.w1 AS w1, b.w2 AS w2, count(*) AS n_pair
+        FROM bi GROUP BY 1, 2 HAVING count(*) >= 30),
+      uni AS (
+        SELECT w, count(*) AS n_w
+        FROM (SELECT unnest(toks) AS w FROM t) GROUP BY 1),
+      tot AS (SELECT CAST(sum(n_w) AS BIGINT) AS n_tokens FROM uni)
+      SELECT p.w1, p.w2, p.n_pair, u1.n_w AS n_w1, u2.n_w AS n_w2,
+             round(ln(CAST(p.n_pair AS DOUBLE) * (SELECT n_tokens FROM tot)
+                   / (CAST(u1.n_w AS DOUBLE) * u2.n_w)), 12) AS pmi
+      FROM pairs p
+      JOIN uni u1 ON p.w1 = u1.w
+      JOIN uni u2 ON p.w2 = u2.w
+      ORDER BY w1, w2
+    """.trim))
+
+  /** Per-document token entropy ([[Collocations.tokenEntropy]]):
+    * exact-decimal term sums, one double division for the normalized
+    * form.
+    */
+  val q212TokenEntropy = HarnessQuery(
+    "q212_token_entropy",
+    (spark, dir) =>
+      Collocations.tokenEntropy(Tables.documents(spark, dir), "doc_id", "text")
+        .orderBy(col("doc_id")),
+    Some("""
+      WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        FROM documents),
+      c AS (
+        SELECT doc_id, w, count(*) AS c
+        FROM (SELECT doc_id, unnest(toks) AS w FROM t) GROUP BY 1, 2),
+      tot AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, count(*) AS n_distinct
+        FROM c GROUP BY 1),
+      terms AS (
+        SELECT c.doc_id, tot.n, tot.n_distinct,
+               CAST((CAST(c.c AS DOUBLE) / tot.n)
+                 * ln(CAST(c.c AS DOUBLE) / tot.n) AS DECIMAL(30,18)) AS term
+        FROM c JOIN tot USING (doc_id))
+      SELECT doc_id, n AS n_tokens, n_distinct,
+             round(CAST(-sum(term) AS DOUBLE), 12) AS entropy,
+             round(CAST(-sum(term) AS DOUBLE)
+               / nullif(ln(CAST(n_distinct AS DOUBLE)), 0), 12) AS norm_entropy
+      FROM terms GROUP BY doc_id, n, n_distinct ORDER BY doc_id
+    """.trim))
+
+  /** Gram matrix upper triangle over the embedding table
+    * ([[LinAlg.gramMatrix]]): the O(n d^2) product stream stays inside
+    * the map-side partial aggregate; only d(d+1)/2 sums shuffle.
+    */
+  val q213GramMatrix = HarnessQuery(
+    "q213_gram_matrix",
+    (spark, dir) =>
+      LinAlg.gramMatrix(Tables.embeddings(spark, dir), "embedding", 64)
+        .withColumn("dot", round(col("dot"), 12))
+        .orderBy(col("i"), col("j")),
+    Some("""
+      WITH pr AS (
+        SELECT g1.i AS i, g2.j AS j,
+               CAST(CAST(embedding[g1.i + 1] AS DOUBLE)
+                 * CAST(embedding[g2.j + 1] AS DOUBLE) AS DECIMAL(30,18)) AS p
+        FROM embeddings,
+             generate_series(0, 63) g1(i), generate_series(0, 63) g2(j)
+        WHERE g1.i <= g2.j)
+      SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+             round(CAST(sum(p) AS DOUBLE), 12) AS dot
+      FROM pr GROUP BY i, j ORDER BY i, j
+    """.trim))
+
+  /** Covariance matrix upper triangle ([[LinAlg.covarianceMatrix]]):
+    * cov = sxy/n - (sx/n)(sy/n) from exact decimal sums, double
+    * arithmetic in one fixed expression order.
+    */
+  val q214CovMatrix = HarnessQuery(
+    "q214_cov_matrix",
+    (spark, dir) =>
+      LinAlg.covarianceMatrix(Tables.embeddings(spark, dir), "embedding", 64)
+        .orderBy(col("i"), col("j")),
+    Some("""
+      WITH pr AS (
+        SELECT g1.i AS i, g2.j AS j,
+               CAST(CAST(embedding[g1.i + 1] AS DOUBLE)
+                 * CAST(embedding[g2.j + 1] AS DOUBLE) AS DECIMAL(30,18)) AS p
+        FROM embeddings,
+             generate_series(0, 63) g1(i), generate_series(0, 63) g2(j)
+        WHERE g1.i <= g2.j),
+      gram AS (SELECT i, j, CAST(sum(p) AS DOUBLE) AS dot FROM pr GROUP BY 1, 2),
+      s AS (
+        SELECT g.i AS i,
+               sum(CAST(CAST(embedding[g.i + 1] AS DOUBLE) AS DECIMAL(30,18))) AS sx,
+               count(*) AS n
+        FROM embeddings, generate_series(0, 63) g(i) GROUP BY 1)
+      SELECT CAST(gram.i AS INT) AS i, CAST(gram.j AS INT) AS j,
+             round(gram.dot / si.n
+               - (CAST(si.sx AS DOUBLE) / si.n)
+                 * (CAST(sj.sx AS DOUBLE) / sj.n), 12) AS cov
+      FROM gram JOIN s si ON gram.i = si.i JOIN s sj ON gram.j = sj.i
+      ORDER BY i, j
+    """.trim))
+
+  /** Walk-forward folds over events ([[TimeSeries.walkForwardFolds]]):
+    * expanding-window time splits — day-level pre-aggregation, the
+    * only window is over the tiny distinct-day set.
+    */
+  val q215WalkForward = HarnessQuery(
+    "q215_walk_forward",
+    (spark, dir) =>
+      TimeSeries.walkForwardFolds(Tables.events(spark, dir), "ts", 5)
+        .orderBy(col("fold")),
+    Some("""
+      WITH e AS (
+        SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+        FROM events),
+      d AS (SELECT day, count(*) AS n FROM e GROUP BY 1),
+      b AS (SELECT day, n, ntile(5) OVER (ORDER BY day) AS fold FROM d),
+      f AS (
+        SELECT fold, min(day) AS test_day_min, max(day) AS test_day_max,
+               CAST(sum(n) AS BIGINT) AS test_rows
+        FROM b GROUP BY 1)
+      SELECT CAST(fold AS INT) AS fold, test_day_min, test_day_max, test_rows,
+             CAST(COALESCE(sum(test_rows) OVER
+               (ORDER BY fold ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND 1 PRECEDING), 0) AS BIGINT) AS train_rows
+      FROM f ORDER BY fold
+    """.trim))
+
+  /** Semi-supervised label propagation over the LSH kNN graph
+    * ([[graft.operators.Graphs.labelPropagation]], 2 synchronous
+    * rounds, clamped seeds = the 20% of vectors with vec_id % 5 == 0):
+    * the oracle replays the q132 edge construction, then unrolls both
+    * vote->rank->adopt rounds.
+    */
+  val q216LabelProp = HarnessQuery(
+    "q216_label_prop",
+    (spark, dir) => {
+      val em = Tables.embeddings(spark, dir)
+      val verts = em.select(col("vec_id"),
+        when(pmod(col("vec_id"), lit(5L)) === 0, col("label")).as("seed"))
+      val edges = graft.operators.Similarity.lshKnnGraph(
+        em, "vec_id", "embedding", k = 3, numBits = 24, bands = 3)
+        .select(col("id_a"), col("id_b"))
+      graft.operators.Graphs.labelPropagation(
+        verts, "vec_id", "seed", edges, "id_a", "id_b", rounds = 2)
+        .orderBy(col("vec_id"))
+    },
+    Some("""
+      WITH hp AS (
+        SELECT h.h AS h, d.d AS d,
+               (CAST(('0x' || substr(md5('42_' || h.h || '_' || d.d), 1, 15)) AS BIGINT)
+                 % 1000000) / 1000000.0 - 0.5 AS v
+        FROM generate_series(0, 23) h(h), generate_series(0, 63) d(d)),
+      dots AS (
+        SELECT e.vec_id, hp.h,
+               CAST(sum(CAST(CAST(e.embedding[hp.d + 1] AS DOUBLE) * hp.v
+                 AS DECIMAL(30,18))) AS DOUBLE) AS dv
+        FROM embeddings e, hp GROUP BY 1, 2),
+      sk AS (
+        SELECT vec_id,
+               CAST(sum(CASE WHEN dv > 0 THEN (CAST(1 AS BIGINT) << (23 - h))
+                 ELSE 0 END) AS BIGINT) AS sk
+        FROM dots GROUP BY 1),
+      bands AS (
+        SELECT s.vec_id, b.b || '_' || ((s.sk >> (b.b * 8)) & 255) AS band_key
+        FROM sk s, generate_series(0, 2) b(b)),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+        FROM bands a JOIN bands c USING (band_key)
+        WHERE a.vec_id <> c.vec_id),
+      n AS (
+        SELECT vec_id, embedding,
+               sqrt(CAST(sum(CAST(CAST(embedding[g.i] AS DOUBLE) * CAST(embedding[g.i] AS DOUBLE)
+                 AS DECIMAL(30,18))) AS DOUBLE)) AS nrm
+        FROM embeddings, generate_series(1, 64) g(i) GROUP BY 1, 2),
+      scored AS (
+        SELECT cand.id_a, cand.id_b,
+               CAST(sum(CAST(CAST(a.embedding[g.i] AS DOUBLE) * CAST(b.embedding[g.i] AS DOUBLE)
+                 AS DECIMAL(30,18))) AS DOUBLE) / (any_value(a.nrm) * any_value(b.nrm)) AS cosine
+        FROM cand
+        JOIN n a ON a.vec_id = cand.id_a
+        JOIN n b ON b.vec_id = cand.id_b,
+        generate_series(1, 64) g(i)
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT id_a, id_b, cosine,
+               row_number() OVER (PARTITION BY id_a
+                 ORDER BY cosine DESC, id_b) AS rank
+        FROM scored),
+      e AS (SELECT id_a AS src, id_b AS dst FROM ranked WHERE rank <= 3),
+      und AS (
+        SELECT DISTINCT u, v FROM (
+          SELECT src AS u, dst AS v FROM e
+          UNION ALL SELECT dst, src FROM e)),
+      l0 AS (
+        SELECT vec_id AS id,
+               CASE WHEN vec_id % 5 = 0 THEN label END AS seed,
+               CASE WHEN vec_id % 5 = 0 THEN label END AS lbl
+        FROM embeddings),
+      vote1 AS (
+        SELECT und.u, l.lbl AS nl, count(*) AS c
+        FROM und JOIN l0 l ON und.v = l.id
+        WHERE l.lbl IS NOT NULL GROUP BY 1, 2),
+      win1 AS (
+        SELECT u AS id, nl AS win FROM (
+          SELECT u, nl, row_number() OVER
+            (PARTITION BY u ORDER BY c DESC, nl) AS rk
+          FROM vote1) WHERE rk = 1),
+      l1 AS (
+        SELECT l0.id, l0.seed,
+               COALESCE(l0.seed, w.win, l0.lbl) AS lbl
+        FROM l0 LEFT JOIN win1 w ON l0.id = w.id),
+      vote2 AS (
+        SELECT und.u, l.lbl AS nl, count(*) AS c
+        FROM und JOIN l1 l ON und.v = l.id
+        WHERE l.lbl IS NOT NULL GROUP BY 1, 2),
+      win2 AS (
+        SELECT u AS id, nl AS win FROM (
+          SELECT u, nl, row_number() OVER
+            (PARTITION BY u ORDER BY c DESC, nl) AS rk
+          FROM vote2) WHERE rk = 1),
+      l2 AS (
+        SELECT l1.id, l1.seed,
+               COALESCE(l1.seed, w.win, l1.lbl) AS lbl
+        FROM l1 LEFT JOIN win2 w ON l1.id = w.id)
+      SELECT id AS vec_id, seed AS seed_label, lbl AS label
+      FROM l2 ORDER BY vec_id
+    """.trim))
+
+  def all: Seq[HarnessQuery] = Seq(
+    q211CollocPmi, q212TokenEntropy, q213GramMatrix, q214CovMatrix,
+    q215WalkForward, q216LabelProp)
+}
