@@ -480,4 +480,73 @@ object EventAnalytics {
           / sqrt(col("ma.n_t").cast("double")
             * col("mb.n_t").cast("double"))).as("cosine"))
   }
+
+  /** Gini-Simpson diversity of a categorical column per key: for each
+    * key, 1 - sum(c_t^2)/n^2 over its category counts (0 = one
+    * category, ->1 = spread thin) plus the inverse-Simpson "effective
+    * category count" n^2/sum(c_t^2). Complements entropy: Simpson
+    * weighs dominant categories, entropy weighs the tail.
+    *
+    * Integer-exact all the way — c^2 sums in decimal (a 100 TB key can
+    * pass 2^63 on the square), ONE double division at the end — so the
+    * result hash-pins. Two hash aggregates, no window.
+    */
+  def diversityIndex(
+      df: DataFrame, keyCol: String, catCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol), col(catCol))
+      .agg(count(lit(1)).as("__c"))
+    counts.groupBy(col(keyCol))
+      .agg(sum(col("__c")).as("n"),
+        count(lit(1)).as("n_cats"),
+        sum(col("__c").cast("decimal(19,0)")
+          * col("__c").cast("decimal(19,0)")).as("__ss"))
+      .select(col(keyCol), col("n"), col("n_cats"),
+        round(lit(1.0)
+          - col("__ss").cast("double")
+            / (col("n").cast("double") * col("n").cast("double")), 12)
+          .as("simpson"),
+        round(col("n").cast("double") * col("n").cast("double")
+          / col("__ss").cast("double"), 12).as("inv_simpson"))
+  }
+
+  /** Event-time disorder audit for choosing a streaming watermark:
+    * per key, an event's lateness is how far its event time sits
+    * behind the key's running event-time high-water mark in arrival
+    * order (`arrivalCol` — a monotone ingest id). The output is, for
+    * each candidate watermark delay, how many events a stateful
+    * streaming job with that watermark would drop as too-late, and
+    * the observed maximum lateness — the number that turns "pick
+    * 10 minutes?" into a measured tradeoff.
+    *
+    * The running max is a per-key ordered window (shuffles once on
+    * the key, like every sessionization here); the threshold sweep is
+    * an in-row array explode over a handful of candidates, and the
+    * final aggregate is a couple of counters per threshold. Lateness
+    * stays in integer microseconds end to end — no double drift.
+    */
+  def latenessAudit(
+      df: DataFrame, keyCol: String, tsCol: String, arrivalCol: String,
+      thresholdsSec: Seq[Long]): DataFrame = {
+    require(thresholdsSec.nonEmpty, "need at least one threshold")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(arrivalCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val late = df
+      .withColumn("__hwm", max(unix_micros(col(tsCol))).over(w))
+      .withColumn("__late_us",
+        greatest(coalesce(col("__hwm") - unix_micros(col(tsCol)), lit(0L)),
+          lit(0L)))
+    late
+      .select(col("__late_us"),
+        explode(array(thresholdsSec.map(lit): _*)).as("threshold_sec"))
+      .groupBy(col("threshold_sec"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("__late_us") > col("threshold_sec") * 1000000L, 1L)
+          .otherwise(0L)).as("n_dropped"),
+        max(col("__late_us")).as("max_late_us"))
+      .select(col("threshold_sec"), col("n_events"), col("n_dropped"),
+        round(col("n_dropped").cast("double") / col("n_events"), 12)
+          .as("drop_frac"),
+        col("max_late_us"))
+  }
 }

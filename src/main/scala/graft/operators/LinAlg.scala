@@ -85,4 +85,49 @@ object LinAlg {
     dimSums(df, vecCol, dim)
       .select(col("i"),
         round(col("sx").cast("double") / col("n"), 12).as("mean"))
+
+  /** Top eigenvector of a symmetric matrix given as its upper
+    * triangle (i, j, value) — power iteration with a fixed round
+    * count, entirely relational: each round is one broadcast
+    * equi-join (the d-row vector onto the d^2-row matrix) + one hash
+    * aggregate. With the d x d covariance as input this completes the
+    * PCA path: covariance reduce (n-scaled) + driver-free principal
+    * direction.
+    *
+    * Every sum that is order-sensitive in double (the matvec entries,
+    * the squared norm) accumulates in DECIMAL(38,18), so the result
+    * is bit-stable under any partitioning and replays in SQL.
+    * Returns (i, v, eigval): the unit eigenvector after `rounds`
+    * iterations and the Rayleigh estimate (the last matvec's norm,
+    * same value on every row).
+    */
+  def powerIteration(
+      upperTri: DataFrame, iCol: String, jCol: String, valCol: String,
+      dim: Int, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 8, s"rounds out of range: $rounds")
+    val full = upperTri.select(col(iCol).as("i"), col(jCol).as("j"),
+      col(valCol).as("a"))
+      .unionAll(upperTri.where(col(iCol) =!= col(jCol))
+        .select(col(jCol).as("i"), col(iCol).as("j"), col(valCol).as("a")))
+    val spark = upperTri.sparkSession
+    var v: DataFrame = spark.range(dim)
+      .select(col("id").cast("int").as("j"), lit(1.0).as("v"))
+    var lastNorm: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val mv = full.join(broadcast(v), Seq("j"))
+        .groupBy(col("i"))
+        .agg(sum((col("a") * col("v")).cast("decimal(38,18)"))
+          .cast("double").as("u"))
+      val norm = mv.agg(
+        sqrt(sum((col("u") * col("u")).cast("decimal(38,18)"))
+          .cast("double")).as("nrm"))
+      lastNorm = norm
+      v = mv.crossJoin(broadcast(norm))
+        .select(col("i").as("j"), (col("u") / col("nrm")).as("v"))
+    }
+    v.select(col("j").as("i"), col("v"))
+      .crossJoin(broadcast(lastNorm))
+      .select(col("i"), round(col("v"), 12).as("v"),
+        round(col("nrm"), 12).as("eigval"))
+  }
 }

@@ -126,4 +126,84 @@ object NumericFeatures {
         (col(valueCol).cast("double") - col("__med")) / col("__iqr"))
       .drop("__rk", "__med", "__iqr")
   }
+
+  /** Mergeable moment sketches: per slice the exact (n, sum, sum-sq)
+    * triple in decimal, then the SAME triples re-aggregated into a
+    * global row — the associative-merge discipline every distributed
+    * statistic needs (per-partition partials, per-slice rollups,
+    * cross-day incremental updates all merge this way; contrast a
+    * stored per-slice variance, which cannot be merged). Output: one
+    * row per slice plus an `__all` row whose mean/variance are
+    * ASSEMBLED FROM THE MERGED TRIPLES, never recomputed from raw
+    * data — the merge IS the algorithm under test.
+    */
+  def mergeableMoments(
+      df: DataFrame, sliceCol: String, valueCol: String): DataFrame = {
+    val per = df.groupBy(col(sliceCol).cast("string").as("slice"))
+      .agg(count(col(valueCol)).as("n"),
+        sum(col(valueCol).cast("decimal(28,6)")).as("__s"),
+        sum(col(valueCol).cast("decimal(19,6)")
+          * col(valueCol).cast("decimal(19,6)")).as("__ss"))
+    val merged = per.select(lit("__all").as("slice"),
+      sum(col("n")).as("n"), sum(col("__s")).as("__s"),
+      sum(col("__ss")).as("__ss"))
+    def finish(t: DataFrame): DataFrame = t.select(
+      col("slice"), col("n"),
+      // 10/8 decimals, not 12: variance magnitude ~1e3-1e4 would push
+      // round-12 past double precision (16+ sig figs), where the two
+      // engines' rounding of the same double legitimately differs
+      round(col("__s").cast("double") / col("n"), 10).as("mean"),
+      round(
+        col("__ss").cast("double") / col("n")
+          - (col("__s").cast("double") / col("n"))
+            * (col("__s").cast("double") / col("n")), 8).as("variance"))
+    finish(per).unionByName(finish(merged))
+  }
+
+  /** Cross-source quantile normalization (batch-effect correction):
+    * each value is replaced by the value at the same quantile of the
+    * GLOBAL distribution, so every source ends up with the same
+    * marginal — the fix when one source's scores run systematically
+    * hot and a shared threshold would over-select it.
+    *
+    * Values are first snapped to a `gridDecimals` grid: that bounds
+    * the distinct-value table, which is the whole scale design — the
+    * global ECDF over distinct grid values is grid-bounded (NOT
+    * n-bounded, as raw continuous doubles would be), so it broadcasts,
+    * and the quantile lookup is a broadcast interval join instead of a
+    * global sort. Per-source quantiles come from `percent_rank` inside
+    * each source partition (ties share a rank, so the map is
+    * deterministic); the target index floor(pr*(N-1)+0.5) uses
+    * explicit floor-plus-half, identical rounding in any engine.
+    */
+  def quantileNormalize(
+      df: DataFrame, sourceCol: String, valueCol: String,
+      gridDecimals: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // explicit floor(x*m + 0.5)/m, not round(): round-half modes differ
+    // across engines at exact decimal-half doubles; this is one IEEE
+    // expression with one answer everywhere
+    val mult = math.pow(10.0, gridDecimals)
+    val g = floor(col(valueCol).cast("double") * mult + 0.5) / mult
+    val snapped = df.withColumn("__g", g)
+    // global ECDF over distinct grid values: [cs, ce) index intervals
+    val wv = Window.orderBy(col("__g"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = snapped.groupBy(col("__g")).agg(count(lit(1)).as("__cnt"))
+      .withColumn("__ce", sum(col("__cnt")).over(wv))
+      .select(col("__g").as("__tv"), (col("__ce") - col("__cnt")).as("__cs"),
+        col("__ce"))
+    val total = snapped.agg(count(lit(1)).as("__n"))
+    val ranked = snapped
+      .withColumn("__pr", percent_rank().over(
+        Window.partitionBy(col(sourceCol)).orderBy(col("__g"))))
+      .crossJoin(broadcast(total))
+      .withColumn("__k",
+        floor(col("__pr") * (col("__n") - 1) + 0.5).cast("long"))
+    ranked
+      .join(broadcast(cum),
+        col("__k") >= col("__cs") && col("__k") < col("__ce"))
+      .withColumn("norm_value", col("__tv"))
+      .drop("__g", "__pr", "__n", "__k", "__tv", "__cs", "__ce")
+  }
 }

@@ -257,7 +257,194 @@ object VectorTextQueries {
       FROM l2 ORDER BY vec_id
     """.trim))
 
+  /** Top principal direction via relational power iteration
+    * ([[LinAlg.powerIteration]], 4 rounds over the q214 covariance):
+    * every order-sensitive sum (matvec entries, squared norm)
+    * accumulates in decimal, so the whole iteration replays in SQL.
+    */
+  val q217PowerIteration = HarnessQuery(
+    "q217_power_iteration",
+    (spark, dir) =>
+      LinAlg.powerIteration(
+        LinAlg.covarianceMatrix(Tables.embeddings(spark, dir), "embedding", 64),
+        "i", "j", "cov", dim = 64, rounds = 4)
+        .orderBy(col("i")),
+    Some("""
+      WITH pr AS (
+        SELECT g1.i AS i, g2.j AS j,
+               CAST(CAST(embedding[g1.i + 1] AS DOUBLE)
+                 * CAST(embedding[g2.j + 1] AS DOUBLE) AS DECIMAL(30,18)) AS p
+        FROM embeddings,
+             generate_series(0, 63) g1(i), generate_series(0, 63) g2(j)
+        WHERE g1.i <= g2.j),
+      gram AS (SELECT i, j, CAST(sum(p) AS DOUBLE) AS dot FROM pr GROUP BY 1, 2),
+      s AS (
+        SELECT g.i AS i,
+               sum(CAST(CAST(embedding[g.i + 1] AS DOUBLE) AS DECIMAL(30,18))) AS sx,
+               count(*) AS n
+        FROM embeddings, generate_series(0, 63) g(i) GROUP BY 1),
+      covq AS (
+        SELECT gram.i AS i, gram.j AS j,
+               round(gram.dot / si.n
+                 - (CAST(si.sx AS DOUBLE) / si.n)
+                   * (CAST(sj.sx AS DOUBLE) / sj.n), 12) AS a
+        FROM gram JOIN s si ON gram.i = si.i JOIN s sj ON gram.j = sj.i),
+      fm AS (
+        SELECT i, j, a FROM covq
+        UNION ALL SELECT j, i, a FROM covq WHERE i <> j),
+      v0 AS (SELECT g.i AS j, 1.0 AS v FROM generate_series(0, 63) g(i)),
+      mv1 AS (SELECT f.i, CAST(sum(CAST(f.a * v.v AS DECIMAL(38,18))) AS DOUBLE) AS u
+              FROM fm f JOIN v0 v ON f.j = v.j GROUP BY 1),
+      n1 AS (SELECT sqrt(CAST(sum(CAST(u * u AS DECIMAL(38,18))) AS DOUBLE)) AS nrm FROM mv1),
+      v1 AS (SELECT i AS j, u / (SELECT nrm FROM n1) AS v FROM mv1),
+      mv2 AS (SELECT f.i, CAST(sum(CAST(f.a * v.v AS DECIMAL(38,18))) AS DOUBLE) AS u
+              FROM fm f JOIN v1 v ON f.j = v.j GROUP BY 1),
+      n2 AS (SELECT sqrt(CAST(sum(CAST(u * u AS DECIMAL(38,18))) AS DOUBLE)) AS nrm FROM mv2),
+      v2 AS (SELECT i AS j, u / (SELECT nrm FROM n2) AS v FROM mv2),
+      mv3 AS (SELECT f.i, CAST(sum(CAST(f.a * v.v AS DECIMAL(38,18))) AS DOUBLE) AS u
+              FROM fm f JOIN v2 v ON f.j = v.j GROUP BY 1),
+      n3 AS (SELECT sqrt(CAST(sum(CAST(u * u AS DECIMAL(38,18))) AS DOUBLE)) AS nrm FROM mv3),
+      v3 AS (SELECT i AS j, u / (SELECT nrm FROM n3) AS v FROM mv3),
+      mv4 AS (SELECT f.i, CAST(sum(CAST(f.a * v.v AS DECIMAL(38,18))) AS DOUBLE) AS u
+              FROM fm f JOIN v3 v ON f.j = v.j GROUP BY 1),
+      n4 AS (SELECT sqrt(CAST(sum(CAST(u * u AS DECIMAL(38,18))) AS DOUBLE)) AS nrm FROM mv4),
+      v4 AS (SELECT i AS j, u / (SELECT nrm FROM n4) AS v FROM mv4)
+      SELECT CAST(j AS INT) AS i, round(v, 12) AS v,
+             round((SELECT nrm FROM n4), 12) AS eigval
+      FROM v4 ORDER BY i
+    """.trim))
+
+  /** Watermark sweep over simulated disordered ingest
+    * ([[graft.operators.EventAnalytics.latenessAudit]]): arrival
+    * order = md5(event_id) inside each user (the testdata arrives
+    * perfectly time-ordered, so disorder is injected
+    * deterministically), lateness vs the per-key running event-time
+    * high-water mark, drop counts for four candidate watermarks.
+    */
+  val q218LatenessAudit = HarnessQuery(
+    "q218_lateness_audit",
+    (spark, dir) =>
+      graft.operators.EventAnalytics.latenessAudit(
+        Tables.events(spark, dir)
+          .withColumn("arrival", md5(col("event_id").cast("string"))),
+        "user_id", "ts", "arrival", Seq(0L, 3600L, 86400L, 604800L))
+        .orderBy(col("threshold_sec")),
+    Some("""
+      WITH l AS (
+        SELECT greatest(coalesce(max(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+          (PARTITION BY user_id ORDER BY md5(CAST(event_id AS VARCHAR))
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          - epoch_us(CAST(ts AS TIMESTAMP)), 0), 0) AS late_us
+        FROM events),
+      x AS (SELECT late_us, unnest([0, 3600, 86400, 604800]) AS threshold_sec FROM l),
+      per AS (
+        SELECT threshold_sec, count(*) AS n_events,
+               CAST(sum(CASE WHEN late_us > CAST(threshold_sec AS BIGINT) * 1000000
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+               max(late_us) AS max_late_us
+        FROM x GROUP BY 1)
+      SELECT CAST(threshold_sec AS BIGINT) AS threshold_sec, n_events,
+             n_dropped,
+             round(CAST(n_dropped AS DOUBLE) / n_events, 12) AS drop_frac,
+             max_late_us
+      FROM per ORDER BY threshold_sec
+    """.trim))
+
+  /** Mergeable moment sketches per event type
+    * ([[graft.operators.NumericFeatures.mergeableMoments]]): the
+    * global row is assembled by MERGING the per-slice (n, sum,
+    * sum-sq) triples, pinning the associative-merge algebra.
+    */
+  val q219MergeableMoments = HarnessQuery(
+    "q219_mergeable_moments",
+    (spark, dir) =>
+      graft.operators.NumericFeatures.mergeableMoments(
+        Tables.events(spark, dir), "event_type", "value")
+        .orderBy(col("slice")),
+    Some("""
+      WITH per AS (
+        SELECT event_type AS slice, count("value") AS n,
+               sum(CAST("value" AS DECIMAL(28,6))) AS s,
+               sum(CAST("value" AS DECIMAL(19,6))
+                 * CAST("value" AS DECIMAL(19,6))) AS ss
+        FROM events GROUP BY 1),
+      merged AS (
+        SELECT '__all' AS slice, CAST(sum(n) AS BIGINT) AS n,
+               sum(s) AS s, sum(ss) AS ss
+        FROM per),
+      u AS (SELECT * FROM per UNION ALL SELECT * FROM merged)
+      SELECT slice, n,
+             round(CAST(s AS DOUBLE) / n, 10) AS mean,
+             round(CAST(ss AS DOUBLE) / n
+               - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n), 8)
+               AS variance
+      FROM u ORDER BY slice
+    """.trim))
+
+  /** Gini-Simpson diversity of event types per user
+    * ([[graft.operators.EventAnalytics.diversityIndex]]):
+    * integer-exact c^2 sums, one double division.
+    */
+  val q220Diversity = HarnessQuery(
+    "q220_diversity",
+    (spark, dir) =>
+      graft.operators.EventAnalytics.diversityIndex(
+        Tables.events(spark, dir), "user_id", "event_type")
+        .orderBy(col("user_id")),
+    Some("""
+      WITH c AS (
+        SELECT user_id, event_type, count(*) AS c
+        FROM events GROUP BY 1, 2),
+      a AS (
+        SELECT user_id, CAST(sum(c) AS BIGINT) AS n, count(*) AS n_cats,
+               sum(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))) AS ss
+        FROM c GROUP BY 1)
+      SELECT user_id, n, n_cats,
+             round(1.0 - CAST(ss AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 12) AS simpson,
+             round(CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+               / CAST(ss AS DOUBLE), 12) AS inv_simpson
+      FROM a ORDER BY user_id
+    """.trim))
+
+  /** Cross-source quantile normalization
+    * ([[graft.operators.NumericFeatures.quantileNormalize]], grid =
+    * 2 decimals, sources = event types): every row's value mapped to
+    * the same quantile of the global distribution via the
+    * grid-bounded broadcast ECDF interval join.
+    */
+  val q221QuantileNorm = HarnessQuery(
+    "q221_quantile_norm",
+    (spark, dir) =>
+      graft.operators.NumericFeatures.quantileNormalize(
+        Tables.events(spark, dir).select("event_id", "event_type", "value"),
+        "event_type", "value", gridDecimals = 2)
+        .orderBy(col("event_id")),
+    Some("""
+      WITH s AS (
+        SELECT event_id, event_type, "value",
+               floor(CAST("value" AS DOUBLE) * 100.0 + 0.5) / 100.0 AS g
+        FROM events),
+      cum0 AS (SELECT g, count(*) AS cnt FROM s GROUP BY 1),
+      cum AS (
+        SELECT g AS tv,
+               sum(cnt) OVER (ORDER BY g) - cnt AS cs,
+               sum(cnt) OVER (ORDER BY g) AS ce
+        FROM cum0),
+      tot AS (SELECT count(*) AS n FROM s),
+      r AS (
+        SELECT event_id, event_type, "value",
+               CAST(floor(percent_rank() OVER
+                 (PARTITION BY event_type ORDER BY g)
+                 * ((SELECT n FROM tot) - 1) + 0.5) AS BIGINT) AS k
+        FROM s)
+      SELECT r.event_id, r.event_type, r."value", cum.tv AS norm_value
+      FROM r JOIN cum ON r.k >= cum.cs AND r.k < cum.ce
+      ORDER BY event_id
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q211CollocPmi, q212TokenEntropy, q213GramMatrix, q214CovMatrix,
-    q215WalkForward, q216LabelProp)
+    q215WalkForward, q216LabelProp, q217PowerIteration, q218LatenessAudit,
+    q219MergeableMoments, q220Diversity, q221QuantileNorm)
 }

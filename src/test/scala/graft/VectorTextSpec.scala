@@ -103,6 +103,79 @@ class VectorTextSpec extends SparkSpec {
     }
   }
 
+  test("powerIteration converges to the dominant eigenvector") {
+    // symmetric matrix [[2,1],[1,2]]: eigvals 3 (v=[1,1]/sqrt2), 1
+    val tri = Seq((0, 0, 2.0), (0, 1, 1.0), (1, 1, 2.0)).toDF("i", "j", "a")
+    val out = graft.operators.LinAlg
+      .powerIteration(tri, "i", "j", "a", dim = 2, rounds = 6)
+      .orderBy("i").collect()
+    val inv = 1.0 / math.sqrt(2.0)
+    assert(math.abs(out(0).getDouble(1) - inv) < 1e-9)
+    assert(math.abs(out(1).getDouble(1) - inv) < 1e-9)
+    assert(math.abs(out(0).getDouble(2) - 3.0) < 1e-9) // eigval
+  }
+
+  test("latenessAudit: counts drops per watermark with exact lateness") {
+    // one user; arrival order a,b,c,d; event times 100, 300, 200, 250 s.
+    // hwm-lateness: a:0, b:0, c:100s, d:50s
+    val df = Seq(
+      ("a", 100L), ("b", 300L), ("c", 200L), ("d", 250L))
+      .toDF("arr", "sec")
+      .withColumn("user_id", lit(1L))
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val out = graft.operators.EventAnalytics
+      .latenessAudit(df, "user_id", "ts", "arr", Seq(0L, 60L, 120L))
+      .orderBy("threshold_sec").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(0L, 60L, 120L))
+    // wm 0s: c,d late; wm 60s: only c (100s > 60s); wm 120s: none
+    assert(out.map(_.getLong(2)).toSeq == Seq(2L, 1L, 0L))
+    assert(out.forall(_.getLong(1) == 4L))
+    assert(out.forall(_.getLong(4) == 100L * 1000000L)) // max lateness
+  }
+
+  test("mergeableMoments: merged __all row equals global moments") {
+    val df = Seq(("x", 1.0), ("x", 3.0), ("y", 5.0), ("y", 7.0), ("y", 9.0))
+      .toDF("k", "v")
+    val out = graft.operators.NumericFeatures
+      .mergeableMoments(df, "k", "v")
+      .orderBy("slice").collect()
+    val m = out.map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(m("x") == ((2L, 2.0, 1.0)))
+    assert(m("y")._1 == 3L && m("y")._2 == 7.0)
+    assert(math.abs(m("y")._3 - 8.0 / 3) < 1e-7) // variance rounds at 8
+    // global: n=5, mean=5, var = (1+9+25+49+81)/5 - 25 = 33 - 25 = 8
+    assert(m("__all") == ((5L, 5.0, 8.0)))
+  }
+
+  test("diversityIndex: exact Simpson from category counts") {
+    val df = Seq((1L, "a"), (1L, "a"), (1L, "b"), (1L, "b"),
+      (2L, "a"), (2L, "a"), (2L, "a")).toDF("k", "c")
+    val out = graft.operators.EventAnalytics.diversityIndex(df, "k", "c")
+      .orderBy("k").collect()
+    // k=1: n=4, ss=8 -> simpson = 1 - 8/16 = 0.5, inv = 2
+    assert(out(0).getLong(1) == 4L && out(0).getLong(2) == 2L)
+    assert(out(0).getDouble(3) == 0.5 && out(0).getDouble(4) == 2.0)
+    // k=2: one category -> simpson 0, inv 1
+    assert(out(1).getDouble(3) == 0.0 && out(1).getDouble(4) == 1.0)
+  }
+
+  test("quantileNormalize maps each source onto the global marginal") {
+    // source A runs hot (values 10x source B); after normalization
+    // both sources' rank-order maps into the combined distribution
+    val df = Seq(
+      ("A", 10.0), ("A", 20.0), ("A", 30.0),
+      ("B", 1.0), ("B", 2.0), ("B", 3.0)).toDF("src", "v")
+    val out = graft.operators.NumericFeatures
+      .quantileNormalize(df, "src", "v", gridDecimals = 2)
+      .orderBy("src", "v").collect()
+    // global sorted: 1,2,3,10,20,30 (N=6). pr in each source: 0,.5,1
+    // -> k = floor(pr*5+0.5) = 0, 3, 5 -> targets 1, 10, 30 for BOTH
+    val a = out.filter(_.getString(0) == "A").map(_.getDouble(2)).toSeq
+    val b = out.filter(_.getString(0) == "B").map(_.getDouble(2)).toSeq
+    assert(a == Seq(1.0, 10.0, 30.0))
+    assert(b == Seq(1.0, 10.0, 30.0))
+  }
+
   test("labelPropagation: spreads, clamps seeds, breaks ties by min label") {
     val verts = Seq(
       (1L, Some(0)), (2L, None), (3L, None), (4L, None), (5L, Some(1)))
