@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Rank-based two-sample and correlation statistics — the
+  * distribution-free drift tests (Mann-Whitney U, Spearman's rho)
+  * that back data-quality monitors when values are heavy-tailed and
+  * means lie.
+  *
+  * Scale design: NO global rank window anywhere. Average ranks come
+  * from the distinct-value cumulative table (value, cum_start,
+  * cum_end): every row of a distinct value v has average rank
+  * (cs + ce + 1)/2, so rank SUMS reduce to per-distinct-value
+  * integer products — two hash aggregates and a broadcast join,
+  * shuffles bounded by |distinct values|, not n. Doubling (2R) keeps
+  * every intermediate an exact integer in decimal; the only doubles
+  * are the final z / rho expressions.
+  */
+object RankStats {
+
+  /** The distinct-value rank table: (v, cnt, twice_avg_rank) where
+    * twice_avg_rank = cs + ce + 1 is an exact integer (2x the average
+    * rank of the tied block). The running sum over the distinct-value
+    * order is the one ordered window, bounded by |distinct values|.
+    */
+  private def rankTable(df: DataFrame, v: Column): DataFrame = {
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(v.as("__v")).where(col("__v").isNotNull)
+      .groupBy(col("__v")).agg(count(lit(1)).as("__cnt"))
+      .withColumn("__ce", sum(col("__cnt")).over(w))
+      .select(col("__v"),
+        ((col("__ce") - col("__cnt")) + col("__ce") + 1).as("__r2"))
+  }
+
+  /** Mann-Whitney U (two-sided normal approximation, average ranks
+    * for ties; the variance term is the untied formula — documented,
+    * and identical in the oracle). `sliceCol` must have exactly two
+    * values; slices are ordered by their string form, the first is
+    * "group 1". Output one row:
+    * n1, n2, u1, u2, z (z rounded at 9 — |z| can reach ~1e2, and the
+    * sqrt denominator is irrational, so 12 would chase ulps).
+    */
+  def mannWhitney(
+      df: DataFrame, sliceCol: String, valueCol: String): DataFrame = {
+    val ranks = rankTable(df, col(valueCol).cast("double"))
+    val r2sums = df
+      .select(col(sliceCol).cast("string").as("__s"),
+        col(valueCol).cast("double").as("__v"))
+      .where(col("__v").isNotNull)
+      .join(broadcast(ranks), Seq("__v"))
+      .groupBy(col("__s"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__r2").cast("decimal(38,0)")).as("__2r"))
+    val wide = r2sums
+      .select(
+        min(struct(col("__s"), col("__n"), col("__2r"))).as("a"),
+        max(struct(col("__s"), col("__n"), col("__2r"))).as("b"))
+      .select(
+        col("a.__n").as("n1"), col("b.__n").as("n2"),
+        col("a.__2r").as("__2r1"))
+    // 2*U1 = 2*R1 - n1*(n1+1); keep everything doubled-integer exact
+    wide
+      .withColumn("__2u1",
+        col("__2r1") - (col("n1").cast("decimal(38,0)") * (col("n1") + 1)))
+      .withColumn("__2u2",
+        lit(2).cast("decimal(38,0)") * col("n1") * col("n2") - col("__2u1"))
+      .select(col("n1"), col("n2"),
+        (col("__2u1").cast("double") / 2).as("u1"),
+        (col("__2u2").cast("double") / 2).as("u2"),
+        round(
+          (col("__2u1").cast("double") / 2
+            - col("n1").cast("double") * col("n2").cast("double") / 2)
+            / sqrt(col("n1").cast("double") * col("n2").cast("double")
+              * (col("n1").cast("double") + col("n2").cast("double") + 1)
+              / 12), 9).as("z"))
+  }
+
+  /** Spearman's rho between two numeric columns, with average ranks
+    * for ties: Pearson on the doubled ranks (2r is integer-exact, and
+    * rho is scale-invariant, so doubling changes nothing). All sums
+    * are exact decimal; rho is one double expression, rounded at 9.
+    */
+  def spearman(
+      df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val base = df.select(col(xCol).cast("double").as("__x"),
+      col(yCol).cast("double").as("__y"))
+      .where(col("__x").isNotNull && col("__y").isNotNull)
+    val rx = rankTable(base, col("__x"))
+      .select(col("__v").as("__x"), col("__r2").as("__rx"))
+    val ry = rankTable(base, col("__y"))
+      .select(col("__v").as("__y"), col("__r2").as("__ry"))
+    val joined = base
+      .join(broadcast(rx), Seq("__x"))
+      .join(broadcast(ry), Seq("__y"))
+    def d38(c: Column): Column = c.cast("decimal(38,0)")
+    val agg = joined.agg(
+      count(lit(1)).as("n"),
+      sum(d38(col("__rx"))).as("sx"),
+      sum(d38(col("__ry"))).as("sy"),
+      sum(d38(col("__rx")) * d38(col("__ry")).cast("decimal(19,0)")).as("sxy"),
+      sum(d38(col("__rx")) * d38(col("__rx")).cast("decimal(19,0)")).as("sxx"),
+      sum(d38(col("__ry")) * d38(col("__ry")).cast("decimal(19,0)")).as("syy"))
+    agg.select(col("n"),
+      round(
+        (col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double")
+            / col("n"))
+          / sqrt(
+            (col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double")
+                / col("n"))
+              * (col("syy").cast("double")
+                - col("sy").cast("double") * col("sy").cast("double")
+                  / col("n"))), 9).as("rho"))
+  }
+}

@@ -443,8 +443,155 @@ object VectorTextQueries {
       ORDER BY event_id
     """.trim))
 
+  /** SCD-type-2 validity intervals from the event log
+    * ([[graft.operators.History.scd2]]): per-user runs of the same
+    * event type collapsed into half-open [valid_from, valid_to)
+    * intervals, deterministic under the (ts, event_id) tie-break.
+    */
+  val q222Scd2 = HarnessQuery(
+    "q222_scd2",
+    (spark, dir) =>
+      graft.operators.History.scd2(
+        Tables.events(spark, dir)
+          .select("user_id", "ts", "event_type", "event_id"),
+        "user_id", "ts", "event_type", "event_id")
+        .select(col("user_id"), col("event_type"), col("n_observations"),
+          unix_micros(col("valid_from")).as("valid_from_us"),
+          unix_micros(col("valid_to")).as("valid_to_us"),
+          col("is_current"))
+        .orderBy(col("user_id"), col("valid_from_us")),
+    Some("""
+      WITH o AS (
+        SELECT user_id, ts, event_type, event_id,
+               lag(event_type) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events),
+      c AS (
+        SELECT user_id, ts, event_type,
+               sum(CASE WHEN prev IS NOT DISTINCT FROM event_type
+                 THEN 0 ELSE 1 END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS run
+        FROM o),
+      r AS (
+        SELECT user_id, run, min(ts) AS valid_from,
+               min(event_type) AS event_type,
+               count(*) AS n_observations
+        FROM c GROUP BY 1, 2),
+      f AS (
+        SELECT user_id, valid_from, event_type, n_observations,
+               lead(valid_from) OVER
+                 (PARTITION BY user_id ORDER BY run) AS valid_to
+        FROM r)
+      SELECT user_id, event_type, n_observations,
+             epoch_us(CAST(valid_from AS TIMESTAMP)) AS valid_from_us,
+             epoch_us(CAST(valid_to AS TIMESTAMP)) AS valid_to_us,
+             valid_to IS NULL AS is_current
+      FROM f ORDER BY user_id, valid_from_us
+    """.trim))
+
+  /** Mann-Whitney U between even/odd event slices
+    * ([[graft.operators.RankStats.mannWhitney]]): average ranks from
+    * the distinct-value cumulative table (no global rank window),
+    * doubled-integer exact U, one double z.
+    */
+  val q223MannWhitney = HarnessQuery(
+    "q223_mann_whitney",
+    (spark, dir) =>
+      graft.operators.RankStats.mannWhitney(
+        Tables.events(spark, dir)
+          .withColumn("slice", pmod(col("event_id"), lit(2L))),
+        "slice", "value"),
+    Some("""
+      WITH s AS (
+        SELECT CAST(event_id % 2 AS VARCHAR) AS sl,
+               CAST("value" AS DOUBLE) AS v
+        FROM events WHERE "value" IS NOT NULL),
+      rt AS (SELECT v, count(*) AS cnt FROM s GROUP BY 1),
+      rk AS (
+        SELECT v, (sum(cnt) OVER (ORDER BY v) - cnt)
+                 + sum(cnt) OVER (ORDER BY v) + 1 AS r2
+        FROM rt),
+      j AS (SELECT s.sl, rk.r2 FROM s JOIN rk USING (v)),
+      g AS (
+        SELECT sl, count(*) AS n, sum(CAST(r2 AS HUGEINT)) AS r2s
+        FROM j GROUP BY 1),
+      w AS (
+        SELECT (SELECT n FROM g ORDER BY sl LIMIT 1) AS n1,
+               (SELECT n FROM g ORDER BY sl DESC LIMIT 1) AS n2,
+               (SELECT r2s FROM g ORDER BY sl LIMIT 1) AS r2_1),
+      u AS (
+        SELECT n1, n2,
+               r2_1 - CAST(n1 AS HUGEINT) * (n1 + 1) AS u2x1,
+               CAST(2 AS HUGEINT) * n1 * n2
+                 - (r2_1 - CAST(n1 AS HUGEINT) * (n1 + 1)) AS u2x2
+        FROM w)
+      SELECT n1, n2,
+             CAST(u2x1 AS DOUBLE) / 2 AS u1,
+             CAST(u2x2 AS DOUBLE) / 2 AS u2,
+             round((CAST(u2x1 AS DOUBLE) / 2
+                 - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2)
+               / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                 * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1)
+                 / 12), 9) AS z
+      FROM u
+    """.trim))
+
+  /** Spearman's rho between event value and event time
+    * ([[graft.operators.RankStats.spearman]]): Pearson on
+    * doubled average ranks, exact wide-integer sums, one double
+    * expression.
+    */
+  val q224Spearman = HarnessQuery(
+    "q224_spearman",
+    (spark, dir) =>
+      graft.operators.RankStats.spearman(
+        Tables.events(spark, dir)
+          .select(col("value"),
+            unix_micros(col("ts")).cast("double").as("tsd")),
+        "value", "tsd"),
+    Some("""
+      WITH b AS (
+        SELECT CAST("value" AS DOUBLE) AS x,
+               CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS DOUBLE) AS y
+        FROM events
+        WHERE "value" IS NOT NULL AND ts IS NOT NULL),
+      rxt AS (SELECT x AS v, count(*) AS cnt FROM b GROUP BY 1),
+      rx AS (
+        SELECT v, (sum(cnt) OVER (ORDER BY v) - cnt)
+                 + sum(cnt) OVER (ORDER BY v) + 1 AS r2
+        FROM rxt),
+      ryt AS (SELECT y AS v, count(*) AS cnt FROM b GROUP BY 1),
+      ry AS (
+        SELECT v, (sum(cnt) OVER (ORDER BY v) - cnt)
+                 + sum(cnt) OVER (ORDER BY v) + 1 AS r2
+        FROM ryt),
+      j AS (
+        SELECT rx.r2 AS rxv, ry.r2 AS ryv
+        FROM b JOIN rx ON b.x = rx.v JOIN ry ON b.y = ry.v),
+      a AS (
+        SELECT count(*) AS n,
+               sum(CAST(rxv AS HUGEINT)) AS sx,
+               sum(CAST(ryv AS HUGEINT)) AS sy,
+               sum(CAST(rxv AS HUGEINT) * CAST(ryv AS HUGEINT)) AS sxy,
+               sum(CAST(rxv AS HUGEINT) * CAST(rxv AS HUGEINT)) AS sxx,
+               sum(CAST(ryv AS HUGEINT) * CAST(ryv AS HUGEINT)) AS syy
+        FROM j)
+      SELECT n,
+             round((CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+               / sqrt((CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+                 * (CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)), 9)
+               AS rho
+      FROM a
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q211CollocPmi, q212TokenEntropy, q213GramMatrix, q214CovMatrix,
     q215WalkForward, q216LabelProp, q217PowerIteration, q218LatenessAudit,
-    q219MergeableMoments, q220Diversity, q221QuantileNorm)
+    q219MergeableMoments, q220Diversity, q221QuantileNorm, q222Scd2,
+    q223MannWhitney, q224Spearman)
 }

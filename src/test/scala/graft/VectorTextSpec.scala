@@ -176,6 +176,52 @@ class VectorTextSpec extends SparkSpec {
     assert(b == Seq(1.0, 10.0, 30.0))
   }
 
+  test("scd2 collapses runs, reopens on A->B->A, half-open intervals") {
+    def ts(s: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(s))
+    val df = Seq(
+      (1L, ts(10), "A", 1L), (1L, ts(20), "A", 2L), (1L, ts(30), "B", 3L),
+      (1L, ts(40), "A", 4L),
+      (2L, ts(10), "X", 5L)).toDF("k", "ts", "attr", "id")
+    val out = graft.operators.History.scd2(df, "k", "ts", "attr", "id")
+      .orderBy("k", "valid_from").collect()
+    assert(out.length == 4)
+    // user 1: A[10,30) n=2, B[30,40) n=1, A[40,null) current
+    assert(out(0).getString(2) == "A" && out(0).getLong(3) == 2L
+      && out(0).getTimestamp(4) == ts(30) && !out(0).getBoolean(5))
+    assert(out(1).getString(2) == "B" && out(1).getTimestamp(4) == ts(40))
+    assert(out(2).getString(2) == "A" && out(2).isNullAt(4)
+      && out(2).getBoolean(5))
+    assert(out(3).getLong(0) == 2L && out(3).getBoolean(5))
+  }
+
+  test("mannWhitney: exact U and z on a hand-computed sample") {
+    // slice a: 1, 2; slice b: 3, 4 -> ranks 1,2 | 3,4; R1=3, U1=0, U2=4
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0))
+      .toDF("s", "v")
+    val r = graft.operators.RankStats.mannWhitney(df, "s", "v").collect()(0)
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 0.0 && r.getDouble(3) == 4.0)
+    val z = (0.0 - 2.0 * 2.0 / 2) / math.sqrt(2.0 * 2.0 * 5.0 / 12)
+    assert(math.abs(r.getDouble(4) - z) < 1e-8)
+  }
+
+  test("mannWhitney assigns tied values their average rank") {
+    // a: 1, 2; b: 2, 3 -> ranks 1, 2.5 | 2.5, 4; R1 = 3.5 -> U1 = 0.5
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 2.0), ("b", 3.0))
+      .toDF("s", "v")
+    val r = graft.operators.RankStats.mannWhitney(df, "s", "v").collect()(0)
+    assert(r.getDouble(2) == 0.5 && r.getDouble(3) == 3.5)
+  }
+
+  test("spearman: monotone is 1, reversed is -1, ties averaged") {
+    val mono = Seq((1.0, 10.0), (2.0, 20.0), (3.0, 30.0)).toDF("x", "y")
+    assert(graft.operators.RankStats.spearman(mono, "x", "y")
+      .collect()(0).getDouble(1) == 1.0)
+    val rev = Seq((1.0, 30.0), (2.0, 20.0), (3.0, 10.0)).toDF("x", "y")
+    assert(graft.operators.RankStats.spearman(rev, "x", "y")
+      .collect()(0).getDouble(1) == -1.0)
+  }
+
   test("labelPropagation: spreads, clamps seeds, breaks ties by min label") {
     val verts = Seq(
       (1L, Some(0)), (2L, None), (3L, None), (4L, None), (5L, Some(1)))
