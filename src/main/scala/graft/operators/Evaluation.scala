@@ -104,6 +104,37 @@ object Evaluation {
           / (lit(2.0) * col("n_pos") * col("n_neg"))).as("auc"),
         col("n_pos"), col("n_neg"))
 
+  /** Per-group exact tie-aware ROC AUC — the fold-evaluation
+    * workhorse: one AUC per value of `groupCol` (cross-validation
+    * folds, model versions, data slices) in a single pass, same
+    * Mann–Whitney pair counting as [[rocAuc]]. The cumulative window
+    * partitions by the group and runs over the per-(group, score)
+    * aggregate, so it is bounded by distinct scores per group, never
+    * raw rows. Output: (groupCol, n_pos, n_neg, auc), one row per
+    * group; groups missing a class yield null auc (0/0), never NaN.
+    */
+  def rocAucByGroup(df: DataFrame, scoreCol: String, labelCol: String,
+      groupCol: String): DataFrame = {
+    val per = df.groupBy(col(groupCol), col(scoreCol).as("score"))
+      .agg(
+        sum(when(col(labelCol) === 1, 1L).otherwise(0L)).as("pos_c"),
+        sum(when(col(labelCol) === 1, 0L).otherwise(1L)).as("neg_c"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    per
+      .withColumn("__cnl", coalesce(sum(col("neg_c")).over(w), lit(0L)))
+      .groupBy(col(groupCol))
+      .agg(
+        sum(col("pos_c").cast("decimal(38,0)")
+          * (lit(2) * col("__cnl") + col("neg_c"))).as("__num"),
+        sum(col("pos_c")).as("n_pos"),
+        sum(col("neg_c")).as("n_neg"))
+      .select(col(groupCol), col("n_pos"), col("n_neg"),
+        (col("__num").cast("double")
+          / nullif(lit(2.0) * col("n_pos") * col("n_neg"), lit(0.0)))
+          .as("auc"))
+  }
+
   /** Kolmogorov–Smirnov statistic between the positive and negative
     * score CDFs: max_s |cum_pos_le(s)/P − cum_neg_le(s)/N|, evaluated
     * as the integer |cum_pos_le·N − cum_neg_le·P| over P·N. One row:

@@ -56,4 +56,34 @@ object Privacy {
         sum(when(col("l_violation"), 1L).otherwise(0L))
           .as("classes_low_diversity"))
   }
+
+  /** Laplace-noised category counts, the release shape of a
+    * differentially-private histogram (sensitivity 1, noise scale
+    * 1/epsilon). The noise here is SEEDED, not random: u derives from
+    * md5(category:seed) and maps through the Laplace inverse CDF —
+    * the engine-wide determinism discipline (same as the hash
+    * samplers), so releases are reproducible, replayable in any
+    * engine, and testable. A production release under a real DP
+    * budget must swap in calibrated randomness; the plan shape (one
+    * hash aggregate + a pure projection) is identical.
+    *
+    * u is clamped away from the CDF's poles so ln() stays finite;
+    * noisy_n rounds at 6 (counts ~1e4 put round-12 past double
+    * precision).
+    */
+  def dpNoisyCounts(
+      df: DataFrame, catCol: String, epsilon: Double,
+      seed: Long): DataFrame = {
+    require(epsilon > 0, s"epsilon must be > 0, got $epsilon")
+    val u = (pmod(
+      graft.functions.TextFunctions.md5Hash60(
+        concat_ws(":", col(catCol).cast("string"), lit(seed))),
+      lit(1000000L)).cast("double") + 0.5) / 1000000.0
+    val uc = u - 0.5
+    val noise = (-lit(1.0) / epsilon) * signum(uc) *
+      log(lit(1.0) - lit(2.0) * abs(uc))
+    df.groupBy(col(catCol))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("noisy_n", round(col("n") + noise, 6))
+  }
 }

@@ -392,5 +392,50 @@ object EvalQueries {
 
   def all: Seq[HarnessQuery] = Seq(
     q149RocAuc, q150KsStat, q151Confusion, q152Calibration, q153LiftTable,
-    q154WoeIv, q155TargetEncode, q156Psi, q157Expectations, q158CumScores)
+    q154WoeIv, q155TargetEncode, q156Psi, q157Expectations, q158CumScores,
+    q226CvAuc)
+
+  /** Cross-validated AUC ([[Evaluation.rocAucByGroup]] over
+    * [[graft.operators.Split.groupKFold]] folds): one tie-aware
+    * Mann-Whitney AUC per fold in a single pass — the per-group
+    * cumulative window runs over the per-(fold, score) aggregate,
+    * bounded by distinct scores, never raw rows.
+    */
+  lazy val q226CvAuc = HarnessQuery(
+    "q226_cv_auc",
+    (spark, dir) =>
+      Evaluation.rocAucByGroup(
+        graft.operators.Split.groupKFold(
+          scored(spark, dir), "user_id", 5, 42L),
+        "score", "label", "fold")
+        .withColumn("auc", round(col("auc"), 12))
+        .orderBy(col("fold")),
+    Some(s"""
+      WITH $scoredSql,
+      f AS (
+        SELECT scored.*,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':42'), 1, 15))
+                 AS BIGINT) % 5 AS fold
+        FROM scored),
+      perf AS (
+        SELECT fold, score,
+               CAST(sum(label) AS BIGINT) AS pos_c,
+               CAST(count(*) - sum(label) AS BIGINT) AS neg_c
+        FROM f GROUP BY 1, 2),
+      cum AS (
+        SELECT *,
+               coalesce(sum(neg_c) OVER (PARTITION BY fold ORDER BY score
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnl
+        FROM perf),
+      a AS (
+        SELECT fold,
+               sum(CAST(pos_c AS HUGEINT) * (2 * cnl + neg_c)) AS num,
+               CAST(sum(pos_c) AS BIGINT) AS n_pos,
+               CAST(sum(neg_c) AS BIGINT) AS n_neg
+        FROM cum GROUP BY 1)
+      SELECT fold, n_pos, n_neg,
+             round(CAST(num AS DOUBLE) / nullif(2.0 * n_pos * n_neg, 0), 12)
+               AS auc
+      FROM a ORDER BY fold
+    """.trim))
 }

@@ -589,9 +589,34 @@ object VectorTextQueries {
       FROM a
     """.trim))
 
+  /** Seeded Laplace-noised category counts
+    * ([[graft.operators.Privacy.dpNoisyCounts]], epsilon = 1, seed
+    * 42): the DP-histogram release shape with reproducible
+    * hash-derived noise through the Laplace inverse CDF.
+    */
+  val q225DpCounts = HarnessQuery(
+    "q225_dp_counts",
+    (spark, dir) =>
+      graft.operators.Privacy.dpNoisyCounts(
+        Tables.events(spark, dir), "event_type", epsilon = 1.0, seed = 42L)
+        .orderBy(col("event_type")),
+    Some("""
+      WITH c AS (
+        SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+      u AS (
+        SELECT event_type, n,
+               ((CAST(('0x' || substr(md5(event_type || ':' || '42'), 1, 15))
+                 AS BIGINT) % 1000000) + 0.5) / 1000000.0 AS u
+        FROM c)
+      SELECT event_type, n,
+             round(n + (-1.0 / 1.0) * sign(u - 0.5)
+               * ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS noisy_n
+      FROM u ORDER BY event_type
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q211CollocPmi, q212TokenEntropy, q213GramMatrix, q214CovMatrix,
     q215WalkForward, q216LabelProp, q217PowerIteration, q218LatenessAudit,
     q219MergeableMoments, q220Diversity, q221QuantileNorm, q222Scd2,
-    q223MannWhitney, q224Spearman)
+    q223MannWhitney, q224Spearman, q225DpCounts)
 }

@@ -222,6 +222,47 @@ class VectorTextSpec extends SparkSpec {
       .collect()(0).getDouble(1) == -1.0)
   }
 
+  test("dpNoisyCounts: deterministic, bounded noise, exact base counts") {
+    val df = Seq("a", "a", "a", "b").toDF("c")
+    val out1 = graft.operators.Privacy.dpNoisyCounts(df, "c", 1.0, 42L)
+      .orderBy("c").collect()
+    val out2 = graft.operators.Privacy.dpNoisyCounts(df, "c", 1.0, 42L)
+      .orderBy("c").collect()
+    assert(out1.map(_.getDouble(2)).toSeq == out2.map(_.getDouble(2)).toSeq)
+    assert(out1(0).getLong(1) == 3L && out1(1).getLong(1) == 1L)
+    // Laplace(1/eps=1) noise from clamped u: |noise| <= ln(1e6) ~ 13.8
+    out1.foreach { r =>
+      assert(math.abs(r.getDouble(2) - r.getLong(1)) <= 13.9)
+    }
+    // tighter epsilon -> proportionally larger noise, same u
+    val loose = graft.operators.Privacy.dpNoisyCounts(df, "c", 0.5, 42L)
+      .orderBy("c").collect()
+    out1.zip(loose).foreach { case (t, l) =>
+      val nt = t.getDouble(2) - t.getLong(1)
+      val nl = l.getDouble(2) - l.getLong(1)
+      assert(math.abs(nl - 2 * nt) < 1e-5)
+    }
+  }
+
+  test("rocAucByGroup matches per-group hand AUC with ties") {
+    // group g1: perfect separation -> 1.0; g2: one tie -> 0.75
+    val df = Seq(
+      ("g1", 0.1, 0L), ("g1", 0.2, 0L), ("g1", 0.9, 1L),
+      ("g2", 0.3, 0L), ("g2", 0.5, 0L), ("g2", 0.5, 1L), ("g2", 0.7, 1L))
+      .toDF("g", "score", "label")
+    val out = graft.operators.Evaluation
+      .rocAucByGroup(df, "score", "label", "g")
+      .orderBy("g").collect()
+    assert(out(0).getDouble(3) == 1.0)
+    // g2 pairs: (0.3,0.5)=1, (0.3,0.7)=1, (0.5,0.5)=0.5, (0.5,0.7)=1
+    // -> 3.5/4 = 0.875
+    assert(out(1).getDouble(3) == 0.875)
+    // single-class group -> null auc, not NaN
+    val single = Seq(("g", 0.5, 1L), ("g", 0.7, 1L)).toDF("g", "score", "label")
+    assert(graft.operators.Evaluation
+      .rocAucByGroup(single, "score", "label", "g").collect()(0).isNullAt(3))
+  }
+
   test("labelPropagation: spreads, clamps seeds, breaks ties by min label") {
     val verts = Seq(
       (1L, Some(0)), (2L, None), (3L, None), (4L, None), (5L, Some(1)))
