@@ -135,6 +135,50 @@ object Evaluation {
           .as("auc"))
   }
 
+  /** Split conformal prediction: fit a per-group mean predictor on
+    * the calibration slice, take the q-quantile of calibration
+    * nonconformity |y - pred| as the interval half-width, and report
+    * the empirical coverage that threshold achieves on the held-out
+    * slice — the distribution-free "how wide must my prediction band
+    * be" answer, and the audit that its guarantee actually holds.
+    *
+    * `isCalib` marks the calibration rows. Shape: one hash aggregate
+    * for the per-group means (group-cardinality bounded, broadcast
+    * back), one exact-percentile aggregate over calibration
+    * nonconformity (1 row, broadcast), one counting pass over the
+    * test slice. Means divide exact decimal sums; the threshold is
+    * the exact interpolated percentile (the engine-wide
+    * `percentile` ≡ `quantile_cont` parity).
+    */
+  def splitConformal(
+      df: DataFrame, valueCol: String, groupCol: String,
+      isCalib: Column, q: Double): DataFrame = {
+    require(q > 0 && q < 1, s"q must be in (0,1), got $q")
+    val calib = df.where(isCalib)
+    val pred = calib.groupBy(col(groupCol))
+      .agg((sum(col(valueCol).cast("decimal(28,6)")).cast("double")
+        / count(col(valueCol))).as("__pred"))
+    def nc(t: DataFrame): DataFrame = t
+      .join(broadcast(pred), Seq(groupCol))
+      .withColumn("__nc", abs(col(valueCol).cast("double") - col("__pred")))
+    val thr = broadcast(nc(calib)
+      .agg(expr(s"percentile(__nc, $q)").as("__thr"),
+        count(lit(1)).as("n_calib")))
+    nc(df.where(!isCalib))
+      .crossJoin(thr)
+      .agg(
+        first(col("__thr")).as("__t"),
+        first(col("n_calib")).as("n_calib"),
+        count(lit(1)).as("n_test"),
+        sum(when(col("__nc") <= col("__thr"), 1L).otherwise(0L))
+          .as("__cov"))
+      .select(
+        round(col("__t"), 9).as("threshold"),
+        col("n_calib"), col("n_test"),
+        round(col("__cov").cast("double") / col("n_test"), 12)
+          .as("coverage"))
+  }
+
   /** Kolmogorov–Smirnov statistic between the positive and negative
     * score CDFs: max_s |cum_pos_le(s)/P − cum_neg_le(s)/N|, evaluated
     * as the integer |cum_pos_le·N − cum_neg_le·P| over P·N. One row:

@@ -117,5 +117,47 @@ object SourceQueries {
       ORDER BY feature
     """.trim))
 
-  def all: Seq[HarnessQuery] = Seq(q159CsvRoundtrip, q160YamlConfig)
+  /** Partitioned-sink roundtrip ([[graft.sources.Layout
+    * .writePartitioned]]): events written partitionBy(event_type) into
+    * the query's temp dir (salted within each partition value so a
+    * skewed type doesn't funnel one task), then read back through a
+    * partition-pruned scan (filter on the partition column) and
+    * aggregated. The oracle aggregates the same slice straight from
+    * the source table — layout must be lossless and the pruned read
+    * complete for the hash to match. The partition column itself
+    * round-trips through directory names (value → path → value), so
+    * type fidelity is part of what's under test.
+    */
+  val q227PartitionedSink = HarnessQuery(
+    "q227_partitioned_sink",
+    (spark, dir) => {
+      val tmp = Files.createTempDirectory("graft_q227").toFile
+      tmp.deleteOnExit()
+      val out = new java.io.File(tmp, "events_by_type").getPath
+      graft.sources.Layout.writePartitioned(
+        Tables.events(spark, dir), out,
+        partCol = "event_type", sortCol = "ts")
+      spark.read.schema(Tables.events)
+        .option("basePath", out).parquet(out)
+        .where(col("event_type").isin("click", "purchase"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          dsum(col("value")).as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"),
+          max(unix_micros(col("ts"))).as("max_ts_us"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      SELECT event_type,
+             count(*) AS n,
+             CAST(sum(CAST("value" AS DECIMAL(25,6))) AS DOUBLE) AS sum_value,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+             max(epoch_us(CAST(ts AS TIMESTAMP))) AS max_ts_us
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1 ORDER BY 1
+    """.trim))
+
+  def all: Seq[HarnessQuery] =
+    Seq(q159CsvRoundtrip, q160YamlConfig, q227PartitionedSink)
 }

@@ -614,9 +614,88 @@ object VectorTextQueries {
       FROM u ORDER BY event_type
     """.trim))
 
+  /** Out-of-vocabulary rate per document against the corpus top-20
+    * vocabulary (tokenizer-coverage planning: which docs a vocab this
+    * size would shred into byte fallbacks). Top-k vocab via
+    * TakeOrdered (count desc, word asc — fully deterministic),
+    * broadcast back over the token stream.
+    */
+  val q228OovRate = HarnessQuery(
+    "q228_oov_rate",
+    (spark, dir) => {
+      import graft.functions.TextFunctions
+      val toks = Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("w"))
+      val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("__c"))
+        .orderBy(col("__c").desc, col("w")).limit(20)
+        .select(col("w"), lit(1L).as("__in"))
+      toks.join(broadcast(vocab), Seq("w"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          round(col("n_oov").cast("double") / col("n_tokens"), 12)
+            .as("oov_rate"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH tk AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        FROM documents),
+      vc AS (
+        SELECT w FROM (SELECT w, count(*) AS c FROM tk GROUP BY 1)
+        ORDER BY c DESC, w LIMIT 20),
+      j AS (
+        SELECT tk.doc_id,
+               CASE WHEN vc.w IS NULL THEN 1 ELSE 0 END AS oov
+        FROM tk LEFT JOIN vc ON tk.w = vc.w)
+      SELECT doc_id, count(*) AS n_tokens,
+             CAST(sum(oov) AS BIGINT) AS n_oov,
+             round(CAST(sum(oov) AS DOUBLE) / count(*), 12) AS oov_rate
+      FROM j GROUP BY 1 ORDER BY doc_id
+    """.trim))
+
+  /** Split conformal coverage ([[graft.operators.Evaluation
+    * .splitConformal]], per-event-type mean predictor, q = 0.9,
+    * calibration = even event ids): the threshold is the exact
+    * interpolated 90th percentile of calibration nonconformity, and
+    * the reported coverage on odd ids audits the conformal guarantee.
+    */
+  val q230Conformal = HarnessQuery(
+    "q230_conformal",
+    (spark, dir) =>
+      graft.operators.Evaluation.splitConformal(
+        Tables.events(spark, dir), "value", "event_type",
+        pmod(col("event_id"), lit(2L)) === 0, q = 0.9),
+    Some("""
+      WITH pred AS (
+        SELECT event_type,
+               CAST(sum(CAST("value" AS DECIMAL(28,6))) AS DOUBLE)
+                 / count("value") AS pred
+        FROM events WHERE event_id % 2 = 0 GROUP BY 1),
+      calib AS (
+        SELECT abs(CAST(e."value" AS DOUBLE) - p.pred) AS nc
+        FROM events e JOIN pred p USING (event_type)
+        WHERE e.event_id % 2 = 0),
+      thr AS (
+        SELECT quantile_cont(nc, 0.9) AS t, count(*) AS n_calib
+        FROM calib),
+      test AS (
+        SELECT abs(CAST(e."value" AS DOUBLE) - p.pred) AS nc
+        FROM events e JOIN pred p USING (event_type)
+        WHERE e.event_id % 2 <> 0)
+      SELECT round((SELECT t FROM thr), 9) AS threshold,
+             (SELECT n_calib FROM thr) AS n_calib,
+             count(*) AS n_test,
+             round(CAST(sum(CASE WHEN nc <= (SELECT t FROM thr)
+               THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 12) AS coverage
+      FROM test
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q211CollocPmi, q212TokenEntropy, q213GramMatrix, q214CovMatrix,
     q215WalkForward, q216LabelProp, q217PowerIteration, q218LatenessAudit,
     q219MergeableMoments, q220Diversity, q221QuantileNorm, q222Scd2,
-    q223MannWhitney, q224Spearman, q225DpCounts)
+    q223MannWhitney, q224Spearman, q225DpCounts, q228OovRate, q230Conformal)
 }

@@ -263,6 +263,39 @@ class VectorTextSpec extends SparkSpec {
       .rocAucByGroup(single, "score", "label", "g").collect()(0).isNullAt(3))
   }
 
+  test("splitConformal: exact threshold and held-out coverage") {
+    val df = Seq(
+      // calib (id even): group g values 0, 10 -> mean 5, nc = {5, 5}
+      (0L, "g", 0.0), (2L, "g", 10.0),
+      // test (id odd): nc = 4 (covered), 15 (not)
+      (1L, "g", 1.0), (3L, "g", 20.0)).toDF("id", "grp", "v")
+    val r = graft.operators.Evaluation.splitConformal(
+      df, "v", "grp", pmod(col("id"), lit(2L)) === 0, q = 0.5).collect()(0)
+    assert(r.getDouble(0) == 5.0)  // percentile([5,5], .5)
+    assert(r.getLong(1) == 2L && r.getLong(2) == 2L)
+    assert(r.getDouble(3) == 0.5)
+  }
+
+  test("partitioned sink: lossless roundtrip and partition-pruned scan") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_layout_spec")
+    val df = Seq(
+      ("a", 1L, 1.5), ("a", 2L, 2.5), ("b", 3L, 3.5), ("c", 4L, 4.5))
+      .toDF("part", "k", "v")
+    graft.sources.Layout.writePartitioned(
+      df, tmp.toString, partCol = "part", sortCol = "k",
+      tasksPerPartition = 2)
+    val back = spark.read.option("basePath", tmp.toString)
+      .parquet(tmp.toString).where(col("part") === "a")
+    // pruning: only partition a's files are read
+    val scan = back.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(scan.contains("PartitionFilters") && scan.contains("part#"),
+      s"expected partition filters in scan:\n$scan")
+    val rows = back.select("k", "v").orderBy("k").collect()
+    assert(rows.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((1L, 1.5), (2L, 2.5)))
+  }
+
   test("labelPropagation: spreads, clamps seeds, breaks ties by min label") {
     val verts = Seq(
       (1L, Some(0)), (2L, None), (3L, None), (4L, None), (5L, Some(1)))
