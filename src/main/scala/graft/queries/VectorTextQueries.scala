@@ -693,9 +693,77 @@ object VectorTextQueries {
       FROM test
     """.trim))
 
+  /** Forward-direction as-of join
+    * ([[graft.operators.RangeJoin.asOfJoin]] direction = forward,
+    * tolerance 19): each event matched to the NEXT mark at or above
+    * its key — the "next maintenance window / next price tick" shape,
+    * completing the backward/nearest harness coverage.
+    */
+  val q231AsofForward = HarnessQuery(
+    "q231_asof_forward",
+    (spark, dir) => {
+      val ev = Tables.events(spark, dir)
+        .withColumn("uk", pmod(col("user_id") * 7 + col("event_id"), lit(1000L)))
+      val marks = Tables.nation(spark, dir).select(
+        col("n_name"),
+        (col("n_nationkey").cast("long") * 38L + 5L).as("lb"))
+      graft.operators.RangeJoin.asOfJoin(ev, marks, "uk", "lb", "event_id",
+        direction = "forward", tolerance = Some(19L))
+        .select(col("event_id"), col("uk"),
+          coalesce(col("n_name"), lit("none")).as("mark"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT event_id, uk, coalesce(n_name, 'none') AS mark
+      FROM (SELECT event_id, (user_id * 7 + event_id) % 1000 AS uk FROM events) e
+      LEFT JOIN (SELECT n_name, n_nationkey * 38 + 5 AS lb FROM nation) r
+        ON r.lb >= e.uk AND r.lb - e.uk <= 19
+      QUALIFY row_number() OVER (PARTITION BY event_id ORDER BY lb) = 1
+      ORDER BY event_id
+    """.trim))
+
+  /** Running novel-action count: per event, how many DISTINCT event
+    * types its user has exhibited up to and including that event —
+    * windowed count-distinct done scalably as a first-occurrence flag
+    * (per-(user, type) rank) plus a per-user running sum; no
+    * collect_set state grows with history.
+    */
+  val q232NovelActions = HarnessQuery(
+    "q232_novel_actions",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w1 = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val w2 = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(spark, dir)
+        .withColumn("__first",
+          when(row_number().over(w1) === 1, 1L).otherwise(0L))
+        .withColumn("novel_types", sum(col("__first")).over(w2))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("novel_types"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      WITH f AS (
+        SELECT event_id, user_id, event_type, ts,
+               CASE WHEN row_number() OVER
+                 (PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1
+                 THEN 1 ELSE 0 END AS first_seen
+        FROM events)
+      SELECT event_id, user_id, event_type,
+             CAST(sum(first_seen) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS novel_types
+      FROM f ORDER BY event_id
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q211CollocPmi, q212TokenEntropy, q213GramMatrix, q214CovMatrix,
     q215WalkForward, q216LabelProp, q217PowerIteration, q218LatenessAudit,
     q219MergeableMoments, q220Diversity, q221QuantileNorm, q222Scd2,
-    q223MannWhitney, q224Spearman, q225DpCounts, q228OovRate, q230Conformal)
+    q223MannWhitney, q224Spearman, q225DpCounts, q228OovRate, q230Conformal,
+    q231AsofForward, q232NovelActions)
 }
