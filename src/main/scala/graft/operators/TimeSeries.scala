@@ -178,6 +178,33 @@ object TimeSeries {
     * pre-aggregate per day BEFORE the broadcast join, so the fold
     * summary shuffles day-level rows only.
     */
+  /** Theil-Sen style robust trend: the median of pairwise slopes over
+    * a DETERMINISTIC systematic pairing (row id vs id + stride) —
+    * the full Theil-Sen takes all O(n^2) pairs, which no 100 TB job
+    * does; stride pairing keeps the estimator's median-of-slopes
+    * robustness (one outlier corrupts one pair, not the median) at
+    * O(n) pairs and one equi-join. Slopes are per-day; the median is
+    * the exact interpolated percentile. Output one row:
+    * (n_pairs, slope_per_day).
+    */
+  def theilSenTrend(
+      df: DataFrame, idCol: String, tsCol: String, valueCol: String,
+      stride: Long): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val a = df.select(col(idCol).as("__ia"),
+      unix_micros(col(tsCol)).as("__ta"), col(valueCol).cast("double").as("__va"))
+    val b = df.select((col(idCol) - stride).as("__ia"),
+      unix_micros(col(tsCol)).as("__tb"), col(valueCol).cast("double").as("__vb"))
+    val slopes = a.join(b, Seq("__ia"))
+      .where(col("__tb") =!= col("__ta"))
+      .select(((col("__vb") - col("__va"))
+        / ((col("__tb") - col("__ta")).cast("double") / (86400.0 * 1000000.0)))
+        .as("__slope"))
+    slopes.agg(
+      count(lit(1)).as("n_pairs"),
+      round(expr("percentile(__slope, 0.5)"), 9).as("slope_per_day"))
+  }
+
   def walkForwardFolds(
       df: DataFrame, tsCol: String, k: Int): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")

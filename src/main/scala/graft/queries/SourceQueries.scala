@@ -158,6 +158,53 @@ object SourceQueries {
       GROUP BY 1 ORDER BY 1
     """.trim))
 
+  /** Schema-evolution read: two parquet batches with DIFFERENT
+    * schemas (an early export without `user_id`, a later one without
+    * `value`) land in the same directory tree; `mergeSchema` unifies
+    * them and the aggregate proves no column silently dropped or
+    * null-filled on the wrong side. This is the source-side contract
+    * a long-lived 100 TB dataset lives by — schemas drift across
+    * vintages and the reader must reconcile, not reject.
+    */
+  val q233SchemaEvolution = HarnessQuery(
+    "q233_schema_evolution",
+    (spark, dir) => {
+      val tmp = Files.createTempDirectory("graft_q233").toFile
+      tmp.deleteOnExit()
+      val base = new java.io.File(tmp, "evolved").getPath
+      val ev = Tables.events(spark, dir)
+      ev.where(col("event_id") % 2 === 0)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .write.mode("overwrite").parquet(s"$base/batch=v1")
+      ev.where(col("event_id") % 2 =!= 0)
+        .select(col("event_id"), col("event_type"), col("user_id"))
+        .write.mode("overwrite").parquet(s"$base/batch=v2")
+      spark.read.option("mergeSchema", "true").parquet(base)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          count(col("value")).as("n_value"),
+          count(col("user_id")).as("n_user"),
+          dsum(col("value")).as("sum_value"),
+          sum(col("user_id")).as("sum_user"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      SELECT event_type,
+             count(*) AS n,
+             CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_value,
+             CAST(sum(CASE WHEN event_id % 2 <> 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_user,
+             CAST(sum(CASE WHEN event_id % 2 = 0
+               THEN CAST("value" AS DECIMAL(25,6)) END) AS DOUBLE)
+               AS sum_value,
+             CAST(sum(CASE WHEN event_id % 2 <> 0 THEN user_id END)
+               AS BIGINT) AS sum_user
+      FROM events GROUP BY 1 ORDER BY 1
+    """.trim))
+
   def all: Seq[HarnessQuery] =
-    Seq(q159CsvRoundtrip, q160YamlConfig, q227PartitionedSink)
+    Seq(q159CsvRoundtrip, q160YamlConfig, q227PartitionedSink,
+      q233SchemaEvolution)
 }

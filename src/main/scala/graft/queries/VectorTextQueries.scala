@@ -760,10 +760,80 @@ object VectorTextQueries {
       FROM f ORDER BY event_id
     """.trim))
 
+  /** Training-format export: one svmlight-style line per event with
+    * INTEGER-quantized features (hour, day-of-week, value bucket) —
+    * integer-only string building so the serialized form is
+    * byte-identical in any engine (double formatting never is). The
+    * export shape a petabyte feature-matrix dump uses: pure
+    * projection, no shuffle.
+    */
+  val q234SvmlightExport = HarnessQuery(
+    "q234_svmlight_export",
+    (spark, dir) =>
+      Tables.events(spark, dir)
+        .withColumn("__us", unix_micros(col("ts")))
+        .select(col("event_id"),
+          concat(
+            when(pmod(col("event_id"), lit(10L)) === 0, lit(1L))
+              .otherwise(lit(0L)).cast("string"),
+            lit(" 1:"),
+            // integer-only time arithmetic (`div`, not `/`): long
+            // division in Spark SQL is DOUBLE division, and a
+            // float-floored hour is exactly the kind of boundary bug
+            // string exports make un-diffable
+            expr("(__us div 3600000000) % 24").cast("string"),
+            lit(" 2:"), expr("(__us div 86400000000) % 7").cast("string"),
+            lit(" 3:"),
+            floor(col("value") / 10.0).cast("long").cast("string"))
+            .as("line"))
+        .orderBy(col("event_id")),
+    Some("""
+      WITH e AS (
+        SELECT event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+               "value"
+        FROM events)
+      SELECT event_id,
+             CAST(CASE WHEN event_id % 10 = 0 THEN 1 ELSE 0 END AS VARCHAR)
+             || ' 1:' || CAST((us // 3600000000) % 24 AS VARCHAR)
+             || ' 2:' || CAST((us // 86400000000) % 7 AS VARCHAR)
+             || ' 3:' || CAST(CAST(floor("value" / 10.0) AS BIGINT) AS VARCHAR)
+               AS line
+      FROM e ORDER BY event_id
+    """.trim))
+
+  /** Robust per-day trend of event value
+    * ([[TimeSeries.theilSenTrend]], stride 5000): median of
+    * deterministic stride-pair slopes — Theil-Sen's robustness at
+    * O(n) pairs.
+    */
+  val q235TheilSen = HarnessQuery(
+    "q235_theil_sen",
+    (spark, dir) =>
+      TimeSeries.theilSenTrend(
+        Tables.events(spark, dir), "event_id", "ts", "value", stride = 5000L),
+    Some("""
+      WITH a AS (
+        SELECT event_id AS ia, epoch_us(CAST(ts AS TIMESTAMP)) AS ta,
+               CAST("value" AS DOUBLE) AS va
+        FROM events),
+      b AS (
+        SELECT event_id - 5000 AS ia, epoch_us(CAST(ts AS TIMESTAMP)) AS tb,
+               CAST("value" AS DOUBLE) AS vb
+        FROM events),
+      s AS (
+        SELECT (vb - va) / (CAST(tb - ta AS DOUBLE) / (86400.0 * 1000000.0))
+                 AS slope
+        FROM a JOIN b USING (ia) WHERE tb <> ta)
+      SELECT count(*) AS n_pairs,
+             round(quantile_cont(slope, 0.5), 9) AS slope_per_day
+      FROM s
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q211CollocPmi, q212TokenEntropy, q213GramMatrix, q214CovMatrix,
     q215WalkForward, q216LabelProp, q217PowerIteration, q218LatenessAudit,
     q219MergeableMoments, q220Diversity, q221QuantileNorm, q222Scd2,
     q223MannWhitney, q224Spearman, q225DpCounts, q228OovRate, q230Conformal,
-    q231AsofForward, q232NovelActions)
+    q231AsofForward, q232NovelActions, q234SvmlightExport, q235TheilSen)
 }

@@ -296,6 +296,21 @@ class VectorTextSpec extends SparkSpec {
       Seq((1L, 1.5), (2L, 2.5)))
   }
 
+  test("theilSenTrend: median slope resists a corrupted pair") {
+    def ts(d: Long) = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(d * 86400))
+    // value = 2*day except one wild outlier at id 5; stride-1 pairs
+    val df = Seq(
+      (0L, ts(0), 0.0), (1L, ts(1), 2.0), (2L, ts(2), 4.0),
+      (3L, ts(3), 6.0), (4L, ts(4), 8.0), (5L, ts(5), 1000.0))
+      .toDF("id", "ts", "v")
+    val r = graft.operators.TimeSeries
+      .theilSenTrend(df, "id", "ts", "v", stride = 1L).collect()(0)
+    assert(r.getLong(0) == 5L)
+    // slopes: 2,2,2,2,992 -> median 2 (the mean would be ~200)
+    assert(r.getDouble(1) == 2.0)
+  }
+
   test("labelPropagation: spreads, clamps seeds, breaks ties by min label") {
     val verts = Seq(
       (1L, Some(0)), (2L, None), (3L, None), (4L, None), (5L, Some(1)))
