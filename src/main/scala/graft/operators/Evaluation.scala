@@ -229,6 +229,40 @@ object Evaluation {
           / (col("tp") + col("fp") + col("tn") + col("fn"))).as("accuracy"))
   }
 
+  /** Threshold sweep: [[confusionAtThreshold]]'s metrics at EVERY
+    * candidate threshold in one pass — the operating-point curve that
+    * picks a deployment threshold. The sweep is an in-row explode of
+    * the (small, fixed) threshold list into the conditional
+    * aggregate: one scan, one shuffle of |thresholds| counter rows,
+    * never one job per threshold. Divisions guard 0/0 with nullif
+    * (all-negative data at a high threshold), so nulls, never NaN.
+    */
+  def thresholdSweep(
+      df: DataFrame, scoreCol: String, labelCol: String,
+      thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val label = col(labelCol) === 1
+    val pred = col(scoreCol) >= col("threshold")
+    df.select(col(scoreCol), col(labelCol),
+        explode(array(thresholds.map(lit): _*)).as("threshold"))
+      .groupBy(col("threshold"))
+      .agg(
+        sum(when(pred && label, 1L).otherwise(0L)).as("tp"),
+        sum(when(pred && !label, 1L).otherwise(0L)).as("fp"),
+        sum(when(!pred && !label, 1L).otherwise(0L)).as("tn"),
+        sum(when(!pred && label, 1L).otherwise(0L)).as("fn"))
+      .select(col("threshold"), col("tp"), col("fp"), col("tn"), col("fn"),
+        (col("tp").cast("double")
+          / nullif((col("tp") + col("fp")).cast("double"), lit(0.0)))
+          .as("precision"),
+        (col("tp").cast("double")
+          / nullif((col("tp") + col("fn")).cast("double"), lit(0.0)))
+          .as("recall"),
+        (lit(2.0) * col("tp")
+          / nullif((lit(2) * col("tp") + col("fp") + col("fn")).cast("double"),
+            lit(0.0))).as("f1"))
+  }
+
   /** Reliability diagram data: `bins` equal-width score bins over
     * [0, 1]; per bin the count, exact mean score (decimal sum over
     * count) and observed positive rate. Scores outside [0, 1] clamp to

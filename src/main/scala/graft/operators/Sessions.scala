@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Batch sessionization — the gaps-and-islands operator, expressed with
@@ -102,5 +103,35 @@ object Sessions {
       .filter(col("pos") > 1)
       .select(col(keyCol), col("pos"), col("context"),
         col("__ev").as("target"))
+  }
+
+  /** Inter-event gap distribution — the evidence behind a session-gap
+    * or watermark choice: per-key consecutive gaps in integer seconds
+    * (lag over the per-key time order), then the corpus-level exact
+    * quantiles plus the fraction of gaps a candidate `gapSec` would
+    * split. If p90 sits near the chosen gap, sessions are being cut
+    * mid-activity; if the split fraction is tiny, the gap is safely
+    * conservative. One per-key window + one global aggregate over
+    * gap rows; gaps stay integer seconds end to end.
+    */
+  def gapStats(
+      df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+      gapSec: Long): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val gaps = df
+      .withColumn("__prev_us", lag(unix_micros(col(tsCol)), 1).over(w))
+      .where(col("__prev_us").isNotNull)
+      .select(((unix_micros(col(tsCol)) - col("__prev_us"))
+        .cast("double") / 1000000.0).as("__gap_s"))
+    gaps.agg(
+      count(lit(1)).as("n_gaps"),
+      round(expr("percentile(__gap_s, 0.5)"), 6).as("p50_s"),
+      round(expr("percentile(__gap_s, 0.9)"), 6).as("p90_s"),
+      round(expr("percentile(__gap_s, 0.99)"), 6).as("p99_s"),
+      sum(when(col("__gap_s") > gapSec.toDouble, 1L).otherwise(0L))
+        .as("n_over_gap"))
+      .withColumn("split_frac",
+        round(col("n_over_gap").cast("double") / col("n_gaps"), 12))
   }
 }

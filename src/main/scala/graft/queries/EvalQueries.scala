@@ -393,7 +393,7 @@ object EvalQueries {
   def all: Seq[HarnessQuery] = Seq(
     q149RocAuc, q150KsStat, q151Confusion, q152Calibration, q153LiftTable,
     q154WoeIv, q155TargetEncode, q156Psi, q157Expectations, q158CumScores,
-    q226CvAuc)
+    q226CvAuc, q236ThresholdSweep)
 
   /** Cross-validated AUC ([[Evaluation.rocAucByGroup]] over
     * [[graft.operators.Split.groupKFold]] folds): one tie-aware
@@ -437,5 +437,44 @@ object EvalQueries {
              round(CAST(num AS DOUBLE) / nullif(2.0 * n_pos * n_neg, 0), 12)
                AS auc
       FROM a ORDER BY fold
+    """.trim))
+
+  /** Operating-point curve ([[Evaluation.thresholdSweep]], 9
+    * thresholds): every confusion metric at every candidate threshold
+    * in ONE scan (in-row threshold explode into the conditional
+    * aggregate), the deployment-threshold picker.
+    */
+  lazy val q236ThresholdSweep = HarnessQuery(
+    "q236_threshold_sweep",
+    (spark, dir) =>
+      Evaluation.thresholdSweep(
+        scored(spark, dir), "score", "label",
+        (1 to 9).map(_ / 10.0))
+        .orderBy(col("threshold")),
+    Some(s"""
+      WITH $scoredSql,
+      x AS (
+        SELECT score, label,
+               CAST(unnest([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+                 AS DOUBLE) AS threshold
+        FROM scored),
+      cm AS (
+        SELECT threshold,
+               CAST(sum(CASE WHEN score >= threshold AND label = 1
+                 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(sum(CASE WHEN score >= threshold AND label = 0
+                 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+               CAST(sum(CASE WHEN score < threshold AND label = 0
+                 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+               CAST(sum(CASE WHEN score < threshold AND label = 1
+                 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+        FROM x GROUP BY 1)
+      SELECT threshold, tp, fp, tn, fn,
+             CAST(tp AS DOUBLE) / nullif(CAST(tp + fp AS DOUBLE), 0)
+               AS precision,
+             CAST(tp AS DOUBLE) / nullif(CAST(tp + fn AS DOUBLE), 0)
+               AS recall,
+             2.0 * tp / nullif(CAST(2 * tp + fp + fn AS DOUBLE), 0) AS f1
+      FROM cm ORDER BY threshold
     """.trim))
 }

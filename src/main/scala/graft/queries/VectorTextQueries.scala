@@ -830,10 +830,91 @@ object VectorTextQueries {
       FROM s
     """.trim))
 
+  /** Two-sample KS drift between document-source halves
+    * ([[graft.operators.Evaluation.ksStatistic]] reused as a
+    * two-sample test: membership in sources 0-9 is the "label", so
+    * the pos/neg CDFs are the two slices' n_chars distributions) —
+    * the corpus-drift monitor between ingestion pipelines.
+    */
+  val q237KsBySource = HarnessQuery(
+    "q237_ks_by_source",
+    (spark, dir) =>
+      graft.operators.Evaluation.ksStatistic(
+        Tables.documents(spark, dir).select(
+          col("n_chars").cast("double").as("score"),
+          when(substring(col("source"), 4, 10).cast("int") < 10, 1L)
+            .otherwise(0L).as("label")),
+        "score", "label")
+        .withColumn("ks", round(col("ks"), 12)),
+    Some("""
+      WITH s AS (
+        SELECT CAST(n_chars AS DOUBLE) AS score,
+               CASE WHEN CAST(substr(source, 4) AS INT) < 10
+                 THEN 1 ELSE 0 END AS label
+        FROM documents),
+      per AS (
+        SELECT score,
+               CAST(sum(label) AS BIGINT) AS pos_c,
+               CAST(count(*) - sum(label) AS BIGINT) AS neg_c
+        FROM s GROUP BY 1),
+      tot AS (
+        SELECT CAST(sum(pos_c) AS BIGINT) AS p,
+               CAST(sum(neg_c) AS BIGINT) AS n
+        FROM per),
+      cum AS (
+        SELECT score,
+               sum(pos_c) OVER (ORDER BY score
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp,
+               sum(neg_c) OVER (ORDER BY score
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn
+        FROM per)
+      SELECT round(CAST(abs(CAST(cp AS HUGEINT) * (SELECT n FROM tot)
+                          - CAST(cn AS HUGEINT) * (SELECT p FROM tot))
+                     AS DOUBLE)
+               / (CAST((SELECT p FROM tot) AS DOUBLE)
+                  * CAST((SELECT n FROM tot) AS DOUBLE)), 12) AS ks,
+             score AS ks_score
+      FROM cum
+      ORDER BY abs(CAST(cp AS HUGEINT) * (SELECT n FROM tot)
+                 - CAST(cn AS HUGEINT) * (SELECT p FROM tot)) DESC,
+               score ASC
+      LIMIT 1
+    """.trim))
+
+  /** Inter-event gap distribution
+    * ([[graft.operators.Sessions.gapStats]], candidate gap 1800 s):
+    * the measured evidence behind the 30-minute session cut — exact
+    * gap quantiles plus the fraction of gaps that cut would split.
+    */
+  val q238GapStats = HarnessQuery(
+    "q238_gap_stats",
+    (spark, dir) =>
+      graft.operators.Sessions.gapStats(
+        Tables.events(spark, dir), "user_id", "ts", "event_id", 1800L),
+    Some("""
+      WITH g AS (
+        SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP))
+                 - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS DOUBLE) / 1000000.0 AS gap_s
+        FROM events),
+      gg AS (SELECT gap_s FROM g WHERE gap_s IS NOT NULL)
+      SELECT count(*) AS n_gaps,
+             round(quantile_cont(gap_s, 0.5), 6) AS p50_s,
+             round(quantile_cont(gap_s, 0.9), 6) AS p90_s,
+             round(quantile_cont(gap_s, 0.99), 6) AS p99_s,
+             CAST(sum(CASE WHEN gap_s > 1800.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_over_gap,
+             round(CAST(sum(CASE WHEN gap_s > 1800.0 THEN 1 ELSE 0 END)
+               AS DOUBLE) / count(*), 12) AS split_frac
+      FROM gg
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q211CollocPmi, q212TokenEntropy, q213GramMatrix, q214CovMatrix,
     q215WalkForward, q216LabelProp, q217PowerIteration, q218LatenessAudit,
     q219MergeableMoments, q220Diversity, q221QuantileNorm, q222Scd2,
     q223MannWhitney, q224Spearman, q225DpCounts, q228OovRate, q230Conformal,
-    q231AsofForward, q232NovelActions, q234SvmlightExport, q235TheilSen)
+    q231AsofForward, q232NovelActions, q234SvmlightExport, q235TheilSen,
+    q237KsBySource, q238GapStats)
 }

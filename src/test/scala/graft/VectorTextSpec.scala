@@ -311,6 +311,32 @@ class VectorTextSpec extends SparkSpec {
     assert(r.getDouble(1) == 2.0)
   }
 
+  test("thresholdSweep: one pass, exact confusion counts per threshold") {
+    val df = Seq((0.2, 0L), (0.4, 1L), (0.6, 0L), (0.8, 1L))
+      .toDF("score", "label")
+    val out = graft.operators.Evaluation
+      .thresholdSweep(df, "score", "label", Seq(0.5, 0.9))
+      .orderBy("threshold").collect()
+    // t=0.5: pred {0.6, 0.8} -> tp=1 fp=1 tn=1 fn=1 -> precision .5
+    assert(out(0).getLong(1) == 1L && out(0).getLong(2) == 1L)
+    assert(out(0).getDouble(5) == 0.5 && out(0).getDouble(6) == 0.5)
+    // t=0.9: nothing predicted positive -> precision null, recall 0
+    assert(out(1).getLong(1) == 0L && out(1).isNullAt(5))
+    assert(out(1).getDouble(6) == 0.0)
+  }
+
+  test("gapStats: exact gap quantiles and split fraction") {
+    def ts(s: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(s))
+    // one user, events at 0, 10, 30, 100 -> gaps 10, 20, 70
+    val df = Seq((1L, ts(0), 1L), (1L, ts(10), 2L), (1L, ts(30), 3L),
+      (1L, ts(100), 4L)).toDF("k", "ts", "id")
+    val r = graft.operators.Sessions.gapStats(df, "k", "ts", "id", 15L)
+      .collect()(0)
+    assert(r.getLong(0) == 3L)
+    assert(r.getDouble(1) == 20.0) // median gap
+    assert(r.getLong(4) == 2L)     // 20 and 70 exceed 15s
+  }
+
   test("labelPropagation: spreads, clamps seeds, breaks ties by min label") {
     val verts = Seq(
       (1L, Some(0)), (2L, None), (3L, None), (4L, None), (5L, Some(1)))
