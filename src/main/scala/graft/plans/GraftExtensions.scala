@@ -63,6 +63,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           children.head, org.apache.spark.sql.types.StringType))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_token_count"),
+      new ExpressionInfo(classOf[graft.functions.TokenCountExpr].getName,
+        "graft_token_count"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        arity("graft_token_count", 1, children)
+        graft.functions.TokenCountExpr(
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            children.head, org.apache.spark.sql.types.StringType))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_quantized_dot"),
       new ExpressionInfo(classOf[QuantizedDotExpr].getName,
         "graft_quantized_dot"),

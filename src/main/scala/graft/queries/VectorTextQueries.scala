@@ -910,11 +910,32 @@ object VectorTextQueries {
       FROM gg
     """.trim))
 
+  /** Codegen'd single-pass token counter
+    * ([[graft.functions.TokenCountExpr]]): whitespace-run counting
+    * over raw UTF-8 bytes, zero allocation — versus the
+    * `size(split(...))` form that materializes the token array per
+    * row. The oracle counts non-whitespace runs, the expression's
+    * exact contract.
+    */
+  val q239TokenCountExpr = HarnessQuery(
+    "q239_token_count_expr",
+    (spark, dir) =>
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          graft.functions.TokenCountExpr.tokenCount(spark, col("text"))
+            .as("n_tokens"))
+        .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+      FROM documents ORDER BY doc_id
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q211CollocPmi, q212TokenEntropy, q213GramMatrix, q214CovMatrix,
     q215WalkForward, q216LabelProp, q217PowerIteration, q218LatenessAudit,
     q219MergeableMoments, q220Diversity, q221QuantileNorm, q222Scd2,
     q223MannWhitney, q224Spearman, q225DpCounts, q228OovRate, q230Conformal,
     q231AsofForward, q232NovelActions, q234SvmlightExport, q235TheilSen,
-    q237KsBySource, q238GapStats)
+    q237KsBySource, q238GapStats, q239TokenCountExpr)
 }
