@@ -160,6 +160,39 @@ object NumericFeatures {
     finish(per).unionByName(finish(merged))
   }
 
+  /** Per-group trimmed mean: the mean of values inside the group's
+    * exact [pLo, pHi] percentile band — the robust location estimate
+    * for heavy-tailed metrics (a handful of whale transactions move a
+    * raw mean arbitrarily; they can't enter a trimmed one). One
+    * exact-percentile aggregate per group (broadcast back on a
+    * null-safe key), one conditional decimal-sum pass. Output per
+    * group: n_total, n_kept, trimmed_mean, raw_mean.
+    */
+  def trimmedMeanByKey(
+      df: DataFrame, keyCol: String, valueCol: String,
+      pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi,
+      s"need 0 <= pLo < pHi <= 1, got [$pLo, $pHi]")
+    val v = col(valueCol).cast("double")
+    val bounds = df.groupBy(col(keyCol)).agg(
+      expr(s"percentile(`$valueCol`, array($pLo, $pHi))").as("__tb"))
+      .select(col(keyCol).as("__tk"),
+        col("__tb").getItem(0).as("__lo"), col("__tb").getItem(1).as("__hi"))
+    df.join(broadcast(bounds), col(keyCol) <=> col("__tk"))
+      .groupBy(col(keyCol))
+      .agg(
+        count(v).as("n_total"),
+        sum(when(v >= col("__lo") && v <= col("__hi"), 1L).otherwise(0L))
+          .as("n_kept"),
+        sum(when(v >= col("__lo") && v <= col("__hi"),
+          v.cast("decimal(28,6)"))).as("__ts"),
+        sum(v.cast("decimal(28,6)")).as("__rs"))
+      .select(col(keyCol), col("n_total"), col("n_kept"),
+        round(col("__ts").cast("double") / col("n_kept"), 12)
+          .as("trimmed_mean"),
+        round(col("__rs").cast("double") / col("n_total"), 12).as("raw_mean"))
+  }
+
   /** Cross-source quantile normalization (batch-effect correction):
     * each value is replaced by the value at the same quantile of the
     * GLOBAL distribution, so every source ends up with the same

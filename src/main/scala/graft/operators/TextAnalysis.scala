@@ -12,6 +12,40 @@ import graft.functions.TextFunctions
   */
 object TextAnalysis {
 
+  /** Feature-hashing document embeddings (the hashing trick, mean
+    * pooling): every token deterministically maps to a `dim`-vector of
+    * md5-derived uniforms in [-0.5, 0.5), and the document vector is
+    * the token-vector mean — the zero-vocabulary featurizer that turns
+    * raw text into joinable dense vectors with no model artifact to
+    * ship. Long form (id, d, value): the natural shape for feeding the
+    * [[Similarity]] family, whose scorers consume (id, dim, value)
+    * triples.
+    *
+    * Scale shape: tokens explode in-row, dims expand in-row, and both
+    * feed the per-(id, d) partial hash aggregate inside the same
+    * codegen stage — shuffled rows are per-partition partial sums,
+    * bounded by ids x dim. Sums accumulate in decimal; one double
+    * division per output cell.
+    */
+  def hashEmbedding(
+      df: DataFrame, idCol: String, textCol: String, dim: Int,
+      seed: Long): DataFrame = {
+    require(dim >= 1 && dim <= 256, s"dim out of range: $dim")
+    val toks = df.select(col(idCol),
+      explode(TextFunctions.tokens(col(textCol))).as("__w"))
+    val dims = toks.select(col(idCol), col("__w"),
+      explode(expr(s"sequence(0, ${dim - 1})")).as("d"))
+    val v = (pmod(
+      TextFunctions.md5Hash60(concat(
+        lit(s"${seed}_"), col("__w"), lit("_"), col("d").cast("string"))),
+      lit(1000000L)).cast("double") / 1000000.0) - 0.5
+    dims
+      .withColumn("__v", v.cast("decimal(30,18)"))
+      .groupBy(col(idCol), col("d"))
+      .agg((sum(col("__v")).cast("double") / count(lit(1))).as("value"))
+      .select(col(idCol), col("d"), round(col("value"), 12).as("value"))
+  }
+
   /** Per-document surface statistics: char/token counts, mean token
     * length, punctuation/digit/whitespace ratios.
     */

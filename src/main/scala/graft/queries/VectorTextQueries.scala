@@ -931,11 +931,73 @@ object VectorTextQueries {
       FROM documents ORDER BY doc_id
     """.trim))
 
+  /** Feature-hashing document embeddings
+    * ([[graft.operators.TextAnalysis.hashEmbedding]], dim 8, seed 7):
+    * the zero-vocabulary hashing-trick featurizer in the long
+    * (id, d, value) shape the similarity family consumes.
+    */
+  val q240HashEmbedding = HarnessQuery(
+    "q240_hash_embedding",
+    (spark, dir) =>
+      graft.operators.TextAnalysis.hashEmbedding(
+        Tables.documents(spark, dir).filter(col("doc_id") < 100),
+        "doc_id", "text", dim = 8, seed = 7L)
+        .orderBy(col("doc_id"), col("d")),
+    Some("""
+      WITH tk AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        FROM documents WHERE doc_id < 100),
+      x AS (
+        SELECT doc_id, g.d AS d,
+               ((CAST(('0x' || substr(md5('7_' || w || '_' || g.d), 1, 15))
+                 AS BIGINT) % 1000000) / 1000000.0 - 0.5) AS v
+        FROM tk, generate_series(0, 7) g(d))
+      SELECT doc_id, CAST(d AS INT) AS d,
+             round(CAST(sum(CAST(v AS DECIMAL(30,18))) AS DOUBLE)
+               / count(*), 12) AS value
+      FROM x GROUP BY 1, 2 ORDER BY doc_id, d
+    """.trim))
+
+  /** Per-type trimmed mean of event value
+    * ([[graft.operators.NumericFeatures.trimmedMeanByKey]],
+    * [p05, p95] band): the robust location estimate beside the raw
+    * mean it corrects.
+    */
+  val q241TrimmedMean = HarnessQuery(
+    "q241_trimmed_mean",
+    (spark, dir) =>
+      graft.operators.NumericFeatures.trimmedMeanByKey(
+        Tables.events(spark, dir), "event_type", "value")
+        .orderBy(col("event_type")),
+    Some("""
+      WITH b AS (
+        SELECT event_type,
+               quantile_cont("value", 0.05) AS lo,
+               quantile_cont("value", 0.95) AS hi
+        FROM events GROUP BY 1),
+      j AS (
+        SELECT e.event_type, CAST(e."value" AS DOUBLE) AS v, b.lo, b.hi
+        FROM events e JOIN b USING (event_type))
+      SELECT event_type,
+             count(v) AS n_total,
+             CAST(sum(CASE WHEN v >= lo AND v <= hi THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_kept,
+             round(CAST(sum(CASE WHEN v >= lo AND v <= hi
+                 THEN CAST(v AS DECIMAL(28,6)) END) AS DOUBLE)
+               / sum(CASE WHEN v >= lo AND v <= hi THEN 1 ELSE 0 END), 12)
+               AS trimmed_mean,
+             round(CAST(sum(CAST(v AS DECIMAL(28,6))) AS DOUBLE) / count(v), 12)
+               AS raw_mean
+      FROM j GROUP BY 1 ORDER BY 1
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q211CollocPmi, q212TokenEntropy, q213GramMatrix, q214CovMatrix,
     q215WalkForward, q216LabelProp, q217PowerIteration, q218LatenessAudit,
     q219MergeableMoments, q220Diversity, q221QuantileNorm, q222Scd2,
     q223MannWhitney, q224Spearman, q225DpCounts, q228OovRate, q230Conformal,
     q231AsofForward, q232NovelActions, q234SvmlightExport, q235TheilSen,
-    q237KsBySource, q238GapStats, q239TokenCountExpr)
+    q237KsBySource, q238GapStats, q239TokenCountExpr, q240HashEmbedding,
+    q241TrimmedMean)
 }

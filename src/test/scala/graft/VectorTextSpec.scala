@@ -337,6 +337,34 @@ class VectorTextSpec extends SparkSpec {
     assert(r.getLong(4) == 2L)     // 20 and 70 exceed 15s
   }
 
+  test("hashEmbedding: deterministic, bounded, mean-pooled") {
+    val df = Seq((1L, "a b"), (2L, "a"), (3L, "a b")).toDF("id", "t")
+    val out = graft.operators.TextAnalysis
+      .hashEmbedding(df, "id", "t", dim = 4, seed = 7L)
+      .orderBy("id", "d").collect()
+    assert(out.length == 12)
+    // all values inside the uniform's [-0.5, 0.5) range
+    out.foreach(r => assert(math.abs(r.getDouble(2)) <= 0.5))
+    // identical text -> identical vector (docs 1 and 3)
+    val v1 = out.filter(_.getLong(0) == 1L).map(_.getDouble(2)).toSeq
+    val v3 = out.filter(_.getLong(0) == 3L).map(_.getDouble(2)).toSeq
+    assert(v1 == v3)
+    // doc 2's vector = token a's raw vector; doc 1 = mean(a, b) != a
+    val v2 = out.filter(_.getLong(0) == 2L).map(_.getDouble(2)).toSeq
+    assert(v1 != v2)
+  }
+
+  test("trimmedMeanByKey: whale excluded from trimmed, kept in raw") {
+    val vals = (1 to 99).map(i => ("k", i.toDouble)) :+ (("k", 100000.0))
+    val r = graft.operators.NumericFeatures
+      .trimmedMeanByKey(vals.toDF("k", "v"), "k", "v").collect()(0)
+    assert(r.getLong(1) == 100L)
+    // p95 band drops the whale (and the low tail edge)
+    assert(r.getLong(2) < 100L)
+    assert(r.getDouble(3) < 60.0)   // trimmed stays near the true center
+    assert(r.getDouble(4) > 1000.0) // raw mean dominated by the whale
+  }
+
   test("labelPropagation: spreads, clamps seeds, breaks ties by min label") {
     val verts = Seq(
       (1L, Some(0)), (2L, None), (3L, None), (4L, None), (5L, Some(1)))
