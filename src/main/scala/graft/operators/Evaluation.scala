@@ -352,4 +352,52 @@ object Evaluation {
       (p1 - p0).as("uplift"),
       when(se > 0d, (p1 - p0) / se).otherwise(lit(null)).as("z"))
   }
+
+  /** Average precision (area under the precision-recall curve,
+    * sklearn's step-interpolated `average_precision_score`):
+    * AP = sum over distinct scores s (descending) of
+    * (pos_c(s)/P) * precision_at_cut(s), with
+    * precision_at_cut = cum_pos_ge / cum_all_ge.
+    *
+    * The sum of per-cut ratios would be an order-dependent double
+    * fold, so each term is fixed-point floored instead:
+    * (pos_c * cum_pos_ge * 10^12) DIV cum_all_ge is an exact integer
+    * on both engines (truncation toward zero = floor for
+    * non-negatives), the terms sum exactly, and ONE final double
+    * division by P*10^12 lands within 1e-12 * |terms| of the true AP —
+    * deterministic bit-identical, which the rounding in the harness
+    * query then freezes.
+    *
+    * Shape: inherits [[cumulativeByScore]]'s bucketed two-level prefix
+    * sums (bounded by distinct scores), plus a one-row totals
+    * broadcast. Output one row: `ap, n_pos, n_neg`.
+    */
+  def averagePrecision(df: DataFrame, scoreCol: String, labelCol: String,
+      buckets: Int = 64): DataFrame = {
+    val cum = cumulativeByScore(df, scoreCol, labelCol, buckets)
+    val tot = cum.select(sum(col("pos_c")).as("__P"),
+      sum(col("neg_c")).as("__N"))
+    cum.crossJoin(broadcast(tot))
+      .select(
+        col("__P"), col("__N"),
+        // cuts are >= s: convert the ascending cumulatives
+        (col("__P") - col("cum_pos_le") + col("pos_c")).as("__cpge"),
+        (col("__P") + col("__N")
+          - col("cum_pos_le") - col("cum_neg_le")
+          + col("pos_c") + col("neg_c")).as("__cage"),
+        col("pos_c"))
+      .select(col("__P"), col("__N"),
+        // pos_c * cpge * 1e12 can pass 2^63 — widen BEFORE multiplying;
+        // DIV of decimals yields a long (the quotient is <= pos_c*1e12)
+        expr("""CAST(pos_c AS DECIMAL(38,0)) * __cpge * 1000000000000
+                DIV __cage""").as("__term"))
+      .groupBy(col("__P"), col("__N"))
+      // terms are <= pos_c*1e12 each; the total reaches P*1e12, which
+      // passes 2^63 once P ~ 1e7 — accumulate in decimal
+      .agg(sum(col("__term").cast("decimal(38,0)")).as("__tsum"))
+      .select(
+        (col("__tsum").cast("double")
+          / (col("__P").cast("double") * 1.0e12)).as("ap"),
+        col("__P").as("n_pos"), col("__N").as("n_neg"))
+  }
 }

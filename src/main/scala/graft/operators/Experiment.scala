@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Controlled-experiment readout operators — the A/B-measurement layer
+  * that sits downstream of the fraud pipeline's scored events (the
+  * reference stops at model prep, `processor.py:79-85`; any production
+  * deployment of that model immediately needs variance-reduced effect
+  * estimates and multi-cell comparisons over the same event stream).
+  *
+  * Numeric discipline (see [[graft.queries.Registry]]): per-unit and
+  * per-cell moments accumulate in DECIMAL (exact, order-independent);
+  * doubles appear only in the final ratio expressions. Where a final
+  * reduction over a SMALL fixed set of groups is itself
+  * order-sensitive (a sum of per-group double ratios), it runs as an
+  * ordered cumulative window over that group axis, so both engines
+  * fold the same doubles in the same sequence — bit-identical without
+  * any decimal detour.
+  */
+object Experiment {
+
+  /** CUPED (Controlled-experiment Using Pre-Existing Data) adjusted
+    * means: per experiment unit, a pre-period covariate x and an
+    * in-experiment metric y; theta = cov(x,y)/var(x) pooled across all
+    * units; each variant's adjusted mean is ybar_v - theta*(xbar_v -
+    * xbar). Cuts metric variance by the squared pre/post correlation —
+    * the standard trick for shipping experiments faster at constant
+    * power.
+    *
+    * Shape: ONE shuffle onto the unit key for the per-unit (x, y)
+    * sums; the pooled second moments are a one-row aggregate broadcast
+    * back over the per-variant aggregate (cells = variant count).
+    * Every moment (sum x, sum y, sum xy, sum x^2) is an exact decimal
+    * product-sum; theta and the adjusted means are final-step double
+    * arithmetic.
+    *
+    * Output: one row per variant — (variant, n_units, mean_pre,
+    * mean_post, mean_adj, theta), variants ordered by name.
+    */
+  def cuped(
+      df: DataFrame,
+      unitCol: String,
+      variantCol: String,
+      metricCol: String,
+      isPre: Column): DataFrame = {
+    val v = col(metricCol).cast("decimal(18,6)")
+    val perUnit = df
+      .groupBy(col(unitCol).as("__u"))
+      .agg(
+        // unit -> variant must be a function (a unit in two variants is
+        // a broken assignment); max() both asserts nothing and picks
+        // deterministically — the spec pins the well-formed contract
+        max(col(variantCol)).as("__variant"),
+        // per-unit totals re-narrowed to decimal(18,6): products below
+        // then fit both engines' 38-digit decimal width exactly (DuckDB
+        // ERRORS on a multiply whose combined width exceeds 38, Spark
+        // silently switches to precision-loss rounding — narrow inputs
+        // sidestep both)
+        coalesce(sum(when(isPre, v)), lit(0).cast("decimal(18,6)"))
+          .cast("decimal(18,6)").as("__x"),
+        coalesce(sum(when(!isPre, v)), lit(0).cast("decimal(18,6)"))
+          .cast("decimal(18,6)").as("__y"))
+    val pooled = perUnit.select(
+      count(lit(1)).cast("decimal(8,0)").as("__n"),
+      sum(col("__x")).cast("decimal(18,6)").as("__sx"),
+      sum(col("__y")).cast("decimal(18,6)").as("__sy"),
+      sum(col("__x") * col("__y")).cast("decimal(28,12)").as("__sxy"),
+      sum(col("__x") * col("__x")).cast("decimal(28,12)").as("__sxx"))
+    // theta's numerator/denominator stay EXACT decimals until one final
+    // double division each; theta is then rounded to 12 so every
+    // downstream use folds the same double on both engines
+    val withTheta = pooled.select(
+      col("__n"),
+      (col("__sx").cast("double") / col("__n").cast("double"))
+        .as("__xbar"),
+      round(
+        (col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+          .cast("double")
+          / (col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+            .cast("double"), 12).as("theta"))
+    val perVariant = perUnit
+      .groupBy(col("__variant").as("variant"))
+      .agg(
+        count(lit(1)).as("n_units"),
+        sum(col("__x")).as("__vx"),
+        sum(col("__y")).as("__vy"))
+    perVariant
+      .crossJoin(broadcast(withTheta))
+      .select(
+        col("variant"),
+        col("n_units"),
+        (col("__vx").cast("double") / col("n_units")).as("mean_pre"),
+        (col("__vy").cast("double") / col("n_units")).as("mean_post"),
+        (col("__vy").cast("double") / col("n_units")
+          - col("theta")
+            * (col("__vx").cast("double") / col("n_units") - col("__xbar")))
+          .as("mean_adj"),
+        col("theta"))
+      .orderBy(col("variant"))
+  }
+
+  /** One-way ANOVA F statistic across the groups of `groupCol`:
+    * F = (SSB/(k-1)) / (SSW/(n-k)) with SSB = sum_g S_g^2/n_g - S^2/n
+    * and SSW = Q - sum_g S_g^2/n_g, from per-group (n_g, sum, sum of
+    * squares) — a single hash aggregate over the data, then a k-row
+    * reduction.
+    *
+    * The k-row reduction sums per-group double ratios S_g^2/n_g — an
+    * order-sensitive fold — so it runs as an ordered cumulative window
+    * over the group axis (k rows; benign single-partition window) and
+    * the last row carries the total: both engines add the same doubles
+    * in the same order.
+    *
+    * Output: one row — (k, n, ss_between, ss_within, f_stat).
+    */
+  def anovaF(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("decimal(18,6)")
+    val per = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"))
+      .agg(
+        count(lit(1)).as("__ng"),
+        sum(v).as("__sg"),
+        sum((v * v).cast("decimal(38,12)")).as("__qg"))
+    val wOrd = Window.orderBy(col("__g"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val folded = per
+      // square in DOUBLE, not decimal: a decimal(38,6)^2 would need
+      // scale 12 at precision 76 and engines truncate differently;
+      // double*double/int is one correctly-rounded op chain both sides
+      .withColumn("__ratio",
+        col("__sg").cast("double") * col("__sg").cast("double")
+          / col("__ng"))
+      .select(
+        sum(col("__ratio")).over(wOrd).as("__sum_ratio"),
+        sum(col("__ng")).over(wOrd).as("__n"),
+        sum(col("__sg")).over(wOrd).as("__s"),
+        sum(col("__qg")).over(wOrd).as("__q"),
+        count(lit(1)).over(wOrd).as("__k"),
+        row_number().over(Window.orderBy(col("__g").desc)).as("__rn"))
+      .where(col("__rn") === 1)
+    folded.select(
+      col("__k").as("k"),
+      col("__n").as("n"),
+      (col("__sum_ratio")
+        - col("__s").cast("double") * col("__s").cast("double")
+          / col("__n")).as("ss_between"),
+      (col("__q").cast("double") - col("__sum_ratio")).as("ss_within"),
+      ((col("__sum_ratio")
+        - col("__s").cast("double") * col("__s").cast("double")
+          / col("__n")) / (col("__k") - 1)
+        / ((col("__q").cast("double") - col("__sum_ratio"))
+          / (col("__n") - col("__k")))).as("f_stat"))
+  }
+}

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Concentration / inequality statistics — "how skewed is this
+  * distribution" answers (revenue concentration per segment, token
+  * budget concentration per source) that complement the EDA surface's
+  * moments ([[Eda]]) and the drift tests ([[RankStats]]).
+  *
+  * Scale design: the rank-weighted sums that define the Gini
+  * coefficient reduce to the per-group DISTINCT-VALUE cumulative table
+  * (the [[RankStats]] discipline): a tied block of value v with count c
+  * and cl predecessors contributes v*(c*cl + c*(c+1)/2) to
+  * sum_i(i*x_i), so the per-group window is bounded by distinct values
+  * per group, never raw rows. All rank arithmetic is exact
+  * integer-in-decimal; the value enters as decimal(18,6); one double
+  * division at the end.
+  */
+object Inequality {
+
+  /** Per-group Gini coefficient over a non-negative value column:
+    * G = (2*sum_i i*x_i - (n+1)*sum x) / (n * sum x) with x sorted
+    * ascending within the group, ranks 1..n, ties resolved by the
+    * closed-form tied-block rank sum (equivalent to ANY row_number
+    * assignment among equal values — equal values make the sum
+    * invariant to tie order).
+    *
+    * Output: (groupCol, n, total, gini), one row per group, ordered by
+    * group. Groups with zero total yield null gini (0/0), never NaN.
+    */
+  def giniByGroup(
+      df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("decimal(18,6)")
+    val per = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"), v.as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(col("__g")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    per
+      .withColumn("__cl", coalesce(sum(col("__c")).over(w), lit(0L)))
+      // tied-block rank sum: ranks cl+1 .. cl+c sum to c*cl + c(c+1)/2
+      // (exact integers; *2 keeps the halved term integral)
+      .withColumn("__2ranksum",
+        (lit(2).cast("decimal(38,0)") * col("__c") * col("__cl")
+          + col("__c").cast("decimal(38,0)") * (col("__c") + 1)))
+      .groupBy(col("__g"))
+      .agg(
+        sum(col("__c")).as("__n"),
+        sum(col("__v") * col("__c").cast("decimal(18,0)"))
+          .cast("decimal(28,6)").as("__sum"),
+        // v * 2*ranksum: decimal(18,6) x decimal(20,0)-ish — cast the
+        // rank sum down to what the data can actually hold so the
+        // product stays inside both engines' 38-digit width
+        sum(col("__v") * col("__2ranksum").cast("decimal(20,0)"))
+          .as("__2ixsum"))
+      .select(
+        col("__g").as(groupCol),
+        col("__n").as("n"),
+        col("__sum").cast("double").as("total"),
+        // G = (2*sum(i*x) - (n+1)*sum x) / (n*sum x); numerator uses
+        // the doubled rank sum so everything stays integral-in-decimal
+        // (n+1) at decimal(10,0): x decimal(28,6) keeps the product at
+        // width 38 (DuckDB errors past 38; Spark precision-losses)
+        ((col("__2ixsum") - (col("__n") + 1).cast("decimal(10,0)")
+          * col("__sum")).cast("double")
+          / (col("__n").cast("decimal(10,0)") * col("__sum"))
+            .cast("double")).as("gini"))
+      .orderBy(col(groupCol))
+  }
+}

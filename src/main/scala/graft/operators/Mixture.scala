@@ -416,6 +416,38 @@ object Mixture {
       .select((df.columns.map(col) :+ col("order_key")): _*)
   }
 
+  /** Weighted sampling WITHOUT replacement, k winners
+    * (Efraimidis–Spirakis A-ES): each row's selection key is
+    * ln(u)/w for a seeded content-hash uniform u — ordering by the
+    * key descending is equivalent to ordering by u^(1/w), under which
+    * the top-k are a weighted sample without replacement with
+    * inclusion odds proportional to w. Deterministic, single-pass,
+    * and merge-compatible: the top-k of a union is the top-k of the
+    * per-batch top-ks, so incremental corpora fold in for free.
+    *
+    * Shape: one scan + a global top-k (TakeOrdered — per-partition
+    * heaps then a k-row driver merge; no full sort). Weights must be
+    * strictly positive. Output: the k winners' (idCol, weightCol,
+    * sample_key), key rounded at 9 for cross-engine display.
+    */
+  def weightedSample(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      k: Int,
+      seed: Long): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val u = (TextFunctions.md5Hash60(
+      concat(col(idCol).cast("string"), lit(":" + seed)))
+      .cast("double") + 0.5) / lit(1.152921504606846976e18)
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__key", log(u) / col(weightCol).cast("double"))
+      .orderBy(col("__key").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col(weightCol),
+        round(col("__key"), 9).as("sample_key"))
+  }
+
   /** Mixture audit: per-domain retained counts (the size contract). */
   def mixtureSummary(
       df: DataFrame,

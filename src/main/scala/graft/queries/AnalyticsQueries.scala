@@ -186,7 +186,43 @@ object AnalyticsQueries {
       FROM c ORDER BY user_id
     """.trim))
 
+  /** Per-segment Gini concentration of line revenue
+    * ([[graft.operators.Inequality.giniByGroup]]): the operator's
+    * tied-block closed form equals ANY row_number assignment among
+    * equal values, so the oracle uses the naive per-partition
+    * row_number — every term an exact decimal product, one double
+    * division per group.
+    */
+  val q243Gini = HarnessQuery(
+    "q243_gini",
+    (spark, dir) =>
+      graft.operators.Inequality.giniByGroup(
+        Tables.lineitem(spark, dir), "l_returnflag", "l_extendedprice")
+        .select(col("l_returnflag"), col("n"),
+          round(col("total"), 6).as("total"),
+          round(col("gini"), 12).as("gini")),
+    Some("""
+      WITH t AS (
+        SELECT l_returnflag,
+               CAST(l_extendedprice AS DECIMAL(18,6)) AS v
+        FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      r AS (
+        SELECT l_returnflag, v,
+               CAST(row_number() OVER (PARTITION BY l_returnflag ORDER BY v)
+                 AS BIGINT) AS i
+        FROM t),
+      a AS (
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(v) AS DECIMAL(28,6)) AS s,
+               sum(v * CAST(2 * i AS DECIMAL(20,0))) AS s2i
+        FROM r GROUP BY 1)
+      SELECT l_returnflag, n, round(CAST(s AS DOUBLE), 6) AS total,
+             round(CAST(s2i - CAST(n + 1 AS DECIMAL(10,0)) * s AS DOUBLE)
+               / CAST(CAST(n AS DECIMAL(10,0)) * s AS DOUBLE), 12) AS gini
+      FROM a ORDER BY l_returnflag
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q168CohortRetention, q169Funnel, q170Attribution, q171PercentileBands,
-    q172Twap, q177Entropy)
+    q172Twap, q177Entropy, q243Gini)
 }

@@ -393,7 +393,206 @@ object EvalQueries {
   def all: Seq[HarnessQuery] = Seq(
     q149RocAuc, q150KsStat, q151Confusion, q152Calibration, q153LiftTable,
     q154WoeIv, q155TargetEncode, q156Psi, q157Expectations, q158CumScores,
-    q226CvAuc, q236ThresholdSweep)
+    q226CvAuc, q236ThresholdSweep, q242AvgPrecision, q244Cuped, q245Anova,
+    q246BootstrapCi)
+
+  /** Average precision / PR-AUC ([[Evaluation.averagePrecision]]):
+    * the class-imbalance-honest companion to q149 — each term is
+    * fixed-point floored (pos_c*cum_pos_ge*1e12 DIV cum_all_ge, an
+    * exact integer both engines), so the sum is order-independent and
+    * the one final double division matches bit-for-bit.
+    */
+  lazy val q242AvgPrecision = HarnessQuery(
+    "q242_avg_precision",
+    (spark, dir) =>
+      Evaluation.averagePrecision(scored(spark, dir), "score", "label")
+        .withColumn("ap", round(col("ap"), 12)),
+    Some(s"""
+      WITH $scoredSql,
+      cum AS (
+        SELECT *,
+               sum(pos_c) OVER (ORDER BY score
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp_le,
+               sum(pos_c + neg_c) OVER (ORDER BY score
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca_le
+        FROM per),
+      t AS (
+        SELECT pos_c,
+               (SELECT p FROM tot) - cp_le + pos_c AS cpge,
+               (SELECT p FROM tot) + (SELECT n FROM tot) - ca_le
+                 + pos_c + neg_c AS cage
+        FROM cum)
+      SELECT round(CAST(sum(CAST(pos_c AS HUGEINT) * cpge
+                             * 1000000000000 // cage) AS DOUBLE)
+               / (CAST((SELECT p FROM tot) AS DOUBLE) * 1000000000000.0), 12)
+               AS ap,
+             (SELECT p FROM tot) AS n_pos,
+             (SELECT n FROM tot) AS n_neg
+      FROM t
+    """.trim))
+
+  /** CUPED variance-reduced A/B readout
+    * ([[graft.operators.Experiment.cuped]]): variant = user_id parity,
+    * pre-period = the first half of the event month, metric = event
+    * value. Every moment is an exact decimal product-sum; theta and
+    * the adjusted means are final-step doubles (theta pinned at
+    * round 12 inside the operator so both engines fold the same
+    * double downstream).
+    */
+  lazy val q244Cuped = HarnessQuery(
+    "q244_cuped",
+    (spark, dir) =>
+      graft.operators.Experiment.cuped(
+        Tables.events(spark, dir)
+          .withColumn("variant", pmod(col("user_id"), lit(2L))),
+        "user_id", "variant", "value",
+        col("ts") < to_timestamp(lit("2024-01-16 00:00:00")))
+        .select(col("variant"), col("n_units"),
+          round(col("mean_pre"), 9).as("mean_pre"),
+          round(col("mean_post"), 9).as("mean_post"),
+          round(col("mean_adj"), 9).as("mean_adj"),
+          col("theta")),
+    Some("""
+      WITH pu AS (
+        SELECT user_id, max(user_id % 2) AS variant,
+               CAST(coalesce(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                 THEN CAST("value" AS DECIMAL(18,6)) END), 0)
+                 AS DECIMAL(18,6)) AS x,
+               CAST(coalesce(sum(CASE WHEN NOT (ts < TIMESTAMP '2024-01-16')
+                 THEN CAST("value" AS DECIMAL(18,6)) END), 0)
+                 AS DECIMAL(18,6)) AS y
+        FROM events GROUP BY 1),
+      pool AS (
+        SELECT CAST(count(*) AS DECIMAL(8,0)) AS n,
+               CAST(sum(x) AS DECIMAL(18,6)) AS sx,
+               CAST(sum(y) AS DECIMAL(18,6)) AS sy,
+               CAST(sum(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)))
+                 AS DECIMAL(28,12)) AS sxy,
+               CAST(sum(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6)))
+                 AS DECIMAL(28,12)) AS sxx
+        FROM pu),
+      th AS (
+        SELECT n, CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar,
+               round(CAST(n * sxy - CAST(sx AS DECIMAL(19,6))
+                   * CAST(sy AS DECIMAL(19,6)) AS DOUBLE)
+                 / CAST(n * sxx - CAST(sx AS DECIMAL(19,6))
+                   * CAST(sx AS DECIMAL(19,6)) AS DOUBLE), 12) AS theta
+        FROM pool),
+      pv AS (
+        SELECT variant, CAST(count(*) AS BIGINT) AS n_units,
+               sum(x) AS vx, sum(y) AS vy
+        FROM pu GROUP BY 1)
+      SELECT variant, n_units,
+             round(CAST(vx AS DOUBLE) / n_units, 9) AS mean_pre,
+             round(CAST(vy AS DOUBLE) / n_units, 9) AS mean_post,
+             round(CAST(vy AS DOUBLE) / n_units
+               - theta * (CAST(vx AS DOUBLE) / n_units - xbar), 9)
+               AS mean_adj,
+             theta
+      FROM pv, th ORDER BY variant
+    """.trim))
+
+  /** One-way ANOVA F across event types
+    * ([[graft.operators.Experiment.anovaF]]): per-group moments are
+    * exact decimals; the k-row sum of per-group double ratios folds
+    * through an ORDERED window, so the oracle replays the identical
+    * left-associated chain over the alphabetical event-type axis.
+    */
+  lazy val q245Anova = HarnessQuery(
+    "q245_anova",
+    (spark, dir) =>
+      graft.operators.Experiment.anovaF(
+        Tables.events(spark, dir), "event_type", "value")
+        .select(col("k"), col("n"),
+          round(col("ss_between"), 6).as("ss_between"),
+          round(col("ss_within"), 6).as("ss_within"),
+          round(col("f_stat"), 9).as("f_stat")),
+    Some("""
+      WITH per AS (
+        SELECT event_type AS g, CAST(count(*) AS BIGINT) AS ng,
+               CAST(sum(CAST("value" AS DECIMAL(18,6))) AS DECIMAL(28,6))
+                 AS sg,
+               sum(CAST(CAST("value" AS DECIMAL(18,6))
+                 * CAST("value" AS DECIMAL(18,6)) AS DECIMAL(38,12))) AS qg
+        FROM events WHERE "value" IS NOT NULL GROUP BY 1),
+      r AS (
+        SELECT
+          (SELECT CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / ng
+           FROM per WHERE g = 'click') AS rc,
+          (SELECT CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / ng
+           FROM per WHERE g = 'error') AS re,
+          (SELECT CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / ng
+           FROM per WHERE g = 'purchase') AS rp,
+          (SELECT CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / ng
+           FROM per WHERE g = 'signup') AS rs,
+          (SELECT CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / ng
+           FROM per WHERE g = 'view') AS rv,
+          (SELECT CAST(count(*) AS BIGINT) FROM per) AS k,
+          (SELECT CAST(sum(ng) AS BIGINT) FROM per) AS n,
+          (SELECT CAST(sum(sg) AS DOUBLE) FROM per) AS s,
+          (SELECT CAST(sum(qg) AS DOUBLE) FROM per) AS q)
+      SELECT k, n,
+             round(((((rc + re) + rp) + rs) + rv) - s * s / n, 6)
+               AS ss_between,
+             round(q - ((((rc + re) + rp) + rs) + rv), 6) AS ss_within,
+             round((((((rc + re) + rp) + rs) + rv) - s * s / n) / (k - 1)
+               / ((q - ((((rc + re) + rp) + rs) + rv)) / (n - k)), 9)
+               AS f_stat
+      FROM r
+    """.trim))
+
+  /** Poisson-bootstrap CI for the mean event value
+    * ([[graft.operators.Bootstrap.poissonBootstrapMean]], R = 100,
+    * seed 42): the full bootstrap distribution — hash-deterministic
+    * Poisson(1) weights, exact decimal weighted sums — replays in SQL,
+    * then `percentile` ≡ `quantile_cont` on the replicate means.
+    */
+  lazy val q246BootstrapCi = HarnessQuery(
+    "q246_bootstrap_ci",
+    (spark, dir) =>
+      graft.operators.Bootstrap.poissonBootstrapMean(
+        Tables.events(spark, dir), "event_id", "value",
+        replicates = 100, seed = 42L)
+        .select(col("n"), round(col("mean"), 9).as("mean"),
+          round(col("ci_lo"), 9).as("ci_lo"),
+          round(col("ci_hi"), 9).as("ci_hi")),
+    Some("""
+      WITH rws AS (
+        SELECT CAST(event_id AS VARCHAR) AS id,
+               CAST("value" AS DECIMAL(18,6)) AS v, r.range AS r
+        FROM events, range(100) r WHERE "value" IS NOT NULL),
+      u AS (
+        SELECT v, r,
+               (CAST(('0x' || substr(md5(id || ':42:' || CAST(r AS VARCHAR)),
+                  1, 15)) AS BIGINT) + 0.5) / 1152921504606846976.0 AS u
+        FROM rws),
+      w AS (
+        SELECT v, r,
+               CASE WHEN u < 0.36787944117144233 THEN 0
+                    WHEN u < 0.7357588823428847 THEN 1
+                    WHEN u < 0.9196986029286058 THEN 2
+                    WHEN u < 0.9810118431238463 THEN 3
+                    WHEN u < 0.9963401531726563 THEN 4
+                    WHEN u < 0.9994058151824183 THEN 5
+                    WHEN u < 0.999916758850712 THEN 6
+                    WHEN u < 0.9999897508033253 THEN 7
+                    WHEN u < 0.999998874797402 THEN 8
+                    ELSE 9 END AS w
+        FROM u),
+      est AS (
+        SELECT CAST(sum(v * CAST(w AS DECIMAL(2,0))) AS DOUBLE)
+                 / CAST(sum(w) AS DOUBLE) AS est
+        FROM w GROUP BY r),
+      base AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST("value" AS DECIMAL(18,6))) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) AS mean
+        FROM events WHERE "value" IS NOT NULL)
+      SELECT n, round(mean, 9) AS mean,
+             round((SELECT quantile_cont(est, 0.025) FROM est), 9) AS ci_lo,
+             round((SELECT quantile_cont(est, 0.975) FROM est), 9) AS ci_hi
+      FROM base
+    """.trim))
 
   /** Cross-validated AUC ([[Evaluation.rocAucByGroup]] over
     * [[graft.operators.Split.groupKFold]] folds): one tie-aware

@@ -992,6 +992,32 @@ object VectorTextQueries {
       FROM j GROUP BY 1 ORDER BY 1
     """.trim))
 
+  /** Size-weighted corpus sample without replacement
+    * ([[graft.operators.Mixture.weightedSample]], Efraimidis–Spirakis
+    * A-ES, k = 50, seed 42, weight = n_chars): big documents enter
+    * with proportionally higher odds — the standard pick for "sample
+    * a token budget's worth of docs" — and the full selection replays
+    * in SQL from the md5-hash uniforms.
+    */
+  val q247WeightedSample = HarnessQuery(
+    "q247_weighted_sample",
+    (spark, dir) =>
+      graft.operators.Mixture.weightedSample(
+        Tables.documents(spark, dir), "doc_id", "n_chars", 50, 42L)
+        .orderBy(col("doc_id")),
+    Some("""
+      WITH t AS (
+        SELECT doc_id, n_chars,
+               ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'),
+                     1, 15)) AS BIGINT) + 0.5) / 1152921504606846976.0)
+                 / CAST(n_chars AS DOUBLE) AS k
+        FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+      top AS (
+        SELECT doc_id, n_chars, round(k, 9) AS sample_key
+        FROM t ORDER BY k DESC, doc_id LIMIT 50)
+      SELECT doc_id, n_chars, sample_key FROM top ORDER BY doc_id
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q211CollocPmi, q212TokenEntropy, q213GramMatrix, q214CovMatrix,
     q215WalkForward, q216LabelProp, q217PowerIteration, q218LatenessAudit,
@@ -999,5 +1025,5 @@ object VectorTextQueries {
     q223MannWhitney, q224Spearman, q225DpCounts, q228OovRate, q230Conformal,
     q231AsofForward, q232NovelActions, q234SvmlightExport, q235TheilSen,
     q237KsBySource, q238GapStats, q239TokenCountExpr, q240HashEmbedding,
-    q241TrimmedMean)
+    q241TrimmedMean, q247WeightedSample)
 }

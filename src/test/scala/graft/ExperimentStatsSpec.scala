@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Bootstrap, Evaluation, Experiment, Inequality, Mixture}
+
+/** Unit pins for the round-7 statistics batch: CUPED, ANOVA, Gini,
+  * average precision, Poisson bootstrap, weighted sampling.
+  */
+class ExperimentStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cuped: perfectly correlated covariate collapses both variants " +
+    "onto the pooled prediction") {
+    // y = 2x exactly -> theta = 2, adjusted means all equal the pooled
+    // post mean (every unit's residual y - theta*(x - xbar) = 2*xbar)
+    val rows = Seq(
+      (1L, 0, 1.0, 2.0), (2L, 0, 2.0, 4.0), (3L, 0, 3.0, 6.0),
+      (4L, 1, 4.0, 8.0), (5L, 1, 5.0, 10.0), (6L, 1, 6.0, 12.0))
+    val df = rows.flatMap { case (u, g, x, y) =>
+      Seq((u, g, x, true), (u, g, y, false))
+    }.toDF("unit", "variant", "v", "pre")
+    val out = Experiment.cuped(df, "unit", "variant", "v", col("pre"))
+      .collect().sortBy(_.getInt(0))
+    assert(out.length === 2)
+    val theta = out(0).getAs[Double]("theta")
+    assert(math.abs(theta - 2.0) < 1e-9)
+    val adj0 = out(0).getAs[Double]("mean_adj")
+    val adj1 = out(1).getAs[Double]("mean_adj")
+    // pooled xbar = 3.5 -> both variants adjust to 2*3.5 = 7.0
+    assert(math.abs(adj0 - 7.0) < 1e-9)
+    assert(math.abs(adj1 - 7.0) < 1e-9)
+    assert(out(0).getAs[Double]("mean_post") === 4.0)
+    assert(out(1).getAs[Double]("mean_post") === 10.0)
+  }
+
+  test("anovaF: textbook two-group case equals the squared t statistic") {
+    // groups {1,2,3} and {4,5,6}: F = t^2 with t from the pooled-var
+    // two-sample t test; here means 2 vs 5, pooled var 1 -> t^2 = 13.5
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 4.0), ("b", 5.0), ("b", 6.0)).toDF("g", "v")
+    val row = Experiment.anovaF(df, "g", "v").collect().head
+    assert(row.getAs[Long]("k") === 2L)
+    assert(row.getAs[Long]("n") === 6L)
+    assert(math.abs(row.getAs[Double]("ss_between") - 13.5) < 1e-9)
+    assert(math.abs(row.getAs[Double]("ss_within") - 4.0) < 1e-9)
+    assert(math.abs(row.getAs[Double]("f_stat") - 13.5) < 1e-9)
+  }
+
+  test("giniByGroup: equal values -> 0; extreme concentration -> (n-1)/n") {
+    val df = Seq(("eq", 5.0), ("eq", 5.0), ("eq", 5.0), ("eq", 5.0),
+      ("one", 0.0), ("one", 0.0), ("one", 0.0), ("one", 12.0))
+      .toDF("g", "v")
+    val out = Inequality.giniByGroup(df, "g", "v").collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("gini")).toMap
+    assert(math.abs(out("eq")) < 1e-12)
+    assert(math.abs(out("one") - 0.75) < 1e-12) // (n-1)/n = 3/4
+  }
+
+  test("giniByGroup: ties match the row_number closed form") {
+    // values 1,1,2: G = (2*(1*1+2*1+3*2) - 4*4) / (3*4) = (18-16)/12
+    val df = Seq(("g", 1.0), ("g", 1.0), ("g", 2.0)).toDF("g", "v")
+    val g = Inequality.giniByGroup(df, "g", "v").collect().head
+      .getAs[Double]("gini")
+    assert(math.abs(g - 2.0 / 12.0) < 1e-12)
+  }
+
+  test("averagePrecision: perfect ranking -> 1.0; known interleaving") {
+    val perfect = Seq((0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0))
+      .toDF("score", "label")
+    val apPerfect = Evaluation.averagePrecision(perfect, "score", "label")
+      .collect().head.getAs[Double]("ap")
+    assert(math.abs(apPerfect - 1.0) < 1e-9)
+    // ranking pos@1, neg@2, pos@3: AP = (1/2)*(1/1 + 2/3)
+    val mixed = Seq((0.9, 1), (0.5, 0), (0.3, 1)).toDF("score", "label")
+    val ap = Evaluation.averagePrecision(mixed, "score", "label")
+      .collect().head.getAs[Double]("ap")
+    assert(math.abs(ap - (1.0 + 2.0 / 3.0) / 2.0) < 1e-9)
+  }
+
+  test("averagePrecision: tied scores take the tie-block cut precision") {
+    // all rows tied: single cut, precision = P/(P+N), AP = P/(P+N)
+    val df = Seq((0.5, 1), (0.5, 0), (0.5, 1), (0.5, 0)).toDF("score", "label")
+    val ap = Evaluation.averagePrecision(df, "score", "label")
+      .collect().head.getAs[Double]("ap")
+    assert(math.abs(ap - 0.5) < 1e-9)
+  }
+
+  test("poissonBootstrapMean: CI brackets the mean, deterministic, " +
+    "weights hit the Poisson(1) profile") {
+    val df = (1 to 400).map(i => (i.toLong, (i % 7).toDouble)).toDF("id", "v")
+    val a = Bootstrap.poissonBootstrapMean(df, "id", "v", 50, 42L)
+      .collect().head
+    val b = Bootstrap.poissonBootstrapMean(df, "id", "v", 50, 42L)
+      .collect().head
+    assert(a === b) // hash-deterministic end to end
+    val mean = a.getAs[Double]("mean")
+    assert(a.getAs[Long]("n") === 400L)
+    assert(a.getAs[Double]("ci_lo") < mean && mean < a.getAs[Double]("ci_hi"))
+    // a different seed moves the replicate draw
+    val c = Bootstrap.poissonBootstrapMean(df, "id", "v", 50, 7L)
+      .collect().head
+    assert(c.getAs[Double]("ci_lo") !== a.getAs[Double]("ci_lo"))
+  }
+
+  test("weightedSample: deterministic, k rows, heavy weights win more") {
+    val df = (1 to 200).map(i =>
+      (i.toLong, if (i <= 100) 1.0 else 100.0)).toDF("id", "w")
+    val s1 = Mixture.weightedSample(df, "id", "w", 40, 42L)
+    val ids = s1.select("id").collect().map(_.getLong(0))
+    assert(ids.length === 40)
+    val s2 = Mixture.weightedSample(df, "id", "w", 40, 42L)
+      .select("id").collect().map(_.getLong(0))
+    assert(ids.toSeq === s2.toSeq)
+    // 100x weights should dominate the winners overwhelmingly
+    val heavy = ids.count(_ > 100)
+    assert(heavy >= 35, s"expected heavy-weight dominance, got $heavy/40")
+    // zero/negative weights are excluded, not errors
+    val withZero = df.withColumn("w",
+      when(col("id") === 1L, lit(0.0)).otherwise(col("w")))
+    assert(!Mixture.weightedSample(withZero, "id", "w", 40, 42L)
+      .select("id").collect().map(_.getLong(0)).contains(1L))
+  }
+}
