@@ -99,4 +99,41 @@ object FuzzyJoin {
       .filter(col("dist") <= k)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
+
+  /** Blocked Jaro–Winkler linkage: candidate pairs come from an
+    * equi-join on `blockCol` (id_a < id_b within a block), scored with
+    * the codegen'd [[graft.functions.JaroWinklerExpr]] and kept at
+    * `threshold` or above. Output: (blockCol, id_a, id_b, name_a,
+    * name_b, jw).
+    *
+    * Blocking is the record-linkage scale contract: pair volume is
+    * sum over blocks of |block|², so the CALLER picks a key whose
+    * blocks are bounded (brand, zip, soundex, first-k chars) — the
+    * operator is deliberately not defensively salted, because a block
+    * too large to pair is a modeling error (the pairs ARE the output),
+    * not a physical-plan accident.
+    */
+  def jaroWinklerBlocked(
+      df: DataFrame,
+      idCol: String,
+      strCol: String,
+      blockCol: String,
+      threshold: Double): DataFrame = {
+    require(threshold >= 0.0 && threshold <= 1.0,
+      s"threshold must be in [0,1], got $threshold")
+    val spark = df.sparkSession
+    val base = df.select(col(blockCol).as("__blk"),
+      col(idCol).as("__id"), col(strCol).as("__s"))
+    val a = base.select(col("__blk"), col("__id").as("id_a"),
+      col("__s").as("name_a"))
+    val b = base.select(col("__blk"), col("__id").as("id_b"),
+      col("__s").as("name_b"))
+    a.join(b, Seq("__blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jw", graft.functions.JaroWinklerExpr
+        .jaroWinkler(spark, col("name_a"), col("name_b")))
+      .filter(col("jw") >= threshold)
+      .select(col("__blk").as(blockCol), col("id_a"), col("id_b"),
+        col("name_a"), col("name_b"), col("jw"))
+  }
 }

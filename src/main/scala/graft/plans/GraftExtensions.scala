@@ -98,6 +98,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           children.head, org.apache.spark.sql.types.StringType))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_jaro_winkler"),
+      new ExpressionInfo(classOf[graft.functions.JaroWinklerExpr].getName,
+        "graft_jaro_winkler"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        arity("graft_jaro_winkler", 2, children)
+        graft.functions.JaroWinklerExpr(
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            children(0), org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            children(1), org.apache.spark.sql.types.StringType))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_morton"),
       new ExpressionInfo(classOf[MortonExpr].getName, "graft_morton"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

@@ -743,9 +743,36 @@ object WorkloadQueries {
       LIMIT 50
     """.trim))
 
+  /** Brand-blocked Jaro–Winkler record linkage
+    * ([[graft.operators.FuzzyJoin.jaroWinklerBlocked]], threshold
+    * 0.87): the codegen'd [[graft.functions.JaroWinklerExpr]] is
+    * pinned bit-exactly to DuckDB's `jaro_winkler_similarity`
+    * (rapidfuzz semantics), so the oracle scores the identical blocked
+    * pair set natively.
+    */
+  val q248JwLinkage = HarnessQuery(
+    "q248_jw_linkage",
+    (spark, dir) =>
+      graft.operators.FuzzyJoin.jaroWinklerBlocked(
+        Tables.part(spark, dir), "p_partkey", "p_name", "p_brand",
+        threshold = 0.87)
+        .select(col("p_brand"), col("id_a"), col("id_b"),
+          col("name_a"), col("name_b"), round(col("jw"), 12).as("jw"))
+        .orderBy(col("p_brand"), col("id_a"), col("id_b")),
+    Some("""
+      SELECT a.p_brand, a.p_partkey AS id_a, b.p_partkey AS id_b,
+             a.p_name AS name_a, b.p_name AS name_b,
+             round(jaro_winkler_similarity(a.p_name, b.p_name), 12) AS jw
+      FROM part a JOIN part b
+        ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.87
+      ORDER BY a.p_brand, id_a, id_b
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q188Rfm, q189Survival, q190Pmi, q191Chi2, q192Melt,
     q193SkewProfile, q194Zorder, q195Khop, q196Scd2, q197PathTrigrams,
     q198CumUsers, q199Wau, q200DegreeHist, q201PruneSim, q202RankNorm,
-    q203TpchQ3, q204TpchQ5, q205TpchQ10, q208AbTest, q209BasketLift)
+    q203TpchQ3, q204TpchQ5, q205TpchQ10, q208AbTest, q209BasketLift,
+    q248JwLinkage)
 }
