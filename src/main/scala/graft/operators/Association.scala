@@ -50,6 +50,23 @@ object Association {
           .as("mi_contrib"))
   }
 
+  /** Mutual information I(A;B) in nats — the single-number feature
+    * relevance score on top of [[pmiCells]]: each observed cell's
+    * (n_ab/n)·pmi contribution is rounded at 12 (the cross-engine
+    * double contract) and then accumulated in DECIMAL, so the sum is
+    * order-independent and bit-identical on both engines without an
+    * ordered fold. Zero cells contribute zero (the 0·ln 0 limit), so
+    * summing observed cells IS the full MI. Output one row:
+    * (n, n_cells, mi_nats).
+    */
+  def mutualInformation(df: DataFrame, aCol: String, bCol: String): DataFrame =
+    pmiCells(df, aCol, bCol)
+      .agg(
+        sum(col("n_ab")).as("n"),
+        count(lit(1)).as("n_cells"),
+        sum(col("mi_contrib").cast("decimal(38,12)")).cast("double")
+          .as("mi_nats"))
+
   /** Market-basket association: for each unordered item pair, the
     * co-basket count and the LIFT n_ab·N/(n_a·n_b) (N = baskets;
     * lift > 1 = bought together more than independence predicts),

@@ -87,6 +87,39 @@ object TimeSeries {
       .withColumn("std_window", sqrt(greatest(col("var_window"), lit(0d))))
   }
 
+  /** Truncated half-life EWMA over a per-key bucketed series:
+    * s_t = sum_{i=0..K-1} v_{t-i} * 2^-(i+1) — the alpha = 1/2
+    * exponential smoother cut at K lags (tail weight 2^-K; K = 8
+    * leaves < 0.4% of the mass, and the truncation is what makes the
+    * operator exactly replayable: the recursive form never forgets,
+    * so two engines folding a long history in different precisions
+    * drift).
+    *
+    * Every weight is a power of two, so each product v * 2^-(i+1) is
+    * EXACT in double (scaling by 2^k only shifts the exponent), and
+    * the K-term sum is the same left-associated chain on both engines
+    * — bit-identical with no decimal detour and no rounding step.
+    * Missing leading history counts as zero (the s_0 = 0 convention).
+    *
+    * Shape: one per-key ordered window carrying K lag() reads in a
+    * single pass — per-key cost is the series length, never corpus
+    * size. Callers feed a REGULAR series (e.g. [[Resample.resample]]
+    * output) — on an irregular one the "half-life" would silently
+    * mean "half per observation", not per time unit.
+    */
+  def ewmaTruncated(
+      df: DataFrame, keyCol: String, orderCol: String, valueCol: String,
+      halvings: Int = 8): DataFrame = {
+    require(halvings >= 1 && halvings <= 50,
+      s"halvings must be in [1,50], got $halvings")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+    val terms = (0 until halvings).map { i =>
+      coalesce(lag(col(valueCol).cast("double"), i).over(w), lit(0.0)) *
+        lit(math.pow(2.0, -(i + 1)))
+    }
+    df.withColumn("ewma", terms.reduceLeft(_ + _))
+  }
+
   /** CUSUM changepoint locator over the per-group daily series of event
     * counts: for each group, the day where the cumulative deviation
     * |Σ_{i≤t} (xᵢ − x̄)| peaks — the classic single-changepoint

@@ -293,7 +293,49 @@ object TimeSeriesQueries {
       ORDER BY 1, 2
     """.trim))
 
+  /** Truncated half-life EWMA over the dense per-group daily activity
+    * series ([[TimeSeries.ewmaTruncated]] on [[graft.operators.Resample]]
+    * output, K = 8): power-of-two weights make every term exact in
+    * double, so the smoothed series matches the oracle's identical
+    * left-associated lag chain bit-for-bit — no rounding anywhere.
+    */
+  val q250Ewma = HarnessQuery(
+    "q250_ewma",
+    (spark, dir) => {
+      val ev = Tables.events(spark, dir)
+        .withColumn("grp", pmod(col("user_id"), lit(20L)))
+      val daily = graft.operators.Resample
+        .resample(ev, "ts", "grp", 86400000000L, "value")
+      TimeSeries.ewmaTruncated(daily, "grp", "bucket_start", "n_events")
+        .select(col("grp"), unix_micros(col("bucket_start")).as("bucket_us"),
+          col("n_events"), col("ewma"))
+        .orderBy(col("grp"), col("bucket_us"))
+    },
+    Some("""
+      WITH e AS (SELECT user_id % 20 AS grp,
+                        epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS b
+                 FROM events),
+      a AS (SELECT grp, b, count(*) AS n FROM e GROUP BY 1, 2),
+      span AS (SELECT grp, min(b) AS mn, max(b) AS mx FROM a GROUP BY 1),
+      grid AS (SELECT grp, unnest(generate_series(mn, mx)) AS b FROM span),
+      r AS (SELECT g.grp, g.b, coalesce(a.n, 0) AS n
+            FROM grid g LEFT JOIN a USING (grp, b))
+      SELECT grp, b * 86400000000 AS bucket_us,
+             CAST(n AS BIGINT) AS n_events,
+             CAST(n AS DOUBLE) * 0.5
+               + coalesce(CAST(lag(n, 1) OVER w AS DOUBLE), 0.0) * 0.25
+               + coalesce(CAST(lag(n, 2) OVER w AS DOUBLE), 0.0) * 0.125
+               + coalesce(CAST(lag(n, 3) OVER w AS DOUBLE), 0.0) * 0.0625
+               + coalesce(CAST(lag(n, 4) OVER w AS DOUBLE), 0.0) * 0.03125
+               + coalesce(CAST(lag(n, 5) OVER w AS DOUBLE), 0.0) * 0.015625
+               + coalesce(CAST(lag(n, 6) OVER w AS DOUBLE), 0.0) * 0.0078125
+               + coalesce(CAST(lag(n, 7) OVER w AS DOUBLE), 0.0) * 0.00390625
+               AS ewma
+      FROM r WINDOW w AS (PARTITION BY grp ORDER BY b)
+      ORDER BY 1, 2
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q178Ohlc, q179RollingStd, q180Cusum, q181SeasonalAnomaly,
-    q182Streaks, q183Markov, q184Cooccurrence, q185SnmPairs)
+    q182Streaks, q183Markov, q184Cooccurrence, q185SnmPairs, q250Ewma)
 }

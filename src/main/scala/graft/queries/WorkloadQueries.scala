@@ -769,10 +769,45 @@ object WorkloadQueries {
       ORDER BY a.p_brand, id_a, id_b
     """.trim))
 
+  /** Mutual information I(segment; nation)
+    * ([[Association.mutualInformation]]): q190's per-cell MI
+    * contributions — each rounded at 12, the ln cross-engine contract
+    * — accumulated in decimal, so the scalar needs no ordered fold.
+    */
+  val q249MutualInfo = HarnessQuery(
+    "q249_mutual_info",
+    (spark, dir) =>
+      Association.mutualInformation(
+        Tables.customer(spark, dir), "c_mktsegment", "c_nationkey")
+        .withColumn("mi_nats", round(col("mi_nats"), 12)),
+    Some("""
+      WITH ab AS (
+        SELECT c_mktsegment, c_nationkey, count(*) AS n_ab
+        FROM customer GROUP BY 1, 2),
+      ma AS (SELECT c_mktsegment, CAST(sum(n_ab) AS BIGINT) AS n_a
+             FROM ab GROUP BY 1),
+      mb AS (SELECT c_nationkey, CAST(sum(n_ab) AS BIGINT) AS n_b
+             FROM ab GROUP BY 1),
+      t AS (SELECT CAST(sum(n_ab) AS BIGINT) AS n FROM ab),
+      cells AS (
+        SELECT ab.n_ab,
+               round(CAST(n_ab AS DOUBLE) / CAST(n AS DOUBLE)
+                 * ln(CAST(n_ab AS DOUBLE) * CAST(n AS DOUBLE)
+                      / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))), 12)
+                 AS mi_contrib
+        FROM ab JOIN ma USING (c_mktsegment)
+          JOIN mb USING (c_nationkey), t)
+      SELECT CAST(sum(n_ab) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_cells,
+             round(CAST(sum(CAST(mi_contrib AS DECIMAL(38,12))) AS DOUBLE),
+               12) AS mi_nats
+      FROM cells
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q188Rfm, q189Survival, q190Pmi, q191Chi2, q192Melt,
     q193SkewProfile, q194Zorder, q195Khop, q196Scd2, q197PathTrigrams,
     q198CumUsers, q199Wau, q200DegreeHist, q201PruneSim, q202RankNorm,
     q203TpchQ3, q204TpchQ5, q205TpchQ10, q208AbTest, q209BasketLift,
-    q248JwLinkage)
+    q248JwLinkage, q249MutualInfo)
 }

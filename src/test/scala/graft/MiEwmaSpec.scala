@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Association, TimeSeries}
+
+class MiEwmaSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mutualInformation: independent columns -> ~0; " +
+    "deterministic coupling -> ln(alphabet size)") {
+    // perfectly coupled: b = a, uniform over 4 symbols -> MI = ln 4
+    val coupled = (1 to 400).map(i => (s"s${i % 4}", s"s${i % 4}"))
+      .toDF("a", "b")
+    val mi = Association.mutualInformation(coupled, "a", "b")
+      .collect().head
+    assert(mi.getAs[Long]("n") === 400L)
+    assert(mi.getAs[Long]("n_cells") === 4L)
+    assert(math.abs(mi.getAs[Double]("mi_nats") - math.log(4.0)) < 1e-9)
+    // independent: a cycles mod 2, b cycles mod 5 over an exact
+    // multiple of 10 rows -> every cell exactly uniform -> MI = 0
+    val indep = (0 until 400).map(i => (s"a${i % 2}", s"b${i % 5}"))
+      .toDF("a", "b")
+    val mi0 = Association.mutualInformation(indep, "a", "b")
+      .collect().head.getAs[Double]("mi_nats")
+    assert(math.abs(mi0) < 1e-9)
+  }
+
+  test("ewmaTruncated: constant series converges to 1 - 2^-K; " +
+    "impulse decays by exact halves") {
+    val series = (1 to 20).map(i => ("k", i, 1.0)).toDF("key", "t", "v")
+    val out = TimeSeries.ewmaTruncated(series, "key", "t", "v", halvings = 8)
+      .orderBy(col("t")).collect().map(_.getAs[Double]("ewma"))
+    // row 1 sees only itself: 0.5; row >= 8 sees the full kernel
+    assert(out(0) === 0.5)
+    assert(out(19) === (1.0 - math.pow(2.0, -8))) // exact: powers of two
+    // unit impulse at t=1: ewma at t = 2^-t exactly, zero past K
+    val impulse = (1 to 12).map(i => ("k", i, if (i == 1) 1.0 else 0.0))
+      .toDF("key", "t", "v")
+    val imp = TimeSeries.ewmaTruncated(impulse, "key", "t", "v", halvings = 8)
+      .orderBy(col("t")).collect().map(_.getAs[Double]("ewma"))
+    assert(imp(0) === 0.5 && imp(3) === 0.0625)
+    assert(imp(8) === 0.0) // truncated: the K+1-th lag is forgotten
+  }
+
+  test("ewmaTruncated: keys smooth independently") {
+    val df = Seq(("a", 1, 4.0), ("a", 2, 0.0), ("b", 1, 8.0))
+      .toDF("key", "t", "v")
+    val out = TimeSeries.ewmaTruncated(df, "key", "t", "v")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getAs[Double]("ewma")).toMap
+    assert(out(("a", 1)) === 2.0)
+    assert(out(("a", 2)) === 1.0) // 0*0.5 + 4*0.25
+    assert(out(("b", 1)) === 4.0) // b never sees a's history
+  }
+}
