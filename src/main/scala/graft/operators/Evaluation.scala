@@ -353,6 +353,64 @@ object Evaluation {
       when(se > 0d, (p1 - p0) / se).otherwise(lit(null)).as("z"))
   }
 
+  /** Murphy decomposition of the Brier score over a B-bin calibration
+    * binning: forecast = bin center c_b = (b + 0.5)/B, so
+    * brier = reliability − resolution + uncertainty holds as an EXACT
+    * algebraic identity (constant forecast within bins) — the spec
+    * pins it. reliability = Σ n_b (c_b − ȳ_b)² / n penalizes
+    * miscalibration, resolution = Σ n_b (ȳ_b − ȳ)² / n rewards
+    * discriminating bins, uncertainty = ȳ(1 − ȳ) is the no-skill
+    * floor.
+    *
+    * Everything reduces to integer bin counts (ONE hash aggregate of
+    * B rows) and exact power-of-two-free doubles: centers are exact
+    * rationals evaluated identically on both engines, each bin's term
+    * is rounded at 12 and accumulated in decimal — no ordered fold,
+    * no double-sum order sensitivity. Scores must lie in [0, 1);
+    * rows outside clamp into the edge bins (documented, matching
+    * [[calibrationBins]]).
+    *
+    * Output one row: (n, brier, reliability, resolution, uncertainty).
+    */
+  def brierDecomposition(df: DataFrame, scoreCol: String, labelCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val b = least(greatest(
+      floor(col(scoreCol) * bins).cast("int"), lit(0)), lit(bins - 1))
+    val perBin = df
+      .groupBy(b.as("__b"))
+      .agg(count(lit(1)).as("__nb"),
+        sum(when(col(labelCol) === 1, 1L).otherwise(0L)).as("__pb"))
+    val tot = perBin.select(sum(col("__nb")).as("__n"),
+      sum(col("__pb")).as("__p"))
+    val center = (col("__b").cast("double") + 0.5) / bins
+    val ybarB = col("__pb").cast("double") / col("__nb").cast("double")
+    val ybar = col("__p").cast("double") / col("__n").cast("double")
+    def dec(c: Column): Column = round(c, 12).cast("decimal(38,12)")
+    perBin.crossJoin(broadcast(tot))
+      .select(col("__n"), col("__p"),
+        // per-bin double terms, rounded then decimal-accumulated so
+        // the B-term sums are order-independent on both engines
+        dec(col("__nb") * (center - ybarB) * (center - ybarB)).as("__rel"),
+        dec(col("__nb") * (ybarB - ybar) * (ybarB - ybar)).as("__res"),
+        dec(col("__pb") * (lit(1.0d) - center) * (lit(1.0d) - center)
+          + (col("__nb") - col("__pb")) * center * center).as("__bri"))
+      .groupBy(col("__n"), col("__p"))
+      .agg(sum(col("__rel")).as("__srel"), sum(col("__res")).as("__sres"),
+        sum(col("__bri")).as("__sbri"))
+      .select(
+        col("__n").as("n"),
+        (col("__sbri").cast("double") / col("__n").cast("double"))
+          .as("brier"),
+        (col("__srel").cast("double") / col("__n").cast("double"))
+          .as("reliability"),
+        (col("__sres").cast("double") / col("__n").cast("double"))
+          .as("resolution"),
+        (col("__p").cast("double") / col("__n").cast("double")
+          * (lit(1.0d) - col("__p").cast("double")
+            / col("__n").cast("double"))).as("uncertainty"))
+  }
+
   /** Average precision (area under the precision-recall curve,
     * sklearn's step-interpolated `average_precision_score`):
     * AP = sum over distinct scores s (descending) of

@@ -101,6 +101,50 @@ object Experiment {
       .orderBy(col("variant"))
   }
 
+  /** Per-group simple OLS fit y = slope*x + intercept — the
+    * elasticity/trend readout (price vs quantity, value vs hour) as a
+    * pure aggregation: per group the five moments (n, Σx, Σy, Σxy,
+    * Σx²; plus Σy² for R²) accumulate as exact decimals in ONE hash
+    * aggregate, then slope/intercept/R² are final-step double ratios
+    * of exact decimal numerators. Groups with zero x-variance emit
+    * null slope/intercept/r2 (0/0), never NaN.
+    *
+    * Output: (groupCol, n, slope, intercept, r2), ordered by group.
+    */
+  def olsByGroup(
+      df: DataFrame, groupCol: String, xCol: String, yCol: String): DataFrame = {
+    // (19,6) operands keep every product at or under the 38-digit
+    // width both engines share (see cuped)
+    val x = col(xCol).cast("decimal(19,6)")
+    val y = col(yCol).cast("decimal(19,6)")
+    val per = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).cast("decimal(10,0)").as("__n"),
+        sum(x).cast("decimal(19,6)").as("__sx"),
+        sum(y).cast("decimal(19,6)").as("__sy"),
+        sum(x * y).cast("decimal(28,12)").as("__sxy"),
+        sum(x * x).cast("decimal(28,12)").as("__sxx"),
+        sum(y * y).cast("decimal(28,12)").as("__syy"))
+    val num = (col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+      .cast("double")
+    val denX = (col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+      .cast("double")
+    val denY = (col("__n") * col("__syy") - col("__sy") * col("__sy"))
+      .cast("double")
+    per.select(
+      col(groupCol),
+      col("__n").cast("long").as("n"),
+      when(denX > 0d, num / denX).as("slope"),
+      when(denX > 0d,
+        (col("__sy").cast("double")
+          - (num / denX) * col("__sx").cast("double"))
+          / col("__n").cast("double")).as("intercept"),
+      when(denX > 0d && denY > 0d, num * num / (denX * denY)).as("r2"))
+      .orderBy(col(groupCol))
+  }
+
   /** One-way ANOVA F statistic across the groups of `groupCol`:
     * F = (SSB/(k-1)) / (SSW/(n-k)) with SSB = sum_g S_g^2/n_g - S^2/n
     * and SSW = Q - sum_g S_g^2/n_g, from per-group (n_g, sum, sum of

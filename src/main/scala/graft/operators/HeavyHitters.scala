@@ -1,0 +1,96 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Frequent-item detection at stream scale — the Misra–Gries
+  * candidate-then-verify pattern: a full `groupBy(item).count()` over a
+  * 100 TB token stream shuffles every distinct item (vocabulary-sized —
+  * billions of keys, mostly singletons); the heavy hitters the caller
+  * actually wants are a few hundred rows. Per-partition Misra–Gries
+  * summaries (k counters, one sequential pass, O(k) memory) yield a
+  * candidate set that PROVABLY contains every item with global
+  * frequency > n/k — if an item is no partition's local heavy hitter
+  * (freq_p <= n_p/k everywhere), summing gives freq <= n/k — and the
+  * exact pass then counts ONLY candidates: the broadcast semi-join
+  * filters map-side, so the shuffle carries heavy candidates instead
+  * of the vocabulary tail.
+  *
+  * The output is therefore EXACT (the sketch only proposes; the count
+  * decides) and partition-layout-proof: more partitions, different
+  * splits, same final rows — which is why a plain SQL frequency filter
+  * can oracle it.
+  */
+object HeavyHitters {
+
+  /** One partition's Misra–Gries summary keys. Classic k-counter
+    * update: hits increment; a miss with a full table decrements every
+    * counter (dropping zeros) — each miss-decrement retires k+1
+    * stream items, so any item seen more than n_p/(k+1) times
+    * survives. Called from mapPartitions — must stay serializable.
+    */
+  private[graft] def mgCandidates(k: Int)(
+      it: Iterator[String]): Iterator[String] = {
+    val counters = mutable.HashMap.empty[String, Long]
+    while (it.hasNext) {
+      val x = it.next()
+      val cur = counters.getOrElse(x, -1L)
+      if (cur >= 0L) counters.update(x, cur + 1L)
+      else if (counters.size < k) counters.update(x, 1L)
+      else {
+        val dead = mutable.ArrayBuffer.empty[String]
+        counters.keysIterator.foreach { key =>
+          val c = counters(key) - 1L
+          if (c == 0L) dead += key else counters.update(key, c)
+        }
+        dead.foreach(counters.remove)
+      }
+    }
+    counters.keysIterator
+  }
+
+  /** Items whose exact global frequency strictly exceeds
+    * `minFraction` of the stream, with exact counts — found in two
+    * passes (sketch + verify) instead of a vocabulary-wide shuffle.
+    * `sketchSize` defaults to ceil(2/minFraction) — any value >=
+    * ceil(1/minFraction) preserves the no-false-negative guarantee;
+    * the factor 2 just shrinks the candidate spill-over.
+    *
+    * Output: (item, cnt, freq), freq rounded at 12, heaviest first.
+    */
+  def heavyHitters(
+      df: DataFrame,
+      itemCol: String,
+      minFraction: Double,
+      sketchSize: Int = 0): DataFrame = {
+    require(minFraction > 0 && minFraction < 1,
+      s"minFraction must be in (0,1), got $minFraction")
+    val k =
+      if (sketchSize > 0) sketchSize else math.ceil(2.0 / minFraction).toInt
+    require(k >= math.ceil(1.0 / minFraction).toInt,
+      s"sketchSize $k loses the guarantee for minFraction $minFraction")
+    val spark = df.sparkSession
+    val items = df
+      .select(col(itemCol).cast("string").as("__item"))
+      .where(col("__item").isNotNull)
+    val candidates = items
+      .select(col("__item"))
+      .as(Encoders.STRING)
+      .mapPartitions(mgCandidates(k))(Encoders.STRING)
+      .distinct()
+      .toDF("__item")
+    val total = items.agg(count(lit(1)).as("__n"))
+    items
+      .join(broadcast(candidates), Seq("__item"), "left_semi")
+      .groupBy(col("__item"))
+      .agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .where(col("cnt").cast("double") > lit(minFraction) * col("__n"))
+      .select(col("__item").as(itemCol), col("cnt"),
+        round(col("cnt").cast("double") / col("__n").cast("double"), 12)
+          .as("freq"))
+      .orderBy(col("cnt").desc, col(itemCol))
+  }
+}

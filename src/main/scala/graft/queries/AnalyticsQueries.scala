@@ -222,7 +222,56 @@ object AnalyticsQueries {
       FROM a ORDER BY l_returnflag
     """.trim))
 
+  /** Per-segment OLS of revenue on quantity
+    * ([[graft.operators.Experiment.olsByGroup]]): five exact decimal
+    * moments per group in one aggregate, double ratios at the end —
+    * slope/intercept/R² rounded at 9 (the ratio-of-decimal-casts
+    * contract).
+    */
+  val q251Ols = HarnessQuery(
+    "q251_ols",
+    (spark, dir) =>
+      graft.operators.Experiment.olsByGroup(
+        Tables.lineitem(spark, dir), "l_returnflag",
+        "l_quantity", "l_extendedprice")
+        .select(col("l_returnflag"), col("n"),
+          round(col("slope"), 9).as("slope"),
+          round(col("intercept"), 9).as("intercept"),
+          round(col("r2"), 9).as("r2")),
+    Some("""
+      WITH t AS (
+        SELECT l_returnflag,
+               CAST(l_quantity AS DECIMAL(19,6)) AS x,
+               CAST(l_extendedprice AS DECIMAL(19,6)) AS y
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+      m AS (
+        SELECT l_returnflag,
+               CAST(count(*) AS DECIMAL(10,0)) AS n,
+               CAST(sum(x) AS DECIMAL(19,6)) AS sx,
+               CAST(sum(y) AS DECIMAL(19,6)) AS sy,
+               CAST(sum(x * y) AS DECIMAL(28,12)) AS sxy,
+               CAST(sum(x * x) AS DECIMAL(28,12)) AS sxx,
+               CAST(sum(y * y) AS DECIMAL(28,12)) AS syy
+        FROM t GROUP BY 1),
+      d AS (
+        SELECT l_returnflag, n,
+               CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+               CAST(n * sxx - sx * sx AS DOUBLE) AS denx,
+               CAST(n * syy - sy * sy AS DOUBLE) AS deny,
+               CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+        FROM m)
+      SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+             round(CASE WHEN denx > 0 THEN num / denx END, 9) AS slope,
+             round(CASE WHEN denx > 0 THEN
+               (syd - (num / denx) * sxd) / CAST(n AS DOUBLE) END, 9)
+               AS intercept,
+             round(CASE WHEN denx > 0 AND deny > 0 THEN
+               num * num / (denx * deny) END, 9) AS r2
+      FROM d ORDER BY l_returnflag
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q168CohortRetention, q169Funnel, q170Attribution, q171PercentileBands,
-    q172Twap, q177Entropy, q243Gini)
+    q172Twap, q177Entropy, q243Gini, q251Ols)
 }

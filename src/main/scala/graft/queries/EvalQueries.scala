@@ -394,7 +394,58 @@ object EvalQueries {
     q149RocAuc, q150KsStat, q151Confusion, q152Calibration, q153LiftTable,
     q154WoeIv, q155TargetEncode, q156Psi, q157Expectations, q158CumScores,
     q226CvAuc, q236ThresholdSweep, q242AvgPrecision, q244Cuped, q245Anova,
-    q246BootstrapCi)
+    q246BootstrapCi, q252Brier)
+
+  /** Murphy decomposition of the Brier score
+    * ([[Evaluation.brierDecomposition]], 10 bins): per-bin integer
+    * counts, exact bin-center forecasts, round-12 decimal term
+    * accumulation; the spec pins brier = rel − res + unc exactly.
+    */
+  lazy val q252Brier = HarnessQuery(
+    "q252_brier",
+    (spark, dir) =>
+      Evaluation.brierDecomposition(scored(spark, dir), "score", "label")
+        .select(col("n"),
+          round(col("brier"), 12).as("brier"),
+          round(col("reliability"), 12).as("reliability"),
+          round(col("resolution"), 12).as("resolution"),
+          round(col("uncertainty"), 12).as("uncertainty")),
+    Some(s"""
+      WITH $scoredSql,
+      binned AS (
+        SELECT least(greatest(CAST(floor(score * 10) AS INT), 0), 9) AS b,
+               CAST(count(*) AS BIGINT) AS nb,
+               CAST(sum(label) AS BIGINT) AS pb
+        FROM scored GROUP BY 1),
+      terms AS (
+        SELECT nb, pb,
+               (CAST(b AS DOUBLE) + 0.5) / 10 AS c,
+               CAST(pb AS DOUBLE) / CAST(nb AS DOUBLE) AS yb,
+               CAST((SELECT p FROM tot) AS DOUBLE)
+                 / CAST((SELECT p FROM tot) + (SELECT n FROM tot) AS DOUBLE)
+                 AS ybar
+        FROM binned),
+      acc AS (
+        SELECT
+          CAST(sum(nb) AS BIGINT) AS n, CAST(sum(pb) AS BIGINT) AS p,
+          sum(CAST(round(nb * (c - yb) * (c - yb), 12)
+            AS DECIMAL(38,12))) AS srel,
+          sum(CAST(round(nb * (yb - ybar) * (yb - ybar), 12)
+            AS DECIMAL(38,12))) AS sres,
+          sum(CAST(round(pb * (1.0 - c) * (1.0 - c)
+            + (nb - pb) * c * c, 12) AS DECIMAL(38,12))) AS sbri
+        FROM terms)
+      SELECT n,
+             round(CAST(sbri AS DOUBLE) / CAST(n AS DOUBLE), 12) AS brier,
+             round(CAST(srel AS DOUBLE) / CAST(n AS DOUBLE), 12)
+               AS reliability,
+             round(CAST(sres AS DOUBLE) / CAST(n AS DOUBLE), 12)
+               AS resolution,
+             round(CAST(p AS DOUBLE) / CAST(n AS DOUBLE)
+               * (1.0 - CAST(p AS DOUBLE) / CAST(n AS DOUBLE)), 12)
+               AS uncertainty
+      FROM acc
+    """.trim))
 
   /** Average precision / PR-AUC ([[Evaluation.averagePrecision]]):
     * the class-imbalance-honest companion to q149 — each term is

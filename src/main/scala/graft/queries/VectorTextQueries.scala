@@ -1025,5 +1025,35 @@ object VectorTextQueries {
     q223MannWhitney, q224Spearman, q225DpCounts, q228OovRate, q230Conformal,
     q231AsofForward, q232NovelActions, q234SvmlightExport, q235TheilSen,
     q237KsBySource, q238GapStats, q239TokenCountExpr, q240HashEmbedding,
-    q241TrimmedMean, q247WeightedSample)
+    q241TrimmedMean, q247WeightedSample, q253HeavyTokens)
+
+  /** Heavy-hitter vocabulary tokens
+    * ([[graft.operators.HeavyHitters.heavyHitters]], minFraction
+    * 0.004): per-partition Misra–Gries proposes, the exact
+    * candidate-only count decides — so the output is exact and the
+    * oracle is a plain frequency filter, sketch-free.
+    */
+  val q253HeavyTokens = HarnessQuery(
+    "q253_heavy_tokens",
+    (spark, dir) =>
+      graft.operators.HeavyHitters.heavyHitters(
+        Tables.documents(spark, dir)
+          .select(explode(graft.functions.TextFunctions
+            .tokens(col("text"))).as("token")),
+        "token", minFraction = 0.004),
+    Some("""
+      WITH toks AS (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+          AS token
+        FROM documents),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks),
+      c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt
+            FROM toks GROUP BY 1)
+      SELECT token, cnt,
+             round(CAST(cnt AS DOUBLE)
+               / CAST((SELECT n FROM tot) AS DOUBLE), 12) AS freq
+      FROM c
+      WHERE CAST(cnt AS DOUBLE) > 0.004 * (SELECT n FROM tot)
+      ORDER BY cnt DESC, token
+    """.trim))
 }
