@@ -101,6 +101,83 @@ object Experiment {
       .orderBy(col("variant"))
   }
 
+  /** Stratification-standardized average treatment effect: within each
+    * stratum the treated/control mean difference, combined with
+    * stratum-share weights — the back-door-adjusted ATE when the
+    * stratum variable blocks confounding (and the classic "adjust for
+    * segment mix before comparing cohorts" dashboard number).
+    *
+    * ATE = Σ_s (n_s/n) · (ȳ_treat,s − ȳ_ctrl,s). One hash aggregate
+    * onto (stratum), conditional sums inside; cell means divide exact
+    * decimal sums once in double; each stratum's weighted term rounds
+    * at 12 and accumulates in decimal (order-independent). Strata
+    * missing a treatment arm contribute NULL and null the total —
+    * an incomparable design should fail loudly, not silently reweight.
+    *
+    * Output one row: (n, n_strata, ate).
+    */
+  def stratifiedAte(
+      df: DataFrame, stratumCol: String, treatCol: String,
+      yCol: String): DataFrame = {
+    val y = col(yCol).cast("decimal(18,6)")
+    val t = col(treatCol) === 1
+    val per = df
+      .filter(col(yCol).isNotNull)
+      .groupBy(col(stratumCol))
+      .agg(
+        count(lit(1)).as("__ns"),
+        sum(when(t, 1L).otherwise(0L)).as("__nt"),
+        sum(when(t, y)).as("__st"),
+        sum(when(!t, y)).as("__sc"))
+    val tot = per.select(sum(col("__ns")).as("__n"))
+    val effect = col("__st").cast("double") / col("__nt").cast("double") -
+      col("__sc").cast("double") / (col("__ns") - col("__nt")).cast("double")
+    per.crossJoin(broadcast(tot))
+      .select(col("__n"),
+        round(col("__ns").cast("double") / col("__n").cast("double")
+          * effect, 12).cast("decimal(38,12)").as("__term"))
+      .groupBy(col("__n"))
+      .agg(count(lit(1)).as("n_strata"),
+        sum(col("__term")).as("__ate"),
+        // sum() SKIPS nulls — a one-armed stratum would silently drop
+        // out and reweight the design; count the holes and null the
+        // total explicitly
+        sum(when(col("__term").isNull, 1L).otherwise(0L)).as("__bad"))
+      .select(col("__n").as("n"), col("n_strata"),
+        when(col("__bad") === 0, col("__ate").cast("double")).as("ate"))
+  }
+
+  /** Difference-in-differences over the 2×2 (treated, post) design:
+    * did = (ȳ_treat,post − ȳ_treat,pre) − (ȳ_ctrl,post − ȳ_ctrl,pre) —
+    * the parallel-trends effect estimate. One conditional aggregate;
+    * four exact decimal cell sums, four double divisions, one final
+    * double expression. Output one row: the four cell means (m_tpre,
+    * m_tpost, m_cpre, m_cpost), cell counts, and did.
+    */
+  def diffInDiff(
+      df: DataFrame, treatCol: String, postCol: String,
+      yCol: String): DataFrame = {
+    val y = col(yCol).cast("decimal(18,6)")
+    val t = col(treatCol) === 1
+    val p = col(postCol) === 1
+    def cell(cond: Column, name: String): Seq[(String, Column)] = Seq(
+      s"n_$name" -> sum(when(cond, 1L).otherwise(0L)),
+      s"__s_$name" -> sum(when(cond, y)))
+    val cells =
+      cell(t && !p, "tpre") ++ cell(t && p, "tpost") ++
+        cell(!t && !p, "cpre") ++ cell(!t && p, "cpost")
+    val agg = df.filter(col(yCol).isNotNull)
+      .agg(cells.head._2.as(cells.head._1),
+        cells.tail.map { case (n, c) => c.as(n) }: _*)
+    def m(name: String): Column =
+      col(s"__s_$name").cast("double") / col(s"n_$name").cast("double")
+    agg.select(
+      col("n_tpre"), col("n_tpost"), col("n_cpre"), col("n_cpost"),
+      m("tpre").as("m_tpre"), m("tpost").as("m_tpost"),
+      m("cpre").as("m_cpre"), m("cpost").as("m_cpost"),
+      ((m("tpost") - m("tpre")) - (m("cpost") - m("cpre"))).as("did"))
+  }
+
   /** Per-group simple OLS fit y = slope*x + intercept — the
     * elasticity/trend readout (price vs quantity, value vs hour) as a
     * pure aggregation: per group the five moments (n, Σx, Σy, Σxy,

@@ -394,7 +394,98 @@ object EvalQueries {
     q149RocAuc, q150KsStat, q151Confusion, q152Calibration, q153LiftTable,
     q154WoeIv, q155TargetEncode, q156Psi, q157Expectations, q158CumScores,
     q226CvAuc, q236ThresholdSweep, q242AvgPrecision, q244Cuped, q245Anova,
-    q246BootstrapCi, q252Brier)
+    q246BootstrapCi, q252Brier, q254Did, q255StratAte)
+
+  /** Difference-in-differences on the (user parity × month half) 2×2
+    * ([[graft.operators.Experiment.diffInDiff]]): four exact decimal
+    * cell means, one double expression.
+    */
+  lazy val q254Did = HarnessQuery(
+    "q254_did",
+    (spark, dir) =>
+      graft.operators.Experiment.diffInDiff(
+        Tables.events(spark, dir)
+          .withColumn("tr", pmod(col("user_id"), lit(2L)).cast("int"))
+          .withColumn("post",
+            (col("ts") >= to_timestamp(lit("2024-01-16 00:00:00")))
+              .cast("int")),
+        "tr", "post", "value")
+        .select(col("n_tpre"), col("n_tpost"), col("n_cpre"), col("n_cpost"),
+          round(col("m_tpre"), 9).as("m_tpre"),
+          round(col("m_tpost"), 9).as("m_tpost"),
+          round(col("m_cpre"), 9).as("m_cpre"),
+          round(col("m_cpost"), 9).as("m_cpost"),
+          round(col("did"), 9).as("did")),
+    Some("""
+      WITH t AS (
+        SELECT CAST(user_id % 2 AS INT) AS tr,
+               CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END
+                 AS post,
+               CAST("value" AS DECIMAL(18,6)) AS y
+        FROM events WHERE "value" IS NOT NULL),
+      a AS (
+        SELECT
+          CAST(sum(CASE WHEN tr = 1 AND post = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_tpre,
+          CAST(sum(CASE WHEN tr = 1 AND post = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_tpost,
+          CAST(sum(CASE WHEN tr = 0 AND post = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_cpre,
+          CAST(sum(CASE WHEN tr = 0 AND post = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_cpost,
+          sum(CASE WHEN tr = 1 AND post = 0 THEN y END) AS s_tpre,
+          sum(CASE WHEN tr = 1 AND post = 1 THEN y END) AS s_tpost,
+          sum(CASE WHEN tr = 0 AND post = 0 THEN y END) AS s_cpre,
+          sum(CASE WHEN tr = 0 AND post = 1 THEN y END) AS s_cpost
+        FROM t)
+      SELECT n_tpre, n_tpost, n_cpre, n_cpost,
+             round(CAST(s_tpre AS DOUBLE) / n_tpre, 9) AS m_tpre,
+             round(CAST(s_tpost AS DOUBLE) / n_tpost, 9) AS m_tpost,
+             round(CAST(s_cpre AS DOUBLE) / n_cpre, 9) AS m_cpre,
+             round(CAST(s_cpost AS DOUBLE) / n_cpost, 9) AS m_cpost,
+             round((CAST(s_tpost AS DOUBLE) / n_tpost
+                    - CAST(s_tpre AS DOUBLE) / n_tpre)
+                 - (CAST(s_cpost AS DOUBLE) / n_cpost
+                    - CAST(s_cpre AS DOUBLE) / n_cpre), 9) AS did
+      FROM a
+    """.trim))
+
+  /** Stratification-standardized ATE across event types
+    * ([[graft.operators.Experiment.stratifiedAte]]): per-stratum
+    * effect × share terms rounded at 12 and decimal-accumulated.
+    */
+  lazy val q255StratAte = HarnessQuery(
+    "q255_strat_ate",
+    (spark, dir) =>
+      graft.operators.Experiment.stratifiedAte(
+        Tables.events(spark, dir)
+          .withColumn("tr", pmod(col("user_id"), lit(2L)).cast("int")),
+        "event_type", "tr", "value")
+        .withColumn("ate", round(col("ate"), 12)),
+    Some("""
+      WITH per AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS ns,
+               CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS nt,
+               sum(CASE WHEN user_id % 2 = 1
+                 THEN CAST("value" AS DECIMAL(18,6)) END) AS st,
+               sum(CASE WHEN user_id % 2 = 0
+                 THEN CAST("value" AS DECIMAL(18,6)) END) AS sc
+        FROM events WHERE "value" IS NOT NULL GROUP BY 1),
+      tot AS (SELECT CAST(sum(ns) AS BIGINT) AS n FROM per),
+      terms AS (
+        SELECT CAST(round(
+                 CAST(ns AS DOUBLE) / CAST((SELECT n FROM tot) AS DOUBLE)
+                 * (CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)
+                    - CAST(sc AS DOUBLE) / CAST(ns - nt AS DOUBLE)), 12)
+               AS DECIMAL(38,12)) AS term
+        FROM per)
+      SELECT (SELECT n FROM tot) AS n,
+             CAST(count(*) AS BIGINT) AS n_strata,
+             round(CAST(sum(term) AS DOUBLE), 12) AS ate
+      FROM terms
+    """.trim))
 
   /** Murphy decomposition of the Brier score
     * ([[Evaluation.brierDecomposition]], 10 bins): per-bin integer

@@ -1025,7 +1025,62 @@ object VectorTextQueries {
     q223MannWhitney, q224Spearman, q225DpCounts, q228OovRate, q230Conformal,
     q231AsofForward, q232NovelActions, q234SvmlightExport, q235TheilSen,
     q237KsBySource, q238GapStats, q239TokenCountExpr, q240HashEmbedding,
-    q241TrimmedMean, q247WeightedSample, q253HeavyTokens)
+    q241TrimmedMean, q247WeightedSample, q253HeavyTokens, q256Rrf)
+
+  /** Reciprocal-rank fusion of a length ranker and a seeded-hash
+    * explorer ranker ([[graft.operators.Fusion.rrfFuse]], k = 60,
+    * top-40 lists fused to top-20): round-12 reciprocal terms
+    * accumulate in decimal, so fused scores and ranks replay exactly.
+    */
+  val q256Rrf = HarnessQuery(
+    "q256_rrf",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(spark, dir)
+      val byLen = docs.select(lit(0).as("q"), col("doc_id"),
+        lit("len").as("ranker"),
+        row_number().over(
+          Window.orderBy(col("n_chars").desc, col("doc_id")))
+          .cast("long").as("rnk"))
+        .where(col("rnk") <= 40)
+      val byHash = docs.select(lit(0).as("q"), col("doc_id"),
+        lit("hash").as("ranker"),
+        row_number().over(Window.orderBy(
+          graft.functions.TextFunctions.md5Hash60(
+            concat(col("doc_id").cast("string"), lit(":42"))),
+          col("doc_id")))
+          .cast("long").as("rnk"))
+        .where(col("rnk") <= 40)
+      graft.operators.Fusion.rrfFuse(
+        byLen.unionByName(byHash), "q", "doc_id", "ranker", "rnk",
+        k = 60, topN = 20)
+        .select(col("doc_id"), col("n_rankers"),
+          col("rrf_score"), col("fused_rank"))
+        .orderBy(col("fused_rank"))
+    },
+    Some("""
+      WITH a AS (
+        SELECT 0 AS q, doc_id, 'len' AS ranker,
+               CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id)
+                 AS BIGINT) AS rnk
+        FROM documents QUALIFY rnk <= 40),
+      b AS (
+        SELECT 0 AS q, doc_id, 'hash' AS ranker,
+               CAST(row_number() OVER (ORDER BY
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'),
+                   1, 15)) AS BIGINT), doc_id) AS BIGINT) AS rnk
+        FROM documents QUALIFY rnk <= 40),
+      u AS (SELECT * FROM a UNION ALL SELECT * FROM b),
+      f AS (
+        SELECT q, doc_id, CAST(count(ranker) AS BIGINT) AS n_rankers,
+               sum(CAST(round(1.0 / (60 + rnk), 12) AS DECIMAL(38,12)))
+                 AS score
+        FROM u GROUP BY 1, 2)
+      SELECT doc_id, n_rankers, CAST(score AS DOUBLE) AS rrf_score,
+             CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+               AS BIGINT) AS fused_rank
+      FROM f QUALIFY fused_rank <= 20 ORDER BY fused_rank
+    """.trim))
 
   /** Heavy-hitter vocabulary tokens
     * ([[graft.operators.HeavyHitters.heavyHitters]], minFraction
