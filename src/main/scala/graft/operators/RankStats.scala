@@ -116,4 +116,44 @@ object RankStats {
                 - col("sy").cast("double") * col("sy").cast("double")
                   / col("n"))), 9).as("rho"))
   }
+
+  /** Per-group weighted (lower) median: the smallest value v whose
+    * cumulative weight reaches half the group's total —
+    * min { v : 2·W(≤v) >= W } — the robust center when rows carry
+    * unequal mass (line value weighted by quantity, doc stats by
+    * tokens). The comparison runs entirely in exact decimal (2·cumw
+    * vs W), so there is no interpolation and no float threshold to
+    * disagree on.
+    *
+    * Shape: one hash aggregate onto (group, distinct value); the
+    * per-group cumulative window is bounded by distinct values per
+    * group (the [[rankTable]] discipline); a broadcast of per-group
+    * totals; one min-aggregate. Output: (groupCol, n, total_weight,
+    * weighted_median), ordered by group.
+    */
+  def weightedMedianByGroup(
+      df: DataFrame, groupCol: String, valueCol: String,
+      weightCol: String): DataFrame = {
+    val w = col(weightCol).cast("decimal(18,6)")
+    val per = df
+      .filter(col(valueCol).isNotNull && col(weightCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol).cast("double").as("__v"))
+      .agg(count(lit(1)).as("__c"), sum(w).as("__w"))
+    val win = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = per.groupBy(col(groupCol))
+      .agg(sum(col("__c")).as("__n"),
+        // NOT "__W": Spark resolves column names case-insensitively by
+        // default, so it would collide with per's "__w" after the join
+        sum(col("__w")).cast("decimal(28,6)").as("__tw"))
+    per
+      .withColumn("__cw", sum(col("__w")).over(win).cast("decimal(28,6)"))
+      .join(broadcast(tot), Seq(groupCol))
+      .where(col("__cw") * 2 >= col("__tw"))
+      .groupBy(col(groupCol))
+      .agg(max(col("__n")).as("n"),
+        max(col("__tw")).cast("double").as("total_weight"),
+        min(col("__v")).as("weighted_median"))
+      .orderBy(col(groupCol))
+  }
 }

@@ -271,7 +271,43 @@ object AnalyticsQueries {
       FROM d ORDER BY l_returnflag
     """.trim))
 
+  /** Quantity-weighted median line price per return flag
+    * ([[graft.operators.RankStats.weightedMedianByGroup]]): the
+    * threshold test 2·cumweight >= total runs in exact decimal, so
+    * both engines pick the identical crossing value.
+    */
+  val q257WeightedMedian = HarnessQuery(
+    "q257_weighted_median",
+    (spark, dir) =>
+      graft.operators.RankStats.weightedMedianByGroup(
+        Tables.lineitem(spark, dir), "l_returnflag",
+        "l_extendedprice", "l_quantity"),
+    Some("""
+      WITH per AS (
+        SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS v,
+               count(*) AS c,
+               sum(CAST(l_quantity AS DECIMAL(18,6))) AS w
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        GROUP BY 1, 2),
+      cum AS (
+        SELECT l_returnflag, v,
+               CAST(sum(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DECIMAL(28,6)) AS cw
+        FROM per),
+      tot AS (
+        SELECT l_returnflag, CAST(sum(c) AS BIGINT) AS n,
+               CAST(sum(w) AS DECIMAL(28,6)) AS tw
+        FROM per GROUP BY 1)
+      SELECT t.l_returnflag, t.n, CAST(t.tw AS DOUBLE) AS total_weight,
+             min(c2.v) AS weighted_median
+      FROM tot t JOIN cum c2
+        ON t.l_returnflag = c2.l_returnflag AND c2.cw * 2 >= t.tw
+      GROUP BY 1, 2, 3 ORDER BY 1
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q168CohortRetention, q169Funnel, q170Attribution, q171PercentileBands,
-    q172Twap, q177Entropy, q243Gini, q251Ols)
+    q172Twap, q177Entropy, q243Gini, q251Ols, q257WeightedMedian)
 }
