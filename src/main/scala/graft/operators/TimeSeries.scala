@@ -87,6 +87,51 @@ object TimeSeries {
       .withColumn("std_window", sqrt(greatest(col("var_window"), lit(0d))))
   }
 
+  /** Pearson correlation between TWO keys' daily value series — the
+    * co-movement diagnostic (do purchases track clicks? does error
+    * volume track traffic?). Days observed by either key form the
+    * sample; a day where one key is silent contributes zero for it
+    * (the natural reading for activity series).
+    *
+    * Shape: one hash aggregate onto the epoch day (conditional sums
+    * for each key), then one five-moment aggregate over the day rows
+    * — exact decimals throughout, one final double expression, round 9
+    * (the sqrt denominator is irrational). Output one row:
+    * (n_days, sum_a, sum_b, r).
+    */
+  def seriesCorrelation(
+      df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+      keyA: String, keyB: String): DataFrame = {
+    val v = col(valueCol).cast("decimal(18,6)")
+    val day = epochDay(col(tsCol))
+    val daily = df
+      .filter(col(keyCol).isin(keyA, keyB) && col(valueCol).isNotNull)
+      .groupBy(day.as("__d"))
+      .agg(
+        coalesce(sum(when(col(keyCol) === keyA, v)),
+          lit(0).cast("decimal(18,6)")).cast("decimal(19,6)").as("__x"),
+        coalesce(sum(when(col(keyCol) === keyB, v)),
+          lit(0).cast("decimal(18,6)")).cast("decimal(19,6)").as("__y"))
+    val m = daily.agg(
+      count(lit(1)).cast("decimal(10,0)").as("__n"),
+      sum(col("__x")).cast("decimal(19,6)").as("__sx"),
+      sum(col("__y")).cast("decimal(19,6)").as("__sy"),
+      sum(col("__x") * col("__y")).cast("decimal(28,12)").as("__sxy"),
+      sum(col("__x") * col("__x")).cast("decimal(28,12)").as("__sxx"),
+      sum(col("__y") * col("__y")).cast("decimal(28,12)").as("__syy"))
+    m.select(
+      col("__n").cast("long").as("n_days"),
+      col("__sx").cast("double").as("sum_a"),
+      col("__sy").cast("double").as("sum_b"),
+      round(
+        (col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+          .cast("double")
+          / sqrt((col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+            .cast("double")
+            * (col("__n") * col("__syy") - col("__sy") * col("__sy"))
+              .cast("double")), 9).as("r"))
+  }
+
   /** Truncated half-life EWMA over a per-key bucketed series:
     * s_t = sum_{i=0..K-1} v_{t-i} * 2^-(i+1) — the alpha = 1/2
     * exponential smoother cut at K lags (tail weight 2^-K; K = 8

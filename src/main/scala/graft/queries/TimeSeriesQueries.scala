@@ -335,7 +335,51 @@ object TimeSeriesQueries {
       ORDER BY 1, 2
     """.trim))
 
+  /** Daily click↔purchase value co-movement
+    * ([[TimeSeries.seriesCorrelation]]): exact decimal moments over
+    * the day series, one rounded Pearson expression.
+    */
+  val q258SeriesCorr = HarnessQuery(
+    "q258_series_corr",
+    (spark, dir) =>
+      TimeSeries.seriesCorrelation(
+        Tables.events(spark, dir), "event_type", "ts", "value",
+        "click", "purchase")
+        .select(col("n_days"),
+          round(col("sum_a"), 6).as("sum_a"),
+          round(col("sum_b"), 6).as("sum_b"),
+          col("r")),
+    Some("""
+      WITH d AS (
+        SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+               CAST(coalesce(sum(CASE WHEN event_type = 'click'
+                 THEN CAST("value" AS DECIMAL(18,6)) END), 0)
+                 AS DECIMAL(19,6)) AS x,
+               CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                 THEN CAST("value" AS DECIMAL(18,6)) END), 0)
+                 AS DECIMAL(19,6)) AS y
+        FROM events
+        WHERE event_type IN ('click', 'purchase') AND "value" IS NOT NULL
+        GROUP BY 1),
+      m AS (
+        SELECT CAST(count(*) AS DECIMAL(10,0)) AS n,
+               CAST(sum(x) AS DECIMAL(19,6)) AS sx,
+               CAST(sum(y) AS DECIMAL(19,6)) AS sy,
+               CAST(sum(x * y) AS DECIMAL(28,12)) AS sxy,
+               CAST(sum(x * x) AS DECIMAL(28,12)) AS sxx,
+               CAST(sum(y * y) AS DECIMAL(28,12)) AS syy
+        FROM d)
+      SELECT CAST(n AS BIGINT) AS n_days,
+             round(CAST(sx AS DOUBLE), 6) AS sum_a,
+             round(CAST(sy AS DOUBLE), 6) AS sum_b,
+             round(CAST(n * sxy - sx * sy AS DOUBLE)
+               / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                 * CAST(n * syy - sy * sy AS DOUBLE)), 9) AS r
+      FROM m
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q178Ohlc, q179RollingStd, q180Cusum, q181SeasonalAnomaly,
-    q182Streaks, q183Markov, q184Cooccurrence, q185SnmPairs, q250Ewma)
+    q182Streaks, q183Markov, q184Cooccurrence, q185SnmPairs, q250Ewma,
+    q258SeriesCorr)
 }

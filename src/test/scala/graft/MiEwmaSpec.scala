@@ -43,6 +43,28 @@ class MiEwmaSpec extends SparkSpec {
     assert(imp(8) === 0.0) // truncated: the K+1-th lag is forgotten
   }
 
+  test("seriesCorrelation: perfectly co-moving keys -> r = 1; " +
+    "anti-moving -> r = -1") {
+    import java.sql.Timestamp
+    def ts(day: Int): Timestamp =
+      Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    // key b = 2 * key a per day -> r = 1
+    val df = (1 to 6).flatMap(d =>
+      Seq(("a", ts(d), d * 1.0), ("b", ts(d), d * 2.0)))
+      .toDF("k", "ts", "v")
+    val r = TimeSeries.seriesCorrelation(df, "k", "ts", "v", "a", "b")
+      .collect().head
+    assert(r.getAs[Long]("n_days") === 6L)
+    assert(math.abs(r.getAs[Double]("r") - 1.0) < 1e-9)
+    // key c declines as a rises -> r = -1
+    val df2 = (1 to 6).flatMap(d =>
+      Seq(("a", ts(d), d * 1.0), ("c", ts(d), 10.0 - d)))
+      .toDF("k", "ts", "v")
+    val r2 = TimeSeries.seriesCorrelation(df2, "k", "ts", "v", "a", "c")
+      .collect().head.getAs[Double]("r")
+    assert(math.abs(r2 + 1.0) < 1e-9)
+  }
+
   test("ewmaTruncated: keys smooth independently") {
     val df = Seq(("a", 1, 4.0), ("a", 2, 0.0), ("b", 1, 8.0))
       .toDF("key", "t", "v")
