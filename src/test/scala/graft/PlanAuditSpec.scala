@@ -91,6 +91,19 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("graft_jaro_winkler stays inside whole-stage codegen") {
+    assume(haveData, s"$sfDir not present")
+    val df = Tables.part(spark, sfDir)
+      .select(graft.functions.JaroWinklerExpr.jaroWinkler(spark,
+        col("p_name"), col("p_type")).as("jw"))
+      .filter(col("jw") >= 0.0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"),
+      s"jaro-winkler projection fell out of codegen:\n$plan")
+    assert(plan.contains("graft_jaro_winkler"),
+      s"jaro-winkler expression missing from plan:\n$plan")
+  }
+
   test("graft_morton stays inside whole-stage codegen") {
     assume(haveData, s"$sfDir not present")
     val df = Tables.lineitem(spark, sfDir)
