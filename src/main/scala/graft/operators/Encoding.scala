@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Supervised categorical encodings and distribution-drift scoring —
@@ -117,6 +117,50 @@ object Encoding {
         pe.as("p_expected"), pa.as("p_actual"),
         ((pa - pe) * log(pa / pe)).as("psi_term"))
       .orderBy(col("bin"))
+  }
+
+  /** Bounded-metric drift distances over the same binning as [[psi]]:
+    * Hellinger distance sqrt(1 − Σ sqrt(p_e·p_a)) and Jensen–Shannon
+    * divergence ½·KL(p_e‖m) + ½·KL(p_a‖m) with m the midpoint — the
+    * two drift scores that stay finite and bounded (Hellinger ≤ 1,
+    * JS ≤ ln 2) where PSI explodes, so dashboards can threshold them
+    * stably. Same half-count Laplace smoothing and edge-clamped
+    * equal-width bins as [[psi]].
+    *
+    * Per-bin sqrt/ln terms round at 12 and accumulate in decimal
+    * (order-independent); the final sqrt/halving is one double
+    * expression. Output one row:
+    * (n_expected, n_actual, bc, hellinger, js_nats).
+    */
+  def distributionDistances(
+      df: DataFrame, valueCol: String, sliceCol: String,
+      lo: Double, hi: Double, bins: Int = 10): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi]")
+    val b = greatest(lit(0), least(lit(bins - 1),
+      floor((col(valueCol) - lit(lo)) / lit((hi - lo) / bins)).cast("int")))
+    val perBin = df.groupBy(b.as("__b"))
+      .agg(
+        sum(when(col(sliceCol) === 0, 1L).otherwise(0L)).as("__ne"),
+        sum(when(col(sliceCol) === 1, 1L).otherwise(0L)).as("__na"))
+    val tot = perBin.select(sum(col("__ne")).as("__E"),
+      sum(col("__na")).as("__A"))
+    val pe = (col("__ne") + lit(0.5)) / (col("__E") + lit(0.5) * bins)
+    val pa = (col("__na") + lit(0.5)) / (col("__A") + lit(0.5) * bins)
+    val m = (pe + pa) / 2.0d
+    def dec(c: Column): Column = round(c, 12).cast("decimal(38,12)")
+    perBin.crossJoin(broadcast(tot))
+      .select(col("__E"), col("__A"),
+        dec(sqrt(pe * pa)).as("__bc"),
+        dec(pe * log(pe / m) / 2.0d + pa * log(pa / m) / 2.0d).as("__js"))
+      .groupBy(col("__E"), col("__A"))
+      .agg(sum(col("__bc")).as("__sbc"), sum(col("__js")).as("__sjs"))
+      .select(
+        col("__E").as("n_expected"), col("__A").as("n_actual"),
+        col("__sbc").cast("double").as("bc"),
+        sqrt(greatest(lit(0.0d),
+          lit(1.0d) - col("__sbc").cast("double"))).as("hellinger"),
+        col("__sjs").cast("double").as("js_nats"))
   }
 
   /** Rank (quantile) normalization per group: each value maps to its

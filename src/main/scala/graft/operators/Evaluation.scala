@@ -411,6 +411,60 @@ object Evaluation {
             / col("__n").cast("double"))).as("uncertainty"))
   }
 
+  /** Isotonic (monotone non-decreasing) calibration over a B-bin
+    * score binning — the PAV fit via its minimax closed form:
+    * iso_i = max_{j<=i} min_{k>=j} ȳ(j..k), where ȳ(j..k) is the
+    * pooled positive rate of bins j..k. Equivalent to
+    * pool-adjacent-violators on the binned data, but expressed as a
+    * bounded self-join over the B-row bin table (B² interval means
+    * from prefix sums) — no sequential algorithm, no driver loop.
+    *
+    * Everything is integer prefix-count arithmetic until the interval
+    * means; interval means are single correctly-rounded divisions and
+    * the min/max lattice compares identical doubles on both engines.
+    *
+    * Output: one row per non-empty bin — (bin, n_bin, rate, iso_rate),
+    * iso_rate monotone non-decreasing in bin (spec-pinned).
+    */
+  def isotonicCalibration(df: DataFrame, scoreCol: String, labelCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 64, s"bins must be in [2,64], got $bins")
+    val b = least(greatest(
+      floor(col(scoreCol) * bins).cast("int"), lit(0)), lit(bins - 1))
+    val perBin = df
+      .groupBy(b.as("__b"))
+      .agg(count(lit(1)).as("__nb"),
+        sum(when(col(labelCol) === 1, 1L).otherwise(0L)).as("__pb"))
+    val wCum = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // prefix sums over the <= B bin rows (benign tiny window)
+    val pre = perBin
+      .select(col("__b"), col("__nb"), col("__pb"),
+        sum(col("__nb")).over(wCum).as("__cn"),
+        sum(col("__pb")).over(wCum).as("__cp"))
+    val ends = pre.select(col("__b").as("__k"), col("__cn").as("__cnk"),
+      col("__cp").as("__cpk"))
+    val starts = pre.select(col("__b").as("__j"),
+      (col("__cn") - col("__nb")).as("__cnj"),
+      (col("__cp") - col("__pb")).as("__cpj"))
+    // interval means avg(j..k) for all j <= k: B^2 rows, broadcast side
+    val intervals = starts.join(broadcast(ends), col("__j") <= col("__k"))
+      .select(col("__j"), col("__k"),
+        ((col("__cpk") - col("__cpj")).cast("double")
+          / (col("__cnk") - col("__cnj")).cast("double")).as("__avg"))
+    val minTail = intervals.groupBy(col("__j"))
+      .agg(min(col("__avg")).as("__mintail"))
+    pre
+      .join(broadcast(minTail), col("__j") <= col("__b"))
+      .groupBy(col("__b"), col("__nb"), col("__pb"))
+      .agg(max(col("__mintail")).as("iso_rate"))
+      .select(col("__b").cast("long").as("bin"), col("__nb").as("n_bin"),
+        (col("__pb").cast("double") / col("__nb").cast("double"))
+          .as("rate"),
+        col("iso_rate"))
+      .orderBy(col("bin"))
+  }
+
   /** Average precision (area under the precision-recall curve,
     * sklearn's step-interpolated `average_precision_score`):
     * AP = sum over distinct scores s (descending) of

@@ -87,6 +87,42 @@ object TimeSeries {
       .withColumn("std_window", sqrt(greatest(col("var_window"), lit(0d))))
   }
 
+  /** Maximum drawdown of each key's cumulative daily value series —
+    * "how far below its best day did this series ever sink": running
+    * peak minus current cumulative, maximized over the series. The
+    * standard stability diagnostic for any monotone-ish KPI
+    * (cumulative revenue, net token budget, model-score drift).
+    *
+    * Exact end to end: daily sums and the cumulative/running-max
+    * windows all run in decimal; only the reported doubles cast at
+    * the edge. Per-key windows over per-key day rows (calendar-
+    * bounded), one final hash aggregate. Output one row per key:
+    * (key, n_days, final_value, peak_value, max_drawdown).
+    */
+  def maxDrawdown(
+      df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("decimal(18,6)")
+    val daily = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy(col(keyCol), epochDay(col(tsCol)).as("__d"))
+      .agg(sum(v).cast("decimal(28,6)").as("__s"))
+    val wCum = Window.partitionBy(col(keyCol)).orderBy(col("__d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("__cum", sum(col("__s")).over(wCum))
+      .withColumn("__peak", max(col("__cum")).over(wCum))
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n_days"),
+        max(struct(col("__d"), col("__cum"))).getField("__cum")
+          .cast("double").as("final_value"),
+        max(col("__peak")).cast("double").as("peak_value"),
+        max(col("__peak") - col("__cum")).cast("double")
+          .as("max_drawdown"))
+      .orderBy(col(keyCol))
+  }
+
   /** Pearson correlation between TWO keys' daily value series — the
     * co-movement diagnostic (do purchases track clicks? does error
     * volume track traffic?). Days observed by either key form the

@@ -394,7 +394,93 @@ object EvalQueries {
     q149RocAuc, q150KsStat, q151Confusion, q152Calibration, q153LiftTable,
     q154WoeIv, q155TargetEncode, q156Psi, q157Expectations, q158CumScores,
     q226CvAuc, q236ThresholdSweep, q242AvgPrecision, q244Cuped, q245Anova,
-    q246BootstrapCi, q252Brier, q254Did, q255StratAte)
+    q246BootstrapCi, q252Brier, q254Did, q255StratAte, q259Isotonic,
+    q261DriftDistances)
+
+  /** Isotonic calibration over 10 score bins
+    * ([[Evaluation.isotonicCalibration]]): the PAV fit via the B²
+    * minimax closed form — bounded interval self-join, no sequential
+    * pooling loop — replayed verbatim in SQL.
+    */
+  lazy val q259Isotonic = HarnessQuery(
+    "q259_isotonic",
+    (spark, dir) =>
+      Evaluation.isotonicCalibration(scored(spark, dir), "score", "label")
+        .select(col("bin"), col("n_bin"),
+          round(col("rate"), 12).as("rate"),
+          round(col("iso_rate"), 12).as("iso_rate")),
+    Some(s"""
+      WITH $scoredSql,
+      perbin AS (
+        SELECT least(greatest(CAST(floor(score * 10) AS INT), 0), 9) AS b,
+               CAST(count(*) AS BIGINT) AS nb,
+               CAST(sum(label) AS BIGINT) AS pb
+        FROM scored GROUP BY 1),
+      pre AS (
+        SELECT *,
+               sum(nb) OVER (ORDER BY b) AS cn,
+               sum(pb) OVER (ORDER BY b) AS cp
+        FROM perbin),
+      iv AS (
+        SELECT s.b AS j,
+               CAST(e.cp - (s.cp - s.pb) AS DOUBLE)
+                 / CAST(e.cn - (s.cn - s.nb) AS DOUBLE) AS a
+        FROM pre s JOIN pre e ON s.b <= e.b),
+      mt AS (SELECT j, min(a) AS mintail FROM iv GROUP BY 1)
+      SELECT p.b AS bin, p.nb AS n_bin,
+             round(CAST(p.pb AS DOUBLE) / CAST(p.nb AS DOUBLE), 12) AS rate,
+             round(max(mt.mintail), 12) AS iso_rate
+      FROM pre p JOIN mt ON mt.j <= p.b
+      GROUP BY 1, 2, 3 ORDER BY 1
+    """.trim))
+
+  /** Hellinger + Jensen–Shannon drift distances between the user-parity
+    * slices of event value ([[graft.operators.Encoding
+    * .distributionDistances]], 10 bins over [0, 500]): the bounded
+    * companions to q156's PSI, round-12 decimal term accumulation.
+    */
+  lazy val q261DriftDistances = HarnessQuery(
+    "q261_drift_distances",
+    (spark, dir) =>
+      graft.operators.Encoding.distributionDistances(
+        Tables.events(spark, dir)
+          .withColumn("slice", pmod(col("user_id"), lit(2L)).cast("int")),
+        "value", "slice", lo = 0.0, hi = 500.0, bins = 10)
+        .select(col("n_expected"), col("n_actual"),
+          round(col("bc"), 12).as("bc"),
+          round(col("hellinger"), 9).as("hellinger"),
+          round(col("js_nats"), 12).as("js_nats")),
+    Some("""
+      WITH binned AS (
+        SELECT greatest(0, least(9,
+                 CAST(floor(("value" - 0.0) / 50.0) AS INT))) AS b,
+               CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS ne,
+               CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS na
+        FROM events GROUP BY 1),
+      tot AS (SELECT CAST(sum(ne) AS BIGINT) AS e,
+                     CAST(sum(na) AS BIGINT) AS a FROM binned),
+      terms AS (
+        SELECT
+          (ne + 0.5) / ((SELECT e FROM tot) + 0.5 * 10) AS pe,
+          (na + 0.5) / ((SELECT a FROM tot) + 0.5 * 10) AS pa
+        FROM binned),
+      acc AS (
+        SELECT
+          sum(CAST(round(sqrt(pe * pa), 12) AS DECIMAL(38,12))) AS sbc,
+          sum(CAST(round(pe * ln(pe / ((pe + pa) / 2.0)) / 2.0
+                + pa * ln(pa / ((pe + pa) / 2.0)) / 2.0, 12)
+            AS DECIMAL(38,12))) AS sjs
+        FROM terms)
+      SELECT (SELECT e FROM tot) AS n_expected,
+             (SELECT a FROM tot) AS n_actual,
+             round(CAST(sbc AS DOUBLE), 12) AS bc,
+             round(sqrt(greatest(0.0, 1.0 - CAST(sbc AS DOUBLE))), 9)
+               AS hellinger,
+             round(CAST(sjs AS DOUBLE), 12) AS js_nats
+      FROM acc
+    """.trim))
 
   /** Difference-in-differences on the (user parity × month half) 2×2
     * ([[graft.operators.Experiment.diffInDiff]]): four exact decimal

@@ -378,8 +378,46 @@ object TimeSeriesQueries {
       FROM m
     """.trim))
 
+  /** Max drawdown of each event type's cumulative daily value
+    * ([[TimeSeries.maxDrawdown]]): decimal-exact running sums and
+    * running peaks; only the reported columns cast to double.
+    */
+  val q260Drawdown = HarnessQuery(
+    "q260_drawdown",
+    (spark, dir) =>
+      TimeSeries.maxDrawdown(
+        Tables.events(spark, dir), "event_type", "ts", "value")
+        .select(col("event_type"), col("n_days"),
+          round(col("final_value"), 6).as("final_value"),
+          round(col("peak_value"), 6).as("peak_value"),
+          round(col("max_drawdown"), 6).as("max_drawdown")),
+    Some("""
+      WITH daily AS (
+        SELECT event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+               CAST(sum(CAST("value" AS DECIMAL(18,6))) AS DECIMAL(28,6))
+                 AS s
+        FROM events WHERE "value" IS NOT NULL GROUP BY 1, 2),
+      c1 AS (
+        SELECT event_type, d,
+               CAST(sum(s) OVER (PARTITION BY event_type ORDER BY d)
+                 AS DECIMAL(28,6)) AS cum
+        FROM daily),
+      c2 AS (
+        SELECT event_type, d, cum,
+               CAST(max(cum) OVER (PARTITION BY event_type ORDER BY d)
+                 AS DECIMAL(28,6)) AS peak
+        FROM c1)
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_days,
+             round(CAST(max_by(cum, d) AS DOUBLE), 6) AS final_value,
+             round(CAST(max(peak) AS DOUBLE), 6) AS peak_value,
+             round(CAST(max(peak - cum) AS DOUBLE), 6) AS max_drawdown
+      FROM c2 GROUP BY 1 ORDER BY 1
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q178Ohlc, q179RollingStd, q180Cusum, q181SeasonalAnomaly,
     q182Streaks, q183Markov, q184Cooccurrence, q185SnmPairs, q250Ewma,
-    q258SeriesCorr)
+    q258SeriesCorr, q260Drawdown)
 }
