@@ -233,10 +233,18 @@ object NumericFeatures {
       .crossJoin(broadcast(total))
       .withColumn("__k",
         floor(col("__pr") * (col("__n") - 1) + 0.5).cast("long"))
-    ranked
+    // interval-containment lookup on DISTINCT target indexes only: the
+    // nested-loop comparisons run |distinct k| x |grid| (both bounded),
+    // and the corpus-sized side re-attaches through a broadcast hash
+    // equi-join — the direct row-level interval join measured ~10 s at
+    // sf0.1 (600k rows x grid BNLJ) and grows multiplicatively with n
+    val kv = ranked.select(col("__k")).distinct()
       .join(broadcast(cum),
         col("__k") >= col("__cs") && col("__k") < col("__ce"))
+      .select(col("__k").as("__k2"), col("__tv"))
+    ranked
+      .join(broadcast(kv), col("__k") === col("__k2"))
       .withColumn("norm_value", col("__tv"))
-      .drop("__g", "__pr", "__n", "__k", "__tv", "__cs", "__ce")
+      .drop("__g", "__pr", "__n", "__k", "__k2", "__tv")
   }
 }
