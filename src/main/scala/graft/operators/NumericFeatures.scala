@@ -193,6 +193,71 @@ object NumericFeatures {
         round(col("__rs").cast("double") / col("n_total"), 12).as("raw_mean"))
   }
 
+  /** Hill estimator of the power-law tail index over the top-k order
+    * statistics: alpha = k / Σ_{i=1..k} ln(x_i / x_(k+1)) — "how heavy
+    * is this tail" (alpha < 2: infinite variance; the skew-mitigation
+    * planner's early warning, companion to the Zipf fit and the degree
+    * histogram).
+    *
+    * Shape: one global top-(k+1) (TakeOrdered — per-partition heaps,
+    * never a sort), then all arithmetic on k+1 rows. The ln terms
+    * round at 12 and accumulate in decimal. Output one row:
+    * (k, x_kplus1, alpha).
+    */
+  def hillTailIndex(df: DataFrame, valueCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val top = df
+      .filter(col(valueCol).isNotNull && col(valueCol) > 0)
+      .select(col(valueCol).cast("double").as("__v"))
+      .orderBy(col("__v").desc)
+      .limit(k + 1)
+    // k+1 rows from here on: the unpartitioned window is benign
+    val w = Window.orderBy(col("__v").desc)
+    val ranked = top.withColumn("__r", row_number().over(w))
+    val xk1 = ranked.where(col("__r") === k + 1)
+      .select(col("__v").as("__xk1"))
+    ranked.where(col("__r") <= k)
+      .crossJoin(broadcast(xk1))
+      .select(col("__xk1"),
+        round(log(col("__v") / col("__xk1")), 12)
+          .cast("decimal(38,12)").as("__t"))
+      .groupBy(col("__xk1"))
+      .agg(sum(col("__t")).as("__s"))
+      .select(lit(k.toLong).as("k"), col("__xk1").as("x_kplus1"),
+        (lit(k.toDouble) / col("__s").cast("double")).as("alpha"))
+  }
+
+  /** Per-group Value-at-Risk and conditional VaR (expected
+    * shortfall): the exact interpolated q-quantile (`percentile` ≡
+    * `quantile_cont`) and the mean of the values AT OR ABOVE it —
+    * "when we're in the worst (1-q) tail, how bad is it on average".
+    * Tail means divide exact decimal sums once in double.
+    *
+    * Output: (groupCol, n, var_q, n_tail, cvar), ordered by group.
+    */
+  def cvarByGroup(
+      df: DataFrame, groupCol: String, valueCol: String,
+      q: Double = 0.95): DataFrame = {
+    require(q > 0 && q < 1, s"q must be in (0,1), got $q")
+    val v = col(valueCol).cast("double")
+    val cuts = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        expr(s"percentile($valueCol, ${q}d)").as("var_q"))
+    df.filter(col(valueCol).isNotNull)
+      .join(broadcast(cuts), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(
+        max(col("n")).as("n"),
+        max(col("var_q")).as("var_q"),
+        sum(when(v >= col("var_q"), 1L).otherwise(0L)).as("n_tail"),
+        (sum(when(v >= col("var_q"), dec(v))).cast("double")
+          / sum(when(v >= col("var_q"), 1L).otherwise(0L)).cast("double"))
+          .as("cvar"))
+      .orderBy(col(groupCol))
+  }
+
   /** Cross-source quantile normalization (batch-effect correction):
     * each value is replaced by the value at the same quantile of the
     * GLOBAL distribution, so every source ends up with the same

@@ -307,7 +307,65 @@ object AnalyticsQueries {
       GROUP BY 1, 2, 3 ORDER BY 1
     """.trim))
 
+  /** Hill tail-index of the event-value distribution
+    * ([[graft.operators.NumericFeatures.hillTailIndex]], k = 100):
+    * global top-(k+1) via TakeOrdered, round-12 ln terms in decimal.
+    */
+  val q262Hill = HarnessQuery(
+    "q262_hill",
+    (spark, dir) =>
+      graft.operators.NumericFeatures.hillTailIndex(
+        Tables.events(spark, dir), "value", k = 100)
+        .withColumn("alpha", round(col("alpha"), 9)),
+    Some("""
+      WITH top AS (
+        SELECT CAST("value" AS DOUBLE) AS v FROM events
+        WHERE "value" IS NOT NULL AND "value" > 0
+        ORDER BY v DESC LIMIT 101),
+      r AS (SELECT v, row_number() OVER (ORDER BY v DESC) AS rk FROM top),
+      x AS (SELECT v AS xk1 FROM r WHERE rk = 101),
+      t AS (
+        SELECT CAST(round(ln(r.v / (SELECT xk1 FROM x)), 12)
+          AS DECIMAL(38,12)) AS t
+        FROM r WHERE rk <= 100)
+      SELECT CAST(100 AS BIGINT) AS k,
+             (SELECT xk1 FROM x) AS x_kplus1,
+             round(100.0 / CAST(sum(t) AS DOUBLE), 9) AS alpha
+      FROM t
+    """.trim))
+
+  /** Per-type VaR / expected shortfall
+    * ([[graft.operators.NumericFeatures.cvarByGroup]], q = 0.95):
+    * exact interpolated quantile, decimal tail means.
+    */
+  val q263Cvar = HarnessQuery(
+    "q263_cvar",
+    (spark, dir) =>
+      graft.operators.NumericFeatures.cvarByGroup(
+        Tables.events(spark, dir), "event_type", "value", q = 0.95)
+        .select(col("event_type"), col("n"),
+          round(col("var_q"), 9).as("var_q"), col("n_tail"),
+          round(col("cvar"), 9).as("cvar")),
+    Some("""
+      WITH c AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               quantile_cont("value", 0.95) AS var_q
+        FROM events WHERE "value" IS NOT NULL GROUP BY 1)
+      SELECT e.event_type, max(c.n) AS n,
+             round(max(c.var_q), 9) AS var_q,
+             CAST(sum(CASE WHEN CAST(e."value" AS DOUBLE) >= c.var_q
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_tail,
+             round(CAST(sum(CASE WHEN CAST(e."value" AS DOUBLE) >= c.var_q
+                 THEN CAST(e."value" AS DECIMAL(30,8)) END) AS DOUBLE)
+               / CAST(sum(CASE WHEN CAST(e."value" AS DOUBLE) >= c.var_q
+                 THEN 1 ELSE 0 END) AS DOUBLE), 9) AS cvar
+      FROM events e JOIN c USING (event_type)
+      WHERE e."value" IS NOT NULL
+      GROUP BY 1 ORDER BY 1
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q168CohortRetention, q169Funnel, q170Attribution, q171PercentileBands,
-    q172Twap, q177Entropy, q243Gini, q251Ols, q257WeightedMedian)
+    q172Twap, q177Entropy, q243Gini, q251Ols, q257WeightedMedian,
+    q262Hill, q263Cvar)
 }

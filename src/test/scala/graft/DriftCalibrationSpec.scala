@@ -31,6 +31,26 @@ class DriftCalibrationSpec extends SparkSpec {
     assert(iso.sameElements(iso.sorted))
   }
 
+  test("hillTailIndex: recovers a Pareto tail index; cvar brackets " +
+    "the VaR") {
+    import graft.operators.NumericFeatures
+    // exact Pareto(alpha=2) inverse-CDF sample: x = (1-u)^(-1/2) on a
+    // uniform grid -> Hill over the top 100 of 10000 should land near 2
+    val n = 10000
+    val xs = (1 to n).map(i => math.pow(i.toDouble / (n + 1), -0.5))
+    val df = xs.toDF("v")
+    val h = NumericFeatures.hillTailIndex(df, "v", k = 100)
+      .collect().head
+    val alpha = h.getAs[Double]("alpha")
+    assert(alpha > 1.6 && alpha < 2.4, s"hill alpha off: $alpha")
+    // cvar: uniform 1..100, p95 -> VaR 95.05; tail mean of {96..100}=98
+    val u = (1 to 100).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val c = NumericFeatures.cvarByGroup(u, "g", "v", 0.95).collect().head
+    assert(c.getAs[Double]("var_q") === 95.05)
+    assert(c.getAs[Long]("n_tail") === 5L)
+    assert(c.getAs[Double]("cvar") === 98.0)
+  }
+
   test("maxDrawdown: cumulative dips measured from the running peak") {
     import java.sql.Timestamp
     def ts(day: Int): Timestamp =
