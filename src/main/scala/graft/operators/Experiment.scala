@@ -275,4 +275,99 @@ object Experiment {
         / ((col("__q").cast("double") - col("__sum_ratio"))
           / (col("__n") - col("__k")))).as("f_stat"))
   }
+
+  /** Standard-normal CDF via the Abramowitz–Stegun 7.1.26 erf
+    * polynomial (|error| < 1.5e-7) — Spark has no built-in erf, and a
+    * fixed polynomial is the point here: the SAME closed-form double
+    * expression evaluates in any engine, so p-values are replayable
+    * where a library erf would not be. Accuracy is far beyond what any
+    * multiple-testing decision needs.
+    */
+  private[graft] def normalCdf(z: Column): Column = {
+    val x = abs(z) / math.sqrt(2.0)
+    val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
+    val poly = ((((lit(1.061405429) * t - lit(1.453152027)) * t
+      + lit(1.421413741)) * t - lit(0.284496736)) * t + lit(0.254829592)) * t
+    val erf = lit(1.0) - poly * exp(-x * x)
+    when(z >= 0, lit(0.5) * (lit(1.0) + erf))
+      .otherwise(lit(0.5) * (lit(1.0) - erf))
+  }
+
+  /** Per-group two-proportion z-tests: [[Evaluation.abTest]]'s pooled-z
+    * arithmetic keyed by `byCol`, plus the two-sided p-value from
+    * [[normalCdf]] (rounded at 12 so an erf-library ulp can never flip
+    * a downstream threshold compare). One hash aggregate on the group
+    * key — the fan-out shape of a metrics cut ("did the treatment move
+    * conversion in ANY segment"), and the input [[bhAdjust]] expects.
+    * Degenerate cells (pooled variance 0) emit NULL z and p.
+    */
+  def abTestPerGroup(
+      perUnit: DataFrame, byCol: String, groupCol: String,
+      convCol: String): DataFrame = {
+    val agg = perUnit.groupBy(col(byCol)).agg(
+      sum(when(col(groupCol) === 0, 1L).otherwise(0L)).as("n_control"),
+      sum(when(col(groupCol) === 0 && col(convCol) === 1, 1L)
+        .otherwise(0L)).as("c_control"),
+      sum(when(col(groupCol) === 1, 1L).otherwise(0L)).as("n_treat"),
+      sum(when(col(groupCol) === 1 && col(convCol) === 1, 1L)
+        .otherwise(0L)).as("c_treat"))
+    val p0 = col("c_control").cast("double") / col("n_control").cast("double")
+    val p1 = col("c_treat").cast("double") / col("n_treat").cast("double")
+    val pp = (col("c_control") + col("c_treat")).cast("double") /
+      (col("n_control") + col("n_treat")).cast("double")
+    val se = sqrt(pp * (lit(1.0d) - pp)
+      * (lit(1.0d) / col("n_control").cast("double")
+        + lit(1.0d) / col("n_treat").cast("double")))
+    val z = (p1 - p0) / se
+    agg.select(col(byCol),
+      col("n_control"), col("c_control"), col("n_treat"), col("c_treat"),
+      (p1 - p0).as("uplift"),
+      when(se > 0d, z).otherwise(lit(null)).as("z"),
+      when(se > 0d,
+        round(lit(2.0) * (lit(1.0) - normalCdf(abs(z))), 12))
+        .otherwise(lit(null)).as("p_value"))
+  }
+
+  /** Benjamini–Hochberg step-up FDR control over a family of p-values:
+    * rank ascending, reject every hypothesis up to the LARGEST k with
+    * p_(k) <= (k/m)·alpha, and report the monotone q-value
+    * q_(k) = min_{j>=k} p_(j)·m/j. The multiple-testing gate every
+    * segment-cut dashboard needs once it fans one test into dozens.
+    *
+    * The family is one test per row — dashboard-scale, not data-scale
+    * — so the two unpartitioned windows (rank, suffix-min) run over m
+    * rows by construction; the data-scale work happened upstream in
+    * [[abTestPerGroup]]. NULL p-values (degenerate cells) are excluded
+    * from the family, matching R's `p.adjust` on NA. Per-row terms
+    * p·m/j are each one double expression; ties rank by the id column
+    * for determinism.
+    */
+  def bhAdjust(
+      tests: DataFrame, idCol: String, pCol: String,
+      alpha: Double): DataFrame = {
+    val m0 = tests.where(col(pCol).isNotNull)
+    val withM = m0.crossJoin(
+      broadcast(m0.agg(count(lit(1)).as("__m"))))
+    val wAsc = Window.orderBy(col(pCol).asc, col(idCol).asc)
+    val ranked = withM
+      .withColumn("__k", row_number().over(wAsc))
+      .withColumn("__term",
+        round(col(pCol) * col("__m").cast("double")
+          / col("__k").cast("double"), 12))
+    val wSuffix = wAsc.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wAll = wAsc.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked
+      .withColumn("__q", least(min(col("__term")).over(wSuffix), lit(1.0)))
+      .withColumn("__kmax",
+        max(when(col(pCol)
+          <= round(lit(alpha) * col("__k").cast("double")
+            / col("__m").cast("double"), 12), col("__k")))
+          .over(wAll))
+      .select(col(idCol), col(pCol).as("p_value"),
+        col("__k").cast("long").as("k_rank"), col("__m").as("m"),
+        col("__q").as("q_value"),
+        (col("__kmax").isNotNull
+          && col("__k") <= col("__kmax")).as("rejected"))
+  }
 }

@@ -93,4 +93,48 @@ object HeavyHitters {
           .as("freq"))
       .orderBy(col("cnt").desc, col(itemCol))
   }
+
+  /** Count–Min sketch (Cormode & Muthukrishnan 2005) built as pure
+    * dataflow, plus a per-key accuracy audit against the exact counts.
+    * The sketch is `depth` hash rows × `width` counters — O(d·w) cells
+    * REGARDLESS of key cardinality, mergeable by cell-wise addition
+    * (each cell is a plain sum, so partial aggregation and cross-batch
+    * union both work for free). Estimate = min over rows of the key's
+    * cell; always >= the true count (collisions only add).
+    *
+    * Hashing is the engine-independent md5-derived 60-bit value
+    * ([[graft.functions.TextFunctions.md5Hash60]]) salted with the row
+    * index, so an oracle can rebuild the identical sketch — the point
+    * of this operator is that the ESTIMATES are deterministic, not just
+    * the errors.
+    *
+    * Shape: one explode(depth) + hash aggregate for the sketch (cells
+    * ≤ d·w rows — broadcast), one aggregate for the exact side, one
+    * broadcast join to score. At 100 TB the exact side is the expensive
+    * pass; a production caller drops it and keeps only the sketch —
+    * it's emitted here because the audit IS the query.
+    */
+  def cmsAudit(
+      df: DataFrame, keyCol: String, depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && width >= 1, s"bad sketch dims: $depth x $width")
+    val keyed = df.select(col(keyCol).cast("string").as("__key"))
+      .where(col("__key").isNotNull)
+    val rows = explode(array((0 until depth).map(lit): _*)).as("__row")
+    val bucket = pmod(
+      graft.functions.TextFunctions.md5Hash60(
+        concat_ws(":", col("__row"), col("__key"))),
+      lit(width.toLong)).as("__bucket")
+    val cells = keyed.select(col("__key"), rows)
+      .select(col("__row"), bucket)
+      .groupBy(col("__row"), col("__bucket"))
+      .agg(count(lit(1)).as("__cell"))
+    val exact = keyed.groupBy(col("__key")).agg(count(lit(1)).as("exact"))
+    val est = exact.select(col("__key"), col("exact"), rows)
+      .select(col("__key"), col("exact"), col("__row"), bucket)
+      .join(broadcast(cells), Seq("__row", "__bucket"))
+      .groupBy(col("__key"), col("exact"))
+      .agg(min(col("__cell")).as("cms_estimate"))
+    est.select(col("__key").as(keyCol), col("exact"), col("cms_estimate"),
+      (col("cms_estimate") - col("exact")).as("overestimate"))
+  }
 }

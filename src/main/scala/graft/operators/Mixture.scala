@@ -448,6 +448,67 @@ object Mixture {
         round(col("__key"), 9).as("sample_key"))
   }
 
+  /** Neyman-allocation stratified sampling: split a fixed `budget` of
+    * sample rows across strata proportionally to N_h·S_h (stratum size
+    * × stratum std-dev) — the variance-optimal allocation for
+    * estimating the population mean (Neyman 1934), and the right way
+    * to downsample a skewed corpus for eval: quiet strata give up rows
+    * to volatile ones. Allocation a_h = floor(budget·w_h/Σw) capped at
+    * n_h; membership is the deterministic md5-rank top-a_h per stratum,
+    * so reruns and engines agree row-for-row.
+    *
+    * Shape: one hash aggregate for the per-stratum moments (exact
+    * decimal sum/sum-of-squares), a broadcast of the O(|strata|)
+    * allocation table, one per-stratum ranked window for membership —
+    * the window is partitioned by stratum, so no global sort exists.
+    * Σw folds per-stratum doubles rounded at 12 into a decimal sum
+    * (order-independent).
+    *
+    * Output per stratum: (stratum, n, sd, alloc, sample_mean) — the
+    * achieved sample's mean is the audit that membership matched.
+    */
+  def neymanSample(
+      df: DataFrame, stratumCol: String, valueCol: String, idCol: String,
+      budget: Int): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val base = df.where(col(valueCol).isNotNull)
+    val moments = base.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("__n"),
+        sum(col(valueCol).cast("decimal(28,6)")).as("__s"),
+        sum((col(valueCol) * col(valueCol)).cast("decimal(28,6)")).as("__q"))
+    val sd = sqrt(greatest(
+      (col("__q").cast("double")
+        - col("__s").cast("double") * col("__s").cast("double")
+          / col("__n").cast("double")) / col("__n").cast("double"),
+      lit(0.0)))
+    val weighted = moments
+      .withColumn("__sd", round(sd, 12))
+      .withColumn("__w", round(col("__n").cast("double") * col("__sd"), 12))
+    val totW = weighted.agg(
+      sum(col("__w").cast("decimal(38,12)")).cast("double").as("__tw"))
+    val alloc = weighted.crossJoin(broadcast(totW))
+      .withColumn("alloc",
+        least(col("__n"),
+          floor(lit(budget.toDouble) * col("__w") / col("__tw"))
+            .cast("long")))
+    val w = Window.partitionBy(col(stratumCol)).orderBy(
+      TextFunctions.md5Hash60(concat_ws(":", col(stratumCol), col(idCol))),
+      col(idCol))
+    val sampled = base
+      .join(broadcast(alloc.select(col(stratumCol), col("alloc"))),
+        Seq(stratumCol))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= col("alloc"))
+      .groupBy(col(stratumCol))
+      .agg(sum(col(valueCol).cast("decimal(28,6)")).as("__ss"),
+        count(lit(1)).as("__sn"))
+    alloc.join(sampled, Seq(stratumCol), "left")
+      .select(col(stratumCol), col("__n").as("n"),
+        round(col("__sd"), 10).as("sd"), col("alloc"),
+        round(col("__ss").cast("double") / col("__sn").cast("double"), 10)
+          .as("sample_mean"))
+  }
+
   /** Mixture audit: per-domain retained counts (the size contract). */
   def mixtureSummary(
       df: DataFrame,

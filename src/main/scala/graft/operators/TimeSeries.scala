@@ -339,4 +339,52 @@ object TimeSeries {
       .select(col("fold"), col("test_day_min"), col("test_day_max"),
         col("test_rows"), col("train_rows"))
   }
+
+  /** Autocorrelation function of the daily event-count series per key,
+    * at lags 1..maxLag: r_k = Σ(y_t − ȳ)(y_{t−k} − ȳ) / Σ(y_t − ȳ)²,
+    * the standard ACF (denominator the full-series sum of squares, mean
+    * the full-series mean — both exact from integer counts). Seasonality
+    * shows as a comb (lag-7 spike for weekly traffic); white noise decays
+    * to 0 — the first dashboard of every forecasting task.
+    *
+    * Shape: rows collapse to (key, day, count) in one hash aggregate;
+    * the lag windows then run per key over the DAY series, bounded by
+    * the calendar span, not the row count (the same bounded-domain
+    * argument as the stump's distinct-value window — here it's even
+    * per-key partitioned). Numerator cross-products are doubles of
+    * exact integers rounded at 12 dp and decimal-summed, one double
+    * division at the end.
+    */
+  def acf(
+      df: DataFrame, keyCol: String, tsCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val daily = df.groupBy(col(keyCol), epochDay(col(tsCol)).as("__day"))
+      .agg(count(lit(1)).as("__n"))
+    val stats = daily.groupBy(col(keyCol))
+      .agg(sum(col("__n")).as("__s"), count(lit(1)).as("__t"))
+      .select(col(keyCol),
+        (col("__s").cast("double") / col("__t").cast("double")).as("__mean"),
+        col("__t"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__day"))
+    val lagged = daily.join(stats, Seq(keyCol))
+      .withColumn("__d", col("__n").cast("double") - col("__mean"))
+      .select((col(keyCol) +: col("__day") +: col("__d") +: col("__t") +:
+        (1 to maxLag).map(k => lag(col("__d"), k).over(w).as(s"__l$k"))): _*)
+    val denom = lagged.groupBy(col(keyCol))
+      .agg(sum(round(col("__d") * col("__d"), 12).cast("decimal(38,12)"))
+        .cast("double").as("__den"), max(col("__t")).as("n_days"))
+    val nums = lagged.groupBy(col(keyCol))
+      .agg(
+        sum(round(col("__d") * col(s"__l1"), 12).cast("decimal(38,12)"))
+          .cast("double").as("__num1"),
+        (2 to maxLag).map(k =>
+          sum(round(col("__d") * col(s"__l$k"), 12).cast("decimal(38,12)"))
+            .cast("double").as(s"__num$k")): _*)
+    val joined = nums.join(denom, Seq(keyCol))
+    val long = (1 to maxLag).map { k =>
+      joined.select(col(keyCol), lit(k).as("lag"), col("n_days"),
+        round(col(s"__num$k") / col("__den"), 10).as("acf"))
+    }.reduce(_ unionByName _)
+    long
+  }
 }

@@ -1,0 +1,420 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Classify, HeavyHitters, Mixture, TimeSeries}
+import graft.sources.Tables
+
+/** Distributed-training primitives as harness queries: naive Bayes,
+  * full-batch logistic GD, the decision-stump split search, the
+  * functional-dependency profiler, and the daily-series ACF. Each oracle
+  * replays the identical arithmetic in DuckDB (ln/exp terms rounded to
+  * 12 dp then decimal-summed; final statistics one double expression).
+  */
+object ClassifyQueries {
+
+  /** Multinomial naive Bayes ([[Classify.naiveBayes]]): predict each
+    * document's `lang` from its tokens, add-one smoothing,
+    * resubstitution scoring. The ln(count+1) formulation keeps absent
+    * (class, term) pairs at exactly 0, so the oracle's sparse join is
+    * the same dataflow.
+    */
+  val q264NaiveBayes = HarnessQuery(
+    "q264_naive_bayes",
+    (spark, dir) =>
+      Classify.naiveBayes(
+        Tables.documents(spark, dir), "text", "doc_id", "lang")
+        .orderBy(col("doc_id")),
+    Some("""
+      WITH toks AS (SELECT doc_id, lang,
+                unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+              FROM documents),
+      dt AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      dlen AS (SELECT doc_id, sum(tf) AS n FROM dt GROUP BY 1),
+      ctc AS (SELECT lang AS cls, term, count(*) AS c FROM toks GROUP BY 1, 2),
+      ct AS (SELECT cls, sum(c) AS tot FROM ctc GROUP BY 1),
+      pri AS (SELECT lang AS cls, count(*) AS dc FROM documents GROUP BY 1),
+      nd AS (SELECT count(*) AS d FROM documents),
+      vv AS (SELECT count(DISTINCT term) AS v FROM ctc),
+      cls AS (SELECT p.cls,
+                CAST(round(ln(CAST(p.dc AS DOUBLE) / d.d), 12)
+                     AS DECIMAL(38,12)) AS prior,
+                CAST(round(ln(CAST(t.tot + vv.v AS DOUBLE)), 12)
+                     AS DECIMAL(38,12)) AS denom
+              FROM pri p JOIN ct t USING (cls), nd d, vv),
+      part AS (SELECT dt.doc_id, ctc.cls,
+                 sum(CAST(dt.tf * round(ln(CAST(ctc.c + 1 AS DOUBLE)), 12)
+                          AS DECIMAL(38,12))) AS s
+               FROM dt JOIN ctc USING (term) GROUP BY 1, 2),
+      sc AS (SELECT dl.doc_id, c.cls,
+               CAST(c.prior AS DOUBLE)
+                 + CAST(coalesce(p.s, CAST(0 AS DECIMAL(38,12))) AS DOUBLE)
+                 - CAST(dl.n AS DOUBLE) * CAST(c.denom AS DOUBLE) AS score
+             FROM dlen dl CROSS JOIN cls c
+             LEFT JOIN part p ON p.doc_id = dl.doc_id AND p.cls = c.cls)
+      SELECT doc_id, cls AS pred, round(score, 10) AS score
+      FROM sc
+      QUALIFY row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, cls) = 1
+      ORDER BY doc_id
+    """.trim))
+
+  /** Full-batch logistic GD ([[Classify.logisticGd]]): 3 rounds, lr 0.1,
+    * predicting `label % 2` from the first two embedding coordinates.
+    * The oracle unrolls the three rounds as CTEs — every weight is
+    * round-tripped through 12 dp exactly as the operator does.
+    */
+  val q265LogisticGd = HarnessQuery(
+    "q265_logistic_gd",
+    (spark, dir) => {
+      val e = Tables.embeddings(spark, dir)
+        .withColumn("y", col("label") % 2)
+      Classify.logisticGd(
+        e, Seq(col("embedding")(0), col("embedding")(1)), "y",
+        iters = 3, lr = 0.1)
+    },
+    Some("""
+      WITH e AS (SELECT CAST(label % 2 AS DOUBLE) AS y,
+                        CAST(embedding[1] AS DOUBLE) AS x0,
+                        CAST(embedding[2] AS DOUBLE) AS x1
+                 FROM embeddings),
+      g1 AS (SELECT
+               sum(CAST(round(1.0/(1.0+exp(-(0.0))) - y, 12)
+                        AS DECIMAL(38,12))) AS s0,
+               sum(CAST(round((1.0/(1.0+exp(-(0.0))) - y) * x0, 12)
+                        AS DECIMAL(38,12))) AS s1,
+               sum(CAST(round((1.0/(1.0+exp(-(0.0))) - y) * x1, 12)
+                        AS DECIMAL(38,12))) AS s2,
+               count(*) AS n FROM e),
+      w1 AS (SELECT round(0.0 - 0.1 * (CAST(s0 AS DOUBLE) / n), 12) AS b,
+                    round(0.0 - 0.1 * (CAST(s1 AS DOUBLE) / n), 12) AS w0,
+                    round(0.0 - 0.1 * (CAST(s2 AS DOUBLE) / n), 12) AS w1
+             FROM g1),
+      g2 AS (SELECT
+               sum(CAST(round(1.0/(1.0+exp(-(b + w0*x0 + w1*x1))) - y, 12)
+                        AS DECIMAL(38,12))) AS s0,
+               sum(CAST(round((1.0/(1.0+exp(-(b + w0*x0 + w1*x1))) - y) * x0, 12)
+                        AS DECIMAL(38,12))) AS s1,
+               sum(CAST(round((1.0/(1.0+exp(-(b + w0*x0 + w1*x1))) - y) * x1, 12)
+                        AS DECIMAL(38,12))) AS s2,
+               count(*) AS n FROM e, w1),
+      w2 AS (SELECT round(w1.b - 0.1 * (CAST(s0 AS DOUBLE) / n), 12) AS b,
+                    round(w1.w0 - 0.1 * (CAST(s1 AS DOUBLE) / n), 12) AS w0,
+                    round(w1.w1 - 0.1 * (CAST(s2 AS DOUBLE) / n), 12) AS w1
+             FROM g2, w1),
+      g3 AS (SELECT
+               sum(CAST(round(1.0/(1.0+exp(-(b + w0*x0 + w1*x1))) - y, 12)
+                        AS DECIMAL(38,12))) AS s0,
+               sum(CAST(round((1.0/(1.0+exp(-(b + w0*x0 + w1*x1))) - y) * x0, 12)
+                        AS DECIMAL(38,12))) AS s1,
+               sum(CAST(round((1.0/(1.0+exp(-(b + w0*x0 + w1*x1))) - y) * x1, 12)
+                        AS DECIMAL(38,12))) AS s2,
+               count(*) AS n FROM e, w2),
+      w3 AS (SELECT round(w2.b - 0.1 * (CAST(s0 AS DOUBLE) / n), 12) AS b,
+                    round(w2.w0 - 0.1 * (CAST(s1 AS DOUBLE) / n), 12) AS w0,
+                    round(w2.w1 - 0.1 * (CAST(s2 AS DOUBLE) / n), 12) AS w1
+             FROM g3, w2)
+      SELECT 3 AS iters, round(b, 10) AS w_intercept,
+             round(w0, 10) AS w_0, round(w1, 10) AS w_1
+      FROM w3
+    """.trim))
+
+  /** Decision stump ([[Classify.decisionStump]]): best Gini threshold on
+    * `value` for predicting purchases. The cumulative window runs over
+    * DISTINCT feature values (bounded 2-dp domain), not rows.
+    */
+  val q266DecisionStump = HarnessQuery(
+    "q266_decision_stump",
+    (spark, dir) =>
+      Classify.decisionStump(
+        Tables.events(spark, dir), "value",
+        col("event_type") === "purchase"),
+    Some("""
+      WITH a AS (SELECT "value" AS v,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p,
+               count(*) AS n
+             FROM events WHERE "value" IS NOT NULL GROUP BY 1),
+      t AS (SELECT sum(p) AS tp, sum(n) AS tn FROM a),
+      c AS (SELECT v, sum(p) OVER (ORDER BY v) AS cp,
+                   sum(n) OVER (ORDER BY v) AS cn FROM a),
+      o AS (SELECT c.v, c.cp, c.cn, t.tp, t.tn,
+              (CAST(cn AS DOUBLE)
+                 - (CAST(cp AS DOUBLE) * CAST(cp AS DOUBLE)
+                    + CAST(cn - cp AS DOUBLE) * CAST(cn - cp AS DOUBLE))
+                   / CAST(cn AS DOUBLE))
+            + (CAST(tn - cn AS DOUBLE)
+                 - (CAST(tp - cp AS DOUBLE) * CAST(tp - cp AS DOUBLE)
+                    + CAST((tn - cn) - (tp - cp) AS DOUBLE)
+                      * CAST((tn - cn) - (tp - cp) AS DOUBLE))
+                   / CAST(tn - cn AS DOUBLE)) AS obj
+            FROM c, t WHERE c.cn < t.tn)
+      SELECT v AS threshold, CAST(cn AS BIGINT) AS n_left,
+             CAST(tn - cn AS BIGINT) AS n_right,
+             CAST(cp AS BIGINT) AS pos_left,
+             CAST(tp - cp AS BIGINT) AS pos_right,
+             round(obj / CAST(tn AS DOUBLE), 10) AS gini_after
+      FROM o QUALIFY row_number() OVER (ORDER BY obj, v) = 1
+    """.trim))
+
+  /** Functional-dependency audit ([[Classify.fdViolations]]) over three
+    * lineitem candidate FDs — the g3' fraction of rows violating
+    * determinant → dependent.
+    */
+  val q267FdAudit = HarnessQuery(
+    "q267_fd_audit",
+    (spark, dir) =>
+      Classify.fdViolations(
+        Tables.lineitem(spark, dir),
+        Seq("l_orderkey" -> "l_returnflag",
+          "l_partkey" -> "l_linestatus",
+          "l_suppkey" -> "l_returnflag"))
+        .orderBy(col("determinant"), col("dependent")),
+    Some("""
+      WITH c1 AS (SELECT l_orderkey AS det, l_returnflag AS dep, count(*) AS c
+                  FROM lineitem
+                  WHERE l_orderkey IS NOT NULL AND l_returnflag IS NOT NULL
+                  GROUP BY 1, 2),
+      g1 AS (SELECT det, max(c) AS m, sum(c) AS s FROM c1 GROUP BY 1),
+      r1 AS (SELECT 'l_orderkey' AS determinant, 'l_returnflag' AS dependent,
+                    count(*) AS n_groups, CAST(sum(s) AS BIGINT) AS n_rows,
+                    round(1.0 - CAST(sum(m) AS DOUBLE) / CAST(sum(s) AS DOUBLE),
+                          10) AS violation_rate
+             FROM g1),
+      c2 AS (SELECT l_partkey AS det, l_linestatus AS dep, count(*) AS c
+             FROM lineitem
+             WHERE l_partkey IS NOT NULL AND l_linestatus IS NOT NULL
+             GROUP BY 1, 2),
+      g2 AS (SELECT det, max(c) AS m, sum(c) AS s FROM c2 GROUP BY 1),
+      r2 AS (SELECT 'l_partkey' AS determinant, 'l_linestatus' AS dependent,
+                    count(*) AS n_groups, CAST(sum(s) AS BIGINT) AS n_rows,
+                    round(1.0 - CAST(sum(m) AS DOUBLE) / CAST(sum(s) AS DOUBLE),
+                          10) AS violation_rate
+             FROM g2),
+      c3 AS (SELECT l_suppkey AS det, l_returnflag AS dep, count(*) AS c
+             FROM lineitem
+             WHERE l_suppkey IS NOT NULL AND l_returnflag IS NOT NULL
+             GROUP BY 1, 2),
+      g3 AS (SELECT det, max(c) AS m, sum(c) AS s FROM c3 GROUP BY 1),
+      r3 AS (SELECT 'l_suppkey' AS determinant, 'l_returnflag' AS dependent,
+                    count(*) AS n_groups, CAST(sum(s) AS BIGINT) AS n_rows,
+                    round(1.0 - CAST(sum(m) AS DOUBLE) / CAST(sum(s) AS DOUBLE),
+                          10) AS violation_rate
+             FROM g3)
+      SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3
+      ORDER BY determinant, dependent
+    """.trim))
+
+  /** Daily-count ACF per event type at lags 1..7 ([[TimeSeries.acf]]) —
+    * the seasonality comb of the forecasting dashboard.
+    */
+  val q268Acf = HarnessQuery(
+    "q268_acf",
+    (spark, dir) =>
+      TimeSeries.acf(Tables.events(spark, dir), "event_type", "ts", 7)
+        .orderBy(col("event_type"), col("lag")),
+    Some("""
+      WITH d AS (SELECT event_type,
+                   epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+                   count(*) AS n
+                 FROM events GROUP BY 1, 2),
+      st AS (SELECT event_type,
+               CAST(sum(n) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean,
+               count(*) AS t
+             FROM d GROUP BY 1),
+      l AS (SELECT d.event_type, day, CAST(n AS DOUBLE) - mean AS dd, t,
+              lag(CAST(n AS DOUBLE) - mean, 1) OVER w AS l1,
+              lag(CAST(n AS DOUBLE) - mean, 2) OVER w AS l2,
+              lag(CAST(n AS DOUBLE) - mean, 3) OVER w AS l3,
+              lag(CAST(n AS DOUBLE) - mean, 4) OVER w AS l4,
+              lag(CAST(n AS DOUBLE) - mean, 5) OVER w AS l5,
+              lag(CAST(n AS DOUBLE) - mean, 6) OVER w AS l6,
+              lag(CAST(n AS DOUBLE) - mean, 7) OVER w AS l7
+            FROM d JOIN st USING (event_type)
+            WINDOW w AS (PARTITION BY d.event_type ORDER BY day)),
+      den AS (SELECT event_type,
+                CAST(sum(CAST(round(dd * dd, 12) AS DECIMAL(38,12)))
+                     AS DOUBLE) AS den,
+                max(t) AS n_days
+              FROM l GROUP BY 1),
+      num AS (SELECT event_type,
+                CAST(sum(CAST(round(dd * l1, 12) AS DECIMAL(38,12))) AS DOUBLE) AS n1,
+                CAST(sum(CAST(round(dd * l2, 12) AS DECIMAL(38,12))) AS DOUBLE) AS n2,
+                CAST(sum(CAST(round(dd * l3, 12) AS DECIMAL(38,12))) AS DOUBLE) AS n3,
+                CAST(sum(CAST(round(dd * l4, 12) AS DECIMAL(38,12))) AS DOUBLE) AS n4,
+                CAST(sum(CAST(round(dd * l5, 12) AS DECIMAL(38,12))) AS DOUBLE) AS n5,
+                CAST(sum(CAST(round(dd * l6, 12) AS DECIMAL(38,12))) AS DOUBLE) AS n6,
+                CAST(sum(CAST(round(dd * l7, 12) AS DECIMAL(38,12))) AS DOUBLE) AS n7
+              FROM l GROUP BY 1)
+      SELECT event_type, lag, n_days, acf FROM (
+        SELECT n.event_type, 1 AS lag, d.n_days, round(n1 / den, 10) AS acf
+        FROM num n JOIN den d USING (event_type)
+        UNION ALL SELECT n.event_type, 2, d.n_days, round(n2 / den, 10)
+        FROM num n JOIN den d USING (event_type)
+        UNION ALL SELECT n.event_type, 3, d.n_days, round(n3 / den, 10)
+        FROM num n JOIN den d USING (event_type)
+        UNION ALL SELECT n.event_type, 4, d.n_days, round(n4 / den, 10)
+        FROM num n JOIN den d USING (event_type)
+        UNION ALL SELECT n.event_type, 5, d.n_days, round(n5 / den, 10)
+        FROM num n JOIN den d USING (event_type)
+        UNION ALL SELECT n.event_type, 6, d.n_days, round(n6 / den, 10)
+        FROM num n JOIN den d USING (event_type)
+        UNION ALL SELECT n.event_type, 7, d.n_days, round(n7 / den, 10)
+        FROM num n JOIN den d USING (event_type)
+      ) ORDER BY event_type, lag
+    """.trim))
+
+  /** Count–Min sketch accuracy audit ([[HeavyHitters.cmsAudit]]): a
+    * 3×32 sketch over event user_ids (150 keys → guaranteed collisions)
+    * with the md5-salted bucket hash replayed by the oracle, so the
+    * ESTIMATES — not just the errors — pin exactly.
+    */
+  val q269CmsAudit = HarnessQuery(
+    "q269_cms_audit",
+    (spark, dir) =>
+      HeavyHitters.cmsAudit(Tables.events(spark, dir), "user_id", 3, 32)
+        .orderBy(col("exact").desc, col("user_id")),
+    Some("""
+      WITH k AS (SELECT CAST(user_id AS VARCHAR) AS user_id
+                 FROM events WHERE user_id IS NOT NULL),
+      r AS (SELECT unnest([0, 1, 2]) AS row),
+      cells AS (SELECT r.row,
+                  CAST(('0x' || substr(md5(CAST(r.row AS VARCHAR) || ':' || user_id), 1, 15))
+                       AS BIGINT) % 32 AS bucket,
+                  count(*) AS cell
+                FROM k, r GROUP BY 1, 2),
+      exact AS (SELECT user_id, count(*) AS exact FROM k GROUP BY 1),
+      est AS (SELECT e.user_id, e.exact, min(c.cell) AS cms_estimate
+              FROM exact e CROSS JOIN r
+              JOIN cells c ON c.row = r.row
+                AND c.bucket =
+                  CAST(('0x' || substr(md5(CAST(r.row AS VARCHAR) || ':' || e.user_id), 1, 15))
+                       AS BIGINT) % 32
+              GROUP BY 1, 2)
+      SELECT user_id, exact, cms_estimate,
+             cms_estimate - exact AS overestimate
+      FROM est ORDER BY exact DESC, user_id
+    """.trim))
+
+  /** Two rounds of gradient-boosted regression stumps
+    * ([[Classify.boostedStumps]]): value ~ hour-of-day, shrinkage 0.5.
+    * The oracle unrolls both rounds — residuals of round 2 are an
+    * expression over round 1's collected stump, exactly as the
+    * operator computes them.
+    */
+  val q270BoostedStumps = HarnessQuery(
+    "q270_boosted_stumps",
+    (spark, dir) =>
+      Classify.boostedStumps(
+        Tables.events(spark, dir)
+          .withColumn("hod",
+            expr("(unix_micros(ts) div 3600000000) % 24").cast("double")),
+        "hod", "value", rounds = 2, shrinkage = 0.5)
+        .orderBy(col("round")),
+    Some("""
+      WITH e AS (SELECT
+               CAST((epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24
+                    AS DOUBLE) AS x,
+               "value" AS y
+             FROM events WHERE "value" IS NOT NULL),
+      f0 AS (SELECT round(CAST(sum(CAST(y AS DECIMAL(28,6))) AS DOUBLE)
+                          / count(*), 12) AS b FROM e),
+      a1 AS (SELECT x, sum(CAST(round(y - b, 12) AS DECIMAL(38,12))) AS s,
+                    count(*) AS n
+             FROM e, f0 GROUP BY 1),
+      t1 AS (SELECT sum(s) AS ts, sum(n) AS tn FROM a1),
+      c1 AS (SELECT x, sum(s) OVER (ORDER BY x) AS cs,
+                    sum(n) OVER (ORDER BY x) AS cn FROM a1),
+      o1 AS (SELECT c1.x, cs, cn, ts, tn,
+               CAST(cs AS DOUBLE) * CAST(cs AS DOUBLE) / CAST(cn AS DOUBLE)
+             + CAST(ts - cs AS DOUBLE) * CAST(ts - cs AS DOUBLE)
+               / CAST(tn - cn AS DOUBLE) AS obj
+             FROM c1, t1 WHERE cn < tn),
+      w1 AS (SELECT x AS t, cs, cn, ts, tn, obj,
+               round(CAST(cs AS DOUBLE) / CAST(cn AS DOUBLE), 12) AS l,
+               round((CAST(ts AS DOUBLE) - CAST(cs AS DOUBLE))
+                     / CAST(tn - cn AS DOUBLE), 12) AS r
+             FROM o1 QUALIFY row_number() OVER (ORDER BY obj DESC, x) = 1),
+      a2 AS (SELECT x,
+               sum(CAST(round(y - (b + 0.5 *
+                     (CASE WHEN x <= w1.t THEN w1.l ELSE w1.r END)), 12)
+                   AS DECIMAL(38,12))) AS s,
+               count(*) AS n
+             FROM e, f0, w1 GROUP BY 1),
+      t2 AS (SELECT sum(s) AS ts, sum(n) AS tn FROM a2),
+      c2 AS (SELECT x, sum(s) OVER (ORDER BY x) AS cs,
+                    sum(n) OVER (ORDER BY x) AS cn FROM a2),
+      o2 AS (SELECT c2.x, cs, cn, ts, tn,
+               CAST(cs AS DOUBLE) * CAST(cs AS DOUBLE) / CAST(cn AS DOUBLE)
+             + CAST(ts - cs AS DOUBLE) * CAST(ts - cs AS DOUBLE)
+               / CAST(tn - cn AS DOUBLE) AS obj
+             FROM c2, t2 WHERE cn < tn),
+      w2 AS (SELECT x AS t, cs, cn, ts, tn, obj,
+               round(CAST(cs AS DOUBLE) / CAST(cn AS DOUBLE), 12) AS l,
+               round((CAST(ts AS DOUBLE) - CAST(cs AS DOUBLE))
+                     / CAST(tn - cn AS DOUBLE), 12) AS r
+             FROM o2 QUALIFY row_number() OVER (ORDER BY obj DESC, x) = 1)
+      SELECT 1 AS round, t AS threshold, CAST(cn AS BIGINT) AS n_left,
+             CAST(tn - cn AS BIGINT) AS n_right,
+             round(l, 10) AS left_value, round(r, 10) AS right_value,
+             round((obj - CAST(ts AS DOUBLE) * CAST(ts AS DOUBLE)
+                    / CAST(tn AS DOUBLE)) / CAST(tn AS DOUBLE), 10) AS gain
+      FROM w1
+      UNION ALL
+      SELECT 2, t, CAST(cn AS BIGINT), CAST(tn - cn AS BIGINT),
+             round(l, 10), round(r, 10),
+             round((obj - CAST(ts AS DOUBLE) * CAST(ts AS DOUBLE)
+                    / CAST(tn AS DOUBLE)) / CAST(tn AS DOUBLE), 10)
+      FROM w2
+      ORDER BY round
+    """.trim))
+
+  /** Neyman-allocation stratified sample ([[Mixture.neymanSample]]):
+    * 500 rows across event types, variance-optimal split, md5-rank
+    * membership replayed by the oracle.
+    */
+  val q272Neyman = HarnessQuery(
+    "q272_neyman",
+    (spark, dir) =>
+      Mixture.neymanSample(
+        Tables.events(spark, dir), "event_type", "value", "event_id", 500)
+        .orderBy(col("event_type")),
+    Some("""
+      WITH b AS (SELECT event_type, event_id, "value"
+                 FROM events WHERE "value" IS NOT NULL),
+      m AS (SELECT event_type, count(*) AS n,
+              sum(CAST("value" AS DECIMAL(28,6))) AS s,
+              sum(CAST("value" * "value" AS DECIMAL(28,6))) AS q
+            FROM b GROUP BY 1),
+      wgt AS (SELECT event_type, n,
+               round(sqrt(greatest(
+                 (CAST(q AS DOUBLE)
+                  - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                 / CAST(n AS DOUBLE), 0.0)), 12) AS sd
+             FROM m),
+      wg2 AS (SELECT *, round(CAST(n AS DOUBLE) * sd, 12) AS w FROM wgt),
+      tw AS (SELECT CAST(sum(CAST(w AS DECIMAL(38,12))) AS DOUBLE) AS tw
+             FROM wg2),
+      al AS (SELECT event_type, n, sd,
+               least(n, CAST(floor(500.0 * w / tw) AS BIGINT)) AS alloc
+             FROM wg2, tw),
+      rk AS (SELECT b.event_type, b."value",
+               row_number() OVER (PARTITION BY b.event_type
+                 ORDER BY CAST(('0x' || substr(md5(b.event_type || ':'
+                   || CAST(b.event_id AS VARCHAR)), 1, 15)) AS BIGINT),
+                   b.event_id) AS rn,
+               a.alloc
+             FROM b JOIN al a USING (event_type)),
+      sm AS (SELECT event_type, sum(CAST("value" AS DECIMAL(28,6))) AS ss,
+                    count(*) AS sn
+             FROM rk WHERE rn <= alloc GROUP BY 1)
+      SELECT a.event_type, CAST(a.n AS BIGINT) AS n, round(a.sd, 10) AS sd,
+             a.alloc,
+             round(CAST(sm.ss AS DOUBLE) / CAST(sm.sn AS DOUBLE), 10)
+               AS sample_mean
+      FROM al a LEFT JOIN sm USING (event_type) ORDER BY event_type
+    """.trim))
+
+  val all: Seq[HarnessQuery] = Seq(
+    q264NaiveBayes, q265LogisticGd, q266DecisionStump, q267FdAudit, q268Acf,
+    q269CmsAudit, q270BoostedStumps, q272Neyman)
+}

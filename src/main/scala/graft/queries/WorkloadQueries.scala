@@ -804,10 +804,83 @@ object WorkloadQueries {
       FROM cells
     """.trim))
 
+  /** Segment-cut A/B readout with FDR control
+    * ([[Experiment.abTestPerGroup]] → [[Experiment.bhAdjust]]): q208's
+    * per-user conversion experiment fanned across 20 user segments —
+    * one two-proportion z + Abramowitz–Stegun p-value per segment,
+    * then Benjamini–Hochberg step-up at alpha 0.2. The oracle replays
+    * the identical erf polynomial and both BH windows.
+    */
+  val q271SegmentFdr = HarnessQuery(
+    "q271_segment_fdr",
+    (spark, dir) => {
+      val perUser = Tables.events(spark, dir)
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase"
+          && col("value") > 150.0d, 1).otherwise(0)).as("conv"))
+        .withColumn("segment", (col("user_id") % 20).cast("int"))
+        .withColumn("grp", (expr("user_id div 20") % 2).cast("int"))
+      val tests = graft.operators.Experiment.abTestPerGroup(
+        perUser, "segment", "grp", "conv")
+      graft.operators.Experiment.bhAdjust(tests, "segment", "p_value", 0.2)
+        .orderBy(col("k_rank"))
+    },
+    Some("""
+      WITH pu AS (
+        SELECT user_id, CAST(user_id % 20 AS INT) AS segment,
+               CAST((user_id // 20) % 2 AS INT) AS grp,
+               max(CASE WHEN event_type = 'purchase' AND "value" > 150
+                 THEN 1 ELSE 0 END) AS conv
+        FROM events GROUP BY 1),
+      a AS (
+        SELECT segment,
+          CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+          CAST(sum(CASE WHEN grp = 0 AND conv = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS c0,
+          CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+          CAST(sum(CASE WHEN grp = 1 AND conv = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS c1
+        FROM pu GROUP BY 1),
+      zc AS (
+        SELECT segment,
+          (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+           - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+          / sqrt((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                 * (1.0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                 * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))
+            AS z
+        FROM a),
+      xx AS (SELECT segment, abs(z) / sqrt(2.0) AS x FROM zc),
+      tt AS (SELECT segment, x, 1.0 / (1.0 + 0.3275911 * x) AS t FROM xx),
+      pv AS (
+        SELECT segment,
+          round(2.0 * (1.0 - (0.5 * (1.0 + (1.0 -
+            (((((1.061405429 * t - 1.453152027) * t + 1.421413741) * t
+               - 0.284496736) * t + 0.254829592) * t)
+            * exp(-x * x))))), 12) AS p
+        FROM tt),
+      mm AS (SELECT count(*) AS m FROM pv WHERE p IS NOT NULL),
+      rk AS (SELECT segment, p,
+               row_number() OVER (ORDER BY p, segment) AS k, m,
+               round(p * m / k, 12) AS term
+             FROM pv, mm WHERE p IS NOT NULL),
+      qv AS (SELECT *,
+               least(min(term) OVER (ORDER BY p, segment
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING),
+                 1.0) AS q,
+               max(CASE WHEN p <= round(CAST(0.2 AS DOUBLE) * k / m, 12)
+                 THEN k END) OVER () AS kmax
+             FROM rk)
+      SELECT segment, p AS p_value, CAST(k AS BIGINT) AS k_rank, m,
+             q AS q_value,
+             (kmax IS NOT NULL AND k <= kmax) AS rejected
+      FROM qv ORDER BY k
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q188Rfm, q189Survival, q190Pmi, q191Chi2, q192Melt,
     q193SkewProfile, q194Zorder, q195Khop, q196Scd2, q197PathTrigrams,
     q198CumUsers, q199Wau, q200DegreeHist, q201PruneSim, q202RankNorm,
     q203TpchQ3, q204TpchQ5, q205TpchQ10, q208AbTest, q209BasketLift,
-    q248JwLinkage, q249MutualInfo)
+    q248JwLinkage, q249MutualInfo, q271SegmentFdr)
 }

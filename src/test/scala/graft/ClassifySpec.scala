@@ -1,0 +1,174 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Classify, HeavyHitters, TimeSeries}
+
+class ClassifySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("naiveBayes: separable two-class vocabulary classifies by class " +
+    "tokens; ties break to the lexicographically smaller class") {
+    val df = Seq(
+      (1L, "cat cat purr", "A"),
+      (2L, "cat purr purr", "A"),
+      (3L, "dog bark bark", "B"),
+      (4L, "dog dog bark", "B"))
+      .toDF("doc_id", "text", "cls")
+    val out = Classify.naiveBayes(df, "text", "doc_id", "cls")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "A", 2L -> "A", 3L -> "B", 4L -> "B"))
+  }
+
+  test("naiveBayes: scores are finite and one row per document") {
+    val df = Seq(
+      (1L, "x y z", "A"), (2L, "x y", "A"), (3L, "z z q", "B"))
+      .toDF("doc_id", "text", "cls")
+    val rows = Classify.naiveBayes(df, "text", "doc_id", "cls").collect()
+    assert(rows.length === 3)
+    assert(rows.forall(r => !r.getAs[Double]("score").isNaN))
+  }
+
+  test("logisticGd: gradient of the first round matches the closed form " +
+    "(sigma(0)=0.5) and weights move toward the separating sign") {
+    // y=1 at x=+1, y=0 at x=-1: after any rounds w_0 must be positive
+    val df = Seq((1.0, 1.0), (1.0, 1.0), (0.0, -1.0), (0.0, -1.0))
+      .toDF("y", "x")
+    val r1 = Classify.logisticGd(df, Seq(col("x")), "y", iters = 1, lr = 0.1)
+      .collect().head
+    // round 1: err = 0.5 - y -> g_b = mean(0.5-y) = 0, g_w = mean((0.5-y)x) = -0.5
+    assert(r1.getAs[Double]("w_intercept") === 0.0)
+    assert(math.abs(r1.getAs[Double]("w_0") - 0.05) < 1e-9)
+    val r3 = Classify.logisticGd(df, Seq(col("x")), "y", iters = 3, lr = 0.1)
+      .collect().head
+    assert(r3.getAs[Double]("w_0") > r1.getAs[Double]("w_0"))
+  }
+
+  test("decisionStump: finds the clean split and reports zero impurity") {
+    // label=1 iff v >= 10; best split at the largest v below 10
+    val df = Seq(1.0 -> 0, 2.0 -> 0, 3.0 -> 0, 10.0 -> 1, 11.0 -> 1)
+      .toDF("v", "y")
+    val r = Classify.decisionStump(df, "v", col("y") === 1).collect().head
+    assert(r.getAs[Double]("threshold") === 3.0)
+    assert(r.getAs[Long]("n_left") === 3L)
+    assert(r.getAs[Long]("n_right") === 2L)
+    assert(r.getAs[Long]("pos_left") === 0L)
+    assert(r.getAs[Long]("pos_right") === 2L)
+    assert(r.getAs[Double]("gini_after") === 0.0)
+  }
+
+  test("decisionStump: duplicate feature values aggregate before the split " +
+    "search and the impurity is the weighted Gini") {
+    // v=1: 2 rows (1 pos), v=2: 2 rows (2 pos). Split at 1:
+    // left gini = 0.5 (1/2 pos), right = 0 -> weighted = 0.25
+    val df = Seq((1.0, 1), (1.0, 0), (2.0, 1), (2.0, 1)).toDF("v", "y")
+    val r = Classify.decisionStump(df, "v", col("y") === 1).collect().head
+    assert(r.getAs[Double]("threshold") === 1.0)
+    assert(math.abs(r.getAs[Double]("gini_after") - 0.25) < 1e-9)
+  }
+
+  test("fdViolations: an exact FD scores 0, a broken one scores its " +
+    "minority fraction") {
+    val df = Seq(
+      (1, "x", "p"), (1, "x", "p"), (2, "y", "p"), (2, "z", "q"))
+      .toDF("k", "dep1", "dep2")
+    val out = Classify.fdViolations(df, Seq("k" -> "dep1", "k" -> "dep2"))
+      .collect().map(r => r.getString(1) -> r.getAs[Double]("violation_rate"))
+      .toMap
+    // k=1 -> dep1 always x; k=2 -> y/z split: 1 of 4 rows must change
+    assert(out("dep1") === 0.25)
+    // dep2: k=1 -> p,p ; k=2 -> p,q -> also 1 of 4
+    assert(out("dep2") === 0.25)
+  }
+
+  test("acf: a constant series has zero deviations (NaN acf guarded by " +
+    "denominator 0 is not emitted here - use alternating series instead)") {
+    // alternating daily counts: acf(1) = -1 for a perfectly alternating
+    // mean-centered series (up to the lost first term)
+    val day = 86400L * 1000000L
+    val rows = (0 until 10).flatMap { d =>
+      val n = if (d % 2 == 0) 2 else 4
+      (0 until n).map(i => ("k", new java.sql.Timestamp((d * day + i) / 1000)))
+    }
+    val df = rows.toDF("k", "ts")
+    val out = TimeSeries.acf(df, "k", "ts", 2)
+      .collect().map(r => r.getInt(1) -> r.getAs[Double]("acf")).toMap
+    assert(out(1) < -0.8) // strongly negative at lag 1
+    assert(out(2) > 0.6) // strongly positive at lag 2
+    val nDays = TimeSeries.acf(df, "k", "ts", 2)
+      .collect().head.getAs[Long]("n_days")
+    assert(nDays === 10L)
+  }
+
+  test("cmsAudit: estimates never undercount, and a wide sketch with few " +
+    "keys is exact") {
+    val df = (1 to 50).flatMap(i => Seq.fill(i % 5 + 1)(s"k$i"))
+      .toDF("k")
+    val wide = HeavyHitters.cmsAudit(df, "k", 3, 4096).collect()
+    assert(wide.forall(r => r.getAs[Long]("overestimate") === 0L))
+    val narrow = HeavyHitters.cmsAudit(df, "k", 2, 4).collect()
+    assert(narrow.forall(r =>
+      r.getAs[Long]("cms_estimate") >= r.getAs[Long]("exact")))
+    assert(narrow.exists(r => r.getAs[Long]("overestimate") > 0L))
+  }
+
+  test("boostedStumps: a clean step function is fit exactly in one round " +
+    "and round 2 sees near-zero residuals") {
+    // y = 10 for x<=2, y = 20 for x>=3
+    val df = Seq((1.0, 10.0), (2.0, 10.0), (3.0, 20.0), (4.0, 20.0))
+      .toDF("x", "y")
+    val rows = Classify.boostedStumps(df, "x", "y", rounds = 2,
+      shrinkage = 1.0).collect()
+    val r1 = rows.find(_.getInt(0) == 1).get
+    assert(r1.getAs[Double]("threshold") === 2.0)
+    assert(r1.getAs[Double]("left_value") === -5.0) // mean 15, resid -5/+5
+    assert(r1.getAs[Double]("right_value") === 5.0)
+    assert(r1.getAs[Long]("n_left") === 2L)
+    val r2 = rows.find(_.getInt(0) == 2).get
+    assert(math.abs(r2.getAs[Double]("left_value")) < 1e-9)
+    assert(math.abs(r2.getAs[Double]("right_value")) < 1e-9)
+    assert(r1.getAs[Double]("gain") > r2.getAs[Double]("gain"))
+  }
+
+  test("neymanSample: allocation follows N_h*S_h, zero-variance strata " +
+    "get zero budget, and alloc never exceeds the stratum size") {
+    import graft.operators.Mixture
+    // stratum a: 100 rows, sd 0 (constant); stratum b: 100 rows, high sd
+    val rows = (1 to 100).map(i => ("a", i.toLong, 5.0)) ++
+      (1 to 100).map(i => ("b", 100L + i, if (i % 2 == 0) 0.0 else 10.0))
+    val df = rows.toDF("s", "id", "v")
+    val out = Mixture.neymanSample(df, "s", "v", "id", 50)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("a").getAs[Long]("alloc") === 0L)
+    assert(out("b").getAs[Long]("alloc") === 50L)
+    assert(out("a").getAs[Double]("sd") === 0.0)
+    // tiny budget larger than a stratum: capped at n_h
+    val out2 = Mixture.neymanSample(df.where(col("s") === "b"),
+      "s", "v", "id", 500).collect().head
+    assert(out2.getAs[Long]("alloc") === 100L)
+  }
+
+  test("neymanSample: membership is deterministic - same input, same " +
+    "sample mean") {
+    import graft.operators.Mixture
+    val df = (1 to 60).map(i => (s"s${i % 3}", i.toLong, i * 1.5))
+      .toDF("s", "id", "v")
+    val a = Mixture.neymanSample(df, "s", "v", "id", 30)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("sample_mean"))
+    val b = Mixture.neymanSample(df, "s", "v", "id", 30)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("sample_mean"))
+    assert(a.toMap === b.toMap)
+  }
+
+  test("boostedStumps: shrinkage halves the correction carried into the " +
+    "next round's residuals") {
+    val df = Seq((1.0, 10.0), (2.0, 10.0), (3.0, 20.0), (4.0, 20.0))
+      .toDF("x", "y")
+    val rows = Classify.boostedStumps(df, "x", "y", rounds = 2,
+      shrinkage = 0.5).collect()
+    val r2 = rows.find(_.getInt(0) == 2).get
+    // after a 0.5-shrunk perfect stump, residuals are half the original
+    assert(math.abs(r2.getAs[Double]("left_value") + 2.5) < 1e-9)
+    assert(math.abs(r2.getAs[Double]("right_value") - 2.5) < 1e-9)
+  }
+}

@@ -121,4 +121,60 @@ class ExperimentStatsSpec extends SparkSpec {
     assert(!Mixture.weightedSample(withZero, "id", "w", 40, 42L)
       .select("id").collect().map(_.getLong(0)).contains(1L))
   }
+
+  test("normalCdf: pins the standard table values within the A&S " +
+    "polynomial error bound (1.5e-7)") {
+    val df = Seq(-1.959963985, 0.0, 1.644853627, 2.575829304).toDF("z")
+    val out = df.select(col("z"),
+      Experiment.normalCdf(col("z")).as("phi"))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out(0.0) - 0.5) < 1e-6)
+    assert(math.abs(out(1.644853627) - 0.95) < 1e-6)
+    assert(math.abs(out(2.575829304) - 0.995) < 1e-6)
+    assert(math.abs(out(-1.959963985) - 0.025) < 1e-6)
+  }
+
+  test("abTestPerGroup: per-segment counts and a flat null-effect " +
+    "segment yields p near 1") {
+    val rows = (1 to 200).map { i =>
+      val seg = if (i <= 100) "a" else "b"
+      val grp = i % 2
+      // segment a: treatment converts far more; segment b: identical
+      // i % 4 < 2 hits even and odd i equally, so it is independent of
+      // grp = i % 2 (an i % 4 == 0 rule would convert only controls)
+      val conv = if (seg == "a") (if (grp == 1 && i % 3 != 0) 1 else 0)
+        else (if (i % 4 < 2) 1 else 0)
+      (seg, grp, conv)
+    }
+    val df = rows.toDF("seg", "grp", "conv")
+    val out = Experiment.abTestPerGroup(df, "seg", "grp", "conv")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("a").getAs[Double]("p_value") < 0.01)
+    assert(out("b").getAs[Double]("p_value") > 0.5)
+    assert(out("a").getAs[Long]("n_control") === 50L)
+    assert(out("a").getAs[Long]("n_treat") === 50L)
+  }
+
+  test("bhAdjust: the textbook example rejects exactly the step-up " +
+    "prefix and q-values are monotone") {
+    // classic BH at alpha=0.05, m=5: p=(.01,.02,.03,.04,.2)
+    // thresholds (.01,.02,.03,.04,.05): k=4 is the largest pass
+    val df = Seq(("t1", 0.01), ("t2", 0.02), ("t3", 0.03),
+      ("t4", 0.04), ("t5", 0.2)).toDF("id", "p")
+    val out = Experiment.bhAdjust(df, "id", "p", 0.05)
+      .orderBy("k_rank").collect()
+    assert(out.count(_.getAs[Boolean]("rejected")) === 4)
+    assert(!out.last.getAs[Boolean]("rejected"))
+    val qs = out.map(_.getAs[Double]("q_value"))
+    assert(qs.zip(qs.tail).forall { case (a, b) => a <= b })
+    assert(math.abs(qs.head - 0.05) < 1e-9) // min(.05,.05,.05,.05,.2)
+  }
+
+  test("bhAdjust: null p-values are excluded from the family size") {
+    val df = Seq(("t1", Some(0.01)), ("t2", None), ("t3", Some(0.5)))
+      .toDF("id", "p")
+    val out = Experiment.bhAdjust(df, "id", "p", 0.1).collect()
+    assert(out.length === 2)
+    assert(out.forall(_.getAs[Long]("m") === 2L))
+  }
 }
