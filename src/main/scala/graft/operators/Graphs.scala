@@ -308,6 +308,61 @@ object Graphs {
     * round like the components loop; `rounds` is fixed so the stage
     * count is static.
     */
+  /** HITS hubs & authorities (Kleinberg 1999) on a directed edge list,
+    * `iters` mutual-reinforcement rounds from a uniform hub vector with
+    * L1 normalization (sums replayable exactly; an L2 norm would put a
+    * sqrt inside every round). Round k: a ← Σ_in h / ‖·‖₁,
+    * h ← Σ_out a / ‖·‖₁, every per-vertex score rounded at 12 and every
+    * normalizer an exact decimal fold of those rounded doubles — the
+    * [[pageRank]] discipline, so two engines iterate bit-identically.
+    *
+    * Shape per round: two equi-joins edge⋈score (shuffle on the vertex
+    * keys) + two hash aggregates + a one-row broadcast normalizer. The
+    * edge list is materialized once ([[Materialize.cut]]) so an
+    * expensive edge lineage doesn't re-execute 2·iters times.
+    *
+    * Output: (vertex, side, score) — side 'hub' for sources, 'auth'
+    * for sinks; a vertex appearing on both sides emits two rows.
+    */
+  def hits(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 2): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = Materialize.cut(
+      edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+        .distinct())
+    def l1Normalize(scores: DataFrame, scoreCol: String): DataFrame = {
+      val tot = scores.agg(
+        sum(col(scoreCol).cast("decimal(38,12)")).cast("double").as("__t"))
+      scores.crossJoin(broadcast(tot))
+        .select(scores.columns.filter(_ != scoreCol).map(col) :+
+          round(col(scoreCol) / col("__t"), 12).as(scoreCol): _*)
+    }
+    var hubs = Materialize.cut(l1Normalize(
+      e.select(col("__src")).distinct().withColumn("__h", lit(1.0)), "__h"))
+    var auths: DataFrame = null
+    for (_ <- 1 to iters) {
+      auths = Materialize.cut(l1Normalize(
+        e.join(hubs, Seq("__src"))
+          .groupBy(col("__dst"))
+          .agg(sum(col("__h").cast("decimal(38,12)")).cast("double")
+            .as("__a")), "__a"))
+      hubs = Materialize.cut(l1Normalize(
+        e.join(auths, Seq("__dst"))
+          .groupBy(col("__src"))
+          .agg(sum(col("__a").cast("decimal(38,12)")).cast("double")
+            .as("__h")), "__h"))
+    }
+    // scores are already 12-dp from the last normalize; re-rounding at a
+    // coarser scale would double-round and can flip a half-boundary
+    // differently across engines (observed once in 600 rows at 10 dp)
+    hubs.select(col("__src").as("vertex"), lit("hub").as("side"),
+      col("__h").as("score"))
+      .unionByName(
+        auths.select(col("__dst").as("vertex"), lit("auth").as("side"),
+          col("__a").as("score")))
+  }
+
   def labelPropagation(
       vertices: DataFrame, idCol: String, labelCol: String,
       edges: DataFrame, srcCol: String, dstCol: String,

@@ -1029,4 +1029,50 @@ object Similarity {
         col("matched_id").isNotNull.as("is_dup"), col("matched_id"))
   }
 
+  /** Rocchio nearest-centroid classification by cosine: per-label mean
+    * vectors (each coordinate an exact decimal mean rounded at 12),
+    * then every vector scores against every centroid and takes the
+    * argmax — reported as the confusion matrix (label, pred, n). The
+    * centroid classifier is the 1-aggregate baseline every embedding
+    * pipeline should beat before reaching for kNN: training is one
+    * pass, the model is |labels|·dims numbers, and scoring is a
+    * BROADCAST join (the corpus never shuffles — compare
+    * [[cosineTopK]]'s bounded-query contract).
+    *
+    * Parity: dot products and norms accumulate decimal(30,18) per-dim
+    * products (q58's discipline); cosine is one double expression;
+    * ties argmax to the smallest label.
+    */
+  def nearestCentroid(
+      df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    val dims = df.select(col(idCol).as("__id"), col(labelCol).as("__lbl"),
+      posexplode(col(vecCol)))
+      .select(col("__id"), col("__lbl"), col("pos").as("__d"),
+        col("col").cast("double").as("__x"))
+    val centroids = dims.groupBy(col("__lbl").as("__c"), col("__d"))
+      .agg(round(sum(col("__x").cast("decimal(30,12)")).cast("double")
+        / count(lit(1)).cast("double"), 12).as("__cx"))
+    val cNorm = centroids.groupBy(col("__c"))
+      .agg(sqrt(sum((col("__cx") * col("__cx")).cast("decimal(30,18)"))
+        .cast("double")).as("__cn"))
+    val vNorm = dims.groupBy(col("__id"))
+      .agg(sqrt(sum((col("__x") * col("__x")).cast("decimal(30,18)"))
+        .cast("double")).as("__vn"))
+    val scored = dims
+      .join(broadcast(centroids), Seq("__d"))
+      .groupBy(col("__id"), col("__lbl"), col("__c"))
+      .agg(sum((col("__x") * col("__cx")).cast("decimal(30,18)"))
+        .cast("double").as("__dot"))
+      .join(broadcast(cNorm), Seq("__c"))
+      .join(vNorm, Seq("__id"))
+      .select(col("__id"), col("__lbl"), col("__c"),
+        (col("__dot") / (col("__vn") * col("__cn"))).as("__cos"))
+    val w = Window.partitionBy(col("__id"))
+      .orderBy(col("__cos").desc, col("__c").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .groupBy(col("__lbl").as("label"), col("__c").as("pred"))
+      .agg(count(lit(1)).as("n"))
+  }
 }

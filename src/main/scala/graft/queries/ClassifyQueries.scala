@@ -2,7 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Classify, HeavyHitters, Mixture, TimeSeries}
+import graft.operators.{Classify, Graphs, HeavyHitters, Mixture, Similarity,
+  TimeSeries}
 import graft.sources.Tables
 
 /** Distributed-training primitives as harness queries: naive Bayes,
@@ -414,7 +415,93 @@ object ClassifyQueries {
       FROM al a LEFT JOIN sm USING (event_type) ORDER BY event_type
     """.trim))
 
+  /** HITS hubs/authorities ([[Graphs.hits]]) on the customer→supplier
+    * purchase graph (orders ⋈ lineitem), two L1-normalized rounds —
+    * every per-vertex score rounded at 12, every normalizer an exact
+    * decimal fold, so the oracle's unrolled chain lands bit-identically.
+    */
+  val q273Hits = HarnessQuery(
+    "q273_hits",
+    (spark, dir) => {
+      val o = Tables.orders(spark, dir)
+      val l = Tables.lineitem(spark, dir)
+      val edges = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+      Graphs.hits(edges, "src", "dst", iters = 2)
+        .orderBy(col("side"), col("vertex"))
+    },
+    Some("""
+      WITH e AS (SELECT DISTINCT o.o_custkey AS src, l.l_suppkey AS dst
+                 FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+      h0r AS (SELECT DISTINCT src FROM e),
+      h0t AS (SELECT CAST(sum(CAST(1.0 AS DECIMAL(38,12))) AS DOUBLE) AS t
+              FROM h0r),
+      h0 AS (SELECT src, round(1.0 / t, 12) AS h FROM h0r, h0t),
+      a1r AS (SELECT dst, CAST(sum(CAST(h AS DECIMAL(38,12))) AS DOUBLE) AS a
+              FROM e JOIN h0 USING (src) GROUP BY 1),
+      a1t AS (SELECT CAST(sum(CAST(a AS DECIMAL(38,12))) AS DOUBLE) AS t
+              FROM a1r),
+      a1 AS (SELECT dst, round(a / t, 12) AS a FROM a1r, a1t),
+      h1r AS (SELECT src, CAST(sum(CAST(a AS DECIMAL(38,12))) AS DOUBLE) AS h
+              FROM e JOIN a1 USING (dst) GROUP BY 1),
+      h1t AS (SELECT CAST(sum(CAST(h AS DECIMAL(38,12))) AS DOUBLE) AS t
+              FROM h1r),
+      h1 AS (SELECT src, round(h / t, 12) AS h FROM h1r, h1t),
+      a2r AS (SELECT dst, CAST(sum(CAST(h AS DECIMAL(38,12))) AS DOUBLE) AS a
+              FROM e JOIN h1 USING (src) GROUP BY 1),
+      a2t AS (SELECT CAST(sum(CAST(a AS DECIMAL(38,12))) AS DOUBLE) AS t
+              FROM a2r),
+      a2 AS (SELECT dst, round(a / t, 12) AS a FROM a2r, a2t),
+      h2r AS (SELECT src, CAST(sum(CAST(a AS DECIMAL(38,12))) AS DOUBLE) AS h
+              FROM e JOIN a2 USING (dst) GROUP BY 1),
+      h2t AS (SELECT CAST(sum(CAST(h AS DECIMAL(38,12))) AS DOUBLE) AS t
+              FROM h2r),
+      h2 AS (SELECT src, round(h / t, 12) AS h FROM h2r, h2t)
+      SELECT src AS vertex, 'hub' AS side, h AS score FROM h2
+      UNION ALL
+      SELECT dst AS vertex, 'auth' AS side, a AS score FROM a2
+      ORDER BY side, vertex
+    """.trim))
+
+  /** Rocchio nearest-centroid classification
+    * ([[Similarity.nearestCentroid]]) over the embeddings table — the
+    * one-aggregate baseline classifier, reported as a confusion matrix.
+    */
+  val q274NearestCentroid = HarnessQuery(
+    "q274_nearest_centroid",
+    (spark, dir) =>
+      Similarity.nearestCentroid(
+        Tables.embeddings(spark, dir), "vec_id", "embedding", "label")
+        .orderBy(col("label"), col("pred")),
+    Some("""
+      WITH dims AS (SELECT vec_id, label, g.i - 1 AS d,
+                      CAST(embedding[g.i] AS DOUBLE) AS x
+                    FROM embeddings, generate_series(1, 64) g(i)),
+      cent AS (SELECT label AS c, d,
+                 round(CAST(sum(CAST(x AS DECIMAL(30,12))) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE), 12) AS cx
+               FROM dims GROUP BY 1, 2),
+      cn AS (SELECT c, sqrt(CAST(sum(CAST(cx * cx AS DECIMAL(30,18)))
+                            AS DOUBLE)) AS cnrm
+             FROM cent GROUP BY 1),
+      vn AS (SELECT vec_id, sqrt(CAST(sum(CAST(x * x AS DECIMAL(30,18)))
+                                 AS DOUBLE)) AS vnrm
+             FROM dims GROUP BY 1),
+      sc AS (SELECT dims.vec_id, dims.label, cent.c,
+               CAST(sum(CAST(x * cx AS DECIMAL(30,18))) AS DOUBLE) AS dot
+             FROM dims JOIN cent USING (d) GROUP BY 1, 2, 3),
+      cosd AS (SELECT sc.vec_id, sc.label, sc.c,
+                 dot / (vnrm * cnrm) AS cs
+               FROM sc JOIN cn USING (c) JOIN vn USING (vec_id)),
+      best AS (SELECT label, c AS pred FROM cosd
+               QUALIFY row_number() OVER (PARTITION BY vec_id
+                 ORDER BY cs DESC, c) = 1)
+      SELECT label, pred, count(*) AS n FROM best
+      GROUP BY 1, 2 ORDER BY 1, 2
+    """.trim))
+
   val all: Seq[HarnessQuery] = Seq(
     q264NaiveBayes, q265LogisticGd, q266DecisionStump, q267FdAudit, q268Acf,
-    q269CmsAudit, q270BoostedStumps, q272Neyman)
+    q269CmsAudit, q270BoostedStumps, q272Neyman, q273Hits,
+    q274NearestCentroid)
 }

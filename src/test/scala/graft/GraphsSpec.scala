@@ -127,4 +127,22 @@ class GraphsSpec extends SparkSpec {
     assert(got === Map(
       1L -> "unchanged", 2L -> "removed", 3L -> "changed", 9L -> "added"))
   }
+
+  test("hits: the authority pointed to by every hub dominates, scores " +
+    "are L1-normalized per side, duplicate edges collapse") {
+    import spark.implicits._
+    // hubs 1,2,3 all point to auth 10; only 1 points to 11
+    val edges = Seq((1L, 10L), (2L, 10L), (3L, 10L), (1L, 11L), (1L, 10L))
+      .toDF("s", "d")
+    val out = Graphs.hits(edges, "s", "d", iters = 2).collect()
+    val auths = out.filter(_.getString(1) == "auth")
+      .map(r => r.getLong(0) -> r.getAs[Double]("score")).toMap
+    val hubs = out.filter(_.getString(1) == "hub")
+      .map(r => r.getLong(0) -> r.getAs[Double]("score")).toMap
+    assert(auths(10L) > auths(11L))
+    assert(math.abs(auths.values.sum - 1.0) < 1e-8)
+    assert(math.abs(hubs.values.sum - 1.0) < 1e-8)
+    // hub 1 points at both auths -> strictly strongest hub
+    assert(hubs(1L) > hubs(2L) && math.abs(hubs(2L) - hubs(3L)) < 1e-12)
+  }
 }

@@ -438,4 +438,24 @@ class SimilaritySpec extends SparkSpec {
     // docs 1,2 share a histogram signature; doc 3 stands alone
     assert(clusters.toSeq === Seq((2L, 1L), (1L, 3L)))
   }
+
+  test("nearestCentroid: well-separated clusters classify perfectly; an " +
+    "outlier lands with the nearer centroid") {
+    import spark.implicits._
+    // label 0 along +x, label 1 along +y; vec 99 is mislabeled 1 but
+    // points along +x, so it confuses into pred 0
+    val rows = Seq(
+      (1L, Array(1.0f, 0.1f), 0), (2L, Array(0.9f, 0.0f), 0),
+      (3L, Array(1.1f, 0.05f), 0),
+      (4L, Array(0.1f, 1.0f), 1), (5L, Array(0.0f, 0.9f), 1),
+      (99L, Array(1.0f, 0.0f), 1))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val conf = Similarity.nearestCentroid(df, "vec_id", "embedding", "label")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getAs[Long]("n")).toMap
+    assert(conf((0, 0)) === 3L)
+    assert(conf((1, 1)) === 2L)
+    assert(conf((1, 0)) === 1L) // the planted confusion
+    assert(!conf.contains((0, 1)))
+  }
 }
