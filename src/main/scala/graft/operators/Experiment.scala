@@ -276,6 +276,104 @@ object Experiment {
           / (col("__n") - col("__k")))).as("f_stat"))
   }
 
+  /** Huber-robust simple regression per group: one IRLS step on top of
+    * [[olsByGroup]]'s closed form. Round 0 fits OLS; residual scale is
+    * the exact median absolute residual (the interpolating percentile
+    * both engines share); Huber weights w = min(1, δ·τ/|r|) (δ = 1.345,
+    * the 95%-efficiency constant) downweight outliers; round 1 refits
+    * the weighted closed form. One IRLS step removes the bulk of
+    * outlier leverage and keeps the whole operator a THREE-aggregate
+    * dataflow — full IRLS-to-convergence would be data passes in a
+    * driver loop ([[Classify.logisticGd]]'s shape) for marginal gain.
+    *
+    * Shapes: per-group sums shuffle on the group key; the fitted
+    * O(|groups|) parameter table joins back by BROADCAST so the data
+    * shuffles once, not three times. Weights/products round at 12 and
+    * decimal-accumulate; slope/intercept are final double expressions.
+    *
+    * Output: (group, n, slope_ols, slope_huber, intercept_huber,
+    * scale, n_downweighted).
+    */
+  def huberOlsByGroup(
+      df: DataFrame, groupCol: String, xCol: String, yCol: String,
+      delta: Double = 1.345): DataFrame = {
+    require(delta > 0, s"delta must be > 0, got $delta")
+    // Cross-engine determinism, two rules learned the hard way here:
+    //   1. FLOOR, never round(): round() implementations differ at half
+    //      boundaries (Spark rounds a decimal string, DuckDB the scaled
+    //      binary); floor of an identical double is identical in every
+    //      IEEE engine, so parameters snap via floor(v·1e9)/1e9 and
+    //      weights are exact integers floor(w·1e4).
+    //   2. Keep every decimal's UNSCALED integer under 2^53 before a
+    //      cast to double: past 2^53 an int128→double→/10^s cast
+    //      double-rounds (observed: DuckDB off Spark by 1 ulp on a
+    //      7e23-unscaled sum, visibly shifting the intercept). Hence
+    //      the weighted sums run on per-group CENTERED x/y (integer
+    //      centers floor(mean)) with 1e4-unit weights — spread-sized
+    //      magnitudes instead of offset-sized, the standard numerical
+    //      practice, and the slope/intercept transform back exactly.
+    def snap9(c: Column): Column = floor(c * lit(1e9)) / lit(1e9)
+    val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(groupCol), col(xCol).cast("double").as("__x"),
+        col(yCol).cast("double").as("__y"))
+    val ols = olsByGroup(base, groupCol, "__x", "__y")
+      .select(col(groupCol),
+        snap9(col("slope")).as("__b0"),
+        snap9(col("intercept")).as("__a0"),
+        col("slope").as("__slope_ols"))
+    val centers = base.groupBy(col(groupCol))
+      .agg(
+        floor(sum(col("__x").cast("decimal(19,6)")).cast("double")
+          / count(lit(1))).cast("double").as("__x0"),
+        floor(sum(col("__y").cast("decimal(19,6)")).cast("double")
+          / count(lit(1))).cast("double").as("__y0"))
+    val resid = base.join(broadcast(ols), Seq(groupCol))
+      .withColumn("__r", col("__y") - (col("__a0") + col("__b0") * col("__x")))
+    val scale = resid.groupBy(col(groupCol))
+      .agg(snap9(expr("percentile(abs(__r), 0.5)")).as("__tau"))
+    val weighted = resid.join(broadcast(scale), Seq(groupCol))
+      .join(broadcast(centers), Seq(groupCol))
+      .withColumn("__wi",
+        when(col("__tau") <= 0d, lit(10000L))
+          .otherwise(when(abs(col("__r")) <= lit(delta) * col("__tau"),
+            lit(10000L))
+            .otherwise(floor(lit(delta) * col("__tau") / abs(col("__r"))
+              * lit(1e4)).cast("long"))))
+      .withColumn("__xc", col("__x") - col("__x0"))
+      .withColumn("__yc", col("__y") - col("__y0"))
+      .withColumn("__wd", col("__wi").cast("decimal(10,0)"))
+      .withColumn("__dx", col("__xc").cast("decimal(19,6)"))
+      .withColumn("__dy", col("__yc").cast("decimal(19,6)"))
+      .withColumn("__dxy", (col("__xc") * col("__yc")).cast("decimal(19,4)"))
+      .withColumn("__dxx", (col("__xc") * col("__xc")).cast("decimal(19,4)"))
+    val agg = weighted.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__wd")).cast("double").as("__sw"),
+        sum(col("__wd") * col("__dx")).cast("double").as("__swx"),
+        sum(col("__wd") * col("__dy")).cast("double").as("__swy"),
+        sum(col("__wd") * col("__dxy")).cast("double").as("__swxy"),
+        sum(col("__wd") * col("__dxx")).cast("double").as("__swxx"),
+        sum(when(col("__wi") < 10000L, 1L).otherwise(0L))
+          .as("n_downweighted"))
+    val den = col("__sw") * col("__swxx") - col("__swx") * col("__swx")
+    val num = col("__sw") * col("__swxy") - col("__swx") * col("__swy")
+    val bH = num / den
+    def snap10(c: Column): Column = floor(c * lit(1e10)) / lit(1e10)
+    agg.join(broadcast(ols.select(col(groupCol), col("__slope_ols"))),
+      Seq(groupCol))
+      .join(broadcast(scale), Seq(groupCol))
+      .join(broadcast(centers), Seq(groupCol))
+      .select(col(groupCol), col("n"),
+        snap10(col("__slope_ols")).as("slope_ols"),
+        when(den > 0d, snap10(bH)).as("slope_huber"),
+        when(den > 0d,
+          snap10((col("__swy") / col("__sw") + col("__y0"))
+            - bH * (col("__swx") / col("__sw") + col("__x0"))))
+          .as("intercept_huber"),
+        snap10(col("__tau")).as("scale"),
+        col("n_downweighted"))
+  }
+
   /** Standard-normal CDF via the Abramowitz–Stegun 7.1.26 erf
     * polynomial (|error| < 1.5e-7) — Spark has no built-in erf, and a
     * fixed polynomial is the point here: the SAME closed-form double

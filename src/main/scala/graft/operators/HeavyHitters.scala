@@ -3,6 +3,7 @@ package graft.operators
 import scala.collection.mutable
 
 import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Frequent-item detection at stream scale — the Misra–Gries
@@ -136,5 +137,45 @@ object HeavyHitters {
       .agg(min(col("__cell")).as("cms_estimate"))
     est.select(col("__key").as(keyCol), col("exact"), col("cms_estimate"),
       (col("cms_estimate") - col("exact")).as("overestimate"))
+  }
+
+  /** KMV (k-minimum-values) distinct-count estimate per group, audited
+    * against the exact count (Bar-Yossef et al. 2002). The sketch is
+    * the k smallest hash values of the group's distinct items —
+    * bounded state, mergeable by keep-smallest-k union, and with the
+    * md5-derived hash DETERMINISTIC: the estimate itself replays in
+    * any engine, like [[cmsAudit]]'s. Estimate = (k−1)/u_(k) with
+    * u_(k) the k-th smallest hash normalized to (0,1); groups with
+    * fewer than k distinct items report their exact count (the sketch
+    * is exact below k by construction).
+    *
+    * Shape: distinct → per-group rank window over hashes → one-row-
+    * per-group aggregate. The rank window processes DISTINCT items of
+    * the group — the k-smallest selection a production impl would do
+    * with a per-partition heap + merge; the window form keeps it
+    * oracle-replayable.
+    */
+  def kmvDistinctAudit(
+      df: DataFrame, groupCol: String, itemCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val d = df.where(col(itemCol).isNotNull)
+      .select(col(groupCol), col(itemCol).cast("string").as("__item"))
+      .distinct()
+      .withColumn("__h", graft.functions.TextFunctions.md5Hash60(
+        col("__item")))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__h"), col("__item")) // item tie-break: 60-bit
+    // collisions are improbable but a tie at rank k must not flip the
+    // estimate between runs or engines
+    val ranked = d.withColumn("__rn", row_number().over(w))
+    val agg = ranked.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("exact_distinct"),
+        max(when(col("__rn") === k, col("__h"))).as("__hk"))
+    agg.select(col(groupCol), col("exact_distinct"),
+      when(col("__hk").isNotNull,
+        round(lit((k - 1).toDouble)
+          / (col("__hk").cast("double") / lit(1.152921504606846976e18)), 4))
+        .otherwise(col("exact_distinct").cast("double"))
+        .as("kmv_estimate"))
   }
 }

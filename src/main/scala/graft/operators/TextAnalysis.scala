@@ -295,6 +295,90 @@ object TextAnalysis {
         exp(-(col("__slp").cast("double") / col("__nb"))).as("perplexity"))
   }
 
+  /** Trigram stupid-backoff language-model scoring (Brants et al. 2007
+    * — the scheme built FOR corpus-scale LMs: no discounting state,
+    * just counts and a fixed backoff factor, so the "model" is three
+    * count tables that distribute as plain aggregates). Score of a doc
+    * trigram: S(w3|w1w2) = c123/c12 when the trigram was seen in the
+    * reference; else α·S(w3|w2) = α·c23/c2; else α²·c3/N; else
+    * α²/(N+V) (the unseen-word floor keeps every log finite).
+    *
+    * Dataflow mirrors [[bigramLogProb]]: one tokenize each side,
+    * count tables keyed by n-grams, LEFT joins from the doc's trigram
+    * table (Zipf skew rides join keys), one-row stats broadcast;
+    * contributions n·ln(S) decimal-accumulate per doc.
+    */
+  def trigramBackoffLogProb(
+      df: DataFrame,
+      ref: DataFrame,
+      textCol: String,
+      idCol: String,
+      alpha: Double = 0.4): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    def trigramCounts(d: DataFrame, outId: String): DataFrame = {
+      val t = col("__t")
+      d.select(col(idCol).as(outId),
+        TextFunctions.tokens(col(textCol)).as("__t"))
+        .filter(size(t) >= 3)
+        .select(col(outId), explode(zip_with(
+          zip_with(
+            slice(t, lit(1), size(t) - 2), slice(t, lit(2), size(t) - 2),
+            (a, b) => struct(a.as("w1"), b.as("w2"))),
+          slice(t, lit(3), size(t) - 2),
+          (ab, c) => struct(ab.getField("w1").as("w1"),
+            ab.getField("w2").as("w2"), c.as("w3")))).as("__tg"))
+        .select(col(outId), col("__tg.w1").as("w1"),
+          col("__tg.w2").as("w2"), col("__tg.w3").as("w3"))
+        .groupBy(col(outId), col("w1"), col("w2"), col("w3"))
+        .agg(count(lit(1)).as("n"))
+    }
+    val refUni = ref
+      .select(explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("uc"))
+    val refStats = broadcast(refUni.agg(
+      sum(col("uc")).cast("double").as("__tot"),
+      count(lit(1)).cast("double").as("__v")))
+    val refBg = ref
+      .select(TextFunctions.tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(explode(zip_with(
+        slice(col("__t"), lit(1), size(col("__t")) - 1),
+        slice(col("__t"), lit(2), size(col("__t")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("__bg"))
+      .groupBy(col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+      .agg(count(lit(1)).as("bc"))
+    val refTg = trigramCounts(ref, "__rid")
+      .groupBy(col("w1"), col("w2"), col("w3")).agg(sum(col("n")).as("tc"))
+    val a = lit(alpha)
+    val scored = trigramCounts(df, idCol)
+      .join(refTg, Seq("w1", "w2", "w3"), "left")
+      .join(refBg.select(col("w1"), col("w2"), col("bc").as("__b12")),
+        Seq("w1", "w2"), "left")
+      .join(refBg.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("bc").as("__b23")), Seq("w2", "w3"), "left")
+      .join(refUni.select(col("term").as("w2"), col("uc").as("__u2")),
+        Seq("w2"), "left")
+      .join(refUni.select(col("term").as("w3"), col("uc").as("__u3")),
+        Seq("w3"), "left")
+      .crossJoin(refStats)
+      .withColumn("__p",
+        when(col("tc").isNotNull,
+          col("tc").cast("double") / col("__b12").cast("double"))
+          .otherwise(a * when(col("__b23").isNotNull,
+            col("__b23").cast("double") / col("__u2").cast("double"))
+            .otherwise(a * when(col("__u3").isNotNull,
+              col("__u3").cast("double") / col("__tot"))
+              .otherwise(lit(1.0) / (col("__tot") + col("__v"))))))
+    scored
+      .withColumn("__contrib",
+        (col("n") * log(col("__p"))).cast("decimal(30,12)"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__contrib")).as("__slp"), sum(col("n")).as("__nt"))
+      .select(col(idCol), col("__nt").cast("long").as("n_trigrams"),
+        (col("__slp").cast("double") / col("__nt")).as("trigram_logprob"),
+        exp(-(col("__slp").cast("double") / col("__nt"))).as("perplexity"))
+  }
+
   /** Per-source distribution diagnostics against the corpus: unigram
     * entropy, cross-entropy vs the whole-corpus distribution, and
     * KL(source ‖ corpus) — the divergence table a data-mixing decision

@@ -2,8 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Classify, Graphs, HeavyHitters, Mixture, Similarity,
-  TimeSeries}
+import graft.operators.{Classify, Experiment, Graphs, HeavyHitters, Mixture,
+  Similarity, TextAnalysis, TimeSeries}
 import graft.sources.Tables
 
 /** Distributed-training primitives as harness queries: naive Bayes,
@@ -500,8 +500,199 @@ object ClassifyQueries {
       GROUP BY 1, 2 ORDER BY 1, 2
     """.trim))
 
+  /** Trigram stupid-backoff LM scoring
+    * ([[TextAnalysis.trigramBackoffLogProb]]) against a src0/src1
+    * reference corpus — the corpus-scale LM of Brants et al. 2007,
+    * completing the unigram (q93) / bigram (q119) ladder.
+    */
+  val q275TrigramLm = HarnessQuery(
+    "q275_trigram_lm",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      TextAnalysis.trigramBackoffLogProb(
+        docs, docs.filter(col("source").isin("src0", "src1")),
+        "text", "doc_id")
+        .select(col("doc_id"), col("n_trigrams"),
+          round(col("trigram_logprob"), 10).as("trigram_logprob"),
+          round(col("perplexity"), 8).as("perplexity"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH ref AS (
+        SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS a
+        FROM documents WHERE source IN ('src0', 'src1')),
+      refuni AS (
+        SELECT t.term, count(*) AS uc
+        FROM (SELECT unnest(a) AS term FROM ref) t GROUP BY 1),
+      refstats AS (
+        SELECT CAST(sum(uc) AS DOUBLE) AS tot,
+               CAST(count(*) AS DOUBLE) AS v FROM refuni),
+      refbg AS (
+        SELECT w1, w2, count(*) AS bc FROM (
+          SELECT unnest(a[1:len(a)-1]) AS w1, unnest(a[2:len(a)]) AS w2
+          FROM ref WHERE len(a) >= 2) GROUP BY 1, 2),
+      reftg AS (
+        SELECT w1, w2, w3, count(*) AS tc FROM (
+          SELECT unnest(a[1:len(a)-2]) AS w1, unnest(a[2:len(a)-1]) AS w2,
+                 unnest(a[3:len(a)]) AS w3
+          FROM ref WHERE len(a) >= 3) GROUP BY 1, 2, 3),
+      docs AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS a
+        FROM documents),
+      dtg AS (
+        SELECT doc_id, w1, w2, w3, count(*) AS n FROM (
+          SELECT doc_id, unnest(a[1:len(a)-2]) AS w1,
+                 unnest(a[2:len(a)-1]) AS w2, unnest(a[3:len(a)]) AS w3
+          FROM docs WHERE len(a) >= 3) GROUP BY 1, 2, 3, 4),
+      scored AS (
+        SELECT dtg.doc_id, dtg.n,
+          CASE WHEN t.tc IS NOT NULL
+            THEN CAST(t.tc AS DOUBLE) / CAST(b12.bc AS DOUBLE)
+          ELSE 0.4 * (CASE WHEN b23.bc IS NOT NULL
+              THEN CAST(b23.bc AS DOUBLE) / CAST(u2.uc AS DOUBLE)
+            ELSE 0.4 * (CASE WHEN u3.uc IS NOT NULL
+                THEN CAST(u3.uc AS DOUBLE) / s.tot
+              ELSE 1.0 / (s.tot + s.v) END) END) END AS p
+        FROM dtg
+        LEFT JOIN reftg t ON t.w1 = dtg.w1 AND t.w2 = dtg.w2
+          AND t.w3 = dtg.w3
+        LEFT JOIN refbg b12 ON b12.w1 = dtg.w1 AND b12.w2 = dtg.w2
+        LEFT JOIN refbg b23 ON b23.w1 = dtg.w2 AND b23.w2 = dtg.w3
+        LEFT JOIN refuni u2 ON u2.term = dtg.w2
+        LEFT JOIN refuni u3 ON u3.term = dtg.w3, refstats s)
+      SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_trigrams,
+             round(CAST(sum(CAST(n * ln(p) AS DECIMAL(30,12))) AS DOUBLE)
+                   / sum(n), 10) AS trigram_logprob,
+             round(exp(-(CAST(sum(CAST(n * ln(p) AS DECIMAL(30,12)))
+                              AS DOUBLE) / sum(n))), 8) AS perplexity
+      FROM scored GROUP BY doc_id ORDER BY doc_id
+    """.trim))
+
+  /** Huber-robust per-type trend ([[Experiment.huberOlsByGroup]]):
+    * value ~ epoch-day per event type, one IRLS step over the exact
+    * median-absolute-residual scale.
+    */
+  val q276Huber = HarnessQuery(
+    "q276_huber",
+    (spark, dir) =>
+      Experiment.huberOlsByGroup(
+        Tables.events(spark, dir)
+          .withColumn("day",
+            expr("unix_micros(ts) div 86400000000").cast("double")),
+        "event_type", "day", "value")
+        .orderBy(col("event_type")),
+    Some("""
+      WITH b AS (SELECT event_type,
+               CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+                    AS DOUBLE) AS x,
+               "value" AS y
+             FROM events WHERE "value" IS NOT NULL),
+      t AS (SELECT event_type, x, y,
+              CAST(x AS DECIMAL(19,6)) AS dx,
+              CAST(y AS DECIMAL(19,6)) AS dy
+            FROM b),
+      m AS (SELECT event_type,
+              CAST(count(*) AS DECIMAL(10,0)) AS n,
+              CAST(sum(dx) AS DECIMAL(19,6)) AS sx,
+              CAST(sum(dy) AS DECIMAL(19,6)) AS sy,
+              CAST(sum(dx * dy) AS DECIMAL(28,12)) AS sxy,
+              CAST(sum(dx * dx) AS DECIMAL(28,12)) AS sxx
+            FROM t GROUP BY 1),
+      o AS (SELECT event_type,
+              CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+              CAST(n * sxx - sx * sx AS DOUBLE) AS denx,
+              CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+              CAST(n AS DOUBLE) AS nd
+            FROM m),
+      fit AS (SELECT event_type,
+                CASE WHEN denx > 0 THEN num / denx END AS slope_ols,
+                floor((CASE WHEN denx > 0 THEN num / denx END) * 1e9)
+                  / 1e9 AS b0,
+                floor((CASE WHEN denx > 0 THEN
+                  (syd - (num / denx) * sxd) / nd END) * 1e9) / 1e9 AS a0
+              FROM o),
+      ctr AS (SELECT event_type,
+                CAST(floor(CAST(sum(CAST(x AS DECIMAL(19,6))) AS DOUBLE)
+                           / count(*)) AS DOUBLE) AS x0,
+                CAST(floor(CAST(sum(CAST(y AS DECIMAL(19,6))) AS DOUBLE)
+                           / count(*)) AS DOUBLE) AS y0
+              FROM t GROUP BY 1),
+      r AS (SELECT t.event_type, t.x, t.y,
+              t.y - (f.a0 + f.b0 * t.x) AS rr
+            FROM t JOIN fit f USING (event_type)),
+      sc AS (SELECT event_type,
+               floor(quantile_cont(abs(rr), 0.5) * 1e9) / 1e9 AS tau
+             FROM r GROUP BY 1),
+      w AS (SELECT r.event_type, r.rr, s.tau,
+              r.x - c.x0 AS xc, r.y - c.y0 AS yc,
+              CASE WHEN s.tau <= 0 THEN 10000
+                   WHEN abs(r.rr) <= 1.345 * s.tau THEN 10000
+                   ELSE CAST(floor(1.345 * s.tau / abs(r.rr) * 1e4)
+                             AS BIGINT) END AS wi
+            FROM r JOIN sc s USING (event_type)
+                   JOIN ctr c USING (event_type)),
+      wa AS (SELECT event_type, count(*) AS n,
+               CAST(sum(CAST(wi AS DECIMAL(10,0))) AS DOUBLE) AS sw,
+               CAST(sum(CAST(wi AS DECIMAL(10,0))
+                        * CAST(xc AS DECIMAL(19,6))) AS DOUBLE) AS swx,
+               CAST(sum(CAST(wi AS DECIMAL(10,0))
+                        * CAST(yc AS DECIMAL(19,6))) AS DOUBLE) AS swy,
+               CAST(sum(CAST(wi AS DECIMAL(10,0))
+                        * CAST(xc * yc AS DECIMAL(19,4))) AS DOUBLE) AS swxy,
+               CAST(sum(CAST(wi AS DECIMAL(10,0))
+                        * CAST(xc * xc AS DECIMAL(19,4))) AS DOUBLE) AS swxx,
+               CAST(sum(CASE WHEN wi < 10000 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_downweighted
+             FROM w GROUP BY 1)
+      SELECT wa.event_type, wa.n,
+             floor(f.slope_ols * 1e10) / 1e10 AS slope_ols,
+             floor((CASE WHEN sw * swxx - swx * swx > 0 THEN
+               (sw * swxy - swx * swy) / (sw * swxx - swx * swx) END)
+               * 1e10) / 1e10 AS slope_huber,
+             floor((CASE WHEN sw * swxx - swx * swx > 0 THEN
+               (swy / sw + c.y0)
+               - ((sw * swxy - swx * swy) / (sw * swxx - swx * swx))
+                 * (swx / sw + c.x0) END) * 1e10) / 1e10 AS intercept_huber,
+             floor(s.tau * 1e10) / 1e10 AS scale,
+             wa.n_downweighted
+      FROM wa JOIN fit f USING (event_type) JOIN sc s USING (event_type)
+             JOIN ctr c USING (event_type)
+      ORDER BY event_type
+    """.trim))
+
+  /** KMV distinct-count audit ([[HeavyHitters.kmvDistinctAudit]]):
+    * k=16 minimum md5 hashes of users per event type — the estimate
+    * itself replays in the oracle, not just the error.
+    */
+  val q277Kmv = HarnessQuery(
+    "q277_kmv",
+    (spark, dir) =>
+      HeavyHitters.kmvDistinctAudit(
+        Tables.events(spark, dir), "event_type", "user_id", 16)
+        .orderBy(col("event_type")),
+    Some("""
+      WITH d AS (SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS item
+                 FROM events WHERE user_id IS NOT NULL),
+      h AS (SELECT event_type, item,
+              CAST(('0x' || substr(md5(item), 1, 15)) AS BIGINT) AS hv
+            FROM d),
+      r AS (SELECT event_type, hv,
+              row_number() OVER (PARTITION BY event_type
+                ORDER BY hv, item) AS rn
+            FROM h),
+      a AS (SELECT event_type, count(*) AS exact_distinct,
+              max(CASE WHEN rn = 16 THEN hv END) AS hk
+            FROM r GROUP BY 1)
+      SELECT event_type, exact_distinct,
+             CASE WHEN hk IS NOT NULL
+               THEN round(15.0 / (CAST(hk AS DOUBLE)
+                                  / 1.152921504606846976e18), 4)
+               ELSE CAST(exact_distinct AS DOUBLE) END AS kmv_estimate
+      FROM a ORDER BY 1
+    """.trim))
+
   val all: Seq[HarnessQuery] = Seq(
     q264NaiveBayes, q265LogisticGd, q266DecisionStump, q267FdAudit, q268Acf,
     q269CmsAudit, q270BoostedStumps, q272Neyman, q273Hits,
-    q274NearestCentroid)
+    q274NearestCentroid, q275TrigramLm, q276Huber, q277Kmv)
 }

@@ -112,6 +112,22 @@ class ClassifySpec extends SparkSpec {
     assert(narrow.exists(r => r.getAs[Long]("overestimate") > 0L))
   }
 
+  test("kmvDistinctAudit: below-k groups report exact counts; large " +
+    "groups estimate within a plausible band") {
+    import graft.operators.HeavyHitters
+    val small = (1 to 5).map(i => ("s", s"u$i"))
+    val big = (1 to 2000).map(i => ("b", s"v$i"))
+    val df = (small ++ big).toDF("g", "u")
+    val out = HeavyHitters.kmvDistinctAudit(df, "g", "u", 32)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("exact_distinct"), r.getAs[Double]("kmv_estimate")))
+      .toMap
+    assert(out("s") === ((5L, 5.0)))
+    val (exact, est) = out("b")
+    assert(exact === 2000L)
+    assert(est > 1000.0 && est < 4000.0) // k=32 ~ 18% rel sd
+  }
+
   test("boostedStumps: a clean step function is fit exactly in one round " +
     "and round 2 sees near-zero residuals") {
     // y = 10 for x<=2, y = 20 for x>=3

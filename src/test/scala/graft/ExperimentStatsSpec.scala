@@ -170,6 +170,34 @@ class ExperimentStatsSpec extends SparkSpec {
     assert(math.abs(qs.head - 0.05) < 1e-9) // min(.05,.05,.05,.05,.2)
   }
 
+  test("huberOlsByGroup: an outlier drags OLS but the IRLS step pulls " +
+    "the robust slope back toward the clean line") {
+    import spark.implicits._
+    val clean = (1 to 20).map(i => ("g", i.toDouble, 2.0 * i + 1.0))
+    val rows = clean :+ (("g", 21.0, 1000.0)) // massive outlier
+    val df = rows.toDF("g", "x", "y")
+    val r = Experiment.huberOlsByGroup(df, "g", "x", "y").collect().head
+    val ols = r.getAs[Double]("slope_ols")
+    val hub = r.getAs[Double]("slope_huber")
+    assert(ols > 2.5) // outlier-dragged
+    assert(math.abs(hub - 2.0) < math.abs(ols - 2.0))
+    assert(r.getAs[Long]("n_downweighted") >= 1L)
+    assert(r.getAs[Double]("scale") > 0.0)
+  }
+
+  test("huberOlsByGroup: an outlier-free group keeps all weights at 1 " +
+    "and huber == ols") {
+    import spark.implicits._
+    // residuals vary so tau > 0, but no residual exceeds delta*tau by
+    // enough to downweight... use exact line: tau = 0 -> weights 1
+    val df = (1 to 10).map(i => ("g", i.toDouble, 3.0 * i - 2.0))
+      .toDF("g", "x", "y")
+    val r = Experiment.huberOlsByGroup(df, "g", "x", "y").collect().head
+    assert(r.getAs[Long]("n_downweighted") === 0L)
+    assert(math.abs(r.getAs[Double]("slope_huber") - 3.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("slope_ols") - 3.0) < 1e-6)
+  }
+
   test("bhAdjust: null p-values are excluded from the family size") {
     val df = Seq(("t1", Some(0.01)), ("t2", None), ("t3", Some(0.5)))
       .toDF("id", "p")

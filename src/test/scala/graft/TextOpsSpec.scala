@@ -539,4 +539,35 @@ class TextOpsSpec extends SparkSpec {
     assert(w1 === 2L) // adjacent only
     assert(w2 === 3L) // plus the skip-one pair
   }
+
+  test("trigramBackoffLogProb: seen trigram scores the MLE, unseen backs " +
+    "off through bigram then the floor, each a factor of alpha") {
+    import spark.implicits._
+    // ref "a b c d": trigrams (a,b,c),(b,c,d); bigrams ab,bc,cd;
+    // unigrams N=4, V=4
+    val ref = Seq((100L, "a b c d")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a b c"), // trigram seen: p = tc/bc = 1/1
+      (2L, "x b c"), // unseen trigram, bigram (b,c) seen: p = 0.4 * 1/1
+      (3L, "b c x") // all unseen: p = 0.4 * 0.4 * 1/(4+4)
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis
+      .trigramBackoffLogProb(docs, ref, "text", "doc_id")
+      .collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("trigram_logprob")).toMap
+    assert(math.abs(out(1L) - 0.0) < 1e-12)
+    assert(math.abs(out(2L) - math.log(0.4)) < 1e-9)
+    assert(math.abs(out(3L) - math.log(0.4 * 0.4 / 8.0)) < 1e-9)
+  }
+
+  test("trigramBackoffLogProb: docs shorter than 3 tokens emit no rows " +
+    "and counts weight repeated trigrams") {
+    import spark.implicits._
+    val ref = Seq((100L, "a b c a b c")).toDF("doc_id", "text")
+    val docs = Seq((1L, "a b"), (2L, "a b c a b c")).toDF("doc_id", "text")
+    val rows = TextAnalysis
+      .trigramBackoffLogProb(docs, ref, "text", "doc_id").collect()
+    assert(rows.map(_.getLong(0)).toSet === Set(2L))
+    assert(rows.head.getAs[Long]("n_trigrams") === 4L)
+  }
 }
