@@ -57,6 +57,48 @@ object Privacy {
           .as("classes_low_diversity"))
   }
 
+  /** t-closeness audit (Li et al. 2007) for a CATEGORICAL sensitive
+    * attribute: per quasi-identifier class, the total-variation
+    * distance 0.5·Σ_v |p_class(v) − p_global(v)| between the class's
+    * sensitive distribution and the corpus-wide one — the refinement
+    * l-diversity misses (a class can be diverse yet skewed toward a
+    * revealing value). Classes with tvd > t violate.
+    *
+    * Shape: (class, value) counts in one aggregate; the dense
+    * class×value grid comes from a BROADCAST of the O(|values|) global
+    * distribution (absent pairs contribute p_global), so nothing
+    * all-pairs ever forms. Per-value terms floor-snap at 12 and
+    * decimal-accumulate (doubles ≤ 1, far under every precision
+    * hazard).
+    */
+  def tClosenessAudit(
+      df: DataFrame, quasiCols: Seq[String], sensitiveCol: String,
+      t: Double): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    require(t > 0 && t < 1, s"t must be in (0,1), got $t")
+    val q = quasiCols.map(col)
+    val cls = df.groupBy(q: _*).agg(count(lit(1)).as("class_size"))
+    val cv = df.groupBy(q :+ col(sensitiveCol).as("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val gv = df.groupBy(col(sensitiveCol).as("__v"))
+      .agg(count(lit(1)).as("__g"))
+    val tot = gv.agg(sum(col("__g")).as("__tot"))
+    val grid = cls.crossJoin(broadcast(gv)).crossJoin(broadcast(tot))
+      .join(cv, quasiCols :+ "__v", "left")
+    val term = abs(coalesce(col("__c"), lit(0L)).cast("double")
+      / col("class_size").cast("double")
+      - col("__g").cast("double") / col("__tot").cast("double"))
+    grid
+      .withColumn("__term",
+        (floor(term * lit(1e12)) / lit(1e12)).cast("decimal(38,12)"))
+      .groupBy(q :+ col("class_size"): _*)
+      .agg((lit(0.5) * sum(col("__term")).cast("double")).as("__tvd"))
+      .select(q :+ col("class_size") :+
+        (floor(col("__tvd") * lit(1e12)) / lit(1e12)).as("tvd") :+
+        (floor(col("__tvd") * lit(1e12)) / lit(1e12) > t)
+          .as("t_violation"): _*)
+  }
+
   /** Laplace-noised category counts, the release shape of a
     * differentially-private histogram (sensitivity 1, noise scale
     * 1/epsilon). The noise here is SEEDED, not random: u derives from

@@ -1029,6 +1029,53 @@ object Similarity {
         col("matched_id").isNotNull.as("is_dup"), col("matched_id"))
   }
 
+  /** Simplified silhouette per cluster (Hruschka et al. 2004): for each
+    * vector, a = Euclidean distance to its OWN centroid, b = min
+    * distance to any other centroid, s = (b − a)/max(a, b); reported
+    * as the per-cluster mean and the share of negative-silhouette
+    * (likely misassigned) points. The simplification is the scale
+    * story: the classic silhouette needs all-pairs distances (O(n²) —
+    * a non-starter at corpus scale); point-to-centroid needs one
+    * BROADCAST of |clusters|·dims numbers and a single pass.
+    *
+    * Parity: squared distances accumulate per-dim decimal(30,18)
+    * products (q58's discipline); s is one double expression; the
+    * per-cluster mean decimal-accumulates floor-snapped s values
+    * (floor, not round — see huberOlsByGroup's rule).
+    */
+  def simplifiedSilhouette(
+      df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    val dims = df.select(col(idCol).as("__id"), col(labelCol).as("__lbl"),
+      posexplode(col(vecCol)))
+      .select(col("__id"), col("__lbl"), col("pos").as("__d"),
+        col("col").cast("double").as("__x"))
+    val centroids = dims.groupBy(col("__lbl").as("__c"), col("__d"))
+      .agg(round(sum(col("__x").cast("decimal(30,12)")).cast("double")
+        / count(lit(1)).cast("double"), 12).as("__cx"))
+    val d2 = dims.join(broadcast(centroids), Seq("__d"))
+      .groupBy(col("__id"), col("__lbl"), col("__c"))
+      .agg(sum(((col("__x") - col("__cx")) * (col("__x") - col("__cx")))
+        .cast("decimal(30,18)")).cast("double").as("__d2"))
+    val perPoint = d2
+      .withColumn("__own", when(col("__lbl") === col("__c"), col("__d2")))
+      .withColumn("__other", when(col("__lbl") =!= col("__c"), col("__d2")))
+      .groupBy(col("__id"), col("__lbl"))
+      .agg(sqrt(max(col("__own"))).as("__a"),
+        sqrt(min(col("__other"))).as("__b"))
+      .withColumn("__s",
+        floor((col("__b") - col("__a"))
+          / greatest(col("__a"), col("__b")) * lit(1e9)) / lit(1e9))
+    perPoint.groupBy(col("__lbl").as("label"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("__s").cast("decimal(38,9)")).cast("double")
+          / count(lit(1)).cast("double")).as("__ms"),
+        sum(when(col("__s") < 0d, 1L).otherwise(0L)).as("n_negative"))
+      .select(col("label"), col("n"),
+        (floor(col("__ms") * lit(1e9)) / lit(1e9)).as("mean_silhouette"),
+        col("n_negative"))
+  }
+
   /** Rocchio nearest-centroid classification by cosine: per-label mean
     * vectors (each coordinate an exact decimal mean rounded at 12),
     * then every vector scores against every centroid and takes the

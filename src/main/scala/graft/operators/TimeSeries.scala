@@ -340,6 +340,61 @@ object TimeSeries {
         col("test_rows"), col("train_rows"))
   }
 
+  /** Classical additive decomposition of the daily count series per
+    * key (the moving-average STL-lite of every forecasting primer):
+    * trend = centered 7-day moving average (defined only where the
+    * full window exists), seasonal = day-of-week mean of the detrended
+    * series normalized to sum 0 over the week, residual = y − trend −
+    * seasonal. Reported long-form per (key, day).
+    *
+    * Shape: rows collapse to (key, day, count) first; the MA is a
+    * per-key ±3-row window over the DAY series (bounded by calendar
+    * span), dow means one hash aggregate. Exact pieces: counts are
+    * integers, the MA is an integer sum / 7 single division, dow means
+    * decimal-accumulate the floor-snapped detrended values.
+    */
+  def decomposeDaily(
+      df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val daily = df.groupBy(col(keyCol), epochDay(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("day"))
+      .rowsBetween(-3, 3)
+    val withTrend = daily
+      .withColumn("__cnt7", count(lit(1)).over(w))
+      .withColumn("__sum7", sum(col("n")).over(w))
+      .withColumn("trend",
+        when(col("__cnt7") === 7,
+          col("__sum7").cast("double") / lit(7.0)))
+      .withColumn("__dow", pmod(col("day") + lit(3), lit(7)))
+    val detr = withTrend.withColumn("__det",
+      floor((col("n").cast("double") - col("trend")) * lit(1e9)) / lit(1e9))
+    val dow = detr.where(col("__det").isNotNull)
+      .groupBy(col(keyCol), col("__dow"))
+      .agg((sum(col("__det").cast("decimal(38,9)")).cast("double")
+        / count(lit(1)).cast("double")).as("__dmean"))
+    // normalize the 7 dow means to sum 0 (additive-decomposition
+    // identity): ordered fold over the 7-row axis so both engines add
+    // the same doubles in the same order (anovaF's discipline)
+    val wk = Window.partitionBy(col(keyCol)).orderBy(col("__dow"))
+    val norm = dow
+      .withColumn("__cum", sum(floor(col("__dmean") * lit(1e9)) / lit(1e9))
+        .over(wk))
+      .withColumn("__k", count(lit(1)).over(
+        Window.partitionBy(col(keyCol))))
+      .withColumn("__tot", last(col("__cum")).over(
+        wk.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("seasonal",
+        floor((floor(col("__dmean") * lit(1e9)) / lit(1e9)
+          - col("__tot") / col("__k").cast("double")) * lit(1e9)) / lit(1e9))
+      .select(col(keyCol), col("__dow"), col("seasonal"))
+    detr.join(norm, Seq(keyCol, "__dow"), "left")
+      .select(col(keyCol), col("day"), col("n"),
+        col("trend"), col("seasonal"),
+        when(col("trend").isNotNull,
+          floor((col("n").cast("double") - col("trend") - col("seasonal"))
+            * lit(1e9)) / lit(1e9)).as("residual"))
+  }
+
   /** Autocorrelation function of the daily event-count series per key,
     * at lags 1..maxLag: r_k = Σ(y_t − ȳ)(y_{t−k} − ȳ) / Σ(y_t − ȳ)²,
     * the standard ACF (denominator the full-series sum of squares, mean

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Classify, Experiment, Graphs, HeavyHitters, Mixture,
-  Similarity, TextAnalysis, TimeSeries}
+  Privacy, Similarity, TextAnalysis, TimeSeries}
 import graft.sources.Tables
 
 /** Distributed-training primitives as harness queries: naive Bayes,
@@ -691,8 +691,136 @@ object ClassifyQueries {
       FROM a ORDER BY 1
     """.trim))
 
+  /** Classical additive decomposition ([[TimeSeries.decomposeDaily]])
+    * of per-type daily counts: centered 7-day MA trend, sum-zero
+    * day-of-week seasonal, residual.
+    */
+  val q278Decompose = HarnessQuery(
+    "q278_decompose",
+    (spark, dir) =>
+      TimeSeries.decomposeDaily(Tables.events(spark, dir), "event_type", "ts")
+        .orderBy(col("event_type"), col("day")),
+    Some("""
+      WITH d AS (SELECT event_type,
+                   epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+                   count(*) AS n
+                 FROM events GROUP BY 1, 2),
+      t AS (SELECT *,
+              CASE WHEN count(*) OVER w7 = 7
+                THEN CAST(sum(n) OVER w7 AS DOUBLE) / 7.0 END AS trend,
+              (day + 3) % 7 AS dow
+            FROM d
+            WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      de AS (SELECT *,
+               floor((CAST(n AS DOUBLE) - trend) * 1e9) / 1e9 AS det
+             FROM t),
+      dm AS (SELECT event_type, dow,
+               CAST(sum(CAST(det AS DECIMAL(38,9))) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) AS dmean
+             FROM de WHERE det IS NOT NULL GROUP BY 1, 2),
+      nm AS (SELECT event_type, dow,
+               floor(dmean * 1e9) / 1e9 AS sdm,
+               sum(floor(dmean * 1e9) / 1e9) OVER
+                 (PARTITION BY event_type ORDER BY dow) AS cum,
+               count(*) OVER (PARTITION BY event_type) AS k
+             FROM dm),
+      nm2 AS (SELECT event_type, dow,
+                floor((sdm - (last_value(cum) OVER
+                  (PARTITION BY event_type ORDER BY dow
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND UNBOUNDED FOLLOWING)) / CAST(k AS DOUBLE))
+                  * 1e9) / 1e9 AS seasonal
+              FROM nm)
+      SELECT de.event_type, de.day, de.n, de.trend, nm2.seasonal,
+             CASE WHEN de.trend IS NOT NULL THEN
+               floor((CAST(de.n AS DOUBLE) - de.trend - nm2.seasonal)
+                 * 1e9) / 1e9 END AS residual
+      FROM de LEFT JOIN nm2 ON nm2.event_type = de.event_type
+        AND nm2.dow = de.dow
+      ORDER BY 1, 2
+    """.trim))
+
+  /** t-closeness audit ([[Privacy.tClosenessAudit]]): market-segment
+    * distribution per nation vs the corpus-wide distribution, total
+    * variation distance, threshold 0.15.
+    */
+  val q279TCloseness = HarnessQuery(
+    "q279_t_closeness",
+    (spark, dir) =>
+      Privacy.tClosenessAudit(
+        Tables.customer(spark, dir), Seq("c_nationkey"), "c_mktsegment",
+        t = 0.15)
+        .orderBy(col("c_nationkey")),
+    Some("""
+      WITH cls AS (SELECT c_nationkey, count(*) AS class_size
+                   FROM customer GROUP BY 1),
+      cv AS (SELECT c_nationkey, c_mktsegment AS v, count(*) AS c
+             FROM customer GROUP BY 1, 2),
+      gv AS (SELECT c_mktsegment AS v, count(*) AS g
+             FROM customer GROUP BY 1),
+      tot AS (SELECT CAST(sum(g) AS BIGINT) AS tot FROM gv),
+      grid AS (SELECT cls.c_nationkey, cls.class_size, gv.v, gv.g,
+                 tot.tot, cv.c
+               FROM cls CROSS JOIN gv CROSS JOIN tot
+               LEFT JOIN cv ON cv.c_nationkey = cls.c_nationkey
+                 AND cv.v = gv.v),
+      terms AS (SELECT c_nationkey, class_size,
+                  CAST(floor(abs(CAST(coalesce(c, 0) AS DOUBLE)
+                        / CAST(class_size AS DOUBLE)
+                      - CAST(g AS DOUBLE) / CAST(tot AS DOUBLE))
+                    * 1e12) / 1e12 AS DECIMAL(38,12)) AS term
+                FROM grid),
+      agg AS (SELECT c_nationkey, class_size,
+                0.5 * CAST(sum(term) AS DOUBLE) AS tvd
+              FROM terms GROUP BY 1, 2)
+      SELECT c_nationkey, class_size,
+             floor(tvd * 1e12) / 1e12 AS tvd,
+             floor(tvd * 1e12) / 1e12 > 0.15 AS t_violation
+      FROM agg ORDER BY c_nationkey
+    """.trim))
+
+  /** Simplified silhouette ([[Similarity.simplifiedSilhouette]]) of the
+    * embeddings labeling — per-cluster mean and misassignment share via
+    * point-to-centroid distances only (the O(n) silhouette).
+    */
+  val q280Silhouette = HarnessQuery(
+    "q280_silhouette",
+    (spark, dir) =>
+      Similarity.simplifiedSilhouette(
+        Tables.embeddings(spark, dir), "vec_id", "embedding", "label")
+        .orderBy(col("label")),
+    Some("""
+      WITH dims AS (SELECT vec_id, label, g.i - 1 AS d,
+                      CAST(embedding[g.i] AS DOUBLE) AS x
+                    FROM embeddings, generate_series(1, 64) g(i)),
+      cent AS (SELECT label AS c, d,
+                 round(CAST(sum(CAST(x AS DECIMAL(30,12))) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE), 12) AS cx
+               FROM dims GROUP BY 1, 2),
+      d2 AS (SELECT dims.vec_id, dims.label, cent.c,
+               CAST(sum(CAST((x - cx) * (x - cx) AS DECIMAL(30,18)))
+                    AS DOUBLE) AS dd
+             FROM dims JOIN cent USING (d) GROUP BY 1, 2, 3),
+      pp AS (SELECT vec_id, label,
+               sqrt(max(CASE WHEN label = c THEN dd END)) AS a,
+               sqrt(min(CASE WHEN label <> c THEN dd END)) AS b
+             FROM d2 GROUP BY 1, 2),
+      sil AS (SELECT vec_id, label,
+                floor((b - a) / greatest(a, b) * 1e9) / 1e9 AS s
+              FROM pp)
+      SELECT label, count(*) AS n,
+             floor((CAST(sum(CAST(s AS DECIMAL(38,9))) AS DOUBLE)
+                    / CAST(count(*) AS DOUBLE)) * 1e9) / 1e9
+               AS mean_silhouette,
+             CAST(sum(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_negative
+      FROM sil GROUP BY 1 ORDER BY 1
+    """.trim))
+
   val all: Seq[HarnessQuery] = Seq(
     q264NaiveBayes, q265LogisticGd, q266DecisionStump, q267FdAudit, q268Acf,
     q269CmsAudit, q270BoostedStumps, q272Neyman, q273Hits,
-    q274NearestCentroid, q275TrigramLm, q276Huber, q277Kmv)
+    q274NearestCentroid, q275TrigramLm, q276Huber, q277Kmv, q278Decompose,
+    q279TCloseness, q280Silhouette)
 }

@@ -128,6 +128,66 @@ class ClassifySpec extends SparkSpec {
     assert(est > 1000.0 && est < 4000.0) // k=32 ~ 18% rel sd
   }
 
+  test("decomposeDaily: a perfectly weekly-periodic series yields zero " +
+    "residuals where the trend is defined") {
+    val day = 86400L * 1000000L
+    // counts cycle 1..7 by day-of-week over 21 days: MA7 constant 4,
+    // seasonal absorbs the cycle, residuals 0
+    val rows = (0 until 21).flatMap { d =>
+      val n = (d % 7) + 1
+      (0 until n).map(i => ("k", new java.sql.Timestamp((d * day + i) / 1000)))
+    }
+    val out = TimeSeries.decomposeDaily(rows.toDF("k", "ts"), "k", "ts")
+      .collect()
+    val defined = out.filter(r => !r.isNullAt(3))
+    assert(defined.length === 15) // days 3..17 have full +-3 windows
+    assert(defined.forall(r => r.getAs[Double]("trend") === 4.0))
+    assert(defined.forall(r =>
+      math.abs(r.getAs[Double]("residual")) < 1e-8))
+    // seasonal means sum to ~zero across the week
+    val seas = defined.map(r => r.getAs[Double]("seasonal")).distinct
+    assert(math.abs(seas.sum) < 1e-6)
+  }
+
+  test("tClosenessAudit: a class matching the global distribution scores " +
+    "0; a fully-skewed class scores 1 - p_global") {
+    import graft.operators.Privacy
+    // global: A and B equally likely. class g1 mirrors it; g2 is all-A
+    val df = Seq(
+      ("g1", "A"), ("g1", "B"), ("g1", "A"), ("g1", "B"),
+      ("g2", "A"), ("g2", "A"), ("g2", "B"), ("g2", "B"),
+      ("g3", "A"), ("g3", "A"), ("g3", "A"), ("g3", "A"))
+      .toDF("q", "s")
+    val out = Privacy.tClosenessAudit(df, Seq("q"), "s", 0.3)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("tvd"), r.getAs[Boolean]("t_violation"))).toMap
+    // global p(A) = 2/3, p(B) = 1/3
+    // g1, g2 are (.5, .5): tvd = .5(1/6 + 1/6) = 1/6 -> no violation
+    assert(math.abs(out("g1")._1 - 1.0 / 6) < 1e-9)
+    assert(math.abs(out("g2")._1 - 1.0 / 6) < 1e-9)
+    assert(!out("g1")._2 && !out("g2")._2)
+    // g3 is all-A: tvd = .5(1/3 + 1/3) = 1/3 > 0.3 -> violation
+    assert(math.abs(out("g3")._1 - 1.0 / 3) < 1e-9)
+    assert(out("g3")._2)
+  }
+
+  test("simplifiedSilhouette: tight well-separated clusters score near 1; " +
+    "a point on the wrong side goes negative") {
+    import graft.operators.Similarity
+    val rows = Seq(
+      (1L, Array(0.0f, 0.0f), 0), (2L, Array(0.1f, 0.0f), 0),
+      (3L, Array(0.0f, 0.1f), 0),
+      (4L, Array(10.0f, 10.0f), 1), (5L, Array(10.1f, 10.0f), 1),
+      (99L, Array(10.0f, 10.1f), 0)) // labeled 0 but sits in cluster 1
+    val out = Similarity.simplifiedSilhouette(
+      rows.toDF("vec_id", "embedding", "label"), "vec_id", "embedding",
+      "label").collect().map(r => r.getInt(0) ->
+        (r.getAs[Double]("mean_silhouette"), r.getAs[Long]("n_negative")))
+      .toMap
+    assert(out(1)._1 > 0.8)
+    assert(out(0)._2 >= 1L) // the planted point is negative
+  }
+
   test("boostedStumps: a clean step function is fit exactly in one round " +
     "and round 2 sees near-zero residuals") {
     // y = 10 for x<=2, y = 20 for x>=3
