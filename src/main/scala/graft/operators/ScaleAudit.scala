@@ -81,4 +81,50 @@ object ScaleAudit {
         (col("files_touched").cast("double") / col("n_files").cast("double"))
           .as("touched_frac"))
   }
+
+  /** Rendezvous (highest-random-weight) shard-assignment audit
+    * (Thaler & Ravishankar 1998): each key routes to
+    * argmax_node md5(node:key) — the stateless consistent-placement
+    * scheme whose defining property is minimal movement (removing one
+    * node reassigns ONLY that node's keys, ~1/n of traffic, vs ~all
+    * under mod-n). Reports per-node key and row counts plus the
+    * balance ratio against a perfectly even split — the capacity-
+    * planning number for sharding a keyed service or a bucketed
+    * layout.
+    *
+    * Shape: one hash aggregate to distinct keys, a |nodes|-way
+    * per-key argmax expressed as `greatest` over the fixed node list
+    * (pure expression — no join, no shuffle beyond the key distinct),
+    * then a |nodes|-row summary. Deterministic md5 weights replay in
+    * the oracle.
+    */
+  def rendezvousShards(
+      df: DataFrame, keyCol: String, nodes: Seq[String]): DataFrame = {
+    require(nodes.nonEmpty && nodes.distinct.size == nodes.size,
+      "nodes must be non-empty and unique")
+    import graft.functions.TextFunctions
+    val keyed = df.where(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).cast("string").as("__key"))
+      .agg(count(lit(1)).as("__rows"))
+    // argmax over the fixed node list as a struct-max: (weight, node)
+    // pairs compare lexicographically, ties to the larger node name —
+    // mirror with the same tie rule in SQL
+    val pairs = nodes.map { n =>
+      struct(TextFunctions.md5Hash60(concat(lit(n + ":"), col("__key")))
+        .as("w"), lit(n).as("node"))
+    }
+    val assigned = keyed.withColumn("__best", greatest(pairs: _*))
+    val tot = assigned.agg(count(lit(1)).as("__k"), sum(col("__rows"))
+      .as("__r"))
+    assigned.groupBy(col("__best.node").as("node"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("__rows")).as("n_rows"))
+      .crossJoin(broadcast(tot))
+      .select(col("node"), col("n_keys"), col("n_rows"),
+        (col("n_keys").cast("double")
+          / (col("__k").cast("double") / lit(nodes.size.toDouble)))
+          .as("key_balance"),
+        (col("n_rows").cast("double")
+          / (col("__r").cast("double") / lit(nodes.size.toDouble)))
+          .as("row_balance"))
+  }
 }

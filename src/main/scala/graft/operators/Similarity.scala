@@ -546,6 +546,49 @@ object Similarity {
       .withColumn("recall", col("n_hit").cast("double") / col("n_exact"))
   }
 
+  /** nDCG@k of the LSH index against the exact top-k (binary
+    * relevance: an approx neighbor is relevant iff it appears in the
+    * exact top-k). Rank-discounted where [[lshRecallAtK]] is set-based
+    * — the metric that punishes an index for burying the best
+    * neighbors at the bottom of k. Per-rank discounts 1/log2(r+1)
+    * floor-snap at 12 and decimal-accumulate; ndcg = dcg/idcg is one
+    * double division. Same dataflow cost as the recall audit (the
+    * exact side is the expensive pass, bounded-query by contract).
+    */
+  def lshNdcgAtK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      numBits: Int = 16,
+      bands: Int = 4,
+      dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val exact = cosineTopK(corpus, queries, idCol, vecCol, k)
+    val approx = lshCosineTopK(
+      corpus, queries, idCol, vecCol, k, numBits, bands, dim, seed)
+    def disc(rank: Column): Column =
+      floor(lit(1.0) / log2(rank.cast("double") + lit(1.0)) * lit(1e12)) /
+        lit(1e12)
+    val dcg = approx
+      .join(exact.select(col("query_id"), col("neighbor_id"),
+        lit(1L).as("__rel")), Seq("query_id", "neighbor_id"), "left")
+      .withColumn("__w",
+        when(col("__rel").isNotNull, disc(col("rank"))).otherwise(lit(0.0)))
+      .groupBy(col("query_id"))
+      .agg(sum(col("__w").cast("decimal(38,12)")).cast("double").as("__dcg"))
+    val idcg = exact
+      .withColumn("__w", disc(col("rank")))
+      .groupBy(col("query_id"))
+      .agg(sum(col("__w").cast("decimal(38,12)")).cast("double")
+        .as("__idcg"), count(lit(1)).as("n_exact"))
+    idcg.join(dcg, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_exact"),
+        (floor(coalesce(col("__dcg"), lit(0.0)) / col("__idcg") * lit(1e12))
+          / lit(1e12)).as("ndcg"))
+  }
+
   def lshCosineTopK(
       corpus: DataFrame,
       queries: DataFrame,

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Classify, Experiment, Graphs, HeavyHitters, Mixture,
-  Privacy, Similarity, TextAnalysis, TimeSeries}
+  Privacy, ScaleAudit, Similarity, TextAnalysis, TimeSeries}
 import graft.sources.Tables
 
 /** Distributed-training primitives as harness queries: naive Bayes,
@@ -818,9 +818,130 @@ object ClassifyQueries {
       FROM sil GROUP BY 1 ORDER BY 1
     """.trim))
 
+  /** nDCG@5 of the LSH index vs exact cosine ([[Similarity.lshNdcgAtK]])
+    * — rank-discounted retrieval quality where q146's recall is
+    * set-based; the oracle replays the full LSH pipeline (q146's CTEs)
+    * and re-ranks with the same log2 discounts.
+    */
+  val q281Ndcg = HarnessQuery(
+    "q281_ndcg",
+    (spark, dir) => {
+      val em = Tables.embeddings(spark, dir)
+      Similarity.lshNdcgAtK(
+        em, em.filter(col("vec_id") < 20), "vec_id", "embedding",
+        k = 5, numBits = 8, bands = 4)
+        .orderBy(col("query_id"))
+    },
+    Some("""
+      WITH n AS (
+        SELECT vec_id, embedding,
+               sqrt(CAST(sum(CAST(CAST(embedding[g.i] AS DOUBLE) * CAST(embedding[g.i] AS DOUBLE)
+                 AS DECIMAL(30,18))) AS DOUBLE)) AS nrm
+        FROM embeddings, generate_series(1, 64) g(i) GROUP BY 1, 2),
+      expairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(sum(CAST(CAST(q.embedding[g.i] AS DOUBLE) * CAST(c.embedding[g.i] AS DOUBLE)
+                 AS DECIMAL(30,18))) AS DOUBLE) / (any_value(q.nrm) * any_value(c.nrm)) AS cosine
+        FROM n q, n c, generate_series(1, 64) g(i)
+        WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id
+        GROUP BY 1, 2),
+      ex AS (
+        SELECT query_id, neighbor_id, rank FROM (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM expairs) WHERE rank <= 5),
+      hp AS (
+        SELECT h.h AS h, d.d AS d,
+               (CAST(('0x' || substr(md5('42_' || h.h || '_' || d.d), 1, 15)) AS BIGINT)
+                 % 1000000) / 1000000.0 - 0.5 AS v
+        FROM generate_series(0, 7) h(h), generate_series(0, 63) d(d)),
+      dots AS (
+        SELECT e.vec_id, hp.h,
+               CAST(sum(CAST(CAST(e.embedding[hp.d + 1] AS DOUBLE) * hp.v
+                 AS DECIMAL(30,18))) AS DOUBLE) AS dv
+        FROM embeddings e, hp GROUP BY 1, 2),
+      sk AS (
+        SELECT vec_id,
+               CAST(sum(CASE WHEN dv > 0 THEN (CAST(1 AS BIGINT) << (7 - h))
+                 ELSE 0 END) AS BIGINT) AS sk
+        FROM dots GROUP BY 1),
+      bands AS (
+        SELECT s.vec_id, b.b || '_' || ((s.sk >> (b.b * 2)) & 3) AS band_key
+        FROM sk s, generate_series(0, 3) b(b)),
+      cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM bands q JOIN bands c USING (band_key)
+        WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id),
+      apscored AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               CAST(sum(CAST(CAST(q.embedding[g.i] AS DOUBLE) * CAST(c.embedding[g.i] AS DOUBLE)
+                 AS DECIMAL(30,18))) AS DOUBLE) / (any_value(q.nrm) * any_value(c.nrm)) AS cosine
+        FROM cand
+        JOIN n q ON q.vec_id = cand.query_id
+        JOIN n c ON c.vec_id = cand.neighbor_id,
+        generate_series(1, 64) g(i)
+        GROUP BY 1, 2),
+      ap AS (
+        SELECT query_id, neighbor_id, rank FROM (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM apscored) WHERE rank <= 5),
+      dcg AS (
+        SELECT a.query_id,
+               CAST(sum(CAST(CASE WHEN e.neighbor_id IS NOT NULL
+                 THEN floor(1.0 / log2(CAST(a.rank AS DOUBLE) + 1.0) * 1e12)
+                      / 1e12
+                 ELSE 0.0 END AS DECIMAL(38,12))) AS DOUBLE) AS dcg
+        FROM ap a LEFT JOIN ex e ON e.query_id = a.query_id
+          AND e.neighbor_id = a.neighbor_id
+        GROUP BY 1),
+      idcg AS (
+        SELECT query_id, count(*) AS n_exact,
+               CAST(sum(CAST(floor(1.0 / log2(CAST(rank AS DOUBLE) + 1.0)
+                 * 1e12) / 1e12 AS DECIMAL(38,12))) AS DOUBLE) AS idcg
+        FROM ex GROUP BY 1)
+      SELECT i.query_id, i.n_exact,
+             floor(coalesce(d.dcg, 0.0) / i.idcg * 1e12) / 1e12 AS ndcg
+      FROM idcg i LEFT JOIN dcg d USING (query_id)
+      ORDER BY i.query_id
+    """.trim))
+
+  /** Rendezvous-hash shard audit ([[ScaleAudit.rendezvousShards]]):
+    * users routed to 4 nodes by highest md5 weight; per-node balance
+    * vs the even split.
+    */
+  val q282Rendezvous = HarnessQuery(
+    "q282_rendezvous",
+    (spark, dir) =>
+      ScaleAudit.rendezvousShards(
+        Tables.events(spark, dir), "user_id",
+        Seq("node0", "node1", "node2", "node3"))
+        .orderBy(col("node")),
+    Some("""
+      WITH k AS (SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS cnt
+                 FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+      nd AS (SELECT unnest(['node0', 'node1', 'node2', 'node3']) AS node),
+      w AS (SELECT k.key, k.cnt, nd.node,
+              CAST(('0x' || substr(md5(nd.node || ':' || k.key), 1, 15))
+                   AS BIGINT) AS wt
+            FROM k, nd),
+      a AS (SELECT key, cnt, node FROM w
+            QUALIFY row_number() OVER (PARTITION BY key
+              ORDER BY wt DESC, node DESC) = 1),
+      t AS (SELECT count(*) AS kk, CAST(sum(cnt) AS BIGINT) AS rr FROM a)
+      SELECT node, count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows,
+             CAST(count(*) AS DOUBLE) / (CAST(t.kk AS DOUBLE) / 4.0)
+               AS key_balance,
+             CAST(sum(cnt) AS DOUBLE) / (CAST(t.rr AS DOUBLE) / 4.0)
+               AS row_balance
+      FROM a, t GROUP BY node, t.kk, t.rr ORDER BY node
+    """.trim))
+
   val all: Seq[HarnessQuery] = Seq(
     q264NaiveBayes, q265LogisticGd, q266DecisionStump, q267FdAudit, q268Acf,
     q269CmsAudit, q270BoostedStumps, q272Neyman, q273Hits,
     q274NearestCentroid, q275TrigramLm, q276Huber, q277Kmv, q278Decompose,
-    q279TCloseness, q280Silhouette)
+    q279TCloseness, q280Silhouette, q281Ndcg, q282Rendezvous)
 }

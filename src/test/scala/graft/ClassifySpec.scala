@@ -188,6 +188,47 @@ class ClassifySpec extends SparkSpec {
     assert(out(0)._2 >= 1L) // the planted point is negative
   }
 
+  test("rendezvousShards: every key routes to exactly one node, removing " +
+    "a node only moves that node's keys") {
+    import graft.operators.ScaleAudit
+    val df = (1 to 400).map(i => s"k$i").toDF("k")
+    val four = ScaleAudit.rendezvousShards(df, "k",
+      Seq("a", "b", "c", "d")).collect()
+    assert(four.map(_.getAs[Long]("n_keys")).sum === 400L)
+    assert(four.forall(_.getAs[Double]("key_balance") > 0.5))
+    // drop node d: keys on a/b/c must NOT move (minimal-disruption law)
+    val withD = df.withColumn("__best", greatest(
+      Seq("a", "b", "c", "d").map(n => struct(
+        graft.functions.TextFunctions.md5Hash60(
+          concat(lit(n + ":"), col("k"))).as("w"),
+        lit(n).as("node"))): _*)).select(col("k"), col("__best.node"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val withoutD = df.withColumn("__best", greatest(
+      Seq("a", "b", "c").map(n => struct(
+        graft.functions.TextFunctions.md5Hash60(
+          concat(lit(n + ":"), col("k"))).as("w"),
+        lit(n).as("node"))): _*)).select(col("k"), col("__best.node"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val moved = withD.filter { case (k, n) => withoutD(k) != n }
+    assert(moved.forall { case (_, n) => n == "d" })
+  }
+
+  test("lshNdcgAtK: an index whose candidates cover the corpus scores " +
+    "ndcg exactly 1 for every query") {
+    import graft.operators.Similarity
+    // near-identical vectors: all sign sketches match, every band
+    // collides, the approx ranking IS the exact ranking
+    val vecs = (1L to 6L).map(i =>
+      (i, Array(1.0f, 0.5f, 0.25f, 0.125f + i.toFloat * 1e-4f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.lshNdcgAtK(vecs, vecs.filter(col("vec_id") < 3),
+      "vec_id", "embedding", k = 3, numBits = 4, bands = 4, dim = 4)
+      .collect()
+    assert(out.length === 2)
+    assert(out.forall(r => r.getAs[Double]("ndcg") === 1.0))
+    assert(out.forall(r => r.getAs[Long]("n_exact") === 3L))
+  }
+
   test("boostedStumps: a clean step function is fit exactly in one round " +
     "and round 2 sees near-zero residuals") {
     // y = 10 for x<=2, y = 20 for x>=3
