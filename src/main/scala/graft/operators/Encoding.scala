@@ -182,4 +182,49 @@ object Encoding {
     df.select(col(groupCol), col(valueCol))
       .withColumn("pr", percent_rank().over(w))
   }
+
+  /** Beta-binomial empirical-Bayes shrinkage of per-entity event rates
+    * (the "smoothed CTR": Robbins 1956 by way of every ads/fraud
+    * ranking stack): fit Beta(α, β) to the population of per-entity
+    * rates by method of moments, then shrink each entity toward the
+    * prior — (c + α)/(n + α + β) — so low-volume entities stop
+    * swinging between 0 and 1. When the rate variance exceeds the
+    * binomial bound (no valid Beta), α and β fall back to 0 and the
+    * raw rates pass through.
+    *
+    * Shape: one hash aggregate to (entity → c, n); the prior is a
+    * ONE-ROW broadcast of decimal-folded moments; shrinkage is a pure
+    * projection. Rates are ≤ 1 so the floor-snapped decimal moment
+    * sums sit far below every precision hazard.
+    */
+  def ebShrinkRates(
+      df: DataFrame, keyCol: String, convCol: Column): DataFrame = {
+    val per = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(convCol.cast("long")).as("c"))
+      .withColumn("rate", col("c").cast("double") / col("n").cast("double"))
+    def snap12(c: Column): Column = floor(c * lit(1e12)) / lit(1e12)
+    val moments = per.agg(
+      count(lit(1)).as("__k"),
+      sum(snap12(col("rate")).cast("decimal(38,12)")).cast("double")
+        .as("__s"),
+      sum(snap12(col("rate") * col("rate")).cast("decimal(38,12)"))
+        .cast("double").as("__q"))
+    val m = col("__s") / col("__k").cast("double")
+    val v = col("__q") / col("__k").cast("double") - m * m
+    val scale = m * (lit(1.0) - m) / v - lit(1.0)
+    val prior = broadcast(moments.select(
+      when(v > 0d && v < m * (lit(1.0) - m), snap12(m * scale))
+        .otherwise(lit(0.0)).as("__alpha"),
+      when(v > 0d && v < m * (lit(1.0) - m),
+        snap12((lit(1.0) - m) * scale))
+        .otherwise(lit(0.0)).as("__beta")))
+    per.crossJoin(prior)
+      .select(col(keyCol), col("n"), col("c"),
+        snap12(col("rate")).as("rate"),
+        snap12((col("c").cast("double") + col("__alpha"))
+          / (col("n").cast("double") + col("__alpha") + col("__beta")))
+          .as("shrunk_rate"),
+        col("__alpha").as("alpha"), col("__beta").as("beta"))
+  }
 }

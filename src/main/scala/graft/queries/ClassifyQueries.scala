@@ -2,8 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Classify, Experiment, Graphs, HeavyHitters, Mixture,
-  Privacy, ScaleAudit, Similarity, TextAnalysis, TimeSeries}
+import graft.operators.{Classify, Encoding, Experiment, Graphs, HeavyHitters,
+  Mixture, Privacy, ScaleAudit, Similarity, TextAnalysis, TimeSeries}
 import graft.sources.Tables
 
 /** Distributed-training primitives as harness queries: naive Bayes,
@@ -939,9 +939,57 @@ object ClassifyQueries {
       FROM a, t GROUP BY node, t.kk, t.rr ORDER BY node
     """.trim))
 
+  /** Beta-binomial empirical-Bayes smoothing
+    * ([[Encoding.ebShrinkRates]]) of per-user big-purchase rates — the
+    * smoothed-CTR primitive; the oracle refits the method-of-moments
+    * prior and replays the shrinkage.
+    */
+  val q283EbShrink = HarnessQuery(
+    "q283_eb_shrink",
+    (spark, dir) =>
+      Encoding.ebShrinkRates(
+        Tables.events(spark, dir), "user_id",
+        col("event_type") === "purchase" && col("value") > 300.0d)
+        .orderBy(col("user_id")),
+    Some("""
+      WITH per AS (SELECT user_id, count(*) AS n,
+               CAST(sum(CASE WHEN event_type = 'purchase' AND "value" > 300
+                 THEN 1 ELSE 0 END) AS BIGINT) AS c
+             FROM events GROUP BY 1),
+      pr AS (SELECT *, CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS rate
+             FROM per),
+      mo AS (SELECT count(*) AS k,
+               CAST(sum(CAST(floor(rate * 1e12) / 1e12 AS DECIMAL(38,12)))
+                    AS DOUBLE) AS s,
+               CAST(sum(CAST(floor(rate * rate * 1e12) / 1e12
+                    AS DECIMAL(38,12))) AS DOUBLE) AS q
+             FROM pr),
+      ab AS (SELECT
+               CASE WHEN (q / k - (s / k) * (s / k)) > 0
+                     AND (q / k - (s / k) * (s / k))
+                         < (s / k) * (1.0 - s / k)
+                 THEN floor((s / k) * ((s / k) * (1.0 - s / k)
+                        / (q / k - (s / k) * (s / k)) - 1.0) * 1e12) / 1e12
+                 ELSE 0.0 END AS alpha,
+               CASE WHEN (q / k - (s / k) * (s / k)) > 0
+                     AND (q / k - (s / k) * (s / k))
+                         < (s / k) * (1.0 - s / k)
+                 THEN floor((1.0 - s / k) * ((s / k) * (1.0 - s / k)
+                        / (q / k - (s / k) * (s / k)) - 1.0) * 1e12) / 1e12
+                 ELSE 0.0 END AS beta
+             FROM mo)
+      SELECT user_id, n, c,
+             floor(rate * 1e12) / 1e12 AS rate,
+             floor((CAST(c AS DOUBLE) + alpha)
+                   / (CAST(n AS DOUBLE) + alpha + beta) * 1e12) / 1e12
+               AS shrunk_rate,
+             alpha, beta
+      FROM pr, ab ORDER BY user_id
+    """.trim))
+
   val all: Seq[HarnessQuery] = Seq(
     q264NaiveBayes, q265LogisticGd, q266DecisionStump, q267FdAudit, q268Acf,
     q269CmsAudit, q270BoostedStumps, q272Neyman, q273Hits,
     q274NearestCentroid, q275TrigramLm, q276Huber, q277Kmv, q278Decompose,
-    q279TCloseness, q280Silhouette, q281Ndcg, q282Rendezvous)
+    q279TCloseness, q280Silhouette, q281Ndcg, q282Rendezvous, q283EbShrink)
 }

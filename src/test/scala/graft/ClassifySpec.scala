@@ -229,6 +229,38 @@ class ClassifySpec extends SparkSpec {
     assert(out.forall(r => r.getAs[Long]("n_exact") === 3L))
   }
 
+  test("ebShrinkRates: low-volume entities shrink toward the prior mean, " +
+    "high-volume entities barely move") {
+    import graft.operators.Encoding
+    // population: many entities at rate ~0.5 define the prior; entity
+    // "lo" has 1/1 (rate 1), entity "hi" has 100/200 (rate .5)
+    val bg = (1 to 40).flatMap { i =>
+      (1 to 10).map(j => (s"e$i", if (j <= (if (i % 2 == 0) 4 else 6)) 1 else 0))
+    }
+    val rows = bg ++ Seq(("lo", 1)) ++
+      (1 to 200).map(j => ("hi", if (j <= 100) 1 else 0))
+    val df = rows.toDF("k", "conv")
+    val out = Encoding.ebShrinkRates(df, "k", col("conv") === 1)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("rate"), r.getAs[Double]("shrunk_rate"))).toMap
+    val (loRate, loShrunk) = out("lo")
+    val (hiRate, hiShrunk) = out("hi")
+    assert(loRate === 1.0)
+    assert(loShrunk < 0.9) // pulled hard toward ~0.5
+    assert(math.abs(hiShrunk - hiRate) < 0.05) // volume resists the prior
+  }
+
+  test("ebShrinkRates: degenerate variance (all rates equal) passes raw " +
+    "rates through with alpha = beta = 0") {
+    import graft.operators.Encoding
+    val df = (1 to 5).flatMap(i => Seq((s"e$i", 1), (s"e$i", 0)))
+      .toDF("k", "conv")
+    val out = Encoding.ebShrinkRates(df, "k", col("conv") === 1).collect()
+    assert(out.forall(_.getAs[Double]("alpha") === 0.0))
+    assert(out.forall(r =>
+      r.getAs[Double]("shrunk_rate") === r.getAs[Double]("rate")))
+  }
+
   test("boostedStumps: a clean step function is fit exactly in one round " +
     "and round 2 sees near-zero residuals") {
     // y = 10 for x<=2, y = 20 for x>=3

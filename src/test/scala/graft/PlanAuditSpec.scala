@@ -91,6 +91,46 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("round-7 training ops: model-side joins broadcast, data shuffles " +
+    "stay keyed") {
+    assume(haveData, s"$sfDir not present")
+    // naive Bayes: the class/prior/vocab table (<= |classes| rows) must
+    // broadcast; the only non-broadcast join key is the term
+    val nb = Registry.queries("q264_naive_bayes")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(nb.contains("BroadcastHashJoin") ||
+      nb.contains("BroadcastNestedLoopJoin"),
+      s"q264 lost its class-table broadcast:\n$nb")
+    // nearest centroid: centroids and norms broadcast — the corpus side
+    // must never shuffle for the scoring join
+    val nc = Registry.queries("q274_nearest_centroid")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(nc.contains("BroadcastHashJoin"),
+      s"q274 lost its centroid broadcast:\n$nc")
+    // rendezvous: pure expression routing — no join at all in the plan
+    val rv = Registry.queries("q282_rendezvous")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!rv.contains("SortMergeJoin") && !rv.contains("ShuffledHashJoin"),
+      s"q282 acquired a shuffle join; routing must stay expression-only:\n$rv")
+    SessionHygiene.reset(spark)
+  }
+
+  test("huber/neyman: parameter tables broadcast back to the data") {
+    assume(haveData, s"$sfDir not present")
+    val hb = Registry.queries("q276_huber")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // ols params, centers, scale — all O(|groups|) — must broadcast
+    assert(hb.contains("BroadcastHashJoin"),
+      s"q276 lost its parameter-table broadcast:\n$hb")
+    assert(!hb.contains("CartesianProduct"),
+      s"q276 contains a cartesian product:\n$hb")
+    val ny = Registry.queries("q272_neyman")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(ny.contains("BroadcastHashJoin"),
+      s"q272 lost its allocation-table broadcast:\n$ny")
+    SessionHygiene.reset(spark)
+  }
+
   test("graft_jaro_winkler stays inside whole-stage codegen") {
     assume(haveData, s"$sfDir not present")
     val df = Tables.part(spark, sfDir)
