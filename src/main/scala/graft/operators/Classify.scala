@@ -280,6 +280,65 @@ object Classify {
         round(col("__g"), 10).as("gain"))
   }
 
+  /** Rank-1 alternating least squares on a (user, item, value) cell
+    * table — the alternating-projection skeleton of every ALS
+    * recommender (Koren et al. 2009), kept at rank 1 so each half-step
+    * is a closed-form ratio of two aggregates: v_i = Σ u·y / Σ u²
+    * over the item's observed cells, then u_u = Σ v·y / Σ v² over the
+    * user's. Init u ≡ 1 (deterministic), `halfSteps` alternations.
+    *
+    * Distribution shape: cells aggregate once; each half-step is one
+    * equi-join cell⋈factor (the small side BROADCAST — items here;
+    * both sides keyed for the general case) + one hash aggregate.
+    * Factors snap at 9 via floor; per-cell products snap at 6 before
+    * the decimal sums (value-scale² magnitudes — 12-dp snapping would
+    * breach the 2^53 cast rule).
+    *
+    * Output: one row per user — (user, u_factor, n_items) after the
+    * final user half-step.
+    */
+  def alsRank1(
+      df: DataFrame, userCol: String, itemCol: String, valueCol: String,
+      halfSteps: Int = 2): DataFrame = {
+    require(halfSteps >= 2 && halfSteps % 2 == 0,
+      s"halfSteps must be even >= 2, got $halfSteps")
+    def snap(c: Column, s: Double): Column = floor(c * lit(s)) / lit(s)
+    val cells = df
+      .where(col(userCol).isNotNull && col(itemCol).isNotNull
+        && col(valueCol).isNotNull)
+      .groupBy(col(userCol).as("__u"), col(itemCol).as("__i"))
+      .agg(snap(sum(col(valueCol).cast("decimal(28,6)")).cast("double")
+        / count(lit(1)).cast("double"), 1e6).as("__y"))
+    var users = cells.select(col("__u")).distinct()
+      .withColumn("__uf", lit(1.0))
+    var items: DataFrame = null
+    for (step <- 1 to halfSteps) {
+      if (step % 2 == 1) {
+        items = cells.join(users, Seq("__u"))
+          .groupBy(col("__i"))
+          .agg(
+            sum(snap(col("__uf") * col("__y"), 1e6).cast("decimal(38,6)"))
+              .cast("double").as("__n"),
+            sum(snap(col("__uf") * col("__uf"), 1e6).cast("decimal(38,6)"))
+              .cast("double").as("__d"))
+          .select(col("__i"), snap(col("__n") / col("__d"), 1e9).as("__if"))
+      } else {
+        users = cells.join(broadcast(items), Seq("__i"))
+          .groupBy(col("__u"))
+          .agg(
+            sum(snap(col("__if") * col("__y"), 1e6).cast("decimal(38,6)"))
+              .cast("double").as("__n"),
+            sum(snap(col("__if") * col("__if"), 1e6).cast("decimal(38,6)"))
+              .cast("double").as("__d"),
+            count(lit(1)).as("__k"))
+          .select(col("__u"), snap(col("__n") / col("__d"), 1e9).as("__uf"),
+            col("__k"))
+      }
+    }
+    users.select(col("__u").as(userCol), col("__uf").as("u_factor"),
+      col("__k").as("n_items"))
+  }
+
   /** Approximate functional-dependency audit: for each candidate
     * determinant → dependent pair, the g3' violation rate — the fraction
     * of rows that would have to change for the FD to hold exactly:

@@ -987,9 +987,49 @@ object ClassifyQueries {
       FROM pr, ab ORDER BY user_id
     """.trim))
 
+  /** Rank-1 ALS ([[Classify.alsRank1]]) on the (user, event-type,
+    * mean value) cell table — one item half-step, one user half-step,
+    * both unrolled in the oracle.
+    */
+  val q284Als = HarnessQuery(
+    "q284_als",
+    (spark, dir) =>
+      Classify.alsRank1(
+        Tables.events(spark, dir), "user_id", "event_type", "value",
+        halfSteps = 2)
+        .orderBy(col("user_id")),
+    Some("""
+      WITH cells AS (
+        SELECT user_id AS u, event_type AS i,
+               floor(CAST(sum(CAST("value" AS DECIMAL(28,6))) AS DOUBLE)
+                     / count(*) * 1e6) / 1e6 AS y
+        FROM events
+        WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+          AND "value" IS NOT NULL
+        GROUP BY 1, 2),
+      v AS (
+        SELECT i,
+               floor(CAST(sum(CAST(floor(1.0 * y * 1e6) / 1e6
+                     AS DECIMAL(38,6))) AS DOUBLE)
+                 / CAST(sum(CAST(floor(1.0 * 1.0 * 1e6) / 1e6
+                     AS DECIMAL(38,6))) AS DOUBLE) * 1e9) / 1e9 AS vf
+        FROM cells GROUP BY 1),
+      uu AS (
+        SELECT u,
+               floor(CAST(sum(CAST(floor(vf * y * 1e6) / 1e6
+                     AS DECIMAL(38,6))) AS DOUBLE)
+                 / CAST(sum(CAST(floor(vf * vf * 1e6) / 1e6
+                     AS DECIMAL(38,6))) AS DOUBLE) * 1e9) / 1e9 AS uf,
+               count(*) AS k
+        FROM cells JOIN v USING (i) GROUP BY 1)
+      SELECT u AS user_id, uf AS u_factor, k AS n_items
+      FROM uu ORDER BY user_id
+    """.trim))
+
   val all: Seq[HarnessQuery] = Seq(
     q264NaiveBayes, q265LogisticGd, q266DecisionStump, q267FdAudit, q268Acf,
     q269CmsAudit, q270BoostedStumps, q272Neyman, q273Hits,
     q274NearestCentroid, q275TrigramLm, q276Huber, q277Kmv, q278Decompose,
-    q279TCloseness, q280Silhouette, q281Ndcg, q282Rendezvous, q283EbShrink)
+    q279TCloseness, q280Silhouette, q281Ndcg, q282Rendezvous, q283EbShrink,
+    q284Als)
 }

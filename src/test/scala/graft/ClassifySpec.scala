@@ -261,6 +261,22 @@ class ClassifySpec extends SparkSpec {
       r.getAs[Double]("shrunk_rate") === r.getAs[Double]("rate")))
   }
 
+  test("alsRank1: hand-checked half-steps (unit init -> item means -> " +
+    "user ratios) and duplicate cells average first") {
+    val df = Seq(
+      ("a", "x", 10.0), ("a", "y", 20.0), ("b", "x", 30.0),
+      ("b", "x", 30.0)) // duplicate cell collapses to its mean
+      .toDF("u", "i", "v")
+    val out = Classify.alsRank1(df, "u", "i", "v").collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Double]("u_factor"), r.getAs[Long]("n_items"))).toMap
+    // v_x = mean(10, 30) = 20, v_y = 20
+    // u_a = (20*10 + 20*20)/(400 + 400) = 0.75 ; u_b = 20*30/400 = 1.5
+    assert(math.abs(out("a")._1 - 0.75) < 1e-8)
+    assert(math.abs(out("b")._1 - 1.5) < 1e-8)
+    assert(out("a")._2 === 2L && out("b")._2 === 1L)
+  }
+
   test("boostedStumps: a clean step function is fit exactly in one round " +
     "and round 2 sees near-zero residuals") {
     // y = 10 for x<=2, y = 20 for x>=3
