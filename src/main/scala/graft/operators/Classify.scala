@@ -280,6 +280,44 @@ object Classify {
         round(col("__g"), 10).as("gain"))
   }
 
+  /** Model introspection for [[naiveBayes]]: the top-k most
+    * discriminative tokens per class by smoothed log-odds
+    * ln P(t|c) − ln P(t|¬c) (add-one both sides) — the "why did the
+    * model say that" table a reviewer reads before trusting a text
+    * classifier. One count aggregate + broadcast class totals; the
+    * rank window partitions per class over the vocabulary (a
+    * TakeOrdered per class in production; the window form keeps it
+    * oracle-replayable, and k·|classes| rows come out).
+    */
+  def naiveBayesTopFeatures(
+      df: DataFrame, textCol: String, labelCol: String, k: Int): DataFrame = {
+    require(k >= 1)
+    val toks = df.select(col(labelCol).as("__cls"),
+      explode(TextFunctions.tokens(col(textCol))).as("__term"))
+    val ctc = toks.groupBy(col("__cls"), col("__term"))
+      .agg(count(lit(1)).as("__c"))
+    val classTot = ctc.groupBy(col("__cls")).agg(sum(col("__c")).as("__tc"))
+    val global = ctc.groupBy(col("__term")).agg(sum(col("__c")).as("__g"))
+    val totals = broadcast(ctc.agg(sum(col("__c")).as("__t"),
+      countDistinct(col("__term")).as("__v")))
+    val scored = ctc
+      .join(broadcast(classTot), Seq("__cls"))
+      .join(global, Seq("__term"))
+      .crossJoin(totals)
+      .withColumn("__lo",
+        log((col("__c") + lit(1)).cast("double")
+          / (col("__tc") + col("__v")).cast("double"))
+          - log((col("__g") - col("__c") + lit(1)).cast("double")
+            / (col("__t") - col("__tc") + col("__v")).cast("double")))
+    val w = Window.partitionBy(col("__cls"))
+      .orderBy(col("__lo").desc, col("__term").asc)
+    scored.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= k)
+      .select(col("__cls").as("label"), col("__rk").cast("long").as("rank"),
+        col("__term").as("term"),
+        (floor(col("__lo") * lit(1e10)) / lit(1e10)).as("log_odds"))
+  }
+
   /** Rank-1 alternating least squares on a (user, item, value) cell
     * table — the alternating-projection skeleton of every ALS
     * recommender (Koren et al. 2009), kept at rank 1 so each half-step

@@ -82,6 +82,46 @@ object ScaleAudit {
           .as("touched_frac"))
   }
 
+  /** Co-sortedness audit for layout planning: if the table is laid out
+    * per `keyCol` in `(orderCol, tieCol)` order, how sorted does
+    * `valueCol` come out? Reports per key the adjacent-descent
+    * fraction and the longest nondecreasing run — the inputs to "will
+    * min/max pruning on valueCol work under this layout, or does it
+    * need its own sort/Z-order" (correlated columns prune nearly free;
+    * see [[pruningStats]]). A perfectly co-sorted key scores 0
+    * descents and one run spanning all rows.
+    *
+    * Shape: one per-key window pass — lag for descents, the
+    * gaps-and-islands cumulative-descent trick for run ids — plus two
+    * hash aggregates. Everything integer; the fraction is one double
+    * ratio.
+    */
+  def sortednessAudit(
+      df: DataFrame, keyCol: String, orderCol: String, tieCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(orderCol), col(tieCol))
+    val marked = df
+      .select(col(keyCol), col(orderCol), col(tieCol),
+        col(valueCol).as("__v"))
+      .withColumn("__desc",
+        when(col("__v") < lag(col("__v"), 1).over(w), 1L).otherwise(0L))
+      .withColumn("__run", sum(col("__desc")).over(w))
+    val runs = marked.groupBy(col(keyCol), col("__run"))
+      .agg(count(lit(1)).as("__len"))
+    val perKey = marked.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col("__desc")).as("n_descents"))
+    perKey.join(
+      runs.groupBy(col(keyCol)).agg(max(col("__len")).as("longest_run")),
+      Seq(keyCol))
+      .select(col(keyCol), col("n"), col("n_descents"),
+        (col("n_descents").cast("double")
+          / greatest(col("n") - 1, lit(1L)).cast("double"))
+          .as("descent_frac"),
+        col("longest_run"))
+  }
+
   /** Rendezvous (highest-random-weight) shard-assignment audit
     * (Thaler & Ravishankar 1998): each key routes to
     * argmax_node md5(node:key) — the stateless consistent-placement

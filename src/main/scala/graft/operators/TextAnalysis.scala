@@ -295,6 +295,65 @@ object TextAnalysis {
         exp(-(col("__slp").cast("double") / col("__nb"))).as("perplexity"))
   }
 
+  /** Per-document sentence segmentation stats: sentences split on
+    * [.!?]+ runs (the regex segmenter every quality pipeline starts
+    * with before shipping a real one), empty segments dropped, then
+    * count / mean / min / max sentence length in WORDS. Long-sentence
+    * and one-sentence-wall documents are quality-filter signals
+    * (Gopher's "mean words per sentence" cut); the mean is an exact
+    * ratio of integer totals.
+    *
+    * One projection + one explode + one hash aggregate per doc —
+    * embarrassingly parallel, no shuffle beyond the doc key.
+    */
+  def sentenceStats(
+      df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val sentences = df.select(col(idCol),
+      explode(split(col(textCol), "[.!?]+")).as("__s"))
+      .select(col(idCol), trim(col("__s")).as("__s"))
+      .where(length(col("__s")) > 0)
+      .select(col(idCol),
+        size(split(col("__s"), "\\s+")).cast("long").as("__w"))
+    sentences.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_sentences"),
+        sum(col("__w")).as("n_words"),
+        (sum(col("__w")).cast("double") / count(lit(1)).cast("double"))
+          .as("mean_sentence_words"),
+        min(col("__w")).as("min_sentence_words"),
+        max(col("__w")).as("max_sentence_words"))
+  }
+
+  /** Flesch reading-ease per document (Flesch 1948), with the standard
+    * programmatic syllable proxy: a syllable ≈ one [aeiouy]+ vowel
+    * group per word (the approximation every readability library uses
+    * when no pronunciation dictionary ships). score = 206.835 −
+    * 1.015·(words/sentences) − 84.6·(syllables/words). A corpus-
+    * quality signal orthogonal to [[sentenceStats]]' length cuts —
+    * machine-generated walls of clauses score deep negative.
+    *
+    * Everything is integer counts until the one final double
+    * expression, floor-snapped at 6 (scores are O(100)).
+    */
+  def fleschReadingEase(
+      df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = lower(col(textCol))
+    val base = df.select(col(idCol),
+      size(expr(s"filter(split($textCol, '[.!?]+'), s -> length(trim(s)) > 0)"))
+        .cast("long").as("n_sentences"),
+      size(split(trim(t), "\\s+")).cast("long").as("n_words"),
+      size(regexp_extract_all(t, lit("[aeiouy]+"), lit(0))).cast("long")
+        .as("n_syllables"))
+      .where(col("n_sentences") > 0 && col("n_words") > 0)
+    base.select(col(idCol), col("n_sentences"), col("n_words"),
+      col("n_syllables"),
+      (floor((lit(206.835)
+        - lit(1.015) * (col("n_words").cast("double")
+          / col("n_sentences").cast("double"))
+        - lit(84.6) * (col("n_syllables").cast("double")
+          / col("n_words").cast("double"))) * lit(1e6)) / lit(1e6))
+        .as("flesch"))
+  }
+
   /** Trigram stupid-backoff language-model scoring (Brants et al. 2007
     * — the scheme built FOR corpus-scale LMs: no discounting state,
     * just counts and a fixed backoff factor, so the "model" is three

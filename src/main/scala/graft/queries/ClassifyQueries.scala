@@ -1026,10 +1026,135 @@ object ClassifyQueries {
       FROM uu ORDER BY user_id
     """.trim))
 
+  /** Sentence segmentation stats ([[TextAnalysis.sentenceStats]]) —
+    * the Gopher mean-words-per-sentence quality signal.
+    */
+  val q285SentenceStats = HarnessQuery(
+    "q285_sentence_stats",
+    (spark, dir) =>
+      TextAnalysis.sentenceStats(Tables.documents(spark, dir), "text",
+        "doc_id")
+        .orderBy(col("doc_id")),
+    Some("""
+      WITH segs AS (
+        SELECT doc_id, trim(seg) AS seg FROM (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(text, '[.!?]+')) AS seg
+          FROM documents)
+        WHERE length(trim(seg)) > 0),
+      wc AS (SELECT doc_id,
+               CAST(len(regexp_split_to_array(seg, '\s+')) AS BIGINT) AS w
+             FROM segs)
+      SELECT doc_id, count(*) AS n_sentences,
+             CAST(sum(w) AS BIGINT) AS n_words,
+             CAST(sum(w) AS DOUBLE) / count(*) AS mean_sentence_words,
+             min(w) AS min_sentence_words,
+             max(w) AS max_sentence_words
+      FROM wc GROUP BY 1 ORDER BY 1
+    """.trim))
+
+  /** Co-sortedness audit ([[ScaleAudit.sortednessAudit]]): how sorted
+    * does `value` come out under a (event_type, ts) layout — the
+    * min/max-pruning planning number.
+    */
+  val q286Sortedness = HarnessQuery(
+    "q286_sortedness",
+    (spark, dir) =>
+      ScaleAudit.sortednessAudit(
+        Tables.events(spark, dir), "event_type", "ts", "event_id", "value")
+        .orderBy(col("event_type")),
+    Some("""
+      WITH mk AS (
+        SELECT event_type, ts, event_id, "value" AS v,
+               CASE WHEN "value" < lag("value") OVER w
+                 THEN 1 ELSE 0 END AS d
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+      rn AS (SELECT *,
+               sum(d) OVER (PARTITION BY event_type
+                 ORDER BY ts, event_id) AS run
+             FROM mk),
+      runs AS (SELECT event_type, run, count(*) AS len
+               FROM rn GROUP BY 1, 2),
+      pk AS (SELECT event_type, count(*) AS n,
+               CAST(sum(d) AS BIGINT) AS n_descents
+             FROM rn GROUP BY 1),
+      lr AS (SELECT event_type, CAST(max(len) AS BIGINT) AS longest_run
+             FROM runs GROUP BY 1)
+      SELECT pk.event_type, pk.n, pk.n_descents,
+             CAST(pk.n_descents AS DOUBLE)
+               / CAST(greatest(pk.n - 1, 1) AS DOUBLE) AS descent_frac,
+             lr.longest_run
+      FROM pk JOIN lr USING (event_type) ORDER BY 1
+    """.trim))
+
+  /** Flesch reading ease ([[TextAnalysis.fleschReadingEase]]) with the
+    * vowel-group syllable proxy.
+    */
+  val q287Flesch = HarnessQuery(
+    "q287_flesch",
+    (spark, dir) =>
+      TextAnalysis.fleschReadingEase(
+        Tables.documents(spark, dir), "text", "doc_id")
+        .orderBy(col("doc_id")),
+    Some("""
+      WITH base AS (
+        SELECT doc_id,
+               CAST(len(list_filter(regexp_split_to_array(text, '[.!?]+'),
+                 s -> length(trim(s)) > 0)) AS BIGINT) AS n_sentences,
+               CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
+                 AS BIGINT) AS n_words,
+               CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                 AS BIGINT) AS n_syllables
+        FROM documents)
+      SELECT doc_id, n_sentences, n_words, n_syllables,
+             floor((206.835
+               - 1.015 * (CAST(n_words AS DOUBLE)
+                          / CAST(n_sentences AS DOUBLE))
+               - 84.6 * (CAST(n_syllables AS DOUBLE)
+                         / CAST(n_words AS DOUBLE))) * 1e6) / 1e6 AS flesch
+      FROM base
+      WHERE n_sentences > 0 AND n_words > 0
+      ORDER BY doc_id
+    """.trim))
+
+  /** Per-class discriminative tokens
+    * ([[Classify.naiveBayesTopFeatures]]): top-5 by smoothed log-odds
+    * for each `lang` — the review table behind q264's classifier.
+    */
+  val q288NbFeatures = HarnessQuery(
+    "q288_nb_features",
+    (spark, dir) =>
+      Classify.naiveBayesTopFeatures(
+        Tables.documents(spark, dir), "text", "lang", k = 5)
+        .orderBy(col("label"), col("rank")),
+    Some("""
+      WITH toks AS (SELECT lang AS cls,
+              unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+            FROM documents),
+      ctc AS (SELECT cls, term, count(*) AS c FROM toks GROUP BY 1, 2),
+      ct AS (SELECT cls, CAST(sum(c) AS BIGINT) AS tc FROM ctc GROUP BY 1),
+      gl AS (SELECT term, CAST(sum(c) AS BIGINT) AS g FROM ctc GROUP BY 1),
+      tt AS (SELECT CAST(sum(c) AS BIGINT) AS t,
+                    count(DISTINCT term) AS v FROM ctc),
+      sc AS (SELECT ctc.cls, ctc.term,
+               ln(CAST(ctc.c + 1 AS DOUBLE) / CAST(ct.tc + tt.v AS DOUBLE))
+               - ln(CAST(gl.g - ctc.c + 1 AS DOUBLE)
+                    / CAST(tt.t - ct.tc + tt.v AS DOUBLE)) AS lo
+             FROM ctc JOIN ct USING (cls) JOIN gl USING (term), tt),
+      rk AS (SELECT cls, term, lo,
+               row_number() OVER (PARTITION BY cls
+                 ORDER BY lo DESC, term) AS rk
+             FROM sc)
+      SELECT cls AS label, CAST(rk AS BIGINT) AS rank, term,
+             floor(lo * 1e10) / 1e10 AS log_odds
+      FROM rk WHERE rk <= 5 ORDER BY label, rank
+    """.trim))
+
   val all: Seq[HarnessQuery] = Seq(
     q264NaiveBayes, q265LogisticGd, q266DecisionStump, q267FdAudit, q268Acf,
     q269CmsAudit, q270BoostedStumps, q272Neyman, q273Hits,
     q274NearestCentroid, q275TrigramLm, q276Huber, q277Kmv, q278Decompose,
     q279TCloseness, q280Silhouette, q281Ndcg, q282Rendezvous, q283EbShrink,
-    q284Als)
+    q284Als, q285SentenceStats, q286Sortedness, q287Flesch, q288NbFeatures)
 }

@@ -261,6 +261,68 @@ class ClassifySpec extends SparkSpec {
       r.getAs[Double]("shrunk_rate") === r.getAs[Double]("rate")))
   }
 
+  test("sentenceStats: segments on terminal runs, drops empties, counts " +
+    "words per sentence") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "one two. three four five! six?"),
+      (2L, "just one sentence"),
+      (3L, "trailing dots...")).toDF("doc_id", "text")
+    val out = TextAnalysis.sentenceStats(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_sentences"), r.getAs[Long]("n_words"),
+          r.getAs[Long]("max_sentence_words"))).toMap
+    assert(out(1L) === ((3L, 6L, 3L)))
+    assert(out(2L) === ((1L, 3L, 3L)))
+    assert(out(3L) === ((1L, 2L, 2L)))
+  }
+
+  test("sortednessAudit: a sorted key scores zero descents and one full " +
+    "run; a reversed key scores all descents") {
+    import graft.operators.ScaleAudit
+    val rows = (1 to 10).map(i => ("asc", i.toLong, i, i.toDouble)) ++
+      (1 to 10).map(i => ("desc", i.toLong, i, (11 - i).toDouble))
+    val df = rows.toDF("k", "o", "tie", "v")
+    val out = ScaleAudit.sortednessAudit(df, "k", "o", "tie", "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_descents"), r.getAs[Double]("descent_frac"),
+          r.getAs[Long]("longest_run"))).toMap
+    assert(out("asc") === ((0L, 0.0, 10L)))
+    assert(out("desc")._1 === 9L)
+    assert(out("desc")._2 === 1.0)
+    assert(out("desc")._3 === 1L)
+  }
+
+  test("fleschReadingEase: hand-checked score on a known sentence and " +
+    "monotone degradation with clause walls") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "the cat sat."), // 1 sentence, 3 words, 3 vowel groups
+      (2L, "a a a a a a a a a a a a a a a a a a a a a a a a a a a a a a"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.fleschReadingEase(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("flesch")).toMap
+    // doc 1: 206.835 - 1.015*3 - 84.6*1 = 119.19
+    assert(math.abs(out(1L) - (206.835 - 1.015 * 3 - 84.6)) < 1e-5)
+    // doc 2: one 30-word "sentence" -> words/sentences dominates
+    assert(out(2L) < out(1L))
+  }
+
+  test("naiveBayesTopFeatures: class-exclusive tokens rank first with " +
+    "positive log-odds") {
+    val df = Seq(
+      ("A", "alpha alpha shared"), ("A", "alpha shared"),
+      ("B", "beta beta shared"), ("B", "beta shared"))
+      .toDF("cls", "text")
+    val out = Classify.naiveBayesTopFeatures(df, "text", "cls", k = 2)
+      .collect()
+    val top = out.filter(_.getAs[Long]("rank") == 1L)
+      .map(r => r.getString(0) -> r.getAs[String]("term")).toMap
+    assert(top === Map("A" -> "alpha", "B" -> "beta"))
+    assert(out.filter(r => Set("alpha", "beta")(r.getAs[String]("term")))
+      .forall(_.getAs[Double]("log_odds") > 0.0))
+  }
+
   test("alsRank1: hand-checked half-steps (unit init -> item means -> " +
     "user ratios) and duplicate cells average first") {
     val df = Seq(
