@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.{Classify, Encoding, Experiment, Graphs, HeavyHitters,
   Mixture, Privacy, ScaleAudit, Similarity, TextAnalysis, TimeSeries}
-import graft.sources.Tables
+import graft.sources.{BinaryFiles, Tables}
 
 /** Distributed-training primitives as harness queries: naive Bayes,
   * full-batch logistic GD, the decision-stump split search, the
@@ -1151,10 +1151,40 @@ object ClassifyQueries {
       FROM rk WHERE rk <= 5 ORDER BY label, rank
     """.trim))
 
+  /** binaryFile ingestion round-trip ([[BinaryFiles]]): the first 20
+    * documents written as raw UTF-8 files, re-read through Spark's
+    * `binaryFile` source, fingerprinted — the oracle recomputes byte
+    * length and md5 from the parquet-side text, so any ingestion drift
+    * (encoding, truncation, path mixups) hash-mismatches.
+    */
+  val q289BinaryIngest = HarnessQuery(
+    "q289_binary_ingest",
+    (spark, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q289").toFile
+      tmp.deleteOnExit()
+      val binDir = new java.io.File(tmp, "docs_bin").getPath
+      val docs = Tables.documents(spark, dir)
+        .where(col("doc_id") < 20)
+        .select(col("doc_id"), col("text"))
+        .collect() // 20 bounded fixture rows — provisioning, not dataflow
+        .map(r => (f"doc_${r.getLong(0)}%05d.txt", r.getString(1)))
+      BinaryFiles.writeTextFiles(docs.toSeq, binDir)
+      BinaryFiles.fingerprints(BinaryFiles.readDir(spark, binDir))
+        .orderBy(col("file_name"))
+    },
+    Some("""
+      SELECT printf('doc_%05d.txt', doc_id) AS file_name,
+             CAST(octet_length(encode(text)) AS BIGINT) AS length,
+             md5(text) AS content_md5
+      FROM documents WHERE doc_id < 20
+      ORDER BY file_name
+    """.trim))
+
   val all: Seq[HarnessQuery] = Seq(
     q264NaiveBayes, q265LogisticGd, q266DecisionStump, q267FdAudit, q268Acf,
     q269CmsAudit, q270BoostedStumps, q272Neyman, q273Hits,
     q274NearestCentroid, q275TrigramLm, q276Huber, q277Kmv, q278Decompose,
     q279TCloseness, q280Silhouette, q281Ndcg, q282Rendezvous, q283EbShrink,
-    q284Als, q285SentenceStats, q286Sortedness, q287Flesch, q288NbFeatures)
+    q284Als, q285SentenceStats, q286Sortedness, q287Flesch, q288NbFeatures,
+    q289BinaryIngest)
 }

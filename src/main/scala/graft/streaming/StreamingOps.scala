@@ -245,4 +245,58 @@ object StreamingOps {
       .transformWithState(
         new VelocityProcessor, TimeMode.None(), OutputMode.Append())
   }
+
+  /** Streaming CDC apply: maintain a keyed parquet snapshot from a
+    * stream of (op, row) change events via `foreachBatch` — the
+    * materialized-view maintenance loop every warehouse runs, done
+    * with [[graft.operators.Merge.upsert]] per micro-batch so the
+    * result is IDENTICAL to applying the batched deltas offline (the
+    * spec pins stream-vs-batch equality). Each micro-batch rewrites
+    * the snapshot dir; a real deployment swaps the rewrite for a
+    * format with transactional row-level merge, but the merge
+    * SEMANTICS — and this exact dataflow — are unchanged.
+    *
+    * Within one micro-batch, later ops win per key: rows carry a
+    * monotonically increasing `seqCol` and only each key's max-seq
+    * row applies (CDC feeds guarantee per-key order; cross-key order
+    * is irrelevant).
+    */
+  def cdcApplySink(
+      changes: DataFrame,
+      snapshotDir: String,
+      key: String,
+      opCol: String,
+      seqCol: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    changes.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(key))
+          .orderBy(col(seqCol).desc)
+        val lastPerKey = batch
+          .withColumn("__rn", row_number().over(w))
+          .where(col("__rn") === 1).drop("__rn", seqCol)
+        val current =
+          try spark.read.parquet(snapshotDir)
+          catch { case _: Throwable =>
+            lastPerKey.drop(opCol).limit(0) // first batch: empty snapshot
+          }
+        val next = graft.operators.Merge.upsert(
+          current, lastPerKey, key, opCol)
+        // rewrite via a temp dir: the read above streams from the same
+        // files an in-place overwrite would delete mid-scan
+        val tmp = snapshotDir + "_tmp"
+        next.write.mode("overwrite").parquet(tmp)
+        val fs = new org.apache.hadoop.fs.Path(snapshotDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(snapshotDir), true)
+        fs.rename(new org.apache.hadoop.fs.Path(tmp),
+          new org.apache.hadoop.fs.Path(snapshotDir))
+        ()
+      }
+      .start()
+  }
 }

@@ -323,6 +323,23 @@ class ClassifySpec extends SparkSpec {
       .forall(_.getAs[Double]("log_odds") > 0.0))
   }
 
+  test("binaryFile ingestion: fingerprints round-trip bytes exactly, " +
+    "including multi-byte UTF-8") {
+    import graft.sources.BinaryFiles
+    val dir = java.nio.file.Files.createTempDirectory("binspec").toString
+    BinaryFiles.writeTextFiles(
+      Seq(("a.txt", "hello"), ("b.txt", "héllo")), dir)
+    val out = BinaryFiles.fingerprints(BinaryFiles.readDir(spark, dir))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("length"), r.getString(2))).toMap
+    assert(out("a.txt")._1 === 5L)
+    assert(out("b.txt")._1 === 6L) // é is two bytes
+    assert(out("a.txt")._2 ===
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("hello".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString)
+  }
+
   test("alsRank1: hand-checked half-steps (unit init -> item means -> " +
     "user ratios) and duplicate cells average first") {
     val df = Seq(

@@ -278,4 +278,26 @@ class StreamingSpec extends SparkSpec {
     assert(got(1L) === ((1.0, "en")))
     assert(got(2L) === ((0.5, "und")))
   }
+
+  test("cdcApplySink: micro-batched CDC apply converges to the batch " +
+    "upsert result, last op per key wins within a batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("cdc_snap").toString
+    val snap = dir + "/snapshot"
+    val ckpt = dir + "/ckpt"
+    val mem = MemoryStream[(Long, String, Long, Double)]
+    val stream = mem.toDF().toDF("k", "op", "seq", "v")
+    val q = StreamingOps.cdcApplySink(stream, snap, "k", "op", "seq", ckpt)
+    // batch 1: insert 1, 2; update 1 twice in-batch (seq order wins)
+    mem.addData((1L, "U", 1L, 10.0), (2L, "U", 2L, 20.0),
+      (1L, "U", 3L, 11.0))
+    q.processAllAvailable()
+    // batch 2: delete 2, insert 3
+    mem.addData((2L, "D", 4L, 0.0), (3L, "U", 5L, 30.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(snap).collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[Double]("v")).toMap
+    assert(got === Map(1L -> 11.0, 3L -> 30.0))
+  }
 }
