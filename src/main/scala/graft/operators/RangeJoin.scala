@@ -74,6 +74,41 @@ object RangeJoin {
       .drop("__asof_rn")
   }
 
+  /** KEYED backward as-of join — the point-in-time-correct feature
+    * lookup (the feature-store join): for each left row, the latest
+    * right row OF THE SAME ENTITY with `rightOn <= leftOn`. Unlike
+    * [[asOfJoinBackward]] (global as-of against a small broadcast
+    * dimension), both sides here can be large: the equi-key condition
+    * makes Catalyst plan a keyed join (sort-merge / shuffled-hash on
+    * the entity key) with the time bound as a join filter — the
+    * scalable shape — and the winner is picked per LEFT ROW by a
+    * window over `leftRowId` (bounded by that row's match count).
+    * Rows with no qualifying right match keep nulls (left outer),
+    * which is what "the feature did not exist yet" must mean in
+    * training data — silently imputing here is label leakage's
+    * favorite disguise.
+    */
+  def asOfJoinKeyed(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftOn: String,
+      rightOn: String,
+      leftRowId: String,
+      rightTieBreak: Seq[String] = Nil): DataFrame = {
+    val joined = left.join(right,
+      left(leftKey) === right(rightKey) && left(leftOn) >= right(rightOn),
+      "left")
+    val order = right(rightOn).desc_nulls_last +:
+      rightTieBreak.map(c => right(c).asc_nulls_last)
+    val w = Window.partitionBy(left(leftRowId)).orderBy(order: _*)
+    joined
+      .withColumn("__asof_rn", row_number().over(w))
+      .filter(col("__asof_rn") === 1)
+      .drop("__asof_rn")
+  }
+
   /** General as-of join: the full `pd.merge_asof` direction/tolerance
     * surface ([[asOfJoinBackward]] is the reference's case, kept as the
     * explicit entry point the pipeline calls).

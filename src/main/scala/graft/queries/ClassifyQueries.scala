@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Classify, Encoding, Experiment, Graphs, HeavyHitters,
-  Mixture, Privacy, ScaleAudit, Similarity, TextAnalysis, TimeSeries}
+  Mixture, Privacy, RangeJoin, ScaleAudit, Similarity, TextAnalysis,
+  TimeSeries}
 import graft.sources.{BinaryFiles, Tables}
 
 /** Distributed-training primitives as harness queries: naive Bayes,
@@ -1180,11 +1181,57 @@ object ClassifyQueries {
       ORDER BY file_name
     """.trim))
 
+  /** Point-in-time feature enrichment ([[RangeJoin.asOfJoinKeyed]]):
+    * each event picks up its user's latest order (keyed backward
+    * as-of, ties to the smallest orderkey) plus the user's previous
+    * event value — the two-feature-table feature-store join, leakage-
+    * safe by construction (only rows with rightOn <= ts qualify).
+    */
+  val q290PitEnrich = HarnessQuery(
+    "q290_pit_enrich",
+    (spark, dir) => {
+      val ev = Tables.events(spark, dir)
+      val orders = Tables.orders(spark, dir)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"))
+      val withOrder = RangeJoin.asOfJoinKeyed(
+        ev, orders, "user_id", "o_custkey", "ts", "o_orderdate",
+        "event_id", rightTieBreak = Seq("o_orderkey"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      withOrder
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .select(col("event_id"), col("user_id"),
+          col("o_orderkey").as("last_order_key"),
+          col("o_totalprice").as("last_order_total"),
+          col("prev_value"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      WITH j AS (
+        SELECT e.event_id, e.user_id, e.ts, e."value",
+               o.o_orderkey, o.o_totalprice,
+               row_number() OVER (PARTITION BY e.event_id
+                 ORDER BY o.o_orderdate DESC NULLS LAST,
+                          o.o_orderkey NULLS LAST) AS rn
+        FROM events e LEFT JOIN orders o
+          ON o.o_custkey = e.user_id
+          AND CAST(e.ts AS TIMESTAMP) >= o.o_orderdate),
+      base AS (SELECT * FROM j WHERE rn = 1)
+      SELECT event_id, user_id,
+             o_orderkey AS last_order_key,
+             o_totalprice AS last_order_total,
+             lag("value") OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS prev_value
+      FROM base ORDER BY event_id
+    """.trim))
+
   val all: Seq[HarnessQuery] = Seq(
     q264NaiveBayes, q265LogisticGd, q266DecisionStump, q267FdAudit, q268Acf,
     q269CmsAudit, q270BoostedStumps, q272Neyman, q273Hits,
     q274NearestCentroid, q275TrigramLm, q276Huber, q277Kmv, q278Decompose,
     q279TCloseness, q280Silhouette, q281Ndcg, q282Rendezvous, q283EbShrink,
     q284Als, q285SentenceStats, q286Sortedness, q287Flesch, q288NbFeatures,
-    q289BinaryIngest)
+    q289BinaryIngest, q290PitEnrich)
 }

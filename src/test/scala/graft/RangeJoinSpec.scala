@@ -114,4 +114,26 @@ class RangeJoinSpec extends SparkSpec {
       .select($"id", $"country").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got(4L) === "Unknown" && got(5L) === "Unknown" && got(3L) === "B")
   }
+
+  test("asOfJoinKeyed: per-entity backward match, no-feature rows keep " +
+    "nulls, tie-break pins duplicate as-of times") {
+    val left = Seq(
+      (1L, "u1", 100L), (2L, "u1", 250L), (3L, "u2", 100L),
+      (4L, "u3", 100L)) // u3 has no features at all
+      .toDF("row_id", "k", "t")
+    val right = Seq(
+      ("u1", 50L, "a"), ("u1", 200L, "b"),
+      ("u1", 300L, "future"), // after every u1 event: never matches
+      ("u2", 100L, "x"), ("u2", 100L, "y")) // duplicate time: tie-break
+      .toDF("k", "rt", "feat")
+    val got = RangeJoin.asOfJoinKeyed(
+      left, right, "k", "k", "t", "rt", "row_id",
+      rightTieBreak = Seq("feat"))
+      .select(col("row_id"), col("feat")).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got(1L) === Some("a")) // only rt=50 <= 100
+    assert(got(2L) === Some("b")) // rt=200 beats 50; 300 excluded
+    assert(got(3L) === Some("x")) // duplicate rt=100 -> smaller feat
+    assert(got(4L) === None) // entity with no features: null, not drop
+  }
 }
