@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.Materialize
 import graft.functions.TextFunctions
 
 /** Text-analysis operators for training-data pipelines: quality scoring,
@@ -321,6 +322,67 @@ object TextAnalysis {
           .as("mean_sentence_words"),
         min(col("__w")).as("min_sentence_words"),
         max(col("__w")).as("max_sentence_words"))
+  }
+
+  /** BPE merge training (Sennrich et al. 2016) as pure dataflow: learn
+    * `rounds` byte-pair merges from the corpus. The scale story is the
+    * classic one — BPE trains on the VOCABULARY table (word, freq),
+    * not the corpus: one tokenize+count collapses 100 TB of text to a
+    * vocab-sized table, and every round is then an explode of adjacent
+    * symbol pairs + a weighted count + a one-row argmax (the merge —
+    * O(1) driver state, the [[Classify.logisticGd]] shape), applied
+    * back with a plain string replace.
+    *
+    * Symbol strings ride as space-separated segments (" h e l l o ");
+    * a merge replaces " l r " with " lr ". Runs of a repeated pair
+    * merge alternately (plain substring replace consumes its trailing
+    * space) — a documented delta from lookahead-regex BPE, chosen
+    * because plain replace behaves IDENTICALLY in every engine while
+    * RE2 (DuckDB) has no lookahead. Ties argmax to (count desc, left,
+    * right).
+    *
+    * Output: one row per round — (round, left, right, pair_count).
+    */
+  def bpeMerges(
+      df: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 10, s"rounds out of range: $rounds")
+    val spark = df.sparkSession
+    val vocab = Materialize.cut(df
+      .select(explode(TextFunctions.tokens(col(textCol))).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__f"))
+      .withColumn("__repr",
+        concat(lit(" "), regexp_replace(col("__w"), "(.)", "$1 "))))
+    var cur = vocab
+    val merges = scala.collection.mutable.ArrayBuffer.empty[
+      (Int, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val syms = col("__syms")
+      val pairs = cur
+        .withColumn("__syms", split(trim(col("__repr")), " "))
+        .where(size(syms) >= 2)
+        .select(col("__f"), explode(zip_with(
+          slice(syms, lit(1), size(syms) - 1),
+          slice(syms, lit(2), size(syms) - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("__p"))
+        .groupBy(col("__p.l").as("__l"), col("__p.r").as("__r"))
+        .agg(sum(col("__f")).as("__c"))
+      val win = pairs
+        .orderBy(col("__c").desc, col("__l").asc, col("__r").asc)
+        .limit(1).collect().headOption
+      win match {
+        case Some(row) =>
+          val (l, rr, c) = (row.getString(0), row.getString(1),
+            row.getLong(2))
+          merges += ((r, l, rr, c))
+          cur = Materialize.cut(cur.withColumn("__repr",
+            regexp_replace(col("__repr"),
+              java.util.regex.Pattern.quote(s" $l $rr "),
+              java.util.regex.Matcher.quoteReplacement(s" $l$rr "))))
+        case None => // vocabulary fully merged — stop early
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("round", "merge_left", "merge_right", "pair_count")
   }
 
   /** Flesch reading-ease per document (Flesch 1948), with the standard

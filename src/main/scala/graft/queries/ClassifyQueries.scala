@@ -1227,11 +1227,71 @@ object ClassifyQueries {
       FROM base ORDER BY event_id
     """.trim))
 
+  /** Three BPE merge rounds ([[TextAnalysis.bpeMerges]]) learned from
+    * the documents corpus — trained on the vocab table, each round an
+    * explode + weighted count + one-row argmax, unrolled in the
+    * oracle.
+    */
+  val q291Bpe = HarnessQuery(
+    "q291_bpe",
+    (spark, dir) =>
+      TextAnalysis.bpeMerges(Tables.documents(spark, dir), "text", 3)
+        .orderBy(col("round")),
+    Some("""
+      WITH v AS (SELECT w, count(*) AS f FROM (
+               SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                 AS w
+               FROM documents) GROUP BY 1),
+      r0 AS (SELECT w, f,
+               ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS repr
+             FROM v),
+      p1 AS (SELECT l, r, CAST(sum(f) AS BIGINT) AS c FROM (
+               SELECT f, unnest(s[1:len(s)-1]) AS l,
+                      unnest(s[2:len(s)]) AS r
+               FROM (SELECT f, regexp_split_to_array(trim(repr), ' ') AS s
+                     FROM r0)
+               WHERE len(s) >= 2)
+             GROUP BY 1, 2),
+      w1 AS (SELECT l, r, c FROM p1
+             QUALIFY row_number() OVER (ORDER BY c DESC, l, r) = 1),
+      r1 AS (SELECT r0.w, r0.f,
+               replace(r0.repr, ' ' || w1.l || ' ' || w1.r || ' ',
+                 ' ' || w1.l || w1.r || ' ') AS repr
+             FROM r0, w1),
+      p2 AS (SELECT l, r, CAST(sum(f) AS BIGINT) AS c FROM (
+               SELECT f, unnest(s[1:len(s)-1]) AS l,
+                      unnest(s[2:len(s)]) AS r
+               FROM (SELECT f, regexp_split_to_array(trim(repr), ' ') AS s
+                     FROM r1)
+               WHERE len(s) >= 2)
+             GROUP BY 1, 2),
+      w2 AS (SELECT l, r, c FROM p2
+             QUALIFY row_number() OVER (ORDER BY c DESC, l, r) = 1),
+      r2 AS (SELECT r1.w, r1.f,
+               replace(r1.repr, ' ' || w2.l || ' ' || w2.r || ' ',
+                 ' ' || w2.l || w2.r || ' ') AS repr
+             FROM r1, w2),
+      p3 AS (SELECT l, r, CAST(sum(f) AS BIGINT) AS c FROM (
+               SELECT f, unnest(s[1:len(s)-1]) AS l,
+                      unnest(s[2:len(s)]) AS r
+               FROM (SELECT f, regexp_split_to_array(trim(repr), ' ') AS s
+                     FROM r2)
+               WHERE len(s) >= 2)
+             GROUP BY 1, 2),
+      w3 AS (SELECT l, r, c FROM p3
+             QUALIFY row_number() OVER (ORDER BY c DESC, l, r) = 1)
+      SELECT 1 AS round, l AS merge_left, r AS merge_right, c AS pair_count
+      FROM w1
+      UNION ALL SELECT 2, l, r, c FROM w2
+      UNION ALL SELECT 3, l, r, c FROM w3
+      ORDER BY round
+    """.trim))
+
   val all: Seq[HarnessQuery] = Seq(
     q264NaiveBayes, q265LogisticGd, q266DecisionStump, q267FdAudit, q268Acf,
     q269CmsAudit, q270BoostedStumps, q272Neyman, q273Hits,
     q274NearestCentroid, q275TrigramLm, q276Huber, q277Kmv, q278Decompose,
     q279TCloseness, q280Silhouette, q281Ndcg, q282Rendezvous, q283EbShrink,
     q284Als, q285SentenceStats, q286Sortedness, q287Flesch, q288NbFeatures,
-    q289BinaryIngest, q290PitEnrich)
+    q289BinaryIngest, q290PitEnrich, q291Bpe)
 }

@@ -560,6 +560,35 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(out(3L) - math.log(0.4 * 0.4 / 8.0)) < 1e-9)
   }
 
+  test("bpeMerges: the most frequent weighted pair merges first and the " +
+    "merged symbol participates in later rounds") {
+    import spark.implicits._
+    // "aab" x3, "ab" x2: round 1 pairs: (a,a):3, (a,b):5 -> merge "ab"
+    // round 2: "a ab" x3 -> (a,ab):3 -> merge "aab"
+    val df = Seq("aab ab aab", "aab ab").toDF("text")
+    val out = TextAnalysis.bpeMerges(df, "text", 2).collect()
+      .map(r => r.getInt(0) ->
+        (r.getString(1), r.getString(2), r.getAs[Long]("pair_count")))
+      .toMap
+    assert(out(1) === (("a", "b", 5L)))
+    assert(out(2) === (("a", "ab", 3L)))
+  }
+
+  test("bpeMerges: repeated-pair runs merge with plain-replace " +
+    "(alternating) semantics and stop early when fully merged") {
+    import spark.implicits._
+    val df = Seq("aaaa").toDF("text")
+    val out = TextAnalysis.bpeMerges(df, "text", 5).collect()
+    // plain replace consumes the trailing space, so " a a a a " merges
+    // only its FIRST pair per pass: (a,a) -> " aa a a ", (a,a) again
+    // -> " aa aa ", then (aa,aa) -> " aaaa "; rounds 4-5 find no pairs
+    assert(out.length === 3)
+    assert(out(0).getString(1) === "a" && out(0).getString(2) === "a")
+    assert(out(0).getAs[Long]("pair_count") === 3L)
+    assert(out(1).getString(1) === "a" && out(1).getString(2) === "a")
+    assert(out(2).getString(1) === "aa" && out(2).getString(2) === "aa")
+  }
+
   test("trigramBackoffLogProb: docs shorter than 3 tokens emit no rows " +
     "and counts weight repeated trigrams") {
     import spark.implicits._
