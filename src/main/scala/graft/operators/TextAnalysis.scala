@@ -343,10 +343,9 @@ object TextAnalysis {
     *
     * Output: one row per round — (round, left, right, pair_count).
     */
-  def bpeMerges(
-      df: DataFrame, textCol: String, rounds: Int): DataFrame = {
+  private def bpeTrain(df: DataFrame, textCol: String, rounds: Int)
+      : (DataFrame, Seq[(Int, String, String, Long)]) = {
     require(rounds >= 1 && rounds <= 10, s"rounds out of range: $rounds")
-    val spark = df.sparkSession
     val vocab = Materialize.cut(df
       .select(explode(TextFunctions.tokens(col(textCol))).as("__w"))
       .groupBy(col("__w")).agg(count(lit(1)).as("__f"))
@@ -381,8 +380,38 @@ object TextAnalysis {
         case None => // vocabulary fully merged — stop early
       }
     }
+    (cur, merges.toSeq)
+  }
+
+  def bpeMerges(
+      df: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    val spark = df.sparkSession
+    val (_, merges) = bpeTrain(df, textCol, rounds)
     import spark.implicits._
-    merges.toSeq.toDF("round", "merge_left", "merge_right", "pair_count")
+    merges.toDF("round", "merge_left", "merge_right", "pair_count")
+  }
+
+  /** BPE encode audit: train `rounds` merges, apply them, and report
+    * the top-k resulting subword symbols by corpus frequency (ties to
+    * the symbol) — the vocabulary a tokenizer built from these merges
+    * would spend its budget on. Counting stays on the vocab table
+    * (symbol occurrences weighted by word frequency).
+    */
+  def bpeSymbolCounts(
+      df: DataFrame, textCol: String, rounds: Int, k: Int): DataFrame = {
+    require(k >= 1)
+    val (finalVocab, _) = bpeTrain(df, textCol, rounds)
+    finalVocab
+      .select(col("__f"),
+        explode(split(trim(col("__repr")), " ")).as("symbol"))
+      .groupBy(col("symbol"))
+      .agg(sum(col("__f")).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("symbol").asc)
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(
+          col("n_occurrences").desc, col("symbol").asc)).cast("long"))
+      .select(col("rank"), col("symbol"), col("n_occurrences"))
   }
 
   /** Flesch reading-ease per document (Flesch 1948), with the standard

@@ -1287,11 +1287,81 @@ object ClassifyQueries {
       ORDER BY round
     """.trim))
 
+  /** Top subword symbols after the learned merges
+    * ([[TextAnalysis.bpeSymbolCounts]]): where a tokenizer built from
+    * q291's merges would spend its vocabulary budget.
+    */
+  val q292BpeSymbols = HarnessQuery(
+    "q292_bpe_symbols",
+    (spark, dir) =>
+      TextAnalysis.bpeSymbolCounts(
+        Tables.documents(spark, dir), "text", rounds = 3, k = 20)
+        .orderBy(col("rank")),
+    Some("""
+      WITH v AS (SELECT w, count(*) AS f FROM (
+               SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                 AS w
+               FROM documents) GROUP BY 1),
+      r0 AS (SELECT w, f,
+               ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS repr
+             FROM v),
+      p1 AS (SELECT l, r, CAST(sum(f) AS BIGINT) AS c FROM (
+               SELECT f, unnest(s[1:len(s)-1]) AS l,
+                      unnest(s[2:len(s)]) AS r
+               FROM (SELECT f, regexp_split_to_array(trim(repr), ' ') AS s
+                     FROM r0)
+               WHERE len(s) >= 2)
+             GROUP BY 1, 2),
+      w1 AS (SELECT l, r FROM p1
+             QUALIFY row_number() OVER (ORDER BY c DESC, l, r) = 1),
+      r1 AS (SELECT r0.w, r0.f,
+               replace(r0.repr, ' ' || w1.l || ' ' || w1.r || ' ',
+                 ' ' || w1.l || w1.r || ' ') AS repr
+             FROM r0, w1),
+      p2 AS (SELECT l, r, CAST(sum(f) AS BIGINT) AS c FROM (
+               SELECT f, unnest(s[1:len(s)-1]) AS l,
+                      unnest(s[2:len(s)]) AS r
+               FROM (SELECT f, regexp_split_to_array(trim(repr), ' ') AS s
+                     FROM r1)
+               WHERE len(s) >= 2)
+             GROUP BY 1, 2),
+      w2 AS (SELECT l, r FROM p2
+             QUALIFY row_number() OVER (ORDER BY c DESC, l, r) = 1),
+      r2 AS (SELECT r1.w, r1.f,
+               replace(r1.repr, ' ' || w2.l || ' ' || w2.r || ' ',
+                 ' ' || w2.l || w2.r || ' ') AS repr
+             FROM r1, w2),
+      p3 AS (SELECT l, r, CAST(sum(f) AS BIGINT) AS c FROM (
+               SELECT f, unnest(s[1:len(s)-1]) AS l,
+                      unnest(s[2:len(s)]) AS r
+               FROM (SELECT f, regexp_split_to_array(trim(repr), ' ') AS s
+                     FROM r2)
+               WHERE len(s) >= 2)
+             GROUP BY 1, 2),
+      w3 AS (SELECT l, r FROM p3
+             QUALIFY row_number() OVER (ORDER BY c DESC, l, r) = 1),
+      r3 AS (SELECT r2.w, r2.f,
+               replace(r2.repr, ' ' || w3.l || ' ' || w3.r || ' ',
+                 ' ' || w3.l || w3.r || ' ') AS repr
+             FROM r2, w3),
+      sym AS (SELECT symbol, CAST(sum(f) AS BIGINT) AS n_occurrences
+              FROM (SELECT f, unnest(regexp_split_to_array(trim(repr), ' '))
+                      AS symbol
+                    FROM r3)
+              GROUP BY 1)
+      SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, symbol)
+               AS BIGINT) AS rank,
+             symbol, n_occurrences
+      FROM sym
+      QUALIFY rank <= 20
+      ORDER BY rank
+    """.trim))
+
   val all: Seq[HarnessQuery] = Seq(
     q264NaiveBayes, q265LogisticGd, q266DecisionStump, q267FdAudit, q268Acf,
     q269CmsAudit, q270BoostedStumps, q272Neyman, q273Hits,
     q274NearestCentroid, q275TrigramLm, q276Huber, q277Kmv, q278Decompose,
     q279TCloseness, q280Silhouette, q281Ndcg, q282Rendezvous, q283EbShrink,
     q284Als, q285SentenceStats, q286Sortedness, q287Flesch, q288NbFeatures,
-    q289BinaryIngest, q290PitEnrich, q291Bpe)
+    q289BinaryIngest, q290PitEnrich, q291Bpe, q292BpeSymbols)
 }
