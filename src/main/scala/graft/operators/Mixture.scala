@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -507,6 +507,35 @@ object Mixture {
         round(col("__sd"), 10).as("sd"), col("alloc"),
         round(col("__ss").cast("double") / col("__sn").cast("double"), 10)
           .as("sample_mean"))
+  }
+
+  /** Effective sample size of an importance-weighting scheme, per
+    * group: ESS = (Σw)²/Σw² (Kish 1965) plus its ratio to n — the
+    * number that says whether a DSIR/temperature reweighting is
+    * actually usable (ESS/n ≪ 1 means a few documents carry the whole
+    * corpus and the resample will be noise). One hash aggregate;
+    * weight moments accumulate as floor-snapped decimals, the ratio is
+    * one double expression.
+    */
+  def effectiveSampleSize(
+      df: DataFrame, groupCol: String, weightCol: String): DataFrame = {
+    // 6-dp weight snapping, not 12: w and w^2 at real weight scales
+    // (document lengths ~1e3-1e4) must keep the decimal sums' unscaled
+    // integers under 2^53 or the cast to double double-rounds
+    // differently across engines (the huberOlsByGroup rule)
+    def snap6(c: Column): Column = floor(c * lit(1e6)) / lit(1e6)
+    def snap12(c: Column): Column = floor(c * lit(1e12)) / lit(1e12)
+    df.where(col(weightCol).isNotNull && col(weightCol) >= 0)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(snap6(col(weightCol)).cast("decimal(38,6)")).cast("double")
+          .as("__s"),
+        sum(snap6(col(weightCol) * col(weightCol)).cast("decimal(38,6)"))
+          .cast("double").as("__q"))
+      .select(col(groupCol), col("n"),
+        snap12(col("__s") * col("__s") / col("__q")).as("ess"),
+        snap12(col("__s") * col("__s") / col("__q")
+          / col("n").cast("double")).as("ess_ratio"))
   }
 
   /** Mixture audit: per-domain retained counts (the size contract). */

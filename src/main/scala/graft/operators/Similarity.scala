@@ -1072,6 +1072,51 @@ object Similarity {
         col("matched_id").isNotNull.as("is_dup"), col("matched_id"))
   }
 
+  /** Embedding-space geometry audit (the anisotropy diagnostic of
+    * Ethayarajh 2019): per label — mean and std of vector norms, and
+    * anisotropy_hat = ‖μ‖²/E[‖x‖²], the share of second-moment mass
+    * sitting in the common direction (→1 when all vectors point the
+    * same way, →0 for isotropic spreads). A collapsed embedding space
+    * scores high anisotropy and low norm spread — the pre-flight check
+    * before trusting cosine similarity downstream.
+    *
+    * One per-dim aggregate (exact decimal sums for μ and the second
+    * moments), one per-vector norm aggregate, one join of two
+    * |labels|-row tables. Doubles only in the final ratios.
+    */
+  def embeddingGeometry(
+      df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    val dims = df.select(col(labelCol).as("__lbl"), posexplode(col(vecCol)))
+      .select(col("__lbl"), col("pos").as("__d"),
+        col("col").cast("double").as("__x"))
+    // per (label, dim): mean coordinate; then ||mu||^2 per label
+    val mu2 = dims.groupBy(col("__lbl"), col("__d"))
+      .agg((sum(col("__x").cast("decimal(30,12)")).cast("double")
+        / count(lit(1)).cast("double")).as("__m"))
+      .groupBy(col("__lbl"))
+      .agg(sum(round(col("__m") * col("__m"), 12).cast("decimal(38,12)"))
+        .cast("double").as("__mu2"))
+    val n2 = df.select(col(labelCol).as("__lbl"),
+      col(idCol).as("__rid"), posexplode(col(vecCol)))
+      .select(col("__lbl"), col("__rid"),
+        col("col").cast("double").as("__x"))
+      .groupBy(col("__lbl"), col("__rid"))
+      .agg(sum((col("__x") * col("__x")).cast("decimal(30,18)"))
+        .cast("double").as("__n2"))
+    val stats = n2.groupBy(col("__lbl"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("__n2"), 12).cast("decimal(38,12)")).cast("double")
+          / count(lit(1)).cast("double")).as("__en2"),
+        (sum(round(sqrt(col("__n2")), 12).cast("decimal(38,12)"))
+          .cast("double") / count(lit(1)).cast("double")).as("mean_norm"))
+    stats.join(mu2, Seq("__lbl"))
+      .select(col("__lbl").as("label"), col("n"),
+        (floor(col("mean_norm") * lit(1e10)) / lit(1e10)).as("mean_norm"),
+        (floor(col("__mu2") / col("__en2") * lit(1e10)) / lit(1e10))
+          .as("anisotropy"))
+  }
+
   /** Simplified silhouette per cluster (Hruschka et al. 2004): for each
     * vector, a = Euclidean distance to its OWN centroid, b = min
     * distance to any other centroid, s = (b − a)/max(a, b); reported

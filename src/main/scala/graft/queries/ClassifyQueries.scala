@@ -1357,11 +1357,75 @@ object ClassifyQueries {
       ORDER BY rank
     """.trim))
 
+  /** Effective sample size ([[Mixture.effectiveSampleSize]]) of
+    * length-proportional document weights per source — the usability
+    * check on any importance-weighted resample.
+    */
+  val q293Ess = HarnessQuery(
+    "q293_ess",
+    (spark, dir) =>
+      Mixture.effectiveSampleSize(
+        Tables.documents(spark, dir)
+          .withColumn("w", col("n_chars").cast("double")),
+        "source", "w")
+        .orderBy(col("source")),
+    Some("""
+      WITH d AS (SELECT source, CAST(n_chars AS DOUBLE) AS w
+                 FROM documents WHERE n_chars IS NOT NULL AND n_chars >= 0),
+      a AS (SELECT source, count(*) AS n,
+              CAST(sum(CAST(floor(w * 1e6) / 1e6 AS DECIMAL(38,6)))
+                   AS DOUBLE) AS s,
+              CAST(sum(CAST(floor(w * w * 1e6) / 1e6 AS DECIMAL(38,6)))
+                   AS DOUBLE) AS q
+            FROM d GROUP BY 1)
+      SELECT source, n,
+             floor(s * s / q * 1e12) / 1e12 AS ess,
+             floor(s * s / q / CAST(n AS DOUBLE) * 1e12) / 1e12 AS ess_ratio
+      FROM a ORDER BY source
+    """.trim))
+
+  /** Embedding geometry / anisotropy audit
+    * ([[Similarity.embeddingGeometry]]) per label.
+    */
+  val q294EmbeddingGeometry = HarnessQuery(
+    "q294_embedding_geometry",
+    (spark, dir) =>
+      Similarity.embeddingGeometry(
+        Tables.embeddings(spark, dir), "vec_id", "embedding", "label")
+        .orderBy(col("label")),
+    Some("""
+      WITH mu AS (SELECT label, g.i AS d,
+               CAST(sum(CAST(CAST(embedding[g.i] AS DOUBLE)
+                    AS DECIMAL(30,12))) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) AS m
+             FROM embeddings, generate_series(1, 64) g(i) GROUP BY 1, 2),
+      mu2 AS (SELECT label,
+                CAST(sum(CAST(round(m * m, 12) AS DECIMAL(38,12)))
+                     AS DOUBLE) AS mu2
+              FROM mu GROUP BY 1),
+      n2 AS (SELECT label, vec_id,
+               CAST(sum(CAST(CAST(embedding[g.i] AS DOUBLE)
+                    * CAST(embedding[g.i] AS DOUBLE) AS DECIMAL(30,18)))
+                    AS DOUBLE) AS n2
+             FROM embeddings, generate_series(1, 64) g(i) GROUP BY 1, 2),
+      st AS (SELECT label, count(*) AS n,
+               CAST(sum(CAST(round(n2, 12) AS DECIMAL(38,12))) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) AS en2,
+               CAST(sum(CAST(round(sqrt(n2), 12) AS DECIMAL(38,12)))
+                    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mn
+             FROM n2 GROUP BY 1)
+      SELECT st.label, st.n,
+             floor(mn * 1e10) / 1e10 AS mean_norm,
+             floor(mu2.mu2 / en2 * 1e10) / 1e10 AS anisotropy
+      FROM st JOIN mu2 USING (label) ORDER BY label
+    """.trim))
+
   val all: Seq[HarnessQuery] = Seq(
     q264NaiveBayes, q265LogisticGd, q266DecisionStump, q267FdAudit, q268Acf,
     q269CmsAudit, q270BoostedStumps, q272Neyman, q273Hits,
     q274NearestCentroid, q275TrigramLm, q276Huber, q277Kmv, q278Decompose,
     q279TCloseness, q280Silhouette, q281Ndcg, q282Rendezvous, q283EbShrink,
     q284Als, q285SentenceStats, q286Sortedness, q287Flesch, q288NbFeatures,
-    q289BinaryIngest, q290PitEnrich, q291Bpe, q292BpeSymbols)
+    q289BinaryIngest, q290PitEnrich, q291Bpe, q292BpeSymbols, q293Ess,
+    q294EmbeddingGeometry)
 }
