@@ -246,6 +246,88 @@ object StreamingOps {
         new VelocityProcessor, TimeMode.None(), OutputMode.Append())
   }
 
+  final case class SessEvent(key: String, ts: java.sql.Timestamp)
+  final case class SessState(start: Long, last: Long, n: Long)
+  final case class SessOut(key: String, start_ms: Long, end_ms: Long,
+    n_events: Long)
+
+  /** Session assembly with EVENT-TIME TIMERS — the `transformWithState`
+    * feature the window-based [[sessionize]] can't express: a session
+    * closes when the WATERMARK passes last-event + gap, not when a
+    * window boundary happens to align. Per key the state is (start,
+    * last, n); each batch folds its rows in ts order (splitting
+    * in-batch gaps inline), then re-arms one timer at last + gap; the
+    * timer's expiry emits the session and clears state. State is O(1)
+    * per live key and every emission is driven by watermark progress —
+    * the production session-timeout shape (abandoned-cart, logout
+    * detection) with bounded state and late-data correctness.
+    */
+  class SessionTimeoutProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, SessEvent, SessOut] {
+    import org.apache.spark.sql.{Encoders => E}
+    import org.apache.spark.sql.streaming.{TimerValues, TTLConfig,
+      ValueState}
+
+    @transient private var st: ValueState[SessState] = _
+
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[SessState](
+        "sess", E.product[SessState], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: String,
+        inputRows: Iterator[SessEvent],
+        timerValues: TimerValues): Iterator[SessOut] = {
+      val ts = inputRows.map(_.ts.getTime).toSeq.sorted
+      if (ts.isEmpty) return Iterator.empty
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessOut]
+      var cur = if (st.exists()) st.get()
+        else SessState(ts.head, ts.head, 0L)
+      // clear the previously armed timer; we re-arm for the new last
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      ts.foreach { t =>
+        cur = if (cur.n == 0L) SessState(t, t, 1L)
+        else if (t - cur.last > gapMs) {
+          out += SessOut(key, cur.start, cur.last, cur.n)
+          SessState(t, t, 1L)
+        } else cur.copy(last = math.max(cur.last, t), n = cur.n + 1)
+      }
+      st.update(cur)
+      getHandle.registerTimer(cur.last + gapMs)
+      out.iterator
+    }
+
+    override def handleExpiredTimer(
+        key: String,
+        timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[SessOut] = {
+      if (st.exists()) {
+        val s = st.get()
+        st.clear()
+        if (s.n > 0) Iterator.single(SessOut(key, s.start, s.last, s.n))
+        else Iterator.empty
+      } else Iterator.empty
+    }
+  }
+
+  /** Timer-driven sessionization over a watermarked event stream. */
+  def sessionsWithTimers(
+      events: Dataset[SessEvent], gapMs: Long,
+      watermarkDelay: String): Dataset[SessOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.key)
+      .transformWithState(
+        new SessionTimeoutProcessor(gapMs), TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
   /** Streaming CDC apply: maintain a keyed parquet snapshot from a
     * stream of (op, row) change events via `foreachBatch` — the
     * materialized-view maintenance loop every warehouse runs, done

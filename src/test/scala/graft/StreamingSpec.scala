@@ -279,6 +279,48 @@ class StreamingSpec extends SparkSpec {
     assert(got(2L) === ((0.5, "und")))
   }
 
+  test("sessionsWithTimers: a session closes when the watermark passes " +
+    "last event + gap, and in-batch gaps split inline") {
+    import graft.streaming.StreamingOps.{SessEvent, SessOut}
+    implicit val sqlCtx = spark.sqlContext
+    // timers use column-family state: RocksDB provider required
+    // (set/restore, q84's discipline)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[SessEvent]
+      val out = StreamingOps.sessionsWithTimers(
+        mem.toDS(), gapMs = 10000L, watermarkDelay = "0 seconds")
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName("timer_sessions").start()
+      // batch 1: u1 has two close events plus an in-batch gap split
+      mem.addData(
+        SessEvent("u1", ts("2024-01-01 00:00:01")),
+        SessEvent("u1", ts("2024-01-01 00:00:02")),
+        SessEvent("u1", ts("2024-01-01 00:01:00"))) // 58s gap: splits
+      q.processAllAvailable()
+      // batch 2: a different key far in the future advances the
+      // watermark past u1's last + gap, firing u1's timer
+      mem.addData(SessEvent("u2", ts("2024-01-01 01:00:00")))
+      q.processAllAvailable()
+      mem.addData(SessEvent("u2", ts("2024-01-01 01:00:01")))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("timer_sessions").as[SessOut].collect()
+      val u1 = rows.filter(_.key == "u1").sortBy(_.start_ms)
+      assert(u1.length === 2)
+      assert(u1(0).n_events === 2L) // the inline split
+      assert(u1(1).n_events === 1L) // closed by the timer
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("cdcApplySink: micro-batched CDC apply converges to the batch " +
     "upsert result, last op per key wins within a batch") {
     implicit val sqlCtx = spark.sqlContext
