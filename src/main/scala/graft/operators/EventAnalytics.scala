@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -548,5 +548,73 @@ object EventAnalytics {
         round(col("n_dropped").cast("double") / col("n_events"), 12)
           .as("drop_frac"),
         col("max_late_us"))
+  }
+
+  /** Two-state HMM forward log-likelihood per entity — the sequence-
+    * model upgrade of [[markovTransitions]]: score each entity's
+    * ordered event-type sequence under a fixed two-state HMM (e.g.
+    * "browsing" vs "buying" regimes) and surface the posterior of
+    * state 0 after the last event. Anomalously ordered sequences score
+    * low — a behavioral-anomaly feature the per-transition Markov lift
+    * can't express (it has no hidden state).
+    *
+    * Formulation: the chain transitions BEFORE every emission, from
+    * the prior pi at step 1 (state_1 ~ pi*P) — one uniform fold step,
+    * no special-cased head. The forward pass is SCALED: alphas
+    * renormalize each step and the log of each step's mass accumulates,
+    * so a million-event sequence cannot underflow.
+    *
+    * Shape: one hash aggregate collects each entity's (ts, tie, e0, e1)
+    * list (entity sequences bound the list, not the corpus); the fold
+    * is a codegen'd `aggregate` higher-order function — per-row compute,
+    * no shuffle beyond the collect. Cross-engine parity: the fold body
+    * is straight-line +,*,/ and one ln per step over identical IEEE
+    * doubles; emission/transition constants are exact literals.
+    *
+    * @param emissions (eventType -> (p_emit_state0, p_emit_state1)) in
+    *                  a Seq — deterministic when-chain order; unlisted
+    *                  types emit `defaultEmit` in both states
+    */
+  def hmmForward(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieCol: String,
+      typeCol: String,
+      emissions: Seq[(String, (Double, Double))],
+      trans: ((Double, Double), (Double, Double)) = ((0.85, 0.15), (0.25, 0.75)),
+      prior: (Double, Double) = (0.6, 0.4),
+      defaultEmit: Double = 0.2): DataFrame = {
+    val ((p00, p01), (p10, p11)) = trans
+    val e0 = emissions.foldLeft(lit(defaultEmit)) { case (acc, (t, (a, _))) =>
+      when(col(typeCol) === t, lit(a)).otherwise(acc)
+    }
+    val e1 = emissions.foldLeft(lit(defaultEmit)) { case (acc, (t, (_, b))) =>
+      when(col(typeCol) === t, lit(b)).otherwise(acc)
+    }
+    val seqs = df
+      .select(col(keyCol), struct(unix_micros(col(tsCol)).as("t"),
+        col(tieCol).as("k"), e0.as("e0"), e1.as("e1")).as("__e"))
+      .groupBy(col(keyCol))
+      .agg(array_sort(collect_list(col("__e"))).as("__seq"))
+    val init = struct(lit(prior._1).as("a0"), lit(prior._2).as("a1"),
+      lit(0.0).as("ll"))
+    // the per-step mass is inlined (not bound to a local) so the Spark
+    // and oracle expression trees are operation-for-operation identical
+    def u0(acc: Column, x: Column) =
+      (acc.getField("a0") * p00 + acc.getField("a1") * p10) *
+        x.getField("e0")
+    def u1(acc: Column, x: Column) =
+      (acc.getField("a0") * p01 + acc.getField("a1") * p11) *
+        x.getField("e1")
+    val folded = seqs.withColumn("__f",
+      aggregate(col("__seq"), init, (acc, x) => struct(
+        (u0(acc, x) / (u0(acc, x) + u1(acc, x))).as("a0"),
+        (u1(acc, x) / (u0(acc, x) + u1(acc, x))).as("a1"),
+        (acc.getField("ll") + log(u0(acc, x) + u1(acc, x))).as("ll"))))
+    folded.select(col(keyCol),
+      size(col("__seq")).cast("long").as("n_events"),
+      col("__f.ll").as("log_likelihood"),
+      col("__f.a0").as("p_state0"))
   }
 }

@@ -468,4 +468,50 @@ object Experiment {
         (col("__kmax").isNotNull
           && col("__k") <= col("__kmax")).as("rejected"))
   }
+
+  /** Propensity-score matching (nearest-neighbor, with replacement,
+    * caliper): each treated unit matches the control whose score is
+    * closest (ties: backward-then-id, the [[RangeJoin.asOfJoin]]
+    * `nearest` contract), subject to `|score_t - score_c| <= caliper`;
+    * the average treated-minus-matched-control outcome is the ATT.
+    *
+    * Scores quantize to integer micro-units up front (floor of a
+    * double is engine-exact, and integer distance makes the caliper
+    * test tie-free), so matching runs on longs. The control pool rides
+    * the as-of join's broadcast side — the usual PSM regime (controls
+    * bounded, treated stream large). For control pools too big to
+    * broadcast, pre-bucket by score with [[RangeJoin.bucketedRangeJoin]].
+    *
+    * Output (one row): n_treated, n_matched, att,
+    * mean_abs_gap (micro-unit score gap, in score units).
+    */
+  def psmAtt(
+      treated: DataFrame,
+      controls: DataFrame,
+      scoreCol: String,
+      yCol: String,
+      idCol: String,
+      caliper: Double = 0.01): DataFrame = {
+    require(caliper > 0, s"caliper must be positive, got $caliper")
+    val t = treated.select(col(idCol).as("__tid"),
+      floor(col(scoreCol) * 1e6).cast("long").as("__ts"),
+      col(yCol).as("__ty"))
+    val c = controls.select(col(idCol).as("__cid"),
+      floor(col(scoreCol) * 1e6).cast("long").as("__cs"),
+      col(yCol).as("__cy"))
+    val m = RangeJoin.asOfJoin(t, c, "__ts", "__cs", "__tid",
+      direction = "nearest",
+      tolerance = Some(math.floor(caliper * 1e6).toLong),
+      rightTieBreak = Seq("__cid"))
+    m.agg(
+      count(lit(1)).as("n_treated"),
+      count(col("__cid")).as("n_matched"),
+      (floor((sum(when(col("__cid").isNotNull, col("__ty"))
+        .cast("decimal(30,6)")) -
+        sum(col("__cy").cast("decimal(30,6)"))).cast("double") /
+        count(col("__cid")).cast("double") * 1e8) / 1e8).as("att"),
+      (floor(sum(abs(col("__ts") - col("__cs"))).cast("double") /
+        count(col("__cid")).cast("double") * 1e2) / 1e2 / 1e6)
+        .as("mean_abs_gap"))
+  }
 }

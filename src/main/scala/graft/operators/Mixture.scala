@@ -548,4 +548,83 @@ object Mixture {
     sampleMixture(df, domainCol, weights, idCol, seed)
       .groupBy(col(domainCol)).agg(count(lit(1)).as("n_sampled"))
       .orderBy(col(domainCol))
+
+  /** word2vec-style negative-sampling table: the top-`vocabSize` tokens
+    * weighted by count^0.75 (the unigram-to-the-3/4 distribution that
+    * flattens head tokens just enough — Mikolov et al. 2013 §2.2),
+    * with the cumulative [lo, hi) interval each token owns on [0, 1).
+    *
+    * Exactness across engines: x^0.75 is computed as
+    * sqrt(x * sqrt(x)) — two IEEE-exact square roots and one multiply —
+    * NOT pow(x, 0.75), whose last-ulp rounding is libm-specific; with
+    * the cumulative sum taken in a fixed order (count desc, token) the
+    * interval bounds are bit-identical in any IEEE engine, so a
+    * sampling audit can compare interval membership exactly.
+    *
+    * Output: token, uc, weight, cum_lo, cum_hi, ordered by the same
+    * (uc desc, token) key that defined the cumsum.
+    */
+  def negativeSamplingTable(
+      df: DataFrame,
+      textCol: String,
+      vocabSize: Int = 500): DataFrame = {
+    val counts = df
+      .select(explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("uc"))
+    val top = counts
+      .withColumn("__rk", row_number().over(
+        Window.orderBy(col("uc").desc, col("token"))))
+      .filter(col("__rk") <= vocabSize)
+    val pw = col("uc").cast("double") * sqrt(col("uc").cast("double"))
+    val weighted = top.withColumn("__w", sqrt(pw))
+    val tot = broadcast(weighted.agg(sum(col("__w")
+      .cast("decimal(30,12)")).cast("double").as("__tot")))
+    // the single-partition window is over <= vocabSize rows by
+    // construction — a bounded model table, not a data-sized relation
+    val w = Window.orderBy(col("uc").desc, col("token"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    weighted.crossJoin(tot)
+      .withColumn("__wd", col("__w").cast("decimal(30,12)"))
+      // the window sum widens to DECIMAL(38,12); cast back down BEFORE
+      // subtracting — (38,12)-(30,12) needs precision 39 and Spark's
+      // precision-loss rule would shave the scale to 11, un-tiling the
+      // intervals. (30,12) keeps 18 integer digits, ample for any sum
+      // of 32-bit-count^0.75 weights.
+      .withColumn("__cum", sum(col("__wd")).over(w).cast("decimal(30,12)"))
+      .select(col("token"), col("uc"),
+        (col("__w") / col("__tot")).as("weight"),
+        // decimal subtraction is exact, so row k's cum_lo equals row
+        // k-1's cum_hi bit-for-bit: the intervals tile [0, 1) gapless
+        ((col("__cum") - col("__wd")).cast("double") / col("__tot"))
+          .as("cum_lo"),
+        (col("__cum").cast("double") / col("__tot")).as("cum_hi"))
+      .orderBy(col("uc").desc, col("token"))
+  }
+
+  /** Audit of [[negativeSamplingTable]]: `nDraws` deterministic
+    * md5-derived uniforms u_i = hash60(seed || i) / 2^60 land in the
+    * token intervals by containment; per token the audit reports the
+    * expected draw count (nDraws * weight) beside the actual. The
+    * vocab table is broadcast — draws stream through a map-side
+    * interval lookup, never a shuffle keyed on the (Zipf-skewed!)
+    * token.
+    */
+  def negativeSamplingAudit(
+      table: DataFrame,
+      nDraws: Int,
+      seed: Long): DataFrame = {
+    require(nDraws > 0, s"nDraws must be positive, got $nDraws")
+    val spark = table.sparkSession
+    val draws = spark.range(1, nDraws + 1L).toDF("i")
+      .select((TextFunctions.md5Hash60(
+        concat(lit(seed.toString), lit("_"), col("i"))).cast("double") /
+        lit(1152921504606846976.0 /* 2^60 */)).as("u"))
+    val hits = draws.join(broadcast(table),
+      col("u") >= col("cum_lo") && col("u") < col("cum_hi"))
+      .groupBy(col("token")).agg(count(lit(1)).as("actual"))
+    table.join(hits, Seq("token"), "left")
+      .select(col("token"), col("uc"), col("weight"),
+        (lit(nDraws.toDouble) * col("weight")).as("expected"),
+        coalesce(col("actual"), lit(0L)).as("actual"))
+  }
 }

@@ -1068,4 +1068,142 @@ object TextAnalysis {
         coalesce(col("corrupted_text"), lit("")).as("corrupted_text"),
         coalesce(col("target_text"), lit("")).as("target_text"))
   }
+
+  /** Interpolated Kneser-Ney bigram log-probability of each document
+    * under a reference corpus — the classic LM-quality filter one step
+    * up from [[trigramBackoffLogProb]]'s stupid backoff: instead of a
+    * fixed backoff multiplier, absolute discounting frees mass
+    * per-history and the lower-order distribution is the *continuation*
+    * probability (how many distinct histories precede w), which scores
+    * collocation-bound words ("francisco") low even when frequent.
+    *
+    *   P(w2|w1) = max(c(w1,w2) - d, 0)/c(w1)
+    *            + d * N1+(w1,*)/c(w1) * Pcont(w2)
+    *   Pcont(w2) = N1+(*,w2) / |distinct bigram types|
+    *
+    * Unseen history w1 falls back to Pcont(w2); a w2 never seen ending
+    * a reference bigram gets the uniform floor 1/(B+1). All model
+    * tables are bigram-level aggregates of the reference — three hash
+    * aggs — and scoring is a per-doc-bigram left join; nothing is
+    * driver-side, so the model side scales with reference vocabulary
+    * and the scoring side with corpus size.
+    *
+    * Numeric parity: per-doc sum of n*ln(p) accumulates in decimal;
+    * one double division by the bigram count at the end.
+    */
+  def knBigramLogProb(
+      df: DataFrame,
+      ref: DataFrame,
+      textCol: String,
+      idCol: String,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1,
+      s"discount must be in (0,1), got $discount")
+    def bigrams(d: DataFrame, outId: String): DataFrame = {
+      val t = col("__t")
+      d.select(col(outId), TextFunctions.tokens(col(textCol)).as("__t"))
+        .filter(size(t) >= 2)
+        .select(col(outId), explode(zip_with(
+          slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("__bg"))
+        .select(col(outId), col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+        .groupBy(col(outId), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("n"))
+    }
+    val refBg = bigrams(ref.select(col(textCol), lit(0L).as("__rid")), "__rid")
+      .groupBy(col("w1"), col("w2")).agg(sum(col("n")).as("bc"))
+    val hist = refBg.groupBy(col("w1"))
+      .agg(sum(col("bc")).as("c1"), count(lit(1)).as("n1fw"))
+    val cont = refBg.groupBy(col("w2")).agg(count(lit(1)).as("n1bw"))
+    val types = broadcast(refBg.agg(
+      count(lit(1)).cast("double").as("__btypes")))
+    val d = lit(discount)
+    val scored = bigrams(df, idCol)
+      .join(refBg, Seq("w1", "w2"), "left")
+      .join(hist, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(types)
+      .withColumn("__pcont",
+        coalesce(col("n1bw").cast("double") / col("__btypes"),
+          lit(1.0) / (col("__btypes") + 1)))
+      .withColumn("__p",
+        when(col("c1").isNotNull,
+          // bc null (history seen, bigram not) -> discounted mass 0;
+          // coalesce BEFORE greatest: engines disagree on greatest(null)
+          greatest(coalesce(col("bc").cast("double"), lit(0.0)) - d,
+            lit(0.0)) / col("c1").cast("double") +
+            d * col("n1fw").cast("double") / col("c1").cast("double") *
+            col("__pcont"))
+          .otherwise(col("__pcont")))
+    scored
+      .withColumn("__contrib",
+        (col("n") * log(col("__p"))).cast("decimal(30,12)"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__contrib")).as("__slp"), sum(col("n")).as("__nb"))
+      .select(col(idCol), col("__nb").cast("long").as("n_bigrams"),
+        (col("__slp").cast("double") / col("__nb")).as("kn_logprob"),
+        exp(-(col("__slp").cast("double") / col("__nb"))).as("perplexity"))
+  }
+
+  /** Query-likelihood retrieval with Dirichlet smoothing — the language-
+    * modeling IR baseline beside [[bm25]]:
+    *
+    *   score(q, D) = sum_{w in q} log( (tf(w,D) + mu * cf(w)/|C|)
+    *                                   / (|D| + mu) )
+    *
+    * Every document scores every query term (smoothing gives unseen
+    * terms mass), so the score decomposes as
+    *   sum log(mu * cf/|C|) - |q| * log(|D| + mu)     [background]
+    *   + sum_{matched} [log(tf + mu*cf/|C|) - log(mu*cf/|C|)]
+    * and only the *matched* doc-term pairs need a join — the inverted-
+    * index shape: shuffle is bounded by postings, not |docs| x |terms|.
+    * Query terms absent from the whole corpus are dropped (cf = 0 has
+    * no defined Dirichlet mass), mirroring standard QL implementations.
+    *
+    * Output: one row per document with any query term, scored; `k`
+    * highest kept globally (ties by id).
+    */
+  def queryLikelihood(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      queryTerms: Seq[String],
+      mu: Double = 2000.0,
+      k: Int = 20): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(mu > 0, s"mu must be positive, got $mu")
+    val toks = df.select(col(idCol),
+      explode(TextFunctions.tokens(col(textCol))).as("term"))
+    val docLen = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val cf = toks.groupBy(col("term")).agg(count(lit(1)).as("cf"))
+    val corpus = broadcast(toks.agg(count(lit(1)).cast("double").as("__ctot")))
+    val q = df.sparkSession.createDataFrame(
+      queryTerms.distinct.map(Tuple1(_))).toDF("term")
+    // background model of the query terms present in the corpus —
+    // tiny (|q| rows): broadcast both into the postings join
+    val qModel = broadcast(q.join(cf, Seq("term")).crossJoin(corpus)
+      .select(col("term"),
+        (lit(mu) * col("cf").cast("double") / col("__ctot")).as("__bg")))
+    val qBgSum = broadcast(qModel.agg(
+      sum(log(col("__bg")).cast("decimal(30,12)")).cast("double").as("__bgsum"),
+      count(lit(1)).cast("double").as("__nq")))
+    val matched = toks.join(qModel, Seq("term"))
+      .groupBy(col(idCol), col("term"), col("__bg"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("__lift",
+        (log(col("tf").cast("double") + col("__bg")) - log(col("__bg")))
+          .cast("decimal(30,12)"))
+      .groupBy(col(idCol)).agg(sum(col("__lift")).as("__lsum"),
+        count(lit(1)).as("n_matched"))
+    matched
+      .join(docLen, Seq(idCol))
+      .crossJoin(qBgSum)
+      .select(col(idCol), col("n_matched"),
+        // round BEFORE the top-k cut: a 1-ulp cross-engine divergence
+        // in the raw double must not reorder the selection boundary
+        round(col("__lsum").cast("double") + col("__bgsum") -
+          col("__nq") * log(col("dl").cast("double") + mu), 10).as("ql_score"))
+      .orderBy(col("ql_score").desc, col(idCol))
+      .limit(k)
+  }
 }

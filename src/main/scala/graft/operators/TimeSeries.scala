@@ -442,4 +442,55 @@ object TimeSeries {
     }.reduce(_ unionByName _)
     long
   }
+
+  /** Gap-filled daily series with linear interpolation: per key, the
+    * dense day grid from the key's first to last observed day; missing
+    * days interpolate linearly between the bracketing observations
+    * (integer day arithmetic in the weights, so the fraction is one
+    * deterministic double division). The grid endpoints are observed
+    * by construction, so every gap is bracketed and nothing
+    * extrapolates.
+    *
+    * Shape: per-key `sequence()` explode builds the grid in-row (rows
+    * = days spanned, data-independent of event count); the bracketing
+    * neighbors come from two window passes (last/first over the
+    * IGNORE NULLS frames) partitioned by key — no self-join of the
+    * grid against observations.
+    *
+    * Output: (keyCol, day, value, interpolated) where `value` for an
+    * observed day is the exact decimal day-sum of `valueCol`.
+    */
+  def interpolateDaily(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String): DataFrame = {
+    val daily = df
+      .withColumn("__day", epochDay(col(tsCol)))
+      .groupBy(col(keyCol), col("__day"))
+      .agg(sum(col(valueCol).cast("decimal(30,6)")).cast("double")
+        .as("__v"))
+    val grid = daily.groupBy(col(keyCol))
+      .agg(min(col("__day")).as("__d0"), max(col("__day")).as("__d1"))
+      .select(col(keyCol),
+        explode(sequence(col("__d0"), col("__d1"))).as("__day"))
+    val sparse = grid.join(daily, Seq(keyCol, "__day"), "left")
+    val ord = Window.partitionBy(col(keyCol)).orderBy(col("__day"))
+    val before = ord.rowsBetween(Window.unboundedPreceding, 0)
+    val after = ord.rowsBetween(0, Window.unboundedFollowing)
+    sparse
+      .withColumn("__pv", last(col("__v"), ignoreNulls = true).over(before))
+      .withColumn("__pd", last(when(col("__v").isNotNull, col("__day")),
+        ignoreNulls = true).over(before))
+      .withColumn("__nv", first(col("__v"), ignoreNulls = true).over(after))
+      .withColumn("__nd", first(when(col("__v").isNotNull, col("__day")),
+        ignoreNulls = true).over(after))
+      .select(col(keyCol), col("__day").as("day"),
+        when(col("__v").isNotNull, col("__v"))
+          .otherwise(col("__pv") + (col("__nv") - col("__pv")) *
+            ((col("__day") - col("__pd")).cast("double") /
+              (col("__nd") - col("__pd")).cast("double")))
+          .as("value"),
+        col("__v").isNull.as("interpolated"))
+  }
 }

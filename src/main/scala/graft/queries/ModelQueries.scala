@@ -1,0 +1,344 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.{EventAnalytics, Experiment, Geo, TimeSeries, Topics}
+import graft.sources.Tables
+
+/** Round-7 model-estimation queries: LDA-style topic EM, gap-filled
+  * interpolation, geospatial nearest, propensity matching, and an HMM
+  * forward pass — each a fixed-parameter *estimation step* expressed as
+  * dataflow and replayed exactly in the DuckDB oracle (recursive CTE
+  * for the sequential HMM; unrolled CTE chains for the EM step).
+  */
+object ModelQueries {
+
+  /** Shared CTE prefix of the two LDA queries: token counts ->
+    * hash-seeded phi0/theta0 -> snapped responsibilities (`nr`).
+    * Mirrors [[Topics.eStep]] operation-for-operation (floor-snaps
+    * before every order-sensitive aggregation).
+    */
+  private val ldaCtes = """
+      WITH tc AS (
+        SELECT doc_id, t.term AS w, count(*) AS n FROM (
+          SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)),
+            '\s+')) AS term
+          FROM documents) t GROUP BY 1, 2),
+      vocab AS (SELECT DISTINCT w FROM tc),
+      topics AS (SELECT t AS topic FROM generate_series(0, 3) g(t)),
+      phiraw AS (
+        SELECT topic, w,
+               0.5 + (CAST(('0x' || substr(md5('phi_' || topic || '_' || w),
+                 1, 15)) AS BIGINT)) / 1152921504606846976.0 AS raw
+        FROM vocab, topics),
+      phid AS (
+        SELECT topic, CAST(sum(CAST(raw AS DECIMAL(30,12))) AS DOUBLE)
+          AS pden
+        FROM phiraw GROUP BY 1),
+      phi0 AS (
+        SELECT p.topic, p.w, p.raw / d.pden AS phi
+        FROM phiraw p JOIN phid d USING (topic)),
+      thraw AS (
+        SELECT doc_id, topic,
+               0.5 + (CAST(('0x' || substr(md5('theta_' || doc_id || '_' ||
+                 topic), 1, 15)) AS BIGINT)) / 1152921504606846976.0 AS raw
+        FROM (SELECT DISTINCT doc_id FROM documents), topics),
+      thd AS (
+        SELECT doc_id, CAST(sum(CAST(raw AS DECIMAL(30,12))) AS DOUBLE)
+          AS tden
+        FROM thraw GROUP BY 1),
+      th0 AS (
+        SELECT t.doc_id, t.topic, t.raw / d.tden AS theta
+        FROM thraw t JOIN thd d USING (doc_id)),
+      joint AS (
+        SELECT tc.doc_id, tc.w, p.topic, tc.n,
+               floor(t.theta * p.phi * 1e14) / 1e14 AS j
+        FROM tc JOIN phi0 p ON p.w = tc.w
+                JOIN th0 t ON t.doc_id = tc.doc_id AND t.topic = p.topic),
+      den AS (
+        SELECT doc_id, w, CAST(sum(CAST(j AS DECIMAL(30,14))) AS DOUBLE)
+          AS den
+        FROM joint GROUP BY 1, 2),
+      nr AS (
+        SELECT joint.doc_id, joint.topic, joint.w, joint.n,
+               floor(joint.n * (joint.j / den.den) * 1e12) / 1e12 AS nr
+        FROM joint JOIN den ON den.doc_id = joint.doc_id
+          AND den.w = joint.w)"""
+
+  /** One LDA EM step, theta side ([[Topics.ldaEmStep]], k = 4):
+    * per-document topic weights after a single E+M round from
+    * hash-seeded initials. 4 rows per document; weights sum to 1.
+    */
+  val q300LdaEstep = HarnessQuery(
+    "q300_lda_estep",
+    (spark, dir) =>
+      Topics.ldaEmStep(Tables.documents(spark, dir), "text", "doc_id", k = 4)
+        .select(col("doc_id"), col("topic"),
+          (floor(col("theta") * 1e10) / 1e10).as("theta"))
+        .orderBy(col("doc_id"), col("topic")),
+    Some((ldaCtes + """,
+      nd AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS nd FROM tc GROUP BY 1),
+      num AS (
+        SELECT doc_id, topic, sum(CAST(nr AS DECIMAL(30,12))) AS num
+        FROM nr GROUP BY 1, 2)
+      SELECT num.doc_id, CAST(num.topic AS INT) AS topic,
+             floor(CAST(num.num AS DOUBLE) / nd.nd * 1e10) / 1e10 AS theta
+      FROM num JOIN nd USING (doc_id) ORDER BY doc_id, topic
+    """).trim))
+
+  /** The phi side of the same M step ([[Topics.ldaTopWords]]): top-10
+    * re-estimated words per topic.
+    */
+  val q305LdaTopWords = HarnessQuery(
+    "q305_lda_top_words",
+    (spark, dir) =>
+      Topics.ldaTopWords(Tables.documents(spark, dir), "text", "doc_id",
+        k = 4, top = 10)
+        .select(col("topic"), col("rank"), col("w"),
+          (floor(col("phi") * 1e10) / 1e10).as("phi"))
+        .orderBy(col("topic"), col("rank")),
+    Some((ldaCtes + """,
+      num AS (
+        SELECT topic, w, sum(CAST(nr AS DECIMAL(30,12))) AS num
+        FROM nr GROUP BY 1, 2),
+      tden AS (
+        SELECT topic, CAST(sum(num) AS DOUBLE) AS td FROM num GROUP BY 1),
+      ranked AS (
+        SELECT num.topic, num.w, CAST(num.num AS DOUBLE) / tden.td AS phi,
+               row_number() OVER (PARTITION BY num.topic
+                 ORDER BY CAST(num.num AS DOUBLE) / tden.td DESC, num.w)
+                 AS rank
+        FROM num JOIN tden USING (topic))
+      SELECT CAST(topic AS INT) AS topic, CAST(rank AS INT) AS rank, w,
+             floor(phi * 1e10) / 1e10 AS phi
+      FROM ranked WHERE rank <= 10 ORDER BY topic, rank
+    """).trim))
+
+  /** Gap-filled daily interpolation ([[TimeSeries.interpolateDaily]]):
+    * a sparse event subset (event_id % 97 = 0) leaves missing days per
+    * event type; the dense grid linearly interpolates them. Integer day
+    * weights, exact decimal day-sums.
+    */
+  val q301Interpolate = HarnessQuery(
+    "q301_interpolate",
+    (spark, dir) =>
+      TimeSeries.interpolateDaily(
+        Tables.events(spark, dir).filter(pmod(col("event_id"), lit(97L)) === 0),
+        "event_type", "ts", "value")
+        .select(col("event_type"), col("day"),
+          (floor(col("value") * 1e8) / 1e8).as("value"),
+          col("interpolated"))
+        .orderBy(col("event_type"), col("day")),
+    Some("""
+      WITH daily AS (
+        SELECT event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+               CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS v
+        FROM events WHERE event_id % 97 = 0 GROUP BY 1, 2),
+      grid AS (
+        SELECT event_type, unnest(generate_series(mn, mx)) AS day
+        FROM (SELECT event_type, min(day) AS mn, max(day) AS mx
+              FROM daily GROUP BY 1)),
+      sparse AS (
+        SELECT g.event_type, g.day, d.v
+        FROM grid g LEFT JOIN daily d USING (event_type, day)),
+      win AS (
+        SELECT event_type, day, v,
+          last_value(v IGNORE NULLS) OVER
+            (PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+          last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER
+            (PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+          first_value(v IGNORE NULLS) OVER
+            (PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+          first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER
+            (PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+        FROM sparse)
+      SELECT event_type, day,
+             floor((CASE WHEN v IS NOT NULL THEN v
+               ELSE pv + (nv - pv) * (CAST(day - pd AS DOUBLE)
+                 / CAST(nd - pd AS DOUBLE)) END) * 1e8) / 1e8 AS value,
+             v IS NULL AS interpolated
+      FROM win ORDER BY event_type, day
+    """.trim))
+
+  /** Nearest-site assignment ([[Geo.nearestSite]]): grid-derived
+    * lat/lon for a point sample and 25 nation sites; per-site point
+    * count and distance envelope. The oracle writes radians as
+    * x / 180 * pi() to match Java's Math.toRadians operation order.
+    */
+  val q302GeoNearest = HarnessQuery(
+    "q302_geo_nearest",
+    (spark, dir) => {
+      val pts = Tables.events(spark, dir)
+        .filter(pmod(col("event_id"), lit(11L)) === 0)
+        .select(col("event_id"),
+          (pmod(col("user_id") * 7, lit(1700L)).cast("double") / 10.0 - 85.0)
+            .as("lat"),
+          (pmod(col("event_id") * 13, lit(3600L)).cast("double") / 10.0
+            - 180.0).as("lon"))
+      val sites = Tables.nation(spark, dir)
+        .select(col("n_nationkey").as("site_id"),
+          (pmod(col("n_nationkey") * 31, lit(1700)).cast("double") / 10.0
+            - 85.0).as("slat"),
+          (pmod(col("n_nationkey") * 53, lit(3600)).cast("double") / 10.0
+            - 180.0).as("slon"))
+      Geo.nearestSite(pts, "lat", "lon", sites, "site_id", "slat", "slon")
+        .groupBy(col("site_id"))
+        .agg(count(lit(1)).as("n_points"),
+          (floor(min(col("distance_km")) * 1e6) / 1e6).as("min_km"),
+          (floor(max(col("distance_km")) * 1e6) / 1e6).as("max_km"))
+        .orderBy(col("site_id"))
+    },
+    Some("""
+      WITH pts AS (
+        SELECT event_id,
+               CAST((user_id * 7) % 1700 AS DOUBLE) / 10.0 - 85.0 AS lat,
+               CAST((event_id * 13) % 3600 AS DOUBLE) / 10.0 - 180.0 AS lon
+        FROM events WHERE event_id % 11 = 0),
+      sites AS (
+        SELECT n_nationkey AS site_id,
+               CAST((n_nationkey * 31) % 1700 AS DOUBLE) / 10.0 - 85.0
+                 AS slat,
+               CAST((n_nationkey * 53) % 3600 AS DOUBLE) / 10.0 - 180.0
+                 AS slon
+        FROM nation),
+      d AS (
+        SELECT p.event_id, s.site_id,
+               2.0 * 6371.0088 * asin(sqrt(
+                 sin((s.slat - p.lat) / 180.0 * pi() / 2)
+                   * sin((s.slat - p.lat) / 180.0 * pi() / 2)
+                 + cos(p.lat / 180.0 * pi()) * cos(s.slat / 180.0 * pi())
+                   * sin((s.slon - p.lon) / 180.0 * pi() / 2)
+                   * sin((s.slon - p.lon) / 180.0 * pi() / 2))) AS dist
+        FROM pts p, sites s),
+      best AS (
+        SELECT * FROM (
+          SELECT d.*, row_number() OVER
+            (PARTITION BY event_id ORDER BY dist, site_id) AS rk
+          FROM d) WHERE rk = 1)
+      SELECT site_id, count(*) AS n_points,
+             floor(min(dist) * 1e6) / 1e6 AS min_km,
+             floor(max(dist) * 1e6) / 1e6 AS max_km
+      FROM best GROUP BY 1 ORDER BY site_id
+    """.trim))
+
+  /** Propensity-score matching ATT ([[Experiment.psmAtt]]): purchases
+    * as treated, views as controls, an md5-uniform score, caliper
+    * 0.001 — nearest-control-with-replacement matching on integer
+    * micro-unit scores.
+    */
+  val q303PsmAtt = HarnessQuery(
+    "q303_psm_att",
+    (spark, dir) => {
+      val ev = Tables.events(spark, dir)
+        .filter(col("event_type").isin("purchase", "view"))
+        .withColumn("score",
+          TextFunctions.md5Hash60(concat(lit("ps_"), col("event_id")))
+            .cast("double") / lit(1152921504606846976.0))
+      Experiment.psmAtt(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "view"),
+        "score", "value", "event_id", caliper = 0.001)
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_id, event_type, value,
+               (CAST(('0x' || substr(md5('ps_' || event_id), 1, 15))
+                 AS BIGINT)) / 1152921504606846976.0 AS score
+        FROM events WHERE event_type IN ('purchase', 'view')),
+      t AS (
+        SELECT event_id AS tid, CAST(floor(score * 1e6) AS BIGINT) AS ts_,
+               value AS ty
+        FROM ev WHERE event_type = 'purchase'),
+      c AS (
+        SELECT event_id AS cid, CAST(floor(score * 1e6) AS BIGINT) AS cs,
+               value AS cy
+        FROM ev WHERE event_type = 'view'),
+      m AS (
+        SELECT t.tid, t.ts_, t.ty, c.cid, c.cs, c.cy,
+               row_number() OVER (PARTITION BY t.tid
+                 ORDER BY abs(t.ts_ - c.cs),
+                   CASE WHEN c.cs <= t.ts_ THEN 0 ELSE 1 END, c.cid) AS rk
+        FROM t LEFT JOIN c ON abs(t.ts_ - c.cs) <= 1000),
+      best AS (SELECT * FROM m WHERE rk = 1 OR rk IS NULL)
+      SELECT count(*) AS n_treated,
+             count(cid) AS n_matched,
+             floor(CAST(CAST(sum(CASE WHEN cid IS NOT NULL
+                 THEN CAST(ty AS DECIMAL(30,6)) END) AS DECIMAL(30,6))
+               - CAST(sum(CAST(cy AS DECIMAL(30,6))) AS DECIMAL(30,6))
+               AS DOUBLE) / count(cid) * 1e8) / 1e8 AS att,
+             floor(CAST(sum(abs(ts_ - cs)) AS DOUBLE) / count(cid) * 1e2)
+               / 1e2 / 1e6 AS mean_abs_gap
+      FROM best
+    """.trim))
+
+  /** Two-state HMM scaled forward pass ([[EventAnalytics.hmmForward]])
+    * over each user's event-type sequence — the oracle replays the
+    * sequential recursion with a recursive CTE (one row per (user,
+    * position), joined forward step by step).
+    */
+  val q304HmmForward = HarnessQuery(
+    "q304_hmm_forward",
+    (spark, dir) =>
+      EventAnalytics.hmmForward(
+        Tables.events(spark, dir), "user_id", "ts", "event_id", "event_type",
+        Seq("click" -> (0.3, 0.15), "view" -> (0.4, 0.1),
+          "signup" -> (0.1, 0.15), "purchase" -> (0.05, 0.5),
+          "error" -> (0.15, 0.1)))
+        .select(col("user_id"), col("n_events"),
+          (floor(col("log_likelihood") * 1e6) / 1e6).as("log_likelihood"),
+          (floor(col("p_state0") * 1e8) / 1e8).as("p_state0"))
+        .orderBy(col("user_id")),
+    Some("""
+      WITH RECURSIVE seq AS (
+        SELECT user_id,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS pos,
+               CASE event_type WHEN 'click' THEN 0.3::DOUBLE
+                 WHEN 'view' THEN 0.4::DOUBLE WHEN 'signup' THEN 0.1::DOUBLE
+                 WHEN 'purchase' THEN 0.05::DOUBLE
+                 WHEN 'error' THEN 0.15::DOUBLE ELSE 0.2::DOUBLE END AS e0,
+               CASE event_type WHEN 'click' THEN 0.15::DOUBLE
+                 WHEN 'view' THEN 0.1::DOUBLE WHEN 'signup' THEN 0.15::DOUBLE
+                 WHEN 'purchase' THEN 0.5::DOUBLE
+                 WHEN 'error' THEN 0.1::DOUBLE ELSE 0.2::DOUBLE END AS e1
+        FROM events),
+      lens AS (SELECT user_id, max(pos) AS n FROM seq GROUP BY 1),
+      f AS (
+        SELECT user_id, pos,
+          ((0.6 * 0.85 + 0.4 * 0.25) * e0)
+            / ((0.6 * 0.85 + 0.4 * 0.25) * e0
+               + (0.6 * 0.15 + 0.4 * 0.75) * e1) AS a0,
+          ((0.6 * 0.15 + 0.4 * 0.75) * e1)
+            / ((0.6 * 0.85 + 0.4 * 0.25) * e0
+               + (0.6 * 0.15 + 0.4 * 0.75) * e1) AS a1,
+          0.0 + ln((0.6 * 0.85 + 0.4 * 0.25) * e0
+               + (0.6 * 0.15 + 0.4 * 0.75) * e1) AS ll
+        FROM seq WHERE pos = 1
+        UNION ALL
+        SELECT s.user_id, s.pos,
+          ((f.a0 * 0.85 + f.a1 * 0.25) * s.e0)
+            / ((f.a0 * 0.85 + f.a1 * 0.25) * s.e0
+               + (f.a0 * 0.15 + f.a1 * 0.75) * s.e1),
+          ((f.a0 * 0.15 + f.a1 * 0.75) * s.e1)
+            / ((f.a0 * 0.85 + f.a1 * 0.25) * s.e0
+               + (f.a0 * 0.15 + f.a1 * 0.75) * s.e1),
+          f.ll + ln((f.a0 * 0.85 + f.a1 * 0.25) * s.e0
+               + (f.a0 * 0.15 + f.a1 * 0.75) * s.e1)
+        FROM f JOIN seq s ON s.user_id = f.user_id AND s.pos = f.pos + 1)
+      SELECT f.user_id, CAST(l.n AS BIGINT) AS n_events,
+             floor(f.ll * 1e6) / 1e6 AS log_likelihood,
+             floor(f.a0 * 1e8) / 1e8 AS p_state0
+      FROM f JOIN lens l ON l.user_id = f.user_id AND f.pos = l.n
+      ORDER BY f.user_id
+    """.trim))
+
+  def all: Seq[HarnessQuery] = Seq(
+    q300LdaEstep, q301Interpolate, q302GeoNearest, q303PsmAtt,
+    q304HmmForward, q305LdaTopWords)
+}

@@ -27,7 +27,8 @@ object Registry {
       EdaQueries.all ++ MlQueries.all ++ LlmQueries.all ++
       StreamingQueries.all ++ EvalQueries.all ++ SourceQueries.all ++
       QualityQueries.all ++ AnalyticsQueries.all ++ TimeSeriesQueries.all ++
-      WorkloadQueries.all ++ VectorTextQueries.all ++ ClassifyQueries.all
+      WorkloadQueries.all ++ VectorTextQueries.all ++ ClassifyQueries.all ++
+      RecommendQueries.all ++ ModelQueries.all
     val dups = qs.groupBy(_.name).filter(_._2.size > 1).keys
     require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
     qs
