@@ -513,9 +513,12 @@ object ClassifyQueries {
       TextAnalysis.trigramBackoffLogProb(
         docs, docs.filter(col("source").isin("src0", "src1")),
         "text", "doc_id")
-        .select(col("doc_id"), col("n_trigrams"),
-          round(col("trigram_logprob"), 10).as("trigram_logprob"),
-          round(col("perplexity"), 8).as("perplexity"))
+        // floor-snap, not round: round() diverges across engines at
+        // half boundaries (q119 flipped red on one at sf0.001)
+        .withColumn("trigram_logprob",
+          floor(col("trigram_logprob") * 1e10) / 1e10)
+        .select(col("doc_id"), col("n_trigrams"), col("trigram_logprob"),
+          (floor(exp(-col("trigram_logprob")) * 1e8) / 1e8).as("perplexity"))
         .orderBy(col("doc_id"))
     },
     Some("""
@@ -560,13 +563,15 @@ object ClassifyQueries {
         LEFT JOIN refbg b12 ON b12.w1 = dtg.w1 AND b12.w2 = dtg.w2
         LEFT JOIN refbg b23 ON b23.w1 = dtg.w2 AND b23.w2 = dtg.w3
         LEFT JOIN refuni u2 ON u2.term = dtg.w2
-        LEFT JOIN refuni u3 ON u3.term = dtg.w3, refstats s)
-      SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_trigrams,
-             round(CAST(sum(CAST(n * ln(p) AS DECIMAL(30,12))) AS DOUBLE)
-                   / sum(n), 10) AS trigram_logprob,
-             round(exp(-(CAST(sum(CAST(n * ln(p) AS DECIMAL(30,12)))
-                              AS DOUBLE) / sum(n))), 8) AS perplexity
-      FROM scored GROUP BY doc_id ORDER BY doc_id
+        LEFT JOIN refuni u3 ON u3.term = dtg.w3, refstats s),
+      base AS (
+        SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_trigrams,
+               floor(CAST(sum(CAST(n * ln(p) AS DECIMAL(30,12))) AS DOUBLE)
+                     / sum(n) * 1e10) / 1e10 AS trigram_logprob
+        FROM scored GROUP BY doc_id)
+      SELECT doc_id, n_trigrams, trigram_logprob,
+             floor(exp(-trigram_logprob) * 1e8) / 1e8 AS perplexity
+      FROM base ORDER BY doc_id
     """.trim))
 
   /** Huber-robust per-type trend ([[Experiment.huberOlsByGroup]]):

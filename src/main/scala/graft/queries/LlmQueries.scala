@@ -1361,18 +1361,22 @@ object LlmQueries {
     * the decimal-accumulated per-doc sums all replay in SQL — DuckDB's
     * zipped slice-unnest IS Spark's zip_with(slice, slice) — so the
     * whole train-plus-score pipeline is oracled. ln/exp may differ by
-    * an ulp across libms: both columns round (10 and 8 digits).
+    * an ulp across libms: both columns floor-snap (10 and 8 digits).
     */
   val q119BigramPerplexity = HarnessQuery(
     "q119_bigram_perplexity",
     (spark, dir) => {
       val docs = Tables.documents(spark, dir)
+      // floor-snap, not round: the raw logprob is bit-identical in both
+      // engines, and round() diverges at half boundaries (a dead-center
+      // ...45e-10 flipped this query red at sf0.001 in round 7)
       TextAnalysis.bigramLogProb(
         docs, docs.filter(col("source").isin("src0", "src1")),
         "text", "doc_id")
-        .select(col("doc_id"), col("n_bigrams"),
-          round(col("bigram_logprob"), 10).as("bigram_logprob"),
-          round(col("perplexity"), 8).as("perplexity"))
+        .withColumn("bigram_logprob",
+          floor(col("bigram_logprob") * 1e10) / 1e10)
+        .select(col("doc_id"), col("n_bigrams"), col("bigram_logprob"),
+          (floor(exp(-col("bigram_logprob")) * 1e8) / 1e8).as("perplexity"))
         .orderBy(col("doc_id"))
     },
     Some("""
@@ -1405,13 +1409,15 @@ object LlmQueries {
         FROM tc
         LEFT JOIN refbg b ON b.w1 = tc.w1 AND b.w2 = tc.w2
         LEFT JOIN refuni u1 ON u1.term = tc.w1
-        LEFT JOIN refuni u2 ON u2.term = tc.w2, refstats s)
-      SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
-             round(CAST(sum(CAST(n * ln(p) AS DECIMAL(30,12))) AS DOUBLE)
-                   / sum(n), 10) AS bigram_logprob,
-             round(exp(-(CAST(sum(CAST(n * ln(p) AS DECIMAL(30,12))) AS DOUBLE)
-                   / sum(n))), 8) AS perplexity
-      FROM scored GROUP BY doc_id ORDER BY doc_id
+        LEFT JOIN refuni u2 ON u2.term = tc.w2, refstats s),
+      base AS (
+        SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+               floor(CAST(sum(CAST(n * ln(p) AS DECIMAL(30,12))) AS DOUBLE)
+                     / sum(n) * 1e10) / 1e10 AS bigram_logprob
+        FROM scored GROUP BY doc_id)
+      SELECT doc_id, n_bigrams, bigram_logprob,
+             floor(exp(-bigram_logprob) * 1e8) / 1e8 AS perplexity
+      FROM base ORDER BY doc_id
     """.trim))
 
   /** Length-bucketed batch assembly
@@ -2257,15 +2263,17 @@ object LlmQueries {
 
   /** Unigram LM scoring ([[TextAnalysis.unigramLogProb]]): corpus
     * unigram distribution replayed in SQL; contributions decimal-summed
-    * per doc so the hash is order-independent, output rounded to 10
-    * (the q64 ln-parity discipline).
+    * per doc so the hash is order-independent, output floor-snapped to
+    * 10 (the q64 ln-parity discipline, tie-free).
     */
   val q93UnigramLogProb = HarnessQuery(
     "q93_unigram_logprob",
     (spark, dir) =>
       TextAnalysis.unigramLogProb(Tables.documents(spark, dir), "text", "doc_id")
         .select(col("doc_id"), col("n_tokens"),
-          round(col("unigram_logprob"), 10).as("unigram_logprob"))
+          // floor-snap, not round: no cross-engine half-boundary flips
+          (floor(col("unigram_logprob") * 1e10) / 1e10)
+            .as("unigram_logprob"))
         .orderBy(col("doc_id")),
     Some("""
       WITH toks AS (SELECT doc_id,
@@ -2275,8 +2283,8 @@ object LlmQueries {
       gc AS (SELECT term, CAST(sum(tc) AS BIGINT) AS gc FROM tc GROUP BY 1),
       tot AS (SELECT CAST(count(*) AS DOUBLE) AS tot FROM toks)
       SELECT doc_id, CAST(sum(tc) AS BIGINT) AS n_tokens,
-             round(CAST(sum(CAST(tc * ln(gc / tot) AS DECIMAL(30,12))) AS DOUBLE)
-                   / sum(tc), 10) AS unigram_logprob
+             floor(CAST(sum(CAST(tc * ln(gc / tot) AS DECIMAL(30,12))) AS DOUBLE)
+                   / sum(tc) * 1e10) / 1e10 AS unigram_logprob
       FROM tc JOIN gc USING (term), tot
       GROUP BY doc_id ORDER BY doc_id
     """.trim))
