@@ -617,4 +617,56 @@ object EventAnalytics {
       col("__f.ll").as("log_likelihood"),
       col("__f.a0").as("p_state0"))
   }
+
+  /** Viterbi best-path log-score of the same two-state HMM as
+    * [[hmmForward]] (max-product instead of sum-product): the
+    * likelihood of the single most probable hidden-state path, plus
+    * which state that path ends in. The forward/Viterbi score gap is
+    * the classic "how concentrated is the posterior on one regime
+    * path" diagnostic.
+    *
+    * Runs entirely in LOG space with pre-logged constants, so every
+    * fold step is additions and `greatest` only — no division, no
+    * per-step `ln` — and the result is bit-exact in any IEEE engine
+    * (the caller embeds the same 17-digit log literals in its oracle).
+    * End-state ties (exactly equal path scores) resolve to state 0.
+    */
+  def hmmViterbiScore(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieCol: String,
+      typeCol: String,
+      emissions: Seq[(String, (Double, Double))],
+      trans: ((Double, Double), (Double, Double)) = ((0.85, 0.15), (0.25, 0.75)),
+      prior: (Double, Double) = (0.6, 0.4),
+      defaultEmit: Double = 0.2): DataFrame = {
+    val ((p00, p01), (p10, p11)) = trans
+    def lg(x: Double): Double = math.log(x)
+    val le0 = emissions.foldLeft(lit(lg(defaultEmit))) {
+      case (acc, (t, (a, _))) =>
+        when(col(typeCol) === t, lit(lg(a))).otherwise(acc)
+    }
+    val le1 = emissions.foldLeft(lit(lg(defaultEmit))) {
+      case (acc, (t, (_, b))) =>
+        when(col(typeCol) === t, lit(lg(b))).otherwise(acc)
+    }
+    val seqs = df
+      .select(col(keyCol), struct(unix_micros(col(tsCol)).as("t"),
+        col(tieCol).as("k"), le0.as("le0"), le1.as("le1")).as("__e"))
+      .groupBy(col(keyCol))
+      .agg(array_sort(collect_list(col("__e"))).as("__seq"))
+    val init = struct(lit(lg(prior._1)).as("v0"), lit(lg(prior._2)).as("v1"))
+    val folded = seqs.withColumn("__f",
+      aggregate(col("__seq"), init, (acc, x) => struct(
+        (greatest(acc.getField("v0") + lg(p00),
+          acc.getField("v1") + lg(p10)) + x.getField("le0")).as("v0"),
+        (greatest(acc.getField("v0") + lg(p01),
+          acc.getField("v1") + lg(p11)) + x.getField("le1")).as("v1"))))
+    folded.select(col(keyCol),
+      size(col("__seq")).cast("long").as("n_events"),
+      greatest(col("__f.v0"), col("__f.v1")).as("viterbi_logprob"),
+      when(col("__f.v0") >= col("__f.v1"), 0).otherwise(1)
+        .as("best_end_state"))
+  }
 }

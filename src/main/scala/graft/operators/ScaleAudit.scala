@@ -167,4 +167,46 @@ object ScaleAudit {
           / (col("__r").cast("double") / lit(nodes.size.toDouble)))
           .as("row_balance"))
   }
+
+  /** Mergeable partial-aggregate audit: summarize each shard
+    * independently (count / exact decimal sum / min / max per key),
+    * merge the shard summaries, and compare against the direct
+    * single-pass aggregate. This is the associativity contract every
+    * map-side combine, AQE partial agg, and incremental-refresh
+    * pipeline silently relies on — made explicit and checkable.
+    * Decimal sums make the merge EXACT (double partial sums would
+    * differ from the direct pass by summation order at scale).
+    *
+    * Output per key: n, total, vmin, vmax (from the merged partials)
+    * plus `merge_exact` — whether all four match the direct pass
+    * bit-for-bit.
+    */
+  def partialAggAudit(
+      df: DataFrame,
+      shardCol: org.apache.spark.sql.Column,
+      keyCol: String,
+      valueCol: String): DataFrame = {
+    val partials = df
+      .groupBy(shardCol.as("__shard"), col(keyCol))
+      .agg(count(lit(1)).as("__n"),
+        sum(col(valueCol).cast("decimal(30,6)")).cast("decimal(30,6)")
+          .as("__s"),
+        min(col(valueCol)).as("__mn"), max(col(valueCol)).as("__mx"))
+    val merged = partials.groupBy(col(keyCol))
+      .agg(sum(col("__n")).as("n"),
+        sum(col("__s")).cast("decimal(30,6)").as("__sum"),
+        min(col("__mn")).as("vmin"), max(col("__mx")).as("vmax"))
+    val direct = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__dn"),
+        sum(col(valueCol).cast("decimal(30,6)")).cast("decimal(30,6)")
+          .as("__ds"),
+        min(col(valueCol)).as("__dmn"), max(col(valueCol)).as("__dmx"))
+    merged.join(direct, Seq(keyCol))
+      .select(col(keyCol), col("n"),
+        col("__sum").cast("double").as("total"),
+        col("vmin"), col("vmax"),
+        (col("n") === col("__dn") && col("__sum") === col("__ds") &&
+          col("vmin") === col("__dmn") && col("vmax") === col("__dmx"))
+          .as("merge_exact"))
+  }
 }

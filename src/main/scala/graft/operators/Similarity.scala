@@ -1210,4 +1210,43 @@ object Similarity {
       .groupBy(col("__lbl").as("label"), col("__c").as("pred"))
       .agg(count(lit(1)).as("n"))
   }
+
+  /** Matryoshka-style dimension-truncation audit: for each prefix
+    * length in `dims`, the top-k-by-cosine neighbor lists computed on
+    * the TRUNCATED vectors, scored by overlap with the full-dimension
+    * top-k — "how many retrieval dimensions do these embeddings
+    * actually need". MRL-trained embeddings hold recall at small
+    * prefixes; conventionally-trained ones decay — this measures which
+    * you have before you pay for full-width ANN indexes.
+    *
+    * Plan shape per prefix: the [[cosineTopK]] broadcast-argmin on
+    * `slice(vec, 1, d)` (queries bounded and broadcast; corpus vectors
+    * never shuffle). The dims axis is a Scala-side union of a constant
+    * number of plans — k plans of the same shape, not a data fan-out.
+    *
+    * Output: (dim, query_id, recall) — |top-k_d intersect top-k_full| / k.
+    */
+  def dimTruncationRecall(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dims: Seq[Int],
+      k: Int): DataFrame = {
+    require(dims.nonEmpty, "dims must be non-empty")
+    def sliced(df: DataFrame, d: Int): DataFrame =
+      df.withColumn(vecCol, slice(col(vecCol), 1, d))
+    val full = cosineTopK(corpus, queries, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val perDim = dims.map { d =>
+      cosineTopK(sliced(corpus, d), sliced(queries, d), idCol, vecCol, k)
+        .select(lit(d).as("dim"), col("query_id"), col("neighbor_id"))
+    }.reduce(_ unionByName _)
+    perDim
+      .join(full.withColumn("__hit", lit(1L)),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("dim"), col("query_id"))
+      .agg((sum(coalesce(col("__hit"), lit(0L))).cast("double") /
+        lit(k.toDouble)).as("recall"))
+  }
 }

@@ -338,7 +338,158 @@ object ModelQueries {
       ORDER BY f.user_id
     """.trim))
 
+  /** Shortest-roundtrip double literal for the oracle: 17 significant
+    * digits parse back to the identical IEEE double in DuckDB; ::DOUBLE
+    * stops the literal defaulting to DECIMAL.
+    */
+  private def dlit(x: Double): String = s"($x::DOUBLE)"
+
+  /** Viterbi best-path score ([[EventAnalytics.hmmViterbiScore]]) of
+    * q304's HMM: log-space with pre-logged constants, so every step is
+    * additions + greatest — bit-exact across engines. The oracle embeds
+    * the SAME 17-digit log literals this object computed in Scala.
+    */
+  val q306HmmViterbi = HarnessQuery(
+    "q306_hmm_viterbi",
+    (spark, dir) =>
+      EventAnalytics.hmmViterbiScore(
+        Tables.events(spark, dir), "user_id", "ts", "event_id", "event_type",
+        Seq("click" -> (0.3, 0.15), "view" -> (0.4, 0.1),
+          "signup" -> (0.1, 0.15), "purchase" -> (0.05, 0.5),
+          "error" -> (0.15, 0.1)))
+        .select(col("user_id"), col("n_events"),
+          (floor(col("viterbi_logprob") * 1e9) / 1e9).as("viterbi_logprob"),
+          col("best_end_state"))
+        .orderBy(col("user_id")), {
+      def lg(x: Double) = dlit(math.log(x))
+      val (l00, l01, l10, l11) = (lg(0.85), lg(0.15), lg(0.25), lg(0.75))
+      val (lpi0, lpi1) = (lg(0.6), lg(0.4))
+      val le0 = s"""CASE event_type WHEN 'click' THEN ${lg(0.3)}
+                 WHEN 'view' THEN ${lg(0.4)} WHEN 'signup' THEN ${lg(0.1)}
+                 WHEN 'purchase' THEN ${lg(0.05)}
+                 WHEN 'error' THEN ${lg(0.15)} ELSE ${lg(0.2)} END"""
+      val le1 = s"""CASE event_type WHEN 'click' THEN ${lg(0.15)}
+                 WHEN 'view' THEN ${lg(0.1)} WHEN 'signup' THEN ${lg(0.15)}
+                 WHEN 'purchase' THEN ${lg(0.5)}
+                 WHEN 'error' THEN ${lg(0.1)} ELSE ${lg(0.2)} END"""
+      Some(s"""
+      WITH RECURSIVE seq AS (
+        SELECT user_id,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS pos,
+               $le0 AS le0,
+               $le1 AS le1
+        FROM events),
+      lens AS (SELECT user_id, max(pos) AS n FROM seq GROUP BY 1),
+      f AS (
+        SELECT user_id, pos,
+               greatest($lpi0 + $l00, $lpi1 + $l10) + le0 AS v0,
+               greatest($lpi0 + $l01, $lpi1 + $l11) + le1 AS v1
+        FROM seq WHERE pos = 1
+        UNION ALL
+        SELECT s.user_id, s.pos,
+               greatest(f.v0 + $l00, f.v1 + $l10) + s.le0,
+               greatest(f.v0 + $l01, f.v1 + $l11) + s.le1
+        FROM f JOIN seq s ON s.user_id = f.user_id AND s.pos = f.pos + 1)
+      SELECT f.user_id, CAST(l.n AS BIGINT) AS n_events,
+             floor(greatest(f.v0, f.v1) * 1e9) / 1e9 AS viterbi_logprob,
+             CAST(CASE WHEN f.v0 >= f.v1 THEN 0 ELSE 1 END AS INT)
+               AS best_end_state
+      FROM f JOIN lens l ON l.user_id = f.user_id AND f.pos = l.n
+      ORDER BY f.user_id
+      """.trim)
+    })
+
+  /** Matryoshka truncation audit ([[Similarity.dimTruncationRecall]]):
+    * top-10 recall of prefix-truncated cosine retrieval (dims 8/16/32/
+    * 64) against full-width retrieval, per probe query. The oracle
+    * replays the q58 brute-cosine pattern once per prefix width.
+    */
+  val q307TruncationRecall = HarnessQuery(
+    "q307_truncation_recall",
+    (spark, dir) => {
+      val em = Tables.embeddings(spark, dir)
+      graft.operators.Similarity.dimTruncationRecall(
+        em, em.filter(pmod(col("vec_id"), lit(100L)) === 0),
+        "vec_id", "embedding", Seq(8, 16, 32, 64), k = 10)
+        .orderBy(col("dim"), col("query_id"))
+    }, {
+      val dims = Seq(8, 16, 32, 64)
+      val ctes = dims.map { d =>
+        s"""n$d AS (
+        SELECT vec_id, embedding,
+               sqrt(CAST(sum(CAST(CAST(embedding[g.i] AS DOUBLE)
+                 * CAST(embedding[g.i] AS DOUBLE)
+                 AS DECIMAL(30,18))) AS DOUBLE)) AS nrm
+        FROM embeddings, generate_series(1, $d) g(i) GROUP BY 1, 2),
+      p$d AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(sum(CAST(CAST(q.embedding[g.i] AS DOUBLE)
+                 * CAST(c.embedding[g.i] AS DOUBLE)
+                 AS DECIMAL(30,18))) AS DOUBLE)
+                 / (any_value(q.nrm) * any_value(c.nrm)) AS cosine
+        FROM n$d q, n$d c, generate_series(1, $d) g(i)
+        WHERE q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id
+        GROUP BY 1, 2),
+      t$d AS (
+        SELECT $d AS dim, query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id, row_number() OVER
+            (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+            AS rank
+          FROM p$d) WHERE rank <= 10)"""
+      }.mkString(",\n      ")
+      val unions = dims.map(d => s"SELECT * FROM t$d")
+        .mkString(" UNION ALL ")
+      Some(s"""
+      WITH $ctes,
+      alld AS ($unions)
+      SELECT CAST(a.dim AS INT) AS dim, a.query_id,
+             CAST(sum(CASE WHEN f.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS DOUBLE) / 10.0 AS recall
+      FROM alld a LEFT JOIN t64 f ON f.query_id = a.query_id
+        AND f.neighbor_id = a.neighbor_id
+      GROUP BY 1, 2 ORDER BY dim, a.query_id
+      """.trim)
+    })
+
+  /** Mergeable partial-aggregate audit ([[ScaleAudit.partialAggAudit]]):
+    * 8 shard summaries merged vs the direct pass — the map-side-combine
+    * associativity contract, checked bit-for-bit (decimal sums).
+    */
+  val q308PartialMerge = HarnessQuery(
+    "q308_partial_merge",
+    (spark, dir) =>
+      graft.operators.ScaleAudit.partialAggAudit(
+        Tables.events(spark, dir), pmod(col("event_id"), lit(8L)),
+        "event_type", "value")
+        .orderBy(col("event_type")),
+    Some("""
+      WITH partials AS (
+        SELECT event_id % 8 AS shard, event_type,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(30,6))) AS DECIMAL(30,6)) AS s,
+               min(value) AS mn, max(value) AS mx
+        FROM events GROUP BY 1, 2),
+      merged AS (
+        SELECT event_type, CAST(sum(n) AS BIGINT) AS n,
+               CAST(sum(s) AS DECIMAL(30,6)) AS s,
+               min(mn) AS vmin, max(mx) AS vmax
+        FROM partials GROUP BY 1),
+      direct AS (
+        SELECT event_type, count(*) AS dn,
+               CAST(sum(CAST(value AS DECIMAL(30,6))) AS DECIMAL(30,6)) AS ds,
+               min(value) AS dmn, max(value) AS dmx
+        FROM events GROUP BY 1)
+      SELECT m.event_type, m.n, CAST(m.s AS DOUBLE) AS total,
+             m.vmin, m.vmax,
+             (m.n = d.dn AND m.s = d.ds AND m.vmin = d.dmn
+               AND m.vmax = d.dmx) AS merge_exact
+      FROM merged m JOIN direct d USING (event_type)
+      ORDER BY event_type
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q300LdaEstep, q301Interpolate, q302GeoNearest, q303PsmAtt,
-    q304HmmForward, q305LdaTopWords)
+    q304HmmForward, q305LdaTopWords, q306HmmViterbi,
+    q307TruncationRecall, q308PartialMerge)
 }

@@ -97,6 +97,62 @@ class ModelOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("att") === 4.5)
   }
 
+  test("hmmViterbiScore: single event scores max-path closed form; " +
+    "Viterbi never exceeds forward likelihood") {
+    val df = Seq((1L, 1L, "purchase"), (2L, 1L, "click"), (2L, 2L, "error"))
+      .toDF("u", "eid", "et")
+      .withColumn("ts", timestamp_micros(col("eid") * 1000000L))
+    val em = Seq("click" -> (0.3, 0.15), "view" -> (0.4, 0.1),
+      "signup" -> (0.1, 0.15), "purchase" -> (0.05, 0.5),
+      "error" -> (0.15, 0.1))
+    val v = EventAnalytics.hmmViterbiScore(df, "u", "ts", "eid", "et", em)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Double]("viterbi_logprob"), r.getInt(3))).toMap
+    // u=1 purchase: v0 = max(ln.6+ln.85, ln.4+ln.25) + ln.05;
+    //               v1 = max(ln.6+ln.15, ln.4+ln.75) + ln.5
+    val v0 = math.max(math.log(0.6) + math.log(0.85),
+      math.log(0.4) + math.log(0.25)) + math.log(0.05)
+    val v1 = math.max(math.log(0.6) + math.log(0.15),
+      math.log(0.4) + math.log(0.75)) + math.log(0.5)
+    assert(v(1L)._1 === math.max(v0, v1))
+    assert(v(1L)._2 === (if (v0 >= v1) 0 else 1))
+    val fwd = EventAnalytics.hmmForward(df, "u", "ts", "eid", "et", em)
+      .collect().map(r => r.getLong(0) ->
+        r.getAs[Double]("log_likelihood")).toMap
+    assert(v(1L)._1 <= fwd(1L) + 1e-12)
+    assert(v(2L)._1 <= fwd(2L) + 1e-12)
+  }
+
+  test("dimTruncationRecall: full-width prefix recalls 1.0 and recall " +
+    "is monotone-friendly (bounded in [0,1])") {
+    val rnd = new scala.util.Random(7)
+    val em = (0L until 40L).map(i =>
+      (i, Array.fill(16)(rnd.nextFloat() - 0.5f))).toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity.dimTruncationRecall(
+      em, em.filter(col("vec_id") < 3), "vec_id", "embedding",
+      Seq(4, 16), k = 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) ->
+        r.getAs[Double]("recall")).toMap
+    assert(out.keys.map(_._1).toSet === Set(4, 16))
+    assert(out.forall { case (_, r) => r >= 0.0 && r <= 1.0 })
+    // truncating to the full width changes nothing
+    assert(out.filter(_._1._1 == 16).values.forall(_ === 1.0))
+  }
+
+  test("partialAggAudit: merged shard summaries equal the direct pass " +
+    "exactly for every key") {
+    val df = Seq((1L, "a", 1.25), (2L, "a", 2.5), (3L, "b", -1.0),
+      (4L, "b", 7.75), (5L, "a", 0.125), (6L, "b", 3.0))
+      .toDF("id", "k", "v")
+    val out = graft.operators.ScaleAudit.partialAggAudit(
+      df, pmod(col("id"), lit(3L)), "k", "v").collect()
+    assert(out.length === 2)
+    assert(out.forall(_.getAs[Boolean]("merge_exact")))
+    val a = out.find(_.getString(0) == "a").get
+    assert(a.getAs[Long]("n") === 3L)
+    assert(a.getAs[Double]("total") === 3.875)
+  }
+
   test("hmmForward: single purchase event scores the closed form; " +
     "likelihood decomposes per step") {
     val df = Seq(
