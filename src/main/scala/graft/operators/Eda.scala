@@ -297,4 +297,32 @@ object Eda {
       round(expr(s"percentile($valueCol, ${p}d)"), 9).as(nameOf(p)))
     df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** 2-D skyline (Pareto frontier, maximizing both axes): rows not
+    * dominated by any other — no other row is >= on both axes and
+    * strictly greater on one. Exact ties on both axes all survive.
+    *
+    * The sorted-scan formulation: a row is on the skyline iff its y
+    * strictly exceeds every y at strictly larger x AND it carries its
+    * own x's max y. Both conditions come from one per-x aggregate plus
+    * one ordered window over the DISTINCT x values (bounded by |distinct
+    * x|, not |rows| — the window never sees the raw table, so there is
+    * no single-partition pass over data-sized input; for |distinct x| at
+    * true cluster scale, range-partition the x axis first and stitch
+    * per-partition skylines with their boundary maxima).
+    */
+  def skyline2d(
+      df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perX = df.groupBy(col(xCol)).agg(max(col(yCol)).as("__ymax"))
+    val w = Window.orderBy(col(xCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = perX
+      .withColumn("__prev", max(col("__ymax")).over(w))
+      .filter(col("__prev").isNull || col("__ymax") > col("__prev"))
+      .select(col(xCol), col("__ymax"))
+    df.join(frontier, Seq(xCol))
+      .filter(col(yCol) === col("__ymax"))
+      .drop("__ymax")
+  }
 }

@@ -125,4 +125,45 @@ object Merge {
         (col("n_snapshot") + col("n_inserted") - col("n_deleted"))
           .as("n_result"))
   }
+
+  /** Incremental view maintenance for a (count, sum) aggregate: apply a
+    * row-level delta stream (+1 inserts / -1 retractions) to a
+    * materialized per-key state WITHOUT rescanning the base table —
+    * the counting/retraction algorithm every streaming aggregation and
+    * materialized-view refresher runs.
+    *
+    *   n'   = n + sum(op)
+    *   sum' = sum + sum(op * value)     (decimal — exact retraction)
+    * Keys whose count reaches zero drop out of the view (their sum is
+    * exactly retracted back to zero by decimal arithmetic). Keys seen
+    * only in the delta enter with state (0, 0).
+    *
+    * Shape: one hash aggregate over the delta + one outer equi-join
+    * with the state — cost scales with |delta| + |state|, never with
+    * the base table.
+    *
+    * @param state  (keyCol, nCol, sumCol) — sumCol decimal(30,6)
+    * @param deltas rows with (keyCol, opCol = +1|-1, valCol)
+    */
+  def applyAggDelta(
+      state: DataFrame,
+      deltas: DataFrame,
+      keyCol: String,
+      nCol: String,
+      sumCol: String,
+      opCol: String,
+      valCol: String): DataFrame = {
+    val d = deltas.groupBy(col(keyCol)).agg(
+      sum(col(opCol).cast("long")).as("__dn"),
+      sum((col(opCol) * col(valCol)).cast("decimal(30,6)"))
+        .cast("decimal(30,6)").as("__ds"))
+    state.join(d, Seq(keyCol), "full_outer")
+      .select(col(keyCol),
+        (coalesce(col(nCol), lit(0L)) + coalesce(col("__dn"), lit(0L)))
+          .as(nCol),
+        (coalesce(col(sumCol), lit(0).cast("decimal(30,6)")) +
+          coalesce(col("__ds"), lit(0).cast("decimal(30,6)")))
+          .cast("decimal(30,6)").as(sumCol))
+      .filter(col(nCol) > 0)
+  }
 }

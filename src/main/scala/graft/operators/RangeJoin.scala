@@ -212,4 +212,48 @@ object RangeJoin {
       .withColumn(countryCol, coalesce(col(countryCol), lit("Unknown")))
       .drop(lbCol, ubCol)
   }
+
+  /** Interval-overlap join: pairs of (left, right) rows whose closed
+    * intervals [startL, endL] and [startR, endR] intersect, optionally
+    * under equi-keys — the temporal-join primitive behind "which
+    * sessions overlapped which incidents".
+    *
+    * Scale shape: both sides explode their interval over fixed-width
+    * buckets (`value div bucketWidth` — width chosen near the typical
+    * interval length so the fan-out stays ~1-2 rows) and equi-join on
+    * (keys..., bucket) with the overlap test as residual. A pair that
+    * shares several buckets would duplicate, so the join keeps only
+    * the CANONICAL bucket — the one containing max(startL, startR) —
+    * which every overlapping pair shares exactly once: no distinct, no
+    * post-join dedup shuffle.
+    *
+    * Left/right columns must not collide (caller aliases); both end
+    * columns must be >= their starts (malformed intervals match
+    * nothing: empty bucket sequence).
+    */
+  def intervalOverlapJoin(
+      left: DataFrame,
+      right: DataFrame,
+      startL: String, endL: String,
+      startR: String, endR: String,
+      keys: Seq[String],
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    def bucketed(df: DataFrame, s: String, e: String): DataFrame =
+      df.filter(col(e) >= col(s)) // malformed intervals match nothing
+        .withColumn("__bkt", explode(sequence(
+          col(s) - pmod(col(s), lit(bucketWidth)),
+          col(e) - pmod(col(e), lit(bucketWidth)),
+          lit(bucketWidth))))
+    val joinKeys = keys :+ "__bkt"
+    bucketed(left, startL, endL)
+      .join(bucketed(right, startR, endR), joinKeys)
+      .filter(col(startL) <= col(endR) && col(startR) <= col(endL))
+      // canonical bucket: the one holding the later of the two starts
+      .filter(col("__bkt") === {
+        val ms = greatest(col(startL), col(startR))
+        ms - pmod(ms, lit(bucketWidth))
+      })
+      .drop("__bkt")
+  }
 }

@@ -488,8 +488,160 @@ object ModelQueries {
       ORDER BY event_type
     """.trim))
 
+  /** Interval-overlap join ([[graft.operators.RangeJoin
+    * .intervalOverlapJoin]]): per user, click windows [ts, ts+value s]
+    * overlapping purchase windows — hour-bucketed equi-join with the
+    * canonical-bucket dedup; the oracle does the direct theta-join
+    * (equivalent by construction, fine at oracle scale).
+    */
+  val q309IntervalOverlap = HarnessQuery(
+    "q309_interval_overlap",
+    (spark, dir) => {
+      val iv = Tables.events(spark, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("s"),
+          // value-MINUTE windows: long enough to span several hour
+          // buckets, so the canonical-bucket dedup is actually exercised
+          (unix_micros(col("ts")) +
+            floor(col("value") * 6e7).cast("long")).as("e"))
+      val a = iv.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("a_id"),
+          col("s").as("a_s"), col("e").as("a_e"))
+      val b = iv.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("b_id"),
+          col("s").as("b_s"), col("e").as("b_e"))
+      graft.operators.RangeJoin.intervalOverlapJoin(
+        a, b, "a_s", "a_e", "b_s", "b_e", Seq("user_id"),
+        bucketWidth = 3600L * 1000000L)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(least(col("a_e"), col("b_e")) -
+            greatest(col("a_s"), col("b_s"))).as("total_overlap_us"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH iv AS (
+        SELECT event_id, user_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+               epoch_us(CAST(ts AS TIMESTAMP))
+                 + CAST(floor(value * 6e7) AS BIGINT) AS e
+        FROM events WHERE event_type IN ('click', 'purchase')),
+      a AS (SELECT user_id, event_id AS a_id, s AS a_s, e AS a_e
+            FROM iv WHERE event_type = 'click'),
+      b AS (SELECT user_id, event_id AS b_id, s AS b_s, e AS b_e
+            FROM iv WHERE event_type = 'purchase'),
+      p AS (
+        SELECT a.user_id, a_id, b_id,
+               least(a_e, b_e) - greatest(a_s, b_s) AS ov
+        FROM a JOIN b USING (user_id)
+        WHERE a_s <= b_e AND b_s <= a_e)
+      SELECT user_id, count(*) AS n_pairs,
+             CAST(sum(ov) AS BIGINT) AS total_overlap_us
+      FROM p GROUP BY 1 ORDER BY user_id
+    """.trim))
+
+  /** 2-D skyline ([[graft.operators.Eda.skyline2d]]): customers on the
+    * Pareto frontier of (exact total order value, order count) — no
+    * other customer is at least as good on both axes and better on one.
+    */
+  val q310Skyline = HarnessQuery(
+    "q310_skyline",
+    (spark, dir) => {
+      val base = Tables.orders(spark, dir)
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast("decimal(30,6)")).cast("double")
+          .as("total"), count(lit(1)).as("n_orders"))
+      graft.operators.Eda.skyline2d(base, "total", "n_orders")
+        .select(col("o_custkey").as("custkey"), col("total"),
+          col("n_orders"))
+        .orderBy(col("custkey"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+                 AS total,
+               count(*) AS n FROM orders GROUP BY 1),
+      perx AS (SELECT total, max(n) AS ymax FROM base GROUP BY 1),
+      fr AS (
+        SELECT total, ymax, max(ymax) OVER (ORDER BY total DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+        FROM perx),
+      sky AS (SELECT total, ymax FROM fr WHERE prev IS NULL OR ymax > prev)
+      SELECT b.o_custkey AS custkey, b.total,
+             CAST(b.n AS BIGINT) AS n_orders
+      FROM base b JOIN sky s ON b.total = s.total AND b.n = s.ymax
+      ORDER BY custkey
+    """.trim))
+
+  /** Incremental view maintenance ([[graft.operators.Merge
+    * .applyAggDelta]]): a per-type (count, sum) view built from 70% of
+    * events, maintained by a delta stream of inserts (the other 30%)
+    * and retractions (10% of the original) — then checked bit-for-bit
+    * against the direct aggregate of the final row set.
+    */
+  val q311IvmDelta = HarnessQuery(
+    "q311_ivm_delta",
+    (spark, dir) => {
+      val ev = Tables.events(spark, dir)
+        .select(col("event_type"), col("value"),
+          pmod(col("event_id"), lit(10L)).as("__m"))
+      val state = ev.filter(col("__m") < 7).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(30,6)")).cast("decimal(30,6)")
+            .as("s"))
+      val deltas = ev.filter(col("__m") >= 7).withColumn("op", lit(1))
+        .unionByName(ev.filter(col("__m") === 0).withColumn("op", lit(-1)))
+      val applied = graft.operators.Merge.applyAggDelta(
+        state, deltas, "event_type", "n", "s", "op", "value")
+      val direct = ev.filter(col("__m") =!= 0).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("dn"),
+          sum(col("value").cast("decimal(30,6)")).cast("decimal(30,6)")
+            .as("ds"))
+      applied.join(direct, Seq("event_type"))
+        .select(col("event_type"), col("n"),
+          col("s").cast("double").as("total"),
+          (col("n") === col("dn") && col("s") === col("ds"))
+            .as("consistent"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_type, value, event_id % 10 AS m FROM events),
+      state AS (
+        SELECT event_type, count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(30,6))) AS DECIMAL(30,6)) AS s
+        FROM ev WHERE m < 7 GROUP BY 1),
+      deltas AS (
+        SELECT event_type, value, 1 AS op FROM ev WHERE m >= 7
+        UNION ALL
+        SELECT event_type, value, -1 AS op FROM ev WHERE m = 0),
+      d AS (
+        SELECT event_type, CAST(sum(op) AS BIGINT) AS dn,
+               CAST(sum(CAST(op * value AS DECIMAL(30,6)))
+                 AS DECIMAL(30,6)) AS ds
+        FROM deltas GROUP BY 1),
+      applied AS (
+        SELECT COALESCE(state.event_type, d.event_type) AS event_type,
+               COALESCE(state.n, 0) + COALESCE(d.dn, 0) AS n,
+               CAST(COALESCE(state.s, 0::DECIMAL(30,6))
+                 + COALESCE(d.ds, 0::DECIMAL(30,6)) AS DECIMAL(30,6)) AS s
+        FROM state FULL OUTER JOIN d ON state.event_type = d.event_type),
+      direct AS (
+        SELECT event_type, count(*) AS dn,
+               CAST(sum(CAST(value AS DECIMAL(30,6))) AS DECIMAL(30,6))
+                 AS ds
+        FROM ev WHERE m <> 0 GROUP BY 1)
+      SELECT a.event_type, a.n, CAST(a.s AS DOUBLE) AS total,
+             (a.n = direct.dn AND a.s = direct.ds) AS consistent
+      FROM applied a JOIN direct USING (event_type)
+      WHERE a.n > 0 ORDER BY a.event_type
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q300LdaEstep, q301Interpolate, q302GeoNearest, q303PsmAtt,
     q304HmmForward, q305LdaTopWords, q306HmmViterbi,
-    q307TruncationRecall, q308PartialMerge)
+    q307TruncationRecall, q308PartialMerge, q309IntervalOverlap,
+    q310Skyline, q311IvmDelta)
 }

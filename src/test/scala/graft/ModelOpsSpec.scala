@@ -153,6 +153,47 @@ class ModelOpsSpec extends SparkSpec {
     assert(a.getAs[Double]("total") === 3.875)
   }
 
+  test("intervalOverlapJoin: overlapping pairs once each (even across " +
+    "bucket boundaries), disjoint and cross-key pairs never") {
+    val a = Seq((1L, "u", 100L, 250L), (2L, "u", 900L, 950L),
+      (3L, "v", 100L, 250L)).toDF("a_id", "k", "a_s", "a_e")
+    val b = Seq((10L, "u", 200L, 320L), (11L, "u", 260L, 280L),
+      (12L, "u", 951L, 999L)).toDF("b_id", "k", "b_s", "b_e")
+    // bucket width 50: pair (1,10) overlaps on [200,250] and would share
+    // buckets 200 and 250 — must emit once
+    val out = graft.operators.RangeJoin.intervalOverlapJoin(
+      a, b, "a_s", "a_e", "b_s", "b_e", Seq("k"), bucketWidth = 50L)
+      .select(col("a_id"), col("b_id")).as[(Long, Long)].collect().toList
+    assert(out.sorted === List((1L, 10L)))
+  }
+
+  test("skyline2d: keeps exactly the non-dominated rows, ties on both " +
+    "axes all survive") {
+    val df = Seq((1L, 5.0, 10L), (2L, 5.0, 10L), // tied pair, both kept
+      (3L, 6.0, 9L), (4L, 6.0, 8L),  // 4 dominated by 3 (same x, lower y)
+      (5L, 4.0, 11L), (6L, 3.0, 11L) // 6 dominated by 5 (same y, lower x)
+    ).toDF("id", "x", "y")
+    val kept = graft.operators.Eda.skyline2d(df, "x", "y")
+      .select(col("id")).as[Long].collect().toSet
+    assert(kept === Set(1L, 2L, 3L, 5L))
+  }
+
+  test("applyAggDelta: inserts, retractions, new keys, and zero-count " +
+    "drop-out all maintain the exact view") {
+    val state = Seq(("a", 2L, BigDecimal("3.500000")),
+      ("b", 1L, BigDecimal("1.000000")))
+      .toDF("k", "n", "s")
+      .withColumn("s", col("s").cast("decimal(30,6)"))
+    val deltas = Seq(("a", 1, 2.5), ("b", -1, 1.0), ("c", 1, 7.0))
+      .toDF("k", "op", "v")
+    val out = graft.operators.Merge.applyAggDelta(
+      state, deltas, "k", "n", "s", "op", "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDecimal(2).doubleValue())).toMap
+    // b retracted to n=0 -> dropped; c enters fresh
+    assert(out === Map("a" -> ((3L, 6.0)), "c" -> ((1L, 7.0))))
+  }
+
   test("hmmForward: single purchase event scores the closed form; " +
     "likelihood decomposes per step") {
     val df = Seq(
