@@ -130,4 +130,65 @@ object LinAlg {
       .select(col("i"), round(col("v"), 12).as("v"),
         round(col("nrm"), 12).as("eigval"))
   }
+
+  /** Ridge regression (two features + unpenalized intercept) solved in
+    * closed form from the normal equations (X'X + lambda * diag(0,1,1))
+    * beta = X'y — the 100 TB shape for low-dimensional linear fits:
+    * ONE map-side partial aggregate reduces the whole table to nine
+    * scalar moments (n, sums, cross-products), and the 3x3 Cramer
+    * solve runs on that single row. No per-row model state, no
+    * gradient passes over the data (contrast [[graft.operators
+    * .Classify]]'s logistic descent, which pays one scan per step).
+    *
+    * Numeric discipline: each cross-product is computed in double
+    * (exact for these operand widths), cast to DECIMAL once, summed
+    * exactly, and surfaced as double; the determinant expansion is one
+    * fixed expression both engines fold identically. Output: 3 rows
+    * (feature, beta), beta floor-snapped at 1e6.
+    */
+  def ridgeNormalEq(
+      df: DataFrame, yCol: String, x1Col: String, x2Col: String,
+      lambda: Double): DataFrame = {
+    require(lambda >= 0, s"lambda must be >= 0, got $lambda")
+    def dsum(c: org.apache.spark.sql.Column) =
+      sum(c.cast("decimal(30,10)")).cast("double")
+    val x1 = col(x1Col).cast("double")
+    val x2 = col(x2Col).cast("double")
+    val y = col(yCol).cast("double")
+    val m = df.agg(
+      count(lit(1)).cast("double").as("n"),
+      dsum(x1).as("s1"), dsum(x2).as("s2"),
+      dsum(x1 * x1).as("s11"), dsum(x1 * x2).as("s12"),
+      dsum(x2 * x2).as("s22"),
+      dsum(y).as("sy"), dsum(x1 * y).as("s1y"), dsum(x2 * y).as("s2y"))
+    val solved = m.select(
+      col("n").as("a11"), col("s1").as("a12"), col("s2").as("a13"),
+      (col("s11") + lit(lambda)).as("a22"), col("s12").as("a23"),
+      (col("s22") + lit(lambda)).as("a33"),
+      col("sy").as("b1"), col("s1y").as("b2"), col("s2y").as("b3"))
+    // symmetric A: a21 = a12, a31 = a13, a32 = a23. Fixed-order Cramer
+    // expansion — the SQL oracle must spell these formulas identically.
+    val withDet = solved
+      .withColumn("det",
+        col("a11") * (col("a22") * col("a33") - col("a23") * col("a23"))
+          - col("a12") * (col("a12") * col("a33") - col("a23") * col("a13"))
+          + col("a13") * (col("a12") * col("a23") - col("a22") * col("a13")))
+      .withColumn("d0",
+        col("b1") * (col("a22") * col("a33") - col("a23") * col("a23"))
+          - col("a12") * (col("b2") * col("a33") - col("a23") * col("b3"))
+          + col("a13") * (col("b2") * col("a23") - col("a22") * col("b3")))
+      .withColumn("d1",
+        col("a11") * (col("b2") * col("a33") - col("a23") * col("b3"))
+          - col("b1") * (col("a12") * col("a33") - col("a23") * col("a13"))
+          + col("a13") * (col("a12") * col("b3") - col("b2") * col("a13")))
+      .withColumn("d2",
+        col("a11") * (col("a22") * col("b3") - col("b2") * col("a23"))
+          - col("a12") * (col("a12") * col("b3") - col("b2") * col("a13"))
+          + col("b1") * (col("a12") * col("a23") - col("a22") * col("a13")))
+    withDet.selectExpr(
+      s"stack(3, 'intercept', d0 / det, '$x1Col', d1 / det, " +
+        s"'$x2Col', d2 / det) AS (feature, beta)")
+      .select(col("feature"),
+        (floor(col("beta") * 1e6) / 1e6).as("beta"))
+  }
 }

@@ -493,4 +493,56 @@ object TimeSeries {
           .as("value"),
         col("__v").isNull.as("interpolated"))
   }
+
+  /** Holt linear (double-exponential) smoothing over the DAILY event
+    * count series: level s_t = a*x_t + (1-a)(s_{t-1} + b_{t-1}),
+    * trend b_t = g*(s_t - s_{t-1}) + (1-g)*b_{t-1}, initialized the
+    * textbook way (s_1 = x_1, b_1 = x_2 - x_1). The recursion is
+    * inherently sequential, so the distribution boundary is drawn
+    * where the data size is: the raw table reduces to per-day counts
+    * in one distributed hash aggregate, and the fold then runs over
+    * ONE array row whose length is bounded by the calendar (days
+    * observed), not by the 100 TB input — `aggregate()` over the
+    * sorted array, no driver collect, no window-over-everything.
+    *
+    * The smoothing coefficients are interpolated as SQL literals so
+    * an oracle replaying the recursion (recursive CTE) folds the
+    * SAME double arithmetic; outputs floor-snap at 1e9. Requires at
+    * least two observed days (empty result otherwise).
+    */
+  def holtLinear(
+      df: DataFrame, tsCol: String,
+      alpha: Double = 0.3, gamma: Double = 0.2): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha out of (0,1): $alpha")
+    require(gamma > 0 && gamma < 1, s"gamma out of (0,1): $gamma")
+    val a = alpha.toString
+    val ia = (1.0 - alpha).toString
+    val g = gamma.toString
+    val ig = (1.0 - gamma).toString
+    val daily = df
+      .groupBy(epochDay(col(tsCol)).as("day"))
+      .agg(count(lit(1)).cast("double").as("x"))
+    val packed = daily
+      .agg(sort_array(collect_list(struct(col("day"), col("x")))).as("xs"))
+      .where(size(col("xs")) >= 2)
+    // s_new appears twice (once for the level, once inside the trend):
+    // same expression, same double — SQL spells it identically.
+    val sNew = s"$a * e.x + $ia * (element_at(acc, -1).s" +
+      s" + element_at(acc, -1).b)"
+    val folded = packed.select(explode(expr(
+      s"""aggregate(
+           slice(xs, 2, size(xs) - 1),
+           array(named_struct(
+             'day', xs[0].day, 'x', xs[0].x,
+             's', xs[0].x, 'b', xs[1].x - xs[0].x)),
+           (acc, e) -> concat(acc, array(named_struct(
+             'day', e.day, 'x', e.x,
+             's', $sNew,
+             'b', $g * (($sNew) - element_at(acc, -1).s)
+               + $ig * element_at(acc, -1).b))))""")).as("r"))
+    folded.select(
+      col("r.day").as("day"), col("r.x").as("x"),
+      (floor(col("r.s") * 1e9) / 1e9).as("level"),
+      (floor(col("r.b") * 1e9) / 1e9).as("trend"))
+  }
 }

@@ -28,7 +28,7 @@ object Registry {
       StreamingQueries.all ++ EvalQueries.all ++ SourceQueries.all ++
       QualityQueries.all ++ AnalyticsQueries.all ++ TimeSeriesQueries.all ++
       WorkloadQueries.all ++ VectorTextQueries.all ++ ClassifyQueries.all ++
-      RecommendQueries.all ++ ModelQueries.all
+      RecommendQueries.all ++ ModelQueries.all ++ SketchQueries.all
     val dups = qs.groupBy(_.name).filter(_._2.size > 1).keys
     require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
     qs

@@ -1,0 +1,168 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{LinAlg, Sketches, TimeSeries}
+import graft.sources.Tables
+
+/** Round-7 estimator additions: HyperLogLog cardinality sketching with
+  * an exact-error audit, closed-form ridge regression from one moment
+  * aggregate, and Holt double-exponential smoothing folded over the
+  * bounded daily series. Each oracle replays the same arithmetic
+  * (integer harmonic sums, fixed-order Cramer expansion, recursive CTE
+  * for the smoothing recursion).
+  */
+object SketchQueries {
+
+  /** HLL distinct sketch ([[Sketches.hllDistinct]], m = 64) over two
+    * item domains of lineitem — l_partkey per return flag (large:
+    * raw harmonic estimate) and l_linenumber per return flag (tiny:
+    * exercises the linear-counting small-range correction) — with the
+    * exact distinct count and relative error beside each estimate.
+    */
+  val q312HllDistinct = HarnessQuery(
+    "q312_hll_distinct",
+    (spark, dir) => {
+      val li = Tables.lineitem(spark, dir)
+      def side(metric: String, item: String) =
+        Sketches.hllDistinct(
+          li.select(col("l_returnflag").as("grp"), col(item).as("item")),
+          "grp", "item")
+          .withColumn("metric", lit(metric))
+      side("partkey", "l_partkey")
+        .unionByName(side("linenumber", "l_linenumber"))
+        .select(col("metric"), col("grp"), col("used_registers"),
+          col("zero_registers"), col("est"), col("exact"), col("rel_err"))
+        .orderBy(col("metric"), col("grp"))
+    },
+    Some("""
+      WITH src AS (
+        SELECT 'partkey' AS metric, l_returnflag AS grp,
+               CAST(l_partkey AS VARCHAR) AS item FROM lineitem
+        UNION ALL
+        SELECT 'linenumber', l_returnflag, CAST(l_linenumber AS VARCHAR)
+        FROM lineitem),
+      h AS (
+        SELECT metric, grp,
+               CAST(('0x' || substr(md5(item), 1, 15)) AS BIGINT) AS h
+        FROM src),
+      b AS (SELECT metric, grp, h % 64 AS b, h // 64 AS w FROM h),
+      r AS (
+        SELECT metric, grp, b,
+               CAST(max(CASE WHEN w = 0 THEN 55
+                 ELSE 55 - length(bin(w)) END) AS INT) AS m
+        FROM b GROUP BY 1, 2, 3),
+      agg AS (
+        SELECT metric, grp, CAST(count(*) AS INT) AS used_registers,
+               CAST(sum(CAST(1 AS BIGINT) << (54 - m)) AS BIGINT) AS s0
+        FROM r GROUP BY 1, 2),
+      est AS (
+        SELECT metric, grp, used_registers,
+               64 - used_registers AS zero_registers,
+               (CAST(0.709 AS DOUBLE) * 64 * 64 * 18014398509481984.0)
+                 / CAST(s0 + CAST(64 - used_registers AS BIGINT)
+                     * 18014398509481984 AS DOUBLE) AS raw
+        FROM agg),
+      ex AS (
+        SELECT metric, grp, count(DISTINCT item) AS exact
+        FROM src GROUP BY 1, 2),
+      fin AS (
+        SELECT est.metric, est.grp, used_registers, zero_registers,
+               CASE WHEN raw <= 160.0 AND zero_registers > 0
+                    THEN 64.0 * ln(64.0 / zero_registers)
+                    ELSE raw END AS e,
+               ex.exact
+        FROM est JOIN ex ON est.metric = ex.metric AND est.grp = ex.grp)
+      SELECT metric, grp, used_registers, zero_registers,
+             floor(e * 1e6) / 1e6 AS est, exact,
+             floor(abs(e - exact) / exact * 1e6) / 1e6 AS rel_err
+      FROM fin ORDER BY metric, grp
+    """.trim))
+
+  /** Ridge fit of l_extendedprice ~ l_quantity + l_discount
+    * ([[LinAlg.ridgeNormalEq]], lambda = 10): the whole fit is one
+    * nine-moment aggregate plus a literal Cramer solve, replayed
+    * symbol-for-symbol in the oracle.
+    */
+  val q314RidgeFit = HarnessQuery(
+    "q314_ridge_fit",
+    (spark, dir) =>
+      LinAlg.ridgeNormalEq(Tables.lineitem(spark, dir),
+        "l_extendedprice", "l_quantity", "l_discount", lambda = 10.0)
+        .orderBy(col("feature")),
+    Some("""
+      WITH m AS (
+        SELECT
+          CAST(count(*) AS DOUBLE) AS a11,
+          CAST(sum(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE) AS a12,
+          CAST(sum(CAST(l_discount AS DECIMAL(30,10))) AS DOUBLE) AS a13,
+          CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(30,10)))
+            AS DOUBLE) + 10.0 AS a22,
+          CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(30,10)))
+            AS DOUBLE) AS a23,
+          CAST(sum(CAST(l_discount * l_discount AS DECIMAL(30,10)))
+            AS DOUBLE) + 10.0 AS a33,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE) AS b1,
+          CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(30,10)))
+            AS DOUBLE) AS b2,
+          CAST(sum(CAST(l_discount * l_extendedprice AS DECIMAL(30,10)))
+            AS DOUBLE) AS b3
+        FROM lineitem),
+      sol AS (
+        SELECT
+          a11 * (a22 * a33 - a23 * a23)
+            - a12 * (a12 * a33 - a23 * a13)
+            + a13 * (a12 * a23 - a22 * a13) AS det,
+          b1 * (a22 * a33 - a23 * a23)
+            - a12 * (b2 * a33 - a23 * b3)
+            + a13 * (b2 * a23 - a22 * b3) AS d0,
+          a11 * (b2 * a33 - a23 * b3)
+            - b1 * (a12 * a33 - a23 * a13)
+            + a13 * (a12 * b3 - b2 * a13) AS d1,
+          a11 * (a22 * b3 - b2 * a23)
+            - a12 * (a12 * b3 - b2 * a13)
+            + b1 * (a12 * a23 - a22 * a13) AS d2
+        FROM m)
+      SELECT 'intercept' AS feature,
+             floor(d0 / det * 1e6) / 1e6 AS beta FROM sol
+      UNION ALL
+      SELECT 'l_quantity', floor(d1 / det * 1e6) / 1e6 FROM sol
+      UNION ALL
+      SELECT 'l_discount', floor(d2 / det * 1e6) / 1e6 FROM sol
+      ORDER BY feature
+    """.trim))
+
+  /** Holt linear smoothing of the daily event-count series
+    * ([[TimeSeries.holtLinear]], alpha = 0.3, gamma = 0.2): the
+    * oracle unrolls the same recursion with a recursive CTE over the
+    * row-numbered day series.
+    */
+  val q317HoltTrend = HarnessQuery(
+    "q317_holt_trend",
+    (spark, dir) =>
+      TimeSeries.holtLinear(Tables.events(spark, dir), "ts",
+        alpha = 0.3, gamma = 0.2)
+        .orderBy(col("day")),
+    Some("""
+      WITH RECURSIVE d AS (
+        SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+                 AS BIGINT) AS day,
+               CAST(count(*) AS DOUBLE) AS x
+        FROM events GROUP BY 1),
+      o AS (SELECT day, x, row_number() OVER (ORDER BY day) AS rn FROM d),
+      it AS (
+        SELECT o1.rn, o1.day, o1.x, o1.x AS s, o2.x - o1.x AS b
+        FROM o o1 JOIN o o2 ON o2.rn = 2 WHERE o1.rn = 1
+        UNION ALL
+        SELECT o.rn, o.day, o.x,
+               0.3 * o.x + 0.7 * (it.s + it.b) AS s,
+               0.2 * ((0.3 * o.x + 0.7 * (it.s + it.b)) - it.s)
+                 + 0.8 * it.b AS b
+        FROM o JOIN it ON o.rn = it.rn + 1)
+      SELECT day, x, floor(s * 1e9) / 1e9 AS level,
+             floor(b * 1e9) / 1e9 AS trend
+      FROM it ORDER BY day
+    """.trim))
+
+  def all: Seq[HarnessQuery] = Seq(q312HllDistinct, q314RidgeFit, q317HoltTrend)
+}
