@@ -400,4 +400,50 @@ object Graphs {
     cur.select(col("__id").as(idCol), col("__seed").as("seed_label"),
       col("__lbl").as("label"))
   }
+
+  /** Newman modularity of a given vertex partition over an undirected
+    * edge list — the quality score for ANY clustering the pipeline
+    * produced (connected components, label propagation, embedding
+    * clusters): Q = Σ_c [e_c/m − (d_c/2m)²]. Rearranged to
+    * Q = (4m·Σe_c − Σd_c²) / 4m², every aggregate is an INTEGER
+    * (within-cluster edge count, squared per-cluster degree sums), so
+    * the whole score reduces exactly and the only floating step is
+    * one final fixed-form division — no per-cluster double summation
+    * to go order-nondeterministic at 100 TB. One row out; the
+    * shuffles are two edge-sized equi-joins against the assignment
+    * plus cluster-keyed aggregates.
+    *
+    * `edges` must hold each undirected edge ONCE (id_a, id_b);
+    * vertices missing from `assign` contribute nothing.
+    */
+  def modularity(
+      assign: DataFrame, idCol: String, clusterCol: String,
+      edges: DataFrame): DataFrame = {
+    val ea = edges.select(col("id_a"), col("id_b"))
+    val labeled = ea
+      .join(assign.select(col(idCol).as("id_a"),
+        col(clusterCol).as("__ca")), Seq("id_a"))
+      .join(assign.select(col(idCol).as("id_b"),
+        col(clusterCol).as("__cb")), Seq("id_b"))
+    val counts = labeled.agg(
+      count(lit(1)).as("m_edges"),
+      sum(when(col("__ca") === col("__cb"), 1L).otherwise(0L))
+        .as("intra_edges"))
+    val degSq = labeled
+      .select(col("id_a").as("__v"), col("__ca").as("__c"))
+      .unionAll(labeled.select(col("id_b").as("__v"), col("__cb").as("__c")))
+      .groupBy(col("__v"), col("__c")).agg(count(lit(1)).as("__deg"))
+      .groupBy(col("__c")).agg(sum(col("__deg")).as("__dc"))
+      .agg(sum(col("__dc") * col("__dc")).as("deg_sq_sum"))
+    val nClusters = assign
+      .agg(countDistinct(col(clusterCol)).as("n_clusters"))
+    counts.crossJoin(degSq).crossJoin(nClusters)
+      .select(col("n_clusters"), col("m_edges"), col("intra_edges"),
+        (floor(
+          (lit(4L) * col("m_edges") * col("intra_edges")
+            - col("deg_sq_sum")).cast("double")
+            / (lit(4.0) * col("m_edges").cast("double")
+              * col("m_edges").cast("double")) * 1e9) / 1e9)
+          .as("q_modularity"))
+  }
 }

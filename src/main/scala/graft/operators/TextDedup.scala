@@ -699,4 +699,56 @@ object TextDedup {
           .as("n_tokens_dropped"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
+
+  /** EXACT Jaccard-threshold self-join via prefix filtering (the
+    * PPJoin family) — the lossless alternative to the minhash path:
+    * order each document's shingles by ascending global document
+    * frequency (rarest first, ties by shingle), keep only the first
+    * |S| - ceil(t|S|) + 1 as the PREFIX, and join documents that
+    * share a prefix shingle. Two sets with Jaccard >= t must overlap
+    * in at least ceil(t|S|) elements, so sets sharing NO prefix
+    * element cannot reach the threshold — candidate recall is exactly
+    * 1 by construction (which is why the oracle can brute-force
+    * ground truth instead of replaying the filter). Rarest-first
+    * ordering makes prefix posting lists the SHORTEST lists in the
+    * corpus — the quadratic per-shingle fan-out lands on the tail of
+    * the frequency distribution, the opposite end from the
+    * boilerplate hazard that [[dropBoilerplateShingles]] exists for.
+    *
+    * Shuffle shape: ids + shingle hashes only (documents never move);
+    * frequency ranking is one window over the exploded shingle table,
+    * verification reuses the exact-intersection join the minhash
+    * family uses. Returns (id_a < id_b, jaccard >= threshold).
+    */
+  def prefixFilterJaccardPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      threshold: Double = 0.6): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0,1], got $threshold")
+    val sh = shingleTable(df, textCol, idCol, n)
+    val sz = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__sz"))
+    val freq = sh.groupBy(col("__s")).agg(count(lit(1)).as("__df"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__df"), col("__s"))
+    val prefixes = sh
+      .join(freq, Seq("__s"))
+      .join(sz, Seq(idCol))
+      .withColumn("__pos", row_number().over(w))
+      .filter(col("__pos") <=
+        col("__sz") - ceil(lit(threshold) * col("__sz")) + 1)
+    val cand = prefixes
+      .select(col(idCol).as("id_a"), col("__sz").as("__sza"), col("__s"))
+      .join(prefixes.select(col(idCol).as("id_b"), col("__sz").as("__szb"),
+        col("__s")), Seq("__s"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("__sza"), col("__szb"))
+      .distinct()
+    verifyJaccard(cand,
+      sh.select(col(idCol).as("id_a"), col("__s")),
+      sh.select(col(idCol).as("id_b"), col("__s")),
+      threshold)
+  }
 }

@@ -2,7 +2,9 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{LinAlg, Sketches, TimeSeries}
+import graft.functions.TextFunctions
+import graft.operators.{Components, Density, Graphs, LinAlg, Sketches,
+  TextDedup, TimeSeries}
 import graft.sources.Tables
 
 /** Round-7 estimator additions: HyperLogLog cardinality sketching with
@@ -164,5 +166,142 @@ object SketchQueries {
       FROM it ORDER BY day
     """.trim))
 
-  def all: Seq[HarnessQuery] = Seq(q312HllDistinct, q314RidgeFit, q317HoltTrend)
+  /** Exact Jaccard-threshold join via prefix filtering
+    * ([[TextDedup.prefixFilterJaccardPairs]], 3-shingles, t = 0.6).
+    * Prefix filtering is LOSSLESS (candidate recall 1 by theorem), so
+    * the oracle brute-forces ground-truth pairwise Jaccard — any
+    * filter bug shows up as a missing row, not a replayed one.
+    */
+  val q313PrefixJaccard = HarnessQuery(
+    "q313_prefix_jaccard",
+    (spark, dir) =>
+      TextDedup.prefixFilterJaccardPairs(
+        Tables.documents(spark, dir), "text", "doc_id",
+        n = 3, threshold = 0.6)
+        .select(col("id_a"), col("id_b"),
+          (floor(col("jaccard") * 1e12) / 1e12).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b")),
+    Some("""
+      WITH t AS (SELECT doc_id,
+                   list_distinct(list_transform(
+                     generate_series(1, len(regexp_split_to_array(trim(lower(text)), '\s+')) - 2),
+                     i -> array_to_string((regexp_split_to_array(trim(lower(text)), '\s+'))[i:i+2], ' ')))
+                     AS sh
+                 FROM documents),
+      p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+               CAST(len(a.sh) + len(b.sh)
+                 - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS j
+        FROM t a, t b WHERE a.doc_id < b.doc_id)
+      SELECT id_a, id_b, floor(j * 1e12) / 1e12 AS jaccard
+      FROM p WHERE j >= CAST(0.6 AS DOUBLE)
+      ORDER BY id_a, id_b
+    """.trim))
+
+  /** Modularity of the near-dup component partition over the minhash
+    * pair graph ([[Graphs.modularity]]): components over their own
+    * edges score near the theoretical ceiling — the audit that a
+    * clustering actually explains the graph's edge mass.
+    */
+  val q316Modularity = HarnessQuery(
+    "q316_modularity",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val pairs = TextDedup.minhashNearDupPairs(
+        docs, "text", "doc_id", hashFn = TextFunctions.fastHash)
+      val assign = Components.connectedComponents(
+        docs.select(col("doc_id")), pairs, "doc_id")
+      Graphs.modularity(assign, "doc_id", "cluster_id", pairs)
+    },
+    Some("""
+      WITH RECURSIVE t AS (SELECT doc_id,
+                   list_distinct(list_transform(
+                     generate_series(1, len(regexp_split_to_array(trim(lower(text)), '\s+')) - 2),
+                     i -> array_to_string((regexp_split_to_array(trim(lower(text)), '\s+'))[i:i+2], ' ')))
+                     AS sh
+                 FROM documents),
+      pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM t a, t b
+                WHERE a.doc_id < b.doc_id
+                  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs),
+      reach(id, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+      clusters AS (
+        SELECT id AS doc_id, min(label) AS cluster_id
+        FROM reach GROUP BY id),
+      lab AS (
+        SELECT p.id_a, p.id_b, ca.cluster_id AS ca, cb.cluster_id AS cb
+        FROM pairs p
+        JOIN clusters ca ON p.id_a = ca.doc_id
+        JOIN clusters cb ON p.id_b = cb.doc_id),
+      c1 AS (
+        SELECT count(*) AS m_edges,
+               CAST(sum(CASE WHEN ca = cb THEN 1 ELSE 0 END) AS BIGINT)
+                 AS intra_edges
+        FROM lab),
+      deg AS (
+        SELECT v, c, count(*) AS d FROM (
+          SELECT id_a AS v, ca AS c FROM lab
+          UNION ALL SELECT id_b, cb FROM lab) u GROUP BY 1, 2),
+      dc AS (SELECT c, CAST(sum(d) AS BIGINT) AS dc FROM deg GROUP BY 1),
+      c2 AS (SELECT CAST(sum(dc * dc) AS BIGINT) AS deg_sq_sum FROM dc),
+      c3 AS (SELECT count(DISTINCT cluster_id) AS n_clusters FROM clusters)
+      SELECT n_clusters, m_edges, intra_edges,
+             floor(CAST(4 * m_edges * intra_edges - deg_sq_sum AS DOUBLE)
+               / (CAST(4 AS DOUBLE) * CAST(m_edges AS DOUBLE)
+                 * CAST(m_edges AS DOUBLE)) * 1e9) / 1e9 AS q_modularity
+      FROM c1, c2, c3
+    """.trim))
+
+  /** DBSCAN core points over the seeded 2-D projection of the
+    * embedding table ([[Density.gridCorePoints]], eps = 0.1,
+    * minPts = 5). The grid-blocked neighbor join is lossless over the
+    * projected space, so the oracle brute-forces all-pairs distances.
+    */
+  val q318DbscanCore = HarnessQuery(
+    "q318_dbscan_core",
+    (spark, dir) =>
+      Density.gridCorePoints(Tables.embeddings(spark, dir),
+        "vec_id", "embedding", eps = 0.1, minPts = 5)
+        .orderBy(col("vec_id")),
+    Some("""
+      WITH hp AS (
+        SELECT h.h AS h, d.d AS d,
+               (CAST(('0x' || substr(md5('42_' || h.h || '_' || d.d), 1, 15)) AS BIGINT)
+                 % 1000000) / 1000000.0 - 0.5 AS v
+        FROM generate_series(0, 1) h(h), generate_series(0, 63) d(d)),
+      proj AS (
+        SELECT e.vec_id, hp.h,
+               CAST(sum(CAST(CAST(e.embedding[hp.d + 1] AS DOUBLE) * hp.v
+                 AS DECIMAL(30,18))) AS DOUBLE) AS val
+        FROM embeddings e, hp GROUP BY 1, 2),
+      pts AS (
+        SELECT vec_id,
+               max(CASE WHEN h = 0 THEN val END) AS x,
+               max(CASE WHEN h = 1 THEN val END) AS y
+        FROM proj GROUP BY 1),
+      nb AS (
+        SELECT a.vec_id, count(*) AS n_neighbors
+        FROM pts a JOIN pts b
+          ON a.vec_id <> b.vec_id
+         AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+             <= CAST(0.1 AS DOUBLE) * CAST(0.1 AS DOUBLE)
+        GROUP BY 1)
+      SELECT p.vec_id, floor(p.x * 1e9) / 1e9 AS x,
+             floor(p.y * 1e9) / 1e9 AS y,
+             COALESCE(nb.n_neighbors, 0) AS n_neighbors,
+             COALESCE(nb.n_neighbors, 0) >= 5 AS is_core
+      FROM pts p LEFT JOIN nb ON p.vec_id = nb.vec_id
+      ORDER BY p.vec_id
+    """.trim))
+
+  def all: Seq[HarnessQuery] = Seq(
+    q312HllDistinct, q313PrefixJaccard, q314RidgeFit, q316Modularity,
+    q317HoltTrend, q318DbscanCore)
 }

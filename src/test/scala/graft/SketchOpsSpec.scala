@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{LinAlg, Sketches, TimeSeries}
+import graft.operators.{Density, Graphs, LinAlg, Sketches, TextDedup,
+  TimeSeries}
 
 class SketchOpsSpec extends SparkSpec {
   import spark.implicits._
@@ -97,5 +98,85 @@ class SketchOpsSpec extends SparkSpec {
     val df = Seq(1000L, 2000L).toDF("us")
       .withColumn("ts", timestamp_micros(col("us")))
     assert(TimeSeries.holtLinear(df, "ts").count() === 0)
+  }
+
+  test("prefixFilterJaccardPairs: finds exactly the ground-truth pairs " +
+    "(recall 1 vs brute force) with exact jaccard values") {
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d e g"),  // high overlap
+      (3L, "a b c x y z"),                        // partial
+      (4L, "p q r s t u"), (5L, "p q r s t u"))  // identical
+      .toDF("doc_id", "text")
+    val out = TextDedup
+      .prefixFilterJaccardPairs(docs, "text", "doc_id", n = 3,
+        threshold = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+      .as[(Long, Long, Double)].collect()
+    // 4-shingle sets: {1,2} share 3 of 5 distinct (j=0.6); {4,5}
+    // identical (j=1); {1,3}/{2,3} share 1 of 7 (j≈0.14, below)
+    assert(out.toSeq === Seq((1L, 2L, 0.6), (4L, 5L, 1.0)))
+  }
+
+  test("prefixFilterJaccardPairs: threshold 1 keeps only exact sets") {
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b c d"), (3L, "a b c e"))
+      .toDF("doc_id", "text")
+    val out = TextDedup
+      .prefixFilterJaccardPairs(docs, "text", "doc_id", n = 2,
+        threshold = 1.0)
+      .as[(Long, Long, Double)].collect()
+    assert(out.toSeq === Seq((1L, 2L, 1.0)))
+  }
+
+  test("modularity: a two-clique graph with one bridge scores high for " +
+    "the clique partition and the integer aggregates are exact") {
+    // cliques {1,2,3} and {4,5,6} plus bridge 3-4: m = 7
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("id_a", "id_b")
+    val assign = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 2L), (5L, 2L), (6L, 2L)).toDF("id", "c")
+    val r = Graphs.modularity(assign, "id", "c", edges).collect().head
+    assert(r.getAs[Long]("m_edges") === 7L)
+    assert(r.getAs[Long]("intra_edges") === 6L)
+    assert(r.getAs[Long]("n_clusters") === 2L)
+    // Q = (4*7*6 - (7^2 + 7^2)) / (4*49) = (168 - 98) / 196
+    val expected = math.floor(70.0 / 196.0 * 1e9) / 1e9
+    assert(r.getAs[Double]("q_modularity") === expected)
+  }
+
+  test("modularity: everything in one cluster gives Q = 0 exactly") {
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val assign = Seq((1L, 9L), (2L, 9L), (3L, 9L)).toDF("id", "c")
+    val r = Graphs.modularity(assign, "id", "c", edges).collect().head
+    // intra = m and sum(d_c)^2 = (2m)^2 → numerator 4m² - 4m² = 0
+    assert(r.getAs[Double]("q_modularity") === 0.0)
+  }
+
+  test("gridCorePoints: neighbor counts match brute force across cell " +
+    "boundaries and isolated points report zero") {
+    // 2-D vectors embedded in dim=4 (padding zeros); eps 1.0
+    val vecs = Seq(
+      (1L, Array(0.0f, 0.0f, 0f, 0f)),
+      (2L, Array(0.5f, 0.0f, 0f, 0f)),
+      (3L, Array(0.0f, 0.9f, 0f, 0f)),
+      (4L, Array(5.0f, 5.0f, 0f, 0f))).toDF("id", "vec")
+    val out = Density.gridCorePoints(vecs, "id", "vec",
+      eps = 1.0, minPts = 2, dim = 4)
+      .orderBy(col("id")).collect()
+    val xs = out.map(r => r.getAs[Long]("id") ->
+      (r.getAs[Double]("x"), r.getAs[Double]("y"))).toMap
+    // brute-force neighbor counts in the PROJECTED plane
+    def d2(a: (Double, Double), b: (Double, Double)) = {
+      val dx = a._1 - b._1; val dy = a._2 - b._2; dx * dx + dy * dy
+    }
+    val ids = xs.keys.toSeq
+    val brute = ids.map(i => i ->
+      ids.count(j => j != i && d2(xs(i), xs(j)) <= 1.0)).toMap
+    out.foreach { r =>
+      val id = r.getAs[Long]("id")
+      assert(r.getAs[Long]("n_neighbors") === brute(id).toLong,
+        s"id $id")
+      assert(r.getAs[Boolean]("is_core") === (brute(id) >= 2))
+    }
   }
 }
