@@ -514,4 +514,54 @@ object Experiment {
         count(col("__cid")).cast("double") * 1e2) / 1e2 / 1e6)
         .as("mean_abs_gap"))
   }
+
+  /** Wald's sequential probability ratio test over a Bernoulli stream,
+    * replayed day by day — the "stop the experiment early" monitor.
+    * For H0: p = p0 vs H1: p = p1, the cumulative log-likelihood
+    * ratio after k successes in n trials is
+    * k·ln(p1/p0) + (n−k)·ln((1−p1)/(1−p0)); cross A = ln((1−β)/α)
+    * ⇒ accept H1, cross B = ln(β/(1−α)) ⇒ accept H0. `decision`
+    * reports the boundary state AT that day; the first non-continue
+    * day is the stopping time.
+    *
+    * Scale shape: the only data-sized work is the per-day (trials,
+    * successes) aggregate; the cumulative window runs over the tiny
+    * day series. Exact integer cumulative counts multiply two
+    * CONSTANT doubles, so the trajectory replays engine-for-engine
+    * (one fixed expression, no running float accumulation).
+    */
+  def sprtDecision(
+      df: DataFrame, tsCol: String, successCol: Column,
+      p0: Double, p1: Double,
+      alpha: Double = 0.05, beta: Double = 0.05): DataFrame = {
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p0 != p1,
+      s"need distinct p0, p1 in (0,1); got $p0, $p1")
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
+      "alpha, beta must be in (0,1)")
+    val micros = 86400L * 1000000L
+    val daily = df
+      .groupBy(((unix_micros(col(tsCol))
+        - pmod(unix_micros(col(tsCol)), lit(micros)))
+        / lit(micros)).cast("long").as("day"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(successCol, 1L).otherwise(0L)).as("__k"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the two LLR slopes and both boundaries are literals; the SQL
+    // oracle must build them from the same double-cast literal forms
+    val cumulative = daily
+      .withColumn("n_cum", sum(col("__n")).over(w))
+      .withColumn("k_cum", sum(col("__k")).over(w))
+      .withColumn("llr",
+        col("k_cum").cast("double") * log(lit(p1) / lit(p0))
+          + (col("n_cum") - col("k_cum")).cast("double")
+            * log(lit(1.0 - p1) / lit(1.0 - p0)))
+    val upper = log(lit(1.0 - beta) / lit(alpha))
+    val lower = log(lit(beta) / lit(1.0 - alpha))
+    cumulative.select(col("day"), col("n_cum"), col("k_cum"),
+      (floor(col("llr") * 1e9) / 1e9).as("llr"),
+      when(col("llr") >= upper, lit("accept_h1"))
+        .when(col("llr") <= lower, lit("accept_h0"))
+        .otherwise(lit("continue")).as("decision"))
+  }
 }

@@ -545,4 +545,73 @@ object TimeSeries {
       (floor(col("r.s") * 1e9) / 1e9).as("level"),
       (floor(col("r.b") * 1e9) / 1e9).as("trend"))
   }
+
+  /** Best single structural breakpoint of the daily count series:
+    * for every candidate split b (left = days 1..b, right = b+1..n,
+    * both segments >= 2 points), fit each segment with its own
+    * simple OLS on (day index, count) and report
+    * SSE_left + SSE_right; the minimizing b (ties to the earliest
+    * day) is flagged `is_best`. The segmented-regression sibling of
+    * [[cusumChangepoint]] — CUSUM finds a LEVEL shift, this finds a
+    * TREND break.
+    *
+    * Scale shape: the data-sized work is the daily aggregate; both
+    * segments' OLS sufficient statistics (n, Σt, Σx, Σt², Σtx, Σx²)
+    * come from one cumulative window over the day series — prefix
+    * sums for the left, total-minus-prefix for the right — so the
+    * whole candidate sweep is O(days), not O(days · rows). Counts
+    * and indexes are integers, so every cumulative is EXACT (long
+    * sums); doubles appear only in the final fixed-form SSE
+    * expression, which the oracle replays symbol-for-symbol.
+    */
+  def bestBreakpoint(df: DataFrame, tsCol: String): DataFrame = {
+    val daily = df
+      .groupBy(epochDay(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val wOrd = Window.orderBy(col("day"))
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val idx = daily
+      .withColumn("t", row_number().over(wOrd).cast("long"))
+      .withColumn("x", col("x").cast("long"))
+    val cums = idx
+      .withColumn("__st", sum(col("t")).over(wCum))
+      .withColumn("__sx", sum(col("x")).over(wCum))
+      .withColumn("__stt", sum(col("t") * col("t")).over(wCum))
+      .withColumn("__stx", sum(col("t") * col("x")).over(wCum))
+      .withColumn("__sxx", sum(col("x") * col("x")).over(wCum))
+    val tot = idx.agg(
+      count(lit(1)).as("__n"),
+      sum(col("t")).as("__tst"), sum(col("x")).as("__tsx"),
+      sum(col("t") * col("t")).as("__tstt"),
+      sum(col("t") * col("x")).as("__tstx"),
+      sum(col("x") * col("x")).as("__tsxx"))
+    def sse(n: Column, st: Column, sx: Column, stt: Column,
+        stx: Column, sxx: Column): Column = {
+      val nd = n.cast("double")
+      val std = st.cast("double"); val sxd = sx.cast("double")
+      val sttd = stt.cast("double"); val stxd = stx.cast("double")
+      val sxxd = sxx.cast("double")
+      (sxxd - sxd * sxd / nd) -
+        (stxd - std * sxd / nd) * (stxd - std * sxd / nd) /
+          (sttd - std * std / nd)
+    }
+    val cand = cums.crossJoin(broadcast(tot))
+      .filter(col("t") >= 2 && col("t") <= col("__n") - 2)
+      .withColumn("__sse_l",
+        sse(col("t"), col("__st"), col("__sx"), col("__stt"),
+          col("__stx"), col("__sxx")))
+      .withColumn("__sse_r",
+        sse(col("__n") - col("t"), col("__tst") - col("__st"),
+          col("__tsx") - col("__sx"), col("__tstt") - col("__stt"),
+          col("__tstx") - col("__stx"), col("__tsxx") - col("__sxx")))
+      .withColumn("__sse_t", col("__sse_l") + col("__sse_r"))
+    cand
+      .withColumn("is_best",
+        row_number().over(Window.orderBy(col("__sse_t"), col("day"))) === 1)
+      .select(col("day"), col("x"),
+        (floor(col("__sse_l") * 1e6) / 1e6).as("sse_left"),
+        (floor(col("__sse_r") * 1e6) / 1e6).as("sse_right"),
+        (floor(col("__sse_t") * 1e6) / 1e6).as("sse_total"),
+        col("is_best"))
+  }
 }

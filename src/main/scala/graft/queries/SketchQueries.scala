@@ -3,8 +3,8 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Components, Density, Graphs, LinAlg, Sketches,
-  TextDedup, TimeSeries}
+import graft.operators.{Components, Density, Experiment, Graphs, LinAlg,
+  Sketches, TextDedup, TimeSeries}
 import graft.sources.Tables
 
 /** Round-7 estimator additions: HyperLogLog cardinality sketching with
@@ -301,7 +301,123 @@ object SketchQueries {
       ORDER BY p.vec_id
     """.trim))
 
+  /** Wald SPRT replay over the daily purchase-conversion stream
+    * ([[Experiment.sprtDecision]], H0 p = 0.18 vs H1 p = 0.22,
+    * alpha = beta = 0.05): cumulative LLR per day with both Wald
+    * boundaries evaluated on the raw (unsnapped) trajectory.
+    */
+  val q319Sprt = HarnessQuery(
+    "q319_sprt",
+    (spark, dir) =>
+      Experiment.sprtDecision(Tables.events(spark, dir), "ts",
+        col("event_type") === "purchase", p0 = 0.18, p1 = 0.22)
+        .orderBy(col("day")),
+    Some("""
+      WITH daily AS (
+        SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+                 AS BIGINT) AS day,
+               count(*) AS n,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                 THEN 1 ELSE 0 END) AS BIGINT) AS k
+        FROM events GROUP BY 1),
+      c AS (
+        SELECT day,
+               CAST(sum(n) OVER w AS BIGINT) AS n_cum,
+               CAST(sum(k) OVER w AS BIGINT) AS k_cum
+        FROM daily WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)),
+      l AS (
+        SELECT day, n_cum, k_cum,
+               CAST(k_cum AS DOUBLE)
+                 * ln(CAST(0.22 AS DOUBLE) / CAST(0.18 AS DOUBLE))
+                 + CAST(n_cum - k_cum AS DOUBLE)
+                   * ln((1 - CAST(0.22 AS DOUBLE))
+                     / (1 - CAST(0.18 AS DOUBLE))) AS llr
+        FROM c)
+      SELECT day, n_cum, k_cum, floor(llr * 1e9) / 1e9 AS llr,
+             CASE WHEN llr >= ln((1 - CAST(0.05 AS DOUBLE))
+                    / CAST(0.05 AS DOUBLE)) THEN 'accept_h1'
+                  WHEN llr <= ln(CAST(0.05 AS DOUBLE)
+                    / (1 - CAST(0.05 AS DOUBLE))) THEN 'accept_h0'
+                  ELSE 'continue' END AS decision
+      FROM l ORDER BY day
+    """.trim))
+
+  /** Segmented-OLS trend break over the daily event-count series
+    * ([[TimeSeries.bestBreakpoint]]): the full candidate SSE curve
+    * with the argmin flagged; every sufficient statistic is an exact
+    * integer cumulative, replayed via the same window prefix sums.
+    */
+  val q320Breakpoint = HarnessQuery(
+    "q320_breakpoint",
+    (spark, dir) =>
+      TimeSeries.bestBreakpoint(Tables.events(spark, dir), "ts")
+        .orderBy(col("day")),
+    Some("""
+      WITH d AS (
+        SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+                 AS BIGINT) AS day,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1),
+      o AS (SELECT day, x,
+              CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+            FROM d),
+      c AS (
+        SELECT day, t, x,
+               CAST(sum(t) OVER w AS BIGINT) AS st,
+               CAST(sum(x) OVER w AS BIGINT) AS sx,
+               CAST(sum(t * t) OVER w AS BIGINT) AS stt,
+               CAST(sum(t * x) OVER w AS BIGINT) AS stx,
+               CAST(sum(x * x) OVER w AS BIGINT) AS sxx
+        FROM o WINDOW w AS (ORDER BY t ROWS UNBOUNDED PRECEDING)),
+      tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(t) AS BIGINT) AS tst,
+               CAST(sum(x) AS BIGINT) AS tsx,
+               CAST(sum(t * t) AS BIGINT) AS tstt,
+               CAST(sum(t * x) AS BIGINT) AS tstx,
+               CAST(sum(x * x) AS BIGINT) AS tsxx
+        FROM o),
+      cand AS (
+        SELECT c.day, c.x,
+               (CAST(c.sxx AS DOUBLE)
+                 - CAST(c.sx AS DOUBLE) * CAST(c.sx AS DOUBLE)
+                   / CAST(c.t AS DOUBLE))
+               - (CAST(c.stx AS DOUBLE)
+                   - CAST(c.st AS DOUBLE) * CAST(c.sx AS DOUBLE)
+                     / CAST(c.t AS DOUBLE))
+                 * (CAST(c.stx AS DOUBLE)
+                   - CAST(c.st AS DOUBLE) * CAST(c.sx AS DOUBLE)
+                     / CAST(c.t AS DOUBLE))
+                 / (CAST(c.stt AS DOUBLE)
+                   - CAST(c.st AS DOUBLE) * CAST(c.st AS DOUBLE)
+                     / CAST(c.t AS DOUBLE)) AS sse_l,
+               (CAST(tot.tsxx - c.sxx AS DOUBLE)
+                 - CAST(tot.tsx - c.sx AS DOUBLE)
+                   * CAST(tot.tsx - c.sx AS DOUBLE)
+                   / CAST(tot.n - c.t AS DOUBLE))
+               - (CAST(tot.tstx - c.stx AS DOUBLE)
+                   - CAST(tot.tst - c.st AS DOUBLE)
+                     * CAST(tot.tsx - c.sx AS DOUBLE)
+                     / CAST(tot.n - c.t AS DOUBLE))
+                 * (CAST(tot.tstx - c.stx AS DOUBLE)
+                   - CAST(tot.tst - c.st AS DOUBLE)
+                     * CAST(tot.tsx - c.sx AS DOUBLE)
+                     / CAST(tot.n - c.t AS DOUBLE))
+                 / (CAST(tot.tstt - c.stt AS DOUBLE)
+                   - CAST(tot.tst - c.st AS DOUBLE)
+                     * CAST(tot.tst - c.st AS DOUBLE)
+                     / CAST(tot.n - c.t AS DOUBLE)) AS sse_r
+        FROM c, tot WHERE c.t >= 2 AND c.t <= tot.n - 2),
+      r AS (SELECT day, x, sse_l, sse_r, sse_l + sse_r AS sse_t FROM cand)
+      SELECT day, x,
+             floor(sse_l * 1e6) / 1e6 AS sse_left,
+             floor(sse_r * 1e6) / 1e6 AS sse_right,
+             floor(sse_t * 1e6) / 1e6 AS sse_total,
+             row_number() OVER (ORDER BY sse_t, day) = 1 AS is_best
+      FROM r ORDER BY day
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q312HllDistinct, q313PrefixJaccard, q314RidgeFit, q316Modularity,
-    q317HoltTrend, q318DbscanCore)
+    q317HoltTrend, q318DbscanCore, q319Sprt, q320Breakpoint)
 }

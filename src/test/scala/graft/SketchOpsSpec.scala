@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Density, Graphs, LinAlg, Sketches, TextDedup,
-  TimeSeries}
+import graft.operators.{Density, Experiment, Graphs, LinAlg, Sketches,
+  TextDedup, TimeSeries}
 
 class SketchOpsSpec extends SparkSpec {
   import spark.implicits._
@@ -178,5 +178,73 @@ class SketchOpsSpec extends SparkSpec {
         s"id $id")
       assert(r.getAs[Boolean]("is_core") === (brute(id) >= 2))
     }
+  }
+
+  test("sprtDecision: an overwhelmingly H1 stream crosses the upper " +
+    "boundary and the cumulative counts are exact") {
+    val day = 86400L * 1000000L
+    // 10 days, 20 trials/day, 15 successes/day (p-hat = 0.75 >> p1)
+    val rows = for {
+      d <- 0 until 10; i <- 0 until 20
+    } yield (d * day + i * 1000L, i < 15)
+    val df = rows.toDF("us", "hit")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val out = Experiment.sprtDecision(df, "ts", col("hit"),
+      p0 = 0.2, p1 = 0.4).orderBy(col("day")).collect()
+    assert(out.length === 10)
+    assert(out.last.getAs[Long]("n_cum") === 200L)
+    assert(out.last.getAs[Long]("k_cum") === 150L)
+    assert(out.last.getAs[String]("decision") === "accept_h1")
+    // llr must be monotone increasing for a constant-rate stream
+    // with p-hat above the H1/H0 crossover
+    val llrs = out.map(_.getAs[Double]("llr"))
+    assert(llrs.zip(llrs.tail).forall { case (a, b) => b > a })
+  }
+
+  test("sprtDecision: an H0-rate stream accepts H0") {
+    val day = 86400L * 1000000L
+    // 10 days, 20 trials/day, 2 successes/day (p-hat = 0.1 < p0)
+    val rows = for {
+      d <- 0 until 10; i <- 0 until 20
+    } yield (d * day + i * 1000L, i < 2)
+    val df = rows.toDF("us", "hit")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val out = Experiment.sprtDecision(df, "ts", col("hit"),
+      p0 = 0.2, p1 = 0.4).orderBy(col("day")).collect()
+    assert(out.last.getAs[String]("decision") === "accept_h0")
+  }
+
+  test("bestBreakpoint: a clean two-slope series puts the best split " +
+    "at the slope change and its SSE is ~0") {
+    val day = 86400L * 1000000L
+    // counts: days 0-5 flat at 4/day, days 6-11 ramp 8,12,16,20,24,28
+    val counts = Seq(4, 4, 4, 4, 4, 4, 8, 12, 16, 20, 24, 28)
+    val rows = counts.zipWithIndex.flatMap { case (n, d) =>
+      (0 until n).map(i => d * day + i * 1000L)
+    }
+    val df = rows.toDF("us").withColumn("ts", timestamp_micros(col("us")))
+    val out = TimeSeries.bestBreakpoint(df, "ts")
+      .orderBy(col("day")).collect()
+    // candidates: t in [2, n-2] = 12 - 3 = 9 rows
+    assert(out.length === 9)
+    val best = out.filter(_.getAs[Boolean]("is_best"))
+    assert(best.length === 1)
+    // splits after day 4 AND after day 5 both give two exactly-linear
+    // segments (right side 4,8,12,... is collinear); SSE ties break to
+    // the earliest day
+    assert(best.head.getAs[Long]("day") === 4L)
+    assert(math.abs(best.head.getAs[Double]("sse_total")) < 1e-9)
+  }
+
+  test("bestBreakpoint: exactly one best row even with SSE ties") {
+    val day = 86400L * 1000000L
+    // perfectly linear series: every split gives SSE 0; earliest wins
+    val rows = (0 until 8).flatMap(d =>
+      (0 until (2 + d)).map(i => d * day + i * 1000L))
+    val df = rows.toDF("us").withColumn("ts", timestamp_micros(col("us")))
+    val out = TimeSeries.bestBreakpoint(df, "ts").collect()
+    assert(out.count(_.getAs[Boolean]("is_best")) === 1)
+    assert(out.filter(_.getAs[Boolean]("is_best"))
+      .head.getAs[Long]("day") === 1L)
   }
 }
