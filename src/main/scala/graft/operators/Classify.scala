@@ -103,11 +103,16 @@ object Classify {
     * Output: one row — n, then w_0 ("intercept"), w_1.. in feature
     * order, each rounded to 10 dp.
     */
-  def logisticGd(
+  /** The fitted 12-dp weight vector (intercept +: per-feature) of
+    * [[logisticGd]] — exposed for consumers that SCORE with the model
+    * (e.g. [[Experiment.ipwAte]]'s propensities) rather than report
+    * it; the driver-side state is O(p) model parameters only, never
+    * data.
+    */
+  private[operators] def gdWeights(
       df: DataFrame, features: Seq[Column], labelCol: String,
-      iters: Int, lr: Double): DataFrame = {
+      iters: Int, lr: Double): Array[Double] = {
     require(iters >= 1 && features.nonEmpty)
-    val spark = df.sparkSession
     val xs = features.zipWithIndex.map { case (f, i) =>
       f.cast("double").as(s"__x$i") }
     val base = df.select(
@@ -135,6 +140,15 @@ object Classify {
           .toDouble
       }
     }
+    w
+  }
+
+  def logisticGd(
+      df: DataFrame, features: Seq[Column], labelCol: String,
+      iters: Int, lr: Double): DataFrame = {
+    val w = gdWeights(df, features, labelCol, iters, lr)
+    val p = features.length
+    val spark = df.sparkSession
     import spark.implicits._
     val out = Seq((w(0), w.drop(1))).toDF("__b", "__ws")
     out.select(

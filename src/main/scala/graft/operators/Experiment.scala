@@ -564,4 +564,65 @@ object Experiment {
         .when(col("llr") <= lower, lit("accept_h0"))
         .otherwise(lit("continue")).as("decision"))
   }
+
+  /** Inverse-propensity-weighted average treatment effect: fit the
+    * propensity e(x) = P(T=1|x) with the same full-batch logistic GD
+    * the classifier family oracles ([[Classify.logisticGd]]), clip it
+    * to [clip, 1-clip], and take the Horvitz-Thompson estimate
+    * (1/n)·Σ[T·y/ê − (1−T)·y/(1−ê)] — the weighting-based causal
+    * estimate beside the matching ([[psmAtt]]) and stratification
+    * ([[stratifiedAte]]) ones. Ships its own health check: the Kish
+    * effective sample size (Σw)²/Σw² per arm — THE number that says
+    * whether the weights degenerated (few huge weights ⇒ tiny ESS),
+    * which at 100 TB is the difference between an estimate and noise.
+    *
+    * Scale shape: the GD fit is one O(p)-wide aggregate per round;
+    * scoring + the HT sums are a single map-side pass. Every
+    * weighted sum rounds at 12 dp and accumulates in DECIMAL, so the
+    * estimate replays exactly from the oracle's unrolled GD chain.
+    */
+  def ipwAte(
+      df: DataFrame, features: Seq[Column], treatCol: String,
+      outcomeCol: String, iters: Int, lr: Double,
+      clip: Double = 0.05): DataFrame = {
+    require(clip > 0 && clip < 0.5, s"clip must be in (0,0.5), got $clip")
+    val w = Classify.gdWeights(df, features, treatCol, iters, lr)
+    val p = features.length
+    val xs = features.zipWithIndex.map { case (f, i) =>
+      f.cast("double").as(s"__x$i") }
+    val base = df.select(
+      (col(treatCol).cast("double").as("__t") +:
+        col(outcomeCol).cast("double").as("__y") +: xs): _*)
+    val z = (0 until p).foldLeft(lit(w(0)): Column) { (acc, j) =>
+      acc + lit(w(j + 1)) * col(s"__x$j") }
+    val praw = lit(1.0) / (lit(1.0) + exp(-z))
+    val e = least(greatest(praw, lit(clip)), lit(1.0 - clip))
+    val term = col("__t") * col("__y") / e -
+      (lit(1.0) - col("__t")) * col("__y") / (lit(1.0) - e)
+    val wt = lit(1.0) / e
+    val wc = lit(1.0) / (lit(1.0) - e)
+    def dsum(c: Column) = sum(c.cast("decimal(38,12)"))
+    val agg = base.select(col("__t"), col("__y"),
+        round(term, 12).as("__term"),
+        round(wt, 12).as("__wt"), round(wt * wt, 12).as("__wt2"),
+        round(wc, 12).as("__wc"), round(wc * wc, 12).as("__wc2"))
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(col("__term")).as("__st"),
+        dsum(when(col("__t") === 1.0, col("__wt")).otherwise(lit(0.0)))
+          .as("__swt"),
+        dsum(when(col("__t") === 1.0, col("__wt2")).otherwise(lit(0.0)))
+          .as("__swt2"),
+        dsum(when(col("__t") === 0.0, col("__wc")).otherwise(lit(0.0)))
+          .as("__swc"),
+        dsum(when(col("__t") === 0.0, col("__wc2")).otherwise(lit(0.0)))
+          .as("__swc2"))
+    agg.select(col("n"),
+      (floor(col("__st").cast("double") / col("n").cast("double") * 1e9)
+        / 1e9).as("ate_ipw"),
+      (floor(col("__swt").cast("double") * col("__swt").cast("double")
+        / col("__swt2").cast("double") * 1e6) / 1e6).as("ess_treated"),
+      (floor(col("__swc").cast("double") * col("__swc").cast("double")
+        / col("__swc2").cast("double") * 1e6) / 1e6).as("ess_control"))
+  }
 }

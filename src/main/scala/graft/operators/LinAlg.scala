@@ -146,6 +146,31 @@ object LinAlg {
     * fixed expression both engines fold identically. Output: 3 rows
     * (feature, beta), beta floor-snapped at 1e6.
     */
+  /** Fixed-order Cramer expansion for the symmetric 3x3 system with
+    * columns (a11, a12, a13, a22, a23, a33, b1, b2, b3) — a21 = a12,
+    * a31 = a13, a32 = a23. Adds (det, d0, d1, d2); betas are d_i/det.
+    * Every consumer's SQL oracle must spell these formulas
+    * identically.
+    */
+  private def cramer3(solved: DataFrame): DataFrame =
+    solved
+      .withColumn("det",
+        col("a11") * (col("a22") * col("a33") - col("a23") * col("a23"))
+          - col("a12") * (col("a12") * col("a33") - col("a23") * col("a13"))
+          + col("a13") * (col("a12") * col("a23") - col("a22") * col("a13")))
+      .withColumn("d0",
+        col("b1") * (col("a22") * col("a33") - col("a23") * col("a23"))
+          - col("a12") * (col("b2") * col("a33") - col("a23") * col("b3"))
+          + col("a13") * (col("b2") * col("a23") - col("a22") * col("b3")))
+      .withColumn("d1",
+        col("a11") * (col("b2") * col("a33") - col("a23") * col("b3"))
+          - col("b1") * (col("a12") * col("a33") - col("a23") * col("a13"))
+          + col("a13") * (col("a12") * col("b3") - col("b2") * col("a13")))
+      .withColumn("d2",
+        col("a11") * (col("a22") * col("b3") - col("b2") * col("a23"))
+          - col("a12") * (col("a12") * col("b3") - col("b2") * col("a13"))
+          + col("b1") * (col("a12") * col("a23") - col("a22") * col("a13")))
+
   def ridgeNormalEq(
       df: DataFrame, yCol: String, x1Col: String, x2Col: String,
       lambda: Double): DataFrame = {
@@ -166,29 +191,87 @@ object LinAlg {
       (col("s11") + lit(lambda)).as("a22"), col("s12").as("a23"),
       (col("s22") + lit(lambda)).as("a33"),
       col("sy").as("b1"), col("s1y").as("b2"), col("s2y").as("b3"))
-    // symmetric A: a21 = a12, a31 = a13, a32 = a23. Fixed-order Cramer
-    // expansion — the SQL oracle must spell these formulas identically.
-    val withDet = solved
-      .withColumn("det",
-        col("a11") * (col("a22") * col("a33") - col("a23") * col("a23"))
-          - col("a12") * (col("a12") * col("a33") - col("a23") * col("a13"))
-          + col("a13") * (col("a12") * col("a23") - col("a22") * col("a13")))
-      .withColumn("d0",
-        col("b1") * (col("a22") * col("a33") - col("a23") * col("a23"))
-          - col("a12") * (col("b2") * col("a33") - col("a23") * col("b3"))
-          + col("a13") * (col("b2") * col("a23") - col("a22") * col("b3")))
-      .withColumn("d1",
-        col("a11") * (col("b2") * col("a33") - col("a23") * col("b3"))
-          - col("b1") * (col("a12") * col("a33") - col("a23") * col("a13"))
-          + col("a13") * (col("a12") * col("b3") - col("b2") * col("a13")))
-      .withColumn("d2",
-        col("a11") * (col("a22") * col("b3") - col("b2") * col("a23"))
-          - col("a12") * (col("a12") * col("b3") - col("b2") * col("a13"))
-          + col("b1") * (col("a12") * col("a23") - col("a22") * col("a13")))
+    val withDet = cramer3(solved)
     withDet.selectExpr(
       s"stack(3, 'intercept', d0 / det, '$x1Col', d1 / det, " +
         s"'$x2Col', d2 / det) AS (feature, beta)")
       .select(col("feature"),
         (floor(col("beta") * 1e6) / 1e6).as("beta"))
+  }
+
+  /** Leave-one-group-out influence on the ridge fit — "which data
+    * source moves the model": refit [[ridgeNormalEq]]'s system with
+    * each group's moments SUBTRACTED from the totals and report the
+    * coefficient shift. Because the fit is nine exact moments, the
+    * LOO sweep costs ONE grouped aggregate + per-group scalar algebra
+    * — no per-group refit pass over the data, which is what makes
+    * data-source attribution tractable at 100 TB (contrast actual
+    * refits: |groups| full scans). Moments stay DECIMAL through
+    * grouping, totaling, and subtraction (all exact), and go double
+    * only inside the shared fixed-order Cramer solve.
+    *
+    * Output: one row per (group, feature) with beta_full, beta_loo
+    * (both floor-snapped at 1e6) and delta = beta_loo − beta_full
+    * (snapped at 1e6 — the Cramer ratio cancels catastrophically on
+    * near-collinear systems, so a finer snap flips last-ulp
+    * divergence across grid lines).
+    */
+  def ridgeLooInfluence(
+      df: DataFrame, yCol: String, x1Col: String, x2Col: String,
+      lambda: Double, groupCol: String): DataFrame = {
+    require(lambda >= 0, s"lambda must be >= 0, got $lambda")
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(30,10)")
+    val x1 = col(x1Col).cast("double")
+    val x2 = col(x2Col).cast("double")
+    val y = col(yCol).cast("double")
+    val g = df.groupBy(col(groupCol).as("grp")).agg(
+      count(lit(1)).as("gn"),
+      sum(dec(x1)).as("gs1"), sum(dec(x2)).as("gs2"),
+      sum(dec(x1 * x1)).as("gs11"), sum(dec(x1 * x2)).as("gs12"),
+      sum(dec(x2 * x2)).as("gs22"),
+      sum(dec(y)).as("gsy"), sum(dec(x1 * y)).as("gs1y"),
+      sum(dec(x2 * y)).as("gs2y"))
+    val tot = g.agg(
+      sum(col("gn")).as("tn"),
+      sum(col("gs1")).as("ts1"), sum(col("gs2")).as("ts2"),
+      sum(col("gs11")).as("ts11"), sum(col("gs12")).as("ts12"),
+      sum(col("gs22")).as("ts22"),
+      sum(col("gsy")).as("tsy"), sum(col("gs1y")).as("ts1y"),
+      sum(col("gs2y")).as("ts2y"))
+    def sys(n: org.apache.spark.sql.Column, s1: org.apache.spark.sql.Column,
+        s2: org.apache.spark.sql.Column, s11: org.apache.spark.sql.Column,
+        s12: org.apache.spark.sql.Column, s22: org.apache.spark.sql.Column,
+        sy: org.apache.spark.sql.Column, s1y: org.apache.spark.sql.Column,
+        s2y: org.apache.spark.sql.Column) = Seq(
+      n.cast("double").as("a11"), s1.cast("double").as("a12"),
+      s2.cast("double").as("a13"),
+      (s11.cast("double") + lit(lambda)).as("a22"),
+      s12.cast("double").as("a23"),
+      (s22.cast("double") + lit(lambda)).as("a33"),
+      sy.cast("double").as("b1"), s1y.cast("double").as("b2"),
+      s2y.cast("double").as("b3"))
+    val full = cramer3(tot.select(sys(col("tn"), col("ts1"), col("ts2"),
+        col("ts11"), col("ts12"), col("ts22"), col("tsy"), col("ts1y"),
+        col("ts2y")): _*))
+      .select(col("det").as("fdet"), col("d0").as("fd0"),
+        col("d1").as("fd1"), col("d2").as("fd2"))
+    val loo = cramer3(g.crossJoin(broadcast(tot))
+      .select(col("grp") +: sys(
+        col("tn") - col("gn"), col("ts1") - col("gs1"),
+        col("ts2") - col("gs2"), col("ts11") - col("gs11"),
+        col("ts12") - col("gs12"), col("ts22") - col("gs22"),
+        col("tsy") - col("gsy"), col("ts1y") - col("gs1y"),
+        col("ts2y") - col("gs2y")): _*))
+    loo.crossJoin(broadcast(full))
+      .selectExpr("grp",
+        s"stack(3, 'intercept', d0 / det, fd0 / fdet, " +
+          s"'$x1Col', d1 / det, fd1 / fdet, " +
+          s"'$x2Col', d2 / det, fd2 / fdet) " +
+          "AS (feature, beta_loo, beta_full)")
+      .select(col("grp"), col("feature"),
+        (floor(col("beta_loo") * 1e6) / 1e6).as("beta_loo"),
+        (floor(col("beta_full") * 1e6) / 1e6).as("beta_full"),
+        (floor((col("beta_loo") - col("beta_full")) * 1e6) / 1e6)
+          .as("delta"))
   }
 }

@@ -417,7 +417,194 @@ object SketchQueries {
       FROM r ORDER BY day
     """.trim))
 
+  /** Leave-one-source-out ridge influence
+    * ([[LinAlg.ridgeLooInfluence]], groups = l_returnflag, the q314
+    * fit): which source moves each coefficient, computed from ONE
+    * grouped moment aggregate (never a per-group refit scan).
+    */
+  val q321LooInfluence = HarnessQuery(
+    "q321_loo_influence",
+    (spark, dir) =>
+      LinAlg.ridgeLooInfluence(Tables.lineitem(spark, dir),
+        "l_extendedprice", "l_quantity", "l_discount", lambda = 10.0,
+        groupCol = "l_returnflag")
+        .orderBy(col("grp"), col("feature")),
+    Some("""
+      WITH g AS (
+        SELECT l_returnflag AS grp, CAST(count(*) AS BIGINT) AS gn,
+               sum(CAST(l_quantity AS DECIMAL(30,10))) AS gs1,
+               sum(CAST(l_discount AS DECIMAL(30,10))) AS gs2,
+               sum(CAST(l_quantity * l_quantity AS DECIMAL(30,10))) AS gs11,
+               sum(CAST(l_quantity * l_discount AS DECIMAL(30,10))) AS gs12,
+               sum(CAST(l_discount * l_discount AS DECIMAL(30,10))) AS gs22,
+               sum(CAST(l_extendedprice AS DECIMAL(30,10))) AS gsy,
+               sum(CAST(l_quantity * l_extendedprice AS DECIMAL(30,10)))
+                 AS gs1y,
+               sum(CAST(l_discount * l_extendedprice AS DECIMAL(30,10)))
+                 AS gs2y
+        FROM lineitem GROUP BY 1),
+      t AS (
+        SELECT CAST(sum(gn) AS BIGINT) AS tn,
+               sum(gs1) AS ts1, sum(gs2) AS ts2, sum(gs11) AS ts11,
+               sum(gs12) AS ts12, sum(gs22) AS ts22, sum(gsy) AS tsy,
+               sum(gs1y) AS ts1y, sum(gs2y) AS ts2y
+        FROM g),
+      fs AS (
+        SELECT CAST(tn AS DOUBLE) AS a11, CAST(ts1 AS DOUBLE) AS a12,
+               CAST(ts2 AS DOUBLE) AS a13,
+               CAST(ts11 AS DOUBLE) + 10.0 AS a22,
+               CAST(ts12 AS DOUBLE) AS a23,
+               CAST(ts22 AS DOUBLE) + 10.0 AS a33,
+               CAST(tsy AS DOUBLE) AS b1, CAST(ts1y AS DOUBLE) AS b2,
+               CAST(ts2y AS DOUBLE) AS b3
+        FROM t),
+      fsol AS (
+        SELECT a11 * (a22 * a33 - a23 * a23)
+                 - a12 * (a12 * a33 - a23 * a13)
+                 + a13 * (a12 * a23 - a22 * a13) AS det,
+               b1 * (a22 * a33 - a23 * a23)
+                 - a12 * (b2 * a33 - a23 * b3)
+                 + a13 * (b2 * a23 - a22 * b3) AS d0,
+               a11 * (b2 * a33 - a23 * b3)
+                 - b1 * (a12 * a33 - a23 * a13)
+                 + a13 * (a12 * b3 - b2 * a13) AS d1,
+               a11 * (a22 * b3 - b2 * a23)
+                 - a12 * (a12 * b3 - b2 * a13)
+                 + b1 * (a12 * a23 - a22 * a13) AS d2
+        FROM fs),
+      ls AS (
+        SELECT grp, CAST(tn - gn AS DOUBLE) AS a11,
+               CAST(ts1 - gs1 AS DOUBLE) AS a12,
+               CAST(ts2 - gs2 AS DOUBLE) AS a13,
+               CAST(ts11 - gs11 AS DOUBLE) + 10.0 AS a22,
+               CAST(ts12 - gs12 AS DOUBLE) AS a23,
+               CAST(ts22 - gs22 AS DOUBLE) + 10.0 AS a33,
+               CAST(tsy - gsy AS DOUBLE) AS b1,
+               CAST(ts1y - gs1y AS DOUBLE) AS b2,
+               CAST(ts2y - gs2y AS DOUBLE) AS b3
+        FROM g, t),
+      lsol AS (
+        SELECT grp,
+               a11 * (a22 * a33 - a23 * a23)
+                 - a12 * (a12 * a33 - a23 * a13)
+                 + a13 * (a12 * a23 - a22 * a13) AS det,
+               b1 * (a22 * a33 - a23 * a23)
+                 - a12 * (b2 * a33 - a23 * b3)
+                 + a13 * (b2 * a23 - a22 * b3) AS d0,
+               a11 * (b2 * a33 - a23 * b3)
+                 - b1 * (a12 * a33 - a23 * a13)
+                 + a13 * (a12 * b3 - b2 * a13) AS d1,
+               a11 * (a22 * b3 - b2 * a23)
+                 - a12 * (a12 * b3 - b2 * a13)
+                 + b1 * (a12 * a23 - a22 * a13) AS d2
+        FROM ls),
+      u AS (
+        SELECT grp, 'intercept' AS feature,
+               l.d0 / l.det AS bl, f.d0 / f.det AS bf
+        FROM lsol l, fsol f
+        UNION ALL
+        SELECT grp, 'l_quantity', l.d1 / l.det, f.d1 / f.det
+        FROM lsol l, fsol f
+        UNION ALL
+        SELECT grp, 'l_discount', l.d2 / l.det, f.d2 / f.det
+        FROM lsol l, fsol f)
+      SELECT grp, feature,
+             floor(bl * 1e6) / 1e6 AS beta_loo,
+             floor(bf * 1e6) / 1e6 AS beta_full,
+             floor((bl - bf) * 1e6) / 1e6 AS delta
+      FROM u ORDER BY grp, feature
+    """.trim))
+
+  /** IPW average treatment effect with per-arm Kish ESS
+    * ([[Experiment.ipwAte]]): propensity = the q265 logistic-GD fit
+    * (3 rounds, lr 0.1) of label parity on the first two embedding
+    * coordinates, outcome = coordinate 4, clip 0.05. The oracle
+    * unrolls the identical GD chain, scores, clips, and takes the
+    * same decimal-accumulated Horvitz-Thompson sums.
+    */
+  val q322IpwAte = HarnessQuery(
+    "q322_ipw_ate",
+    (spark, dir) => {
+      val e = Tables.embeddings(spark, dir)
+        .withColumn("t", col("label") % 2)
+        .withColumn("o", col("embedding")(3))
+      Experiment.ipwAte(e,
+        Seq(col("embedding")(0), col("embedding")(1)),
+        "t", "o", iters = 3, lr = 0.1)
+    },
+    Some("""
+      WITH e AS (SELECT CAST(label % 2 AS DOUBLE) AS y,
+                        CAST(embedding[1] AS DOUBLE) AS x0,
+                        CAST(embedding[2] AS DOUBLE) AS x1,
+                        CAST(embedding[4] AS DOUBLE) AS o
+                 FROM embeddings),
+      g1 AS (SELECT
+               sum(CAST(round(1.0/(1.0+exp(-(0.0))) - y, 12)
+                        AS DECIMAL(38,12))) AS s0,
+               sum(CAST(round((1.0/(1.0+exp(-(0.0))) - y) * x0, 12)
+                        AS DECIMAL(38,12))) AS s1,
+               sum(CAST(round((1.0/(1.0+exp(-(0.0))) - y) * x1, 12)
+                        AS DECIMAL(38,12))) AS s2,
+               count(*) AS n FROM e),
+      w1 AS (SELECT round(0.0 - 0.1 * (CAST(s0 AS DOUBLE) / n), 12) AS b,
+                    round(0.0 - 0.1 * (CAST(s1 AS DOUBLE) / n), 12) AS w0,
+                    round(0.0 - 0.1 * (CAST(s2 AS DOUBLE) / n), 12) AS w1
+             FROM g1),
+      g2 AS (SELECT
+               sum(CAST(round(1.0/(1.0+exp(-(b + w0*x0 + w1*x1))) - y, 12)
+                        AS DECIMAL(38,12))) AS s0,
+               sum(CAST(round((1.0/(1.0+exp(-(b + w0*x0 + w1*x1))) - y) * x0, 12)
+                        AS DECIMAL(38,12))) AS s1,
+               sum(CAST(round((1.0/(1.0+exp(-(b + w0*x0 + w1*x1))) - y) * x1, 12)
+                        AS DECIMAL(38,12))) AS s2,
+               count(*) AS n FROM e, w1),
+      w2 AS (SELECT round(w1.b - 0.1 * (CAST(s0 AS DOUBLE) / n), 12) AS b,
+                    round(w1.w0 - 0.1 * (CAST(s1 AS DOUBLE) / n), 12) AS w0,
+                    round(w1.w1 - 0.1 * (CAST(s2 AS DOUBLE) / n), 12) AS w1
+             FROM g2, w1),
+      g3 AS (SELECT
+               sum(CAST(round(1.0/(1.0+exp(-(b + w0*x0 + w1*x1))) - y, 12)
+                        AS DECIMAL(38,12))) AS s0,
+               sum(CAST(round((1.0/(1.0+exp(-(b + w0*x0 + w1*x1))) - y) * x0, 12)
+                        AS DECIMAL(38,12))) AS s1,
+               sum(CAST(round((1.0/(1.0+exp(-(b + w0*x0 + w1*x1))) - y) * x1, 12)
+                        AS DECIMAL(38,12))) AS s2,
+               count(*) AS n FROM e, w2),
+      w3 AS (SELECT round(w2.b - 0.1 * (CAST(s0 AS DOUBLE) / n), 12) AS b,
+                    round(w2.w0 - 0.1 * (CAST(s1 AS DOUBLE) / n), 12) AS w0,
+                    round(w2.w1 - 0.1 * (CAST(s2 AS DOUBLE) / n), 12) AS w1
+             FROM g3, w2),
+      sc AS (SELECT e.y AS t, e.o,
+                    least(greatest(1.0/(1.0+exp(-(b + w0*x0 + w1*x1))),
+                                   CAST(0.05 AS DOUBLE)),
+                          1 - CAST(0.05 AS DOUBLE)) AS p
+             FROM e, w3),
+      s AS (SELECT count(*) AS n,
+                   sum(CAST(round(t * o / p - (1 - t) * o / (1 - p), 12)
+                     AS DECIMAL(38,12))) AS st,
+                   sum(CAST(CASE WHEN t = 1.0 THEN round(1.0 / p, 12)
+                     ELSE 0 END AS DECIMAL(38,12))) AS swt,
+                   sum(CAST(CASE WHEN t = 1.0
+                     THEN round((1.0 / p) * (1.0 / p), 12)
+                     ELSE 0 END AS DECIMAL(38,12))) AS swt2,
+                   sum(CAST(CASE WHEN t = 0.0 THEN round(1.0 / (1 - p), 12)
+                     ELSE 0 END AS DECIMAL(38,12))) AS swc,
+                   sum(CAST(CASE WHEN t = 0.0
+                     THEN round((1.0 / (1 - p)) * (1.0 / (1 - p)), 12)
+                     ELSE 0 END AS DECIMAL(38,12))) AS swc2
+            FROM sc)
+      SELECT n,
+             floor(CAST(st AS DOUBLE) / CAST(n AS DOUBLE) * 1e9) / 1e9
+               AS ate_ipw,
+             floor(CAST(swt AS DOUBLE) * CAST(swt AS DOUBLE)
+               / CAST(swt2 AS DOUBLE) * 1e6) / 1e6 AS ess_treated,
+             floor(CAST(swc AS DOUBLE) * CAST(swc AS DOUBLE)
+               / CAST(swc2 AS DOUBLE) * 1e6) / 1e6 AS ess_control
+      FROM s
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q312HllDistinct, q313PrefixJaccard, q314RidgeFit, q316Modularity,
-    q317HoltTrend, q318DbscanCore, q319Sprt, q320Breakpoint)
+    q317HoltTrend, q318DbscanCore, q319Sprt, q320Breakpoint,
+    q321LooInfluence, q322IpwAte)
 }

@@ -247,4 +247,79 @@ class SketchOpsSpec extends SparkSpec {
     assert(out.filter(_.getAs[Boolean]("is_best"))
       .head.getAs[Long]("day") === 1L)
   }
+
+  test("ridgeLooInfluence: a group that fits the global line has ~zero " +
+    "influence; an outlier group has visibly more") {
+    val clean = (1 to 60).map { i =>
+      val x1 = (i % 10).toDouble; val x2 = (i % 4).toDouble
+      ("clean" + (i % 2), 1.0 + 2.0 * x1 + 3.0 * x2, x1, x2)
+    }
+    // outlier source: same x-range, shifted intercept
+    val dirty = (1 to 20).map { i =>
+      val x1 = (i % 10).toDouble; val x2 = (i % 4).toDouble
+      ("dirty", 50.0 + 2.0 * x1 + 3.0 * x2, x1, x2)
+    }
+    val df = (clean ++ dirty).toDF("src", "y", "x1", "x2")
+    val out = LinAlg.ridgeLooInfluence(df, "y", "x1", "x2",
+      lambda = 0.0, groupCol = "src").collect()
+    assert(out.length === 9) // 3 groups x 3 features
+    // with "dirty" excluded the remaining data is EXACTLY linear, so
+    // the LOO fit recovers the clean generating coefficients
+    val dirtyLoo = out.filter(_.getString(0) == "dirty")
+      .map(r => r.getAs[String]("feature") -> r.getAs[Double]("beta_loo"))
+      .toMap
+    assert(math.abs(dirtyLoo("intercept") - 1.0) < 1e-4)
+    assert(math.abs(dirtyLoo("x1") - 2.0) < 1e-4)
+    assert(math.abs(dirtyLoo("x2") - 3.0) < 1e-4)
+    // while the full (contaminated) intercept sits far from 1
+    val fullIntercept = out
+      .filter(r => r.getAs[String]("feature") == "intercept")
+      .head.getAs[Double]("beta_full")
+    assert(math.abs(fullIntercept - 1.0) > 5.0)
+  }
+
+  test("ridgeLooInfluence: beta_full agrees with ridgeNormalEq") {
+    val df = (1 to 50).map { i =>
+      val x1 = i.toDouble; val x2 = (i % 7).toDouble
+      ("g" + (i % 3), 2.0 + 3.0 * x1 - x2, x1, x2)
+    }.toDF("src", "y", "x1", "x2")
+    val full = LinAlg.ridgeNormalEq(df, "y", "x1", "x2", 5.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val loo = LinAlg.ridgeLooInfluence(df, "y", "x1", "x2", 5.0, "src")
+      .select(col("feature"), col("beta_full")).distinct()
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(loo === full)
+  }
+
+  test("ipwAte: a null effect with balanced arms estimates ~0 and " +
+    "keeps ESS near the arm sizes") {
+    // treatment independent of outcome; x features uninformative
+    val df = (1 to 400).map { i =>
+      val t = i % 2
+      (t, 10.0 + (i % 5).toDouble, (i % 3).toDouble, (i % 7).toDouble)
+    }.toDF("t", "o", "x1", "x2")
+    val out = Experiment.ipwAte(df,
+      Seq(col("x1"), col("x2")), "t", "o", iters = 3, lr = 0.1)
+      .collect().head
+    assert(out.getAs[Long]("n") === 400L)
+    assert(math.abs(out.getAs[Double]("ate_ipw")) < 0.5)
+    // near-uniform weights: ESS close to 200 per arm
+    assert(out.getAs[Double]("ess_treated") > 150)
+    assert(out.getAs[Double]("ess_control") > 150)
+  }
+
+  test("ipwAte: recovers a constant additive effect under a covariate-" +
+    "dependent (but overlapping) assignment") {
+    // assignment depends on x1 deterministically ONLY through parity
+    // mixing; outcome = 5 + 2*t + x1
+    val df = (1 to 600).map { i =>
+      val x1 = (i % 4).toDouble
+      val t = if ((i + i / 4) % 2 == 0) 1 else 0
+      (t, 5.0 + 2.0 * t + x1, x1, 1.0)
+    }.toDF("t", "o", "x1", "x2")
+    val out = Experiment.ipwAte(df,
+      Seq(col("x1"), col("x2")), "t", "o", iters = 3, lr = 0.1)
+      .collect().head
+    assert(math.abs(out.getAs[Double]("ate_ipw") - 2.0) < 0.5)
+  }
 }
