@@ -216,6 +216,71 @@ object LinAlg {
     * near-collinear systems, so a finer snap flips last-ulp
     * divergence across grid lines).
     */
+  /** Ridge regularization path — the WHOLE lambda sweep from ONE data
+    * pass: the nine moments (plus y'y) determine every fit, so each
+    * lambda is a scalar Cramer solve and a fixed-order quadratic form,
+    * and the sweep costs |lambdas| rows of algebra, zero extra scans.
+    * This is the model-selection shape that matters at 100 TB: tuning
+    * loops must not multiply passes over the data.
+    *
+    * Output per lambda: (lambda, beta_intercept, beta_x1, beta_x2,
+    * sse, slope_l2) — SSE assembled from moments as
+    * y'y − 2·β'X'y + β'X'Xβ (fixed expansion order), slope_l2 the
+    * penalized-coefficient norm that the path trades against it.
+    * Betas snap at 1e6 and SSE/slope_l2 are computed FROM the snapped
+    * betas (see the inline note), then snap at 1e2/1e4.
+    */
+  def ridgePath(
+      df: DataFrame, yCol: String, x1Col: String, x2Col: String,
+      lambdas: Seq[Double]): DataFrame = {
+    require(lambdas.nonEmpty, "need at least one lambda")
+    require(lambdas.forall(_ >= 0), "lambdas must be >= 0")
+    def dsum(c: org.apache.spark.sql.Column) =
+      sum(c.cast("decimal(30,10)")).cast("double")
+    val x1 = col(x1Col).cast("double")
+    val x2 = col(x2Col).cast("double")
+    val y = col(yCol).cast("double")
+    val m = df.agg(
+      count(lit(1)).cast("double").as("n"),
+      dsum(x1).as("s1"), dsum(x2).as("s2"),
+      dsum(x1 * x1).as("s11"), dsum(x1 * x2).as("s12"),
+      dsum(x2 * x2).as("s22"),
+      dsum(y).as("sy"), dsum(x1 * y).as("s1y"), dsum(x2 * y).as("s2y"),
+      dsum(y * y).as("syy"))
+    val lambdaTable = broadcast(df.sparkSession
+      .createDataFrame(lambdas.map(Tuple1(_))).toDF("lambda"))
+    val solved = cramer3(m.crossJoin(lambdaTable).select(
+      col("lambda"), col("syy"), col("s11"), col("s22"),
+      col("n").as("a11"), col("s1").as("a12"), col("s2").as("a13"),
+      (col("s11") + col("lambda")).as("a22"), col("s12").as("a23"),
+      (col("s22") + col("lambda")).as("a33"),
+      col("sy").as("b1"), col("s1y").as("b2"), col("s2y").as("b3")))
+      // the Cramer ratios diverge by last ulps across engines and the
+      // quadratic form amplifies that ~|X'X|-fold, so SSE is computed
+      // from the SNAPPED betas — identical doubles by construction —
+      // rather than the raw ones
+      .withColumn("b0", floor((col("d0") / col("det")) * 1e6) / 1e6)
+      .withColumn("bx1", floor((col("d1") / col("det")) * 1e6) / 1e6)
+      .withColumn("bx2", floor((col("d2") / col("det")) * 1e6) / 1e6)
+    solved.select(col("lambda"),
+      col("b0").as("beta_intercept"),
+      col("bx1").as("beta_x1"),
+      col("bx2").as("beta_x2"),
+      (floor((col("syy")
+        - lit(2.0) * (col("b0") * col("b1") + col("bx1") * col("b2")
+          + col("bx2") * col("b3"))
+        + (col("b0") * col("b0") * col("a11")
+          + col("bx1") * col("bx1") * col("s11")
+          + col("bx2") * col("bx2") * col("s22")
+          + lit(2.0) * col("b0") * col("bx1") * col("a12")
+          + lit(2.0) * col("b0") * col("bx2") * col("a13")
+          + lit(2.0) * col("bx1") * col("bx2") * col("a23"))) * 1e2)
+        / 1e2).as("sse"),
+      (floor((col("bx1") * col("bx1") + col("bx2") * col("bx2")) * 1e4)
+        / 1e4).as("slope_l2"))
+      .orderBy(col("lambda"))
+  }
+
   def ridgeLooInfluence(
       df: DataFrame, yCol: String, x1Col: String, x2Col: String,
       lambda: Double, groupCol: String): DataFrame = {

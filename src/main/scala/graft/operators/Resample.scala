@@ -67,4 +67,62 @@ object Resample {
         coalesce(col("__n"), lit(0L)).as("n_events"),
         coalesce(col("__s").cast("double"), lit(0.0)).as("sum_value"))
   }
+
+  /** Systematic probability-proportional-to-size sampling WITHIN
+    * STRATA — the survey-sampling design: inside each stratum, lay a
+    * deterministic grid of `nPerStratum` equally spaced points over
+    * the cumulative weight axis (offset half a step — the "random
+    * start" pinned to 0.5 for reproducibility) and give each row one
+    * copy per grid point that lands in its cumulative-weight
+    * interval. Every row's inclusion count is within ±1 of
+    * nPerStratum · w_i/W_stratum (the PPS guarantee); rows heavier
+    * than one step are taken MULTIPLE times, which is the correct
+    * certainty-selection behavior, not a defect.
+    *
+    * Scale shape: the cumulative weight is a window WITHIN each
+    * stratum (ordered by id — the PPS frame order), so parallelism is
+    * across strata; a single global unstratified sweep would need the
+    * two-phase prefix-sum (per-partition partials + offsets) instead
+    * of this window — callers with one giant stratum should shard it
+    * first. Weights accumulate in DECIMAL, so interval boundaries are
+    * exact and the grid-count arithmetic replays engine-for-engine.
+    * Non-positive/null weights are excluded explicitly.
+    *
+    * Output: (stratumCol, idCol, weight, copies), copies >= 1 rows
+    * only.
+    */
+  def systematicPps(
+      df: DataFrame, stratumCol: String, idCol: String,
+      weightCol: String, nPerStratum: Int): DataFrame = {
+    require(nPerStratum >= 1, s"nPerStratum must be >= 1: $nPerStratum")
+    val base = df
+      .filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .select(col(stratumCol).as("stratum"), col(idCol).as("id"),
+        col(weightCol).cast("double").as("weight"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stratum")).orderBy(col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = base
+      .withColumn("__cw", sum(col("weight").cast("decimal(30,6)")).over(w))
+    val tot = base.groupBy(col("stratum"))
+      .agg(sum(col("weight").cast("decimal(30,6)")).as("__tw"))
+    // grid points at (j + 0.5) * step, j = 0..n-1; a row's copies =
+    // (#grid points <= cw) - (#grid points <= cw_prev), computed as
+    // floor(cw/step + 0.5) clamped to n
+    val joined = cum.join(tot, Seq("stratum"))
+      .withColumn("__step",
+        col("__tw").cast("double") / lit(nPerStratum.toDouble))
+      .withColumn("__hi",
+        least(floor(col("__cw").cast("double") / col("__step") + lit(0.5)),
+          lit(nPerStratum.toLong)))
+      .withColumn("__lo",
+        least(floor((col("__cw") - col("weight").cast("decimal(30,6)"))
+          .cast("double") / col("__step") + lit(0.5)),
+          lit(nPerStratum.toLong)))
+      .withColumn("copies", (col("__hi") - col("__lo")).cast("long"))
+    joined.filter(col("copies") >= 1)
+      .select(col("stratum").as(stratumCol), col("id").as(idCol),
+        col("weight"), col("copies"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -10,10 +11,11 @@ import graft.functions.TextFunctions
   * `count(distinct item)` would shuffle every distinct key. The
   * sketch state per group is m = 64 registers (one byte each); the
   * shuffle carries at most 64 rows per group regardless of input
-  * size, and register tables from disjoint shards merge by `max` —
-  * the same property `approx_count_distinct` exploits internally,
-  * exposed here as an inspectable table so estimates can be audited
-  * against exact counts (reference behavior: pandas `nunique`,
+  * size, and register tables from disjoint shards — or adjacent
+  * window panes — merge by `max`, the property
+  * `approx_count_distinct` exploits internally, exposed here as an
+  * inspectable table so estimates can be audited against exact
+  * counts (reference behavior: pandas `nunique`,
   * `/root/reference/src/eda/analyze_data.py:24` — this is its
   * at-scale replacement with an error contract).
   *
@@ -33,13 +35,12 @@ object Sketches {
   private val Alpha = 0.709 // HLL bias constant for m = 64
   private val PowWidth = 18014398509481984.0 // 2^54
 
-  /** Per-group HLL estimate with its exact check. Output per group:
-    * (groupCol, used_registers, zero_registers, est, exact, rel_err);
-    * `est` applies the standard small-range linear-counting
-    * correction (E <= 2.5 m with empty registers). `est`/`rel_err`
-    * floor-snapped at 1e6 so the double division is hash-stable.
+  /** Raw register table: one row per (group, bucket) with the max
+    * rank. The mergeable sketch state — shards/panes combine with a
+    * further per-bucket `max`.
     */
-  def hllDistinct(df: DataFrame, groupCol: String, itemCol: String): DataFrame = {
+  private def registerTable(
+      df: DataFrame, groupCol: String, itemCol: String): DataFrame = {
     val h = TextFunctions.md5Hash60(col(itemCol).cast("string"))
     val hashed = df
       .filter(col(itemCol).isNotNull)
@@ -49,18 +50,19 @@ object Sketches {
         expr(s"__h div ${M.toLong}").as("__w"))
     val rho = when(col("__w") === 0L, lit(WidthBits + 1))
       .otherwise(lit(WidthBits + 1) - length(bin(col("__w"))))
-    val regs = hashed
+    hashed
       .groupBy(col("g"), col("__b"))
       .agg(max(rho).cast("int").as("__m"))
-    val perGroup = regs
-      .groupBy(col("g"))
-      .agg(
-        count(lit(1)).cast("int").as("used_registers"),
-        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $WidthBits - __m)"))
-          .as("__sum"))
+  }
+
+  /** Estimate columns from a per-group register aggregate holding
+    * `used_registers` and the integer harmonic sum `__sum`; adds
+    * (zero_registers, __est) with the small-range linear-counting
+    * correction applied.
+    */
+  private def withEstimate(agg: DataFrame): DataFrame =
+    agg
       .withColumn("zero_registers", lit(M) - col("used_registers"))
-      // empty registers contribute 2^-0 = 1 to the harmonic sum,
-      // i.e. 2^54 each on the integer scale
       .withColumn("__s",
         col("__sum") + col("zero_registers").cast("long") * lit(PowWidth.toLong))
       .withColumn("__raw",
@@ -69,6 +71,20 @@ object Sketches {
         when(col("__raw") <= lit(2.5 * M) && col("zero_registers") > 0,
           lit(M.toDouble) * log(lit(M.toDouble) / col("zero_registers").cast("double")))
           .otherwise(col("__raw")))
+
+  /** Per-group HLL estimate with its exact check. Output per group:
+    * (groupCol, used_registers, zero_registers, est, exact, rel_err);
+    * `est` applies the standard small-range linear-counting
+    * correction (E <= 2.5 m with empty registers). `est`/`rel_err`
+    * floor-snapped at 1e6 so the double division is hash-stable.
+    */
+  def hllDistinct(df: DataFrame, groupCol: String, itemCol: String): DataFrame = {
+    val perGroup = withEstimate(registerTable(df, groupCol, itemCol)
+      .groupBy(col("g"))
+      .agg(
+        count(lit(1)).cast("int").as("used_registers"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $WidthBits - __m)"))
+          .as("__sum")))
     val exact = df
       .filter(col(itemCol).isNotNull)
       .groupBy(col(groupCol).as("g"))
@@ -76,6 +92,61 @@ object Sketches {
     perGroup.join(exact, Seq("g"))
       .select(col("g").as(groupCol),
         col("used_registers"), col("zero_registers"),
+        (floor(col("__est") * 1e6) / 1e6).as("est"),
+        col("exact"),
+        (floor(abs(col("__est") - col("exact").cast("double"))
+          / col("exact").cast("double") * 1e6) / 1e6).as("rel_err"))
+  }
+
+  /** Trailing-window distinct estimate via PANE MERGE — the streaming
+    * distinct-count shape: one register table per (day, bucket), then
+    * each day's trailing `windowDays` estimate is a register-wise
+    * `max` over its panes. The data-sized work happens ONCE per pane
+    * (not once per window); the merge runs over days × 64 rows. The
+    * exact trailing distinct (audit column) is re-counted per window
+    * — at production scale you would ship only the sketch columns and
+    * drop that check.
+    *
+    * Output per day: (day, used_registers, est, exact, rel_err),
+    * est/rel_err floor-snapped at 1e6.
+    */
+  def hllSlidingDistinct(
+      df: DataFrame, tsCol: String, itemCol: String,
+      windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val micros = 86400L * 1000000L
+    def dayOf(c: Column): Column =
+      ((unix_micros(c) - pmod(unix_micros(c), lit(micros))) / lit(micros))
+        .cast("long")
+    val spark = df.sparkSession
+    val byDay = df.select(dayOf(col(tsCol)).as("g"), col(itemCol).as("item"))
+    val regs = registerTable(byDay, "g", "item")
+      .select(col("g").as("day"), col("__b"), col("__m"))
+    // dense (day x bucket) grid so absent panes still participate in
+    // the range window (a missing bucket must not shrink the frame)
+    val days = byDay.select(col("g").as("day")).distinct()
+    val grid = days.crossJoin(
+      broadcast(spark.range(M.toLong).select(col("id").as("__b"))))
+    val merged = grid.join(regs, Seq("day", "__b"), "left")
+      .withColumn("__mm", max(col("__m")).over(
+        Window.partitionBy(col("__b")).orderBy(col("day"))
+          .rangeBetween(-(windowDays - 1).toLong, 0L)))
+    val perDay = withEstimate(merged
+      .filter(col("__mm").isNotNull)
+      .groupBy(col("day"))
+      .agg(
+        count(lit(1)).cast("int").as("used_registers"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $WidthBits - __mm)"))
+          .as("__sum")))
+    // exact trailing distinct: per-day distinct items joined onto the
+    // day grid within the window — the audit side, O(days * window)
+    val dayItems = byDay.select(col("g").as("__d"), col("item")).distinct()
+    val exact = days.join(dayItems,
+        col("__d") >= col("day") - (windowDays - 1) && col("__d") <= col("day"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("item")).as("exact"))
+    perDay.join(exact, Seq("day"))
+      .select(col("day"), col("used_registers"),
         (floor(col("__est") * 1e6) / 1e6).as("est"),
         col("exact"),
         (floor(abs(col("__est") - col("exact").cast("double"))

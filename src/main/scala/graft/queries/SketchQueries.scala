@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
 import graft.operators.{Components, Density, Experiment, Graphs, LinAlg,
-  Sketches, TextDedup, TimeSeries}
+  Resample, Sketches, TextDedup, TimeSeries}
 import graft.sources.Tables
 
 /** Round-7 estimator additions: HyperLogLog cardinality sketching with
@@ -603,8 +603,186 @@ object SketchQueries {
       FROM s
     """.trim))
 
+  /** Ridge regularization path ([[LinAlg.ridgePath]], five lambdas
+    * from 0 to 1e6): the whole sweep from one ten-moment aggregate —
+    * SSE rises and the slope norm falls monotonically along the path.
+    */
+  val q323RidgePath = HarnessQuery(
+    "q323_ridge_path",
+    (spark, dir) =>
+      LinAlg.ridgePath(Tables.lineitem(spark, dir),
+        "l_extendedprice", "l_quantity", "l_discount",
+        Seq(0.0, 1.0, 100.0, 10000.0, 1000000.0))
+        .orderBy(col("lambda")),
+    Some("""
+      WITH m AS (
+        SELECT
+          CAST(count(*) AS DOUBLE) AS n,
+          CAST(sum(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE) AS s1,
+          CAST(sum(CAST(l_discount AS DECIMAL(30,10))) AS DOUBLE) AS s2,
+          CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(30,10)))
+            AS DOUBLE) AS s11,
+          CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(30,10)))
+            AS DOUBLE) AS s12,
+          CAST(sum(CAST(l_discount * l_discount AS DECIMAL(30,10)))
+            AS DOUBLE) AS s22,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE) AS sy,
+          CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(30,10)))
+            AS DOUBLE) AS s1y,
+          CAST(sum(CAST(l_discount * l_extendedprice AS DECIMAL(30,10)))
+            AS DOUBLE) AS s2y,
+          CAST(sum(CAST(l_extendedprice * l_extendedprice
+            AS DECIMAL(30,10))) AS DOUBLE) AS syy
+        FROM lineitem),
+      lam AS (SELECT CAST(v AS DOUBLE) AS lambda
+              FROM (VALUES (0), (1), (100), (10000), (1000000)) l(v)),
+      sys AS (
+        SELECT lambda, syy, s11, s22,
+               n AS a11, s1 AS a12, s2 AS a13,
+               s11 + lambda AS a22, s12 AS a23, s22 + lambda AS a33,
+               sy AS b1, s1y AS b2, s2y AS b3
+        FROM m, lam),
+      sol AS (
+        SELECT lambda, syy, s11, s22, a11, a12, a13, a22, a23, a33,
+               b1, b2, b3,
+               a11 * (a22 * a33 - a23 * a23)
+                 - a12 * (a12 * a33 - a23 * a13)
+                 + a13 * (a12 * a23 - a22 * a13) AS det,
+               b1 * (a22 * a33 - a23 * a23)
+                 - a12 * (b2 * a33 - a23 * b3)
+                 + a13 * (b2 * a23 - a22 * b3) AS d0,
+               a11 * (b2 * a33 - a23 * b3)
+                 - b1 * (a12 * a33 - a23 * a13)
+                 + a13 * (a12 * b3 - b2 * a13) AS d1,
+               a11 * (a22 * b3 - b2 * a23)
+                 - a12 * (a12 * b3 - b2 * a13)
+                 + b1 * (a12 * a23 - a22 * a13) AS d2
+        FROM sys),
+      beta AS (
+        SELECT lambda, syy, s11, s22, a11, a12, a13, a23, b1, b2, b3,
+               floor((d0 / det) * 1e6) / 1e6 AS b0,
+               floor((d1 / det) * 1e6) / 1e6 AS bx1,
+               floor((d2 / det) * 1e6) / 1e6 AS bx2
+        FROM sol)
+      SELECT lambda,
+             b0 AS beta_intercept,
+             bx1 AS beta_x1,
+             bx2 AS beta_x2,
+             floor((syy
+               - 2.0 * (b0 * b1 + bx1 * b2 + bx2 * b3)
+               + (b0 * b0 * a11
+                 + bx1 * bx1 * s11
+                 + bx2 * bx2 * s22
+                 + 2.0 * b0 * bx1 * a12
+                 + 2.0 * b0 * bx2 * a13
+                 + 2.0 * bx1 * bx2 * a23)) * 1e2) / 1e2 AS sse,
+             floor((bx1 * bx1 + bx2 * bx2) * 1e4) / 1e4 AS slope_l2
+      FROM beta ORDER BY lambda
+    """.trim))
+
+  /** Trailing-7-day distinct users per day via HLL pane merge
+    * ([[Sketches.hllSlidingDistinct]]): one register table per day,
+    * window merged register-wise — the streaming distinct shape —
+    * with the exact trailing distinct as the audit column.
+    */
+  val q324HllSliding = HarnessQuery(
+    "q324_hll_sliding",
+    (spark, dir) =>
+      Sketches.hllSlidingDistinct(Tables.events(spark, dir),
+        "ts", "user_id", windowDays = 7)
+        .orderBy(col("day")),
+    Some("""
+      WITH ev AS (
+        SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+                 AS BIGINT) AS day,
+               CAST(user_id AS VARCHAR) AS item
+        FROM events),
+      h AS (SELECT day,
+              CAST(('0x' || substr(md5(item), 1, 15)) AS BIGINT) AS h
+            FROM ev),
+      b AS (SELECT day, h % 64 AS b, h // 64 AS w FROM h),
+      r AS (SELECT day, b,
+              CAST(max(CASE WHEN w = 0 THEN 55
+                ELSE 55 - length(bin(w)) END) AS INT) AS m
+            FROM b GROUP BY 1, 2),
+      days AS (SELECT DISTINCT day FROM ev),
+      grid AS (SELECT d.day, g.b FROM days d, generate_series(0, 63) g(b)),
+      mg AS (
+        SELECT grid.day, grid.b,
+               max(r.m) OVER (PARTITION BY grid.b ORDER BY grid.day
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS mm
+        FROM grid LEFT JOIN r ON r.day = grid.day AND r.b = grid.b),
+      agg AS (
+        SELECT day, CAST(count(*) AS INT) AS used_registers,
+               CAST(sum(CAST(1 AS BIGINT) << (54 - mm)) AS BIGINT) AS s0
+        FROM mg WHERE mm IS NOT NULL GROUP BY 1),
+      est AS (
+        SELECT day, used_registers, 64 - used_registers AS zr,
+               (CAST(0.709 AS DOUBLE) * 64 * 64 * 18014398509481984.0)
+                 / CAST(s0 + CAST(64 - used_registers AS BIGINT)
+                     * 18014398509481984 AS DOUBLE) AS raw
+        FROM agg),
+      fin AS (
+        SELECT day, used_registers,
+               CASE WHEN raw <= 160.0 AND zr > 0
+                    THEN 64.0 * ln(64.0 / zr) ELSE raw END AS e
+        FROM est),
+      di AS (SELECT DISTINCT day AS d, item FROM ev),
+      ex AS (
+        SELECT days.day, count(DISTINCT di.item) AS exact
+        FROM days JOIN di ON di.d >= days.day - 6 AND di.d <= days.day
+        GROUP BY 1)
+      SELECT fin.day, used_registers,
+             floor(e * 1e6) / 1e6 AS est, exact,
+             floor(abs(e - exact) / exact * 1e6) / 1e6 AS rel_err
+      FROM fin JOIN ex ON fin.day = ex.day
+      ORDER BY fin.day
+    """.trim))
+
+  /** Stratified systematic PPS sample ([[Resample.systematicPps]],
+    * 50 draws per order priority, weight = o_totalprice): copies per
+    * kept order from the deterministic half-step grid over the exact
+    * decimal cumulative-weight axis.
+    */
+  val q325PpsSample = HarnessQuery(
+    "q325_pps_sample",
+    (spark, dir) =>
+      Resample.systematicPps(Tables.orders(spark, dir),
+        "o_orderpriority", "o_orderkey", "o_totalprice",
+        nPerStratum = 50)
+        .orderBy(col("o_orderpriority"), col("o_orderkey")),
+    Some("""
+      WITH base AS (
+        SELECT o_orderpriority AS stratum, o_orderkey AS id,
+               CAST(o_totalprice AS DOUBLE) AS weight
+        FROM orders
+        WHERE o_totalprice IS NOT NULL AND o_totalprice > 0),
+      c AS (
+        SELECT stratum, id, weight,
+               sum(CAST(weight AS DECIMAL(30,6))) OVER
+                 (PARTITION BY stratum ORDER BY id
+                  ROWS UNBOUNDED PRECEDING) AS cw
+        FROM base),
+      t AS (
+        SELECT stratum, sum(CAST(weight AS DECIMAL(30,6))) AS tw
+        FROM base GROUP BY 1),
+      j AS (
+        SELECT c.stratum, c.id, c.weight,
+               least(floor(CAST(c.cw AS DOUBLE)
+                 / (CAST(t.tw AS DOUBLE) / 50.0) + 0.5), 50) AS hi,
+               least(floor(CAST(c.cw - CAST(c.weight AS DECIMAL(30,6))
+                   AS DOUBLE)
+                 / (CAST(t.tw AS DOUBLE) / 50.0) + 0.5), 50) AS lo
+        FROM c JOIN t USING (stratum))
+      SELECT stratum AS o_orderpriority, id AS o_orderkey, weight,
+             CAST(hi - lo AS BIGINT) AS copies
+      FROM j WHERE hi - lo >= 1
+      ORDER BY o_orderpriority, o_orderkey
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q312HllDistinct, q313PrefixJaccard, q314RidgeFit, q316Modularity,
     q317HoltTrend, q318DbscanCore, q319Sprt, q320Breakpoint,
-    q321LooInfluence, q322IpwAte)
+    q321LooInfluence, q322IpwAte, q323RidgePath, q324HllSliding,
+    q325PpsSample)
 }

@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Density, Experiment, Graphs, LinAlg, Sketches,
-  TextDedup, TimeSeries}
+import graft.operators.{Density, Experiment, Graphs, LinAlg, Resample,
+  Sketches, TextDedup, TimeSeries}
 
 class SketchOpsSpec extends SparkSpec {
   import spark.implicits._
@@ -321,5 +321,68 @@ class SketchOpsSpec extends SparkSpec {
       Seq(col("x1"), col("x2")), "t", "o", iters = 3, lr = 0.1)
       .collect().head
     assert(math.abs(out.getAs[Double]("ate_ipw") - 2.0) < 0.5)
+  }
+
+  test("ridgePath: SSE is non-decreasing and the slope norm " +
+    "non-increasing along the lambda path; lambda 0 matches OLS") {
+    val df = (1 to 80).map { i =>
+      val x1 = (i % 9).toDouble; val x2 = (i % 5).toDouble
+      (3.0 + 2.0 * x1 - 1.5 * x2 + (i % 3) * 0.1, x1, x2)
+    }.toDF("y", "x1", "x2")
+    val path = LinAlg.ridgePath(df, "y", "x1", "x2",
+      Seq(0.0, 10.0, 1000.0, 100000.0))
+      .orderBy(col("lambda")).collect()
+    assert(path.length === 4)
+    val sses = path.map(_.getAs[Double]("sse"))
+    assert(sses.zip(sses.tail).forall { case (a, b) => b >= a })
+    val norms = path.map(_.getAs[Double]("slope_l2"))
+    assert(norms.zip(norms.tail).forall { case (a, b) => b <= a })
+    // lambda = 0 equals the plain normal-equation fit
+    val ols = LinAlg.ridgeNormalEq(df, "y", "x1", "x2", 0.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(path.head.getAs[Double]("beta_x1") === ols("x1"))
+    assert(path.head.getAs[Double]("beta_x2") === ols("x2"))
+  }
+
+  test("hllSlidingDistinct: pane-merged estimate equals the one-shot " +
+    "sketch of the same window's union (merge = max is lossless)") {
+    val day = 86400L * 1000000L
+    // 10 days; day d sees users d*37 .. d*37+79 (overlapping blocks)
+    val rows = for { d <- 0 until 10; u <- 0 until 80 }
+      yield (d * day + u * 1000L, (d * 37 + u).toLong)
+    val df = rows.toDF("us", "user")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val slid = Sketches.hllSlidingDistinct(df, "ts", "user", 7)
+      .orderBy(col("day")).collect()
+    assert(slid.length === 10)
+    // one-shot sketch over the FULL trailing window of the last day
+    // (days 3..9 => users 3*37 .. 9*37+79)
+    val winRows = rows.filter(_._1 >= 3 * day)
+    val winDf = winRows.toDF("us", "user").withColumn("g", lit(1))
+    val oneShot = Sketches.hllDistinct(winDf, "g", "user").collect().head
+    val last = slid.last
+    assert(last.getAs[Double]("est") === oneShot.getAs[Double]("est"))
+    assert(last.getAs[Long]("exact") === oneShot.getAs[Long]("exact"))
+  }
+
+  test("systematicPps: per-stratum copies total the target, heavy rows " +
+    "get proportionally more, zero/negative weights are excluded") {
+    val df = (
+      (1 to 40).map(i => ("a", i.toLong, 1.0)) ++
+        Seq(("a", 100L, 60.0)) ++ // one heavy row: 60% of stratum mass
+        (1 to 30).map(i => ("b", i.toLong, 2.0)) ++
+        Seq(("b", 99L, 0.0), ("b", 98L, -5.0))) // excluded
+      .toDF("s", "id", "w")
+    val out = Resample.systematicPps(df, "s", "id", "w", nPerStratum = 10)
+      .collect()
+    val byStratum = out.groupBy(_.getString(0))
+    assert(byStratum("a").map(_.getAs[Long]("copies")).sum === 10L)
+    assert(byStratum("b").map(_.getAs[Long]("copies")).sum === 10L)
+    // heavy row: weight share 0.6 => 6 +- 1 copies
+    val heavy = out.filter(r => r.getString(0) == "a" &&
+      r.getAs[Long]("id") == 100L).head.getAs[Long]("copies")
+    assert(heavy >= 5L && heavy <= 7L)
+    assert(!out.exists(r => r.getString(0) == "b" &&
+      (r.getAs[Long]("id") == 99L || r.getAs[Long]("id") == 98L)))
   }
 }
