@@ -625,4 +625,111 @@ object Experiment {
       (floor(col("__swc").cast("double") * col("__swc").cast("double")
         / col("__swc2").cast("double") * 1e6) / 1e6).as("ess_control"))
   }
+
+  /** Doubly-robust (AIPW) average treatment effect — the estimator
+    * that stays consistent if EITHER the propensity model OR the
+    * outcome model is right:
+    * mean[ m1(x) − m0(x) + T·(y − m1(x))/ê − (1−T)·(y − m0(x))/(1−ê) ].
+    * Propensity = the same clipped logistic-GD fit [[ipwAte]] uses;
+    * outcome models = per-arm OLS on two features, solved in closed
+    * form from per-arm moment aggregates (zero extra data passes —
+    * the regression-adjustment side costs nine scalars per arm).
+    *
+    * Engine parity: the per-arm OLS betas are Cramer ratios whose
+    * last ulps differ across engines and would be amplified through
+    * every per-row m(x); both engines therefore floor-snap the betas
+    * at 1e9 BEFORE scoring, making the augmentation arithmetic
+    * bit-identical. Per-row terms round at 12 dp into DECIMAL sums.
+    *
+    * Output: (n, ate_aipw, mt_mean, mc_mean) — the estimate plus each
+    * outcome model's mean prediction over the full population.
+    */
+  def aipwAte(
+      df: DataFrame, features: Seq[Column], treatCol: String,
+      outcomeCol: String, iters: Int, lr: Double,
+      clip: Double = 0.05): DataFrame = {
+    require(features.length == 2,
+      s"aipwAte fits 2-feature outcome models; got ${features.length}")
+    require(clip > 0 && clip < 0.5, s"clip must be in (0,0.5), got $clip")
+    val w = Classify.gdWeights(df, features, treatCol, iters, lr)
+    val base = df.select(
+      col(treatCol).cast("double").as("__t"),
+      col(outcomeCol).cast("double").as("__y"),
+      features(0).cast("double").as("__x0"),
+      features(1).cast("double").as("__x1"))
+    def dec(c: Column) = c.cast("decimal(30,10)")
+    // per-arm OLS moments in one pass (conditional decimal sums)
+    def armMoments(arm: Double) = Seq(
+      sum(when(col("__t") === arm, 1L).otherwise(0L)).as(s"n$arm"),
+      sum(when(col("__t") === arm, dec(col("__x0"))).otherwise(dec(lit(0.0)))),
+      sum(when(col("__t") === arm, dec(col("__x1"))).otherwise(dec(lit(0.0)))),
+      sum(when(col("__t") === arm, dec(col("__x0") * col("__x0")))
+        .otherwise(dec(lit(0.0)))),
+      sum(when(col("__t") === arm, dec(col("__x0") * col("__x1")))
+        .otherwise(dec(lit(0.0)))),
+      sum(when(col("__t") === arm, dec(col("__x1") * col("__x1")))
+        .otherwise(dec(lit(0.0)))),
+      sum(when(col("__t") === arm, dec(col("__y"))).otherwise(dec(lit(0.0)))),
+      sum(when(col("__t") === arm, dec(col("__x0") * col("__y")))
+        .otherwise(dec(lit(0.0)))),
+      sum(when(col("__t") === arm, dec(col("__x1") * col("__y")))
+        .otherwise(dec(lit(0.0)))))
+    def named(prefix: String, cols: Seq[Column]): Seq[Column] = {
+      val names = Seq("n", "s1", "s2", "s11", "s12", "s22",
+        "sy", "s1y", "s2y")
+      cols.zip(names).map { case (c, nm) => c.as(s"$prefix$nm") }
+    }
+    val moments = base.agg(
+      (named("t_", armMoments(1.0)) ++ named("c_", armMoments(0.0)))
+        .head,
+      (named("t_", armMoments(1.0)) ++ named("c_", armMoments(0.0)))
+        .tail: _*)
+    // snapped per-arm betas via the shared fixed-order Cramer algebra
+    def betas(row: org.apache.spark.sql.Row, p: String): (Double, Double, Double) = {
+      def g(nm: String): Double = {
+        val v = row.getAs[Any](s"$p$nm")
+        v match {
+          case d: java.math.BigDecimal => d.doubleValue()
+          case l: java.lang.Long => l.toDouble
+          case d: java.lang.Double => d
+        }
+      }
+      val (a11, a12, a13) = (g("n"), g("s1"), g("s2"))
+      val (a22, a23, a33) = (g("s11"), g("s12"), g("s22"))
+      val (b1, b2, b3) = (g("sy"), g("s1y"), g("s2y"))
+      val det = a11 * (a22 * a33 - a23 * a23) -
+        a12 * (a12 * a33 - a23 * a13) + a13 * (a12 * a23 - a22 * a13)
+      val d0 = b1 * (a22 * a33 - a23 * a23) -
+        a12 * (b2 * a33 - a23 * b3) + a13 * (b2 * a23 - a22 * b3)
+      val d1 = a11 * (b2 * a33 - a23 * b3) -
+        b1 * (a12 * a33 - a23 * a13) + a13 * (a12 * b3 - b2 * a13)
+      val d2 = a11 * (a22 * b3 - b2 * a23) -
+        a12 * (a12 * b3 - b2 * a13) + b1 * (a12 * a23 - a22 * a13)
+      def snap(x: Double) = math.floor(x / det * 1e9) / 1e9
+      (snap(d0), snap(d1), snap(d2))
+    }
+    val mrow = moments.head()
+    val (tb0, tb1, tb2) = betas(mrow, "t_")
+    val (cb0, cb1, cb2) = betas(mrow, "c_")
+    val z = lit(w(0)) + lit(w(1)) * col("__x0") + lit(w(2)) * col("__x1")
+    val praw = lit(1.0) / (lit(1.0) + exp(-z))
+    val e = least(greatest(praw, lit(clip)), lit(1.0 - clip))
+    val m1 = lit(tb0) + lit(tb1) * col("__x0") + lit(tb2) * col("__x1")
+    val m0 = lit(cb0) + lit(cb1) * col("__x0") + lit(cb2) * col("__x1")
+    val term = m1 - m0 +
+      col("__t") * (col("__y") - m1) / e -
+      (lit(1.0) - col("__t")) * (col("__y") - m0) / (lit(1.0) - e)
+    def dsum(c: Column) = sum(c.cast("decimal(38,12)"))
+    base.select(round(term, 12).as("__a"),
+        round(m1, 12).as("__m1"), round(m0, 12).as("__m0"))
+      .agg(count(lit(1)).as("n"), dsum(col("__a")).as("__sa"),
+        dsum(col("__m1")).as("__sm1"), dsum(col("__m0")).as("__sm0"))
+      .select(col("n"),
+        (floor(col("__sa").cast("double") / col("n").cast("double") * 1e9)
+          / 1e9).as("ate_aipw"),
+        (floor(col("__sm1").cast("double") / col("n").cast("double") * 1e9)
+          / 1e9).as("mt_mean"),
+        (floor(col("__sm0").cast("double") / col("n").cast("double") * 1e9)
+          / 1e9).as("mc_mean"))
+  }
 }

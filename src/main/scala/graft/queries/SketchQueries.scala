@@ -780,9 +780,184 @@ object SketchQueries {
       ORDER BY o_orderpriority, o_orderkey
     """.trim))
 
+  /** Doubly-robust AIPW treatment effect ([[Experiment.aipwAte]]):
+    * q322's clipped logistic propensity augmented with per-arm
+    * closed-form OLS outcome models (snapped betas; zero extra data
+    * passes). Completes the causal family: matching (q303),
+    * stratification (q255), weighting (q322), augmentation (here).
+    */
+  val q326AipwAte = HarnessQuery(
+    "q326_aipw_ate",
+    (spark, dir) => {
+      val e = Tables.embeddings(spark, dir)
+        .withColumn("t", col("label") % 2)
+        .withColumn("o", col("embedding")(3))
+      Experiment.aipwAte(e,
+        Seq(col("embedding")(0), col("embedding")(1)),
+        "t", "o", iters = 3, lr = 0.1)
+    },
+    Some("""
+      WITH e AS (SELECT CAST(label % 2 AS DOUBLE) AS y,
+                        CAST(embedding[1] AS DOUBLE) AS x0,
+                        CAST(embedding[2] AS DOUBLE) AS x1,
+                        CAST(embedding[4] AS DOUBLE) AS o
+                 FROM embeddings),
+      g1 AS (SELECT
+               sum(CAST(round(1.0/(1.0+exp(-(0.0))) - y, 12)
+                        AS DECIMAL(38,12))) AS s0,
+               sum(CAST(round((1.0/(1.0+exp(-(0.0))) - y) * x0, 12)
+                        AS DECIMAL(38,12))) AS s1,
+               sum(CAST(round((1.0/(1.0+exp(-(0.0))) - y) * x1, 12)
+                        AS DECIMAL(38,12))) AS s2,
+               count(*) AS n FROM e),
+      w1 AS (SELECT round(0.0 - 0.1 * (CAST(s0 AS DOUBLE) / n), 12) AS b,
+                    round(0.0 - 0.1 * (CAST(s1 AS DOUBLE) / n), 12) AS w0,
+                    round(0.0 - 0.1 * (CAST(s2 AS DOUBLE) / n), 12) AS w1
+             FROM g1),
+      g2 AS (SELECT
+               sum(CAST(round(1.0/(1.0+exp(-(b + w0*x0 + w1*x1))) - y, 12)
+                        AS DECIMAL(38,12))) AS s0,
+               sum(CAST(round((1.0/(1.0+exp(-(b + w0*x0 + w1*x1))) - y) * x0, 12)
+                        AS DECIMAL(38,12))) AS s1,
+               sum(CAST(round((1.0/(1.0+exp(-(b + w0*x0 + w1*x1))) - y) * x1, 12)
+                        AS DECIMAL(38,12))) AS s2,
+               count(*) AS n FROM e, w1),
+      w2 AS (SELECT round(w1.b - 0.1 * (CAST(s0 AS DOUBLE) / n), 12) AS b,
+                    round(w1.w0 - 0.1 * (CAST(s1 AS DOUBLE) / n), 12) AS w0,
+                    round(w1.w1 - 0.1 * (CAST(s2 AS DOUBLE) / n), 12) AS w1
+             FROM g2, w1),
+      g3 AS (SELECT
+               sum(CAST(round(1.0/(1.0+exp(-(b + w0*x0 + w1*x1))) - y, 12)
+                        AS DECIMAL(38,12))) AS s0,
+               sum(CAST(round((1.0/(1.0+exp(-(b + w0*x0 + w1*x1))) - y) * x0, 12)
+                        AS DECIMAL(38,12))) AS s1,
+               sum(CAST(round((1.0/(1.0+exp(-(b + w0*x0 + w1*x1))) - y) * x1, 12)
+                        AS DECIMAL(38,12))) AS s2,
+               count(*) AS n FROM e, w2),
+      w3 AS (SELECT round(w2.b - 0.1 * (CAST(s0 AS DOUBLE) / n), 12) AS b,
+                    round(w2.w0 - 0.1 * (CAST(s1 AS DOUBLE) / n), 12) AS w0,
+                    round(w2.w1 - 0.1 * (CAST(s2 AS DOUBLE) / n), 12) AS w1
+             FROM g3, w2),
+      am AS (SELECT
+               CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS t_n,
+               sum(CAST(CASE WHEN y = 1.0 THEN x0 ELSE 0 END
+                 AS DECIMAL(30,10))) AS t_s1,
+               sum(CAST(CASE WHEN y = 1.0 THEN x1 ELSE 0 END
+                 AS DECIMAL(30,10))) AS t_s2,
+               sum(CAST(CASE WHEN y = 1.0 THEN x0 * x0 ELSE 0 END
+                 AS DECIMAL(30,10))) AS t_s11,
+               sum(CAST(CASE WHEN y = 1.0 THEN x0 * x1 ELSE 0 END
+                 AS DECIMAL(30,10))) AS t_s12,
+               sum(CAST(CASE WHEN y = 1.0 THEN x1 * x1 ELSE 0 END
+                 AS DECIMAL(30,10))) AS t_s22,
+               sum(CAST(CASE WHEN y = 1.0 THEN o ELSE 0 END
+                 AS DECIMAL(30,10))) AS t_sy,
+               sum(CAST(CASE WHEN y = 1.0 THEN x0 * o ELSE 0 END
+                 AS DECIMAL(30,10))) AS t_s1y,
+               sum(CAST(CASE WHEN y = 1.0 THEN x1 * o ELSE 0 END
+                 AS DECIMAL(30,10))) AS t_s2y,
+               CAST(sum(CASE WHEN y = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS c_n,
+               sum(CAST(CASE WHEN y = 0.0 THEN x0 ELSE 0 END
+                 AS DECIMAL(30,10))) AS c_s1,
+               sum(CAST(CASE WHEN y = 0.0 THEN x1 ELSE 0 END
+                 AS DECIMAL(30,10))) AS c_s2,
+               sum(CAST(CASE WHEN y = 0.0 THEN x0 * x0 ELSE 0 END
+                 AS DECIMAL(30,10))) AS c_s11,
+               sum(CAST(CASE WHEN y = 0.0 THEN x0 * x1 ELSE 0 END
+                 AS DECIMAL(30,10))) AS c_s12,
+               sum(CAST(CASE WHEN y = 0.0 THEN x1 * x1 ELSE 0 END
+                 AS DECIMAL(30,10))) AS c_s22,
+               sum(CAST(CASE WHEN y = 0.0 THEN o ELSE 0 END
+                 AS DECIMAL(30,10))) AS c_sy,
+               sum(CAST(CASE WHEN y = 0.0 THEN x0 * o ELSE 0 END
+                 AS DECIMAL(30,10))) AS c_s1y,
+               sum(CAST(CASE WHEN y = 0.0 THEN x1 * o ELSE 0 END
+                 AS DECIMAL(30,10))) AS c_s2y
+             FROM e),
+      tsys AS (SELECT CAST(t_n AS DOUBLE) AS a11,
+                      CAST(t_s1 AS DOUBLE) AS a12,
+                      CAST(t_s2 AS DOUBLE) AS a13,
+                      CAST(t_s11 AS DOUBLE) AS a22,
+                      CAST(t_s12 AS DOUBLE) AS a23,
+                      CAST(t_s22 AS DOUBLE) AS a33,
+                      CAST(t_sy AS DOUBLE) AS b1,
+                      CAST(t_s1y AS DOUBLE) AS b2,
+                      CAST(t_s2y AS DOUBLE) AS b3
+               FROM am),
+      csys AS (SELECT CAST(c_n AS DOUBLE) AS a11,
+                      CAST(c_s1 AS DOUBLE) AS a12,
+                      CAST(c_s2 AS DOUBLE) AS a13,
+                      CAST(c_s11 AS DOUBLE) AS a22,
+                      CAST(c_s12 AS DOUBLE) AS a23,
+                      CAST(c_s22 AS DOUBLE) AS a33,
+                      CAST(c_sy AS DOUBLE) AS b1,
+                      CAST(c_s1y AS DOUBLE) AS b2,
+                      CAST(c_s2y AS DOUBLE) AS b3
+               FROM am),
+      tsol AS (SELECT a11 * (a22 * a33 - a23 * a23)
+                        - a12 * (a12 * a33 - a23 * a13)
+                        + a13 * (a12 * a23 - a22 * a13) AS det,
+                      b1 * (a22 * a33 - a23 * a23)
+                        - a12 * (b2 * a33 - a23 * b3)
+                        + a13 * (b2 * a23 - a22 * b3) AS d0,
+                      a11 * (b2 * a33 - a23 * b3)
+                        - b1 * (a12 * a33 - a23 * a13)
+                        + a13 * (a12 * b3 - b2 * a13) AS d1,
+                      a11 * (a22 * b3 - b2 * a23)
+                        - a12 * (a12 * b3 - b2 * a13)
+                        + b1 * (a12 * a23 - a22 * a13) AS d2
+               FROM tsys),
+      csol AS (SELECT a11 * (a22 * a33 - a23 * a23)
+                        - a12 * (a12 * a33 - a23 * a13)
+                        + a13 * (a12 * a23 - a22 * a13) AS det,
+                      b1 * (a22 * a33 - a23 * a23)
+                        - a12 * (b2 * a33 - a23 * b3)
+                        + a13 * (b2 * a23 - a22 * b3) AS d0,
+                      a11 * (b2 * a33 - a23 * b3)
+                        - b1 * (a12 * a33 - a23 * a13)
+                        + a13 * (a12 * b3 - b2 * a13) AS d1,
+                      a11 * (a22 * b3 - b2 * a23)
+                        - a12 * (a12 * b3 - b2 * a13)
+                        + b1 * (a12 * a23 - a22 * a13) AS d2
+               FROM csys),
+      tb AS (SELECT floor(d0 / det * 1e9) / 1e9 AS b0,
+                    floor(d1 / det * 1e9) / 1e9 AS b1,
+                    floor(d2 / det * 1e9) / 1e9 AS b2
+             FROM tsol),
+      cb AS (SELECT floor(d0 / det * 1e9) / 1e9 AS b0,
+                    floor(d1 / det * 1e9) / 1e9 AS b1,
+                    floor(d2 / det * 1e9) / 1e9 AS b2
+             FROM csol),
+      sc AS (SELECT e.y AS t, e.o, e.x0, e.x1,
+                    least(greatest(1.0/(1.0+exp(-(w3.b + w3.w0*e.x0
+                        + w3.w1*e.x1))),
+                                   CAST(0.05 AS DOUBLE)),
+                          1 - CAST(0.05 AS DOUBLE)) AS p,
+                    tb.b0 + tb.b1 * e.x0 + tb.b2 * e.x1 AS m1,
+                    cb.b0 + cb.b1 * e.x0 + cb.b2 * e.x1 AS m0
+             FROM e, w3, tb, cb),
+      s AS (SELECT count(*) AS n,
+                   sum(CAST(round(m1 - m0 + t * (o - m1) / p
+                     - (1 - t) * (o - m0) / (1 - p), 12)
+                     AS DECIMAL(38,12))) AS sa,
+                   sum(CAST(round(m1, 12) AS DECIMAL(38,12))) AS sm1,
+                   sum(CAST(round(m0, 12) AS DECIMAL(38,12))) AS sm0
+            FROM sc)
+      SELECT n,
+             floor(CAST(sa AS DOUBLE) / CAST(n AS DOUBLE) * 1e9) / 1e9
+               AS ate_aipw,
+             floor(CAST(sm1 AS DOUBLE) / CAST(n AS DOUBLE) * 1e9) / 1e9
+               AS mt_mean,
+             floor(CAST(sm0 AS DOUBLE) / CAST(n AS DOUBLE) * 1e9) / 1e9
+               AS mc_mean
+      FROM s
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q312HllDistinct, q313PrefixJaccard, q314RidgeFit, q316Modularity,
     q317HoltTrend, q318DbscanCore, q319Sprt, q320Breakpoint,
     q321LooInfluence, q322IpwAte, q323RidgePath, q324HllSliding,
-    q325PpsSample)
+    q325PpsSample, q326AipwAte)
 }

@@ -385,4 +385,34 @@ class SketchOpsSpec extends SparkSpec {
     assert(!out.exists(r => r.getString(0) == "b" &&
       (r.getAs[Long]("id") == 99L || r.getAs[Long]("id") == 98L)))
   }
+
+  test("aipwAte: with correct outcome models the augmentation recovers " +
+    "a constant effect even under covariate-shifted assignment") {
+    // outcome exactly linear per arm: y = 1 + x0 + 2*x1 + 3*t
+    val df = (1 to 600).map { i =>
+      val x0 = (i % 5).toDouble; val x1 = (i % 3).toDouble
+      val t = if ((i + i / 5) % 2 == 0) 1 else 0
+      (t, 1.0 + x0 + 2.0 * x1 + 3.0 * t, x0, x1)
+    }.toDF("t", "o", "x0", "x1")
+    val out = Experiment.aipwAte(df,
+      Seq(col("x0"), col("x1")), "t", "o", iters = 3, lr = 0.1)
+      .collect().head
+    assert(out.getAs[Long]("n") === 600L)
+    // outcome models are exactly right => AIPW is exact up to snaps
+    assert(math.abs(out.getAs[Double]("ate_aipw") - 3.0) < 1e-3)
+    // and the model means differ by the effect
+    assert(math.abs(out.getAs[Double]("mt_mean")
+      - out.getAs[Double]("mc_mean") - 3.0) < 1e-3)
+  }
+
+  test("aipwAte: balanced null effect estimates ~0") {
+    val df = (1 to 400).map { i =>
+      val x0 = (i % 7).toDouble; val x1 = (i % 2).toDouble
+      (i % 2, 5.0 + x0 - x1, x0, x1)
+    }.toDF("t", "o", "x0", "x1")
+    val out = Experiment.aipwAte(df,
+      Seq(col("x0"), col("x1")), "t", "o", iters = 3, lr = 0.1)
+      .collect().head
+    assert(math.abs(out.getAs[Double]("ate_aipw")) < 0.05)
+  }
 }
