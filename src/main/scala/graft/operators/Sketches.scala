@@ -138,11 +138,15 @@ object Sketches {
         count(lit(1)).cast("int").as("used_registers"),
         sum(expr(s"shiftleft(CAST(1 AS BIGINT), $WidthBits - __mm)"))
           .as("__sum")))
-    // exact trailing distinct: per-day distinct items joined onto the
-    // day grid within the window — the audit side, O(days * window)
+    // exact trailing distinct (the audit side): each per-day distinct
+    // item expands to the `windowDays` window-end days it is visible
+    // in — an equi-shuffle on day, not a theta join — then distinct
+    // per window end; days outside the observed set drop via semi-join
     val dayItems = byDay.select(col("g").as("__d"), col("item")).distinct()
-    val exact = days.join(dayItems,
-        col("__d") >= col("day") - (windowDays - 1) && col("__d") <= col("day"))
+    val exact = dayItems
+      .select(col("item"), explode(sequence(col("__d"),
+        col("__d") + (windowDays - 1))).as("day"))
+      .join(days, Seq("day"), "left_semi")
       .groupBy(col("day"))
       .agg(countDistinct(col("item")).as("exact"))
     perDay.join(exact, Seq("day"))
