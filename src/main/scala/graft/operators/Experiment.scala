@@ -626,6 +626,111 @@ object Experiment {
         / col("__swc2").cast("double") * 1e6) / 1e6).as("ess_control"))
   }
 
+  /** Seeded rerandomization test (the permutation test's
+    * cluster-friendly form): B pseudo-assignments arm_b(row) =
+    * hash(id, b) mod 2 re-split the population, and the p-value is
+    * the fraction of replicates whose |mean difference| reaches the
+    * observed one. (Hash assignment draws binomial, not
+    * exactly-balanced, arms — a randomization test rather than an
+    * exact permutation, the standard large-n equivalent — and is what
+    * makes the procedure embarrassingly parallel: NO global shuffle
+    * of labels, no per-replicate pass. The B replicates explode
+    * IN-ROW and feed one partial aggregate keyed by (replicate,
+    * arm); the shuffle carries 2B decimal partials.)
+    *
+    * Engine parity: the hash is the portable 60-bit md5; per-arm
+    * sums accumulate in DECIMAL; each replicate's mean difference is
+    * one fixed double expression, compared RAW against the observed
+    * difference (identical doubles on both engines).
+    *
+    * Output: (b_reps, observed_diff, n_extreme, p_value) with
+    * p = (1 + #extreme)/(B + 1).
+    */
+  def permutationTest(
+      df: DataFrame, idCol: String, valueCol: String,
+      treatCond: Column, reps: Int): DataFrame = {
+    require(reps >= 1, s"reps must be >= 1, got $reps")
+    val base = df.select(
+      col(idCol).cast("string").as("__id"),
+      col(valueCol).cast("double").as("__v"),
+      when(treatCond, 1L).otherwise(0L).as("__t"))
+    def dsum(c: Column) = sum(c.cast("decimal(30,6)"))
+    val diffExpr: Column =
+      col("__s1").cast("double") / col("__n1").cast("double") -
+        col("__s0").cast("double") / col("__n0").cast("double")
+    val observed = base.agg(
+      dsum(when(col("__t") === 1L, col("__v")).otherwise(lit(0.0))).as("__s1"),
+      sum(when(col("__t") === 1L, 1L).otherwise(0L)).as("__n1"),
+      dsum(when(col("__t") === 0L, col("__v")).otherwise(lit(0.0))).as("__s0"),
+      sum(when(col("__t") === 0L, 1L).otherwise(0L)).as("__n0"))
+      .select(diffExpr.as("__obs"))
+    val perms = base
+      .select(col("__id"), col("__v"),
+        explode(sequence(lit(0), lit(reps - 1))).as("__b"))
+      .withColumn("__arm",
+        pmod(graft.functions.TextFunctions.md5Hash60(
+          concat(col("__id"), lit("_"), col("__b").cast("string"))), lit(2L)))
+      .groupBy(col("__b"))
+      .agg(
+        dsum(when(col("__arm") === 1L, col("__v")).otherwise(lit(0.0)))
+          .as("__s1"),
+        sum(when(col("__arm") === 1L, 1L).otherwise(0L)).as("__n1"),
+        dsum(when(col("__arm") === 0L, col("__v")).otherwise(lit(0.0)))
+          .as("__s0"),
+        sum(when(col("__arm") === 0L, 1L).otherwise(0L)).as("__n0"))
+      .select(col("__b"), diffExpr.as("__diff"))
+    perms.crossJoin(broadcast(observed))
+      .agg(
+        count(lit(1)).as("b_reps"),
+        sum(when(abs(col("__diff")) >= abs(col("__obs")), 1L)
+          .otherwise(0L)).as("n_extreme"),
+        first(col("__obs")).as("__obs"))
+      .select(col("b_reps"),
+        (floor(col("__obs") * 1e9) / 1e9).as("observed_diff"),
+        col("n_extreme"),
+        ((lit(1L) + col("n_extreme")).cast("double")
+          / lit((reps + 1).toDouble)).as("p_value"))
+  }
+
+  /** Cochran–Mantel–Haenszel pooled odds ratio over stratified 2x2
+    * tables: OR = Σ_i (a_i·d_i/n_i) / Σ_i (b_i·c_i/n_i) — the
+    * confounder-adjusted association readout that complements the
+    * unstratified chi-square. Each stratum reduces to four INTEGER
+    * cell counts in one hash aggregate; the per-stratum terms round
+    * at 12 dp into decimal sums, so the pooled ratio replays exactly.
+    * Strata where any margin is empty contribute their zero products
+    * naturally (no special-casing).
+    *
+    * Output: (k_strata, sum_ad, sum_bc, or_cmh), or_cmh snapped 1e9.
+    */
+  def cmhOddsRatio(
+      df: DataFrame, stratum: Column, exposure: Column,
+      outcome: Column): DataFrame = {
+    val cells = df
+      .groupBy(stratum.as("__s"))
+      .agg(
+        sum(when(exposure && outcome, 1L).otherwise(0L)).as("__a"),
+        sum(when(exposure && !outcome, 1L).otherwise(0L)).as("__b"),
+        sum(when(!exposure && outcome, 1L).otherwise(0L)).as("__c"),
+        sum(when(!exposure && !outcome, 1L).otherwise(0L)).as("__d"))
+      .withColumn("__n",
+        col("__a") + col("__b") + col("__c") + col("__d"))
+    cells
+      .select(
+        round((col("__a") * col("__d")).cast("double")
+          / col("__n").cast("double"), 12).as("__ad"),
+        round((col("__b") * col("__c")).cast("double")
+          / col("__n").cast("double"), 12).as("__bc"))
+      .agg(count(lit(1)).as("k_strata"),
+        sum(col("__ad").cast("decimal(38,12)")).as("__sad"),
+        sum(col("__bc").cast("decimal(38,12)")).as("__sbc"))
+      .select(col("k_strata"),
+        col("__sad").cast("double").as("sum_ad"),
+        col("__sbc").cast("double").as("sum_bc"),
+        (floor(col("__sad").cast("double") / col("__sbc").cast("double")
+          * 1e9) / 1e9).as("or_cmh"))
+  }
+
   /** Doubly-robust (AIPW) average treatment effect — the estimator
     * that stays consistent if EITHER the propensity model OR the
     * outcome model is right:

@@ -955,9 +955,111 @@ object SketchQueries {
       FROM s
     """.trim))
 
+  /** Seeded rerandomization test ([[Experiment.permutationTest]],
+    * B = 199): does purchase value differ from non-purchase value?
+    * The B replicates explode in-row — no label shuffle, one partial
+    * aggregate keyed by (replicate, arm).
+    */
+  val q327Permutation = HarnessQuery(
+    "q327_permutation",
+    (spark, dir) =>
+      Experiment.permutationTest(Tables.events(spark, dir),
+        "event_id", "value", col("event_type") === "purchase",
+        reps = 199),
+    Some("""
+      WITH base AS (
+        SELECT CAST(event_id AS VARCHAR) AS id,
+               CAST("value" AS DOUBLE) AS v,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS t
+        FROM events),
+      obs AS (
+        SELECT CAST(sum(CAST(CASE WHEN t = 1 THEN v ELSE 0 END
+                 AS DECIMAL(30,6))) AS DOUBLE)
+                 / CAST(sum(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               - CAST(sum(CAST(CASE WHEN t = 0 THEN v ELSE 0 END
+                 AS DECIMAL(30,6))) AS DOUBLE)
+                 / CAST(sum(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                 AS o
+        FROM base),
+      perm AS (
+        SELECT g.b AS b,
+               CAST(('0x' || substr(md5(base.id || '_' || g.b), 1, 15))
+                 AS BIGINT) % 2 AS arm,
+               base.v
+        FROM base, generate_series(0, 198) g(b)),
+      pd AS (
+        SELECT b,
+               CAST(sum(CAST(CASE WHEN arm = 1 THEN v ELSE 0 END
+                 AS DECIMAL(30,6))) AS DOUBLE)
+                 / CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               - CAST(sum(CAST(CASE WHEN arm = 0 THEN v ELSE 0 END
+                 AS DECIMAL(30,6))) AS DOUBLE)
+                 / CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                 AS diff
+        FROM perm GROUP BY 1)
+      SELECT count(*) AS b_reps,
+             floor((SELECT o FROM obs) * 1e9) / 1e9 AS observed_diff,
+             CAST(sum(CASE WHEN abs(diff) >= abs((SELECT o FROM obs))
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+             CAST(1 + sum(CASE WHEN abs(diff) >= abs((SELECT o FROM obs))
+               THEN 1 ELSE 0 END) AS DOUBLE) / CAST(200 AS DOUBLE)
+               AS p_value
+      FROM pd
+    """.trim))
+
+  /** CMH pooled odds ratio ([[Experiment.cmhOddsRatio]]): purchase ×
+    * high-value association stratified by day-of-week — the
+    * confounder-adjusted 2x2 family member beside chi-square (q191).
+    */
+  val q328Cmh = HarnessQuery(
+    "q328_cmh",
+    (spark, dir) => {
+      val us = unix_micros(col("ts"))
+      val day = ((us - pmod(us, lit(86400000000L)))
+        / lit(86400000000L)).cast("long")
+      Experiment.cmhOddsRatio(Tables.events(spark, dir),
+        pmod(day, lit(7L)),
+        col("event_type") === "purchase",
+        col("value") > 35.0)
+    },
+    Some("""
+      WITH e AS (
+        SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+                 AS BIGINT) % 7 AS s,
+               event_type = 'purchase' AS x,
+               "value" > 35.0 AS y
+        FROM events),
+      cells AS (
+        SELECT s,
+               CAST(sum(CASE WHEN x AND y THEN 1 ELSE 0 END) AS BIGINT)
+                 AS a,
+               CAST(sum(CASE WHEN x AND NOT y THEN 1 ELSE 0 END)
+                 AS BIGINT) AS b,
+               CAST(sum(CASE WHEN NOT x AND y THEN 1 ELSE 0 END)
+                 AS BIGINT) AS c,
+               CAST(sum(CASE WHEN NOT x AND NOT y THEN 1 ELSE 0 END)
+                 AS BIGINT) AS d
+        FROM e GROUP BY 1),
+      terms AS (
+        SELECT round(CAST(a * d AS DOUBLE)
+                 / CAST(a + b + c + d AS DOUBLE), 12) AS ad,
+               round(CAST(b * c AS DOUBLE)
+                 / CAST(a + b + c + d AS DOUBLE), 12) AS bc
+        FROM cells),
+      s AS (SELECT count(*) AS k_strata,
+                   sum(CAST(ad AS DECIMAL(38,12))) AS sad,
+                   sum(CAST(bc AS DECIMAL(38,12))) AS sbc
+            FROM terms)
+      SELECT k_strata, CAST(sad AS DOUBLE) AS sum_ad,
+             CAST(sbc AS DOUBLE) AS sum_bc,
+             floor(CAST(sad AS DOUBLE) / CAST(sbc AS DOUBLE) * 1e9) / 1e9
+               AS or_cmh
+      FROM s
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q312HllDistinct, q313PrefixJaccard, q314RidgeFit, q316Modularity,
     q317HoltTrend, q318DbscanCore, q319Sprt, q320Breakpoint,
     q321LooInfluence, q322IpwAte, q323RidgePath, q324HllSliding,
-    q325PpsSample, q326AipwAte)
+    q325PpsSample, q326AipwAte, q327Permutation, q328Cmh)
 }

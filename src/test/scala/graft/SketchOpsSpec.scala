@@ -415,4 +415,38 @@ class SketchOpsSpec extends SparkSpec {
       .collect().head
     assert(math.abs(out.getAs[Double]("ate_aipw")) < 0.05)
   }
+
+  test("permutationTest: a huge real effect is more extreme than every " +
+    "hash reassignment; a null effect is not") {
+    val big = (1 to 300).map(i =>
+      (i.toLong, if (i % 2 == 0) 100.0 + (i % 7) else (i % 7).toDouble,
+        i % 2 == 0)).toDF("id", "v", "treated")
+    val rBig = Experiment.permutationTest(big, "id", "v",
+      col("treated"), reps = 99).collect().head
+    assert(rBig.getAs[Long]("b_reps") === 99L)
+    assert(rBig.getAs[Long]("n_extreme") === 0L)
+    assert(rBig.getAs[Double]("p_value") === 0.01)
+    val none = (1 to 300).map(i =>
+      (i.toLong, (i % 7).toDouble, i % 2 == 0)).toDF("id", "v", "treated")
+    val rNone = Experiment.permutationTest(none, "id", "v",
+      col("treated"), reps = 99).collect().head
+    assert(rNone.getAs[Double]("p_value") > 0.1)
+  }
+
+  test("cmhOddsRatio: homogeneous 2x2 strata pool to the common odds " +
+    "ratio") {
+    // two strata, each with a = 40, b = 10, c = 20, d = 30:
+    // per-stratum OR = (40*30)/(10*20) = 6; CMH must also be 6
+    val rows = for {
+      s <- Seq("u", "w")
+      (x, y, n) <- Seq((true, true, 40), (true, false, 10),
+        (false, true, 20), (false, false, 30))
+      _ <- 1 to n
+    } yield (s, x, y)
+    val df = rows.toDF("s", "x", "y")
+    val r = Experiment.cmhOddsRatio(df, col("s"), col("x"), col("y"))
+      .collect().head
+    assert(r.getAs[Long]("k_strata") === 2L)
+    assert(math.abs(r.getAs[Double]("or_cmh") - 6.0) < 1e-9)
+  }
 }
