@@ -156,4 +156,80 @@ object RankStats {
         min(col("__v")).as("weighted_median"))
       .orderBy(col(groupCol))
   }
+
+  /** Wilcoxon signed-rank test over paired differences — the paired
+    * companion to [[mannWhitney]]: rank |d| ascending with AVERAGE
+    * ranks for ties, W+ = Σ ranks of positive differences, and the
+    * tie-corrected normal approximation
+    * z = (W+ − n(n+1)/4) / sqrt(n(n+1)(2n+1)/24 − Σ(t³−t)/48).
+    * Zero differences drop (the standard Wilcoxon reduction).
+    *
+    * Shape: one rank window over the differences (data-sized but
+    * single-axis — the same global-order contract as every rank
+    * statistic here), one tie aggregate keyed by |d|, one final
+    * one-row reduce. Average ranks are exact halves, summed in
+    * DECIMAL; n, tie counts, and the variance pieces are integers,
+    * so only the final z division is floating.
+    *
+    * Output one row: (n_pairs, w_plus, z), z floor-snapped 1e9.
+    */
+  def wilcoxonSignedRank(pairs: DataFrame, diffCol: String): DataFrame = {
+    val base = pairs
+      .select(col(diffCol).cast("double").as("__d"))
+      .filter(col("__d").isNotNull && col("__d") =!= 0.0)
+      .withColumn("__ad", abs(col("__d")))
+    val w = Window.orderBy(col("__ad"))
+    val ranked = base
+      .withColumn("__rmin", rank().over(w))
+      .withColumn("__c", count(lit(1)).over(Window.partitionBy(col("__ad"))))
+      // average rank of a tie group = min rank + (c-1)/2 — an exact
+      // half-integer
+      .withColumn("__avgr",
+        col("__rmin").cast("double")
+          + (col("__c") - 1).cast("double") / lit(2.0))
+    val ties = base.groupBy(col("__ad"))
+      .agg(count(lit(1)).as("__t"))
+      .agg(sum(col("__t") * col("__t") * col("__t") - col("__t"))
+        .as("__tcorr"))
+    val agg = ranked.agg(
+      count(lit(1)).as("n_pairs"),
+      sum(when(col("__d") > 0, col("__avgr").cast("decimal(20,1)"))
+        .otherwise(lit(0.0).cast("decimal(20,1)"))).as("__wp"))
+    agg.crossJoin(broadcast(ties))
+      .select(col("n_pairs"),
+        col("__wp").cast("double").as("w_plus"),
+        (floor(
+          (col("__wp").cast("double")
+            - col("n_pairs").cast("double") * (col("n_pairs") + 1).cast("double") / lit(4.0))
+            / sqrt(
+              col("n_pairs").cast("double") * (col("n_pairs") + 1).cast("double")
+                * (lit(2L) * col("n_pairs") + 1).cast("double") / lit(24.0)
+                - col("__tcorr").cast("double") / lit(48.0))
+            * 1e9) / 1e9).as("z"))
+  }
+
+  /** Cohen's kappa between two binary raters: chance-corrected
+    * agreement (po − pe)/(1 − pe) from the four integer confusion
+    * cells of ONE conditional aggregate — the label-quality audit for
+    * double-annotated data. Output one row:
+    * (n, po, pe, kappa), each floor-snapped at 1e9.
+    */
+  def cohensKappa(df: DataFrame, rater1: Column, rater2: Column): DataFrame = {
+    val cells = df.agg(
+      sum(when(rater1 && rater2, 1L).otherwise(0L)).as("__a"),
+      sum(when(rater1 && !rater2, 1L).otherwise(0L)).as("__b"),
+      sum(when(!rater1 && rater2, 1L).otherwise(0L)).as("__c"),
+      sum(when(!rater1 && !rater2, 1L).otherwise(0L)).as("__d"))
+      .withColumn("__n", col("__a") + col("__b") + col("__c") + col("__d"))
+    val nd = col("__n").cast("double")
+    val po = (col("__a") + col("__d")).cast("double") / nd
+    val pe = ((col("__a") + col("__b")).cast("double") *
+      (col("__a") + col("__c")).cast("double") +
+      (col("__c") + col("__d")).cast("double") *
+        (col("__b") + col("__d")).cast("double")) / (nd * nd)
+    cells.select(col("__n").as("n"),
+      (floor(po * 1e9) / 1e9).as("po"),
+      (floor(pe * 1e9) / 1e9).as("pe"),
+      (floor((po - pe) / (lit(1.0) - pe) * 1e9) / 1e9).as("kappa"))
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
 import graft.operators.{Components, Density, Experiment, Graphs, LinAlg,
-  Resample, Sketches, TextDedup, TimeSeries}
+  RankStats, Resample, Sketches, TextDedup, TimeSeries}
 import graft.sources.Tables
 
 /** Round-7 estimator additions: HyperLogLog cardinality sketching with
@@ -1057,9 +1057,114 @@ object SketchQueries {
       FROM s
     """.trim))
 
+  /** Wilcoxon signed-rank ([[RankStats.wilcoxonSignedRank]]) on each
+    * user's first-half vs second-half mean event value (the paired
+    * pre/post design; the calendar split day 19738 = 2024-01-16 is
+    * pinned by the testdata contract). Tie-corrected normal z.
+    */
+  val q329Wilcoxon = HarnessQuery(
+    "q329_wilcoxon",
+    (spark, dir) => {
+      val us = unix_micros(col("ts"))
+      val day = ((us - pmod(us, lit(86400000000L)))
+        / lit(86400000000L)).cast("long")
+      val pairs = Tables.events(spark, dir)
+        .select(col("user_id"), day.as("d"), col("value"))
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("d") < 19738L,
+            col("value").cast("decimal(30,6)"))).as("sPre"),
+          sum(when(col("d") < 19738L, 1L).otherwise(0L)).as("nPre"),
+          sum(when(col("d") >= 19738L,
+            col("value").cast("decimal(30,6)"))).as("sPost"),
+          sum(when(col("d") >= 19738L, 1L).otherwise(0L)).as("nPost"))
+        .filter(col("nPre") > 0 && col("nPost") > 0)
+        .select((col("sPost").cast("double") / col("nPost").cast("double")
+          - col("sPre").cast("double") / col("nPre").cast("double"))
+          .as("diff"))
+      RankStats.wilcoxonSignedRank(pairs, "diff")
+    },
+    Some("""
+      WITH per AS (
+        SELECT user_id,
+               sum(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+                 < 19738 THEN CAST("value" AS DECIMAL(30,6)) END) AS spre,
+               sum(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+                 < 19738 THEN 1 ELSE 0 END) AS npre,
+               sum(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+                 >= 19738 THEN CAST("value" AS DECIMAL(30,6)) END) AS spost,
+               sum(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+                 >= 19738 THEN 1 ELSE 0 END) AS npost
+        FROM events GROUP BY 1),
+      base AS (
+        SELECT CAST(spost AS DOUBLE) / CAST(npost AS DOUBLE)
+                 - CAST(spre AS DOUBLE) / CAST(npre AS DOUBLE) AS d
+        FROM per WHERE npre > 0 AND npost > 0),
+      nz AS (SELECT d, abs(d) AS ad FROM base
+             WHERE d IS NOT NULL AND d <> 0),
+      rk AS (
+        SELECT d, ad, rank() OVER (ORDER BY ad) AS rmin,
+               count(*) OVER (PARTITION BY ad) AS c
+        FROM nz),
+      a AS (
+        SELECT count(*) AS n,
+               sum(CASE WHEN d > 0
+                 THEN CAST(CAST(rmin AS DOUBLE)
+                   + CAST(c - 1 AS DOUBLE) / 2.0 AS DECIMAL(20,1))
+                 ELSE CAST(0.0 AS DECIMAL(20,1)) END) AS wp
+        FROM rk),
+      t AS (
+        SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tcorr
+        FROM (SELECT count(*) AS t FROM nz GROUP BY ad) u)
+      SELECT n AS n_pairs, CAST(wp AS DOUBLE) AS w_plus,
+             floor((CAST(wp AS DOUBLE)
+               - CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE) / 4.0)
+               / sqrt(CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)
+                   * CAST(2 * n + 1 AS DOUBLE) / 24.0
+                 - CAST(tcorr AS DOUBLE) / 48.0) * 1e9) / 1e9 AS z
+      FROM a, t
+    """.trim))
+
+  /** Cohen's kappa ([[RankStats.cohensKappa]]) between two threshold
+    * "annotators" of event value (35 vs 30) — the chance-corrected
+    * agreement audit for double-labeled data.
+    */
+  val q330Kappa = HarnessQuery(
+    "q330_kappa",
+    (spark, dir) =>
+      RankStats.cohensKappa(Tables.events(spark, dir),
+        col("value") > 35.0, col("value") > 30.0),
+    Some("""
+      WITH c AS (
+        SELECT
+          CAST(sum(CASE WHEN "value" > 35.0 AND "value" > 30.0
+            THEN 1 ELSE 0 END) AS BIGINT) AS a,
+          CAST(sum(CASE WHEN "value" > 35.0 AND NOT ("value" > 30.0)
+            THEN 1 ELSE 0 END) AS BIGINT) AS b,
+          CAST(sum(CASE WHEN NOT ("value" > 35.0) AND "value" > 30.0
+            THEN 1 ELSE 0 END) AS BIGINT) AS c,
+          CAST(sum(CASE WHEN NOT ("value" > 35.0)
+              AND NOT ("value" > 30.0)
+            THEN 1 ELSE 0 END) AS BIGINT) AS d
+        FROM events),
+      k AS (
+        SELECT a + b + c + d AS n,
+               CAST(a + d AS DOUBLE) / CAST(a + b + c + d AS DOUBLE) AS po,
+               (CAST(a + b AS DOUBLE) * CAST(a + c AS DOUBLE)
+                 + CAST(c + d AS DOUBLE) * CAST(b + d AS DOUBLE))
+                 / (CAST(a + b + c + d AS DOUBLE)
+                   * CAST(a + b + c + d AS DOUBLE)) AS pe
+        FROM c)
+      SELECT n, floor(po * 1e9) / 1e9 AS po,
+             floor(pe * 1e9) / 1e9 AS pe,
+             floor((po - pe) / (1.0 - pe) * 1e9) / 1e9 AS kappa
+      FROM k
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q312HllDistinct, q313PrefixJaccard, q314RidgeFit, q316Modularity,
     q317HoltTrend, q318DbscanCore, q319Sprt, q320Breakpoint,
     q321LooInfluence, q322IpwAte, q323RidgePath, q324HllSliding,
-    q325PpsSample, q326AipwAte, q327Permutation, q328Cmh)
+    q325PpsSample, q326AipwAte, q327Permutation, q328Cmh,
+    q329Wilcoxon, q330Kappa)
 }

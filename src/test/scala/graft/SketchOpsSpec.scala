@@ -449,4 +449,32 @@ class SketchOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("k_strata") === 2L)
     assert(math.abs(r.getAs[Double]("or_cmh") - 6.0) < 1e-9)
   }
+
+  test("wilcoxonSignedRank: replays the hand-computed statistic with " +
+    "average ranks and drops zero differences") {
+    // diffs: 1, -2, 3, -4, 5, 0 (dropped), plus a tie pair |d|=3
+    val df = Seq(1.0, -2.0, 3.0, -4.0, 5.0, 0.0, -3.0).toDF("diff")
+    val r = graft.operators.RankStats.wilcoxonSignedRank(df, "diff")
+      .collect().head
+    assert(r.getAs[Long]("n_pairs") === 6L)
+    // |d| sorted: 1,2,3,3,4,5 -> ranks 1,2,3.5,3.5,5,6
+    // positive d: 1 (r1), 3 (r3.5), 5 (r6) => W+ = 10.5
+    assert(r.getAs[Double]("w_plus") === 10.5)
+    // mean = 6*7/4 = 10.5 => z numerator 0 => z = 0
+    assert(math.abs(r.getAs[Double]("z")) < 1e-12)
+  }
+
+  test("cohensKappa: perfect agreement gives kappa 1; independence " +
+    "gives ~0") {
+    val perfect = (1 to 100).map(i => (i % 2 == 0, i % 2 == 0))
+      .toDF("r1", "r2")
+    val p = graft.operators.RankStats.cohensKappa(
+      perfect, col("r1"), col("r2")).collect().head
+    assert(p.getAs[Double]("kappa") > 0.999999)
+    val indep = (1 to 100).map(i => (i % 2 == 0, i % 4 < 2))
+      .toDF("r1", "r2")
+    val q = graft.operators.RankStats.cohensKappa(
+      indep, col("r1"), col("r2")).collect().head
+    assert(math.abs(q.getAs[Double]("kappa")) < 0.05)
+  }
 }
