@@ -70,4 +70,53 @@ object Inequality {
             .cast("double")).as("gini"))
       .orderBy(col(groupCol))
   }
+
+  /** Lorenz curve sampled at decile boundaries — the curve BEHIND
+    * [[giniByGroup]]'s scalar: for each population decile d/10, the
+    * cumulative share of total value held by the bottom d/10 of rows
+    * (sorted by value ascending). Same bounded-domain shape as the
+    * Gini: one hash aggregate onto DISTINCT values, one cumulative
+    * window over that bounded domain, then each decile selects its
+    * first crossing row by an exact INTEGER comparison
+    * (cl·deciles >= d·n — no floating thresholds to straddle).
+    *
+    * Output: (decile, pop_share, value_share), `deciles` rows,
+    * shares floor-snapped at 1e9. The last row is always (1, 1).
+    */
+  def lorenzCurve(
+      df: DataFrame, valueCol: String, deciles: Int = 10): DataFrame = {
+    require(deciles >= 1, s"deciles must be >= 1, got $deciles")
+    val v = col(valueCol).cast("decimal(18,6)")
+    val per = df
+      .filter(col(valueCol).isNotNull && col(valueCol) >= 0)
+      .groupBy(v.as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = per
+      .withColumn("__cl", sum(col("__c")).over(w))
+      .withColumn("__sv",
+        sum(col("__v") * col("__c").cast("decimal(18,0)")).over(w)
+          .cast("decimal(28,6)"))
+    val tot = per.agg(
+      sum(col("__c")).as("__n"),
+      sum(col("__v") * col("__c").cast("decimal(18,0)"))
+        .cast("decimal(28,6)").as("__s"))
+    val decs = df.sparkSession.range(1, deciles + 1L)
+      .select(col("id").as("__d"))
+    val sel = cum.crossJoin(broadcast(tot))
+      .join(broadcast(decs),
+        col("__cl") * lit(deciles.toLong) >= col("__d") * col("__n"))
+      .groupBy(col("__d"))
+      .agg(min(col("__cl")).as("__cl"))
+    sel
+      .join(cum.select(col("__cl"), col("__sv")), Seq("__cl"))
+      .crossJoin(broadcast(tot))
+      .select(col("__d").cast("int").as("decile"),
+        (floor(col("__cl").cast("double") / col("__n").cast("double")
+          * 1e9) / 1e9).as("pop_share"),
+        (floor(col("__sv").cast("double") / col("__s").cast("double")
+          * 1e9) / 1e9).as("value_share"))
+      .orderBy(col("decile"))
+  }
 }

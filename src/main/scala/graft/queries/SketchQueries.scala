@@ -1161,10 +1161,53 @@ object SketchQueries {
       FROM k
     """.trim))
 
+  /** Lorenz curve of l_extendedprice at decile boundaries
+    * ([[graft.operators.Inequality.lorenzCurve]]) — the distribution
+    * behind the q243 Gini scalar, selected by exact integer
+    * crossings over the bounded distinct-value domain.
+    */
+  val q331Lorenz = HarnessQuery(
+    "q331_lorenz",
+    (spark, dir) =>
+      graft.operators.Inequality.lorenzCurve(
+        Tables.lineitem(spark, dir), "l_extendedprice", deciles = 10)
+        .orderBy(col("decile")),
+    Some("""
+      WITH per AS (
+        SELECT CAST(l_extendedprice AS DECIMAL(18,6)) AS v,
+               count(*) AS c
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_extendedprice >= 0
+        GROUP BY 1),
+      cum AS (
+        SELECT v, c,
+               CAST(sum(c) OVER w AS BIGINT) AS cl,
+               CAST(sum(v * CAST(c AS DECIMAL(18,0))) OVER w
+                 AS DECIMAL(28,6)) AS sv
+        FROM per WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)),
+      tot AS (
+        SELECT CAST(sum(c) AS BIGINT) AS n,
+               CAST(sum(v * CAST(c AS DECIMAL(18,0))) AS DECIMAL(28,6))
+                 AS s
+        FROM per),
+      sel AS (
+        SELECT g.d AS d, min(cum.cl) AS cl
+        FROM cum, tot, generate_series(1, 10) g(d)
+        WHERE cum.cl * 10 >= g.d * tot.n
+        GROUP BY 1)
+      SELECT CAST(sel.d AS INT) AS decile,
+             floor(CAST(sel.cl AS DOUBLE) / CAST(tot.n AS DOUBLE) * 1e9)
+               / 1e9 AS pop_share,
+             floor(CAST(cum.sv AS DOUBLE) / CAST(tot.s AS DOUBLE) * 1e9)
+               / 1e9 AS value_share
+      FROM sel JOIN cum ON sel.cl = cum.cl, tot
+      ORDER BY decile
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q312HllDistinct, q313PrefixJaccard, q314RidgeFit, q316Modularity,
     q317HoltTrend, q318DbscanCore, q319Sprt, q320Breakpoint,
     q321LooInfluence, q322IpwAte, q323RidgePath, q324HllSliding,
     q325PpsSample, q326AipwAte, q327Permutation, q328Cmh,
-    q329Wilcoxon, q330Kappa)
+    q329Wilcoxon, q330Kappa, q331Lorenz)
 }

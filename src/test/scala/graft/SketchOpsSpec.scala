@@ -477,4 +477,26 @@ class SketchOpsSpec extends SparkSpec {
       indep, col("r1"), col("r2")).collect().head
     assert(math.abs(q.getAs[Double]("kappa")) < 0.05)
   }
+
+  test("lorenzCurve: perfect equality lies on the diagonal; " +
+    "concentration bows below it; the last point is (1, 1)") {
+    val equal = (1 to 100).map(_ => 5.0).toDF("v")
+    val eq = graft.operators.Inequality.lorenzCurve(equal, "v")
+      .orderBy(col("decile")).collect()
+    assert(eq.length === 10)
+    eq.foreach { r =>
+      assert(math.abs(r.getAs[Double]("pop_share")
+        - r.getAs[Double]("value_share")) < 1e-9)
+    }
+    // one row holds 91% of the mass
+    val skewed = ((1 to 99).map(_ => 1.0) ++ Seq(991.0)).toDF("v")
+    val sk = graft.operators.Inequality.lorenzCurve(skewed, "v")
+      .orderBy(col("decile")).collect()
+    val last = sk.last
+    assert(last.getAs[Double]("pop_share") === 1.0)
+    assert(last.getAs[Double]("value_share") === 1.0)
+    // at the 90th percentile the bottom 90% hold only 90/1090 ≈ 8.3%
+    val d9 = sk(8)
+    assert(d9.getAs[Double]("value_share") < 0.1)
+  }
 }
