@@ -119,4 +119,42 @@ object Inequality {
           * 1e9) / 1e9).as("value_share"))
       .orderBy(col("decile"))
   }
+
+  /** Herfindahl–Hirschman concentration index per market: with
+    * member totals x_i and market total X, HHI = Σ(x_i/X)² = Σx_i²/X²
+    * — the algebraic collapse means NO per-member share computation:
+    * two exact decimal aggregates (member totals, then per-market
+    * Σx and Σx²) and one final double division. 1/n_members is the
+    * perfectly-competitive floor, 1 the monopoly ceiling.
+    *
+    * Output per market: (marketCol, n_members, total, hhi), hhi
+    * floor-snapped at 1e9.
+    */
+  def herfindahl(
+      df: DataFrame, marketCol: String, memberCol: String,
+      valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("decimal(18,6)")
+    val member = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy(col(marketCol).as("__m"), col(memberCol).as("__i"))
+      .agg(sum(v).cast("decimal(28,6)").as("__x"))
+    member
+      .groupBy(col("__m"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        sum(col("__x")).cast("decimal(28,6)").as("__sum"),
+        // x up to decimal(28,6) squares past 38 digits; re-narrowed
+        // operands keep the product in-width — one side at (19,6)
+        // because DuckDB multiplies two width-18 decimals in int64
+        // and overflows (width 19 forces its int128 path)
+        sum((col("__x").cast("decimal(19,6)")
+          * col("__x").cast("decimal(18,6)")).cast("decimal(38,12)"))
+          .as("__sumsq"))
+      .select(col("__m").as(marketCol), col("n_members"),
+        col("__sum").cast("double").as("total"),
+        (floor(col("__sumsq").cast("double")
+          / (col("__sum").cast("double") * col("__sum").cast("double"))
+          * 1e9) / 1e9).as("hhi"))
+      .orderBy(col(marketCol))
+  }
 }

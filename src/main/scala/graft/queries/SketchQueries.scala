@@ -1204,10 +1204,48 @@ object SketchQueries {
       ORDER BY decile
     """.trim))
 
+  /** Revenue concentration per market segment
+    * ([[graft.operators.Inequality.herfindahl]]): HHI of customer
+    * order totals within each c_mktsegment — Σx²/X², no per-member
+    * share materialization.
+    */
+  val q332Hhi = HarnessQuery(
+    "q332_hhi",
+    (spark, dir) => {
+      val o = Tables.orders(spark, dir)
+      val c = Tables.customer(spark, dir)
+      graft.operators.Inequality.herfindahl(
+        o.join(c, o("o_custkey") === c("c_custkey"))
+          .select(col("c_mktsegment"), col("o_custkey"),
+            col("o_totalprice")),
+        "c_mktsegment", "o_custkey", "o_totalprice")
+    },
+    Some("""
+      WITH member AS (
+        SELECT c.c_mktsegment AS m, o.o_custkey AS i,
+               CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,6)))
+                 AS DECIMAL(28,6)) AS x
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE o.o_totalprice IS NOT NULL
+        GROUP BY 1, 2),
+      mk AS (
+        SELECT m, count(*) AS n_members,
+               CAST(sum(x) AS DECIMAL(28,6)) AS s,
+               sum(CAST(CAST(x AS DECIMAL(19,6))
+                 * CAST(x AS DECIMAL(18,6)) AS DECIMAL(38,12))) AS sq
+        FROM member GROUP BY 1)
+      SELECT m AS c_mktsegment, n_members,
+             CAST(s AS DOUBLE) AS total,
+             floor(CAST(sq AS DOUBLE)
+               / (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) * 1e9) / 1e9
+               AS hhi
+      FROM mk ORDER BY c_mktsegment
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q312HllDistinct, q313PrefixJaccard, q314RidgeFit, q316Modularity,
     q317HoltTrend, q318DbscanCore, q319Sprt, q320Breakpoint,
     q321LooInfluence, q322IpwAte, q323RidgePath, q324HllSliding,
     q325PpsSample, q326AipwAte, q327Permutation, q328Cmh,
-    q329Wilcoxon, q330Kappa, q331Lorenz)
+    q329Wilcoxon, q330Kappa, q331Lorenz, q332Hhi)
 }

@@ -499,4 +499,19 @@ class SketchOpsSpec extends SparkSpec {
     val d9 = sk(8)
     assert(d9.getAs[Double]("value_share") < 0.1)
   }
+
+  test("herfindahl: monopoly scores 1, equal n-way split scores 1/n") {
+    val df = Seq(
+      ("mono", 1L, 100.0),
+      ("quad", 1L, 25.0), ("quad", 2L, 25.0),
+      ("quad", 3L, 12.5), ("quad", 3L, 12.5), ("quad", 4L, 25.0))
+      .toDF("m", "i", "v")
+    val out = graft.operators.Inequality.herfindahl(df, "m", "i", "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_members"), r.getAs[Double]("hhi"))).toMap
+    assert(out("mono")._1 === 1L)
+    assert(math.abs(out("mono")._2 - 1.0) < 1e-9)
+    assert(out("quad")._1 === 4L)
+    assert(math.abs(out("quad")._2 - 0.25) < 1e-9)
+  }
 }
