@@ -804,6 +804,12 @@ object Experiment {
       val (b1, b2, b3) = (g("sy"), g("s1y"), g("s2y"))
       val det = a11 * (a22 * a33 - a23 * a23) -
         a12 * (a12 * a33 - a23 * a13) + a13 * (a12 * a23 - a22 * a13)
+      // degenerate design (empty arm, or constant/collinear features)
+      // must surface as an error, not NaN/Infinity betas silently
+      // propagating through every per-row m(x) into ate_aipw
+      require(det != 0.0 && !det.isNaN,
+        s"aipwAte: singular normal equations for arm '$p' " +
+          s"(n=${a11}) — empty arm or collinear/constant features")
       val d0 = b1 * (a22 * a33 - a23 * a23) -
         a12 * (b2 * a33 - a23 * b3) + a13 * (b2 * a23 - a22 * b3)
       val d1 = a11 * (b2 * a33 - a23 * b3) -

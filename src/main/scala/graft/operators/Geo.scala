@@ -35,16 +35,24 @@ object Geo {
   /** Nearest site per point against a BOUNDED site table (broadcast
     * argmin; the caller owns the bound). Ties break by site id.
     * Output: every point column + (siteIdCol, distance_km).
+    *
+    * `idCols` names the point table's unique key (the argmin window
+    * partitions on it) — mirroring the idCols contract of
+    * `Network.mostSpecific`. Partitioning on all point columns instead
+    * would silently collapse fully-duplicate point rows to one output
+    * row, losing points whenever the table lacks a unique id.
     */
   def nearestSite(
       points: DataFrame,
+      idCols: Seq[String],
       pLat: String, pLon: String,
       sites: DataFrame,
       siteIdCol: String, sLat: String, sLon: String): DataFrame = {
+    require(idCols.nonEmpty, "nearestSite needs the point table's unique id columns")
     val scored = points.join(broadcast(sites))
       .withColumn("__d",
         haversineKm(col(pLat), col(pLon), col(sLat), col(sLon)))
-    val w = Window.partitionBy(points.columns.map(col): _*)
+    val w = Window.partitionBy(idCols.map(col): _*)
       .orderBy(col("__d"), col(siteIdCol))
     scored.withColumn("__rk", row_number().over(w))
       .filter(col("__rk") === 1)

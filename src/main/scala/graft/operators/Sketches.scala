@@ -48,7 +48,13 @@ object Sketches {
       .select(col("g"),
         pmod(col("__h"), lit(M.toLong)).as("__b"),
         expr(s"__h div ${M.toLong}").as("__w"))
-    val rho = when(col("__w") === 0L, lit(WidthBits + 1))
+    // rho is clamped to WidthBits (54): the true rank for w == 0 is 55,
+    // but the harmonic-sum term 2^(54-m) would then be shiftleft(1,-1),
+    // which Spark (shift count mod 64) evaluates to 1<<63 = Long.MIN_VALUE
+    // — corrupting the register sum. The bias from the clamp is one
+    // half-unit in 2^54, i.e. unobservable; the q312/q324 oracles carry
+    // the identical clamp.
+    val rho = when(col("__w") === 0L, lit(WidthBits))
       .otherwise(lit(WidthBits + 1) - length(bin(col("__w"))))
     hashed
       .groupBy(col("g"), col("__b"))

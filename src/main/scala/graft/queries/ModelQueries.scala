@@ -187,7 +187,8 @@ object ModelQueries {
             - 85.0).as("slat"),
           (pmod(col("n_nationkey") * 53, lit(3600)).cast("double") / 10.0
             - 180.0).as("slon"))
-      Geo.nearestSite(pts, "lat", "lon", sites, "site_id", "slat", "slon")
+      Geo.nearestSite(pts, Seq("event_id"), "lat", "lon",
+          sites, "site_id", "slat", "slon")
         .groupBy(col("site_id"))
         .agg(count(lit(1)).as("n_points"),
           (floor(min(col("distance_km")) * 1e6) / 1e6).as("min_km"),
@@ -535,7 +536,10 @@ object ModelQueries {
         SELECT a.user_id, a_id, b_id,
                least(a_e, b_e) - greatest(a_s, b_s) AS ov
         FROM a JOIN b USING (user_id)
-        WHERE a_s <= b_e AND b_s <= a_e)
+        -- malformed intervals (end < start) match nothing, mirroring
+        -- intervalOverlapJoin's pre-bucketing filter
+        WHERE a_s <= b_e AND b_s <= a_e
+          AND a_e >= a_s AND b_e >= b_s)
       SELECT user_id, count(*) AS n_pairs,
              CAST(sum(ov) AS BIGINT) AS total_overlap_us
       FROM p GROUP BY 1 ORDER BY user_id

@@ -51,7 +51,7 @@ object SketchQueries {
       b AS (SELECT metric, grp, h % 64 AS b, h // 64 AS w FROM h),
       r AS (
         SELECT metric, grp, b,
-               CAST(max(CASE WHEN w = 0 THEN 55
+               CAST(max(CASE WHEN w = 0 THEN 54
                  ELSE 55 - length(bin(w)) END) AS INT) AS m
         FROM b GROUP BY 1, 2, 3),
       agg AS (
@@ -702,7 +702,7 @@ object SketchQueries {
             FROM ev),
       b AS (SELECT day, h % 64 AS b, h // 64 AS w FROM h),
       r AS (SELECT day, b,
-              CAST(max(CASE WHEN w = 0 THEN 55
+              CAST(max(CASE WHEN w = 0 THEN 54
                 ELSE 55 - length(bin(w)) END) AS INT) AS m
             FROM b GROUP BY 1, 2),
       days AS (SELECT DISTINCT day FROM ev),

@@ -67,7 +67,8 @@ class ModelOpsSpec extends SparkSpec {
     val pts = Seq((1L, 10.05, 20.05), (2L, 50.0, -120.0)).toDF("id", "lat", "lon")
     val sites = Seq((100L, 10.0, 20.0), (200L, 10.1, 20.1), (300L, 49.0, -121.0))
       .toDF("site_id", "slat", "slon")
-    val near = Geo.nearestSite(pts, "lat", "lon", sites, "site_id", "slat", "slon")
+    val near = Geo.nearestSite(pts, Seq("id"), "lat", "lon",
+        sites, "site_id", "slat", "slon")
       .select(col("id"), col("site_id")).as[(Long, Long)].collect().toMap
     assert(near(2L) === 300L)
     assert(Set(100L, 200L).contains(near(1L))) // equidistant-ish: must pick one deterministically
@@ -80,6 +81,19 @@ class ModelOpsSpec extends SparkSpec {
       .select(col("id"), col("site_id")).as[(Long, Long)].collect().toSet
     assert(rj === brute)
     assert(brute.contains((2L, 300L)))
+  }
+
+  test("nearestSite keeps fully-duplicate point rows when their ids differ") {
+    val pts = Seq((1L, 10.0, 20.0), (2L, 10.0, 20.0), (3L, 10.0, 20.0))
+      .toDF("id", "lat", "lon")
+    val sites = Seq((100L, 10.0, 20.0), (200L, 50.0, 60.0))
+      .toDF("site_id", "slat", "slon")
+    val out = Geo.nearestSite(pts, Seq("id"), "lat", "lon",
+      sites, "site_id", "slat", "slon")
+    // partitioning the argmin window on all point columns instead of the
+    // id would collapse these three identical points into one output row
+    assert(out.count() === 3L)
+    assert(out.select("site_id").distinct().as[Long].collect().toSeq === Seq(100L))
   }
 
   test("psmAtt: hand-checked nearest-control matching with caliper") {

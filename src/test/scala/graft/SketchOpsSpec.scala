@@ -405,9 +405,34 @@ class SketchOpsSpec extends SparkSpec {
       - out.getAs[Double]("mc_mean") - 3.0) < 1e-3)
   }
 
+  test("aipwAte: degenerate design (empty arm / constant feature) fails " +
+    "fast instead of emitting NaN") {
+    // every row treated -> control-arm normal equations are singular
+    val oneArm = (1 to 50).map { i =>
+      (1, i.toDouble, (i % 5).toDouble, (i % 3).toDouble)
+    }.toDF("t", "o", "x0", "x1")
+    val e1 = intercept[IllegalArgumentException] {
+      Experiment.aipwAte(oneArm, Seq(col("x0"), col("x1")), "t", "o",
+        iters = 2, lr = 0.1).collect()
+    }
+    assert(e1.getMessage.contains("singular"))
+    // constant x1 -> collinear with the intercept in both arms
+    val collinear = (1 to 50).map { i =>
+      (i % 2, i.toDouble, (i % 5).toDouble, 7.0)
+    }.toDF("t", "o", "x0", "x1")
+    val e2 = intercept[IllegalArgumentException] {
+      Experiment.aipwAte(collinear, Seq(col("x0"), col("x1")), "t", "o",
+        iters = 2, lr = 0.1).collect()
+    }
+    assert(e2.getMessage.contains("singular"))
+  }
+
   test("aipwAte: balanced null effect estimates ~0") {
+    // x1 must NOT equal t (i % 2) — that fixture made the treated-arm
+    // normal equations singular, and before the det guard the resulting
+    // NaN chain summed to a NULL that unboxed to 0.0, silently passing
     val df = (1 to 400).map { i =>
-      val x0 = (i % 7).toDouble; val x1 = (i % 2).toDouble
+      val x0 = (i % 7).toDouble; val x1 = (i % 3).toDouble
       (i % 2, 5.0 + x0 - x1, x0, x1)
     }.toDF("t", "o", "x0", "x1")
     val out = Experiment.aipwAte(df,
