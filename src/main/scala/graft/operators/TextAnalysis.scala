@@ -383,6 +383,13 @@ object TextAnalysis {
     (cur, merges.toSeq)
   }
 
+  /** Learned merge table: (round, merge_left, merge_right, pair_count).
+    * SCALE CONTRACT: training is inherently sequential — one argmax +
+    * one vocab rewrite per round — which is why `rounds` is hard-bounded
+    * (<= 10) and the input is meant to be a bounded SAMPLE of the
+    * corpus. Tokenizing the full corpus with the learned table is
+    * [[bpeEncode]] — a single shuffle-free projection.
+    */
   def bpeMerges(
       df: DataFrame, textCol: String, rounds: Int): DataFrame = {
     val spark = df.sparkSession
@@ -412,6 +419,49 @@ object TextAnalysis {
         row_number().over(Window.orderBy(
           col("n_occurrences").desc, col("symbol").asc)).cast("long"))
       .select(col("rank"), col("symbol"), col("n_occurrences"))
+  }
+
+  /** Tokenize with a TRAINED merge table — the scalable half of BPE.
+    * [[bpeMerges]] is inherently sequential (one argmax + one corpus
+    * rewrite per round; bounded at 10 rounds for exactly that reason),
+    * so a real pipeline trains the table ONCE on a bounded sample and
+    * APPLIES it everywhere. This is that apply: the rank-ordered merge
+    * list (at most 64 entries, `require`d) is inlined as literals into
+    * one chained string-replace projection — the literal-table form of
+    * a broadcast. The whole operator is a single narrow map over the
+    * corpus: no shuffle, no driver loop, whole-stage codegen'd, and
+    * embarrassingly parallel at 100 TB.
+    *
+    * Merge semantics match training bit-for-bit: each merge rewrites a
+    * word's spaced symbol representation via ONE non-overlapping
+    * left-to-right plain replace of " l r " -> " lr " — the same
+    * lookahead-free operator in Spark and DuckDB (see [[bpeMerges]]'
+    * note). Merges are applied in rank order and never cross word
+    * boundaries (each word is encoded inside its own lambda).
+    *
+    * Output: one row per non-null-text doc —
+    * (idCol, n_words, n_bpe_tokens).
+    */
+  def bpeEncode(
+      df: DataFrame, textCol: String, idCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty && merges.size <= 64,
+      s"bpeEncode inlines the merge table into one projection; " +
+        s"got ${merges.size} merges (allowed 1..64) — train on a sample " +
+        s"with bpeMerges and cap the rounds")
+    val words = TextFunctions.tokens(col(textCol))
+    def encodeWord(w: Column): Column = {
+      val repr0 = concat(lit(" "), regexp_replace(w, "(.)", "$1 "))
+      val reprN = merges.foldLeft(repr0) { case (c, (l, r)) =>
+        call_function("replace", c, lit(s" $l $r "), lit(s" $l$r "))
+      }
+      size(split(trim(reprN), " ")).cast("long")
+    }
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        size(words).cast("long").as("n_words"),
+        aggregate(words, lit(0L), (acc, w) => acc + encodeWord(w))
+          .as("n_bpe_tokens"))
   }
 
   /** Flesch reading-ease per document (Flesch 1948), with the standard

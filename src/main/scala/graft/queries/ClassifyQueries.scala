@@ -1362,6 +1362,89 @@ object ClassifyQueries {
       ORDER BY rank
     """.trim))
 
+  /** Train-on-sample, apply-everywhere BPE tokenization
+    * ([[TextAnalysis.bpeEncode]]): 3 merges learned from the doc_id%7
+    * slice (the bounded, inherently-sequential half), then applied to
+    * the WHOLE corpus as one inlined chained-replace projection — no
+    * shuffle, no driver loop. Per doc: whitespace word count vs subword
+    * count under the trained merges. The oracle replays the q291
+    * training CTE chain on the same sample, then the identical
+    * non-overlapping replaces per word.
+    */
+  val q333BpeEncode = HarnessQuery(
+    "q333_bpe_encode",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val merges = TextAnalysis.bpeMerges(
+          docs.filter(pmod(col("doc_id"), lit(7L)) === 0), "text", 3)
+        .orderBy(col("round"))
+        .collect().toSeq // bounded: <= 3 rows of trained metadata
+        .map(r => (r.getString(1), r.getString(2)))
+      TextAnalysis.bpeEncode(docs, "text", "doc_id", merges)
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH v AS (SELECT w, count(*) AS f FROM (
+               SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                 AS w
+               FROM documents WHERE doc_id % 7 = 0) GROUP BY 1),
+      r0 AS (SELECT w, f,
+               ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS repr
+             FROM v),
+      p1 AS (SELECT l, r, CAST(sum(f) AS BIGINT) AS c FROM (
+               SELECT f, unnest(s[1:len(s)-1]) AS l,
+                      unnest(s[2:len(s)]) AS r
+               FROM (SELECT f, regexp_split_to_array(trim(repr), ' ') AS s
+                     FROM r0)
+               WHERE len(s) >= 2)
+             GROUP BY 1, 2),
+      w1 AS (SELECT l, r FROM p1
+             QUALIFY row_number() OVER (ORDER BY c DESC, l, r) = 1),
+      r1 AS (SELECT r0.w, r0.f,
+               replace(r0.repr, ' ' || w1.l || ' ' || w1.r || ' ',
+                 ' ' || w1.l || w1.r || ' ') AS repr
+             FROM r0, w1),
+      p2 AS (SELECT l, r, CAST(sum(f) AS BIGINT) AS c FROM (
+               SELECT f, unnest(s[1:len(s)-1]) AS l,
+                      unnest(s[2:len(s)]) AS r
+               FROM (SELECT f, regexp_split_to_array(trim(repr), ' ') AS s
+                     FROM r1)
+               WHERE len(s) >= 2)
+             GROUP BY 1, 2),
+      w2 AS (SELECT l, r FROM p2
+             QUALIFY row_number() OVER (ORDER BY c DESC, l, r) = 1),
+      r2 AS (SELECT r1.w, r1.f,
+               replace(r1.repr, ' ' || w2.l || ' ' || w2.r || ' ',
+                 ' ' || w2.l || w2.r || ' ') AS repr
+             FROM r1, w2),
+      p3 AS (SELECT l, r, CAST(sum(f) AS BIGINT) AS c FROM (
+               SELECT f, unnest(s[1:len(s)-1]) AS l,
+                      unnest(s[2:len(s)]) AS r
+               FROM (SELECT f, regexp_split_to_array(trim(repr), ' ') AS s
+                     FROM r2)
+               WHERE len(s) >= 2)
+             GROUP BY 1, 2),
+      w3 AS (SELECT l, r FROM p3
+             QUALIFY row_number() OVER (ORDER BY c DESC, l, r) = 1),
+      tok AS (SELECT doc_id,
+                unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+              FROM documents WHERE text IS NOT NULL),
+      enc AS (SELECT t.doc_id,
+                replace(replace(replace(
+                  ' ' || regexp_replace(t.w, '(.)', '\1 ', 'g'),
+                  ' ' || w1.l || ' ' || w1.r || ' ',
+                  ' ' || w1.l || w1.r || ' '),
+                  ' ' || w2.l || ' ' || w2.r || ' ',
+                  ' ' || w2.l || w2.r || ' '),
+                  ' ' || w3.l || ' ' || w3.r || ' ',
+                  ' ' || w3.l || w3.r || ' ') AS repr
+              FROM tok t, w1, w2, w3)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(len(regexp_split_to_array(trim(repr), ' ')))
+               AS BIGINT) AS n_bpe_tokens
+      FROM enc GROUP BY 1 ORDER BY doc_id
+    """.trim))
+
   /** Effective sample size ([[Mixture.effectiveSampleSize]]) of
     * length-proportional document weights per source — the usability
     * check on any importance-weighted resample.
@@ -1432,5 +1515,5 @@ object ClassifyQueries {
     q279TCloseness, q280Silhouette, q281Ndcg, q282Rendezvous, q283EbShrink,
     q284Als, q285SentenceStats, q286Sortedness, q287Flesch, q288NbFeatures,
     q289BinaryIngest, q290PitEnrich, q291Bpe, q292BpeSymbols, q293Ess,
-    q294EmbeddingGeometry)
+    q294EmbeddingGeometry, q333BpeEncode)
 }

@@ -589,6 +589,45 @@ class TextOpsSpec extends SparkSpec {
     assert(out(2).getString(1) === "aa" && out(2).getString(2) === "aa")
   }
 
+  test("bpeEncode: applies merges in rank order with the training's " +
+    "non-overlapping replace semantics, word-locally") {
+    import spark.implicits._
+    // "aaaa" under [(a,a),(aa,a)]: " a a a a " -> " aa a a " -> " aaa a "
+    // = 2 subwords; "ab" -> [a, b] = 2 (no merge applies); "a"/"b" -> 1
+    val df = Seq((1L, "aaaa ab a"), (2L, "b AAAA"), (3L, null))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bpeEncode(df, "text", "doc_id",
+      Seq(("a", "a"), ("aa", "a"))).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_words"), r.getAs[Long]("n_bpe_tokens"))).toMap
+    assert(out.keySet === Set(1L, 2L)) // null text drops
+    assert(out(1L) === ((3L, 5L)))
+    assert(out(2L) === ((2L, 3L))) // lowercased before encoding
+  }
+
+  test("bpeEncode: rejects merge tables beyond the inlining bound") {
+    import spark.implicits._
+    val df = Seq((1L, "a")).toDF("doc_id", "text")
+    val big = (1 to 65).map(i => (s"x$i", s"y$i"))
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.bpeEncode(df, "text", "doc_id", big)
+    }
+    assert(e.getMessage.contains("64"))
+  }
+
+  test("bpeEncode agrees with the training-side rewrite: encoding the " +
+    "training corpus reproduces bpeSymbolCounts' total symbol mass") {
+    import spark.implicits._
+    val df = Seq((1L, "aab ab aab"), (2L, "aab ab")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeMerges(df, "text", 2).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val encoded = TextAnalysis.bpeEncode(df, "text", "doc_id", merges)
+      .agg(org.apache.spark.sql.functions.sum("n_bpe_tokens")).head.getLong(0)
+    val symbolMass = TextAnalysis.bpeSymbolCounts(df, "text", 2, k = 100)
+      .agg(org.apache.spark.sql.functions.sum("n_occurrences")).head.getLong(0)
+    assert(encoded === symbolMass)
+  }
+
   test("trigramBackoffLogProb: docs shorter than 3 tokens emit no rows " +
     "and counts weight repeated trigrams") {
     import spark.implicits._
