@@ -2757,6 +2757,116 @@ object LlmQueries {
       ORDER BY b.vec_id
     """.trim))
 
+  /** Continual-crawl semantic dedup
+    * ([[graft.streaming.ContinualDedup.replayBatches]], the
+    * deterministic replay of the foreachBatch stream): the q112 batch
+    * split, itself split into 3 ordered arrival batches; each batch is
+    * checked against initial corpus + survivors of all earlier batches,
+    * and its own survivors append. The oracle unrolls the three rounds
+    * as chained CTEs — a vector is a dup iff a same-cell vector of the
+    * accumulated corpus AT ITS ARRIVAL TIME has cosine >= 0.4.
+    */
+  val q334ContinualSemanticDedup = HarnessQuery(
+    "q334_continual_semantic_dedup",
+    (spark, dir) => {
+      import graft.streaming.ContinualDedup
+      val em = Tables.embeddings(spark, dir)
+      val centroids = em.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cell"),
+          col("embedding").as("cvec"))
+      val corpus0 = em.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+      val incoming = em.filter(pmod(col("vec_id"), lit(5)) === 0)
+      val batches = (0 until 3).map(k =>
+        incoming.filter(pmod(expr("vec_id div 5"), lit(3)) === k))
+      ContinualDedup.replayBatches(corpus0, batches, "vec_id", "embedding",
+          centroids, threshold = 0.4)
+        .select(col("vec_id"), col("batch_id"), col("cell"),
+          col("is_dup").cast("int").as("is_dup"), col("matched_id"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""
+      WITH cent AS (
+        SELECT CAST(vec_id AS INT) AS cell, embedding AS cvec
+        FROM embeddings WHERE vec_id < 8),
+      cn AS (
+        SELECT cell,
+               sqrt(CAST(sum(CAST(CAST(cvec[g.i] AS DOUBLE) * CAST(cvec[g.i] AS DOUBLE)
+                 AS DECIMAL(30,18))) AS DOUBLE)) AS cnrm
+        FROM cent, generate_series(1, 64) g(i) GROUP BY 1),
+      n AS (
+        SELECT vec_id, embedding,
+               sqrt(CAST(sum(CAST(CAST(embedding[g.i] AS DOUBLE) * CAST(embedding[g.i] AS DOUBLE)
+                 AS DECIMAL(30,18))) AS DOUBLE)) AS nrm
+        FROM embeddings, generate_series(1, 64) g(i) GROUP BY 1, 2),
+      acos AS (
+        SELECT e.vec_id, c.cell,
+               CAST(sum(CAST(CAST(e.embedding[g.i] AS DOUBLE) * CAST(c.cvec[g.i] AS DOUBLE)
+                 AS DECIMAL(30,18))) AS DOUBLE) / (any_value(n.nrm) * any_value(cn.cnrm)) AS csim
+        FROM embeddings e
+        JOIN n ON n.vec_id = e.vec_id, cent c
+        JOIN cn ON cn.cell = c.cell, generate_series(1, 64) g(i)
+        GROUP BY 1, 2),
+      assign AS (
+        SELECT vec_id, cell FROM (
+          SELECT vec_id, cell,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS r
+          FROM acos) WHERE r = 1),
+      corp0 AS (SELECT vec_id, cell FROM assign WHERE vec_id % 5 <> 0),
+      inc AS (SELECT vec_id, cell, (vec_id // 5) % 3 AS batch_id
+              FROM assign WHERE vec_id % 5 = 0),
+      b0 AS (SELECT vec_id, cell FROM inc WHERE batch_id = 0),
+      b1 AS (SELECT vec_id, cell FROM inc WHERE batch_id = 1),
+      b2 AS (SELECT vec_id, cell FROM inc WHERE batch_id = 2),
+      hits0 AS (
+        SELECT b.vec_id AS id_b, a.vec_id AS id_a
+        FROM b0 b JOIN corp0 a ON a.cell = b.cell
+        JOIN n na ON na.vec_id = a.vec_id
+        JOIN n nb ON nb.vec_id = b.vec_id,
+        generate_series(1, 64) g(i)
+        GROUP BY 1, 2
+        HAVING CAST(sum(CAST(CAST(na.embedding[g.i] AS DOUBLE) * CAST(nb.embedding[g.i] AS DOUBLE)
+                 AS DECIMAL(30,18))) AS DOUBLE) / (any_value(na.nrm) * any_value(nb.nrm)) >= 0.4),
+      best0 AS (SELECT id_b, min(id_a) AS matched_id FROM hits0 GROUP BY 1),
+      s1 AS (SELECT vec_id, cell FROM corp0
+             UNION ALL
+             SELECT b.vec_id, b.cell FROM b0 b
+             LEFT JOIN best0 ON best0.id_b = b.vec_id
+             WHERE best0.id_b IS NULL),
+      hits1 AS (
+        SELECT b.vec_id AS id_b, a.vec_id AS id_a
+        FROM b1 b JOIN s1 a ON a.cell = b.cell
+        JOIN n na ON na.vec_id = a.vec_id
+        JOIN n nb ON nb.vec_id = b.vec_id,
+        generate_series(1, 64) g(i)
+        GROUP BY 1, 2
+        HAVING CAST(sum(CAST(CAST(na.embedding[g.i] AS DOUBLE) * CAST(nb.embedding[g.i] AS DOUBLE)
+                 AS DECIMAL(30,18))) AS DOUBLE) / (any_value(na.nrm) * any_value(nb.nrm)) >= 0.4),
+      best1 AS (SELECT id_b, min(id_a) AS matched_id FROM hits1 GROUP BY 1),
+      s2 AS (SELECT vec_id, cell FROM s1
+             UNION ALL
+             SELECT b.vec_id, b.cell FROM b1 b
+             LEFT JOIN best1 ON best1.id_b = b.vec_id
+             WHERE best1.id_b IS NULL),
+      hits2 AS (
+        SELECT b.vec_id AS id_b, a.vec_id AS id_a
+        FROM b2 b JOIN s2 a ON a.cell = b.cell
+        JOIN n na ON na.vec_id = a.vec_id
+        JOIN n nb ON nb.vec_id = b.vec_id,
+        generate_series(1, 64) g(i)
+        GROUP BY 1, 2
+        HAVING CAST(sum(CAST(CAST(na.embedding[g.i] AS DOUBLE) * CAST(nb.embedding[g.i] AS DOUBLE)
+                 AS DECIMAL(30,18))) AS DOUBLE) / (any_value(na.nrm) * any_value(nb.nrm)) >= 0.4),
+      best2 AS (SELECT id_b, min(id_a) AS matched_id FROM hits2 GROUP BY 1),
+      verdicts AS (SELECT * FROM best0
+                   UNION ALL SELECT * FROM best1
+                   UNION ALL SELECT * FROM best2)
+      SELECT i.vec_id, i.batch_id, i.cell,
+             CAST(CASE WHEN v.matched_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS is_dup,
+             v.matched_id
+      FROM inc i LEFT JOIN verdicts v ON v.id_b = i.vec_id
+      ORDER BY i.vec_id
+    """.trim))
+
   /** Hard-negative mining ([[Similarity.hardNegatives]]): per query,
     * the 5 most-similar corpus vectors with a DIFFERENT label — q58's
     * exact top-k restricted to cross-label pairs.
@@ -3748,6 +3858,7 @@ object LlmQueries {
     q92DedupKeepBest, q93UnigramLogProb, q94CorpusReport, q95PipelineV2,
     q96DecontaminateBloom, q99QualityCut, q106HashSample, q109RankFeatures,
     q110SemanticDedup, q111ImportanceResample, q112IncrementalSemanticDedup,
+    q334ContinualSemanticDedup,
     q113HardNegatives, q114ScrubDupSpans, q115NfcNormalize, q116PipelineV3,
     q117PqTopK, q118IvfPqTopK, q119BigramPerplexity, q120BucketedBatches,
     q121TemperatureWeights, q122SourceDivergence, q123HashedTf,

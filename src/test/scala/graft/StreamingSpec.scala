@@ -342,4 +342,47 @@ class StreamingSpec extends SparkSpec {
       .map(r => r.getAs[Long]("k") -> r.getAs[Double]("v")).toMap
     assert(got === Map(1L -> 11.0, 3L -> 30.0))
   }
+
+  test("continual semantic dedup: the foreachBatch stream equals the " +
+    "batch replay, and batch-1 survivors block batch-2 arrivals") {
+    import graft.streaming.ContinualDedup
+    implicit val sqlCtx = spark.sqlContext
+    val centroids = Seq((0, Seq(1.0, 0.0, 0.0, 0.0)),
+      (1, Seq(0.0, 1.0, 0.0, 0.0))).toDF("cell", "cvec")
+    val corpus0 = Seq((100L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (101L, Seq(0.0, 1.0, 0.0, 0.0))).toDF("id", "vec")
+    // batch 1: id 1 duplicates corpus 100; id 2 is new content (cell 0)
+    val batch1 = Seq((1L, Seq(0.95, 0.05, 0.0, 0.0)),
+      (2L, Seq(0.0, 0.0, 1.0, 0.2)))
+    // batch 2: id 3 duplicates SURVIVOR 2 (not the initial corpus);
+    // id 4 duplicates corpus 101
+    val batch2 = Seq((3L, Seq(0.01, 0.0, 1.0, 0.2)),
+      (4L, Seq(0.0, 0.9, 0.1, 0.0)))
+    type Verdict = (Long, Long, Int, Boolean, Any)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Verdict] =
+      df.collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("batch_id"),
+        r.getAs[Int]("cell"), r.getAs[Boolean]("is_dup"),
+        r.getAs[Any]("matched_id"))).toSet
+
+    val streamed = scala.collection.mutable.ArrayBuffer.empty[Verdict]
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val stream = mem.toDF().toDF("id", "vec")
+    val q = ContinualDedup.start(stream, corpus0, "id", "vec", centroids,
+      threshold = 0.8, dim = 4) { checked => streamed ++= rows(checked) }
+    mem.addData(batch1: _*)
+    q.processAllAvailable()
+    mem.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val replayed = rows(ContinualDedup.replayBatches(corpus0,
+      Seq(batch1.toDF("id", "vec"), batch2.toDF("id", "vec")),
+      "id", "vec", centroids, threshold = 0.8, dim = 4))
+    assert(streamed.toSet === replayed)
+    val verdicts = replayed.map(v => v._1 -> ((v._4, v._5))).toMap
+    assert(verdicts(1L) === ((true, 100L)))
+    assert(verdicts(2L) === ((false, null)))
+    assert(verdicts(3L) === ((true, 2L))) // matched a batch-1 survivor
+    assert(verdicts(4L) === ((true, 101L)))
+  }
 }
