@@ -401,6 +401,93 @@ object Graphs {
       col("__lbl").as("label"))
   }
 
+  /** One-level Louvain local moves — modularity-ASCENT community
+    * detection, closing the gap between scoring a partition
+    * ([[modularity]]) and producing one: where connected components
+    * merge through chains and [[labelPropagation]] needs seeds, this
+    * starts from singletons and lets each vertex adopt the candidate
+    * community (a neighbor's, or its own) with maximal modularity gain.
+    *
+    * Gains compare as INTEGERS — joining community c scores
+    *   s(v,c) = 2m·k_{v,c} − k_v·(tot_c − [c = c_v]·k_v)
+    * (m = undirected edge count, k_{v,c} = edges from v into c,
+    * k_v = degree, tot_c = summed degree of c's members; the bracket
+    * removes v's own degree when evaluating "stay"), which is the
+    * standard ΔQ numerator with the constant 1/2m² scale dropped — so
+    * the argmax replays exactly in any engine, no doubles anywhere.
+    * Ties break (score desc, community asc).
+    *
+    * Rounds are SYNCHRONOUS and parity-gated: in round r only vertices
+    * with id % 2 == (r+1) % 2 may move, the standard two-coloring
+    * guard parallel Louvain uses against the swap oscillation that
+    * plain synchronous updates exhibit on symmetric graphs. Fixed
+    * `rounds` (static stage graph, AQE-plannable), [[Materialize.cut]]
+    * per round, per-round cost = two edge-sized equi-joins + hash
+    * aggregates — the [[pageRank]] discipline. Isolated vertices keep
+    * their singleton community. Scores are BIGINT: exact while
+    * 2m·k_v < 2^63, i.e. any corpus this side of ~10^9 edges with
+    * ~10^9-degree hubs; past that, lift to DECIMAL in both engines.
+    *
+    * `edges` holds each undirected edge ONCE as (id_a, id_b), no
+    * self-loops. Output: (idCol, community) — labels are vertex ids.
+    */
+  def louvainOneLevel(
+      vertices: DataFrame, idCol: String,
+      edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 10, s"rounds out of range: $rounds")
+    val und = Materialize.cut(
+      edges.select(col("id_a").as("__u"), col("id_b").as("__v"))
+        .unionAll(edges.select(col("id_b").as("__u"), col("id_a").as("__v"))))
+    val deg = und.groupBy(col("__u"))
+      .agg(count(lit(1)).cast("long").as("__k"))
+    val mRow = edges.agg(count(lit(1)).cast("long").as("__m"))
+    var cur = Materialize.cut(vertices.select(col(idCol).as("__id"))
+      .withColumn("__c", col("__id")))
+    for (r <- 1 to rounds) {
+      val tot = cur.join(deg, cur("__id") === deg("__u"), "left")
+        .groupBy(col("__c"))
+        .agg(sum(coalesce(col("__k"), lit(0L))).as("__tot"))
+      val kvc = und
+        .join(cur.select(col("__id").as("__v"), col("__c").as("__nc")),
+          Seq("__v"))
+        .groupBy(col("__u"), col("__nc"))
+        .agg(count(lit(1)).cast("long").as("__kvc"))
+        .select(col("__u").as("__id"), col("__nc").as("__cand"),
+          col("__kvc"))
+      val own = cur.select(col("__id"), col("__c").as("__cand"),
+        lit(0L).as("__kvc"))
+      val cand = kvc.unionByName(own)
+        .groupBy(col("__id"), col("__cand"))
+        .agg(max(col("__kvc")).as("__kvc"))
+      val scored = cand
+        .join(cur, Seq("__id"))
+        .join(deg.select(col("__u").as("__id"), col("__k")),
+          Seq("__id"), "left")
+        .join(tot.select(col("__c").as("__cand"), col("__tot")),
+          Seq("__cand"))
+        .crossJoin(broadcast(mRow))
+        .withColumn("__kv", coalesce(col("__k"), lit(0L)))
+        .withColumn("__s",
+          lit(2L) * col("__m") * col("__kvc")
+            - col("__kv") * (col("__tot")
+              - when(col("__cand") === col("__c"), col("__kv"))
+                .otherwise(lit(0L))))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__id"))
+        .orderBy(col("__s").desc, col("__cand"))
+      val winner = scored.withColumn("__rk", row_number().over(w))
+        .where(col("__rk") === 1)
+        .select(col("__id"), col("__cand").as("__win"))
+      cur = Materialize.cut(
+        cur.join(winner, Seq("__id"), "left")
+          .select(col("__id"),
+            when(pmod(col("__id"), lit(2L)) === lit(((r + 1) % 2).toLong),
+              coalesce(col("__win"), col("__c")))
+              .otherwise(col("__c")).as("__c")))
+    }
+    cur.select(col("__id").as(idCol), col("__c").as("community"))
+  }
+
   /** Newman modularity of a given vertex partition over an undirected
     * edge list — the quality score for ANY clustering the pipeline
     * produced (connected components, label propagation, embedding

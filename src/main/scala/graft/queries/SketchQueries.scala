@@ -259,6 +259,77 @@ object SketchQueries {
       FROM c1, c2, c3
     """.trim))
 
+  /** One round of the Louvain oracle: from assignment `prev` (id, c),
+    * compute community degree totals, per-vertex edges-into-community,
+    * the integer gain s(v,c) = 2m·kvc − k_v·(tot_c − [c=c_v]·k_v),
+    * and let parity-gated vertices adopt the argmax (score desc,
+    * community asc) — the exact [[Graphs.louvainOneLevel]] round.
+    */
+  private def louvainRoundSql(prev: String, nxt: String, parity: Int): String =
+    s"""      tot_$nxt AS (SELECT p.c, CAST(sum(coalesce(deg.k, 0)) AS BIGINT) AS tot
+             FROM $prev p LEFT JOIN deg ON deg.u = p.id GROUP BY 1),
+      kvc_$nxt AS (SELECT und.u AS id, p.c AS cand,
+                    CAST(count(*) AS BIGINT) AS kvc
+             FROM und JOIN $prev p ON p.id = und.v GROUP BY 1, 2),
+      cand_$nxt AS (SELECT id, cand, max(kvc) AS kvc FROM (
+               SELECT id, cand, kvc FROM kvc_$nxt
+               UNION ALL SELECT id, c, CAST(0 AS BIGINT) FROM $prev)
+             GROUP BY 1, 2),
+      sc_$nxt AS (SELECT cd.id, cd.cand,
+               2 * m.m * cd.kvc
+                 - coalesce(dv.k, 0) * (t.tot - CASE WHEN cd.cand = cv.c
+                     THEN coalesce(dv.k, 0) ELSE 0 END) AS s
+             FROM cand_$nxt cd
+             JOIN $prev cv ON cv.id = cd.id
+             LEFT JOIN deg dv ON dv.u = cd.id
+             JOIN tot_$nxt t ON t.c = cd.cand, m),
+      $nxt AS (SELECT cv.id,
+               CASE WHEN cv.id % 2 = $parity THEN w.cand ELSE cv.c END AS c
+             FROM $prev cv JOIN (SELECT id, cand FROM (
+               SELECT id, cand, row_number() OVER (PARTITION BY id
+                 ORDER BY s DESC, cand) AS r
+               FROM sc_$nxt) WHERE r = 1) w ON w.id = cv.id)"""
+
+  /** One-level Louvain modularity ascent
+    * ([[Graphs.louvainOneLevel]], 4 parity-gated synchronous rounds)
+    * over the q316 near-dup graph: communities found by maximizing the
+    * integer ΔQ numerator, not merely scored. The oracle re-derives the
+    * brute-force edge set and replays all four rounds.
+    */
+  val q335Louvain = HarnessQuery(
+    "q335_louvain",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val pairs = TextDedup.minhashNearDupPairs(
+        docs, "text", "doc_id", hashFn = TextFunctions.fastHash)
+      Graphs.louvainOneLevel(docs.select(col("doc_id")), "doc_id",
+          pairs, rounds = 4)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id,
+                   list_distinct(list_transform(
+                     generate_series(1, len(regexp_split_to_array(trim(lower(text)), '\\s+')) - 2),
+                     i -> array_to_string((regexp_split_to_array(trim(lower(text)), '\\s+'))[i:i+2], ' ')))
+                     AS sh
+                 FROM documents),
+      pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM t a, t b
+                WHERE a.doc_id < b.doc_id
+                  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+      und AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+      deg AS (SELECT u, CAST(count(*) AS BIGINT) AS k FROM und GROUP BY 1),
+      m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs),
+      c0 AS (SELECT doc_id AS id, doc_id AS c FROM documents),
+${louvainRoundSql("c0", "c1", 0)},
+${louvainRoundSql("c1", "c2", 1)},
+${louvainRoundSql("c2", "c3", 0)},
+${louvainRoundSql("c3", "c4", 1)}
+      SELECT id AS doc_id, c AS community FROM c4 ORDER BY doc_id
+    """.trim))
+
   /** DBSCAN core points over the seeded 2-D projection of the
     * embedding table ([[Density.gridCorePoints]], eps = 0.1,
     * minPts = 5). The grid-blocked neighbor join is lossless over the
@@ -1247,5 +1318,5 @@ object SketchQueries {
     q317HoltTrend, q318DbscanCore, q319Sprt, q320Breakpoint,
     q321LooInfluence, q322IpwAte, q323RidgePath, q324HllSliding,
     q325PpsSample, q326AipwAte, q327Permutation, q328Cmh,
-    q329Wilcoxon, q330Kappa, q331Lorenz, q332Hhi)
+    q329Wilcoxon, q330Kappa, q331Lorenz, q332Hhi, q335Louvain)
 }

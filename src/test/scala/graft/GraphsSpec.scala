@@ -145,4 +145,34 @@ class GraphsSpec extends SparkSpec {
     // hub 1 points at both auths -> strictly strongest hub
     assert(hubs(1L) > hubs(2L) && math.abs(hubs(2L) - hubs(3L)) < 1e-12)
   }
+
+  test("louvainOneLevel: two bridged triangles resolve to the triangle " +
+    "communities and beat flood-seeded label propagation on modularity") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // triangles {1,2,3} and {4,5,6}, bridge 3-4
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("id_a", "id_b")
+    val verts = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("id") // 7 isolated
+    val louvain = Graphs.louvainOneLevel(verts, "id", edges, rounds = 4)
+    val comm = louvain.collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("community")).toMap
+    assert(Set(comm(1L), comm(2L), comm(3L)).size === 1)
+    assert(Set(comm(4L), comm(5L), comm(6L)).size === 1)
+    assert(comm(1L) !== comm(4L))
+    assert(comm(7L) === 7L) // isolated vertex keeps its singleton
+
+    // label propagation with a single seed floods one label over the
+    // whole connected component -> Q = 0; Louvain's triangles score > 0
+    val lp = Graphs.labelPropagation(
+      verts.withColumn("seed", when(col("id") === 1L, lit("a"))),
+      "id", "seed", edges, "id_a", "id_b", rounds = 4)
+    def q(assign: org.apache.spark.sql.DataFrame, c: String): Double =
+      Graphs.modularity(assign, "id", c, edges)
+        .head.getAs[Double]("q_modularity")
+    val qLouvain = q(louvain, "community")
+    val qLp = q(lp, "label")
+    assert(qLouvain > qLp)
+    assert(qLouvain > 0.0)
+  }
 }
