@@ -492,6 +492,78 @@ object LlmQueries {
       ORDER BY media_id
     """.trim))
 
+  /** Container-header metadata ([[Multimodal.parseContainerMeta]]):
+    * REAL pure-JVM WAV/RIFF chunk and MP4 box parsing over
+    * deterministic fixture binaries built executor-side (PCM WAVs
+    * parameterized per nation row, mvhd-bearing MP4s per region row,
+    * one garbage payload). The parser walks actual byte offsets; the
+    * oracle recomputes the header arithmetic (duration = data bytes /
+    * byte rate, resp. ticks / timescale) from the same parameters.
+    */
+  val q336MediaMeta = HarnessQuery(
+    "q336_media_meta",
+    (spark, dir) => {
+      import spark.implicits._
+      val wavs = Tables.nation(spark, dir)
+        .select(col("n_nationkey").cast("long").as("id")).as[Long]
+        .map { k =>
+          val n = k.toInt
+          Multimodal.MediaRow(k,
+            Multimodal.wavBytes(8000 + 100 * n, 1 + n % 2,
+              if (n % 3 == 0) 8 else 16, 500 + 20 * n),
+            "audio/wav", -1, -1)
+        }
+      val mp4s = Tables.region(spark, dir)
+        .select(col("r_regionkey").cast("long").as("id")).as[Long]
+        .map { k =>
+          Multimodal.MediaRow(1000L + k,
+            Multimodal.mp4Bytes("isom", 1000 + k.toInt, 90000L + 1000L * k),
+            "video/mp4", -1, -1)
+        }
+      val junk = Tables.region(spark, dir)
+        .filter(col("r_regionkey") === 0)
+        .select(col("r_regionkey").cast("long").as("id")).as[Long]
+        .map(_ => Multimodal.MediaRow(2000L,
+          "not a media container at all".getBytes("ISO-8859-1"),
+          "text/plain", -1, -1))
+      Multimodal.containerMeta(wavs.union(mp4s).union(junk)).toDF()
+        .orderBy(col("media_id"))
+    },
+    Some("""
+      WITH w AS (
+        SELECT CAST(n_nationkey AS BIGINT) AS media_id,
+               'wav' AS container, 'pcm' AS codec,
+               CAST(8000 + 100 * n_nationkey AS INT) AS sample_rate,
+               CAST(1 + n_nationkey % 2 AS INT) AS channels,
+               CAST(CASE WHEN n_nationkey % 3 = 0 THEN 8 ELSE 16 END AS INT)
+                 AS bits_per_sample,
+               CAST((500 + 20 * n_nationkey) * 1000
+                 // (8000 + 100 * n_nationkey) AS BIGINT) AS duration_ms,
+               CAST(44 + (500 + 20 * n_nationkey) * (1 + n_nationkey % 2)
+                 * (CASE WHEN n_nationkey % 3 = 0 THEN 8 ELSE 16 END // 8)
+                 AS BIGINT) AS n_bytes
+        FROM nation),
+      v AS (
+        SELECT CAST(1000 + r_regionkey AS BIGINT) AS media_id,
+               'mp4' AS container, 'isom' AS codec,
+               CAST(-1 AS INT) AS sample_rate, CAST(0 AS INT) AS channels,
+               CAST(0 AS INT) AS bits_per_sample,
+               CAST((90000 + 1000 * r_regionkey) * 1000
+                 // (1000 + r_regionkey) AS BIGINT) AS duration_ms,
+               CAST(132 AS BIGINT) AS n_bytes
+        FROM region),
+      j AS (
+        SELECT CAST(2000 AS BIGINT) AS media_id,
+               'unknown' AS container, '' AS codec,
+               CAST(-1 AS INT) AS sample_rate, CAST(0 AS INT) AS channels,
+               CAST(0 AS INT) AS bits_per_sample,
+               CAST(-1 AS BIGINT) AS duration_ms,
+               CAST(28 AS BIGINT) AS n_bytes
+        FROM region WHERE r_regionkey = 0)
+      SELECT * FROM w UNION ALL SELECT * FROM v UNION ALL SELECT * FROM j
+      ORDER BY media_id
+    """.trim))
+
   /** TF-IDF: top-3 terms per document (doc_id < 20) by weight, exact.
     * Cross-engine parity: tf and idf are double expressions over exact
     * integer counts — identical operands, identical results; weight
@@ -3849,7 +3921,8 @@ object LlmQueries {
     q210PhashClusters,
     q50TextStats, q51TokenCount, q52LangQuality, q53Fingerprint,
     q54Shingles, q55MinhashPairs, q56ExactDedup, q57SimhashPairs,
-    q58CosineTopK, q59AnnLsh, q60CosineNearDup, q61Multimodal, q62IvfAnn,
+    q58CosineTopK, q59AnnLsh, q60CosineNearDup, q61Multimodal,
+    q336MediaMeta, q62IvfAnn,
     q63SimhashSig, q64Tfidf, q65MinhashDedup, q66FrameSample, q67Bm25,
     q68LabelCentroid, q69Boilerplate, q70Redact, q71Chunk, q72Vocab,
     q73Fuzzy, q74DedupClusters, q75IncrementalDedup, q76DocPipeline,

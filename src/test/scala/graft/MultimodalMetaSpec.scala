@@ -1,0 +1,94 @@
+package graft
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import graft.operators.Multimodal
+
+/** Golden-byte tests for the container-header parser: headers are
+  * assembled field-by-field here (independently of the wavBytes /
+  * mp4Bytes fixture builders) so a builder+parser co-bug cannot cancel.
+  */
+class MultimodalMetaSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("WAV/RIFF: hand-assembled canonical header parses exactly") {
+    // 2 samples, mono, 8-bit, 4 Hz -> duration 500 ms
+    val bb = ByteBuffer.allocate(46).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("ISO-8859-1")).putInt(38)
+      .put("WAVE".getBytes("ISO-8859-1"))
+      .put("fmt ".getBytes("ISO-8859-1")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(4).putInt(4) // sample rate, byte rate
+      .putShort(1).putShort(8) // block align, bits
+      .put("data".getBytes("ISO-8859-1")).putInt(2)
+      .put(Array[Byte](0x11, 0x22))
+    val m = Multimodal.parseContainerMeta(bb.array())
+    assert(m === Multimodal.ContainerMeta("wav", "pcm", 4, 1, 8, 500L))
+  }
+
+  test("WAV/RIFF: odd-sized chunks are word-aligned, IEEE float codec " +
+    "tag, fmt after an unknown chunk still found") {
+    val bb = ByteBuffer.allocate(12 + 8 + 3 + 1 + 24 + 8)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("ISO-8859-1")).putInt(0) // size unused by parser
+      .put("WAVE".getBytes("ISO-8859-1"))
+      .put("LIST".getBytes("ISO-8859-1")).putInt(3) // odd size -> pad byte
+      .put(Array[Byte](1, 2, 3, 0))
+      .put("fmt ".getBytes("ISO-8859-1")).putInt(16)
+      .putShort(3).putShort(2) // IEEE float, stereo
+      .putInt(8000).putInt(64000)
+      .putShort(8).putShort(32)
+      .put("data".getBytes("ISO-8859-1")).putInt(0)
+    val m = Multimodal.parseContainerMeta(bb.array())
+    assert(m.container === "wav")
+    assert(m.codec === "ieee_float")
+    assert(m.sample_rate === 8000 && m.channels === 2 &&
+      m.bits_per_sample === 32)
+    assert(m.duration_ms === 0L)
+  }
+
+  test("MP4: hand-assembled mvhd version 1 (64-bit times) parses") {
+    val bb = ByteBuffer.allocate(16 + 8 + 120).order(ByteOrder.BIG_ENDIAN)
+    bb.putInt(16).put("ftyp".getBytes("ISO-8859-1"))
+      .put("mp42".getBytes("ISO-8859-1")).putInt(0)
+    bb.putInt(128).put("moov".getBytes("ISO-8859-1"))
+    bb.putInt(120).put("mvhd".getBytes("ISO-8859-1"))
+      .putInt(0x01000000) // version 1
+      .putLong(0L).putLong(0L) // creation, modification (64-bit)
+      .putInt(48000) // timescale
+      .putLong(96000L) // duration ticks -> 2000 ms
+    // remaining mvhd payload (rate..next_track_id) left zeroed
+    val m = Multimodal.parseContainerMeta(bb.array())
+    assert(m === Multimodal.ContainerMeta("mp4", "mp42", -1, 0, 0, 2000L))
+  }
+
+  test("garbage, truncated, and lying-size payloads yield the unknown " +
+    "sentinel instead of throwing") {
+    val unknown = Multimodal.ContainerMeta("unknown", "", -1, 0, 0, -1L)
+    assert(Multimodal.parseContainerMeta(null) === unknown)
+    assert(Multimodal.parseContainerMeta(Array[Byte](1, 2, 3)) === unknown)
+    assert(Multimodal.parseContainerMeta(
+      "RIFFxxxxWAVE".getBytes("ISO-8859-1") ++
+        "fmt ".getBytes("ISO-8859-1") ++
+        Array.fill[Byte](4)(-1)) === unknown) // negative chunk size
+    val text = "just some text that is long enough to scan".getBytes("ISO-8859-1")
+    assert(Multimodal.parseContainerMeta(text) === unknown)
+  }
+
+  test("builder fixtures roundtrip through the dataset operator") {
+    val rows = Seq(
+      Multimodal.MediaRow(1L, Multimodal.wavBytes(16000, 2, 16, 8000),
+        "audio/wav", -1, -1),
+      Multimodal.MediaRow(2L, Multimodal.mp4Bytes("isom", 600, 1500L),
+        "video/mp4", -1, -1)).toDS()
+    val got = Multimodal.containerMeta(rows).collect()
+      .map(r => r.media_id -> r).toMap
+    assert(got(1L).container === "wav")
+    assert(got(1L).sample_rate === 16000 && got(1L).channels === 2)
+    assert(got(1L).duration_ms === 500L) // 8000 samples @ 16 kHz
+    assert(got(1L).n_bytes === 44L + 8000L * 4L)
+    assert(got(2L).container === "mp4" && got(2L).codec === "isom")
+    assert(got(2L).duration_ms === 2500L) // 1500 ticks @ 600/s
+    assert(got(2L).n_bytes === 132L)
+  }
+}
