@@ -196,7 +196,51 @@ object CleaningQueries {
       FROM e GROUP BY 1 ORDER BY 1
     """.trim))
 
+  /** P7 ([[Cleaning.findTargetColumn]], processor.py:25-28) under the
+    * oracle: sniff the target/label column of every testdata table by
+    * candidate priority (`class` > `Class` > `label`, else `none`) from
+    * a schema-only probe (parquet footer; no job reads data). The
+    * oracle re-derives the same answer from DuckDB's view metadata
+    * (`pragma_table_info`), so the sniffed name is checked against an
+    * independent schema reading — closing the last spec-only §2 row.
+    */
+  val q337TargetSniff = HarnessQuery(
+    "q337_target_sniff",
+    (spark, dir) => {
+      import spark.implicits._
+      val names = Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")
+      names.map { n =>
+          val t = Tables.load(spark, dir, n)
+          (n, Cleaning.findTargetColumn(t, Seq("class", "Class", "label"))
+            .getOrElse("none"))
+        }
+        .toDF("table_name", "target_col")
+        .orderBy(col("table_name"))
+    },
+    Some("""
+      WITH cols AS (
+        SELECT 'region' AS table_name, name FROM pragma_table_info('region')
+        UNION ALL SELECT 'nation', name FROM pragma_table_info('nation')
+        UNION ALL SELECT 'customer', name FROM pragma_table_info('customer')
+        UNION ALL SELECT 'supplier', name FROM pragma_table_info('supplier')
+        UNION ALL SELECT 'part', name FROM pragma_table_info('part')
+        UNION ALL SELECT 'orders', name FROM pragma_table_info('orders')
+        UNION ALL SELECT 'lineitem', name FROM pragma_table_info('lineitem')
+        UNION ALL SELECT 'events', name FROM pragma_table_info('events')
+        UNION ALL SELECT 'documents', name FROM pragma_table_info('documents')
+        UNION ALL SELECT 'embeddings', name FROM pragma_table_info('embeddings'))
+      SELECT table_name,
+             coalesce(
+               max(CASE WHEN name = 'class' THEN 'class' END),
+               max(CASE WHEN name = 'Class' THEN 'Class' END),
+               max(CASE WHEN name = 'label' THEN 'label' END),
+               'none') AS target_col
+      FROM cols GROUP BY 1 ORDER BY 1
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q10NullAudit, q11DropNullFilter, q12Dedup, q13DedupByKey,
-    q14IpRoundtrip, q15TimestampCoerce, q80ImputeMean, q81ImputeMedian)
+    q14IpRoundtrip, q15TimestampCoerce, q80ImputeMean, q81ImputeMedian,
+    q337TargetSniff)
 }
