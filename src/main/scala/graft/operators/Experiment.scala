@@ -397,7 +397,8 @@ object Experiment {
     * a downstream threshold compare). One hash aggregate on the group
     * key — the fan-out shape of a metrics cut ("did the treatment move
     * conversion in ANY segment"), and the input [[bhAdjust]] expects.
-    * Degenerate cells (pooled variance 0) emit NULL z and p.
+    * Degenerate cells (pooled variance 0, or an arm with no units at
+    * all) emit NULL z and p — never an ANSI divide-by-zero abort.
     */
   def abTestPerGroup(
       perUnit: DataFrame, byCol: String, groupCol: String,
@@ -409,13 +410,18 @@ object Experiment {
       sum(when(col(groupCol) === 1, 1L).otherwise(0L)).as("n_treat"),
       sum(when(col(groupCol) === 1 && col(convCol) === 1, 1L)
         .otherwise(0L)).as("c_treat"))
-    val p0 = col("c_control").cast("double") / col("n_control").cast("double")
-    val p1 = col("c_treat").cast("double") / col("n_treat").cast("double")
+    // nullif-guarded: a cell missing an arm entirely (possible at tiny
+    // scale factors) is degenerate — NULL uplift/z/p, not an ANSI
+    // divide-by-zero abort
+    val p0 = col("c_control").cast("double") /
+      nullif(col("n_control").cast("double"), lit(0.0d))
+    val p1 = col("c_treat").cast("double") /
+      nullif(col("n_treat").cast("double"), lit(0.0d))
     val pp = (col("c_control") + col("c_treat")).cast("double") /
-      (col("n_control") + col("n_treat")).cast("double")
+      nullif((col("n_control") + col("n_treat")).cast("double"), lit(0.0d))
     val se = sqrt(pp * (lit(1.0d) - pp)
-      * (lit(1.0d) / col("n_control").cast("double")
-        + lit(1.0d) / col("n_treat").cast("double")))
+      * (lit(1.0d) / nullif(col("n_control").cast("double"), lit(0.0d))
+        + lit(1.0d) / nullif(col("n_treat").cast("double"), lit(0.0d))))
     val z = (p1 - p0) / se
     agg.select(col(byCol),
       col("n_control"), col("c_control"), col("n_treat"), col("c_treat"),

@@ -751,4 +751,102 @@ object TextDedup {
       sh.select(col(idCol).as("id_b"), col("__s")),
       threshold)
   }
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, "Winnowing:
+    * Local Algorithms for Document Fingerprinting", SIGMOD 2003): hash
+    * every k-token gram at its position, slide a window of `w`
+    * consecutive gram hashes, and keep each window's MINIMUM hash,
+    * rightmost position on ties. The distinct (position, hash) pairs
+    * selected are the document's fingerprints: any shared token run of
+    * length >= w + k - 1 between two documents is GUARANTEED to share
+    * at least one selected fingerprint, while only ~2/(w+1) of the
+    * gram hashes are kept — exact-recall overlap detection at a
+    * fraction of the index size, the deterministic complement to
+    * [[minhashNearDupPairs]]'s probabilistic recall.
+    *
+    * Cross-engine contract: the gram hash is the 48-bit md5 prefix
+    * (reproducible in any engine), packed with the position into one
+    * long as `h * 16384 + (16383 - pos)` so a plain numeric min gives
+    * min-hash-then-rightmost without relying on struct ordering
+    * semantics. Positions are therefore bounded at 16383 grams per
+    * document — chunk longer documents first
+    * ([[TextAnalysis.chunkTokens]]).
+    *
+    * Scale shape: the per-position gram hashes are built in ONE pure
+    * Column pass (one md5 per gram — NOT one per window: an array-of-
+    * windows formulation would let Catalyst inline the gram array into
+    * every window's slice and go quadratic per document), exploded, and
+    * the window minima come from a ROWS BETWEEN frame over positions —
+    * exactly one hash shuffle on the document id, ~2/(w+1) selected
+    * rows per gram onward.
+    */
+  def winnowFingerprints(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 3,
+      w: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(w >= 1, s"w must be >= 1, got $w")
+    val toks = TextFunctions.tokens(col(textCol))
+    val m = size(toks) - (k - 1) // gram count
+    val grams = when(m >= 1,
+      transform(sequence(lit(1), m),
+        i => conv(substring(md5(
+            array_join(slice(toks, i, lit(k)), " ")), 1, 12), 16, 10)
+          .cast("long") * lit(16384L) + (lit(16383L) - i.cast("long"))))
+      .otherwise(array().cast("array<long>"))
+    val byId = Window.partitionBy(col(idCol))
+    val frame = Window.partitionBy(col(idCol)).orderBy(col("__p"))
+      .rowsBetween(Window.currentRow, (w - 1).toLong)
+    df.select(col(idCol), explode(grams).as("__v"))
+      .withColumn("__p", lit(16383L) - col("__v").bitwiseAND(lit(16383L)))
+      .withColumn("__m", count(lit(1)).over(byId))
+      .withColumn("__min", min(col("__v")).over(frame))
+      // window STARTS: every gram for m >= w windows, only pos 1 when
+      // the doc is shorter than one full window (frame truncates at
+      // the partition end, so that min covers all grams)
+      .filter(col("__p") <= greatest(col("__m") - lit((w - 1).toLong), lit(1L)))
+      .select(col(idCol), col("__min").as("__v"))
+      .distinct()
+      .select(col(idCol),
+        (lit(16383L) - col("__v").bitwiseAND(lit(16383L))).as("pos"),
+        shiftright(col("__v"), 14).as("fp"))
+  }
+
+  /** Overlap candidate pairs from the winnowing fingerprint index:
+    * docs sharing at least `minShared` distinct selected fingerprint
+    * hashes. Recall is exact for any shared token run of length
+    * >= w + k - 1 (the winnowing guarantee), so this is the
+    * quote/plagiarism detector that minhash (tuned for whole-document
+    * similarity) structurally misses.
+    *
+    * Scale contract: the inverted-index self-join fans out
+    * quadratically per posting list, so fingerprints appearing in more
+    * than `maxDf` documents are dropped FIRST — boilerplate runs carry
+    * no overlap signal and are exactly the lists that explode (the
+    * [[containmentPairs]] mitigation, df-bounded).
+    */
+  def winnowOverlapPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 3,
+      w: Int = 4,
+      minShared: Int = 3,
+      maxDf: Int = 50): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
+    val fp = winnowFingerprints(df, textCol, idCol, k, w)
+      .select(col(idCol), col("fp")).distinct()
+    val dfc = fp.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+    val kept = fp.join(dfc.filter(col("__df") <= maxDf), Seq("fp"))
+      .select(col(idCol), col("fp"))
+    kept.select(col(idCol).as("id_a"), col("fp"))
+      .join(kept.select(col(idCol).as("id_b"), col("fp")), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
 }

@@ -3917,7 +3917,87 @@ object LlmQueries {
       FROM hx GROUP BY 1 ORDER BY 1
     """.trim))
 
+  /** Winnowing fingerprints (SIGMOD 2003) over the whole corpus:
+    * 3-gram 48-bit md5 hashes, window w=4, min-hash-rightmost-tie
+    * selection. Pos/hash packed into one long on both engines (see
+    * [[TextDedup.winnowFingerprints]]), so the oracle replays the
+    * selection with a plain list_min.
+    */
+  val q338Winnowing = HarnessQuery(
+    "q338_winnowing",
+    (spark, dir) =>
+      TextDedup.winnowFingerprints(
+        Tables.documents(spark, dir), "text", "doc_id", k = 3, w = 4)
+        .orderBy(col("doc_id"), col("pos"), col("fp")),
+    Some("""
+      WITH t AS (SELECT doc_id,
+                        regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                 FROM documents),
+      g AS (SELECT doc_id,
+              unnest(list_transform(generate_series(1, len(toks) - 2),
+                i -> CAST(('0x' || substr(md5(array_to_string(toks[i:i+2], ' ')), 1, 12)) AS BIGINT)
+                     * 16384 + (16383 - i))) AS v
+            FROM t),
+      p AS (SELECT doc_id, v, 16383 - (v % 16384) AS pos FROM g),
+      s AS (SELECT doc_id, pos,
+              min(v) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mv,
+              count(*) OVER (PARTITION BY doc_id) AS m
+            FROM p),
+      sel AS (SELECT DISTINCT doc_id, mv FROM s
+              WHERE pos <= greatest(m - 3, 1))
+      SELECT doc_id, 16383 - (mv % 16384) AS pos, mv // 16384 AS fp
+      FROM sel ORDER BY doc_id, pos, fp
+    """.trim))
+
+  /** Winnowing overlap pairs on a corpus with planted quotes: the
+    * first 50 docs re-inserted under shifted ids must each pair with
+    * their original (shared token runs >> w + k - 1 = 6, the exact-
+    * recall guarantee). Fingerprints in > 50 docs are dropped before
+    * the inverted-index self-join (boilerplate mitigation).
+    */
+  val q339WinnowOverlap = HarnessQuery(
+    "q339_winnow_overlap",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val clones = docs.filter(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      TextDedup.winnowOverlapPairs(
+        docs.unionByName(clones), "text", "doc_id",
+        k = 3, w = 4, minShared = 3, maxDf = 50)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50),
+      t AS (SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+            FROM corpus),
+      g AS (SELECT doc_id,
+              unnest(list_transform(generate_series(1, len(toks) - 2),
+                i -> CAST(('0x' || substr(md5(array_to_string(toks[i:i+2], ' ')), 1, 12)) AS BIGINT)
+                     * 16384 + (16383 - i))) AS v
+            FROM t),
+      p AS (SELECT doc_id, v, 16383 - (v % 16384) AS pos FROM g),
+      sv AS (SELECT doc_id, pos,
+               min(v) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mv,
+               count(*) OVER (PARTITION BY doc_id) AS m
+             FROM p),
+      s AS (SELECT DISTINCT doc_id, mv // 16384 AS fp FROM sv
+            WHERE pos <= greatest(m - 3, 1)),
+      kept AS (SELECT doc_id, fp FROM s
+               QUALIFY count(*) OVER (PARTITION BY fp) <= 50)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fps
+      FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= 3
+      ORDER BY id_a, id_b
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
+    q338Winnowing, q339WinnowOverlap,
     q210PhashClusters,
     q50TextStats, q51TokenCount, q52LangQuality, q53Fingerprint,
     q54Shingles, q55MinhashPairs, q56ExactDedup, q57SimhashPairs,

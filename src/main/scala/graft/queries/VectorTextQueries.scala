@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Collocations, LinAlg, TimeSeries}
+import graft.operators.{Clustering, Collocations, LinAlg, TimeSeries}
 import graft.sources.Tables
 
 /** Round-7 additions: corpus collocation statistics (PMI bigrams,
@@ -1018,7 +1018,231 @@ object VectorTextQueries {
       SELECT doc_id, n_chars, sample_key FROM top ORDER BY doc_id
     """.trim))
 
+  /** Deterministic Lloyd k-means fit ([[Clustering.lloydKMeans]]):
+    * k = 8 explicit init centroids (the first 8 vectors), 3 fixed
+    * rounds, decimal-exact assign distances and mean updates — so the
+    * whole fit unrolls into plain SQL, round by round. Produces the
+    * explicit centroid tables the ANN / semantic-dedup consumers take.
+    */
+  val q340KmeansFit = HarnessQuery(
+    "q340_kmeans_fit",
+    (spark, dir) => {
+      val emb = Tables.embeddings(spark, dir)
+      val init = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      Clustering.lloydKMeans(emb, "vec_id", "embedding", init, rounds = 3)
+        .orderBy(col("cid"), col("dim"))
+    },
+    Some("""
+      WITH dims AS (
+        SELECT vec_id AS id, i - 1 AS d, CAST(embedding[i] AS DOUBLE) AS x
+        FROM (SELECT vec_id, embedding,
+                     unnest(generate_series(1, len(embedding))) AS i
+              FROM embeddings) t),
+      c0 AS (SELECT id AS cid, d, x AS c FROM dims WHERE id < 8),
+      d1 AS (SELECT dims.id, c.cid,
+                    sum(CAST((dims.x - c.c) * (dims.x - c.c) AS DECIMAL(30,18))) AS d2
+             FROM dims JOIN c0 c ON dims.d = c.d GROUP BY 1, 2),
+      a1 AS (SELECT id, cid FROM (
+               SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rk
+               FROM d1) z WHERE rk = 1),
+      u1 AS (SELECT a.cid, dims.d,
+                    round(CAST(sum(CAST(dims.x AS DECIMAL(30,18))) AS DOUBLE) / count(*), 12) AS c
+             FROM dims JOIN a1 a USING (id) GROUP BY 1, 2),
+      c1 AS (SELECT c0.cid, c0.d, coalesce(u1.c, c0.c) AS c
+             FROM c0 LEFT JOIN u1 ON c0.cid = u1.cid AND c0.d = u1.d),
+      d2r AS (SELECT dims.id, c.cid,
+                     sum(CAST((dims.x - c.c) * (dims.x - c.c) AS DECIMAL(30,18))) AS d2
+              FROM dims JOIN c1 c ON dims.d = c.d GROUP BY 1, 2),
+      a2 AS (SELECT id, cid FROM (
+               SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rk
+               FROM d2r) z WHERE rk = 1),
+      u2 AS (SELECT a.cid, dims.d,
+                    round(CAST(sum(CAST(dims.x AS DECIMAL(30,18))) AS DOUBLE) / count(*), 12) AS c
+             FROM dims JOIN a2 a USING (id) GROUP BY 1, 2),
+      c2 AS (SELECT c1.cid, c1.d, coalesce(u2.c, c1.c) AS c
+             FROM c1 LEFT JOIN u2 ON c1.cid = u2.cid AND c1.d = u2.d),
+      d3r AS (SELECT dims.id, c.cid,
+                     sum(CAST((dims.x - c.c) * (dims.x - c.c) AS DECIMAL(30,18))) AS d2
+              FROM dims JOIN c2 c ON dims.d = c.d GROUP BY 1, 2),
+      a3 AS (SELECT id, cid FROM (
+               SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rk
+               FROM d3r) z WHERE rk = 1),
+      u3 AS (SELECT a.cid, dims.d,
+                    round(CAST(sum(CAST(dims.x AS DECIMAL(30,18))) AS DOUBLE) / count(*), 12) AS c
+             FROM dims JOIN a3 a USING (id) GROUP BY 1, 2),
+      c3 AS (SELECT c2.cid, c2.d, coalesce(u3.c, c2.c) AS c
+             FROM c2 LEFT JOIN u3 ON c2.cid = u3.cid AND c2.d = u3.d)
+      SELECT cid, d AS dim, c AS coord FROM c3 ORDER BY cid, dim
+    """.trim))
+
+  /** Cell audit of the fitted k-means: per-cell member count and
+    * decimal-exact inertia under one more nearest-centroid assignment
+    * ([[Clustering.kmeansCells]]) — the skew/quality check a 100 TB
+    * IVF build runs before freezing its centroid table.
+    */
+  val q341KmeansCells = HarnessQuery(
+    "q341_kmeans_cells",
+    (spark, dir) => {
+      val emb = Tables.embeddings(spark, dir)
+      val init = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val cent = Clustering.lloydKMeans(emb, "vec_id", "embedding", init, rounds = 3)
+      Clustering.kmeansCells(emb, "vec_id", "embedding", cent)
+        .orderBy(col("cid"))
+    },
+    Some("""
+      WITH dims AS (
+        SELECT vec_id AS id, i - 1 AS d, CAST(embedding[i] AS DOUBLE) AS x
+        FROM (SELECT vec_id, embedding,
+                     unnest(generate_series(1, len(embedding))) AS i
+              FROM embeddings) t),
+      c0 AS (SELECT id AS cid, d, x AS c FROM dims WHERE id < 8),
+      d1 AS (SELECT dims.id, c.cid,
+                    sum(CAST((dims.x - c.c) * (dims.x - c.c) AS DECIMAL(30,18))) AS d2
+             FROM dims JOIN c0 c ON dims.d = c.d GROUP BY 1, 2),
+      a1 AS (SELECT id, cid FROM (
+               SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rk
+               FROM d1) z WHERE rk = 1),
+      u1 AS (SELECT a.cid, dims.d,
+                    round(CAST(sum(CAST(dims.x AS DECIMAL(30,18))) AS DOUBLE) / count(*), 12) AS c
+             FROM dims JOIN a1 a USING (id) GROUP BY 1, 2),
+      c1 AS (SELECT c0.cid, c0.d, coalesce(u1.c, c0.c) AS c
+             FROM c0 LEFT JOIN u1 ON c0.cid = u1.cid AND c0.d = u1.d),
+      d2r AS (SELECT dims.id, c.cid,
+                     sum(CAST((dims.x - c.c) * (dims.x - c.c) AS DECIMAL(30,18))) AS d2
+              FROM dims JOIN c1 c ON dims.d = c.d GROUP BY 1, 2),
+      a2 AS (SELECT id, cid FROM (
+               SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rk
+               FROM d2r) z WHERE rk = 1),
+      u2 AS (SELECT a.cid, dims.d,
+                    round(CAST(sum(CAST(dims.x AS DECIMAL(30,18))) AS DOUBLE) / count(*), 12) AS c
+             FROM dims JOIN a2 a USING (id) GROUP BY 1, 2),
+      c2 AS (SELECT c1.cid, c1.d, coalesce(u2.c, c1.c) AS c
+             FROM c1 LEFT JOIN u2 ON c1.cid = u2.cid AND c1.d = u2.d),
+      d3r AS (SELECT dims.id, c.cid,
+                     sum(CAST((dims.x - c.c) * (dims.x - c.c) AS DECIMAL(30,18))) AS d2
+              FROM dims JOIN c2 c ON dims.d = c.d GROUP BY 1, 2),
+      a3 AS (SELECT id, cid FROM (
+               SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rk
+               FROM d3r) z WHERE rk = 1),
+      u3 AS (SELECT a.cid, dims.d,
+                    round(CAST(sum(CAST(dims.x AS DECIMAL(30,18))) AS DOUBLE) / count(*), 12) AS c
+             FROM dims JOIN a3 a USING (id) GROUP BY 1, 2),
+      c3 AS (SELECT c2.cid, c2.d, coalesce(u3.c, c2.c) AS c
+             FROM c2 LEFT JOIN u3 ON c2.cid = u3.cid AND c2.d = u3.d),
+      d4 AS (SELECT dims.id, c.cid,
+                    sum(CAST((dims.x - c.c) * (dims.x - c.c) AS DECIMAL(30,18))) AS d2
+             FROM dims JOIN c3 c ON dims.d = c.d GROUP BY 1, 2),
+      a4 AS (SELECT id, cid, d2 FROM (
+               SELECT id, cid, d2, row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rk
+               FROM d4) z WHERE rk = 1)
+      SELECT cid, count(*) AS n_members, round(CAST(sum(d2) AS DOUBLE), 12) AS inertia
+      FROM a4 GROUP BY cid ORDER BY cid
+    """.trim))
+
+  /** Producer-to-consumer composition: [[Clustering.lloydKMeans]] fits
+    * the coarse quantizer (3 rounds, k = 8), [[Clustering.assembleCentroids]]
+    * freezes it into the (cell, cvec) table, and
+    * [[graft.operators.Similarity.ivfSearchTopK]] serves ANN top-5
+    * through it (nprobe = 4) — the full IVF index build + search story
+    * in one dataflow, replayed end-to-end in SQL.
+    */
+  val q342KmeansIvf = HarnessQuery(
+    "q342_kmeans_ivf",
+    (spark, dir) => {
+      val em = Tables.embeddings(spark, dir)
+      val init = em.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val cent = Clustering.assembleCentroids(
+        Clustering.lloydKMeans(em, "vec_id", "embedding", init, rounds = 3))
+      graft.operators.Similarity.ivfSearchTopK(
+        em, em.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, centroids = cent, nprobe = 4)
+        .withColumn("cosine", round(col("cosine"), 12))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""
+      WITH dims AS (
+        SELECT vec_id AS id, i - 1 AS d, CAST(embedding[i] AS DOUBLE) AS x
+        FROM (SELECT vec_id, embedding,
+                     unnest(generate_series(1, len(embedding))) AS i
+              FROM embeddings) t),
+      c0 AS (SELECT id AS cid, d, x AS c FROM dims WHERE id < 8),
+      d1 AS (SELECT dims.id, c.cid,
+                    sum(CAST((dims.x - c.c) * (dims.x - c.c) AS DECIMAL(30,18))) AS d2
+             FROM dims JOIN c0 c ON dims.d = c.d GROUP BY 1, 2),
+      a1 AS (SELECT id, cid FROM (
+               SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rk
+               FROM d1) z WHERE rk = 1),
+      u1 AS (SELECT a.cid, dims.d,
+                    round(CAST(sum(CAST(dims.x AS DECIMAL(30,18))) AS DOUBLE) / count(*), 12) AS c
+             FROM dims JOIN a1 a USING (id) GROUP BY 1, 2),
+      c1 AS (SELECT c0.cid, c0.d, coalesce(u1.c, c0.c) AS c
+             FROM c0 LEFT JOIN u1 ON c0.cid = u1.cid AND c0.d = u1.d),
+      d2r AS (SELECT dims.id, c.cid,
+                     sum(CAST((dims.x - c.c) * (dims.x - c.c) AS DECIMAL(30,18))) AS d2
+              FROM dims JOIN c1 c ON dims.d = c.d GROUP BY 1, 2),
+      a2 AS (SELECT id, cid FROM (
+               SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rk
+               FROM d2r) z WHERE rk = 1),
+      u2 AS (SELECT a.cid, dims.d,
+                    round(CAST(sum(CAST(dims.x AS DECIMAL(30,18))) AS DOUBLE) / count(*), 12) AS c
+             FROM dims JOIN a2 a USING (id) GROUP BY 1, 2),
+      c2 AS (SELECT c1.cid, c1.d, coalesce(u2.c, c1.c) AS c
+             FROM c1 LEFT JOIN u2 ON c1.cid = u2.cid AND c1.d = u2.d),
+      d3r AS (SELECT dims.id, c.cid,
+                     sum(CAST((dims.x - c.c) * (dims.x - c.c) AS DECIMAL(30,18))) AS d2
+              FROM dims JOIN c2 c ON dims.d = c.d GROUP BY 1, 2),
+      a3 AS (SELECT id, cid FROM (
+               SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rk
+               FROM d3r) z WHERE rk = 1),
+      u3 AS (SELECT a.cid, dims.d,
+                    round(CAST(sum(CAST(dims.x AS DECIMAL(30,18))) AS DOUBLE) / count(*), 12) AS c
+             FROM dims JOIN a3 a USING (id) GROUP BY 1, 2),
+      c3 AS (SELECT c2.cid, c2.d, coalesce(u3.c, c2.c) AS c
+             FROM c2 LEFT JOIN u3 ON c2.cid = u3.cid AND c2.d = u3.d),
+      cn AS (SELECT cid AS cell,
+                    sqrt(CAST(sum(CAST(c * c AS DECIMAL(30,18))) AS DOUBLE)) AS cnrm
+             FROM c3 GROUP BY 1),
+      n AS (SELECT id AS vec_id,
+                   sqrt(CAST(sum(CAST(x * x AS DECIMAL(30,18))) AS DOUBLE)) AS nrm
+            FROM dims GROUP BY 1),
+      acos AS (SELECT dims.id AS vec_id, c3.cid AS cell,
+                      CAST(sum(CAST(dims.x * c3.c AS DECIMAL(30,18))) AS DOUBLE) AS dot
+               FROM dims JOIN c3 ON dims.d = c3.d GROUP BY 1, 2),
+      asim AS (SELECT a.vec_id, a.cell, a.dot / (n.nrm * cn.cnrm) AS csim
+               FROM acos a JOIN n USING (vec_id) JOIN cn USING (cell)),
+      assign AS (SELECT vec_id, cell FROM (
+                   SELECT vec_id, cell,
+                          row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS r
+                   FROM asim) z WHERE r = 1),
+      probe AS (SELECT vec_id AS query_id, cell FROM (
+                  SELECT vec_id, cell,
+                         row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS r
+                  FROM asim WHERE vec_id < 10) z WHERE r <= 4),
+      cand AS (SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+               FROM probe p JOIN assign a USING (cell)
+               WHERE a.vec_id <> p.query_id),
+      scored AS (SELECT cand.query_id, cand.neighbor_id,
+                        CAST(sum(CAST(qd.x * cd.x AS DECIMAL(30,18))) AS DOUBLE) AS dot
+                 FROM cand
+                 JOIN dims qd ON qd.id = cand.query_id
+                 JOIN dims cd ON cd.id = cand.neighbor_id AND cd.d = qd.d
+                 GROUP BY 1, 2),
+      ranked AS (SELECT s.query_id, s.neighbor_id,
+                        s.dot / (nq.nrm * nc.nrm) AS cosine,
+                        row_number() OVER (PARTITION BY s.query_id
+                          ORDER BY s.dot / (nq.nrm * nc.nrm) DESC, s.neighbor_id) AS rank
+                 FROM scored s
+                 JOIN n nq ON nq.vec_id = s.query_id
+                 JOIN n nc ON nc.vec_id = s.neighbor_id)
+      SELECT query_id, rank, neighbor_id, round(cosine, 12) AS cosine
+      FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
+    q340KmeansFit, q341KmeansCells, q342KmeansIvf,
     q211CollocPmi, q212TokenEntropy, q213GramMatrix, q214CovMatrix,
     q215WalkForward, q216LabelProp, q217PowerIteration, q218LatenessAudit,
     q219MergeableMoments, q220Diversity, q221QuantileNorm, q222Scd2,

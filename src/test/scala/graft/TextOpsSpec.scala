@@ -638,4 +638,45 @@ class TextOpsSpec extends SparkSpec {
     assert(rows.map(_.getLong(0)).toSet === Set(2L))
     assert(rows.head.getAs[Long]("n_trigrams") === 4L)
   }
+
+  test("winnowing: rightmost tie-break, density bound, short docs") {
+    // All grams identical ("a a a"): every window's min is the same
+    // hash, tie broken rightmost. 5 tokens, k=3 -> grams at pos 1..3;
+    // w=2 windows [1,2],[2,3] select pos 2 and 3 — never pos 1.
+    val df = Seq((1L, "a a a a a"), (2L, "x y"), (3L, "")).toDF("doc_id", "text")
+    val fps = TextDedup.winnowFingerprints(df, "text", "doc_id", k = 3, w = 2)
+      .collect()
+    val d1 = fps.filter(_.getLong(0) == 1L)
+    assert(d1.map(_.getAs[Long]("pos")).sorted.toSeq === Seq(2L, 3L))
+    assert(d1.map(_.getAs[Long]("fp")).distinct.length === 1)
+    // doc 2 (< k tokens) and doc 3 (empty) yield no fingerprints
+    assert(!fps.exists(r => r.getLong(0) == 2L || r.getLong(0) == 3L))
+  }
+
+  test("winnowing guarantee: a shared run >= w+k-1 shares a fingerprint") {
+    val run = (1 to 10).map(i => s"shared$i").mkString(" ")
+    val a = s"alpha beta gamma $run delta"
+    val b = s"one two three four five $run six seven"
+    val df = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val fps = TextDedup.winnowFingerprints(df, "text", "doc_id", k = 3, w = 4)
+    val shared = fps.filter(col("doc_id") === 1L).select("fp")
+      .intersect(fps.filter(col("doc_id") === 2L).select("fp"))
+    assert(shared.count() >= 1)
+    // density: selected distinct fingerprints <= window count
+    val df1 = Seq((1L, (1 to 100).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val n = TextDedup.winnowFingerprints(df1, "text", "doc_id", k = 3, w = 4).count()
+    assert(n >= 1 && n <= 95) // m = 98 grams, 95 windows
+  }
+
+  test("winnowOverlapPairs finds the planted quote, skips unrelated") {
+    val quote = (1 to 12).map(i => s"q$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"intro words here $quote closing words"),
+      (2L, s"totally different preamble $quote and an ending"),
+      (3L, (100 to 140).map(i => s"v$i").mkString(" "))).toDF("doc_id", "text")
+    val pairs = TextDedup.winnowOverlapPairs(docs, "text", "doc_id",
+      k = 3, w = 4, minShared = 2, maxDf = 50).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+    assert(pairs.head.getAs[Long]("shared_fps") >= 2L)
+  }
 }
