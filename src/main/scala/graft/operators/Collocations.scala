@@ -77,4 +77,80 @@ object Collocations {
         round(col("__h") / nullif(log(col("n_distinct").cast("double")), lit(0.0)), 12)
           .as("norm_entropy"))
   }
+
+  /** Skip-gram (center, context) pair extraction with word2vec
+    * frequency subsampling (Mikolov et al., NeurIPS 2013),
+    * derandomized — the training-pair generator for embedding models:
+    *
+    *   1. subsample: occurrence (doc, pos, w) SURVIVES when
+    *      u(doc,pos,w) < sqrt(t/f) + t/f, where f is the word's corpus
+    *      frequency and u is the md5-uniform of "doc:pos:w" in [0,1) —
+    *      the word2vec keep rule with the library's content-hash
+    *      Gumbel discipline instead of `rand()` (replays exactly in
+    *      any engine);
+    *   2. re-index survivors per document (row_number by original
+    *      position) so context windows SPAN deletions — dropping a
+    *      stopword brings its neighbors together, the word2vec
+    *      semantic;
+    *   3. pair: for each survivor, contexts at re-indexed distance
+    *      1..window via an equi-join on (doc, new_pos + offset) — no
+    *      range condition, plain hash join;
+    *   4. aggregate to (center, context, n_pairs).
+    *
+    * Scale shape: one explode + vocabulary-sized frequency join, one
+    * window re-rank partitioned by doc, one offset-exploded equi-join
+    * on (doc, pos) — tokens, ids and counts only through every
+    * shuffle; output is vocabulary^2-bounded, cut by `minCount`.
+    */
+  def skipgramPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int = 2,
+      sampleT: Double = 1e-3,
+      minCount: Long = 1L): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(sampleT > 0, s"sampleT must be > 0, got $sampleT")
+    val tok = df
+      .select(col(idCol).as("__doc"),
+        posexplode(TextFunctions.tokens(col(textCol))))
+      .select(col("__doc"), col("pos").as("__p"), col("col").as("__w"))
+      .where(col("__w") =!= "")
+    val freq = tok.groupBy(col("__w")).agg(count(lit(1)).as("__n"))
+    val total = freq.agg(sum(col("__n")).as("__tot"))
+    val keepP = {
+      val f = col("__n").cast("double") / col("__tot").cast("double")
+      least(lit(1.0d), sqrt(lit(sampleT) / f) + lit(sampleT) / f)
+    }
+    val u = TextFunctions.md5Hash60(
+      concat_ws(":", col("__doc"), col("__p"), col("__w")))
+      .cast("double") / lit(math.pow(2.0, 60))
+    val survivors = tok
+      .join(freq, Seq("__w"))
+      .crossJoin(broadcast(total))
+      .where(u < keepP)
+      .withColumn("__np", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__doc")).orderBy(col("__p"))))
+      .select(col("__doc"), col("__np"), col("__w"))
+    val centers = survivors
+      .select(col("__doc"), col("__np"), col("__w").as("center"),
+        explode(sequence(lit(1), lit(window))).as("__off"))
+    val ctx = survivors
+      .select(col("__doc").as("__cdoc"), col("__np").as("__cp"),
+        col("__w").as("context"))
+    // symmetric window via both join directions on (doc, np +- off)
+    val right = centers
+      .join(ctx, col("__doc") === col("__cdoc") &&
+        col("__np") + col("__off") === col("__cp"))
+      .select(col("center"), col("context"))
+    val left = centers
+      .join(ctx, col("__doc") === col("__cdoc") &&
+        col("__np") - col("__off") === col("__cp"))
+      .select(col("center"), col("context"))
+    right.unionByName(left)
+      .groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .where(col("n_pairs") >= minCount)
+  }
 }

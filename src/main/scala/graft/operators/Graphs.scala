@@ -533,4 +533,57 @@ object Graphs {
               * col("m_edges").cast("double")) * 1e9) / 1e9)
           .as("q_modularity"))
   }
+
+  /** Deterministic hash-seeded uniform random walks — the DeepWalk /
+    * node2vec corpus generator (Perozzi et al., KDD 2014),
+    * derandomized so the walk tape replays exactly in any engine: walk
+    * `w` standing at node `cur` on step `t` moves to the out-neighbor
+    * `dst` minimizing the 60-bit md5 of "start:w:t:cur:dst" (ties by
+    * dst) — a fixed uniform-ish choice per (walk, step, node) with no
+    * `rand()` nondeterminism. Dead-end nodes simply stop emitting
+    * (shorter walk), the standard truncated-walk semantic.
+    *
+    * Scale shape: walk starts are every distinct node x walksPerNode;
+    * each of the FIXED `steps` rounds is one equi-join of the frontier
+    * on the edge list's src plus one per-(start,walk) argmin — ids and
+    * hashes only through the shuffle, [[graft.Materialize.cut]] per
+    * round (bounded lineage, static stage graph). Frontier size is
+    * monotone non-increasing, so cost is at most
+    * steps x |nodes| x walksPerNode x avg out-degree.
+    */
+  def hashWalks(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      walksPerNode: Int,
+      steps: Int): DataFrame = {
+    require(walksPerNode >= 1, s"walksPerNode must be >= 1, got $walksPerNode")
+    require(steps >= 1, s"steps must be >= 1, got $steps")
+    val e = Materialize.cut(edges
+      .select(col(srcCol).as("__src"), col(dstCol).as("__dst")).distinct())
+    val nodes = e.select(col("__src").as("__n"))
+      .union(e.select(col("__dst").as("__n"))).distinct()
+    var cur = nodes
+      .select(col("__n").as("start"),
+        explode(sequence(lit(0), lit(walksPerNode - 1))).as("walk_id"))
+      .select(col("start"), col("walk_id").cast("long").as("walk_id"),
+        lit(0L).as("step"), col("start").as("node"))
+    val tape = Seq.newBuilder[DataFrame]
+    tape += cur
+    for (t <- 1 to steps) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("start"), col("walk_id")).orderBy(col("__h"), col("__dst"))
+      cur = Materialize.cut(cur
+        .join(e, cur("node") === e("__src"))
+        .withColumn("__h", graft.functions.TextFunctions.md5Hash60(
+          concat_ws(":", col("start"), col("walk_id"), lit(t),
+            col("node"), col("__dst"))))
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") === 1)
+        .select(col("start"), col("walk_id"), lit(t.toLong).as("step"),
+          col("__dst").as("node")))
+      tape += cur
+    }
+    tape.result().reduce(_.unionByName(_))
+  }
 }

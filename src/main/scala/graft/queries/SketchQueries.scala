@@ -1313,7 +1313,52 @@ ${louvainRoundSql("c3", "c4", 1)}
       FROM mk ORDER BY c_mktsegment
     """.trim))
 
+  /** Deterministic hash-seeded random walks ([[Graphs.hashWalks]],
+    * the derandomized DeepWalk corpus generator) over the event-type
+    * transition graph (consecutive events per user, self-loops
+    * dropped): 3 walks per node, 5 steps, every hop the md5-argmin
+    * out-neighbor — the whole tape unrolls step by step in SQL.
+    */
+  val q343HashWalks = HarnessQuery(
+    "q343_hash_walks",
+    (spark, dir) => {
+      val ev = Tables.events(spark, dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val edges = ev.withColumn("__next", lead(col("event_type"), 1).over(w))
+        .filter(col("__next").isNotNull && col("__next") =!= col("event_type"))
+        .select(col("event_type").as("src"), col("__next").as("dst"))
+      Graphs.hashWalks(edges, "src", "dst", walksPerNode = 3, steps = 5)
+        .orderBy(col("start"), col("walk_id"), col("step"))
+    },
+    Some {
+      val step = (t: Int) => s"""
+      s$t AS (SELECT start, walk_id, CAST($t AS BIGINT) AS step, dst AS node FROM (
+               SELECT c.start, c.walk_id, e.dst,
+                      row_number() OVER (PARTITION BY c.start, c.walk_id
+                        ORDER BY CAST(('0x' || substr(md5(concat_ws(':', c.start, c.walk_id, $t, c.node, e.dst)), 1, 15)) AS BIGINT),
+                                 e.dst) AS rk
+               FROM s${t - 1} c JOIN e ON c.node = e.src) z WHERE rk = 1),"""
+      s"""
+      WITH ev AS (SELECT event_type,
+                    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+                  FROM events),
+      e AS (SELECT DISTINCT event_type AS src, nxt AS dst FROM ev
+            WHERE nxt IS NOT NULL AND nxt <> event_type),
+      nodes AS (SELECT src AS n FROM e UNION SELECT dst FROM e),
+      s0 AS (SELECT n AS start, CAST(g.w AS BIGINT) AS walk_id,
+                    CAST(0 AS BIGINT) AS step, n AS node
+             FROM nodes, generate_series(0, 2) g(w)),
+      ${(1 to 5).map(step).mkString("\n")}
+      tape AS (SELECT * FROM s0 UNION ALL SELECT * FROM s1 UNION ALL SELECT * FROM s2
+               UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4 UNION ALL SELECT * FROM s5)
+      SELECT start, walk_id, step, node FROM tape
+      ORDER BY start, walk_id, step
+      """.trim
+    })
+
   def all: Seq[HarnessQuery] = Seq(
+    q343HashWalks,
     q312HllDistinct, q313PrefixJaccard, q314RidgeFit, q316Modularity,
     q317HoltTrend, q318DbscanCore, q319Sprt, q320Breakpoint,
     q321LooInfluence, q322IpwAte, q323RidgePath, q324HllSliding,

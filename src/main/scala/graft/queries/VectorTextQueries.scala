@@ -1241,8 +1241,47 @@ object VectorTextQueries {
       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
     """.trim))
 
+  /** Skip-gram training pairs with derandomized word2vec frequency
+    * subsampling ([[Collocations.skipgramPairs]]): the md5-uniform of
+    * (doc, pos, word) stands in for rand() in the Mikolov keep rule,
+    * survivors re-index so windows span deletions, and the +-2 window
+    * pairs aggregate to (center, context, n_pairs >= 2). Every draw
+    * replays exactly in SQL.
+    */
+  val q344Skipgram = HarnessQuery(
+    "q344_skipgram",
+    (spark, dir) =>
+      Collocations.skipgramPairs(
+        Tables.documents(spark, dir), "doc_id", "text",
+        window = 2, sampleT = 0.01, minCount = 2L)
+        .orderBy(col("center"), col("context")),
+    Some("""
+      WITH tok0 AS (SELECT doc_id AS doc,
+                      unnest(generate_series(1, len(regexp_split_to_array(trim(lower(text)), '\s+')))) AS i,
+                      regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                    FROM documents),
+      tok AS (SELECT doc, i - 1 AS p, toks[i] AS w FROM tok0 WHERE toks[i] <> ''),
+      freq AS (SELECT w, count(*) AS n FROM tok GROUP BY 1),
+      tot AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM freq),
+      surv AS (SELECT doc, w,
+                 row_number() OVER (PARTITION BY doc ORDER BY p) AS np
+               FROM tok JOIN freq USING (w), tot
+               WHERE CAST(CAST(('0x' || substr(md5(concat_ws(':', doc, p, w)), 1, 15)) AS BIGINT) AS DOUBLE)
+                       / 1152921504606846976.0
+                     < least(1.0, sqrt(0.01 / (CAST(n AS DOUBLE) / tot))
+                                  + 0.01 / (CAST(n AS DOUBLE) / tot))),
+      pairs AS (SELECT c.w AS center, x.w AS context
+                FROM surv c JOIN surv x
+                  ON c.doc = x.doc
+                 AND x.np BETWEEN c.np - 2 AND c.np + 2
+                 AND x.np <> c.np)
+      SELECT center, context, count(*) AS n_pairs
+      FROM pairs GROUP BY 1, 2 HAVING count(*) >= 2
+      ORDER BY center, context
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
-    q340KmeansFit, q341KmeansCells, q342KmeansIvf,
+    q340KmeansFit, q341KmeansCells, q342KmeansIvf, q344Skipgram,
     q211CollocPmi, q212TokenEntropy, q213GramMatrix, q214CovMatrix,
     q215WalkForward, q216LabelProp, q217PowerIteration, q218LatenessAudit,
     q219MergeableMoments, q220Diversity, q221QuantileNorm, q222Scd2,

@@ -175,4 +175,35 @@ class GraphsSpec extends SparkSpec {
     assert(qLouvain > qLp)
     assert(qLouvain > 0.0)
   }
+
+  test("hashWalks: valid edges only, fixed shape, dead ends truncate") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("b", "c"), ("b", "a"), ("c", "d"))
+      .toDF("src", "dst") // d is a dead end
+    val tape = Graphs.hashWalks(edges, "src", "dst",
+      walksPerNode = 2, steps = 3).collect()
+    val byWalk = tape.groupBy(r => (r.getString(0), r.getLong(1)))
+    // every walk starts at its start node on step 0
+    byWalk.foreach { case ((start, _), rows) =>
+      val sorted = rows.sortBy(_.getLong(2))
+      assert(sorted.head.getLong(2) === 0L)
+      assert(sorted.head.getString(3) === start)
+      // steps are consecutive (a dead end truncates, never gaps)
+      assert(sorted.map(_.getLong(2)).toSeq === (0L until sorted.length).toSeq)
+      // every hop is a real edge
+      val edgeSet = Set(("a", "b"), ("b", "c"), ("b", "a"), ("c", "d"))
+      sorted.sliding(2).foreach {
+        case Array(u, v) =>
+          assert(edgeSet.contains((u.getString(3), v.getString(3))))
+        case _ =>
+      }
+    }
+    // walks from d emit only step 0; all 4 nodes x 2 walks present
+    assert(byWalk.keys.map(_._1).toSet === Set("a", "b", "c", "d"))
+    assert(byWalk.count { case ((s, _), rows) => s == "d" && rows.length == 1 } === 2)
+    // deterministic: same call gives the identical tape
+    val again = Graphs.hashWalks(edges, "src", "dst",
+      walksPerNode = 2, steps = 3).collect()
+    assert(tape.map(_.toSeq).toSet === again.map(_.toSeq).toSet)
+  }
 }

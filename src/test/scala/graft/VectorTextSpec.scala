@@ -401,4 +401,40 @@ class VectorTextSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("skipgramPairs: symmetric window pairs, no subsampling at big t") {
+    import spark.implicits._
+    // sampleT huge -> keep prob 1 for every word: pure windowing
+    val df = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val out = Collocations.skipgramPairs(df, "doc_id", "text",
+      window = 2, sampleT = 1e9, minCount = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // center a: contexts b, c; center b: a, c, d; symmetric counts
+    assert(out(("a", "b")) === 1L)
+    assert(out(("a", "c")) === 1L)
+    assert(out.get(("a", "d")).isEmpty) // distance 3 > window
+    assert(out(("b", "a")) === out(("a", "b")))
+    assert(out(("b", "d")) === 1L)
+    // total pairs = 2 * (#adjacent + #distance-2) = 2 * (3 + 2)
+    assert(out.values.sum === 10L)
+  }
+
+  test("skipgramPairs subsampling drops frequent words and re-indexes") {
+    import spark.implicits._
+    // 'the' dominates; tiny t must drop at least some 'the' occurrences,
+    // and re-indexing brings its neighbors into one another's windows
+    val text = (1 to 50).map(i => s"the w$i").mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val pairs = Collocations.skipgramPairs(df, "doc_id", "text",
+      window = 1, sampleT = 1e-4, minCount = 1L).collect()
+    val theCount = pairs.filter(_.getString(0) == "the").map(_.getLong(2)).sum
+    val full = Collocations.skipgramPairs(df, "doc_id", "text",
+      window = 1, sampleT = 1e9, minCount = 1L).collect()
+      .filter(_.getString(0) == "the").map(_.getLong(2)).sum
+    assert(theCount < full)
+    // some rare-rare adjacency exists only because a 'the' was deleted
+    val rareRare = pairs.exists(r =>
+      r.getString(0).startsWith("w") && r.getString(1).startsWith("w"))
+    assert(rareRare)
+  }
 }
