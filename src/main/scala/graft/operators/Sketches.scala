@@ -162,4 +162,48 @@ object Sketches {
         (floor(abs(col("__est") - col("exact").cast("double"))
           / col("exact").cast("double") * 1e6) / 1e6).as("rel_err"))
   }
+
+  /** Count-Min sketch build (Cormode & Muthukrishnan 2005): `d`
+    * independent hash rows x `w` buckets; cell (r, b) sums the counts
+    * of every item whose row-r hash lands in bucket b. The frequency
+    * complement to [[hllDistinct]]: sketch state is at most d*w rows
+    * per build regardless of input size, shards/panes merge by
+    * cell-wise SUM (a linear sketch), and a point query is an upper
+    * bound on the true count with error <= e*N/w at probability
+    * >= 1 - e^-d. Hash r of item x is the engine-portable
+    * pmod(md5("r:x"), w), so build and probe replay exactly in SQL.
+    */
+  def countMinBuild(
+      df: DataFrame, itemCol: String, d: Int, w: Int): DataFrame = {
+    require(d >= 1 && w >= 2, s"need d >= 1, w >= 2; got d=$d w=$w")
+    df.select(col(itemCol).cast("string").as("__item"))
+      .select(col("__item"),
+        explode(sequence(lit(0), lit(d - 1))).as("row"))
+      .select(col("row").cast("long").as("row"),
+        pmod(TextFunctions.md5Hash60(
+          concat_ws(":", col("row"), col("__item"))), lit(w.toLong))
+          .as("bucket"))
+      .groupBy(col("row"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Point estimates from a [[countMinBuild]] sketch for each probe
+    * item: est = min over rows of the item's cell — always >= the true
+    * count. The sketch is d*w rows, so the probe join broadcasts.
+    */
+  def countMinEstimate(
+      sketch: DataFrame, probes: DataFrame, itemCol: String,
+      d: Int, w: Int): DataFrame = {
+    val cells = probes
+      .select(col(itemCol), col(itemCol).cast("string").as("__item"))
+      .select(col(itemCol),
+        explode(sequence(lit(0), lit(d - 1))).as("row"), col("__item"))
+      .select(col(itemCol), col("row").cast("long").as("row"),
+        pmod(TextFunctions.md5Hash60(
+          concat_ws(":", col("row"), col("__item"))), lit(w.toLong))
+          .as("bucket"))
+    cells.join(broadcast(sketch), Seq("row", "bucket"), "left")
+      .groupBy(col(itemCol))
+      .agg(min(coalesce(col("c"), lit(0L))).as("cms_est"))
+  }
 }

@@ -1357,8 +1357,49 @@ ${louvainRoundSql("c3", "c4", 1)}
       """.trim
     })
 
+  /** Count-Min sketch ([[Sketches.countMinBuild]], d = 4 x w = 64)
+    * over the corpus token stream, probed at the 20 highest-frequency
+    * tokens with the exact counts alongside — the overcount column is
+    * the sketch's signed audit (always >= 0 by construction). Build,
+    * probe, and audit all replay exactly in SQL.
+    */
+  val q345CountMin = HarnessQuery(
+    "q345_count_min",
+    (spark, dir) => {
+      val toks = Tables.documents(spark, dir)
+        .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+        .where(col("token") =!= "")
+      val sketch = Sketches.countMinBuild(toks, "token", d = 4, w = 64)
+      val truth = toks.groupBy(col("token")).agg(count(lit(1)).as("true_n"))
+      val top = truth.orderBy(col("true_n").desc, col("token")).limit(20)
+      Sketches.countMinEstimate(sketch, top, "token", d = 4, w = 64)
+        .join(top, Seq("token"))
+        .select(col("token"), col("true_n"), col("cms_est"),
+          (col("cms_est") - col("true_n")).as("overcount"))
+        .orderBy(col("token"))
+    },
+    Some("""
+      WITH tok AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+                   FROM documents),
+      tk AS (SELECT token FROM tok WHERE token <> ''),
+      cells AS (SELECT g.r AS row,
+                       CAST(('0x' || substr(md5(concat_ws(':', g.r, token)), 1, 15)) AS BIGINT) % 64 AS bucket,
+                       count(*) AS c
+                FROM tk, generate_series(0, 3) g(r)
+                GROUP BY 1, 2),
+      truth AS (SELECT token, count(*) AS true_n FROM tk GROUP BY 1),
+      top AS (SELECT token, true_n FROM truth ORDER BY true_n DESC, token LIMIT 20),
+      probe AS (SELECT t.token, g.r AS row,
+                       CAST(('0x' || substr(md5(concat_ws(':', g.r, t.token)), 1, 15)) AS BIGINT) % 64 AS bucket
+                FROM top t, generate_series(0, 3) g(r)),
+      est AS (SELECT p.token, min(coalesce(c.c, 0)) AS cms_est
+              FROM probe p LEFT JOIN cells c USING (row, bucket) GROUP BY 1)
+      SELECT t.token, t.true_n, e.cms_est, e.cms_est - t.true_n AS overcount
+      FROM top t JOIN est e USING (token) ORDER BY token
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
-    q343HashWalks,
+    q343HashWalks, q345CountMin,
     q312HllDistinct, q313PrefixJaccard, q314RidgeFit, q316Modularity,
     q317HoltTrend, q318DbscanCore, q319Sprt, q320Breakpoint,
     q321LooInfluence, q322IpwAte, q323RidgePath, q324HllSliding,

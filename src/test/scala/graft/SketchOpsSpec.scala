@@ -539,4 +539,30 @@ class SketchOpsSpec extends SparkSpec {
     assert(out("quad")._1 === 4L)
     assert(math.abs(out("quad")._2 - 0.25) < 1e-9)
   }
+
+  test("countMin: estimates upper-bound true counts; halves merge by sum") {
+    import spark.implicits._
+    val items = (1 to 200).flatMap(i => Seq.fill(i % 7 + 1)(s"k${i % 31}"))
+    val df = items.toDF("item")
+    val sketch = Sketches.countMinBuild(df, "item", d = 4, w = 16)
+    assert(sketch.count() <= 4L * 16)
+    val truth = df.groupBy($"item").count()
+    val est = Sketches.countMinEstimate(sketch, truth, "item", d = 4, w = 16)
+      .join(truth, Seq("item")).collect()
+    est.foreach { r =>
+      assert(r.getAs[Long]("cms_est") >= r.getAs[Long]("count"),
+        s"CMS under-counted ${r.getString(0)}")
+    }
+    // linear sketch: sum of the halves' cells == the full sketch
+    val (h1, h2) = (items.take(100), items.drop(100))
+    val merged = Sketches.countMinBuild(h1.toDF("item"), "item", 4, 16)
+      .unionByName(Sketches.countMinBuild(h2.toDF("item"), "item", 4, 16))
+      .groupBy($"row", $"bucket").agg(org.apache.spark.sql.functions.sum($"c").as("c"))
+    val diff = merged.except(sketch).count() + sketch.except(merged).count()
+    assert(diff === 0L)
+    // an unseen probe estimates 0 when its cells are empty, never null
+    val unseen = Sketches.countMinEstimate(
+      sketch, Seq("nope").toDF("item"), "item", 4, 16).head
+    assert(!unseen.isNullAt(1))
+  }
 }
