@@ -170,4 +170,66 @@ object Selection {
       .select((df.columns.map(col) :+ col("__band").as("band")
         :+ col("batch_id")): _*)
   }
+
+  /** Greedy k-center (farthest-point) coreset selection (Gonzalez
+    * 1985) — the diversity sampler of active-learning and data-curation
+    * pipelines: starting from an explicit seed, repeatedly add the
+    * point FARTHEST (squared-L2) from the chosen set; the result's
+    * covering radius is within 2x of the optimal k-center radius.
+    * Deterministic end to end: distances accumulate in DECIMAL(30,18)
+    * per dimension (order-independent, replays in any engine) and
+    * argmax ties break to the lowest id.
+    *
+    * Scale shape: the corpus explodes once to (id, dim, x) and is
+    * materialized; each of the FIXED k-1 rounds is {one broadcast join
+    * of the single new center's dim rows + one hash aggregate + one
+    * elementwise min against the running distance column} — only
+    * (id, dist) scalars shuffle, never vectors, and the global argmax
+    * is a sort-limit(1), not a collect. Rounds are a static stage
+    * graph; [[graft.Materialize.cut]] bounds lineage per round.
+    *
+    * Returns (rank, center_id, dist_to_set): dist_to_set is the
+    * max-min distance at selection time (rank 1 = the seed at 0), the
+    * running coverage-radius curve a curation job thresholds on.
+    */
+  def kCenterGreedy(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      seedId: Long,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dims = Materialize.cut(
+      df.select(col(idCol).cast("long").as("__id"), posexplode(col(vecCol)))
+        .select(col("__id"), col("pos").as("__d"),
+          col("col").cast("double").as("__x")))
+    def distTo(centerId: DataFrame): DataFrame = {
+      val cdims = broadcast(dims
+        .join(broadcast(centerId), Seq("__id"))
+        .select(col("__d"), col("__x").as("__c")))
+      dims.join(cdims, Seq("__d"))
+        .groupBy(col("__id"))
+        .agg(sum(((col("__x") - col("__c")) * (col("__x") - col("__c")))
+          .cast("decimal(30,18)")).as("__dist"))
+    }
+    val seed = Seq(seedId).toDF("__id")
+    var mind = Materialize.cut(distTo(seed))
+    var picks = seed.select(lit(1L).as("rank"), col("__id").as("center_id"),
+      lit(0).cast("decimal(38,18)").as("__raw"))
+    for (r <- 2L to k.toLong) {
+      // one-row argmax, kept as a DataFrame — no driver collect
+      val next = Materialize.cut(
+        mind.orderBy(col("__dist").desc, col("__id")).limit(1))
+      picks = picks.unionByName(next.select(lit(r).as("rank"),
+        col("__id").as("center_id"), col("__dist").as("__raw")))
+      mind = Materialize.cut(
+        mind.select(col("__id"), col("__dist").as("__prev"))
+          .join(distTo(next.select(col("__id"))), Seq("__id"))
+          .select(col("__id"), least(col("__prev"), col("__dist")).as("__dist")))
+    }
+    picks.select(col("rank"), col("center_id"),
+      round(col("__raw").cast("double"), 12).as("dist_to_set"))
+  }
 }

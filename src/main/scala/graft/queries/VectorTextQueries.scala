@@ -1280,8 +1280,57 @@ object VectorTextQueries {
       ORDER BY center, context
     """.trim))
 
+  /** Greedy k-center coreset selection ([[graft.operators.Selection
+    * .kCenterGreedy]], seed vec_id 0, k = 6): each pick is the corpus
+    * point farthest (decimal-exact squared-L2) from the chosen set,
+    * ties to the lowest id — the diversity sampler, with the covering-
+    * radius curve alongside. Fully declarative (the per-round argmax
+    * is a one-row sort-limit, not a collect); the oracle unrolls all
+    * five selection rounds.
+    */
+  val q346KCenter = HarnessQuery(
+    "q346_kcenter",
+    (spark, dir) =>
+      graft.operators.Selection.kCenterGreedy(
+        Tables.embeddings(spark, dir), "vec_id", "embedding",
+        seedId = 0L, k = 6)
+        .orderBy(col("rank")),
+    Some {
+      val round = (r: Int) => {
+        val prev = s"m${r - 1}"
+        val mNext = if (r < 6) s""",
+      m$r AS (SELECT a.id, least(a.dist, b.dist) AS dist
+              FROM $prev a JOIN (
+                SELECT dims.id,
+                       sum(CAST((dims.x - c.x) * (dims.x - c.x) AS DECIMAL(30,18))) AS dist
+                FROM dims JOIN (SELECT d, x FROM dims
+                                WHERE id = (SELECT id FROM p$r)) c ON dims.d = c.d
+                GROUP BY 1) b ON a.id = b.id)""" else ""
+        s"""
+      p$r AS (SELECT id, dist FROM $prev ORDER BY dist DESC, id LIMIT 1)$mNext,"""
+      }
+      s"""
+      WITH dims AS (
+        SELECT vec_id AS id, i - 1 AS d, CAST(embedding[i] AS DOUBLE) AS x
+        FROM (SELECT vec_id, embedding,
+                     unnest(generate_series(1, len(embedding))) AS i
+              FROM embeddings) t),
+      m1 AS (SELECT dims.id,
+                    sum(CAST((dims.x - c.x) * (dims.x - c.x) AS DECIMAL(30,18))) AS dist
+             FROM dims JOIN (SELECT d, x FROM dims WHERE id = 0) c ON dims.d = c.d
+             GROUP BY 1),
+      ${(2 to 6).map(round).mkString("")}
+      sel AS (
+        SELECT CAST(1 AS BIGINT) AS rank, CAST(0 AS BIGINT) AS center_id,
+               CAST(0 AS DECIMAL(38,18)) AS raw
+        ${(2 to 6).map(r => s"UNION ALL SELECT $r, id, dist FROM p$r").mkString("\n        ")})
+      SELECT rank, center_id, round(CAST(raw AS DOUBLE), 12) AS dist_to_set
+      FROM sel ORDER BY rank
+      """.trim
+    })
+
   def all: Seq[HarnessQuery] = Seq(
-    q340KmeansFit, q341KmeansCells, q342KmeansIvf, q344Skipgram,
+    q340KmeansFit, q341KmeansCells, q342KmeansIvf, q344Skipgram, q346KCenter,
     q211CollocPmi, q212TokenEntropy, q213GramMatrix, q214CovMatrix,
     q215WalkForward, q216LabelProp, q217PowerIteration, q218LatenessAudit,
     q219MergeableMoments, q220Diversity, q221QuantileNorm, q222Scd2,

@@ -157,4 +157,18 @@ class SelectionSpec extends SparkSpec with TableDrivenPropertyChecks {
       Selection.topFracPerKey(df, "k", "s", 0.0, Seq("id"))
     }
   }
+
+  test("kCenterGreedy picks farthest-first with exact radii") {
+    val pts = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(10.0f, 0.0f)),
+      (2L, Array(0.0f, 9.0f)), (3L, Array(1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Selection.kCenterGreedy(pts, "vec_id", "embedding",
+      seedId = 0L, k = 3)
+      .orderBy($"rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // round 2: farthest from {0} is id1 (d2=100) over id2 (81), id3 (2);
+    // round 3: min-dist to {0,1} is 81 for id2, 2 for id3 -> id2
+    assert(out.toSeq === Seq((1L, 0L, 0.0), (2L, 1L, 100.0), (3L, 2L, 81.0)))
+  }
 }
