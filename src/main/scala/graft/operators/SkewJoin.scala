@@ -55,4 +55,52 @@ object SkewJoin {
       explode(sequence(lit(0L), lit(salts.toLong - 1L))))
     l.join(r, keys :+ saltCol, joinType).drop(saltCol)
   }
+
+  /** Bloom-pruned inner equi-join: build a Bloom filter over the small
+    * side's distinct join keys, push a codegen'd
+    * [[graft.functions.BloomMightContainExpr]] probe into the BIG side
+    * as a map-side pre-shuffle filter, then run the ordinary join on
+    * the survivors. False positives pass the filter and die in the
+    * real join, false negatives are impossible — so for ANY fpp the
+    * result is EXACTLY `big.join(small, key)`; the filter only cuts
+    * shuffle volume. At 100 TB this is the difference between
+    * shuffling the whole fact table and shuffling roughly its matching
+    * fraction. (Spark's own runtime row-level filtering does this
+    * best-effort behind conf thresholds; this operator makes the
+    * contract explicit, deterministic, and testable.)
+    *
+    * Keys probe as their canonical string form on both sides, so any
+    * key type works against `DataFrameStatFunctions.bloomFilter`'s
+    * UTF-8 string encoding.
+    */
+  def bloomPrunedJoin(
+      big: DataFrame,
+      small: DataFrame,
+      keyCol: String,
+      fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val keys = small.select(col(keyCol).cast("string").as("__k"))
+      .where(col("__k").isNotNull).distinct()
+    val expected = math.max(keys.count(), 1L)
+    val bloom = keys.stat.bloomFilter("__k", expected, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    // unique per-call registry name — same race rationale as
+    // TextDedup.decontaminateBloom
+    val fnName = "graft_bloom_might_contain_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    big.sparkSession.sessionState.functionRegistry
+      .createOrReplaceTempFunction(fnName,
+        exprs => graft.functions.BloomMightContainExpr(
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(bytes),
+          exprs.head),
+        "scala_udf")
+    big
+      .filter(col(keyCol).isNotNull &&
+        call_function(fnName, col(keyCol).cast("string")))
+      .join(small, Seq(keyCol))
+  }
 }

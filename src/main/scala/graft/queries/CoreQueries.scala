@@ -318,8 +318,37 @@ object CoreQueries {
       ORDER BY l_returnflag
     """.trim))
 
+  /** Bloom-pruned fact-dimension join ([[graft.operators.SkewJoin
+    * .bloomPrunedJoin]]): orders pre-filtered by a codegen'd Bloom
+    * probe over the high-balance customers' keys before the shuffle
+    * join. The oracle is the PLAIN join — the operator's contract is
+    * exact equality for any fpp (false positives die in the real join),
+    * which is precisely what the differential check pins.
+    */
+  val q347BloomJoin = HarnessQuery(
+    "q347_bloom_join",
+    (spark, dir) => {
+      val ords = Tables.orders(spark, dir)
+      val cust = Tables.customer(spark, dir)
+        .filter(col("c_acctbal") > 9000)
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      graft.operators.SkewJoin.bloomPrunedJoin(ords, cust, "o_custkey",
+        fpp = 0.01)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("revenue"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some("""
+      SELECT c_mktsegment, count(*) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE c_acctbal > 9000
+      GROUP BY 1 ORDER BY 1
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q01PricingSummary, q02RangeJoin, q03StarJoin, q04TopK, q05SemiAnti,
     q06SetOps, q07AsOfJoin, q08BucketedRange, q09Corr, q97AsOfNearest,
-    q98SaltedJoin)
+    q98SaltedJoin, q347BloomJoin)
 }

@@ -44,4 +44,32 @@ class SkewJoinSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("__graft_salt"))
   }
+
+  test("bloomPrunedJoin equals the plain join at any fpp; nulls dropped") {
+    val big = ((1 to 500).map(i => (Some(i.toLong % 50), s"r$i"))
+      :+ (Option.empty[Long], "nullrow"))
+      .toDF("k", "v")
+    val small = Seq((3L, "a"), (7L, "b"), (3L, "c"), (44L, "d"))
+      .toDF("k", "tag")
+    val plain = big.join(small, Seq("k")).collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    // even a near-useless filter (fpp 0.5) must not change the answer
+    for (fpp <- Seq(0.01, 0.5)) {
+      val pruned = SkewJoin.bloomPrunedJoin(big, small, "k", fpp)
+        .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+      assert(pruned === plain, s"fpp=$fpp")
+    }
+    // the probe really is in the plan — on a local relation Catalyst
+    // folds the filter into the scan at planning time, so check the
+    // analyzed plan, and the executed plan of a non-foldable input
+    val analyzed = SkewJoin.bloomPrunedJoin(big, small, "k", 0.01)
+      .queryExecution.analyzed.toString
+    assert(analyzed.contains("graft_bloom_might_contain"))
+    // (ConvertToLocalRelation pre-evaluates filters over local
+    // relations, so the runtime probe needs a file-backed input)
+    val tmp = java.nio.file.Files.createTempDirectory("bloomspec").toString
+    big.write.mode("overwrite").parquet(tmp)
+    val executed = SkewJoin.bloomPrunedJoin(spark.read.parquet(tmp), small, "k", 0.01)
+      .queryExecution.executedPlan.toString
+    assert(executed.contains("graft_bloom_might_contain"))
+  }
 }
