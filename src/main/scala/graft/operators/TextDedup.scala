@@ -827,6 +827,39 @@ object TextDedup {
     * no overlap signal and are exactly the lists that explode (the
     * [[containmentPairs]] mitigation, df-bounded).
     */
+  /** Incremental winnowing overlap: arriving documents probed against
+    * the FROZEN corpus fingerprint index (the continual-crawl shape —
+    * index once, probe every batch; the
+    * [[minhashNearDupPairsAgainst]]-style complement to the batch
+    * [[winnowOverlapPairs]]). Posting lists are
+    * df-pruned on the CORPUS side only, so a batch can never unlock a
+    * boilerplate fingerprint the index already dropped. Returns
+    * (new_id, corpus_id, shared_fps >= minShared).
+    */
+  def winnowOverlapAgainst(
+      corpus: DataFrame,
+      newDocs: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 3,
+      w: Int = 4,
+      minShared: Int = 3,
+      maxDf: Int = 50): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    val fpc = winnowFingerprints(corpus, textCol, idCol, k, w)
+      .select(col(idCol).as("corpus_id"), col("fp")).distinct()
+    val dfc = fpc.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+    val index = fpc.join(dfc.filter(col("__df") <= maxDf), Seq("fp"))
+      .select(col("corpus_id"), col("fp"))
+    val probe = winnowFingerprints(newDocs, textCol, idCol, k, w)
+      .select(col(idCol).as("new_id"), col("fp")).distinct()
+    probe.join(index, Seq("fp"))
+      .groupBy(col("new_id"), col("corpus_id"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
   def winnowOverlapPairs(
       df: DataFrame,
       textCol: String,

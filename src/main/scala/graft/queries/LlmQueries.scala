@@ -3996,8 +3996,52 @@ object LlmQueries {
       ORDER BY id_a, id_b
     """.trim))
 
+  /** Incremental winnowing: a batch of arrivals (the first 40 docs
+    * under shifted ids, i.e. exact re-crawls) probed against the frozen
+    * corpus fingerprint index — every arrival must hit its original
+    * with a large shared count, and df-pruning happens on the corpus
+    * side only ([[TextDedup.winnowOverlapAgainst]]).
+    */
+  val q348WinnowIncremental = HarnessQuery(
+    "q348_winnow_incremental",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val arrivals = docs.filter(col("doc_id") < 40)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      TextDedup.winnowOverlapAgainst(
+        docs, arrivals, "text", "doc_id",
+        k = 3, w = 4, minShared = 3, maxDf = 50)
+        .orderBy(col("new_id"), col("corpus_id"))
+    },
+    Some("""
+      WITH t AS (SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                 FROM documents),
+      g AS (SELECT doc_id,
+              unnest(list_transform(generate_series(1, len(toks) - 2),
+                i -> CAST(('0x' || substr(md5(array_to_string(toks[i:i+2], ' ')), 1, 12)) AS BIGINT)
+                     * 16384 + (16383 - i))) AS v
+            FROM t),
+      p AS (SELECT doc_id, v, 16383 - (v % 16384) AS pos FROM g),
+      sv AS (SELECT doc_id, pos,
+               min(v) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mv,
+               count(*) OVER (PARTITION BY doc_id) AS m
+             FROM p),
+      fp AS (SELECT DISTINCT doc_id, mv // 16384 AS fp FROM sv
+             WHERE pos <= greatest(m - 3, 1)),
+      idx AS (SELECT doc_id AS corpus_id, fp FROM fp
+              QUALIFY count(*) OVER (PARTITION BY fp) <= 50),
+      probe AS (SELECT doc_id + 1000000 AS new_id, fp FROM fp
+                WHERE doc_id < 40)
+      SELECT p.new_id, i.corpus_id, count(*) AS shared_fps
+      FROM probe p JOIN idx i USING (fp)
+      GROUP BY 1, 2 HAVING count(*) >= 3
+      ORDER BY new_id, corpus_id
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
-    q338Winnowing, q339WinnowOverlap,
+    q338Winnowing, q339WinnowOverlap, q348WinnowIncremental,
     q210PhashClusters,
     q50TextStats, q51TokenCount, q52LangQuality, q53Fingerprint,
     q54Shingles, q55MinhashPairs, q56ExactDedup, q57SimhashPairs,

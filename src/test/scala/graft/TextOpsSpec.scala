@@ -668,6 +668,23 @@ class TextOpsSpec extends SparkSpec {
     assert(n >= 1 && n <= 95) // m = 98 grams, 95 windows
   }
 
+  test("winnowOverlapAgainst: arrivals hit their originals, corpus-side df-prune") {
+    val mk = (seed: Int) => (seed * 100 to seed * 100 + 30).map(i => s"t$i").mkString(" ")
+    val corpus = Seq((1L, mk(1)), (2L, mk(2)), (3L, mk(3))).toDF("doc_id", "text")
+    val arrivals = Seq((101L, mk(1)), (105L, "totally unrelated words here now"))
+      .toDF("doc_id", "text")
+    val hits = TextDedup.winnowOverlapAgainst(corpus, arrivals, "text", "doc_id",
+      k = 3, w = 4, minShared = 3, maxDf = 50).collect()
+    assert(hits.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((101L, 1L)))
+    // maxDf = 1 prunes every fingerprint shared by 2+ corpus docs; a
+    // duplicated corpus doc's postings vanish and the arrival misses
+    val dupCorpus = corpus.unionByName(
+      Seq((4L, mk(1))).toDF("doc_id", "text"))
+    val pruned = TextDedup.winnowOverlapAgainst(dupCorpus, arrivals, "text", "doc_id",
+      k = 3, w = 4, minShared = 1, maxDf = 1).collect()
+    assert(!pruned.exists(r => r.getLong(1) == 1L || r.getLong(1) == 4L))
+  }
+
   test("winnowOverlapPairs finds the planted quote, skips unrelated") {
     val quote = (1 to 12).map(i => s"q$i").mkString(" ")
     val docs = Seq(
