@@ -191,6 +191,70 @@ object Sketches {
     * item: est = min over rows of the item's cell — always >= the true
     * count. The sketch is d*w rows, so the probe join broadcasts.
     */
+  /** Sliding-window Count-Min: per-day pane sketches merged by
+    * cell-wise SUM over a trailing `windowDays` range frame (the linear-
+    * sketch property in its windowed form — the [[hllSlidingDistinct]]
+    * companion for FREQUENCY instead of cardinality), probed at the
+    * `topProbes` globally most frequent items with the exact trailing
+    * count alongside. State per pane is d*w cells; the dense
+    * (day x cell) grid keeps absent panes from shrinking the frame,
+    * and the exact audit expands per-day item counts to their
+    * window-end days (an equi-shuffle, not a theta join).
+    */
+  def countMinSlidingCounts(
+      df: DataFrame, tsCol: String, itemCol: String,
+      windowDays: Int = 7, d: Int = 4, w: Int = 64,
+      topProbes: Int = 3): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    require(d >= 1 && w >= 2, s"need d >= 1, w >= 2; got d=$d w=$w")
+    val spark = df.sparkSession
+    val micros = 86400L * 1000000L
+    def dayOf(c: Column): Column =
+      ((unix_micros(c) - pmod(unix_micros(c), lit(micros))) / lit(micros))
+        .cast("long")
+    def bucketOf(row: Column, item: Column): Column =
+      pmod(TextFunctions.md5Hash60(concat_ws(":", row, item)), lit(w.toLong))
+    val byDay = df.select(dayOf(col(tsCol)).as("day"),
+      col(itemCol).cast("string").as("item"))
+    val cells = byDay
+      .select(col("day"), col("item"),
+        explode(sequence(lit(0), lit(d - 1))).as("row"))
+      .select(col("day"), col("row").cast("long").as("row"),
+        bucketOf(col("row"), col("item")).as("bucket"))
+      .groupBy(col("day"), col("row"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val days = byDay.select(col("day")).distinct()
+    val grid = days.crossJoin(broadcast(
+      spark.range(d.toLong).select(col("id").as("row"))
+        .crossJoin(spark.range(w.toLong).select(col("id").as("bucket")))))
+    val merged = grid.join(cells, Seq("day", "row", "bucket"), "left")
+      .withColumn("__mc", coalesce(sum(col("c")).over(
+        Window.partitionBy(col("row"), col("bucket")).orderBy(col("day"))
+          .rangeBetween(-(windowDays - 1).toLong, 0L)), lit(0L)))
+    val probes = byDay.groupBy(col("item")).agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("item")).limit(topProbes)
+      .select(col("item"))
+    val pcells = probes
+      .select(col("item"), explode(sequence(lit(0), lit(d - 1))).as("row"))
+      .select(col("item"), col("row").cast("long").as("row"),
+        bucketOf(col("row"), col("item")).as("bucket"))
+    val est = merged.join(broadcast(pcells), Seq("row", "bucket"))
+      .groupBy(col("day"), col("item"))
+      .agg(min(col("__mc")).as("cms_est"))
+    val perDay = byDay.groupBy(col("day"), col("item"))
+      .agg(count(lit(1)).as("n"))
+    val exact = perDay.join(broadcast(probes), Seq("item"))
+      .select(col("item"), col("n"),
+        explode(sequence(col("day"), col("day") + (windowDays - 1))).as("day"))
+      .join(days, Seq("day"), "left_semi")
+      .groupBy(col("day"), col("item"))
+      .agg(sum(col("n")).as("exact"))
+    est.join(exact, Seq("day", "item"), "left")
+      .select(col("day"), col("item"), col("cms_est"),
+        coalesce(col("exact"), lit(0L)).as("exact"),
+        (col("cms_est") - coalesce(col("exact"), lit(0L))).as("overcount"))
+  }
+
   def countMinEstimate(
       sketch: DataFrame, probes: DataFrame, itemCol: String,
       d: Int, w: Int): DataFrame = {

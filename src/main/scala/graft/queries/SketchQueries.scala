@@ -1398,8 +1398,61 @@ ${louvainRoundSql("c3", "c4", 1)}
       FROM top t JOIN est e USING (token) ORDER BY token
     """.trim))
 
+  /** Sliding 7-day Count-Min ([[Sketches.countMinSlidingCounts]]):
+    * per-day pane sketches over event user ids merged by cell-wise sum
+    * (the linear-sketch window merge), probed at the 3 hottest users
+    * with the exact trailing counts alongside — frequency's companion
+    * to the q324 HLL sliding-distinct audit.
+    */
+  val q349CmsSliding = HarnessQuery(
+    "q349_cms_sliding",
+    (spark, dir) =>
+      Sketches.countMinSlidingCounts(Tables.events(spark, dir),
+        "ts", "user_id", windowDays = 7, d = 4, w = 64, topProbes = 3)
+        .orderBy(col("day"), col("item")),
+    Some("""
+      WITH ev AS (
+        SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+                 AS BIGINT) AS day,
+               CAST(user_id AS VARCHAR) AS item
+        FROM events),
+      cells AS (SELECT day, g.r AS row,
+                       CAST(('0x' || substr(md5(concat_ws(':', g.r, item)), 1, 15)) AS BIGINT) % 64 AS bucket,
+                       count(*) AS c
+                FROM ev, generate_series(0, 3) g(r)
+                GROUP BY 1, 2, 3),
+      days AS (SELECT DISTINCT day FROM ev),
+      grid AS (SELECT d.day, r.r AS row, b.b AS bucket
+               FROM days d, generate_series(0, 3) r(r), generate_series(0, 63) b(b)),
+      mg AS (SELECT grid.day, grid.row, grid.bucket,
+                    coalesce(sum(c.c) OVER (PARTITION BY grid.row, grid.bucket
+                      ORDER BY grid.day
+                      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 0) AS mc
+             FROM grid LEFT JOIN cells c
+               ON c.day = grid.day AND c.row = grid.row AND c.bucket = grid.bucket),
+      probes AS (SELECT item FROM (
+                   SELECT item, count(*) AS n FROM ev GROUP BY 1
+                   ORDER BY n DESC, item LIMIT 3) t),
+      pc AS (SELECT item, g.r AS row,
+                    CAST(('0x' || substr(md5(concat_ws(':', g.r, item)), 1, 15)) AS BIGINT) % 64 AS bucket
+             FROM probes, generate_series(0, 3) g(r)),
+      est AS (SELECT m.day, p.item, CAST(min(m.mc) AS BIGINT) AS cms_est
+              FROM mg m JOIN pc p ON m.row = p.row AND m.bucket = p.bucket
+              GROUP BY 1, 2),
+      pd AS (SELECT day, item, count(*) AS n FROM ev GROUP BY 1, 2),
+      ex AS (SELECT days.day, pd.item, CAST(sum(pd.n) AS BIGINT) AS exact
+             FROM days JOIN pd ON pd.day BETWEEN days.day - 6 AND days.day
+             JOIN probes USING (item)
+             GROUP BY 1, 2)
+      SELECT e.day, e.item, e.cms_est,
+             coalesce(x.exact, 0) AS exact,
+             e.cms_est - coalesce(x.exact, 0) AS overcount
+      FROM est e LEFT JOIN ex x ON e.day = x.day AND e.item = x.item
+      ORDER BY e.day, e.item
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
-    q343HashWalks, q345CountMin,
+    q343HashWalks, q345CountMin, q349CmsSliding,
     q312HllDistinct, q313PrefixJaccard, q314RidgeFit, q316Modularity,
     q317HoltTrend, q318DbscanCore, q319Sprt, q320Breakpoint,
     q321LooInfluence, q322IpwAte, q323RidgePath, q324HllSliding,

@@ -565,4 +565,26 @@ class SketchOpsSpec extends SparkSpec {
       sketch, Seq("nope").toDF("item"), "item", 4, 16).head
     assert(!unseen.isNullAt(1))
   }
+
+  test("countMinSlidingCounts: trailing sums slide; est >= exact") {
+    import spark.implicits._
+    def ts(day: Int, i: Int) = java.sql.Timestamp.valueOf(
+      f"2024-01-${day + 1}%02d 00:00:${i % 60}%02d")
+    // u: 2 events day0, 3 events day2; v: 1 event each day
+    val rows = (1 to 2).map(i => (ts(0, i), "u")) ++
+      (1 to 3).map(i => (ts(2, i), "u")) ++
+      (0 to 2).map(d => (ts(d, 40), "v"))
+    val df = rows.toDF("ts", "user")
+    val out = Sketches.countMinSlidingCounts(df, "ts", "user",
+      windowDays = 2, d = 4, w = 64, topProbes = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getAs[Long]("cms_est"), r.getAs[Long]("exact"))).toMap
+    val d0 = out.keys.map(_._1).min
+    assert(out((d0, "u"))._2 === 2L)      // day0 window: 2
+    assert(out((d0 + 1, "u"))._2 === 2L)  // day0-1: still 2
+    assert(out((d0 + 2, "u"))._2 === 3L)  // day1-2: the 3 new only
+    assert(out((d0 + 1, "v"))._2 === 2L)
+    out.values.foreach { case (est, exact) => assert(est >= exact) }
+  }
 }
