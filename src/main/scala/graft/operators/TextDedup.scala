@@ -827,6 +827,49 @@ object TextDedup {
     * no overlap signal and are exactly the lists that explode (the
     * [[containmentPairs]] mitigation, df-bounded).
     */
+  /** C4-style corpus-wide line dedup (Raffel et al. 2020 kept one copy
+    * of any repeated span and discarded the rest): the dedup unit is a
+    * fixed-width token segment ("line", `lineTokens` wide — this corpus
+    * carries no sentence/line markers), the keep rule is the globally
+    * FIRST occurrence (lowest (doc_id, line_idx)), and each document is
+    * rebuilt from its surviving segments in order. Returns
+    * (id, n_lines, n_kept, cleaned) — cleaned is "" when every segment
+    * of a document already appeared elsewhere.
+    *
+    * Scale shape: segments are built in-row (one narrow map), the keep
+    * rule is a single row_number over the segment's md5 fingerprint —
+    * one shuffle keyed by a 128-bit hash, boilerplate segments
+    * collapse into one partition each ONLY as long as their copy count
+    * stays window-sized (for adversarial boilerplate, df-prune first,
+    * as [[winnowOverlapPairs]] does) — and the rebuild is one hash
+    * aggregate per document.
+    */
+  def lineDedup(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      lineTokens: Int = 10): DataFrame = {
+    require(lineTokens >= 1, s"lineTokens must be >= 1, got $lineTokens")
+    val toks = TextFunctions.tokens(col(textCol))
+    val nl = ceil(size(toks).cast("double") / lineTokens).cast("int")
+    val lines = df.select(col(idCol),
+      posexplode(transform(sequence(lit(1), nl),
+        i => array_join(
+          slice(toks, (i - 1) * lineTokens + 1, lit(lineTokens)), " "))))
+      .select(col(idCol), col("pos").cast("long").as("idx"),
+        col("col").as("line"))
+    val w = Window.partitionBy(md5(col("line")))
+      .orderBy(col(idCol), col("idx"))
+    lines.withColumn("__rk", row_number().over(w))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("__rk") === 1, 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("__rk") === 1,
+            struct(col("idx"), col("line"))))),
+          s => s.getField("line")), " ").as("cleaned"))
+  }
+
   /** Incremental winnowing overlap: arriving documents probed against
     * the FROZEN corpus fingerprint index (the continual-crawl shape —
     * index once, probe every batch; the

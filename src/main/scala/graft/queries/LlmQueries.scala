@@ -4040,8 +4040,47 @@ object LlmQueries {
       ORDER BY new_id, corpus_id
     """.trim))
 
+  /** C4-style line dedup ([[TextDedup.lineDedup]], 10-token segments)
+    * over the corpus plus 30 full clones: every clone's segments
+    * already exist at a lower (doc_id, idx), so clones must come back
+    * with n_kept = 0 and cleaned = '', while natural cross-doc repeats
+    * keep exactly their first occurrence.
+    */
+  val q350LineDedup = HarnessQuery(
+    "q350_line_dedup",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val clones = docs.filter(col("doc_id") < 30)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      TextDedup.lineDedup(docs.unionByName(clones), "text", "doc_id",
+        lineTokens = 10)
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 30),
+      t AS (SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+            FROM corpus),
+      l AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS idx,
+                   array_to_string(toks[((i-1)*10+1):((i-1)*10+10)], ' ') AS line
+            FROM (SELECT doc_id, toks,
+                         unnest(generate_series(1, CAST(ceil(len(toks) / 10.0) AS INT))) AS i
+                  FROM t) z),
+      m AS (SELECT doc_id, idx, line,
+                   row_number() OVER (PARTITION BY md5(line)
+                     ORDER BY doc_id, idx) AS rk
+            FROM l)
+      SELECT doc_id, count(*) AS n_lines,
+             CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             coalesce(string_agg(CASE WHEN rk = 1 THEN line END, ' ' ORDER BY idx), '') AS cleaned
+      FROM m GROUP BY 1 ORDER BY doc_id
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
-    q338Winnowing, q339WinnowOverlap, q348WinnowIncremental,
+    q338Winnowing, q339WinnowOverlap, q348WinnowIncremental, q350LineDedup,
     q210PhashClusters,
     q50TextStats, q51TokenCount, q52LangQuality, q53Fingerprint,
     q54Shingles, q55MinhashPairs, q56ExactDedup, q57SimhashPairs,

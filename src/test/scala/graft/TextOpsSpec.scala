@@ -668,6 +668,19 @@ class TextOpsSpec extends SparkSpec {
     assert(n >= 1 && n <= 95) // m = 98 grams, 95 windows
   }
 
+  test("lineDedup keeps first occurrences and rebuilds in order") {
+    val a = ((1 to 10) ++ (11 to 20)).map(i => s"t$i").mkString(" ") // lines L1 L2
+    val b = ((11 to 20) ++ (21 to 30)).map(i => s"t$i").mkString(" ") // L2 (dup) L3
+    val df = Seq((1L, a), (2L, b), (3L, a)).toDF("doc_id", "text")
+    val out = TextDedup.lineDedup(df, "text", "doc_id", lineTokens = 10)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out(0) === ((1L, 2L, 2L, a)))                     // all first
+    assert(out(1) === ((2L, 2L, 1L,
+      (21 to 30).map(i => s"t$i").mkString(" "))))           // L2 deduped away
+    assert(out(2) === ((3L, 2L, 0L, "")))                    // full clone
+  }
+
   test("winnowOverlapAgainst: arrivals hit their originals, corpus-side df-prune") {
     val mk = (seed: Int) => (seed * 100 to seed * 100 + 30).map(i => s"t$i").mkString(" ")
     val corpus = Seq((1L, mk(1)), (2L, mk(2)), (3L, mk(3))).toDF("doc_id", "text")
