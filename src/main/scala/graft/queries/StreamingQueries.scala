@@ -246,7 +246,59 @@ object StreamingQueries {
       GROUP BY 1 ORDER BY 1
     """.trim))
 
+  /** Streaming heavy-hitter service replay
+    * ([[graft.streaming.ContinualCounts.replayBatches]]): events split
+    * into 3 deterministic arrival batches (event_id mod 3), each
+    * batch's Count-Min pane merged into the accumulated sketch by
+    * cell-wise sum, the 5 hottest users probed after every merge. The
+    * oracle rebuilds the CUMULATIVE sketch per batch directly — the
+    * linear-sketch property means streamed state must equal the
+    * one-shot build over everything seen so far, which is exactly what
+    * the differential pins.
+    */
+  val q351ContinualCounts = HarnessQuery(
+    "q351_continual_counts",
+    (spark, dir) => {
+      val ev = Tables.events(spark, dir)
+        .select(col("user_id"), pmod(col("event_id"), lit(3L)).as("__b"))
+      val batches = (0L to 2L).map(b =>
+        ev.filter(col("__b") === b).select(col("user_id")))
+      val watch = ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("__n"))
+        .orderBy(col("__n").desc, col("user_id")).limit(5)
+        .select(col("user_id"))
+      graft.streaming.ContinualCounts.replayBatches(
+        batches, "user_id", watch, d = 4, w = 64)
+        .orderBy(col("batch_id"), col("user_id"))
+    },
+    Some("""
+      WITH ev AS (SELECT user_id, event_id % 3 AS b FROM events),
+      watch AS (SELECT user_id FROM (
+                  SELECT user_id, count(*) AS n FROM ev GROUP BY 1
+                  ORDER BY n DESC, user_id LIMIT 5) t),
+      cells AS (SELECT u.b AS upto, g.r AS row,
+                       CAST(('0x' || substr(md5(concat_ws(':', g.r, CAST(ev.user_id AS VARCHAR))), 1, 15)) AS BIGINT) % 64 AS bucket,
+                       count(*) AS c
+                FROM ev
+                CROSS JOIN generate_series(0, 3) g(r)
+                CROSS JOIN generate_series(0, 2) u(b)
+                WHERE ev.b <= u.b
+                GROUP BY 1, 2, 3),
+      pc AS (SELECT w.user_id, g.r AS row,
+                    CAST(('0x' || substr(md5(concat_ws(':', g.r, CAST(w.user_id AS VARCHAR))), 1, 15)) AS BIGINT) % 64 AS bucket
+             FROM watch w, generate_series(0, 3) g(r)),
+      probes AS (SELECT u.b AS batch_id, pc.user_id, pc.row, pc.bucket
+                 FROM pc CROSS JOIN generate_series(0, 2) u(b))
+      SELECT p.batch_id, p.user_id,
+             CAST(min(coalesce(c.c, 0)) AS BIGINT) AS cms_est
+      FROM probes p LEFT JOIN cells c
+        ON c.upto = p.batch_id AND c.row = p.row AND c.bucket = p.bucket
+      GROUP BY 1, 2
+      ORDER BY batch_id, user_id
+    """.trim))
+
   def all: Seq[HarnessQuery] =
     Seq(q77StreamWindow, q78StreamDedup, q79StatefulVelocity,
-      q84TwsVelocity, q87StreamEnrich, q101StreamJoin)
+      q84TwsVelocity, q87StreamEnrich, q101StreamJoin,
+      q351ContinualCounts)
 }

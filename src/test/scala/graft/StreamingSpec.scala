@@ -385,4 +385,44 @@ class StreamingSpec extends SparkSpec {
     assert(verdicts(3L) === ((true, 2L))) // matched a batch-1 survivor
     assert(verdicts(4L) === ((true, 101L)))
   }
+
+  test("continual counts: stream equals replay; linear merge equals " +
+    "the one-shot sketch after the last batch") {
+    import graft.streaming.ContinualCounts
+    import graft.operators.Sketches
+    implicit val sqlCtx = spark.sqlContext
+    val b1 = Seq("a", "a", "b", "c")
+    val b2 = Seq("a", "c", "c", "d")
+    val watch = Seq("a", "c", "zz").toDF("item")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Long)] =
+      df.collect().map(r => (r.getAs[Long]("batch_id"),
+        r.getAs[String]("item"), r.getAs[Long]("cms_est"))).toSet
+
+    val streamed = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    val mem = MemoryStream[String]
+    val q = ContinualCounts.start(mem.toDF().toDF("item"), "item", watch,
+      d = 4, w = 16) { est => streamed ++= rows(est) }
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val replayed = rows(ContinualCounts.replayBatches(
+      Seq(b1.toDF("item"), b2.toDF("item")), "item", watch, d = 4, w = 16))
+    assert(streamed.toSet === replayed)
+    // after the final merge, state == the one-shot batch sketch
+    val oneShot = Sketches.countMinEstimate(
+      Sketches.countMinBuild((b1 ++ b2).toDF("item"), "item", 4, 16),
+      watch, "item", 4, 16).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("cms_est")).toMap
+    val afterLast = replayed.filter(_._1 == 1L).map(v => v._2 -> v._3).toMap
+    assert(afterLast === oneShot)
+    // estimates upper-bound truth at every step
+    val truth = Map(0L -> Map("a" -> 2L, "c" -> 1L, "zz" -> 0L),
+      1L -> Map("a" -> 3L, "c" -> 3L, "zz" -> 0L))
+    replayed.foreach { case (b, item, est) =>
+      assert(est >= truth(b)(item), s"batch $b item $item")
+    }
+  }
 }
