@@ -187,6 +187,73 @@ object Sketches {
       .agg(count(lit(1)).as("c"))
   }
 
+  /** Mergeable equi-width histogram quantiles: per group, `bins`
+    * fixed-width bins over [min, max] (two cheap aggregates for the
+    * range, one for the bin counts — the per-group state is `bins`
+    * integers, mergeable by cell-wise sum, CONSTANT in group size),
+    * and each requested quantile is estimated by linear interpolation
+    * inside the bin where the cumulative count crosses rank
+    * ceil(q*n) — the one-pass, bounded-state alternative to sorting
+    * the group (what `approx_percentile` trades exactness for, made
+    * deterministic). The exact rank statistic rides alongside as the
+    * audit (`exact`, percentile-disc semantics), so the estimate's
+    * error is visible per group and quantile. Degenerate groups
+    * (min = max) estimate exactly.
+    *
+    * Every arithmetic step is a fixed double expression over exact
+    * integer counts and the group's min/max, so estimates replay
+    * bit-for-bit in any engine.
+    */
+  def histogramQuantiles(
+      df: DataFrame, groupCol: String, valCol: String,
+      bins: Int, qs: Seq[Double]): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      s"quantiles must be in (0,1], got $qs")
+    val v = col(valCol).cast("double")
+    val base = df.where(v.isNotNull)
+      .select(col(groupCol).as("g"), v.as("__v"))
+    val stats = base.groupBy(col("g"))
+      .agg(min(col("__v")).as("__mn"), max(col("__v")).as("__mx"),
+        count(lit(1)).as("n"))
+    val width = (col("__mx") - col("__mn")) / lit(bins.toDouble)
+    val binned = base.join(broadcast(stats), Seq("g"))
+      .withColumn("__b",
+        when(col("__mx") === col("__mn"), lit(0L))
+          .otherwise(least(floor((col("__v") - col("__mn")) / width),
+            lit(bins.toLong - 1L)).cast("long")))
+    val cells = binned.groupBy(col("g"), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(
+        Window.partitionBy(col("g")).orderBy(col("__b"))))
+    val ranked = base.withColumn("__rk", row_number().over(
+      Window.partitionBy(col("g")).orderBy(col("__v"))))
+    val out = qs.map { q =>
+      val targets = stats.select(col("g"), col("__mn"), col("__mx"),
+        col("n"), ceil(lit(q) * col("n").cast("double")).as("__k"))
+      val hit = cells.join(targets, Seq("g"))
+        .filter(col("__cum") >= col("__k"))
+        .withColumn("__r", row_number().over(
+          Window.partitionBy(col("g")).orderBy(col("__b"))))
+        .filter(col("__r") === 1)
+      val est = hit.select(col("g"), col("n"),
+        when(col("__mx") === col("__mn"), col("__mn"))
+          .otherwise(col("__mn")
+            + (col("__mx") - col("__mn")) / lit(bins.toDouble)
+            * (col("__b").cast("double")
+              + (col("__k") - (col("__cum") - col("__c"))).cast("double")
+                / col("__c").cast("double"))).as("__est"),
+        col("__k"))
+      est.join(ranked.select(col("g").as("__rg"), col("__v"), col("__rk")),
+          est("__k") === col("__rk") && est("g") === col("__rg"))
+        .select(est("g").as(groupCol), lit(q).as("q"), col("n"),
+          round(col("__est"), 12).as("est"),
+          col("__v").as("exact"),
+          round(abs(col("__est") - col("__v")), 12).as("abs_err"))
+    }
+    out.reduce(_.unionByName(_))
+  }
+
   /** Point estimates from a [[countMinBuild]] sketch for each probe
     * item: est = min over rows of the item's cell — always >= the true
     * count. The sketch is d*w rows, so the probe join broadcasts.

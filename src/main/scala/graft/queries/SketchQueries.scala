@@ -1451,8 +1451,60 @@ ${louvainRoundSql("c3", "c4", 1)}
       ORDER BY e.day, e.item
     """.trim))
 
+  /** Histogram-sketch quantiles ([[Sketches.histogramQuantiles]],
+    * 32 equi-width bins) of event values per event type at q = 0.5 and
+    * 0.95, with the exact rank statistic as the audit — the
+    * bounded-state approx-percentile path, derandomized so the
+    * estimate itself replays exactly in SQL.
+    */
+  val q352HistQuantiles = HarnessQuery(
+    "q352_hist_quantiles",
+    (spark, dir) =>
+      Sketches.histogramQuantiles(Tables.events(spark, dir),
+        "event_type", "value", bins = 32, qs = Seq(0.5, 0.95))
+        .orderBy(col("event_type"), col("q")),
+    Some("""
+      WITH base AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+                    FROM events WHERE value IS NOT NULL),
+      stats AS (SELECT g, min(v) AS mn, max(v) AS mx, count(*) AS n
+                FROM base GROUP BY 1),
+      binned AS (SELECT b.g,
+                        CASE WHEN s.mx = s.mn THEN 0
+                             ELSE CAST(least(floor((b.v - s.mn) / ((s.mx - s.mn) / 32.0)), 31) AS BIGINT)
+                        END AS bin
+                 FROM base b JOIN stats s USING (g)),
+      cells AS (SELECT g, bin, count(*) AS c FROM binned GROUP BY 1, 2),
+      cum AS (SELECT g, bin, c,
+                     sum(c) OVER (PARTITION BY g ORDER BY bin) AS cum
+              FROM cells),
+      ranked AS (SELECT g, v,
+                        row_number() OVER (PARTITION BY g ORDER BY v) AS rk
+                 FROM base),
+      qk AS (SELECT s.g, s.mn, s.mx, s.n, qq.q,
+                    CAST(ceil(qq.q * s.n) AS BIGINT) AS k
+             FROM stats s CROSS JOIN
+                  (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.95 AS DOUBLE)]) AS q) qq),
+      hit AS (SELECT * FROM (
+                SELECT qk.g, qk.q, qk.mn, qk.mx, qk.n, qk.k,
+                       c.bin, c.c, c.cum,
+                       row_number() OVER (PARTITION BY qk.g, qk.q ORDER BY c.bin) AS r
+                FROM qk JOIN cum c ON c.g = qk.g AND c.cum >= qk.k) z
+              WHERE r = 1),
+      est AS (SELECT g, q, n, k,
+                     CASE WHEN mx = mn THEN mn
+                          ELSE mn + (mx - mn) / 32.0
+                               * (CAST(bin AS DOUBLE)
+                                  + CAST(k - (cum - c) AS DOUBLE) / CAST(c AS DOUBLE))
+                     END AS e
+              FROM hit)
+      SELECT e.g AS event_type, e.q, e.n, round(e.e, 12) AS est,
+             r.v AS exact, round(abs(e.e - r.v), 12) AS abs_err
+      FROM est e JOIN ranked r ON r.g = e.g AND r.rk = e.k
+      ORDER BY event_type, q
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
-    q343HashWalks, q345CountMin, q349CmsSliding,
+    q343HashWalks, q345CountMin, q349CmsSliding, q352HistQuantiles,
     q312HllDistinct, q313PrefixJaccard, q314RidgeFit, q316Modularity,
     q317HoltTrend, q318DbscanCore, q319Sprt, q320Breakpoint,
     q321LooInfluence, q322IpwAte, q323RidgePath, q324HllSliding,

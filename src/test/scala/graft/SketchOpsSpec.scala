@@ -566,6 +566,22 @@ class SketchOpsSpec extends SparkSpec {
     assert(!unseen.isNullAt(1))
   }
 
+  test("histogramQuantiles: interpolated estimate, exact audit, degenerate group") {
+    import spark.implicits._
+    val df = ((1 to 100).map(v => ("u", v.toDouble)) ++
+      Seq.fill(5)(("const", 7.0))).toDF("g", "v")
+    val out = Sketches.histogramQuantiles(df, "g", "v", bins = 10, qs = Seq(0.5))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("est"), r.getAs[Double]("exact"))).toMap
+    // uniform 1..100, k = 50: exact rank-50 value is 50; interp lands at
+    // 1 + 9.9 * (4 + (50-40)/10) = 50.5
+    assert(out("u")._1 === 100L)
+    assert(out("u")._3 === 50.0)
+    assert(math.abs(out("u")._2 - 50.5) < 1e-9)
+    // degenerate group: est == exact == the constant
+    assert(out("const") === ((5L, 7.0, 7.0)))
+  }
+
   test("countMinSlidingCounts: trailing sums slide; est >= exact") {
     import spark.implicits._
     def ts(day: Int, i: Int) = java.sql.Timestamp.valueOf(
