@@ -214,6 +214,46 @@ object RankStats {
     * double-annotated data. Output one row:
     * (n, po, pe, kappa), each floor-snapped at 1e9.
     */
+  /** Robust per-group outlier audit on the median absolute deviation:
+    * med = the LOWER median (value at rank ceil(n/2) — deterministic
+    * for any tie structure, no mid-point averaging to drift across
+    * engines), mad = lower median of |v - med|, outlier iff
+    * |v - med| > k * mad (with mad = 0 every nonzero deviation flags —
+    * the standard hazard, kept deliberately). The z-score's robust
+    * replacement for heavy-tailed metrics where mean/stddev are
+    * themselves dragged by the outliers being hunted.
+    *
+    * Scale shape: two rank passes (window per group) + one hash
+    * aggregate; at extreme per-group cardinality swap the exact rank
+    * for [[graft.operators.Sketches.histogramQuantiles]]'s bounded-
+    * state estimate — same dataflow, sketch-backed median.
+    */
+  def madOutliers(
+      df: DataFrame, groupCol: String, valCol: String,
+      k: Double = 3.0): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    val base = df.where(col(valCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(valCol).cast("double").as("__v"))
+    def lowerMedian(d: DataFrame, vc: String, out: String): DataFrame =
+      d.withColumn("__rk", row_number().over(
+          Window.partitionBy(col("__g")).orderBy(col(vc))))
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__g"))))
+        .filter(col("__rk") === ceil(col("__n").cast("double") / 2.0))
+        .select(col("__g"), col(vc).as(out))
+    val med = lowerMedian(base, "__v", "median")
+    val dev = base.join(med, Seq("__g"))
+      .withColumn("__d", abs(col("__v") - col("median")))
+    val mad = lowerMedian(dev.select(col("__g"), col("__d")), "__d", "mad")
+    dev.join(mad, Seq("__g"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"),
+        min(col("median")).as("median"),
+        min(col("mad")).as("mad"),
+        sum(when(col("__d") > lit(k) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .withColumnRenamed("__g", groupCol)
+  }
+
   def cohensKappa(df: DataFrame, rater1: Column, rater2: Column): DataFrame = {
     val cells = df.agg(
       sum(when(rater1 && rater2, 1L).otherwise(0L)).as("__a"),

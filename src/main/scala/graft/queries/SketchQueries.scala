@@ -1503,8 +1503,44 @@ ${louvainRoundSql("c3", "c4", 1)}
       ORDER BY event_type, q
     """.trim))
 
+  /** MAD-based robust outlier audit ([[RankStats.madOutliers]],
+    * k = 3): lower-median + lower-MAD per event type over the value
+    * column — rank statistics only, so the whole audit replays exactly.
+    */
+  val q353MadOutliers = HarnessQuery(
+    "q353_mad_outliers",
+    (spark, dir) =>
+      RankStats.madOutliers(Tables.events(spark, dir),
+        "event_type", "value", k = 3.0)
+        .orderBy(col("event_type")),
+    Some("""
+      WITH base AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+                    FROM events WHERE value IS NOT NULL),
+      r1 AS (SELECT g, v,
+                    row_number() OVER (PARTITION BY g ORDER BY v) AS rk,
+                    count(*) OVER (PARTITION BY g) AS n
+             FROM base),
+      med AS (SELECT g, v AS median FROM r1
+              WHERE rk = CAST(ceil(n / 2.0) AS BIGINT)),
+      dev AS (SELECT b.g, b.v, m.median, abs(b.v - m.median) AS d
+              FROM base b JOIN med m USING (g)),
+      r2 AS (SELECT g, d,
+                    row_number() OVER (PARTITION BY g ORDER BY d) AS rk,
+                    count(*) OVER (PARTITION BY g) AS n
+             FROM dev),
+      mad AS (SELECT g, d AS mad FROM r2
+              WHERE rk = CAST(ceil(n / 2.0) AS BIGINT))
+      SELECT dev.g AS event_type, count(*) AS n,
+             min(dev.median) AS median, min(mad.mad) AS mad,
+             CAST(sum(CASE WHEN dev.d > 3.0 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers
+      FROM dev JOIN mad USING (g)
+      GROUP BY 1 ORDER BY 1
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q343HashWalks, q345CountMin, q349CmsSliding, q352HistQuantiles,
+    q353MadOutliers,
     q312HllDistinct, q313PrefixJaccard, q314RidgeFit, q316Modularity,
     q317HoltTrend, q318DbscanCore, q319Sprt, q320Breakpoint,
     q321LooInfluence, q322IpwAte, q323RidgePath, q324HllSliding,

@@ -582,6 +582,21 @@ class SketchOpsSpec extends SparkSpec {
     assert(out("const") === ((5L, 7.0, 7.0)))
   }
 
+  test("madOutliers: lower medians, k*mad flagging, degenerate group") {
+    import spark.implicits._
+    import graft.operators.RankStats
+    val df = (Seq(1.0, 2.0, 3.0, 4.0, 100.0).map(("a", _)) ++
+      Seq.fill(4)(("b", 5.0))).toDF("g", "v")
+    val out = RankStats.madOutliers(df, "g", "v", k = 3.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("median"),
+          r.getAs[Double]("mad"), r.getAs[Long]("n_outliers"))).toMap
+    // a: lower median = 3, devs sorted [0,1,1,2,97] -> mad 1, only 97 > 3
+    assert(out("a") === ((5L, 3.0, 1.0, 1L)))
+    // b: constant group -> mad 0, zero deviations flag nothing
+    assert(out("b") === ((4L, 5.0, 0.0, 0L)))
+  }
+
   test("countMinSlidingCounts: trailing sums slide; est >= exact") {
     import spark.implicits._
     def ts(day: Int, i: Int) = java.sql.Timestamp.valueOf(
