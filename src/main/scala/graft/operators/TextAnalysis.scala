@@ -1256,4 +1256,49 @@ object TextAnalysis {
       .orderBy(col("ql_score").desc, col(idCol))
       .limit(k)
   }
+
+  /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004):
+    * corpus-wide word co-occurrence graph (undirected edges between
+    * tokens within `window` positions of each other in any document)
+    * ranked by [[Graphs.pageRank]] — the unsupervised keyword scorer
+    * that needs no training data, here over the whole corpus rather
+    * than one document so the graph build is a real dataflow.
+    *
+    * Scale shape: co-occurrence pairs come from an offset-exploded
+    * equi-join on (doc, position) — no range condition — and collapse
+    * to DISTINCT vocabulary-sized edges before the (vocabulary-sized)
+    * pageRank iterations; the corpus-sized token table is touched
+    * exactly twice (pairs + vertex set).
+    */
+  def textRankKeywords(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int = 2,
+      iters: Int = 3,
+      topN: Int = 20): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val tok = df
+      .select(col(idCol).as("__doc"),
+        posexplode(TextFunctions.tokens(col(textCol))))
+      .select(col("__doc"), col("pos").as("__p"), col("col").as("__w"))
+      .where(col("__w") =!= "")
+    val lhs = tok.select(col("__doc"), col("__p"), col("__w").as("w1"),
+      explode(sequence(lit(1), lit(window))).as("__off"))
+    val rhs = tok.select(col("__doc").as("__d2"), col("__p").as("__p2"),
+      col("__w").as("w2"))
+    val pairs = lhs.join(rhs,
+        col("__doc") === col("__d2") && col("__p") + col("__off") === col("__p2"))
+      .filter(col("w1") =!= col("w2"))
+      .select(col("w1"), col("w2")).distinct()
+    val edges = pairs.select(col("w1").as("src"), col("w2").as("dst"))
+      .unionByName(pairs.select(col("w2").as("src"), col("w1").as("dst")))
+      .distinct()
+    val vertices = tok.select(col("__w").as("word")).distinct()
+    Graphs.pageRank(vertices, "word", edges, "src", "dst", iters)
+      .orderBy(col("pagerank").desc, col("word"))
+      .limit(topN)
+      .select(col("word"), round(col("pagerank"), 12).as("pagerank"))
+  }
 }

@@ -4079,8 +4079,66 @@ object LlmQueries {
       FROM m GROUP BY 1 ORDER BY doc_id
     """.trim))
 
+  /** TextRank keywords ([[TextAnalysis.textRankKeywords]], window 2,
+    * 3 pageRank rounds, top 20): the corpus co-occurrence graph built
+    * from an offset-exploded equi-join, ranked by the same pageRank
+    * dataflow as q140 — the whole composition (graph build + dangling
+    * mass + teleport + top-k) replays in one SQL chain.
+    */
+  val q354TextRank = HarnessQuery(
+    "q354_textrank",
+    (spark, dir) =>
+      TextAnalysis.textRankKeywords(
+        Tables.documents(spark, dir), "doc_id", "text",
+        window = 2, iters = 3, topN = 20)
+        .orderBy(col("word")),
+    Some {
+      val prRound = (i: Int) => s"""
+      dang$i AS (
+        SELECT coalesce(CAST(sum(CAST(p.pr AS DECIMAL(30,18))) AS DOUBLE),
+                        CAST(0 AS DOUBLE)) AS dm
+        FROM pr$i p LEFT JOIN deg d ON p.id = d.src WHERE d.src IS NULL),
+      agg$i AS (
+        SELECT e.dst AS id,
+               CAST(sum(CAST(p.pr / d.od AS DECIMAL(30,18))) AS DOUBLE) AS s
+        FROM edges e JOIN pr$i p ON e.src = p.id JOIN deg d ON e.src = d.src
+        GROUP BY 1),
+      pr${i + 1} AS (
+        SELECT v.id,
+               CAST(0.15000000000000002 AS DOUBLE) / nn.n
+                 + CAST(0.85 AS DOUBLE) *
+                   (coalesce(a.s, CAST(0 AS DOUBLE)) + dg.dm / nn.n) AS pr
+        FROM verts v LEFT JOIN agg$i a ON v.id = a.id, dang$i dg, nn)"""
+      s"""
+      WITH tok0 AS (SELECT doc_id AS doc,
+                      unnest(generate_series(1, len(regexp_split_to_array(trim(lower(text)), '\\s+')))) AS i,
+                      regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+                    FROM documents),
+      tok AS (SELECT doc, i AS p, toks[i] AS w FROM tok0 WHERE toks[i] <> ''),
+      pairs AS (SELECT DISTINCT a.w AS w1, b.w AS w2
+                FROM tok a JOIN tok b
+                  ON a.doc = b.doc AND b.p - a.p BETWEEN 1 AND 2
+                WHERE a.w <> b.w),
+      edges AS (SELECT w1 AS src, w2 AS dst FROM pairs
+                UNION
+                SELECT w2 AS src, w1 AS dst FROM pairs),
+      deg AS (SELECT src, count(*) AS od FROM edges GROUP BY 1),
+      verts AS (SELECT DISTINCT w AS id FROM tok),
+      nn AS (SELECT count(*) AS n FROM verts),
+      pr0 AS (SELECT id, CAST(1.0 AS DOUBLE) / nn.n AS pr FROM verts, nn),
+      ${prRound(0)},
+      ${prRound(1)},
+      ${prRound(2)}
+      SELECT id AS word, round(pr, 12) AS pagerank FROM (
+        SELECT id, pr, row_number() OVER (ORDER BY pr DESC, id) AS rk
+        FROM pr3) z
+      WHERE rk <= 20 ORDER BY word
+      """.trim
+    })
+
   def all: Seq[HarnessQuery] = Seq(
     q338Winnowing, q339WinnowOverlap, q348WinnowIncremental, q350LineDedup,
+    q354TextRank,
     q210PhashClusters,
     q50TextStats, q51TokenCount, q52LangQuality, q53Fingerprint,
     q54Shingles, q55MinhashPairs, q56ExactDedup, q57SimhashPairs,

@@ -668,6 +668,18 @@ class TextOpsSpec extends SparkSpec {
     assert(n >= 1 && n <= 95) // m = 98 grams, 95 windows
   }
 
+  test("textRankKeywords ranks the co-occurrence hub first") {
+    val df = Seq((1L, "a b a c a d"), (2L, "a e b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.textRankKeywords(df, "doc_id", "text",
+      window = 1, iters = 3, topN = 3).collect()
+    assert(out.length === 3)
+    // 'a' co-occurs with every other word; it must rank first
+    val byScore = out.sortBy(-_.getAs[Double]("pagerank"))
+    assert(byScore.head.getString(0) === "a")
+    // scores are a probability-ish distribution: all positive
+    out.foreach(r => assert(r.getAs[Double]("pagerank") > 0.0))
+  }
+
   test("lineDedup keeps first occurrences and rebuilds in order") {
     val a = ((1 to 10) ++ (11 to 20)).map(i => s"t$i").mkString(" ") // lines L1 L2
     val b = ((11 to 20) ++ (21 to 30)).map(i => s"t$i").mkString(" ") // L2 (dup) L3
