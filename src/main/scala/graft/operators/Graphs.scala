@@ -96,6 +96,70 @@ object Graphs {
     pr.select(col("__id").as(idCol), col("__pr").as("pagerank"))
   }
 
+  /** Personalized PageRank: teleport mass goes ONLY to the seed set
+    * (uniformly), not to every vertex — the seed-expansion primitive
+    * ("given these known-good docs / known-bad accounts, rank
+    * everything by proximity"): curation uses it to grow a trusted
+    * corpus from a seed list, fraud review to rank the neighborhood of
+    * confirmed cases. Same per-round dataflow as [[pageRank]]
+    * ({edge equi-join + hash aggregate + one-row broadcasts}, decimal
+    * folds, [[graft.Materialize.cut]] per round, fixed rounds); only
+    * the teleport target changes: base mass and dangling mass
+    * redistribute over |seeds|, and the initial distribution is
+    * uniform ON the seeds (non-seed vertices start at 0 and are
+    * reachable only through edges).
+    */
+  def personalizedPageRank(
+      vertices: DataFrame,
+      idCol: String,
+      seeds: DataFrame,
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int = 3,
+      damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(damping > 0.0 && damping < 1.0,
+      s"damping must be in (0,1), got $damping")
+    val verts = vertices.select(col(idCol).as("__id"))
+    val seed = Materialize.cut(
+      seeds.select(col(idCol).as("__id")).distinct())
+    val e = Materialize.cut(
+      edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst")))
+    val deg = e.groupBy(col("__src")).agg(count(lit(1)).as("__od"))
+    val nsDf = seed.agg(count(lit(1)).as("__ns")) // 1 row, broadcast below
+    val base = lit(1.0 - damping)
+    var pr = Materialize.cut(
+      verts.join(seed.withColumn("__isSeed", lit(1)), Seq("__id"), "left")
+        .crossJoin(broadcast(nsDf))
+        .select(col("__id"),
+          when(col("__isSeed").isNotNull, lit(1.0) / col("__ns"))
+            .otherwise(lit(0.0)).as("__pr")))
+    for (_ <- 1 to iters) {
+      val dang = pr.join(deg.select(col("__src").as("__id")), Seq("__id"), "left_anti")
+        .agg(coalesce(sum(col("__pr").cast(DecimalType(30, 18))).cast("double"),
+          lit(0.0)).as("__dm"))
+      val inflow = e
+        .join(pr.select(col("__id").as("__src"), col("__pr")), Seq("__src"))
+        .join(deg, Seq("__src"))
+        .groupBy(col("__dst"))
+        .agg(sum((col("__pr") / col("__od")).cast(DecimalType(30, 18)))
+          .cast("double").as("__s"))
+      pr = Materialize.cut(
+        verts
+          .join(inflow.select(col("__dst").as("__id"), col("__s")), Seq("__id"), "left")
+          .join(seed.withColumn("__isSeed", lit(1)), Seq("__id"), "left")
+          .crossJoin(broadcast(dang))
+          .crossJoin(broadcast(nsDf))
+          .select(col("__id"),
+            (lit(damping) * coalesce(col("__s"), lit(0.0))
+              + when(col("__isSeed").isNotNull,
+                  (base + lit(damping) * col("__dm")) / col("__ns"))
+                .otherwise(lit(0.0))).as("__pr")))
+    }
+    pr.select(col("__id").as(idCol), col("__pr").as("ppr"))
+  }
+
   /** Per-vertex triangle counts and local clustering coefficient over
     * an undirected edge list — the ring-density metric: in a fraud
     * graph, a vertex whose neighbors also link each other (coefficient

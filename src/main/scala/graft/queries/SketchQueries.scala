@@ -1538,9 +1538,74 @@ ${louvainRoundSql("c3", "c4", 1)}
       GROUP BY 1 ORDER BY 1
     """.trim))
 
+  /** Personalized PageRank ([[Graphs.personalizedPageRank]]) over the
+    * event-type transition graph with the two lexicographically first
+    * types as the seed set — teleport and dangling mass go ONLY to the
+    * seeds, non-seeds earn mass through edges. Three rounds unrolled
+    * in SQL.
+    */
+  val q355SeedPpr = HarnessQuery(
+    "q355_seed_ppr",
+    (spark, dir) => {
+      val ev = Tables.events(spark, dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val edges = ev.withColumn("__next", lead(col("event_type"), 1).over(w))
+        .filter(col("__next").isNotNull && col("__next") =!= col("event_type"))
+        .select(col("event_type").as("src"), col("__next").as("dst"))
+        .distinct()
+      val verts = ev.select(col("event_type")).distinct()
+      val seeds = verts.orderBy(col("event_type")).limit(2)
+      Graphs.personalizedPageRank(verts, "event_type", seeds,
+        edges, "src", "dst", iters = 3)
+        .select(col("event_type"), round(col("ppr"), 12).as("ppr"))
+        .orderBy(col("event_type"))
+    },
+    Some {
+      val rnd = (i: Int) => s"""
+      dang$i AS (
+        SELECT coalesce(CAST(sum(CAST(p.pr AS DECIMAL(30,18))) AS DOUBLE),
+                        CAST(0 AS DOUBLE)) AS dm
+        FROM pr$i p LEFT JOIN deg d ON p.id = d.src WHERE d.src IS NULL),
+      agg$i AS (
+        SELECT e.dst AS id,
+               CAST(sum(CAST(p.pr / d.od AS DECIMAL(30,18))) AS DOUBLE) AS s
+        FROM edges e JOIN pr$i p ON e.src = p.id JOIN deg d ON e.src = d.src
+        GROUP BY 1),
+      pr${i + 1} AS (
+        SELECT v.id,
+               CAST(0.85 AS DOUBLE) * coalesce(a.s, CAST(0 AS DOUBLE))
+                 + CASE WHEN sd.id IS NOT NULL
+                        THEN (CAST(0.15000000000000002 AS DOUBLE)
+                              + CAST(0.85 AS DOUBLE) * dg.dm) / nn.ns
+                        ELSE CAST(0 AS DOUBLE) END AS pr
+        FROM verts v LEFT JOIN agg$i a ON v.id = a.id
+        LEFT JOIN seeds sd ON v.id = sd.id, dang$i dg, nn)"""
+      s"""
+      WITH ev AS (SELECT event_type,
+                    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+                  FROM events),
+      edges AS (SELECT DISTINCT event_type AS src, nxt AS dst FROM ev
+                WHERE nxt IS NOT NULL AND nxt <> event_type),
+      verts AS (SELECT DISTINCT event_type AS id FROM events),
+      seeds AS (SELECT id FROM verts ORDER BY id LIMIT 2),
+      deg AS (SELECT src, count(*) AS od FROM edges GROUP BY 1),
+      nn AS (SELECT count(*) AS ns FROM seeds),
+      pr0 AS (SELECT v.id,
+                     CASE WHEN sd.id IS NOT NULL THEN CAST(1.0 AS DOUBLE) / nn.ns
+                          ELSE CAST(0 AS DOUBLE) END AS pr
+              FROM verts v LEFT JOIN seeds sd ON v.id = sd.id, nn),
+      ${rnd(0)},
+      ${rnd(1)},
+      ${rnd(2)}
+      SELECT id AS event_type, round(pr, 12) AS ppr
+      FROM pr3 ORDER BY event_type
+      """.trim
+    })
+
   def all: Seq[HarnessQuery] = Seq(
     q343HashWalks, q345CountMin, q349CmsSliding, q352HistQuantiles,
-    q353MadOutliers,
+    q353MadOutliers, q355SeedPpr,
     q312HllDistinct, q313PrefixJaccard, q314RidgeFit, q316Modularity,
     q317HoltTrend, q318DbscanCore, q319Sprt, q320Breakpoint,
     q321LooInfluence, q322IpwAte, q323RidgePath, q324HllSliding,

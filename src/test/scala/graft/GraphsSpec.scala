@@ -176,6 +176,26 @@ class GraphsSpec extends SparkSpec {
     assert(qLouvain > 0.0)
   }
 
+  test("personalizedPageRank: mass stays near the seeds, unreachable gets 0") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // s -> a -> b chain, plus an isolated island x -> y
+    val edges = Seq(("s", "a"), ("a", "b"), ("x", "y")).toDF("src", "dst")
+    val verts = Seq("s", "a", "b", "x", "y").toDF("id")
+    val seeds = Seq("s").toDF("id")
+    val ppr = Graphs.personalizedPageRank(verts, "id", seeds,
+      edges, "src", "dst", iters = 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // the seed's component holds every unit of mass; b only receives
+    // 0.85 of a's mass per round, so it trails a (no recycling enters b
+    // directly — b's own mass teleports back to s as dangling mass)
+    assert(ppr("s") > 0.0 && ppr("a") > 0.0 && ppr("b") > 0.0)
+    assert(ppr("a") > ppr("b"))
+    assert(ppr("x") === 0.0 && ppr("y") === 0.0) // never teleported to
+    // all mass sums to ~1 (teleport + dangling both conserve)
+    assert(math.abs(ppr.values.sum - 1.0) < 1e-9)
+  }
+
   test("hashWalks: valid edges only, fixed shape, dead ends truncate") {
     import spark.implicits._
     val edges = Seq(("a", "b"), ("b", "c"), ("b", "a"), ("c", "d"))
