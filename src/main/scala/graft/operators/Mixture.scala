@@ -627,4 +627,52 @@ object Mixture {
         (lit(nDraws.toDouble) * col("weight")).as("expected"),
         coalesce(col("actual"), lit(0L)).as("actual"))
   }
+
+  /** Water-filling budget allocation across sources: give every source
+    * an equal share of the token budget, capped at what it can supply;
+    * whatever the small sources cannot absorb redistributes evenly over
+    * the rest — the max-min fair mixture when per-source weights are
+    * not prescribed (the allocation that [[sampleByTokenBudget]] then
+    * executes per source). Solved in CLOSED FORM, not by iteration:
+    * sorted ascending by supply, source i saturates iff
+    * s_i · (n − i + 1) ≤ B − prefix(i−1) (all integer arithmetic), and
+    * the water level L = (B − Σ saturated) / (n − #saturated) — one
+    * window pass over the source table, which is vocabulary-sized by
+    * construction (the single-partition window is over n_sources rows,
+    * never data rows).
+    *
+    * Returns (key, supply, allocation, saturated); allocations sum to
+    * min(B, Σ supply) exactly up to the one double division.
+    */
+  def waterfillAllocation(
+      supply: DataFrame,
+      keyCol: String,
+      supplyCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val s = supply
+      .select(col(keyCol).as("__k"), col(supplyCol).cast("long").as("__s"))
+      .where(col("__s") > 0)
+    val w = Window.orderBy(col("__s"), col("__k"))
+    val totals = broadcast(s.agg(count(lit(1)).as("__n"),
+      sum(col("__s")).as("__tot")))
+    val marked = s
+      .withColumn("__i", row_number().over(w))
+      .withColumn("__p", sum(col("__s")).over(w)) // prefix incl current
+      .crossJoin(totals)
+      .withColumn("__sat",
+        (col("__p") - col("__s"))
+          + col("__s") * (col("__n") - col("__i") + 1) <= budget)
+    val solved = broadcast(marked.agg(
+      sum(when(col("__sat"), 1L).otherwise(0L)).as("__kk"),
+      coalesce(sum(when(col("__sat"), col("__s"))), lit(0L)).as("__ps")))
+    marked.crossJoin(solved)
+      .select(col("__k").as(keyCol), col("__s").as("supply"),
+        when(col("__sat"), col("__s").cast("double"))
+          .otherwise(round(
+            (lit(budget) - col("__ps")).cast("double")
+              / (col("__n") - col("__kk")).cast("double"), 12))
+          .as("allocation"),
+        col("__sat").as("saturated"))
+  }
 }

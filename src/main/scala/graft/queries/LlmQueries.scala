@@ -4136,9 +4136,49 @@ object LlmQueries {
       """.trim
     })
 
+  /** Water-filling allocation ([[graft.operators.Mixture
+    * .waterfillAllocation]]): a 140k-char budget spread max-min fairly
+    * over the per-source supply — small sources saturate, the rest
+    * split the remainder at the closed-form water level. Budget sits
+    * between the supply extremes so both branches are exercised.
+    */
+  val q356Waterfill = HarnessQuery(
+    "q356_waterfill",
+    (spark, dir) => {
+      val supply = Tables.documents(spark, dir)
+        .groupBy(col("source"))
+        .agg(sum(col("n_chars")).as("chars"))
+      graft.operators.Mixture.waterfillAllocation(
+        supply, "source", "chars", budget = 140000L)
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH s AS (SELECT source AS k, CAST(sum(n_chars) AS BIGINT) AS sup
+                 FROM documents GROUP BY 1),
+      r AS (SELECT k, sup,
+                   row_number() OVER (ORDER BY sup, k) AS i,
+                   sum(sup) OVER (ORDER BY sup, k
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+                   count(*) OVER () AS n
+            FROM s),
+      m AS (SELECT k, sup, i, p, n,
+                   (p - sup) + sup * (n - i + 1) <= 140000 AS sat
+            FROM r),
+      solved AS (SELECT CAST(sum(CASE WHEN sat THEN 1 ELSE 0 END) AS BIGINT) AS kk,
+                        coalesce(CAST(sum(CASE WHEN sat THEN sup END) AS BIGINT), 0) AS ps
+                 FROM m)
+      SELECT m.k AS source, m.sup AS supply,
+             CASE WHEN m.sat THEN CAST(m.sup AS DOUBLE)
+                  ELSE round(CAST(140000 - sv.ps AS DOUBLE)
+                             / CAST(m.n - sv.kk AS DOUBLE), 12) END AS allocation,
+             m.sat AS saturated
+      FROM m, solved sv
+      ORDER BY source
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q338Winnowing, q339WinnowOverlap, q348WinnowIncremental, q350LineDedup,
-    q354TextRank,
+    q354TextRank, q356Waterfill,
     q210PhashClusters,
     q50TextStats, q51TokenCount, q52LangQuality, q53Fingerprint,
     q54Shingles, q55MinhashPairs, q56ExactDedup, q57SimhashPairs,

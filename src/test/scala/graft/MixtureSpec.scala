@@ -233,4 +233,25 @@ class MixtureSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(a === b && a.size === 3)
   }
+
+  test("waterfillAllocation: saturation, water level, all-fit case") {
+    val supply = Seq(("a", 2L), ("b", 5L), ("c", 10L)).toDF("k", "s")
+    def alloc(b: Long) = Mixture.waterfillAllocation(supply, "k", "s", b)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("allocation"), r.getAs[Boolean]("saturated"))).toMap
+    val tight = alloc(12L)
+    // a (2) and b (5) saturate; c gets the level (12-7)/1 = 5
+    assert(tight("a") === ((2.0, true)))
+    assert(tight("b") === ((5.0, true)))
+    assert(tight("c") === ((5.0, false)))
+    assert(tight.values.map(_._1).sum === 12.0)
+    // budget >= total supply: everything saturates at its supply
+    val loose = alloc(20L)
+    assert(loose.values.forall(_._2))
+    assert(loose.values.map(_._1).sum === 17.0)
+    // budget below n * min: nobody saturates, equal split
+    val scarce = alloc(3L)
+    assert(scarce.values.forall(!_._2))
+    assert(scarce.values.forall(v => math.abs(v._1 - 1.0) < 1e-12))
+  }
 }
