@@ -116,6 +116,50 @@ object EventAnalytics {
         sum(col(valueCol).cast("decimal(25,6)")).cast("double").as("sum_value"))
   }
 
+  /** Position-based (U-shaped) multi-touch attribution: every touch
+    * BEFORE an entity's FIRST conversion shares that conversion's
+    * credit — `wEnds` to the first and last touch each, the remainder
+    * split evenly over the middle (1-touch journeys take 1.0, 2-touch
+    * journeys wEnds-normalized 0.5/0.5) — the standard answer to
+    * last-touch's structural bias toward bottom-of-funnel channels
+    * ([[lastTouchAttribution]] stays as the cheap single-pass
+    * companion). Entities that never convert contribute nothing.
+    *
+    * Shape: one window pass to locate each entity's first conversion
+    * (ts, tie)-ordered, one to rank the journey's touches, then a hash
+    * aggregate of per-touch credits (each credit one double expression
+    * from integer rank/count operands, decimal-summed per channel).
+    */
+  def positionAttribution(
+      df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+      eventCol: String, conversionEvent: String,
+      wEnds: Double = 0.4): DataFrame = {
+    require(wEnds > 0 && wEnds <= 0.5, s"wEnds must be in (0,0.5], got $wEnds")
+    val byKey = Window.partitionBy(col(keyCol))
+    val conv = df
+      .withColumn("__cts",
+        min(when(col(eventCol) === conversionEvent,
+          struct(col(tsCol), col(tieCol)))).over(byKey))
+      .filter(col("__cts").isNotNull)
+    val touches = conv
+      .filter(col(eventCol) =!= conversionEvent &&
+        struct(col(tsCol), col(tieCol)) < col("__cts"))
+      .withColumn("__i", row_number().over(
+        Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))))
+      .withColumn("__k", count(lit(1)).over(byKey))
+    val credit =
+      when(col("__k") === 1, lit(1.0))
+        .when(col("__k") === 2, lit(0.5))
+        .when(col("__i") === 1 || col("__i") === col("__k"), lit(wEnds))
+        .otherwise(lit(1.0 - 2 * wEnds)
+          / (col("__k") - 2).cast("double"))
+    touches
+      .groupBy(col(eventCol).as("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        round(sum(credit.cast("decimal(25,12)")).cast("double"), 9)
+          .as("credit"))
+  }
+
   /** Behavioral entropy per entity: Shannon entropy (nats) of the
     * entity's event-type distribution over a FIXED category list plus
     * an `other` bucket — the bot/script detector (a human mixes

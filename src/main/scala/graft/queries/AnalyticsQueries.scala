@@ -364,8 +364,44 @@ object AnalyticsQueries {
       GROUP BY 1 ORDER BY 1
     """.trim))
 
+  /** Position-based multi-touch attribution
+    * ([[EventAnalytics.positionAttribution]], 40/20/40): every touch
+    * before a user's FIRST purchase shares the credit — the
+    * U-shaped answer to q170's last-touch bottom-of-funnel bias.
+    * The middle weight literal is exactly Scala's `1.0 - 2*0.4`.
+    */
+  val q357PositionAttribution = HarnessQuery(
+    "q357_position_attribution",
+    (spark, dir) =>
+      EventAnalytics.positionAttribution(
+        Tables.events(spark, dir), "user_id", "ts", "event_id",
+        "event_type", conversionEvent = "purchase", wEnds = 0.4)
+        .orderBy(col("channel")),
+    Some("""
+      WITH c AS (SELECT user_id, ts AS cts, event_id AS ctie,
+                        row_number() OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS rk
+                 FROM events WHERE event_type = 'purchase'),
+      fc AS (SELECT user_id, cts, ctie FROM c WHERE rk = 1),
+      touches AS (SELECT e.user_id, e.event_type,
+                         row_number() OVER (PARTITION BY e.user_id
+                           ORDER BY e.ts, e.event_id) AS i,
+                         count(*) OVER (PARTITION BY e.user_id) AS k
+                  FROM events e JOIN fc f USING (user_id)
+                  WHERE e.event_type <> 'purchase'
+                    AND (e.ts, e.event_id) < (f.cts, f.ctie))
+      SELECT event_type AS channel, count(*) AS n_touches,
+             round(CAST(sum(CAST(
+               CASE WHEN k = 1 THEN CAST(1.0 AS DOUBLE)
+                    WHEN k = 2 THEN CAST(0.5 AS DOUBLE)
+                    WHEN i = 1 OR i = k THEN CAST(0.4 AS DOUBLE)
+                    ELSE CAST(0.19999999999999996 AS DOUBLE) / (k - 2)
+               END AS DECIMAL(25,12))) AS DOUBLE), 9) AS credit
+      FROM touches GROUP BY 1 ORDER BY 1
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q168CohortRetention, q169Funnel, q170Attribution, q171PercentileBands,
     q172Twap, q177Entropy, q243Gini, q251Ols, q257WeightedMedian,
-    q262Hill, q263Cvar)
+    q262Hill, q263Cvar, q357PositionAttribution)
 }

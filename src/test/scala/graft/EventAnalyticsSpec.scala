@@ -131,4 +131,28 @@ class EventAnalyticsSpec extends SparkSpec {
       (2L, "click", 2L),     // u1, u3 (u2's click precedes its view)
       (3L, "purchase", 1L))) // u1 only
   }
+
+  test("positionAttribution: U-shaped credit over pre-conversion touches") {
+    def ts(i: Int) = Timestamp.valueOf(f"2024-01-01 00:00:$i%02d")
+    val ev = Seq(
+      // u1 journey: view, click, view -> purchase; post-conversion click ignored
+      (1L, ts(1), 1L, "view"), (1L, ts(2), 2L, "click"),
+      (1L, ts(3), 3L, "view"), (1L, ts(4), 4L, "purchase"),
+      (1L, ts(5), 5L, "click"),
+      // u2: single touch -> full credit
+      (2L, ts(1), 6L, "click"), (2L, ts(2), 7L, "purchase"),
+      // u3: never converts -> contributes nothing
+      (3L, ts(1), 8L, "view"), (3L, ts(2), 9L, "click"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = EventAnalytics.positionAttribution(ev, "user_id", "ts",
+      "event_id", "event_type", "purchase", wEnds = 0.4)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_touches"), r.getAs[Double]("credit"))).toMap
+    // u1: view 0.4 (first) + view 0.4 (last) = 0.8; click middle 0.2
+    // u2: click 1.0
+    assert(out("view") === ((2L, 0.8)))
+    assert(out("click") === ((2L, 1.2)))
+    // total credit equals number of converting users
+    assert(math.abs(out.values.map(_._2).sum - 2.0) < 1e-9)
+  }
 }
