@@ -103,15 +103,20 @@ object LinAlg {
     */
   def powerIteration(
       upperTri: DataFrame, iCol: String, jCol: String, valCol: String,
-      dim: Int, rounds: Int): DataFrame = {
+      dim: Int, rounds: Int, varyStart: Boolean = false): DataFrame = {
     require(rounds >= 1 && rounds <= 8, s"rounds out of range: $rounds")
     val full = upperTri.select(col(iCol).as("i"), col(jCol).as("j"),
       col(valCol).as("a"))
       .unionAll(upperTri.where(col(iCol) =!= col(jCol))
         .select(col(jCol).as("i"), col(iCol).as("j"), col(valCol).as("a")))
     val spark = upperTri.sparkSession
+    // varyStart = v0_j = 1 + j: a start vector that is orthogonal to
+    // (almost) nothing — required after deflation, where the all-ones
+    // start may be exactly the killed direction (A2 · v1 = 0)
     var v: DataFrame = spark.range(dim)
-      .select(col("id").cast("int").as("j"), lit(1.0).as("v"))
+      .select(col("id").cast("int").as("j"),
+        (if (varyStart) lit(1.0) + col("id").cast("double")
+         else lit(1.0)).as("v"))
     var lastNorm: DataFrame = null
     for (_ <- 1 to rounds) {
       val mv = full.join(broadcast(v), Seq("j"))
@@ -122,8 +127,11 @@ object LinAlg {
         sqrt(sum((col("u") * col("u")).cast("decimal(38,18)"))
           .cast("double")).as("nrm"))
       lastNorm = norm
+      // nullif: a zero iterate (start orthogonal to the whole range)
+      // surfaces as NULLs, not an ANSI divide-by-zero abort
       v = mv.crossJoin(broadcast(norm))
-        .select(col("i").as("j"), (col("u") / col("nrm")).as("v"))
+        .select(col("i").as("j"),
+          (col("u") / nullif(col("nrm"), lit(0.0d))).as("v"))
     }
     v.select(col("j").as("i"), col("v"))
       .crossJoin(broadcast(lastNorm))
@@ -338,5 +346,50 @@ object LinAlg {
         (floor(col("beta_full") * 1e6) / 1e6).as("beta_full"),
         (floor((col("beta_loo") - col("beta_full")) * 1e6) / 1e6)
           .as("delta"))
+  }
+
+  /** Top-2 principal components by power iteration + Hotelling
+    * deflation: (v1, λ1) from [[powerIteration]], then the deflated
+    * matrix A₂ = A − λ1·v1·v1ᵀ and a second power iteration for
+    * (v2, λ2). Deflation uses the 12dp-ROUNDED v1/λ1 that
+    * powerIteration already emits — that rounding IS the deflation
+    * contract, so both engines deflate the bit-identical matrix and
+    * the second component replays exactly. Output one row per
+    * (component, dimension): loading, eigval, and explained =
+    * eigval / trace(A) — the two-line scree a 100 TB embedding audit
+    * wants before deciding whether truncation is safe
+    * ([[graft.operators.Similarity.dimTruncationRecall]] is the
+    * recall-side check of the same decision).
+    *
+    * Shape: everything after [[covarianceMatrix]] is dim²-sized —
+    * matrix rows and d-row vectors through broadcast joins only.
+    */
+  def topTwoComponents(
+      upperTri: DataFrame, iCol: String, jCol: String, valCol: String,
+      dim: Int, rounds: Int): DataFrame = {
+    // lineage cuts between the two iterations: the deflated matrix
+    // would otherwise embed the ENTIRE first-component plan into every
+    // round of the second iteration and optimization time explodes
+    val a = graft.Materialize.cut(
+      upperTri.select(col(iCol).as("i"), col(jCol).as("j"),
+        col(valCol).as("a")))
+    val c1 = graft.Materialize.cut(powerIteration(a, "i", "j", "a", dim, rounds))
+    val v1i = broadcast(c1.select(col("i"),
+      col("v").as("__vi"), col("eigval").as("__l")))
+    val v1j = broadcast(c1.select(col("i").as("j"), col("v").as("__vj")))
+    val a2 = graft.Materialize.cut(
+      a.join(v1i, Seq("i")).join(v1j, Seq("j"))
+        .select(col("i"), col("j"),
+          (col("a") - col("__l") * col("__vi") * col("__vj")).as("a2")))
+    val c2 = powerIteration(a2, "i", "j", "a2", dim, rounds,
+      varyStart = true)
+    val trace = broadcast(a.filter(col("i") === col("j"))
+      .agg(sum(col("a").cast("decimal(38,12)")).cast("double").as("__tr")))
+    c1.select(lit(1).as("component"), col("i"), col("v"), col("eigval"))
+      .unionByName(c2.select(lit(2).as("component"), col("i"), col("v"),
+        col("eigval")))
+      .crossJoin(trace)
+      .select(col("component"), col("i"), col("v"), col("eigval"),
+        round(col("eigval") / col("__tr"), 12).as("explained"))
   }
 }

@@ -1329,8 +1329,80 @@ object VectorTextQueries {
       """.trim
     })
 
+  /** Top-2 PCA ([[LinAlg.topTwoComponents]]): power iteration on the
+    * embedding covariance, Hotelling deflation with the 12dp-rounded
+    * first component (the rounding is the deflation contract), a
+    * second power iteration, and per-component explained-variance
+    * fractions — the two-line scree replayed exactly in SQL.
+    */
+  val q358Pca2 = HarnessQuery(
+    "q358_pca2",
+    (spark, dir) =>
+      LinAlg.topTwoComponents(
+        LinAlg.covarianceMatrix(Tables.embeddings(spark, dir), "embedding", 64),
+        "i", "j", "cov", dim = 64, rounds = 4)
+        .orderBy(col("component"), col("i")),
+    Some {
+      val pow = (fm: String, p: String) => (1 to 4).map { r =>
+        val prev = s"$p${r - 1}"
+        s"""
+      ${p}mv$r AS MATERIALIZED (SELECT f.i, CAST(sum(CAST(f.a * v.v AS DECIMAL(38,18))) AS DOUBLE) AS u
+              FROM $fm f JOIN $prev v ON f.j = v.j GROUP BY 1),
+      ${p}n$r AS MATERIALIZED (SELECT sqrt(CAST(sum(CAST(u * u AS DECIMAL(38,18))) AS DOUBLE)) AS nrm FROM ${p}mv$r),
+      $p$r AS MATERIALIZED (SELECT i AS j, u / (SELECT nrm FROM ${p}n$r) AS v FROM ${p}mv$r),"""
+      }.mkString("")
+      s"""
+      WITH pr AS (
+        SELECT g1.i AS i, g2.j AS j,
+               CAST(CAST(embedding[g1.i + 1] AS DOUBLE)
+                 * CAST(embedding[g2.j + 1] AS DOUBLE) AS DECIMAL(30,18)) AS p
+        FROM embeddings,
+             generate_series(0, 63) g1(i), generate_series(0, 63) g2(j)
+        WHERE g1.i <= g2.j),
+      gram AS MATERIALIZED (SELECT i, j, CAST(sum(p) AS DOUBLE) AS dot FROM pr GROUP BY 1, 2),
+      s AS MATERIALIZED (
+        SELECT g.i AS i,
+               sum(CAST(CAST(embedding[g.i + 1] AS DOUBLE) AS DECIMAL(30,18))) AS sx,
+               count(*) AS n
+        FROM embeddings, generate_series(0, 63) g(i) GROUP BY 1),
+      covq AS MATERIALIZED (
+        SELECT gram.i AS i, gram.j AS j,
+               round(gram.dot / si.n
+                 - (CAST(si.sx AS DOUBLE) / si.n)
+                   * (CAST(sj.sx AS DOUBLE) / sj.n), 12) AS a
+        FROM gram JOIN s si ON gram.i = si.i JOIN s sj ON gram.j = sj.i),
+      fm AS MATERIALIZED (SELECT i, j, a FROM covq
+             UNION ALL SELECT j, i, a FROM covq WHERE i <> j),
+      x0 AS MATERIALIZED (SELECT g.i AS j, 1.0 AS v FROM generate_series(0, 63) g(i)),
+      ${pow("fm", "x")}
+      w1 AS MATERIALIZED (SELECT CAST(j AS INT) AS i, round(v, 12) AS v,
+                    round((SELECT nrm FROM xn4), 12) AS l
+             FROM x4),
+      cov2 AS MATERIALIZED (SELECT c.i, c.j, c.a - wi.l * wi.v * wj.v AS a
+               FROM covq c JOIN w1 wi ON c.i = wi.i JOIN w1 wj ON c.j = wj.i),
+      fm2 AS MATERIALIZED (SELECT i, j, a FROM cov2
+              UNION ALL SELECT j, i, a FROM cov2 WHERE i <> j),
+      y0 AS MATERIALIZED (SELECT g.i AS j, 1.0 + g.i AS v FROM generate_series(0, 63) g(i)),
+      ${pow("fm2", "y")}
+      w2 AS (SELECT CAST(j AS INT) AS i, round(v, 12) AS v,
+                    round((SELECT nrm FROM yn4), 12) AS l
+             FROM y4),
+      tr AS MATERIALIZED (SELECT CAST(sum(CAST(a AS DECIMAL(38,12))) AS DOUBLE) AS t
+             FROM covq WHERE i = j),
+      unioned AS MATERIALIZED (
+        SELECT 1 AS component, i, v, l AS eigval FROM w1
+        UNION ALL
+        SELECT 2 AS component, i, v, l AS eigval FROM w2)
+      SELECT component, i, v, eigval,
+             round(eigval / tr.t, 12) AS explained
+      FROM unioned, tr
+      ORDER BY component, i
+      """.trim
+    })
+
   def all: Seq[HarnessQuery] = Seq(
     q340KmeansFit, q341KmeansCells, q342KmeansIvf, q344Skipgram, q346KCenter,
+    q358Pca2,
     q211CollocPmi, q212TokenEntropy, q213GramMatrix, q214CovMatrix,
     q215WalkForward, q216LabelProp, q217PowerIteration, q218LatenessAudit,
     q219MergeableMoments, q220Diversity, q221QuantileNorm, q222Scd2,

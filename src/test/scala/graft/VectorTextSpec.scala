@@ -115,6 +115,24 @@ class VectorTextSpec extends SparkSpec {
     assert(math.abs(out(0).getDouble(2) - 3.0) < 1e-9) // eigval
   }
 
+  test("topTwoComponents recovers both eigenpairs after deflation") {
+    // [[2,1],[1,2]]: eigvals 3 (v=[1,1]/sqrt2) and 1 (v=[1,-1]/sqrt2)
+    val tri = Seq((0, 0, 2.0), (0, 1, 1.0), (1, 1, 2.0)).toDF("i", "j", "a")
+    val out = graft.operators.LinAlg
+      .topTwoComponents(tri, "i", "j", "a", dim = 2, rounds = 6)
+      .orderBy("component", "i").collect()
+    val inv = 1.0 / math.sqrt(2.0)
+    assert(math.abs(out(0).getAs[Double]("eigval") - 3.0) < 1e-9)
+    assert(math.abs(out(2).getAs[Double]("eigval") - 1.0) < 1e-6)
+    // second component is [1,-1]/sqrt2 up to sign
+    val v2 = Seq(out(2).getAs[Double]("v"), out(3).getAs[Double]("v"))
+    assert(math.abs(math.abs(v2.head) - inv) < 1e-6)
+    assert(math.abs(v2.head + v2(1)) < 1e-6) // opposite signs
+    // explained fractions: 3/4 and 1/4 of the trace
+    assert(math.abs(out(0).getAs[Double]("explained") - 0.75) < 1e-9)
+    assert(math.abs(out(2).getAs[Double]("explained") - 0.25) < 1e-6)
+  }
+
   test("latenessAudit: counts drops per watermark with exact lateness") {
     // one user; arrival order a,b,c,d; event times 100, 300, 200, 250 s.
     // hwm-lateness: a:0, b:0, c:100s, d:50s
