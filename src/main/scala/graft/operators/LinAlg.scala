@@ -364,6 +364,45 @@ object LinAlg {
     * Shape: everything after [[covarianceMatrix]] is dim²-sized —
     * matrix rows and d-row vectors through broadcast joins only.
     */
+  /** Reconstruction-error outliers against a fitted component table
+    * (the [[topTwoComponents]] output shape): residual² = ‖x‖² − Σ_c
+    * (x·v_c)² per vector (valid because the components are
+    * orthonormal), ranked descending — the embedding-space anomaly
+    * detector (vectors the principal subspace cannot explain are the
+    * mis-embedded / off-distribution documents a curation pass
+    * quarantines). All dots accumulate in decimal over per-dimension
+    * double terms; the subtraction happens once per vector in double.
+    *
+    * Shape: one (id, dim, x) explode joined against the broadcast
+    * dim²-sized loading table, two hash aggregates, one top-k sort —
+    * ids and scalars only.
+    */
+  def reconstructionOutliers(
+      df: DataFrame, idCol: String, vecCol: String,
+      components: DataFrame, topN: Int): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val dims = df.select(col(idCol).as("__id"), posexplode(col(vecCol)))
+      .select(col("__id"), col("pos").as("__d"),
+        col("col").cast("double").as("__x"))
+    val load = broadcast(components.select(col("component").as("__c"),
+      col("i").as("__d"), col("v").as("__v")))
+    val proj = dims.join(load, Seq("__d"))
+      .groupBy(col("__id"), col("__c"))
+      .agg(sum((col("__x") * col("__v")).cast("decimal(38,18)"))
+        .cast("double").as("__p"))
+      .groupBy(col("__id"))
+      .agg(sum((col("__p") * col("__p")).cast("decimal(38,18)"))
+        .cast("double").as("__expl"))
+    val norms = dims.groupBy(col("__id"))
+      .agg(sum((col("__x") * col("__x")).cast("decimal(38,18)"))
+        .cast("double").as("__n2"))
+    norms.join(proj, Seq("__id"))
+      .select(col("__id").as(idCol),
+        round(col("__n2") - col("__expl"), 9).as("residual_sq"))
+      .orderBy(col("residual_sq").desc, col(idCol))
+      .limit(topN)
+  }
+
   def topTwoComponents(
       upperTri: DataFrame, iCol: String, jCol: String, valCol: String,
       dim: Int, rounds: Int): DataFrame = {

@@ -1400,9 +1400,92 @@ object VectorTextQueries {
       """.trim
     })
 
+  /** PCA reconstruction-error outliers
+    * ([[LinAlg.reconstructionOutliers]] over the q358 fit): the 15
+    * embeddings the top-2 principal subspace explains WORST —
+    * residual² = ‖x‖² − Σ (x·v_c)², the embedding-space anomaly sweep
+    * a curation pass quarantines before training.
+    */
+  val q359PcaOutliers = HarnessQuery(
+    "q359_pca_outliers",
+    (spark, dir) => {
+      val em = Tables.embeddings(spark, dir)
+      val comps = LinAlg.topTwoComponents(
+        LinAlg.covarianceMatrix(em, "embedding", 64),
+        "i", "j", "cov", dim = 64, rounds = 4)
+      LinAlg.reconstructionOutliers(em, "vec_id", "embedding", comps, topN = 15)
+        .orderBy(col("residual_sq").desc, col("vec_id"))
+    },
+    Some {
+      val pow = (fm: String, p: String) => (1 to 4).map { r =>
+        val prev = s"$p${r - 1}"
+        s"""
+      ${p}mv$r AS MATERIALIZED (SELECT f.i, CAST(sum(CAST(f.a * v.v AS DECIMAL(38,18))) AS DOUBLE) AS u
+              FROM $fm f JOIN $prev v ON f.j = v.j GROUP BY 1),
+      ${p}n$r AS MATERIALIZED (SELECT sqrt(CAST(sum(CAST(u * u AS DECIMAL(38,18))) AS DOUBLE)) AS nrm FROM ${p}mv$r),
+      $p$r AS MATERIALIZED (SELECT i AS j, u / (SELECT nrm FROM ${p}n$r) AS v FROM ${p}mv$r),"""
+      }.mkString("")
+      s"""
+      WITH pr AS MATERIALIZED (
+        SELECT g1.i AS i, g2.j AS j,
+               CAST(CAST(embedding[g1.i + 1] AS DOUBLE)
+                 * CAST(embedding[g2.j + 1] AS DOUBLE) AS DECIMAL(30,18)) AS p
+        FROM embeddings,
+             generate_series(0, 63) g1(i), generate_series(0, 63) g2(j)
+        WHERE g1.i <= g2.j),
+      gram AS MATERIALIZED (SELECT i, j, CAST(sum(p) AS DOUBLE) AS dot FROM pr GROUP BY 1, 2),
+      s AS MATERIALIZED (
+        SELECT g.i AS i,
+               sum(CAST(CAST(embedding[g.i + 1] AS DOUBLE) AS DECIMAL(30,18))) AS sx,
+               count(*) AS n
+        FROM embeddings, generate_series(0, 63) g(i) GROUP BY 1),
+      covq AS MATERIALIZED (
+        SELECT gram.i AS i, gram.j AS j,
+               round(gram.dot / si.n
+                 - (CAST(si.sx AS DOUBLE) / si.n)
+                   * (CAST(sj.sx AS DOUBLE) / sj.n), 12) AS a
+        FROM gram JOIN s si ON gram.i = si.i JOIN s sj ON gram.j = sj.i),
+      fm AS MATERIALIZED (SELECT i, j, a FROM covq
+             UNION ALL SELECT j, i, a FROM covq WHERE i <> j),
+      x0 AS MATERIALIZED (SELECT g.i AS j, 1.0 AS v FROM generate_series(0, 63) g(i)),
+      ${pow("fm", "x")}
+      w1 AS MATERIALIZED (SELECT CAST(j AS INT) AS i, round(v, 12) AS v,
+                    round((SELECT nrm FROM xn4), 12) AS l
+             FROM x4),
+      cov2 AS MATERIALIZED (SELECT c.i, c.j, c.a - wi.l * wi.v * wj.v AS a
+               FROM covq c JOIN w1 wi ON c.i = wi.i JOIN w1 wj ON c.j = wj.i),
+      fm2 AS MATERIALIZED (SELECT i, j, a FROM cov2
+              UNION ALL SELECT j, i, a FROM cov2 WHERE i <> j),
+      y0 AS MATERIALIZED (SELECT g.i AS j, 1.0 + g.i AS v FROM generate_series(0, 63) g(i)),
+      ${pow("fm2", "y")}
+      w2 AS MATERIALIZED (SELECT CAST(j AS INT) AS i, round(v, 12) AS v FROM y4),
+      loads AS MATERIALIZED (
+        SELECT 1 AS c, i AS d, v FROM w1
+        UNION ALL SELECT 2 AS c, i AS d, v FROM w2),
+      dims AS MATERIALIZED (
+        SELECT vec_id AS id, g.i AS d, CAST(embedding[g.i + 1] AS DOUBLE) AS x
+        FROM embeddings, generate_series(0, 63) g(i)),
+      proj AS MATERIALIZED (
+        SELECT d0.id, l.c,
+               CAST(sum(CAST(d0.x * l.v AS DECIMAL(38,18))) AS DOUBLE) AS p
+        FROM dims d0 JOIN loads l ON d0.d = l.d
+        GROUP BY 1, 2),
+      expl AS MATERIALIZED (
+        SELECT id, CAST(sum(CAST(p * p AS DECIMAL(38,18))) AS DOUBLE) AS e
+        FROM proj GROUP BY 1),
+      nrm2 AS MATERIALIZED (
+        SELECT id, CAST(sum(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS n2
+        FROM dims GROUP BY 1)
+      SELECT id AS vec_id, round(n2 - e, 9) AS residual_sq
+      FROM nrm2 JOIN expl USING (id)
+      ORDER BY residual_sq DESC, vec_id
+      LIMIT 15
+      """.trim
+    })
+
   def all: Seq[HarnessQuery] = Seq(
     q340KmeansFit, q341KmeansCells, q342KmeansIvf, q344Skipgram, q346KCenter,
-    q358Pca2,
+    q358Pca2, q359PcaOutliers,
     q211CollocPmi, q212TokenEntropy, q213GramMatrix, q214CovMatrix,
     q215WalkForward, q216LabelProp, q217PowerIteration, q218LatenessAudit,
     q219MergeableMoments, q220Diversity, q221QuantileNorm, q222Scd2,

@@ -133,6 +133,22 @@ class VectorTextSpec extends SparkSpec {
     assert(math.abs(out(2).getAs[Double]("explained") - 0.25) < 1e-6)
   }
 
+  test("reconstructionOutliers: residual vs an explicit orthonormal basis") {
+    // components = e1, e2 of R^3: in-plane vectors reconstruct exactly,
+    // out-of-plane mass is the residual
+    val comps = Seq((1, 0, 1.0), (1, 1, 0.0), (1, 2, 0.0),
+      (2, 0, 0.0), (2, 1, 1.0), (2, 2, 0.0)).toDF("component", "i", "v")
+    val vecs = Seq(
+      (0L, Array(1.0f, 2.0f, 0.0f)),   // residual 0
+      (1L, Array(0.0f, 0.0f, 3.0f)),   // residual 9
+      (2L, Array(1.0f, 0.0f, 2.0f)))   // residual 4
+      .toDF("vec_id", "embedding")
+    val out = graft.operators.LinAlg.reconstructionOutliers(
+      vecs, "vec_id", "embedding", comps, topN = 2).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.toSeq === Seq((1L, 9.0), (2L, 4.0)))
+  }
+
   test("latenessAudit: counts drops per watermark with exact lateness") {
     // one user; arrival order a,b,c,d; event times 100, 300, 200, 250 s.
     // hwm-lateness: a:0, b:0, c:100s, d:50s
