@@ -364,6 +364,38 @@ object LinAlg {
     * Shape: everything after [[covarianceMatrix]] is dim²-sized —
     * matrix rows and d-row vectors through broadcast joins only.
     */
+  /** Consecutive-snapshot centroid drift: per-snapshot per-dimension
+    * decimal-exact mean vectors, then the L2 distance between each
+    * snapshot's centroid and its predecessor's — the cheapest
+    * embedding-distribution drift alarm (a new encoder version, a
+    * scraper regression, a poisoned source all move the centroid long
+    * before they move task metrics). Means follow the
+    * [[graft.operators.Clustering]] 12dp discipline so the drift
+    * series replays exactly.
+    *
+    * Shape: one explode + hash aggregate to (snapshot, dim, mean) —
+    * snapshot-count x dim rows — then a lag window per dimension and
+    * one decimal fold per snapshot pair.
+    */
+  def centroidDrift(
+      df: DataFrame, snapCol: String, vecCol: String): DataFrame = {
+    val means = df
+      .select(col(snapCol).as("__s"), posexplode(col(vecCol)))
+      .select(col("__s"), col("pos").as("__d"),
+        col("col").cast("double").as("__x"))
+      .groupBy(col("__s"), col("__d"))
+      .agg(round(sum(col("__x").cast("decimal(30,18)")).cast("double")
+        / count(lit(1)), 12).as("__m"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__d")).orderBy(col("__s"))
+    means.withColumn("__prev", lag(col("__m"), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col("__s").as(snapCol))
+      .agg(round(sqrt(sum(((col("__m") - col("__prev"))
+        * (col("__m") - col("__prev"))).cast("decimal(38,18)"))
+        .cast("double")), 12).as("drift_l2"))
+  }
+
   /** Reconstruction-error outliers against a fitted component table
     * (the [[topTwoComponents]] output shape): residual² = ‖x‖² − Σ_c
     * (x·v_c)² per vector (valid because the components are

@@ -1483,9 +1483,42 @@ object VectorTextQueries {
       """.trim
     })
 
+  /** Embedding centroid drift ([[LinAlg.centroidDrift]]) across 7
+    * synthetic snapshots (vec_id mod 7 — the corpus carries no
+    * timestamps): consecutive-snapshot L2 distance between the
+    * 12dp-snapped decimal mean vectors — the cheapest distribution
+    * drift alarm, exact in SQL.
+    */
+  val q360CentroidDrift = HarnessQuery(
+    "q360_centroid_drift",
+    (spark, dir) =>
+      LinAlg.centroidDrift(
+        Tables.embeddings(spark, dir)
+          .withColumn("snap", pmod(col("vec_id"), lit(7L))),
+        "snap", "embedding")
+        .orderBy(col("snap")),
+    Some("""
+      WITH dims AS (
+        SELECT vec_id % 7 AS s, g.i AS d,
+               CAST(embedding[g.i + 1] AS DOUBLE) AS x
+        FROM embeddings, generate_series(0, 63) g(i)),
+      m AS (SELECT s, d,
+                   round(CAST(sum(CAST(x AS DECIMAL(30,18))) AS DOUBLE)
+                         / count(*), 12) AS m
+            FROM dims GROUP BY 1, 2),
+      p AS (SELECT s, d, m,
+                   lag(m) OVER (PARTITION BY d ORDER BY s) AS prev
+            FROM m)
+      SELECT s AS snap,
+             round(sqrt(CAST(sum(CAST((m - prev) * (m - prev)
+               AS DECIMAL(38,18))) AS DOUBLE)), 12) AS drift_l2
+      FROM p WHERE prev IS NOT NULL
+      GROUP BY 1 ORDER BY snap
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q340KmeansFit, q341KmeansCells, q342KmeansIvf, q344Skipgram, q346KCenter,
-    q358Pca2, q359PcaOutliers,
+    q358Pca2, q359PcaOutliers, q360CentroidDrift,
     q211CollocPmi, q212TokenEntropy, q213GramMatrix, q214CovMatrix,
     q215WalkForward, q216LabelProp, q217PowerIteration, q218LatenessAudit,
     q219MergeableMoments, q220Diversity, q221QuantileNorm, q222Scd2,

@@ -149,6 +149,34 @@ class VectorTextSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 9.0), (2L, 4.0)))
   }
 
+  test("centroidDrift: exact L2 between consecutive snapshot means") {
+    val df = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(2.0f, 0.0f)),   // snap 0: mean (1,0)
+      (2L, Array(4.0f, 3.0f)), (3L, Array(4.0f, 3.0f)),   // snap 1: mean (4,3)
+      (4L, Array(4.0f, 3.0f)))                            // snap 2: mean (4,3)
+      .toDF("vec_id", "embedding")
+    val byHalf = df.withColumn("snap", floor(col("vec_id") / 2).cast("long"))
+    val out = graft.operators.LinAlg.centroidDrift(byHalf, "snap", "embedding")
+      .orderBy($"snap").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // snap1 vs snap0: dist((4,3),(1,0)) = sqrt(9+9) ; snap2 vs snap1: 0
+    assert(out.map(_._1).toSeq === Seq(1L, 2L))
+    assert(math.abs(out.head._2 - math.sqrt(18.0)) < 1e-9)
+    assert(out(1)._2 === 0.0)
+  }
+
+  test("benfordAudit: first digits extracted scale-free, all 9 rows") {
+    val df = Seq(1.0, 19.0, 250.0, 0.03, 9.5, -5.0, 0.0)
+      .toDF("value") // negatives and zero drop
+    val out = graft.operators.Eda.benfordAudit(df, "value")
+      .collect().map(r => r.getInt(0) -> r.getAs[Long]("n_obs")).toMap
+    assert(out.size === 9)
+    assert(out(1) === 2L) // 1.0 and 19.0
+    assert(out(2) === 1L) // 250
+    assert(out(3) === 1L) // 0.03
+    assert(out(9) === 1L) // 9.5
+    assert(out(4) === 0L)
+  }
+
   test("latenessAudit: counts drops per watermark with exact lateness") {
     // one user; arrival order a,b,c,d; event times 100, 300, 200, 250 s.
     // hwm-lateness: a:0, b:0, c:100s, d:50s
