@@ -326,42 +326,4 @@ object Eda {
       .drop("__ymax")
   }
 
-  /** Benford first-digit audit — the forensic-accounting classic for a
-    * fraud pipeline: the first significant digit of an organically
-    * generated positive metric follows P(d) = log10(1 + 1/d); invented
-    * or threshold-gamed numbers do not. Output one row per digit with
-    * the observed share, the Benford expectation, and the chi-square
-    * contribution (n·(p_obs − p_ben)²/p_ben) — sum the last column and
-    * compare against the chi²(8) critical value to alarm.
-    *
-    * First digit = floor(v / 10^floor(log10 v)) — scale-free, works
-    * for sub-1 values, all fixed double expressions both engines fold
-    * identically. One explode-free hash aggregate; digits broadcast.
-    */
-  def benfordAudit(df: DataFrame, valCol: String): DataFrame = {
-    val v = col(valCol).cast("double")
-    val digit = floor(v / pow(lit(10.0), floor(log10(v)))).cast("int")
-    val counts = df.where(v.isNotNull && v > 0)
-      .groupBy(digit.as("digit"))
-      .agg(count(lit(1)).as("n_obs"))
-    val digits = broadcast(df.sparkSession.range(1, 10)
-      .select(col("id").cast("int").as("digit")))
-    val total = broadcast(counts.agg(sum(col("n_obs")).as("__n")))
-    digits.join(counts, Seq("digit"), "left")
-      .select(col("digit"), coalesce(col("n_obs"), lit(0L)).as("n_obs"))
-      .crossJoin(total)
-      .withColumn("p_obs",
-        round(col("n_obs").cast("double") / col("__n"), 12))
-      .withColumn("p_benford",
-        round(log10(lit(1.0) + lit(1.0) / col("digit")), 12))
-      .withColumn("chi_term",
-        round(col("__n")
-          * (col("n_obs").cast("double") / col("__n")
-            - log10(lit(1.0) + lit(1.0) / col("digit")))
-          * (col("n_obs").cast("double") / col("__n")
-            - log10(lit(1.0) + lit(1.0) / col("digit")))
-          / log10(lit(1.0) + lit(1.0) / col("digit")), 9))
-      .select(col("digit"), col("n_obs"), col("p_obs"),
-        col("p_benford"), col("chi_term"))
-  }
 }

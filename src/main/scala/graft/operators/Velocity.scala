@@ -109,4 +109,47 @@ object Velocity {
       .select(col(keyCol), col("hour_start_us"), col("n"),
         col("n_total"), col("n_hours"))
   }
+
+  /** Inter-arrival regularity audit — the metronome-bot detector: a
+    * human's event gaps are bursty (coefficient of variation ≈ 1 for
+    * Poisson-ish arrivals, higher for sessions), a scripted account
+    * firing on a timer has CV ≈ 0 at ANY volume, which raw velocity
+    * counts never see. Per key: gap count, mean/std of the inter-event
+    * gaps in seconds (exact decimal moments, std from the
+    * sum-of-squares identity with a max(.,0) guard), cv = std/mean,
+    * and the `regular` flag (cv < cvFlag with at least minGaps gaps —
+    * the volume floor keeps two-event accounts from flagging).
+    *
+    * Shape: one lag window per key ordered by (ts, tie), one hash
+    * aggregate; only (key, gap) scalars shuffle.
+    */
+  def interArrivalRegularity(
+      df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+      minGaps: Int = 5, cvFlag: Double = 0.1): DataFrame = {
+    require(minGaps >= 2, s"minGaps must be >= 2, got $minGaps")
+    require(cvFlag > 0, s"cvFlag must be > 0, got $cvFlag")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val gaps = df
+      .withColumn("__prev", lag(unix_micros(col(tsCol)), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .select(col(keyCol),
+        ((unix_micros(col(tsCol)) - col("__prev")).cast("double")
+          / lit(1000000.0)).as("__g"))
+    gaps.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_gaps"),
+        (sum(col("__g").cast("decimal(30,12)")).cast("double")
+          / count(lit(1))).as("__mean"),
+        (sum((col("__g") * col("__g")).cast("decimal(30,12)")).cast("double")
+          / count(lit(1))).as("__m2"))
+      .withColumn("mean_gap_s", round(col("__mean"), 3))
+      .withColumn("std_gap_s", round(sqrt(greatest(
+        col("__m2") - col("__mean") * col("__mean"), lit(0.0))), 3))
+      .withColumn("cv", when(col("__mean") > 0,
+        round(sqrt(greatest(col("__m2") - col("__mean") * col("__mean"),
+          lit(0.0))) / col("__mean"), 6)).otherwise(lit(null)))
+      .withColumn("regular",
+        col("n_gaps") >= minGaps && coalesce(col("cv") < cvFlag, lit(false)))
+      .select(col(keyCol), col("n_gaps"), col("mean_gap_s"),
+        col("std_gap_s"), col("cv"), col("regular"))
+  }
 }

@@ -227,7 +227,46 @@ object FeatureQueries {
       ORDER BY 1, 2
     """.trim))
 
+  /** Inter-arrival regularity ([[Velocity.interArrivalRegularity]]):
+    * per-user coefficient of variation of event gaps — the
+    * metronome-bot detector (CV ≈ 0 at any volume is a timer, which
+    * raw velocity counts never see). Exact decimal moments; flags need
+    * >= 5 gaps and cv < 0.5.
+    */
+  val q361GapRegularity = HarnessQuery(
+    "q361_gap_regularity",
+    (spark, dir) =>
+      Velocity.interArrivalRegularity(
+        Tables.events(spark, dir), "user_id", "ts", "event_id",
+        minGaps = 5, cvFlag = 0.5)
+        .orderBy(col("user_id")),
+    Some("""
+      WITH g AS (
+        SELECT user_id,
+               CAST(epoch_us(CAST(ts AS TIMESTAMP))
+                    - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+                      (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS DOUBLE) / 1000000.0 AS gp
+        FROM events),
+      gg AS (SELECT user_id, gp FROM g WHERE gp IS NOT NULL),
+      a AS (SELECT user_id, count(*) AS n_gaps,
+                   CAST(sum(CAST(gp AS DECIMAL(30,12))) AS DOUBLE) / count(*) AS mean_,
+                   CAST(sum(CAST(gp * gp AS DECIMAL(30,12))) AS DOUBLE) / count(*) AS m2
+            FROM gg GROUP BY 1)
+      SELECT user_id, n_gaps,
+             round(mean_, 3) AS mean_gap_s,
+             round(sqrt(greatest(m2 - mean_ * mean_, 0.0)), 3) AS std_gap_s,
+             CASE WHEN mean_ > 0
+                  THEN round(sqrt(greatest(m2 - mean_ * mean_, 0.0)) / mean_, 6)
+             END AS cv,
+             n_gaps >= 5 AND coalesce(
+               CASE WHEN mean_ > 0
+                    THEN round(sqrt(greatest(m2 - mean_ * mean_, 0.0)) / mean_, 6)
+               END < 0.5, false) AS regular
+      FROM a ORDER BY user_id
+    """.trim))
+
   def all: Seq[HarnessQuery] =
     Seq(q20Velocity, q21VelocityPreAgg, q22TimeFeatures, q23Sessions,
-      q24JsonExtract, q25Ntile, q26Pivot, q102Resample)
+      q24JsonExtract, q25Ntile, q26Pivot, q102Resample, q361GapRegularity)
 }

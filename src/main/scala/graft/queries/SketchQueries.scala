@@ -1603,41 +1603,9 @@ ${louvainRoundSql("c3", "c4", 1)}
       """.trim
     })
 
-  /** Benford first-digit audit ([[graft.operators.Eda.benfordAudit]])
-    * over event values — observed digit shares vs log10(1+1/d) with
-    * per-digit chi-square contributions, the forensic-accounting alarm
-    * for fabricated metrics.
-    */
-  val q361Benford = HarnessQuery(
-    "q361_benford",
-    (spark, dir) =>
-      graft.operators.Eda.benfordAudit(Tables.events(spark, dir), "value")
-        .orderBy(col("digit")),
-    Some("""
-      WITH src AS (SELECT CAST(value AS DOUBLE) AS v FROM events
-                   WHERE value IS NOT NULL AND value > 0),
-      c AS (SELECT CAST(floor(v / power(10.0, floor(log10(v)))) AS INT) AS digit,
-                   count(*) AS n_obs
-            FROM src GROUP BY 1),
-      n AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM c),
-      d AS (SELECT CAST(g.d AS INT) AS digit FROM generate_series(1, 9) g(d))
-      SELECT d.digit,
-             coalesce(c.n_obs, 0) AS n_obs,
-             round(CAST(coalesce(c.n_obs, 0) AS DOUBLE) / n.n, 12) AS p_obs,
-             round(log10(1.0 + 1.0 / d.digit), 12) AS p_benford,
-             round(n.n
-               * (CAST(coalesce(c.n_obs, 0) AS DOUBLE) / n.n
-                  - log10(1.0 + 1.0 / d.digit))
-               * (CAST(coalesce(c.n_obs, 0) AS DOUBLE) / n.n
-                  - log10(1.0 + 1.0 / d.digit))
-               / log10(1.0 + 1.0 / d.digit), 9) AS chi_term
-      FROM d LEFT JOIN c USING (digit), n
-      ORDER BY digit
-    """.trim))
-
   def all: Seq[HarnessQuery] = Seq(
     q343HashWalks, q345CountMin, q349CmsSliding, q352HistQuantiles,
-    q353MadOutliers, q355SeedPpr, q361Benford,
+    q353MadOutliers, q355SeedPpr,
     q312HllDistinct, q313PrefixJaccard, q314RidgeFit, q316Modularity,
     q317HoltTrend, q318DbscanCore, q319Sprt, q320Breakpoint,
     q321LooInfluence, q322IpwAte, q323RidgePath, q324HllSliding,

@@ -164,19 +164,6 @@ class VectorTextSpec extends SparkSpec {
     assert(out(1)._2 === 0.0)
   }
 
-  test("benfordAudit: first digits extracted scale-free, all 9 rows") {
-    val df = Seq(1.0, 19.0, 250.0, 0.03, 9.5, -5.0, 0.0)
-      .toDF("value") // negatives and zero drop
-    val out = graft.operators.Eda.benfordAudit(df, "value")
-      .collect().map(r => r.getInt(0) -> r.getAs[Long]("n_obs")).toMap
-    assert(out.size === 9)
-    assert(out(1) === 2L) // 1.0 and 19.0
-    assert(out(2) === 1L) // 250
-    assert(out(3) === 1L) // 0.03
-    assert(out(9) === 1L) // 9.5
-    assert(out(4) === 0L)
-  }
-
   test("latenessAudit: counts drops per watermark with exact lateness") {
     // one user; arrival order a,b,c,d; event times 100, 300, 200, 250 s.
     // hwm-lateness: a:0, b:0, c:100s, d:50s

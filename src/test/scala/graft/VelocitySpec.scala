@@ -102,4 +102,23 @@ class VelocitySpec extends SparkSpec {
       ("2024-01-02 00:00:00.0", 0L, 0.0),
       ("2024-01-03 00:00:00.0", 1L, 4.0)))
   }
+
+  test("interArrivalRegularity flags metronomes, spares humans and tiny accounts") {
+    def ev(u: Long, sec: Long, id: Long) =
+      (u, Timestamp.from(java.time.Instant.ofEpochSecond(sec)), id)
+    val rows =
+      (0 to 6).map(i => ev(1L, i * 10L, i.toLong)) ++          // bot: 10 s metronome
+      Seq(0L, 3L, 50L, 51L, 300L, 1000L, 1003L).zipWithIndex
+        .map { case (s, i) => ev(2L, s, 100L + i) } ++          // human: bursty
+      Seq(ev(3L, 0L, 200L), ev(3L, 10L, 201L))                  // 1 gap only
+    val out = Velocity.interArrivalRegularity(
+      rows.toDF("user_id", "ts", "event_id"), "user_id", "ts", "event_id",
+      minGaps = 5, cvFlag = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_gaps"), r.getAs[Double]("cv"),
+          r.getAs[Boolean]("regular"))).toMap
+    assert(out(1L)._1 === 6L && out(1L)._2 === 0.0 && out(1L)._3)
+    assert(out(2L)._2 > 0.5 && !out(2L)._3)
+    assert(out(3L)._1 === 1L && !out(3L)._3) // volume floor
+  }
 }
