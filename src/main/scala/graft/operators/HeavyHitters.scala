@@ -118,25 +118,19 @@ object HeavyHitters {
   def cmsAudit(
       df: DataFrame, keyCol: String, depth: Int, width: Int): DataFrame = {
     require(depth >= 1 && width >= 1, s"bad sketch dims: $depth x $width")
+    // one implementation of the sketch: build + probe delegate to
+    // [[graft.operators.Sketches.countMinBuild]]/[[graft.operators
+    // .Sketches.countMinEstimate]] (identical "row:key" md5 cell hash);
+    // this audit is the every-key-probed accuracy view over them
     val keyed = df.select(col(keyCol).cast("string").as("__key"))
       .where(col("__key").isNotNull)
-    val rows = explode(array((0 until depth).map(lit): _*)).as("__row")
-    val bucket = pmod(
-      graft.functions.TextFunctions.md5Hash60(
-        concat_ws(":", col("__row"), col("__key"))),
-      lit(width.toLong)).as("__bucket")
-    val cells = keyed.select(col("__key"), rows)
-      .select(col("__row"), bucket)
-      .groupBy(col("__row"), col("__bucket"))
-      .agg(count(lit(1)).as("__cell"))
+    val sketch = Sketches.countMinBuild(keyed, "__key", depth, width)
     val exact = keyed.groupBy(col("__key")).agg(count(lit(1)).as("exact"))
-    val est = exact.select(col("__key"), col("exact"), rows)
-      .select(col("__key"), col("exact"), col("__row"), bucket)
-      .join(broadcast(cells), Seq("__row", "__bucket"))
-      .groupBy(col("__key"), col("exact"))
-      .agg(min(col("__cell")).as("cms_estimate"))
-    est.select(col("__key").as(keyCol), col("exact"), col("cms_estimate"),
-      (col("cms_estimate") - col("exact")).as("overestimate"))
+    Sketches.countMinEstimate(sketch, exact, "__key", depth, width)
+      .join(exact, Seq("__key"))
+      .select(col("__key").as(keyCol), col("exact"),
+        col("cms_est").as("cms_estimate"),
+        (col("cms_est") - col("exact")).as("overestimate"))
   }
 
   /** KMV (k-minimum-values) distinct-count estimate per group, audited
