@@ -1301,4 +1301,112 @@ object TextAnalysis {
       .limit(topN)
       .select(col("word"), round(col("pagerank"), 12).as("pagerank"))
   }
+
+  /** Tokenizer fertility by language: subword-proxy tokens per
+    * whitespace word (the HF "fertility" metric), plus bytes/token and
+    * chars/token — the per-language cost model that sizes a token
+    * budget against a byte budget before a training run (a language at
+    * fertility 3 burns 3x the context of one at 1.2 for the same text).
+    * Token proxy is [[bpeishTokenCount]]; words are non-empty
+    * whitespace tokens. One narrow projection + one hash aggregate on
+    * the language key; all sums are integer counts (exact at any
+    * parallelism), ratios are computed once per group and rounded.
+    */
+  def tokenizerFertility(
+      df: DataFrame, langCol: String, textCol: String): DataFrame = {
+    val words = size(filter(TextFunctions.tokens(col(textCol)),
+      w => w =!= ""))
+    df.select(col(langCol).as("lang"),
+        words.cast("long").as("__w"),
+        bpeishTokenCount(col(textCol)).as("__t"),
+        octet_length(col(textCol)).cast("long").as("__b"),
+        length(col(textCol)).cast("long").as("__c"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__w")).as("n_words"),
+        sum(col("__t")).as("n_tokens"),
+        sum(col("__b")).as("n_bytes"),
+        sum(col("__c")).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_tokens"),
+        round(col("n_tokens").cast("double")
+          / nullif(col("n_words"), lit(0L)).cast("double"), 12)
+          .as("fertility"),
+        round(col("n_bytes").cast("double")
+          / nullif(col("n_tokens"), lit(0L)).cast("double"), 12)
+          .as("bytes_per_token"),
+        round(col("n_chars").cast("double")
+          / nullif(col("n_tokens"), lit(0L)).cast("double"), 12)
+          .as("chars_per_token"))
+  }
+
+  /** Heaps'-law fit V(N) = K·N^β over the corpus's vocabulary-growth
+    * curve: documents are consumed in id order, each contributing its
+    * token count to the running total N and its never-seen-before
+    * tokens to the running vocabulary V; OLS of ln V on ln N yields
+    * (β, K, r²) — the standard estimate of how vocabulary (and thus
+    * embedding-table pressure and OOV rates) grows with corpus size,
+    * the forward-extrapolation companion to [[zipfFit]]'s head check.
+    *
+    * Scale shape: first-occurrence is a token-keyed min aggregate (the
+    * vocab never travels as a set), and the two running totals use a
+    * TWO-LEVEL cumulative sum — per-doc deltas cumsum within
+    * fixed-width doc-id buckets (a partitioned window), plus a
+    * broadcast prefix-offset table over bucket totals (corpus/width
+    * rows — the only unpartitioned window, 1024x smaller than the
+    * input). No global single-partition window touches per-doc rows.
+    * OLS sums decimal-accumulate 12-place products of ln values, the
+    * [[zipfFit]] parity discipline.
+    */
+  def heapsLawFit(
+      df: DataFrame, idCol: String, textCol: String,
+      bucketWidth: Long = 1024L): DataFrame = {
+    require(bucketWidth >= 1L, s"bucketWidth must be >= 1, got $bucketWidth")
+    val tok = df.select(col(idCol).cast("long").as("__doc"),
+        explode(TextFunctions.tokens(col(textCol))).as("__w"))
+      .where(col("__w") =!= "")
+    val perDocTok = tok.groupBy(col("__doc"))
+      .agg(count(lit(1)).as("__nt"))
+    val perDocNew = tok.groupBy(col("__w"))
+      .agg(min(col("__doc")).as("__doc"))
+      .groupBy(col("__doc")).agg(count(lit(1)).as("__nv"))
+    val perDoc = perDocTok
+      .join(perDocNew, Seq("__doc"), "left")
+      .na.fill(0L, Seq("__nv"))
+      .withColumn("__b",
+        ((col("__doc") - pmod(col("__doc"), lit(bucketWidth)))
+          / lit(bucketWidth)).cast("long"))
+    val wIn = Window.partitionBy(col("__b")).orderBy(col("__doc"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = perDoc
+      .withColumn("__ctn", sum(col("__nt")).over(wIn))
+      .withColumn("__cvn", sum(col("__nv")).over(wIn))
+    val wOff = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = perDoc.groupBy(col("__b"))
+      .agg(sum(col("__nt")).as("__bt"), sum(col("__nv")).as("__bv"))
+      .select(col("__b"),
+        coalesce(sum(col("__bt")).over(wOff), lit(0L)).as("__ot"),
+        coalesce(sum(col("__bv")).over(wOff), lit(0L)).as("__ov"))
+    val xy = within.join(broadcast(offsets), Seq("__b"))
+      .select((col("__ctn") + col("__ot")).as("__N"),
+        (col("__cvn") + col("__ov")).as("__V"))
+      .select(log(col("__N").cast("double")).as("__x"),
+        log(col("__V").cast("double")).as("__y"))
+    def dsum(c: Column) = sum(c.cast("decimal(30,12)")).cast("double")
+    val slope = (col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
+      (col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+    xy.agg(count(lit(1)).cast("double").as("__n"),
+        dsum(col("__x")).as("__sx"), dsum(col("__y")).as("__sy"),
+        dsum(col("__x") * col("__x")).as("__sxx"),
+        dsum(col("__x") * col("__y")).as("__sxy"),
+        dsum(col("__y") * col("__y")).as("__syy"))
+      .select(col("__n").cast("long").as("n_docs"),
+        slope.as("heaps_beta"),
+        exp((col("__sy") - col("__sx") * slope) / col("__n")).as("heaps_k"),
+        (((col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+          * (col("__n") * col("__sxy") - col("__sx") * col("__sy")))
+          / ((col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+            * (col("__n") * col("__syy") - col("__sy") * col("__sy"))))
+          .as("r2"))
+  }
 }

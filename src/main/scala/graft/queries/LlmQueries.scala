@@ -4176,9 +4176,92 @@ object LlmQueries {
       ORDER BY source
     """.trim))
 
+  /** Tokenizer fertility by language
+    * ([[TextAnalysis.tokenizerFertility]]): subword-proxy tokens per
+    * word plus bytes/chars per token, per language — the cost model
+    * that converts a byte budget into a token budget. Integer sums,
+    * one ratio per group, exact oracle.
+    */
+  val q362TokenizerFertility = HarnessQuery(
+    "q362_tokenizer_fertility",
+    (spark, dir) =>
+      TextAnalysis.tokenizerFertility(
+        Tables.documents(spark, dir), "lang", "text")
+        .orderBy(col("lang")),
+    Some("""
+      WITH t AS (
+        SELECT lang,
+               len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                   x -> x <> '')) AS w,
+               len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS tk,
+               strlen(text) AS b,
+               length(text) AS c
+        FROM documents)
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(w) AS BIGINT) AS n_words,
+             CAST(sum(tk) AS BIGINT) AS n_tokens,
+             round(CAST(sum(tk) AS DOUBLE) / nullif(CAST(sum(w) AS DOUBLE), 0), 12)
+               AS fertility,
+             round(CAST(sum(b) AS DOUBLE) / nullif(CAST(sum(tk) AS DOUBLE), 0), 12)
+               AS bytes_per_token,
+             round(CAST(sum(c) AS DOUBLE) / nullif(CAST(sum(tk) AS DOUBLE), 0), 12)
+               AS chars_per_token
+      FROM t GROUP BY 1 ORDER BY lang
+    """.trim))
+
+  /** Heaps'-law vocabulary-growth fit ([[TextAnalysis.heapsLawFit]]):
+    * one-row corpus extrapolation curve V = K·N^β, docs consumed in id
+    * order, two-level cumulative totals, ln-OLS with the q130 parity
+    * discipline; the oracle replays the growth curve with a single
+    * global window (fine at oracle scale) and the identical OLS sums.
+    */
+  val q363HeapsFit = HarnessQuery(
+    "q363_heaps_fit",
+    (spark, dir) =>
+      TextAnalysis.heapsLawFit(
+        Tables.documents(spark, dir), "doc_id", "text", bucketWidth = 64L)
+        .select(col("n_docs"),
+          round(col("heaps_beta"), 10).as("heaps_beta"),
+          round(col("heaps_k"), 10).as("heaps_k"),
+          round(col("r2"), 10).as("r2")),
+    Some("""
+      WITH tk AS (
+        SELECT doc, w FROM (
+          SELECT doc_id AS doc,
+                 unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+          FROM documents) WHERE w <> ''),
+      nt AS (SELECT doc, count(*) AS n FROM tk GROUP BY 1),
+      nv AS (SELECT doc, count(*) AS v
+             FROM (SELECT w, min(doc) AS doc FROM tk GROUP BY 1) GROUP BY 1),
+      pd AS (SELECT nt.doc, nt.n, coalesce(nv.v, 0) AS v
+             FROM nt LEFT JOIN nv USING (doc)),
+      cum AS (SELECT doc,
+               sum(n) OVER (ORDER BY doc
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+               sum(v) OVER (ORDER BY doc
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cv
+              FROM pd),
+      xy AS (SELECT ln(CAST(cn AS DOUBLE)) AS x, ln(CAST(cv AS DOUBLE)) AS y
+             FROM cum),
+      s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(x AS DECIMAL(30,12))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(y AS DECIMAL(30,12))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(x * y AS DECIMAL(30,12))) AS DOUBLE) AS sxy,
+               CAST(sum(CAST(y * y AS DECIMAL(30,12))) AS DOUBLE) AS syy
+            FROM xy)
+      SELECT CAST(n AS BIGINT) AS n_docs,
+             round((n * sxy - sx * sy) / (n * sxx - sx * sx), 10) AS heaps_beta,
+             round(exp((sy - sx * ((n * sxy - sx * sy) / (n * sxx - sx * sx))) / n), 10)
+               AS heaps_k,
+             round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+               / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 10) AS r2
+      FROM s
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q338Winnowing, q339WinnowOverlap, q348WinnowIncremental, q350LineDedup,
-    q354TextRank, q356Waterfill,
+    q354TextRank, q356Waterfill, q362TokenizerFertility, q363HeapsFit,
     q210PhashClusters,
     q50TextStats, q51TokenCount, q52LangQuality, q53Fingerprint,
     q54Shingles, q55MinhashPairs, q56ExactDedup, q57SimhashPairs,

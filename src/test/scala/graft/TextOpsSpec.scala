@@ -721,4 +721,46 @@ class TextOpsSpec extends SparkSpec {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
     assert(pairs.head.getAs[Long]("shared_fps") >= 2L)
   }
+
+  test("tokenizerFertility: hand-computed per-language ratios") {
+    val df = Seq(
+      ("en", "ab cd"), // 2 words, 2 bpeish tokens, 5 bytes
+      ("en", "a1!"),   // 1 word, 3 bpeish tokens ([a][1][!]), 3 bytes
+      ("de", ""))      // 0 words, 0 tokens -> null ratios
+      .toDF("lang", "text")
+    val r = TextAnalysis.tokenizerFertility(df, "lang", "text")
+      .orderBy($"lang").collect()
+    assert(r(0).getAs[String]("lang") === "de")
+    assert(r(0).isNullAt(r(0).fieldIndex("fertility")))
+    assert(r(1).getAs[Long]("n_words") === 3L)
+    assert(r(1).getAs[Long]("n_tokens") === 5L)
+    // ratios are rounded to 12 places by the operator
+    assert(math.abs(r(1).getAs[Double]("fertility") - 5.0 / 3) < 1e-12)
+    assert(math.abs(r(1).getAs[Double]("bytes_per_token") - 8.0 / 5) < 1e-12)
+  }
+
+  test("heapsLawFit: all-new-token corpus fits V = N exactly") {
+    // every token is novel, so cumulative V == N at each doc:
+    // ln V = 1 * ln N + 0 -> beta 1, K = e^0 = 1, r2 = 1
+    val df = Seq((0L, "a b"), (1L, "c d e"), (2L, "f g h i"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.heapsLawFit(df, "doc_id", "text").head
+    assert(r.getAs[Long]("n_docs") === 3L)
+    assert(math.abs(r.getAs[Double]("heaps_beta") - 1.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("heaps_k") - 1.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("r2") - 1.0) < 1e-9)
+  }
+
+  test("heapsLawFit: two-level cumsum is bucket-width invariant") {
+    val df = Seq((0L, "a b a"), (3L, "b c"), (7L, "c d d e"),
+      (9L, "a e f"), (12L, "g"))
+      .toDF("doc_id", "text")
+    val narrow = TextAnalysis.heapsLawFit(df, "doc_id", "text",
+      bucketWidth = 1L).head
+    val wide = TextAnalysis.heapsLawFit(df, "doc_id", "text",
+      bucketWidth = 1024L).head
+    assert(narrow === wide)
+    // repeated tokens must slow vocabulary growth: beta < 1
+    assert(narrow.getAs[Double]("heaps_beta") < 1.0)
+  }
 }
