@@ -319,6 +319,76 @@ object Evaluation {
       .orderBy(col("tile"))
   }
 
+  /** Qini curve (Radcliffe 2007's uplift-model gain chart): rank
+    * experiment units by a targeting score (desc, tie-broken by id),
+    * cut into equal-depth tiles, and per tile report treated/control
+    * sizes and conversions, the tile's incremental uplift, the
+    * cumulative Qini value
+    * `Q(k) = cumConvT(k) − cumConvC(k) · cumNT(k)/cumNC(k)`
+    * (incremental conversions versus a scaled control), and the
+    * random-targeting diagonal at the same depth — the standard "is
+    * the uplift model better than mailing at random" curve, which a
+    * plain lift table ([[liftTable]]) cannot answer because it ignores
+    * the control arm.
+    *
+    * Ranking goes through the skew-safe quantile-bucketed two-level
+    * rank (no whole-corpus window); the only unpartitioned window runs
+    * over the `tiles`-row aggregate. All inputs to the double
+    * expressions are exact integer counts, so the curve replays
+    * bit-for-bit in SQL.
+    */
+  def qiniCurve(
+      df: DataFrame, scoreCol: String, groupCol: String, convCol: String,
+      tieBreak: Seq[String], tiles: Int = 10, buckets: Int = 64): DataFrame = {
+    require(tiles >= 1, s"tiles must be >= 1, got $tiles")
+    val ranked = Selection.rankFeaturesPerKey(
+      df.withColumn("__k", lit(1)), "__k", scoreCol, tieBreak, buckets)
+    val nTotal = df.select(count(lit(1)).as("__NTOT"))
+    val perTile = ranked.crossJoin(broadcast(nTotal))
+      .withColumn("tile",
+        ceil(col("rank") * lit(tiles) / col("__NTOT")).cast("int"))
+      .groupBy(col("tile"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(groupCol) === 1, 1L).otherwise(0L)).as("n_treat"),
+        sum(when(col(groupCol) === 0, 1L).otherwise(0L)).as("n_control"),
+        sum(when(col(groupCol) === 1 && col(convCol) === 1, 1L)
+          .otherwise(0L)).as("conv_treat"),
+        sum(when(col(groupCol) === 0 && col(convCol) === 1, 1L)
+          .otherwise(0L)).as("conv_control"))
+    // cumulative window over the tiles-row aggregate (benign)
+    val wCum = Window.orderBy(col("tile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = perTile
+      .withColumn("__cn", sum(col("n")).over(wCum))
+      .withColumn("__cnt", sum(col("n_treat")).over(wCum))
+      .withColumn("__cnc", sum(col("n_control")).over(wCum))
+      .withColumn("__crt", sum(col("conv_treat")).over(wCum))
+      .withColumn("__crc", sum(col("conv_control")).over(wCum))
+    val tot = perTile.select(
+      sum(col("n")).as("__N"), sum(col("n_treat")).as("__NT"),
+      sum(col("n_control")).as("__NC"), sum(col("conv_treat")).as("__RT"),
+      sum(col("conv_control")).as("__RC"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("tile").cast("long").as("tile"), col("n"),
+        col("n_treat"), col("n_control"),
+        col("conv_treat"), col("conv_control"),
+        round(col("conv_treat").cast("double")
+            / nullif(col("n_treat"), lit(0L)).cast("double")
+          - col("conv_control").cast("double")
+            / nullif(col("n_control"), lit(0L)).cast("double"), 12)
+          .as("uplift"),
+        round(col("__crt").cast("double")
+          - col("__crc").cast("double") * col("__cnt").cast("double")
+            / nullif(col("__cnc"), lit(0L)).cast("double"), 12)
+          .as("qini"),
+        round((col("__RT").cast("double")
+            - col("__RC").cast("double") * col("__NT").cast("double")
+              / nullif(col("__NC"), lit(0L)).cast("double"))
+          * col("__cn").cast("double") / col("__N").cast("double"), 12)
+          .as("qini_random"))
+      .orderBy(col("tile"))
+  }
+
   /** Two-proportion z-test over a per-entity table (one row per
     * experiment unit with its 0/1 group and 0/1 conversion): group
     * sizes, conversion counts and rates, the pooled-variance z

@@ -390,7 +390,82 @@ object EvalQueries {
       FROM per ORDER BY score
     """.trim))
 
+  /** Qini uplift curve ([[Evaluation.qiniCurve]], 10 tiles): per-user
+    * units from `events` (grp = user_id parity, conv = >300 purchase,
+    * score = click count), ranked by score desc / user_id asc —
+    * cumulative incremental conversions vs the scaled control plus the
+    * random-targeting diagonal. Exact integer counts into identical
+    * double expressions both sides, rounded at 12.
+    */
+  val q364Qini = HarnessQuery(
+    "q364_qini",
+    (spark, dir) => {
+      val perUser = Tables.events(spark, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          max(when(col("event_type") === "purchase"
+            && col("value") > 300.0d, 1).otherwise(0)).as("conv"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .cast("double").as("score"))
+        .withColumn("grp", (col("user_id") % 2).cast("int"))
+      Evaluation.qiniCurve(perUser, "score", "grp", "conv",
+        tieBreak = Seq("user_id"), tiles = 10)
+    },
+    Some("""
+      WITH pu AS (
+        SELECT user_id, CAST(user_id % 2 AS INT) AS grp,
+               max(CASE WHEN event_type = 'purchase' AND "value" > 300
+                 THEN 1 ELSE 0 END) AS conv,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                 AS DOUBLE) AS score
+        FROM events GROUP BY 1),
+      ranked AS (
+        SELECT grp, conv,
+               CAST(ceil(row_number() OVER (ORDER BY score DESC, user_id ASC)
+                 * 10 / (SELECT count(*) FROM pu)) AS BIGINT) AS tile
+        FROM pu),
+      per AS (
+        SELECT tile, count(*) AS n,
+               CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_treat,
+               CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_control,
+               CAST(sum(CASE WHEN grp = 1 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS conv_treat,
+               CAST(sum(CASE WHEN grp = 0 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS conv_control
+        FROM ranked GROUP BY 1),
+      cum AS (
+        SELECT *,
+               CAST(sum(n) OVER w AS BIGINT) AS cn,
+               CAST(sum(n_treat) OVER w AS BIGINT) AS cnt,
+               CAST(sum(n_control) OVER w AS BIGINT) AS cnc,
+               CAST(sum(conv_treat) OVER w AS BIGINT) AS crt,
+               CAST(sum(conv_control) OVER w AS BIGINT) AS crc
+        FROM per
+        WINDOW w AS (ORDER BY tile
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS tn,
+               CAST(sum(n_treat) AS BIGINT) AS tnt,
+               CAST(sum(n_control) AS BIGINT) AS tnc,
+               CAST(sum(conv_treat) AS BIGINT) AS trt,
+               CAST(sum(conv_control) AS BIGINT) AS trc
+        FROM per)
+      SELECT tile, n, n_treat, n_control, conv_treat, conv_control,
+             round(CAST(conv_treat AS DOUBLE) / nullif(CAST(n_treat AS DOUBLE), 0)
+               - CAST(conv_control AS DOUBLE) / nullif(CAST(n_control AS DOUBLE), 0), 12)
+               AS uplift,
+             round(CAST(crt AS DOUBLE)
+               - CAST(crc AS DOUBLE) * CAST(cnt AS DOUBLE)
+                 / nullif(CAST(cnc AS DOUBLE), 0), 12) AS qini,
+             round((CAST(trt AS DOUBLE)
+                 - CAST(trc AS DOUBLE) * CAST(tnt AS DOUBLE)
+                   / nullif(CAST(tnc AS DOUBLE), 0))
+               * CAST(cn AS DOUBLE) / CAST(tn AS DOUBLE), 12) AS qini_random
+      FROM cum, tot ORDER BY tile
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
+    q364Qini,
     q149RocAuc, q150KsStat, q151Confusion, q152Calibration, q153LiftTable,
     q154WoeIv, q155TargetEncode, q156Psi, q157Expectations, q158CumScores,
     q226CvAuc, q236ThresholdSweep, q242AvgPrecision, q244Cuped, q245Anova,

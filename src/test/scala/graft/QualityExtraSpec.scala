@@ -47,6 +47,34 @@ class QualityExtraSpec extends SparkSpec {
     assert(Evaluation.abTest(degen, "grp", "conv").head().isNullAt(7))
   }
 
+  test("qiniCurve: hand-computed two-tile curve") {
+    // 8 units, score = id desc ordering; top tile (ids 8..5):
+    //   treat {8,6}: 2 conv; control {7,5}: 0 conv
+    // bottom tile (ids 4..1): treat {4,2}: 0 conv; control {3,1}: 1 conv
+    val df = Seq(
+      (8L, 1, 1), (7L, 0, 0), (6L, 1, 1), (5L, 0, 0),
+      (4L, 1, 0), (3L, 0, 1), (2L, 1, 0), (1L, 0, 0))
+      .toDF("id", "grp", "conv")
+      .withColumn("score", col("id").cast("double"))
+    val r = Evaluation.qiniCurve(df, "score", "grp", "conv",
+      tieBreak = Seq("id"), tiles = 2).collect()
+    assert(r.length === 2)
+    val t1 = r(0)
+    assert(t1.getAs[Long]("tile") === 1L)
+    assert(t1.getAs[Long]("n_treat") === 2L)
+    assert(t1.getAs[Long]("conv_treat") === 2L)
+    // Q(1) = 2 - 0 * 2/2 = 2; uplift tile 1 = 2/2 - 0/2 = 1
+    assert(t1.getAs[Double]("qini") === 2.0)
+    assert(t1.getAs[Double]("uplift") === 1.0)
+    val t2 = r(1)
+    // Q(2) = crt 2 - crc 1 * (4/4) = 1; random diagonal at full depth
+    // equals the overall qini: (2 - 1 * 4/4) * 8/8 = 1
+    assert(t2.getAs[Double]("qini") === 1.0)
+    assert(t2.getAs[Double]("qini_random") === 1.0)
+    // tile-2 uplift: 0/2 - 1/2 = -0.5
+    assert(t2.getAs[Double]("uplift") === -0.5)
+  }
+
   test("basketPairs: lift from exact counts, deterministic top-k") {
     // baskets: {a,b} x3, {a,c}, {b,c}; N=5
     val bi = Seq(
