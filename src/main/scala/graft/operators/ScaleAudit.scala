@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Pre-flight audits for running a plan at scale: join-key skew
@@ -166,6 +167,54 @@ object ScaleAudit {
         (col("n_rows").cast("double")
           / (col("__r").cast("double") / lit(nodes.size.toDouble)))
           .as("row_balance"))
+  }
+
+  /** Contiguous export-shard plan: consume rows in `idCol` order,
+    * accumulate a running byte total, and assign each row to the shard
+    * its start offset falls in (`shard = (cum − size) div target` —
+    * the concatenated-file split, so every shard except the last holds
+    * ≥ `targetBytes` once its first overflowing row lands). The
+    * planner a 100 TB export actually runs before writing: it turns
+    * "write ~1 GiB files" into explicit (shard → contiguous id range)
+    * assignments that a partitioned writer can execute without a
+    * global sort, and its output doubles as the manifest.
+    *
+    * The running total uses the two-level cumulative sum (per-row
+    * cumsum inside fixed-width id buckets + a broadcast prefix-offset
+    * table over bucket totals) — no single-partition window ever sees
+    * per-row data. Output per shard: row count, byte size, and the
+    * [min_id, max_id] range; bounded by corpusBytes/target rows.
+    */
+  def planExportShards(
+      df: DataFrame, idCol: String, bytesCol: String,
+      targetBytes: Long, bucketWidth: Long = 1024L): DataFrame = {
+    require(targetBytes >= 1L, s"targetBytes must be >= 1, got $targetBytes")
+    require(bucketWidth >= 1L, s"bucketWidth must be >= 1, got $bucketWidth")
+    val base = df.select(col(idCol).cast("long").as("__id"),
+        col(bytesCol).cast("long").as("__sz"))
+      .withColumn("__b",
+        ((col("__id") - pmod(col("__id"), lit(bucketWidth)))
+          / lit(bucketWidth)).cast("long"))
+    val wIn = Window.partitionBy(col("__b")).orderBy(col("__id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOff = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("__b"))
+      .agg(sum(col("__sz")).as("__bt"))
+      .select(col("__b"),
+        coalesce(sum(col("__bt")).over(wOff), lit(0L)).as("__off"))
+    val planned = base
+      .withColumn("__cin", sum(col("__sz")).over(wIn))
+      .join(broadcast(offsets), Seq("__b"))
+      .withColumn("__start", col("__cin") + col("__off") - col("__sz"))
+      .withColumn("shard",
+        ((col("__start") - pmod(col("__start"), lit(targetBytes)))
+          / lit(targetBytes)).cast("long"))
+    planned.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__sz")).as("bytes"),
+        min(col("__id")).as("min_id"),
+        max(col("__id")).as("max_id"))
   }
 
   /** Mergeable partial-aggregate audit: summarize each shard

@@ -877,10 +877,39 @@ object WorkloadQueries {
       FROM qv ORDER BY k
     """.trim))
 
+  /** Export-shard plan ([[ScaleAudit.planExportShards]], 16 KiB
+    * target): documents consumed in id order, shards cut by the
+    * running byte offset via the two-level cumulative sum — the
+    * write-manifest planner. The oracle replays the offsets with one
+    * global window and integer division.
+    */
+  val q365ShardPlan = HarnessQuery(
+    "q365_shard_plan",
+    (spark, dir) =>
+      ScaleAudit.planExportShards(
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), octet_length(col("text")).as("sz")),
+        "doc_id", "sz", targetBytes = 16384L)
+        .orderBy(col("shard")),
+    Some("""
+      WITH d AS (
+        SELECT doc_id, CAST(strlen(text) AS BIGINT) AS sz FROM documents),
+      c AS (
+        SELECT doc_id, sz,
+               CAST(sum(sz) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 - sz AS st
+        FROM d)
+      SELECT st // 16384 AS shard, count(*) AS n_docs,
+             CAST(sum(sz) AS BIGINT) AS bytes,
+             min(doc_id) AS min_id, max(doc_id) AS max_id
+      FROM c GROUP BY 1 ORDER BY shard
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q188Rfm, q189Survival, q190Pmi, q191Chi2, q192Melt,
     q193SkewProfile, q194Zorder, q195Khop, q196Scd2, q197PathTrigrams,
     q198CumUsers, q199Wau, q200DegreeHist, q201PruneSim, q202RankNorm,
     q203TpchQ3, q204TpchQ5, q205TpchQ10, q208AbTest, q209BasketLift,
-    q248JwLinkage, q249MutualInfo, q271SegmentFdr)
+    q248JwLinkage, q249MutualInfo, q271SegmentFdr, q365ShardPlan)
 }

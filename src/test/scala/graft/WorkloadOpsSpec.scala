@@ -232,4 +232,24 @@ class WorkloadOpsSpec extends SparkSpec {
     assert(got.toSeq === Seq(
       (1.0, 0.0), (2.0, 1.0 / 3), (2.0, 1.0 / 3), (5.0, 1.0)))
   }
+
+  test("planExportShards: next-fit split by running start offset") {
+    // sizes 6,6,6 at target 10: starts 0,6,12 -> shards 0,0,1;
+    // then 30 at start 18 -> shard 1 (overflows), 2 at start 48 -> 4
+    val df = Seq((1L, 6L), (2L, 6L), (3L, 6L), (4L, 30L), (5L, 2L))
+      .toDF("id", "sz")
+    val got = ScaleAudit.planExportShards(df, "id", "sz", targetBytes = 10L)
+      .orderBy($"shard")
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("bytes"), r.getAs[Long]("min_id"),
+        r.getAs[Long]("max_id")))
+    assert(got.toSeq === Seq(
+      (0L, 2L, 12L, 1L, 2L), (1L, 2L, 36L, 3L, 4L), (4L, 1L, 2L, 5L, 5L)))
+    // bucket width must not change the plan
+    val narrow = ScaleAudit.planExportShards(df, "id", "sz",
+      targetBytes = 10L, bucketWidth = 2L)
+      .orderBy($"shard").collect().map(_.toSeq)
+    assert(narrow.toSeq === ScaleAudit.planExportShards(df, "id", "sz",
+      targetBytes = 10L).orderBy($"shard").collect().map(_.toSeq).toSeq)
+  }
 }
