@@ -192,6 +192,98 @@ object Selection {
     * max-min distance at selection time (rank 1 = the seed at 0), the
     * running coverage-radius curve a curation job thresholds on.
     */
+  /** Maximal-marginal-relevance selection (Carbonell & Goldstein 1998):
+    * greedily pick `k` vectors maximizing
+    * `lambda·rel(i) − (1−lambda)·max_{s∈S} cos(i, s)` — relevance here
+    * is cosine to the corpus centroid, the "pick representative but
+    * mutually diverse exemplars" primitive behind eval-set curation and
+    * prompt-example selection. [[kCenterGreedy]] optimizes pure
+    * coverage; MMR trades coverage against centrality with an explicit
+    * dial.
+    *
+    * `lambda` must be exactly representable in binary (0.5, 0.75,
+    * 0.25...) so `1 − lambda` is too — the score expression replays
+    * bit-for-bit in any engine without a fuzz tolerance.
+    *
+    * Scale shape is [[kCenterGreedy]]'s: one materialized (id, dim, x)
+    * explode; per fixed round, {broadcast of the single pick's dim
+    * rows + one hash aggregate + an elementwise greatest against the
+    * running max-sim column}; only (id, rel, maxsim) scalars shuffle;
+    * the argmax is a sort-limit(1). Cosines use decimal-exact dot
+    * products over exact per-id norms, rounded at 12 before every
+    * comparison (the argmax-stability contract).
+    *
+    * Returns (rank, vec_id, mmr_score): the score at selection time,
+    * monotone non-increasing, the knee of which sizes the exemplar set.
+    */
+  def mmrSelect(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      lambda: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda out of [0,1]: $lambda")
+    require(lambda * 4 == math.rint(lambda * 4),
+      s"lambda must be a multiple of 0.25 so 1-lambda is exact: $lambda")
+    val dims = Materialize.cut(
+      df.select(col(idCol).cast("long").as("__id"), posexplode(col(vecCol)))
+        .select(col("__id"), col("pos").as("__d"),
+          col("col").cast("double").as("__x")))
+    val norms = Materialize.cut(dims.groupBy(col("__id"))
+      .agg(sqrt(sum((col("__x") * col("__x")).cast("decimal(38,18)"))
+        .cast("double")).as("__n")))
+    val cnt = df.select(count(lit(1)).as("__cnt"))
+    val cent = dims.groupBy(col("__d"))
+      .agg(sum(col("__x").cast("decimal(38,18)")).as("__s"))
+      .crossJoin(broadcast(cnt))
+      .select(col("__d"), (col("__s").cast("double") / col("__cnt")).as("__c"))
+    val cnorm = cent.agg(sqrt(sum((col("__c") * col("__c"))
+      .cast("decimal(38,18)")).cast("double")).as("__cn"))
+    val rel = dims.join(broadcast(cent), Seq("__d"))
+      .groupBy(col("__id"))
+      .agg(sum((col("__x") * col("__c")).cast("decimal(38,18)"))
+        .cast("double").as("__dot"))
+      .join(norms, Seq("__id"))
+      .crossJoin(broadcast(cnorm))
+      .select(col("__id"),
+        round(col("__dot") / (col("__n") * col("__cn")), 12).as("__rel"))
+    var state = Materialize.cut(rel.withColumn("__ms", lit(0.0)))
+    var picks: DataFrame = null
+    for (r <- 1 to k) {
+      val pick = Materialize.cut(state
+        .select(col("__id"),
+          round(lit(lambda) * col("__rel")
+            - lit(1.0 - lambda) * col("__ms"), 12).as("__sc"))
+        .orderBy(col("__sc").desc, col("__id")).limit(1))
+      val tagged = pick.select(lit(r.toLong).as("rank"),
+        col("__id").as("vec_id"), col("__sc").as("mmr_score"))
+      picks = if (picks == null) tagged else picks.unionByName(tagged)
+      if (r < k) {
+        val pickId = pick.select(col("__id"))
+        val pdims = broadcast(dims.join(broadcast(pickId), Seq("__id"))
+          .select(col("__d"), col("__x").as("__px")))
+        val pnorm = broadcast(norms.join(broadcast(pickId), Seq("__id"))
+          .select(col("__n").as("__pn")))
+        val sim = dims.join(pdims, Seq("__d"))
+          .groupBy(col("__id"))
+          .agg(sum((col("__x") * col("__px")).cast("decimal(38,18)"))
+            .cast("double").as("__pd"))
+          .join(norms, Seq("__id"))
+          .crossJoin(pnorm)
+          .select(col("__id"),
+            round(col("__pd") / (col("__n") * col("__pn")), 12).as("__sim"))
+        state = Materialize.cut(state
+          .join(broadcast(pickId.select(col("__id").as("__pid"))),
+            col("__id") === col("__pid"), "left_anti")
+          .join(sim, Seq("__id"))
+          .select(col("__id"), col("__rel"),
+            greatest(col("__ms"), col("__sim")).as("__ms")))
+      }
+    }
+    picks
+  }
+
   def kCenterGreedy(
       df: DataFrame,
       idCol: String,

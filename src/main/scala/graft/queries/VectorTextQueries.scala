@@ -1516,7 +1516,77 @@ object VectorTextQueries {
       GROUP BY 1 ORDER BY snap
     """.trim))
 
+  /** MMR exemplar selection ([[graft.operators.Selection.mmrSelect]],
+    * k = 6, lambda = 0.75): greedy centrality-vs-diversity picks over
+    * the embedding corpus — relevance is cosine to the exact centroid,
+    * the penalty is max cosine to the already-picked set, every cosine
+    * decimal-exact and rounded at 12 before comparison. The oracle
+    * unrolls all six selection rounds.
+    */
+  val q366Mmr = HarnessQuery(
+    "q366_mmr",
+    (spark, dir) =>
+      graft.operators.Selection.mmrSelect(
+        Tables.embeddings(spark, dir), "vec_id", "embedding",
+        k = 6, lambda = 0.75)
+        .orderBy(col("rank")),
+    Some {
+      val round = (r: Int) => {
+        val p = s"p${r - 1}"
+        s"""
+      s$r AS MATERIALIZED (
+        SELECT s.id, s.rel,
+               greatest(s.ms, round(m.dot
+                 / (norms.n * (SELECT n FROM norms
+                               WHERE id = (SELECT id FROM $p))), 12)) AS ms
+        FROM s${r - 1} s
+        JOIN (SELECT dims.id,
+                     CAST(sum(CAST(dims.x * pd.x AS DECIMAL(38,18))) AS DOUBLE) AS dot
+              FROM dims JOIN (SELECT d, x FROM dims
+                              WHERE id = (SELECT id FROM $p)) pd USING (d)
+              GROUP BY 1) m ON s.id = m.id
+        JOIN norms ON s.id = norms.id
+        WHERE s.id <> (SELECT id FROM $p)),
+      p$r AS MATERIALIZED (
+        SELECT id, round(0.75 * rel - 0.25 * ms, 12) AS sc
+        FROM s$r ORDER BY sc DESC, id LIMIT 1),"""
+      }
+      s"""
+      WITH dims AS MATERIALIZED (
+        SELECT vec_id AS id, i - 1 AS d, CAST(embedding[i] AS DOUBLE) AS x
+        FROM (SELECT vec_id, embedding,
+                     unnest(generate_series(1, len(embedding))) AS i
+              FROM embeddings) t),
+      norms AS MATERIALIZED (
+        SELECT id, sqrt(CAST(sum(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE)) AS n
+        FROM dims GROUP BY 1),
+      cent AS MATERIALIZED (
+        SELECT d, CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE)
+                  / (SELECT count(*) FROM embeddings) AS c
+        FROM dims GROUP BY 1),
+      cnorm AS (SELECT sqrt(CAST(sum(CAST(c * c AS DECIMAL(38,18))) AS DOUBLE)) AS cn
+                FROM cent),
+      rel0 AS (SELECT dims.id,
+                      CAST(sum(CAST(dims.x * cent.c AS DECIMAL(38,18))) AS DOUBLE) AS dot
+               FROM dims JOIN cent USING (d) GROUP BY 1),
+      s1 AS MATERIALIZED (
+        SELECT r.id, round(r.dot / (norms.n * (SELECT cn FROM cnorm)), 12) AS rel,
+               0.0 AS ms
+        FROM rel0 r JOIN norms ON r.id = norms.id),
+      p1 AS MATERIALIZED (
+        SELECT id, round(0.75 * rel - 0.25 * ms, 12) AS sc
+        FROM s1 ORDER BY sc DESC, id LIMIT 1),
+      ${(2 to 6).map(round).mkString("")}
+      sel AS (
+        SELECT 1 AS rank, id, sc FROM p1
+        ${(2 to 6).map(r => s"UNION ALL SELECT $r, id, sc FROM p$r").mkString("\n        ")})
+      SELECT CAST(rank AS BIGINT) AS rank, id AS vec_id, sc AS mmr_score
+      FROM sel ORDER BY rank
+      """.trim
+    })
+
   def all: Seq[HarnessQuery] = Seq(
+    q366Mmr,
     q340KmeansFit, q341KmeansCells, q342KmeansIvf, q344Skipgram, q346KCenter,
     q358Pca2, q359PcaOutliers, q360CentroidDrift,
     q211CollocPmi, q212TokenEntropy, q213GramMatrix, q214CovMatrix,

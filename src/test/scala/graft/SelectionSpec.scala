@@ -171,4 +171,28 @@ class SelectionSpec extends SparkSpec with TableDrivenPropertyChecks {
     // round 3: min-dist to {0,1} is 81 for id2, 2 for id3 -> id2
     assert(out.toSeq === Seq((1L, 0L, 0.0), (2L, 1L, 100.0), (3L, 2L, 81.0)))
   }
+
+  test("mmrSelect: diversity penalty skips the duplicate at lambda 0.5") {
+    // centroid of {(1,0),(1,0),(0,1)} is (2/3,1/3); rel(0)=rel(1)=2/√5,
+    // rel(2)=1/√5. Pick 1: id0 (tie to lowest id). Pick 2: id1 scores
+    // .5·2/√5 − .5·1 < .5·1/√5, so the orthogonal id2 wins over the
+    // duplicate. Pick 3: only id1 left.
+    val pts = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Selection.mmrSelect(pts, "vec_id", "embedding",
+      k = 3, lambda = 0.5)
+      .orderBy($"rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(t => (t._1, t._2)).toSeq === Seq((1L, 0L), (2L, 2L), (3L, 1L)))
+    val relTop = 2.0 / math.sqrt(5.0)
+    assert(math.abs(out(0)._3 - 0.5 * relTop) < 1e-9)
+    assert(math.abs(out(1)._3 - 0.5 / math.sqrt(5.0)) < 1e-9)
+    assert(math.abs(out(2)._3 - (0.5 * relTop - 0.5)) < 1e-9)
+    // lambda whose complement is inexact in binary is rejected
+    intercept[IllegalArgumentException] {
+      Selection.mmrSelect(pts, "vec_id", "embedding", k = 2, lambda = 0.7)
+    }
+  }
 }
