@@ -136,4 +136,64 @@ object FuzzyJoin {
       .select(col("__blk").as(blockCol), col("id_a"), col("id_b"),
         col("name_a"), col("name_b"), col("jw"))
   }
+
+  /** Fellegi–Sunter record-linkage weights (Fellegi & Sunter 1969):
+    * for every blocked candidate pair, the log₂-likelihood-ratio match
+    * weight `Σ_f agree_f ? log₂(m_f/u_f) : log₂((1−m_f)/(1−u_f))`,
+    * where each field's u-probability (chance agreement between two
+    * RANDOM records) is estimated from the field's global value
+    * distribution as `Σ_v (n_v/N)²` and the m-probability (agreement
+    * given a true match) is a caller-supplied parameter. Output is the
+    * weight table: one row per agreement pattern with its pair count
+    * and weight — the thing a linkage deployment thresholds on, and at
+    * most 2^|fields| rows regardless of corpus size.
+    *
+    * Scale contract: candidate generation is an equi-join on
+    * `blockCol`, so pair count is Σ_b |b|² over block sizes — the
+    * caller owns picking a selective blocking key (the standard FS
+    * deployment shape); this operator never goes all-pairs across
+    * blocks. u-probabilities are exact: Σ n_v² accumulates in
+    * DECIMAL(38,0) (no long overflow at any corpus size), and the two
+    * divisions by N run left-to-right in double, replayable in any
+    * engine. Weights round at 6 — the group key survives a 1-ulp
+    * cross-engine log₂ tail.
+    */
+  def fellegiSunterWeights(
+      df: DataFrame,
+      idCol: String,
+      blockCol: String,
+      fields: Seq[(String, Double)]): DataFrame = {
+    require(fields.nonEmpty, "need at least one comparison field")
+    require(fields.forall { case (_, m) => m > 0.0 && m < 1.0 },
+      "m-probabilities must be in (0,1)")
+    val base = df.select((col(idCol).as("__id") +: col(blockCol).as("__blk")
+      +: fields.map { case (f, _) => col(f).as(s"__$f") }): _*)
+    // one-row u-probability frame per field, all cross-broadcast
+    val uFrames = fields.map { case (f, _) =>
+      base.groupBy(col(s"__$f")).agg(count(lit(1)).as("__n"))
+        .agg(
+          (sum(col("__n").cast("decimal(38,0)") * col("__n")).cast("double")
+            / sum(col("__n")).cast("double")
+            / sum(col("__n")).cast("double")).as(s"__u_$f"))
+    }
+    val a = base.select((col("__blk") +: col("__id").as("__ida")
+      +: fields.map { case (f, _) => col(s"__$f").as(s"__a_$f") }): _*)
+    val b = base.select((col("__blk") +: col("__id").as("__idb")
+      +: fields.map { case (f, _) => col(s"__$f").as(s"__b_$f") }): _*)
+    val agreeCols = fields.map { case (f, _) =>
+      (col(s"__a_$f") === col(s"__b_$f")).as(s"agree_$f")
+    }
+    val pairs = a.join(b, Seq("__blk"))
+      .filter(col("__ida") < col("__idb"))
+      .groupBy(agreeCols: _*)
+      .agg(count(lit(1)).as("n_pairs"))
+    val withU = uFrames.foldLeft(pairs)((acc, u) => acc.crossJoin(broadcast(u)))
+    val weight = fields.map { case (f, m) =>
+      when(col(s"agree_$f"),
+        log2(lit(m) / col(s"__u_$f")))
+        .otherwise(log2((lit(1.0) - lit(m)) / (lit(1.0) - col(s"__u_$f"))))
+    }.reduce(_ + _)
+    withU.select((fields.map { case (f, _) => col(s"agree_$f") }
+      :+ col("n_pairs") :+ round(weight, 6).as("weight")): _*)
+  }
 }

@@ -906,7 +906,51 @@ object WorkloadQueries {
       FROM c GROUP BY 1 ORDER BY shard
     """.trim))
 
+  /** Fellegi–Sunter linkage weight table
+    * ([[graft.operators.FuzzyJoin.fellegiSunterWeights]]): customers
+    * blocked by nation, compared on market segment (m = 0.9) and
+    * 100-unit balance bucket (m = 0.8); u-probabilities exact from the
+    * global value distributions, one row per agreement pattern with
+    * its log₂-likelihood-ratio weight. Literal m's cross the oracle as
+    * CAST(x AS DOUBLE) so both engines run identical doubles.
+    */
+  val q367FellegiSunter = HarnessQuery(
+    "q367_fellegi_sunter",
+    (spark, dir) => {
+      val c = Tables.customer(spark, dir).select(
+        col("c_custkey").as("id"), col("c_nationkey").as("blk"),
+        col("c_mktsegment").as("seg"),
+        floor(col("c_acctbal") / lit(100.0)).cast("long").as("bal"))
+      graft.operators.FuzzyJoin.fellegiSunterWeights(
+        c, "id", "blk", Seq(("seg", 0.9), ("bal", 0.8)))
+        .orderBy(col("agree_seg"), col("agree_bal"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT c_custkey AS id, c_nationkey AS blk, c_mktsegment AS seg,
+               CAST(floor(c_acctbal / CAST(100.0 AS DOUBLE)) AS BIGINT) AS bal
+        FROM customer),
+      useg AS (SELECT CAST(sum(CAST(n AS DECIMAL(38,0)) * n) AS DOUBLE)
+                      / CAST(sum(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS u
+               FROM (SELECT count(*) AS n FROM c GROUP BY seg)),
+      ubal AS (SELECT CAST(sum(CAST(n AS DECIMAL(38,0)) * n) AS DOUBLE)
+                      / CAST(sum(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS u
+               FROM (SELECT count(*) AS n FROM c GROUP BY bal)),
+      g AS (SELECT a.seg = b.seg AS agree_seg, a.bal = b.bal AS agree_bal,
+                   count(*) AS n_pairs
+            FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id
+            GROUP BY 1, 2)
+      SELECT agree_seg, agree_bal, n_pairs,
+             round((CASE WHEN agree_seg THEN log2(CAST(0.9 AS DOUBLE) / useg.u)
+                         ELSE log2((1.0 - CAST(0.9 AS DOUBLE)) / (1.0 - useg.u)) END)
+                 + (CASE WHEN agree_bal THEN log2(CAST(0.8 AS DOUBLE) / ubal.u)
+                         ELSE log2((1.0 - CAST(0.8 AS DOUBLE)) / (1.0 - ubal.u)) END), 6)
+               AS weight
+      FROM g, useg, ubal ORDER BY agree_seg, agree_bal
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
+    q367FellegiSunter,
     q188Rfm, q189Survival, q190Pmi, q191Chi2, q192Melt,
     q193SkewProfile, q194Zorder, q195Khop, q196Scd2, q197PathTrigrams,
     q198CumUsers, q199Wau, q200DegreeHist, q201PruneSim, q202RankNorm,

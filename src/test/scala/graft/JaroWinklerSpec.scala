@@ -58,4 +58,18 @@ class JaroWinklerSpec extends SparkSpec {
     assert(out.map(r => (r.getLong(1), r.getLong(2))).toSet === Set((1L, 2L)))
     assert(out.head.getAs[Double]("jw") > 0.9)
   }
+
+  test("fellegiSunterWeights: hand-computed u and log2 weights") {
+    // one block, seg values A,A,B,C: u = (4+1+1)/16 = 0.375;
+    // m = 0.75 -> agree weight log2(2) = 1, disagree log2(0.25/0.625)
+    val df = Seq((1L, 9L, "A"), (2L, 9L, "A"), (3L, 9L, "B"), (4L, 9L, "C"))
+      .toDF("id", "blk", "seg")
+    val out = FuzzyJoin.fellegiSunterWeights(df, "id", "blk",
+      Seq(("seg", 0.75)))
+      .orderBy($"agree_seg")
+      .collect().map(r => (r.getBoolean(0), r.getLong(1), r.getDouble(2)))
+    val wDis = BigDecimal(math.log(0.25 / 0.625) / math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.toSeq === Seq((false, 5L, wDis), (true, 1L, 1.0)))
+  }
 }
