@@ -160,6 +160,78 @@ object EventAnalytics {
           .as("credit"))
   }
 
+  /** Exact Shapley-value channel attribution (Shapley 1953, the
+    * cooperative-game closure of the heuristic splits above): the
+    * characteristic function v(S) is the observed conversion rate of
+    * entities whose touched-channel set is EXACTLY S (unobserved
+    * subsets contribute v = 0), and each channel's credit is the exact
+    * Shapley sum Σ_{S ∌ c} |S|!(n−1−|S|)!/n! · (v(S∪{c}) − v(S)) —
+    * no sampling, no permutation draws. Fair in the axiomatic sense
+    * where last-touch ([[lastTouchAttribution]]) and U-shaped
+    * ([[positionAttribution]]) are positional conventions.
+    *
+    * Scale shape: the corpus collapses to one row per entity (distinct
+    * channel bitmask + converted flag), then to one row per OBSERVED
+    * mask — everything after that operates on ≤ 2^n broadcast rows,
+    * so the cost is one distinct + two hash aggregates regardless of
+    * corpus size. `channels.size` is capped at 8 (256 subsets); the
+    * per-channel sum decimal-accumulates its ≤ 2^(n-1) double terms,
+    * so the credits replay exactly in SQL.
+    *
+    * Output per channel: `n_units` (entities that touched it) and
+    * `shapley` (credit in conversion-rate units, rounded at 12).
+    */
+  def shapleyAttribution(
+      df: DataFrame, keyCol: String, eventCol: String, convCol: String,
+      channels: Seq[String]): DataFrame = {
+    require(channels.nonEmpty && channels.size <= 8,
+      s"need 1..8 channels, got ${channels.size}")
+    require(channels.distinct.size == channels.size, "channels must be unique")
+    val n = channels.size
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ch = broadcast(channels.zipWithIndex.toDF("channel", "__ix"))
+    val touches = df.join(ch, col(eventCol) === col("channel"))
+      .select(col(keyCol).as("__u"), col("__ix")).distinct()
+      .groupBy(col("__u"))
+      .agg(sum(expr("cast(shiftleft(1, __ix) as bigint)")).as("__mask"))
+    val conv = df.groupBy(col(keyCol).as("__u"))
+      .agg(max(col(convCol)).as("__c"))
+    val units = conv.join(touches, Seq("__u"), "left")
+      .na.fill(0L, Seq("__mask"))
+    val vObs = units.groupBy(col("__mask"))
+      .agg(count(lit(1)).as("__n"), sum(col("__c")).as("__nc"))
+    val v = spark.range(0L, 1L << n).toDF("__mask")
+      .join(vObs, Seq("__mask"), "left")
+      .select(col("__mask"),
+        coalesce(col("__n"), lit(0L)).as("__n"),
+        coalesce(col("__nc").cast("double") / col("__n"), lit(0.0)).as("__v"))
+    val popcnt = (m: String) =>
+      (0 until n).map(i => s"(($m >> $i) & 1)").mkString(" + ")
+    def fact(x: Int): Long = (1 to x).map(_.toLong).product
+    val wNum = (0 until n).map(s => s"WHEN $s THEN ${fact(s) * fact(n - 1 - s)}")
+      .mkString("CASE (" + popcnt("__m0") + ") ", " ", " END")
+    val base = v.select(col("__mask").as("__m0"), col("__v").as("__v0"))
+      .crossJoin(ch)
+      .where(expr("(__m0 >> __ix) & 1 = 0"))
+      .withColumn("__m1", expr("__m0 | cast(shiftleft(1, __ix) as bigint)"))
+    val v1 = broadcast(v.select(col("__mask").as("__m1"), col("__v").as("__v1")))
+    val terms = base.join(v1, Seq("__m1"))
+      .withColumn("__t",
+        (expr(s"cast(($wNum) as double)") / lit(fact(n).toDouble))
+          * (col("__v1") - col("__v0")))
+    val perChannel = terms.groupBy(col("channel"))
+      .agg(round(sum(col("__t").cast("decimal(30,15)")).cast("double"), 12)
+        .as("shapley"))
+    // entities that touched each channel, from the observed-mask rows
+    val touched = vObs.crossJoin(ch)
+      .where(expr("(__mask >> __ix) & 1 = 1"))
+      .groupBy(col("channel")).agg(sum(col("__n")).as("n_units"))
+    perChannel.join(touched, Seq("channel"), "left")
+      .na.fill(0L, Seq("n_units"))
+      .select(col("channel"), col("n_units"), col("shapley"))
+  }
+
   /** Behavioral entropy per entity: Shannon entropy (nats) of the
     * entity's event-type distribution over a FIXED category list plus
     * an `other` bucket — the bot/script detector (a human mixes

@@ -400,8 +400,67 @@ object AnalyticsQueries {
       FROM touches GROUP BY 1 ORDER BY 1
     """.trim))
 
+  /** Exact Shapley channel attribution
+    * ([[EventAnalytics.shapleyAttribution]], 4 channels = 16 subsets):
+    * v(S) is the conversion rate of users whose touched-channel set is
+    * exactly S (q208's conversion definition), credits are the exact
+    * Shapley sums with factorial weights, decimal-accumulated. The
+    * oracle replays the bitmask game over generate_series masks.
+    */
+  val q368Shapley = HarnessQuery(
+    "q368_shapley",
+    (spark, dir) =>
+      EventAnalytics.shapleyAttribution(
+        Tables.events(spark, dir)
+          .withColumn("conv", when(col("event_type") === "purchase"
+            && col("value") > 300.0d, 1).otherwise(0)),
+        "user_id", "event_type", "conv",
+        channels = Seq("click", "view", "signup", "error"))
+        .orderBy(col("channel")),
+    Some("""
+      WITH ch AS (SELECT * FROM (VALUES ('click', 0), ('view', 1),
+                    ('signup', 2), ('error', 3)) AS t(channel, ix)),
+      uc AS (SELECT DISTINCT e.user_id, ch.ix
+             FROM events e JOIN ch ON e.event_type = ch.channel),
+      um AS (SELECT user_id, CAST(sum(1 << ix) AS BIGINT) AS mask
+             FROM uc GROUP BY 1),
+      cv AS (SELECT user_id,
+                    max(CASE WHEN event_type = 'purchase' AND "value" > 300
+                      THEN 1 ELSE 0 END) AS conv
+             FROM events GROUP BY 1),
+      u AS (SELECT cv.user_id, coalesce(um.mask, 0) AS mask, cv.conv
+            FROM cv LEFT JOIN um USING (user_id)),
+      vm AS (SELECT mask, count(*) AS n, CAST(sum(conv) AS BIGINT) AS nc
+             FROM u GROUP BY 1),
+      v AS (SELECT g.mask,
+                   coalesce(vm.n, 0) AS n,
+                   coalesce(CAST(vm.nc AS DOUBLE) / vm.n, 0.0) AS v
+            FROM (SELECT unnest(generate_series(0, 15)) AS mask) g
+            LEFT JOIN vm USING (mask)),
+      terms AS (
+        SELECT ch.channel,
+               (CAST(CASE (((v0.mask >> 0) & 1) + ((v0.mask >> 1) & 1)
+                         + ((v0.mask >> 2) & 1) + ((v0.mask >> 3) & 1))
+                     WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 WHEN 3 THEN 6
+                     END AS DOUBLE) / CAST(24 AS DOUBLE))
+               * (v1.v - v0.v) AS t
+        FROM v v0
+        JOIN ch ON (v0.mask >> ch.ix) & 1 = 0
+        JOIN v v1 ON v1.mask = v0.mask | (1 << ch.ix)),
+      sh AS (SELECT channel,
+                    round(CAST(sum(CAST(t AS DECIMAL(30,15))) AS DOUBLE), 12)
+                      AS shapley
+             FROM terms GROUP BY 1),
+      tu AS (SELECT ch.channel, CAST(sum(vm.n) AS BIGINT) AS n_units
+             FROM vm JOIN ch ON (vm.mask >> ch.ix) & 1 = 1
+             GROUP BY 1)
+      SELECT sh.channel, coalesce(tu.n_units, 0) AS n_units, sh.shapley
+      FROM sh LEFT JOIN tu USING (channel)
+      ORDER BY channel
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q168CohortRetention, q169Funnel, q170Attribution, q171PercentileBands,
     q172Twap, q177Entropy, q243Gini, q251Ols, q257WeightedMedian,
-    q262Hill, q263Cvar, q357PositionAttribution)
+    q262Hill, q263Cvar, q357PositionAttribution, q368Shapley)
 }

@@ -155,4 +155,24 @@ class EventAnalyticsSpec extends SparkSpec {
     // total credit equals number of converting users
     assert(math.abs(out.values.map(_._2).sum - 2.0) < 1e-9)
   }
+
+  test("shapleyAttribution: exact two-channel game") {
+    // v({a})=1/2, v({b})=0, v({a,b})=1, v(empty)=0 ->
+    // phi_a = .5*.5 + .5*1 = 0.75, phi_b = 0 + .5*.5 = 0.25
+    val ev = Seq(
+      (1L, "a", 0), (1L, "buy", 1),
+      (2L, "a", 0),
+      (3L, "a", 0), (3L, "b", 0), (3L, "buy", 1),
+      (4L, "b", 0),
+      (5L, "x", 0))
+      .toDF("user_id", "event_type", "conv")
+    val out = EventAnalytics.shapleyAttribution(
+      ev, "user_id", "event_type", "conv", channels = Seq("a", "b"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_units"), r.getAs[Double]("shapley"))).toMap
+    assert(out("a") === ((3L, 0.75)))
+    assert(out("b") === ((2L, 0.25)))
+    // efficiency: credits sum to v(grand) - v(empty) = 1
+    assert(math.abs(out.values.map(_._2).sum - 1.0) < 1e-12)
+  }
 }
