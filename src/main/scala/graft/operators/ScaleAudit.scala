@@ -217,6 +217,57 @@ object ScaleAudit {
         max(col("__id")).as("max_id"))
   }
 
+  /** Per-group content checksum: rows canonicalize to
+    * `col1|col2|...` (nulls as a control-char sentinel so `("a", null)` and
+    * `("a|", null-free)` differ), hash to 60 bits (md5-derived,
+    * engine-portable), and SUM per group modulo 2^61−1 — an
+    * order-independent, mergeable, partition-parallel fingerprint. Two
+    * copies of a table agree per group iff (n_rows, checksum) agree
+    * (up to hash collision); this is the row-level reconciliation a
+    * 100 TB migration runs instead of sorting both sides.
+    *
+    * Caller contract: pick `cols` whose STRING rendering is canonical
+    * across the engines being compared (integers/strings are; raw
+    * doubles are not — round or format them first).
+    */
+  def groupChecksum(
+      df: DataFrame, groupCol: String, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one content column")
+    import graft.functions.TextFunctions
+    val canonical = concat_ws("|",
+      cols.map(c => coalesce(col(c).cast("string"), lit("\u0001"))): _*)
+    df.groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n_rows"),
+        pmod(sum(TextFunctions.md5Hash60(canonical).cast("decimal(38,0)")),
+          lit(2305843009213693951L)).cast("long").as("checksum"))
+  }
+
+  /** Reconcile two table snapshots by [[groupChecksum]]: full-outer
+    * join of the per-group fingerprints with a verdict per group —
+    * `match`, `count_mismatch`, `content_mismatch` (same count,
+    * different bytes), or `missing_in_left`/`missing_in_right`. The
+    * join runs on the group aggregates (one row per group), never on
+    * the data.
+    */
+  def checksumReconcile(
+      left: DataFrame, right: DataFrame, groupCol: String,
+      cols: Seq[String]): DataFrame = {
+    val a = groupChecksum(left, groupCol, cols)
+      .select(col("grp"), col("n_rows").as("n_left"),
+        col("checksum").as("checksum_left"))
+    val b = groupChecksum(right, groupCol, cols)
+      .select(col("grp"), col("n_rows").as("n_right"),
+        col("checksum").as("checksum_right"))
+    a.join(b, Seq("grp"), "full_outer")
+      .withColumn("status",
+        when(col("n_left").isNull, lit("missing_in_left"))
+          .when(col("n_right").isNull, lit("missing_in_right"))
+          .when(col("n_left") =!= col("n_right"), lit("count_mismatch"))
+          .when(col("checksum_left") =!= col("checksum_right"),
+            lit("content_mismatch"))
+          .otherwise(lit("match")))
+  }
+
   /** Mergeable partial-aggregate audit: summarize each shard
     * independently (count / exact decimal sum / min / max per key),
     * merge the shard summaries, and compare against the direct

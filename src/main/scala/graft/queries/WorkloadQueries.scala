@@ -949,8 +949,81 @@ object WorkloadQueries {
       FROM g, useg, ubal ORDER BY agree_seg, agree_bal
     """.trim))
 
+  /** Snapshot checksum reconciliation
+    * ([[ScaleAudit.checksumReconcile]]): orders vs a simulated
+    * migrated copy (1-in-997 keys dropped, 1-in-499 statuses
+    * corrupted, 1-in-1499 order dates shifted +100 years into
+    * months the source never had), grouped by order month. Each side
+    * reduces to one (count, 60-bit sum-checksum mod 2^61−1) row per
+    * month; the full-outer join runs on ~160 aggregate rows, never on
+    * the data — the reconciliation shape a 100 TB copy audit needs.
+    */
+  val q369ChecksumReconcile = HarnessQuery(
+    "q369_checksum_reconcile",
+    (spark, dir) => {
+      val left = Tables.orders(spark, dir)
+      val right = left
+        .where(pmod(col("o_orderkey"), lit(997L)) =!= 0L)
+        .withColumn("o_orderstatus",
+          when(pmod(col("o_orderkey"), lit(499L)) === 0L, lit("X"))
+            .otherwise(col("o_orderstatus")))
+        .withColumn("o_orderdate",
+          when(pmod(col("o_orderkey"), lit(1499L)) === 0L,
+            col("o_orderdate") + expr("INTERVAL 100 YEARS"))
+            .otherwise(col("o_orderdate")))
+      def withGrp(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("grp", date_format(col("o_orderdate"), "yyyy-MM"))
+      ScaleAudit.checksumReconcile(
+        withGrp(left), withGrp(right), "grp",
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+        .orderBy(col("grp"))
+    },
+    Some("""
+      WITH lf AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS grp,
+               o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+        FROM orders),
+      rt AS (
+        SELECT strftime(CASE WHEN o_orderkey % 1499 = 0
+                             THEN o_orderdate + INTERVAL 100 YEAR
+                             ELSE o_orderdate END, '%Y-%m') AS grp,
+               o_orderkey, o_custkey,
+               CASE WHEN o_orderkey % 499 = 0 THEN 'X'
+                    ELSE o_orderstatus END AS o_orderstatus,
+               o_orderpriority
+        FROM orders WHERE o_orderkey % 997 <> 0),
+      la AS (
+        SELECT grp, count(*) AS n_left,
+               CAST(sum(CAST(('0x' || substr(md5(
+                   coalesce(CAST(o_orderkey AS VARCHAR), chr(1)) || '|' ||
+                   coalesce(CAST(o_custkey AS VARCHAR), chr(1)) || '|' ||
+                   coalesce(o_orderstatus, chr(1)) || '|' ||
+                   coalesce(o_orderpriority, chr(1))), 1, 15)) AS BIGINT))
+                 % 2305843009213693951 AS BIGINT) AS checksum_left
+        FROM lf GROUP BY grp),
+      ra AS (
+        SELECT grp, count(*) AS n_right,
+               CAST(sum(CAST(('0x' || substr(md5(
+                   coalesce(CAST(o_orderkey AS VARCHAR), chr(1)) || '|' ||
+                   coalesce(CAST(o_custkey AS VARCHAR), chr(1)) || '|' ||
+                   coalesce(o_orderstatus, chr(1)) || '|' ||
+                   coalesce(o_orderpriority, chr(1))), 1, 15)) AS BIGINT))
+                 % 2305843009213693951 AS BIGINT) AS checksum_right
+        FROM rt GROUP BY grp)
+      SELECT coalesce(la.grp, ra.grp) AS grp,
+             n_left, checksum_left, n_right, checksum_right,
+             CASE WHEN n_left IS NULL THEN 'missing_in_left'
+                  WHEN n_right IS NULL THEN 'missing_in_right'
+                  WHEN n_left <> n_right THEN 'count_mismatch'
+                  WHEN checksum_left <> checksum_right
+                    THEN 'content_mismatch'
+                  ELSE 'match' END AS status
+      FROM la FULL OUTER JOIN ra ON la.grp = ra.grp
+      ORDER BY grp
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
-    q367FellegiSunter,
+    q367FellegiSunter, q369ChecksumReconcile,
     q188Rfm, q189Survival, q190Pmi, q191Chi2, q192Melt,
     q193SkewProfile, q194Zorder, q195Khop, q196Scd2, q197PathTrigrams,
     q198CumUsers, q199Wau, q200DegreeHist, q201PruneSim, q202RankNorm,

@@ -252,4 +252,33 @@ class WorkloadOpsSpec extends SparkSpec {
     assert(narrow.toSeq === ScaleAudit.planExportShards(df, "id", "sz",
       targetBytes = 10L).orderBy($"shard").collect().map(_.toSeq).toSeq)
   }
+
+  test("checksumReconcile: all five verdicts; order-independent; null-safe") {
+    val left = Seq(
+      ("g1", 1L, "a"), ("g1", 2L, "b"),      // match (right permutes order)
+      ("g2", 3L, "c"),                        // count_mismatch (right adds)
+      ("g3", 4L, "d"),                        // content_mismatch (value flips)
+      ("g4", 5L, "e"))                        // missing_in_right
+      .toDF("g", "id", "v")
+    val right = Seq(
+      ("g1", 2L, "b"), ("g1", 1L, "a"),
+      ("g2", 3L, "c"), ("g2", 9L, "z"),
+      ("g3", 4L, "D"),
+      ("g5", 6L, "f"))                        // missing_in_left
+      .toDF("g", "id", "v")
+    val got = ScaleAudit.checksumReconcile(left, right, "g", Seq("id", "v"))
+      .orderBy($"grp").collect()
+      .map(r => (r.getAs[String]("grp"), r.getAs[String]("status"))).toSeq
+    assert(got === Seq(
+      ("g1", "match"), ("g2", "count_mismatch"),
+      ("g3", "content_mismatch"), ("g4", "missing_in_right"),
+      ("g5", "missing_in_left")))
+    // null content is distinct from its sentinel-adjacent renderings:
+    // ("a", null) vs ("a", null-free "") must NOT collide
+    val l2 = Seq(("g", "a", null.asInstanceOf[String])).toDF("g", "x", "y")
+    val r2 = Seq(("g", "a", "")).toDF("g", "x", "y")
+    val st = ScaleAudit.checksumReconcile(l2, r2, "g", Seq("x", "y"))
+      .collect().map(_.getAs[String]("status")).toSeq
+    assert(st === Seq("content_mismatch"))
+  }
 }
