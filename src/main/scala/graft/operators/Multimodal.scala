@@ -358,13 +358,18 @@ object Multimodal {
               if (csize < 8) return UnknownMeta
               if (fourcc(bytes, q + 4) == "mvhd" && q + 32 <= end) {
                 val version = bytes(q + 8) & 0xFF
-                if (version == 1 && q + 8 + 32 <= end) {
-                  timescale = beInt(bytes, q + 8 + 20)
-                  durTicks = beLong(bytes, q + 8 + 24)
-                } else {
+                if (version == 1) {
+                  // a truncated v1 box keeps the unknown sentinel —
+                  // reading v0 offsets from a v1 layout would yield a
+                  // wrong timescale/duration, not a degraded one
+                  if (q + 8 + 32 <= end) {
+                    timescale = beInt(bytes, q + 8 + 20)
+                    durTicks = beLong(bytes, q + 8 + 24)
+                  }
+                } else if (version == 0) {
                   timescale = beInt(bytes, q + 8 + 12)
                   durTicks = beInt(bytes, q + 8 + 16) & 0xFFFFFFFFL
-                }
+                } // unknown versions keep the sentinel
               }
               q += csize
             }

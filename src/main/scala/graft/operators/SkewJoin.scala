@@ -73,15 +73,22 @@ object SkewJoin {
     * key type works against `DataFrameStatFunctions.bloomFilter`'s
     * UTF-8 string encoding.
     */
+  /** `expectedItems`: pass the small side's (approximate) distinct key
+    * count to size the filter without the extra `count()` job this
+    * method otherwise runs; any positive value works — it only tunes
+    * the filter's bit budget, never its correctness.
+    */
   def bloomPrunedJoin(
       big: DataFrame,
       small: DataFrame,
       keyCol: String,
-      fpp: Double = 0.01): DataFrame = {
+      fpp: Double = 0.01,
+      expectedItems: Long = -1L): DataFrame = {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
     val keys = small.select(col(keyCol).cast("string").as("__k"))
       .where(col("__k").isNotNull).distinct()
-    val expected = math.max(keys.count(), 1L)
+    val expected =
+      if (expectedItems > 0) expectedItems else math.max(keys.count(), 1L)
     val bloom = keys.stat.bloomFilter("__k", expected, fpp)
     val bytes = {
       val bos = new java.io.ByteArrayOutputStream()
@@ -92,15 +99,24 @@ object SkewJoin {
     // TextDedup.decontaminateBloom
     val fnName = "graft_bloom_might_contain_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    big.sparkSession.sessionState.functionRegistry
-      .createOrReplaceTempFunction(fnName,
-        exprs => graft.functions.BloomMightContainExpr(
-          scala.collection.immutable.ArraySeq.unsafeWrapArray(bytes),
-          exprs.head),
-        "scala_udf")
-    big
-      .filter(col(keyCol).isNotNull &&
-        call_function(fnName, col(keyCol).cast("string")))
-      .join(small, Seq(keyCol))
+    val registry = big.sparkSession.sessionState.functionRegistry
+    registry.createOrReplaceTempFunction(fnName,
+      exprs => graft.functions.BloomMightContainExpr(
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(bytes),
+        exprs.head),
+      "scala_udf")
+    try {
+      // Dataset construction analyzes eagerly, so the probe expression
+      // is already substituted into the analyzed plan by the time this
+      // returns — the temp function can be dropped immediately instead
+      // of accumulating one UUID-named entry per call
+      big
+        .filter(col(keyCol).isNotNull &&
+          call_function(fnName, col(keyCol).cast("string")))
+        .join(small, Seq(keyCol))
+    } finally {
+      registry.dropFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(fnName))
+    }
   }
 }

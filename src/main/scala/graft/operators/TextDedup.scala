@@ -437,16 +437,24 @@ object TextDedup {
     // prune shingles the verify join never gets to re-check
     val fnName = "graft_bloom_might_contain_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    corpus.sparkSession.sessionState.functionRegistry
-      .createOrReplaceTempFunction(fnName,
-        exprs => graft.functions.BloomMightContainExpr(
-          scala.collection.immutable.ArraySeq.unsafeWrapArray(bytes), exprs.head),
-        "scala_udf")
-    val pruned = shingleTable(corpus, textCol, idCol, n)
-      .filter(call_function(fnName, col("__s")))
-    val contaminated = pruned.join(broadcast(bs), Seq("__s"))
-      .select(col(idCol)).distinct()
-    corpus.join(contaminated, Seq(idCol), "left_anti")
+    val registry = corpus.sparkSession.sessionState.functionRegistry
+    registry.createOrReplaceTempFunction(fnName,
+      exprs => graft.functions.BloomMightContainExpr(
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(bytes), exprs.head),
+      "scala_udf")
+    try {
+      // eager Dataset analysis substitutes the probe expression into
+      // the plan here, so the per-call registry entry can be dropped
+      // before returning instead of accumulating forever
+      val pruned = shingleTable(corpus, textCol, idCol, n)
+        .filter(call_function(fnName, col("__s")))
+      val contaminated = pruned.join(broadcast(bs), Seq("__s"))
+        .select(col(idCol)).distinct()
+      corpus.join(contaminated, Seq(idCol), "left_anti")
+    } finally {
+      registry.dropFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(fnName))
+    }
   }
 
   /** Near-dedup: drop all but the lowest-id member of each near-dup
@@ -769,8 +777,13 @@ object TextDedup {
     * long as `h * 16384 + (16383 - pos)` so a plain numeric min gives
     * min-hash-then-rightmost without relying on struct ordering
     * semantics. Positions are therefore bounded at 16383 grams per
-    * document — chunk longer documents first
-    * ([[TextAnalysis.chunkTokens]]).
+    * document, and the gram sequence is CLAMPED at that bound: a
+    * longer document is fingerprinted over its first 16383 grams
+    * (a position past the bound would borrow into the hash bits and
+    * silently corrupt both fields). For full-document coverage of
+    * longer inputs, chunk first ([[TextAnalysis.chunkTokens]]) — the
+    * clamp keeps the exact-recall guarantee over the covered prefix
+    * instead of silently breaking it everywhere.
     *
     * Scale shape: the per-position gram hashes are built in ONE pure
     * Column pass (one md5 per gram — NOT one per window: an array-of-
@@ -789,7 +802,8 @@ object TextDedup {
     require(k >= 1, s"k must be >= 1, got $k")
     require(w >= 1, s"w must be >= 1, got $w")
     val toks = TextFunctions.tokens(col(textCol))
-    val m = size(toks) - (k - 1) // gram count
+    // gram count, clamped to the 14-bit position field (see scaladoc)
+    val m = least(size(toks) - (k - 1), lit(16383))
     val grams = when(m >= 1,
       transform(sequence(lit(1), m),
         i => conv(substring(md5(

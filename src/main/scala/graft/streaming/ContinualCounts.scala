@@ -73,6 +73,17 @@ object ContinualCounts {
   /** The streaming entry: `foreachBatch` merges each micro-batch's
     * pane into the accumulated sketch and hands the watchlist
     * estimates (with their `batch_id`) to `onBatch`.
+    *
+    * At-least-once guard: `foreachBatch` may re-deliver a batch id
+    * after a transient failure, and the cell-wise-sum merge is NOT
+    * idempotent — merging the same pane twice double-counts. The
+    * closure therefore tracks the last merged batch id and SKIPS any
+    * id it has already merged (the sink received that batch's
+    * estimates on the first delivery), keeping the accumulated state
+    * equal to the [[replayBatches]] fold. The state itself lives in
+    * this process — restart-survivable state would move the sketch
+    * into `flatMapGroupsWithState` under a checkpointLocation; this
+    * entry is the single-process serving shape.
     */
   def start(
       incoming: DataFrame,
@@ -81,18 +92,34 @@ object ContinualCounts {
       d: Int,
       w: Int,
       queryName: String = "continual_counts")(
-      onBatch: DataFrame => Unit): StreamingQuery = {
-    var sketch = emptySketch(incoming.sparkSession)
-    val fn: (DataFrame, Long) => Unit = { (batch, batchId) =>
-      val r = mergeAndProbe(sketch, batch, itemCol, watch, d, w)
-      sketch = r.sketch
-      onBatch(r.estimates.select(lit(batchId).as("batch_id"),
-        col(itemCol), col("cms_est")))
-    }
+      onBatch: DataFrame => Unit): StreamingQuery =
     incoming.writeStream
       .queryName(queryName)
-      .foreachBatch(fn)
+      .foreachBatch(batchStep(incoming.sparkSession, itemCol, watch,
+        d, w)(onBatch))
       .start()
+
+  /** The stateful `foreachBatch` step [[start]] installs — exposed at
+    * package scope so the at-least-once guard is directly testable
+    * (the spec re-delivers a batch id and asserts no double merge).
+    */
+  private[graft] def batchStep(
+      spark: org.apache.spark.sql.SparkSession,
+      itemCol: String,
+      watch: DataFrame,
+      d: Int,
+      w: Int)(
+      onBatch: DataFrame => Unit): (DataFrame, Long) => Unit = {
+    var sketch = emptySketch(spark)
+    var lastMerged = -1L
+    (batch, batchId) =>
+      if (batchId > lastMerged) {
+        val r = mergeAndProbe(sketch, batch, itemCol, watch, d, w)
+        sketch = r.sketch
+        lastMerged = batchId
+        onBatch(r.estimates.select(lit(batchId).as("batch_id"),
+          col(itemCol), col("cms_est")))
+      }
   }
 
   private def emptySketch(

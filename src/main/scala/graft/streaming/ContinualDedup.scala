@@ -91,6 +91,15 @@ object ContinualDedup {
     * corpus and hands the verdict frame (with its `batch_id`) to
     * `onBatch` — typically an append sink. State crosses triggers in
     * the materialized `corpus` var, exactly the [[replayBatches]] fold.
+    *
+    * At-least-once guard: `foreachBatch` may re-deliver a batch id
+    * after a transient failure, and appending a batch's survivors to
+    * the corpus twice is NOT idempotent (the second delivery would
+    * self-match against the first). The closure tracks the last
+    * appended batch id and SKIPS re-delivered ids, keeping the corpus
+    * equal to the [[replayBatches]] fold; restart-survivable state
+    * would move the corpus into a checkpointed state store — this
+    * entry is the single-process serving shape.
     */
   def start(
       incoming: DataFrame,
@@ -101,18 +110,35 @@ object ContinualDedup {
       threshold: Double,
       dim: Int = 64,
       queryName: String = "continual_semantic_dedup")(
-      onBatch: DataFrame => Unit): StreamingQuery = {
-    var corpus = Materialize.cut(corpus0.select(col(idCol), col(vecCol)))
-    val fn: (DataFrame, Long) => Unit = { (batch, batchId) =>
-      val r = checkAndAppend(corpus, batch, idCol, vecCol, centroids,
-        threshold, dim)
-      corpus = r.corpus
-      onBatch(r.checked.select(col(idCol), lit(batchId).as("batch_id"),
-        col("cell"), col("is_dup"), col("matched_id")))
-    }
+      onBatch: DataFrame => Unit): StreamingQuery =
     incoming.writeStream
       .queryName(queryName)
-      .foreachBatch(fn)
+      .foreachBatch(batchStep(corpus0, idCol, vecCol, centroids,
+        threshold, dim)(onBatch))
       .start()
+
+  /** The stateful `foreachBatch` step [[start]] installs — exposed at
+    * package scope so the at-least-once guard is directly testable
+    * (the spec re-delivers a batch id and asserts no double append).
+    */
+  private[graft] def batchStep(
+      corpus0: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      threshold: Double,
+      dim: Int)(
+      onBatch: DataFrame => Unit): (DataFrame, Long) => Unit = {
+    var corpus = Materialize.cut(corpus0.select(col(idCol), col(vecCol)))
+    var lastMerged = -1L
+    (batch, batchId) =>
+      if (batchId > lastMerged) {
+        val r = checkAndAppend(corpus, batch, idCol, vecCol, centroids,
+          threshold, dim)
+        corpus = r.corpus
+        lastMerged = batchId
+        onBatch(r.checked.select(col(idCol), lit(batchId).as("batch_id"),
+          col("cell"), col("is_dup"), col("matched_id")))
+      }
   }
 }

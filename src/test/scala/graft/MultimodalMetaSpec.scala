@@ -62,6 +62,24 @@ class MultimodalMetaSpec extends SparkSpec {
     assert(m === Multimodal.ContainerMeta("mp4", "mp42", -1, 0, 0, 2000L))
   }
 
+  test("MP4: a truncated v1 mvhd keeps the duration sentinel instead of " +
+    "misreading v0 offsets from the v1 layout") {
+    val bb = ByteBuffer.allocate(16 + 36).order(ByteOrder.BIG_ENDIAN)
+    bb.putInt(16).put("ftyp".getBytes("ISO-8859-1"))
+      .put("mp42".getBytes("ISO-8859-1")).putInt(0)
+    bb.putInt(36).put("moov".getBytes("ISO-8859-1"))
+    // mvhd declares version 1 but the box is only 28 bytes — too short
+    // for the 64-bit v1 fields. The bytes AT the v0 offsets are valid
+    // numbers, so a fallback v0 read would "succeed" with garbage.
+    bb.putInt(28).put("mvhd".getBytes("ISO-8859-1"))
+      .putInt(0x01000000) // version 1
+      .putInt(0).putInt(0)
+      .putInt(48000) // v0 timescale offset
+      .putInt(96000) // v0 duration offset
+    val m = Multimodal.parseContainerMeta(bb.array())
+    assert(m === Multimodal.ContainerMeta("mp4", "mp42", -1, 0, 0, -1L))
+  }
+
   test("garbage, truncated, and lying-size payloads yield the unknown " +
     "sentinel instead of throwing") {
     val unknown = Multimodal.ContainerMeta("unknown", "", -1, 0, 0, -1L)

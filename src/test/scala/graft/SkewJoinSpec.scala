@@ -72,4 +72,23 @@ class SkewJoinSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(executed.contains("graft_bloom_might_contain"))
   }
+
+  test("bloomPrunedJoin drops its per-call temp function and honors " +
+    "expectedItems") {
+    val big = (1 to 100).map(i => (i.toLong % 10, s"r$i")).toDF("k", "v")
+    val small = Seq((3L, "a"), (7L, "b")).toDF("k", "tag")
+    def bloomFns: Int = spark.sessionState.functionRegistry.listFunction()
+      .map(_.funcName).count(_.startsWith("graft_bloom_might_contain_"))
+    val before = bloomFns
+    val out = SkewJoin.bloomPrunedJoin(big, small, "k", 0.01,
+      expectedItems = 2L)
+    // registry is clean again — repeated calls no longer grow it
+    assert(bloomFns === before)
+    // ... but the probe expression is already bound into the plan
+    assert(out.queryExecution.analyzed.toString
+      .contains("graft_bloom_might_contain"))
+    val plain = big.join(small, Seq("k")).collect()
+      .map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(out.collect().map(_.toSeq).toSeq.sortBy(_.toString) === plain)
+  }
 }

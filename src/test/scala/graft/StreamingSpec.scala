@@ -425,4 +425,49 @@ class StreamingSpec extends SparkSpec {
       assert(est >= truth(b)(item), s"batch $b item $item")
     }
   }
+
+  test("continual counts: a re-delivered batch id is skipped, not " +
+    "merged twice (at-least-once foreachBatch)") {
+    import graft.streaming.ContinualCounts
+    val watch = Seq("a").toDF("item")
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val step = ContinualCounts.batchStep(spark, "item", watch, 4, 16) {
+      est => got ++= est.collect()
+        .map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("cms_est")))
+    }
+    val b0 = Seq("a", "a").toDF("item")
+    step(b0, 0L)
+    step(b0, 0L) // transient-failure re-delivery of the same id
+    step(Seq("a").toDF("item"), 1L)
+    // batch 0 reached the sink exactly once, and the post-batch-1
+    // estimate is 3 (2 + 1), not 5 — the pane was not merged twice
+    assert(got.count(_._1 == 0L) === 1)
+    assert(got.filter(_._1 == 1L).map(_._2) === Seq(3L))
+  }
+
+  test("continual dedup: a re-delivered batch id does not re-emit or " +
+    "re-append its survivors") {
+    import graft.streaming.ContinualDedup
+    val centroids = Seq((0, Seq(1.0, 0.0, 0.0, 0.0)),
+      (1, Seq(0.0, 1.0, 0.0, 0.0))).toDF("cell", "cvec")
+    val corpus0 = Seq((100L, Seq(1.0, 0.0, 0.0, 0.0)))
+      .toDF("id", "vec")
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Boolean, Any)]
+    val step = ContinualDedup.batchStep(corpus0, "id", "vec", centroids,
+      threshold = 0.8, dim = 4) { checked =>
+      got ++= checked.collect().map(r => (r.getAs[Long]("id"),
+        r.getAs[Long]("batch_id"), r.getAs[Boolean]("is_dup"),
+        r.getAs[Any]("matched_id")))
+    }
+    val b0 = Seq((2L, Seq(0.0, 0.0, 1.0, 0.2))).toDF("id", "vec")
+    step(b0, 0L)
+    step(b0, 0L) // re-delivery: survivor 2 must not re-enter the corpus
+    // batch 1: id 3 duplicates survivor 2 — matched exactly once,
+    // against the single appended copy
+    step(Seq((3L, Seq(0.01, 0.0, 1.0, 0.2))).toDF("id", "vec"), 1L)
+    assert(got.count(_._2 == 0L) === 1)
+    val v3 = got.filter(_._2 == 1L)
+    assert(v3.map(v => (v._1, v._3, v._4)) === Seq((3L, true, 2L)))
+  }
 }
