@@ -51,7 +51,11 @@ object UrlFunctions {
     array_join(array_sort(kept), "&")
   }
 
-  /** Full canonical URL (see object doc for the conventions). */
+  /** Full canonical URL (see object doc for the conventions). A value
+    * with no `scheme://` prefix is not a URL this canonicalizer can
+    * normalize — it yields NULL rather than a `'://…'` fragment, so
+    * malformed crawl records surface as nulls a pipeline can count.
+    */
   def canonicalizeUrl(url: Column): Column = {
     val sch = scheme(url)
     val h = regexp_replace(host(url), "^www\\.", "")
@@ -59,11 +63,11 @@ object UrlFunctions {
     val keepPort = prt =!= "" &&
       !((sch === "https" && prt === "443") || (sch === "http" && prt === "80"))
     val q = canonicalQuery(url)
-    concat(
+    when(sch === "", lit(null).cast("string")).otherwise(concat(
       sch, lit("://"), h,
       when(keepPort, concat(lit(":"), prt)).otherwise(lit("")),
       path(url),
-      when(q =!= "", concat(lit("?"), q)).otherwise(lit("")))
+      when(q =!= "", concat(lit("?"), q)).otherwise(lit(""))))
   }
 
   /** Registrable domain (eTLD+1) of a host, with a caller-supplied set

@@ -4259,7 +4259,110 @@ object LlmQueries {
       FROM s
     """.trim))
 
+  /** Crawl-URL canonicalization ([[graft.functions.UrlFunctions]]):
+    * URLs built deterministically from document rows (five shapes —
+    * uppercase www + default https port + tracking params + fragment;
+    * one-label host with default http port; userinfo + non-default
+    * port + gclid; uppercase scheme/host + fbclid/ref; co.uk suffix),
+    * canonicalized (lower scheme/host, www and default ports stripped,
+    * tracking params removed, params sorted, fragment dropped) and
+    * rolled up per (host, registrable domain). Everything is pure
+    * regex/array Column expressions, so the oracle replays the exact
+    * same extraction in DuckDB — the standard crawl-dedup key-building
+    * pass, oracled end to end.
+    */
+  val q370UrlCanonical = HarnessQuery(
+    "q370_url_canonical",
+    (spark, dir) => {
+      import graft.functions.UrlFunctions
+      val docs = Tables.documents(spark, dir)
+      val id = col("doc_id").cast("string")
+      val url = when(pmod(col("doc_id"), lit(5L)) === 0,
+          concat(lit("https://WWW."), col("source"),
+            lit(".example.com:443/a/"), id,
+            lit("?utm_source=news&b=2&a=1#frag")))
+        .when(pmod(col("doc_id"), lit(5L)) === 1,
+          concat(lit("http://localhost:80/item/"), id))
+        .when(pmod(col("doc_id"), lit(5L)) === 2,
+          concat(lit("https://user@"), col("source"),
+            lit(".example.com:8443/path/"), id, lit("?z=9&gclid=abc&a=2")))
+        .when(pmod(col("doc_id"), lit(5L)) === 3,
+          concat(lit("HTTP://"), col("source"),
+            lit(".Example.COM/x/y?fbclid=1&ref=aa&q="), id))
+        .otherwise(concat(lit("https://"), col("source"),
+          lit(".example.co.uk/deep/page")))
+      val host = UrlFunctions.host(col("__url"))
+      docs.withColumn("__url", url)
+        .select(host.as("host"),
+          UrlFunctions.registrableDomain(host, Seq("co.uk", "com.au"))
+            .as("domain"),
+          UrlFunctions.canonicalizeUrl(col("__url")).as("__c"))
+        .groupBy(col("host"), col("domain"))
+        .agg(count(lit(1)).as("n_urls"),
+          min(col("__c")).as("sample_canonical"))
+        .orderBy(col("host"), col("domain"))
+    },
+    Some("""
+      WITH u AS (
+        SELECT CASE CAST(doc_id % 5 AS INT)
+          WHEN 0 THEN 'https://WWW.' || source || '.example.com:443/a/'
+                   || doc_id || '?utm_source=news&b=2&a=1#frag'
+          WHEN 1 THEN 'http://localhost:80/item/' || doc_id
+          WHEN 2 THEN 'https://user@' || source || '.example.com:8443/path/'
+                   || doc_id || '?z=9&gclid=abc&a=2'
+          WHEN 3 THEN 'HTTP://' || source || '.Example.COM/x/y?fbclid=1&ref=aa&q='
+                   || doc_id
+          ELSE 'https://' || source || '.example.co.uk/deep/page' END AS url
+        FROM documents),
+      parts AS (
+        SELECT url,
+               lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+                 AS sch,
+               regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)
+                 AS auth,
+               regexp_extract(url,
+                 '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+               regexp_extract(url, '\?([^#]*)', 1) AS q
+        FROM u),
+      p2 AS (
+        SELECT url, sch,
+               lower(regexp_extract(auth, '(?:[^@]*@)?([^:]*)', 1)) AS host,
+               regexp_extract(auth, ':([0-9]+)$', 1) AS prt,
+               CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS pth,
+               array_to_string(list_sort(list_filter(string_split(q, '&'),
+                 p -> NOT (p = '' OR starts_with(p, 'utm_')
+                   OR starts_with(p, 'gclid=') OR starts_with(p, 'fbclid=')
+                   OR starts_with(p, 'ref=')))), '&') AS cq
+        FROM parts),
+      canon AS (
+        SELECT host,
+               CASE WHEN sch = '' THEN NULL ELSE
+                 sch || '://' || regexp_replace(host, '^www\.', '') ||
+                 CASE WHEN prt <> '' AND NOT ((sch = 'https' AND prt = '443')
+                        OR (sch = 'http' AND prt = '80'))
+                      THEN ':' || prt ELSE '' END ||
+                 pth ||
+                 CASE WHEN cq <> '' THEN '?' || cq ELSE '' END END AS c,
+               string_split(host, '.') AS labels
+        FROM p2),
+      dom AS (
+        SELECT host, c,
+               CASE WHEN len(labels) <= 1 THEN host
+                    WHEN len(labels) >= 3
+                     AND (labels[len(labels)-1] || '.' || labels[len(labels)])
+                         IN ('co.uk', 'com.au')
+                    THEN labels[len(labels)-2] || '.'
+                         || labels[len(labels)-1] || '.' || labels[len(labels)]
+                    ELSE labels[len(labels)-1] || '.' || labels[len(labels)]
+               END AS domain
+        FROM canon)
+      SELECT host, domain, CAST(count(*) AS BIGINT) AS n_urls,
+             min(c) AS sample_canonical
+      FROM dom GROUP BY 1, 2 ORDER BY 1, 2
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
+    q370UrlCanonical,
     q338Winnowing, q339WinnowOverlap, q348WinnowIncremental, q350LineDedup,
     q354TextRank, q356Waterfill, q362TokenizerFertility, q363HeapsFit,
     q210PhashClusters,
