@@ -464,6 +464,117 @@ object TextAnalysis {
           .as("n_bpe_tokens"))
   }
 
+  /** Character-level BPE apply with NO merge-count cap — the scale
+    * path past [[bpeEncode]]'s 64-literal limit: the rank-ordered
+    * merge table is bound once into a codegen'd
+    * [[graft.functions.BpeTokenCountExpr]] (reference-object array,
+    * compiled merge loop) instead of 64 chained replace literals.
+    * Bit-identical semantics to [[bpeEncode]] (spec-pinned); keep
+    * `bpeEncode` as the <= 64 fast path — at tiny table sizes the
+    * inlined literals stay fully inside whole-stage codegen.
+    * Output: (idCol, n_words, n_bpe_tokens), one narrow projection.
+    */
+  def bpeEncodeIndexed(
+      df: DataFrame, textCol: String, idCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty, "empty merge table")
+    applyBpeExpr(df, textCol, idCol,
+      merges.map { case (l, r) => s" $l $r " },
+      merges.map { case (l, r) => s" $l$r " },
+      wordLevel = false)
+  }
+
+  /** Word-level ("phrase") BPE apply: the document is ONE symbol
+    * sequence of whitespace tokens and each merge joins an adjacent
+    * symbol pair into a `left_right` phrase symbol — the
+    * phrase-mining/agglomeration shape, same machinery and the same
+    * rank-order non-overlapping-replace semantics as the character
+    * level. Output: (idCol, n_words, n_bpe_tokens <= n_words).
+    */
+  def bpePhraseEncode(
+      df: DataFrame, textCol: String, idCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty, "empty merge table")
+    applyBpeExpr(df, textCol, idCol,
+      merges.map { case (l, r) => s" $l $r " },
+      merges.map { case (l, r) => s" ${l}_$r " },
+      wordLevel = true)
+  }
+
+  private def applyBpeExpr(
+      df: DataFrame, textCol: String, idCol: String,
+      patterns: Seq[String], replacements: Seq[String],
+      wordLevel: Boolean): DataFrame = {
+    import scala.collection.immutable.ArraySeq
+    val pats = ArraySeq.unsafeWrapArray(patterns.toArray)
+    val reps = ArraySeq.unsafeWrapArray(replacements.toArray)
+    // per-call registry name, dropped after the eager analysis binds
+    // the expression into the plan (the bloomPrunedJoin discipline)
+    val fnName = "graft_bpe_token_count_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val registry = df.sparkSession.sessionState.functionRegistry
+    registry.createOrReplaceTempFunction(fnName,
+      exprs => graft.functions.BpeTokenCountExpr(pats, reps, wordLevel,
+        exprs.head),
+      "scala_udf")
+    try {
+      df.filter(col(textCol).isNotNull)
+        .select(col(idCol),
+          size(TextFunctions.tokens(col(textCol))).cast("long")
+            .as("n_words"),
+          call_function(fnName, col(textCol)).as("n_bpe_tokens"))
+    } finally {
+      registry.dropFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(fnName))
+    }
+  }
+
+  /** Frequency-ranked phrase merge table for [[bpePhraseEncode]] —
+    * the one-shot, fully-parallel alternative to [[bpeMerges]]'
+    * inherently sequential argmax loop, which is what makes merge
+    * tables PAST a few dozen ranks buildable at all: level 1 ranks
+    * every observed adjacent word pair by corpus frequency, level 2
+    * ranks every observed (`left_mid` phrase, right) extension after
+    * it; ties (count desc, left, right), truncated to `maxMerges`.
+    * Counts are raw corpus pair statistics (NOT recomputed between
+    * ranks — at thousands of ranks iterative retraining is a
+    * different algorithm; the bounded iterative half stays
+    * [[bpeMerges]]). The table is vocab²-bounded metadata, never
+    * corpus-sized; the global rank window sorts only that table.
+    * Output: (rank, merge_left, merge_right, pair_count).
+    */
+  def phraseMergeTable(
+      df: DataFrame, textCol: String, maxMerges: Int): DataFrame = {
+    require(maxMerges >= 1, s"maxMerges must be >= 1, got $maxMerges")
+    val base = df.filter(col(textCol).isNotNull)
+      .select(TextFunctions.tokens(col(textCol)).as("__t"))
+    val t = col("__t")
+    val big = base.where(size(t) >= 2)
+      .select(explode(zip_with(
+        slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+        (a, b) => struct(a.as("l"), b.as("r")))).as("__p"))
+      .groupBy(col("__p.l").as("merge_left"),
+        col("__p.r").as("merge_right"))
+      .agg(count(lit(1)).as("pair_count"))
+      .withColumn("__lvl", lit(1))
+    val tri = base.where(size(t) >= 3)
+      .select(explode(transform(sequence(lit(1), size(t) - 2),
+        i => struct(
+          concat(element_at(t, i), lit("_"), element_at(t, i + 1)).as("l"),
+          element_at(t, i + 2).as("r")))).as("__p"))
+      .groupBy(col("__p.l").as("merge_left"),
+        col("__p.r").as("merge_right"))
+      .agg(count(lit(1)).as("pair_count"))
+      .withColumn("__lvl", lit(2))
+    big.unionByName(tri)
+      .withColumn("rank", row_number().over(Window.orderBy(
+        col("__lvl"), col("pair_count").desc,
+        col("merge_left"), col("merge_right"))).cast("long"))
+      .filter(col("rank") <= maxMerges)
+      .select(col("rank"), col("merge_left"), col("merge_right"),
+        col("pair_count"))
+  }
+
   /** Flesch reading-ease per document (Flesch 1948), with the standard
     * programmatic syllable proxy: a syllable ≈ one [aeiouy]+ vowel
     * group per word (the approximation every readability library uses

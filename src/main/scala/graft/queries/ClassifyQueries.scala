@@ -1445,6 +1445,69 @@ object ClassifyQueries {
       FROM enc GROUP BY 1 ORDER BY doc_id
     """.trim))
 
+  /** BPE apply at REAL merge-table scale
+    * ([[TextAnalysis.bpePhraseEncode]], 1024 ranks — far past
+    * q333/bpeEncode's 64-literal cap): the merge table is the
+    * frequency-ranked phrase table ([[TextAnalysis.phraseMergeTable]]
+    * — every observed adjacent word pair, then every observed phrase
+    * extension; this corpus yields the full 1024 at every shipped SF),
+    * bound ONCE into the codegen'd
+    * [[graft.functions.BpeTokenCountExpr]] and applied to the whole
+    * corpus as one narrow shuffle-free projection — no driver loop,
+    * no 10s-of-MB literal tree. The oracle replays all 1024
+    * rank-ordered non-overlapping replaces per document via a bounded
+    * recursive CTE joined on rank — the q291 replay pattern at 340x
+    * the depth.
+    */
+  val q371BpePhrases = HarnessQuery(
+    "q371_bpe_phrases",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val merges = TextAnalysis.phraseMergeTable(docs, "text", 1024)
+        .orderBy(col("rank"))
+        .collect().toSeq // bounded: <= 1024 rows of trained metadata
+        .map(r => (r.getString(1), r.getString(2)))
+      TextAnalysis.bpePhraseEncode(docs, "text", "doc_id", merges)
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH RECURSIVE
+      tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+')
+                AS t
+              FROM documents WHERE text IS NOT NULL),
+      big AS (SELECT l, r, CAST(count(*) AS BIGINT) AS c, 1 AS lvl FROM (
+                SELECT unnest(t[1:len(t)-1]) AS l, unnest(t[2:len(t)]) AS r
+                FROM tok WHERE len(t) >= 2)
+              GROUP BY 1, 2),
+      tri AS (SELECT a || '_' || b AS l, cc AS r,
+                     CAST(count(*) AS BIGINT) AS c, 2 AS lvl FROM (
+                SELECT unnest(t[1:len(t)-2]) AS a,
+                       unnest(t[2:len(t)-1]) AS b,
+                       unnest(t[3:len(t)]) AS cc
+                FROM tok WHERE len(t) >= 3)
+              GROUP BY 1, 2),
+      mg AS (SELECT l, r,
+                    row_number() OVER (ORDER BY lvl, c DESC, l, r) AS rk
+             FROM (SELECT * FROM big UNION ALL SELECT * FROM tri)
+             QUALIFY rk <= 1024),
+      enc(doc_id, repr, rk) AS (
+        SELECT doc_id, ' ' || array_to_string(t, ' ') || ' ',
+               CAST(0 AS BIGINT)
+        FROM tok
+        UNION ALL
+        SELECT e.doc_id,
+               replace(e.repr, ' ' || m.l || ' ' || m.r || ' ',
+                               ' ' || m.l || '_' || m.r || ' '),
+               e.rk + 1
+        FROM enc e JOIN mg m ON m.rk = e.rk + 1),
+      fin AS (SELECT doc_id, repr FROM enc
+              WHERE rk = (SELECT max(rk) FROM mg))
+      SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_words,
+             CAST(len(regexp_split_to_array(trim(f.repr), ' ')) AS BIGINT)
+               AS n_bpe_tokens
+      FROM tok t JOIN fin f USING (doc_id) ORDER BY doc_id
+    """.trim))
+
   /** Effective sample size ([[Mixture.effectiveSampleSize]]) of
     * length-proportional document weights per source — the usability
     * check on any importance-weighted resample.
@@ -1515,5 +1578,5 @@ object ClassifyQueries {
     q279TCloseness, q280Silhouette, q281Ndcg, q282Rendezvous, q283EbShrink,
     q284Als, q285SentenceStats, q286Sortedness, q287Flesch, q288NbFeatures,
     q289BinaryIngest, q290PitEnrich, q291Bpe, q292BpeSymbols, q293Ess,
-    q294EmbeddingGeometry, q333BpeEncode)
+    q294EmbeddingGeometry, q333BpeEncode, q371BpePhrases)
 }

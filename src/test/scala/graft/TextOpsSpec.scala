@@ -628,6 +628,66 @@ class TextOpsSpec extends SparkSpec {
     assert(encoded === symbolMass)
   }
 
+  test("bpeEncodeIndexed: bit-identical to bpeEncode on the same merge " +
+    "table, and takes tables past the 64-literal cap") {
+    import spark.implicits._
+    val df = Seq((1L, "aaaa ab a"), (2L, "b AAAA"), (3L, null),
+      (4L, ""), (5L, "xyxy xyx")).toDF("doc_id", "text")
+    val merges = Seq(("a", "a"), ("aa", "a"), ("x", "y"), ("xy", "xy"))
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_words"), r.getAs[Long]("n_bpe_tokens"))).toMap
+    val fast = rows(TextAnalysis.bpeEncode(df, "text", "doc_id", merges))
+    val idx = rows(TextAnalysis.bpeEncodeIndexed(df, "text", "doc_id", merges))
+    assert(idx === fast)
+    // > 64 merges: the literal path rejects, the indexed path runs —
+    // inert extra merges must not change the answer
+    val big = merges ++ (1 to 70).map(i => (s"q$i", s"z$i"))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bpeEncode(df, "text", "doc_id", big)
+    }
+    assert(rows(TextAnalysis.bpeEncodeIndexed(df, "text", "doc_id", big))
+      === fast)
+    // registry hygiene: the per-call temp function is dropped
+    assert(spark.sessionState.functionRegistry.listFunction()
+      .map(_.funcName).count(_.startsWith("graft_bpe_token_count_")) === 0)
+  }
+
+  test("bpePhraseEncode: merges adjacent words in rank order; phrase " +
+    "extensions chain through the _ symbol") {
+    import spark.implicits._
+    // merges: (a,b) then (a_b,c): " a b c a b " -> " a_b c a_b "
+    // -> " a_b_c a_b " = 2 symbols
+    val df = Seq((1L, "a b c a b"), (2L, "c a"), (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpePhraseEncode(df, "text", "doc_id",
+      Seq(("a", "b"), ("a_b", "c"))).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_words"), r.getAs[Long]("n_bpe_tokens"))).toMap
+    assert(out(1L) === ((5L, 2L)))
+    assert(out(2L) === ((2L, 2L))) // no merge applies
+    assert(out(3L) === ((1L, 1L))) // empty text: one empty token
+  }
+
+  test("phraseMergeTable: level-1 pairs rank before level-2 " +
+    "extensions, counts weight repeats, truncation respects rank") {
+    import spark.implicits._
+    val df = Seq((1L, "a b a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    val all = TextAnalysis.phraseMergeTable(df, "text", 100).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getString(1), r.getString(2),
+        r.getAs[Long]("pair_count")))
+    // level 1: (a,b) x3, (b,a) x1, (b,c) x2; level 2 after
+    assert(all.take(3).toSeq === Seq((1L, "a", "b", 3L),
+      (2L, "b", "c", 2L), (3L, "b", "a", 1L)))
+    val lvl2 = all.drop(3)
+    assert(lvl2.forall(_._2.contains("_")))
+    assert(lvl2.map(t => (t._2, t._3)).toSet ===
+      Set(("a_b", "a"), ("a_b", "c"), ("b_a", "b")))
+    // (a_b, c) appears twice, ranks first within level 2
+    assert(all(3) === ((4L, "a_b", "c", 2L)))
+    val trunc = TextAnalysis.phraseMergeTable(df, "text", 2).collect()
+    assert(trunc.map(_.getAs[Long]("rank")).toSeq === Seq(1L, 2L))
+  }
+
   test("trigramBackoffLogProb: docs shorter than 3 tokens emit no rows " +
     "and counts weight repeated trigrams") {
     import spark.implicits._
@@ -666,6 +726,24 @@ class TextOpsSpec extends SparkSpec {
     val df1 = Seq((1L, (1 to 100).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
     val n = TextDedup.winnowFingerprints(df1, "text", "doc_id", k = 3, w = 4).count()
     assert(n >= 1 && n <= 95) // m = 98 grams, 95 windows
+  }
+
+  test("winnowing clamps at 16383 grams: a longer doc fingerprints its " +
+    "prefix exactly, no position underflow into the hash bits") {
+    // 16600 tokens, k=3 -> 16598 grams, clamped to 16383; the clamp
+    // must make the long doc IDENTICAL to a doc holding exactly the
+    // first 16383 grams (tokens 1..16385)
+    val longDoc = (1 to 16600).map(i => s"w${i % 997}").mkString(" ")
+    val prefDoc = (1 to 16385).map(i => s"w${i % 997}").mkString(" ")
+    val df = Seq((1L, longDoc), (2L, prefDoc)).toDF("doc_id", "text")
+    val fps = TextDedup.winnowFingerprints(df, "text", "doc_id", k = 3, w = 4)
+      .collect()
+    val d1 = fps.filter(_.getLong(0) == 1L)
+      .map(r => (r.getAs[Long]("pos"), r.getAs[Long]("fp"))).toSet
+    val d2 = fps.filter(_.getLong(0) == 2L)
+      .map(r => (r.getAs[Long]("pos"), r.getAs[Long]("fp"))).toSet
+    assert(d1 === d2)
+    assert(d1.forall { case (p, f) => p >= 1L && p <= 16383L && f >= 0L })
   }
 
   test("textRankKeywords ranks the co-occurrence hub first") {
