@@ -283,7 +283,7 @@ object SketchQueries {
              JOIN $prev cv ON cv.id = cd.id
              LEFT JOIN deg dv ON dv.u = cd.id
              JOIN tot_$nxt t ON t.c = cd.cand, m),
-      $nxt AS (SELECT cv.id,
+      $nxt AS MATERIALIZED (SELECT cv.id,
                CASE WHEN cv.id % 2 = $parity THEN w.cand ELSE cv.c END AS c
              FROM $prev cv JOIN (SELECT id, cand FROM (
                SELECT id, cand, row_number() OVER (PARTITION BY id
@@ -328,6 +328,199 @@ ${louvainRoundSql("c1", "c2", 1)},
 ${louvainRoundSql("c2", "c3", 0)},
 ${louvainRoundSql("c3", "c4", 1)}
       SELECT id AS doc_id, c AS community FROM c4 ORDER BY doc_id
+    """.trim))
+
+  /** One mutual-best community MERGE round over the coarse
+    * super-graph (ce/degb/m2 CTEs) — the
+    * [[Graphs.communityMergeRounds]] round: pair gains
+    * 4m·w − 2·tot_a·tot_b, rank-1 proposals per community (gain desc,
+    * pair-hash, partner), mutual pairs relabel larger -> smaller.
+    */
+  private def louvainMergeRoundSql(prev: String, nxt: String): String =
+    s"""      tot_$nxt AS MATERIALIZED (SELECT p.c, CAST(sum(coalesce(degb.deg, 0)) AS BIGINT) AS tot
+             FROM $prev p LEFT JOIN degb ON degb.sv = p.sv GROUP BY 1),
+      w_$nxt AS (SELECT least(a.c, b.c) AS pa, greatest(a.c, b.c) AS pb,
+                    CAST(sum(ce.w) AS BIGINT) AS w
+             FROM ce JOIN $prev a ON a.sv = ce.ea
+                     JOIN $prev b ON b.sv = ce.eb
+             WHERE a.c <> b.c GROUP BY 1, 2),
+      g_$nxt AS MATERIALIZED (SELECT pa, pb,
+                    4 * m2.m * w.w - 2 * ta.tot * tb.tot AS g,
+                    CAST(('0x' || substr(md5(CAST(pa AS VARCHAR) || '_'
+                      || CAST(pb AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+             FROM w_$nxt w
+             JOIN tot_$nxt ta ON ta.c = w.pa
+             JOIN tot_$nxt tb ON tb.c = w.pb, m2
+             WHERE 4 * m2.m * w.w - 2 * ta.tot * tb.tot > 0),
+      b_$nxt AS MATERIALIZED (SELECT src, dst FROM (
+               SELECT src, dst,
+                      row_number() OVER (PARTITION BY src
+                        ORDER BY g DESC, h, dst) AS r
+               FROM (SELECT pa AS src, pb AS dst, g, h FROM g_$nxt
+                     UNION ALL SELECT pb, pa, g, h FROM g_$nxt))
+             WHERE r = 1),
+      $nxt AS MATERIALIZED (SELECT p.sv, coalesce(mu.t, p.c) AS c
+             FROM $prev p LEFT JOIN (
+               SELECT x.src AS f, x.dst AS t
+               FROM b_$nxt x JOIN b_$nxt y
+                 ON y.src = x.dst AND y.dst = x.src
+               WHERE x.src > x.dst) mu ON mu.f = p.c)"""
+
+  /** One WEIGHTED Louvain ascent round over the coarse super-graph
+    * (und2/deg2/m2 CTEs): [[louvainRoundSql]]'s exact structure with
+    * edge weights summed into the per-candidate mass — the
+    * [[Graphs.louvainOneLevelWeighted]] round.
+    */
+  private def louvainWeightedRoundSql(
+      prev: String, nxt: String, parity: Int): String =
+    s"""      tot_$nxt AS (SELECT p.c, CAST(sum(coalesce(deg2.k, 0)) AS BIGINT) AS tot
+             FROM $prev p LEFT JOIN deg2 ON deg2.u = p.id GROUP BY 1),
+      kvc_$nxt AS (SELECT und2.u AS id, p.c AS cand,
+                    CAST(sum(und2.w) AS BIGINT) AS kvc
+             FROM und2 JOIN $prev p ON p.id = und2.v GROUP BY 1, 2),
+      cand_$nxt AS (SELECT id, cand, max(kvc) AS kvc FROM (
+               SELECT id, cand, kvc FROM kvc_$nxt
+               UNION ALL SELECT id, c, CAST(0 AS BIGINT) FROM $prev)
+             GROUP BY 1, 2),
+      sc_$nxt AS (SELECT cd.id, cd.cand,
+               2 * m2.m * cd.kvc
+                 - coalesce(dv.k, 0) * (t.tot - CASE WHEN cd.cand = cv.c
+                     THEN coalesce(dv.k, 0) ELSE 0 END) AS s
+             FROM cand_$nxt cd
+             JOIN $prev cv ON cv.id = cd.id
+             LEFT JOIN deg2 dv ON dv.u = cd.id
+             JOIN tot_$nxt t ON t.c = cd.cand, m2),
+      $nxt AS MATERIALIZED (SELECT cv.id,
+               CASE WHEN cv.id % 2 = $parity THEN w.cand ELSE cv.c END AS c
+             FROM $prev cv JOIN (SELECT id, cand FROM (
+               SELECT id, cand, row_number() OVER (PARTITION BY id
+                 ORDER BY s DESC, cand) AS r
+               FROM sc_$nxt) WHERE r = 1) w ON w.id = cv.id)"""
+
+  /** Weighted one-level Louvain ascent
+    * ([[Graphs.louvainOneLevelWeighted]], 2 parity-gated rounds) over
+    * the coarsened q335 community graph — the weighted-graph form of
+    * the ascent, driven on the natural weighted input this pipeline
+    * produces (super-vertices with self-loops carrying intra-community
+    * mass). The oracle replays level 1, the coarsening, and both
+    * weighted rounds including the self-loop degree convention
+    * (a self-loop counts twice in the degree, never in the
+    * into-community mass).
+    */
+  val q373WeightedLouvain = HarnessQuery(
+    "q373_weighted_louvain",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val pairs = TextDedup.minhashNearDupPairs(
+        docs, "text", "doc_id", hashFn = TextFunctions.fastHash)
+      val l1 = Graphs.louvainOneLevel(docs.select(col("doc_id")),
+        "doc_id", pairs, rounds = 4)
+      val coarse = Graphs.coarsenByCommunity(l1, "doc_id", "community",
+        pairs)
+      val sv = l1.select(col("community").as("super_vertex")).distinct()
+      Graphs.louvainOneLevelWeighted(sv, "super_vertex", coarse,
+          rounds = 2)
+        .orderBy(col("super_vertex"))
+    },
+    Some(s"""
+      WITH t AS MATERIALIZED (SELECT doc_id,
+                   list_distinct(list_transform(
+                     generate_series(1, len(regexp_split_to_array(trim(lower(text)), '\\s+')) - 2),
+                     i -> array_to_string((regexp_split_to_array(trim(lower(text)), '\\s+'))[i:i+2], ' ')))
+                     AS sh
+                 FROM documents),
+      pairs AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM t a, t b
+                WHERE a.doc_id < b.doc_id
+                  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+      und AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+      deg AS MATERIALIZED (SELECT u, CAST(count(*) AS BIGINT) AS k FROM und GROUP BY 1),
+      m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs),
+      c0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS c FROM documents),
+${louvainRoundSql("c0", "c1", 0)},
+${louvainRoundSql("c1", "c2", 1)},
+${louvainRoundSql("c2", "c3", 0)},
+${louvainRoundSql("c3", "c4", 1)},
+      ce AS MATERIALIZED (SELECT least(x.c, y.c) AS ea, greatest(x.c, y.c) AS eb,
+                    CAST(count(*) AS BIGINT) AS w
+             FROM pairs p
+             JOIN c4 x ON x.id = p.id_a
+             JOIN c4 y ON y.id = p.id_b
+             GROUP BY 1, 2),
+      und2 AS MATERIALIZED (SELECT ea AS u, eb AS v, w FROM ce WHERE ea <> eb
+               UNION ALL SELECT eb, ea, w FROM ce WHERE ea <> eb),
+      deg2 AS MATERIALIZED (SELECT u, CAST(sum(w) AS BIGINT) AS k FROM (
+                 SELECT u, w FROM und2
+                 UNION ALL SELECT ea, 2 * w FROM ce WHERE ea = eb)
+               GROUP BY 1),
+      m2 AS (SELECT CAST(sum(w) AS BIGINT) AS m FROM ce),
+      d0 AS MATERIALIZED (SELECT DISTINCT c AS id, c FROM c4),
+${louvainWeightedRoundSql("d0", "d1", 0)},
+${louvainWeightedRoundSql("d1", "d2", 1)}
+      SELECT id AS super_vertex, c AS community FROM d2 ORDER BY 1
+    """.trim))
+
+  /** Two-level Louvain ([[Graphs.louvainTwoLevel]]: 4 parity-gated
+    * rounds on the q316 near-dup graph, coarsen communities to
+    * weighted super-vertices, 2 mutual-best merge rounds on the
+    * coarse graph) — the level recursion that lets whole communities
+    * merge at once, with the coarse pass restricted to disjoint
+    * positive-gain mutual merges so Q never decreases. The oracle
+    * replays the ENTIRE pipeline: brute-force edges, all four level-1
+    * rounds, the coarsening aggregates, and both merge rounds
+    * including the gain/hash/partner proposal ranking.
+    */
+  val q372LouvainTwoLevel = HarnessQuery(
+    "q372_louvain_two_level",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val pairs = TextDedup.minhashNearDupPairs(
+        docs, "text", "doc_id", hashFn = TextFunctions.fastHash)
+      Graphs.louvainTwoLevel(docs.select(col("doc_id")), "doc_id",
+          pairs, rounds1 = 4, rounds2 = 2)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH t AS MATERIALIZED (SELECT doc_id,
+                   list_distinct(list_transform(
+                     generate_series(1, len(regexp_split_to_array(trim(lower(text)), '\\s+')) - 2),
+                     i -> array_to_string((regexp_split_to_array(trim(lower(text)), '\\s+'))[i:i+2], ' ')))
+                     AS sh
+                 FROM documents),
+      pairs AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM t a, t b
+                WHERE a.doc_id < b.doc_id
+                  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+      und AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+      deg AS MATERIALIZED (SELECT u, CAST(count(*) AS BIGINT) AS k FROM und GROUP BY 1),
+      m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs),
+      c0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS c FROM documents),
+${louvainRoundSql("c0", "c1", 0)},
+${louvainRoundSql("c1", "c2", 1)},
+${louvainRoundSql("c2", "c3", 0)},
+${louvainRoundSql("c3", "c4", 1)},
+      ce AS MATERIALIZED (SELECT least(x.c, y.c) AS ea, greatest(x.c, y.c) AS eb,
+                    CAST(count(*) AS BIGINT) AS w
+             FROM pairs p
+             JOIN c4 x ON x.id = p.id_a
+             JOIN c4 y ON y.id = p.id_b
+             GROUP BY 1, 2),
+      degb AS MATERIALIZED (SELECT sv, CAST(sum(d) AS BIGINT) AS deg FROM (
+                 SELECT ea AS sv,
+                        CASE WHEN ea = eb THEN 2 * w ELSE w END AS d
+                 FROM ce
+                 UNION ALL SELECT eb, w FROM ce WHERE ea <> eb)
+               GROUP BY 1),
+      m2 AS (SELECT CAST(sum(w) AS BIGINT) AS m FROM ce),
+      d0 AS MATERIALIZED (SELECT DISTINCT c AS sv, c FROM c4),
+${louvainMergeRoundSql("d0", "d1")},
+${louvainMergeRoundSql("d1", "d2")}
+      SELECT v.id AS doc_id, d2.c AS community
+      FROM c4 v JOIN d2 ON d2.sv = v.c ORDER BY doc_id
     """.trim))
 
   /** DBSCAN core points over the seeded 2-D projection of the
@@ -1610,5 +1803,6 @@ ${louvainRoundSql("c3", "c4", 1)}
     q317HoltTrend, q318DbscanCore, q319Sprt, q320Breakpoint,
     q321LooInfluence, q322IpwAte, q323RidgePath, q324HllSliding,
     q325PpsSample, q326AipwAte, q327Permutation, q328Cmh,
-    q329Wilcoxon, q330Kappa, q331Lorenz, q332Hhi, q335Louvain)
+    q329Wilcoxon, q330Kappa, q331Lorenz, q332Hhi, q335Louvain,
+    q372LouvainTwoLevel, q373WeightedLouvain)
 }

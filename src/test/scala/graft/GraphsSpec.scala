@@ -176,6 +176,81 @@ class GraphsSpec extends SparkSpec {
     assert(qLouvain > 0.0)
   }
 
+  test("louvainOneLevelWeighted: unit weights reproduce the unweighted " +
+    "pass; a heavy edge wins the move") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("id_a", "id_b")
+    val verts = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("id")
+    def comm(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getAs[Long]("community")).toMap
+    assert(comm(Graphs.louvainOneLevelWeighted(verts, "id",
+        edges.withColumn("weight", lit(1L)), rounds = 4))
+      === comm(Graphs.louvainOneLevel(verts, "id", edges, rounds = 4)))
+    // path 1-2-3: vertex 2 (parity round 1) follows the heavy side
+    val heavyLeft = Seq((1L, 2L, 10L), (2L, 3L, 1L))
+      .toDF("id_a", "id_b", "weight")
+    val p = Seq(1L, 2L, 3L).toDF("id")
+    assert(comm(Graphs.louvainOneLevelWeighted(p, "id", heavyLeft, 1))(2L)
+      === 1L)
+    val heavyRight = Seq((1L, 2L, 1L), (2L, 3L, 10L))
+      .toDF("id_a", "id_b", "weight")
+    assert(comm(Graphs.louvainOneLevelWeighted(p, "id", heavyRight, 1))(2L)
+      === 3L)
+  }
+
+  test("coarsenByCommunity: intra edges fold to self-loops, inter " +
+    "edges sum to weighted super-edges") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L), (2L, 5L)).toDF("id_a", "id_b")
+    val assign = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 4L), (5L, 4L), (6L, 4L)).toDF("id", "community")
+    val got = Graphs.coarsenByCommunity(assign, "id", "community", edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Long]("weight"))).toSet
+    assert(got === Set((1L, 1L, 3L), (4L, 4L, 3L), (1L, 4L, 2L)))
+  }
+
+  test("louvainTwoLevel: the coarse pass merges stuck communities, " +
+    "never loses modularity, and refines level 1") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // Ring of 10 triangles linked by single edges — the Fortunato &
+    // Barthelemy resolution-limit construction: m = 40, so with 10 >
+    // sqrt(2m) cliques the modularity OPTIMUM groups ADJACENT PAIRS
+    // of triangles (Q = 0.675) over single triangles (Q = 0.65), yet
+    // no single vertex profits from crossing a link — a one-level
+    // ascent is provably stuck at triangles. Only the coarse pass,
+    // where whole triangles move as one, reaches the pairing.
+    val edges = ((0 until 10).flatMap { i =>
+      val (a, b, c) = (3L * i + 1, 3L * i + 2, 3L * i + 3)
+      Seq((a, b), (a, c), (b, c), (c, (3L * (i + 1)) % 30 + 1))
+    }).map { case (x, y) => (math.min(x, y), math.max(x, y)) }
+      .toDF("id_a", "id_b")
+    val verts = (1L to 30L).toDF("id")
+    val l1 = Graphs.louvainOneLevel(verts, "id", edges, rounds = 4)
+    val l2 = Graphs.louvainTwoLevel(verts, "id", edges,
+      rounds1 = 4, rounds2 = 2)
+    def q(a: org.apache.spark.sql.DataFrame): Double =
+      Graphs.modularity(a, "id", "community", edges)
+        .head.getAs[Double]("q_modularity")
+    val (q1, q2) = (q(l1), q(l2))
+    assert(q2 >= q1)
+    assert(q2 > 0.0)
+    // refinement invariant: every level-1 community lands WHOLLY in
+    // one final community (level 2 merges, never splits)
+    val joined = l1.withColumnRenamed("community", "c1")
+      .join(l2.withColumnRenamed("community", "c2"), "id")
+    assert(joined.groupBy("c1")
+      .agg(countDistinct(col("c2")).as("k"))
+      .filter(col("k") > 1).count() === 0)
+    // and the coarse pass actually merged something on this fixture
+    assert(l2.select("community").distinct().count()
+      < l1.select("community").distinct().count())
+  }
+
   test("personalizedPageRank: mass stays near the seeds, unreachable gets 0") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
