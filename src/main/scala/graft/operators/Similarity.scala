@@ -711,6 +711,33 @@ object Similarity {
     rankTopK(scorePairs(pairs, corpus, queries, idCol, vecCol), k)
   }
 
+  /** Persist a trained ANN index — IVF centroids (`cell`, `cvec`) and
+    * PQ codebooks (`sub`, `code`, `cvec`) — as two parquet tables
+    * under `path`. A serving pipeline trains ONCE and persists; every
+    * query-time call then [[loadIndex]]es instead of re-deriving
+    * centroids/codebooks from the corpus. Floats/doubles round-trip
+    * parquet bit-exactly, so a search over the loaded index reproduces
+    * the freshly-built index answer EXACTLY (spec-pinned round trip;
+    * q374 reruns q118's oracle over a loaded index). The tables are
+    * nlist×dim and m×codes×subDim — metadata-sized at any corpus
+    * scale; the corpus itself is never written here.
+    */
+  def saveIndex(
+      centroids: DataFrame, codebooks: DataFrame, path: String): Unit = {
+    centroids.select(col("cell"), col("cvec"))
+      .write.mode("overwrite").parquet(path + "/centroids")
+    codebooks.select(col("sub"), col("code"), col("cvec"))
+      .write.mode("overwrite").parquet(path + "/codebooks")
+  }
+
+  /** Load a persisted ANN index: (centroids, codebooks). See
+    * [[saveIndex]].
+    */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(path + "/centroids"),
+      spark.read.parquet(path + "/codebooks"))
+
   /** Top-N centroid cells per row by exact cosine against an explicit
     * (`cell`, `cvec`) table (N=1: corpus assignment; N=nprobe: query
     * routing) — ONE code path for both sides of every IVF variant, so

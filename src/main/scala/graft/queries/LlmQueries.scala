@@ -1425,6 +1425,41 @@ object LlmQueries {
       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
     """.trim))
 
+  /** ANN index persistence ([[Similarity.saveIndex]]/`loadIndex`):
+    * q118's centroids and codebooks are written to parquet, loaded
+    * back, and the IVF-PQ search runs against the LOADED index — the
+    * train-once / serve-everywhere shape. The oracle is q118's
+    * VERBATIM (shared by reference): a persisted index must reproduce
+    * the freshly-built index bit-for-bit, which is exactly what
+    * float-exact parquet round-tripping guarantees.
+    */
+  val q374AnnPersisted = HarnessQuery(
+    "q374_ann_persisted",
+    (spark, dir) => {
+      val em = Tables.embeddings(spark, dir)
+      val centroids = em.filter(col("vec_id") >= 8 && col("vec_id") < 16)
+        .select((col("vec_id") - 8).cast("int").as("cell"),
+          col("embedding").as("cvec"))
+      val codebooks = em.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("code"),
+          explode(sequence(lit(0), lit(7))).as("sub"), col("embedding"))
+        .select(col("sub"), col("code"),
+          slice(col("embedding"), col("sub") * lit(8) + lit(1), lit(8))
+            .as("cvec"))
+      val path = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q374_index").getAbsolutePath
+      Similarity.saveIndex(centroids, codebooks, path)
+      val (loadedCentroids, loadedCodebooks) =
+        Similarity.loadIndex(spark, path)
+      Similarity.ivfPqSearchTopK(
+        em, em.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, centroids = loadedCentroids, nprobe = 4,
+        codebooks = loadedCodebooks, subDim = 8)
+        .withColumn("pq_dot", round(col("pq_dot"), 12))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    q118IvfPqTopK.oracle)
+
   /** CCNet-style interpolated bigram-LM perplexity
     * ([[TextAnalysis.bigramLogProb]]): the LM trains on a clean
     * reference slice (sources src0/src1) and every document is scored
@@ -4380,7 +4415,8 @@ object LlmQueries {
     q110SemanticDedup, q111ImportanceResample, q112IncrementalSemanticDedup,
     q334ContinualSemanticDedup,
     q113HardNegatives, q114ScrubDupSpans, q115NfcNormalize, q116PipelineV3,
-    q117PqTopK, q118IvfPqTopK, q119BigramPerplexity, q120BucketedBatches,
+    q117PqTopK, q118IvfPqTopK, q374AnnPersisted, q119BigramPerplexity,
+    q120BucketedBatches,
     q121TemperatureWeights, q122SourceDivergence, q123HashedTf,
     q125EventSequences, q126CrossSourceDups, q127DecaySample,
     q128KeywordTag, q129FoldLeakage, q130ZipfFit, q131LabelDisagreement,

@@ -126,6 +126,45 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq === Seq((10L, 2.0), (12L, 1.0), (11L, 0.0)))
   }
 
+  test("saveIndex/loadIndex: parquet round trip is exact and the " +
+    "loaded index reproduces the built-index search bit-for-bit") {
+    val em = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val centroids = em.filter($"vec_id" >= 8 && $"vec_id" < 16)
+      .select(($"vec_id" - 8).cast("int").as("cell"),
+        $"embedding".as("cvec"))
+    val codebooks = em.filter($"vec_id" < 8)
+      .select($"vec_id".cast("int").as("code"),
+        explode(sequence(lit(0), lit(7))).as("sub"), $"embedding")
+      .select($"sub", $"code",
+        slice($"embedding", $"sub" * lit(8) + lit(1), lit(8)).as("cvec"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ann_index").toString
+    Similarity.saveIndex(centroids, codebooks, path)
+    val (c2, cb2) = Similarity.loadIndex(spark, path)
+    // content round trip: names/types and every row identical
+    // (parquet widens non-null flags to nullable; values are what the
+    // search consumes)
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.schema.fields.map(f => (f.name, f.dataType)).toSeq
+    assert(shape(c2) === shape(centroids))
+    assert(shape(cb2) === shape(codebooks))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map {
+        case a: Seq[_] => a.toList
+        case x => x
+      }).toSet
+    assert(rows(c2) === rows(centroids))
+    assert(rows(cb2) === rows(codebooks))
+    // search equivalence: loaded index == built index, rank for rank
+    def search(c: org.apache.spark.sql.DataFrame,
+        cb: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfPqSearchTopK(em, em.filter($"vec_id" < 6), "vec_id",
+        "embedding", k = 3, centroids = c, nprobe = 2,
+        codebooks = cb, subDim = 8)
+        .orderBy($"query_id", $"rank").collect().map(_.toSeq).toSeq
+    assert(search(c2, cb2) === search(centroids, codebooks))
+  }
+
   test("PQ ANN on real embeddings: full code table, bounded codes, recall floor") {
     val em = Tables.embeddings(spark, "/root/testdata/sf0.001").cache()
     val codebooks = em.filter($"vec_id" < 8)
