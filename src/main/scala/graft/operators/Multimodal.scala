@@ -357,16 +357,19 @@ object Multimodal {
               val csize = beInt(bytes, q)
               if (csize < 8) return UnknownMeta
               if (fourcc(bytes, q + 4) == "mvhd" && q + 32 <= end) {
+                // bound reads by the mvhd box's OWN declared end — a
+                // truncated box must not read its sibling's bytes
+                val hEnd = math.min(end, q + csize)
                 val version = bytes(q + 8) & 0xFF
                 if (version == 1) {
                   // a truncated v1 box keeps the unknown sentinel —
                   // reading v0 offsets from a v1 layout would yield a
                   // wrong timescale/duration, not a degraded one
-                  if (q + 8 + 32 <= end) {
+                  if (q + 8 + 32 <= hEnd) {
                     timescale = beInt(bytes, q + 8 + 20)
                     durTicks = beLong(bytes, q + 8 + 24)
                   }
-                } else if (version == 0) {
+                } else if (version == 0 && q + 8 + 20 <= hEnd) {
                   timescale = beInt(bytes, q + 8 + 12)
                   durTicks = beInt(bytes, q + 8 + 16) & 0xFFFFFFFFL
                 } // unknown versions keep the sentinel
@@ -381,6 +384,121 @@ object Multimodal {
         ContainerMeta("mp4", brand, -1, 0, 0, dur)
       } else UnknownMeta
     } catch { case _: Throwable => UnknownMeta }
+  }
+
+  final case class TrackMeta(
+      track_idx: Int, timescale: Int, duration_ms: Long, codec: String)
+
+  final case class TrackMetaRow(
+      media_id: Long, track_idx: Int, timescale: Int, duration_ms: Long,
+      codec: String)
+
+  /** First child box of the given fourcc in [start, end), or -1. */
+  private def findBox(b: Array[Byte], start: Int, end: Int,
+      typ: String): Int = {
+    var p = start
+    while (p + 8 <= end) {
+      val size = beInt(b, p)
+      if (size < 8) return -1
+      if (fourcc(b, p + 4) == typ) return p
+      p += size
+    }
+    -1
+  }
+
+  /** Per-track MP4 metadata: walks `moov/trak/mdia/mdhd` for the
+    * per-track timescale/duration and `mdia/minf/stbl/stsd` for the
+    * first sample entry's codec fourcc — the fields an ingest
+    * pipeline actually filters on (is there an audio track? what
+    * codec? how long?). One row per `trak` box in file order; missing
+    * or truncated inner boxes degrade that row to sentinels
+    * (timescale −1, duration −1, codec "") with the same
+    * version-guard discipline as the movie-level parser: a truncated
+    * v1 mdhd keeps the sentinel, never a v0 misread. Non-MP4 and
+    * garbage payloads yield zero rows, never a throw.
+    */
+  def parseTrackMeta(bytes: Array[Byte]): Seq[TrackMeta] = {
+    if (bytes == null || bytes.length < 12) return Seq.empty
+    if (fourcc(bytes, 4) != "ftyp") return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[TrackMeta]
+    try {
+      var p = 0
+      while (p + 8 <= bytes.length) {
+        val size = beInt(bytes, p)
+        if (size < 8) return out.toSeq
+        if (fourcc(bytes, p + 4) == "moov") {
+          val end = math.min(bytes.length, p + size)
+          var q = p + 8
+          var idx = 0
+          while (q + 8 <= end) {
+            val cs = beInt(bytes, q)
+            if (cs < 8) return out.toSeq
+            if (fourcc(bytes, q + 4) == "trak") {
+              val tEnd = math.min(end, q + cs)
+              var ts = -1
+              var durMs = -1L
+              var codec = ""
+              val mdia = findBox(bytes, q + 8, tEnd, "mdia")
+              if (mdia >= 0) {
+                val mEnd = math.min(tEnd, mdia + beInt(bytes, mdia))
+                val mdhd = findBox(bytes, mdia + 8, mEnd, "mdhd")
+                if (mdhd >= 0) {
+                  var rawTs = 0
+                  var durTicks = -1L
+                  // bound reads by the mdhd box's OWN declared end —
+                  // the parent's end would let a truncated box read
+                  // its sibling's bytes as field values
+                  val hEnd = math.min(mEnd, mdhd + beInt(bytes, mdhd))
+                  val version = bytes(mdhd + 8) & 0xFF
+                  if (version == 1) {
+                    if (mdhd + 8 + 32 <= hEnd) {
+                      rawTs = beInt(bytes, mdhd + 8 + 20)
+                      durTicks = beLong(bytes, mdhd + 8 + 24)
+                    }
+                  } else if (version == 0 && mdhd + 8 + 20 <= hEnd) {
+                    rawTs = beInt(bytes, mdhd + 8 + 12)
+                    durTicks = beInt(bytes, mdhd + 8 + 16) & 0xFFFFFFFFL
+                  }
+                  if (rawTs > 0) ts = rawTs
+                  if (durTicks >= 0 && rawTs > 0)
+                    durMs = durTicks * 1000L / rawTs
+                }
+                val minf = findBox(bytes, mdia + 8, mEnd, "minf")
+                if (minf >= 0) {
+                  val iEnd = math.min(mEnd, minf + beInt(bytes, minf))
+                  val stbl = findBox(bytes, minf + 8, iEnd, "stbl")
+                  if (stbl >= 0) {
+                    val sEnd = math.min(iEnd, stbl + beInt(bytes, stbl))
+                    val stsd = findBox(bytes, stbl + 8, sEnd, "stsd")
+                    if (stsd >= 0 && stsd + 24 <= sEnd &&
+                        beInt(bytes, stsd + 12) >= 1)
+                      codec = fourcc(bytes, stsd + 20)
+                  }
+                }
+              }
+              out += TrackMeta(idx, ts, durMs, codec)
+              idx += 1
+            }
+            q += cs
+          }
+        }
+        p += size
+      }
+      out.toSeq
+    } catch { case _: Throwable => out.toSeq }
+  }
+
+  /** Per-track metadata over a media Dataset — the track-level
+    * companion to [[containerMeta]]; same partition-batched map, only
+    * fixed-size rows travel onward.
+    */
+  def trackMeta(ds: Dataset[MediaRow]): Dataset[TrackMetaRow] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap { r =>
+      parseTrackMeta(r.media).map(t =>
+        TrackMetaRow(r.media_id, t.track_idx, t.timescale, t.duration_ms,
+          t.codec))
+    })
   }
 
   /** Header metadata over a media Dataset — one partition-batched map;
@@ -439,6 +557,56 @@ object Multimodal {
       .putInt(0).putInt(0).putInt(0x40000000)
     (0 until 6).foreach(_ => bb.putInt(0)) // pre_defined
     bb.putInt(2) // next_track_id
+    bb.array()
+  }
+
+  /** Deterministic multi-track MP4 fixture: ftyp + moov{mvhd v0,
+    * trak{mdia{mdhd v0, minf{stbl{stsd{one 16-byte sample entry}}}}}
+    * per track}. Exercises [[parseTrackMeta]]'s real nested-box
+    * offsets; the oracle recomputes the duration arithmetic from the
+    * same parameters. `tracks`: (timescale, durationTicks, codec
+    * fourcc) per track, in file order.
+    */
+  def mp4BytesWithTracks(brand: String, timescale: Int,
+      durationTicks: Long, tracks: Seq[(Int, Long, String)]): Array[Byte] = {
+    require(brand.length == 4, "brand is a fourcc")
+    tracks.foreach(t => require(t._3.length == 4, "codec is a fourcc"))
+    val trakSize = 96 // 8 + mdia(88 = 8 + mdhd(32) + minf(48))
+    val moovSize = 8 + 108 + trakSize * tracks.size
+    val bb = java.nio.ByteBuffer.allocate(16 + moovSize)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.putInt(16).put("ftyp".getBytes("ISO-8859-1"))
+      .put(brand.getBytes("ISO-8859-1")).putInt(0)
+    bb.putInt(moovSize).put("moov".getBytes("ISO-8859-1"))
+    bb.putInt(108).put("mvhd".getBytes("ISO-8859-1"))
+      .putInt(0) // version 0 + flags
+      .putInt(0).putInt(0) // creation, modification
+      .putInt(timescale).putInt(durationTicks.toInt)
+      .putInt(0x00010000).putShort(0x0100.toShort).putShort(0.toShort)
+      .putInt(0).putInt(0) // reserved
+    bb.putInt(0x00010000).putInt(0).putInt(0)
+      .putInt(0).putInt(0x00010000).putInt(0)
+      .putInt(0).putInt(0).putInt(0x40000000) // identity matrix
+    (0 until 6).foreach(_ => bb.putInt(0)) // pre_defined
+    bb.putInt(tracks.size + 1) // next_track_id
+    tracks.foreach { case (ts, dur, codec) =>
+      bb.putInt(96).put("trak".getBytes("ISO-8859-1"))
+      bb.putInt(88).put("mdia".getBytes("ISO-8859-1"))
+      bb.putInt(32).put("mdhd".getBytes("ISO-8859-1"))
+        .putInt(0) // version 0 + flags
+        .putInt(0).putInt(0) // creation, modification
+        .putInt(ts).putInt(dur.toInt)
+        .putShort(0x55C4.toShort) // language ("und")
+        .putShort(0.toShort) // pre_defined
+      bb.putInt(48).put("minf".getBytes("ISO-8859-1"))
+      bb.putInt(40).put("stbl".getBytes("ISO-8859-1"))
+      bb.putInt(32).put("stsd".getBytes("ISO-8859-1"))
+        .putInt(0) // version 0 + flags
+        .putInt(1) // entry_count
+      bb.putInt(16).put(codec.getBytes("ISO-8859-1"))
+        .putShort(0.toShort).putInt(0) // 6 reserved bytes
+        .putShort(1.toShort) // data_reference_index
+    }
     bb.array()
   }
 

@@ -564,6 +564,56 @@ object LlmQueries {
       ORDER BY media_id
     """.trim))
 
+  /** Per-track MP4 metadata ([[Multimodal.parseTrackMeta]]): REAL
+    * nested-box walking — `moov/trak/mdia/mdhd` for per-track
+    * timescale/duration, `mdia/minf/stbl/stsd` for the codec fourcc —
+    * over two-track fixtures (video avc1 @ 90 kHz + audio mp4a @
+    * 48 kHz, durations parameterized per region row) plus a garbage
+    * payload that must yield zero rows. The oracle recomputes the
+    * tick→ms arithmetic from the same parameters.
+    */
+  val q375Mp4Tracks = HarnessQuery(
+    "q375_mp4_tracks",
+    (spark, dir) => {
+      import spark.implicits._
+      val mp4s = Tables.region(spark, dir)
+        .select(col("r_regionkey").cast("long").as("id")).as[Long]
+        .map { k =>
+          val n = k.toInt
+          Multimodal.MediaRow(3000L + k,
+            Multimodal.mp4BytesWithTracks("isom", 1000, 60000L,
+              Seq((90000, 90000L * (3 + n), "avc1"),
+                (48000, 48000L * (3 + n) + 7L, "mp4a"))),
+            "video/mp4", -1, -1)
+        }
+      val junk = Tables.region(spark, dir)
+        .filter(col("r_regionkey") === 0)
+        .select(col("r_regionkey").cast("long").as("id")).as[Long]
+        .map(_ => Multimodal.MediaRow(4000L,
+          "definitely not an mp4 container".getBytes("ISO-8859-1"),
+          "text/plain", -1, -1))
+      Multimodal.trackMeta(mp4s.union(junk)).toDF()
+        .orderBy(col("media_id"), col("track_idx"))
+    },
+    Some("""
+      WITH v AS (SELECT CAST(3000 + r_regionkey AS BIGINT) AS media_id,
+                        r_regionkey AS k
+                 FROM region),
+      t AS (
+        SELECT media_id, CAST(0 AS INT) AS track_idx,
+               CAST(90000 AS INT) AS timescale,
+               CAST(90000 * (3 + k) * 1000 // 90000 AS BIGINT)
+                 AS duration_ms,
+               'avc1' AS codec
+        FROM v
+        UNION ALL
+        SELECT media_id, CAST(1 AS INT), CAST(48000 AS INT),
+               CAST((48000 * (3 + k) + 7) * 1000 // 48000 AS BIGINT),
+               'mp4a'
+        FROM v)
+      SELECT * FROM t ORDER BY media_id, track_idx
+    """.trim))
+
   /** TF-IDF: top-3 terms per document (doc_id < 20) by weight, exact.
     * Cross-engine parity: tf and idf are double expressions over exact
     * integer counts — identical operands, identical results; weight
@@ -4404,7 +4454,7 @@ object LlmQueries {
     q50TextStats, q51TokenCount, q52LangQuality, q53Fingerprint,
     q54Shingles, q55MinhashPairs, q56ExactDedup, q57SimhashPairs,
     q58CosineTopK, q59AnnLsh, q60CosineNearDup, q61Multimodal,
-    q336MediaMeta, q62IvfAnn,
+    q336MediaMeta, q375Mp4Tracks, q62IvfAnn,
     q63SimhashSig, q64Tfidf, q65MinhashDedup, q66FrameSample, q67Bm25,
     q68LabelCentroid, q69Boilerplate, q70Redact, q71Chunk, q72Vocab,
     q73Fuzzy, q74DedupClusters, q75IncrementalDedup, q76DocPipeline,

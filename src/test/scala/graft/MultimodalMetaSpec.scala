@@ -80,6 +80,38 @@ class MultimodalMetaSpec extends SparkSpec {
     assert(m === Multimodal.ContainerMeta("mp4", "mp42", -1, 0, 0, -1L))
   }
 
+  test("parseTrackMeta: two-track fixture parses timescale/duration/" +
+    "codec per track in file order; movie-level parse still works") {
+    val b = Multimodal.mp4BytesWithTracks("isom", 1000, 5000L,
+      Seq((90000, 270000L, "avc1"), (48000, 144007L, "mp4a")))
+    val tracks = Multimodal.parseTrackMeta(b)
+    assert(tracks === Seq(
+      Multimodal.TrackMeta(0, 90000, 3000L, "avc1"),
+      Multimodal.TrackMeta(1, 48000, 144007L * 1000L / 48000L, "mp4a")))
+    // trak boxes do not confuse the movie-level mvhd walk
+    val m = Multimodal.parseContainerMeta(b)
+    assert(m === Multimodal.ContainerMeta("mp4", "isom", -1, 0, 0, 5000L))
+  }
+
+  test("parseTrackMeta: non-MP4 and garbage yield zero rows; a " +
+    "truncated v1 mdhd degrades that track to sentinels, codec intact") {
+    assert(Multimodal.parseTrackMeta(null) === Seq.empty)
+    assert(Multimodal.parseTrackMeta(
+      Multimodal.wavBytes(8000, 1, 16, 10)) === Seq.empty)
+    assert(Multimodal.parseTrackMeta(
+      "random junk bytes here".getBytes("ISO-8859-1")) === Seq.empty)
+    // flip the first track's mdhd version byte to 1: the 24-byte v0
+    // payload is too short for v1's 64-bit fields -> sentinels, but
+    // the stsd codec below it still parses
+    val b = Multimodal.mp4BytesWithTracks("isom", 1000, 5000L,
+      Seq((90000, 270000L, "avc1")))
+    // mdhd version byte: ftyp(16) + moov hdr(8) + mvhd(108) +
+    // trak hdr(8) + mdia hdr(8) + mdhd hdr(8) = offset 156
+    b(156) = 1.toByte
+    assert(Multimodal.parseTrackMeta(b) ===
+      Seq(Multimodal.TrackMeta(0, -1, -1L, "avc1")))
+  }
+
   test("garbage, truncated, and lying-size payloads yield the unknown " +
     "sentinel instead of throwing") {
     val unknown = Multimodal.ContainerMeta("unknown", "", -1, 0, 0, -1L)
