@@ -752,6 +752,52 @@ object Graphs {
       .select(col(idCol), col("community"))
   }
 
+  /** Weighted Newman modularity of a vertex partition over a weighted
+    * undirected edge list (`id_a`, `id_b`, `weight` — each edge once,
+    * self-loops allowed): Q = (4m·Σw_c − Σd_c²)/4m² with m = total
+    * edge weight, w_c = intra-community weight (self-loops count
+    * fully), d_c = weighted degree mass (self-loops count twice) —
+    * the same all-integer rearrangement as [[modularity]], so the
+    * score reduces exactly and replays cross-engine. The defining
+    * invariant (spec-pinned): scoring a partition of a
+    * [[coarsenByCommunity]] super-graph equals scoring the expanded
+    * partition on the ORIGINAL graph — coarsening is Q-lossless,
+    * which is exactly why multi-level Louvain may optimize at the
+    * coarse level at all. Output mirrors [[modularity]]:
+    * (n_clusters, m_weight, intra_weight, q_modularity).
+    */
+  def modularityWeighted(
+      assign: DataFrame, idCol: String, clusterCol: String,
+      edges: DataFrame): DataFrame = {
+    val labeled = edges.select(col("id_a"), col("id_b"), col("weight"))
+      .join(assign.select(col(idCol).as("id_a"),
+        col(clusterCol).as("__ca")), Seq("id_a"))
+      .join(assign.select(col(idCol).as("id_b"),
+        col(clusterCol).as("__cb")), Seq("id_b"))
+    val counts = labeled.agg(
+      sum(col("weight")).cast("long").as("m_weight"),
+      sum(when(col("__ca") === col("__cb"), col("weight"))
+        .otherwise(lit(0L))).cast("long").as("intra_weight"))
+    val deg = labeled
+      .select(col("__ca").as("__c"),
+        when(col("id_a") === col("id_b"), col("weight") * 2)
+          .otherwise(col("weight")).cast("long").as("__d"))
+      .unionAll(labeled.filter(col("id_a") =!= col("id_b"))
+        .select(col("__cb").as("__c"), col("weight").cast("long").as("__d")))
+      .groupBy(col("__c")).agg(sum(col("__d")).cast("long").as("__dc"))
+    val degSq = deg.agg(sum(col("__dc") * col("__dc")).cast("long")
+      .as("__deg_sq"))
+    val nClusters = assign.agg(
+      countDistinct(col(clusterCol)).as("n_clusters"))
+    counts.crossJoin(broadcast(degSq)).crossJoin(broadcast(nClusters))
+      .select(col("n_clusters"), col("m_weight"), col("intra_weight"),
+        (floor((lit(4L) * col("m_weight") * col("intra_weight")
+            - col("__deg_sq")).cast("double")
+          / (lit(4.0) * col("m_weight").cast("double")
+            * col("m_weight").cast("double")) * 1e9) / 1e9)
+          .as("q_modularity"))
+  }
+
   /** Newman modularity of a given vertex partition over an undirected
     * edge list — the quality score for ANY clustering the pipeline
     * produced (connected components, label propagation, embedding

@@ -459,8 +459,82 @@ object AnalyticsQueries {
       ORDER BY channel
     """.trim))
 
+  /** Benford first-digit audit ([[graft.operators.Forensics
+    * .benfordDigitAudit]]) of event amounts per event type — the
+    * unsupervised fraud screen: observed leading-digit counts vs
+    * Benford's log10(1+1/d) with the per-group chi-square. Digits are
+    * read from the integer-cents string (scale-invariant, no
+    * double-log digit extraction to wobble cross-engine); the
+    * chi-square accumulates its nine terms in DECIMAL.
+    */
+  val q379Benford = HarnessQuery(
+    "q379_benford",
+    (spark, dir) =>
+      graft.operators.Forensics.benfordDigitAudit(
+        Tables.events(spark, dir), "event_type", "value")
+        .orderBy(col("event_type"), col("digit")),
+    Some("""
+      WITH base AS (
+        SELECT event_type,
+               CAST(substr(CAST(CAST(round(value * 100) AS BIGINT)
+                 AS VARCHAR), 1, 1) AS INT) AS digit
+        FROM events WHERE value IS NOT NULL AND value > 0),
+      obs AS (SELECT event_type, digit, CAST(count(*) AS BIGINT) AS n_obs
+              FROM base GROUP BY 1, 2),
+      tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+              FROM base GROUP BY 1),
+      frame0 AS (
+        SELECT t.event_type, t.n, CAST(d.d AS INT) AS digit
+        FROM tot t, generate_series(1, 9) d(d)),
+      frame AS (
+        SELECT f.event_type, f.digit, f.n,
+               coalesce(o.n_obs, 0) AS n_obs,
+               ln((CAST(f.digit AS DOUBLE) + 1.0) / f.digit) / ln(10.0) AS p
+        FROM frame0 f
+        LEFT JOIN obs o ON o.event_type = f.event_type
+                       AND o.digit = f.digit),
+      terms AS (
+        SELECT event_type, digit, n_obs,
+               floor(p * 1e12) / 1e12 AS benford_p,
+               CAST((CAST(n_obs AS DOUBLE) - n * p)
+                    * (CAST(n_obs AS DOUBLE) - n * p) / (n * p)
+                 AS DECIMAL(30,15)) AS term
+        FROM frame)
+      SELECT event_type, digit, n_obs, benford_p,
+             floor(CAST(sum(term) OVER (PARTITION BY event_type)
+               AS DOUBLE) * 1e6) / 1e6 AS chi2
+      FROM terms ORDER BY event_type, digit
+    """.trim))
+
+  /** Round-amount bias ([[graft.operators.Forensics.roundAmountBias]])
+    * per event type: shares of exact whole-unit and ten-unit amounts —
+    * all-integer counts, one final floored division.
+    */
+  val q380RoundAmounts = HarnessQuery(
+    "q380_round_amounts",
+    (spark, dir) =>
+      graft.operators.Forensics.roundAmountBias(
+        Tables.events(spark, dir), "event_type", "value")
+        .orderBy(col("event_type")),
+    Some("""
+      WITH base AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+        FROM events WHERE value IS NOT NULL AND value > 0)
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_amounts,
+             CAST(sum(CASE WHEN c % 100 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_whole,
+             CAST(sum(CASE WHEN c % 1000 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_tens,
+             floor(CAST(sum(CASE WHEN c % 100 = 0 THEN 1 ELSE 0 END)
+               AS DOUBLE) / count(*) * 1e9) / 1e9 AS whole_share,
+             floor(CAST(sum(CASE WHEN c % 1000 = 0 THEN 1 ELSE 0 END)
+               AS DOUBLE) / count(*) * 1e9) / 1e9 AS tens_share
+      FROM base GROUP BY 1 ORDER BY 1
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q168CohortRetention, q169Funnel, q170Attribution, q171PercentileBands,
     q172Twap, q177Entropy, q243Gini, q251Ols, q257WeightedMedian,
-    q262Hill, q263Cvar, q357PositionAttribution, q368Shapley)
+    q262Hill, q263Cvar, q357PositionAttribution, q368Shapley,
+    q379Benford, q380RoundAmounts)
 }

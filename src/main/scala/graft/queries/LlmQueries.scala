@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Curriculum, Mixture, Multimodal, Selection, Sessions, Similarity, TextAnalysis, TextDedup}
+import graft.operators.{Crawl, Curriculum, Mixture, Multimodal, Selection, Sessions, Similarity, TextAnalysis, TextDedup}
 import graft.sources.Tables
 
 /** M7: LLM-training-data operators over `documents` / `embeddings` —
@@ -4446,8 +4446,167 @@ object LlmQueries {
       FROM dom GROUP BY 1, 2 ORDER BY 1, 2
     """.trim))
 
+  /** The q370 URL construction, shared by the crawl-frontier queries. */
+  private def crawlUrl = {
+    val id = col("doc_id").cast("string")
+    when(pmod(col("doc_id"), lit(5L)) === 0,
+        concat(lit("https://WWW."), col("source"),
+          lit(".example.com:443/a/"), id,
+          lit("?utm_source=news&b=2&a=1#frag")))
+      .when(pmod(col("doc_id"), lit(5L)) === 1,
+        concat(lit("http://localhost:80/item/"), id))
+      .when(pmod(col("doc_id"), lit(5L)) === 2,
+        concat(lit("https://user@"), col("source"),
+          lit(".example.com:8443/path/"), id, lit("?z=9&gclid=abc&a=2")))
+      .when(pmod(col("doc_id"), lit(5L)) === 3,
+        concat(lit("HTTP://"), col("source"),
+          lit(".Example.COM/x/y?fbclid=1&ref=aa&q="), id))
+      .otherwise(concat(lit("https://"), col("source"),
+        lit(".example.co.uk/deep/page")))
+  }
+
+  private val crawlUrlSql = """
+        SELECT doc_id, CASE CAST(doc_id % 5 AS INT)
+          WHEN 0 THEN 'https://WWW.' || source || '.example.com:443/a/'
+                   || doc_id || '?utm_source=news&b=2&a=1#frag'
+          WHEN 1 THEN 'http://localhost:80/item/' || doc_id
+          WHEN 2 THEN 'https://user@' || source || '.example.com:8443/path/'
+                   || doc_id || '?z=9&gclid=abc&a=2'
+          WHEN 3 THEN 'HTTP://' || source || '.Example.COM/x/y?fbclid=1&ref=aa&q='
+                   || doc_id
+          ELSE 'https://' || source || '.example.co.uk/deep/page' END AS url
+        FROM documents"""
+
+  /** Robots-style longest-prefix fetch decisions
+    * ([[Crawl.robotsDecision]]) over the q370 URL corpus: per-host
+    * rule tables built from the data's own sources exercise every
+    * match shape — a longer allow overriding a shorter disallow
+    * (`/path/1` over `/path/`), a same-length allow/disallow tie
+    * (allow wins, the robots convention), a plain disallow
+    * (`localhost/item/`), and hosts with no rules (default allow).
+    * The oracle replays host/path extraction, the prefix join, and
+    * the (length desc, allow desc) rank in SQL.
+    */
+  val q377RobotsDecision = HarnessQuery(
+    "q377_robots_decision",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val srcs = docs.select(col("source")).distinct()
+      def rule(host: org.apache.spark.sql.Column, prefix: String,
+          allow: Boolean) =
+        srcs.select(host.as("host"), lit(prefix).as("prefix"),
+          lit(allow).as("allow"))
+      val com = concat(col("source"), lit(".example.com"))
+      val couk = concat(col("source"), lit(".example.co.uk"))
+      val rules = rule(com, "/path/", allow = false)
+        .unionByName(rule(com, "/path/1", allow = true))
+        .unionByName(rule(couk, "/deep/page", allow = false))
+        .unionByName(rule(couk, "/deep/page", allow = true))
+        .unionByName(spark.range(1).select(lit("localhost").as("host"),
+          lit("/item/").as("prefix"), lit(false).as("allow")))
+      Crawl.robotsDecision(docs.withColumn("__url", crawlUrl),
+          "doc_id", "__url", rules)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH u AS ($crawlUrlSql),
+      parts AS (
+        SELECT doc_id,
+               lower(regexp_extract(
+                 regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+                 '(?:[^@]*@)?([^:]*)', 1)) AS host,
+               CASE WHEN regexp_extract(url,
+                 '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) = ''
+                 THEN '/' ELSE regexp_extract(url,
+                 '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) END AS path
+        FROM u),
+      srcs AS (SELECT DISTINCT source FROM documents),
+      rules AS (
+        SELECT source || '.example.com' AS host, '/path/' AS prefix,
+               false AS allow FROM srcs
+        UNION ALL SELECT source || '.example.com', '/path/1', true FROM srcs
+        UNION ALL SELECT source || '.example.co.uk', '/deep/page', false
+          FROM srcs
+        UNION ALL SELECT source || '.example.co.uk', '/deep/page', true
+          FROM srcs
+        UNION ALL SELECT 'localhost', '/item/', false),
+      joined AS (
+        SELECT p.doc_id, p.host, p.path, r.prefix, r.allow
+        FROM parts p LEFT JOIN rules r
+          ON r.host = p.host AND starts_with(p.path, r.prefix)),
+      ranked AS (
+        SELECT doc_id, host, path, prefix, allow,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY len(prefix) DESC, allow DESC) AS rk
+        FROM joined)
+      SELECT doc_id, host, path,
+             coalesce(prefix, '') AS matched_prefix,
+             coalesce(allow, true) AS allow
+      FROM ranked WHERE rk = 1 ORDER BY doc_id
+    """.trim))
+
+  /** Per-host politeness schedule ([[Crawl.frontierSchedule]]) over
+    * the robots-allowed frontier: within each host URLs fetch in id
+    * order, one per second — per-host windows only, no global
+    * ordering, the shape a sharded fetcher needs.
+    */
+  val q378FrontierSchedule = HarnessQuery(
+    "q378_frontier_schedule",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val srcs = docs.select(col("source")).distinct()
+      val com = concat(col("source"), lit(".example.com"))
+      val rules = srcs.select(com.as("host"), lit("/path/").as("prefix"),
+          lit(false).as("allow"))
+        .unionByName(spark.range(1).select(lit("localhost").as("host"),
+          lit("/item/").as("prefix"), lit(false).as("allow")))
+      val allowed = Crawl.robotsDecision(
+          docs.withColumn("__url", crawlUrl), "doc_id", "__url", rules)
+        .filter(col("allow"))
+      Crawl.frontierSchedule(allowed, "doc_id", "host", delayMs = 1000L)
+        .orderBy(col("host"), col("host_rank"))
+    },
+    Some(s"""
+      WITH u AS ($crawlUrlSql),
+      parts AS (
+        SELECT doc_id,
+               lower(regexp_extract(
+                 regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+                 '(?:[^@]*@)?([^:]*)', 1)) AS host,
+               CASE WHEN regexp_extract(url,
+                 '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) = ''
+                 THEN '/' ELSE regexp_extract(url,
+                 '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) END AS path
+        FROM u),
+      srcs AS (SELECT DISTINCT source FROM documents),
+      rules AS (
+        SELECT source || '.example.com' AS host, '/path/' AS prefix,
+               false AS allow FROM srcs
+        UNION ALL SELECT 'localhost', '/item/', false),
+      joined AS (
+        SELECT p.doc_id, p.host, r.prefix, r.allow
+        FROM parts p LEFT JOIN rules r
+          ON r.host = p.host AND starts_with(p.path, r.prefix)),
+      ranked AS (
+        SELECT doc_id, host, allow,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY len(prefix) DESC, allow DESC) AS rk
+        FROM joined),
+      allowed AS (
+        SELECT doc_id, host FROM ranked
+        WHERE rk = 1 AND coalesce(allow, true)),
+      sched AS (
+        SELECT doc_id, host,
+               CAST(row_number() OVER (PARTITION BY host ORDER BY doc_id)
+                 AS BIGINT) AS host_rank
+        FROM allowed)
+      SELECT doc_id, host, host_rank,
+             (host_rank - 1) * 1000 AS fetch_offset_ms
+      FROM sched ORDER BY host, host_rank
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
-    q370UrlCanonical,
+    q370UrlCanonical, q377RobotsDecision, q378FrontierSchedule,
     q338Winnowing, q339WinnowOverlap, q348WinnowIncremental, q350LineDedup,
     q354TextRank, q356Waterfill, q362TokenizerFertility, q363HeapsFit,
     q210PhashClusters,

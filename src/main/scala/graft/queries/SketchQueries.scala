@@ -366,6 +366,90 @@ ${louvainRoundSql("c3", "c4", 1)}
                  ON y.src = x.dst AND y.dst = x.src
                WHERE x.src > x.dst) mu ON mu.f = p.c)"""
 
+  /** Weighted modularity of the two-level partition scored ON THE
+    * COARSE GRAPH ([[Graphs.modularityWeighted]]): coarsening is
+    * Q-lossless (self-loops carry intra mass fully, degrees double
+    * it), so this score EQUALS the original-graph modularity of the
+    * expanded partition — the invariant that justifies optimizing at
+    * the coarse level, spec-pinned and here oracle-replayed end to
+    * end (level 1, coarsening, both merge rounds, the weighted
+    * score).
+    */
+  val q376CoarseModularity = HarnessQuery(
+    "q376_coarse_modularity",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val pairs = TextDedup.minhashNearDupPairs(
+        docs, "text", "doc_id", hashFn = TextFunctions.fastHash)
+      val l1 = Graphs.louvainOneLevel(docs.select(col("doc_id")),
+        "doc_id", pairs, rounds = 4)
+      val coarse = Graphs.coarsenByCommunity(l1, "doc_id", "community",
+        pairs)
+      val merged = Graphs.communityMergeRounds(
+        l1.select(col("community")).distinct(), "community", coarse,
+        rounds = 2)
+      Graphs.modularityWeighted(merged, "sv", "community", coarse)
+    },
+    Some(s"""
+      WITH t AS MATERIALIZED (SELECT doc_id,
+                   list_distinct(list_transform(
+                     generate_series(1, len(regexp_split_to_array(trim(lower(text)), '\\s+')) - 2),
+                     i -> array_to_string((regexp_split_to_array(trim(lower(text)), '\\s+'))[i:i+2], ' ')))
+                     AS sh
+                 FROM documents),
+      pairs AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM t a, t b
+                WHERE a.doc_id < b.doc_id
+                  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+      und AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+      deg AS MATERIALIZED (SELECT u, CAST(count(*) AS BIGINT) AS k FROM und GROUP BY 1),
+      m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs),
+      c0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS c FROM documents),
+${louvainRoundSql("c0", "c1", 0)},
+${louvainRoundSql("c1", "c2", 1)},
+${louvainRoundSql("c2", "c3", 0)},
+${louvainRoundSql("c3", "c4", 1)},
+      ce AS MATERIALIZED (SELECT least(x.c, y.c) AS ea, greatest(x.c, y.c) AS eb,
+                    CAST(count(*) AS BIGINT) AS w
+             FROM pairs p
+             JOIN c4 x ON x.id = p.id_a
+             JOIN c4 y ON y.id = p.id_b
+             GROUP BY 1, 2),
+      degb AS MATERIALIZED (SELECT sv, CAST(sum(d) AS BIGINT) AS deg FROM (
+                 SELECT ea AS sv,
+                        CASE WHEN ea = eb THEN 2 * w ELSE w END AS d
+                 FROM ce
+                 UNION ALL SELECT eb, w FROM ce WHERE ea <> eb)
+               GROUP BY 1),
+      m2 AS (SELECT CAST(sum(w) AS BIGINT) AS m FROM ce),
+      d0 AS MATERIALIZED (SELECT DISTINCT c AS sv, c FROM c4),
+${louvainMergeRoundSql("d0", "d1")},
+${louvainMergeRoundSql("d1", "d2")},
+      lab AS (SELECT ce.ea, ce.eb, ce.w, a.c AS ca, b.c AS cb
+              FROM ce JOIN d2 a ON a.sv = ce.ea
+                      JOIN d2 b ON b.sv = ce.eb),
+      c1m AS (SELECT CAST(sum(w) AS BIGINT) AS m_weight,
+                     CAST(sum(CASE WHEN ca = cb THEN w ELSE 0 END)
+                       AS BIGINT) AS intra_weight
+              FROM lab),
+      dgc AS (SELECT c, CAST(sum(d) AS BIGINT) AS dc FROM (
+                SELECT ca AS c,
+                       CASE WHEN ea = eb THEN 2 * w ELSE w END AS d
+                FROM lab
+                UNION ALL SELECT cb, w FROM lab WHERE ea <> eb)
+              GROUP BY 1),
+      c2m AS (SELECT CAST(sum(dc * dc) AS BIGINT) AS deg_sq FROM dgc),
+      c3m AS (SELECT CAST(count(DISTINCT c) AS BIGINT) AS n_clusters
+              FROM d2)
+      SELECT n_clusters, m_weight, intra_weight,
+             floor(CAST(4 * m_weight * intra_weight - deg_sq AS DOUBLE)
+               / (CAST(4 AS DOUBLE) * CAST(m_weight AS DOUBLE)
+                 * CAST(m_weight AS DOUBLE)) * 1e9) / 1e9 AS q_modularity
+      FROM c1m, c2m, c3m
+    """.trim))
+
   /** One WEIGHTED Louvain ascent round over the coarse super-graph
     * (und2/deg2/m2 CTEs): [[louvainRoundSql]]'s exact structure with
     * edge weights summed into the per-candidate mass — the
@@ -1804,5 +1888,5 @@ ${louvainMergeRoundSql("d1", "d2")}
     q321LooInfluence, q322IpwAte, q323RidgePath, q324HllSliding,
     q325PpsSample, q326AipwAte, q327Permutation, q328Cmh,
     q329Wilcoxon, q330Kappa, q331Lorenz, q332Hhi, q335Louvain,
-    q372LouvainTwoLevel, q373WeightedLouvain)
+    q372LouvainTwoLevel, q373WeightedLouvain, q376CoarseModularity)
 }

@@ -251,6 +251,44 @@ class GraphsSpec extends SparkSpec {
       < l1.select("community").distinct().count())
   }
 
+  test("modularityWeighted: unit weights reproduce modularity, and " +
+    "coarsening is Q-lossless for the same partition") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("id_a", "id_b")
+    val assign = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 4L), (5L, 4L), (6L, 4L)).toDF("id", "community")
+    val plain = Graphs.modularity(assign, "id", "community", edges)
+      .collect().head
+    val unit = Graphs.modularityWeighted(assign, "id", "community",
+        edges.withColumn("weight", lit(1L)))
+      .collect().head
+    assert(unit.getAs[Long]("m_weight") === plain.getAs[Long]("m_edges"))
+    assert(unit.getAs[Long]("intra_weight")
+      === plain.getAs[Long]("intra_edges"))
+    assert(unit.getAs[Double]("q_modularity")
+      === plain.getAs[Double]("q_modularity"))
+    // Q-lossless coarsening: score the SAME partition on the coarse
+    // graph (self-loops carry intra mass) — identical Q
+    val coarse = Graphs.coarsenByCommunity(assign, "id", "community", edges)
+    val ident = Seq((1L, 1L), (4L, 4L)).toDF("sv", "community")
+    val onCoarse = Graphs.modularityWeighted(ident, "sv", "community",
+      coarse).collect().head
+    assert(onCoarse.getAs[Double]("q_modularity")
+      === plain.getAs[Double]("q_modularity"))
+    assert(onCoarse.getAs[Long]("m_weight")
+      === plain.getAs[Long]("m_edges"))
+    // and for a MERGED partition of the coarse graph vs the expanded
+    // partition on the original graph
+    val mergedCoarse = Seq((1L, 1L), (4L, 1L)).toDF("sv", "community")
+    val expanded = assign.withColumn("community", lit(1L))
+    assert(Graphs.modularityWeighted(mergedCoarse, "sv", "community",
+        coarse).collect().head.getAs[Double]("q_modularity")
+      === Graphs.modularity(expanded, "id", "community", edges)
+        .collect().head.getAs[Double]("q_modularity"))
+  }
+
   test("personalizedPageRank: mass stays near the seeds, unreachable gets 0") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
