@@ -67,6 +67,44 @@ object Association {
         sum(col("mi_contrib").cast("decimal(38,12)")).cast("double")
           .as("mi_nats"))
 
+  /** Normalized mutual information NMI(A;B) = I(A;B) / √(H(A)·H(B)) —
+    * the standard clustering-vs-ground-truth agreement score (how
+    * much does a community/cluster assignment tell you about a known
+    * label, normalized off both side's entropies). Every count is
+    * integer, every per-cell/per-class term is rounded at 12 (the ln
+    * cross-engine contract) and accumulated in DECIMAL exactly like
+    * [[mutualInformation]], and the one final normalization is a
+    * fixed-form double expression floored at 1e-9. NMI is NULL when
+    * either side has a single class (zero entropy — the score is
+    * undefined, not 0 or 1). Output one row: (n, n_a_classes,
+    * n_b_classes, mi_nats, h_a, h_b, nmi).
+    */
+  def normalizedMutualInformation(
+      df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val mi = mutualInformation(df, aCol, bCol)
+      .select(col("n"), col("mi_nats"))
+    def entropy(cCol: String, nName: String, hName: String): DataFrame = {
+      val m = df.groupBy(col(cCol)).agg(count(lit(1)).as("__m"))
+      val tot = df.agg(count(lit(1)).as("__nt"))
+      m.crossJoin(broadcast(tot))
+        .select(round(
+          col("__m").cast("double") / col("__nt").cast("double")
+            * log(col("__nt").cast("double") / col("__m").cast("double")),
+          12).cast("decimal(38,12)").as("__h"))
+        .agg(count(lit(1)).cast("long").as(nName),
+          sum(col("__h")).cast("double").as(hName))
+    }
+    mi.crossJoin(broadcast(entropy(aCol, "n_a_classes", "h_a")))
+      .crossJoin(broadcast(entropy(bCol, "n_b_classes", "h_b")))
+      .select(col("n"), col("n_a_classes"), col("n_b_classes"),
+        round(col("mi_nats"), 12).as("mi_nats"),
+        round(col("h_a"), 12).as("h_a"),
+        round(col("h_b"), 12).as("h_b"),
+        when(col("h_a") > 0 && col("h_b") > 0,
+          floor(col("mi_nats") / sqrt(col("h_a") * col("h_b")) * 1e9)
+            / 1e9).as("nmi"))
+  }
+
   /** Market-basket association: for each unordered item pair, the
     * co-basket count and the LIFT n_ab·N/(n_a·n_b) (N = baskets;
     * lift > 1 = bought together more than independence predicts),

@@ -3,8 +3,8 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Components, Density, Experiment, Graphs, LinAlg,
-  RankStats, Resample, Sketches, TextDedup, TimeSeries}
+import graft.operators.{Association, Components, Density, Experiment,
+  Graphs, LinAlg, RankStats, Resample, Sketches, TextDedup, TimeSeries}
 import graft.sources.Tables
 
 /** Round-7 estimator additions: HyperLogLog cardinality sketching with
@@ -448,6 +448,86 @@ ${louvainMergeRoundSql("d1", "d2")},
                / (CAST(4 AS DOUBLE) * CAST(m_weight AS DOUBLE)
                  * CAST(m_weight AS DOUBLE)) * 1e9) / 1e9 AS q_modularity
       FROM c1m, c2m, c3m
+    """.trim))
+
+  /** Cluster-vs-source agreement
+    * ([[Association.normalizedMutualInformation]]): NMI between the
+    * Louvain near-dup communities and the documents' source labels —
+    * the standard external-validity score for any clustering the
+    * pipeline produces. The oracle replays all four Louvain rounds,
+    * the contingency counts, the rounded-at-12 decimal-accumulated
+    * MI/entropy sums, and the floored normalization.
+    */
+  val q381ClusterNmi = HarnessQuery(
+    "q381_cluster_nmi",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val pairs = TextDedup.minhashNearDupPairs(
+        docs, "text", "doc_id", hashFn = TextFunctions.fastHash)
+      val comm = Graphs.louvainOneLevel(docs.select(col("doc_id")),
+        "doc_id", pairs, rounds = 4)
+      Association.normalizedMutualInformation(
+        comm.join(docs.select(col("doc_id"), col("source")),
+          Seq("doc_id")),
+        "community", "source")
+    },
+    Some(s"""
+      WITH t AS MATERIALIZED (SELECT doc_id,
+                   list_distinct(list_transform(
+                     generate_series(1, len(regexp_split_to_array(trim(lower(text)), '\\s+')) - 2),
+                     i -> array_to_string((regexp_split_to_array(trim(lower(text)), '\\s+'))[i:i+2], ' ')))
+                     AS sh
+                 FROM documents),
+      pairs AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM t a, t b
+                WHERE a.doc_id < b.doc_id
+                  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+      und AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+      deg AS MATERIALIZED (SELECT u, CAST(count(*) AS BIGINT) AS k FROM und GROUP BY 1),
+      m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs),
+      c0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS c FROM documents),
+${louvainRoundSql("c0", "c1", 0)},
+${louvainRoundSql("c1", "c2", 1)},
+${louvainRoundSql("c2", "c3", 0)},
+${louvainRoundSql("c3", "c4", 1)},
+      pr AS MATERIALIZED (SELECT c4.c AS community, d.source
+              FROM c4 JOIN documents d ON d.doc_id = c4.id),
+      ab AS MATERIALIZED (SELECT community, source, count(*) AS n_ab
+             FROM pr GROUP BY 1, 2),
+      ma AS (SELECT community, CAST(sum(n_ab) AS BIGINT) AS n_a
+             FROM ab GROUP BY 1),
+      mb AS (SELECT source, CAST(sum(n_ab) AS BIGINT) AS n_b
+             FROM ab GROUP BY 1),
+      tt AS (SELECT CAST(sum(n_ab) AS BIGINT) AS n FROM ab),
+      mic AS (
+        SELECT round(CAST(n_ab AS DOUBLE) / CAST(n AS DOUBLE)
+                 * ln(CAST(n_ab AS DOUBLE) * CAST(n AS DOUBLE)
+                      / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))), 12)
+                 AS mc
+        FROM ab JOIN ma USING (community) JOIN mb USING (source), tt),
+      mi AS (SELECT CAST(sum(CAST(mc AS DECIMAL(38,12))) AS DOUBLE)
+               AS mi_raw FROM mic),
+      ea AS (SELECT CAST(count(*) AS BIGINT) AS n_a_classes,
+                    CAST(sum(CAST(round(CAST(n_a AS DOUBLE)
+                      / CAST(tt.n AS DOUBLE)
+                      * ln(CAST(tt.n AS DOUBLE) / CAST(n_a AS DOUBLE)), 12)
+                      AS DECIMAL(38,12))) AS DOUBLE) AS ha
+             FROM ma, tt),
+      eb AS (SELECT CAST(count(*) AS BIGINT) AS n_b_classes,
+                    CAST(sum(CAST(round(CAST(n_b AS DOUBLE)
+                      / CAST(tt.n AS DOUBLE)
+                      * ln(CAST(tt.n AS DOUBLE) / CAST(n_b AS DOUBLE)), 12)
+                      AS DECIMAL(38,12))) AS DOUBLE) AS hb
+             FROM mb, tt)
+      SELECT tt.n, ea.n_a_classes, eb.n_b_classes,
+             round(mi.mi_raw, 12) AS mi_nats,
+             round(ea.ha, 12) AS h_a, round(eb.hb, 12) AS h_b,
+             CASE WHEN ea.ha > 0 AND eb.hb > 0
+                  THEN floor(mi.mi_raw / sqrt(ea.ha * eb.hb) * 1e9) / 1e9
+             END AS nmi
+      FROM tt, mi, ea, eb
     """.trim))
 
   /** One WEIGHTED Louvain ascent round over the coarse super-graph
@@ -1888,5 +1968,6 @@ ${louvainMergeRoundSql("d1", "d2")}
     q321LooInfluence, q322IpwAte, q323RidgePath, q324HllSliding,
     q325PpsSample, q326AipwAte, q327Permutation, q328Cmh,
     q329Wilcoxon, q330Kappa, q331Lorenz, q332Hhi, q335Louvain,
-    q372LouvainTwoLevel, q373WeightedLouvain, q376CoarseModularity)
+    q372LouvainTwoLevel, q373WeightedLouvain, q376CoarseModularity,
+    q381ClusterNmi)
 }

@@ -74,4 +74,29 @@ class MiEwmaSpec extends SparkSpec {
     assert(out(("a", 2)) === 1.0) // 0*0.5 + 4*0.25
     assert(out(("b", 1)) === 4.0) // b never sees a's history
   }
+
+  test("normalizedMutualInformation: 1 for identical partitions, " +
+    "~0 for independence, NULL when one side has a single class") {
+    import graft.operators.Association
+    import org.apache.spark.sql.functions.col
+    // identical partitions (relabeled): NMI = 1
+    val same = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("b", "y"),
+      ("c", "z")).toDF("cl", "lab")
+    val r1 = Association.normalizedMutualInformation(same, "cl", "lab")
+      .collect().head
+    assert(r1.getAs[Long]("n") === 5L)
+    assert(r1.getAs[Long]("n_a_classes") === 3L)
+    assert(math.abs(r1.getAs[Double]("nmi") - 1.0) < 1e-9)
+    // independent 2x2 balanced: MI = 0 -> NMI = 0
+    val indep = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"))
+      .toDF("cl", "lab")
+    val r2 = Association.normalizedMutualInformation(indep, "cl", "lab")
+      .collect().head
+    assert(math.abs(r2.getAs[Double]("nmi")) < 1e-9)
+    // degenerate single cluster: zero entropy -> NULL, not 0 or 1
+    val single = Seq(("a", "x"), ("a", "y")).toDF("cl", "lab")
+    val r3 = Association.normalizedMutualInformation(single, "cl", "lab")
+      .select(col("nmi")).collect().head
+    assert(r3.isNullAt(0))
+  }
 }
