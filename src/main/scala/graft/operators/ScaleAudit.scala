@@ -40,6 +40,47 @@ object ScaleAudit {
     }.reduce(_ unionAll _)
   }
 
+  /** Pre-flight equi-join cardinality profile: the EXACT output row
+    * count Σ_k n_a(k)·n_b(k) computed from the two sides' key
+    * histograms — two hash aggregates and a key-cardinality-sized
+    * join, never the data join itself — plus the single worst key and
+    * its share of the output. This is the audit that decides shuffle
+    * join vs broadcast vs [[SkewJoin.saltedJoin]] BEFORE burning the
+    * shuffle: a top_share near 1 at 100 TB means one task gets the
+    * output. Keys compare as canonical strings (any key type); ties
+    * for the top key break toward the larger key string (struct max).
+    * Output one row: (n_keys_a, n_keys_b, n_keys_matched, rows_a,
+    * rows_b, output_rows, top_key, top_key_rows, top_share).
+    */
+  def joinCardinalityProfile(
+      a: DataFrame, b: DataFrame, aKey: String, bKey: String): DataFrame = {
+    val ha = a.select(col(aKey).cast("string").as("__k"))
+      .where(col("__k").isNotNull)
+      .groupBy(col("__k")).agg(count(lit(1)).as("__na"))
+    val hb = b.select(col(bKey).cast("string").as("__k"))
+      .where(col("__k").isNotNull)
+      .groupBy(col("__k")).agg(count(lit(1)).as("__nb"))
+    val matched = ha.join(hb, Seq("__k"))
+      .select(col("__k"), (col("__na") * col("__nb")).as("__out"))
+    val aTot = ha.agg(count(lit(1)).as("n_keys_a"),
+      sum(col("__na")).as("rows_a"))
+    val bTot = hb.agg(count(lit(1)).as("n_keys_b"),
+      sum(col("__nb")).as("rows_b"))
+    matched
+      .agg(count(lit(1)).as("n_keys_matched"),
+        coalesce(sum(col("__out")), lit(0L)).as("output_rows"),
+        max(struct(col("__out"), col("__k"))).as("__top"))
+      .crossJoin(broadcast(aTot)).crossJoin(broadcast(bTot))
+      .select(col("n_keys_a"), col("n_keys_b"), col("n_keys_matched"),
+        col("rows_a"), col("rows_b"), col("output_rows"),
+        col("__top.__k").as("top_key"),
+        col("__top.__out").as("top_key_rows"),
+        when(col("output_rows") > 0,
+          floor(col("__top.__out").cast("double")
+            / col("output_rows").cast("double") * 1e9) / 1e9)
+          .as("top_share"))
+  }
+
   /** Scan-pruning simulator: how many "files" of a layout would a 2-D
     * box predicate touch, given per-file min/max column stats — the
     * decision tool behind [[graft.functions.MortonExpr]] layouts.

@@ -1022,7 +1022,52 @@ object WorkloadQueries {
       ORDER BY grp
     """.trim))
 
+  /** Pre-flight join-cardinality profile
+    * ([[ScaleAudit.joinCardinalityProfile]]): the exact output size
+    * and worst-key share of the coarsened lineitem x part join,
+    * computed from key histograms only — the audit that picks plain
+    * shuffle vs broadcast vs salting before any shuffle runs.
+    */
+  val q382JoinCardinality = HarnessQuery(
+    "q382_join_cardinality",
+    (spark, dir) =>
+      ScaleAudit.joinCardinalityProfile(
+        Tables.lineitem(spark, dir)
+          .select(pmod(col("l_partkey"), lit(50L)).as("jk")),
+        Tables.part(spark, dir)
+          .select(pmod(col("p_partkey"), lit(50L)).as("jk")),
+        "jk", "jk"),
+    Some("""
+      WITH ha AS (
+        SELECT CAST(l_partkey % 50 AS VARCHAR) AS k,
+               CAST(count(*) AS BIGINT) AS na
+        FROM lineitem GROUP BY 1),
+      hb AS (
+        SELECT CAST(p_partkey % 50 AS VARCHAR) AS k,
+               CAST(count(*) AS BIGINT) AS nb
+        FROM part GROUP BY 1),
+      m AS (SELECT ha.k, na * nb AS outn FROM ha JOIN hb USING (k)),
+      top AS (SELECT k, outn FROM m
+              QUALIFY row_number() OVER (ORDER BY outn DESC, k DESC) = 1),
+      at AS (SELECT CAST(count(*) AS BIGINT) AS n_keys_a,
+                    CAST(sum(na) AS BIGINT) AS rows_a FROM ha),
+      bt AS (SELECT CAST(count(*) AS BIGINT) AS n_keys_b,
+                    CAST(sum(nb) AS BIGINT) AS rows_b FROM hb),
+      mt AS (SELECT CAST(count(*) AS BIGINT) AS n_keys_matched,
+                    CAST(coalesce(sum(outn), 0) AS BIGINT) AS output_rows
+             FROM m)
+      SELECT at.n_keys_a, bt.n_keys_b, mt.n_keys_matched,
+             at.rows_a, bt.rows_b, mt.output_rows,
+             top.k AS top_key, CAST(top.outn AS BIGINT) AS top_key_rows,
+             CASE WHEN mt.output_rows > 0
+                  THEN floor(CAST(top.outn AS DOUBLE)
+                    / CAST(mt.output_rows AS DOUBLE) * 1e9) / 1e9
+             END AS top_share
+      FROM at, bt, mt, top
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
+    q382JoinCardinality,
     q367FellegiSunter, q369ChecksumReconcile,
     q188Rfm, q189Survival, q190Pmi, q191Chi2, q192Melt,
     q193SkewProfile, q194Zorder, q195Khop, q196Scd2, q197PathTrigrams,

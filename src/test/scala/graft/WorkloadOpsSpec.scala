@@ -281,4 +281,30 @@ class WorkloadOpsSpec extends SparkSpec {
       .collect().map(_.getAs[String]("status")).toSeq
     assert(st === Seq("content_mismatch"))
   }
+
+  test("joinCardinalityProfile: exact output size from histograms, " +
+    "worst key flagged, nulls dropped, empty match degrades") {
+    val a = Seq(1L, 1L, 1L, 2L, 3L).map(Tuple1(_)).toDF("k")
+      .unionByName(Seq(Tuple1(null.asInstanceOf[java.lang.Long])).toDF("k"))
+    val b = Seq(1L, 1L, 2L, 9L).map(Tuple1(_)).toDF("k")
+    val r = ScaleAudit.joinCardinalityProfile(a, b, "k", "k")
+      .collect().head
+    // matched keys 1 (3x2=6) and 2 (1x1=1): 7 output rows, top key 1
+    assert(r.getAs[Long]("n_keys_a") === 3L)     // null key dropped
+    assert(r.getAs[Long]("n_keys_b") === 3L)
+    assert(r.getAs[Long]("n_keys_matched") === 2L)
+    assert(r.getAs[Long]("rows_a") === 5L && r.getAs[Long]("rows_b") === 4L)
+    assert(r.getAs[Long]("output_rows") === 7L)
+    assert(r.getAs[String]("top_key") === "1")
+    assert(r.getAs[Long]("top_key_rows") === 6L)
+    assert(r.getAs[Double]("top_share") === math.floor(6.0 / 7.0 * 1e9) / 1e9)
+    // cross-check against the actual join
+    assert(a.join(b, Seq("k")).count() === 7L)
+    // disjoint keys: zero output, null top
+    val r0 = ScaleAudit.joinCardinalityProfile(
+      Seq(Tuple1(1L)).toDF("k"), Seq(Tuple1(2L)).toDF("k"), "k", "k")
+      .collect().head
+    assert(r0.getAs[Long]("output_rows") === 0L)
+    assert(r0.isNullAt(r0.fieldIndex("top_share")))
+  }
 }
