@@ -383,8 +383,11 @@ ${louvainRoundSql("c3", "c4", 1)}
         docs, "text", "doc_id", hashFn = TextFunctions.fastHash)
       val l1 = Graphs.louvainOneLevel(docs.select(col("doc_id")),
         "doc_id", pairs, rounds = 4)
-      val coarse = Graphs.coarsenByCommunity(l1, "doc_id", "community",
-        pairs)
+      // cut: merge rounds + the scorer re-reference the coarse graph
+      // several times; without a lineage cut each reference re-derives
+      // the LSH near-dup pair join (measured: 2x the q372 bench time)
+      val coarse = graft.Materialize.cut(
+        Graphs.coarsenByCommunity(l1, "doc_id", "community", pairs))
       val merged = Graphs.communityMergeRounds(
         l1.select(col("community")).distinct(), "community", coarse,
         rounds = 2)
@@ -579,8 +582,10 @@ ${louvainRoundSql("c3", "c4", 1)},
         docs, "text", "doc_id", hashFn = TextFunctions.fastHash)
       val l1 = Graphs.louvainOneLevel(docs.select(col("doc_id")),
         "doc_id", pairs, rounds = 4)
-      val coarse = Graphs.coarsenByCommunity(l1, "doc_id", "community",
-        pairs)
+      // cut: the weighted ascent derives und/deg/m from the coarse
+      // graph separately — uncut, each re-runs the near-dup pair join
+      val coarse = graft.Materialize.cut(
+        Graphs.coarsenByCommunity(l1, "doc_id", "community", pairs))
       val sv = l1.select(col("community").as("super_vertex")).distinct()
       Graphs.louvainOneLevelWeighted(sv, "super_vertex", coarse,
           rounds = 2)
