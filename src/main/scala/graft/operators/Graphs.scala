@@ -896,4 +896,104 @@ object Graphs {
     }
     tape.result().reduce(_.unionByName(_))
   }
+
+  /** HyperANF neighborhood function (Boldi, Rosa & Vigna, WWW 2011):
+    * the approximate number of vertex pairs within distance t, for
+    * t = 0..maxT, plus the effective diameter read off the curve — the
+    * web-graph-scale answer to "how connected is this corpus graph"
+    * (crawl reach, near-dup blast radius, fraud-ring span) when exact
+    * all-pairs BFS is unthinkable.
+    *
+    * State per vertex is ONE 64-register HyperLogLog of the ball
+    * B(v, t) — the same hash/bucket/rho/estimate math as
+    * [[Sketches.hllDistinct]] (m = 64, 60-bit md5 item hash), kept as
+    * (vertex, bucket, rank) rows. A round is pure relational algebra:
+    * route neighbor registers along edges (one equi-join on the edge
+    * list), then a register-wise `max` (one hash aggregate) — HLL
+    * union IS per-bucket max, so B(v, t+1) = {v's ball} ∪ neighbors'
+    * balls costs O(|E| · m) shuffled (id, byte) rows per round,
+    * NEVER the exploded reachability pairs an exact computation would
+    * materialize (that's the whole point: at 100 TB the t = 3 pair set
+    * dwarfs the edge list; the register table stays |V| × 64 forever).
+    * Lineage is cut per round ([[graft.Materialize.cut]]), rounds are
+    * fixed, so the stage graph is static for AQE.
+    *
+    * Per-t totals fold per-vertex estimates through DECIMAL(30,18)
+    * (order-independent) and floor-snap at 1e6, so the whole curve —
+    * hash, registers, harmonic sums, linear-counting correction —
+    * replays bit-for-bit in an external SQL engine (harness q383
+    * replays it over exact bounded reachability CTEs).
+    *
+    * @param vertices one row per vertex (`idCol` unique)
+    * @param edges    directed edges; pass both directions for an
+    *                 undirected graph. Self-loops are dropped.
+    * @param maxT     rounds (hops); the curve is t = 0..maxT
+    * @param coverage effective-diameter threshold: the flagged t is
+    *                 the smallest with nf(t) >= coverage * nf(maxT)
+    * @return (t, nf, ratio, is_eff_diameter) — nf is the estimated
+    *         count of pairs (v, u) with dist(v, u) <= t, summed over
+    *         all vertices; exactly one row carries the flag
+    */
+  def hyperAnf(
+      vertices: DataFrame,
+      idCol: String,
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxT: Int = 3,
+      coverage: Double = 0.9): DataFrame = {
+    require(maxT >= 1 && maxT <= 8, s"maxT must be in [1,8], got $maxT")
+    require(coverage > 0.0 && coverage <= 1.0,
+      s"coverage must be in (0,1], got $coverage")
+    val verts = vertices.select(col(idCol).as("__id")).distinct()
+    val e = Materialize.cut(edges
+      .select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .filter(col("__src") =!= col("__dst"))
+      .distinct())
+    // seed registers: each ball starts as {v} — one (vertex, bucket,
+    // rho) row from v's own 60-bit hash, exactly registerTable's math
+    val h = graft.functions.TextFunctions.md5Hash60(col("__id").cast("string"))
+    val w = expr(s"__h div ${Sketches.M.toLong}")
+    var reg = Materialize.cut(verts
+      .select(col("__id"), h.as("__h"))
+      .select(col("__id"),
+        pmod(col("__h"), lit(Sketches.M.toLong)).as("__b"),
+        when(w === 0L, lit(Sketches.WidthBits))
+          .otherwise(lit(Sketches.WidthBits + 1) - length(bin(w)))
+          .cast("int").as("__m")))
+    // per-t total: per-vertex HLL estimate (shared small-range
+    // correction), folded exactly, snapped once
+    def nfAt(t: Int): DataFrame =
+      Sketches.withEstimate(reg
+        .groupBy(col("__id"))
+        .agg(count(lit(1)).cast("int").as("used_registers"),
+          sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${Sketches.WidthBits} - __m)"))
+            .as("__sum")))
+        .agg(sum(col("__est").cast(DecimalType(30, 18))).cast("double").as("__t"))
+        .select(lit(t).as("t"), (floor(col("__t") * 1e6) / 1e6).as("nf"))
+    val curve = Seq.newBuilder[DataFrame]
+    curve += nfAt(0)
+    for (t <- 1 to maxT) {
+      val fromNbr = e
+        .join(reg.select(col("__id").as("__dst"), col("__b"), col("__m")),
+          Seq("__dst"))
+        .select(col("__src").as("__id"), col("__b"), col("__m"))
+      reg = Materialize.cut(reg.unionByName(fromNbr)
+        .groupBy(col("__id"), col("__b"))
+        .agg(max(col("__m")).as("__m")))
+      curve += nfAt(t)
+    }
+    val nfCurve = curve.result().reduce(_.unionByName(_))
+    val last = nfCurve.filter(col("t") === maxT)
+      .select(col("nf").as("__last")) // 1 row, broadcast below
+    val ratioed = nfCurve.crossJoin(broadcast(last))
+      .select(col("t"), col("nf"),
+        (floor(col("nf") / col("__last") * 1e9) / 1e9).as("ratio"))
+    // ratio(maxT) == 1.0 exactly, so the min() below always has a row
+    val effT = ratioed.filter(col("ratio") >= coverage)
+      .agg(min(col("t")).as("__eff")) // 1 row, broadcast below
+    ratioed.crossJoin(broadcast(effT))
+      .select(col("t"), col("nf"), col("ratio"),
+        (col("t") === col("__eff")).as("is_eff_diameter"))
+  }
 }

@@ -30,8 +30,11 @@ import graft.functions.TextFunctions
   */
 object Sketches {
 
-  private val M = 64 // registers (p = 6)
-  private val WidthBits = 54 // 60-bit hash minus 6 bucket bits
+  // Shared with [[Graphs.hyperAnf]], which keeps one HLL register set
+  // per VERTEX (same hash, bucket, rho, and estimate math — and the
+  // same SQL replay the q312/q324 oracles already pin).
+  private[operators] val M = 64 // registers (p = 6)
+  private[operators] val WidthBits = 54 // 60-bit hash minus 6 bucket bits
   private val Alpha = 0.709 // HLL bias constant for m = 64
   private val PowWidth = 18014398509481984.0 // 2^54
 
@@ -66,7 +69,7 @@ object Sketches {
     * (zero_registers, __est) with the small-range linear-counting
     * correction applied.
     */
-  private def withEstimate(agg: DataFrame): DataFrame =
+  private[operators] def withEstimate(agg: DataFrame): DataFrame =
     agg
       .withColumn("zero_registers", lit(M) - col("used_registers"))
       .withColumn("__s",

@@ -1066,8 +1066,104 @@ object WorkloadQueries {
       FROM at, bt, mt, top
     """.trim))
 
+  /** HyperANF neighborhood function ([[Graphs.hyperAnf]], m = 64,
+    * t = 0..3, coverage 0.9) over the part co-purchase graph (parts
+    * sharing an order, every 7th order): how many part pairs sit
+    * within t hops, and the effective diameter of the co-purchase
+    * web. The oracle computes EXACT bounded reachability (3 unrolled
+    * self-join rounds — the pair set HyperANF exists to avoid
+    * materializing) and then replays the register math over each exact
+    * ball: same 60-bit md5 hash, bucket/rho split, harmonic sums,
+    * linear-counting correction, decimal folds, and snaps — register
+    * union along edges is exactly "max rho over the ball", so the two
+    * dataflows agree bit-for-bit.
+    */
+  val q383HyperAnf = HarnessQuery(
+    "q383_hyperanf",
+    (spark, dir) => {
+      val li = Tables.lineitem(spark, dir)
+        .where(col("l_orderkey") % 7 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val edges = li.as("a")
+        .join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+        .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+      Graphs.hyperAnf(
+        Tables.part(spark, dir).select(col("p_partkey")), "p_partkey",
+        edges, "src", "dst", maxT = 3, coverage = 0.9)
+        .orderBy(col("t"))
+    },
+    Some {
+      val reachRound = (i: Int) => s"""
+      r${i + 1} AS MATERIALIZED (
+        SELECT v, u FROM r$i
+        UNION
+        SELECT r.v, e.dst FROM r$i r JOIN edges e ON r.u = e.src)"""
+      val nfRound = (i: Int) => s"""
+      reg$i AS (
+        SELECT r.v, hb.b, max(hb.m) AS m
+        FROM r$i r JOIN hb ON r.u = hb.u GROUP BY 1, 2),
+      pv$i AS (
+        SELECT v, CAST(count(*) AS INT) AS used,
+               CAST(sum(CAST(1 AS BIGINT) << (54 - m)) AS BIGINT) AS s0
+        FROM reg$i GROUP BY 1),
+      ev$i AS (
+        SELECT v,
+               CASE WHEN (CAST(0.709 AS DOUBLE) * 64 * 64 * 18014398509481984.0)
+                      / CAST(s0 + CAST(64 - used AS BIGINT)
+                          * 18014398509481984 AS DOUBLE) <= 160.0
+                      AND 64 - used > 0
+                    THEN 64.0 * ln(64.0 / (64 - used))
+                    ELSE (CAST(0.709 AS DOUBLE) * 64 * 64 * 18014398509481984.0)
+                      / CAST(s0 + CAST(64 - used AS BIGINT)
+                          * 18014398509481984 AS DOUBLE)
+               END AS e
+        FROM pv$i),
+      nf$i AS (
+        SELECT $i AS t,
+               floor(CAST(sum(CAST(e AS DECIMAL(30,18))) AS DOUBLE) * 1e6)
+                 / 1e6 AS nf
+        FROM ev$i)"""
+      s"""
+      WITH lf AS (
+        SELECT l_orderkey AS ok, l_partkey AS pk
+        FROM lineitem WHERE l_orderkey % 7 = 0),
+      edges AS MATERIALIZED (
+        SELECT DISTINCT a.pk AS src, b.pk AS dst
+        FROM lf a JOIN lf b ON a.ok = b.ok AND a.pk <> b.pk),
+      verts AS (SELECT p_partkey AS id FROM part),
+      hb AS MATERIALIZED (
+        SELECT id AS u,
+               h % 64 AS b,
+               CASE WHEN h // 64 = 0 THEN 54
+                    ELSE 55 - length(bin(h // 64)) END AS m
+        FROM (SELECT id,
+                CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h
+              FROM verts)),
+      r0 AS (SELECT id AS v, id AS u FROM verts),
+      ${reachRound(0)},
+      ${reachRound(1)},
+      ${reachRound(2)},
+      ${nfRound(0)},
+      ${nfRound(1)},
+      ${nfRound(2)},
+      ${nfRound(3)},
+      curve AS (
+        SELECT * FROM nf0 UNION ALL SELECT * FROM nf1
+        UNION ALL SELECT * FROM nf2 UNION ALL SELECT * FROM nf3),
+      lastv AS (SELECT nf AS lastnf FROM curve WHERE t = 3),
+      rat AS (
+        SELECT t, nf, floor(nf / lastnf * 1e9) / 1e9 AS ratio
+        FROM curve, lastv),
+      eff AS (SELECT min(t) AS efft FROM rat WHERE ratio >= 0.9)
+      SELECT t, nf, ratio, t = efft AS is_eff_diameter
+      FROM rat, eff ORDER BY t
+      """.trim
+    })
+
   def all: Seq[HarnessQuery] = Seq(
-    q382JoinCardinality,
+    q382JoinCardinality, q383HyperAnf,
     q367FellegiSunter, q369ChecksumReconcile,
     q188Rfm, q189Survival, q190Pmi, q191Chi2, q192Melt,
     q193SkewProfile, q194Zorder, q195Khop, q196Scd2, q197PathTrigrams,

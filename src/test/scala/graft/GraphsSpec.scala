@@ -339,4 +339,35 @@ class GraphsSpec extends SparkSpec {
       walksPerNode = 2, steps = 3).collect()
     assert(tape.map(_.toSeq).toSet === again.map(_.toSeq).toSet)
   }
+
+  test("hyperAnf: estimates track exact reachable pairs on a path graph") {
+    import spark.implicits._
+    // path 1-2-3-4-5-6 plus isolated 7, undirected
+    val verts = (1L to 7L).toDF("id")
+    val und = (1L to 5L).flatMap(i => Seq((i, i + 1), (i + 1, i)))
+    val got = Graphs.hyperAnf(verts, "id", und.toDF("s", "d"), "s", "d",
+      maxT = 4, coverage = 0.9)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2),
+        r.getBoolean(3))).sortBy(_._1)
+    assert(got.map(_._1).toSeq === Seq(0, 1, 2, 3, 4))
+    // exact neighborhood function of the fixture: sum over v of |B(v,t)|
+    def ballSum(t: Int): Double = (1 to 6).map(v =>
+      (1 to 6).count(u => math.abs(u - v) <= t)).sum.toDouble + 1.0 // +isolated 7
+    got.foreach { case (t, nf, _, _) =>
+      val exact = ballSum(t)
+      assert(math.abs(nf - exact) / exact < 0.15,
+        s"t=$t: est $nf vs exact $exact")
+    }
+    // curve is monotone non-decreasing and ratio(maxT) == 1 exactly
+    got.sliding(2).foreach { case Array(a, b) => assert(a._2 <= b._2); case _ => }
+    assert(got.last._3 === 1.0)
+    // exactly one effective-diameter flag, at the first t with ratio >= 0.9
+    assert(got.count(_._4) === 1)
+    val wantEff = got.filter(_._3 >= 0.9).map(_._1).min
+    assert(got.find(_._4).get._1 === wantEff)
+    // determinism: hash registers, not rand()
+    val again = Graphs.hyperAnf(verts, "id", und.toDF("s", "d"), "s", "d",
+      maxT = 4, coverage = 0.9).collect().map(_.toSeq).toSet
+    assert(again === got.map(g => Seq(g._1, g._2, g._3, g._4)).toSet)
+  }
 }
