@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Clustering, Collocations, LinAlg, TimeSeries}
+import graft.operators.{Clustering, Collocations, LinAlg, TimeSeries, Valuation}
 import graft.sources.Tables
 
 /** Round-7 additions: corpus collocation statistics (PMI bigrams,
@@ -1585,8 +1585,68 @@ object VectorTextQueries {
       """.trim
     })
 
+  /** Exact kNN-Shapley data valuation ([[Valuation.knnShapley]],
+    * K = 5): every 25th embedding is the held-out panel, the rest is
+    * the corpus being valued — per training row, its exact Shapley
+    * value under the kNN utility (negative = hurts the panel:
+    * mislabel/poison candidates; the drop list for curation). The
+    * oracle replays the closed form: exact decimal squared-euclidean
+    * distances, per-panel ranking, the telescoped per-rank term, and
+    * a decimal suffix-frame window sum — bit-for-bit.
+    */
+  val q384KnnShapley = HarnessQuery(
+    "q384_knn_shapley",
+    (spark, dir) => {
+      val em = Tables.embeddings(spark, dir)
+      Valuation.knnShapley(
+        em.where(col("vec_id") % 25 =!= 0),
+        em.where(col("vec_id") % 25 === 0),
+        "vec_id", "embedding", "label", k = 5)
+        .orderBy(col("vec_id"))
+    },
+    Some("""
+      WITH te AS (
+        SELECT vec_id AS tid, embedding AS e, label AS ty
+        FROM embeddings WHERE vec_id % 25 = 0),
+      tr AS (
+        SELECT vec_id AS rid, embedding AS e, label AS ry
+        FROM embeddings WHERE vec_id % 25 <> 0),
+      d AS (
+        SELECT te.tid, tr.rid, any_value(te.ty) AS ty, any_value(tr.ry) AS ry,
+               CAST(sum(CAST(
+                 (CAST(te.e[g.i] AS DOUBLE) - CAST(tr.e[g.i] AS DOUBLE))
+                 * (CAST(te.e[g.i] AS DOUBLE) - CAST(tr.e[g.i] AS DOUBLE))
+                 AS DECIMAL(30,18))) AS DOUBLE) AS dist
+        FROM te, tr, generate_series(1, 64) g(i)
+        GROUP BY 1, 2),
+      r AS (
+        SELECT tid, rid,
+               CASE WHEN ry = ty THEN 1 ELSE 0 END AS ind,
+               row_number() OVER (PARTITION BY tid ORDER BY dist, rid) AS j,
+               count(*) OVER (PARTITION BY tid) AS n
+        FROM d),
+      c AS (
+        SELECT tid, rid, j,
+               CASE WHEN j = n THEN CAST(ind AS DOUBLE) / n
+                    ELSE (ind - lead(ind) OVER (PARTITION BY tid ORDER BY j))
+                         / CAST(5 AS DOUBLE) * least(5, j) / j
+               END AS cl
+        FROM r),
+      s AS (
+        SELECT tid, rid,
+               CAST(sum(CAST(cl AS DECIMAL(30,18)))
+                 OVER (PARTITION BY tid ORDER BY j
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                 AS DOUBLE) AS sv
+        FROM c)
+      SELECT rid AS vec_id,
+             round(CAST(sum(CAST(sv AS DECIMAL(30,18))) AS DOUBLE)
+               / count(*), 12) AS shapley
+      FROM s GROUP BY 1 ORDER BY 1
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
-    q366Mmr,
+    q366Mmr, q384KnnShapley,
     q340KmeansFit, q341KmeansCells, q342KmeansIvf, q344Skipgram, q346KCenter,
     q358Pca2, q359PcaOutliers, q360CentroidDrift,
     q211CollocPmi, q212TokenEntropy, q213GramMatrix, q214CovMatrix,
