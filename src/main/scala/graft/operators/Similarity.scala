@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Similarity search over an embedding column (`array<float>`):
   *
@@ -1275,5 +1276,75 @@ object Similarity {
       .groupBy(col("dim"), col("query_id"))
       .agg((sum(coalesce(col("__hit"), lit(0L))).cast("double") /
         lit(k.toDouble)).as("recall"))
+  }
+
+  /** Margin-based bitext mining (Artetxe & Schwenk, ACL 2019): align
+    * two embedding corpora (source/target languages, two crawl
+    * snapshots, two modalities) by MUTUAL-BEST margin score rather
+    * than raw cosine —
+    *
+    *   margin(x, y) = cos(x, y) / ((avgNNk(x) + avgNNk(y)) / 2)
+    *
+    * where avgNNk is the mean cosine of the row's k nearest cross-side
+    * neighbors. The ratio cancels hubness (rows that are "close to
+    * everything" score high cosine against everything; dividing by
+    * their own neighborhood density demotes them), which is why margin
+    * mining is the standard for parallel-corpus extraction at scale
+    * (CCMatrix/LASER pipelines).
+    *
+    * Dataflow: candidates are the union of forward and backward top-k
+    * lists (never all pairs downstream — scoring, averages, and the
+    * mutual-best ranks all run on O((|L|+|R|)·k) candidate rows); the
+    * top-k generation itself is [[cosineTopK]] — swap in the LSH/IVF
+    * candidate generators for corpora where brute-force top-k is no
+    * longer viable, the margin math is agnostic to how candidates
+    * arrived. Neighborhood means fold through DECIMAL(30,18); the
+    * mutual-best ranks break ties by id; margin rounds at 12 dp
+    * (harness q385 replays the whole pipeline in SQL).
+    *
+    * @return (left_id, right_id, cosine, margin): the mutual-best
+    *         pairs with margin >= threshold
+    */
+  def bitextMarginMine(
+      left: DataFrame,
+      right: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      threshold: Double): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val fwd = cosineTopK(right, left, idCol, vecCol, k)
+      .select(col("query_id").as("lid"), col("neighbor_id").as("rid"),
+        col("cosine"))
+    val bwd = cosineTopK(left, right, idCol, vecCol, k)
+      .select(col("neighbor_id").as("lid"), col("query_id").as("rid"),
+        col("cosine"))
+    def nnAvg(df: DataFrame, key: String, out: String) =
+      df.groupBy(col(key))
+        .agg((sum(col("cosine").cast(DecimalType(30, 18))).cast("double")
+          / count(lit(1))).as(out))
+    val avgL = nnAvg(fwd, "lid", "__avg_l")
+    val avgR = nnAvg(bwd, "rid", "__avg_r")
+    // forward and backward cosines of the same pair are bit-identical
+    // (the decimal dot is symmetric), so max() is pure dedup
+    val cand = fwd.unionByName(bwd)
+      .groupBy(col("lid"), col("rid"))
+      .agg(max(col("cosine")).as("cosine"))
+    val scored = cand
+      .join(avgL, Seq("lid"))
+      .join(avgR, Seq("rid"))
+      .withColumn("margin",
+        col("cosine") / ((col("__avg_l") + col("__avg_r")) / lit(2.0)))
+    val wL = Window.partitionBy(col("lid"))
+      .orderBy(col("margin").desc, col("rid"))
+    val wR = Window.partitionBy(col("rid"))
+      .orderBy(col("margin").desc, col("lid"))
+    scored
+      .withColumn("__rl", row_number().over(wL))
+      .withColumn("__rr", row_number().over(wR))
+      .filter(col("__rl") === 1 && col("__rr") === 1
+        && col("margin") >= threshold)
+      .select(col("lid").as("left_id"), col("rid").as("right_id"),
+        col("cosine"), round(col("margin"), 12).as("margin"))
   }
 }

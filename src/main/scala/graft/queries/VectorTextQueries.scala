@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Clustering, Collocations, LinAlg, TimeSeries, Valuation}
+import graft.operators.{Clustering, Collocations, LinAlg, Similarity, TimeSeries, Valuation}
 import graft.sources.Tables
 
 /** Round-7 additions: corpus collocation statistics (PMI bigrams,
@@ -1645,8 +1645,96 @@ object VectorTextQueries {
       FROM s GROUP BY 1 ORDER BY 1
     """.trim))
 
+  /** Margin-based bitext mining ([[Similarity.bitextMarginMine]],
+    * k = 4, threshold 1.02): two disjoint embedding slices stand in
+    * for source/target corpora; output is the mutual-best pairs whose
+    * cosine beats both rows' neighborhood density by >= 2%. The oracle
+    * replays the full pipeline — brute all-pair decimal cosines,
+    * forward/backward top-4, decimal neighborhood means, margin, and
+    * the two mutual-best rank windows.
+    */
+  val q385BitextMargin = HarnessQuery(
+    "q385_bitext_margin",
+    (spark, dir) => {
+      val em = Tables.embeddings(spark, dir)
+      Similarity.bitextMarginMine(
+        em.where(col("vec_id") % 5 === 0),
+        em.where(col("vec_id") % 5 === 3),
+        "vec_id", "embedding", k = 4, threshold = 1.02)
+        .withColumn("cosine", floor(col("cosine") * 1e9) / 1e9)
+        .orderBy(col("left_id"))
+    },
+    Some("""
+      WITH l AS (
+        SELECT vec_id AS id, embedding AS e FROM embeddings
+        WHERE vec_id % 5 = 0),
+      r AS (
+        SELECT vec_id AS id, embedding AS e FROM embeddings
+        WHERE vec_id % 5 = 3),
+      nl AS (
+        SELECT id, e,
+               sqrt(CAST(sum(CAST(CAST(e[g.i] AS DOUBLE)
+                 * CAST(e[g.i] AS DOUBLE) AS DECIMAL(30,18))) AS DOUBLE))
+                 AS nrm
+        FROM l, generate_series(1, 64) g(i) GROUP BY 1, 2),
+      nr AS (
+        SELECT id, e,
+               sqrt(CAST(sum(CAST(CAST(e[g.i] AS DOUBLE)
+                 * CAST(e[g.i] AS DOUBLE) AS DECIMAL(30,18))) AS DOUBLE))
+                 AS nrm
+        FROM r, generate_series(1, 64) g(i) GROUP BY 1, 2),
+      cosall AS MATERIALIZED (
+        SELECT a.id AS lid, b.id AS rid,
+               CAST(sum(CAST(CAST(a.e[g.i] AS DOUBLE)
+                 * CAST(b.e[g.i] AS DOUBLE) AS DECIMAL(30,18))) AS DOUBLE)
+                 / (any_value(a.nrm) * any_value(b.nrm)) AS cosine
+        FROM nl a, nr b, generate_series(1, 64) g(i)
+        GROUP BY 1, 2),
+      fwd AS MATERIALIZED (
+        SELECT lid, rid, cosine FROM (
+          SELECT lid, rid, cosine,
+                 row_number() OVER (PARTITION BY lid
+                   ORDER BY cosine DESC, rid) AS rk
+          FROM cosall) WHERE rk <= 4),
+      bwd AS MATERIALIZED (
+        SELECT lid, rid, cosine FROM (
+          SELECT lid, rid, cosine,
+                 row_number() OVER (PARTITION BY rid
+                   ORDER BY cosine DESC, lid) AS rk
+          FROM cosall) WHERE rk <= 4),
+      avgl AS (
+        SELECT lid, CAST(sum(CAST(cosine AS DECIMAL(30,18))) AS DOUBLE)
+                 / count(*) AS avg_l
+        FROM fwd GROUP BY 1),
+      avgr AS (
+        SELECT rid, CAST(sum(CAST(cosine AS DECIMAL(30,18))) AS DOUBLE)
+                 / count(*) AS avg_r
+        FROM bwd GROUP BY 1),
+      cand AS (
+        SELECT lid, rid, max(cosine) AS cosine FROM (
+          SELECT * FROM fwd UNION ALL SELECT * FROM bwd)
+        GROUP BY 1, 2),
+      scored AS (
+        SELECT c.lid, c.rid, c.cosine,
+               c.cosine / ((a.avg_l + b.avg_r) / 2.0) AS margin
+        FROM cand c JOIN avgl a USING (lid) JOIN avgr b USING (rid)),
+      ranked AS (
+        SELECT lid, rid, cosine, margin,
+               row_number() OVER (PARTITION BY lid
+                 ORDER BY margin DESC, rid) AS rl,
+               row_number() OVER (PARTITION BY rid
+                 ORDER BY margin DESC, lid) AS rr
+        FROM scored)
+      SELECT lid AS left_id, rid AS right_id,
+             floor(cosine * 1e9) / 1e9 AS cosine,
+             round(margin, 12) AS margin
+      FROM ranked
+      WHERE rl = 1 AND rr = 1 AND margin >= 1.02
+      ORDER BY left_id
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
-    q366Mmr, q384KnnShapley,
+    q366Mmr, q384KnnShapley, q385BitextMargin,
     q340KmeansFit, q341KmeansCells, q342KmeansIvf, q344Skipgram, q346KCenter,
     q358Pca2, q359PcaOutliers, q360CentroidDrift,
     q211CollocPmi, q212TokenEntropy, q213GramMatrix, q214CovMatrix,

@@ -497,4 +497,58 @@ class SimilaritySpec extends SparkSpec {
     assert(conf((1, 0)) === 1L) // the planted confusion
     assert(!conf.contains((0, 1)))
   }
+
+  test("bitextMarginMine: matches a driver-side reference, 1-1 matching") {
+    val left = Seq(
+      (1L, Array(1.0f, 0.1f, 0f)), (2L, Array(0.1f, 1.0f, 0f)),
+      (3L, Array(0.6f, 0.6f, 0.2f)), (4L, Array(0f, 0.2f, 1.0f)))
+    val right = Seq(
+      (11L, Array(0.9f, 0.2f, 0f)), (12L, Array(0.2f, 0.9f, 0.1f)),
+      (13L, Array(0.55f, 0.65f, 0.15f)), (14L, Array(0.1f, 0.1f, 0.9f)),
+      (15L, Array(0.5f, 0.5f, 0.5f))) // hub: close to everything
+    val k = 2
+    val threshold = 1.0
+
+    // driver-side reference of the whole pipeline
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def dot(x: Array[Float], y: Array[Float]) =
+        x.zip(y).map { case (p, q) => p.toDouble * q.toDouble }.sum
+      dot(a, b) / math.sqrt(dot(a, a) * dot(b, b))
+    }
+    val allCos = for ((li, lv) <- left; (ri, rv) <- right)
+      yield (li, ri, cos(lv, rv))
+    val fwd = left.flatMap { case (li, _) =>
+      allCos.filter(_._1 == li).sortBy(t => (-t._3, t._2)).take(k) }
+    val bwd = right.flatMap { case (ri, _) =>
+      allCos.filter(_._2 == ri).sortBy(t => (-t._3, t._1)).take(k) }
+    val avgL = fwd.groupBy(_._1).view.mapValues(v => v.map(_._3).sum / v.size).toMap
+    val avgR = bwd.groupBy(_._2).view.mapValues(v => v.map(_._3).sum / v.size).toMap
+    val cand = (fwd ++ bwd).distinct
+    val scoredRef = cand.map { case (li, ri, c) =>
+      (li, ri, c, c / ((avgL(li) + avgR(ri)) / 2.0)) }
+    val bestL = scoredRef.groupBy(_._1).view.mapValues(
+      _.maxBy(t => (t._4, -t._2))._2).toMap
+    val bestR = scoredRef.groupBy(_._2).view.mapValues(
+      _.maxBy(t => (t._4, -t._1))._1).toMap
+    val wantPairs = scoredRef.filter { case (li, ri, _, m) =>
+      bestL(li) == ri && bestR(ri) == li && m >= threshold }
+    assert(wantPairs.nonEmpty) // fixture actually exercises the path
+
+    val got = Similarity.bitextMarginMine(
+      left.toDF("id", "vec"), right.toDF("id", "vec"),
+      "id", "vec", k, threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(got.map(p => (p._1, p._2)).toSet ===
+      wantPairs.map(p => (p._1, p._2)).toSet)
+    got.foreach { case (li, ri, c, m) =>
+      val w = wantPairs.find(p => p._1 == li && p._2 == ri).get
+      assert(math.abs(c - w._3) < 1e-9, s"cosine $li-$ri")
+      assert(math.abs(m - w._4) < 1e-9, s"margin $li-$ri")
+      assert(m >= threshold)
+    }
+    // mutual-best is a partial 1-1 matching: no id repeats on either side
+    assert(got.map(_._1).distinct.length === got.length)
+    assert(got.map(_._2).distinct.length === got.length)
+  }
 }
