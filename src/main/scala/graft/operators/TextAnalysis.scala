@@ -853,6 +853,70 @@ object TextAnalysis {
         lit(1.0) - col("tokens_kept").cast("double") / col("sum_tokens"))
   }
 
+  /** GPT-style sequence packing plan: concatenate the corpus in
+    * `idCol` order and cut every `seqLen` tokens — the packing every
+    * autoregressive pretraining run performs, planned as a table so
+    * the writer knows, for every document, which training sequences it
+    * lands in and whether a cut splits it. The boundary-crossing
+    * fraction this exposes is the attention-contamination metric
+    * packing decisions are made on (vs the truncation losses
+    * [[truncationStats]] tables for the pad-and-truncate alternative).
+    *
+    * The global running token offset uses the same two-level
+    * cumulative sum as [[ScaleAudit.planExportShards]]: per-row cumsum
+    * inside fixed-width id buckets plus a broadcast prefix-offset
+    * table over bucket totals — no single-partition window ever sees
+    * per-row data, so the plan distributes at any corpus size. All
+    * arithmetic is integer; the oracle (harness q386) replays it with
+    * one window cumsum.
+    *
+    * @param df            one row per document
+    * @param tokenCountCol precomputed token count (caller picks the
+    *                      tokenizer — [[bpeishTokenCount]], whitespace,
+    *                      a real BPE apply)
+    * @param seqLen        training context length (tokens per sequence)
+    * @param bucketWidth   id-bucket width of the two-level cumsum
+    * @return per document: (idCol, n_tokens, start_offset, first_seq,
+    *         last_seq, offset_in_seq, n_seqs_spanned, crosses_boundary)
+    *         — a zero-token document occupies no span and reports its
+    *         would-be sequence with n_seqs_spanned = 1
+    */
+  def sequencePack(
+      df: DataFrame, idCol: String, tokenCountCol: String,
+      seqLen: Int, bucketWidth: Long = 1024L): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    require(bucketWidth >= 1L, s"bucketWidth must be >= 1, got $bucketWidth")
+    val base = df.select(col(idCol).cast("long").as("__id"),
+        col(tokenCountCol).cast("long").as("__n"))
+      .withColumn("__b",
+        ((col("__id") - pmod(col("__id"), lit(bucketWidth)))
+          / lit(bucketWidth)).cast("long"))
+    val wIn = Window.partitionBy(col("__b")).orderBy(col("__id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOff = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("__b"))
+      .agg(sum(col("__n")).as("__bt"))
+      .select(col("__b"),
+        coalesce(sum(col("__bt")).over(wOff), lit(0L)).as("__off"))
+    def seqOf(tok: Column): Column =
+      ((tok - pmod(tok, lit(seqLen.toLong))) / lit(seqLen.toLong)).cast("long")
+    base
+      .withColumn("__cin", sum(col("__n")).over(wIn))
+      .join(broadcast(offsets), Seq("__b"))
+      .withColumn("start_offset", col("__cin") + col("__off") - col("__n"))
+      .withColumn("first_seq", seqOf(col("start_offset")))
+      .withColumn("last_seq",
+        when(col("__n") > 0L, seqOf(col("start_offset") + col("__n") - 1L))
+          .otherwise(col("first_seq")))
+      .withColumn("offset_in_seq", pmod(col("start_offset"), lit(seqLen.toLong)))
+      .withColumn("n_seqs_spanned", col("last_seq") - col("first_seq") + 1L)
+      .withColumn("crosses_boundary", col("n_seqs_spanned") > 1L)
+      .select(col("__id").as(idCol), col("__n").as("n_tokens"),
+        col("start_offset"), col("first_seq"), col("last_seq"),
+        col("offset_in_seq"), col("n_seqs_spanned"), col("crosses_boundary"))
+  }
+
   /** Seeded token-dropout augmentation (the EDA random-deletion
     * transform of Wei & Zou 2019, made reproducible): each token
     * position drops independently when its content hash

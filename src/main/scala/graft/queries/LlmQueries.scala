@@ -4605,7 +4605,50 @@ object LlmQueries {
       FROM sched ORDER BY host, host_rank
     """.trim))
 
+  /** Sequence-packing plan ([[TextAnalysis.sequencePack]], context
+    * 256, BPE-ish token counts): concatenate-and-cut every
+    * autoregressive pretraining run performs, planned per document —
+    * which training sequences each doc lands in, where it starts, and
+    * whether a cut splits it. Integer arithmetic end-to-end; the
+    * oracle replays the two-level running offset with one window
+    * cumsum.
+    */
+  val q386SeqPacking = HarnessQuery(
+    "q386_seq_packing",
+    (spark, dir) =>
+      TextAnalysis.sequencePack(
+        Tables.documents(spark, dir)
+          .select(col("doc_id"),
+            TextAnalysis.bpeishTokenCount(col("text")).as("n_tok")),
+        "doc_id", "n_tok", seqLen = 256)
+        .orderBy(col("doc_id")),
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(lower(text),
+                 '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n
+        FROM documents),
+      c AS (
+        SELECT doc_id, n,
+               CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS st
+        FROM t)
+      SELECT doc_id, n AS n_tokens, st AS start_offset,
+             st // 256 AS first_seq,
+             CASE WHEN n > 0 THEN (st + n - 1) // 256
+                  ELSE st // 256 END AS last_seq,
+             st % 256 AS offset_in_seq,
+             (CASE WHEN n > 0 THEN (st + n - 1) // 256
+                   ELSE st // 256 END) - st // 256 + 1 AS n_seqs_spanned,
+             (CASE WHEN n > 0 THEN (st + n - 1) // 256
+                   ELSE st // 256 END) - st // 256 + 1 > 1
+               AS crosses_boundary
+      FROM c ORDER BY doc_id
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
+    q386SeqPacking,
     q370UrlCanonical, q377RobotsDecision, q378FrontierSchedule,
     q338Winnowing, q339WinnowOverlap, q348WinnowIncremental, q350LineDedup,
     q354TextRank, q356Waterfill, q362TokenizerFertility, q363HeapsFit,

@@ -841,4 +841,39 @@ class TextOpsSpec extends SparkSpec {
     // repeated tokens must slow vocabulary growth: beta < 1
     assert(narrow.getAs[Double]("heaps_beta") < 1.0)
   }
+
+  test("sequencePack: contiguous offsets, span flags, bucket invariance") {
+    import spark.implicits._
+    val counts = Seq((0L, 100L), (1L, 200L), (2L, 30L), (3L, 0L),
+      (4L, 300L), (5L, 5L))
+    val df = counts.toDF("id", "n")
+    val seqLen = 128
+    val got = TextAnalysis.sequencePack(df, "id", "n", seqLen)
+      .collect().sortBy(_.getLong(0))
+    // driver-side reference: plain running offsets
+    var off = 0L
+    counts.zip(got).foreach { case ((id, n), row) =>
+      assert(row.getLong(0) === id)
+      assert(row.getLong(1) === n)
+      assert(row.getLong(2) === off, s"start of doc $id")
+      val first = off / seqLen
+      val last = if (n > 0) (off + n - 1) / seqLen else first
+      assert(row.getLong(3) === first)
+      assert(row.getLong(4) === last)
+      assert(row.getLong(5) === off % seqLen)
+      assert(row.getLong(6) === last - first + 1)
+      assert(row.getBoolean(7) === (last - first + 1 > 1))
+      off += n
+    }
+    // the fixture exercises both a crossing and a zero-token doc
+    assert(got.count(_.getBoolean(7)) >= 2)
+    assert(got.exists(r => r.getLong(1) == 0L && r.getLong(6) == 1L))
+    // two-level cumsum is invariant to the bucket width
+    val narrow = TextAnalysis.sequencePack(df, "id", "n", seqLen,
+      bucketWidth = 2L).collect().map(_.toSeq).toSet
+    assert(narrow === got.map(_.toSeq).toSet)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.sequencePack(df, "id", "n", 0)
+    }
+  }
 }
