@@ -610,6 +610,110 @@ object Multimodal {
     bb.array()
   }
 
+  /** Parsed PNG header + chunk inventory. Sentinels when the payload
+    * is not a PNG (bad signature or no IHDR): dimensions/depth/type
+    * −1, counts 0, has_iend false.
+    */
+  final case class PngMeta(
+      width: Int, height: Int, bit_depth: Int, color_type: Int,
+      interlace: Int, n_chunks: Int, n_idat: Int, idat_bytes: Long,
+      has_iend: Boolean)
+
+  final case class PngMetaRow(
+      media_id: Long, width: Int, height: Int, bit_depth: Int,
+      color_type: Int, interlace: Int, n_chunks: Int, n_idat: Int,
+      idat_bytes: Long, has_iend: Boolean, n_bytes: Long)
+
+  private val UnknownPng = PngMeta(-1, -1, -1, -1, -1, 0, 0, 0L, has_iend = false)
+
+  private val PngSignature =
+    Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+  /** Total PNG chunk walk: 8-byte signature, then (length, fourcc,
+    * data, crc) chunks until IEND. Defensive like
+    * [[parseContainerMeta]] — a negative or lying length stops the
+    * walk at what was parsed so far; a payload without the signature
+    * or a parseable IHDR yields the sentinel; never throws. CRCs are
+    * inventoried, not validated (metadata extraction, not decoding).
+    */
+  def parsePngMeta(bytes: Array[Byte]): PngMeta = {
+    if (bytes == null || bytes.length < 8 + 8 + 13 + 4) return UnknownPng
+    var i = 0
+    while (i < 8) { if (bytes(i) != PngSignature(i)) return UnknownPng; i += 1 }
+    var p = 8
+    var width = -1; var height = -1; var depth = -1; var ctype = -1
+    var interlace = -1
+    var nChunks = 0; var nIdat = 0; var idatBytes = 0L; var iend = false
+    var stop = false
+    while (!stop && p + 8 <= bytes.length) {
+      val len = beInt(bytes, p)
+      if (len < 0 || p + 8 + len.toLong + 4 > bytes.length) stop = true
+      else {
+        val id = fourcc(bytes, p + 4)
+        nChunks += 1
+        if (id == "IHDR" && len >= 13) {
+          width = beInt(bytes, p + 8)
+          height = beInt(bytes, p + 12)
+          depth = bytes(p + 16) & 0xFF
+          ctype = bytes(p + 17) & 0xFF
+          interlace = bytes(p + 20) & 0xFF
+        } else if (id == "IDAT") {
+          nIdat += 1
+          idatBytes += len.toLong
+        } else if (id == "IEND") {
+          iend = true
+          stop = true
+        }
+        p += 8 + len + 4
+      }
+    }
+    if (width < 0) UnknownPng
+    else PngMeta(width, height, depth, ctype, interlace, nChunks, nIdat,
+      idatBytes, iend)
+  }
+
+  /** PNG metadata over a media Dataset — same shape as
+    * [[containerMeta]]: one partition-batched map, only the fixed-size
+    * metadata row travels onward.
+    */
+  def pngMeta(ds: Dataset[MediaRow]): Dataset[PngMetaRow] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { r =>
+      val m = parsePngMeta(r.media)
+      val n = if (r.media == null) 0L else r.media.length.toLong
+      PngMetaRow(r.media_id, m.width, m.height, m.bit_depth, m.color_type,
+        m.interlace, m.n_chunks, m.n_idat, m.idat_bytes, m.has_iend, n)
+    })
+  }
+
+  /** Deterministic PNG fixture: signature + IHDR + `idatSizes` IDAT
+    * chunks of deterministic filler + IEND. CRC fields are zeroed (the
+    * parser inventories, it does not validate). Size is
+    * 8 + 25 + Σ(12 + size) + 12 bytes.
+    */
+  def pngBytes(width: Int, height: Int, bitDepth: Int, colorType: Int,
+      interlace: Int, idatSizes: Seq[Int]): Array[Byte] = {
+    require(width > 0 && height > 0, "dimensions must be positive")
+    require(idatSizes.forall(_ >= 0), "idat sizes must be non-negative")
+    val total = 8 + 25 + idatSizes.map(12 + _).sum + 12
+    val bb = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.put(PngSignature)
+    bb.putInt(13).put("IHDR".getBytes("ISO-8859-1"))
+      .putInt(width).putInt(height)
+      .put(bitDepth.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(interlace.toByte)
+      .putInt(0) // crc (not validated)
+    idatSizes.foreach { sz =>
+      bb.putInt(sz).put("IDAT".getBytes("ISO-8859-1"))
+      var j = 0
+      while (j < sz) { bb.put((j % 251).toByte); j += 1 }
+      bb.putInt(0)
+    }
+    bb.putInt(0).put("IEND".getBytes("ISO-8859-1")).putInt(0)
+    bb.array()
+  }
+
   def mediaFromText(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRow] = {
     val spark = df.sparkSession
     import spark.implicits._

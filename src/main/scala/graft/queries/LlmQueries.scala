@@ -614,6 +614,73 @@ object LlmQueries {
       SELECT * FROM t ORDER BY media_id, track_idx
     """.trim))
 
+  /** PNG chunk inventory ([[Multimodal.parsePngMeta]]): REAL byte-walk
+    * over the signature + (length, fourcc, data, crc) chunk grammar —
+    * IHDR dimensions/depth/color-type/interlace, IDAT count and byte
+    * mass, IEND presence — over deterministic fixture PNGs
+    * parameterized per nation row plus one garbage payload that must
+    * yield the sentinel row. Completes the container-metadata family
+    * (WAV/MP4 q336, per-track MP4 q375) for image ingest audits: the
+    * fields a pipeline filters on (resolution, palette vs truecolor,
+    * interlacing, compressed mass) without decoding a single pixel.
+    * The oracle recomputes every field from the generator parameters.
+    */
+  val q387PngMeta = HarnessQuery(
+    "q387_png_meta",
+    (spark, dir) => {
+      import spark.implicits._
+      val pngs = Tables.nation(spark, dir)
+        .select(col("n_nationkey").cast("long").as("id")).as[Long]
+        .map { k =>
+          val n = k.toInt
+          Multimodal.MediaRow(5000L + k,
+            Multimodal.pngBytes(16 + n, 9 + 2 * n,
+              if (n % 2 == 0) 8 else 16,
+              n % 3 match { case 0 => 0; case 1 => 2; case _ => 6 },
+              n % 2, Seq.fill(1 + n % 3)(10 + n)),
+            "image/png", -1, -1)
+        }
+      val junk = Tables.region(spark, dir)
+        .filter(col("r_regionkey") === 0)
+        .select(col("r_regionkey").cast("long").as("id")).as[Long]
+        .map(_ => Multimodal.MediaRow(6000L,
+          "definitely not a png".getBytes("ISO-8859-1"),
+          "text/plain", -1, -1))
+      Multimodal.pngMeta(pngs.union(junk)).toDF()
+        .orderBy(col("media_id"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT CAST(5000 + n_nationkey AS BIGINT) AS media_id,
+               n_nationkey AS k
+        FROM nation),
+      g AS (
+        SELECT media_id,
+               CAST(16 + k AS INT) AS width,
+               CAST(9 + 2 * k AS INT) AS height,
+               CAST(CASE WHEN k % 2 = 0 THEN 8 ELSE 16 END AS INT)
+                 AS bit_depth,
+               CAST(CASE k % 3 WHEN 0 THEN 0 WHEN 1 THEN 2 ELSE 6 END
+                 AS INT) AS color_type,
+               CAST(k % 2 AS INT) AS interlace,
+               CAST(1 + (1 + k % 3) + 1 AS INT) AS n_chunks,
+               CAST(1 + k % 3 AS INT) AS n_idat,
+               CAST((1 + k % 3) * (10 + k) AS BIGINT) AS idat_bytes,
+               true AS has_iend,
+               CAST(8 + 25 + (1 + k % 3) * (12 + 10 + k) + 12 AS BIGINT)
+                 AS n_bytes
+        FROM p),
+      j AS (
+        SELECT CAST(6000 AS BIGINT) AS media_id,
+               CAST(-1 AS INT) AS width, CAST(-1 AS INT) AS height,
+               CAST(-1 AS INT) AS bit_depth, CAST(-1 AS INT) AS color_type,
+               CAST(-1 AS INT) AS interlace, CAST(0 AS INT) AS n_chunks,
+               CAST(0 AS INT) AS n_idat, CAST(0 AS BIGINT) AS idat_bytes,
+               false AS has_iend, CAST(20 AS BIGINT) AS n_bytes
+        FROM region WHERE r_regionkey = 0)
+      SELECT * FROM g UNION ALL SELECT * FROM j ORDER BY media_id
+    """.trim))
+
   /** TF-IDF: top-3 terms per document (doc_id < 20) by weight, exact.
     * Cross-engine parity: tf and idf are double expressions over exact
     * integer counts — identical operands, identical results; weight
@@ -4648,7 +4715,7 @@ object LlmQueries {
     """.trim))
 
   def all: Seq[HarnessQuery] = Seq(
-    q386SeqPacking,
+    q386SeqPacking, q387PngMeta,
     q370UrlCanonical, q377RobotsDecision, q378FrontierSchedule,
     q338Winnowing, q339WinnowOverlap, q348WinnowIncremental, q350LineDedup,
     q354TextRank, q356Waterfill, q362TokenizerFertility, q363HeapsFit,

@@ -141,4 +141,35 @@ class MultimodalMetaSpec extends SparkSpec {
     assert(got(2L).duration_ms === 2500L) // 1500 ticks @ 600/s
     assert(got(2L).n_bytes === 132L)
   }
+
+  test("parsePngMeta: round-trip, truncation, lying length, post-IEND junk") {
+    val good = Multimodal.parsePngMeta(
+      Multimodal.pngBytes(640, 480, 8, 6, 1, Seq(100, 0, 7)))
+    assert(good === Multimodal.PngMeta(640, 480, 8, 6, 1,
+      n_chunks = 5, n_idat = 3, idat_bytes = 107L, has_iend = true))
+
+    // bytes after IEND are outside the grammar and must not be counted
+    val base = Multimodal.pngBytes(2, 2, 8, 0, 0, Seq(4))
+    val trailing = base ++ Array.fill(32)(0x41.toByte)
+    assert(Multimodal.parsePngMeta(trailing) ===
+      Multimodal.parsePngMeta(base))
+
+    // truncated mid-IDAT: inventory stops at what was parsed; no IEND
+    val cut = base.take(base.length - 20)
+    val t = Multimodal.parsePngMeta(cut)
+    assert(t.width === 2 && !t.has_iend)
+
+    // a lying (huge) chunk length stops the walk instead of overreading
+    val lying = base.clone()
+    lying(8 + 25) = 0x7F.toByte // first IDAT length becomes enormous
+    val l = Multimodal.parsePngMeta(lying)
+    assert(l.width === 2 && l.n_idat === 0 && !l.has_iend)
+
+    // not a PNG / no IHDR first chunk field parse -> sentinel
+    assert(Multimodal.parsePngMeta("plain text".getBytes("ISO-8859-1"))
+      .width === -1)
+    assert(Multimodal.parsePngMeta(null).width === -1)
+    val sigOnly = java.util.Arrays.copyOf(base, 8)
+    assert(Multimodal.parsePngMeta(sigOnly).width === -1)
+  }
 }
