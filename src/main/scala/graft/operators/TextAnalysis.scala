@@ -853,6 +853,101 @@ object TextAnalysis {
         lit(1.0) - col("tokens_kept").cast("double") / col("sum_tokens"))
   }
 
+  /** Unigram-LM subword segmentation (the SentencePiece/Kudo 2018
+    * model family, scored with corpus-substring statistics): build a
+    * piece vocabulary from the corpus, then Viterbi-segment every
+    * distinct word into the maximum-log-likelihood piece sequence —
+    * the other half of the tokenization story next to BPE
+    * ([[bpeMerges]] trains merges, [[bpeEncode]] applies them; unigram
+    * segmentation is what SentencePiece-based pipelines run instead).
+    *
+    * Vocabulary: all substrings of length 1..`maxPieceLen` of every
+    * eligible word, weighted by word frequency; the top `vocabSize` by
+    * (weight, piece) keep log-prob ln(weight / vocabWeight) rounded at
+    * 12 dp (the libm discipline); any out-of-vocab single character
+    * costs the fixed `unkLp`, which keeps the DP total.
+    *
+    * Scale shape — this is the part that matters at 100 TB: the DP
+    * runs once per DISTINCT word, never per occurrence, and it is ONE
+    * narrow projection, not an iteration. Pieces attach by a broadcast
+    * vocab join (|words| x maxPieceLen x maxWordLen rows), collapse
+    * back to one array per word, and the Viterbi recursion
+    *
+    *   best(e) = max over pieces (s, e]: best(s) + lp(piece)
+    *
+    * folds IN-ROW with nested higher-order functions (`aggregate` over
+    * positions, `filter`/`transform`/`array_max` over the piece array)
+    * — no per-position join rounds, no lineage growth, no driver loop.
+    * Ties break (score desc, fewer pieces); all adds replay in fixed
+    * order, so the whole computation is engine-portable (harness q388
+    * unrolls the same DP as per-position SQL rounds).
+    *
+    * @param maxWordLen words longer than this are excluded (both from
+    *                   vocabulary weighting and from segmentation) —
+    *                   the caller's length contract, checked cheaply
+    * @return per distinct eligible word: (word, wcnt, best_lp,
+    *         n_pieces)
+    */
+  def unigramSegment(
+      df: DataFrame, textCol: String,
+      maxPieceLen: Int = 4, vocabSize: Int = 200,
+      maxWordLen: Int = 16, unkLp: Double = -20.0): DataFrame = {
+    require(maxPieceLen >= 1 && maxPieceLen <= 8,
+      s"maxPieceLen must be in [1,8], got $maxPieceLen")
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    require(maxWordLen >= 1 && maxWordLen <= 32,
+      s"maxWordLen must be in [1,32], got $maxWordLen")
+    val words = df
+      .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .filter(length(col("word")).between(1, maxWordLen))
+      .groupBy(col("word")).agg(count(lit(1)).as("wcnt"))
+    val subs = words
+      .select(col("word"), col("wcnt"),
+        explode(sequence(lit(1), length(col("word")))).as("e"))
+      .select(col("word"), col("wcnt"), col("e"),
+        explode(sequence(lit(1), least(lit(maxPieceLen), col("e")))).as("j"))
+      .withColumn("s", col("e") - col("j"))
+      .withColumn("piece", expr("substring(word, s + 1, j)"))
+    // vocab: top-K substring weights via sort-limit (TakeOrdered — no
+    // global window), log-probs normalized over the kept vocabulary
+    val vocab = subs.groupBy(col("piece")).agg(sum(col("wcnt")).as("cnt"))
+      .orderBy(col("cnt").desc, col("piece")).limit(vocabSize)
+    val total = vocab.agg(sum(col("cnt")).as("__tot")) // 1 row, broadcast
+    val vocabLp = vocab.crossJoin(broadcast(total))
+      .select(col("piece"),
+        round(log(col("cnt").cast("double") / col("__tot").cast("double")),
+          12).as("lp"))
+    val pieces = subs
+      .join(broadcast(vocabLp), Seq("piece"), "left")
+      .withColumn("lp",
+        coalesce(col("lp"), when(col("j") === 1, lit(unkLp))))
+      .filter(col("lp").isNotNull)
+      .groupBy(col("word"), col("wcnt"))
+      .agg(collect_list(struct(col("s"), col("e"), col("lp"))).as("__ps"))
+    // in-row Viterbi: accumulator acc(i+1) = (best, n_pieces) of the
+    // prefix of length i; the j = 1 fallback guarantees a candidate at
+    // every position, so array_max never sees an empty array
+    val dp = aggregate(
+      sequence(lit(1), length(col("word"))),
+      array(struct(lit(0.0).as("best"), lit(0).as("np"))),
+      (acc, e) => {
+        val cands = transform(
+          filter(col("__ps"), p => p("e") === e),
+          p => struct(
+            (element_at(acc, p("s") + 1)("best") + p("lp")).as("best"),
+            (-(element_at(acc, p("s") + 1)("np") + 1)).as("negnp")))
+        val top = array_max(cands)
+        concat(acc,
+          array(struct(top("best").as("best"), (-top("negnp")).as("np"))))
+      },
+      acc => element_at(acc, length(col("word")) + 1))
+    pieces
+      .withColumn("__dp", dp)
+      .select(col("word"), col("wcnt"),
+        col("__dp")("best").as("best_lp"),
+        col("__dp")("np").as("n_pieces"))
+  }
+
   /** GPT-style sequence packing plan: concatenate the corpus in
     * `idCol` order and cut every `seqLen` tokens — the packing every
     * autoregressive pretraining run performs, planned as a table so

@@ -681,6 +681,89 @@ object LlmQueries {
       SELECT * FROM g UNION ALL SELECT * FROM j ORDER BY media_id
     """.trim))
 
+  /** Unigram-LM Viterbi segmentation ([[TextAnalysis.unigramSegment]],
+    * pieces <= 4 chars, vocab 200, words <= 16 chars): the
+    * SentencePiece-style other half of the tokenization family (BPE
+    * train q291/q292, BPE apply q333/q371, fertility q362) — per
+    * distinct word, the maximum-likelihood piece count and score under
+    * corpus-substring statistics. Spark folds the whole DP in-row with
+    * nested higher-order functions; the oracle unrolls the identical
+    * recursion as 16 per-position SQL rounds (join + rank per round)
+    * over the same rounded log-probs, so scores and piece counts match
+    * bit-for-bit. Output: the 300 most frequent words.
+    */
+  val q388UnigramSegment = HarnessQuery(
+    "q388_unigram_segment",
+    (spark, dir) =>
+      TextAnalysis.unigramSegment(Tables.documents(spark, dir), "text")
+        .orderBy(col("wcnt").desc, col("word")).limit(300)
+        .orderBy(col("word")),
+    Some {
+      val dpRound = (e: Int) => s"""
+      best$e AS (
+        SELECT word, $e AS i, best, np FROM (
+          SELECT p.word, a.best + p.lp AS best, a.np + 1 AS np,
+                 row_number() OVER (PARTITION BY p.word
+                   ORDER BY a.best + p.lp DESC, a.np + 1) AS rk
+          FROM pieces p JOIN all${e - 1} a
+            ON a.word = p.word AND a.i = p.s
+          WHERE p.e = $e) WHERE rk = 1),
+      all$e AS MATERIALIZED (
+        SELECT * FROM all${e - 1} UNION ALL SELECT * FROM best$e)"""
+      s"""
+      WITH toks AS (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+          AS word
+        FROM documents),
+      words AS MATERIALIZED (
+        SELECT word, CAST(count(*) AS BIGINT) AS wcnt
+        FROM toks WHERE length(word) BETWEEN 1 AND 16
+        GROUP BY 1),
+      se AS (
+        SELECT word, wcnt,
+               unnest(generate_series(1, length(word))) AS e
+        FROM words),
+      sej AS (
+        SELECT word, wcnt, e,
+               unnest(generate_series(1, least(4, e))) AS j
+        FROM se),
+      subs AS MATERIALIZED (
+        SELECT word, wcnt, e - j AS s, e, j,
+               substr(word, e - j + 1, j) AS piece
+        FROM sej),
+      pc AS (
+        SELECT piece, CAST(sum(wcnt) AS BIGINT) AS cnt
+        FROM subs GROUP BY 1),
+      vocab AS MATERIALIZED (
+        SELECT piece, cnt FROM (
+          SELECT piece, cnt,
+                 row_number() OVER (ORDER BY cnt DESC, piece) AS rk
+          FROM pc) WHERE rk <= 200),
+      tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM vocab),
+      vlp AS (
+        SELECT piece,
+               round(ln(CAST(cnt AS DOUBLE) / CAST(t AS DOUBLE)), 12) AS lp
+        FROM vocab, tot),
+      pieces AS MATERIALIZED (
+        SELECT s.word, s.s, s.e,
+               coalesce(v.lp, CASE WHEN s.j = 1 THEN -20.0 END) AS lp
+        FROM subs s LEFT JOIN vlp v USING (piece)
+        WHERE v.lp IS NOT NULL OR s.j = 1),
+      all0 AS (
+        SELECT word, 0 AS i, CAST(0.0 AS DOUBLE) AS best, 0 AS np
+        FROM words),
+      ${(1 to 16).map(dpRound).mkString(",")},
+      fin AS (
+        SELECT w.word, w.wcnt, a.best AS best_lp, a.np AS n_pieces
+        FROM words w JOIN all16 a
+          ON a.word = w.word AND a.i = length(w.word))
+      SELECT word, wcnt, best_lp, n_pieces FROM (
+        SELECT *, row_number() OVER (ORDER BY wcnt DESC, word) AS rk
+        FROM fin) WHERE rk <= 300
+      ORDER BY word
+      """.trim
+    })
+
   /** TF-IDF: top-3 terms per document (doc_id < 20) by weight, exact.
     * Cross-engine parity: tf and idf are double expressions over exact
     * integer counts — identical operands, identical results; weight
@@ -4715,7 +4798,7 @@ object LlmQueries {
     """.trim))
 
   def all: Seq[HarnessQuery] = Seq(
-    q386SeqPacking, q387PngMeta,
+    q386SeqPacking, q387PngMeta, q388UnigramSegment,
     q370UrlCanonical, q377RobotsDecision, q378FrontierSchedule,
     q338Winnowing, q339WinnowOverlap, q348WinnowIncremental, q350LineDedup,
     q354TextRank, q356Waterfill, q362TokenizerFertility, q363HeapsFit,

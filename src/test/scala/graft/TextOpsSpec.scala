@@ -876,4 +876,59 @@ class TextOpsSpec extends SparkSpec {
       TextAnalysis.sequencePack(df, "id", "n", 0)
     }
   }
+
+  test("unigramSegment: matches a driver-side Viterbi reference") {
+    import spark.implicits._
+    val docs = Seq(
+      "foobar foo bar foobar baz",
+      "foo bar bar qux foobarbaz",
+      "foo foobar zap").toDF("text")
+    val maxPiece = 4; val vocabSize = 12; val unk = -20.0
+
+    // driver-side reference of the whole operator
+    val words = docs.collect().flatMap(_.getString(0).trim.toLowerCase
+      .split("\\s+")).filter(w => w.nonEmpty && w.length <= 16)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val pieceCnt = words.toSeq.flatMap { case (w, c) =>
+      for (e <- 1 to w.length; j <- 1 to math.min(maxPiece, e))
+        yield (w.substring(e - j, e), c)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val vocab = pieceCnt.toSeq.sortBy { case (p, c) => (-c, p) }.take(vocabSize)
+    val tot = vocab.map(_._2).sum.toDouble
+    val lp = vocab.map { case (p, c) =>
+      p -> BigDecimal(math.log(c / tot))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble }.toMap
+    def viterbi(w: String): (Double, Int) = {
+      val best = Array.fill(w.length + 1)((0.0, 0))
+      for (e <- 1 to w.length) {
+        val cands = for {
+          j <- 1 to math.min(maxPiece, e)
+          p = w.substring(e - j, e)
+          l = lp.get(p).orElse(if (j == 1) Some(unk) else None)
+          if l.isDefined
+        } yield (best(e - j)._1 + l.get, best(e - j)._2 + 1)
+        best(e) = cands.maxBy { case (b, np) => (b, -np) }
+      }
+      best(w.length)
+    }
+
+    val got = TextAnalysis.unigramSegment(docs, "text",
+      maxPieceLen = maxPiece, vocabSize = vocabSize, unkLp = unk)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getInt(3))).toMap
+    assert(got.keySet === words.keySet)
+    words.foreach { case (w, c) =>
+      val (gc, gb, gn) = got(w)
+      val (wb, wn) = viterbi(w)
+      assert(gc === c, s"count of $w")
+      assert(math.abs(gb - wb) < 1e-9, s"best_lp of $w: $gb vs $wb")
+      assert(gn === wn, s"n_pieces of $w: $gn vs $wn")
+    }
+    // frequent whole words segment as one piece; compounds decompose
+    assert(got("foo")._3 === 1)
+    assert(got("foobar")._3 <= 2)
+    // unseen-char fallback keeps the DP total (zap has rare chars but
+    // all single chars of the corpus are in-vocab or fall back)
+    assert(got.contains("zap"))
+  }
 }
