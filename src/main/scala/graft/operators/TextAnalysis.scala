@@ -888,10 +888,16 @@ object TextAnalysis {
     * @return per distinct eligible word: (word, wcnt, best_lp,
     *         n_pieces)
     */
-  def unigramSegment(
+  /** Shared front half of the unigram family: distinct eligible words
+    * with counts, substring pieces scored against the top-`vocabSize`
+    * vocabulary (12-dp log-probs, `unkLp` single-char fallback),
+    * collapsed to one (word, wcnt, __ps) row per word where __ps is
+    * the array of (s, e, lp, piece) candidates.
+    */
+  private def unigramWordPieces(
       df: DataFrame, textCol: String,
-      maxPieceLen: Int = 4, vocabSize: Int = 200,
-      maxWordLen: Int = 16, unkLp: Double = -20.0): DataFrame = {
+      maxPieceLen: Int, vocabSize: Int,
+      maxWordLen: Int, unkLp: Double): DataFrame = {
     require(maxPieceLen >= 1 && maxPieceLen <= 8,
       s"maxPieceLen must be in [1,8], got $maxPieceLen")
     require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
@@ -917,13 +923,22 @@ object TextAnalysis {
       .select(col("piece"),
         round(log(col("cnt").cast("double") / col("__tot").cast("double")),
           12).as("lp"))
-    val pieces = subs
+    subs
       .join(broadcast(vocabLp), Seq("piece"), "left")
       .withColumn("lp",
         coalesce(col("lp"), when(col("j") === 1, lit(unkLp))))
       .filter(col("lp").isNotNull)
       .groupBy(col("word"), col("wcnt"))
-      .agg(collect_list(struct(col("s"), col("e"), col("lp"))).as("__ps"))
+      .agg(collect_list(
+        struct(col("s"), col("e"), col("lp"), col("piece"))).as("__ps"))
+  }
+
+  def unigramSegment(
+      df: DataFrame, textCol: String,
+      maxPieceLen: Int = 4, vocabSize: Int = 200,
+      maxWordLen: Int = 16, unkLp: Double = -20.0): DataFrame = {
+    val pieces = unigramWordPieces(
+      df, textCol, maxPieceLen, vocabSize, maxWordLen, unkLp)
     // in-row Viterbi: accumulator acc(i+1) = (best, n_pieces) of the
     // prefix of length i; the j = 1 fallback guarantees a candidate at
     // every position, so array_max never sees an empty array
@@ -946,6 +961,64 @@ object TextAnalysis {
       .select(col("word"), col("wcnt"),
         col("__dp")("best").as("best_lp"),
         col("__dp")("np").as("n_pieces"))
+  }
+
+  /** One hard-EM (Viterbi-EM) re-estimation round for the unigram
+    * tokenizer: segment every distinct word along its maximum-
+    * likelihood path under the current piece probabilities (the
+    * [[unigramSegment]] vocabulary), then re-count pieces ALONG THOSE
+    * PATHS weighted by word frequency and renormalize — the E/M step
+    * SentencePiece alternates to prune a seed vocabulary toward the
+    * pieces segmentation actually uses. Substring mass double-counts
+    * overlapping candidates; path mass doesn't, which is why one round
+    * already reshapes the distribution (whole frequent words gain,
+    * interior fragments starve).
+    *
+    * Same in-row DP as [[unigramSegment]] with the argmax PATH carried
+    * through the accumulator (pieces joined into a string — ties break
+    * (score, fewer pieces, lexicographically-last path), all three
+    * keys engine-portable). The re-count is one explode + hash
+    * aggregate over |words| short arrays. Harness q389 replays DP,
+    * tie-breaks, and renormalization in unrolled SQL rounds.
+    *
+    * @return the re-estimated distribution: (piece, cnt, lp) for every
+    *         piece used by at least one best path; cnt is the
+    *         frequency-weighted path count, lp = round(ln(cnt/total), 12)
+    */
+  def unigramHardEmRound(
+      df: DataFrame, textCol: String,
+      maxPieceLen: Int = 4, vocabSize: Int = 200,
+      maxWordLen: Int = 16, unkLp: Double = -20.0): DataFrame = {
+    val pieces = unigramWordPieces(
+      df, textCol, maxPieceLen, vocabSize, maxWordLen, unkLp)
+    // accumulator element: (best, negnp, path) — comparison order IS
+    // the tie-break order, so array_max picks (max score, fewest
+    // pieces, lexicographically-last path) deterministically
+    val dp = aggregate(
+      sequence(lit(1), length(col("word"))),
+      array(struct(lit(0.0).as("best"), lit(0).as("negnp"),
+        lit("").as("path"))),
+      (acc, e) => {
+        val cands = transform(
+          filter(col("__ps"), p => p("e") === e),
+          p => struct(
+            (element_at(acc, p("s") + 1)("best") + p("lp")).as("best"),
+            (element_at(acc, p("s") + 1)("negnp") - 1).as("negnp"),
+            concat(element_at(acc, p("s") + 1)("path"), lit(" "),
+              p("piece")).as("path")))
+        concat(acc, array(array_max(cands)))
+      },
+      acc => element_at(acc, length(col("word")) + 1)("path"))
+    val counts = pieces
+      .withColumn("__path", dp)
+      .select(col("wcnt"),
+        explode(split(ltrim(col("__path")), " ")).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("wcnt")).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("__tot")) // 1 row, broadcast
+    counts.crossJoin(broadcast(total))
+      .select(col("piece"), col("cnt"),
+        round(log(col("cnt").cast("double") / col("__tot").cast("double")),
+          12).as("lp"))
   }
 
   /** GPT-style sequence packing plan: concatenate the corpus in

@@ -764,6 +764,100 @@ object LlmQueries {
       """.trim
     })
 
+  /** Unigram-tokenizer hard-EM round
+    * ([[TextAnalysis.unigramHardEmRound]]): segment every word along
+    * its Viterbi path under the q388 vocabulary, re-count pieces along
+    * the paths (frequency-weighted), renormalize — the E/M step that
+    * prunes a seed vocabulary toward the pieces segmentation actually
+    * uses. Oracle: the q388 unrolled DP additionally carrying the
+    * argmax path (tie-break best DESC, np ASC, path DESC — the
+    * operator's struct-max order), then one unnest + renormalize.
+    * Output: the 50 heaviest re-estimated pieces.
+    */
+  val q389UnigramEm = HarnessQuery(
+    "q389_unigram_em",
+    (spark, dir) =>
+      TextAnalysis.unigramHardEmRound(Tables.documents(spark, dir), "text")
+        .orderBy(col("cnt").desc, col("piece")).limit(50)
+        .orderBy(col("piece")),
+    Some {
+      val dpRound = (e: Int) => s"""
+      best$e AS (
+        SELECT word, $e AS i, best, np, path FROM (
+          SELECT p.word, a.best + p.lp AS best, a.np + 1 AS np,
+                 a.path || ' ' || p.piece AS path,
+                 row_number() OVER (PARTITION BY p.word
+                   ORDER BY a.best + p.lp DESC, a.np + 1,
+                            a.path || ' ' || p.piece DESC) AS rk
+          FROM pieces p JOIN all${e - 1} a
+            ON a.word = p.word AND a.i = p.s
+          WHERE p.e = $e) WHERE rk = 1),
+      all$e AS MATERIALIZED (
+        SELECT * FROM all${e - 1} UNION ALL SELECT * FROM best$e)"""
+      s"""
+      WITH toks AS (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+          AS word
+        FROM documents),
+      words AS MATERIALIZED (
+        SELECT word, CAST(count(*) AS BIGINT) AS wcnt
+        FROM toks WHERE length(word) BETWEEN 1 AND 16
+        GROUP BY 1),
+      se AS (
+        SELECT word, wcnt,
+               unnest(generate_series(1, length(word))) AS e
+        FROM words),
+      sej AS (
+        SELECT word, wcnt, e,
+               unnest(generate_series(1, least(4, e))) AS j
+        FROM se),
+      subs AS MATERIALIZED (
+        SELECT word, wcnt, e - j AS s, e, j,
+               substr(word, e - j + 1, j) AS piece
+        FROM sej),
+      pc AS (
+        SELECT piece, CAST(sum(wcnt) AS BIGINT) AS cnt
+        FROM subs GROUP BY 1),
+      vocab AS MATERIALIZED (
+        SELECT piece, cnt FROM (
+          SELECT piece, cnt,
+                 row_number() OVER (ORDER BY cnt DESC, piece) AS rk
+          FROM pc) WHERE rk <= 200),
+      tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM vocab),
+      vlp AS (
+        SELECT piece,
+               round(ln(CAST(cnt AS DOUBLE) / CAST(t AS DOUBLE)), 12) AS lp
+        FROM vocab, tot),
+      pieces AS MATERIALIZED (
+        SELECT s.word, s.s, s.e, s.piece,
+               coalesce(v.lp, CASE WHEN s.j = 1 THEN -20.0 END) AS lp
+        FROM subs s LEFT JOIN vlp v USING (piece)
+        WHERE v.lp IS NOT NULL OR s.j = 1),
+      all0 AS (
+        SELECT word, 0 AS i, CAST(0.0 AS DOUBLE) AS best, 0 AS np,
+               '' AS path
+        FROM words),
+      ${(1 to 16).map(dpRound).mkString(",")},
+      seg AS (
+        SELECT w.wcnt, ltrim(a.path) AS path
+        FROM words w JOIN all16 a
+          ON a.word = w.word AND a.i = length(w.word)),
+      pcs AS (
+        SELECT unnest(string_split(path, ' ')) AS piece, wcnt FROM seg),
+      cnts AS (
+        SELECT piece, CAST(sum(wcnt) AS BIGINT) AS cnt
+        FROM pcs GROUP BY 1),
+      tot2 AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM cnts)
+      SELECT piece, cnt,
+             round(ln(CAST(cnt AS DOUBLE) / CAST(t AS DOUBLE)), 12) AS lp
+      FROM (
+        SELECT piece, cnt, t,
+               row_number() OVER (ORDER BY cnt DESC, piece) AS rk
+        FROM cnts, tot2) WHERE rk <= 50
+      ORDER BY piece
+      """.trim
+    })
+
   /** TF-IDF: top-3 terms per document (doc_id < 20) by weight, exact.
     * Cross-engine parity: tf and idf are double expressions over exact
     * integer counts — identical operands, identical results; weight
@@ -4798,7 +4892,7 @@ object LlmQueries {
     """.trim))
 
   def all: Seq[HarnessQuery] = Seq(
-    q386SeqPacking, q387PngMeta, q388UnigramSegment,
+    q386SeqPacking, q387PngMeta, q388UnigramSegment, q389UnigramEm,
     q370UrlCanonical, q377RobotsDecision, q378FrontierSchedule,
     q338Winnowing, q339WinnowOverlap, q348WinnowIncremental, q350LineDedup,
     q354TextRank, q356Waterfill, q362TokenizerFertility, q363HeapsFit,

@@ -931,4 +931,62 @@ class TextOpsSpec extends SparkSpec {
     // all single chars of the corpus are in-vocab or fall back)
     assert(got.contains("zap"))
   }
+
+  test("unigramHardEmRound: path re-count matches a driver-side reference") {
+    import spark.implicits._
+    val docs = Seq(
+      "foobar foo bar foobar baz",
+      "foo bar bar qux foobarbaz",
+      "foo foobar zap").toDF("text")
+    val maxPiece = 4; val vocabSize = 12; val unk = -20.0
+
+    // driver reference: vocab as in the segment spec, then
+    // path-carrying Viterbi with the (best, -np, path) struct-max
+    // tie-break, then frequency-weighted piece re-count
+    val words = docs.collect().flatMap(_.getString(0).trim.toLowerCase
+      .split("\\s+")).filter(w => w.nonEmpty && w.length <= 16)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val pieceCnt = words.toSeq.flatMap { case (w, c) =>
+      for (e <- 1 to w.length; j <- 1 to math.min(maxPiece, e))
+        yield (w.substring(e - j, e), c)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val vocab = pieceCnt.toSeq.sortBy { case (p, c) => (-c, p) }.take(vocabSize)
+    val tot = vocab.map(_._2).sum.toDouble
+    val lp = vocab.map { case (p, c) =>
+      p -> BigDecimal(math.log(c / tot))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble }.toMap
+    def path(w: String): Seq[String] = {
+      val best = Array.fill(w.length + 1)((0.0, 0, ""))
+      for (e <- 1 to w.length) {
+        val cands = for {
+          j <- 1 to math.min(maxPiece, e)
+          p = w.substring(e - j, e)
+          l = lp.get(p).orElse(if (j == 1) Some(unk) else None)
+          if l.isDefined
+          prev = best(e - j)
+        } yield (prev._1 + l.get, prev._2 - 1, prev._3 + " " + p)
+        best(e) = cands.max
+      }
+      best(w.length)._3.trim.split(" ").toSeq
+    }
+    val want = words.toSeq.flatMap { case (w, c) => path(w).map(_ -> c) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val wtot = want.values.sum.toDouble
+
+    val got = TextAnalysis.unigramHardEmRound(docs, "text",
+      maxPieceLen = maxPiece, vocabSize = vocabSize, unkLp = unk)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(got.keySet === want.keySet)
+    want.foreach { case (p, c) =>
+      assert(got(p)._1 === c, s"cnt of piece $p")
+      val wantLp = BigDecimal(math.log(c / wtot))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(got(p)._2 - wantLp) < 1e-9, s"lp of piece $p")
+    }
+    // hard-EM concentrates mass: whole frequent words survive as pieces
+    assert(got.contains("foo"))
+    // and the re-counted mass equals total path tokens (sanity)
+    assert(got.values.map(_._1).sum === wtot.toLong)
+  }
 }
