@@ -934,6 +934,46 @@ object Graphs {
     *         count of pairs (v, u) with dist(v, u) <= t, summed over
     *         all vertices; exactly one row carries the flag
     */
+  /** Seed ball registers: each vertex's ball starts as {v} — one
+    * (vertex, bucket, rho) row from v's own 60-bit hash, exactly
+    * [[Sketches]]' registerTable math.
+    */
+  private def hllBallSeed(verts: DataFrame): DataFrame = {
+    val h = graft.functions.TextFunctions.md5Hash60(col("__id").cast("string"))
+    val w = expr(s"__h div ${Sketches.M.toLong}")
+    Materialize.cut(verts
+      .select(col("__id"), h.as("__h"))
+      .select(col("__id"),
+        pmod(col("__h"), lit(Sketches.M.toLong)).as("__b"),
+        when(w === 0L, lit(Sketches.WidthBits))
+          .otherwise(lit(Sketches.WidthBits + 1) - length(bin(w)))
+          .cast("int").as("__m")))
+  }
+
+  /** One HyperANF round: route neighbor registers along edges, merge
+    * by register-wise max, cut lineage.
+    */
+  private def hllBallRound(reg: DataFrame, e: DataFrame): DataFrame = {
+    val fromNbr = e
+      .join(reg.select(col("__id").as("__dst"), col("__b"), col("__m")),
+        Seq("__dst"))
+      .select(col("__src").as("__id"), col("__b"), col("__m"))
+    Materialize.cut(reg.unionByName(fromNbr)
+      .groupBy(col("__id"), col("__b"))
+      .agg(max(col("__m")).as("__m")))
+  }
+
+  /** Per-vertex ball-size estimate (__id, __est) from a register
+    * table, with [[Sketches]]' shared small-range correction.
+    */
+  private def hllBallEst(reg: DataFrame): DataFrame =
+    Sketches.withEstimate(reg
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).cast("int").as("used_registers"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${Sketches.WidthBits} - __m)"))
+          .as("__sum")))
+      .select(col("__id"), col("__est"))
+
   def hyperAnf(
       vertices: DataFrame,
       idCol: String,
@@ -950,37 +990,17 @@ object Graphs {
       .select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
       .filter(col("__src") =!= col("__dst"))
       .distinct())
-    // seed registers: each ball starts as {v} — one (vertex, bucket,
-    // rho) row from v's own 60-bit hash, exactly registerTable's math
-    val h = graft.functions.TextFunctions.md5Hash60(col("__id").cast("string"))
-    val w = expr(s"__h div ${Sketches.M.toLong}")
-    var reg = Materialize.cut(verts
-      .select(col("__id"), h.as("__h"))
-      .select(col("__id"),
-        pmod(col("__h"), lit(Sketches.M.toLong)).as("__b"),
-        when(w === 0L, lit(Sketches.WidthBits))
-          .otherwise(lit(Sketches.WidthBits + 1) - length(bin(w)))
-          .cast("int").as("__m")))
+    var reg = hllBallSeed(verts)
     // per-t total: per-vertex HLL estimate (shared small-range
     // correction), folded exactly, snapped once
     def nfAt(t: Int): DataFrame =
-      Sketches.withEstimate(reg
-        .groupBy(col("__id"))
-        .agg(count(lit(1)).cast("int").as("used_registers"),
-          sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${Sketches.WidthBits} - __m)"))
-            .as("__sum")))
+      hllBallEst(reg)
         .agg(sum(col("__est").cast(DecimalType(30, 18))).cast("double").as("__t"))
         .select(lit(t).as("t"), (floor(col("__t") * 1e6) / 1e6).as("nf"))
     val curve = Seq.newBuilder[DataFrame]
     curve += nfAt(0)
     for (t <- 1 to maxT) {
-      val fromNbr = e
-        .join(reg.select(col("__id").as("__dst"), col("__b"), col("__m")),
-          Seq("__dst"))
-        .select(col("__src").as("__id"), col("__b"), col("__m"))
-      reg = Materialize.cut(reg.unionByName(fromNbr)
-        .groupBy(col("__id"), col("__b"))
-        .agg(max(col("__m")).as("__m")))
+      reg = hllBallRound(reg, e)
       curve += nfAt(t)
     }
     val nfCurve = curve.result().reduce(_.unionByName(_))
@@ -995,5 +1015,51 @@ object Graphs {
     ratioed.crossJoin(broadcast(effT))
       .select(col("t"), col("nf"), col("ratio"),
         (col("t") === col("__eff")).as("is_eff_diameter"))
+  }
+
+  /** Harmonic centrality from the HyperANF ball sketches (Boldi &
+    * Vigna's application of [[hyperAnf]]): per vertex,
+    *
+    *   HC(v) = Σ_{t=1..maxT} (|B(v,t)| − |B(v,t−1)|) / t
+    *
+    * — each newly-reached vertex contributes 1/distance, the
+    * centrality that actually works on disconnected graphs (closeness
+    * degenerates there) and the one web-scale ranking uses when exact
+    * all-pairs BFS is unthinkable. Same register dataflow as
+    * [[hyperAnf]] (edge join + register-wise max per round, |V| × 64
+    * state forever); the per-round per-vertex estimates fold into the
+    * running HC with one id-keyed join per round. Output snapped at
+    * 1e6; the whole computation replays in SQL over exact
+    * reachability (harness q390).
+    *
+    * @return (idCol, harmonic_centrality) — one row per vertex;
+    *         isolated vertices score 0
+    */
+  def hyperAnfCentrality(
+      vertices: DataFrame,
+      idCol: String,
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxT: Int = 3): DataFrame = {
+    require(maxT >= 1 && maxT <= 8, s"maxT must be in [1,8], got $maxT")
+    val verts = vertices.select(col(idCol).as("__id")).distinct()
+    val e = Materialize.cut(edges
+      .select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .filter(col("__src") =!= col("__dst"))
+      .distinct())
+    var reg = hllBallSeed(verts)
+    var acc = hllBallEst(reg)
+      .select(col("__id"), col("__est").as("__prev"), lit(0.0).as("__hc"))
+    for (t <- 1 to maxT) {
+      reg = hllBallRound(reg, e)
+      acc = Materialize.cut(acc
+        .join(hllBallEst(reg), Seq("__id"))
+        .select(col("__id"), col("__est").as("__prev"),
+          (col("__hc") + (col("__est") - col("__prev")) / lit(t.toDouble))
+            .as("__hc")))
+    }
+    acc.select(col("__id").as(idCol),
+      (floor(col("__hc") * 1e6) / 1e6).as("harmonic_centrality"))
   }
 }

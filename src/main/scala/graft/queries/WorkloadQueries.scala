@@ -1162,8 +1162,90 @@ object WorkloadQueries {
       """.trim
     })
 
+  /** Harmonic centrality from HyperANF ball sketches
+    * ([[Graphs.hyperAnfCentrality]], t <= 3) over the q383 part
+    * co-purchase graph: each newly-reached part contributes
+    * 1/distance. The oracle reuses q383's exact-reachability register
+    * replay and folds the per-vertex per-t estimates with the
+    * identical left-associated arithmetic.
+    */
+  val q390HarmonicCentrality = HarnessQuery(
+    "q390_harmonic_centrality",
+    (spark, dir) => {
+      val li = Tables.lineitem(spark, dir)
+        .where(col("l_orderkey") % 7 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val edges = li.as("a")
+        .join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+        .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+      Graphs.hyperAnfCentrality(
+        Tables.part(spark, dir).select(col("p_partkey")), "p_partkey",
+        edges, "src", "dst", maxT = 3)
+        .orderBy(col("p_partkey"))
+    },
+    Some {
+      val reachRound = (i: Int) => s"""
+      r${i + 1} AS MATERIALIZED (
+        SELECT v, u FROM r$i
+        UNION
+        SELECT r.v, e.dst FROM r$i r JOIN edges e ON r.u = e.src)"""
+      val evRound = (i: Int) => s"""
+      reg$i AS (
+        SELECT r.v, hb.b, max(hb.m) AS m
+        FROM r$i r JOIN hb ON r.u = hb.u GROUP BY 1, 2),
+      pv$i AS (
+        SELECT v, CAST(count(*) AS INT) AS used,
+               CAST(sum(CAST(1 AS BIGINT) << (54 - m)) AS BIGINT) AS s0
+        FROM reg$i GROUP BY 1),
+      ev$i AS (
+        SELECT v,
+               CASE WHEN (CAST(0.709 AS DOUBLE) * 64 * 64 * 18014398509481984.0)
+                      / CAST(s0 + CAST(64 - used AS BIGINT)
+                          * 18014398509481984 AS DOUBLE) <= 160.0
+                      AND 64 - used > 0
+                    THEN 64.0 * ln(64.0 / (64 - used))
+                    ELSE (CAST(0.709 AS DOUBLE) * 64 * 64 * 18014398509481984.0)
+                      / CAST(s0 + CAST(64 - used AS BIGINT)
+                          * 18014398509481984 AS DOUBLE)
+               END AS e
+        FROM pv$i)"""
+      s"""
+      WITH lf AS (
+        SELECT l_orderkey AS ok, l_partkey AS pk
+        FROM lineitem WHERE l_orderkey % 7 = 0),
+      edges AS MATERIALIZED (
+        SELECT DISTINCT a.pk AS src, b.pk AS dst
+        FROM lf a JOIN lf b ON a.ok = b.ok AND a.pk <> b.pk),
+      verts AS (SELECT p_partkey AS id FROM part),
+      hb AS MATERIALIZED (
+        SELECT id AS u,
+               h % 64 AS b,
+               CASE WHEN h // 64 = 0 THEN 54
+                    ELSE 55 - length(bin(h // 64)) END AS m
+        FROM (SELECT id,
+                CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h
+              FROM verts)),
+      r0 AS (SELECT id AS v, id AS u FROM verts),
+      ${reachRound(0)},
+      ${reachRound(1)},
+      ${reachRound(2)},
+      ${evRound(0)},
+      ${evRound(1)},
+      ${evRound(2)},
+      ${evRound(3)}
+      SELECT e0.v AS p_partkey,
+             floor((0.0 + (e1.e - e0.e) / 1.0 + (e2.e - e1.e) / 2.0
+               + (e3.e - e2.e) / 3.0) * 1e6) / 1e6 AS harmonic_centrality
+      FROM ev0 e0 JOIN ev1 e1 USING (v) JOIN ev2 e2 USING (v)
+           JOIN ev3 e3 USING (v)
+      ORDER BY 1
+      """.trim
+    })
+
   def all: Seq[HarnessQuery] = Seq(
-    q382JoinCardinality, q383HyperAnf,
+    q382JoinCardinality, q383HyperAnf, q390HarmonicCentrality,
     q367FellegiSunter, q369ChecksumReconcile,
     q188Rfm, q189Survival, q190Pmi, q191Chi2, q192Melt,
     q193SkewProfile, q194Zorder, q195Khop, q196Scd2, q197PathTrigrams,

@@ -370,4 +370,30 @@ class GraphsSpec extends SparkSpec {
       maxT = 4, coverage = 0.9).collect().map(_.toSeq).toSet
     assert(again === got.map(g => Seq(g._1, g._2, g._3, g._4)).toSet)
   }
+
+  test("hyperAnfCentrality: tracks exact harmonic centrality on a path") {
+    import spark.implicits._
+    // path 1-2-3-4-5-6 plus isolated 7
+    val verts = (1L to 7L).toDF("id")
+    val und = (1L to 5L).flatMap(i => Seq((i, i + 1), (i + 1, i)))
+    val maxT = 3
+    val got = Graphs.hyperAnfCentrality(
+      verts, "id", und.toDF("s", "d"), "s", "d", maxT)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def exactHc(v: Long): Double = (1L to 6L)
+      .filter(u => u != v && math.abs(u - v) <= maxT)
+      .map(u => 1.0 / math.abs(u - v)).sum
+    (1L to 6L).foreach { v =>
+      val want = exactHc(v)
+      assert(math.abs(got(v) - want) / want < 0.2,
+        s"vertex $v: est ${got(v)} vs exact $want")
+    }
+    // the isolated vertex's ball never grows: exactly zero
+    assert(got(7L) === 0.0)
+    // path interior outranks the endpoints
+    assert(got(3L) > got(1L) && assertNonNeg(got))
+  }
+
+  private def assertNonNeg(hc: Map[Long, Double]): Boolean =
+    hc.values.forall(_ >= 0.0)
 }
