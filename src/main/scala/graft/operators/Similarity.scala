@@ -1313,10 +1313,21 @@ object Similarity {
       k: Int,
       threshold: Double): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val fwd = cosineTopK(right, left, idCol, vecCol, k)
+    // cosine is symmetric, so ONE scored pair table serves both top-k
+    // directions — half the dot-product work of two cosineTopK calls;
+    // cut so the two rank windows read the materialized scores instead
+    // of re-running the scoring pipeline
+    val pairs = right.select(col(idCol).as("neighbor_id"))
+      .crossJoin(broadcast(left.select(col(idCol).as("query_id"))))
+      .filter(col("neighbor_id") =!= col("query_id"))
+    val allScored = graft.Materialize.cut(
+      scorePairs(pairs, right, left, idCol, vecCol))
+    val fwd = rankTopK(allScored, k)
       .select(col("query_id").as("lid"), col("neighbor_id").as("rid"),
         col("cosine"))
-    val bwd = cosineTopK(left, right, idCol, vecCol, k)
+    val bwd = rankTopK(allScored.select(
+        col("neighbor_id").as("query_id"),
+        col("query_id").as("neighbor_id"), col("cosine")), k)
       .select(col("neighbor_id").as("lid"), col("query_id").as("rid"),
         col("cosine"))
     def nnAvg(df: DataFrame, key: String, out: String) =
