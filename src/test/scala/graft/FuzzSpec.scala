@@ -186,4 +186,134 @@ class FuzzSpec extends SparkSpec {
     assert(run(docs.repartition(7)) === base)
     assert(run(docs.repartition(1)) === base)
   }
+
+  test("sequencePack offsets equal the reference cumsum on random sparse ids") {
+    val rnd = new scala.util.Random(17)
+    (1 to 5).foreach { _ =>
+      // sparse non-contiguous ids, zero-count docs mixed in
+      val rows = (1 to 40).scanLeft(0L)((acc, _) => acc + 1 + rnd.nextInt(97))
+        .map(id => (id, rnd.nextInt(4) match {
+          case 0 => 0L; case _ => rnd.nextInt(500).toLong }))
+      val seqLen = 1 + rnd.nextInt(300)
+      val bw = 1L + rnd.nextInt(64)
+      val got = graft.operators.TextAnalysis.sequencePack(
+        rows.toDF("id", "n"), "id", "n", seqLen, bucketWidth = bw)
+        .collect().sortBy(_.getLong(0))
+      var off = 0L
+      rows.sortBy(_._1).zip(got).foreach { case ((id, n), r) =>
+        assert(r.getLong(0) === id && r.getLong(2) === off,
+          s"seqLen=$seqLen bw=$bw doc $id")
+        val first = off / seqLen
+        val last = if (n > 0) (off + n - 1) / seqLen else first
+        assert(r.getLong(3) === first && r.getLong(4) === last)
+        off += n
+      }
+    }
+  }
+
+  test("hyperAnf curve tracks exact ball sums on random graphs") {
+    val rnd = new scala.util.Random(23)
+    (1 to 4).foreach { _ =>
+      val n = 6 + rnd.nextInt(6)
+      val ids = (1L to n.toLong)
+      val und = (for {
+        a <- ids; b <- ids if a < b && rnd.nextInt(4) == 0
+      } yield Seq((a, b), (b, a))).flatten
+      val edges = if (und.isEmpty) Seq((1L, 2L), (2L, 1L)) else und
+      val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      def ball(v: Long, t: Int): Set[Long] = {
+        var s = Set(v)
+        (1 to t).foreach { _ =>
+          s = s ++ s.flatMap(u => adj.getOrElse(u, Set.empty)) }
+        s
+      }
+      val got = graft.operators.Graphs.hyperAnf(
+        ids.toDF("id"), "id", edges.toDF("s", "d"), "s", "d", maxT = 3)
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      (0 to 3).foreach { t =>
+        val exact = ids.map(v => ball(v, t).size).sum.toDouble
+        assert(math.abs(got(t) - exact) / exact < 0.25,
+          s"n=$n t=$t: est ${got(t)} vs exact $exact")
+      }
+      // monotone non-decreasing curve
+      (1 to 3).foreach(t => assert(got(t) >= got(t - 1)))
+    }
+  }
+
+  test("knnShapley matches brute-force enumeration on random instances") {
+    val rnd = new scala.util.Random(29)
+    def fact(n: Int): Double = (1 to n).map(_.toDouble).product
+    (1 to 4).foreach { _ =>
+      val nTrain = 4 + rnd.nextInt(3)
+      val k = 1 + rnd.nextInt(3)
+      val train = (1L to nTrain.toLong).map(i =>
+        (i, Array(rnd.nextFloat() * 10, rnd.nextFloat() * 10), rnd.nextInt(2)))
+      val test = (1 to 2).map(i =>
+        (100L + i, Array(rnd.nextFloat() * 10, rnd.nextFloat() * 10), rnd.nextInt(2)))
+      def sq(a: Array[Float], b: Array[Float]) = a.zip(b).map {
+        case (x, y) => (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble) }.sum
+      def brute(id: Long): Double = test.map { case (_, tv, ty) =>
+        def util(s: Set[Long]): Double =
+          if (s.isEmpty) 0.0
+          else train.filter(t => s.contains(t._1))
+            .sortBy(t => (sq(t._2, tv), t._1)).take(k)
+            .count(_._3 == ty).toDouble / k
+        val others = train.map(_._1).filterNot(_ == id).toSet
+        others.subsets().map(s => fact(s.size) * fact(nTrain - 1 - s.size)
+          / fact(nTrain) * (util(s + id) - util(s))).sum
+      }.sum / test.size
+      val got = graft.operators.Valuation.knnShapley(
+        train.toDF("id", "v", "y"), test.toDF("id", "v", "y"),
+        "id", "v", "y", k)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      train.foreach { case (id, _, _) =>
+        assert(math.abs(got(id) - brute(id)) < 1e-9,
+          s"nTrain=$nTrain k=$k id=$id: ${got(id)} vs ${brute(id)}")
+      }
+    }
+  }
+
+  test("unigramSegment matches the driver Viterbi on random corpora") {
+    val rnd = new scala.util.Random(37)
+    val alphabet = "abcd"
+    (1 to 3).foreach { _ =>
+      val docs = (1 to 6).map(_ => (1 to 3 + rnd.nextInt(6)).map(_ =>
+        (1 to 1 + rnd.nextInt(8)).map(_ =>
+          alphabet(rnd.nextInt(alphabet.length))).mkString)
+        .mkString(" ")).toDF("text")
+      val vs = 6 + rnd.nextInt(10)
+      val words = docs.collect().flatMap(_.getString(0).split("\\s+"))
+        .filter(_.nonEmpty).groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val pieceCnt = words.toSeq.flatMap { case (w, c) =>
+        for (e <- 1 to w.length; j <- 1 to math.min(4, e))
+          yield (w.substring(e - j, e), c) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      val vocab = pieceCnt.toSeq.sortBy { case (p, c) => (-c, p) }.take(vs)
+      val tot = vocab.map(_._2).sum.toDouble
+      val lp = vocab.map { case (p, c) => p -> BigDecimal(math.log(c / tot))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble }.toMap
+      def vit(w: String): (Double, Int) = {
+        val best = Array.fill(w.length + 1)((0.0, 0))
+        for (e <- 1 to w.length) {
+          val cands = for {
+            j <- 1 to math.min(4, e)
+            l = lp.get(w.substring(e - j, e))
+              .orElse(if (j == 1) Some(-20.0) else None)
+            if l.isDefined
+          } yield (best(e - j)._1 + l.get, best(e - j)._2 + 1)
+          best(e) = cands.maxBy { case (b, np) => (b, -np) }
+        }
+        best(w.length)
+      }
+      val got = graft.operators.TextAnalysis.unigramSegment(
+        docs, "text", vocabSize = vs)
+        .collect().map(r => r.getString(0) ->
+          (r.getDouble(2), r.getInt(3))).toMap
+      words.keys.foreach { w =>
+        val (wb, wn) = vit(w)
+        assert(math.abs(got(w)._1 - wb) < 1e-9, s"vs=$vs best_lp of $w")
+        assert(got(w)._2 === wn, s"vs=$vs n_pieces of $w")
+      }
+    }
+  }
 }
