@@ -204,7 +204,43 @@ object SourceQueries {
       FROM events GROUP BY 1 ORDER BY 1
     """.trim))
 
+  /** S1 sibling for the columnar-source matrix: parquet → ORC →
+    * typed read → per-status aggregate. ORC is the other splittable
+    * columnar format a 100 TB lake actually serves (predicate pushdown
+    * and column pruning work the same as parquet via the native
+    * reader); doubles and timestamps survive because ORC stores them
+    * binary — no text round-trip at all. The oracle aggregates the
+    * original parquet, so any type drift, row loss, or column
+    * misalignment through the ORC hop breaks the hash.
+    */
+  val q391OrcRoundtrip = HarnessQuery(
+    "q391_orc_roundtrip",
+    (spark, dir) => {
+      val tmp = Files.createTempDirectory("graft_q391").toFile
+      tmp.deleteOnExit()
+      val orcDir = new java.io.File(tmp, "orders_orc").getPath
+      Tables.orders(spark, dir)
+        .write.mode("overwrite").orc(orcDir)
+      spark.read.orc(orcDir)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("sum_price"),
+          countDistinct(col("o_custkey")).as("n_custs"),
+          unix_micros(max(col("o_orderdate"))).as("last_date_us"))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some("""
+      SELECT o_orderstatus,
+             count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+               AS sum_price,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+             epoch_us(max(o_orderdate)) AS last_date_us
+      FROM orders GROUP BY 1 ORDER BY 1
+    """.trim))
+
   def all: Seq[HarnessQuery] =
     Seq(q159CsvRoundtrip, q160YamlConfig, q227PartitionedSink,
-      q233SchemaEvolution)
+      q233SchemaEvolution, q391OrcRoundtrip)
 }

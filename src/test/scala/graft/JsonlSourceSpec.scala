@@ -54,4 +54,31 @@ class JsonlSourceSpec extends SparkSpec {
       JsonlSource.read(spark, dir, schema).count()
     }
   }
+
+  test("orc round-trip preserves values and (name, dataType) pairs") {
+    val dir = Files.createTempDirectory("graft_orc").toString + "/t"
+    val df = Seq(
+      (1L, "a", 1.25, java.sql.Timestamp.valueOf("2024-03-01 10:20:30.123456"),
+        Array(1.0f, -2.5f)),
+      (2L, null, -0.0, null, Array.empty[Float]),
+      (3L, "c", Double.MaxValue, java.sql.Timestamp.valueOf("1999-12-31 23:59:59"),
+        null))
+      .toDF("id", "s", "d", "ts", "vec")
+    df.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    // ORC (like parquet) widens nullability on read, including array
+    // element containsNull — compare the nullability-free rendering
+    assert(back.schema.map(f => (f.name, f.dataType.catalogString)) ===
+      df.schema.map(f => (f.name, f.dataType.catalogString)))
+    val a = df.collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    val b = back.collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    a.zip(b).foreach { case (x, y) =>
+      // arrays arrive as Spark collections — normalize before compare
+      def norm(s: Seq[Any]) = s.map {
+        case w: scala.collection.Seq[_] => w.toList
+        case w => w
+      }
+      assert(norm(x) === norm(y))
+    }
+  }
 }
