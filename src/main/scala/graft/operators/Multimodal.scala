@@ -714,6 +714,133 @@ object Multimodal {
     bb.array()
   }
 
+  /** Parsed JPEG frame header. Sentinels when the payload is not a
+    * JPEG (no SOI or no SOF before SOS/end): dimensions/precision/
+    * components −1, flags false, n_segments 0.
+    */
+  final case class JpegMeta(
+      width: Int, height: Int, precision: Int, n_components: Int,
+      progressive: Boolean, has_jfif: Boolean, has_exif: Boolean,
+      n_segments: Int)
+
+  final case class JpegMetaRow(
+      media_id: Long, width: Int, height: Int, precision: Int,
+      n_components: Int, progressive: Boolean, has_jfif: Boolean,
+      has_exif: Boolean, n_segments: Int, n_bytes: Long)
+
+  private val UnknownJpeg =
+    JpegMeta(-1, -1, -1, -1, progressive = false, has_jfif = false,
+      has_exif = false, n_segments = 0)
+
+  /** Total JPEG marker walk: SOI, then (0xFF marker, BE length,
+    * payload) segments until SOS or EOI — SOF0/1 (baseline) and SOF2
+    * (progressive) carry precision/height/width/components; APP0
+    * "JFIF\0" and APP1 "Exif\0\0" flag the metadata wrappers an ingest
+    * pipeline filters on. Defensive like [[parsePngMeta]]: lying or
+    * truncated lengths stop the walk; a payload without SOI + a SOF
+    * yields the sentinel; never throws. Entropy-coded data is never
+    * touched — the walk ends at SOS.
+    */
+  def parseJpegMeta(bytes: Array[Byte]): JpegMeta = {
+    if (bytes == null || bytes.length < 4) return UnknownJpeg
+    if ((bytes(0) & 0xFF) != 0xFF || (bytes(1) & 0xFF) != 0xD8)
+      return UnknownJpeg
+    var p = 2
+    var width = -1; var height = -1; var prec = -1; var ncomp = -1
+    var prog = false; var jfif = false; var exif = false; var nSeg = 0
+    var stop = false
+    while (!stop && p + 4 <= bytes.length) {
+      if ((bytes(p) & 0xFF) != 0xFF) { stop = true }
+      else {
+        val marker = bytes(p + 1) & 0xFF
+        if (marker == 0xD9 || marker == 0xDA) { // EOI / SOS: done
+          nSeg += 1
+          stop = true
+        } else if (marker == 0x01 || (marker >= 0xD0 && marker <= 0xD7)) {
+          nSeg += 1 // standalone marker, no length
+          p += 2
+        } else {
+          val len = ((bytes(p + 2) & 0xFF) << 8) | (bytes(p + 3) & 0xFF)
+          if (len < 2 || p + 2 + len > bytes.length) stop = true
+          else {
+            nSeg += 1
+            if ((marker == 0xC0 || marker == 0xC1 || marker == 0xC2)
+              && len >= 8) {
+              prec = bytes(p + 4) & 0xFF
+              height = ((bytes(p + 5) & 0xFF) << 8) | (bytes(p + 6) & 0xFF)
+              width = ((bytes(p + 7) & 0xFF) << 8) | (bytes(p + 8) & 0xFF)
+              ncomp = bytes(p + 9) & 0xFF
+              prog = marker == 0xC2
+            } else if (marker == 0xE0 && len >= 7
+              && fourcc(bytes, p + 4) == "JFIF" && bytes(p + 8) == 0) {
+              jfif = true
+            } else if (marker == 0xE1 && len >= 8
+              && fourcc(bytes, p + 4) == "Exif" && bytes(p + 8) == 0
+              && bytes(p + 9) == 0) {
+              exif = true
+            }
+            p += 2 + len
+          }
+        }
+      }
+    }
+    if (width < 0) UnknownJpeg
+    else JpegMeta(width, height, prec, ncomp, prog, jfif, exif, nSeg)
+  }
+
+  /** JPEG metadata over a media Dataset — same shape as
+    * [[containerMeta]]/[[pngMeta]].
+    */
+  def jpegMeta(ds: Dataset[MediaRow]): Dataset[JpegMetaRow] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { r =>
+      val m = parseJpegMeta(r.media)
+      val n = if (r.media == null) 0L else r.media.length.toLong
+      JpegMetaRow(r.media_id, m.width, m.height, m.precision,
+        m.n_components, m.progressive, m.has_jfif, m.has_exif,
+        m.n_segments, n)
+    })
+  }
+
+  /** Deterministic JPEG fixture: SOI + JFIF APP0 + optional Exif APP1
+    * (minimal 8-byte ident payload) + SOF0/SOF2 + SOS + 4 entropy
+    * filler bytes + EOI. Segment count: 3 (APP0, SOF, SOS) + 1 if
+    * exif. Size: 2 + 18 + (exif ? 12 : 0) + (10 + 3*components)
+    * + 2 + 4 + 2 bytes.
+    */
+  def jpegBytes(width: Int, height: Int, components: Int,
+      progressive: Boolean, withExif: Boolean): Array[Byte] = {
+    require(width > 0 && width <= 0xFFFF && height > 0 && height <= 0xFFFF)
+    require(components >= 1 && components <= 4)
+    val sofLen = 8 + 3 * components
+    val total = 2 + 18 + (if (withExif) 12 else 0) + (2 + sofLen) + 2 + 4 + 2
+    val bb = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.putShort(0xFFD8.toShort) // SOI
+    bb.putShort(0xFFE0.toShort).putShort(16.toShort) // APP0, len 16
+      .put("JFIF".getBytes("ISO-8859-1")).put(0.toByte)
+      .putShort(0x0102.toShort).put(0.toByte) // version, units
+      .putShort(1.toShort).putShort(1.toShort) // densities
+      .put(0.toByte).put(0.toByte) // thumbnail
+    if (withExif) {
+      bb.putShort(0xFFE1.toShort).putShort(10.toShort)
+        .put("Exif".getBytes("ISO-8859-1")).put(0.toByte).put(0.toByte)
+        .putShort(0x4949.toShort) // TIFF byte-order stub
+    }
+    bb.putShort((if (progressive) 0xFFC2 else 0xFFC0).toShort)
+      .putShort(sofLen.toShort)
+      .put(8.toByte) // precision
+      .putShort(height.toShort).putShort(width.toShort)
+      .put(components.toByte)
+    (1 to components).foreach { c =>
+      bb.put(c.toByte).put(0x11.toByte).put(0.toByte)
+    }
+    bb.putShort(0xFFDA.toShort) // SOS (walk stops here)
+    bb.putInt(0x00C0FFEE) // entropy filler
+    bb.putShort(0xFFD9.toShort) // EOI
+    bb.array()
+  }
+
   def mediaFromText(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRow] = {
     val spark = df.sparkSession
     import spark.implicits._

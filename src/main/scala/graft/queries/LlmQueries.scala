@@ -858,6 +858,67 @@ object LlmQueries {
       """.trim
     })
 
+  /** JPEG frame-header walk ([[Multimodal.parseJpegMeta]]): SOI +
+    * marker segments up to SOS — SOF dimensions/precision/components,
+    * baseline-vs-progressive, JFIF/Exif wrapper flags, segment count —
+    * over deterministic fixtures parameterized per nation row plus a
+    * garbage payload. With q336 (WAV/MP4), q375 (MP4 tracks), and
+    * q387 (PNG) this closes the container-metadata matrix over the
+    * formats an image-ingest audit actually meets. Oracle recomputes
+    * every field from the generator parameters.
+    */
+  val q392JpegMeta = HarnessQuery(
+    "q392_jpeg_meta",
+    (spark, dir) => {
+      import spark.implicits._
+      val jpgs = Tables.nation(spark, dir)
+        .select(col("n_nationkey").cast("long").as("id")).as[Long]
+        .map { k =>
+          val n = k.toInt
+          Multimodal.MediaRow(7000L + k,
+            Multimodal.jpegBytes(320 + 7 * n, 200 + 11 * n, 1 + n % 3,
+              progressive = n % 2 == 1, withExif = n % 3 == 0),
+            "image/jpeg", -1, -1)
+        }
+      val junk = Tables.region(spark, dir)
+        .filter(col("r_regionkey") === 0)
+        .select(col("r_regionkey").cast("long").as("id")).as[Long]
+        .map(_ => Multimodal.MediaRow(8000L,
+          "certainly not a jpeg".getBytes("ISO-8859-1"),
+          "text/plain", -1, -1))
+      Multimodal.jpegMeta(jpgs.union(junk)).toDF()
+        .orderBy(col("media_id"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT CAST(7000 + n_nationkey AS BIGINT) AS media_id,
+               n_nationkey AS k
+        FROM nation),
+      g AS (
+        SELECT media_id,
+               CAST(320 + 7 * k AS INT) AS width,
+               CAST(200 + 11 * k AS INT) AS height,
+               CAST(8 AS INT) AS precision,
+               CAST(1 + k % 3 AS INT) AS n_components,
+               k % 2 = 1 AS progressive,
+               true AS has_jfif,
+               k % 3 = 0 AS has_exif,
+               CAST(3 + CASE WHEN k % 3 = 0 THEN 1 ELSE 0 END AS INT)
+                 AS n_segments,
+               CAST(38 + 3 * (1 + k % 3)
+                 + CASE WHEN k % 3 = 0 THEN 12 ELSE 0 END AS BIGINT)
+                 AS n_bytes
+        FROM p),
+      j AS (
+        SELECT CAST(8000 AS BIGINT) AS media_id,
+               CAST(-1 AS INT) AS width, CAST(-1 AS INT) AS height,
+               CAST(-1 AS INT) AS precision, CAST(-1 AS INT) AS n_components,
+               false AS progressive, false AS has_jfif, false AS has_exif,
+               CAST(0 AS INT) AS n_segments, CAST(20 AS BIGINT) AS n_bytes
+        FROM region WHERE r_regionkey = 0)
+      SELECT * FROM g UNION ALL SELECT * FROM j ORDER BY media_id
+    """.trim))
+
   /** TF-IDF: top-3 terms per document (doc_id < 20) by weight, exact.
     * Cross-engine parity: tf and idf are double expressions over exact
     * integer counts — identical operands, identical results; weight
@@ -4893,6 +4954,7 @@ object LlmQueries {
 
   def all: Seq[HarnessQuery] = Seq(
     q386SeqPacking, q387PngMeta, q388UnigramSegment, q389UnigramEm,
+    q392JpegMeta,
     q370UrlCanonical, q377RobotsDecision, q378FrontierSchedule,
     q338Winnowing, q339WinnowOverlap, q348WinnowIncremental, q350LineDedup,
     q354TextRank, q356Waterfill, q362TokenizerFertility, q363HeapsFit,

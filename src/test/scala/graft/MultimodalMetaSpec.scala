@@ -172,4 +172,37 @@ class MultimodalMetaSpec extends SparkSpec {
     val sigOnly = java.util.Arrays.copyOf(base, 8)
     assert(Multimodal.parsePngMeta(sigOnly).width === -1)
   }
+
+  test("parseJpegMeta: round-trip, progressive flag, truncation, garbage") {
+    val base = Multimodal.jpegBytes(1920, 1080, 3,
+      progressive = false, withExif = true)
+    val m = Multimodal.parseJpegMeta(base)
+    assert(m === Multimodal.JpegMeta(1920, 1080, 8, 3,
+      progressive = false, has_jfif = true, has_exif = true,
+      n_segments = 4))
+
+    val prog = Multimodal.parseJpegMeta(
+      Multimodal.jpegBytes(64, 48, 1, progressive = true, withExif = false))
+    assert(prog.progressive && !prog.has_exif && prog.n_segments === 3)
+    assert(prog.width === 64 && prog.height === 48 && prog.n_components === 1)
+
+    // dimensions above the signed-short range survive the BE read
+    val big = Multimodal.parseJpegMeta(
+      Multimodal.jpegBytes(40000, 35000, 3, progressive = false,
+        withExif = false))
+    assert(big.width === 40000 && big.height === 35000)
+
+    // truncated before the SOF -> sentinel (no frame header found)
+    val cut = java.util.Arrays.copyOf(base, 12)
+    assert(Multimodal.parseJpegMeta(cut).width === -1)
+
+    // a lying segment length stops the walk at the sentinel
+    val lying = base.clone()
+    lying(4) = 0x7F.toByte // APP0 length high byte: becomes enormous
+    assert(Multimodal.parseJpegMeta(lying).width === -1)
+
+    assert(Multimodal.parseJpegMeta("just bytes".getBytes("ISO-8859-1"))
+      .width === -1)
+    assert(Multimodal.parseJpegMeta(null).width === -1)
+  }
 }
