@@ -1085,6 +1085,52 @@ object TextAnalysis {
         col("offset_in_seq"), col("n_seqs_spanned"), col("crosses_boundary"))
   }
 
+  /** Incremental [[sequencePack]]: extend a FROZEN packing manifest
+    * with an appended document batch without re-planning the corpus —
+    * the continual-ingest shape ([[TextDedup]]'s incremental winnowing,
+    * `streaming.ContinualDedup`) applied to packing. The batch's
+    * offsets continue from the manifest's total token count, so
+    * manifest ∪ append is row-identical to packing the full corpus in
+    * one shot when ids are append-only (spec-pinned).
+    *
+    * The manifest contributes two broadcast scalars (total tokens, max
+    * id) — the frozen rows are scanned once, never re-windowed. Rows
+    * that violate the append-only id contract still pack
+    * deterministically but carry `append_ok = false` so the caller can
+    * quarantine them instead of silently corrupting the plan.
+    *
+    * @param manifest prior [[sequencePack]] output (needs idCol +
+    *                 n_tokens)
+    * @return the new batch's manifest rows + `append_ok`
+    */
+  def sequencePackAppend(
+      manifest: DataFrame, newDocs: DataFrame, idCol: String,
+      tokenCountCol: String, seqLen: Int,
+      bucketWidth: Long = 1024L): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    val frozen = manifest.agg(
+      coalesce(sum(col("n_tokens")), lit(0L)).as("__base"),
+      max(col(idCol)).as("__maxid")) // 1 row, broadcast below
+    val packed = sequencePack(newDocs, idCol, tokenCountCol, seqLen,
+      bucketWidth)
+    def seqOf(tok: Column): Column =
+      ((tok - pmod(tok, lit(seqLen.toLong))) / lit(seqLen.toLong)).cast("long")
+    packed.crossJoin(broadcast(frozen))
+      .withColumn("start_offset", col("start_offset") + col("__base"))
+      .withColumn("first_seq", seqOf(col("start_offset")))
+      .withColumn("last_seq",
+        when(col("n_tokens") > 0L,
+          seqOf(col("start_offset") + col("n_tokens") - 1L))
+          .otherwise(seqOf(col("start_offset"))))
+      .withColumn("offset_in_seq",
+        pmod(col("start_offset"), lit(seqLen.toLong)))
+      .withColumn("n_seqs_spanned", col("last_seq") - col("first_seq") + 1L)
+      .withColumn("crosses_boundary", col("n_seqs_spanned") > 1L)
+      .withColumn("append_ok",
+        col("__maxid").isNull || col(idCol) > col("__maxid"))
+      .drop("__base", "__maxid")
+  }
+
   /** Seeded token-dropout augmentation (the EDA random-deletion
     * transform of Wei & Zou 2019, made reproducible): each token
     * position drops independently when its content hash

@@ -875,6 +875,30 @@ class TextOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TextAnalysis.sequencePack(df, "id", "n", 0)
     }
+
+    // incremental append == one-shot pack on the appended rows
+    val manifest = TextAnalysis.sequencePack(
+      df.filter($"id" < 3), "id", "n", seqLen)
+    val appended = TextAnalysis.sequencePackAppend(
+      manifest, df.filter($"id" >= 3), "id", "n", seqLen)
+      .collect().sortBy(_.getLong(0))
+    val oneShot = got.filter(_.getLong(0) >= 3L)
+    appended.zip(oneShot).foreach { case (a, o) =>
+      assert(a.toSeq.dropRight(1) === o.toSeq)
+      assert(a.getBoolean(8)) // append_ok
+    }
+    // an id at or below the frozen max id is flagged, not silently packed
+    val bad = TextAnalysis.sequencePackAppend(
+      manifest, df.filter($"id" === 1L), "id", "n", seqLen).collect()
+    assert(bad.length === 1 && !bad.head.getBoolean(8))
+    // appending to an EMPTY manifest starts at offset 0, all ok
+    val fresh = TextAnalysis.sequencePackAppend(
+      manifest.filter(lit(false)), df, "id", "n", seqLen)
+      .collect().sortBy(_.getLong(0))
+    fresh.zip(got).foreach { case (a, o) =>
+      assert(a.toSeq.dropRight(1) === o.toSeq)
+      assert(a.getBoolean(8))
+    }
   }
 
   test("unigramSegment: matches a driver-side Viterbi reference") {
