@@ -903,35 +903,88 @@ object TextAnalysis {
     require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
     require(maxWordLen >= 1 && maxWordLen <= 32,
       s"maxWordLen must be in [1,32], got $maxWordLen")
-    val words = df
-      .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
+    val words = unigramWords(df, textCol, maxWordLen)
+    val subs = unigramSubs(words, maxPieceLen)
+    scoredPieces(subs, substringVocabLp(subs, vocabSize), unkLp)
+  }
+
+  /** Distinct eligible words with frequencies. */
+  private def unigramWords(
+      df: DataFrame, textCol: String, maxWordLen: Int): DataFrame =
+    df.select(explode(TextFunctions.tokens(col(textCol))).as("word"))
       .filter(length(col("word")).between(1, maxWordLen))
       .groupBy(col("word")).agg(count(lit(1)).as("wcnt"))
-    val subs = words
+
+  /** All (word, wcnt, s, e, j, piece) substring candidates. */
+  private def unigramSubs(words: DataFrame, maxPieceLen: Int): DataFrame =
+    words
       .select(col("word"), col("wcnt"),
         explode(sequence(lit(1), length(col("word")))).as("e"))
       .select(col("word"), col("wcnt"), col("e"),
         explode(sequence(lit(1), least(lit(maxPieceLen), col("e")))).as("j"))
       .withColumn("s", col("e") - col("j"))
       .withColumn("piece", expr("substring(word, s + 1, j)"))
-    // vocab: top-K substring weights via sort-limit (TakeOrdered — no
-    // global window), log-probs normalized over the kept vocabulary
+
+  /** Seed vocabulary: top-K substring weights via sort-limit
+    * (TakeOrdered — no global window), log-probs normalized over the
+    * kept vocabulary. Output: (piece, lp).
+    */
+  private def substringVocabLp(subs: DataFrame, vocabSize: Int): DataFrame = {
     val vocab = subs.groupBy(col("piece")).agg(sum(col("wcnt")).as("cnt"))
       .orderBy(col("cnt").desc, col("piece")).limit(vocabSize)
     val total = vocab.agg(sum(col("cnt")).as("__tot")) // 1 row, broadcast
-    val vocabLp = vocab.crossJoin(broadcast(total))
+    vocab.crossJoin(broadcast(total))
       .select(col("piece"),
         round(log(col("cnt").cast("double") / col("__tot").cast("double")),
           12).as("lp"))
+  }
+
+  /** Attach `vocabLp` (piece, lp) scores to the substring candidates
+    * with the single-char fallback, collapsed to one (word, wcnt,
+    * __ps) row per word.
+    */
+  private def scoredPieces(
+      subs: DataFrame, vocabLp: DataFrame, unkLp: Double): DataFrame =
     subs
-      .join(broadcast(vocabLp), Seq("piece"), "left")
+      .join(broadcast(vocabLp.select(col("piece"), col("lp"))),
+        Seq("piece"), "left")
       .withColumn("lp",
         coalesce(col("lp"), when(col("j") === 1, lit(unkLp))))
       .filter(col("lp").isNotNull)
       .groupBy(col("word"), col("wcnt"))
       .agg(collect_list(
         struct(col("s"), col("e"), col("lp"), col("piece"))).as("__ps"))
-  }
+
+  /** The path-carrying Viterbi fold: accumulator element (best, negnp,
+    * path) — the comparison order IS the tie-break order, so array_max
+    * picks (max score, fewest pieces, lexicographically-last path)
+    * deterministically. Evaluates to the best path string (leading
+    * space).
+    */
+  private def pathDpCol: Column =
+    aggregate(
+      sequence(lit(1), length(col("word"))),
+      array(struct(lit(0.0).as("best"), lit(0).as("negnp"),
+        lit("").as("path"))),
+      (acc, e) => {
+        val cands = transform(
+          filter(col("__ps"), p => p("e") === e),
+          p => struct(
+            (element_at(acc, p("s") + 1)("best") + p("lp")).as("best"),
+            (element_at(acc, p("s") + 1)("negnp") - 1).as("negnp"),
+            concat(element_at(acc, p("s") + 1)("path"), lit(" "),
+              p("piece")).as("path")))
+        concat(acc, array(array_max(cands)))
+      },
+      acc => element_at(acc, length(col("word")) + 1)("path"))
+
+  /** Frequency-weighted piece counts along every word's best path. */
+  private def pathPieceCounts(pieces: DataFrame): DataFrame =
+    pieces
+      .withColumn("__path", pathDpCol)
+      .select(col("wcnt"),
+        explode(split(ltrim(col("__path")), " ")).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("wcnt")).as("cnt"))
 
   def unigramSegment(
       df: DataFrame, textCol: String,
@@ -991,34 +1044,58 @@ object TextAnalysis {
       maxWordLen: Int = 16, unkLp: Double = -20.0): DataFrame = {
     val pieces = unigramWordPieces(
       df, textCol, maxPieceLen, vocabSize, maxWordLen, unkLp)
-    // accumulator element: (best, negnp, path) — comparison order IS
-    // the tie-break order, so array_max picks (max score, fewest
-    // pieces, lexicographically-last path) deterministically
-    val dp = aggregate(
-      sequence(lit(1), length(col("word"))),
-      array(struct(lit(0.0).as("best"), lit(0).as("negnp"),
-        lit("").as("path"))),
-      (acc, e) => {
-        val cands = transform(
-          filter(col("__ps"), p => p("e") === e),
-          p => struct(
-            (element_at(acc, p("s") + 1)("best") + p("lp")).as("best"),
-            (element_at(acc, p("s") + 1)("negnp") - 1).as("negnp"),
-            concat(element_at(acc, p("s") + 1)("path"), lit(" "),
-              p("piece")).as("path")))
-        concat(acc, array(array_max(cands)))
-      },
-      acc => element_at(acc, length(col("word")) + 1)("path"))
-    val counts = pieces
-      .withColumn("__path", dp)
-      .select(col("wcnt"),
-        explode(split(ltrim(col("__path")), " ")).as("piece"))
-      .groupBy(col("piece")).agg(sum(col("wcnt")).as("cnt"))
+    val counts = pathPieceCounts(pieces)
     val total = counts.agg(sum(col("cnt")).as("__tot")) // 1 row, broadcast
     counts.crossJoin(broadcast(total))
       .select(col("piece"), col("cnt"),
         round(log(col("cnt").cast("double") / col("__tot").cast("double")),
           12).as("lp"))
+  }
+
+  /** Bounded unigram hard-EM TRAINING loop — the full SentencePiece
+    * shape next to BPE's train/apply: start from the substring-weight
+    * seed vocabulary, then for each round segment every word along its
+    * Viterbi path under the CURRENT probabilities, re-count pieces
+    * along the paths, PRUNE to the `vocabSize` heaviest, and
+    * renormalize over the kept set. Unlike [[unigramHardEmRound]] (one
+    * un-pruned M-step), the loop is what shrinks a seed vocabulary
+    * toward the pieces segmentation actually uses.
+    *
+    * `rounds` is require-bounded and the loop composes ONE lazy plan —
+    * no driver collect anywhere; the per-round vocabulary (≤ vocabSize
+    * rows) is lineage-cut and broadcast back into the next round's
+    * scoring join, so each round costs one broadcast join + the in-row
+    * DP + one explode/HashAggregate, at any corpus size. Harness q394
+    * replays two full rounds in unrolled SQL.
+    *
+    * @return the trained distribution: (piece, cnt, lp) for the kept
+    *         vocabulary after the final round, lp normalized over it
+    */
+  def unigramEmTrain(
+      df: DataFrame, textCol: String,
+      rounds: Int = 2, maxPieceLen: Int = 4, vocabSize: Int = 200,
+      maxWordLen: Int = 16, unkLp: Double = -20.0): DataFrame = {
+    require(rounds >= 1 && rounds <= 4, s"rounds must be in [1,4], got $rounds")
+    require(maxPieceLen >= 1 && maxPieceLen <= 8,
+      s"maxPieceLen must be in [1,8], got $maxPieceLen")
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    require(maxWordLen >= 1 && maxWordLen <= 32,
+      s"maxWordLen must be in [1,32], got $maxWordLen")
+    val words = Materialize.cut(unigramWords(df, textCol, maxWordLen))
+    val subs = unigramSubs(words, maxPieceLen)
+    var vocab = Materialize.cut(
+      substringVocabLp(subs, vocabSize)
+        .select(col("piece"), lit(0L).as("cnt"), col("lp")))
+    for (_ <- 1 to rounds) {
+      val counts = pathPieceCounts(scoredPieces(subs, vocab, unkLp))
+      val kept = counts.orderBy(col("cnt").desc, col("piece")).limit(vocabSize)
+      val total = kept.agg(sum(col("cnt")).as("__tot")) // 1 row, broadcast
+      vocab = Materialize.cut(kept.crossJoin(broadcast(total))
+        .select(col("piece"), col("cnt"),
+          round(log(col("cnt").cast("double") / col("__tot").cast("double")),
+            12).as("lp")))
+    }
+    vocab
   }
 
   /** GPT-style sequence packing plan: concatenate the corpus in

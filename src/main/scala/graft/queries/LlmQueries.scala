@@ -965,6 +965,107 @@ object LlmQueries {
       SELECT * FROM g UNION ALL SELECT * FROM j ORDER BY media_id
     """.trim))
 
+  /** Unigram hard-EM TRAINING loop ([[TextAnalysis.unigramEmTrain]],
+    * 2 rounds, vocab pruned to 24, words <= 12 chars): seed substring
+    * vocabulary → segment → re-count along Viterbi paths → prune →
+    * renormalize, twice — the full SentencePiece train shape, one lazy
+    * plan, no driver collect. The oracle unrolls BOTH rounds: two
+    * seed/score joins, two 12-round path DPs with the struct-max
+    * tie-break, two prune/renormalize steps — every double identical.
+    */
+  val q394UnigramTrain = HarnessQuery(
+    "q394_unigram_train",
+    (spark, dir) =>
+      TextAnalysis.unigramEmTrain(Tables.documents(spark, dir), "text",
+        rounds = 2, vocabSize = 24, maxWordLen = 12)
+        .orderBy(col("piece")),
+    Some {
+      val dpRound = (r: Int, e: Int) => s"""
+      b${r}e$e AS (
+        SELECT word, $e AS i, best, np, path FROM (
+          SELECT p.word, a.best + p.lp AS best, a.np + 1 AS np,
+                 a.path || ' ' || p.piece AS path,
+                 row_number() OVER (PARTITION BY p.word
+                   ORDER BY a.best + p.lp DESC, a.np + 1,
+                            a.path || ' ' || p.piece DESC) AS rk
+          FROM pieces$r p JOIN a${r}e${e - 1} a
+            ON a.word = p.word AND a.i = p.s
+          WHERE p.e = $e) WHERE rk = 1),
+      a${r}e$e AS MATERIALIZED (
+        SELECT * FROM a${r}e${e - 1} UNION ALL SELECT * FROM b${r}e$e)"""
+      val emRound = (r: Int) => s"""
+      pieces$r AS MATERIALIZED (
+        SELECT s.word, s.s, s.e, s.piece,
+               coalesce(v.lp, CASE WHEN s.j = 1 THEN -20.0 END) AS lp
+        FROM subs s LEFT JOIN vlp${r - 1} v USING (piece)
+        WHERE v.lp IS NOT NULL OR s.j = 1),
+      a${r}e0 AS (
+        SELECT word, 0 AS i, CAST(0.0 AS DOUBLE) AS best, 0 AS np,
+               '' AS path
+        FROM words),
+      ${(1 to 12).map(e => dpRound(r, e)).mkString(",")},
+      seg$r AS (
+        SELECT w.wcnt, ltrim(a.path) AS path
+        FROM words w JOIN a${r}e12 a
+          ON a.word = w.word AND a.i = length(w.word)),
+      cnts$r AS (
+        SELECT piece, CAST(sum(wcnt) AS BIGINT) AS cnt
+        FROM (SELECT unnest(string_split(path, ' ')) AS piece, wcnt
+              FROM seg$r)
+        GROUP BY 1),
+      kept$r AS MATERIALIZED (
+        SELECT piece, cnt FROM (
+          SELECT piece, cnt,
+                 row_number() OVER (ORDER BY cnt DESC, piece) AS rk
+          FROM cnts$r) WHERE rk <= 24),
+      tot$r AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM kept$r),
+      vlp$r AS MATERIALIZED (
+        SELECT piece,
+               round(ln(CAST(cnt AS DOUBLE) / CAST(t AS DOUBLE)), 12) AS lp
+        FROM kept$r, tot$r)"""
+      s"""
+      WITH toks AS (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+          AS word
+        FROM documents),
+      words AS MATERIALIZED (
+        SELECT word, CAST(count(*) AS BIGINT) AS wcnt
+        FROM toks WHERE length(word) BETWEEN 1 AND 12
+        GROUP BY 1),
+      se AS (
+        SELECT word, wcnt,
+               unnest(generate_series(1, length(word))) AS e
+        FROM words),
+      sej AS (
+        SELECT word, wcnt, e,
+               unnest(generate_series(1, least(4, e))) AS j
+        FROM se),
+      subs AS MATERIALIZED (
+        SELECT word, wcnt, e - j AS s, e, j,
+               substr(word, e - j + 1, j) AS piece
+        FROM sej),
+      pc AS (
+        SELECT piece, CAST(sum(wcnt) AS BIGINT) AS cnt
+        FROM subs GROUP BY 1),
+      vocab0 AS MATERIALIZED (
+        SELECT piece, cnt FROM (
+          SELECT piece, cnt,
+                 row_number() OVER (ORDER BY cnt DESC, piece) AS rk
+          FROM pc) WHERE rk <= 24),
+      tot0 AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM vocab0),
+      vlp0 AS MATERIALIZED (
+        SELECT piece,
+               round(ln(CAST(cnt AS DOUBLE) / CAST(t AS DOUBLE)), 12) AS lp
+        FROM vocab0, tot0),
+      ${emRound(1)},
+      ${emRound(2)}
+      SELECT k.piece, k.cnt,
+             round(ln(CAST(k.cnt AS DOUBLE) / CAST(t.t AS DOUBLE)), 12) AS lp
+      FROM kept2 k, tot2 t
+      ORDER BY k.piece
+      """.trim
+    })
+
   /** TF-IDF: top-3 terms per document (doc_id < 20) by weight, exact.
     * Cross-engine parity: tf and idf are double expressions over exact
     * integer counts — identical operands, identical results; weight
@@ -5000,7 +5101,7 @@ object LlmQueries {
 
   def all: Seq[HarnessQuery] = Seq(
     q386SeqPacking, q387PngMeta, q388UnigramSegment, q389UnigramEm,
-    q392JpegMeta, q393PackAppend,
+    q392JpegMeta, q393PackAppend, q394UnigramTrain,
     q370UrlCanonical, q377RobotsDecision, q378FrontierSchedule,
     q338Winnowing, q339WinnowOverlap, q348WinnowIncremental, q350LineDedup,
     q354TextRank, q356Waterfill, q362TokenizerFertility, q363HeapsFit,

@@ -1013,4 +1013,64 @@ class TextOpsSpec extends SparkSpec {
     // and the re-counted mass equals total path tokens (sanity)
     assert(got.values.map(_._1).sum === wtot.toLong)
   }
+
+  test("unigramEmTrain: two pruned rounds match a driver-side reference") {
+    import spark.implicits._
+    val docs = Seq(
+      "foobar foo bar foobar baz",
+      "foo bar bar qux foobarbaz",
+      "foo foobar zap").toDF("text")
+    val maxPiece = 4; val vs = 8; val unk = -20.0; val rounds = 2
+
+    val words = docs.collect().flatMap(_.getString(0).trim.toLowerCase
+      .split("\\s+")).filter(w => w.nonEmpty && w.length <= 16)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    def subCnt = words.toSeq.flatMap { case (w, c) =>
+      for (e <- 1 to w.length; j <- 1 to math.min(maxPiece, e))
+        yield (w.substring(e - j, e), c) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    def renorm(cnt: Map[String, Long]): Map[String, Double] = {
+      val kept = cnt.toSeq.sortBy { case (p, c) => (-c, p) }.take(vs)
+      val tot = kept.map(_._2).sum.toDouble
+      kept.map { case (p, c) => p -> BigDecimal(math.log(c / tot))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble }.toMap
+    }
+    def emStep(lp: Map[String, Double]): Map[String, Long] = {
+      def path(w: String): Seq[String] = {
+        val best = Array.fill(w.length + 1)((0.0, 0, ""))
+        for (e <- 1 to w.length) {
+          val cands = for {
+            j <- 1 to math.min(maxPiece, e)
+            p = w.substring(e - j, e)
+            l = lp.get(p).orElse(if (j == 1) Some(unk) else None)
+            if l.isDefined
+            prev = best(e - j)
+          } yield (prev._1 + l.get, prev._2 - 1, prev._3 + " " + p)
+          best(e) = cands.max
+        }
+        best(w.length)._3.trim.split(" ").toSeq
+      }
+      words.toSeq.flatMap { case (w, c) => path(w).map(_ -> c) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    }
+    var lp = renorm(subCnt)
+    var cnt = Map.empty[String, Long]
+    (1 to rounds).foreach { _ =>
+      cnt = emStep(lp)
+      lp = renorm(cnt)
+    }
+    val wantKept = cnt.toSeq.sortBy { case (p, c) => (-c, p) }.take(vs).toMap
+
+    val got = TextAnalysis.unigramEmTrain(docs, "text",
+      rounds = rounds, maxPieceLen = maxPiece, vocabSize = vs, unkLp = unk)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(got.keySet === wantKept.keySet)
+    wantKept.foreach { case (p, c) =>
+      assert(got(p)._1 === c, s"cnt of $p")
+      assert(math.abs(got(p)._2 - lp(p)) < 1e-9, s"lp of $p")
+    }
+    // pruning bites: the seed substring space exceeds the kept vocab
+    assert(subCnt.size > vs && got.size <= vs)
+  }
 }
