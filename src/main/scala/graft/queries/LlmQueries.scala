@@ -904,6 +904,58 @@ object LlmQueries {
       FROM c WHERE doc_id >= 250 ORDER BY doc_id
     """.trim))
 
+  /** Continual packing replay ([[streaming.ContinualPacking
+    * .replayBatches]]): the corpus arrives in three ordered batches;
+    * each batch packs against the running one-row (max id, total
+    * tokens) state, offsets continuing globally. The oracle packs the
+    * FULL corpus with one window cumsum and tags each row with its
+    * batch — streamed-in-parts must equal packed-in-one-shot. (The
+    * `start` entry is the foreachBatch twin, equivalence-pinned in
+    * StreamingSpec.)
+    */
+  val q395ContinualPacking = HarnessQuery(
+    "q395_continual_packing",
+    (spark, dir) => {
+      val toks = Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          TextAnalysis.bpeishTokenCount(col("text")).as("n_tok"))
+      val batches = Seq(
+        toks.where(col("doc_id") < 170),
+        toks.where(col("doc_id") >= 170 && col("doc_id") < 340),
+        toks.where(col("doc_id") >= 340))
+      graft.streaming.ContinualPacking.replayBatches(
+        batches, "doc_id", "n_tok", seqLen = 256)
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(lower(text),
+                 '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n
+        FROM documents),
+      c AS (
+        SELECT doc_id, n,
+               CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS st
+        FROM t)
+      SELECT CAST(CASE WHEN doc_id < 170 THEN 0
+                  WHEN doc_id < 340 THEN 1 ELSE 2 END AS BIGINT)
+               AS batch_id,
+             doc_id, n AS n_tokens, st AS start_offset,
+             st // 256 AS first_seq,
+             CASE WHEN n > 0 THEN (st + n - 1) // 256
+                  ELSE st // 256 END AS last_seq,
+             st % 256 AS offset_in_seq,
+             (CASE WHEN n > 0 THEN (st + n - 1) // 256
+                   ELSE st // 256 END) - st // 256 + 1 AS n_seqs_spanned,
+             (CASE WHEN n > 0 THEN (st + n - 1) // 256
+                   ELSE st // 256 END) - st // 256 + 1 > 1
+               AS crosses_boundary,
+             true AS append_ok
+      FROM c ORDER BY doc_id
+    """.trim))
+
   /** JPEG frame-header walk ([[Multimodal.parseJpegMeta]]): SOI +
     * marker segments up to SOS — SOF dimensions/precision/components,
     * baseline-vs-progressive, JFIF/Exif wrapper flags, segment count —
@@ -5101,7 +5153,7 @@ object LlmQueries {
 
   def all: Seq[HarnessQuery] = Seq(
     q386SeqPacking, q387PngMeta, q388UnigramSegment, q389UnigramEm,
-    q392JpegMeta, q393PackAppend, q394UnigramTrain,
+    q392JpegMeta, q393PackAppend, q394UnigramTrain, q395ContinualPacking,
     q370UrlCanonical, q377RobotsDecision, q378FrontierSchedule,
     q338Winnowing, q339WinnowOverlap, q348WinnowIncremental, q350LineDedup,
     q354TextRank, q356Waterfill, q362TokenizerFertility, q363HeapsFit,

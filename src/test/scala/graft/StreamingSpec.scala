@@ -470,4 +470,54 @@ class StreamingSpec extends SparkSpec {
     val v3 = got.filter(_._2 == 1L)
     assert(v3.map(v => (v._1, v._3, v._4)) === Seq((3L, true, 2L)))
   }
+
+  test("continual packing: streamed manifests equal the one-shot pack") {
+    import graft.streaming.ContinualPacking
+    import graft.operators.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    val b1 = Seq((1L, 100L), (2L, 200L), (3L, 30L))
+    val b2 = Seq((4L, 0L), (5L, 300L))
+    val b3 = Seq((6L, 5L), (7L, 260L))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_tokens", "start_offset", "first_seq",
+        "last_seq", "append_ok")
+        .collect().map(_.toSeq).toSet
+
+    val streamed = scala.collection.mutable.Set.empty[Seq[Any]]
+    val mem = MemoryStream[(Long, Long)]
+    val q = ContinualPacking.start(
+      mem.toDF().toDF("doc_id", "n_tok"), "doc_id", "n_tok", seqLen = 128) {
+      m => streamed ++= rows(m)
+    }
+    Seq(b1, b2, b3).foreach { b =>
+      mem.addData(b: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    val replayed = rows(ContinualPacking.replayBatches(
+      Seq(b1, b2, b3).map(_.toDF("doc_id", "n_tok")),
+      "doc_id", "n_tok", seqLen = 128))
+    assert(streamed.toSet === replayed)
+    val oneShot = rows(TextAnalysis.sequencePack(
+      (b1 ++ b2 ++ b3).toDF("doc_id", "n_tok"), "doc_id", "n_tok", 128)
+      .withColumn("append_ok", org.apache.spark.sql.functions.lit(true)))
+    assert(replayed === oneShot)
+  }
+
+  test("continual packing: a re-delivered batch id does not advance offsets") {
+    import graft.streaming.ContinualPacking
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val step = ContinualPacking.batchStep(spark, "doc_id", "n_tok", 128) {
+      m => got ++= m.collect().map(r => (r.getAs[Long]("batch_id"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("start_offset")))
+    }
+    val b0 = Seq((1L, 100L)).toDF("doc_id", "n_tok")
+    step(b0, 0L)
+    step(b0, 0L) // transient-failure re-delivery
+    step(Seq((2L, 50L)).toDF("doc_id", "n_tok"), 1L)
+    assert(got.count(_._1 == 0L) === 1)
+    // doc 2 starts at 100, not 200 — the re-delivery did not double-pack
+    assert(got.filter(_._1 == 1L).map(v => (v._2, v._3)) === Seq((2L, 100L)))
+  }
 }
