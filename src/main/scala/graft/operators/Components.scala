@@ -90,4 +90,65 @@ object Components {
     labels.select(col("__id").as(idCol), col("__label").as("cluster_id"))
       .unionByName(isolated)
   }
+
+  /** Incremental connected components: fold a batch of NEW edges into
+    * a FROZEN label table without re-running CC over the corpus — the
+    * continual-crawl shape ([[graft.operators.TextDedup]]'s
+    * incremental probes, `streaming.ContinualDedup`) for the
+    * clustering step itself. A component labeled by its min vertex id
+    * is fully described by that label, so merging is decided on the
+    * COMPONENT GRAPH: map each new edge to its endpoints' labels
+    * (unknown endpoints label themselves), run [[connectedComponents]]
+    * on that label graph — whose size is bounded by the BATCH, not the
+    * corpus — and apply the resulting old-label → merged-label map
+    * back with one broadcast join. Exact: the merged set's min vertex
+    * id is the min over member labels, so the output row-equals a
+    * from-scratch CC over (old components' structure ∪ new edges) —
+    * spec-pinned, and harness q396 pins it against the full recursive
+    * oracle.
+    *
+    * Per-batch cost: two |batch|-sized joins to label endpoints, CC on
+    * a batch-bounded graph, one broadcast relabel join over the label
+    * table (one pass, no iteration touches corpus-sized data).
+    *
+    * @param labels frozen (idCol, cluster_id) with cluster_id = min
+    *               member id — [[connectedComponents]] output
+    * @param newEdges (id_a, id_b), undirected; endpoints need not be
+    *                 in `labels` (new vertices join/form components)
+    * @return updated (idCol, cluster_id): every `labels` row
+    *         (relabeled where merged) plus every new endpoint
+    */
+  def incrementalComponents(
+      labels: DataFrame,
+      newEdges: DataFrame,
+      idCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val lab = labels.select(col(idCol).as("__id"),
+      col("cluster_id").as("__lab"))
+    val e = Materialize.cut(
+      newEdges.select(col("id_a"), col("id_b")))
+    val endpoints = e.select(col("id_a").as("__id"))
+      .unionByName(e.select(col("id_b").as("__id"))).distinct()
+    val endLab = Materialize.cut(endpoints
+      .join(lab, Seq("__id"), "left")
+      .select(col("__id"), coalesce(col("__lab"), col("__id")).as("__lab")))
+    val labEdges = e
+      .join(endLab.select(col("__id").as("id_a"), col("__lab").as("__la")),
+        Seq("id_a"))
+      .join(endLab.select(col("__id").as("id_b"), col("__lab").as("__lb")),
+        Seq("id_b"))
+      .select(col("__la").as("id_a"), col("__lb").as("id_b"))
+    val merged = connectedComponents(
+      endLab.select(col("__lab").as("v")).distinct(), labEdges, "v", maxIter)
+    // only labels that actually move ride in the broadcast map
+    val remap = broadcast(merged.filter(col("v") =!= col("cluster_id"))
+      .select(col("v").as("__lab"), col("cluster_id").as("__new")))
+    val updated = lab.join(remap, Seq("__lab"), "left")
+      .select(col("__id"), coalesce(col("__new"), col("__lab")).as("__lab"))
+    val newRows = endLab.join(lab.select(col("__id")), Seq("__id"), "left_anti")
+      .join(remap, Seq("__lab"), "left")
+      .select(col("__id"), coalesce(col("__new"), col("__lab")).as("__lab"))
+    updated.unionByName(newRows)
+      .select(col("__id").as(idCol), col("__lab").as("cluster_id"))
+  }
 }

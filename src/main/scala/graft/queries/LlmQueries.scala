@@ -1457,6 +1457,56 @@ object LlmQueries {
       FROM reach GROUP BY id ORDER BY doc_id
     """.trim))
 
+  /** Incremental connected components
+    * ([[graft.operators.Components.incrementalComponents]]): the
+    * near-dup graph of the first 300 docs is clustered and FROZEN;
+    * every pair touching a later doc arrives as a new-edge batch and
+    * folds in on the component graph (batch-bounded CC + one broadcast
+    * relabel) — no corpus re-clustering. The oracle is the FULL
+    * recursive min-label fixpoint over the whole corpus (q74's):
+    * incremental must equal from-scratch.
+    */
+  val q396IncrementalCc = HarnessQuery(
+    "q396_incremental_cc",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val pairs = TextDedup.minhashNearDupPairs(
+        docs, "text", "doc_id", n = 3, numHashes = 16, bands = 8,
+        threshold = 0.8, hashFn = TextFunctions.fastHash)
+      val base = graft.operators.Components.connectedComponents(
+        docs.where(col("doc_id") < 300).select(col("doc_id")),
+        pairs.where(col("id_a") < 300 && col("id_b") < 300), "doc_id")
+      val inc = graft.operators.Components.incrementalComponents(
+        base,
+        pairs.where(col("id_a") >= 300 || col("id_b") >= 300), "doc_id")
+      // later docs with no near-dup edge were never seen: singletons
+      val rest = docs.select(col("doc_id"))
+        .join(inc.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("doc_id").as("cluster_id"))
+      inc.unionByName(rest).orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH RECURSIVE t AS (SELECT doc_id,
+                   list_distinct(list_transform(
+                     generate_series(1, len(regexp_split_to_array(trim(lower(text)), '\s+')) - 2),
+                     i -> array_to_string((regexp_split_to_array(trim(lower(text)), '\s+'))[i:i+2], ' ')))
+                     AS sh
+                 FROM documents),
+      pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM t a, t b
+                WHERE a.doc_id < b.doc_id
+                  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs),
+      reach(id, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id)
+      SELECT id AS doc_id, min(label) AS cluster_id
+      FROM reach GROUP BY id ORDER BY doc_id
+    """.trim))
+
   /** Incremental dedup: an incoming batch (the first 50 docs cloned
     * under shifted ids) checked against the EXISTING corpus — new data
     * never joins against itself, only against what's stored. Every
@@ -5164,7 +5214,8 @@ object LlmQueries {
     q336MediaMeta, q375Mp4Tracks, q62IvfAnn,
     q63SimhashSig, q64Tfidf, q65MinhashDedup, q66FrameSample, q67Bm25,
     q68LabelCentroid, q69Boilerplate, q70Redact, q71Chunk, q72Vocab,
-    q73Fuzzy, q74DedupClusters, q75IncrementalDedup, q76DocPipeline,
+    q73Fuzzy, q74DedupClusters, q75IncrementalDedup, q396IncrementalCc,
+    q76DocPipeline,
     q82PackSequences, q83Decontaminate, q86RepetitionStats,
     q88MixtureSample, q89QuantizedTopK, q90TokenBudget, q91SubstringDup,
     q92DedupKeepBest, q93UnigramLogProb, q94CorpusReport, q95PipelineV2,

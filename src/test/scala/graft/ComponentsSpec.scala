@@ -87,4 +87,45 @@ class ComponentsSpec extends SparkSpec {
     assert(got(10L) === 10L && got(11L) === 10L && got(12L) === 10L)
     assert(got(20L) === 20L)
   }
+
+  test("incrementalComponents equals from-scratch CC on random edge splits") {
+    val rnd = new scala.util.Random(43)
+    (1 to 4).foreach { _ =>
+      val n = 8 + rnd.nextInt(8)
+      val all = (for {
+        a <- 1L to n.toLong; b <- 1L to n.toLong
+        if a < b && rnd.nextInt(5) == 0
+      } yield (a, b)).toSeq
+      // old world: edges among the first half's vertices; the rest arrive
+      val half = n / 2
+      val oldE = all.filter { case (a, b) => a <= half && b <= half }
+      val newE = all.filterNot { case (a, b) => a <= half && b <= half }
+      val oldVerts = (1L to half.toLong).toDF("id")
+      val base = Components.connectedComponents(
+        oldVerts, oldE.toDF("id_a", "id_b"), "id")
+      val inc =
+        if (newE.isEmpty) base
+        else Components.incrementalComponents(
+          base, newE.toDF("id_a", "id_b"), "id")
+      // from-scratch over everything the incremental world has seen
+      val seen = (1L to half.toLong) ++
+        newE.flatMap(e => Seq(e._1, e._2))
+      val full = Components.connectedComponents(
+        seen.distinct.toDF("id"), all.toDF("id_a", "id_b"), "id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val got = inc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === full, s"n=$n old=${oldE.size} new=${newE.size}")
+    }
+  }
+
+  test("incrementalComponents: a new vertex bridges two frozen components") {
+    val base = Components.connectedComponents(
+      Seq(1L, 2L, 3L, 4L).toDF("id"),
+      Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b"), "id")
+    val got = Components.incrementalComponents(
+      base, Seq((2L, 9L), (9L, 3L)).toDF("id_a", "id_b"), "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // everything merges under the global min id, including the bridge
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 9L -> 1L))
+  }
 }
