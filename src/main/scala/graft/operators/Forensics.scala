@@ -29,8 +29,10 @@ object Forensics {
     * row per (group, digit 1..9) — complete by construction via a
     * broadcast digit frame. Output: (groupCol, digit, n_obs,
     * benford_p floored at 1e-12, chi2 floored at 1e-6, repeated per
-    * digit row). Null/non-positive amounts are excluded (they have no
-    * leading significant digit).
+    * digit row). Null, non-positive, and sub-cent amounts (cents < 1
+    * after the ·100 lift) are excluded — they have no leading
+    * significant digit, and counting them in group totals but not in
+    * digit cells would bias the chi-square.
     *
     * Shape: one filter + hash aggregate per (group, digit), a
     * broadcast 9-row frame join, and a 9-row window sum per group —
@@ -40,8 +42,12 @@ object Forensics {
       df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     val spark = df.sparkSession
     val cents = round(col(valueCol) * 100).cast("long")
+    // Gate on cents >= 1, not value > 0: a positive amount below 0.005
+    // rounds to cents=0, whose "leading digit" 0 would enter the group
+    // total but never a 1..9 digit cell — the chi-square expectations
+    // would then sum to more than the observed cells.
     val base = df
-      .filter(col(valueCol).isNotNull && col(valueCol) > 0)
+      .filter(col(valueCol).isNotNull && cents >= 1)
       .select(col(groupCol),
         substring(cents.cast("string"), 1, 1).cast("int").as("digit"))
     val obs = base.groupBy(col(groupCol), col("digit"))

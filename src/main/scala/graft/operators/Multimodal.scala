@@ -749,9 +749,17 @@ object Multimodal {
     var width = -1; var height = -1; var prec = -1; var ncomp = -1
     var prog = false; var jfif = false; var exif = false; var nSeg = 0
     var stop = false
-    while (!stop && p + 4 <= bytes.length) {
+    while (!stop && p + 2 <= bytes.length) {
       if ((bytes(p) & 0xFF) != 0xFF) { stop = true }
       else {
+        // ITU-T T.81 B.1.1.2: any number of 0xFF fill bytes may pad
+        // the gap before a marker — a 0xFF followed by another 0xFF
+        // is padding, not a marker of 0xFF. Skip to the run's last
+        // 0xFF so bytes(p+1) is the real marker byte.
+        while (p + 2 <= bytes.length && (bytes(p + 1) & 0xFF) == 0xFF)
+          p += 1
+        if (p + 2 > bytes.length) { stop = true }
+        else {
         val marker = bytes(p + 1) & 0xFF
         if (marker == 0xD9 || marker == 0xDA) { // EOI / SOS: done
           nSeg += 1
@@ -759,7 +767,8 @@ object Multimodal {
         } else if (marker == 0x01 || (marker >= 0xD0 && marker <= 0xD7)) {
           nSeg += 1 // standalone marker, no length
           p += 2
-        } else {
+        } else if (p + 4 > bytes.length) { stop = true }
+        else {
           val len = ((bytes(p + 2) & 0xFF) << 8) | (bytes(p + 3) & 0xFF)
           if (len < 2 || p + 2 + len > bytes.length) stop = true
           else {
@@ -781,6 +790,7 @@ object Multimodal {
             }
             p += 2 + len
           }
+        }
         }
       }
     }

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Pre-flight audits for running a plan at scale: join-key skew
   * profiling (the number that decides whether a join needs salting)
@@ -49,8 +50,15 @@ object ScaleAudit {
     * shuffle: a top_share near 1 at 100 TB means one task gets the
     * output. Keys compare as canonical strings (any key type); ties
     * for the top key break toward the larger key string (struct max).
-    * Output one row: (n_keys_a, n_keys_b, n_keys_matched, rows_a,
-    * rows_b, output_rows, top_key, top_key_rows, top_share).
+    * Per-key products and the output total accumulate in
+    * DECIMAL(38,0) — exactly the skewed 100 TB scales this audit
+    * targets are where n_a(k)·n_b(k) silently overflows Long — and
+    * top_share divides the decimal values; the count outputs present
+    * as doubles (both engines cast the same exact decimal, so the
+    * doubles are bit-identical; IEEE-rounded beyond 2^53, which is
+    * immaterial for a broadcast-vs-salt decision). Output one row:
+    * (n_keys_a, n_keys_b, n_keys_matched, rows_a, rows_b,
+    * output_rows, top_key, top_key_rows, top_share).
     */
   def joinCardinalityProfile(
       a: DataFrame, b: DataFrame, aKey: String, bKey: String): DataFrame = {
@@ -60,24 +68,31 @@ object ScaleAudit {
     val hb = b.select(col(bKey).cast("string").as("__k"))
       .where(col("__k").isNotNull)
       .groupBy(col("__k")).agg(count(lit(1)).as("__nb"))
+    // decimal(19,0) holds any Long count; the product's precision
+    // (19+19+1 → capped at 38, scale 0) holds up to 1e38 rows — no
+    // silent Long wrap at petabyte key frequencies
     val matched = ha.join(hb, Seq("__k"))
-      .select(col("__k"), (col("__na") * col("__nb")).as("__out"))
+      .select(col("__k"),
+        (col("__na").cast(DecimalType(19, 0))
+          * col("__nb").cast(DecimalType(19, 0))).as("__out"))
     val aTot = ha.agg(count(lit(1)).as("n_keys_a"),
       sum(col("__na")).as("rows_a"))
     val bTot = hb.agg(count(lit(1)).as("n_keys_b"),
       sum(col("__nb")).as("rows_b"))
     matched
       .agg(count(lit(1)).as("n_keys_matched"),
-        coalesce(sum(col("__out")), lit(0L)).as("output_rows"),
+        coalesce(sum(col("__out")),
+          lit(0L).cast(DecimalType(38, 0))).as("__out_dec"),
         max(struct(col("__out"), col("__k"))).as("__top"))
       .crossJoin(broadcast(aTot)).crossJoin(broadcast(bTot))
       .select(col("n_keys_a"), col("n_keys_b"), col("n_keys_matched"),
-        col("rows_a"), col("rows_b"), col("output_rows"),
+        col("rows_a"), col("rows_b"),
+        col("__out_dec").cast("double").as("output_rows"),
         col("__top.__k").as("top_key"),
-        col("__top.__out").as("top_key_rows"),
-        when(col("output_rows") > 0,
+        col("__top.__out").cast("double").as("top_key_rows"),
+        when(col("__out_dec") > 0,
           floor(col("__top.__out").cast("double")
-            / col("output_rows").cast("double") * 1e9) / 1e9)
+            / col("__out_dec").cast("double") * 1e9) / 1e9)
           .as("top_share"))
   }
 

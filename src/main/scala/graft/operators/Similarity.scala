@@ -1278,6 +1278,43 @@ object Similarity {
         lit(k.toDouble)).as("recall"))
   }
 
+  /** Cross-corpus LSH candidate pairs — the blocker that feeds the
+    * candidate-parameterized [[bitextMarginMine]] / [[Valuation
+    * .knnShapley]] arities at scale: band both sides' sign sketches
+    * (the same md5-derived hyperplanes as [[lshCosineTopK]], so the
+    * whole candidate set replays in SQL) and emit the distinct
+    * (left_id, right_id) band collisions. No self-pair exclusion:
+    * left and right are DISTINCT corpora, so equal id values are
+    * legitimate pairs, not the same row. Shape: two narrow sketch
+    * projections, one band-key equi-join, one dedup — candidate count
+    * is collision-bounded, never |L|x|R|.
+    */
+  def lshCandidatePairs(
+      left: DataFrame,
+      right: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numBits: Int = 16,
+      bands: Int = 4,
+      dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    require(numBits % bands == 0,
+      s"numBits ($numBits) must divide evenly into bands ($bands)")
+    val r = numBits / bands
+    def banded(df: DataFrame, id: String): DataFrame = {
+      val sk = signSketchTable(df, idCol, id, vecCol, numBits, dim, seed)
+      val bandKeys = (0 until bands).map(bi =>
+        concat_ws("_", lit(bi),
+          shiftright(col("__sk"), bi * r).bitwiseAND(lit((1L << r) - 1))))
+      sk.select(col(id), posexplode(array(bandKeys: _*)))
+        .withColumnRenamed("col", "band_key").drop("pos")
+    }
+    banded(left, "left_id")
+      .join(banded(right, "right_id"), Seq("band_key"))
+      .select(col("left_id"), col("right_id"))
+      .distinct()
+  }
+
   /** Margin-based bitext mining (Artetxe & Schwenk, ACL 2019): align
     * two embedding corpora (source/target languages, two crawl
     * snapshots, two modalities) by MUTUAL-BEST margin score rather
@@ -1294,11 +1331,16 @@ object Similarity {
     *
     * Dataflow: candidates are the union of forward and backward top-k
     * lists (never all pairs downstream — scoring, averages, and the
-    * mutual-best ranks all run on O((|L|+|R|)·k) candidate rows); the
-    * top-k generation itself is [[cosineTopK]] — swap in the LSH/IVF
-    * candidate generators for corpora where brute-force top-k is no
-    * longer viable, the margin math is agnostic to how candidates
-    * arrived. Neighborhood means fold through DECIMAL(30,18); the
+    * mutual-best ranks all run on O((|L|+|R|)·k) candidate rows). This
+    * arity scores ALL |L|x|R| pairs before ranking — exact but
+    * quadratic; at two large monolingual corpora use the
+    * candidate-pair overload with [[lshCandidatePairs]] (or IVF cell
+    * routing), which is the CCMatrix/LASER shape: the margin math is
+    * agnostic to how candidates arrived. Left and right are DISTINCT
+    * corpora (two languages, two snapshots) — a left row and a right
+    * row with the same id value are still a legitimate pair, so no
+    * self-pair exclusion applies (ids are only "the same row" within
+    * one corpus). Neighborhood means fold through DECIMAL(30,18); the
     * mutual-best ranks break ties by id; margin rounds at 12 dp
     * (harness q385 replays the whole pipeline in SQL).
     *
@@ -1311,15 +1353,53 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double): DataFrame =
+    // the cross join is unique by construction — no dedup shuffle
+    marginMineCore(left, right, idCol, vecCol, k, threshold,
+      right.select(col(idCol).as("neighbor_id"))
+        .crossJoin(broadcast(left.select(col(idCol).as("query_id")))))
+
+  /** Candidate-parameterized margin mining — the 100 TB arity: score
+    * and rank only a (left_id, right_id) candidate-pair table (from
+    * [[lshCandidatePairs]], IVF cell routing, or any blocker) instead
+    * of all |L|x|R| pairs. Forward/backward top-k and the avgNNk
+    * neighborhood means are computed WITHIN the candidate set — the
+    * standard truncation of large-scale mining pipelines (a margin
+    * against the candidate neighborhood, exact whenever the candidate
+    * set contains each row's true k nearest). Identical math to the
+    * brute arity; with an all-pairs candidate table the two are
+    * row-identical (spec-pinned).
+    *
+    * @param candidates (left_id, right_id) pairs; duplicates are
+    *                   deduped before scoring
+    */
+  def bitextMarginMine(
+      left: DataFrame,
+      right: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      threshold: Double,
+      candidates: DataFrame): DataFrame =
+    marginMineCore(left, right, idCol, vecCol, k, threshold,
+      candidates
+        .select(col("left_id").as("query_id"),
+          col("right_id").as("neighbor_id"))
+        .distinct())
+
+  private def marginMineCore(
+      left: DataFrame,
+      right: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      threshold: Double,
+      pairs: DataFrame): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     // cosine is symmetric, so ONE scored pair table serves both top-k
     // directions — half the dot-product work of two cosineTopK calls;
     // cut so the two rank windows read the materialized scores instead
     // of re-running the scoring pipeline
-    val pairs = right.select(col(idCol).as("neighbor_id"))
-      .crossJoin(broadcast(left.select(col(idCol).as("query_id"))))
-      .filter(col("neighbor_id") =!= col("query_id"))
     val allScored = graft.Materialize.cut(
       scorePairs(pairs, right, left, idCol, vecCol))
     val fwd = rankTopK(allScored, k)

@@ -989,12 +989,38 @@ object TextAnalysis {
   def unigramSegment(
       df: DataFrame, textCol: String,
       maxPieceLen: Int = 4, vocabSize: Int = 200,
-      maxWordLen: Int = 16, unkLp: Double = -20.0): DataFrame = {
-    val pieces = unigramWordPieces(
-      df, textCol, maxPieceLen, vocabSize, maxWordLen, unkLp)
-    // in-row Viterbi: accumulator acc(i+1) = (best, n_pieces) of the
-    // prefix of length i; the j = 1 fallback guarantees a candidate at
-    // every position, so array_max never sees an empty array
+      maxWordLen: Int = 16, unkLp: Double = -20.0): DataFrame =
+    viterbiStats(unigramWordPieces(
+      df, textCol, maxPieceLen, vocabSize, maxWordLen, unkLp))
+
+  /** Viterbi segmentation under an EXPLICIT vocabulary — the apply
+    * half of the train/apply split: `vocab` is a (piece, lp) table
+    * (a [[unigramEmTrain]]/[[unigramHardEmRound]] result, typically
+    * loaded from [[TokenizerStore]]), broadcast into the scoring join
+    * exactly like the internally-seeded [[unigramSegment]]. Train
+    * once, segment everywhere — no per-run re-derivation of the
+    * vocabulary at 100 TB. Same DP, ties, and output shape as
+    * [[unigramSegment]].
+    */
+  def unigramSegmentWith(
+      df: DataFrame, textCol: String, vocab: DataFrame,
+      maxPieceLen: Int = 4, maxWordLen: Int = 16,
+      unkLp: Double = -20.0): DataFrame = {
+    require(maxPieceLen >= 1 && maxPieceLen <= 8,
+      s"maxPieceLen must be in [1,8], got $maxPieceLen")
+    require(maxWordLen >= 1 && maxWordLen <= 32,
+      s"maxWordLen must be in [1,32], got $maxWordLen")
+    val words = unigramWords(df, textCol, maxWordLen)
+    viterbiStats(
+      scoredPieces(unigramSubs(words, maxPieceLen), vocab, unkLp))
+  }
+
+  /** The in-row Viterbi over scored (word, wcnt, __ps) rows:
+    * accumulator acc(i+1) = (best, n_pieces) of the prefix of length
+    * i; the j = 1 fallback guarantees a candidate at every position,
+    * so array_max never sees an empty array.
+    */
+  private def viterbiStats(pieces: DataFrame): DataFrame = {
     val dp = aggregate(
       sequence(lit(1), length(col("word"))),
       array(struct(lit(0.0).as("best"), lit(0).as("np"))),

@@ -41,13 +41,14 @@ object Valuation {
     * 12 dp — the whole computation replays bit-for-bit in SQL (harness
     * q384).
     *
-    * Scale note: each test point's ranking is one window partition, so
-    * one task sees all N candidate rows for that test point. That is
-    * fine for N in the hundreds of millions of (id, double) pairs; at
-    * full 100 TB corpus scale, prefilter per-test candidates with the
-    * LSH/IVF family ([[Similarity.lshKnnGraph]], [[Similarity]] IVF)
-    * and value the candidate set — the truncated estimator standard in
-    * practice (rank-j terms decay like min(K, j)/j).
+    * Scale note: this exact arity scores ALL (train, test) pairs and
+    * each test point's ranking is one window partition, so one task
+    * sees all N candidate rows for that test point. That is fine for N
+    * in the hundreds of millions of (id, double) pairs; at full 100 TB
+    * corpus scale use the candidate-parameterized overload below with
+    * an LSH/IVF prefilter ([[Similarity.lshCandidatePairs]]) — the
+    * truncated estimator standard in practice (rank-j terms decay like
+    * min(K, j)/j).
     *
     * @param train (idCol, vecCol, labelCol) corpus to value
     * @param test  held-out panel, same columns; broadcast
@@ -62,7 +63,44 @@ object Valuation {
       vecCol: String,
       labelCol: String,
       k: Int): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
+    val (tr, te) = shapleySides(train, test, idCol, vecCol, labelCol)
+    shapleyCore(tr.crossJoin(te), idCol, k)
+  }
+
+  /** Candidate-parameterized kNN-Shapley — the truncated estimator at
+    * corpus scale: rank and value only the (train_id, test_id) pairs
+    * of a candidate table ([[Similarity.lshCandidatePairs]], IVF cell
+    * routing, any blocker) instead of all |train|x|test| pairs. Each
+    * test point's ranking window then sees its candidate rows only —
+    * the suffix-sum recursion runs over the candidate ranking with N =
+    * that candidate count (the standard truncation: rank-j terms decay
+    * like min(K,j)/j, so far-away rows contribute negligibly — Jia et
+    * al.'s own recommendation for web-scale corpora). Train rows that
+    * appear in no candidate pair receive no value row (they were never
+    * anyone's neighbor). With an all-pairs candidate table this is
+    * row-identical to the exact arity (spec-pinned).
+    *
+    * @param candidates (train_id, test_id) pairs; duplicates deduped
+    */
+  def knnShapley(
+      train: DataFrame,
+      test: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int,
+      candidates: DataFrame): DataFrame = {
+    val (tr, te) = shapleySides(train, test, idCol, vecCol, labelCol)
+    val pairs = candidates
+      .select(col("train_id").as("__rid"), col("test_id").as("__tid"))
+      .distinct()
+    shapleyCore(pairs.join(tr, Seq("__rid")).join(te, Seq("__tid")),
+      idCol, k)
+  }
+
+  private def shapleySides(
+      train: DataFrame, test: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): (DataFrame, DataFrame) = {
     def ok(c: Column) = c.isNotNull && size(c) > 0
     val tr = train.filter(ok(col(vecCol)))
       .select(col(idCol).as("__rid"), col(vecCol).as("__rv"),
@@ -70,9 +108,19 @@ object Valuation {
     val te = broadcast(test.filter(ok(col(vecCol)))
       .select(col(idCol).as("__tid"), col(vecCol).as("__tv"),
         col(labelCol).as("__ty")))
+    (tr, te)
+  }
+
+  /** The ranking + suffix-sum on joined (__tid, __rid, __tv, __rv,
+    * __ty, __ry) pair rows — shared by the exact and candidate
+    * arities.
+    */
+  private def shapleyCore(
+      joined: DataFrame, idCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
     val diff = zip_with(col("__tv"), col("__rv"),
       (x, y) => x.cast("double") - y.cast("double"))
-    val scored = tr.crossJoin(te)
+    val scored = joined
       .select(col("__tid"), col("__rid"),
         Similarity.dot(diff, diff).as("__dist"),
         when(col("__ry") === col("__ty"), 1).otherwise(0).as("__ind"))

@@ -478,7 +478,9 @@ object AnalyticsQueries {
         SELECT event_type,
                CAST(substr(CAST(CAST(round(value * 100) AS BIGINT)
                  AS VARCHAR), 1, 1) AS INT) AS digit
-        FROM events WHERE value IS NOT NULL AND value > 0),
+        FROM events
+        WHERE value IS NOT NULL
+          AND CAST(round(value * 100) AS BIGINT) >= 1),
       obs AS (SELECT event_type, digit, CAST(count(*) AS BIGINT) AS n_obs
               FROM base GROUP BY 1, 2),
       tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n

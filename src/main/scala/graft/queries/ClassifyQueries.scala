@@ -1508,6 +1508,31 @@ object ClassifyQueries {
       FROM tok t JOIN fin f USING (doc_id) ORDER BY doc_id
     """.trim))
 
+  /** BPE apply from a PERSISTED merge table
+    * ([[graft.operators.TokenizerStore]]): q371's 1024-rank phrase
+    * table is trained once, written to parquet, loaded back, and the
+    * corpus is encoded with the LOADED artifact — the
+    * train-once / tokenize-everywhere split (the q374 ANN-persistence
+    * pattern applied to tokenizers; closes round 9's missing #4). The
+    * oracle is q371's VERBATIM: strings and longs round-trip parquet
+    * bit-exactly, so the loaded table must reproduce the fresh
+    * encoding row-for-row.
+    */
+  val q401BpePersisted = HarnessQuery(
+    "q401_bpe_persisted",
+    (spark, dir) => {
+      import graft.operators.TokenizerStore
+      val docs = Tables.documents(spark, dir)
+      val path = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q401_bpe").getAbsolutePath
+      TokenizerStore.saveMergeTable(
+        TextAnalysis.phraseMergeTable(docs, "text", 1024), path)
+      TextAnalysis.bpePhraseEncode(docs, "text", "doc_id",
+        TokenizerStore.loadMergePairs(spark, path))
+        .orderBy(col("doc_id"))
+    },
+    q371BpePhrases.oracle)
+
   /** Effective sample size ([[Mixture.effectiveSampleSize]]) of
     * length-proportional document weights per source — the usability
     * check on any importance-weighted resample.
@@ -1578,5 +1603,6 @@ object ClassifyQueries {
     q279TCloseness, q280Silhouette, q281Ndcg, q282Rendezvous, q283EbShrink,
     q284Als, q285SentenceStats, q286Sortedness, q287Flesch, q288NbFeatures,
     q289BinaryIngest, q290PitEnrich, q291Bpe, q292BpeSymbols, q293Ess,
-    q294EmbeddingGeometry, q333BpeEncode, q371BpePhrases)
+    q294EmbeddingGeometry, q333BpeEncode, q371BpePhrases,
+    q401BpePersisted)
 }

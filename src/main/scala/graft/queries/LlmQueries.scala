@@ -1118,6 +1118,28 @@ object LlmQueries {
       """.trim
     })
 
+  /** Unigram vocabulary persistence ([[graft.operators
+    * .TokenizerStore]]): q394's trained distribution is written to
+    * parquet and loaded back — the artifact a 100 TB segmentation
+    * pass starts from ([[TextAnalysis.unigramSegmentWith]] consumes
+    * it; spec-pinned) instead of re-running EM per query. The oracle
+    * is q394's VERBATIM: strings/longs/doubles round-trip parquet
+    * bit-exactly.
+    */
+  val q402UnigramPersisted = HarnessQuery(
+    "q402_unigram_persisted",
+    (spark, dir) => {
+      import graft.operators.TokenizerStore
+      val path = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q402_unigram").getAbsolutePath
+      TokenizerStore.saveUnigramVocab(
+        TextAnalysis.unigramEmTrain(Tables.documents(spark, dir), "text",
+          rounds = 2, vocabSize = 24, maxWordLen = 12), path)
+      TokenizerStore.loadUnigramVocab(spark, path)
+        .orderBy(col("piece"))
+    },
+    q394UnigramTrain.oracle)
+
   /** TF-IDF: top-3 terms per document (doc_id < 20) by weight, exact.
     * Cross-engine parity: tf and idf are double expressions over exact
     * integer counts — identical operands, identical results; weight
@@ -5000,6 +5022,126 @@ object LlmQueries {
       FROM dom GROUP BY 1, 2 ORDER BY 1, 2
     """.trim))
 
+  /** HTML-to-training-text extraction ([[graft.operators.TextPrep
+    * .extractText]]): pages synthesized deterministically from
+    * document rows (the q370 construction pattern) with every hard
+    * case planted — a multi-line comment, a script body containing
+    * markup, a style block, an attribute containing '>', a link-dense
+    * nav div and footer, entities (&amp; last), a too-short line —
+    * then stripped, entity-decoded, and line-filtered by link
+    * density / length / stopword density. The oracle replays the
+    * EXACT same regex pipeline in DuckDB: the pattern strings are
+    * interpolated from [[graft.operators.TextPrep]]'s constants
+    * (RE2/Java-portable by construction — no backreferences, no
+    * lookaround), so Spark and the oracle cannot drift.
+    */
+  val q397HtmlExtract = HarnessQuery(
+    "q397_html_extract",
+    (spark, dir) => {
+      import graft.operators.TextPrep
+      val docs = Tables.documents(spark, dir)
+      val id = col("doc_id").cast("string")
+      val html = concat(
+        lit("<html><!-- doc "), id, lit("\nspans lines -->"),
+        lit("<head><title>d</title><style>p > a { color: #333; }</style>"),
+        lit("<script type=\"text/javascript\">var x = 1 < 2; "),
+        lit("var s = \"<p>not text</p>\";</script></head><body>"),
+        lit("<div class=\"nav\"><a href=\"/\">Home</a> <a href=\"/s/"),
+        col("source"), lit("\">Browse "), col("source"),
+        lit("</a> <a href=\"/c\">Contact</a></div>"),
+        lit("<h1 data-t=\"a>b\">Doc "), id, lit(" of the corpus</h1>"),
+        lit("<p>"), substring(col("text"), 1, 150),
+        lit(" &amp; more of it.</p>"),
+        lit("<p>"), substring(col("text"), 151, 150), lit("</p>"),
+        lit("<p>"), id, lit("</p>"),
+        lit("<footer><a href=\"#top\">Back to top</a> &copy; site</footer>"),
+        lit("</body></html>"))
+      TextPrep.extractText(
+        docs.withColumn("__html", html), "doc_id", "__html")
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      // SQL-quote a pattern/replacement string (single quotes doubled)
+      def q(p: String) = "'" + p.replace("'", "''") + "'"
+      import graft.operators.TextPrep._
+      val entityChain = Entities.foldLeft("s") { case (acc, (ent, ch)) =>
+        s"regexp_replace($acc, ${q(ent)}, ${q(ch)}, 'g')"
+      }
+      s"""
+      WITH h AS (
+        SELECT doc_id,
+               '<html><!-- doc ' || doc_id || chr(10) || 'spans lines -->'
+               || '<head><title>d</title><style>p > a { color: #333; }</style>'
+               || '<script type="text/javascript">var x = 1 < 2; '
+               || 'var s = "<p>not text</p>";</script></head><body>'
+               || '<div class="nav"><a href="/">Home</a> <a href="/s/'
+               || source || '">Browse ' || source
+               || '</a> <a href="/c">Contact</a></div>'
+               || '<h1 data-t="a>b">Doc ' || doc_id || ' of the corpus</h1>'
+               || '<p>' || substr(text, 1, 150) || ' &amp; more of it.</p>'
+               || '<p>' || substr(text, 151, 150) || '</p>'
+               || '<p>' || doc_id || '</p>'
+               || '<footer><a href="#top">Back to top</a> &copy; site</footer>'
+               || '</body></html>' AS html
+        FROM documents),
+      c1 AS (
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(
+                 html, ${q(CommentRe)}, '', 'g'),
+                 ${q(ScriptRe)}, '', 'g'),
+                 ${q(StyleRe)}, '', 'g') AS s
+        FROM h),
+      c2 AS (
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                 s, ${q(AnchorOpenRe)}, chr(1), 'g'),
+                 ${q(AnchorCloseRe)}, chr(2), 'g'),
+                 ${q(BlockTagRe)}, chr(10), 'g'),
+                 ${q(AnyTagRe)}, '', 'g') AS s
+        FROM c1),
+      c3 AS (SELECT doc_id, $entityChain AS s FROM c2),
+      l0 AS (SELECT doc_id, string_split(s, chr(10)) AS ls FROM c3),
+      l1 AS (SELECT doc_id, unnest(generate_series(1, len(ls))) AS i, ls
+             FROM l0),
+      l2 AS (SELECT doc_id, i, ls[i] AS raw FROM l1),
+      feat AS (
+        SELECT doc_id, i,
+               trim(regexp_replace(regexp_replace(
+                 raw, '[\\x01\\x02]', '', 'g'), '\\s+', ' ', 'g')) AS line,
+               coalesce(list_sum(list_transform(
+                 regexp_extract_all(raw, ${q(AnchorSpanRe)}, 1),
+                 x -> length(trim(regexp_replace(x, '\\s+', ' ', 'g'))))),
+                 0) AS link_chars
+        FROM l2),
+      vis AS (
+        SELECT doc_id, i, line, length(line) AS n_chars, link_chars,
+               regexp_extract_all(lower(line), '[a-z]+') AS words
+        FROM feat WHERE length(line) > 0),
+      num AS (
+        SELECT doc_id,
+               row_number() OVER (PARTITION BY doc_id ORDER BY i)
+                 AS line_no,
+               line, n_chars, link_chars, len(words) AS n_words,
+               len(list_filter(words, w -> list_contains(
+                 [${StopwordsEn.map(q).mkString(", ")}], w))) AS n_stop
+        FROM vis),
+      cls AS (
+        SELECT doc_id, line_no, line, n_chars,
+               floor(CAST(least(link_chars, n_chars) AS DOUBLE)
+                 / n_chars * 1e9) / 1e9 AS ld,
+               CASE WHEN n_words > 0
+                    THEN floor(CAST(n_stop AS DOUBLE) / n_words * 1e9) / 1e9
+                    ELSE 0.0 END AS sd
+        FROM num),
+      kept AS (
+        SELECT doc_id, line_no, line FROM cls
+        WHERE NOT (n_chars < 15 OR ld > 0.35 OR sd < 0.05))
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text,
+             CAST(count(*) AS BIGINT) AS n_lines_kept
+      FROM kept GROUP BY 1 ORDER BY 1
+      """.trim
+    })
+
   /** The q370 URL construction, shared by the crawl-frontier queries. */
   private def crawlUrl = {
     val id = col("doc_id").cast("string")
@@ -5204,7 +5346,9 @@ object LlmQueries {
   def all: Seq[HarnessQuery] = Seq(
     q386SeqPacking, q387PngMeta, q388UnigramSegment, q389UnigramEm,
     q392JpegMeta, q393PackAppend, q394UnigramTrain, q395ContinualPacking,
+    q402UnigramPersisted,
     q370UrlCanonical, q377RobotsDecision, q378FrontierSchedule,
+    q397HtmlExtract,
     q338Winnowing, q339WinnowOverlap, q348WinnowIncremental, q350LineDedup,
     q354TextRank, q356Waterfill, q362TokenizerFertility, q363HeapsFit,
     q210PhashClusters,

@@ -1733,8 +1733,212 @@ object VectorTextQueries {
       ORDER BY left_id
     """.trim))
 
+  /** Candidate-parameterized margin mining ([[Similarity
+    * .bitextMarginMine]] fed by [[Similarity.lshCandidatePairs]],
+    * numBits = 8, bands = 4, k = 4, threshold 1.0) — the 100 TB arity
+    * of q385: the pair table is LSH band collisions, never |L|x|R|,
+    * and forward/backward top-k + neighborhood means run within the
+    * candidate set (the CCMatrix truncation). The oracle replays the
+    * md5-derived hyperplanes, sign sketches, band collisions, and the
+    * full margin pipeline over exactly those candidates.
+    */
+  val q398BitextCandidates = HarnessQuery(
+    "q398_bitext_candidates",
+    (spark, dir) => {
+      val em = Tables.embeddings(spark, dir)
+      val l = em.where(col("vec_id") % 5 === 0)
+      val r = em.where(col("vec_id") % 5 === 3)
+      Similarity.bitextMarginMine(
+        l, r, "vec_id", "embedding", k = 4, threshold = 1.0,
+        Similarity.lshCandidatePairs(l, r, "vec_id", "embedding",
+          numBits = 8, bands = 4))
+        .withColumn("cosine", floor(col("cosine") * 1e9) / 1e9)
+        .orderBy(col("left_id"))
+    },
+    Some("""
+      WITH hp AS (
+        SELECT h.h AS h, d.d AS d,
+               (CAST(('0x' || substr(md5('42_' || h.h || '_' || d.d), 1, 15)) AS BIGINT)
+                 % 1000000) / 1000000.0 - 0.5 AS v
+        FROM generate_series(0, 7) h(h), generate_series(0, 63) d(d)),
+      side AS (
+        SELECT vec_id, embedding, vec_id % 5 AS m FROM embeddings
+        WHERE vec_id % 5 IN (0, 3)),
+      dots AS (
+        SELECT e.vec_id, hp.h,
+               CAST(sum(CAST(CAST(e.embedding[hp.d + 1] AS DOUBLE) * hp.v
+                 AS DECIMAL(30,18))) AS DOUBLE) AS dv
+        FROM side e, hp GROUP BY 1, 2),
+      sk AS (
+        SELECT vec_id,
+               CAST(sum(CASE WHEN dv > 0 THEN (CAST(1 AS BIGINT) << (7 - h))
+                 ELSE 0 END) AS BIGINT) AS sk
+        FROM dots GROUP BY 1),
+      bands AS (
+        SELECT s.vec_id, b.b || '_' || ((s.sk >> (b.b * 2)) & 3) AS band_key
+        FROM sk s, generate_series(0, 3) b(b)),
+      cand0 AS (
+        SELECT DISTINCT lb.vec_id AS lid, rb.vec_id AS rid
+        FROM bands lb JOIN bands rb USING (band_key)
+        WHERE lb.vec_id % 5 = 0 AND rb.vec_id % 5 = 3),
+      nl AS MATERIALIZED (
+        SELECT vec_id AS id, embedding AS e,
+               sqrt(CAST(sum(CAST(CAST(embedding[g.i] AS DOUBLE)
+                 * CAST(embedding[g.i] AS DOUBLE) AS DECIMAL(30,18)))
+                 AS DOUBLE)) AS nrm
+        FROM side, generate_series(1, 64) g(i)
+        WHERE m = 0 GROUP BY 1, 2),
+      nr AS MATERIALIZED (
+        SELECT vec_id AS id, embedding AS e,
+               sqrt(CAST(sum(CAST(CAST(embedding[g.i] AS DOUBLE)
+                 * CAST(embedding[g.i] AS DOUBLE) AS DECIMAL(30,18)))
+                 AS DOUBLE)) AS nrm
+        FROM side, generate_series(1, 64) g(i)
+        WHERE m = 3 GROUP BY 1, 2),
+      cosall AS MATERIALIZED (
+        SELECT c0.lid, c0.rid,
+               CAST(sum(CAST(CAST(a.e[g.i] AS DOUBLE)
+                 * CAST(b.e[g.i] AS DOUBLE) AS DECIMAL(30,18))) AS DOUBLE)
+                 / (any_value(a.nrm) * any_value(b.nrm)) AS cosine
+        FROM cand0 c0
+        JOIN nl a ON a.id = c0.lid
+        JOIN nr b ON b.id = c0.rid,
+        generate_series(1, 64) g(i)
+        GROUP BY 1, 2),
+      fwd AS MATERIALIZED (
+        SELECT lid, rid, cosine FROM (
+          SELECT lid, rid, cosine,
+                 row_number() OVER (PARTITION BY lid
+                   ORDER BY cosine DESC, rid) AS rk
+          FROM cosall) WHERE rk <= 4),
+      bwd AS MATERIALIZED (
+        SELECT lid, rid, cosine FROM (
+          SELECT lid, rid, cosine,
+                 row_number() OVER (PARTITION BY rid
+                   ORDER BY cosine DESC, lid) AS rk
+          FROM cosall) WHERE rk <= 4),
+      avgl AS (
+        SELECT lid, CAST(sum(CAST(cosine AS DECIMAL(30,18))) AS DOUBLE)
+                 / count(*) AS avg_l
+        FROM fwd GROUP BY 1),
+      avgr AS (
+        SELECT rid, CAST(sum(CAST(cosine AS DECIMAL(30,18))) AS DOUBLE)
+                 / count(*) AS avg_r
+        FROM bwd GROUP BY 1),
+      cand AS (
+        SELECT lid, rid, max(cosine) AS cosine FROM (
+          SELECT * FROM fwd UNION ALL SELECT * FROM bwd)
+        GROUP BY 1, 2),
+      scored AS (
+        SELECT c.lid, c.rid, c.cosine,
+               c.cosine / ((a.avg_l + b.avg_r) / 2.0) AS margin
+        FROM cand c JOIN avgl a USING (lid) JOIN avgr b USING (rid)),
+      ranked AS (
+        SELECT lid, rid, cosine, margin,
+               row_number() OVER (PARTITION BY lid
+                 ORDER BY margin DESC, rid) AS rl,
+               row_number() OVER (PARTITION BY rid
+                 ORDER BY margin DESC, lid) AS rr
+        FROM scored)
+      SELECT lid AS left_id, rid AS right_id,
+             floor(cosine * 1e9) / 1e9 AS cosine,
+             round(margin, 12) AS margin
+      FROM ranked
+      WHERE rl = 1 AND rr = 1 AND margin >= 1.0
+      ORDER BY left_id
+    """.trim))
+
+  /** Candidate-parameterized kNN-Shapley ([[Valuation.knnShapley]]
+    * fed by [[Similarity.lshCandidatePairs]], numBits = 8, bands = 4,
+    * K = 5) — the truncated estimator of q384 at corpus scale: each
+    * panel point ranks only its LSH band collisions, so no window
+    * partition ever sees the whole corpus. The oracle replays the
+    * hyperplanes, band collisions, and the closed-form suffix sum
+    * over exactly the candidate ranking.
+    */
+  val q399ShapleyCandidates = HarnessQuery(
+    "q399_shapley_candidates",
+    (spark, dir) => {
+      val em = Tables.embeddings(spark, dir)
+      val tr = em.where(col("vec_id") % 25 =!= 0)
+      val te = em.where(col("vec_id") % 25 === 0)
+      Valuation.knnShapley(
+        tr, te, "vec_id", "embedding", "label", k = 5,
+        Similarity.lshCandidatePairs(tr, te, "vec_id", "embedding",
+          numBits = 8, bands = 4)
+          .select(col("left_id").as("train_id"),
+            col("right_id").as("test_id")))
+        .orderBy(col("vec_id"))
+    },
+    Some("""
+      WITH hp AS (
+        SELECT h.h AS h, d.d AS d,
+               (CAST(('0x' || substr(md5('42_' || h.h || '_' || d.d), 1, 15)) AS BIGINT)
+                 % 1000000) / 1000000.0 - 0.5 AS v
+        FROM generate_series(0, 7) h(h), generate_series(0, 63) d(d)),
+      dots AS (
+        SELECT e.vec_id, hp.h,
+               CAST(sum(CAST(CAST(e.embedding[hp.d + 1] AS DOUBLE) * hp.v
+                 AS DECIMAL(30,18))) AS DOUBLE) AS dv
+        FROM embeddings e, hp GROUP BY 1, 2),
+      sk AS (
+        SELECT vec_id,
+               CAST(sum(CASE WHEN dv > 0 THEN (CAST(1 AS BIGINT) << (7 - h))
+                 ELSE 0 END) AS BIGINT) AS sk
+        FROM dots GROUP BY 1),
+      bands AS (
+        SELECT s.vec_id, b.b || '_' || ((s.sk >> (b.b * 2)) & 3) AS band_key
+        FROM sk s, generate_series(0, 3) b(b)),
+      cand AS (
+        SELECT DISTINCT tb.vec_id AS rid, pb.vec_id AS tid
+        FROM bands tb JOIN bands pb USING (band_key)
+        WHERE tb.vec_id % 25 <> 0 AND pb.vec_id % 25 = 0),
+      te AS (
+        SELECT vec_id AS tid, embedding AS e, label AS ty
+        FROM embeddings WHERE vec_id % 25 = 0),
+      tr AS (
+        SELECT vec_id AS rid, embedding AS e, label AS ry
+        FROM embeddings WHERE vec_id % 25 <> 0),
+      d AS (
+        SELECT c.tid, c.rid, any_value(te.ty) AS ty, any_value(tr.ry) AS ry,
+               CAST(sum(CAST(
+                 (CAST(te.e[g.i] AS DOUBLE) - CAST(tr.e[g.i] AS DOUBLE))
+                 * (CAST(te.e[g.i] AS DOUBLE) - CAST(tr.e[g.i] AS DOUBLE))
+                 AS DECIMAL(30,18))) AS DOUBLE) AS dist
+        FROM cand c
+        JOIN te ON te.tid = c.tid
+        JOIN tr ON tr.rid = c.rid,
+        generate_series(1, 64) g(i)
+        GROUP BY 1, 2),
+      r AS (
+        SELECT tid, rid,
+               CASE WHEN ry = ty THEN 1 ELSE 0 END AS ind,
+               row_number() OVER (PARTITION BY tid ORDER BY dist, rid) AS j,
+               count(*) OVER (PARTITION BY tid) AS n
+        FROM d),
+      c AS (
+        SELECT tid, rid, j,
+               CASE WHEN j = n THEN CAST(ind AS DOUBLE) / n
+                    ELSE (ind - lead(ind) OVER (PARTITION BY tid ORDER BY j))
+                         / CAST(5 AS DOUBLE) * least(5, j) / j
+               END AS cl
+        FROM r),
+      s AS (
+        SELECT tid, rid,
+               CAST(sum(CAST(cl AS DECIMAL(30,18)))
+                 OVER (PARTITION BY tid ORDER BY j
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                 AS DOUBLE) AS sv
+        FROM c)
+      SELECT rid AS vec_id,
+             round(CAST(sum(CAST(sv AS DECIMAL(30,18))) AS DOUBLE)
+               / count(*), 12) AS shapley
+      FROM s GROUP BY 1 ORDER BY 1
+    """.trim))
+
   def all: Seq[HarnessQuery] = Seq(
     q366Mmr, q384KnnShapley, q385BitextMargin,
+    q398BitextCandidates, q399ShapleyCandidates,
     q340KmeansFit, q341KmeansCells, q342KmeansIvf, q344Skipgram, q346KCenter,
     q358Pca2, q359PcaOutliers, q360CentroidDrift,
     q211CollocPmi, q212TokenEntropy, q213GramMatrix, q214CovMatrix,

@@ -1057,8 +1057,9 @@ object WorkloadQueries {
                     CAST(coalesce(sum(outn), 0) AS BIGINT) AS output_rows
              FROM m)
       SELECT at.n_keys_a, bt.n_keys_b, mt.n_keys_matched,
-             at.rows_a, bt.rows_b, mt.output_rows,
-             top.k AS top_key, CAST(top.outn AS BIGINT) AS top_key_rows,
+             at.rows_a, bt.rows_b,
+             CAST(mt.output_rows AS DOUBLE) AS output_rows,
+             top.k AS top_key, CAST(top.outn AS DOUBLE) AS top_key_rows,
              CASE WHEN mt.output_rows > 0
                   THEN floor(CAST(top.outn AS DOUBLE)
                     / CAST(mt.output_rows AS DOUBLE) * 1e9) / 1e9

@@ -192,6 +192,15 @@ class MultimodalMetaSpec extends SparkSpec {
         withExif = false))
     assert(big.width === 40000 && big.height === 35000)
 
+    // ITU-T T.81 B.1.1.2 fill bytes: runs of 0xFF before a marker are
+    // legal padding, not a 0xFF marker with a bogus length read
+    val padded = base.take(2) ++ Array.fill(3)(0xFF.toByte) ++ base.drop(2)
+    assert(Multimodal.parseJpegMeta(padded) === m)
+    // a run that hits end-of-buffer stops cleanly at the sentinel
+    val fillTail = Array(0xFF.toByte, 0xD8.toByte) ++
+      Array.fill(6)(0xFF.toByte)
+    assert(Multimodal.parseJpegMeta(fillTail).width === -1)
+
     // truncated before the SOF -> sentinel (no frame header found)
     val cut = java.util.Arrays.copyOf(base, 12)
     assert(Multimodal.parseJpegMeta(cut).width === -1)

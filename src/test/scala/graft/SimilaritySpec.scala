@@ -551,4 +551,64 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(_._1).distinct.length === got.length)
     assert(got.map(_._2).distinct.length === got.length)
   }
+
+  test("bitextMarginMine: complete candidate table equals brute; " +
+    "equal cross-corpus ids are legitimate pairs; dups dedup") {
+    // DISTINCT corpora that SHARE an id space (both keyed 1..n) — the
+    // common case the old self-pair filter silently broke: left 1 and
+    // right 1 are near-identical vectors, so (1, 1) must be minable.
+    val left = Seq(
+      (1L, Array(1.0f, 0.1f, 0f)), (2L, Array(0.1f, 1.0f, 0f)),
+      (3L, Array(0f, 0.2f, 1.0f)))
+    val right = Seq(
+      (1L, Array(0.95f, 0.12f, 0f)), (2L, Array(0.15f, 0.9f, 0.1f)),
+      (3L, Array(0.1f, 0.1f, 0.9f)), (4L, Array(0.5f, 0.5f, 0.5f)))
+    val l = left.toDF("id", "vec")
+    val r = right.toDF("id", "vec")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(x => (x.getLong(0), x.getLong(1),
+        math.round(x.getDouble(2) * 1e9), math.round(x.getDouble(3) * 1e9)))
+        .toSet
+
+    val brute = Similarity.bitextMarginMine(l, r, "id", "vec", 2, 1.0)
+    // the id-equal pair survives (ADVICE fix: no self-pair exclusion
+    // across corpora)
+    assert(brute.collect().exists(x =>
+      x.getLong(0) === 1L && x.getLong(1) === 1L))
+
+    val allPairs = l.select(col("id").as("left_id"))
+      .crossJoin(r.select(col("id").as("right_id")))
+    val viaCand = Similarity.bitextMarginMine(
+      l, r, "id", "vec", 2, 1.0, allPairs)
+    assert(rows(viaCand) === rows(brute))
+    // duplicated candidate rows change nothing
+    val viaDup = Similarity.bitextMarginMine(
+      l, r, "id", "vec", 2, 1.0, allPairs.unionAll(allPairs))
+    assert(rows(viaDup) === rows(brute))
+
+    // a candidate table that omits right id 4 entirely equals brute
+    // mining against the corpus without that row — truncation is
+    // exactly restriction
+    val minus4 = Similarity.bitextMarginMine(
+      l, r, "id", "vec", 2, 1.0,
+      allPairs.filter(col("right_id") =!= 4L))
+    val bruteMinus4 = Similarity.bitextMarginMine(
+      l, r.filter(col("id") =!= 4L), "id", "vec", 2, 1.0)
+    assert(rows(minus4) === rows(bruteMinus4))
+  }
+
+  test("lshCandidatePairs: band collisions only, no self-exclusion, " +
+    "subset of the cross product") {
+    val l = Seq((1L, Array.fill(64)(1.0f)), (2L, Array.fill(64)(-1.0f)))
+      .toDF("id", "vec")
+    val r = Seq((1L, Array.fill(64)(0.9f)), (9L, Array.fill(64)(-0.8f)))
+      .toDF("id", "vec")
+    val got = Similarity.lshCandidatePairs(l, r, "id", "vec",
+      numBits = 8, bands = 4, dim = 64)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    // identical-direction vectors share every band; opposite-direction
+    // vectors share none (all 8 hyperplane signs flip)
+    assert(got.contains((1L, 1L)) && got.contains((2L, 9L)))
+    assert(!got.contains((1L, 9L)) && !got.contains((2L, 1L)))
+  }
 }

@@ -1,116 +1,92 @@
 package graft
 
-import graft.operators.TextAnalysis
+import graft.operators.TextPrep
+import org.apache.spark.sql.functions._
 
-/** PII redaction, token chunking, vocab stats — edge-case pins. */
 class TextPrepSpec extends SparkSpec {
   import spark.implicits._
 
-  test("redactPii: counts and replaces emails and urls, no-op otherwise") {
-    val df = Seq(
-      (1L, "mail me at a.b@test.org or see https://x.io/path?q=1 now"),
-      (2L, "nothing to scrub here"))
-      .toDF("doc_id", "text")
-    val got = TextAnalysis.redactPii(df, "text")
-      .orderBy($"doc_id").collect()
-    assert(got(0).getAs[Long]("n_emails") === 1)
-    assert(got(0).getAs[Long]("n_urls") === 1)
-    assert(got(0).getAs[String]("redacted") ===
-      "mail me at <EMAIL> or see <URL> now")
-    assert(got(1).getAs[Long]("n_emails") === 0)
-    assert(got(1).getAs[String]("redacted") === "nothing to scrub here")
+  private def strip(html: String): String =
+    Seq(Tuple1(html)).toDF("h")
+      .select(TextPrep.stripHtml(col("h")).as("t"))
+      .collect().head.getString(0)
+
+  test("stripHtml: tags, quoted '>', script/style bodies, comments, " +
+    "entities, block-tag line breaks") {
+    assert(strip("<p>Hello <b>world</b></p>") === "Hello world")
+    // an attribute value containing '>' does not end the tag
+    assert(strip("""<div title="a>b">x</div>""") === "x")
+    assert(strip("<div title='a>b'>x</div>") === "x")
+    // script/style bodies vanish entirely, even with '<' inside
+    assert(strip("<script>if (1 < 2) { x(); }</script><p>kept</p>")
+      === "kept")
+    assert(strip("""<script type="a>b">var s = "<p>no</p>";</script>ok""")
+      === "ok")
+    assert(strip("<style>p > span { color: red }</style>ok") === "ok")
+    // comments, including multi-line
+    assert(strip("a<!-- one\ntwo -->b") === "ab")
+    // entities; &amp; decodes LAST so &amp;lt; is literal "&lt;"
+    assert(strip(
+      "Fish &amp; chips &lt;tag&gt; &quot;q&quot; &apos;a&apos; &#39;b&#39;")
+      === "Fish & chips <tag> \"q\" 'a' 'b'")
+    assert(strip("&amp;lt;") === "&lt;")
+    // &nbsp; becomes plain space and collapses
+    assert(strip("a&nbsp;&nbsp;b") === "a b")
+    // block tags break lines; empty lines drop
+    assert(strip("<h1>T</h1><p>one</p><p>two</p>") === "T\none\ntwo")
+    assert(strip("<section><UL><li>i1</li><li>i2</li></UL></section>")
+      === "i1\ni2")
+    assert(strip("x<br/>y") === "x\ny")
+    // doctype and unknown tags strip; inline tags do not break lines
+    assert(strip("<!DOCTYPE html><custom-tag attr>z</custom-tag>") === "z")
+    assert(strip("a <em>b</em> c") === "a b c")
   }
 
-  test("redactPii is case-insensitive") {
-    val df = Seq((1L, "John.Doe@Example.COM and HTTPS://X.IO/P"))
-      .toDF("doc_id", "text")
-    val r = TextAnalysis.redactPii(df, "text").head()
-    assert(r.getAs[Long]("n_emails") === 1)
-    assert(r.getAs[Long]("n_urls") === 1)
-    assert(r.getAs[String]("redacted") === "<EMAIL> and <URL>")
-  }
+  test("htmlLines + extractText: link density, length, and stopword " +
+    "density classify boilerplate; kept lines re-join in order") {
+    val html =
+      "<html><head><title>t</title>" +
+        "<script>var x = \"<p>not text</p>\";</script></head>" +
+        "<body><div class=\"nav\"><a href=\"/\">Home</a> " +
+        "<a href=\"/a\">About</a> <a href=\"/c\">Contact</a></div>" +
+        "<h1>The title of it</h1>" +
+        "<p>The quick brown fox jumps over the lazy dog and it is a " +
+        "fine day for running in the sun.</p>" +
+        "<p>shrt</p>" +
+        "<p>zzz qqq xxx vvv kkk mmm nnn ppp rrr sss ttt www yyy</p>" +
+        "<footer><a href=\"#\">Back to top</a></footer></body></html>"
+    val df = Seq((7L, html)).toDF("id", "h")
 
-  test("chunkTokens: boundaries at exactly size, size+1, and short docs") {
-    def doc(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
-    val df = Seq(
-      (1L, doc(50)),   // exactly one chunk
-      (2L, doc(51)),   // two chunks; second = tokens 41..51 (11 tokens)
-      (3L, doc(5)),    // short: one 5-token chunk
-      (4L, doc(90)))   // starts 0,40: chunks 50 + 50
-      .toDF("doc_id", "text")
-    val got = TextAnalysis.chunkTokens(df, "text", "doc_id", 50, 10)
-      .orderBy($"doc_id", $"chunk_idx")
+    val rows = TextPrep.htmlLines(df, "id", "h").orderBy("line_no")
       .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    assert(got.count(_._1 == 1L) === 1)
-    assert(got.filter(_._1 == 2L).map(_._3).toSeq === Seq(50L, 11L))
-    assert(got.filter(_._1 == 3L).map(_._3).toSeq === Seq(5L))
-    assert(got.filter(_._1 == 4L).map(_._3).toSeq === Seq(50L, 50L))
-    // overlap: chunk 1 of doc 2 starts at token 41
-    val c1 = TextAnalysis.chunkTokens(df.filter($"doc_id" === 2L),
-      "text", "doc_id", 50, 10)
-      .filter($"chunk_idx" === 1L).head().getAs[String]("chunk_text")
-    assert(c1.startsWith("w41 "))
-    assert(c1.endsWith(" w51"))
-  }
+    val flag = rows.map(r =>
+      r.getAs[String]("line") -> r.getAs[Boolean]("is_boilerplate")).toMap
+    // nav: visible text is almost all anchor content -> link-dense
+    assert(flag("Home About Contact"))
+    val nav = rows.find(_.getAs[String]("line") == "Home About Contact").get
+    assert(nav.getAs[Long]("link_chars") === 16L) // Home+About+Contact
+    assert(nav.getAs[Double]("link_density") > 0.35)
+    // headline and prose survive
+    assert(!flag("The title of it"))
+    assert(!flag(rows.map(_.getAs[String]("line"))
+      .find(_.startsWith("The quick brown fox")).get))
+    // too short / no function words / footer chrome are boilerplate
+    assert(flag("shrt"))
+    assert(flag("zzz qqq xxx vvv kkk mmm nnn ppp rrr sss ttt www yyy"))
+    assert(flag("Back to top"))
+    // line_no renumbers the VISIBLE lines 1..n with no gaps
+    assert(rows.map(_.getAs[Long]("line_no")).toSeq ===
+      (1L to rows.length).toSeq)
 
-  test("fuzzy self-join finds pairs straddling a length-band boundary") {
-    // band=8: len 7 ("abcdefg") is band 0, len 9 ("abcdefgxy") band 1 —
-    // distance 2, found only because the probe side fans out to both
-    val df = Seq(
-      (1L, "abcdefg"),      // len 7
-      (2L, "abcdefgxy"),    // len 9, dist 2 from id 1
-      (3L, "zzzzzzz"),      // len 7, far from everything
-      (4L, "abcdefgx"))     // len 8, dist 1 from id 1, dist 1 from id 2
-      .toDF("id", "s")
-    val got = graft.operators.FuzzyJoin
-      .levenshteinSelfJoin(df, "id", "s", maxDist = 2)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    assert(got === Set((1L, 2L, 2L), (1L, 4L, 1L), (2L, 4L, 1L)))
-  }
+    val got = TextPrep.extractText(df, "id", "h").collect().head
+    assert(got.getAs[Long]("n_lines_kept") === 2L)
+    assert(got.getAs[String]("text") ===
+      "The title of it\nThe quick brown fox jumps over the lazy dog " +
+        "and it is a fine day for running in the sun.")
 
-  test("fuzzy self-join: edits at segment boundaries, tiny strings, exacts") {
-    val df = Seq(
-      (1L, "abcdefghij"),   // baseline, len 10
-      (2L, "Xbcdefghij"),   // sub in segment 0
-      (3L, "abcdXfghij"),   // sub in segment 1
-      (4L, "abcdefghiX"),   // sub in segment 2
-      (5L, "bcdefghij"),    // deletion at front (shifts all segments)
-      (6L, "abcdefghijXY"), // two inserts at end
-      (7L, ""),             // empty
-      (8L, "ab"),           // tiny
-      (9L, "abcdefghij"))   // exact duplicate of 1
-      .toDF("id", "s")
-    val got = graft.operators.FuzzyJoin
-      .levenshteinSelfJoin(df, "id", "s", maxDist = 2)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // every row 2-6 and 9 is within distance 2 of row 1
-    for (other <- Seq(2L, 3L, 4L, 5L, 6L, 9L))
-      assert(got.contains((1L, other)), s"missing (1,$other)")
-    assert(got.contains((7L, 8L))) // "" vs "ab" = dist 2, tiny channel
-    assert(!got.exists(p => p._1 == 7L && p._2 == 9L))
-  }
-
-  test("vocabStats: type-token ratio with repeats") {
-    val df = Seq((1L, "a b a c a b")).toDF("doc_id", "text")
-    val r = TextAnalysis.vocabStats(df, "text", "doc_id").head()
-    assert(r.getAs[Long]("n_tokens") === 6)
-    assert(r.getAs[Long]("n_types") === 3)
-    assert(r.getAs[Double]("ttr") === 0.5)
-  }
-
-  test("packSequences shards=1: the serial degenerate case packs one global stream") {
-    // token counts (4,3,5,2,6), target 8: running ends 4,7,12,14,20 ->
-    // first-token offsets 0,4,7,12,14 -> bins 0,0,0,1,1
-    val df = Seq((1L, 4L), (2L, 3L), (3L, 5L), (4L, 2L), (5L, 6L))
-      .toDF("doc_id", "n_tokens")
-    val got = TextAnalysis
-      .packSequences(df, "doc_id", "n_tokens", targetTokens = 8, shards = 1)
-      .collect().map(r => (r.getAs[Long]("shard"), r.getAs[Long]("bin"),
-        r.getAs[Long]("n_docs"), r.getAs[Long]("sum_tokens"))).toSet
-    assert(got === Set((0L, 0L, 3L, 12L), (0L, 1L, 2L, 8L)))
-    assertThrows[IllegalArgumentException] {
-      TextAnalysis.packSequences(df, "doc_id", "n_tokens", 8, shards = 0)
-    }
+    // a document that is ALL chrome yields no extract row
+    val none = TextPrep.extractText(
+      Seq((1L, "<p><a href='/'>x</a></p>")).toDF("id", "h"), "id", "h")
+    assert(none.count() === 0L)
   }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Valuation
+import org.apache.spark.sql.functions.col
 
 class ValuationSpec extends SparkSpec {
   import spark.implicits._
@@ -62,6 +63,43 @@ class ValuationSpec extends SparkSpec {
         .take(2).count(_._3 == ty).toDouble / 2
     }.sum / test.size
     assert(math.abs(got.values.sum - full) < 1e-9)
+  }
+
+  test("knnShapley: complete candidate table reproduces the exact " +
+    "arity; truncation is restriction; dups dedup") {
+    val train = Seq(
+      (1L, Array(1.0f, 0f), 1), (2L, Array(2.0f, 0f), 0),
+      (3L, Array(4.0f, 0f), 1), (4L, Array(7.0f, 0f), 1),
+      (5L, Array(11.0f, 0f), 0), (6L, Array(16.0f, 0f), 1))
+    val trainDf = train.toDF("id", "vec", "y")
+    val testDf = Seq(
+      (10L, Array(0.0f, 0f), 1), (11L, Array(20.0f, 0f), 0))
+      .toDF("id", "vec", "y")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    val exact = rows(Valuation.knnShapley(
+      trainDf, testDf, "id", "vec", "y", k = 2))
+    val allPairs = trainDf.select(col("id").as("train_id"))
+      .crossJoin(testDf.select(col("id").as("test_id")))
+    val viaCand = rows(Valuation.knnShapley(
+      trainDf, testDf, "id", "vec", "y", k = 2, allPairs))
+    assert(viaCand === exact)
+    val viaDup = rows(Valuation.knnShapley(
+      trainDf, testDf, "id", "vec", "y", k = 2,
+      allPairs.unionAll(allPairs)))
+    assert(viaDup === exact)
+
+    // dropping train row 6 from every candidate list = valuing the
+    // corpus without it (truncation is restriction); row 6 gets no
+    // value row at all
+    val minus6 = rows(Valuation.knnShapley(
+      trainDf, testDf, "id", "vec", "y", k = 2,
+      allPairs.filter(col("train_id") =!= 6L)))
+    val exactMinus6 = rows(Valuation.knnShapley(
+      trainDf.filter(col("id") =!= 6L), testDf, "id", "vec", "y", k = 2))
+    assert(minus6 === exactMinus6)
+    assert(!minus6.contains(6L))
   }
 
   test("knnShapley: null/empty train vectors drop, k >= 1 enforced") {

@@ -294,9 +294,11 @@ class WorkloadOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_keys_b") === 3L)
     assert(r.getAs[Long]("n_keys_matched") === 2L)
     assert(r.getAs[Long]("rows_a") === 5L && r.getAs[Long]("rows_b") === 4L)
-    assert(r.getAs[Long]("output_rows") === 7L)
+    // counts accumulate in decimal(38,0) (Long-overflow-proof at
+    // skewed 100TB key frequencies) and present as exact doubles
+    assert(r.getAs[Double]("output_rows") === 7.0)
     assert(r.getAs[String]("top_key") === "1")
-    assert(r.getAs[Long]("top_key_rows") === 6L)
+    assert(r.getAs[Double]("top_key_rows") === 6.0)
     assert(r.getAs[Double]("top_share") === math.floor(6.0 / 7.0 * 1e9) / 1e9)
     // cross-check against the actual join
     assert(a.join(b, Seq("k")).count() === 7L)
@@ -304,7 +306,7 @@ class WorkloadOpsSpec extends SparkSpec {
     val r0 = ScaleAudit.joinCardinalityProfile(
       Seq(Tuple1(1L)).toDF("k"), Seq(Tuple1(2L)).toDF("k"), "k", "k")
       .collect().head
-    assert(r0.getAs[Long]("output_rows") === 0L)
+    assert(r0.getAs[Double]("output_rows") === 0.0)
     assert(r0.isNullAt(r0.fieldIndex("top_share")))
   }
 }

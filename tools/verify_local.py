@@ -14,18 +14,20 @@ driver's CORRECTNESS shape — {"<query>": {"rows_match": bool,
 repo can self-publish CORRECTNESS_SELF.json each round even when the
 driver-side collection drops its own artifact.
 """
-import hashlib, json, sys, glob, os
+import argparse, hashlib, json, sys, glob, os
 import duckdb
 import pandas as pd
 
-args = [a for a in sys.argv[1:] if not a.startswith("--")]
-json_path = None
-if "--json" in sys.argv:
-    json_path = sys.argv[sys.argv.index("--json") + 1]
-    if json_path in args:
-        args.remove(json_path)
-outdir = args[0] if len(args) > 0 else "/tmp/verify_out"
-sfdir = args[1] if len(args) > 1 else "/root/testdata/sf0.01"
+ap = argparse.ArgumentParser(description=__doc__)
+ap.add_argument("outdir", nargs="?", default="/tmp/verify_out",
+                help="directory of per-query parquet dumps from graft.Verify")
+ap.add_argument("sfdir", nargs="?", default="/root/testdata/sf0.01",
+                help="testdata scale-factor directory for the oracle views")
+ap.add_argument("--json", dest="json_path", default=None,
+                help="also write per-query verdicts in the driver's "
+                     "CORRECTNESS shape to this path")
+ns = ap.parse_args()
+outdir, sfdir, json_path = ns.outdir, ns.sfdir, ns.json_path
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
