@@ -22,6 +22,83 @@ import graft.functions.UrlFunctions
   */
 object Crawl {
 
+  /** Parse raw robots.txt bodies into the (host, user_agent, prefix,
+    * allow) rule table [[robotsDecision]] consumes — the step a
+    * frontier actually starts from. RFC 9309 semantics:
+    *
+    *  - `#` starts a comment; directive names are case-insensitive;
+    *    values trim surrounding whitespace; `\r` is stripped (CRLF
+    *    bodies parse identically).
+    *  - a GROUP is a run of consecutive `User-agent:` lines followed
+    *    by its rules; a `User-agent:` line after rules starts a NEW
+    *    group; rules apply to every agent named in their group's run.
+    *  - lines other than user-agent/allow/disallow (crawl-delay,
+    *    sitemap, garbage) are transparent — they neither join nor
+    *    split a group (the RFC's "other records" rule).
+    *  - an EMPTY `Disallow:` value means "no restriction" and emits
+    *    no rule (likewise empty Allow); rules before any user-agent
+    *    line belong to no group and are dropped.
+    *
+    * Shape: one line explode, two per-host windows (lag to find group
+    * starts, running sum to number groups), one group-local
+    * agents x rules join — per-host parallel, robots corpora are
+    * host-cardinality-sized. Output: distinct (host, user_agent
+    * lowercased, prefix, allow).
+    */
+  def parseRobots(
+      df: DataFrame, hostCol: String, textCol: String): DataFrame = {
+    val lines = df
+      .select(col(hostCol).as("host"),
+        posexplode(split(regexp_replace(col(textCol), "\r", ""), "\n"))
+          .as(Seq("__pos", "__raw")))
+      .withColumn("__line", regexp_replace(
+        regexp_replace(col("__raw"), "#.*", ""), "^\\s+|\\s+$", ""))
+      .withColumn("__dir",
+        lower(regexp_extract(col("__line"), "^([A-Za-z-]+)\\s*:", 1)))
+      .withColumn("__val", regexp_replace(
+        regexp_extract(col("__line"), "^[A-Za-z-]+\\s*:\\s*(.*)$", 1),
+        "\\s+$", ""))
+      .filter(col("__dir").isin("user-agent", "allow", "disallow"))
+    val wOrd = Window.partitionBy(col("host")).orderBy(col("__pos"))
+    val isUa = col("__dir") === "user-agent"
+    val grouped = lines
+      .withColumn("__prev", lag(col("__dir"), 1).over(wOrd))
+      .withColumn("__ng",
+        when(isUa && (col("__prev").isNull
+          || col("__prev") =!= "user-agent"), 1L).otherwise(0L))
+      .withColumn("__g", sum(col("__ng")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val agents = grouped.filter(isUa && col("__val") =!= "")
+      .select(col("host"), col("__g"),
+        lower(col("__val")).as("user_agent"))
+      .distinct()
+    val rules = grouped.filter(!isUa && col("__val") =!= "")
+      .select(col("host"), col("__g"),
+        col("__val").as("prefix"), (col("__dir") === "allow").as("allow"))
+    agents.join(rules, Seq("host", "__g"))
+      .select(col("host"), col("user_agent"), col("prefix"), col("allow"))
+      .distinct()
+  }
+
+  /** Group selection for one crawler identity (RFC 9309 group
+    * inheritance): a host that names `agent` explicitly contributes
+    * ONLY that agent's rules; otherwise its `*` group applies; a host
+    * naming neither contributes nothing (every URL there defaults to
+    * allow in [[robotsDecision]]). Output (host, prefix, allow) —
+    * exactly [[robotsDecision]]'s `rules` input.
+    */
+  def rulesForAgent(parsed: DataFrame, agent: String): DataFrame = {
+    val a = agent.toLowerCase
+    val hostsWithAgent = parsed.filter(col("user_agent") === a)
+      .select(col("host")).distinct()
+      .withColumn("__named", lit(true))
+    parsed
+      .join(broadcast(hostsWithAgent), Seq("host"), "left")
+      .filter((col("user_agent") === a)
+        || (col("__named").isNull && col("user_agent") === "*"))
+      .select(col("host"), col("prefix"), col("allow"))
+  }
+
   /** Longest-prefix fetch decision (the robots.txt match semantics):
     * for each URL, among the host's rules whose `prefix` is a prefix
     * of the URL path, the LONGEST prefix wins; on a length tie an

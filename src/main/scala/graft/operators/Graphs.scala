@@ -752,6 +752,73 @@ object Graphs {
       .select(col(idCol), col("community"))
   }
 
+  /** [[coarsenByCommunity]] for an already-WEIGHTED edge list: the
+    * coarse edge SUMS the member edges' weights instead of counting
+    * them — what level >= 3 of the recursion coarsens (its input is
+    * the previous level's weighted coarse graph). Same Q-lossless
+    * invariant, same two equi-joins + one hash aggregate.
+    */
+  def coarsenWeightedByCommunity(
+      assign: DataFrame, idCol: String, communityCol: String,
+      edges: DataFrame): DataFrame =
+    edges.select(col("id_a"), col("id_b"), col("weight"))
+      .join(assign.select(col(idCol).as("id_a"),
+        col(communityCol).as("__ca")), Seq("id_a"))
+      .join(assign.select(col(idCol).as("id_b"),
+        col(communityCol).as("__cb")), Seq("id_b"))
+      .select(least(col("__ca"), col("__cb")).as("id_a"),
+        greatest(col("__ca"), col("__cb")).as("id_b"), col("weight"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(col("weight")).cast("long").as("weight"))
+
+  /** Multi-level Louvain (the full Blondel et al. 2008 recursion,
+    * bounded at 4 levels): level 1 is the vertex ascent, every level
+    * after is coarsen + [[communityMergeRounds]] on the (weighted)
+    * community graph, LOOPING WHILE THE COARSE GRAPH KEEPS SHRINKING —
+    * deep community hierarchies (cliques of cliques of cliques) climb
+    * one tier per level, and because each level's merges are disjoint
+    * positive-gain mutual pairs on a Q-lossless coarsening,
+    * Q(n levels) >= Q(n−1 levels) ALWAYS (spec-pinned on a 3-tier
+    * fixture where two levels are provably stuck at tier 2).
+    *
+    * A level that merges nothing is a mutual-best fixpoint; its
+    * coarsened graph is IDENTICAL, so every later level would also
+    * merge nothing — the early stop skips provably-empty work (one
+    * community-cardinality count per level decides it; the data plane
+    * is untouched). Levels cost one coarsen + `rounds2` merge rounds
+    * each, all community-cardinality-sized after level 1.
+    * Output: (idCol, community) — labels are level-1 community ids.
+    */
+  def louvainLevels(
+      vertices: DataFrame, idCol: String, edges: DataFrame,
+      rounds1: Int, rounds2: Int, levels: Int): DataFrame = {
+    require(levels >= 2 && levels <= 4,
+      s"levels must be in [2,4], got $levels")
+    var assign = Materialize.cut(
+      louvainOneLevel(vertices, idCol, edges, rounds1))
+    var coarse = Materialize.cut(
+      coarsenByCommunity(assign, idCol, "community", edges))
+    var lvl = 2
+    var shrinking = true
+    while (lvl <= levels && shrinking) {
+      val superV = assign.select(col("community")).distinct()
+      val nBefore = superV.count()
+      val merged = Materialize.cut(
+        communityMergeRounds(superV, "community", coarse, rounds2))
+      val nAfter = merged.select(col("community")).distinct().count()
+      assign = Materialize.cut(
+        assign.select(col(idCol), col("community").as("sv"))
+          .join(merged, Seq("sv"))
+          .select(col(idCol), col("community")))
+      shrinking = nAfter < nBefore
+      if (lvl < levels && shrinking)
+        coarse = Materialize.cut(coarsenWeightedByCommunity(
+          merged, "sv", "community", coarse))
+      lvl += 1
+    }
+    assign
+  }
+
   /** Weighted Newman modularity of a vertex partition over a weighted
     * undirected edge list (`id_a`, `id_b`, `weight` — each edge once,
     * self-loops allowed): Q = (4m·Σw_c − Σd_c²)/4m² with m = total

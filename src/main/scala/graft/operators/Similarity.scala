@@ -739,6 +739,139 @@ object Similarity {
     (spark.read.parquet(path + "/centroids"),
       spark.read.parquet(path + "/codebooks"))
 
+  /** Exact-cosine cell assignment against an explicit (`cell`,
+    * `cvec`) centroid table — the public arity of the shared
+    * assignment/probing path ([[ivfSearchTopK]] top-1): broadcast
+    * centroids, in-row decimal dot, ties toward the smaller cell id.
+    * Output (idCol, cell).
+    */
+  def ivfAssign(
+      df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame =
+    topCellsByCosine(df, idCol, idCol, vecCol, centroids, 1)
+
+  /** Persist the corpus cell assignments of a built IVF index —
+    * the third artifact next to [[saveIndex]]'s centroids/codebooks;
+    * (idCol, cell), corpus-sized but two columns wide.
+    */
+  def saveAssignments(
+      assign: DataFrame, idCol: String, path: String): Unit =
+    assign.select(col(idCol), col("cell"))
+      .write.mode("overwrite").parquet(path + "/assign")
+
+  /** Load persisted assignments (see [[saveAssignments]]). */
+  def loadAssignments(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(path + "/assign")
+
+  /** Incremental IVF maintenance — fold a NEW vector batch into a
+    * persisted index without a rebuild (completes the continual-crawl
+    * story next to ContinualDedup / incrementalComponents /
+    * sequencePackAppend): load the persisted centroids, assign only
+    * the batch (broadcast centroids + in-row decimal dot — batch-
+    * sized work, corpus never re-read), append the assignments to the
+    * index, and return them. Because assignment is a pure function of
+    * (vector, centroids) and the centroids are frozen, the appended
+    * index is EXACTLY the from-scratch assignment of the grown corpus
+    * (oracle-pinned by harness q400). When [[ivfDriftTrigger]] flags
+    * a cell, re-centroid then — not on every batch.
+    */
+  def ivfAppendBatch(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      batch: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val (centroids, _) = loadIndex(spark, path)
+    val assign = ivfAssign(batch, idCol, vecCol, centroids)
+    assign.select(col(idCol), col("cell"))
+      .write.mode("append").parquet(path + "/assign")
+    assign
+  }
+
+  /** Re-centroid trigger for incremental maintenance: per cell, the
+    * L2 distance between the NEW batch's mean vector (assigned to
+    * that cell) and the persisted centroid — the per-cell arity of
+    * [[LinAlg.centroidDrift]]'s snapshot alarm. A drifting cell means
+    * new data lands far from its quantizer point (recall decays
+    * there); cells above `threshold` re-centroid, the rest keep
+    * serving. Means follow the 12 dp decimal discipline; drift_l2
+    * rounds at 12 dp. Output: (cell, n_new, drift_l2,
+    * needs_recentroid).
+    *
+    * Shape: one broadcast-centroid assignment of the batch, one
+    * (cell, dim) hash aggregate, one broadcast join against the
+    * nlist x dim centroid dims — batch-sized, never corpus-sized.
+    */
+  def ivfDriftTrigger(
+      batch: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, threshold: Double): DataFrame = {
+    val assigned = ivfAssign(batch, idCol, vecCol, centroids)
+      .join(batch.select(col(idCol), col(vecCol)), Seq(idCol))
+    val batchMeans = assigned
+      .select(col("cell"), posexplode(col(vecCol)))
+      .select(col("cell"), col("pos").as("__d"),
+        col("col").cast("double").as("__x"))
+      .groupBy(col("cell"), col("__d"))
+      .agg(round(sum(col("__x").cast(DecimalType(30, 18))).cast("double")
+        / count(lit(1)), 12).as("__m"),
+        count(lit(1)).as("__n"))
+    val centDims = broadcast(centroids
+      .select(col("cell"), posexplode(col("cvec")))
+      .select(col("cell"), col("pos").as("__d"),
+        col("col").cast("double").as("__c")))
+    batchMeans.join(centDims, Seq("cell", "__d"))
+      .groupBy(col("cell"))
+      .agg(max(col("__n")).as("n_new"),
+        round(sqrt(sum(((col("__m") - col("__c"))
+          * (col("__m") - col("__c"))).cast(DecimalType(38, 18)))
+          .cast("double")), 12).as("drift_l2"))
+      .withColumn("needs_recentroid", col("drift_l2") > threshold)
+  }
+
+  /** Re-centroid the cells [[ivfDriftTrigger]] flagged — the repair
+    * half of incremental IVF maintenance. Each flagged cell's new
+    * centroid is the per-dim decimal mean (rounded at 12 dp, the
+    * iterative-mean discipline) over ALL its member vectors as
+    * recorded in `assign` — the accumulated corpus plus every folded
+    * batch; unflagged cells keep their frozen `cvec` verbatim.
+    * Existing assignments are NOT revisited: re-centroiding moves the
+    * quantizer point for FUTURE batches (the append-only index
+    * contract), it does not re-bucket history.
+    *
+    * Output (cell, cvec array<double>) — the [[ivfSearchTopK]] /
+    * [[saveIndex]] centroid shape, so the result drops straight back
+    * into the persisted index.
+    *
+    * Shape: one broadcast semi-join of assignments on the (≤ nlist)
+    * flagged cells, one (cell, dim) hash aggregate over ONLY those
+    * cells' members, one collect-per-cell of nlist x dim rows — never
+    * a full-corpus re-cluster, never a shuffle wider than the flagged
+    * membership.
+    */
+  def ivfRecentroid(
+      vectors: DataFrame, idCol: String, vecCol: String,
+      assign: DataFrame, centroids: DataFrame,
+      flagged: DataFrame): DataFrame = {
+    val flagCells = flagged.select(col("cell"))
+    val members = assign.select(col(idCol), col("cell"))
+      .join(broadcast(flagCells), Seq("cell"), "leftsemi")
+      .join(vectors.select(col(idCol), col(vecCol)), Seq(idCol))
+    val means = members
+      .select(col("cell"), posexplode(col(vecCol)))
+      .select(col("cell"), col("pos").as("__d"),
+        col("col").cast("double").as("__x"))
+      .groupBy(col("cell"), col("__d"))
+      .agg(round(sum(col("__x").cast(DecimalType(30, 18))).cast("double")
+        / count(lit(1)), 12).as("__m"))
+      .groupBy(col("cell"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("__d"), col("__m")))),
+        s => s.getField("__m")).as("cvec"))
+    val frozen = centroids
+      .join(broadcast(flagCells), Seq("cell"), "leftanti")
+      .select(col("cell"),
+        transform(col("cvec"), x => x.cast("double")).as("cvec"))
+    frozen.unionByName(means)
+  }
+
   /** Top-N centroid cells per row by exact cosine against an explicit
     * (`cell`, `cvec`) table (N=1: corpus assignment; N=nprobe: query
     * routing) — ONE code path for both sides of every IVF variant, so

@@ -336,22 +336,24 @@ ${louvainRoundSql("c3", "c4", 1)}
     * 4m·w − 2·tot_a·tot_b, rank-1 proposals per community (gain desc,
     * pair-hash, partner), mutual pairs relabel larger -> smaller.
     */
-  private def louvainMergeRoundSql(prev: String, nxt: String): String =
-    s"""      tot_$nxt AS MATERIALIZED (SELECT p.c, CAST(sum(coalesce(degb.deg, 0)) AS BIGINT) AS tot
-             FROM $prev p LEFT JOIN degb ON degb.sv = p.sv GROUP BY 1),
+  private def louvainMergeRoundSql(
+      prev: String, nxt: String, ce: String = "ce",
+      degb: String = "degb", m2: String = "m2"): String =
+    s"""      tot_$nxt AS MATERIALIZED (SELECT p.c, CAST(sum(coalesce($degb.deg, 0)) AS BIGINT) AS tot
+             FROM $prev p LEFT JOIN $degb ON $degb.sv = p.sv GROUP BY 1),
       w_$nxt AS (SELECT least(a.c, b.c) AS pa, greatest(a.c, b.c) AS pb,
-                    CAST(sum(ce.w) AS BIGINT) AS w
-             FROM ce JOIN $prev a ON a.sv = ce.ea
-                     JOIN $prev b ON b.sv = ce.eb
+                    CAST(sum($ce.w) AS BIGINT) AS w
+             FROM $ce JOIN $prev a ON a.sv = $ce.ea
+                     JOIN $prev b ON b.sv = $ce.eb
              WHERE a.c <> b.c GROUP BY 1, 2),
       g_$nxt AS MATERIALIZED (SELECT pa, pb,
-                    4 * m2.m * w.w - 2 * ta.tot * tb.tot AS g,
+                    4 * $m2.m * w.w - 2 * ta.tot * tb.tot AS g,
                     CAST(('0x' || substr(md5(CAST(pa AS VARCHAR) || '_'
                       || CAST(pb AS VARCHAR)), 1, 15)) AS BIGINT) AS h
              FROM w_$nxt w
              JOIN tot_$nxt ta ON ta.c = w.pa
-             JOIN tot_$nxt tb ON tb.c = w.pb, m2
-             WHERE 4 * m2.m * w.w - 2 * ta.tot * tb.tot > 0),
+             JOIN tot_$nxt tb ON tb.c = w.pb, $m2
+             WHERE 4 * $m2.m * w.w - 2 * ta.tot * tb.tot > 0),
       b_$nxt AS MATERIALIZED (SELECT src, dst FROM (
                SELECT src, dst,
                       row_number() OVER (PARTITION BY src
@@ -690,6 +692,84 @@ ${louvainMergeRoundSql("d0", "d1")},
 ${louvainMergeRoundSql("d1", "d2")}
       SELECT v.id AS doc_id, d2.c AS community
       FROM c4 v JOIN d2 ON d2.sv = v.c ORDER BY doc_id
+    """.trim))
+
+  /** Three-level Louvain ([[Graphs.louvainLevels]], levels = 3 — the
+    * q372 recursion continued one tier: coarsen the LEVEL-2 community
+    * graph by the merged labels, summing weights, and run two more
+    * mutual-best merge rounds). The early-stop-on-no-shrink is
+    * semantics-free (a fixpoint coarsens to an identical graph and
+    * merges nothing again), so the oracle simply unrolls all three
+    * levels: q372's replay verbatim, then the weighted re-coarsening
+    * and both level-3 merge rounds on their own degree/mass tables.
+    */
+  val q404LouvainLevels = HarnessQuery(
+    "q404_louvain_levels",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val pairs = TextDedup.minhashNearDupPairs(
+        docs, "text", "doc_id", hashFn = TextFunctions.fastHash)
+      Graphs.louvainLevels(docs.select(col("doc_id")), "doc_id",
+          pairs, rounds1 = 4, rounds2 = 2, levels = 3)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH t AS MATERIALIZED (SELECT doc_id,
+                   list_distinct(list_transform(
+                     generate_series(1, len(regexp_split_to_array(trim(lower(text)), '\\s+')) - 2),
+                     i -> array_to_string((regexp_split_to_array(trim(lower(text)), '\\s+'))[i:i+2], ' ')))
+                     AS sh
+                 FROM documents),
+      pairs AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM t a, t b
+                WHERE a.doc_id < b.doc_id
+                  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+      und AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+      deg AS MATERIALIZED (SELECT u, CAST(count(*) AS BIGINT) AS k FROM und GROUP BY 1),
+      m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs),
+      c0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS c FROM documents),
+${louvainRoundSql("c0", "c1", 0)},
+${louvainRoundSql("c1", "c2", 1)},
+${louvainRoundSql("c2", "c3", 0)},
+${louvainRoundSql("c3", "c4", 1)},
+      ce AS MATERIALIZED (SELECT least(x.c, y.c) AS ea, greatest(x.c, y.c) AS eb,
+                    CAST(count(*) AS BIGINT) AS w
+             FROM pairs p
+             JOIN c4 x ON x.id = p.id_a
+             JOIN c4 y ON y.id = p.id_b
+             GROUP BY 1, 2),
+      degb AS MATERIALIZED (SELECT sv, CAST(sum(d) AS BIGINT) AS deg FROM (
+                 SELECT ea AS sv,
+                        CASE WHEN ea = eb THEN 2 * w ELSE w END AS d
+                 FROM ce
+                 UNION ALL SELECT eb, w FROM ce WHERE ea <> eb)
+               GROUP BY 1),
+      m2 AS (SELECT CAST(sum(w) AS BIGINT) AS m FROM ce),
+      d0 AS MATERIALIZED (SELECT DISTINCT c AS sv, c FROM c4),
+${louvainMergeRoundSql("d0", "d1")},
+${louvainMergeRoundSql("d1", "d2")},
+      ce2 AS MATERIALIZED (SELECT least(a.c, b.c) AS ea, greatest(a.c, b.c) AS eb,
+                    CAST(sum(ce.w) AS BIGINT) AS w
+             FROM ce JOIN d2 a ON a.sv = ce.ea
+                     JOIN d2 b ON b.sv = ce.eb
+             GROUP BY 1, 2),
+      degb2 AS MATERIALIZED (SELECT sv, CAST(sum(d) AS BIGINT) AS deg FROM (
+                 SELECT ea AS sv,
+                        CASE WHEN ea = eb THEN 2 * w ELSE w END AS d
+                 FROM ce2
+                 UNION ALL SELECT eb, w FROM ce2 WHERE ea <> eb)
+               GROUP BY 1),
+      m3 AS (SELECT CAST(sum(w) AS BIGINT) AS m FROM ce2),
+      e0 AS MATERIALIZED (SELECT DISTINCT c AS sv, c FROM d2),
+${louvainMergeRoundSql("e0", "e1", ce = "ce2", degb = "degb2", m2 = "m3")},
+${louvainMergeRoundSql("e1", "e2", ce = "ce2", degb = "degb2", m2 = "m3")}
+      SELECT v.id AS doc_id, e2.c AS community
+      FROM c4 v
+      JOIN d2 ON d2.sv = v.c
+      JOIN e2 ON e2.sv = d2.c
+      ORDER BY doc_id
     """.trim))
 
   /** DBSCAN core points over the seeded 2-D projection of the
@@ -1974,5 +2054,6 @@ ${louvainMergeRoundSql("d1", "d2")}
     q325PpsSample, q326AipwAte, q327Permutation, q328Cmh,
     q329Wilcoxon, q330Kappa, q331Lorenz, q332Hhi, q335Louvain,
     q372LouvainTwoLevel, q373WeightedLouvain, q376CoarseModularity,
+    q404LouvainLevels,
     q381ClusterNmi)
 }

@@ -48,4 +48,65 @@ class CrawlSpec extends SparkSpec {
       (1L, "a.com", 1L, 0L), (2L, "a.com", 2L, 500L),
       (3L, "a.com", 3L, 1000L), (9L, "b.com", 1L, 0L)))
   }
+
+  test("parseRobots: UA runs group, transparent records don't split, " +
+    "empty Disallow emits nothing, case/comments/CRLF handled, " +
+    "orphan rules dropped") {
+    val body =
+      "# header comment\r\n" +
+        "Disallow: /orphan/\r\n" + // before any UA: no group, dropped
+        "User-Agent: *\r\n" +
+        "Disallow: /private/   # trailing comment\r\n" +
+        "Allow: /private/public/\r\n" +
+        "\r\n" +
+        "User-agent: GraftBot\r\n" +
+        "user-agent: mirrorbot\r\n" + // stacked UA run: one group
+        "DISALLOW: /tmp/\r\n" +
+        "Disallow:\r\n" + // empty value: no restriction, no rule
+        "Allow: /tmp/ok\r\n" +
+        "Crawl-delay: 2\r\n" + // transparent: group continues
+        "Disallow: /deep/\r\n" +
+        "\r\n" +
+        "Sitemap: https://h.com/sitemap.xml\r\n" + // transparent
+        "User-agent: loner\r\n" +
+        "Disallow: /all/\r\n" +
+        "Disallow /no-colon\r\n" // malformed: ignored
+    val parsed = Crawl.parseRobots(
+      Seq(("h.com", body)).toDF("host", "txt"), "host", "txt")
+    val rows = parsed.collect()
+      .map(r => (r.getString(1), r.getString(2), r.getBoolean(3))).toSet
+    assert(rows === Set(
+      ("*", "/private/", false), ("*", "/private/public/", true),
+      ("graftbot", "/tmp/", false), ("graftbot", "/tmp/ok", true),
+      ("graftbot", "/deep/", false),
+      ("mirrorbot", "/tmp/", false), ("mirrorbot", "/tmp/ok", true),
+      ("mirrorbot", "/deep/", false),
+      ("loner", "/all/", false)))
+  }
+
+  test("rulesForAgent: a host naming the agent contributes ONLY its " +
+    "group; others fall back to *; decisions compose end to end") {
+    val body =
+      "User-agent: *\nDisallow: /private/\n\n" +
+        "User-agent: graftbot\nDisallow: /tmp/\nAllow: /tmp/ok\n"
+    val parsed = Crawl.parseRobots(
+      Seq(("h.com", body), ("i.com", "User-agent: *\nDisallow: /x/\n"))
+        .toDF("host", "txt"), "host", "txt")
+    val forBot = Crawl.rulesForAgent(parsed, "GraftBot")
+    val rows = forBot.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2))).toSet
+    assert(rows === Set(
+      ("h.com", "/tmp/", false), ("h.com", "/tmp/ok", true),
+      ("i.com", "/x/", false)))
+
+    val urls = Seq(
+      (1L, "https://h.com/tmp/ok"), // longest prefix: allow
+      (2L, "https://h.com/tmp/x"), // /tmp/ disallow
+      (3L, "https://h.com/private/z"), // * group NOT inherited: allow
+      (4L, "https://i.com/x/1") // fallback * group: disallow
+    ).toDF("id", "url")
+    val dec = Crawl.robotsDecision(urls, "id", "url", forBot)
+      .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("allow")).toMap
+    assert(dec === Map(1L -> true, 2L -> false, 3L -> true, 4L -> false))
+  }
 }

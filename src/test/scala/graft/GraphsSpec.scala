@@ -251,6 +251,91 @@ class GraphsSpec extends SparkSpec {
       < l1.select("community").distinct().count())
   }
 
+  test("louvainLevels: a 3-tier hierarchy climbs one tier per level, " +
+    "levels=2 equals louvainTwoLevel, Q non-decreasing, fixpoint " +
+    "stops early") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 20 "villages" in a ring; each village = 2 triangles joined by 2
+    // edges; adjacent villages joined by 1 edge. m = 180. Level 1
+    // finds triangles; at level 2 the village partner strictly
+    // dominates (gain 4m*2 - 2*9*9 = 1278 vs 558 across the ring), so
+    // villages form; at level 3 adjacent villages merge (gain
+    // 4m*1 - 2*18*18 = 72 > 0); at level 4 village-pairs cannot merge
+    // (4m*1 - 2*36*36 < 0) — a genuine three-tier hierarchy.
+    val V = 20
+    val edges = (0 until V).flatMap { v =>
+      val b = 6L * v
+      Seq((b + 1, b + 2), (b + 1, b + 3), (b + 2, b + 3),
+        (b + 4, b + 5), (b + 4, b + 6), (b + 5, b + 6),
+        (b + 1, b + 4), (b + 2, b + 5),
+        (b + 6, 6L * ((v + 1) % V) + 3))
+    }.map { case (x, y) => (math.min(x, y), math.max(x, y)) }
+      .toDF("id_a", "id_b")
+    val verts = (1L to 6L * V).toDF("id")
+
+    def comm(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def q(a: org.apache.spark.sql.DataFrame): Double =
+      Graphs.modularity(a, "id", "community", edges)
+        .head.getAs[Double]("q_modularity")
+    def nComm(m: Map[Long, Long]): Int = m.values.toSet.size
+
+    // rounds2 = 1 so each LEVEL climbs exactly one tier (merge rounds
+    // re-aggregate labels, so extra rounds inside one level can climb
+    // tiers too — the level split buys the same climb on a coarsened,
+    // community-sized graph instead)
+    val two = Graphs.louvainTwoLevel(verts, "id", edges,
+      rounds1 = 4, rounds2 = 1)
+    val lv2 = Graphs.louvainLevels(verts, "id", edges,
+      rounds1 = 4, rounds2 = 1, levels = 2)
+    assert(comm(lv2) === comm(two)) // levels=2 IS the two-level op
+
+    val lv3 = Graphs.louvainLevels(verts, "id", edges,
+      rounds1 = 4, rounds2 = 1, levels = 3)
+    assert(q(lv3) > q(lv2)) // the third tier is a real climb
+    assert(nComm(comm(lv3)) < nComm(comm(lv2)))
+    // refinement: level-2 communities land WHOLLY inside level-3 ones
+    val joined = lv2.withColumnRenamed("community", "c2")
+      .join(lv3.withColumnRenamed("community", "c3"), "id")
+    assert(joined.groupBy("c2")
+      .agg(countDistinct(col("c3")).as("k"))
+      .filter(col("k") > 1).count() === 0)
+    // the fourth level only rises (mutual merges are positive-gain)
+    val lv4 = Graphs.louvainLevels(verts, "id", edges,
+      rounds1 = 4, rounds2 = 1, levels = 4)
+    assert(q(lv4) >= q(lv3))
+
+    // fixpoint early stop: two triangles over one bridge — merging
+    // them LOSES modularity (4m*1 - 2*7*7 < 0 at m = 7), so level 2
+    // merges nothing and every deeper level is provably identical
+    val tiny = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("id_a", "id_b")
+    val tinyV = (1L to 6L).toDF("id")
+    val t2 = comm(Graphs.louvainLevels(tinyV, "id", tiny, 4, 1, 2))
+    val t4 = comm(Graphs.louvainLevels(tinyV, "id", tiny, 4, 1, 4))
+    assert(t4 === t2)
+    assert(t2.values.toSet.size === 2) // the two triangles survive
+
+    intercept[IllegalArgumentException] {
+      Graphs.louvainLevels(verts, "id", edges, 4, 2, levels = 5)
+    }
+  }
+
+  test("coarsenWeightedByCommunity: weights SUM through the mapping " +
+    "and intra edges fold to self-loops") {
+    import spark.implicits._
+    val weighted = Seq((1L, 2L, 5L), (1L, 3L, 2L), (2L, 3L, 1L),
+      (3L, 4L, 7L)).toDF("id_a", "id_b", "weight")
+    val assign = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L))
+      .toDF("sv", "community")
+    val got = Graphs.coarsenWeightedByCommunity(
+      assign, "sv", "community", weighted)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Long]("weight"))).toSet
+    assert(got === Set((1L, 1L, 5L), (1L, 3L, 3L), (3L, 3L, 7L)))
+  }
+
   test("modularityWeighted: unit weights reproduce modularity, and " +
     "coarsening is Q-lossless for the same partition") {
     import spark.implicits._

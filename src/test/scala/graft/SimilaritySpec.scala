@@ -597,6 +597,79 @@ class SimilaritySpec extends SparkSpec {
     assert(rows(minus4) === rows(bruteMinus4))
   }
 
+  test("ivfAppendBatch: folding a batch onto a persisted index equals " +
+    "the from-scratch assignment; ivfDriftTrigger flags only drifted " +
+    "cells") {
+    val centroids = Seq(
+      (0, Array(1.0f, 0.0f)), (1, Array(0.0f, 1.0f)))
+      .toDF("cell", "cvec")
+    val codebooks = Seq((0, 0, Array(0.0f))).toDF("sub", "code", "cvec")
+    val initial = Seq(
+      (1L, Array(0.9f, 0.1f)), (2L, Array(0.1f, 0.8f)),
+      (3L, Array(0.7f, 0.2f))).toDF("id", "vec")
+    val batch = Seq(
+      (10L, Array(0.95f, 0.05f)), (11L, Array(0.2f, 0.9f)))
+      .toDF("id", "vec")
+    val path = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_spec_ivf_incr").getAbsolutePath
+    Similarity.saveIndex(centroids, codebooks, path)
+    val (loaded, _) = Similarity.loadIndex(spark, path)
+    Similarity.saveAssignments(
+      Similarity.ivfAssign(initial, "id", "vec", loaded), "id", path)
+    Similarity.ivfAppendBatch(spark, path, batch, "id", "vec")
+
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val grown = pairs(Similarity.loadAssignments(spark, path))
+    val scratch = pairs(Similarity.ivfAssign(
+      initial.unionByName(batch), "id", "vec", centroids))
+    assert(grown === scratch)
+    assert(grown.keySet === Set(1L, 2L, 3L, 10L, 11L))
+
+    // drift: a batch sitting on a centroid does not trigger; a batch
+    // landing far from its centroid does
+    val near = Seq((20L, Array(1.0f, 0.0f)), (21L, Array(0.9f, 0.1f)))
+      .toDF("id", "vec")
+    val dNear = Similarity.ivfDriftTrigger(near, "id", "vec",
+      centroids, threshold = 0.5).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(dNear(0).getAs[Long]("n_new") === 2L)
+    assert(dNear(0).getAs[Double]("drift_l2") < 0.2)
+    assert(!dNear(0).getAs[Boolean]("needs_recentroid"))
+
+    val far = Seq((30L, Array(0.7f, 0.72f))).toDF("id", "vec")
+    val dFar = Similarity.ivfDriftTrigger(far, "id", "vec",
+      centroids, threshold = 0.5).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    // assigned to cell 1 (cosine 0.72-side wins), mean (0.7, 0.72):
+    // L2 to (0, 1) = sqrt(0.49 + 0.0784) > 0.5 -> re-centroid
+    assert(dFar.keySet === Set(1))
+    assert(dFar(1).getAs[Boolean]("needs_recentroid"))
+  }
+
+  test("ivfRecentroid: flagged cells move to their member mean, " +
+    "unflagged keep the frozen coordinates verbatim") {
+    val centroids = Seq(
+      (0, Array(1.0f, 0.0f)), (1, Array(0.0f, 1.0f)))
+      .toDF("cell", "cvec")
+    val vecs = Seq(
+      (1L, Array(0.9f, 0.1f)), (2L, Array(0.7f, 0.3f)),
+      (3L, Array(0.1f, 0.8f))).toDF("id", "vec")
+    val assign = Similarity.ivfAssign(vecs, "id", "vec", centroids)
+    val flagged = Seq(Tuple1(0)).toDF("cell")
+    val got = Similarity.ivfRecentroid(vecs, "id", "vec",
+      assign, centroids, flagged)
+      .collect().map(r => r.getAs[Int]("cell") ->
+        r.getAs[Seq[Double]]("cvec")).toMap
+    // cell 0 re-centroids from members {1, 2}: exact 12 dp means
+    assert(got(0).head === ((0.9f.toDouble + 0.7f.toDouble) / 2 * 1e12)
+      .round / 1e12)
+    assert(got(0)(1) === ((0.1f.toDouble + 0.3f.toDouble) / 2 * 1e12)
+      .round / 1e12)
+    // cell 1 frozen: the float coordinates cast to double, unchanged
+    assert(got(1) === Seq(0.0f.toDouble, 1.0f.toDouble))
+  }
+
   test("lshCandidatePairs: band collisions only, no self-exclusion, " +
     "subset of the cross product") {
     val l = Seq((1L, Array.fill(64)(1.0f)), (2L, Array.fill(64)(-1.0f)))

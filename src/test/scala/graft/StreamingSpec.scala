@@ -520,4 +520,84 @@ class StreamingSpec extends SparkSpec {
     // doc 2 starts at 100, not 200 — the re-delivery did not double-pack
     assert(got.filter(_._1 == 1L).map(v => (v._2, v._3)) === Seq((2L, 100L)))
   }
+
+  test("continual ANN: stream equals replay, and a re-centroided cell " +
+    "re-routes a later batch that the frozen index would misplace") {
+    import graft.operators.Similarity
+    import graft.streaming.ContinualAnn
+    implicit val sqlCtx = spark.sqlContext
+    val centroids0 = Seq((0, Seq(1.0, 0.0, 0.0, 0.0)),
+      (1, Seq(0.0, 1.0, 0.0, 0.0))).toDF("cell", "cvec")
+    val corpus = Seq((100L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (101L, Seq(0.0, 1.0, 0.0, 0.0))).toDF("id", "vec")
+    val corpusAssign = Similarity.ivfAssign(corpus, "id", "vec", centroids0)
+    // batch 1: id 1 lands in cell 1 (cos 0.8 vs 0.6) and drags its
+    // centroid to the member mean (0.3, 0.9, 0, 0) — drift
+    // sqrt(0.36 + 0.04) ≈ 0.632 > 0.5
+    val batch1 = Seq((1L, Seq(0.6, 0.8, 0.0, 0.0)))
+    // batch 2: id 2 sits BETWEEN the cells — the frozen index reads
+    // (0.75 vs 0.62) = cell 0, the repaired one (0.75 vs ~0.825) = cell 1
+    val batch2 = Seq((2L, Seq(0.75, 0.62, 0.0, 0.0)))
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+      df.collect().map(r => (r.getAs[Long]("id"),
+        r.getAs[Long]("batch_id"), r.getAs[Int]("cell"))).toSet
+
+    val streamed = scala.collection.mutable.Set.empty[(Long, Long, Int)]
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val q = ContinualAnn.start(mem.toDF().toDF("id", "vec"), corpus,
+      corpusAssign, centroids0, "id", "vec", threshold = 0.5) {
+      a => streamed ++= rows(a)
+    }
+    Seq(batch1, batch2).foreach { b =>
+      mem.addData(b: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    val batchDfs = Seq(batch1.toDF("id", "vec"), batch2.toDF("id", "vec"))
+    val replayed = rows(ContinualAnn.replayBatches(corpus, corpusAssign,
+      centroids0, batchDfs, "id", "vec", threshold = 0.5))
+    assert(streamed.toSet === replayed)
+    assert(replayed === Set((1L, 0L, 1), (2L, 1L, 1)))
+    // the contrast: the frozen index would have misplaced id 2
+    val frozen = Similarity.ivfAssign(batch2.toDF("id", "vec"),
+      "id", "vec", centroids0).collect()
+    assert(frozen.map(r => (r.getAs[Long]("id"), r.getAs[Int]("cell")))
+      .toSeq === Seq((2L, 0)))
+    // final centroids: cell 0 untouched byte-for-byte; cell 1 is the
+    // 12 dp-rounded mean of its three members (101, 1, 2)
+    val cent = ContinualAnn.replayCentroids(corpus, corpusAssign,
+      centroids0, batchDfs, "id", "vec", threshold = 0.5)
+      .collect().map(r => r.getAs[Int]("cell") ->
+        r.getAs[Seq[Double]]("cvec")).toMap
+    assert(cent(0) === Seq(1.0, 0.0, 0.0, 0.0))
+    val want = Seq((0.0 + 0.6 + 0.75) / 3, (1.0 + 0.8 + 0.62) / 3, 0.0, 0.0)
+    cent(1).zip(want).foreach { case (g, w) =>
+      assert(math.abs(g - w) < 1e-11, s"cell 1 got ${cent(1)}")
+    }
+  }
+
+  test("continual ANN: a re-delivered batch id is skipped, not folded " +
+    "twice (at-least-once foreachBatch)") {
+    import graft.operators.Similarity
+    import graft.streaming.ContinualAnn
+    val centroids0 = Seq((0, Seq(1.0, 0.0, 0.0, 0.0)),
+      (1, Seq(0.0, 1.0, 0.0, 0.0))).toDF("cell", "cvec")
+    val corpus = Seq((101L, Seq(0.0, 1.0, 0.0, 0.0))).toDF("id", "vec")
+    val corpusAssign = Similarity.ivfAssign(corpus, "id", "vec", centroids0)
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+    val step = ContinualAnn.batchStep(corpus, corpusAssign, centroids0,
+      "id", "vec", threshold = 0.5) { a =>
+      got ++= a.collect().map(r => (r.getAs[Long]("batch_id"),
+        r.getAs[Long]("id"), r.getAs[Int]("cell")))
+    }
+    val b0 = Seq((1L, Seq(0.6, 0.8, 0.0, 0.0))).toDF("id", "vec")
+    step(b0, 0L)
+    step(b0, 0L) // transient-failure re-delivery: id 1 must not
+                 // re-enter the membership or re-weight the mean
+    step(Seq((2L, Seq(0.75, 0.62, 0.0, 0.0))).toDF("id", "vec"), 1L)
+    assert(got.count(_._1 == 0L) === 1)
+    // batch 1 routed by the singly-repaired centroid (0.3, 0.9, 0, 0)
+    assert(got.filter(_._1 == 1L).map(v => (v._2, v._3)) === Seq((2L, 1)))
+  }
 }
