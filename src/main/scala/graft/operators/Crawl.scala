@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -147,5 +147,64 @@ object Crawl {
       .withColumn("host_rank", row_number().over(w).cast("long"))
       .withColumn("fetch_offset_ms",
         (col("host_rank") - 1L) * lit(delayMs))
+  }
+
+  /** `Sitemap:` directives from raw robots.txt bodies — the discovery
+    * entry [[parseRobots]] deliberately treats as transparent (it is
+    * not a group rule; RFC 9309 §2.3 makes it group-independent).
+    * Directive name matches case-insensitively; the URL value keeps
+    * its case (URLs are case-sensitive); comments/CRLF handled as in
+    * [[parseRobots]]. Output: distinct (host, sitemap_url).
+    */
+  def sitemapDirectives(
+      df: DataFrame, hostCol: String, textCol: String): DataFrame =
+    df.select(col(hostCol).as("host"),
+        explode(split(regexp_replace(col(textCol), "\r", ""), "\n"))
+          .as("__raw"))
+      .select(col("host"), regexp_replace(
+        regexp_replace(col("__raw"), "#.*", ""), "^\\s+|\\s+$", "")
+        .as("__line"))
+      .filter(lower(regexp_extract(col("__line"), "^([A-Za-z-]+)\\s*:", 1))
+        === "sitemap")
+      .select(col("host"), regexp_replace(
+        regexp_extract(col("__line"), "^[A-Za-z-]+\\s*:\\s*(.*)$", 1),
+        "\\s+$", "").as("sitemap_url"))
+      .filter(col("sitemap_url") =!= "")
+      .distinct()
+
+  /** Inventory of a sitemap XML body (sitemaps.org protocol): one row
+    * per `<url>` entry of a urlset and per `<sitemap>` entry of a
+    * sitemapindex — `loc` (entity-decoded for the five predefined XML
+    * entities, whitespace-trimmed), optional `lastmod` (null when
+    * absent), and `is_index` marking child-sitemap pointers that go
+    * back onto the fetch frontier rather than into the corpus. Pure
+    * Column regex/array work: one lazy-dotall block extraction, one
+    * explode — no XML library, total over arbitrary text (a body with
+    * no entries yields no rows).
+    */
+  def parseSitemap(
+      df: DataFrame, hostCol: String, xmlCol: String): DataFrame = {
+    def decode(c: Column): Column =
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(c,
+          "&lt;", "<"), "&gt;", ">"), "&quot;", "\""), "&#39;", "'"),
+        "&amp;", "&")
+    def entries(tag: String, isIndex: Boolean) =
+      df.select(col(hostCol).as("host"),
+          explode(regexp_extract_all(col(xmlCol),
+            lit(s"(?s)<$tag>(.*?)</$tag>"), lit(1))).as("__e"))
+        .select(col("host"),
+          decode(regexp_replace(
+            regexp_extract(col("__e"), "(?s)<loc>(.*?)</loc>", 1),
+            "^\\s+|\\s+$", "")).as("loc"),
+          when(col("__e").rlike("(?s)<lastmod>"),
+            regexp_replace(
+              regexp_extract(col("__e"), "(?s)<lastmod>(.*?)</lastmod>", 1),
+              "^\\s+|\\s+$", ""))
+            .as("lastmod"),
+          lit(isIndex).as("is_index"))
+        .filter(col("loc") =!= "")
+    entries("url", isIndex = false)
+      .unionByName(entries("sitemap", isIndex = true))
   }
 }

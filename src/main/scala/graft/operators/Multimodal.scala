@@ -862,4 +862,135 @@ object Multimodal {
       lit(64).as("declared_height"))
       .as[MediaRow]
   }
+
+  final case class WarcRecMeta(
+      rec_idx: Int,
+      warc_type: String,
+      target_uri: String,
+      content_length: Long,
+      n_headers: Int)
+
+  final case class WarcRecRow(
+      media_id: Long,
+      rec_idx: Int,
+      warc_type: String,
+      target_uri: String,
+      content_length: Long,
+      n_headers: Int,
+      n_bytes: Long)
+
+  /** Byte-walk the WARC record grammar (ISO 28500 / WARC/1.x — the
+    * format web crawls actually arrive in): each record is a
+    * `WARC/1.x` version line, CRLF-separated `Name: value` header
+    * lines, an empty line, `Content-Length` payload bytes, and a
+    * CRLF CRLF record separator. Returns one row per well-formed
+    * record — WARC-Type, WARC-Target-URI ("" when absent, e.g.
+    * warcinfo), Content-Length, header count — walking records in
+    * order and STOPPING at the first malformed one (no version line,
+    * unterminated headers, missing/negative Content-Length, or a
+    * payload running past the buffer), so truncated and garbage
+    * payloads degrade to a record prefix, never a crash. Headers are
+    * matched case-insensitively (the spec makes field names
+    * case-insensitive); bodies are skipped, never inspected —
+    * metadata-only ingest, same discipline as the MP4/PNG/JPEG
+    * walkers.
+    */
+  def parseWarc(bytes: Array[Byte]): Seq[WarcRecMeta] = {
+    if (bytes == null) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[WarcRecMeta]
+    var p = 0
+    var stop = false
+    // read one CRLF-terminated ASCII line at `from`; (-1, null) when
+    // no CRLF arrives within the buffer
+    def line(from: Int): (Int, String) = {
+      var i = from
+      while (i + 1 < bytes.length
+          && !(bytes(i) == '\r' && bytes(i + 1) == '\n'))
+        i += 1
+      if (i + 1 >= bytes.length) (-1, null)
+      else (i + 2, new String(bytes, from, i - from, "ISO-8859-1"))
+    }
+    while (!stop && p < bytes.length) {
+      val (afterVersion, version) = line(p)
+      if (afterVersion < 0 || version == null
+          || !version.startsWith("WARC/")) { stop = true }
+      else {
+        var q = afterVersion
+        var warcType = ""
+        var uri = ""
+        var clen = -1L
+        var nHeaders = 0
+        var headersDone = false
+        var bad = false
+        while (!headersDone && !bad) {
+          val (next, l) = line(q)
+          if (next < 0) bad = true
+          else if (l.isEmpty) { headersDone = true; q = next }
+          else {
+            val ci = l.indexOf(':')
+            if (ci > 0) {
+              nHeaders += 1
+              val name = l.substring(0, ci).trim.toLowerCase
+              val value = l.substring(ci + 1).trim
+              name match {
+                case "warc-type" => warcType = value
+                case "warc-target-uri" => uri = value
+                case "content-length" =>
+                  clen = try value.toLong catch { case _: Exception => -1L }
+                case _ => ()
+              }
+            }
+            q = next
+          }
+        }
+        if (bad || clen < 0 || q + clen + 4 > bytes.length) stop = true
+        else {
+          out += WarcRecMeta(out.length, warcType, uri, clen, nHeaders)
+          p = (q + clen + 4).toInt // payload + CRLF CRLF separator
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** WARC record inventory over a media Dataset — one row per parsed
+    * record; a payload yielding NO records (garbage, empty, truncated
+    * before the first record completes) emits a single sentinel row
+    * (rec_idx −1) so every input stays visible downstream, matching
+    * the container-walker convention.
+    */
+  def warcRecords(ds: Dataset[MediaRow]): Dataset[WarcRecRow] = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { r =>
+      val n = if (r.media == null) 0L else r.media.length.toLong
+      val recs = parseWarc(r.media)
+      if (recs.isEmpty)
+        Seq(WarcRecRow(r.media_id, -1, "", "", -1L, 0, n))
+      else recs.map(m => WarcRecRow(r.media_id, m.rec_idx, m.warc_type,
+        m.target_uri, m.content_length, m.n_headers, n))
+    }
+  }
+
+  /** Deterministic WARC fixture: one `WARC/1.0` record per
+    * (warcType, targetUri, bodyLen) triple — a Target-URI header only
+    * when `targetUri` is non-empty, a deterministic `x` filler body,
+    * standard CRLF framing. bodyLen must be >= 0.
+    */
+  def warcBytes(records: Seq[(String, String, Int)]): Array[Byte] = {
+    require(records.forall(_._3 >= 0), "body lengths must be >= 0")
+    val sb = new StringBuilder
+    records.foreach { case (t, u, n) =>
+      sb.append("WARC/1.0\r\n")
+      sb.append("WARC-Type: ").append(t).append("\r\n")
+      if (u.nonEmpty)
+        sb.append("WARC-Target-URI: ").append(u).append("\r\n")
+      sb.append("WARC-Record-ID: <urn:graft:").append(t).append(":")
+        .append(n).append(">\r\n")
+      sb.append("Content-Length: ").append(n).append("\r\n")
+      sb.append("\r\n")
+      sb.append("x" * n)
+      sb.append("\r\n\r\n")
+    }
+    sb.toString.getBytes("ISO-8859-1")
+  }
 }

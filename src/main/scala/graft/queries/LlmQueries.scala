@@ -1017,6 +1017,102 @@ object LlmQueries {
       SELECT * FROM g UNION ALL SELECT * FROM j ORDER BY media_id
     """.trim))
 
+  /** WARC record inventory ([[Multimodal.parseWarc]] /
+    * [[Multimodal.warcRecords]]): the format web crawls actually
+    * arrive in, walked record by record — version line, CRLF header
+    * block, Content-Length body skip, record separator — over
+    * deterministic three-record fixtures per nation (warcinfo with no
+    * Target-URI, a response, a zero-length request) plus a garbage
+    * payload that must yield the sentinel row. Completes the
+    * ingest-side container matrix (PNG q387, JPEG q392, WAV/MP4
+    * q336/q375) with the archive wrapper that precedes them all in a
+    * real crawl pipeline. The oracle rebuilds the exact byte stream
+    * in SQL (all-ASCII, so length() is the byte count) and recomputes
+    * every field from the generator parameters.
+    */
+  val q408WarcMeta = HarnessQuery(
+    "q408_warc_meta",
+    (spark, dir) => {
+      import spark.implicits._
+      val warcs = Tables.nation(spark, dir)
+        .select(col("n_nationkey").cast("long").as("id")).as[Long]
+        .map { k =>
+          val host = s"n$k.example"
+          Multimodal.MediaRow(9000L + k,
+            Multimodal.warcBytes(Seq(
+              ("warcinfo", "", (10 + k).toInt),
+              ("response", s"https://$host/page/$k", (20 + 2 * k).toInt),
+              ("request", s"https://$host/page/$k", 0))),
+            "application/warc", -1, -1)
+        }
+      val junk = Tables.region(spark, dir)
+        .filter(col("r_regionkey") === 0)
+        .select(col("r_regionkey").cast("long").as("id")).as[Long]
+        .map(_ => Multimodal.MediaRow(9999L,
+          "not a warc at all".getBytes("ISO-8859-1"),
+          "text/plain", -1, -1))
+      Multimodal.warcRecords(warcs.union(junk)).toDF()
+        .orderBy(col("media_id"), col("rec_idx"))
+    },
+    Some("""
+      WITH c AS (SELECT chr(13) || chr(10) AS crlf),
+      n AS (
+        SELECT CAST(9000 + n_nationkey AS BIGINT) AS media_id,
+               n_nationkey AS k,
+               'n' || n_nationkey || '.example' AS host
+        FROM nation),
+      w AS (
+        SELECT media_id, k, host,
+               'https://' || host || '/page/' || k AS uri,
+               length(
+                 'WARC/1.0' || crlf
+                 || 'WARC-Type: warcinfo' || crlf
+                 || 'WARC-Record-ID: <urn:graft:warcinfo:' || (10 + k)
+                 || '>' || crlf
+                 || 'Content-Length: ' || (10 + k) || crlf || crlf
+                 || repeat('x', 10 + k) || crlf || crlf
+                 || 'WARC/1.0' || crlf
+                 || 'WARC-Type: response' || crlf
+                 || 'WARC-Target-URI: https://' || host || '/page/' || k
+                 || crlf
+                 || 'WARC-Record-ID: <urn:graft:response:' || (20 + 2 * k)
+                 || '>' || crlf
+                 || 'Content-Length: ' || (20 + 2 * k) || crlf || crlf
+                 || repeat('x', 20 + 2 * k) || crlf || crlf
+                 || 'WARC/1.0' || crlf
+                 || 'WARC-Type: request' || crlf
+                 || 'WARC-Target-URI: https://' || host || '/page/' || k
+                 || crlf
+                 || 'WARC-Record-ID: <urn:graft:request:0>' || crlf
+                 || 'Content-Length: 0' || crlf || crlf
+                 || crlf || crlf) AS n_bytes
+        FROM n, c),
+      g AS (
+        SELECT media_id, CAST(0 AS INT) AS rec_idx,
+               'warcinfo' AS warc_type, '' AS target_uri,
+               CAST(10 + k AS BIGINT) AS content_length,
+               CAST(3 AS INT) AS n_headers,
+               CAST(n_bytes AS BIGINT) AS n_bytes
+        FROM w
+        UNION ALL
+        SELECT media_id, CAST(1 AS INT), 'response', uri,
+               CAST(20 + 2 * k AS BIGINT), CAST(4 AS INT),
+               CAST(n_bytes AS BIGINT)
+        FROM w
+        UNION ALL
+        SELECT media_id, CAST(2 AS INT), 'request', uri,
+               CAST(0 AS BIGINT), CAST(4 AS INT), CAST(n_bytes AS BIGINT)
+        FROM w),
+      j AS (
+        SELECT CAST(9999 AS BIGINT) AS media_id, CAST(-1 AS INT) AS rec_idx,
+               '' AS warc_type, '' AS target_uri,
+               CAST(-1 AS BIGINT) AS content_length,
+               CAST(0 AS INT) AS n_headers, CAST(17 AS BIGINT) AS n_bytes
+        FROM region WHERE r_regionkey = 0)
+      SELECT * FROM (SELECT * FROM g UNION ALL SELECT * FROM j)
+      ORDER BY media_id, rec_idx
+    """.trim))
+
   /** Unigram hard-EM TRAINING loop ([[TextAnalysis.unigramEmTrain]],
     * 2 rounds, vocab pruned to 24, words <= 12 chars): seed substring
     * vocabulary → segment → re-count along Viterbi paths → prune →
@@ -5585,6 +5681,81 @@ object LlmQueries {
       ORDER BY host, user_agent, prefix, allow
     """.trim))
 
+  /** Sitemap inventory ([[Crawl.parseSitemap]] +
+    * [[Crawl.sitemapDirectives]] wired by the spec): deterministic
+    * sitemap XML synthesized per nation — every 4th host serves a
+    * sitemapindex (child-sitemap pointers back onto the frontier),
+    * the rest serve urlsets with 1–3 entries, entity-encoded query
+    * strings (&amp;), whitespace-padded loc text, and lastmod present
+    * only on even entries — inventoried into (host, loc entity-decoded
+    * + trimmed, lastmod nullable, is_index), plus one non-XML body
+    * that must contribute zero rows. The oracle recomputes every
+    * expected row from the generator parameters (the q387 pattern),
+    * so extraction, decoding, trimming, and the null rule are all
+    * pinned.
+    */
+  val q407SitemapInventory = HarnessQuery(
+    "q407_sitemap_inventory",
+    (spark, dir) => {
+      val n = Tables.nation(spark, dir)
+        .select(col("n_nationkey").cast("int").as("k"),
+          concat(lit("n"), col("n_nationkey").cast("string"),
+            lit(".example")).as("host"))
+      val urlset = concat(
+        lit("<?xml version=\"1.0\"?><urlset>"),
+        concat_ws("", transform(sequence(lit(0), pmod(col("k"), lit(3))),
+          j => concat(
+            lit("<url><loc>\n  https://"), col("host"), lit("/p/"),
+            j.cast("string"), lit("?a=1&amp;b=2  \n</loc>"),
+            when(j % 2 === 0, concat(lit("<lastmod> 2024-02-1"),
+              j.cast("string"), lit(" </lastmod>"))).otherwise(lit("")),
+            lit("</url>")))),
+        lit("</urlset>"))
+      val index = concat(
+        lit("<?xml version=\"1.0\"?><sitemapindex><sitemap><loc>https://"),
+        col("host"),
+        lit("/sitemap-a.xml</loc><lastmod>2024-03-01</lastmod></sitemap>"),
+        lit("<sitemap>\n<loc> https://"), col("host"),
+        lit("/sitemap-b.xml </loc></sitemap></sitemapindex>"))
+      val withXml = n.select(col("host"),
+        when(pmod(col("k"), lit(4)) === 0, index).otherwise(urlset)
+          .as("__xml"))
+      val junk = Tables.region(spark, dir)
+        .filter(col("r_regionkey") === 0)
+        .select(lit("junk.example").as("host"),
+          lit("<html>no sitemap here</html>").as("__xml"))
+      graft.operators.Crawl.parseSitemap(
+        withXml.unionByName(junk), "host", "__xml")
+        .orderBy(col("host"), col("loc"))
+    },
+    Some("""
+      WITH n AS (
+        SELECT n_nationkey AS k,
+               'n' || n_nationkey || '.example' AS host
+        FROM nation),
+      idx AS (
+        SELECT host, 'https://' || host || '/sitemap-a.xml' AS loc,
+               '2024-03-01' AS lastmod, true AS is_index
+        FROM n WHERE k % 4 = 0
+        UNION ALL
+        SELECT host, 'https://' || host || '/sitemap-b.xml',
+               NULL, true
+        FROM n WHERE k % 4 = 0),
+      ue AS (
+        SELECT host, unnest(generate_series(0, k % 3)) AS j
+        FROM n WHERE k % 4 <> 0),
+      urls AS (
+        SELECT host,
+               'https://' || host || '/p/' || j || '?a=1&b=2' AS loc,
+               CASE WHEN j % 2 = 0 THEN '2024-02-1' || j
+                    ELSE NULL END AS lastmod,
+               false AS is_index
+        FROM ue)
+      SELECT * FROM (
+        SELECT * FROM idx UNION ALL SELECT * FROM urls)
+      ORDER BY host, loc
+    """.trim))
+
   /** Robots-style longest-prefix fetch decisions
     * ([[Crawl.robotsDecision]]) over the q370 URL corpus: per-host
     * rule tables built from the data's own sources exercise every
@@ -5713,6 +5884,144 @@ object LlmQueries {
       FROM sched ORDER BY host, host_rank
     """.trim))
 
+  /** End-to-end crawl frontier ([[Crawl.parseRobots]] →
+    * [[Crawl.rulesForAgent]] → [[Crawl.robotsDecision]] →
+    * [[Crawl.frontierSchedule]] composed — the full raw-policy-to-
+    * fetch-plan path a crawler runs, where q403/q377/q378 each pinned
+    * one stage): even-numbered sources publish a graftbot group
+    * (Disallow /path/ with a longer Allow /path/1 carve-out) so the
+    * named group SHADOWS their `*` group; odd sources publish only
+    * `*` (Disallow /x/), exercising group inheritance both ways; www/
+    * co.uk/localhost URLs hit no rule table and default to allow.
+    * Survivors schedule per host at 500 ms. The oracle replays the
+    * whole chain: the q403 parse CTEs, the named-vs-`*` group
+    * selection, the longest-prefix rank, and the per-host schedule.
+    */
+  val q409CrawlPipeline = HarnessQuery(
+    "q409_crawl_pipeline",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val srcs = docs.select(col("source")).distinct()
+      val even = regexp_extract(col("source"), "([0-9]+)$", 1)
+        .cast("int") % 2 === 0
+      val body = concat(
+        lit("# crawl policy\n"),
+        lit("User-agent: *\nDisallow: /x/\nDisallow: /private/\n\n"),
+        when(even, concat(
+          lit("User-agent: graftbot\nDisallow: /path/\nAllow: /path/1\n"),
+          lit("Sitemap: https://"), col("source"),
+          lit(".example.com/s.xml\n\n"))).otherwise(lit("")),
+        lit("User-agent: loner\nDisallow: /\n"))
+      val parsed = Crawl.parseRobots(
+        srcs.select(
+          concat(col("source"), lit(".example.com")).as("host"),
+          body.as("txt")),
+        "host", "txt")
+      val rules = Crawl.rulesForAgent(parsed, "graftbot")
+      val allowed = Crawl.robotsDecision(
+          docs.withColumn("__url", crawlUrl), "doc_id", "__url", rules)
+        .filter(col("allow"))
+      val sched = Crawl.frontierSchedule(allowed, "doc_id", "host", 500L)
+      allowed
+        .join(sched.select(col("doc_id"), col("host_rank"),
+          col("fetch_offset_ms")), Seq("doc_id"))
+        .select(col("doc_id"), col("host"), col("path"),
+          col("matched_prefix"), col("host_rank"), col("fetch_offset_ms"))
+        .orderBy(col("host"), col("host_rank"))
+    },
+    Some(s"""
+      WITH u AS ($crawlUrlSql),
+      parts AS (
+        SELECT doc_id,
+               lower(regexp_extract(
+                 regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+                 '(?:[^@]*@)?([^:]*)', 1)) AS host,
+               CASE WHEN regexp_extract(url,
+                 '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) = ''
+                 THEN '/' ELSE regexp_extract(url,
+                 '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) END AS path
+        FROM u),
+      srcs AS (SELECT DISTINCT source FROM documents),
+      b AS (
+        SELECT source || '.example.com' AS host,
+               '# crawl policy' || chr(10)
+               || 'User-agent: *' || chr(10)
+               || 'Disallow: /x/' || chr(10)
+               || 'Disallow: /private/' || chr(10) || chr(10)
+               || CASE WHEN CAST(regexp_extract(source, '([0-9]+)$$', 1)
+                             AS INT) % 2 = 0
+                  THEN 'User-agent: graftbot' || chr(10)
+                       || 'Disallow: /path/' || chr(10)
+                       || 'Allow: /path/1' || chr(10)
+                       || 'Sitemap: https://' || source
+                       || '.example.com/s.xml' || chr(10) || chr(10)
+                  ELSE '' END
+               || 'User-agent: loner' || chr(10)
+               || 'Disallow: /' || chr(10) AS txt
+        FROM srcs),
+      l0 AS (SELECT host, string_split(replace(txt, chr(13), ''),
+               chr(10)) AS ls
+             FROM b),
+      l1 AS (SELECT host, unnest(generate_series(1, len(ls))) AS pos, ls
+             FROM l0),
+      l2 AS (SELECT host, pos,
+               regexp_replace(regexp_replace(ls[pos], '#.*', ''),
+                 '^\\s+|\\s+$$', '', 'g') AS line
+             FROM l1),
+      c AS (SELECT host, pos,
+              lower(regexp_extract(line, '^([A-Za-z-]+)\\s*:', 1)) AS dir,
+              regexp_replace(regexp_extract(line,
+                '^[A-Za-z-]+\\s*:\\s*(.*)$$', 1), '\\s+$$', '') AS val
+            FROM l2),
+      f AS (SELECT * FROM c
+            WHERE dir IN ('user-agent', 'allow', 'disallow')),
+      g0 AS (SELECT host, pos, dir, val,
+               CASE WHEN dir = 'user-agent' AND
+                 coalesce(lag(dir) OVER (PARTITION BY host ORDER BY pos),
+                   '?') <> 'user-agent'
+                 THEN 1 ELSE 0 END AS ng
+             FROM f),
+      g AS (SELECT host, pos, dir, val,
+              sum(ng) OVER (PARTITION BY host ORDER BY pos
+                ROWS UNBOUNDED PRECEDING) AS gid
+            FROM g0),
+      ag AS (SELECT DISTINCT host, gid, lower(val) AS user_agent FROM g
+             WHERE dir = 'user-agent' AND val <> ''),
+      ru AS (SELECT host, gid, val AS prefix, dir = 'allow' AS allow
+             FROM g WHERE dir <> 'user-agent' AND val <> ''),
+      parsed AS (
+        SELECT DISTINCT a.host, a.user_agent, r.prefix, r.allow
+        FROM ag a JOIN ru r USING (host, gid)),
+      named AS (SELECT DISTINCT host FROM parsed
+                WHERE user_agent = 'graftbot'),
+      rules AS (
+        SELECT p.host, p.prefix, p.allow
+        FROM parsed p LEFT JOIN named x ON x.host = p.host
+        WHERE p.user_agent = 'graftbot'
+           OR (x.host IS NULL AND p.user_agent = '*')),
+      joined AS (
+        SELECT p.doc_id, p.host, p.path, r.prefix, r.allow
+        FROM parts p LEFT JOIN rules r
+          ON r.host = p.host AND starts_with(p.path, r.prefix)),
+      ranked AS (
+        SELECT doc_id, host, path, prefix, allow,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY len(prefix) DESC, allow DESC) AS rk
+        FROM joined),
+      allowed AS (
+        SELECT doc_id, host, path, coalesce(prefix, '') AS matched_prefix
+        FROM ranked
+        WHERE rk = 1 AND coalesce(allow, true)),
+      sched AS (
+        SELECT doc_id, host, path, matched_prefix,
+               CAST(row_number() OVER (PARTITION BY host ORDER BY doc_id)
+                 AS BIGINT) AS host_rank
+        FROM allowed)
+      SELECT doc_id, host, path, matched_prefix, host_rank,
+             (host_rank - 1) * 500 AS fetch_offset_ms
+      FROM sched ORDER BY host, host_rank
+    """.trim))
+
   /** Sequence-packing plan ([[TextAnalysis.sequencePack]], context
     * 256, BPE-ish token counts): concatenate-and-cut every
     * autoregressive pretraining run performs, planned per document —
@@ -5758,9 +6067,11 @@ object LlmQueries {
   def all: Seq[HarnessQuery] = Seq(
     q386SeqPacking, q387PngMeta, q388UnigramSegment, q389UnigramEm,
     q392JpegMeta, q393PackAppend, q394UnigramTrain, q395ContinualPacking,
+    q408WarcMeta,
     q402UnigramPersisted,
     q370UrlCanonical, q377RobotsDecision, q378FrontierSchedule,
-    q397HtmlExtract, q403RobotsParse,
+    q397HtmlExtract, q403RobotsParse, q407SitemapInventory,
+    q409CrawlPipeline,
     q338Winnowing, q339WinnowOverlap, q348WinnowIncremental, q350LineDedup,
     q354TextRank, q356Waterfill, q362TokenizerFertility, q363HeapsFit,
     q210PhashClusters,

@@ -109,4 +109,46 @@ class CrawlSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("allow")).toMap
     assert(dec === Map(1L -> true, 2L -> false, 3L -> true, 4L -> false))
   }
+
+  test("sitemapDirectives: case-insensitive directive, case-preserving " +
+    "URL, comments stripped, group-independent") {
+    val body =
+      "User-agent: *\nDisallow: /x/\n" +
+        "SITEMAP: https://H.com/CaseKept.xml # primary\n" +
+        "User-agent: bot\nsitemap:   https://h.com/two.xml  \r\n" +
+        "Sitemap:\n" + // empty value: dropped
+        "Sitemap: https://h.com/two.xml\n" // duplicate: one row
+    val got = Crawl.sitemapDirectives(
+      Seq(("h.com", body)).toDF("host", "txt"), "host", "txt")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === Set(
+      ("h.com", "https://H.com/CaseKept.xml"),
+      ("h.com", "https://h.com/two.xml")))
+  }
+
+  test("parseSitemap: urlset and sitemapindex entries, entity decode, " +
+    "loc trim, nullable lastmod, non-XML yields nothing") {
+    val urlset =
+      """<?xml version="1.0"?><urlset>
+        |<url><loc>
+        |  https://h.com/p?a=1&amp;b=&lt;2&gt;
+        |</loc><lastmod> 2024-01-02 </lastmod></url>
+        |<url><loc>https://h.com/q</loc></url>
+        |<url><loc></loc></url>
+        |</urlset>""".stripMargin
+    val index = "<sitemapindex><sitemap><loc>https://i.com/s1.xml</loc>" +
+      "</sitemap><sitemap><loc>https://i.com/s2.xml</loc>" +
+      "<lastmod>2024-02-03</lastmod></sitemap></sitemapindex>"
+    val got = Crawl.parseSitemap(
+      Seq(("h.com", urlset), ("i.com", index), ("j.com", "not xml"))
+        .toDF("host", "xml"), "host", "xml")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1),
+        Option(r.getString(2)), r.getBoolean(3))).toSet
+    assert(got === Set(
+      ("h.com", "https://h.com/p?a=1&b=<2>", Some("2024-01-02"), false),
+      ("h.com", "https://h.com/q", None, false),
+      ("i.com", "https://i.com/s1.xml", None, true),
+      ("i.com", "https://i.com/s2.xml", Some("2024-02-03"), true)))
+  }
 }

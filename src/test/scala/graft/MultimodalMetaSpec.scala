@@ -214,4 +214,58 @@ class MultimodalMetaSpec extends SparkSpec {
       .width === -1)
     assert(Multimodal.parseJpegMeta(null).width === -1)
   }
+
+  test("parseWarc: record walk, header extraction, and every " +
+    "malformed-input degradation") {
+    val bytes = Multimodal.warcBytes(Seq(
+      ("warcinfo", "", 5),
+      ("response", "https://h.com/a", 0),
+      ("request", "https://h.com/a", 12)))
+    val recs = Multimodal.parseWarc(bytes)
+    assert(recs.map(r => (r.rec_idx, r.warc_type, r.target_uri,
+      r.content_length, r.n_headers)) === Seq(
+      (0, "warcinfo", "", 5L, 3),
+      (1, "response", "https://h.com/a", 0L, 4),
+      (2, "request", "https://h.com/a", 12L, 4)))
+
+    // header names are case-insensitive; unknown headers count
+    val mixed = ("WARC/1.1\r\ncontent-length: 2\r\nWARC-TYPE: conversion\r\n"
+      + "X-Custom: y\r\n\r\nab\r\n\r\n").getBytes("ISO-8859-1")
+    val m = Multimodal.parseWarc(mixed)
+    assert(m.map(r => (r.warc_type, r.content_length, r.n_headers))
+      === Seq(("conversion", 2L, 3)))
+
+    // truncation mid-payload keeps the complete prefix only
+    val cut = bytes.take(bytes.length - 10)
+    assert(Multimodal.parseWarc(cut).size === 2)
+    // a record missing Content-Length stops the walk
+    val noLen = ("WARC/1.0\r\nWARC-Type: response\r\n\r\nbody"
+      ).getBytes("ISO-8859-1")
+    assert(Multimodal.parseWarc(noLen).isEmpty)
+    // garbage, empty, and null all yield no records
+    assert(Multimodal.parseWarc("HTTP/1.1 200 OK".getBytes).isEmpty)
+    assert(Multimodal.parseWarc(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.parseWarc(null).isEmpty)
+    // trailing garbage after a valid record: the record survives
+    val trail = bytes ++ "WARC/".getBytes("ISO-8859-1")
+    assert(Multimodal.parseWarc(trail).size === 3)
+  }
+
+  test("warcRecords: per-record rows over a Dataset; a garbage payload " +
+    "emits the single sentinel row") {
+    import spark.implicits._
+    val ds = Seq(
+      Multimodal.MediaRow(1L, Multimodal.warcBytes(Seq(
+        ("warcinfo", "", 3), ("response", "https://x.org/p", 7))),
+        "application/warc", -1, -1),
+      Multimodal.MediaRow(2L, "junk".getBytes("ISO-8859-1"),
+        "text/plain", -1, -1)).toDS()
+    val got = Multimodal.warcRecords(ds).collect()
+      .map(r => (r.media_id, r.rec_idx, r.warc_type, r.target_uri,
+        r.content_length, r.n_headers)).toSet
+    assert(got === Set(
+      (1L, 0, "warcinfo", "", 3L, 3),
+      (1L, 1, "response", "https://x.org/p", 7L, 4),
+      (2L, -1, "", "", -1L, 0)))
+  }
 }
