@@ -149,6 +149,98 @@ object Crawl {
         (col("host_rank") - 1L) * lit(delayMs))
   }
 
+  /** `Crawl-delay:` directives from raw robots.txt bodies, with the
+    * same group attribution as [[parseRobots]] (the delay binds to the
+    * agent group it appears under; it is a de-facto extension, not RFC
+    * 9309, but every large crawler honors it). Non-numeric and
+    * negative values are ignored; several delays in one group keep the
+    * LARGEST (the conservative read). Output: (host, user_agent,
+    * delay_s long).
+    */
+  def parseCrawlDelays(
+      df: DataFrame, hostCol: String, textCol: String): DataFrame = {
+    val lines = df
+      .select(col(hostCol).as("host"),
+        posexplode(split(regexp_replace(col(textCol), "\r", ""), "\n"))
+          .as(Seq("__pos", "__raw")))
+      .withColumn("__line", regexp_replace(
+        regexp_replace(col("__raw"), "#.*", ""), "^\\s+|\\s+$", ""))
+      .withColumn("__dir",
+        lower(regexp_extract(col("__line"), "^([A-Za-z-]+)\\s*:", 1)))
+      .withColumn("__val", regexp_replace(
+        regexp_extract(col("__line"), "^[A-Za-z-]+\\s*:\\s*(.*)$", 1),
+        "\\s+$", ""))
+      .filter(col("__dir").isin("user-agent", "crawl-delay"))
+    val wOrd = Window.partitionBy(col("host")).orderBy(col("__pos"))
+    val isUa = col("__dir") === "user-agent"
+    val grouped = lines
+      .withColumn("__prev", lag(col("__dir"), 1).over(wOrd))
+      .withColumn("__ng",
+        when(isUa && (col("__prev").isNull
+          || col("__prev") =!= "user-agent"), 1L).otherwise(0L))
+      .withColumn("__g", sum(col("__ng")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val agents = grouped.filter(isUa && col("__val") =!= "")
+      .select(col("host"), col("__g"),
+        lower(col("__val")).as("user_agent"))
+      .distinct()
+    val delays = grouped.filter(!isUa)
+      .select(col("host"), col("__g"),
+        // try_cast, not cast: junk values ("Crawl-delay: soon") are
+        // ignored per the scaladoc, never an ANSI cast error
+        col("__val").try_cast("long").as("delay_s"))
+      .filter(col("delay_s").isNotNull && col("delay_s") >= 0)
+    agents.join(delays, Seq("host", "__g"))
+      .groupBy(col("host"), col("user_agent"))
+      .agg(max(col("delay_s")).as("delay_s"))
+  }
+
+  /** Delay selection for one crawler identity — the
+    * [[rulesForAgent]] inheritance applied to [[parseCrawlDelays]]
+    * output: a host naming `agent` contributes only that group's
+    * delay, otherwise its `*` delay; ties keep the largest. Output
+    * (host, delay_s) — exactly [[frontierScheduleWithDelays]]'
+    * `delays` input.
+    */
+  def delaysForAgent(parsed: DataFrame, agent: String): DataFrame = {
+    val a = agent.toLowerCase
+    val named = parsed.filter(col("user_agent") === a)
+      .select(col("host")).distinct()
+      .withColumn("__named", lit(true))
+    parsed
+      .join(broadcast(named), Seq("host"), "left")
+      .filter((col("user_agent") === a)
+        || (col("__named").isNull && col("user_agent") === "*"))
+      .groupBy(col("host"))
+      .agg(max(col("delay_s")).as("delay_s"))
+  }
+
+  /** Per-host politeness schedule with PER-HOST delays — the
+    * [[frontierSchedule]] arity a crawler that honors `Crawl-delay`
+    * runs: `delays` is (host, delay_s), typically
+    * [[parseCrawlDelays]] → [[rulesForAgent]]-style group selection;
+    * hosts without a delay row use `defaultDelayMs`. Same shape as
+    * the fixed-delay schedule — the delay table is
+    * host-cardinality-sized and broadcasts.
+    */
+  def frontierScheduleWithDelays(
+      urls: DataFrame, idCol: String, hostCol: String,
+      delays: DataFrame, defaultDelayMs: Long): DataFrame = {
+    require(defaultDelayMs >= 0,
+      s"defaultDelayMs must be >= 0, got $defaultDelayMs")
+    val w = Window.partitionBy(col(hostCol)).orderBy(col(idCol))
+    urls.select(col(idCol), col(hostCol))
+      .join(broadcast(delays.select(col("host").as(hostCol),
+        (col("delay_s") * 1000L).as("__delay_ms"))), Seq(hostCol), "left")
+      .withColumn("delay_ms",
+        coalesce(col("__delay_ms"), lit(defaultDelayMs)))
+      .withColumn("host_rank", row_number().over(w).cast("long"))
+      .withColumn("fetch_offset_ms",
+        (col("host_rank") - 1L) * col("delay_ms"))
+      .select(col(idCol), col(hostCol), col("delay_ms"),
+        col("host_rank"), col("fetch_offset_ms"))
+  }
+
   /** `Sitemap:` directives from raw robots.txt bodies — the discovery
     * entry [[parseRobots]] deliberately treats as transparent (it is
     * not a group rule; RFC 9309 §2.3 makes it group-independent).

@@ -868,7 +868,8 @@ object Multimodal {
       warc_type: String,
       target_uri: String,
       content_length: Long,
-      n_headers: Int)
+      n_headers: Int,
+      payload_off: Int)
 
   final case class WarcRecRow(
       media_id: Long,
@@ -945,7 +946,7 @@ object Multimodal {
         }
         if (bad || clen < 0 || q + clen + 4 > bytes.length) stop = true
         else {
-          out += WarcRecMeta(out.length, warcType, uri, clen, nHeaders)
+          out += WarcRecMeta(out.length, warcType, uri, clen, nHeaders, q)
           p = (q + clen + 4).toInt // payload + CRLF CRLF separator
         }
       }
@@ -969,6 +970,122 @@ object Multimodal {
       else recs.map(m => WarcRecRow(r.media_id, m.rec_idx, m.warc_type,
         m.target_uri, m.content_length, m.n_headers, n))
     }
+  }
+
+  final case class WarcHttpMeta(
+      rec_idx: Int,
+      target_uri: String,
+      status: Int,
+      content_type: String,
+      charset: String,
+      header_bytes: Long,
+      body_bytes: Long)
+
+  final case class WarcHttpRow(
+      media_id: Long,
+      rec_idx: Int,
+      target_uri: String,
+      status: Int,
+      content_type: String,
+      charset: String,
+      header_bytes: Long,
+      body_bytes: Long)
+
+  /** Parse the HTTP message inside each WARC `response` record's
+    * payload — the step between the archive wrapper and
+    * `TextPrep.extractText` in the real chain (WARC → HTTP → HTML):
+    * status code from the `HTTP/x.y SSS ...` line, media type and
+    * charset split out of `Content-Type` (type lowercased and
+    * trimmed at `;`; `charset=` parameter lowercased, quotes
+    * stripped, "" when absent), the header block's byte size, and the
+    * entity body size (payload minus headers). Non-`response` records
+    * are skipped; a response whose payload is not HTTP (no status
+    * line, unterminated headers) degrades to status −1 with the whole
+    * payload counted as body — metadata only, the body itself is
+    * never decoded here.
+    */
+  def parseWarcHttp(bytes: Array[Byte]): Seq[WarcHttpMeta] =
+    parseWarc(bytes).filter(_.warc_type == "response").map { r =>
+      val end = r.payload_off + r.content_length.toInt
+      def line(from: Int): (Int, String) = {
+        var i = from
+        while (i + 1 < end && !(bytes(i) == '\r' && bytes(i + 1) == '\n'))
+          i += 1
+        if (i + 1 >= end) (-1, null)
+        else (i + 2, new String(bytes, from, i - from, "ISO-8859-1"))
+      }
+      val (afterStatus, statusLine) = line(r.payload_off)
+      val status =
+        if (statusLine == null) -1
+        else {
+          val m = "^HTTP/\\d\\.\\d (\\d{3})(?: .*)?$".r
+            .findFirstMatchIn(statusLine)
+          m.map(_.group(1).toInt).getOrElse(-1)
+        }
+      var contentType = ""
+      var charset = ""
+      var headerEnd = -1
+      if (status >= 0) {
+        var q2 = afterStatus
+        var done = false
+        while (!done) {
+          val (next, l) = line(q2)
+          if (next < 0) done = true
+          else if (l.isEmpty) { headerEnd = next; done = true }
+          else {
+            val ci = l.indexOf(':')
+            if (ci > 0 && l.substring(0, ci).trim
+                .equalsIgnoreCase("content-type")) {
+              val v = l.substring(ci + 1).trim
+              contentType = v.split(";")(0).trim.toLowerCase
+              val cm = "(?i)charset=\"?([^\";\\s]+)\"?".r
+                .findFirstMatchIn(v)
+              charset = cm.map(_.group(1).toLowerCase).getOrElse("")
+            }
+            q2 = next
+          }
+        }
+      }
+      if (status < 0 || headerEnd < 0)
+        WarcHttpMeta(r.rec_idx, r.target_uri, -1, "", "",
+          -1L, r.content_length)
+      else
+        WarcHttpMeta(r.rec_idx, r.target_uri, status, contentType, charset,
+          (headerEnd - r.payload_off).toLong,
+          (end - headerEnd).toLong)
+    }
+
+  /** HTTP-response inventory over a media Dataset of WARC payloads —
+    * one row per `response` record ([[parseWarcHttp]]); payloads with
+    * no response records contribute nothing (the record-level view is
+    * [[warcRecords]]' job).
+    */
+  def warcHttpResponses(ds: Dataset[MediaRow]): Dataset[WarcHttpRow] = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { r =>
+      parseWarcHttp(r.media).map(m => WarcHttpRow(r.media_id, m.rec_idx,
+        m.target_uri, m.status, m.content_type, m.charset,
+        m.header_bytes, m.body_bytes))
+    }
+  }
+
+  /** Deterministic WARC fixture with RAW string bodies — the
+    * [[warcBytes]] sibling for records whose payload matters (HTTP
+    * responses): one record per (warcType, targetUri, body) triple.
+    */
+  def warcBytesRaw(records: Seq[(String, String, String)]): Array[Byte] = {
+    val sb = new StringBuilder
+    records.foreach { case (t, u, body) =>
+      sb.append("WARC/1.0\r\n")
+      sb.append("WARC-Type: ").append(t).append("\r\n")
+      if (u.nonEmpty)
+        sb.append("WARC-Target-URI: ").append(u).append("\r\n")
+      sb.append("Content-Length: ").append(body.length).append("\r\n")
+      sb.append("\r\n")
+      sb.append(body)
+      sb.append("\r\n\r\n")
+    }
+    sb.toString.getBytes("ISO-8859-1")
   }
 
   /** Deterministic WARC fixture: one `WARC/1.0` record per

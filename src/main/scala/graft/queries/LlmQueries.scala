@@ -1113,6 +1113,76 @@ object LlmQueries {
       ORDER BY media_id, rec_idx
     """.trim))
 
+  /** HTTP responses inside WARC ([[Multimodal.parseWarcHttp]] /
+    * [[Multimodal.warcHttpResponses]]): the layer between q408's
+    * record walk and q397's HTML extraction — status code, media
+    * type, charset, header block size, and entity body size parsed
+    * out of each `response` record's payload; warcinfo records are
+    * skipped and a response whose payload is not HTTP degrades to the
+    * status −1 sentinel with the whole payload counted as body. The
+    * oracle rebuilds the header strings in SQL (all-ASCII, length()
+    * is the byte count) and recomputes every field from the
+    * generator parameters.
+    */
+  val q411WarcHttp = HarnessQuery(
+    "q411_warc_http",
+    (spark, dir) => {
+      import spark.implicits._
+      val warcs = Tables.nation(spark, dir)
+        .select(col("n_nationkey").cast("long").as("id")).as[Long]
+        .map { k =>
+          val status = Seq(200, 301, 404)(k.toInt % 3)
+          val ct = if (k % 2 == 0) "text/html; charset=UTF-8"
+            else "application/json"
+          val http = s"HTTP/1.1 $status OK\r\nServer: graft/1.0\r\n" +
+            s"Content-Type: $ct\r\n\r\n" + ("b" * (5 + k.toInt))
+          Multimodal.MediaRow(9100L + k,
+            Multimodal.warcBytesRaw(Seq(
+              ("warcinfo", "", "software: graft\r\n"),
+              ("response", s"https://n$k.example/", http),
+              ("response", s"https://n$k.example/bad",
+                "NOT HTTP AT ALL" + ("y" * k.toInt)))),
+            "application/warc", -1, -1)
+        }
+      Multimodal.warcHttpResponses(warcs).toDF()
+        .orderBy(col("media_id"), col("rec_idx"))
+    },
+    Some("""
+      WITH c AS (SELECT chr(13) || chr(10) AS crlf),
+      n AS (
+        SELECT CAST(9100 + n_nationkey AS BIGINT) AS media_id,
+               n_nationkey AS k
+        FROM nation),
+      p AS (
+        SELECT media_id, k,
+               CASE CAST(k % 3 AS INT) WHEN 0 THEN 200 WHEN 1 THEN 301
+                 ELSE 404 END AS status,
+               CASE WHEN k % 2 = 0 THEN 'text/html; charset=UTF-8'
+                    ELSE 'application/json' END AS ct_raw,
+               CASE WHEN k % 2 = 0 THEN 'text/html'
+                    ELSE 'application/json' END AS content_type,
+               CASE WHEN k % 2 = 0 THEN 'utf-8' ELSE '' END AS charset
+        FROM n),
+      g AS (
+        SELECT media_id, CAST(1 AS INT) AS rec_idx,
+               'https://n' || k || '.example/' AS target_uri,
+               CAST(status AS INT) AS status,
+               content_type, charset,
+               CAST(length('HTTP/1.1 ' || status || ' OK' || crlf
+                 || 'Server: graft/1.0' || crlf
+                 || 'Content-Type: ' || ct_raw || crlf || crlf)
+                 AS BIGINT) AS header_bytes,
+               CAST(5 + k AS BIGINT) AS body_bytes
+        FROM p, c
+        UNION ALL
+        SELECT media_id, CAST(2 AS INT),
+               'https://n' || k || '.example/bad',
+               CAST(-1 AS INT), '', '',
+               CAST(-1 AS BIGINT), CAST(15 + k AS BIGINT)
+        FROM p)
+      SELECT * FROM g ORDER BY media_id, rec_idx
+    """.trim))
+
   /** Unigram hard-EM TRAINING loop ([[TextAnalysis.unigramEmTrain]],
     * 2 rounds, vocab pruned to 24, words <= 12 chars): seed substring
     * vocabulary → segment → re-count along Viterbi paths → prune →
@@ -5884,6 +5954,73 @@ object LlmQueries {
       FROM sched ORDER BY host, host_rank
     """.trim))
 
+  /** Crawl-delay politeness ([[Crawl.parseCrawlDelays]] →
+    * [[Crawl.delaysForAgent]] → [[Crawl.frontierScheduleWithDelays]]):
+    * per-host delays parsed from the robots bodies themselves — even
+    * sources publish a graftbot group with TWO delay lines (largest
+    * wins), odd sources only `*` (delay 1 s), every 5th source none
+    * at all — selected with the named-shadows-`*` inheritance and
+    * applied as per-host fetch spacing; hosts without a delay row
+    * (www/co.uk/localhost and the delayless sources) use the 750 ms
+    * default. The oracle recomputes the delay table from the
+    * generator parameters and replays the per-host schedule window.
+    */
+  val q410CrawlDelays = HarnessQuery(
+    "q410_crawl_delays",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val srcs = docs.select(col("source")).distinct()
+      val n = regexp_extract(col("source"), "([0-9]+)$", 1).cast("int")
+      val body = when(pmod(n, lit(5)) === 0,
+          lit("User-agent: *\nDisallow: /private/\n"))
+        .otherwise(concat(
+          lit("User-agent: *\nCrawl-delay: 1\nDisallow: /private/\n\n"),
+          when(pmod(n, lit(2)) === 0, concat(
+            lit("User-agent: graftbot\nCrawl-delay: "),
+            (lit(2) + pmod(n, lit(3))).cast("string"),
+            lit("\nCrawl-delay: "), pmod(n, lit(4)).cast("string"),
+            lit("\nCrawl-delay: soon\n"))).otherwise(lit(""))))
+      val parsed = Crawl.parseCrawlDelays(
+        srcs.select(
+          concat(col("source"), lit(".example.com")).as("host"),
+          body.as("txt")),
+        "host", "txt")
+      val delays = Crawl.delaysForAgent(parsed, "graftbot")
+      val urls = docs.select(col("doc_id"),
+        graft.functions.UrlFunctions.host(crawlUrl).as("host"))
+      Crawl.frontierScheduleWithDelays(urls, "doc_id", "host",
+          delays, defaultDelayMs = 750L)
+        .orderBy(col("host"), col("host_rank"))
+    },
+    Some(s"""
+      WITH u AS ($crawlUrlSql),
+      parts AS (
+        SELECT doc_id,
+               lower(regexp_extract(
+                 regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+                 '(?:[^@]*@)?([^:]*)', 1)) AS host
+        FROM u),
+      srcs AS (
+        SELECT source,
+               CAST(regexp_extract(source, '([0-9]+)$$', 1) AS INT) AS n
+        FROM (SELECT DISTINCT source FROM documents)),
+      delays AS (
+        SELECT source || '.example.com' AS host,
+               CASE WHEN n % 2 = 0
+                    THEN greatest(2 + n % 3, n % 4)
+                    ELSE 1 END AS delay_s
+        FROM srcs WHERE n % 5 <> 0),
+      sched AS (
+        SELECT p.doc_id, p.host,
+               CAST(coalesce(d.delay_s * 1000, 750) AS BIGINT) AS delay_ms,
+               CAST(row_number() OVER (PARTITION BY p.host
+                 ORDER BY p.doc_id) AS BIGINT) AS host_rank
+        FROM parts p LEFT JOIN delays d ON d.host = p.host)
+      SELECT doc_id, host, delay_ms, host_rank,
+             (host_rank - 1) * delay_ms AS fetch_offset_ms
+      FROM sched ORDER BY host, host_rank
+    """.trim))
+
   /** End-to-end crawl frontier ([[Crawl.parseRobots]] →
     * [[Crawl.rulesForAgent]] → [[Crawl.robotsDecision]] →
     * [[Crawl.frontierSchedule]] composed — the full raw-policy-to-
@@ -6067,11 +6204,11 @@ object LlmQueries {
   def all: Seq[HarnessQuery] = Seq(
     q386SeqPacking, q387PngMeta, q388UnigramSegment, q389UnigramEm,
     q392JpegMeta, q393PackAppend, q394UnigramTrain, q395ContinualPacking,
-    q408WarcMeta,
+    q408WarcMeta, q411WarcHttp,
     q402UnigramPersisted,
     q370UrlCanonical, q377RobotsDecision, q378FrontierSchedule,
     q397HtmlExtract, q403RobotsParse, q407SitemapInventory,
-    q409CrawlPipeline,
+    q409CrawlPipeline, q410CrawlDelays,
     q338Winnowing, q339WinnowOverlap, q348WinnowIncremental, q350LineDedup,
     q354TextRank, q356Waterfill, q362TokenizerFertility, q363HeapsFit,
     q210PhashClusters,

@@ -110,6 +110,40 @@ class CrawlSpec extends SparkSpec {
     assert(dec === Map(1L -> true, 2L -> false, 3L -> true, 4L -> false))
   }
 
+  test("parseCrawlDelays + delaysForAgent + frontierScheduleWithDelays: " +
+    "group attribution, max-of-group, junk ignored, named shadows *, " +
+    "default for unlisted hosts") {
+    val body =
+      "User-agent: *\nCrawl-delay: 1\nDisallow: /x/\n\n" +
+        "User-agent: graftbot\nCrawl-delay: 4\nCrawl-delay: 2\n" +
+        "Crawl-delay: soon\nCrawl-delay: -3\n"
+    val parsed = Crawl.parseCrawlDelays(
+      Seq(("h.com", body),
+        ("i.com", "User-agent: *\nCrawl-delay: 7\n"),
+        ("j.com", "User-agent: *\nDisallow: /x/\n")) // no delay at all
+        .toDF("host", "txt"), "host", "txt")
+    val rows = parsed.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows === Set(
+      ("h.com", "*", 1L), ("h.com", "graftbot", 4L), ("i.com", "*", 7L)))
+
+    val delays = Crawl.delaysForAgent(parsed, "GraftBot")
+    assert(delays.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      === Map("h.com" -> 4L, "i.com" -> 7L))
+
+    val urls = Seq((1L, "h.com"), (2L, "h.com"), (3L, "i.com"),
+      (4L, "k.com"), (5L, "k.com")).toDF("id", "host")
+    val sched = Crawl.frontierScheduleWithDelays(
+      urls, "id", "host", delays, defaultDelayMs = 500L)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("delay_ms"), r.getAs[Long]("fetch_offset_ms"))))
+      .toMap
+    assert(sched === Map(
+      1L -> ((4000L, 0L)), 2L -> ((4000L, 4000L)),
+      3L -> ((7000L, 0L)),
+      4L -> ((500L, 0L)), 5L -> ((500L, 500L))))
+  }
+
   test("sitemapDirectives: case-insensitive directive, case-preserving " +
     "URL, comments stripped, group-independent") {
     val body =

@@ -251,6 +251,27 @@ class MultimodalMetaSpec extends SparkSpec {
     assert(Multimodal.parseWarc(trail).size === 3)
   }
 
+  test("parseWarcHttp: status/content-type/charset extraction, header " +
+    "accounting, and the non-HTTP-payload sentinel") {
+    val bytes = Multimodal.warcBytesRaw(Seq(
+      ("warcinfo", "", "software: graft\r\n"),
+      ("response", "https://h.com/a",
+        "HTTP/1.1 200 OK\r\ncontent-TYPE: Text/HTML; charset=\"UTF-8\"\r\n"
+          + "\r\n<html>hi</html>"),
+      ("request", "https://h.com/a", "GET /a HTTP/1.1\r\n\r\n"),
+      ("response", "https://h.com/b", "HTTP/1.0 404 Not Found\r\n\r\n"),
+      ("response", "https://h.com/c", "garbage payload")))
+    val got = Multimodal.parseWarcHttp(bytes)
+      .map(m => (m.rec_idx, m.status, m.content_type, m.charset,
+        m.header_bytes, m.body_bytes))
+    val h1 = ("HTTP/1.1 200 OK\r\ncontent-TYPE: Text/HTML; "
+      + "charset=\"UTF-8\"\r\n\r\n").length.toLong
+    assert(got === Seq(
+      (1, 200, "text/html", "utf-8", h1, "<html>hi</html>".length.toLong),
+      (3, 404, "", "", "HTTP/1.0 404 Not Found\r\n\r\n".length.toLong, 0L),
+      (4, -1, "", "", -1L, "garbage payload".length.toLong)))
+  }
+
   test("warcRecords: per-record rows over a Dataset; a garbage payload " +
     "emits the single sentinel row") {
     import spark.implicits._
