@@ -6159,6 +6159,122 @@ object LlmQueries {
       FROM sched ORDER BY host, host_rank
     """.trim))
 
+  /** Continual crawl frontier
+    * ([[graft.streaming.ContinualFrontier.replayBatches]], the
+    * deterministic replay of the foreachBatch stream): the q370 URL
+    * corpus arrives in 3 ordered batches; each batch dedups by
+    * CANONICAL url against everything seen earlier (the .co.uk URLs
+    * repeat per source, so later batches drop them), survivors pass
+    * the q377 robots rules, and per-host politeness ranks CONTINUE
+    * across batches. Because batches arrive in (batch, id) order, the
+    * whole fold collapses to global window functions in SQL: first
+    * occurrence per canonical, then rank per host over new+allowed
+    * rows — which is exactly what the oracle computes.
+    */
+  val q412ContinualFrontier = HarnessQuery(
+    "q412_continual_frontier",
+    (spark, dir) => {
+      import graft.streaming.ContinualFrontier
+      val docs = Tables.documents(spark, dir)
+      val srcs = docs.select(col("source")).distinct()
+      def rule(host: org.apache.spark.sql.Column, prefix: String,
+          allow: Boolean) =
+        srcs.select(host.as("host"), lit(prefix).as("prefix"),
+          lit(allow).as("allow"))
+      val com = concat(col("source"), lit(".example.com"))
+      val couk = concat(col("source"), lit(".example.co.uk"))
+      val rules = rule(com, "/path/", allow = false)
+        .unionByName(rule(com, "/path/1", allow = true))
+        .unionByName(rule(couk, "/deep/page", allow = false))
+        .unionByName(rule(couk, "/deep/page", allow = true))
+        .unionByName(spark.range(1).select(lit("localhost").as("host"),
+          lit("/item/").as("prefix"), lit(false).as("allow")))
+      val withUrl = docs.withColumn("url", crawlUrl)
+        .select(col("doc_id"), col("url"))
+      val batches = (0 until 3).map(k =>
+        withUrl.filter(pmod(col("doc_id"), lit(3)) === k))
+      ContinualFrontier.replayBatches(batches, "doc_id", "url",
+          rules, delayMs = 250L)
+        // nullable booleans render None-vs-NaN across engines: cast to
+        // int like q334's is_dup (the house nullable-bool convention)
+        .withColumn("allow", col("allow").cast("int"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH u AS (
+        SELECT doc_id, CAST(doc_id % 3 AS BIGINT) AS batch_id, url
+        FROM ($crawlUrlSql)),
+      parts AS (
+        SELECT doc_id, batch_id, url,
+               lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+                 AS sch,
+               regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)
+                 AS auth,
+               regexp_extract(url,
+                 '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+               regexp_extract(url, '\\?([^#]*)', 1) AS q
+        FROM u),
+      p2 AS (
+        SELECT doc_id, batch_id, url, sch,
+               lower(regexp_extract(auth, '(?:[^@]*@)?([^:]*)', 1)) AS host,
+               regexp_extract(auth, ':([0-9]+)$$', 1) AS prt,
+               CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS pth,
+               array_to_string(list_sort(list_filter(string_split(q, '&'),
+                 p -> NOT (p = '' OR starts_with(p, 'utm_')
+                   OR starts_with(p, 'gclid=') OR starts_with(p, 'fbclid=')
+                   OR starts_with(p, 'ref=')))), '&') AS cq
+        FROM parts),
+      canon AS (
+        SELECT doc_id, batch_id, url, host, pth,
+               coalesce(CASE WHEN sch = '' THEN NULL ELSE
+                 sch || '://' || regexp_replace(host, '^www\\.', '') ||
+                 CASE WHEN prt <> '' AND NOT ((sch = 'https' AND prt = '443')
+                        OR (sch = 'http' AND prt = '80'))
+                      THEN ':' || prt ELSE '' END ||
+                 pth ||
+                 CASE WHEN cq <> '' THEN '?' || cq ELSE '' END END,
+                 url) AS ck
+        FROM p2),
+      marked AS (
+        SELECT *, row_number() OVER (PARTITION BY ck
+          ORDER BY batch_id, doc_id) > 1 AS is_dup_url
+        FROM canon),
+      srcs AS (SELECT DISTINCT source FROM documents),
+      rules AS (
+        SELECT source || '.example.com' AS host, '/path/' AS prefix,
+               false AS allow FROM srcs
+        UNION ALL SELECT source || '.example.com', '/path/1', true FROM srcs
+        UNION ALL SELECT source || '.example.co.uk', '/deep/page', false
+          FROM srcs
+        UNION ALL SELECT source || '.example.co.uk', '/deep/page', true
+          FROM srcs
+        UNION ALL SELECT 'localhost', '/item/', false),
+      dec AS (
+        SELECT doc_id, host, allow FROM (
+          SELECT m.doc_id, m.host, r.prefix, r.allow,
+                 row_number() OVER (PARTITION BY m.doc_id
+                   ORDER BY len(r.prefix) DESC, r.allow DESC) AS rk
+          FROM marked m LEFT JOIN rules r
+            ON r.host = m.host AND starts_with(m.pth, r.prefix)
+          WHERE NOT m.is_dup_url)
+        WHERE rk = 1),
+      decided AS (
+        SELECT doc_id, host, coalesce(allow, true) AS allow FROM dec),
+      sched AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (PARTITION BY d.host
+                 ORDER BY m2.batch_id, d.doc_id) AS BIGINT) AS host_rank
+        FROM decided d JOIN marked m2 USING (doc_id)
+        WHERE d.allow)
+      SELECT m.doc_id, m.url, m.batch_id, m.is_dup_url,
+             d.host, CAST(d.allow AS INT) AS allow, s.host_rank,
+             (s.host_rank - 1) * 250 AS fetch_offset_ms
+      FROM marked m
+      LEFT JOIN decided d ON d.doc_id = m.doc_id
+      LEFT JOIN sched s ON s.doc_id = m.doc_id
+      ORDER BY m.doc_id
+    """.trim))
+
   /** Sequence-packing plan ([[TextAnalysis.sequencePack]], context
     * 256, BPE-ish token counts): concatenate-and-cut every
     * autoregressive pretraining run performs, planned per document —
@@ -6208,7 +6324,7 @@ object LlmQueries {
     q402UnigramPersisted,
     q370UrlCanonical, q377RobotsDecision, q378FrontierSchedule,
     q397HtmlExtract, q403RobotsParse, q407SitemapInventory,
-    q409CrawlPipeline, q410CrawlDelays,
+    q409CrawlPipeline, q410CrawlDelays, q412ContinualFrontier,
     q338Winnowing, q339WinnowOverlap, q348WinnowIncremental, q350LineDedup,
     q354TextRank, q356Waterfill, q362TokenizerFertility, q363HeapsFit,
     q210PhashClusters,

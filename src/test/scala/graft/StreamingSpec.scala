@@ -600,4 +600,66 @@ class StreamingSpec extends SparkSpec {
     // batch 1 routed by the singly-repaired centroid (0.3, 0.9, 0, 0)
     assert(got.filter(_._1 == 1L).map(v => (v._2, v._3)) === Seq((2L, 1)))
   }
+
+  test("continual frontier: stream equals replay; canonical dedup, " +
+    "robots gate, and per-host ranks continuing across batches") {
+    import graft.streaming.ContinualFrontier
+    implicit val sqlCtx = spark.sqlContext
+    val rules = Seq(("h.com", "/no/", false)).toDF("host", "prefix", "allow")
+    val batch1 = Seq(
+      (1L, "https://h.com/a"),
+      (2L, "https://WWW.h.com:443/a?utm_source=x"), // canonical dup of 1
+      (3L, "https://h.com/no/1"), // robots-denied
+      (4L, "https://i.com/z")) // no rules: default allow
+    val batch2 = Seq(
+      (5L, "https://h.com/a"), // cross-batch dup
+      (6L, "https://h.com/b")) // new: h.com rank must CONTINUE at 2
+    type V = (Long, Long, Boolean, Any, Any, Any, Any)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[V] =
+      df.collect().map(r => (r.getAs[Long]("id"),
+        r.getAs[Long]("batch_id"), r.getAs[Boolean]("is_dup_url"),
+        r.getAs[Any]("host"), r.getAs[Any]("allow"),
+        r.getAs[Any]("host_rank"), r.getAs[Any]("fetch_offset_ms"))).toSet
+
+    val streamed = scala.collection.mutable.Set.empty[V]
+    val mem = MemoryStream[(Long, String)]
+    val q = ContinualFrontier.start(mem.toDF().toDF("id", "url"),
+      "id", "url", rules, delayMs = 100L) { v => streamed ++= rows(v) }
+    Seq(batch1, batch2).foreach { b =>
+      mem.addData(b: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    val replayed = rows(ContinualFrontier.replayBatches(
+      Seq(batch1.toDF("id", "url"), batch2.toDF("id", "url")),
+      "id", "url", rules, delayMs = 100L))
+    assert(streamed.toSet === replayed)
+    assert(replayed === Set(
+      (1L, 0L, false, "h.com", true, 1L, 0L),
+      (2L, 0L, true, null, null, null, null),
+      (3L, 0L, false, "h.com", false, null, null),
+      (4L, 0L, false, "i.com", true, 1L, 0L),
+      (5L, 1L, true, null, null, null, null),
+      (6L, 1L, false, "h.com", true, 2L, 100L)))
+  }
+
+  test("continual frontier: a re-delivered batch id is skipped — no " +
+    "double verdicts, no rank advance") {
+    import graft.streaming.ContinualFrontier
+    val rules = Seq(("zz.zz", "/no/", false)).toDF("host", "prefix", "allow")
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Any)]
+    val step = ContinualFrontier.batchStep("id", "url", rules, 100L) {
+      v => got ++= v.collect().map(r => (r.getAs[Long]("batch_id"),
+        r.getAs[Long]("id"), r.getAs[Any]("host_rank")))
+    }
+    val b0 = Seq((1L, "https://h.com/a")).toDF("id", "url")
+    step(b0, 0L)
+    step(b0, 0L) // re-delivery: must not emit twice or mark seen twice
+    step(Seq((2L, "https://h.com/b")).toDF("id", "url"), 1L)
+    assert(got.count(_._1 == 0L) === 1)
+    // id 2 ranks 2 (after the SINGLE fold of batch 0), not 3
+    assert(got.filter(_._1 == 1L).map(v => (v._2, v._3)) === Seq((2L, 2L)))
+  }
 }
