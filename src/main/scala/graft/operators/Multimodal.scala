@@ -1004,49 +1004,61 @@ object Multimodal {
     * payload counted as body — metadata only, the body itself is
     * never decoded here.
     */
+  /** (status, content_type, charset, headerEnd byte pos) of the HTTP
+    * message starting at `rec.payload_off`; status −1 / headerEnd −1
+    * when the payload is not a well-formed HTTP header block.
+    */
+  private def httpHead(bytes: Array[Byte], rec: WarcRecMeta)
+      : (Int, String, String, Int) = {
+    val end = rec.payload_off + rec.content_length.toInt
+    def line(from: Int): (Int, String) = {
+      var i = from
+      while (i + 1 < end && !(bytes(i) == '\r' && bytes(i + 1) == '\n'))
+        i += 1
+      if (i + 1 >= end) (-1, null)
+      else (i + 2, new String(bytes, from, i - from, "ISO-8859-1"))
+    }
+    val (afterStatus, statusLine) = line(rec.payload_off)
+    val status =
+      if (statusLine == null) -1
+      else {
+        val m = "^HTTP/\\d\\.\\d (\\d{3})(?: .*)?$".r
+          .findFirstMatchIn(statusLine)
+        m.map(_.group(1).toInt).getOrElse(-1)
+      }
+    var contentType = ""
+    var charset = ""
+    var headerEnd = -1
+    if (status >= 0) {
+      var q2 = afterStatus
+      var done = false
+      while (!done) {
+        val (next, l) = line(q2)
+        if (next < 0) done = true
+        else if (l.isEmpty) { headerEnd = next; done = true }
+        else {
+          val ci = l.indexOf(':')
+          if (ci > 0 && l.substring(0, ci).trim
+              .equalsIgnoreCase("content-type")) {
+            val v = l.substring(ci + 1).trim
+            contentType = v.split(";")(0).trim.toLowerCase
+            val cm = "(?i)charset=\"?([^\";\\s]+)\"?".r
+              .findFirstMatchIn(v)
+            charset = cm.map(_.group(1).toLowerCase).getOrElse("")
+          }
+          q2 = next
+        }
+      }
+    }
+    if (status < 0 || headerEnd < 0) (-1, "", "", -1)
+    else (status, contentType, charset, headerEnd)
+  }
+
   def parseWarcHttp(bytes: Array[Byte]): Seq[WarcHttpMeta] =
     parseWarc(bytes).filter(_.warc_type == "response").map { r =>
       val end = r.payload_off + r.content_length.toInt
-      def line(from: Int): (Int, String) = {
-        var i = from
-        while (i + 1 < end && !(bytes(i) == '\r' && bytes(i + 1) == '\n'))
-          i += 1
-        if (i + 1 >= end) (-1, null)
-        else (i + 2, new String(bytes, from, i - from, "ISO-8859-1"))
-      }
-      val (afterStatus, statusLine) = line(r.payload_off)
-      val status =
-        if (statusLine == null) -1
-        else {
-          val m = "^HTTP/\\d\\.\\d (\\d{3})(?: .*)?$".r
-            .findFirstMatchIn(statusLine)
-          m.map(_.group(1).toInt).getOrElse(-1)
-        }
-      var contentType = ""
-      var charset = ""
-      var headerEnd = -1
-      if (status >= 0) {
-        var q2 = afterStatus
-        var done = false
-        while (!done) {
-          val (next, l) = line(q2)
-          if (next < 0) done = true
-          else if (l.isEmpty) { headerEnd = next; done = true }
-          else {
-            val ci = l.indexOf(':')
-            if (ci > 0 && l.substring(0, ci).trim
-                .equalsIgnoreCase("content-type")) {
-              val v = l.substring(ci + 1).trim
-              contentType = v.split(";")(0).trim.toLowerCase
-              val cm = "(?i)charset=\"?([^\";\\s]+)\"?".r
-                .findFirstMatchIn(v)
-              charset = cm.map(_.group(1).toLowerCase).getOrElse("")
-            }
-            q2 = next
-          }
-        }
-      }
-      if (status < 0 || headerEnd < 0)
+      val (status, contentType, charset, headerEnd) = httpHead(bytes, r)
+      if (headerEnd < 0)
         WarcHttpMeta(r.rec_idx, r.target_uri, -1, "", "",
           -1L, r.content_length)
       else
@@ -1054,6 +1066,40 @@ object Multimodal {
           (headerEnd - r.payload_off).toLong,
           (end - headerEnd).toLong)
     }
+
+  final case class WarcBodyRow(
+      media_id: Long,
+      rec_idx: Int,
+      target_uri: String,
+      status: Int,
+      content_type: String,
+      body: String)
+
+  /** Decoded entity bodies of the HTTP responses inside WARC payloads
+    * — the hand-off from the archive walkers to
+    * [[graft.operators.TextPrep.extractText]] (WARC → HTTP → HTML →
+    * text): one row per `response` record, body decoded by the
+    * declared charset (`utf-8` → UTF-8; anything else — including
+    * absent — falls back to ISO-8859-1, the byte-preserving default).
+    * A non-HTTP payload rides along whole as the body with status −1,
+    * so nothing silently disappears before the downstream filter.
+    */
+  def warcResponseBodies(ds: Dataset[MediaRow]): Dataset[WarcBodyRow] = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { row =>
+      val bytes = row.media
+      parseWarc(bytes).filter(_.warc_type == "response").map { r =>
+        val end = r.payload_off + r.content_length.toInt
+        val (status, contentType, charset, headerEnd) = httpHead(bytes, r)
+        val bodyStart = if (headerEnd < 0) r.payload_off else headerEnd
+        val cs = if (charset == "utf-8") "UTF-8" else "ISO-8859-1"
+        val body = new String(bytes, bodyStart, end - bodyStart, cs)
+        WarcBodyRow(row.media_id, r.rec_idx, r.target_uri,
+          if (headerEnd < 0) -1 else status,
+          if (headerEnd < 0) "" else contentType, body)
+      }
+    }
+  }
 
   /** HTTP-response inventory over a media Dataset of WARC payloads —
     * one row per `response` record ([[parseWarcHttp]]); payloads with

@@ -1183,6 +1183,123 @@ object LlmQueries {
       SELECT * FROM g ORDER BY media_id, rec_idx
     """.trim))
 
+  /** WARC → HTTP → HTML → training text in ONE query
+    * ([[Multimodal.warcResponseBodies]] →
+    * [[graft.operators.TextPrep.extractText]]): archive fixtures
+    * whose response payloads carry real HTML (nav boilerplate +
+    * prose), bodies decoded by declared charset, gated on
+    * status 200 + text/html, then line-classified and re-joined —
+    * the complete crawl-to-corpus text path composed end to end,
+    * every stage of which is individually pinned (q408, q411, q397).
+    * The oracle rebuilds the HTML in SQL and replays the exact
+    * TextPrep regex chain over it.
+    */
+  val q413WarcToText = HarnessQuery(
+    "q413_warc_to_text",
+    (spark, dir) => {
+      import spark.implicits._
+      import graft.operators.TextPrep
+      val warcs = Tables.nation(spark, dir)
+        .select(col("n_nationkey").cast("long").as("id")).as[Long]
+        .map { k =>
+          val html = "<html><head><script>var x = 1;</script></head>" +
+            "<body><div class=\"nav\"><a href=\"/\">Home</a> " +
+            "<a href=\"/n\">Next</a></div>" +
+            s"<p>Record $k of the archive keeps some perfectly " +
+            "ordinary text for the corpus.</p>" +
+            s"<p>Another line about the same record $k with enough " +
+            "words to pass the filters.</p></body></html>"
+          val ok = "HTTP/1.1 200 OK\r\n" +
+            "Content-Type: text/html; charset=utf-8\r\n\r\n" + html
+          val png = "HTTP/1.1 200 OK\r\n" +
+            "Content-Type: image/png\r\n\r\nPNGBYTES"
+          Multimodal.MediaRow(9200L + k,
+            Multimodal.warcBytesRaw(Seq(
+              ("response", s"https://n$k.example/", ok),
+              ("response", s"https://n$k.example/img", png))),
+            "application/warc", -1, -1)
+        }
+      val bodies = Multimodal.warcResponseBodies(warcs).toDF()
+        .filter(col("status") === 200 && col("content_type") === "text/html")
+      TextPrep.extractText(bodies, "media_id", "body")
+        .orderBy(col("media_id"))
+    },
+    Some {
+      def q(p: String) = "'" + p.replace("'", "''") + "'"
+      import graft.operators.TextPrep._
+      val entityChain = Entities.foldLeft("s") { case (acc, (ent, ch)) =>
+        s"regexp_replace($acc, ${q(ent)}, ${q(ch)}, 'g')"
+      }
+      s"""
+      WITH h AS (
+        SELECT CAST(9200 + n_nationkey AS BIGINT) AS media_id,
+               '<html><head><script>var x = 1;</script></head>'
+               || '<body><div class="nav"><a href="/">Home</a> '
+               || '<a href="/n">Next</a></div>'
+               || '<p>Record ' || n_nationkey || ' of the archive keeps '
+               || 'some perfectly ordinary text for the corpus.</p>'
+               || '<p>Another line about the same record ' || n_nationkey
+               || ' with enough words to pass the filters.</p>'
+               || '</body></html>' AS html
+        FROM nation),
+      c1 AS (
+        SELECT media_id,
+               regexp_replace(regexp_replace(regexp_replace(
+                 html, ${q(CommentRe)}, '', 'g'),
+                 ${q(ScriptRe)}, '', 'g'),
+                 ${q(StyleRe)}, '', 'g') AS s
+        FROM h),
+      c2 AS (
+        SELECT media_id,
+               regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                 s, ${q(AnchorOpenRe)}, chr(1), 'g'),
+                 ${q(AnchorCloseRe)}, chr(2), 'g'),
+                 ${q(BlockTagRe)}, chr(10), 'g'),
+                 ${q(AnyTagRe)}, '', 'g') AS s
+        FROM c1),
+      c3 AS (SELECT media_id, $entityChain AS s FROM c2),
+      l0 AS (SELECT media_id, string_split(s, chr(10)) AS ls FROM c3),
+      l1 AS (SELECT media_id, unnest(generate_series(1, len(ls))) AS i, ls
+             FROM l0),
+      l2 AS (SELECT media_id, i, ls[i] AS raw FROM l1),
+      feat AS (
+        SELECT media_id, i,
+               trim(regexp_replace(regexp_replace(
+                 raw, '[\\x01\\x02]', '', 'g'), '\\s+', ' ', 'g')) AS line,
+               coalesce(list_sum(list_transform(
+                 regexp_extract_all(raw, ${q(AnchorSpanRe)}, 1),
+                 x -> length(trim(regexp_replace(x, '\\s+', ' ', 'g'))))),
+                 0) AS link_chars
+        FROM l2),
+      vis AS (
+        SELECT media_id, i, line, length(line) AS n_chars, link_chars,
+               regexp_extract_all(lower(line), '[a-z]+') AS words
+        FROM feat WHERE length(line) > 0),
+      num AS (
+        SELECT media_id,
+               row_number() OVER (PARTITION BY media_id ORDER BY i)
+                 AS line_no,
+               line, n_chars, link_chars, len(words) AS n_words,
+               len(list_filter(words, w -> list_contains(
+                 [${StopwordsEn.map(q).mkString(", ")}], w))) AS n_stop
+        FROM vis),
+      cls AS (
+        SELECT media_id, line_no, line, n_chars,
+               floor(CAST(least(link_chars, n_chars) AS DOUBLE)
+                 / n_chars * 1e9) / 1e9 AS ld,
+               CASE WHEN n_words > 0
+                    THEN floor(CAST(n_stop AS DOUBLE) / n_words * 1e9) / 1e9
+                    ELSE 0.0 END AS sd
+        FROM num),
+      kept AS (
+        SELECT media_id, line_no, line FROM cls
+        WHERE NOT (n_chars < 15 OR ld > 0.35 OR sd < 0.05))
+      SELECT media_id, string_agg(line, chr(10) ORDER BY line_no) AS text,
+             CAST(count(*) AS BIGINT) AS n_lines_kept
+      FROM kept GROUP BY 1 ORDER BY 1
+      """.trim
+    })
+
   /** Unigram hard-EM TRAINING loop ([[TextAnalysis.unigramEmTrain]],
     * 2 rounds, vocab pruned to 24, words <= 12 chars): seed substring
     * vocabulary → segment → re-count along Viterbi paths → prune →
@@ -6320,7 +6437,7 @@ object LlmQueries {
   def all: Seq[HarnessQuery] = Seq(
     q386SeqPacking, q387PngMeta, q388UnigramSegment, q389UnigramEm,
     q392JpegMeta, q393PackAppend, q394UnigramTrain, q395ContinualPacking,
-    q408WarcMeta, q411WarcHttp,
+    q408WarcMeta, q411WarcHttp, q413WarcToText,
     q402UnigramPersisted,
     q370UrlCanonical, q377RobotsDecision, q378FrontierSchedule,
     q397HtmlExtract, q403RobotsParse, q407SitemapInventory,

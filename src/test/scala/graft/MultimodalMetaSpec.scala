@@ -272,6 +272,31 @@ class MultimodalMetaSpec extends SparkSpec {
       (4, -1, "", "", -1L, "garbage payload".length.toLong)))
   }
 
+  test("warcResponseBodies: charset-aware body decode and the " +
+    "non-HTTP passthrough") {
+    import spark.implicits._
+    // a UTF-8 body with a two-byte character: decoded correctly under
+    // the declared charset, mangled if the fallback had been used
+    val utf8Body = "café time"
+    val utf8Payload = ("HTTP/1.1 200 OK\r\n"
+      + "Content-Type: text/plain; charset=utf-8\r\n\r\n"
+      + new String(utf8Body.getBytes("UTF-8"), "ISO-8859-1"))
+    val latinPayload = ("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+      + "\r\nplain bytes")
+    val ds = Seq(Multimodal.MediaRow(1L, Multimodal.warcBytesRaw(Seq(
+      ("response", "https://h.com/u", utf8Payload),
+      ("response", "https://h.com/l", latinPayload),
+      ("response", "https://h.com/x", "not http"),
+      ("warcinfo", "", "software: graft\r\n"))),
+      "application/warc", -1, -1)).toDS()
+    val got = Multimodal.warcResponseBodies(ds).collect()
+      .map(r => (r.rec_idx, r.status, r.content_type, r.body)).toSeq
+    assert(got === Seq(
+      (0, 200, "text/plain", utf8Body),
+      (1, 200, "text/plain", "plain bytes"),
+      (2, -1, "", "not http")))
+  }
+
   test("warcRecords: per-record rows over a Dataset; a garbage payload " +
     "emits the single sentinel row") {
     import spark.implicits._
