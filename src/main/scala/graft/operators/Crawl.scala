@@ -299,4 +299,37 @@ object Crawl {
     entries("url", isIndex = false)
       .unionByName(entries("sitemap", isIndex = true))
   }
+
+  /** URL-level corpus prefilter (the C4/RefinedWeb-style gate that
+    * runs BEFORE any fetch): block by registrable domain (a broadcast
+    * blocklist join — blocklists are list-sized, frontiers are not)
+    * and by bad-word substring in the lowercased URL (the first
+    * matching word IN LIST ORDER is reported, so the verdict is
+    * deterministic and auditable). Output: (idCol, host, domain,
+    * domain_blocked, bad_word — null when clean, keep). Everything is
+    * one projection plus one broadcast join; the frontier never
+    * shuffles.
+    */
+  def urlFilter(
+      urls: DataFrame, idCol: String, urlCol: String,
+      blockedDomains: DataFrame, badWords: Seq[String],
+      twoLabelSuffixes: Seq[String] = Seq("co.uk", "com.au")): DataFrame = {
+    val host = UrlFunctions.host(col(urlCol))
+    val base = urls.select(col(idCol), col(urlCol), host.as("host"),
+      UrlFunctions.registrableDomain(host, twoLabelSuffixes).as("domain"),
+      lower(col(urlCol)).as("__lu"))
+    val badWord = badWords.foldRight(lit(null).cast("string")) { (w, acc) =>
+      when(col("__lu").contains(w.toLowerCase), lit(w.toLowerCase))
+        .otherwise(acc)
+    }
+    base
+      .join(broadcast(blockedDomains.select(col("domain"),
+        lit(true).as("__blk"))), Seq("domain"), "left")
+      .withColumn("domain_blocked", col("__blk").isNotNull)
+      .withColumn("bad_word", badWord)
+      .withColumn("keep",
+        !col("domain_blocked") && col("bad_word").isNull)
+      .select(col(idCol), col("host"), col("domain"),
+        col("domain_blocked"), col("bad_word"), col("keep"))
+  }
 }

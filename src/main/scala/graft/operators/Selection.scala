@@ -136,6 +136,46 @@ object Selection {
             / (col("__n") - lit(1)).cast("double")))
       .select((df.columns.map(col) :+ col("rank") :+ col("percent_rank")): _*)
 
+  /** CCNet-style score bucketing with per-bucket Bernoulli sampling:
+    * rank the WHOLE corpus by (`scoreCol` desc, idCol asc) through the
+    * quantile-bucketed two-level rank (never a row-scale global
+    * window), cut the ranking into `keepFracs.length` equal tiles
+    * (ntile arithmetic from the exact rank: bucket of rank r is
+    * `(r−1)·k div n + 1`, sizes differing by at most one), and keep
+    * each tile at its own content-stable rate — the head/middle/tail
+    * perplexity split CCNet popularized (keep the head, sample the
+    * middle, drop the tail), generalized to any score and any number
+    * of tiles. Sampling reuses [[Mixture.sampleByHash]]'s md5-derived
+    * 60-bit threshold so membership is deterministic, content-stable,
+    * and SQL-replayable; frac 1.0 keeps the whole tile, 0.0 drops it.
+    * Output: df's columns + (bucket 1-based — bucket 1 is the HIGHEST
+    * score, kept boolean).
+    */
+  def scoreBucketSample(
+      df: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      keepFracs: Seq[Double],
+      seed: Long,
+      buckets: Int = 64): DataFrame = {
+    require(keepFracs.nonEmpty, "keepFracs must be non-empty")
+    require(keepFracs.forall(f => f >= 0.0 && f <= 1.0),
+      s"keepFracs must be in [0,1], got $keepFracs")
+    val k = keepFracs.length
+    val ranked = globalRankPerKey(
+      df.withColumn("__gk", lit(1)), "__gk", scoreCol, Seq(idCol), buckets)
+    val idStr = coalesce(col(idCol).cast("string"), lit("\u0000graft_null"))
+    val h = graft.functions.TextFunctions
+      .md5Hash60(concat(idStr, lit(":"), lit(seed.toString)))
+    val thresholds = array(keepFracs.map(f =>
+      lit((f * (1L << 60).toDouble).toLong)): _*)
+    ranked
+      .withColumn("bucket",
+        (expr(s"((__rn - 1) * $k) div __n") + 1L).cast("int"))
+      .withColumn("kept", h < element_at(thresholds, col("bucket")))
+      .select((df.columns.map(col) :+ col("bucket") :+ col("kept")): _*)
+  }
+
   /** Length-bucketed training-batch assembly: band each row by
     * `floor(tokenCount / bucketWidth)`, rank within the band
     * (tokenCount desc, id asc) and cut consecutive ranks into batches

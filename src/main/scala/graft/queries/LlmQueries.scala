@@ -2757,6 +2757,92 @@ object LlmQueries {
       FROM base ORDER BY doc_id
     """.trim))
 
+  /** CCNet head/middle/tail perplexity split
+    * ([[Selection.scoreBucketSample]] over q119's bigram-LM
+    * perplexities): rank every scored document by (perplexity asc,
+    * doc_id) through the two-level exact rank — never a row-scale
+    * global window — cut into three equal tiles, keep the head
+    * whole, Bernoulli-sample the middle at 0.5 (content-stable md5
+    * membership, seed 7), drop the tail: the canonical LM-filtered
+    * pretraining-data split. The oracle replays the full perplexity
+    * chain, the ntile arithmetic from the exact rank, and the md5
+    * membership rule.
+    */
+  val q414CcnetBuckets = HarnessQuery(
+    "q414_ccnet_buckets",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val scored = TextAnalysis.bigramLogProb(
+          docs, docs.filter(col("source").isin("src0", "src1")),
+          "text", "doc_id")
+        .withColumn("bigram_logprob",
+          floor(col("bigram_logprob") * 1e10) / 1e10)
+        .withColumn("perplexity",
+          floor(exp(-col("bigram_logprob")) * 1e8) / 1e8)
+        .withColumn("neg_ppl", -col("perplexity"))
+        .select(col("doc_id"), col("perplexity"), col("neg_ppl"))
+      Selection.scoreBucketSample(scored, "doc_id", "neg_ppl",
+          keepFracs = Seq(1.0, 0.5, 0.0), seed = 7L)
+        .select(col("doc_id"), col("perplexity"), col("bucket"),
+          col("kept").cast("int").as("kept"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH ref AS (
+        SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS a
+        FROM documents WHERE source IN ('src0', 'src1')),
+      refuni AS (
+        SELECT t.term, count(*) AS uc
+        FROM (SELECT unnest(a) AS term FROM ref) t GROUP BY 1),
+      refstats AS (
+        SELECT CAST(sum(uc) AS DOUBLE) AS tot,
+               CAST(count(*) AS DOUBLE) AS v FROM refuni),
+      refbg AS (
+        SELECT w1, w2, count(*) AS bc FROM (
+          SELECT unnest(a[1:len(a)-1]) AS w1, unnest(a[2:len(a)]) AS w2
+          FROM ref WHERE len(a) >= 2) GROUP BY 1, 2),
+      docs AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS a
+        FROM documents),
+      tc AS (
+        SELECT doc_id, w1, w2, count(*) AS n FROM (
+          SELECT doc_id, unnest(a[1:len(a)-1]) AS w1, unnest(a[2:len(a)]) AS w2
+          FROM docs WHERE len(a) >= 2) GROUP BY 1, 2, 3),
+      scored AS (
+        SELECT tc.doc_id, tc.n,
+               0.7 * (CASE WHEN u1.uc IS NOT NULL
+                 THEN COALESCE(b.bc, 0) / CAST(u1.uc AS DOUBLE) ELSE 0 END)
+               + 0.2 * (COALESCE(u2.uc, 0) / s.tot)
+               + 0.1 / (s.v + 1.0) AS p
+        FROM tc
+        LEFT JOIN refbg b ON b.w1 = tc.w1 AND b.w2 = tc.w2
+        LEFT JOIN refuni u1 ON u1.term = tc.w1
+        LEFT JOIN refuni u2 ON u2.term = tc.w2, refstats s),
+      base AS (
+        SELECT doc_id,
+               floor(CAST(sum(CAST(n * ln(p) AS DECIMAL(30,12))) AS DOUBLE)
+                     / sum(n) * 1e10) / 1e10 AS lp
+        FROM scored GROUP BY doc_id),
+      ppl AS (
+        SELECT doc_id, floor(exp(-lp) * 1e8) / 1e8 AS perplexity
+        FROM base),
+      ranked AS (
+        SELECT doc_id, perplexity,
+               row_number() OVER (ORDER BY perplexity, doc_id) AS rn,
+               count(*) OVER () AS n
+        FROM ppl)
+      SELECT doc_id, perplexity,
+             CAST((rn - 1) * 3 // n + 1 AS INT) AS bucket,
+             CAST(CASE (rn - 1) * 3 // n + 1
+               WHEN 1 THEN 1
+               WHEN 2 THEN CASE WHEN
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'),
+                   1, 15)) AS BIGINT) < ${(0.5 * (1L << 60).toDouble).toLong}
+                 THEN 1 ELSE 0 END
+               ELSE 0 END AS INT) AS kept
+      FROM ranked ORDER BY doc_id
+    """.trim))
+
   /** Length-bucketed batch assembly
     * ([[Selection.lengthBucketedBatches]], width 32, batch 8) rolled up
     * to per-batch padding stats: a batch pads to its longest member, so
@@ -6071,6 +6157,59 @@ object LlmQueries {
       FROM sched ORDER BY host, host_rank
     """.trim))
 
+  /** URL-level corpus prefilter ([[Crawl.urlFilter]]): the
+    * C4/RefinedWeb gate that runs before any fetch — registrable-
+    * domain blocklist (broadcast join; blocks every .co.uk URL here)
+    * plus bad-word substring screening with deterministic
+    * first-match-in-list-order reporting (gclid before item). The
+    * oracle replays host extraction, the public-suffix domain rule,
+    * the IN-list block, and the CASE-ordered word match.
+    */
+  val q415UrlFilter = HarnessQuery(
+    "q415_url_filter",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val blocked = spark.range(1)
+        .select(lit("example.co.uk").as("domain"))
+        .unionByName(spark.range(1).select(lit("blocked.test").as("domain")))
+      Crawl.urlFilter(docs.withColumn("__url", crawlUrl),
+          "doc_id", "__url", blocked, badWords = Seq("gclid", "item"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH u AS ($crawlUrlSql),
+      parts AS (
+        SELECT doc_id, url,
+               lower(regexp_extract(
+                 regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+                 '(?:[^@]*@)?([^:]*)', 1)) AS host
+        FROM u),
+      dom AS (
+        SELECT doc_id, url, host, string_split(host, '.') AS labels
+        FROM parts),
+      d2 AS (
+        SELECT doc_id, url, host,
+               CASE WHEN len(labels) <= 1 THEN host
+                    WHEN len(labels) >= 3
+                     AND (labels[len(labels)-1] || '.' || labels[len(labels)])
+                         IN ('co.uk', 'com.au')
+                    THEN labels[len(labels)-2] || '.'
+                         || labels[len(labels)-1] || '.' || labels[len(labels)]
+                    ELSE labels[len(labels)-1] || '.' || labels[len(labels)]
+               END AS domain
+        FROM dom),
+      f AS (
+        SELECT doc_id, host, domain,
+               domain IN ('example.co.uk', 'blocked.test') AS domain_blocked,
+               CASE WHEN contains(lower(url), 'gclid') THEN 'gclid'
+                    WHEN contains(lower(url), 'item') THEN 'item' END
+                 AS bad_word
+        FROM d2)
+      SELECT doc_id, host, domain, domain_blocked, bad_word,
+             (NOT domain_blocked) AND bad_word IS NULL AS keep
+      FROM f ORDER BY doc_id
+    """.trim))
+
   /** Crawl-delay politeness ([[Crawl.parseCrawlDelays]] →
     * [[Crawl.delaysForAgent]] → [[Crawl.frontierScheduleWithDelays]]):
     * per-host delays parsed from the robots bodies themselves — even
@@ -6442,6 +6581,7 @@ object LlmQueries {
     q370UrlCanonical, q377RobotsDecision, q378FrontierSchedule,
     q397HtmlExtract, q403RobotsParse, q407SitemapInventory,
     q409CrawlPipeline, q410CrawlDelays, q412ContinualFrontier,
+    q415UrlFilter,
     q338Winnowing, q339WinnowOverlap, q348WinnowIncremental, q350LineDedup,
     q354TextRank, q356Waterfill, q362TokenizerFertility, q363HeapsFit,
     q210PhashClusters,
@@ -6462,7 +6602,7 @@ object LlmQueries {
     q113HardNegatives, q114ScrubDupSpans, q115NfcNormalize, q116PipelineV3,
     q117PqTopK, q118IvfPqTopK, q374AnnPersisted, q400AnnIncremental,
     q405AnnRecentroid, q406ContinualAnn,
-    q119BigramPerplexity,
+    q119BigramPerplexity, q414CcnetBuckets,
     q120BucketedBatches,
     q121TemperatureWeights, q122SourceDivergence, q123HashedTf,
     q125EventSequences, q126CrossSourceDups, q127DecaySample,

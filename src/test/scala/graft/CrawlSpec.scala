@@ -160,6 +160,28 @@ class CrawlSpec extends SparkSpec {
       ("h.com", "https://h.com/two.xml")))
   }
 
+  test("urlFilter: domain blocklist, list-ordered bad-word report, " +
+    "public-suffix domains, default keep") {
+    val urls = Seq(
+      (1L, "https://news.example.co.uk/story"), // blocked domain
+      (2L, "https://a.shop.com/buy?gclid=1&item=2"), // both words: gclid
+      (3L, "https://b.shop.com/item/9"), // item only
+      (4L, "http://localhost/fine"), // single-label host, clean
+      (5L, "https://c.ok.org/page")) // clean
+      .toDF("id", "url")
+    val blocked = Seq("example.co.uk", "blocked.test").toDF("domain")
+    val got = Crawl.urlFilter(urls, "id", "url", blocked,
+      badWords = Seq("gclid", "item"))
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[String]("domain"), r.getAs[Boolean]("domain_blocked"),
+          r.getAs[String]("bad_word"), r.getAs[Boolean]("keep")))).toMap
+    assert(got(1L) === (("example.co.uk", true, null, false)))
+    assert(got(2L) === (("shop.com", false, "gclid", false)))
+    assert(got(3L) === (("shop.com", false, "item", false)))
+    assert(got(4L) === (("localhost", false, null, true)))
+    assert(got(5L) === (("ok.org", false, null, true)))
+  }
+
   test("parseSitemap: urlset and sitemapindex entries, entity decode, " +
     "loc trim, nullable lastmod, non-XML yields nothing") {
     val urlset =

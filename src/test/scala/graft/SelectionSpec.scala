@@ -195,4 +195,35 @@ class SelectionSpec extends SparkSpec with TableDrivenPropertyChecks {
       Selection.mmrSelect(pts, "vec_id", "embedding", k = 2, lambda = 0.7)
     }
   }
+
+  test("scoreBucketSample: ntile arithmetic from the exact rank, " +
+    "head kept whole, middle hash-sampled, tail dropped") {
+    import graft.operators.Mixture
+    // n = 10, k = 3: tiles of 4/3/3 by score desc, id asc on ties
+    val df = (1L to 10L).map(i => (i, (100 - i).toDouble))
+      .toDF("id", "score")
+    val got = Selection.scoreBucketSample(df, "id", "score",
+      keepFracs = Seq(1.0, 0.5, 0.0), seed = 11L)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Int]("bucket"), r.getAs[Boolean]("kept")))).toMap
+    // scores descend with id, so rank == id: ids 1-4 tile 1,
+    // 5-7 tile 2, 8-10 tile 3
+    assert((1L to 10L).map(got(_)._1) ===
+      Seq(1, 1, 1, 1, 2, 2, 2, 3, 3, 3))
+    assert((1L to 4L).forall(got(_)._2))
+    assert((8L to 10L).forall(!got(_)._2))
+    // tile-2 membership IS sampleByHash membership at the same seed
+    val sampled = Mixture.sampleByHash(
+      Seq(5L, 6L, 7L).toDF("id"), "id", 0.5, 11L)
+      .collect().map(_.getLong(0)).toSet
+    assert((5L to 7L).map(i => i -> got(i)._2).toMap ===
+      (5L to 7L).map(i => i -> sampled(i)).toMap)
+    // ties on score break by id: both orderings still total
+    val tied = Seq((1L, 5.0), (2L, 5.0), (3L, 1.0)).toDF("id", "score")
+    val tg = Selection.scoreBucketSample(tied, "id", "score",
+      Seq(1.0, 1.0, 1.0), 1L)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Int]("bucket"))
+      .toMap
+    assert(tg === Map(1L -> 1, 2L -> 2, 3L -> 3))
+  }
 }
