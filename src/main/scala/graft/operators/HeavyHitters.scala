@@ -6,6 +6,8 @@ import org.apache.spark.sql.{DataFrame, Encoders}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.Materialize
+
 /** Frequent-item detection at stream scale — the Misra–Gries
   * candidate-then-verify pattern: a full `groupBy(item).count()` over a
   * 100 TB token stream shuffles every distinct item (vocabulary-sized —
@@ -171,5 +173,77 @@ object HeavyHitters {
           / (col("__hk").cast("double") / lit(1.152921504606846976e18)), 4))
         .otherwise(col("exact_distinct").cast("double"))
         .as("kmv_estimate"))
+  }
+
+  /** Theta-style SET OPERATIONS from two KMV sketches — the "how much
+    * does snapshot B overlap snapshot A" question a recrawl audit asks
+    * at 100 TB, answered from two k-row sketches instead of an exact
+    * corpus-x-corpus distinct join. Each side keeps the k smallest
+    * md5 hashes of its distinct items (`orderBy().limit(k)` — Spark
+    * executes this as a distributed take-ordered, never a global
+    * single-partition sort); θ is the k-th smallest of the sketch
+    * UNION (which provably equals the union's own KMV sketch), and
+    * every distinct item lands below θ with probability θ, so with
+    * `c` = items in BOTH sketches below θ: \|A∪B\| ≈ (k−1)/θ,
+    * \|A∩B\| ≈ c/θ, Jaccard ≈ c/k. When the union sketch holds fewer
+    * than k entries the sketches ARE the full sets and the exact
+    * counts are reported instead. The md5 hash is deterministic, so
+    * every estimate replays bit-for-bit in SQL; the exact
+    * intersection/union ride along for the audit (cheap at sf, the
+    * thing the sketch replaces at scale).
+    *
+    * Output one row: (exact_union, exact_intersection, sketch_k,
+    * union_sketch_size, matches_below_theta, est_union,
+    * est_intersection, est_jaccard).
+    */
+  def kmvSetOps(
+      a: DataFrame, b: DataFrame, itemCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    def items(df: DataFrame) = df.where(col(itemCol).isNotNull)
+      .select(col(itemCol).cast("string").as("__item")).distinct()
+    def sketch(df: DataFrame) = Materialize.cut(items(df)
+      .withColumn("__h",
+        graft.functions.TextFunctions.md5Hash60(col("__item")))
+      .orderBy(col("__h"), col("__item")).limit(k))
+    val ka = sketch(a)
+    val kb = sketch(b)
+    val ku = Materialize.cut(ka.unionByName(kb).distinct()
+      .orderBy(col("__h"), col("__item")).limit(k))
+    val theta = ku.agg(max(col("__h")).as("__theta"),
+      count(lit(1)).as("union_sketch_size"))
+    val c = ka.join(kb, Seq("__item", "__h"))
+      .crossJoin(broadcast(theta.select(col("__theta"))))
+      .filter(col("__h") <= col("__theta"))
+      .agg(count(lit(1)).as("matches_below_theta"))
+    val ia = items(a)
+    val ib = items(b)
+    val exact = ia.unionByName(ib).distinct()
+      .agg(count(lit(1)).as("exact_union"))
+      .crossJoin(broadcast(
+        ia.join(ib, Seq("__item"), "leftsemi")
+          .agg(count(lit(1)).as("exact_intersection"))))
+    val thetaNorm = col("__theta").cast("double") /
+      lit(1.152921504606846976e18)
+    exact
+      .crossJoin(broadcast(theta))
+      .crossJoin(broadcast(c))
+      .select(col("exact_union"), col("exact_intersection"),
+        lit(k).as("sketch_k"), col("union_sketch_size"),
+        col("matches_below_theta"),
+        when(col("union_sketch_size") < k,
+            col("union_sketch_size").cast("double"))
+          .otherwise(round(lit((k - 1).toDouble) / thetaNorm, 4))
+          .as("est_union"),
+        when(col("union_sketch_size") < k,
+            col("matches_below_theta").cast("double"))
+          .otherwise(round(col("matches_below_theta").cast("double")
+            / thetaNorm, 4))
+          .as("est_intersection"),
+        when(col("union_sketch_size") < k,
+            round(col("matches_below_theta").cast("double")
+              / col("union_sketch_size"), 4))
+          .otherwise(round(col("matches_below_theta").cast("double")
+            / lit(k.toDouble), 4))
+          .as("est_jaccard"))
   }
 }

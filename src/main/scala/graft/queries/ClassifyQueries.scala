@@ -697,6 +697,78 @@ object ClassifyQueries {
       FROM a ORDER BY 1
     """.trim))
 
+  /** Theta-style KMV set operations ([[HeavyHitters.kmvSetOps]]):
+    * snapshot-overlap estimation between the token sets of the
+    * low-numbered and high-numbered sources — union, intersection,
+    * and Jaccard estimated from two 128-row sketches (θ = k-th
+    * smallest hash of the sketch union; every estimate replays from
+    * the deterministic md5 hashes), with the exact counts riding
+    * along for the audit. The recrawl-dedup budgeting question at
+    * 100 TB, answered without a corpus-x-corpus join.
+    */
+  val q416KmvSetOps = HarnessQuery(
+    "q416_kmv_set_ops",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val srcNum = regexp_extract(col("source"), "([0-9]+)$", 1).cast("int")
+      val toks = docs.select(srcNum.as("__sn"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("item"))
+      HeavyHitters.kmvSetOps(
+        toks.filter(col("__sn") < 10), toks.filter(col("__sn") >= 10),
+        "item", k = 128)
+    },
+    Some("""
+      WITH toks AS (
+        SELECT CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) AS sn,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                 AS item
+        FROM documents),
+      ia AS (SELECT DISTINCT item FROM toks WHERE sn < 10),
+      ib AS (SELECT DISTINCT item FROM toks WHERE sn >= 10),
+      ha AS (SELECT item,
+               CAST(('0x' || substr(md5(item), 1, 15)) AS BIGINT) AS h
+             FROM ia),
+      hb AS (SELECT item,
+               CAST(('0x' || substr(md5(item), 1, 15)) AS BIGINT) AS h
+             FROM ib),
+      ka AS (SELECT * FROM ha ORDER BY h, item LIMIT 128),
+      kb AS (SELECT * FROM hb ORDER BY h, item LIMIT 128),
+      ku AS (SELECT * FROM (
+               SELECT * FROM ka UNION SELECT * FROM kb)
+             ORDER BY h, item LIMIT 128),
+      th AS (SELECT max(h) AS theta,
+                    CAST(count(*) AS BIGINT) AS union_sketch_size
+             FROM ku),
+      c AS (SELECT CAST(count(*) AS BIGINT) AS matches_below_theta
+            FROM ka JOIN kb USING (item, h), th
+            WHERE ka.h <= th.theta),
+      ex AS (SELECT
+               (SELECT CAST(count(*) AS BIGINT) FROM
+                 (SELECT item FROM ia UNION SELECT item FROM ib))
+                 AS exact_union,
+               (SELECT CAST(count(*) AS BIGINT) FROM ia
+                 WHERE item IN (SELECT item FROM ib))
+                 AS exact_intersection)
+      SELECT ex.exact_union, ex.exact_intersection,
+             CAST(128 AS INT) AS sketch_k,
+             th.union_sketch_size, c.matches_below_theta,
+             CASE WHEN th.union_sketch_size < 128
+               THEN CAST(th.union_sketch_size AS DOUBLE)
+               ELSE round(127.0 / (CAST(th.theta AS DOUBLE)
+                 / 1.152921504606846976e18), 4) END AS est_union,
+             CASE WHEN th.union_sketch_size < 128
+               THEN CAST(c.matches_below_theta AS DOUBLE)
+               ELSE round(CAST(c.matches_below_theta AS DOUBLE)
+                 / (CAST(th.theta AS DOUBLE)
+                    / 1.152921504606846976e18), 4) END AS est_intersection,
+             CASE WHEN th.union_sketch_size < 128
+               THEN round(CAST(c.matches_below_theta AS DOUBLE)
+                 / th.union_sketch_size, 4)
+               ELSE round(CAST(c.matches_below_theta AS DOUBLE) / 128.0, 4)
+             END AS est_jaccard
+      FROM ex, th, c
+    """.trim))
+
   /** Classical additive decomposition ([[TimeSeries.decomposeDaily]])
     * of per-type daily counts: centered 7-day MA trend, sum-zero
     * day-of-week seasonal, residual.
@@ -1599,7 +1671,8 @@ object ClassifyQueries {
   val all: Seq[HarnessQuery] = Seq(
     q264NaiveBayes, q265LogisticGd, q266DecisionStump, q267FdAudit, q268Acf,
     q269CmsAudit, q270BoostedStumps, q272Neyman, q273Hits,
-    q274NearestCentroid, q275TrigramLm, q276Huber, q277Kmv, q278Decompose,
+    q274NearestCentroid, q275TrigramLm, q276Huber, q277Kmv, q416KmvSetOps,
+    q278Decompose,
     q279TCloseness, q280Silhouette, q281Ndcg, q282Rendezvous, q283EbShrink,
     q284Als, q285SentenceStats, q286Sortedness, q287Flesch, q288NbFeatures,
     q289BinaryIngest, q290PitEnrich, q291Bpe, q292BpeSymbols, q293Ess,

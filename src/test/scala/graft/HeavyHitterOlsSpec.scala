@@ -77,4 +77,35 @@ class HeavyHitterOlsSpec extends SparkSpec {
     val cands = HeavyHitters.mgCandidates(12)(stream.iterator).toSet
     assert(cands.contains("h")) // freq 0.1 > 1/12, must survive
   }
+
+  test("kmvSetOps: exact path below k, estimate path above, Jaccard " +
+    "in a sane band") {
+    import spark.implicits._
+    // |A| = 30, |B| = 30, |A∩B| = 10, |A∪B| = 50
+    val a = ((1 to 20).map(i => s"only_a_$i") ++
+      (1 to 10).map(i => s"both_$i")).toDF("item")
+    val b = ((1 to 20).map(i => s"only_b_$i") ++
+      (1 to 10).map(i => s"both_$i")).toDF("item")
+    // k = 64 > |A∪B|: the sketches ARE the sets — exact everywhere
+    val ex = HeavyHitters.kmvSetOps(a, b, "item", 64).collect().head
+    assert(ex.getAs[Long]("exact_union") === 50L)
+    assert(ex.getAs[Long]("exact_intersection") === 10L)
+    assert(ex.getAs[Long]("union_sketch_size") === 50L)
+    assert(ex.getAs[Long]("matches_below_theta") === 10L)
+    assert(ex.getAs[Double]("est_union") === 50.0)
+    assert(ex.getAs[Double]("est_intersection") === 10.0)
+    assert(ex.getAs[Double]("est_jaccard") === 0.2)
+
+    // k = 16 < |A∪B|: genuine estimation — deterministic given md5,
+    // and within a loose band of the truth (k is tiny on purpose)
+    val est = HeavyHitters.kmvSetOps(a, b, "item", 16).collect().head
+    assert(est.getAs[Long]("union_sketch_size") === 16L)
+    val eu = est.getAs[Double]("est_union")
+    val ej = est.getAs[Double]("est_jaccard")
+    assert(eu > 15.0 && eu < 200.0, s"est_union $eu")
+    assert(ej >= 0.0 && ej <= 1.0)
+    // rerun: content-stable (no randomness anywhere)
+    val est2 = HeavyHitters.kmvSetOps(a, b, "item", 16).collect().head
+    assert(est2.getAs[Double]("est_union") === eu)
+  }
 }
