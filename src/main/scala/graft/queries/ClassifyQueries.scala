@@ -121,6 +121,110 @@ object ClassifyQueries {
       FROM w3
     """.trim))
 
+  /** Weak-label quality classifier, trained AND applied in one plan
+    * ([[TextAnalysis.qualityScore]] features → [[Classify.logisticGd]]
+    * → broadcast-weights scoring): the FineWeb/RefinedWeb trick —
+    * treat two sources as the "reference" class, everything else as
+    * crawl, fit a 3-feature logistic model (mean token length, punct
+    * ratio, digit ratio; 3 rounds, lr 0.1), then score every document
+    * with the trained weights and gate at 0.5. The oracle replays the
+    * feature extraction, unrolls all three GD rounds with the 12 dp
+    * weight round-trip, and applies the same 10 dp-rounded weights.
+    */
+  val q417QualityClassifier = HarnessQuery(
+    "q417_quality_classifier",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val feats = TextAnalysis.qualityScore(docs, "text")
+        .withColumn("y",
+          col("source").isin("src0", "src1").cast("int"))
+        .select(col("doc_id"), col("y"), col("mean_token_len"),
+          col("punct_ratio"), col("digit_ratio"))
+      val w = Classify.logisticGd(feats,
+        Seq(col("mean_token_len"), col("punct_ratio"), col("digit_ratio")),
+        "y", iters = 3, lr = 0.1)
+      feats.crossJoin(broadcast(w))
+        .withColumn("score", round(lit(1.0) / (lit(1.0) +
+          exp(-(col("w_intercept")
+            + col("w_0") * col("mean_token_len")
+            + col("w_1") * col("punct_ratio")
+            + col("w_2") * col("digit_ratio")))), 10))
+        .select(col("doc_id"), col("score"),
+          (col("score") > 0.5).cast("int").as("kept"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, source, text,
+                        regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+                        length(text) AS n_chars
+                 FROM documents),
+      f AS (SELECT doc_id,
+              CASE WHEN source IN ('src0', 'src1')
+                   THEN 1.0 ELSE 0.0 END AS y,
+              CAST(length(array_to_string(toks, '')) AS DOUBLE)
+                / len(toks) AS x0,
+              CAST(n_chars - length(regexp_replace(text, '[[:punct:]]', '', 'g'))
+                AS DOUBLE) / nullif(n_chars, 0) AS x1,
+              CAST(n_chars - length(regexp_replace(text, '[0-9]', '', 'g'))
+                AS DOUBLE) / nullif(n_chars, 0) AS x2
+            FROM t),
+      g1 AS (SELECT
+               sum(CAST(round(1.0/(1.0+exp(-(0.0))) - y, 12)
+                        AS DECIMAL(38,12))) AS s0,
+               sum(CAST(round((1.0/(1.0+exp(-(0.0))) - y) * x0, 12)
+                        AS DECIMAL(38,12))) AS s1,
+               sum(CAST(round((1.0/(1.0+exp(-(0.0))) - y) * x1, 12)
+                        AS DECIMAL(38,12))) AS s2,
+               sum(CAST(round((1.0/(1.0+exp(-(0.0))) - y) * x2, 12)
+                        AS DECIMAL(38,12))) AS s3,
+               count(*) AS n FROM f),
+      w1 AS (SELECT round(0.0 - 0.1 * (CAST(s0 AS DOUBLE) / n), 12) AS b,
+                    round(0.0 - 0.1 * (CAST(s1 AS DOUBLE) / n), 12) AS w0,
+                    round(0.0 - 0.1 * (CAST(s2 AS DOUBLE) / n), 12) AS w1,
+                    round(0.0 - 0.1 * (CAST(s3 AS DOUBLE) / n), 12) AS w2
+             FROM g1),
+      g2 AS (SELECT
+               sum(CAST(round(1.0/(1.0+exp(-(b + w0*x0 + w1*x1 + w2*x2))) - y, 12)
+                        AS DECIMAL(38,12))) AS s0,
+               sum(CAST(round((1.0/(1.0+exp(-(b + w0*x0 + w1*x1 + w2*x2))) - y) * x0, 12)
+                        AS DECIMAL(38,12))) AS s1,
+               sum(CAST(round((1.0/(1.0+exp(-(b + w0*x0 + w1*x1 + w2*x2))) - y) * x1, 12)
+                        AS DECIMAL(38,12))) AS s2,
+               sum(CAST(round((1.0/(1.0+exp(-(b + w0*x0 + w1*x1 + w2*x2))) - y) * x2, 12)
+                        AS DECIMAL(38,12))) AS s3,
+               count(*) AS n FROM f, w1),
+      w2t AS (SELECT round(w1.b - 0.1 * (CAST(s0 AS DOUBLE) / n), 12) AS b,
+                     round(w1.w0 - 0.1 * (CAST(s1 AS DOUBLE) / n), 12) AS w0,
+                     round(w1.w1 - 0.1 * (CAST(s2 AS DOUBLE) / n), 12) AS w1,
+                     round(w1.w2 - 0.1 * (CAST(s3 AS DOUBLE) / n), 12) AS w2
+              FROM g2, w1),
+      g3 AS (SELECT
+               sum(CAST(round(1.0/(1.0+exp(-(b + w0*x0 + w1*x1 + w2*x2))) - y, 12)
+                        AS DECIMAL(38,12))) AS s0,
+               sum(CAST(round((1.0/(1.0+exp(-(b + w0*x0 + w1*x1 + w2*x2))) - y) * x0, 12)
+                        AS DECIMAL(38,12))) AS s1,
+               sum(CAST(round((1.0/(1.0+exp(-(b + w0*x0 + w1*x1 + w2*x2))) - y) * x1, 12)
+                        AS DECIMAL(38,12))) AS s2,
+               sum(CAST(round((1.0/(1.0+exp(-(b + w0*x0 + w1*x1 + w2*x2))) - y) * x2, 12)
+                        AS DECIMAL(38,12))) AS s3,
+               count(*) AS n FROM f, w2t),
+      w3 AS (SELECT round(w2t.b - 0.1 * (CAST(s0 AS DOUBLE) / n), 12) AS b,
+                    round(w2t.w0 - 0.1 * (CAST(s1 AS DOUBLE) / n), 12) AS w0,
+                    round(w2t.w1 - 0.1 * (CAST(s2 AS DOUBLE) / n), 12) AS w1,
+                    round(w2t.w2 - 0.1 * (CAST(s3 AS DOUBLE) / n), 12) AS w2
+             FROM g3, w2t),
+      wf AS (SELECT round(b, 10) AS b, round(w0, 10) AS w0,
+                    round(w1, 10) AS w1, round(w2, 10) AS w2
+             FROM w3),
+      sc AS (SELECT f.doc_id,
+               round(1.0/(1.0+exp(-(wf.b + wf.w0*f.x0 + wf.w1*f.x1
+                                    + wf.w2*f.x2))), 10) AS score
+             FROM f, wf)
+      SELECT doc_id, score,
+             CAST(CASE WHEN score > 0.5 THEN 1 ELSE 0 END AS INT) AS kept
+      FROM sc ORDER BY doc_id
+    """.trim))
+
   /** Decision stump ([[Classify.decisionStump]]): best Gini threshold on
     * `value` for predicting purchases. The cumulative window runs over
     * DISTINCT feature values (bounded 2-dp domain), not rows.
@@ -1672,6 +1776,7 @@ object ClassifyQueries {
     q264NaiveBayes, q265LogisticGd, q266DecisionStump, q267FdAudit, q268Acf,
     q269CmsAudit, q270BoostedStumps, q272Neyman, q273Hits,
     q274NearestCentroid, q275TrigramLm, q276Huber, q277Kmv, q416KmvSetOps,
+    q417QualityClassifier,
     q278Decompose,
     q279TCloseness, q280Silhouette, q281Ndcg, q282Rendezvous, q283EbShrink,
     q284Als, q285SentenceStats, q286Sortedness, q287Flesch, q288NbFeatures,
