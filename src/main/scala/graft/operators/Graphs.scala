@@ -549,6 +549,100 @@ object Graphs {
       .select(col("__id").as(idCol), col("__c").as("community"))
   }
 
+  /** Incremental Louvain: fold a NEW-edge batch into a frozen
+    * community assignment with LOCAL moves only — the community twin
+    * of [[graft.operators.Components.incrementalComponents]], and the
+    * missing piece between it and the full multi-level rebuild. Only
+    * vertices TOUCHED by the batch (its endpoints; new vertices enter
+    * as singletons) may move; they run `rounds` parity-gated
+    * synchronous ascent rounds with the exact integer gain of
+    * [[louvainOneLevel]], scored against the FULL updated graph
+    * masses (degrees and m include the batch), while every untouched
+    * vertex keeps its label. Q is therefore evaluated on the true
+    * grown graph — moves that look good only on stale masses cannot
+    * happen.
+    *
+    * Scale shape per batch: degree masses and m are one aggregate
+    * over old + new edges (incrementally maintainable as old-deg +
+    * batch-delta at a real deployment — the dataflow here recomputes
+    * for oracle parity, same cost class); the per-round neighbor-
+    * community aggregate reads ONLY edges incident to the movable
+    * set (one semi-join, batch-degree-bounded), so round cost scales
+    * with the batch's neighborhood, never the corpus graph. The
+    * community mass table is community-cardinality-sized.
+    */
+  def incrementalLouvain(
+      assign: DataFrame, idCol: String,
+      oldEdges: DataFrame, newEdges: DataFrame,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 10, s"rounds out of range: $rounds")
+    val all = oldEdges.select(col("id_a"), col("id_b"))
+      .unionByName(newEdges.select(col("id_a"), col("id_b")))
+    val und = Materialize.cut(
+      all.select(col("id_a").as("__u"), col("id_b").as("__v"),
+          lit(1L).as("__w"))
+        .unionAll(all.select(col("id_b").as("__u"),
+          col("id_a").as("__v"), lit(1L).as("__w"))))
+    val deg = und.groupBy(col("__u"))
+      .agg(sum(col("__w")).cast("long").as("__k"))
+    val mRow = all.agg(count(lit(1)).cast("long").as("__m"))
+    val movable = Materialize.cut(
+      newEdges.select(col("id_a").as("__id"))
+        .unionByName(newEdges.select(col("id_b").as("__id")))
+        .distinct())
+    val base = assign.select(col(idCol).as("__id"),
+      col("community").cast("long").as("__c"))
+    val entrants = movable.join(base, Seq("__id"), "leftanti")
+      .select(col("__id"), col("__id").cast("long").as("__c"))
+    var cur = Materialize.cut(base.unionByName(entrants))
+    val undM = Materialize.cut(
+      und.join(movable.select(col("__id").as("__u")), Seq("__u"),
+        "leftsemi"))
+    for (r <- 1 to rounds) {
+      val tot = cur.join(deg, cur("__id") === deg("__u"), "left")
+        .groupBy(col("__c"))
+        .agg(sum(coalesce(col("__k"), lit(0L))).as("__tot"))
+      val kvc = undM
+        .join(cur.select(col("__id").as("__v"), col("__c").as("__nc")),
+          Seq("__v"))
+        .groupBy(col("__u"), col("__nc"))
+        .agg(sum(col("__w")).cast("long").as("__kvc"))
+        .select(col("__u").as("__id"), col("__nc").as("__cand"),
+          col("__kvc"))
+      val own = cur.join(movable, Seq("__id"), "leftsemi")
+        .select(col("__id"), col("__c").as("__cand"), lit(0L).as("__kvc"))
+      val cand = kvc.unionByName(own)
+        .groupBy(col("__id"), col("__cand"))
+        .agg(max(col("__kvc")).as("__kvc"))
+      val scored = cand
+        .join(cur, Seq("__id"))
+        .join(deg.select(col("__u").as("__id"), col("__k")),
+          Seq("__id"), "left")
+        .join(tot.select(col("__c").as("__cand"), col("__tot")),
+          Seq("__cand"))
+        .crossJoin(broadcast(mRow))
+        .withColumn("__kv", coalesce(col("__k"), lit(0L)))
+        .withColumn("__s",
+          lit(2L) * col("__m") * col("__kvc")
+            - col("__kv") * (col("__tot")
+              - when(col("__cand") === col("__c"), col("__kv"))
+                .otherwise(lit(0L))))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__id"))
+        .orderBy(col("__s").desc, col("__cand"))
+      val winner = scored.withColumn("__rk", row_number().over(w))
+        .where(col("__rk") === 1)
+        .select(col("__id"), col("__cand").as("__win"))
+      cur = Materialize.cut(
+        cur.join(winner, Seq("__id"), "left")
+          .select(col("__id"),
+            when(pmod(col("__id"), lit(2L)) === lit(((r + 1) % 2).toLong),
+              coalesce(col("__win"), col("__c")))
+              .otherwise(col("__c")).as("__c")))
+    }
+    cur.select(col("__id").as(idCol), col("__c").as("community"))
+  }
+
   /** The shared parity-gated synchronous ascent loop. `und` holds each
     * non-self edge in BOTH directions as (__u, __v, __w); `deg` is the
     * weighted degree (__u, __k) INCLUDING self-loop mass; `mRow` the

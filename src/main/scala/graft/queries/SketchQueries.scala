@@ -772,6 +772,100 @@ ${louvainMergeRoundSql("e1", "e2", ce = "ce2", degb = "degb2", m2 = "m3")}
       ORDER BY doc_id
     """.trim))
 
+  /** Incremental Louvain ([[Graphs.incrementalLouvain]] — the
+    * community twin of q396's incremental connected components): the
+    * near-dup pair graph arrives split 80/20; the 80% trains a frozen
+    * one-level assignment (q335's four rounds), then the 20% batch
+    * folds in with TWO local-move rounds where only batch-touched
+    * vertices may move, scored with the exact integer gain against
+    * the FULL grown graph's masses. The oracle replays both phases:
+    * the q335 round chain over the old edges, then two restricted
+    * rounds with full-graph degrees and movable-set gating.
+    */
+  val q418IncrementalLouvain = HarnessQuery(
+    "q418_incremental_louvain",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val pairs = TextDedup.minhashNearDupPairs(
+        docs, "text", "doc_id", hashFn = TextFunctions.fastHash)
+      val oldPairs = pairs.filter(
+        pmod(col("id_a") + col("id_b"), lit(5L)) =!= 0)
+      val newPairs = pairs.filter(
+        pmod(col("id_a") + col("id_b"), lit(5L)) === 0)
+      val frozen = Graphs.louvainOneLevel(docs.select(col("doc_id")),
+        "doc_id", oldPairs, rounds = 4)
+      Graphs.incrementalLouvain(frozen, "doc_id",
+          oldPairs, newPairs, rounds = 2)
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val incRound = (prev: String, nxt: String, parity: Int) => s"""
+      tot_$nxt AS (SELECT a.c, CAST(sum(coalesce(d.k, 0)) AS BIGINT) AS tot
+             FROM $prev a LEFT JOIN deg2 d ON d.u = a.id GROUP BY 1),
+      kvc_$nxt AS (SELECT u2.u AS id, a.c AS cand,
+                    CAST(count(*) AS BIGINT) AS kvc
+             FROM und2 u2 JOIN mv ON mv.id = u2.u
+             JOIN $prev a ON a.id = u2.v GROUP BY 1, 2),
+      cand_$nxt AS (SELECT id, cand, max(kvc) AS kvc FROM (
+               SELECT id, cand, kvc FROM kvc_$nxt
+               UNION ALL SELECT p.id, p.c, CAST(0 AS BIGINT)
+               FROM $prev p JOIN mv ON mv.id = p.id)
+             GROUP BY 1, 2),
+      sc_$nxt AS (SELECT cd.id, cd.cand,
+               2 * m2.m * cd.kvc
+                 - coalesce(dv.k, 0) * (t.tot - CASE WHEN cd.cand = cv.c
+                     THEN coalesce(dv.k, 0) ELSE 0 END) AS s
+             FROM cand_$nxt cd
+             JOIN $prev cv ON cv.id = cd.id
+             LEFT JOIN deg2 dv ON dv.u = cd.id
+             JOIN tot_$nxt t ON t.c = cd.cand, m2),
+      $nxt AS MATERIALIZED (SELECT cv.id,
+               CASE WHEN cv.id % 2 = $parity THEN coalesce(w.cand, cv.c)
+                    ELSE cv.c END AS c
+             FROM $prev cv LEFT JOIN (SELECT id, cand FROM (
+               SELECT id, cand, row_number() OVER (PARTITION BY id
+                 ORDER BY s DESC, cand) AS r
+               FROM sc_$nxt) WHERE r = 1) w ON w.id = cv.id)"""
+      s"""
+      WITH t AS MATERIALIZED (SELECT doc_id,
+                   list_distinct(list_transform(
+                     generate_series(1, len(regexp_split_to_array(trim(lower(text)), '\\s+')) - 2),
+                     i -> array_to_string((regexp_split_to_array(trim(lower(text)), '\\s+'))[i:i+2], ' ')))
+                     AS sh
+                 FROM documents),
+      allp AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM t a, t b
+                WHERE a.doc_id < b.doc_id
+                  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+      pairs AS MATERIALIZED (SELECT * FROM allp
+                WHERE (id_a + id_b) % 5 <> 0),
+      newp AS MATERIALIZED (SELECT * FROM allp
+                WHERE (id_a + id_b) % 5 = 0),
+      und AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+      deg AS MATERIALIZED (SELECT u, CAST(count(*) AS BIGINT) AS k
+              FROM und GROUP BY 1),
+      m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs),
+      c0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS c FROM documents),
+${louvainRoundSql("c0", "c1", 0)},
+${louvainRoundSql("c1", "c2", 1)},
+${louvainRoundSql("c2", "c3", 0)},
+${louvainRoundSql("c3", "c4", 1)},
+      und2 AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM allp
+              UNION ALL SELECT id_b, id_a FROM allp),
+      deg2 AS MATERIALIZED (SELECT u, CAST(count(*) AS BIGINT) AS k
+              FROM und2 GROUP BY 1),
+      m2 AS (SELECT CAST(count(*) AS BIGINT) AS m FROM allp),
+      mv AS MATERIALIZED (SELECT DISTINCT id FROM (
+              SELECT id_a AS id FROM newp
+              UNION ALL SELECT id_b FROM newp)),
+${incRound("c4", "i1", 0)},
+${incRound("i1", "i2", 1)}
+      SELECT id AS doc_id, c AS community FROM i2 ORDER BY doc_id
+    """.trim
+    })
+
   /** DBSCAN core points over the seeded 2-D projection of the
     * embedding table ([[Density.gridCorePoints]], eps = 0.1,
     * minPts = 5). The grid-blocked neighbor join is lossless over the
@@ -2054,6 +2148,6 @@ ${louvainMergeRoundSql("e1", "e2", ce = "ce2", degb = "degb2", m2 = "m3")}
     q325PpsSample, q326AipwAte, q327Permutation, q328Cmh,
     q329Wilcoxon, q330Kappa, q331Lorenz, q332Hhi, q335Louvain,
     q372LouvainTwoLevel, q373WeightedLouvain, q376CoarseModularity,
-    q404LouvainLevels,
+    q404LouvainLevels, q418IncrementalLouvain,
     q381ClusterNmi)
 }

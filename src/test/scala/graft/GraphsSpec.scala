@@ -481,4 +481,36 @@ class GraphsSpec extends SparkSpec {
 
   private def assertNonNeg(hc: Map[Long, Double]): Boolean =
     hc.values.forall(_ >= 0.0)
+
+  test("incrementalLouvain: batch endpoints move by full-graph gain, " +
+    "untouched vertices never move, new vertices enter as singletons") {
+    // frozen: two triangles {1,2,3} -> community 1, {4,5,6} -> 4
+    val assign = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 4L), (5L, 4L), (6L, 4L)).toDF("id", "community")
+    val oldE = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L)).toDF("id_a", "id_b")
+    // batch: new vertex 7 attaches to the {4,5,6} triangle; new pair
+    // (8, 9) arrives disconnected from everything
+    val newE = Seq((7L, 4L), (7L, 5L), (8L, 9L)).toDF("id_a", "id_b")
+    val got = Graphs.incrementalLouvain(assign, "id", oldE, newE,
+      rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 7 joins community 4 (odd id: moves in round 2); 4 and 5 are
+    // movable but their best community is still their own; 1,2,3,6
+    // are untouched and keep labels; 8 (even: round 1) merges into
+    // 9's singleton
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L, 7L -> 4L, 8L -> 9L, 9L -> 9L))
+
+    // restriction pinned: an untouched vertex stays even when the
+    // batch makes a move attractive for its neighbors — bridge the
+    // triangles with (3, 4): 3 and 4 may move, 1/2/5/6 may not
+    val bridge = Seq((3L, 4L)).toDF("id_a", "id_b")
+    val g2 = Graphs.incrementalLouvain(assign, "id", oldE, bridge,
+      rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g2(1L) === 1L && g2(2L) === 1L)
+    assert(g2(5L) === 4L && g2(6L) === 4L)
+    assert(Set(1L, 4L).contains(g2(3L)) && Set(1L, 4L).contains(g2(4L)))
+  }
 }
