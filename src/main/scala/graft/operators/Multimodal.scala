@@ -1156,4 +1156,292 @@ object Multimodal {
     }
     sb.toString.getBytes("ISO-8859-1")
   }
+
+  /** Parsed GIF header + block inventory. Sentinels when the payload
+    * is not a GIF (bad signature or truncated screen descriptor):
+    * version "", dimensions −1, counts 0, has_trailer false.
+    */
+  final case class GifMeta(
+      version: String, width: Int, height: Int, gct_flag: Boolean,
+      gct_entries: Int, n_images: Int, n_extensions: Int,
+      has_trailer: Boolean)
+
+  final case class GifMetaRow(
+      media_id: Long, version: String, width: Int, height: Int,
+      gct_flag: Boolean, gct_entries: Int, n_images: Int,
+      n_extensions: Int, has_trailer: Boolean, n_bytes: Long)
+
+  private val UnknownGif =
+    GifMeta("", -1, -1, gct_flag = false, 0, 0, 0, has_trailer = false)
+
+  /** Total GIF block walk (GIF87a/89a grammar): 6-byte signature,
+    * 7-byte logical screen descriptor (LE dims + packed GCT flag/size),
+    * optional global color table, then 0x21 extensions (label +
+    * size-prefixed sub-blocks to a 0 terminator), 0x2C image
+    * descriptors (9-byte header, optional local color table, LZW
+    * min-code byte + sub-blocks), 0x3B trailer. Defensive like
+    * [[parsePngMeta]]: a truncated sub-block chain or unknown
+    * introducer stops the walk at what was parsed; a payload without
+    * the signature yields the sentinel; never throws. The fields an
+    * image-ingest pipeline filters on — canvas size, palette size,
+    * frame count (animation!), extension mass — without LZW decoding.
+    */
+  def parseGifMeta(bytes: Array[Byte]): GifMeta = {
+    if (bytes == null || bytes.length < 13) return UnknownGif
+    val sig = new String(bytes, 0, 6, "ISO-8859-1")
+    if (sig != "GIF87a" && sig != "GIF89a") return UnknownGif
+    val version = sig.substring(3)
+    val width = leShort(bytes, 6)
+    val height = leShort(bytes, 8)
+    val packed = bytes(10) & 0xFF
+    val gctFlag = (packed & 0x80) != 0
+    val gctEntries = if (gctFlag) 1 << ((packed & 0x07) + 1) else 0
+    var p = 13 + (if (gctFlag) 3 * gctEntries else 0)
+    var nImages = 0; var nExt = 0; var trailer = false
+    var stop = false
+    // skip a size-prefixed sub-block chain; -1 on truncation
+    def skipSubBlocks(from: Int): Int = {
+      var i = from
+      while (i < bytes.length && bytes(i) != 0) {
+        i += 1 + (bytes(i) & 0xFF)
+      }
+      if (i >= bytes.length) -1 else i + 1
+    }
+    while (!stop && p < bytes.length) {
+      (bytes(p) & 0xFF) match {
+        case 0x3B =>
+          trailer = true; stop = true
+        case 0x21 =>
+          if (p + 2 > bytes.length) stop = true
+          else {
+            val next = skipSubBlocks(p + 2)
+            if (next < 0) stop = true else { nExt += 1; p = next }
+          }
+        case 0x2C =>
+          if (p + 10 > bytes.length) stop = true
+          else {
+            val ipacked = bytes(p + 9) & 0xFF
+            val lct = if ((ipacked & 0x80) != 0)
+              3 * (1 << ((ipacked & 0x07) + 1)) else 0
+            val dataStart = p + 10 + lct + 1 // + LZW min-code byte
+            if (dataStart > bytes.length) stop = true
+            else {
+              val next = skipSubBlocks(dataStart)
+              if (next < 0) stop = true else { nImages += 1; p = next }
+            }
+          }
+        case _ => stop = true
+      }
+    }
+    GifMeta(version, width, height, gctFlag, gctEntries, nImages, nExt,
+      trailer)
+  }
+
+  /** GIF metadata over a media Dataset — same shape as [[pngMeta]]. */
+  def gifMeta(ds: Dataset[MediaRow]): Dataset[GifMetaRow] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { r =>
+      val m = parseGifMeta(r.media)
+      val n = if (r.media == null) 0L else r.media.length.toLong
+      GifMetaRow(r.media_id, m.version, m.width, m.height, m.gct_flag,
+        m.gct_entries, m.n_images, m.n_extensions, m.has_trailer, n)
+    })
+  }
+
+  /** Deterministic GIF fixture: signature + screen descriptor
+    * (+ global color table of `gctEntries` when > 0, must be a power
+    * of two in [2,256]) + `nExtensions` graphic-control extensions +
+    * one image per `frameDataSizes` entry (descriptor + LZW min-code
+    * byte + one data sub-block of that size) + trailer. Size is
+    * 13 + 3·gct + 8·nExt + Σ(13 + size) + 1 bytes.
+    */
+  def gifBytes(version: String, width: Int, height: Int, gctEntries: Int,
+      nExtensions: Int, frameDataSizes: Seq[Int]): Array[Byte] = {
+    require(version == "87a" || version == "89a", "version must be 87a/89a")
+    require(width > 0 && height > 0, "dimensions must be positive")
+    require(gctEntries == 0 ||
+      (Integer.bitCount(gctEntries) == 1 && gctEntries >= 2 &&
+        gctEntries <= 256), "gctEntries must be 0 or a power of two in [2,256]")
+    require(frameDataSizes.forall(s => s >= 1 && s <= 255),
+      "frame data sub-block sizes must be in [1,255]")
+    val total = 13 + 3 * gctEntries + 8 * nExtensions +
+      frameDataSizes.map(13 + _).sum + 1
+    val bb = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(("GIF" + version).getBytes("ISO-8859-1"))
+    bb.putShort(width.toShort).putShort(height.toShort)
+    val sizeBits =
+      if (gctEntries == 0) 0
+      else 31 - Integer.numberOfLeadingZeros(gctEntries) - 1
+    bb.put((if (gctEntries > 0) 0x80 | sizeBits else 0x00).toByte)
+    bb.put(0.toByte).put(0.toByte) // background index, aspect ratio
+    var i = 0
+    while (i < 3 * gctEntries) { bb.put((i % 255).toByte); i += 1 }
+    var e = 0
+    while (e < nExtensions) {
+      // graphic control: 0x21 0xF9, one 4-byte sub-block, terminator
+      bb.put(0x21.toByte).put(0xF9.toByte).put(4.toByte)
+        .put(0.toByte).putShort((10 * (e + 1)).toShort).put(0.toByte)
+        .put(0.toByte)
+      e += 1
+    }
+    frameDataSizes.foreach { sz =>
+      bb.put(0x2C.toByte)
+        .putShort(0.toShort).putShort(0.toShort) // left, top
+        .putShort(width.toShort).putShort(height.toShort)
+        .put(0.toByte) // no local color table
+        .put(8.toByte) // LZW min code size
+        .put(sz.toByte)
+      var j = 0
+      while (j < sz) { bb.put((j % 251).toByte); j += 1 }
+      bb.put(0.toByte) // sub-block terminator
+    }
+    bb.put(0x3B.toByte)
+    bb.array()
+  }
+
+  /** Parsed WebP header. Sentinels when the payload is not a WebP
+    * (no RIFF/WEBP framing or unknown first chunk): format "",
+    * dimensions −1, flags false, n_chunks 0.
+    */
+  final case class WebpMeta(
+      format: String, width: Int, height: Int, has_alpha: Boolean,
+      has_anim: Boolean, has_exif: Boolean, n_chunks: Int)
+
+  final case class WebpMetaRow(
+      media_id: Long, format: String, width: Int, height: Int,
+      has_alpha: Boolean, has_anim: Boolean, has_exif: Boolean,
+      n_chunks: Int, n_bytes: Long)
+
+  private val UnknownWebp =
+    WebpMeta("", -1, -1, has_alpha = false, has_anim = false,
+      has_exif = false, 0)
+
+  /** Total WebP chunk walk (RIFF framing): `RIFF <size> WEBP`, then
+    * (fourcc, LE size, payload padded to even) chunks. The first chunk
+    * decides the format: `VP8 ` (lossy — 3-byte frame tag, 9D 01 2A
+    * start code, 14-bit LE dims), `VP8L` (lossless — 0x2F signature,
+    * 14-bit packed dims−1), or `VP8X` (extended — flag byte for
+    * alpha/anim/EXIF, 24-bit LE canvas dims−1, followed by feature
+    * chunks which are inventoried). Defensive like [[parsePngMeta]]:
+    * truncated or lying sizes stop the walk; never throws.
+    */
+  def parseWebpMeta(bytes: Array[Byte]): WebpMeta = {
+    if (bytes == null || bytes.length < 20) return UnknownWebp
+    if (fourcc(bytes, 0) != "RIFF" || fourcc(bytes, 8) != "WEBP")
+      return UnknownWebp
+    var p = 12
+    var format = ""; var width = -1; var height = -1
+    var alpha = false; var anim = false; var exif = false
+    var nChunks = 0
+    var stop = false
+    while (!stop && p + 8 <= bytes.length) {
+      val id = fourcc(bytes, p)
+      val len = leInt(bytes, p + 4)
+      if (len < 0 || p + 8 + len.toLong > bytes.length) stop = true
+      else {
+        val d = p + 8
+        nChunks += 1
+        if (nChunks == 1) {
+          id match {
+            case "VP8 " if len >= 10 &&
+                (bytes(d + 3) & 0xFF) == 0x9D &&
+                (bytes(d + 4) & 0xFF) == 0x01 &&
+                (bytes(d + 5) & 0xFF) == 0x2A =>
+              format = "VP8"
+              width = leShort(bytes, d + 6) & 0x3FFF
+              height = leShort(bytes, d + 8) & 0x3FFF
+            case "VP8L" if len >= 5 && (bytes(d) & 0xFF) == 0x2F =>
+              format = "VP8L"
+              val b = leInt(bytes, d + 1)
+              width = (b & 0x3FFF) + 1
+              height = ((b >>> 14) & 0x3FFF) + 1
+              alpha = ((b >>> 28) & 1) == 1
+            case "VP8X" if len >= 10 =>
+              format = "VP8X"
+              val flags = bytes(d) & 0xFF
+              alpha = (flags & 0x10) != 0
+              exif = (flags & 0x08) != 0
+              anim = (flags & 0x02) != 0
+              width = ((bytes(d + 4) & 0xFF) | ((bytes(d + 5) & 0xFF) << 8) |
+                ((bytes(d + 6) & 0xFF) << 16)) + 1
+              height = ((bytes(d + 7) & 0xFF) | ((bytes(d + 8) & 0xFF) << 8) |
+                ((bytes(d + 9) & 0xFF) << 16)) + 1
+            case _ => return UnknownWebp
+          }
+        }
+        p = d + len + (len & 1) // chunks pad to even
+      }
+    }
+    if (format.isEmpty) UnknownWebp
+    else WebpMeta(format, width, height, alpha, anim, exif, nChunks)
+  }
+
+  /** WebP metadata over a media Dataset — same shape as [[pngMeta]]. */
+  def webpMeta(ds: Dataset[MediaRow]): Dataset[WebpMetaRow] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { r =>
+      val m = parseWebpMeta(r.media)
+      val n = if (r.media == null) 0L else r.media.length.toLong
+      WebpMetaRow(r.media_id, m.format, m.width, m.height, m.has_alpha,
+        m.has_anim, m.has_exif, m.n_chunks, n)
+    })
+  }
+
+  /** Deterministic extended-WebP (VP8X) fixture: RIFF framing, VP8X
+    * feature chunk with the given flags and canvas dims, then one
+    * feature chunk per (fourcc, size) in `extraChunks` with
+    * deterministic filler (sizes pad to even per RIFF). Size is
+    * 12 + 18 + Σ(8 + size + pad) bytes.
+    */
+  def webpBytesVp8x(width: Int, height: Int, alpha: Boolean, anim: Boolean,
+      exif: Boolean, extraChunks: Seq[(String, Int)]): Array[Byte] = {
+    require(width >= 1 && height >= 1, "dimensions must be >= 1")
+    require(extraChunks.forall(c => c._1.length == 4 && c._2 >= 0),
+      "extra chunks need 4-char fourccs and sizes >= 0")
+    val body = 4 + (8 + 10) +
+      extraChunks.map { case (_, s) => 8 + s + (s & 1) }.sum
+    val bb = java.nio.ByteBuffer.allocate(8 + body)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("ISO-8859-1")).putInt(body)
+    bb.put("WEBP".getBytes("ISO-8859-1"))
+    bb.put("VP8X".getBytes("ISO-8859-1")).putInt(10)
+    val flags = (if (alpha) 0x10 else 0) | (if (exif) 0x08 else 0) |
+      (if (anim) 0x02 else 0)
+    bb.put(flags.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    val w = width - 1; val h = height - 1
+    bb.put((w & 0xFF).toByte).put(((w >>> 8) & 0xFF).toByte)
+      .put(((w >>> 16) & 0xFF).toByte)
+    bb.put((h & 0xFF).toByte).put(((h >>> 8) & 0xFF).toByte)
+      .put(((h >>> 16) & 0xFF).toByte)
+    extraChunks.foreach { case (id, sz) =>
+      bb.put(id.getBytes("ISO-8859-1")).putInt(sz)
+      var j = 0
+      while (j < sz + (sz & 1)) { bb.put((j % 253).toByte); j += 1 }
+    }
+    bb.array()
+  }
+
+  /** Deterministic lossy-WebP (VP8) fixture: RIFF framing + one
+    * `VP8 ` chunk (3-byte frame tag, 9D 01 2A start code, 14-bit LE
+    * dims, `dataLen` deterministic filler bytes).
+    */
+  def webpBytesVp8(width: Int, height: Int, dataLen: Int): Array[Byte] = {
+    require(width >= 1 && width <= 0x3FFF && height >= 1 &&
+      height <= 0x3FFF, "dimensions must be in [1, 16383]")
+    require(dataLen >= 0, "dataLen must be >= 0")
+    val chunkLen = 10 + dataLen
+    val body = 4 + 8 + chunkLen + (chunkLen & 1)
+    val bb = java.nio.ByteBuffer.allocate(8 + body)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("ISO-8859-1")).putInt(body)
+    bb.put("WEBP".getBytes("ISO-8859-1"))
+    bb.put("VP8 ".getBytes("ISO-8859-1")).putInt(chunkLen)
+    bb.put(0.toByte).put(0.toByte).put(0.toByte) // frame tag
+    bb.put(0x9D.toByte).put(0x01.toByte).put(0x2A.toByte)
+    bb.putShort(width.toShort).putShort(height.toShort)
+    var j = 0
+    while (j < dataLen + (chunkLen & 1)) { bb.put((j % 249).toByte); j += 1 }
+    bb.array()
+  }
 }

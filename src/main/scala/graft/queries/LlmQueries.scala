@@ -681,6 +681,161 @@ object LlmQueries {
       SELECT * FROM g UNION ALL SELECT * FROM j ORDER BY media_id
     """.trim))
 
+  /** GIF block inventory ([[Multimodal.parseGifMeta]]): REAL byte-walk
+    * over the 87a/89a grammar — signature, LE screen descriptor,
+    * global color table, extension and image-descriptor sub-block
+    * chains, trailer — over deterministic fixtures parameterized per
+    * nation row (palette size, frame count, extension count all vary)
+    * plus one garbage payload that must yield the sentinel row. The
+    * frame count is the animation signal an image-ingest pipeline
+    * filters on; all of it without LZW decoding. The oracle recomputes
+    * every field from the generator parameters.
+    */
+  val q419GifMeta = HarnessQuery(
+    "q419_gif_meta",
+    (spark, dir) => {
+      import spark.implicits._
+      val gifs = Tables.nation(spark, dir)
+        .select(col("n_nationkey").cast("long").as("id")).as[Long]
+        .map { k =>
+          val n = k.toInt
+          val gct = n % 4 match {
+            case 0 => 0; case 1 => 4; case 2 => 32; case _ => 256
+          }
+          Multimodal.MediaRow(7000L + k,
+            Multimodal.gifBytes(if (n % 2 == 0) "89a" else "87a",
+              20 + n, 10 + n, gct, n % 3, Seq.fill(1 + n % 2)(5 + n)),
+            "image/gif", -1, -1)
+        }
+      val junk = Tables.region(spark, dir)
+        .filter(col("r_regionkey") === 0)
+        .select(col("r_regionkey").cast("long").as("id")).as[Long]
+        .map(_ => Multimodal.MediaRow(8000L,
+          "definitely not a gif".getBytes("ISO-8859-1"),
+          "text/plain", -1, -1))
+      Multimodal.gifMeta(gifs.union(junk)).toDF()
+        .orderBy(col("media_id"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT CAST(7000 + n_nationkey AS BIGINT) AS media_id,
+               n_nationkey AS k
+        FROM nation),
+      g AS (
+        SELECT media_id,
+               CASE WHEN k % 2 = 0 THEN '89a' ELSE '87a' END AS version,
+               CAST(20 + k AS INT) AS width,
+               CAST(10 + k AS INT) AS height,
+               k % 4 <> 0 AS gct_flag,
+               CAST(CASE k % 4 WHEN 0 THEN 0 WHEN 1 THEN 4
+                 WHEN 2 THEN 32 ELSE 256 END AS INT) AS gct_entries,
+               CAST(1 + k % 2 AS INT) AS n_images,
+               CAST(k % 3 AS INT) AS n_extensions,
+               true AS has_trailer,
+               CAST(13 + 3 * (CASE k % 4 WHEN 0 THEN 0 WHEN 1 THEN 4
+                   WHEN 2 THEN 32 ELSE 256 END)
+                 + 8 * (k % 3) + (1 + k % 2) * (13 + 5 + k) + 1
+                 AS BIGINT) AS n_bytes
+        FROM p),
+      j AS (
+        SELECT CAST(8000 AS BIGINT) AS media_id, '' AS version,
+               CAST(-1 AS INT) AS width, CAST(-1 AS INT) AS height,
+               false AS gct_flag, CAST(0 AS INT) AS gct_entries,
+               CAST(0 AS INT) AS n_images, CAST(0 AS INT) AS n_extensions,
+               false AS has_trailer, CAST(20 AS BIGINT) AS n_bytes
+        FROM region WHERE r_regionkey = 0)
+      SELECT * FROM g UNION ALL SELECT * FROM j ORDER BY media_id
+    """.trim))
+
+  /** WebP chunk inventory ([[Multimodal.parseWebpMeta]]): REAL
+    * RIFF-chunk byte-walk — VP8X extended headers (flag byte +
+    * 24-bit LE canvas dims−1, feature chunks inventoried) per nation
+    * row and VP8 lossy frame headers (9D 01 2A start code, 14-bit LE
+    * dims) per region row, plus one garbage payload that must yield
+    * the sentinel. Alpha/animation/EXIF flags are the filters a
+    * multimodal ingest pipeline routes on. The oracle recomputes
+    * every field (including RIFF even-padding arithmetic) from the
+    * generator parameters.
+    */
+  val q420WebpMeta = HarnessQuery(
+    "q420_webp_meta",
+    (spark, dir) => {
+      import spark.implicits._
+      val vp8x = Tables.nation(spark, dir)
+        .select(col("n_nationkey").cast("long").as("id")).as[Long]
+        .map { k =>
+          val n = k.toInt
+          val alpha = n % 2 == 0
+          val exif = n >= 12
+          val extras =
+            (if (alpha) Seq(("ALPH", 7 + n)) else Seq.empty) ++
+              (if (exif) Seq(("EXIF", 10 + n)) else Seq.empty)
+          Multimodal.MediaRow(9000L + k,
+            Multimodal.webpBytesVp8x(100 + n, 50 + 2 * n, alpha,
+              n % 3 == 0, exif, extras),
+            "image/webp", -1, -1)
+        }
+      val vp8 = Tables.region(spark, dir)
+        .select(col("r_regionkey").cast("long").as("id")).as[Long]
+        .map { k =>
+          val n = k.toInt
+          Multimodal.MediaRow(9500L + k,
+            Multimodal.webpBytesVp8(320 + n, 240 + n, 3 + n),
+            "image/webp", -1, -1)
+        }
+      val junk = Tables.region(spark, dir)
+        .filter(col("r_regionkey") === 0)
+        .select(col("r_regionkey").cast("long").as("id")).as[Long]
+        .map(_ => Multimodal.MediaRow(9900L,
+          "definitely not webp bytes".getBytes("ISO-8859-1"),
+          "text/plain", -1, -1))
+      Multimodal.webpMeta(vp8x.union(vp8).union(junk)).toDF()
+        .orderBy(col("media_id"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT CAST(9000 + n_nationkey AS BIGINT) AS media_id,
+               n_nationkey AS k
+        FROM nation),
+      x AS (
+        SELECT media_id, 'VP8X' AS format,
+               CAST(100 + k AS INT) AS width,
+               CAST(50 + 2 * k AS INT) AS height,
+               k % 2 = 0 AS has_alpha,
+               k % 3 = 0 AS has_anim,
+               k >= 12 AS has_exif,
+               CAST(1 + CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END
+                 + CASE WHEN k >= 12 THEN 1 ELSE 0 END AS INT) AS n_chunks,
+               CAST(12 + 18
+                 + CASE WHEN k % 2 = 0
+                     THEN 8 + (7 + k) + ((7 + k) % 2) ELSE 0 END
+                 + CASE WHEN k >= 12
+                     THEN 8 + (10 + k) + ((10 + k) % 2) ELSE 0 END
+                 AS BIGINT) AS n_bytes
+        FROM p),
+      r AS (
+        SELECT CAST(9500 + r_regionkey AS BIGINT) AS media_id,
+               r_regionkey AS k
+        FROM region),
+      v AS (
+        SELECT media_id, 'VP8' AS format,
+               CAST(320 + k AS INT) AS width,
+               CAST(240 + k AS INT) AS height,
+               false AS has_alpha, false AS has_anim, false AS has_exif,
+               CAST(1 AS INT) AS n_chunks,
+               CAST(12 + 8 + (13 + k) + ((13 + k) % 2) AS BIGINT)
+                 AS n_bytes
+        FROM r),
+      j AS (
+        SELECT CAST(9900 AS BIGINT) AS media_id, '' AS format,
+               CAST(-1 AS INT) AS width, CAST(-1 AS INT) AS height,
+               false AS has_alpha, false AS has_anim, false AS has_exif,
+               CAST(0 AS INT) AS n_chunks, CAST(25 AS BIGINT) AS n_bytes
+        FROM region WHERE r_regionkey = 0)
+      SELECT * FROM x UNION ALL SELECT * FROM v UNION ALL SELECT * FROM j
+      ORDER BY media_id
+    """.trim))
+
   /** Unigram-LM Viterbi segmentation ([[TextAnalysis.unigramSegment]],
     * pieces <= 4 chars, vocab 200, words <= 16 chars): the
     * SentencePiece-style other half of the tokenization family (BPE
@@ -6575,7 +6730,8 @@ object LlmQueries {
 
   def all: Seq[HarnessQuery] = Seq(
     q386SeqPacking, q387PngMeta, q388UnigramSegment, q389UnigramEm,
-    q392JpegMeta, q393PackAppend, q394UnigramTrain, q395ContinualPacking,
+    q392JpegMeta, q419GifMeta, q420WebpMeta,
+    q393PackAppend, q394UnigramTrain, q395ContinualPacking,
     q408WarcMeta, q411WarcHttp, q413WarcToText,
     q402UnigramPersisted,
     q370UrlCanonical, q377RobotsDecision, q378FrontierSchedule,

@@ -314,4 +314,107 @@ class MultimodalMetaSpec extends SparkSpec {
       (1L, 1, "response", "https://x.org/p", 7L, 4),
       (2L, -1, "", "", -1L, 0)))
   }
+
+  test("GIF: hand-assembled 89a with GCT, extension, two frames") {
+    // assembled field-by-field, independent of gifBytes
+    val bb = ByteBuffer.allocate(13 + 3 * 4 + 8 + 2 * (13 + 3) + 1)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("GIF89a".getBytes("ISO-8859-1"))
+    bb.putShort(320.toShort).putShort(200.toShort)
+    bb.put(0x81.toByte) // GCT flag + size bits 001 -> 4 entries
+    bb.put(0.toByte).put(0.toByte)
+    (0 until 12).foreach(i => bb.put(i.toByte)) // GCT 4 x RGB
+    bb.put(0x21.toByte).put(0xF9.toByte).put(4.toByte)
+      .put(0.toByte).putShort(10.toShort).put(0.toByte).put(0.toByte)
+    (0 until 2).foreach { _ =>
+      bb.put(0x2C.toByte).putShort(0.toShort).putShort(0.toShort)
+        .putShort(320.toShort).putShort(200.toShort).put(0.toByte)
+        .put(8.toByte).put(3.toByte).put(1.toByte).put(2.toByte)
+        .put(3.toByte).put(0.toByte)
+    }
+    bb.put(0x3B.toByte)
+    val m = Multimodal.parseGifMeta(bb.array())
+    assert(m === Multimodal.GifMeta("89a", 320, 200, gct_flag = true,
+      gct_entries = 4, n_images = 2, n_extensions = 1,
+      has_trailer = true))
+  }
+
+  test("parseGifMeta: fixture round-trip, truncation, garbage") {
+    val base = Multimodal.gifBytes("87a", 64, 48, 32, 2, Seq(9, 200))
+    val m = Multimodal.parseGifMeta(base)
+    assert(m === Multimodal.GifMeta("87a", 64, 48, gct_flag = true,
+      gct_entries = 32, n_images = 2, n_extensions = 2,
+      has_trailer = true))
+
+    // no GCT, single frame, no extensions
+    val plain = Multimodal.parseGifMeta(
+      Multimodal.gifBytes("89a", 3, 2, 0, 0, Seq(1)))
+    assert(plain === Multimodal.GifMeta("89a", 3, 2, gct_flag = false,
+      gct_entries = 0, n_images = 1, n_extensions = 0,
+      has_trailer = true))
+
+    // truncated mid-frame: stops at what was parsed, no trailer
+    val cut = Multimodal.parseGifMeta(base.take(base.length - 205))
+    assert(cut.width === 64 && cut.n_images < 2 && !cut.has_trailer)
+
+    // bytes after the trailer are outside the grammar
+    val trailing = base ++ Array.fill(16)(0x2C.toByte)
+    assert(Multimodal.parseGifMeta(trailing) === m)
+
+    assert(Multimodal.parseGifMeta("GIF99a not really a gif"
+      .getBytes("ISO-8859-1")).width === -1)
+    assert(Multimodal.parseGifMeta(null).width === -1)
+  }
+
+  test("WebP: hand-assembled VP8X and VP8 headers parse exactly") {
+    // VP8X: alpha + anim flags, canvas 2000x1000, one ANIM chunk
+    val bb = ByteBuffer.allocate(12 + 18 + 8 + 6)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("ISO-8859-1")).putInt(4 + 18 + 8 + 6)
+      .put("WEBP".getBytes("ISO-8859-1"))
+    bb.put("VP8X".getBytes("ISO-8859-1")).putInt(10)
+    bb.put(0x12.toByte) // alpha (0x10) + anim (0x02)
+      .put(0.toByte).put(0.toByte).put(0.toByte)
+    bb.put(0xCF.toByte).put(0x07.toByte).put(0.toByte) // 1999 -> 2000
+    bb.put(0xE7.toByte).put(0x03.toByte).put(0.toByte) // 999 -> 1000
+    bb.put("ANIM".getBytes("ISO-8859-1")).putInt(6)
+    (0 until 6).foreach(_ => bb.put(0.toByte))
+    val x = Multimodal.parseWebpMeta(bb.array())
+    assert(x === Multimodal.WebpMeta("VP8X", 2000, 1000,
+      has_alpha = true, has_anim = true, has_exif = false, n_chunks = 2))
+
+    val v = Multimodal.parseWebpMeta(Multimodal.webpBytesVp8(640, 480, 5))
+    assert(v === Multimodal.WebpMeta("VP8", 640, 480, has_alpha = false,
+      has_anim = false, has_exif = false, n_chunks = 1))
+  }
+
+  test("parseWebpMeta: fixture round-trip, odd-size padding, garbage") {
+    val m = Multimodal.parseWebpMeta(Multimodal.webpBytesVp8x(
+      800, 600, alpha = true, anim = false, exif = true,
+      Seq(("ALPH", 7), ("EXIF", 12))))
+    assert(m === Multimodal.WebpMeta("VP8X", 800, 600, has_alpha = true,
+      has_anim = false, has_exif = true, n_chunks = 3))
+
+    // odd chunk sizes pad to even per RIFF; the walk must not drift
+    val odd = Multimodal.parseWebpMeta(Multimodal.webpBytesVp8x(
+      10, 20, alpha = false, anim = true, exif = false,
+      Seq(("ANIM", 5), ("ANMF", 3), ("XYZW", 1))))
+    assert(odd.n_chunks === 4 && odd.width === 10 && odd.height === 20)
+    assert(odd.has_anim && !odd.has_alpha)
+
+    // a lying chunk size stops the walk at what was inventoried
+    val base = Multimodal.webpBytesVp8x(4, 4, alpha = false,
+      anim = false, exif = false, Seq(("EXIF", 2)))
+    val lying = base.clone()
+    lying(12 + 4) = 0x7F.toByte // VP8X length becomes enormous
+    assert(Multimodal.parseWebpMeta(lying).n_chunks === 0)
+
+    // RIFF framing but an unknown first chunk is not a WebP we claim
+    val alien = base.clone()
+    alien(12) = 'Q'.toByte
+    assert(Multimodal.parseWebpMeta(alien).width === -1)
+    assert(Multimodal.parseWebpMeta("RIFFxxxxWAVE----"
+      .getBytes("ISO-8859-1")).width === -1)
+    assert(Multimodal.parseWebpMeta(null).width === -1)
+  }
 }
