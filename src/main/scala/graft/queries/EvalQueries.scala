@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Encoding, Evaluation, Expectations}
+import graft.operators.{Encoding, Evaluation, Expectations, Preference}
 import graft.sources.Tables
 
 /** Model-evaluation, supervised-encoding and data-quality queries — the
@@ -470,7 +470,96 @@ object EvalQueries {
     q154WoeIv, q155TargetEncode, q156Psi, q157Expectations, q158CumScores,
     q226CvAuc, q236ThresholdSweep, q242AvgPrecision, q244Cuped, q245Anova,
     q246BootstrapCi, q252Brier, q254Did, q255StratAte, q259Isotonic,
-    q261DriftDistances)
+    q261DriftDistances, q421BradleyTerry)
+
+  /** Bradley–Terry preference ratings ([[Preference.bradleyTerry]]):
+    * the RLHF-preference-data read-out — pairwise A-vs-B duels
+    * (consecutive same-user events; the higher-valued event's type
+    * wins, value ties to the lexicographically smaller type) folded
+    * into per-item strength ratings by 5 MM rounds (Hunter 2004),
+    * renormalized to mean 1 each round. Spark runs the rounds as
+    * broadcast weight-joins over the item-pair table (the one
+    * row-scale shuffle is the duel aggregation); the oracle unrolls
+    * the identical 5 rounds as CTEs over the same floor-snapped
+    * terms (floor at 6/9 dp + decimal sums — engine-portable, no
+    * round-half ties), so ratings match bit-for-bit.
+    */
+  val q421BradleyTerry = HarnessQuery(
+    "q421_bradley_terry",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val duels = Tables.events(spark, dir)
+        .select(col("event_type").as("t1"), col("value").as("v1"),
+          lead(col("event_type"), 1).over(w).as("t2"),
+          lead(col("value"), 1).over(w).as("v2"))
+        .filter(col("t2").isNotNull && col("t1") =!= col("t2"))
+        .select(
+          when(col("v1") > col("v2"), col("t1"))
+            .when(col("v2") > col("v1"), col("t2"))
+            .otherwise(least(col("t1"), col("t2"))).as("winner"),
+          when(col("v1") > col("v2"), col("t2"))
+            .when(col("v2") > col("v1"), col("t1"))
+            .otherwise(greatest(col("t1"), col("t2"))).as("loser"))
+      Preference.bradleyTerry(duels, "winner", "loser", rounds = 5)
+        .orderBy(col("rank"))
+    },
+    Some {
+      val header = """
+      WITH e AS (
+        SELECT event_type AS t1, value AS v1,
+               lead(event_type) OVER w AS t2,
+               lead(value) OVER w AS v2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      duel AS (
+        SELECT CASE WHEN v1 > v2 THEN t1 WHEN v2 > v1 THEN t2
+                    WHEN t1 < t2 THEN t1 ELSE t2 END AS winner,
+               CASE WHEN v1 > v2 THEN t2 WHEN v2 > v1 THEN t1
+                    WHEN t1 < t2 THEN t2 ELSE t1 END AS loser
+        FROM e WHERE t2 IS NOT NULL AND t1 <> t2),
+      pair AS (SELECT winner AS a, loser AS b, count(*) AS n
+               FROM duel GROUP BY 1, 2),
+      sym AS (SELECT a, b, sum(n) AS n FROM (
+                SELECT a, b, n FROM pair
+                UNION ALL SELECT b AS a, a AS b, n FROM pair)
+              GROUP BY 1, 2),
+      wins AS (SELECT a AS item, sum(n) AS wins FROM pair GROUP BY 1),
+      mat AS (SELECT a AS item, sum(n) AS matches FROM sym GROUP BY 1),
+      items AS (SELECT DISTINCT a AS item FROM sym),
+      kk AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM items),
+      w0 AS (SELECT item, 1.0 AS w FROM items)"""
+      val rounds = (1 to 5).map { r =>
+        s"""
+      d$r AS (SELECT s.a AS item,
+               sum(CAST(floor(CAST(s.n AS DOUBLE) / (wa.w + wb.w) * 1e6)
+                   / 1e6 AS DECIMAL(38,6))) AS denom
+             FROM sym s
+             JOIN w${r - 1} wa ON wa.item = s.a
+             JOIN w${r - 1} wb ON wb.item = s.b
+             GROUP BY 1),
+      u$r AS (SELECT d.item,
+               greatest(floor(CAST(COALESCE(wi.wins, 0) AS DOUBLE)
+                 / CAST(d.denom AS DOUBLE) * 1e9) / 1e9, 1e-9) AS w
+             FROM d$r d LEFT JOIN wins wi ON wi.item = d.item),
+      s$r AS (SELECT CAST(sum(CAST(w AS DECIMAL(38,9))) AS DOUBLE) AS s
+              FROM u$r),
+      w$r AS (SELECT item,
+                greatest(floor(u.w * kk.k / s$r.s * 1e9) / 1e9, 1e-9) AS w
+              FROM u$r u, s$r, kk)"""
+      }.mkString(",", ",", "")
+      val footer = """
+      SELECT w5.item, CAST(COALESCE(wins.wins, 0) AS BIGINT) AS wins,
+             CAST(mat.matches AS BIGINT) AS matches, w5.w AS rating,
+             CAST(row_number() OVER (ORDER BY w5.w DESC, w5.item)
+               AS INT) AS rank
+      FROM w5
+      LEFT JOIN wins ON wins.item = w5.item
+      JOIN mat ON mat.item = w5.item
+      ORDER BY rank"""
+      (header + rounds + footer).trim
+    })
 
   /** Isotonic calibration over 10 score bins
     * ([[Evaluation.isotonicCalibration]]): the PAV fit via the B²
