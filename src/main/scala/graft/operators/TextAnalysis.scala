@@ -1015,6 +1015,113 @@ object TextAnalysis {
       scoredPieces(unigramSubs(words, maxPieceLen), vocab, unkLp))
   }
 
+  /** Frequency-seeded WordPiece vocabulary: every substring candidate
+    * in its surface form — word-initial pieces bare, word-interior
+    * pieces `##`-prefixed (the BERT convention) — weighted by word
+    * frequency, kept to the `vocabSize` heaviest (count desc, piece
+    * asc — engine-portable tie-break). The classic likelihood-trained
+    * WordPiece vocabulary can be substituted via
+    * [[wordpieceSegmentWith]]; this seed is the deterministic stand-in
+    * that exercises the same apply path.
+    *
+    * @return (piece, cnt)
+    */
+  def wordpieceVocab(
+      df: DataFrame, textCol: String,
+      maxPieceLen: Int = 4, vocabSize: Int = 200,
+      maxWordLen: Int = 16): DataFrame = {
+    require(maxPieceLen >= 1 && maxPieceLen <= 8,
+      s"maxPieceLen must be in [1,8], got $maxPieceLen")
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    val subs = unigramSubs(unigramWords(df, textCol, maxWordLen),
+      maxPieceLen)
+    subs
+      .select(wordpieceForm(col("s"), col("piece")).as("piece"),
+        col("wcnt"))
+      .groupBy(col("piece")).agg(sum(col("wcnt")).as("cnt"))
+      .orderBy(col("cnt").desc, col("piece")).limit(vocabSize)
+  }
+
+  /** `##`-prefix word-interior pieces (BERT surface form). */
+  private def wordpieceForm(s: Column, piece: Column): Column =
+    when(s === 0, piece).otherwise(concat(lit("##"), piece))
+
+  /** WordPiece greedy longest-match-first segmentation (the BERT
+    * tokenizer's runtime, Devlin et al. 2019 / Wu et al. 2016): from
+    * each position take the LONGEST vocabulary piece (word-initial
+    * bare, continuations `##`-prefixed); any position with no match
+    * makes the whole word `[UNK]` — greedy, not Viterbi, which is
+    * exactly what distinguishes it from [[unigramSegmentWith]].
+    *
+    * The whole greedy loop folds IN-ROW with nested higher-order
+    * functions (codegen'd, no UDF, no per-position join rounds): the
+    * accumulator carries (pos, path, failed); each tick consumes ≥ 1
+    * character, so `length(word)` ticks always suffice. Candidate
+    * membership is one broadcast join against `vocab` before the fold.
+    * Scale shape: |distinct words| rows × ≤ maxWordLen·maxPieceLen
+    * candidate structs each — the corpus never re-shuffles.
+    *
+    * @param vocab (piece, …) table in surface form (`##` continuations)
+    * @return per distinct eligible word: (word, wcnt, is_unk, n_pieces
+    *         (0 when UNK), pieces (space-joined; `[UNK]` when UNK))
+    */
+  def wordpieceSegmentWith(
+      df: DataFrame, textCol: String, vocab: DataFrame,
+      maxPieceLen: Int = 4, maxWordLen: Int = 16): DataFrame = {
+    require(maxPieceLen >= 1 && maxPieceLen <= 8,
+      s"maxPieceLen must be in [1,8], got $maxPieceLen")
+    require(maxWordLen >= 1 && maxWordLen <= 32,
+      s"maxWordLen must be in [1,32], got $maxWordLen")
+    val words = unigramWords(df, textCol, maxWordLen)
+    val cands = unigramSubs(words, maxPieceLen)
+      .select(col("word"), col("s"), col("e"),
+        wordpieceForm(col("s"), col("piece")).as("wp"))
+    val matched = cands
+      .join(broadcast(vocab.select(col("piece").as("wp"))), Seq("wp"))
+      .groupBy(col("word"))
+      .agg(collect_list(struct(col("s"), col("e"), col("wp"))).as("__ms"))
+    val greedy = aggregate(
+      sequence(lit(1), length(col("word"))),
+      struct(lit(0).as("pos"), lit("").as("path"), lit(false).as("failed")),
+      (acc, _) => {
+        val here = filter(coalesce(col("__ms"),
+          array().cast("array<struct<s:int,e:int,wp:string>>")),
+          m => m("s") === acc("pos"))
+        val best = array_max(transform(here,
+          m => struct(m("e").as("e"), m("wp").as("wp"))))
+        when(acc("failed") || acc("pos") >= length(col("word")), acc)
+          .when(size(here) === 0,
+            struct(length(col("word")).as("pos"), acc("path").as("path"),
+              lit(true).as("failed")))
+          .otherwise(struct(best("e").as("pos"),
+            concat(acc("path"), lit(" "), best("wp")).as("path"),
+            lit(false).as("failed")))
+      },
+      acc => acc)
+    words
+      .join(matched, Seq("word"), "left")
+      .withColumn("__g", greedy)
+      .select(col("word"), col("wcnt"),
+        col("__g")("failed").as("is_unk"),
+        when(col("__g")("failed"), lit(0))
+          .otherwise(size(split(ltrim(col("__g")("path")), " ")))
+          .as("n_pieces"),
+        when(col("__g")("failed"), lit("[UNK]"))
+          .otherwise(ltrim(col("__g")("path"))).as("pieces"))
+  }
+
+  /** Seeded-vocabulary WordPiece: [[wordpieceVocab]] feeding
+    * [[wordpieceSegmentWith]] — the one-call form of the trio's third
+    * tokenizer (BPE q291/q333, unigram q388/q394, WordPiece here).
+    */
+  def wordpieceSegment(
+      df: DataFrame, textCol: String,
+      maxPieceLen: Int = 4, vocabSize: Int = 200,
+      maxWordLen: Int = 16): DataFrame =
+    wordpieceSegmentWith(df, textCol,
+      wordpieceVocab(df, textCol, maxPieceLen, vocabSize, maxWordLen),
+      maxPieceLen, maxWordLen)
+
   /** The in-row Viterbi over scored (word, wcnt, __ps) rows:
     * accumulator acc(i+1) = (best, n_pieces) of the prefix of length
     * i; the j = 1 fallback guarantees a candidate at every position,

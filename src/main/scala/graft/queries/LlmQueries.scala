@@ -836,6 +836,83 @@ object LlmQueries {
       ORDER BY media_id
     """.trim))
 
+  /** WordPiece greedy longest-match segmentation
+    * ([[TextAnalysis.wordpieceSegment]], pieces <= 4 chars, vocab 200
+    * in BERT surface form with `##` continuations, words <= 16 chars):
+    * the third tokenizer of the trio — BPE merges (q291/q333), unigram
+    * Viterbi (q388), WordPiece greedy here — and the one where greed,
+    * not likelihood, decides: any position with no vocabulary match
+    * makes the whole word `[UNK]`. Spark folds the greedy loop in-row
+    * with nested higher-order functions; the oracle replays it as a
+    * recursive CTE stepping one longest-match per round over the same
+    * frequency-seeded vocabulary, so paths, UNK flags, and piece
+    * counts match exactly. Output: the 300 most frequent words.
+    */
+  val q422Wordpiece = HarnessQuery(
+    "q422_wordpiece",
+    (spark, dir) =>
+      TextAnalysis.wordpieceSegment(Tables.documents(spark, dir), "text")
+        .orderBy(col("wcnt").desc, col("word")).limit(300)
+        .orderBy(col("word")),
+    Some("""
+      WITH RECURSIVE toks AS (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+          AS word
+        FROM documents),
+      words AS MATERIALIZED (
+        SELECT word, CAST(count(*) AS BIGINT) AS wcnt
+        FROM toks WHERE length(word) BETWEEN 1 AND 16
+        GROUP BY 1),
+      se AS (
+        SELECT word, wcnt,
+               unnest(generate_series(1, length(word))) AS e
+        FROM words),
+      sej AS (
+        SELECT word, wcnt, e,
+               unnest(generate_series(1, least(4, e))) AS j
+        FROM se),
+      subs AS MATERIALIZED (
+        SELECT word, wcnt, e - j AS s, e,
+               CASE WHEN e - j = 0 THEN substr(word, e - j + 1, j)
+                    ELSE '##' || substr(word, e - j + 1, j) END AS wp
+        FROM sej),
+      vocab AS MATERIALIZED (
+        SELECT wp FROM (
+          SELECT wp, sum(wcnt) AS cnt FROM subs GROUP BY 1)
+        ORDER BY cnt DESC, wp LIMIT 200),
+      best AS MATERIALIZED (
+        SELECT word, s, e, wp FROM (
+          SELECT m.word, m.s, m.e, m.wp,
+                 row_number() OVER (PARTITION BY m.word, m.s
+                   ORDER BY m.e DESC) AS rk
+          FROM (SELECT DISTINCT word, s, e, wp FROM subs) m
+          JOIN vocab v ON v.wp = m.wp) WHERE rk = 1),
+      step AS (
+        SELECT word, 0 AS pos, '' AS path, false AS failed FROM words
+        UNION ALL
+        SELECT s.word,
+               CAST(COALESCE(b.e, length(s.word)) AS INT) AS pos,
+               CASE WHEN b.e IS NULL THEN s.path
+                    ELSE s.path || ' ' || b.wp END AS path,
+               b.e IS NULL AS failed
+        FROM step s LEFT JOIN best b
+          ON b.word = s.word AND b.s = s.pos
+        WHERE s.pos < length(s.word) AND NOT s.failed),
+      fin AS (
+        SELECT word, path, failed FROM step
+        WHERE failed OR pos = length(word)),
+      top AS (
+        SELECT w.word, w.wcnt, f.failed AS is_unk,
+               CAST(CASE WHEN f.failed THEN 0
+                 ELSE len(string_split(ltrim(f.path), ' ')) END AS INT)
+                 AS n_pieces,
+               CASE WHEN f.failed THEN '[UNK]' ELSE ltrim(f.path) END
+                 AS pieces
+        FROM words w JOIN fin f ON f.word = w.word
+        ORDER BY w.wcnt DESC, w.word LIMIT 300)
+      SELECT * FROM top ORDER BY word
+    """.trim))
+
   /** Unigram-LM Viterbi segmentation ([[TextAnalysis.unigramSegment]],
     * pieces <= 4 chars, vocab 200, words <= 16 chars): the
     * SentencePiece-style other half of the tokenization family (BPE
@@ -6730,6 +6807,7 @@ object LlmQueries {
 
   def all: Seq[HarnessQuery] = Seq(
     q386SeqPacking, q387PngMeta, q388UnigramSegment, q389UnigramEm,
+    q422Wordpiece,
     q392JpegMeta, q419GifMeta, q420WebpMeta,
     q393PackAppend, q394UnigramTrain, q395ContinualPacking,
     q408WarcMeta, q411WarcHttp, q413WarcToText,

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis
+
+class WordpieceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vocabDf(pieces: String*) =
+    pieces.toDF("piece")
+
+  private def segment(text: String, vocab: Seq[String]) =
+    TextAnalysis.wordpieceSegmentWith(
+      Seq(text).toDF("text"), "text", vocabDf(vocab: _*))
+      .collect().map(r => r.getString(0) ->
+        (r.getBoolean(2), r.getInt(3), r.getString(4))).toMap
+
+  test("greedy longest-match-first: longest piece wins at each position") {
+    val got = segment("abcd", Seq("ab", "##cd", "a", "##bc", "##d"))
+    assert(got("abcd") === ((false, 2, "ab ##cd")))
+  }
+
+  test("no match at a position makes the whole word [UNK]") {
+    val got = segment("xyz", Seq("x", "##y"))
+    assert(got("xyz") === ((true, 0, "[UNK]")))
+  }
+
+  test("greedy is not Viterbi: a longest-first dead end UNKs a " +
+    "segmentable word") {
+    // "a ##bcd" segments the word, but greedy commits to "ab" first
+    // and dies at position 2 — the defining WordPiece-vs-unigram
+    // behavior difference.
+    val got = segment("abcd", Seq("ab", "a", "##bcd"))
+    assert(got("abcd") === ((true, 0, "[UNK]")))
+  }
+
+  test("single-piece word; continuation form is required word-interior") {
+    // bare "b" in the vocab does NOT match at interior positions
+    val got = segment("bb", Seq("b"))
+    assert(got("bb") === ((true, 0, "[UNK]")))
+    val ok = segment("bb", Seq("b", "##b"))
+    assert(ok("bb") === ((false, 2, "b ##b")))
+  }
+
+  test("wordpieceVocab: frequency-weighted surface forms, " +
+    "deterministic tie-break") {
+    val corpus = Seq("aa aa b").toDF("text")
+    val v = TextAnalysis.wordpieceVocab(corpus, "text", vocabSize = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // candidates: a/aa/##a each weight 2, b weight 1; ties break
+    // piece-ascending so the top 3 are ##a, a, aa
+    assert(v === Map("##a" -> 2L, "a" -> 2L, "aa" -> 2L))
+
+    val seg = TextAnalysis.wordpieceSegment(corpus, "text", vocabSize = 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getBoolean(2), r.getInt(3), r.getString(4))).toMap
+    assert(seg("aa") === ((false, 1, "aa")))
+    assert(seg("b") === ((true, 0, "[UNK]"))) // b fell out of the vocab
+  }
+
+  test("words beyond maxWordLen are excluded from the output") {
+    val out = TextAnalysis.wordpieceSegmentWith(
+      Seq("short " + "x" * 20).toDF("text"), "text",
+      vocabDf("short"), maxPieceLen = 6, maxWordLen = 16)
+      .collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("short"))
+    assert(out.head.getInt(3) === 1)
+  }
+}
