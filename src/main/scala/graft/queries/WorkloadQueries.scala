@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.functions.MortonExpr
-import graft.operators.{Association, EventAnalytics, Graphs, Reshape, ScaleAudit, TextDedup}
+import graft.operators.{Association, Chat, EventAnalytics, Graphs, Reshape, ScaleAudit, TextDedup}
 import graft.sources.Tables
 
 /** Assorted warehouse workloads rounding out the surface: RFM
@@ -1252,5 +1252,81 @@ object WorkloadQueries {
     q193SkewProfile, q194Zorder, q195Khop, q196Scd2, q197PathTrigrams,
     q198CumUsers, q199Wau, q200DegreeHist, q201PruneSim, q202RankNorm,
     q203TpchQ3, q204TpchQ5, q205TpchQ10, q208AbTest, q209BasketLift,
-    q248JwLinkage, q249MutualInfo, q271SegmentFdr, q365ShardPlan)
+    q248JwLinkage, q249MutualInfo, q271SegmentFdr, q365ShardPlan,
+    q423ChatTemplate)
+
+  /** Chat-template rendering with loss-mask spans
+    * ([[Chat.chatTemplate]]): the SFT data-prep artifact — each user's
+    * first 8 events become a role-tagged conversation
+    * (`<|role|>event_type#event_id` turns, engagement types playing
+    * "user", the rest "assistant"), rendered to one training text per
+    * conversation with 0-based [start,end) character spans over the
+    * assistant contents (the tokens that carry loss). Spark computes
+    * turn offsets with one per-conversation running-sum window and
+    * assembles text + spans from a sorted in-row struct array; the
+    * oracle replays the same offsets with window sums and
+    * FILTER-aggregated string_agg, so every span boundary matches
+    * exactly.
+    */
+  val q423ChatTemplate = HarnessQuery(
+    "q423_chat_template",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val turns = Tables.events(spark, dir)
+        .withColumn("idx", row_number().over(w))
+        .filter(col("idx") <= 8)
+        .select(col("user_id").as("conv_id"), col("idx"),
+          when(col("event_type").isin("click", "view", "signup"),
+            lit("user")).otherwise(lit("assistant")).as("role"),
+          concat(col("event_type"), lit("#"), col("event_id"))
+            .as("content"))
+      Chat.chatTemplate(turns, "conv_id", "idx", "role", "content")
+        .orderBy(col("conv_id"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT user_id AS conv_id,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS idx,
+               CASE WHEN event_type IN ('click', 'view', 'signup')
+                 THEN 'user' ELSE 'assistant' END AS role,
+               event_type || '#' || CAST(event_id AS VARCHAR) AS content
+        FROM events),
+      t8 AS (SELECT * FROM t WHERE idx <= 8),
+      seg AS (
+        SELECT conv_id, idx, role,
+               '<|' || role || '|>' || content AS seg,
+               length(content) AS clen,
+               length(role) + 4 AS hlen
+        FROM t8),
+      off AS (
+        SELECT *,
+               COALESCE(sum(length(seg) + 1) OVER (
+                 PARTITION BY conv_id ORDER BY idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS o
+        FROM seg),
+      conv AS (
+        SELECT conv_id,
+               CAST(count(*) AS BIGINT) AS n_turns,
+               CAST(sum(CASE WHEN role <> 'assistant' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_user_turns,
+               CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_assistant_turns,
+               string_agg(seg, chr(10) ORDER BY idx) AS text,
+               CAST(sum(CASE WHEN role = 'assistant' THEN clen ELSE 0 END)
+                 AS BIGINT) AS assistant_chars,
+               COALESCE(string_agg(
+                 CAST(o + hlen AS VARCHAR) || ':'
+                   || CAST(o + hlen + clen AS VARCHAR), ';'
+                 ORDER BY idx) FILTER (WHERE role = 'assistant'), '')
+                 AS mask_spans
+        FROM off GROUP BY 1)
+      SELECT conv_id, n_turns, n_user_turns, n_assistant_turns, text,
+             CAST(length(text) AS BIGINT) AS total_chars,
+             assistant_chars, mask_spans
+      FROM conv ORDER BY conv_id
+    """.trim))
 }
