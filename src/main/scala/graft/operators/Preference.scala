@@ -103,4 +103,54 @@ object Preference {
         org.apache.spark.sql.expressions.Window
           .orderBy(col("rating").desc, col("item").asc)))
   }
+
+  /** DPO/RLHF preference-pair construction: per prompt group, pair the
+    * highest-scored response (chosen) against the lowest-scored
+    * (rejected) — the best-vs-worst sampling that turns a scored
+    * response pool into direct-preference training rows. Ties break on
+    * the response id ascending (engine-portable); groups with fewer
+    * than two responses, or where best and worst tie on score AND id
+    * ordering would pair a row with itself, produce no pair.
+    *
+    * Scale shape: two ranking windows keyed by the prompt group — no
+    * global ordering, no join; prompt groups partition freely at
+    * corpus scale.
+    *
+    * @return one row per eligible group: group, chosen_id, chosen,
+    *         rejected_id, rejected, chosen_score, rejected_score,
+    *         score_gap
+    */
+  def dpoPairs(
+      responses: DataFrame, groupCol: String, idCol: String,
+      contentCol: String, scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = responses.select(
+      col(groupCol).as("group"), col(idCol).as("__id"),
+      col(contentCol).as("__content"), col(scoreCol).as("__score"))
+      .filter(col("__score").isNotNull)
+    val best = Window.partitionBy(col("group"))
+      .orderBy(col("__score").desc, col("__id").asc)
+    val worst = Window.partitionBy(col("group"))
+      .orderBy(col("__score").asc, col("__id").asc)
+    base
+      .withColumn("__rb", row_number().over(best))
+      .withColumn("__rw", row_number().over(worst))
+      .filter(col("__rb") === 1 || col("__rw") === 1)
+      .groupBy(col("group"))
+      .agg(
+        max(when(col("__rb") === 1, struct(col("__id"), col("__content"),
+          col("__score")))).as("__c"),
+        max(when(col("__rw") === 1, struct(col("__id"), col("__content"),
+          col("__score")))).as("__r"),
+        count(lit(1)).as("__n"))
+      .filter(col("__n") === 2) // a 1-response group tops both windows
+      .select(col("group"),
+        col("__c")("__id").as("chosen_id"),
+        col("__c")("__content").as("chosen"),
+        col("__r")("__id").as("rejected_id"),
+        col("__r")("__content").as("rejected"),
+        col("__c")("__score").as("chosen_score"),
+        col("__r")("__score").as("rejected_score"),
+        (col("__c")("__score") - col("__r")("__score")).as("score_gap"))
+  }
 }

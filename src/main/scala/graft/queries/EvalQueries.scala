@@ -470,7 +470,48 @@ object EvalQueries {
     q154WoeIv, q155TargetEncode, q156Psi, q157Expectations, q158CumScores,
     q226CvAuc, q236ThresholdSweep, q242AvgPrecision, q244Cuped, q245Anova,
     q246BootstrapCi, q252Brier, q254Did, q255StratAte, q259Isotonic,
-    q261DriftDistances, q421BradleyTerry)
+    q261DriftDistances, q421BradleyTerry, q424DpoPairs)
+
+  /** DPO preference-pair construction ([[Preference.dpoPairs]]): per
+    * user (the prompt group), the highest-valued event becomes the
+    * chosen response and the lowest-valued the rejected one — the
+    * best-vs-worst sampling that turns a scored response pool into
+    * direct-preference training rows, with ties broken on event id and
+    * degenerate all-tied groups dropped. Two ranking windows per
+    * group, no join on the data path; the oracle replays both windows
+    * and pairs the rank-1 rows.
+    */
+  val q424DpoPairs = HarnessQuery(
+    "q424_dpo_pairs",
+    (spark, dir) =>
+      Preference.dpoPairs(
+        Tables.events(spark, dir)
+          .select(col("user_id"), col("event_id"),
+            concat(col("event_type"), lit("#"), col("event_id"))
+              .as("content"),
+            col("value")),
+        "user_id", "event_id", "content", "value")
+        .orderBy(col("group")),
+    Some("""
+      WITH r AS (
+        SELECT user_id AS grp, event_id AS id,
+               event_type || '#' || CAST(event_id AS VARCHAR) AS content,
+               value AS score,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY value DESC, event_id) AS rb,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY value ASC, event_id) AS rw
+        FROM events WHERE value IS NOT NULL),
+      c AS (SELECT * FROM r WHERE rb = 1),
+      w AS (SELECT * FROM r WHERE rw = 1)
+      SELECT c.grp AS "group", c.id AS chosen_id, c.content AS chosen,
+             w.id AS rejected_id, w.content AS rejected,
+             c.score AS chosen_score, w.score AS rejected_score,
+             c.score - w.score AS score_gap
+      FROM c JOIN w ON w.grp = c.grp
+      WHERE c.id <> w.id
+      ORDER BY c.grp
+    """.trim))
 
   /** Bradley–Terry preference ratings ([[Preference.bradleyTerry]]):
     * the RLHF-preference-data read-out — pairwise A-vs-B duels

@@ -58,4 +58,44 @@ class PreferenceSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(got("A") === 3L && got("B") === 3L)
   }
+
+  test("dpoPairs: best vs worst per group, gap computed") {
+    val rs = Seq(
+      (1L, 10L, "a", 0.2), (1L, 11L, "b", 0.9), (1L, 12L, "c", 0.5),
+      (2L, 20L, "d", 1.0), (2L, 21L, "e", 3.0))
+      .toDF("g", "id", "content", "score")
+    val got = Preference.dpoPairs(rs, "g", "id", "content", "score")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(3), r.getDouble(7))).toMap
+    assert(got(1L) === ((11L, 10L, 0.7)))
+    assert(got(2L) === ((21L, 20L, 2.0)))
+  }
+
+  test("dpoPairs: score ties break on id; all-tied and singleton " +
+    "groups emit nothing") {
+    val rs = Seq(
+      (1L, 10L, "a", 0.5), (1L, 11L, "b", 0.5), (1L, 12L, "c", 0.5),
+      (2L, 20L, "d", 7.0),
+      (3L, 30L, "e", 0.1), (3L, 31L, "f", 0.1), (3L, 32L, "g", 0.4))
+      .toDF("g", "id", "content", "score")
+    val rows = Preference.dpoPairs(rs, "g", "id", "content", "score")
+      .collect()
+    // group 1 all-tied -> one row tops both windows -> dropped;
+    // group 2 singleton -> dropped; group 3: chosen 32, rejected
+    // ties 30/31 -> lower id 30
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getLong(0) === 3L && r.getLong(1) === 32L
+      && r.getLong(3) === 30L)
+  }
+
+  test("dpoPairs: null scores are excluded before ranking") {
+    val rs = Seq(
+      (1L, 10L, "a", Some(0.2)), (1L, 11L, "b", None),
+      (1L, 12L, "c", Some(0.8)))
+      .toDF("g", "id", "content", "score")
+    val r = Preference.dpoPairs(rs, "g", "id", "content", "score")
+      .collect().head
+    assert(r.getLong(1) === 12L && r.getLong(3) === 10L)
+  }
 }
