@@ -77,4 +77,59 @@ object Chat {
         col("n_assistant_turns"), col("text"), col("total_chars"),
         col("assistant_chars"), col("mask_spans"))
   }
+
+  /** Pack rendered conversations ([[chatTemplate]] rows) into
+    * fixed-size training sequences WITH the loss-mask spans re-based
+    * into the packed text — the step naive packing gets wrong: spans
+    * are per-conversation offsets, and concatenation shifts every one.
+    *
+    * Same sharded concatenate-and-cut discipline as
+    * `TextAnalysis.packSequences`: conversations shard by
+    * `pmod(conv_id, shards)` (no global running sum — shards scale
+    * horizontally), a per-shard running sum assigns each conversation
+    * to the bin where it starts, and conversations within a bin join
+    * with a blank line ("\n\n", 2 chars) in conv_id order. Each
+    * conversation's spans shift by its offset in the pack.
+    *
+    * @param convs [[chatTemplate]] output (conv_id, text, total_chars,
+    *              mask_spans)
+    * @return one row per pack: shard, bin, n_convs, packed_chars
+    *         (separators included), text, mask_spans (shifted,
+    *         ";"-joined in conv order; "" when no conversation in the
+    *         pack has an assistant turn)
+    */
+  def packConversations(
+      convs: DataFrame, targetChars: Int, shards: Int = 64): DataFrame = {
+    require(targetChars > 0 && shards > 0, "need positive target and shards")
+    val wRun = Window.partitionBy(col("__shard")).orderBy(col("conv_id"))
+    val wOff = Window.partitionBy(col("__shard"), col("bin"))
+      .orderBy(col("conv_id")).rowsBetween(Window.unboundedPreceding, -1)
+    val binned = convs
+      .withColumn("__shard", pmod(col("conv_id"), lit(shards)))
+      .withColumn("__end", sum(col("total_chars")).over(wRun))
+      .withColumn("bin",
+        floor((col("__end") - col("total_chars")) / lit(targetChars)))
+      .withColumn("__off",
+        coalesce(sum(col("total_chars") + lit(2L)).over(wOff), lit(0L)))
+    val shifted = binned.withColumn("__sspans",
+      array_join(transform(
+        filter(split(col("mask_spans"), ";"), s => s =!= ""),
+        s => concat(
+          split(s, ":")(0).cast("long") + col("__off"), lit(":"),
+          split(s, ":")(1).cast("long") + col("__off"))), ";"))
+    shifted
+      .groupBy(col("__shard").cast("long").as("shard"), col("bin"))
+      .agg(
+        count(lit(1)).as("n_convs"),
+        (sum(col("total_chars")) + (count(lit(1)) - 1L) * lit(2L))
+          .as("packed_chars"),
+        sort_array(collect_list(struct(
+          col("conv_id"), col("text"), col("__sspans")))).as("__cs"))
+      .select(col("shard"), col("bin"), col("n_convs"),
+        col("packed_chars"),
+        array_join(transform(col("__cs"), c => c("text")), "\n\n")
+          .as("text"),
+        array_join(filter(transform(col("__cs"), c => c("__sspans")),
+          s => s =!= ""), ";").as("mask_spans"))
+  }
 }

@@ -1253,7 +1253,111 @@ object WorkloadQueries {
     q198CumUsers, q199Wau, q200DegreeHist, q201PruneSim, q202RankNorm,
     q203TpchQ3, q204TpchQ5, q205TpchQ10, q208AbTest, q209BasketLift,
     q248JwLinkage, q249MutualInfo, q271SegmentFdr, q365ShardPlan,
-    q423ChatTemplate)
+    q423ChatTemplate, q425PackedChats)
+
+  /** Conversation packing with re-based loss masks
+    * ([[Chat.packConversations]] over [[Chat.chatTemplate]]): the full
+    * SFT packing path — q423's rendered conversations concatenate into
+    * ~400-char training sequences (8 shards, per-shard running-sum
+    * bins, blank-line separators) and every conversation's mask spans
+    * SHIFT by its offset in the pack, which is the step naive packing
+    * gets wrong. The oracle replays rendering, binning, offsets, and
+    * the span arithmetic with list_transform over the same span
+    * strings, so every shifted boundary matches exactly.
+    */
+  val q425PackedChats = HarnessQuery(
+    "q425_packed_chats",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val turns = Tables.events(spark, dir)
+        .withColumn("idx", row_number().over(w))
+        .filter(col("idx") <= 8)
+        .select(col("user_id").as("conv_id"), col("idx"),
+          when(col("event_type").isin("click", "view", "signup"),
+            lit("user")).otherwise(lit("assistant")).as("role"),
+          concat(col("event_type"), lit("#"), col("event_id"))
+            .as("content"))
+      Chat.packConversations(
+        Chat.chatTemplate(turns, "conv_id", "idx", "role", "content"),
+        targetChars = 400, shards = 8)
+        .orderBy(col("shard"), col("bin"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT user_id AS conv_id,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS idx,
+               CASE WHEN event_type IN ('click', 'view', 'signup')
+                 THEN 'user' ELSE 'assistant' END AS role,
+               event_type || '#' || CAST(event_id AS VARCHAR) AS content
+        FROM events),
+      t8 AS (SELECT * FROM t WHERE idx <= 8),
+      seg AS (
+        SELECT conv_id, idx, role,
+               '<|' || role || '|>' || content AS seg,
+               length(content) AS clen,
+               length(role) + 4 AS hlen
+        FROM t8),
+      soff AS (
+        SELECT *,
+               COALESCE(sum(length(seg) + 1) OVER (
+                 PARTITION BY conv_id ORDER BY idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS o
+        FROM seg),
+      conv AS (
+        SELECT conv_id,
+               string_agg(seg, chr(10) ORDER BY idx) AS text,
+               COALESCE(string_agg(
+                 CAST(o + hlen AS VARCHAR) || ':'
+                   || CAST(o + hlen + clen AS VARCHAR), ';'
+                 ORDER BY idx) FILTER (WHERE role = 'assistant'), '')
+                 AS mask_spans
+        FROM soff GROUP BY 1),
+      conv2 AS (
+        SELECT conv_id, text,
+               CAST(length(text) AS BIGINT) AS total_chars, mask_spans,
+               conv_id % 8 AS shard
+        FROM conv),
+      run AS (
+        SELECT *, sum(total_chars) OVER (PARTITION BY shard
+                 ORDER BY conv_id) AS e
+        FROM conv2),
+      binned AS (
+        SELECT *,
+               CAST(floor((e - total_chars) / 400) AS BIGINT) AS bin
+        FROM run),
+      woff AS (
+        SELECT *,
+               COALESCE(sum(total_chars + 2) OVER (
+                 PARTITION BY shard, bin ORDER BY conv_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS poff
+        FROM binned),
+      sh AS (
+        SELECT shard, bin, conv_id, text, total_chars,
+               array_to_string(list_transform(
+                 list_filter(string_split(mask_spans, ';'),
+                   x -> x <> ''),
+                 x -> CAST(CAST(string_split(x, ':')[1] AS BIGINT)
+                        + poff AS VARCHAR)
+                      || ':' ||
+                      CAST(CAST(string_split(x, ':')[2] AS BIGINT)
+                        + poff AS VARCHAR)), ';') AS sspans
+        FROM woff)
+      SELECT CAST(shard AS BIGINT) AS shard, bin,
+             CAST(count(*) AS BIGINT) AS n_convs,
+             CAST(sum(total_chars) + 2 * (count(*) - 1) AS BIGINT)
+               AS packed_chars,
+             string_agg(text, chr(10) || chr(10) ORDER BY conv_id)
+               AS text,
+             COALESCE(string_agg(sspans, ';' ORDER BY conv_id)
+               FILTER (WHERE sspans <> ''), '') AS mask_spans
+      FROM sh GROUP BY 1, 2
+      ORDER BY shard, bin
+    """.trim))
 
   /** Chat-template rendering with loss-mask spans
     * ([[Chat.chatTemplate]]): the SFT data-prep artifact — each user's
