@@ -1015,6 +1015,38 @@ object TextAnalysis {
       scoredPieces(unigramSubs(words, maxPieceLen), vocab, unkLp))
   }
 
+  /** GPT-2-style pretokenization pattern (Radford et al. 2019 —
+    * `encoder.py`'s split regex), SIMPLIFIED to the lookahead-free
+    * core so the same pattern runs identically under Java regex and
+    * RE2: English contractions, space-prefixed letter runs,
+    * space-prefixed digit runs, space-prefixed punctuation runs,
+    * residual whitespace. Both engines use leftmost-first alternation,
+    * so splits agree token-for-token.
+    */
+  val Gpt2PretokenPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Corpus pretoken inventory under [[Gpt2PretokenPattern]]: the
+    * BPE-family pretokenizer's output distribution — what a GPT-style
+    * tokenizer trains FROM (merges never cross pretoken boundaries).
+    * Spaces render as `Ġ` (the GPT-2 byte-encoder convention)
+    * so space-prefixed and word-initial forms stay distinct, visible
+    * columns. One explode + one hash aggregation; map-side partial
+    * aggregation absorbs the repetition.
+    *
+    * @return (pretoken, cnt, n_docs) per distinct pretoken
+    */
+  def pretokenCounts(df: DataFrame, textCol: String,
+      idCol: String): DataFrame =
+    df.select(col(idCol).as("__id"),
+      explode(regexp_extract_all(col(textCol),
+        lit(Gpt2PretokenPattern), lit(0))).as("__t"))
+      .select(col("__id"),
+        regexp_replace(col("__t"), " ", "Ġ").as("pretoken"))
+      .groupBy(col("pretoken"))
+      .agg(count(lit(1)).as("cnt"),
+        countDistinct(col("__id")).as("n_docs"))
+
   /** Frequency-seeded WordPiece vocabulary: every substring candidate
     * in its surface form — word-initial pieces bare, word-interior
     * pieces `##`-prefixed (the BERT convention) — weighted by word

@@ -836,6 +836,40 @@ object LlmQueries {
       ORDER BY media_id
     """.trim))
 
+  /** GPT-2-style pretokenization inventory
+    * ([[TextAnalysis.pretokenCounts]]): the split a byte-level BPE
+    * trains from — contractions, space-prefixed letter/digit/
+    * punctuation runs, residual whitespace — with spaces
+    * rendered `Ġ` per the GPT-2 byte-encoder convention. The pattern
+    * is the lookahead-free core of Radford et al.'s split regex, so
+    * Java regex (Spark) and RE2 (DuckDB) produce identical splits;
+    * the oracle re-runs the same pattern through
+    * regexp_extract_all. Output: the 200 heaviest pretokens.
+    */
+  val q426Pretokens = HarnessQuery(
+    "q426_pretokens",
+    (spark, dir) =>
+      TextAnalysis.pretokenCounts(Tables.documents(spark, dir), "text",
+        "doc_id")
+        .orderBy(col("cnt").desc, col("pretoken")).limit(200)
+        .orderBy(col("pretoken")),
+    Some("""
+      WITH p AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(text,
+                 '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+                 AS t
+        FROM documents),
+      c AS (
+        SELECT replace(t, ' ', 'Ġ') AS pretoken,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM p GROUP BY 1),
+      top AS (
+        SELECT * FROM c ORDER BY cnt DESC, pretoken LIMIT 200)
+      SELECT * FROM top ORDER BY pretoken
+    """.trim))
+
   /** WordPiece greedy longest-match segmentation
     * ([[TextAnalysis.wordpieceSegment]], pieces <= 4 chars, vocab 200
     * in BERT surface form with `##` continuations, words <= 16 chars):
@@ -6807,7 +6841,7 @@ object LlmQueries {
 
   def all: Seq[HarnessQuery] = Seq(
     q386SeqPacking, q387PngMeta, q388UnigramSegment, q389UnigramEm,
-    q422Wordpiece,
+    q422Wordpiece, q426Pretokens,
     q392JpegMeta, q419GifMeta, q420WebpMeta,
     q393PackAppend, q394UnigramTrain, q395ContinualPacking,
     q408WarcMeta, q411WarcHttp, q413WarcToText,

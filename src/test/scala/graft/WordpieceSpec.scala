@@ -59,6 +59,30 @@ class WordpieceSpec extends SparkSpec {
     assert(seg("b") === ((true, 0, "[UNK]"))) // b fell out of the vocab
   }
 
+  test("pretokenCounts: GPT-2 splits — contractions, space-prefixed " +
+    "runs, Ġ rendering") {
+    val df = Seq((1L, "I don't like 42 bugs!  I don't")).toDF("id", "text")
+    val got = TextAnalysis.pretokenCounts(df, "text", "id")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // "don" carries the leading space -> Ġdon; the contraction "'t"
+    // splits off; "42" is a digit run; "!" a punctuation run. The
+    // lookahead-free core (unlike full GPT-2's `\s+(?!\S)`) lets the
+    // greedy \s+ swallow BOTH spaces of the double space, so the
+    // second "I" splits bare — pinned here as the documented delta.
+    assert(got("I") === 2L)
+    assert(got("Ġdon") === 2L)
+    assert(got("'t") === 2L)
+    assert(got("Ġ42") === 1L)
+    assert(got("!") === 1L)
+    assert(got("ĠĠ") === 1L)
+    assert(!got.contains("ĠI"))
+    assert(got("Ġlike") === 1L && got("Ġbugs") === 1L)
+    // tokens re-concatenate to the original text (split is lossless)
+    val total = got.toSeq.map { case (t, n) =>
+      t.replace("Ġ", " ").length * n }.sum
+    assert(total === "I don't like 42 bugs!  I don't".length)
+  }
+
   test("words beyond maxWordLen are excluded from the output") {
     val out = TextAnalysis.wordpieceSegmentWith(
       Seq("short " + "x" * 20).toDF("text"), "text",
