@@ -1300,6 +1300,132 @@ object Multimodal {
     bb.array()
   }
 
+  /** Parsed FLAC STREAMINFO + metadata-block inventory. Sentinels when
+    * the payload is not a FLAC (bad magic or no STREAMINFO first
+    * block, per spec): rate/channels/bits −1, samples/duration −1,
+    * counts 0, flags false.
+    */
+  final case class FlacMeta(
+      sample_rate: Int, channels: Int, bits_per_sample: Int,
+      total_samples: Long, duration_ms: Long, n_blocks: Int,
+      has_vorbis_comment: Boolean, has_picture: Boolean)
+
+  final case class FlacMetaRow(
+      media_id: Long, sample_rate: Int, channels: Int,
+      bits_per_sample: Int, total_samples: Long, duration_ms: Long,
+      n_blocks: Int, has_vorbis_comment: Boolean, has_picture: Boolean,
+      n_bytes: Long)
+
+  private val UnknownFlac =
+    FlacMeta(-1, -1, -1, -1L, -1L, 0, has_vorbis_comment = false,
+      has_picture = false)
+
+  /** Total FLAC metadata-block walk: `fLaC` magic, then blocks of
+    * (1-byte header: last-flag bit + 7-bit type, 24-bit BE length,
+    * payload) — STREAMINFO (type 0, mandatory first) carries the
+    * packed 20-bit sample rate / 3-bit channels−1 / 5-bit bps−1 /
+    * 36-bit total-samples field an audio-ingest pipeline filters on;
+    * VORBIS_COMMENT (4) and PICTURE (6) are flagged. Defensive like
+    * [[parsePngMeta]]: truncated or lying lengths stop the walk;
+    * never throws. Audio FRAMES are not decoded (no codec here, by
+    * construction — same contract as [[parseContainerMeta]]).
+    */
+  def parseFlacMeta(bytes: Array[Byte]): FlacMeta = {
+    if (bytes == null || bytes.length < 4 + 4 + 34) return UnknownFlac
+    if (fourcc(bytes, 0) != "fLaC") return UnknownFlac
+    var p = 4
+    var first = true
+    var rate = -1; var ch = -1; var bps = -1; var total = -1L
+    var nBlocks = 0; var vorbis = false; var pic = false
+    var last = false
+    var stop = false
+    while (!stop && !last && p + 4 <= bytes.length) {
+      val hdr = bytes(p) & 0xFF
+      last = (hdr & 0x80) != 0
+      val btype = hdr & 0x7F
+      val len = ((bytes(p + 1) & 0xFF) << 16) |
+        ((bytes(p + 2) & 0xFF) << 8) | (bytes(p + 3) & 0xFF)
+      if (p + 4 + len > bytes.length) stop = true
+      else {
+        if (first && btype != 0) return UnknownFlac // spec: SI first
+        nBlocks += 1
+        if (first && len >= 34) {
+          val d = p + 4 + 10 // skip block/frame size fields
+          rate = ((bytes(d) & 0xFF) << 12) | ((bytes(d + 1) & 0xFF) << 4) |
+            ((bytes(d + 2) & 0xFF) >>> 4)
+          ch = (((bytes(d + 2) & 0xFF) >>> 1) & 0x7) + 1
+          bps = (((bytes(d + 2) & 1) << 4) |
+            ((bytes(d + 3) & 0xFF) >>> 4)) + 1
+          total = ((bytes(d + 3) & 0xFL) << 32) |
+            ((bytes(d + 4) & 0xFFL) << 24) | ((bytes(d + 5) & 0xFFL) << 16) |
+            ((bytes(d + 6) & 0xFFL) << 8) | (bytes(d + 7) & 0xFFL)
+        } else if (btype == 4) vorbis = true
+        else if (btype == 6) pic = true
+        first = false
+        p += 4 + len
+      }
+    }
+    if (rate <= 0) UnknownFlac
+    else FlacMeta(rate, ch, bps, total,
+      total * 1000L / rate, nBlocks, vorbis, pic)
+  }
+
+  /** FLAC metadata over a media Dataset — same shape as [[pngMeta]]. */
+  def flacMeta(ds: Dataset[MediaRow]): Dataset[FlacMetaRow] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { r =>
+      val m = parseFlacMeta(r.media)
+      val n = if (r.media == null) 0L else r.media.length.toLong
+      FlacMetaRow(r.media_id, m.sample_rate, m.channels,
+        m.bits_per_sample, m.total_samples, m.duration_ms, m.n_blocks,
+        m.has_vorbis_comment, m.has_picture, n)
+    })
+  }
+
+  /** Deterministic FLAC fixture: magic + STREAMINFO (34 bytes, the
+    * packed rate/channels/bps/total-samples field assembled bit-wise)
+    * + one block per (type, len) in `extraBlocks` with deterministic
+    * filler; the final block carries the last-block flag. Size is
+    * 4 + 38 + Σ(4 + len) bytes.
+    */
+  def flacBytes(sampleRate: Int, channels: Int, bitsPerSample: Int,
+      totalSamples: Long, extraBlocks: Seq[(Int, Int)]): Array[Byte] = {
+    require(sampleRate >= 1 && sampleRate < (1 << 20), "rate needs 20 bits")
+    require(channels >= 1 && channels <= 8, "channels in [1,8]")
+    require(bitsPerSample >= 4 && bitsPerSample <= 32, "bps in [4,32]")
+    require(totalSamples >= 0 && totalSamples < (1L << 36),
+      "total samples needs 36 bits")
+    require(extraBlocks.forall { case (t, l) =>
+      t >= 1 && t <= 126 && l >= 0 }, "extra blocks need type/len bounds")
+    val total = 4 + 38 + extraBlocks.map(4 + _._2).sum
+    val bb = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.put("fLaC".getBytes("ISO-8859-1"))
+    val siLast = if (extraBlocks.isEmpty) 0x80 else 0x00
+    bb.put(siLast.toByte).put(0.toByte).put(0.toByte).put(34.toByte)
+    bb.putShort(4096.toShort).putShort(4096.toShort) // block sizes
+    bb.put(0.toByte).put(0.toByte).put(0.toByte) // min frame size
+    bb.put(0.toByte).put(0.toByte).put(0.toByte) // max frame size
+    bb.put((sampleRate >>> 12).toByte)
+    bb.put(((sampleRate >>> 4) & 0xFF).toByte)
+    bb.put((((sampleRate & 0xF) << 4) | ((channels - 1) << 1) |
+      ((bitsPerSample - 1) >>> 4)).toByte)
+    bb.put(((((bitsPerSample - 1) & 0xF) << 4) |
+      ((totalSamples >>> 32) & 0xF).toInt).toByte)
+    bb.putInt((totalSamples & 0xFFFFFFFFL).toInt)
+    var j = 0
+    while (j < 16) { bb.put(0.toByte); j += 1 } // md5 (not validated)
+    extraBlocks.zipWithIndex.foreach { case ((t, l), i) =>
+      val lastFlag = if (i == extraBlocks.length - 1) 0x80 else 0x00
+      bb.put((lastFlag | t).toByte)
+      bb.put(((l >>> 16) & 0xFF).toByte).put(((l >>> 8) & 0xFF).toByte)
+        .put((l & 0xFF).toByte)
+      var x = 0
+      while (x < l) { bb.put((x % 247).toByte); x += 1 }
+    }
+    bb.array()
+  }
+
   /** Parsed WebP header. Sentinels when the payload is not a WebP
     * (no RIFF/WEBP framing or unknown first chunk): format "",
     * dimensions −1, flags false, n_chunks 0.

@@ -836,6 +836,81 @@ object LlmQueries {
       ORDER BY media_id
     """.trim))
 
+  /** FLAC metadata-block inventory ([[Multimodal.parseFlacMeta]]):
+    * REAL bit-level STREAMINFO decode — 20-bit sample rate, 3-bit
+    * channels−1, 5-bit bps−1, 36-bit total samples packed across byte
+    * boundaries — plus the (last-flag, type, 24-bit length) block walk
+    * flagging VORBIS_COMMENT and PICTURE blocks, over deterministic
+    * fixtures parameterized per nation row and one garbage payload
+    * that must yield the sentinel. Completes the audio side of the
+    * container family (WAV q336, MP4 tracks q375) for lossless-audio
+    * ingest audits. The oracle recomputes every field (including the
+    * integer-division duration) from the generator parameters.
+    */
+  val q427FlacMeta = HarnessQuery(
+    "q427_flac_meta",
+    (spark, dir) => {
+      import spark.implicits._
+      val flacs = Tables.nation(spark, dir)
+        .select(col("n_nationkey").cast("long").as("id")).as[Long]
+        .map { k =>
+          val n = k.toInt
+          val extras = n % 3 match {
+            case 0 => Seq.empty[(Int, Int)]
+            case 1 => Seq((4, 20 + n))
+            case _ => Seq((4, 20 + n), (6, 50 + n))
+          }
+          Multimodal.MediaRow(10000L + k,
+            Multimodal.flacBytes(8000 + 1000 * n, 1 + n % 2,
+              16 + (n % 2) * 8,
+              (8000L + 1000 * n) * (2 + n) + n, extras),
+            "audio/flac", -1, -1)
+        }
+      val junk = Tables.region(spark, dir)
+        .filter(col("r_regionkey") === 0)
+        .select(col("r_regionkey").cast("long").as("id")).as[Long]
+        .map(_ => Multimodal.MediaRow(10900L,
+          "certainly not lossless audio content here".getBytes("ISO-8859-1"),
+          "text/plain", -1, -1))
+      Multimodal.flacMeta(flacs.union(junk)).toDF()
+        .orderBy(col("media_id"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT CAST(10000 + n_nationkey AS BIGINT) AS media_id,
+               n_nationkey AS k
+        FROM nation),
+      g AS (
+        SELECT media_id,
+               CAST(8000 + 1000 * k AS INT) AS sample_rate,
+               CAST(1 + k % 2 AS INT) AS channels,
+               CAST(16 + (k % 2) * 8 AS INT) AS bits_per_sample,
+               CAST((8000 + 1000 * k) * (2 + k) + k AS BIGINT)
+                 AS total_samples,
+               CAST(((8000 + 1000 * k) * (2 + k) + k) * 1000
+                 // (8000 + 1000 * k) AS BIGINT) AS duration_ms,
+               CAST(1 + CASE k % 3 WHEN 0 THEN 0 WHEN 1 THEN 1
+                 ELSE 2 END AS INT) AS n_blocks,
+               k % 3 <> 0 AS has_vorbis_comment,
+               k % 3 = 2 AS has_picture,
+               CAST(42 + CASE k % 3 WHEN 0 THEN 0
+                 WHEN 1 THEN 4 + 20 + k
+                 ELSE (4 + 20 + k) + (4 + 50 + k) END AS BIGINT)
+                 AS n_bytes
+        FROM p),
+      j AS (
+        SELECT CAST(10900 AS BIGINT) AS media_id,
+               CAST(-1 AS INT) AS sample_rate, CAST(-1 AS INT) AS channels,
+               CAST(-1 AS INT) AS bits_per_sample,
+               CAST(-1 AS BIGINT) AS total_samples,
+               CAST(-1 AS BIGINT) AS duration_ms,
+               CAST(0 AS INT) AS n_blocks,
+               false AS has_vorbis_comment, false AS has_picture,
+               CAST(41 AS BIGINT) AS n_bytes
+        FROM region WHERE r_regionkey = 0)
+      SELECT * FROM g UNION ALL SELECT * FROM j ORDER BY media_id
+    """.trim))
+
   /** GPT-2-style pretokenization inventory
     * ([[TextAnalysis.pretokenCounts]]): the split a byte-level BPE
     * trains from — contractions, space-prefixed letter/digit/
@@ -6841,7 +6916,7 @@ object LlmQueries {
 
   def all: Seq[HarnessQuery] = Seq(
     q386SeqPacking, q387PngMeta, q388UnigramSegment, q389UnigramEm,
-    q422Wordpiece, q426Pretokens,
+    q422Wordpiece, q426Pretokens, q427FlacMeta,
     q392JpegMeta, q419GifMeta, q420WebpMeta,
     q393PackAppend, q394UnigramTrain, q395ContinualPacking,
     q408WarcMeta, q411WarcHttp, q413WarcToText,

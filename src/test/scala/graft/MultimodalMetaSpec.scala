@@ -315,6 +315,60 @@ class MultimodalMetaSpec extends SparkSpec {
       (2L, -1, "", "", -1L, 0)))
   }
 
+  test("FLAC: hand-assembled STREAMINFO bit fields parse exactly") {
+    // 44100 Hz, 2ch, 16bps, 441000 samples (10 s), one VORBIS_COMMENT
+    val bb = ByteBuffer.allocate(4 + 38 + 4 + 8)
+      .order(ByteOrder.BIG_ENDIAN)
+    bb.put("fLaC".getBytes("ISO-8859-1"))
+    bb.put(0x00.toByte).put(0.toByte).put(0.toByte).put(34.toByte)
+    bb.putShort(4096.toShort).putShort(4096.toShort)
+    (0 until 6).foreach(_ => bb.put(0.toByte)) // frame size fields
+    // 44100 = 0b00001010 11000100 0100 -> bytes 0x0A 0xC4 0x4?
+    bb.put(0x0A.toByte).put(0xC4.toByte)
+    // low rate nibble 0x4, channels-1 = 1 (bits 3..1), bps-1 = 15
+    // high bit (bit 0) = 0 -> 0100 001 0
+    bb.put(0x42.toByte)
+    // bps-1 low nibble 1111, total>>32 = 0 -> 0xF0
+    bb.put(0xF0.toByte)
+    bb.putInt(441000)
+    (0 until 16).foreach(_ => bb.put(0.toByte)) // md5
+    bb.put(0x84.toByte).put(0.toByte).put(0.toByte).put(8.toByte)
+    (0 until 8).foreach(_ => bb.put(0.toByte))
+    val m = Multimodal.parseFlacMeta(bb.array())
+    assert(m === Multimodal.FlacMeta(44100, 2, 16, 441000L, 10000L,
+      n_blocks = 2, has_vorbis_comment = true, has_picture = false))
+  }
+
+  test("parseFlacMeta: fixture round-trip, truncation, garbage") {
+    val base = Multimodal.flacBytes(48000, 2, 24, 48000L * 7 + 3,
+      Seq((4, 10), (6, 20)))
+    val m = Multimodal.parseFlacMeta(base)
+    assert(m === Multimodal.FlacMeta(48000, 2, 24, 48000L * 7 + 3,
+      7000L, n_blocks = 3, has_vorbis_comment = true,
+      has_picture = true))
+
+    // 8-channel 36-bit-boundary sample count survives the bit packing
+    val big = Multimodal.parseFlacMeta(
+      Multimodal.flacBytes(96000, 8, 32, (1L << 36) - 1, Seq.empty))
+    assert(big.channels === 8 && big.bits_per_sample === 32)
+    assert(big.total_samples === (1L << 36) - 1)
+
+    // truncated mid-extra-block: STREAMINFO stands, the cut block
+    // is not inventoried
+    val cut = Multimodal.parseFlacMeta(base.take(base.length - 15))
+    assert(cut.sample_rate === 48000 && cut.n_blocks === 2
+      && !cut.has_picture)
+
+    // a non-STREAMINFO first block violates the spec -> sentinel
+    val bad = base.clone()
+    bad(4) = 0x04.toByte
+    assert(Multimodal.parseFlacMeta(bad).sample_rate === -1)
+
+    assert(Multimodal.parseFlacMeta("fLaCxxxx".getBytes("ISO-8859-1"))
+      .sample_rate === -1)
+    assert(Multimodal.parseFlacMeta(null).sample_rate === -1)
+  }
+
   test("GIF: hand-assembled 89a with GCT, extension, two frames") {
     // assembled field-by-field, independent of gifBytes
     val bb = ByteBuffer.allocate(13 + 3 * 4 + 8 + 2 * (13 + 3) + 1)
