@@ -60,4 +60,18 @@ object TokenizerStore {
     */
   def loadUnigramVocab(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path + "/unigram_vocab")
+
+  /** Persist a (piece, cnt) WordPiece vocabulary in surface form
+    * (`##` continuations) — [[TextAnalysis.wordpieceVocab]] output.
+    */
+  def saveWordpieceVocab(vocab: DataFrame, path: String): Unit =
+    vocab.select(col("piece"), col("cnt"))
+      .write.mode("overwrite").parquet(path + "/wordpiece_vocab")
+
+  /** Load a persisted WordPiece vocabulary (see
+    * [[saveWordpieceVocab]]); feed it to
+    * [[TextAnalysis.wordpieceSegmentWith]].
+    */
+  def loadWordpieceVocab(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path + "/wordpiece_vocab")
 }

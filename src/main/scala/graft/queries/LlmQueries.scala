@@ -1022,6 +1022,32 @@ object LlmQueries {
       SELECT * FROM top ORDER BY word
     """.trim))
 
+  /** WordPiece vocabulary persistence ([[graft.operators
+    * .TokenizerStore]]): q422's frequency-seeded vocabulary is written
+    * to parquet and loaded back into
+    * [[TextAnalysis.wordpieceSegmentWith]] — completing the
+    * train-once / tokenize-everywhere split for all three tokenizers
+    * (BPE q401, unigram q402, WordPiece here). The oracle is q422's
+    * VERBATIM: strings/longs round-trip parquet bit-exactly, so the
+    * loaded-vocab segmentation reproduces the fresh one row-for-row.
+    */
+  val q428WordpiecePersisted = HarnessQuery(
+    "q428_wordpiece_persisted",
+    (spark, dir) => {
+      import graft.operators.TokenizerStore
+      val path = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q428_wordpiece")
+        .getAbsolutePath
+      val docs = Tables.documents(spark, dir)
+      TokenizerStore.saveWordpieceVocab(
+        TextAnalysis.wordpieceVocab(docs, "text"), path)
+      TextAnalysis.wordpieceSegmentWith(docs, "text",
+        TokenizerStore.loadWordpieceVocab(spark, path))
+        .orderBy(col("wcnt").desc, col("word")).limit(300)
+        .orderBy(col("word"))
+    },
+    q422Wordpiece.oracle)
+
   /** Unigram-LM Viterbi segmentation ([[TextAnalysis.unigramSegment]],
     * pieces <= 4 chars, vocab 200, words <= 16 chars): the
     * SentencePiece-style other half of the tokenization family (BPE
@@ -6916,7 +6942,7 @@ object LlmQueries {
 
   def all: Seq[HarnessQuery] = Seq(
     q386SeqPacking, q387PngMeta, q388UnigramSegment, q389UnigramEm,
-    q422Wordpiece, q426Pretokens, q427FlacMeta,
+    q422Wordpiece, q426Pretokens, q427FlacMeta, q428WordpiecePersisted,
     q392JpegMeta, q419GifMeta, q420WebpMeta,
     q393PackAppend, q394UnigramTrain, q395ContinualPacking,
     q408WarcMeta, q411WarcHttp, q413WarcToText,

@@ -82,4 +82,20 @@ class TokenizerStoreSpec extends SparkSpec {
         (r.getAs[Double]("best_lp"), r.getAs[Int]("n_pieces"))).toMap
     assert(got2("abc") === ((-0.5, 1)))
   }
+
+  test("WordPiece vocab round-trips parquet; loaded vocab reproduces " +
+    "the fresh segmentation row-for-row") {
+    val docs = Seq("the cat sat", "the cat ran", "a hat").toDF("text")
+    val fresh = TextAnalysis.wordpieceVocab(docs, "text", vocabSize = 12)
+    val path = tmp("graft_spec_wordpiece_store")
+    TokenizerStore.saveWordpieceVocab(fresh, path)
+    val loaded = TokenizerStore.loadWordpieceVocab(spark, path)
+    assert(loaded.orderBy("piece").collect().toSeq ===
+      fresh.orderBy("piece").collect().toSeq)
+    val a = TextAnalysis.wordpieceSegmentWith(docs, "text", fresh)
+      .orderBy("word").collect().toSeq
+    val b = TextAnalysis.wordpieceSegmentWith(docs, "text", loaded)
+      .orderBy("word").collect().toSeq
+    assert(a === b)
+  }
 }
