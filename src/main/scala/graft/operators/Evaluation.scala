@@ -582,4 +582,41 @@ object Evaluation {
           / (col("__P").cast("double") * 1.0e12)).as("ap"),
         col("__P").as("n_pos"), col("__N").as("n_neg"))
   }
+
+  /** Unbiased pass@k (Chen et al. 2021, "Evaluating Large Language
+    * Models Trained on Code", eq. 1): per task with n sampled attempts
+    * of which c pass, `1 − C(n−c, k)/C(n, k)`, computed in the
+    * numerically-stable product form
+    * `1 − Π_{i=0..k−1} (n−c−i)/(n−i)` — the standard estimator for
+    * code/eval sample sets. Each k unrolls to a FIXED k-factor
+    * double product (identical operand order in any engine), so the
+    * result is engine-exact without rounding games; n < k yields NULL
+    * (the estimator is undefined), c ≥ n−k+1 yields exactly 1.0.
+    *
+    * Scale shape: one hash aggregation to the task grain; the product
+    * is a scalar expression per task row.
+    *
+    * @param ks the k values to report, each as a `pass_at_<k>` column
+    */
+  def passAtK(
+      samples: DataFrame, taskCol: String, passCol: Column,
+      ks: Seq[Int] = Seq(1, 5, 10)): DataFrame = {
+    require(ks.nonEmpty && ks.forall(k => k >= 1 && k <= 64),
+      "ks must be in [1,64]")
+    val agg = samples.groupBy(col(taskCol).as("task"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(passCol, 1L).otherwise(0L)).as("c"))
+    val n = col("n").cast("double")
+    val c = col("c").cast("double")
+    val cols = ks.map { k =>
+      val prod = (0 until k).foldLeft(lit(1.0): Column) { (acc, i) =>
+        acc * ((n - c - lit(i.toDouble)) / (n - lit(i.toDouble)))
+      }
+      when(col("n") < k, lit(null).cast("double"))
+        .when(col("c") >= col("n") - lit(k.toLong) + lit(1L), lit(1.0))
+        .otherwise(lit(1.0) - prod)
+        .as(s"pass_at_$k")
+    }
+    agg.select((col("task") +: col("n") +: col("c") +: cols): _*)
+  }
 }

@@ -470,7 +470,42 @@ object EvalQueries {
     q154WoeIv, q155TargetEncode, q156Psi, q157Expectations, q158CumScores,
     q226CvAuc, q236ThresholdSweep, q242AvgPrecision, q244Cuped, q245Anova,
     q246BootstrapCi, q252Brier, q254Did, q255StratAte, q259Isotonic,
-    q261DriftDistances, q421BradleyTerry, q424DpoPairs)
+    q261DriftDistances, q421BradleyTerry, q424DpoPairs, q429PassAtK)
+
+  /** Unbiased pass@k ([[Evaluation.passAtK]], Chen et al. 2021): per
+    * user-as-task, n sampled attempts with value > 80 counting as a
+    * pass, the `1 − Π (n−c−i)/(n−i)` estimator at k = 1/5/10 — each k
+    * a FIXED k-factor double product with identical operand order in
+    * both engines, so no rounding games are needed; n < k is NULL,
+    * c ≥ n−k+1 is exactly 1. The oracle unrolls the same products.
+    */
+  val q429PassAtK = HarnessQuery(
+    "q429_pass_at_k",
+    (spark, dir) =>
+      Evaluation.passAtK(
+        Tables.events(spark, dir).select(col("user_id"), col("value")),
+        "user_id", col("value") > 80.0, ks = Seq(1, 5, 10))
+        .orderBy(col("task")),
+    Some {
+      def prod(k: Int): String =
+        (0 until k).map(i => s"((n - c - $i.0) / (n - $i.0))")
+          .mkString("1.0 * ", " * ", "")
+      def pk(k: Int): String = s"""
+             CASE WHEN ni < $k THEN NULL
+                  WHEN ci >= ni - $k + 1 THEN 1.0
+                  ELSE 1.0 - ${prod(k)} END AS pass_at_$k"""
+      s"""
+      WITH a AS (
+        SELECT user_id AS task, CAST(count(*) AS BIGINT) AS ni,
+               CAST(sum(CASE WHEN value > 80.0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS ci
+        FROM events GROUP BY 1),
+      d AS (SELECT task, ni, ci, CAST(ni AS DOUBLE) AS n,
+                   CAST(ci AS DOUBLE) AS c FROM a)
+      SELECT task, ni AS n, ci AS c,${pk(1)},${pk(5)},${pk(10)}
+      FROM d ORDER BY task
+      """.trim
+    })
 
   /** DPO preference-pair construction ([[Preference.dpoPairs]]): per
     * user (the prompt group), the highest-valued event becomes the

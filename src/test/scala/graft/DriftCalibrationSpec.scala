@@ -86,4 +86,26 @@ class DriftCalibrationSpec extends SparkSpec {
     assert(a.getAs[Double]("js_nats") > 0.6) // bound ln 2 ~ 0.693
     assert(a.getAs[Double]("js_nats") <= math.log(2.0) + 1e-9)
   }
+
+  test("passAtK: closed forms, saturation, and undefined-k") {
+    import graft.operators.Evaluation
+    // task 1: n=5, c=2 -> pass@1 = 1 - 3/5 = 0.4,
+    // pass@5: c >= n-5+1=1 -> exactly 1.0
+    // task 2: n=3 (< 5) -> pass@5 NULL; c=0 -> pass@1 = 0
+    val df = (Seq.fill(2)((1L, true)) ++ Seq.fill(3)((1L, false)) ++
+      Seq.fill(3)((2L, false))).toDF("task", "ok")
+    val got = Evaluation.passAtK(df, "task", col("ok"), ks = Seq(1, 5))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(math.abs(got(1L).getAs[Double]("pass_at_1") - 0.4) < 1e-12)
+    assert(got(1L).getAs[Double]("pass_at_5") === 1.0)
+    assert(got(2L).getAs[Double]("pass_at_1") === 0.0)
+    assert(got(2L).isNullAt(got(2L).fieldIndex("pass_at_5")))
+    // exact C(n-c,k)/C(n,k) cross-check: n=10, c=3, k=4
+    // 1 - C(7,4)/C(10,4) = 1 - 35/210 = 5/6
+    val df2 = (Seq.fill(3)((9L, true)) ++ Seq.fill(7)((9L, false)))
+      .toDF("task", "ok")
+    val g2 = Evaluation.passAtK(df2, "task", col("ok"), ks = Seq(4))
+      .collect().head
+    assert(math.abs(g2.getAs[Double]("pass_at_4") - 5.0 / 6.0) < 1e-12)
+  }
 }
