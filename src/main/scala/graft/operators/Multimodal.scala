@@ -851,6 +851,174 @@ object Multimodal {
     bb.array()
   }
 
+  /** Parsed Exif IFD0 summary. Sentinels when the payload has no
+    * APP1 Exif TIFF block (or a malformed one): byte_order "",
+    * n_entries 0, orientation −1, has_gps false, datetime "".
+    */
+  final case class ExifMeta(
+      byte_order: String, n_entries: Int, orientation: Int,
+      has_gps: Boolean, datetime: String)
+
+  final case class ExifMetaRow(
+      media_id: Long, byte_order: String, n_entries: Int,
+      orientation: Int, has_gps: Boolean, datetime: String,
+      n_bytes: Long)
+
+  private val UnknownExif =
+    ExifMeta("", 0, -1, has_gps = false, "")
+
+  /** Real Exif walk: the JPEG marker walk finds APP1 `Exif\0\0`, then
+    * the embedded TIFF block parses byte-order-aware — `II`/`MM`
+    * header, magic 42, IFD0 offset, then the 12-byte
+    * (tag, type, count, value) entries: orientation (0x0112, SHORT,
+    * inline — the rotate-before-train signal), the GPS-IFD pointer
+    * (0x8825 — the PII flag a privacy scrub keys on), and DateTime
+    * (0x0132, ASCII, OFFSET-addressed — dereferenced against the TIFF
+    * base with bounds checks). Defensive like [[parsePngMeta]]: lying
+    * offsets/lengths degrade to the sentinel or skip the field; never
+    * throws.
+    */
+  def parseExifMeta(bytes: Array[Byte]): ExifMeta = {
+    if (bytes == null || bytes.length < 4) return UnknownExif
+    if ((bytes(0) & 0xFF) != 0xFF || (bytes(1) & 0xFF) != 0xD8)
+      return UnknownExif
+    // find APP1 Exif via the marker walk (fill-byte tolerant)
+    var p = 2
+    var tiffBase = -1
+    var tiffEnd = -1
+    var stop = false
+    while (!stop && tiffBase < 0 && p + 4 <= bytes.length) {
+      if ((bytes(p) & 0xFF) != 0xFF) stop = true
+      else {
+        var q = p
+        while (q + 1 < bytes.length && (bytes(q + 1) & 0xFF) == 0xFF)
+          q += 1 // ITU-T T.81 B.1.1.2 fill bytes
+        val marker = bytes(q + 1) & 0xFF
+        if (marker == 0xD9 || marker == 0xDA) stop = true
+        else if (q + 4 > bytes.length) stop = true
+        else {
+          val len = ((bytes(q + 2) & 0xFF) << 8) | (bytes(q + 3) & 0xFF)
+          if (len < 2 || q + 2 + len > bytes.length) stop = true
+          else {
+            if (marker == 0xE1 && len >= 2 + 6 + 8 &&
+                fourcc(bytes, q + 4) == "Exif" &&
+                bytes(q + 8) == 0 && bytes(q + 9) == 0) {
+              tiffBase = q + 10
+              tiffEnd = q + 2 + len
+            }
+            p = q + 2 + len
+          }
+        }
+      }
+    }
+    if (tiffBase < 0 || tiffBase + 8 > tiffEnd) return UnknownExif
+    val le = bytes(tiffBase) == 'I' && bytes(tiffBase + 1) == 'I'
+    val be = bytes(tiffBase) == 'M' && bytes(tiffBase + 1) == 'M'
+    if (!le && !be) return UnknownExif
+    def u16(o: Int): Int =
+      if (le) leShort(bytes, o)
+      else ((bytes(o) & 0xFF) << 8) | (bytes(o + 1) & 0xFF)
+    def u32(o: Int): Long =
+      if (le) leInt(bytes, o) & 0xFFFFFFFFL
+      else beInt(bytes, o) & 0xFFFFFFFFL
+    if (u16(tiffBase + 2) != 42) return UnknownExif
+    val ifdOff = u32(tiffBase + 4)
+    val ifd = tiffBase + ifdOff
+    if (ifdOff < 0 || ifd + 2 > tiffEnd) return UnknownExif
+    val n = u16(ifd.toInt)
+    if (ifd + 2 + 12L * n + 4 > tiffEnd) return UnknownExif
+    var orientation = -1
+    var gps = false
+    var datetime = ""
+    var i = 0
+    while (i < n) {
+      val e = (ifd + 2 + 12 * i).toInt
+      val tag = u16(e)
+      val typ = u16(e + 2)
+      val cnt = u32(e + 4)
+      if (tag == 0x0112 && typ == 3 && cnt == 1L)
+        orientation = u16(e + 8)
+      else if (tag == 0x8825) gps = true
+      else if (tag == 0x0132 && typ == 2 && cnt >= 2L && cnt <= 64L) {
+        val off = tiffBase + u32(e + 8)
+        if (off >= tiffBase && off + cnt <= tiffEnd)
+          datetime = new String(bytes, off.toInt, cnt.toInt - 1,
+            "ISO-8859-1") // NUL-terminated ASCII
+      }
+      i += 1
+    }
+    ExifMeta(if (le) "II" else "MM", n, orientation, gps, datetime)
+  }
+
+  /** Exif metadata over a media Dataset — same shape as [[pngMeta]]. */
+  def exifMeta(ds: Dataset[MediaRow]): Dataset[ExifMetaRow] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { r =>
+      val m = parseExifMeta(r.media)
+      val n = if (r.media == null) 0L else r.media.length.toLong
+      ExifMetaRow(r.media_id, m.byte_order, m.n_entries, m.orientation,
+        m.has_gps, m.datetime, n)
+    })
+  }
+
+  /** Deterministic TIFF block for the APP1 Exif payload: II/MM header
+    * + IFD0 with orientation (inline SHORT), optional GPS-IFD pointer,
+    * and a DateTime ASCII entry whose 20-byte value lives out-of-line
+    * after the IFD (offset-addressed, exercising the deref path).
+    */
+  def tiffIfdBytes(littleEndian: Boolean, orientation: Int,
+      withGps: Boolean, datetime: String): Array[Byte] = {
+    require(orientation >= 1 && orientation <= 8, "orientation in [1,8]")
+    require(datetime.length == 19, "Exif DateTime is 19 chars + NUL")
+    val n = if (withGps) 3 else 2
+    val ifdSize = 2 + 12 * n + 4
+    val dtOff = 8 + ifdSize
+    val bb = java.nio.ByteBuffer.allocate(dtOff + 20)
+      .order(if (littleEndian) java.nio.ByteOrder.LITTLE_ENDIAN
+      else java.nio.ByteOrder.BIG_ENDIAN)
+    bb.put((if (littleEndian) "II" else "MM").getBytes("ISO-8859-1"))
+    bb.putShort(42.toShort).putInt(8)
+    bb.putShort(n.toShort)
+    // 0x0112 orientation, SHORT x1, inline in the value field's
+    // FIRST TWO BYTES under the declared byte order
+    bb.putShort(0x0112.toShort).putShort(3.toShort).putInt(1)
+      .putShort(orientation.toShort).putShort(0.toShort)
+    // 0x0132 DateTime, ASCII x20, offset-addressed
+    bb.putShort(0x0132.toShort).putShort(2.toShort).putInt(20)
+      .putInt(dtOff)
+    if (withGps)
+      bb.putShort(0x8825.toShort).putShort(4.toShort).putInt(1)
+        .putInt(dtOff + 20) // pointer target not dereferenced
+    bb.putInt(0) // next-IFD offset
+    bb.put(datetime.getBytes("ISO-8859-1")).put(0.toByte)
+    bb.array()
+  }
+
+  /** Deterministic JPEG fixture with a REAL APP1 Exif TIFF block:
+    * SOI + APP1(Exif + `tiff`) + minimal SOF0 + SOS + EOI.
+    */
+  def jpegBytesWithTiff(width: Int, height: Int,
+      tiff: Array[Byte]): Array[Byte] = {
+    require(width > 0 && width <= 0xFFFF && height > 0 && height <= 0xFFFF)
+    val app1Len = 2 + 6 + tiff.length
+    val sofLen = 8 + 3
+    val total = 2 + (2 + app1Len) + (2 + sofLen) + 2 + 4 + 2
+    val bb = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.putShort(0xFFD8.toShort)
+    bb.putShort(0xFFE1.toShort).putShort(app1Len.toShort)
+      .put("Exif".getBytes("ISO-8859-1")).put(0.toByte).put(0.toByte)
+      .put(tiff)
+    bb.putShort(0xFFC0.toShort).putShort(sofLen.toShort)
+      .put(8.toByte).putShort(height.toShort).putShort(width.toShort)
+      .put(1.toByte)
+    bb.put(1.toByte).put(0x11.toByte).put(0.toByte)
+    bb.putShort(0xFFDA.toShort)
+    bb.putInt(0x00C0FFEE)
+    bb.putShort(0xFFD9.toShort)
+    bb.array()
+  }
+
   def mediaFromText(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRow] = {
     val spark = df.sparkSession
     import spark.implicits._

@@ -911,6 +911,79 @@ object LlmQueries {
       SELECT * FROM g UNION ALL SELECT * FROM j ORDER BY media_id
     """.trim))
 
+  /** Exif IFD0 walk ([[Multimodal.parseExifMeta]]): REAL
+    * byte-order-aware TIFF parsing inside the JPEG APP1 segment —
+    * `II`/`MM` headers both exercised per nation row, the inline
+    * SHORT orientation (the rotate-before-train signal), the GPS-IFD
+    * pointer flag (the PII signal a privacy scrub keys on), and the
+    * OFFSET-addressed DateTime ASCII dereferenced against the TIFF
+    * base. A no-Exif JPEG and a garbage payload must both yield the
+    * sentinel. The oracle recomputes every field (including the
+    * byte-order alternation and segment arithmetic) from the
+    * generator parameters.
+    */
+  val q430ExifMeta = HarnessQuery(
+    "q430_exif_meta",
+    (spark, dir) => {
+      import spark.implicits._
+      val exifs = Tables.nation(spark, dir)
+        .select(col("n_nationkey").cast("long").as("id")).as[Long]
+        .map { k =>
+          val n = k.toInt
+          Multimodal.MediaRow(11000L + k,
+            Multimodal.jpegBytesWithTiff(100 + n, 80 + n,
+              Multimodal.tiffIfdBytes(n % 2 == 0, 1 + n % 8,
+                n % 3 == 0, f"2026:08:${1 + n}%02d 12:34:56")),
+            "image/jpeg", -1, -1)
+        }
+      val noExif = Tables.region(spark, dir)
+        .select(col("r_regionkey").cast("long").as("id")).as[Long]
+        .map(k => Multimodal.MediaRow(11500L + k,
+          Multimodal.jpegBytes(64, 48, 1, progressive = false,
+            withExif = false),
+          "image/jpeg", -1, -1))
+      val junk = Tables.region(spark, dir)
+        .filter(col("r_regionkey") === 0)
+        .select(col("r_regionkey").cast("long").as("id")).as[Long]
+        .map(_ => Multimodal.MediaRow(11900L,
+          "not an image at all".getBytes("ISO-8859-1"),
+          "text/plain", -1, -1))
+      Multimodal.exifMeta(exifs.union(noExif).union(junk)).toDF()
+        .orderBy(col("media_id"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT CAST(11000 + n_nationkey AS BIGINT) AS media_id,
+               n_nationkey AS k
+        FROM nation),
+      g AS (
+        SELECT media_id,
+               CASE WHEN k % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+               CAST(CASE WHEN k % 3 = 0 THEN 3 ELSE 2 END AS INT)
+                 AS n_entries,
+               CAST(1 + k % 8 AS INT) AS orientation,
+               k % 3 = 0 AS has_gps,
+               '2026:08:' || lpad(CAST(1 + k AS VARCHAR), 2, '0')
+                 || ' 12:34:56' AS datetime,
+               CAST(CASE WHEN k % 3 = 0 THEN 103 ELSE 91 END AS BIGINT)
+                 AS n_bytes
+        FROM p),
+      ne AS (
+        SELECT CAST(11500 + r_regionkey AS BIGINT) AS media_id,
+               '' AS byte_order, CAST(0 AS INT) AS n_entries,
+               CAST(-1 AS INT) AS orientation, false AS has_gps,
+               '' AS datetime, CAST(41 AS BIGINT) AS n_bytes
+        FROM region),
+      j AS (
+        SELECT CAST(11900 AS BIGINT) AS media_id, '' AS byte_order,
+               CAST(0 AS INT) AS n_entries, CAST(-1 AS INT) AS orientation,
+               false AS has_gps, '' AS datetime,
+               CAST(19 AS BIGINT) AS n_bytes
+        FROM region WHERE r_regionkey = 0)
+      SELECT * FROM g UNION ALL SELECT * FROM ne UNION ALL SELECT * FROM j
+      ORDER BY media_id
+    """.trim))
+
   /** GPT-2-style pretokenization inventory
     * ([[TextAnalysis.pretokenCounts]]): the split a byte-level BPE
     * trains from — contractions, space-prefixed letter/digit/
@@ -6943,6 +7016,7 @@ object LlmQueries {
   def all: Seq[HarnessQuery] = Seq(
     q386SeqPacking, q387PngMeta, q388UnigramSegment, q389UnigramEm,
     q422Wordpiece, q426Pretokens, q427FlacMeta, q428WordpiecePersisted,
+    q430ExifMeta,
     q392JpegMeta, q419GifMeta, q420WebpMeta,
     q393PackAppend, q394UnigramTrain, q395ContinualPacking,
     q408WarcMeta, q411WarcHttp, q413WarcToText,

@@ -315,6 +315,55 @@ class MultimodalMetaSpec extends SparkSpec {
       (2L, -1, "", "", -1L, 0)))
   }
 
+  test("Exif: hand-assembled big-endian TIFF IFD parses exactly") {
+    // MM header, one orientation entry (value 6, inline SHORT in the
+    // first two value bytes), assembled independently of tiffIfdBytes
+    val tiff = ByteBuffer.allocate(8 + 2 + 12 + 4)
+      .order(ByteOrder.BIG_ENDIAN)
+    tiff.put("MM".getBytes("ISO-8859-1")).putShort(42.toShort).putInt(8)
+    tiff.putShort(1.toShort)
+    tiff.putShort(0x0112.toShort).putShort(3.toShort).putInt(1)
+      .putShort(6.toShort).putShort(0.toShort)
+    tiff.putInt(0)
+    val m = Multimodal.parseExifMeta(
+      Multimodal.jpegBytesWithTiff(10, 10, tiff.array()))
+    assert(m === Multimodal.ExifMeta("MM", 1, 6, has_gps = false, ""))
+  }
+
+  test("parseExifMeta: both byte orders, datetime deref, lying " +
+    "offsets, no-Exif sentinel") {
+    val le = Multimodal.parseExifMeta(Multimodal.jpegBytesWithTiff(4, 4,
+      Multimodal.tiffIfdBytes(littleEndian = true, 8, withGps = true,
+        "2026:01:02 03:04:05")))
+    assert(le === Multimodal.ExifMeta("II", 3, 8, has_gps = true,
+      "2026:01:02 03:04:05"))
+    val be = Multimodal.parseExifMeta(Multimodal.jpegBytesWithTiff(4, 4,
+      Multimodal.tiffIfdBytes(littleEndian = false, 3, withGps = false,
+        "2027:12:31 23:59:59")))
+    assert(be === Multimodal.ExifMeta("MM", 2, 3, has_gps = false,
+      "2027:12:31 23:59:59"))
+
+    // a lying DateTime offset skips the field, keeps the rest
+    val tiff = Multimodal.tiffIfdBytes(littleEndian = true, 5,
+      withGps = false, "2026:01:02 03:04:05")
+    // DateTime entry is the 2nd: value field at 8 + 2 + 12 + 8
+    val bb = ByteBuffer.wrap(tiff).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(8 + 2 + 12 + 8, 0x7FFFFF)
+    val lying = Multimodal.parseExifMeta(
+      Multimodal.jpegBytesWithTiff(4, 4, tiff))
+    assert(lying.orientation === 5 && lying.datetime === "")
+
+    // plain JPEG without APP1 Exif and raw garbage both sentinel
+    assert(Multimodal.parseExifMeta(Multimodal.jpegBytes(8, 8, 3,
+      progressive = false, withExif = false)).byte_order === "")
+    // (jpegBytes' withExif stub has no real TIFF block either)
+    assert(Multimodal.parseExifMeta(Multimodal.jpegBytes(8, 8, 3,
+      progressive = false, withExif = true)).byte_order === "")
+    assert(Multimodal.parseExifMeta("garbage".getBytes("ISO-8859-1"))
+      .byte_order === "")
+    assert(Multimodal.parseExifMeta(null).byte_order === "")
+  }
+
   test("FLAC: hand-assembled STREAMINFO bit fields parse exactly") {
     // 44100 Hz, 2ch, 16bps, 441000 samples (10 s), one VORBIS_COMMENT
     val bb = ByteBuffer.allocate(4 + 38 + 4 + 8)
