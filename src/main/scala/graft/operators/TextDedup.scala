@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -938,5 +938,63 @@ object TextDedup {
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("shared_fps"))
       .filter(col("shared_fps") >= minShared)
+  }
+
+  /** MinHash-LSH parameter planner: for every (bands b, rows-per-band
+    * r) factorization of `numHashes` with b and r powers of two, the
+    * banding S-curve P(candidate | s) = 1 − (1 − s^r)^b evaluated on a
+    * binary grid, with the false-positive mass below the target
+    * Jaccard and the false-negative mass above it — the table an
+    * operator of a 100 TB dedup reads to pick b and r BEFORE paying
+    * for a corpus pass (chernoff-ish: more rows per band sharpens the
+    * knee; more bands moves it left).
+    *
+    * Engine-exactness by construction (no `pow`, no rounding ties):
+    * grid points s = i/`grid` with `grid` a power of two are EXACT
+    * doubles; s^r and (1−s^r)^b evaluate by repeated squaring —
+    * identical multiply sequences round identically in every IEEE
+    * engine; per-point masses floor-snap at 12 dp (floor has no
+    * half-way ties) and accumulate in decimal. Only the display
+    * threshold (1/b)^(1/r) uses libm pow, rounded to 9 dp, and feeds
+    * nothing.
+    *
+    * @param targetJaccard snapped DOWN to the grid: points with
+    *                      i ≤ floor(t·grid) count toward FP mass
+    * @return per factorization: bands, rows_per_band, threshold,
+    *         fp_area, fn_area (grid-midpoint Riemann masses, 9 dp)
+    */
+  def lshPlan(
+      spark: SparkSession, numHashes: Int = 128,
+      targetJaccard: Double = 0.5, grid: Int = 128): DataFrame = {
+    require(numHashes >= 2 && Integer.bitCount(numHashes) == 1,
+      "numHashes must be a power of two >= 2")
+    require(grid >= 8 && Integer.bitCount(grid) == 1,
+      "grid must be a power of two >= 8")
+    require(targetJaccard > 0.0 && targetJaccard < 1.0,
+      "targetJaccard in (0,1)")
+    val ti = math.floor(targetJaccard * grid).toLong
+    def sq(c: Column, n: Int): Column = // n a power of two
+      (0 until Integer.numberOfTrailingZeros(n))
+        .foldLeft(c)((acc, _) => acc * acc)
+    def floor12(c: Column): Column = floor(c * lit(1e12)) / lit(1e12)
+    val gridDf = spark.range(1, grid.toLong).toDF("i")
+      .withColumn("s", col("i").cast("double") / lit(grid.toDouble))
+    val combos = (0 to Integer.numberOfTrailingZeros(numHashes))
+      .map(a => (numHashes >> a, 1 << a)) // (bands, rowsPerBand)
+    combos.map { case (b, r) =>
+      val miss = sq(lit(1.0) - sq(col("s"), r), b) // (1-s^r)^b
+      val p = lit(1.0) - miss
+      gridDf.agg(
+        sum(when(col("i") <= ti, floor12(p)).otherwise(lit(0.0))
+          .cast("decimal(38,12)")).as("__fp"),
+        sum(when(col("i") > ti, floor12(miss)).otherwise(lit(0.0))
+          .cast("decimal(38,12)")).as("__fn"))
+        .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+          round(pow(lit(1.0) / b, lit(1.0) / r), 9).as("threshold"),
+          (floor(col("__fp").cast("double") / lit(grid.toDouble)
+            * lit(1e9)) / lit(1e9)).as("fp_area"),
+          (floor(col("__fn").cast("double") / lit(grid.toDouble)
+            * lit(1e9)) / lit(1e9)).as("fn_area"))
+    }.reduce(_ unionAll _)
   }
 }

@@ -911,6 +911,51 @@ object LlmQueries {
       SELECT * FROM g UNION ALL SELECT * FROM j ORDER BY media_id
     """.trim))
 
+  /** MinHash-LSH parameter planner ([[TextDedup.lshPlan]]): the
+    * S-curve table — for every power-of-two (bands, rows-per-band)
+    * split of 128 hashes, P(candidate|s) = 1 − (1 − s^r)^b on the
+    * exact binary grid s = i/128, with false-positive mass below
+    * Jaccard 0.5 and false-negative mass above — what a 100 TB dedup
+    * reads to pick banding BEFORE paying for a corpus pass. No `pow`
+    * in the masses: repeated-squaring multiply chains and floor-snaps
+    * are IEEE-identical in both engines, so the oracle's unrolled
+    * chains match bit-for-bit.
+    */
+  val q431LshPlan = HarnessQuery(
+    "q431_lsh_plan",
+    (spark, _) =>
+      TextDedup.lshPlan(spark, numHashes = 128, targetJaccard = 0.5,
+        grid = 128)
+        .orderBy(col("rows_per_band")),
+    Some {
+      def sq(e: String, n: Int): String =
+        if (n == 1) e else { val h = sq(e, n / 2); s"($h * $h)" }
+      val selects = (0 to 7).map { a =>
+        val b = 128 >> a; val r = 1 << a
+        val miss = sq(s"(1.0 - ${sq("s", r)})", b)
+        s"""
+      SELECT $b AS bands, $r AS rows_per_band,
+             round(power(CAST(1 AS DOUBLE) / $b,
+               CAST(1 AS DOUBLE) / $r), 9) AS threshold,
+             floor(CAST(sum(CAST(CASE WHEN i <= 64
+                 THEN floor((1.0 - $miss) * 1e12) / 1e12
+                 ELSE CAST(0.0 AS DOUBLE) END AS DECIMAL(38,12)))
+               AS DOUBLE) / 128.0 * 1e9) / 1e9 AS fp_area,
+             floor(CAST(sum(CAST(CASE WHEN i > 64
+                 THEN floor($miss * 1e12) / 1e12
+                 ELSE CAST(0.0 AS DOUBLE) END AS DECIMAL(38,12)))
+               AS DOUBLE) / 128.0 * 1e9) / 1e9 AS fn_area
+      FROM g"""
+      }
+      s"""
+      WITH g AS (
+        SELECT i, CAST(i AS DOUBLE) / 128.0 AS s
+        FROM (SELECT unnest(generate_series(1, 127)) AS i))
+      ${selects.mkString(" UNION ALL ")}
+      ORDER BY rows_per_band
+      """.trim
+    })
+
   /** Exif IFD0 walk ([[Multimodal.parseExifMeta]]): REAL
     * byte-order-aware TIFF parsing inside the JPEG APP1 segment —
     * `II`/`MM` headers both exercised per nation row, the inline
@@ -7016,7 +7061,7 @@ object LlmQueries {
   def all: Seq[HarnessQuery] = Seq(
     q386SeqPacking, q387PngMeta, q388UnigramSegment, q389UnigramEm,
     q422Wordpiece, q426Pretokens, q427FlacMeta, q428WordpiecePersisted,
-    q430ExifMeta,
+    q430ExifMeta, q431LshPlan,
     q392JpegMeta, q419GifMeta, q420WebpMeta,
     q393PackAppend, q394UnigramTrain, q395ContinualPacking,
     q408WarcMeta, q411WarcHttp, q413WarcToText,

@@ -1073,4 +1073,40 @@ class TextOpsSpec extends SparkSpec {
     // pruning bites: the seed substring space exceeds the kept vocab
     assert(subCnt.size > vs && got.size <= vs)
   }
+
+  test("lshPlan: S-curve masses match a direct replay; more rows per " +
+    "band trades FP for FN") {
+    import graft.operators.TextDedup
+    val rows = TextDedup.lshPlan(spark, numHashes = 16,
+      targetJaccard = 0.5, grid = 64)
+      .orderBy(col("rows_per_band")).collect()
+    assert(rows.map(r => (r.getInt(0), r.getInt(1))).toSeq ===
+      Seq((16, 1), (8, 2), (4, 4), (2, 8), (1, 16)))
+    // direct replay of the (b=4, r=4) masses with plain doubles
+    def f12(x: Double) = math.floor(x * 1e12) / 1e12
+    val (fpExp, fnExp) = {
+      var fp = BigDecimal(0); var fn = BigDecimal(0)
+      for (i <- 1 until 64) {
+        val s = i / 64.0
+        val s4 = { val s2 = s * s; s2 * s2 }
+        val q = 1.0 - s4
+        val miss = { val q2 = q * q; q2 * q2 }
+        if (i <= 32) fp += BigDecimal(f12(1.0 - miss))
+        else fn += BigDecimal(f12(miss))
+      }
+      (math.floor(fp.toDouble / 64.0 * 1e9) / 1e9,
+        math.floor(fn.toDouble / 64.0 * 1e9) / 1e9)
+    }
+    val r44 = rows.find(_.getInt(1) == 4).get
+    assert(r44.getDouble(3) === fpExp)
+    assert(r44.getDouble(4) === fnExp)
+    // the knee: r=1 is FP-heavy, r=16 is FN-heavy, monotone trade
+    val fps = rows.map(_.getDouble(3)).toSeq
+    val fns = rows.map(_.getDouble(4)).toSeq
+    assert(fps === fps.sorted.reverse)
+    assert(fns === fns.sorted)
+    // threshold (1/b)^(1/r) is monotone increasing in r
+    val ths = rows.map(_.getDouble(2)).toSeq
+    assert(ths === ths.sorted && ths.last === 1.0)
+  }
 }
