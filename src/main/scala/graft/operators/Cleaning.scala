@@ -111,4 +111,26 @@ object Cleaning {
   def findTargetColumn(df: DataFrame,
       candidates: Seq[String] = Seq("class", "Class")): Option[String] =
     candidates.find(df.columns.contains)
+
+  /** Top-level key profile of a semi-structured JSON column — the
+    * schema-discovery pass a pipeline runs over a new event feed
+    * before writing extraction rules: which keys exist, how often.
+    * `json_object_keys` (codegen'd, no UDF) explodes each row's
+    * top-level key set; one hash aggregation to the key grain; the
+    * row total rides in as a broadcast 1-row aggregate. Null and
+    * non-object rows contribute no keys but stay in the denominator.
+    *
+    * @return per key: key, n_present, share (of all rows,
+    *         floor-snapped at 9 dp)
+    */
+  def jsonKeyProfile(df: DataFrame, jsonCol: String): DataFrame = {
+    val total = df.agg(count(lit(1)).as("__n")) // 1 row, broadcast
+    df.select(explode(json_object_keys(col(jsonCol))).as("key"))
+      .groupBy(col("key")).agg(count(lit(1)).as("n_present"))
+      .crossJoin(broadcast(total))
+      .select(col("key"), col("n_present"),
+        (floor(col("n_present").cast("double")
+          / col("__n").cast("double") * lit(1e9)) / lit(1e9))
+          .as("share"))
+  }
 }

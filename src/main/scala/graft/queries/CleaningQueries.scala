@@ -242,5 +242,52 @@ object CleaningQueries {
   def all: Seq[HarnessQuery] = Seq(
     q10NullAudit, q11DropNullFilter, q12Dedup, q13DedupByKey,
     q14IpRoundtrip, q15TimestampCoerce, q80ImputeMean, q81ImputeMedian,
-    q337TargetSniff)
+    q337TargetSniff, q432JsonKeyProfile)
+
+  /** JSON key profile ([[Cleaning.jsonKeyProfile]]): schema discovery
+    * over a semi-structured column — per top-level key, presence count
+    * and row share. The fixture enriches `events` into real
+    * conditional-key JSON via to_json (null fields drop, so `amount`/
+    * `tag`/`meta` appear only when their rules fire; `meta` is a
+    * nested object counted as ONE top-level key); Spark parses it back
+    * with json_object_keys, while the oracle recomputes presence from
+    * the generation rules — parse-vs-rules agreement IS the check.
+    */
+  val q432JsonKeyProfile = HarnessQuery(
+    "q432_json_key_profile",
+    (spark, dir) => {
+      val enriched = Tables.events(spark, dir).select(
+        to_json(struct(
+          col("event_id").as("id"),
+          col("value").as("v"),
+          when(col("event_type") === "purchase", col("value"))
+            .as("amount"),
+          when(pmod(col("user_id"), lit(3)) === 0, col("event_type"))
+            .as("tag"),
+          when(pmod(col("user_id"), lit(5)) === 0,
+            struct(col("user_id").as("u"))).as("meta"))).as("j"))
+      Cleaning.jsonKeyProfile(enriched, "j").orderBy(col("key"))
+    },
+    Some("""
+      WITH t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events),
+      k AS (
+        SELECT 'id' AS key, CAST(count(*) AS BIGINT) AS n_present
+        FROM events
+        UNION ALL
+        SELECT 'v', CAST(count(*) AS BIGINT) FROM events
+        WHERE value IS NOT NULL
+        UNION ALL
+        SELECT 'amount', CAST(count(*) AS BIGINT) FROM events
+        WHERE event_type = 'purchase' AND value IS NOT NULL
+        UNION ALL
+        SELECT 'tag', CAST(count(*) AS BIGINT) FROM events
+        WHERE user_id % 3 = 0
+        UNION ALL
+        SELECT 'meta', CAST(count(*) AS BIGINT) FROM events
+        WHERE user_id % 5 = 0)
+      SELECT key, n_present,
+             floor(CAST(n_present AS DOUBLE) / CAST(n AS DOUBLE) * 1e9)
+               / 1e9 AS share
+      FROM k, t ORDER BY key
+    """.trim))
 }

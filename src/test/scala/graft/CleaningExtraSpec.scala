@@ -59,4 +59,23 @@ class CleaningExtraSpec extends SparkSpec {
     val r = Cleaning.nullAudit(df, Seq("x", "y")).head
     assert(r.getLong(0) === 2L && r.getLong(1) === 1L && r.getLong(2) === 3L)
   }
+
+  test("jsonKeyProfile: presence counts; null/non-object rows stay " +
+    "in the denominator only") {
+    import spark.implicits._
+    val df = Seq(
+      Some("""{"a": 1, "b": "x"}"""),
+      Some("""{"a": 2}"""),
+      Some("""{"c": {"nested": true}}"""),
+      Some("[1,2,3]"), // non-object: no top-level keys
+      None)
+      .toDF("j")
+    val got = Cleaning.jsonKeyProfile(df, "j")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    assert(got("a") === ((2L, 0.4)))
+    assert(got("b") === ((1L, 0.2)))
+    assert(got("c") === ((1L, 0.2))) // nested object = one key
+    assert(got.size === 3)
+  }
 }
