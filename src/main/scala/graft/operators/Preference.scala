@@ -45,14 +45,27 @@ object Preference {
   def bradleyTerry(
       duels: DataFrame, winnerCol: String, loserCol: String,
       rounds: Int = 5, epsilon: Double = 1e-9): DataFrame = {
-    require(rounds >= 1 && rounds <= 20, s"rounds must be in [1,20]")
-    require(epsilon > 0.0, "epsilon must be positive")
     val d = duels.select(col(winnerCol).as("__w"), col(loserCol).as("__l"))
       .filter(col("__w").isNotNull && col("__l").isNotNull)
     // row-scale → item-pair scale, once
     val pair = d.filter(col("__w") =!= col("__l"))
       .groupBy(col("__w").as("a"), col("__l").as("b"))
       .agg(count(lit(1)).as("n"))
+    bradleyTerryFromPairs(pair, rounds, epsilon)
+  }
+
+  /** [[bradleyTerry]] over pre-aggregated ORIENTED pair counts —
+    * (a, b, n): a beat b, n times. The additive state shape a
+    * continual service carries across batches
+    * (`streaming.ContinualPreference`): pair counts merge by sum, and
+    * ratings after any prefix equal the one-shot computation over that
+    * prefix's duels.
+    */
+  def bradleyTerryFromPairs(
+      pair: DataFrame, rounds: Int = 5,
+      epsilon: Double = 1e-9): DataFrame = {
+    require(rounds >= 1 && rounds <= 20, s"rounds must be in [1,20]")
+    require(epsilon > 0.0, "epsilon must be positive")
     val sym = Materialize.cut(
       pair.select(col("a"), col("b"), col("n"))
         .unionAll(pair.select(col("b").as("a"), col("a").as("b"), col("n")))

@@ -297,8 +297,113 @@ object StreamingQueries {
       ORDER BY batch_id, user_id
     """.trim))
 
+  /** Continual preference-rating replay
+    * ([[graft.streaming.ContinualPreference.replayBatches]]): the
+    * q421 duel stream split into 3 arrival batches (first-event id
+    * mod 3), each batch's oriented pair counts merged into the
+    * accumulated table, full Bradley–Terry ratings emitted after
+    * every merge — the leaderboard that updates as judge verdicts
+    * stream in. Pair counts are additive, so post-batch ratings must
+    * equal the one-shot computation over the prefix; the oracle
+    * rebuilds each prefix's FULL 5-round MM from scratch, which is
+    * exactly what the differential pins.
+    */
+  val q433ContinualPreference = HarnessQuery(
+    "q433_continual_preference",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val duels = Tables.events(spark, dir)
+        .select(col("event_id"), col("event_type").as("t1"),
+          col("value").as("v1"),
+          lead(col("event_type"), 1).over(w).as("t2"),
+          lead(col("value"), 1).over(w).as("v2"))
+        .filter(col("t2").isNotNull && col("t1") =!= col("t2"))
+        .select(pmod(col("event_id"), lit(3L)).as("__b"),
+          when(col("v1") > col("v2"), col("t1"))
+            .when(col("v2") > col("v1"), col("t2"))
+            .otherwise(least(col("t1"), col("t2"))).as("winner"),
+          when(col("v1") > col("v2"), col("t2"))
+            .when(col("v2") > col("v1"), col("t1"))
+            .otherwise(greatest(col("t1"), col("t2"))).as("loser"))
+      val batches = (0L to 2L).map(b =>
+        duels.filter(col("__b") === b).select(col("winner"), col("loser")))
+      graft.streaming.ContinualPreference.replayBatches(
+        batches, "winner", "loser")
+        .orderBy(col("batch_id"), col("item"))
+    },
+    Some {
+      def prefix(k: Int): String = {
+        val rounds = (1 to 5).map { r =>
+          s"""
+      d$r$k AS (SELECT s.a AS item,
+               sum(CAST(floor(CAST(s.n AS DOUBLE) / (wa.w + wb.w) * 1e6)
+                   / 1e6 AS DECIMAL(38,6))) AS denom
+             FROM sym$k s
+             JOIN w${r - 1}$k wa ON wa.item = s.a
+             JOIN w${r - 1}$k wb ON wb.item = s.b
+             GROUP BY 1),
+      u$r$k AS (SELECT d.item,
+               greatest(floor(CAST(COALESCE(wi.wins, 0) AS DOUBLE)
+                 / CAST(d.denom AS DOUBLE) * 1e9) / 1e9, 1e-9) AS w
+             FROM d$r$k d LEFT JOIN wins$k wi ON wi.item = d.item),
+      s$r$k AS (SELECT CAST(sum(CAST(w AS DECIMAL(38,9))) AS DOUBLE)
+                  AS s FROM u$r$k),
+      w$r$k AS MATERIALIZED (SELECT item,
+                greatest(floor(u.w * kk$k.k / s$r$k.s * 1e9) / 1e9,
+                  1e-9) AS w
+              FROM u$r$k u, s$r$k, kk$k)"""
+        }.mkString(",")
+        s"""
+      pair$k AS MATERIALIZED (
+               SELECT winner AS a, loser AS b, count(*) AS n
+               FROM duelall WHERE b3 <= $k GROUP BY 1, 2),
+      sym$k AS MATERIALIZED (SELECT a, b, sum(n) AS n FROM (
+                SELECT a, b, n FROM pair$k
+                UNION ALL SELECT b AS a, a AS b, n FROM pair$k)
+              GROUP BY 1, 2),
+      wins$k AS (SELECT a AS item, sum(n) AS wins FROM pair$k
+                 GROUP BY 1),
+      mat$k AS (SELECT a AS item, sum(n) AS matches FROM sym$k
+                GROUP BY 1),
+      items$k AS (SELECT DISTINCT a AS item FROM sym$k),
+      kk$k AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM items$k),
+      w0$k AS MATERIALIZED (SELECT item, 1.0 AS w FROM items$k),$rounds,
+      out$k AS (
+        SELECT CAST($k AS BIGINT) AS batch_id, w5$k.item,
+               CAST(COALESCE(wins$k.wins, 0) AS BIGINT) AS wins,
+               CAST(mat$k.matches AS BIGINT) AS matches,
+               w5$k.w AS rating,
+               CAST(row_number() OVER (ORDER BY w5$k.w DESC, w5$k.item)
+                 AS INT) AS rank
+        FROM w5$k
+        LEFT JOIN wins$k ON wins$k.item = w5$k.item
+        JOIN mat$k ON mat$k.item = w5$k.item)"""
+      }
+      s"""
+      WITH e AS (
+        SELECT event_id, event_type AS t1, value AS v1,
+               lead(event_type) OVER w AS t2,
+               lead(value) OVER w AS v2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      duelall AS MATERIALIZED (
+        SELECT event_id % 3 AS b3,
+               CASE WHEN v1 > v2 THEN t1 WHEN v2 > v1 THEN t2
+                    WHEN t1 < t2 THEN t1 ELSE t2 END AS winner,
+               CASE WHEN v1 > v2 THEN t2 WHEN v2 > v1 THEN t1
+                    WHEN t1 < t2 THEN t2 ELSE t1 END AS loser
+        FROM e WHERE t2 IS NOT NULL AND t1 <> t2),${prefix(0)},${prefix(1)},${prefix(2)}
+      SELECT * FROM (
+        SELECT * FROM out0 UNION ALL SELECT * FROM out1
+        UNION ALL SELECT * FROM out2)
+      ORDER BY batch_id, item
+      """.trim
+    })
+
   def all: Seq[HarnessQuery] =
     Seq(q77StreamWindow, q78StreamDedup, q79StatefulVelocity,
       q84TwsVelocity, q87StreamEnrich, q101StreamJoin,
-      q351ContinualCounts)
+      q351ContinualCounts, q433ContinualPreference)
 }

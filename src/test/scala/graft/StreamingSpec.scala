@@ -662,4 +662,50 @@ class StreamingSpec extends SparkSpec {
     // id 2 ranks 2 (after the SINGLE fold of batch 0), not 3
     assert(got.filter(_._1 == 1L).map(v => (v._2, v._3)) === Seq((2L, 2L)))
   }
+
+  test("continual preference: post-batch ratings equal the one-shot " +
+    "computation over the prefix") {
+    import graft.operators.Preference
+    import graft.streaming.ContinualPreference
+    val b0 = Seq(("A", "B"), ("A", "B"), ("B", "C")).toDF("w", "l")
+    val b1 = Seq(("C", "A"), ("B", "A")).toDF("w", "l")
+    val replay = ContinualPreference.replayBatches(Seq(b0, b1), "w", "l")
+      .collect()
+    // after batch 1 the ratings must match bradleyTerry over b0 ∪ b1
+    val oneShot = Preference.bradleyTerry(b0.unionByName(b1), "w", "l")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4))).toSet
+    val after1 = replay.filter(_.getLong(0) == 1L)
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getInt(5))).toSet
+    assert(after1 === oneShot)
+    // after batch 0 likewise equals the one-shot over b0 alone
+    val oneShot0 = Preference.bradleyTerry(b0, "w", "l")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4))).toSet
+    val after0 = replay.filter(_.getLong(0) == 0L)
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getInt(5))).toSet
+    assert(after0 === oneShot0)
+  }
+
+  test("continual preference: a re-delivered batch id does not " +
+    "double-count duels") {
+    import graft.streaming.ContinualPreference
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, Long)]
+    val step = ContinualPreference.batchStep(spark, "w", "l", 5) {
+      r => got ++= r.collect()
+        .map(x => (x.getAs[Long]("batch_id"), x.getAs[String]("item"),
+          x.getAs[Long]("wins")))
+    }
+    val b0 = Seq(("A", "B"), ("A", "B")).toDF("w", "l")
+    step(b0, 0L)
+    step(b0, 0L) // transient-failure re-delivery
+    step(Seq(("B", "A")).toDF("w", "l"), 1L)
+    assert(got.count(_._1 == 0L) === 2) // two items, one delivery
+    // post-batch-1 wins: A has 2 (not 4), B has 1
+    assert(got.filter(_._1 == 1L).map(v => (v._2, v._3)).toSet ===
+      Set(("A", 2L), ("B", 1L)))
+  }
 }
