@@ -675,4 +675,44 @@ object Mixture {
           .as("allocation"),
         col("__sat").as("saturated"))
   }
+
+  /** One DoReMi-style multiplicative-weights round (Xie et al. 2023,
+    * "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+    * Pretraining", the Group-DRO update): from uniform domain weights,
+    * w_d ∝ exp(η · excess_d) where excess_d is the clamped per-domain
+    * excess loss (proxy-vs-reference), then smooth toward uniform:
+    * w = (1−s)·softmax + s/K. The re-weighting step a mixture designer
+    * runs between proxy trainings — domains where the proxy lags the
+    * reference most get upweighted.
+    *
+    * Cross-engine parity: exp snaps at 12 dp (round absorbs libm ulp
+    * tails, the ln/exp precedent), the normalizer accumulates the
+    * snapped terms in decimal, and the final weights floor-snap at
+    * 9 dp (tie-free).
+    *
+    * @param domainStats one row per domain with the excess-loss column
+    *                    (clamped at 0 internally; NULL excess → 0)
+    * @return per domain: domain, excess, w_doremi (sums to ~1)
+    */
+  def doremiRound(
+      domainStats: DataFrame, domainCol: String, excessCol: String,
+      eta: Double = 0.1, smoothing: Double = 0.1): DataFrame = {
+    require(eta > 0, s"eta must be > 0, got $eta")
+    require(smoothing >= 0 && smoothing < 1,
+      s"smoothing must be in [0,1), got $smoothing")
+    val base = domainStats.select(col(domainCol).as("domain"),
+      greatest(coalesce(col(excessCol).cast("double"), lit(0.0)),
+        lit(0.0)).as("excess"))
+    val raw = base.withColumn("__r",
+      round(exp(lit(eta) * col("excess")), 12))
+    val z = raw.agg(
+      sum(col("__r").cast("decimal(38,12)")).as("__z"), // exact
+      count(lit(1)).as("__k"))
+    raw.crossJoin(broadcast(z))
+      .select(col("domain"), col("excess"),
+        (floor((lit(1.0 - smoothing) * col("__r")
+          / col("__z").cast("double")
+          + lit(smoothing) / col("__k").cast("double")) * lit(1e9))
+          / lit(1e9)).as("w_doremi"))
+  }
 }

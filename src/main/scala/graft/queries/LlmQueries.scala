@@ -911,6 +911,69 @@ object LlmQueries {
       SELECT * FROM g UNION ALL SELECT * FROM j ORDER BY media_id
     """.trim))
 
+  /** DoReMi one-round domain reweighting ([[Mixture.doremiRound]],
+    * Xie et al. 2023): per-source excess loss (proxied here by the
+    * clamped mean-token-count gap vs the corpus mean — decimal-exact
+    * means, double arithmetic identical in both engines) drives the
+    * Group-DRO multiplicative-weights update w_d ∝ exp(η·excess_d)
+    * with uniform smoothing — the mixture designer's re-weighting
+    * step between proxy trainings. exp snaps at 12 dp, the
+    * normalizer sums the snapped terms in decimal, weights floor-snap
+    * at 9 dp, so the oracle matches bit-for-bit.
+    */
+  val q434Doremi = HarnessQuery(
+    "q434_doremi",
+    (spark, dir) => {
+      val per = Tables.documents(spark, dir)
+        .select(col("source"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("__nt"))
+        .groupBy(col("source"))
+        .agg(sum(col("__nt").cast("decimal(25,0)")).as("__s"),
+          count(lit(1)).as("__n"))
+      val overall = per.agg(
+        (sum(col("__s")).cast("double")
+          / sum(col("__n")).cast("double")).as("__om"))
+      val stats = per.crossJoin(broadcast(overall))
+        .select(col("source"),
+          (col("__s").cast("double") / col("__n").cast("double")
+            - col("__om")).as("excess0"))
+      Mixture.doremiRound(stats, "source", "excess0",
+        eta = 0.1, smoothing = 0.1)
+        .orderBy(col("domain"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT source,
+               len(regexp_split_to_array(trim(lower(text)), '\s+')) AS nt
+        FROM documents),
+      per AS (
+        SELECT source, sum(CAST(nt AS DECIMAL(25,0))) AS s,
+               CAST(count(*) AS BIGINT) AS n
+        FROM t GROUP BY 1),
+      ov AS (
+        SELECT CAST(sum(s) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS om
+        FROM per),
+      ex AS (
+        SELECT source AS domain,
+               greatest(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) - ov.om,
+                 0.0) AS excess
+        FROM per, ov),
+      raw AS (
+        SELECT domain, excess,
+               round(exp(0.1 * excess), 12) AS r
+        FROM ex),
+      z AS (
+        SELECT CAST(sum(CAST(r AS DECIMAL(38,12))) AS DECIMAL(38,12))
+                 AS z,
+               CAST(count(*) AS BIGINT) AS k
+        FROM raw)
+      SELECT domain, excess,
+             floor((0.9 * r / CAST(z.z AS DOUBLE)
+               + CAST(0.1 AS DOUBLE) / CAST(z.k AS DOUBLE)) * 1e9)
+               / 1e9 AS w_doremi
+      FROM raw, z ORDER BY domain
+    """.trim))
+
   /** MinHash-LSH parameter planner ([[TextDedup.lshPlan]]): the
     * S-curve table — for every power-of-two (bands, rows-per-band)
     * split of 128 hashes, P(candidate|s) = 1 − (1 − s^r)^b on the
@@ -7061,7 +7124,7 @@ object LlmQueries {
   def all: Seq[HarnessQuery] = Seq(
     q386SeqPacking, q387PngMeta, q388UnigramSegment, q389UnigramEm,
     q422Wordpiece, q426Pretokens, q427FlacMeta, q428WordpiecePersisted,
-    q430ExifMeta, q431LshPlan,
+    q430ExifMeta, q431LshPlan, q434Doremi,
     q392JpegMeta, q419GifMeta, q420WebpMeta,
     q393PackAppend, q394UnigramTrain, q395ContinualPacking,
     q408WarcMeta, q411WarcHttp, q413WarcToText,

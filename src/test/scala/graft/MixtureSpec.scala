@@ -254,4 +254,32 @@ class MixtureSpec extends SparkSpec {
     assert(scarce.values.forall(!_._2))
     assert(scarce.values.forall(v => math.abs(v._1 - 1.0) < 1e-12))
   }
+
+  test("doremiRound: zero excess is uniform; excess upweights; the " +
+    "smoothing floor holds; weights sum to ~1") {
+    val flat = Seq(("a", 0.0), ("b", 0.0), ("c", 0.0), ("d", 0.0))
+      .toDF("dom", "ex")
+    val u = Mixture.doremiRound(flat, "dom", "ex")
+      .collect().map(_.getDouble(2))
+    assert(u.forall(w => math.abs(w - 0.25) < 1e-8))
+
+    val skew = Seq(("a", 5.0), ("b", 0.0), ("c", -3.0)).toDF("dom", "ex")
+    val got = Mixture.doremiRound(skew, "dom", "ex",
+      eta = 0.5, smoothing = 0.1)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got("c")._1 === 0.0) // negative excess clamps to 0
+    assert(got("a")._2 > got("b")._2 && got("b")._2 === got("c")._2)
+    // smoothing floor: every weight >= s/K (minus the 1e-9 floor snap)
+    assert(got.values.forall(_._2 >= 0.1 / 3 - 1e-9))
+    val s = got.values.map(_._2).sum
+    assert(math.abs(s - 1.0) < 1e-6)
+    // hand replay of domain a's weight
+    val raws = Seq(5.0, 0.0, 0.0).map(e =>
+      BigDecimal(math.exp(0.5 * e)).setScale(12,
+        BigDecimal.RoundingMode.HALF_UP))
+    val wA = math.floor((0.9 * raws.head.toDouble / raws.sum.toDouble
+      + 0.1 / 3.0) * 1e9) / 1e9
+    assert(got("a")._2 === wA)
+  }
 }
