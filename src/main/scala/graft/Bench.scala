@@ -48,22 +48,48 @@ object Bench {
       System.gc()
       if (ok) dt else -1.0
     }
+    // Wall-clock discipline (round 11): the round-10 driver bench
+    // timed out (rc 124) because 420 queries x (warm-up + 3 trials) at
+    // a ~620 s sum-of-medians is ~45 min of wall clock. Two fixes:
+    //  1. ADAPTIVE TRIALS — a query whose first timed trial exceeds
+    //     `heavyCut` reports that single trial (2 executions total
+    //     instead of 4+). Heavy queries are exactly where repeat
+    //     trials buy the least: their runtimes are dominated by real
+    //     shuffle/agg work, not JIT jitter, so trial spread is small
+    //     relative to the signal (r9/r10 medians confirm: the >3 s
+    //     queries' trial spreads were < 10%).
+    //  2. WALL BUDGET — past `softBudget` seconds of measured work,
+    //     every remaining query runs warm-up + 1 trial; past
+    //     `hardBudget`, the warm-up is skipped too (cold numbers are
+    //     pessimistic but rc 0 beats rc 124). Budgets are generous
+    //     enough that a healthy run never hits them.
+    val heavyCut = sys.env.get("SPARK_GRAFT_HEAVY_CUT")
+      .map(_.toDouble).getOrElse(3.0)
+    val softBudget = sys.env.get("SPARK_GRAFT_BENCH_SOFT_BUDGET")
+      .map(_.toDouble).getOrElse(1200.0)
+    val hardBudget = sys.env.get("SPARK_GRAFT_BENCH_HARD_BUDGET")
+      .map(_.toDouble).getOrElse(1800.0)
+    val benchStart = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - benchStart) / 1e9
     val results = selected.map { case (name, fn) =>
       // one untimed warm-up execution per query (JMH discipline): the
       // first run of a heavy pipeline pays seconds of janino/JIT for its
       // generated stages (measured: q76 84s cold vs 5s warm) — that cost
       // is amortized away in any real deployment and only adds noise to
-      // the median. It also stops the cold trial from tripping the
-      // spread-retrial path, so total bench wall time goes DOWN.
-      runOnce(fn)
-      val first = (1 to trials).map(_ => runOnce(fn))
+      // the median. Skipped only past the hard wall budget.
+      if (elapsed <= hardBudget) runOnce(fn)
+      val t1 = runOnce(fn)
       val all =
-        if (first.contains(-1.0)) first
-        else if (first.max > 3.0 * math.max(first.min, 0.05) && first.max - first.min > 1.0)
-          // >3x spread (and >1s absolute, so sub-second jitter doesn't
-          // trigger): ambient noise hit a trial — 2 more, median of 5
-          first ++ (1 to 2).map(_ => runOnce(fn))
-        else first
+        if (t1 < 0 || t1 > heavyCut || elapsed > softBudget) Seq(t1)
+        else {
+          val first = t1 +: (2 to trials).map(_ => runOnce(fn))
+          if (first.contains(-1.0)) first
+          else if (first.max > 3.0 * math.max(first.min, 0.05) && first.max - first.min > 1.0)
+            // >3x spread (and >1s absolute, so sub-second jitter doesn't
+            // trigger): ambient noise hit a trial — 2 more, median of 5
+            first ++ (1 to 2).map(_ => runOnce(fn))
+          else first
+        }
       name -> all
     }
     def median(xs: Seq[Double]): Double = {

@@ -65,7 +65,9 @@ object Graphs {
     val e = Materialize.cut(
       edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst")))
     val deg = e.groupBy(col("__src")).agg(count(lit(1)).as("__od"))
-    val nDf = verts.agg(count(lit(1)).as("__n")) // 1 row, broadcast below
+    // 1 row, broadcast into every round — cut so the vertex-derivation
+    // lineage isn't re-executed per round
+    val nDf = Materialize.cut(verts.agg(count(lit(1)).as("__n")))
     val base = lit(1.0 - damping) // embedded as the same double literal the oracle uses
     var pr = Materialize.cut(
       verts.crossJoin(broadcast(nDf))
@@ -432,9 +434,14 @@ object Graphs {
       edges: DataFrame, srcCol: String, dstCol: String,
       rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 10, s"rounds out of range: $rounds")
-    val und = edges.select(col(srcCol).as("__u"), col(dstCol).as("__v"))
-      .unionAll(edges.select(col(dstCol).as("__u"), col(srcCol).as("__v")))
-      .distinct()
+    // materialize once: the undirected edge list re-enters the plan
+    // every round, and its lineage may be an expensive candidate
+    // pipeline (the minhash near-dup join) — uncut, each round's vote
+    // aggregate re-paid the whole prefix
+    val und = Materialize.cut(
+      edges.select(col(srcCol).as("__u"), col(dstCol).as("__v"))
+        .unionAll(edges.select(col(dstCol).as("__u"), col(srcCol).as("__v")))
+        .distinct())
     val seeds = vertices.select(col(idCol).as("__id"),
       col(labelCol).as("__seed"))
     var cur = seeds.withColumn("__lbl", col("__seed"))
@@ -506,7 +513,13 @@ object Graphs {
           col("id_a").as("__v"), lit(1L).as("__w"))))
     val deg = und.groupBy(col("__u"))
       .agg(sum(col("__w")).cast("long").as("__k"))
-    val mRow = edges.agg(count(lit(1)).cast("long").as("__m"))
+    // cut: mRow is broadcast into EVERY round's gain plan; uncut, its
+    // lineage was re-executed once per round. Derived from the
+    // MATERIALIZED und (each edge twice, __w = 1 → sum/2 = m, exact)
+    // so the edge-derivation DAG — e.g. the minhash near-dup join —
+    // is never paid a second time for the count
+    val mRow = Materialize.cut(
+      und.agg((sum(col("__w")) / lit(2L)).cast("long").as("__m")))
     louvainAscent(vertices.select(col(idCol).as("__id")), und, deg,
         mRow, rounds)
       .select(col("__id").as(idCol), col("__c").as("community"))
@@ -543,7 +556,9 @@ object Graphs {
         .select(col("id_a").as("__u"),
           (col("weight") * 2).cast("long").as("__w")))
       .groupBy(col("__u")).agg(sum(col("__w")).cast("long").as("__k"))
-    val mRow = edges.agg(sum(col("weight")).cast("long").as("__m"))
+    // cut for the same per-round broadcast reason as [[louvainOneLevel]]
+    val mRow = Materialize.cut(
+      edges.agg(sum(col("weight")).cast("long").as("__m")))
     louvainAscent(vertices.select(col(idCol).as("__id")), und, deg,
         mRow, rounds)
       .select(col("__id").as(idCol), col("__c").as("community"))
@@ -585,7 +600,11 @@ object Graphs {
           col("id_a").as("__v"), lit(1L).as("__w"))))
     val deg = und.groupBy(col("__u"))
       .agg(sum(col("__w")).cast("long").as("__k"))
-    val mRow = all.agg(count(lit(1)).cast("long").as("__m"))
+    // cut, and derived from the materialized und (sum __w / 2 = |all|,
+    // exact) for the same per-round broadcast reason as
+    // [[louvainOneLevel]] — the grown edge DAG is paid exactly once
+    val mRow = Materialize.cut(
+      und.agg((sum(col("__w")) / lit(2L)).cast("long").as("__m")))
     val movable = Materialize.cut(
       newEdges.select(col("id_a").as("__id"))
         .unionByName(newEdges.select(col("id_b").as("__id")))
@@ -751,7 +770,9 @@ object Graphs {
       superV: DataFrame, svCol: String,
       coarse: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 10, s"rounds out of range: $rounds")
-    val mRow = coarse.agg(sum(col("weight")).cast("long").as("__m"))
+    // cut for the same per-round broadcast reason as [[louvainOneLevel]]
+    val mRow = Materialize.cut(
+      coarse.agg(sum(col("weight")).cast("long").as("__m")))
     val degBase = coarse
       .select(col("id_a").as("__sv"),
         when(col("id_a") === col("id_b"), col("weight") * 2)
@@ -835,10 +856,14 @@ object Graphs {
   def louvainTwoLevel(
       vertices: DataFrame, idCol: String, edges: DataFrame,
       rounds1: Int, rounds2: Int): DataFrame = {
+    // edges enters the plan three times (ascent und, ascent mRow,
+    // coarsening) and its lineage may be an expensive candidate
+    // pipeline (the minhash near-dup join) — materialize it once
+    val e = Materialize.cut(edges)
     val l1 = Materialize.cut(
-      louvainOneLevel(vertices, idCol, edges, rounds1))
+      louvainOneLevel(vertices, idCol, e, rounds1))
     val coarse = Materialize.cut(
-      coarsenByCommunity(l1, idCol, "community", edges))
+      coarsenByCommunity(l1, idCol, "community", e))
     val superV = l1.select(col("community")).distinct()
     val merged = communityMergeRounds(superV, "community", coarse, rounds2)
     l1.select(col(idCol), col("community").as("sv"))
@@ -888,10 +913,12 @@ object Graphs {
       rounds1: Int, rounds2: Int, levels: Int): DataFrame = {
     require(levels >= 2 && levels <= 4,
       s"levels must be in [2,4], got $levels")
+    // materialize the edge list once — see [[louvainTwoLevel]]
+    val e = Materialize.cut(edges)
     var assign = Materialize.cut(
-      louvainOneLevel(vertices, idCol, edges, rounds1))
+      louvainOneLevel(vertices, idCol, e, rounds1))
     var coarse = Materialize.cut(
-      coarsenByCommunity(assign, idCol, "community", edges))
+      coarsenByCommunity(assign, idCol, "community", e))
     var lvl = 2
     var shrinking = true
     while (lvl <= levels && shrinking) {

@@ -1021,10 +1021,15 @@ object TextAnalysis {
     * RE2: English contractions, space-prefixed letter runs,
     * space-prefixed digit runs, space-prefixed punctuation runs,
     * residual whitespace. Both engines use leftmost-first alternation,
-    * so splits agree token-for-token.
+    * so splits agree token-for-token. The whitespace set is the
+    * EXPLICIT class `[ \t\n\f\r]` rather than `\s`: Java's `\s`
+    * includes U+000B (vertical tab) while RE2's does not, so the
+    * shorthand made the two engines split VT-bearing documents
+    * differently — with the explicit class both compile the identical
+    * set (VT lands deterministically in the punctuation run).
     */
   val Gpt2PretokenPattern: String =
-    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^ \\t\\n\\f\\r\\p{L}\\p{N}]+|[ \\t\\n\\f\\r]+"
 
   /** Corpus pretoken inventory under [[Gpt2PretokenPattern]]: the
     * BPE-family pretokenizer's output distribution — what a GPT-style

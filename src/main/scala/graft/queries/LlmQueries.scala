@@ -1113,7 +1113,7 @@ object LlmQueries {
       WITH p AS (
         SELECT doc_id,
                unnest(regexp_extract_all(text,
-                 '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+                 '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^ \t\n\f\r\p{L}\p{N}]+|[ \t\n\f\r]+'))
                  AS t
         FROM documents),
       c AS (

@@ -1656,10 +1656,14 @@ object VectorTextQueries {
   val q385BitextMargin = HarnessQuery(
     "q385_bitext_margin",
     (spark, dir) => {
+      // deciles, not quintiles: this query pins the BRUTE |L|x|R|
+      // arity as the exactness witness, so its input is a quarter of
+      // q398's — the candidate-parameterized (100 TB) arity benches
+      // at the larger slice in q398_bitext_candidates
       val em = Tables.embeddings(spark, dir)
       Similarity.bitextMarginMine(
-        em.where(col("vec_id") % 5 === 0),
-        em.where(col("vec_id") % 5 === 3),
+        em.where(col("vec_id") % 10 === 0),
+        em.where(col("vec_id") % 10 === 3),
         "vec_id", "embedding", k = 4, threshold = 1.02)
         .withColumn("cosine", floor(col("cosine") * 1e9) / 1e9)
         .orderBy(col("left_id"))
@@ -1667,10 +1671,10 @@ object VectorTextQueries {
     Some("""
       WITH l AS (
         SELECT vec_id AS id, embedding AS e FROM embeddings
-        WHERE vec_id % 5 = 0),
+        WHERE vec_id % 10 = 0),
       r AS (
         SELECT vec_id AS id, embedding AS e FROM embeddings
-        WHERE vec_id % 5 = 3),
+        WHERE vec_id % 10 = 3),
       nl AS (
         SELECT id, e,
                sqrt(CAST(sum(CAST(CAST(e[g.i] AS DOUBLE)

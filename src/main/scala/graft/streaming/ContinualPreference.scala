@@ -66,7 +66,7 @@ object ContinualPreference {
       winnerCol: String,
       loserCol: String,
       rounds: Int = 5): DataFrame = {
-    var pairs = emptyPairs(batches.head.sparkSession)
+    var pairs = emptyPairsLike(batches.head, winnerCol, loserCol)
     val steps = batches.zipWithIndex.map { case (b, i) =>
       val r = mergeAndRate(pairs, b, winnerCol, loserCol, rounds)
       pairs = r.pairs
@@ -92,21 +92,22 @@ object ContinualPreference {
       onBatch: DataFrame => Unit): StreamingQuery =
     incoming.writeStream
       .queryName(queryName)
-      .foreachBatch(batchStep(incoming.sparkSession, winnerCol,
-        loserCol, rounds)(onBatch))
+      .foreachBatch(batchStep(winnerCol, loserCol, rounds)(onBatch))
       .start()
 
   private[graft] def batchStep(
-      spark: org.apache.spark.sql.SparkSession,
       winnerCol: String,
       loserCol: String,
       rounds: Int)(
       onBatch: DataFrame => Unit): (DataFrame, Long) => Unit = {
-    var pairs = emptyPairs(spark)
+    var pairs: DataFrame = null
     var lastMerged = -1L
     (batch, batchId) =>
       if (batchId > lastMerged) {
-        val r = mergeAndRate(pairs, batch, winnerCol, loserCol, rounds)
+        val base =
+          if (pairs == null) emptyPairsLike(batch, winnerCol, loserCol)
+          else pairs
+        val r = mergeAndRate(base, batch, winnerCol, loserCol, rounds)
         pairs = r.pairs
         lastMerged = batchId
         onBatch(r.ratings.select(lit(batchId).as("batch_id"),
@@ -115,9 +116,16 @@ object ContinualPreference {
       }
   }
 
-  private def emptyPairs(
-      spark: org.apache.spark.sql.SparkSession): DataFrame = {
-    import spark.implicits._
-    Seq.empty[(String, String, Long)].toDF("a", "b", "n")
-  }
+  /** Typed empty accumulator: the pair table's item type is DERIVED
+    * from the incoming batch's winner/loser columns rather than
+    * hardcoded string — a stream whose items are e.g. bigint model
+    * ids previously got silently string-coerced (or failed under
+    * ANSI) at the first `unionByName` in [[mergeAndRate]], changing
+    * the emitted item type versus the one-shot
+    * [[graft.operators.Preference.bradleyTerry]].
+    */
+  private def emptyPairsLike(
+      batch: DataFrame, winnerCol: String, loserCol: String): DataFrame =
+    batch.limit(0).select(col(winnerCol).as("a"),
+      col(loserCol).as("b"), lit(0L).as("n"))
 }

@@ -694,7 +694,7 @@ class StreamingSpec extends SparkSpec {
     import graft.streaming.ContinualPreference
     val got = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, Long)]
-    val step = ContinualPreference.batchStep(spark, "w", "l", 5) {
+    val step = ContinualPreference.batchStep("w", "l", 5) {
       r => got ++= r.collect()
         .map(x => (x.getAs[Long]("batch_id"), x.getAs[String]("item"),
           x.getAs[Long]("wins")))
