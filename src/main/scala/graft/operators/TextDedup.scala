@@ -292,6 +292,91 @@ object TextDedup {
       threshold)
   }
 
+  /** A persisted minhash-LSH dedup index: the banded signature table
+    * (`id`, `size`, `band`, `band_key`) for candidate generation and
+    * the exploded shingle table (`id`, `shingle`) for exact-Jaccard
+    * verification. See [[saveMinhashIndex]].
+    */
+  final case class MinhashIndex(bands: DataFrame, shingles: DataFrame)
+
+  /** Persist the corpus side of the minhash-LSH near-dup join — the
+    * sign-once / probe-everywhere split for the dedup family,
+    * mirroring [[Similarity.saveIndex]] for ANN and
+    * [[TokenizerStore]] for tokenizers: the corpus is shingled,
+    * min-hashed, and banded ONCE, written as parquet, and every later
+    * snapshot probes the LOADED index instead of re-signing the whole
+    * corpus (at 100 TB, signing IS the dominant cost of cross-snapshot
+    * dedup — the incoming batch is the only thing that should pay it).
+    *
+    * Two artifacts: `bands` (one row per id x band — the LSH inverted
+    * index candidates come from) and `shingles` (the exploded distinct
+    * (id, shingle) table the exact-verify join reads). The shingle
+    * table is corpus-token-scale — that is the standard trade of a
+    * verifying dedup index (the alternative re-reads and re-shingles
+    * candidate documents from the corpus store); it partitions freely
+    * by id and only CANDIDATE ids' rows are ever joined.
+    *
+    * The probe side must re-derive signatures with the SAME
+    * (n, numHashes, bands, hashFn) — parameters are not persisted
+    * (a `hashFn` is code); a mismatch degrades candidate recall but
+    * never precision, because verification is exact Jaccard either
+    * way.
+    */
+  def saveMinhashIndex(
+      df: DataFrame, textCol: String, idCol: String, path: String,
+      n: Int = 3, numHashes: Int = 16, bands: Int = 8,
+      hashFn: Column => Column = TextFunctions.md5Hash60): Unit = {
+    val (exploded, banded) =
+      bandedSide(df, textCol, idCol, "id", n, numHashes, bands, hashFn)
+    banded.select(col("id"), col("__sz").as("size"), col("band"),
+        col("band_key"))
+      .write.mode("overwrite").parquet(path + "/bands")
+    exploded.select(col("id"), col("__s").as("shingle"))
+      .write.mode("overwrite").parquet(path + "/shingles")
+  }
+
+  /** Load a persisted minhash-LSH index (see [[saveMinhashIndex]]). */
+  def loadMinhashIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): MinhashIndex =
+    MinhashIndex(
+      spark.read.parquet(path + "/bands"),
+      spark.read.parquet(path + "/shingles"))
+
+  /** [[minhashNearDupPairsAgainst]] with the corpus side LOADED from a
+    * persisted index: the incoming batch is signed fresh (same
+    * parameters as at save time), candidates come from band-key
+    * collisions against the stored inverted index, and the exact
+    * Jaccard verify joins the stored shingle rows of candidate ids
+    * only. Ids must be disjoint across index and incoming. Returns
+    * (id_a = corpus id, id_b = incoming id, jaccard >= threshold) —
+    * row-identical to the from-scratch join (parquet round-trips the
+    * band keys and shingles bit-exactly; rebuild-equivalence is
+    * spec-pinned and harness-pinned).
+    */
+  def minhashNearDupPairsAgainstIndex(
+      index: MinhashIndex,
+      incoming: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 8,
+      threshold: Double = 0.8,
+      hashFn: Column => Column = TextFunctions.md5Hash60): DataFrame = {
+    val (exB, bandedB) =
+      bandedSide(incoming, textCol, idCol, "id_b", n, numHashes, bands,
+        hashFn)
+    val bandedA = index.bands.select(col("id").as("id_a"),
+      col("size").as("__sz"), col("band"), col("band_key"))
+    val candidates = bandCandidates(bandedA, bandedB, ordered = false)
+    verifyJaccard(candidates,
+      index.shingles.select(col("id").as("id_a"),
+        col("shingle").as("__s")),
+      exB.select(col("id_b"), col("__s")),
+      threshold)
+  }
+
   /** Transitive near-dup clusters: pairwise hits chained into
     * connected components (A~B, B~C groups A, B, C together even when
     * A~C never fired), every doc labeled with its component's minimum

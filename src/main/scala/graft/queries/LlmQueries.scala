@@ -2393,6 +2393,53 @@ object LlmQueries {
       ORDER BY id_a, id_b
     """.trim))
 
+  /** Persisted minhash-LSH dedup index ([[TextDedup.saveMinhashIndex]]
+    * / [[TextDedup.minhashNearDupPairsAgainstIndex]]): the corpus
+    * (doc_id % 5 != 0) is shingled, min-hashed, and banded ONCE, the
+    * band + shingle tables land as parquet, and the incoming snapshot
+    * (doc_id % 5 == 0) probes the LOADED index — completing the
+    * persist family (ANN q374, tokenizers q401/q402/q428) for the
+    * dedup side, so cross-snapshot near-dedup never re-signs the
+    * stored corpus. Parquet round-trips the band keys and shingles
+    * bit-exactly, so the probe is row-identical to the from-scratch
+    * [[TextDedup.minhashNearDupPairsAgainst]] (spec-pinned); the
+    * oracle brute-forces corpus x incoming Jaccard over the same
+    * shingle sets.
+    */
+  val q435MinhashPersisted = HarnessQuery(
+    "q435_minhash_persisted",
+    (spark, dir) => {
+      val path = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q435_minhash_index")
+        .getAbsolutePath
+      val docs = Tables.documents(spark, dir)
+      val corpus = docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0)
+      val incoming = docs.filter(pmod(col("doc_id"), lit(5L)) === 0)
+      TextDedup.saveMinhashIndex(corpus, "text", "doc_id", path,
+        hashFn = TextFunctions.fastHash)
+      TextDedup.minhashNearDupPairsAgainstIndex(
+        TextDedup.loadMinhashIndex(spark, path), incoming,
+        "text", "doc_id", hashFn = TextFunctions.fastHash)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""
+      WITH t AS (SELECT doc_id,
+                   list_distinct(list_transform(
+                     generate_series(1, len(regexp_split_to_array(trim(lower(text)), '\s+')) - 2),
+                     i -> array_to_string((regexp_split_to_array(trim(lower(text)), '\s+'))[i:i+2], ' ')))
+                     AS sh
+                 FROM documents),
+      corp AS (SELECT * FROM t WHERE doc_id % 5 <> 0),
+      inc AS (SELECT * FROM t WHERE doc_id % 5 = 0)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+               len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+      FROM corp a, inc b
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+      ORDER BY id_a, id_b
+    """.trim))
+
   /** The WHOLE corpus-prep pipeline (PII scrub -> quality filter ->
     * language filter -> exact dedup -> transitive near-dedup ->
     * chunking) audited stage by stage and replayed end to end in one
@@ -7142,7 +7189,8 @@ object LlmQueries {
     q336MediaMeta, q375Mp4Tracks, q62IvfAnn,
     q63SimhashSig, q64Tfidf, q65MinhashDedup, q66FrameSample, q67Bm25,
     q68LabelCentroid, q69Boilerplate, q70Redact, q71Chunk, q72Vocab,
-    q73Fuzzy, q74DedupClusters, q75IncrementalDedup, q396IncrementalCc,
+    q73Fuzzy, q74DedupClusters, q75IncrementalDedup, q435MinhashPersisted,
+    q396IncrementalCc,
     q76DocPipeline,
     q82PackSequences, q83Decontaminate, q86RepetitionStats,
     q88MixtureSample, q89QuantizedTopK, q90TokenBudget, q91SubstringDup,

@@ -362,6 +362,29 @@ class TextOpsSpec extends SparkSpec {
     assert(deduped.select("id").collect().map(_.getLong(0)).toSet === Set(1L, 3L))
   }
 
+  test("persisted minhash index: probing the saved+loaded index is " +
+    "row-identical to the from-scratch against-join") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 20) "CHANGED" else s"w$i").mkString(" ")
+    val unrelated = (100 to 140).map(i => s"v$i").mkString(" ")
+    val corpus = Seq((1L, base), (3L, unrelated)).toDF("id", "text")
+    val incoming = Seq((10L, nearDup), (11L, "nothing shared at all"))
+      .toDF("id", "text")
+    val path = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_spec_minhash_index")
+      .getAbsolutePath
+    TextDedup.saveMinhashIndex(corpus, "text", "id", path)
+    val viaIndex = TextDedup.minhashNearDupPairsAgainstIndex(
+      TextDedup.loadMinhashIndex(spark, path), incoming, "text", "id",
+      threshold = 0.5)
+      .orderBy("id_a", "id_b").collect().map(_.toSeq)
+    val fresh = TextDedup.minhashNearDupPairsAgainst(
+      corpus, incoming, "text", "id", threshold = 0.5)
+      .orderBy("id_a", "id_b").collect().map(_.toSeq)
+    assert(viaIndex.toSeq === fresh.toSeq)
+    assert(viaIndex.map(r => (r(0), r(1))).toSet === Set((1L, 10L)))
+  }
+
   test("simhash: identical texts collide at hamming 0; near texts close") {
     val base = (1 to 60).map(i => s"w$i").mkString(" ")
     val near = (1 to 60).map(i => if (i % 20 == 0) s"u$i" else s"w$i").mkString(" ")
