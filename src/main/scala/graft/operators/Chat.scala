@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Column
 
 /** Conversation (SFT/chat) training-data prep: role-tagged turn tables
   * → one rendered training text per conversation with LOSS-MASK SPANS
@@ -78,6 +79,130 @@ object Chat {
         col("assistant_chars"), col("mask_spans"))
   }
 
+  /** Token-level loss masks: re-express [[chatTemplate]]'s CHAR-offset
+    * mask spans as TOKEN-index spans under a LOADED WordPiece
+    * vocabulary — the artifact an SFT trainer actually consumes (it
+    * masks token positions, not characters). This is the composition
+    * round 10 left open: render (q423) → tokenize with a persisted
+    * vocab ([[TokenizerStore.loadWordpieceVocab]] →
+    * [[TextAnalysis.wordpieceSegmentWith]]) → map every char span to
+    * the tokens it fully contains.
+    *
+    * Tokenization contract: the rendered text is whitespace-split into
+    * words (the renderer guarantees SINGLE-char separators — turns
+    * join with one `\n`, content words with one space — so word char
+    * offsets are exact prefix sums); each word ≤ `maxWordLen` segments
+    * greedily against `vocab`, and an unsegmentable or overlong word
+    * becomes one `[UNK]` token covering the whole word (the BERT
+    * `max_input_chars_per_word` rule). A token carries loss iff its
+    * char extent lies FULLY inside a mask span — so the token that
+    * glues a turn header to the first content word is correctly
+    * EXCLUDED (it straddles the span boundary), the alignment subtlety
+    * char-granularity masking lets a trainer get wrong.
+    *
+    * Token ids are the vocabulary rank (count desc, piece asc,
+    * 1-based; `[UNK]` = 0) — the order a vocab file would be written
+    * in. Scale shape: every window partitions by conversation (or
+    * conversation × word), conversations are bounded by construction,
+    * and the vocabulary join broadcasts; the one unpartitioned window
+    * ranks the VOCABULARY, which is artifact-sized (hundreds of rows)
+    * by construction.
+    *
+    * @param convs [[chatTemplate]] output (conv_id, text, mask_spans)
+    * @param vocab (piece, cnt) WordPiece vocabulary in surface form
+    * @return one row per conversation: conv_id, n_tokens,
+    *         n_masked_tokens, token_ids (","-joined in token order),
+    *         pieces (" "-joined), token_mask_spans ("s:e" token-index
+    *         spans, end-exclusive, ";"-joined; "" when nothing is
+    *         masked)
+    */
+  def tokenLossMask(
+      convs: DataFrame, vocab: DataFrame,
+      maxPieceLen: Int = 4, maxWordLen: Int = 16): DataFrame = {
+    val words = convs
+      .select(col("conv_id"), col("mask_spans"),
+        posexplode(split(col("text"), "\\s+")))
+      .withColumnRenamed("pos", "__wpos").withColumnRenamed("col", "__word")
+    val wOff = Window.partitionBy(col("conv_id")).orderBy(col("__wpos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withOff = words.withColumn("__ws",
+      coalesce(sum((length(col("__word")) + lit(1)).cast("long")).over(wOff),
+        lit(0L)))
+    // segment the DISTINCT word set once; overlong words (dropped by
+    // the segmenter's word filter) come back null and take the [UNK]
+    // branch below
+    val seg = TextAnalysis.wordpieceSegmentWith(
+      words.select(col("__word").as("__w")).distinct(), "__w", vocab,
+      maxPieceLen, maxWordLen)
+      .select(col("word").as("__segword"), col("pieces").as("__segpieces"))
+    val joined = withOff
+      .join(broadcast(seg), lower(col("__word")) === col("__segword"),
+        "left")
+      .withColumn("__pieces",
+        when(col("__segpieces").isNull, array(lit("[UNK]")))
+          .otherwise(split(col("__segpieces"), " ")))
+    val toks = joined
+      .select(col("conv_id"), col("mask_spans"), col("__wpos"),
+        col("__ws"), length(col("__word")).cast("long").as("__wlen"),
+        posexplode(col("__pieces")))
+      .withColumnRenamed("pos", "__ppos").withColumnRenamed("col", "__piece")
+      .withColumn("__plen",
+        when(col("__piece") === "[UNK]", col("__wlen"))
+          .otherwise((length(col("__piece"))
+            - when(col("__piece").startsWith("##"), lit(2))
+              .otherwise(lit(0))).cast("long")))
+    val pOff = Window.partitionBy(col("conv_id"), col("__wpos"))
+      .orderBy(col("__ppos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tOrd = Window.partitionBy(col("conv_id"))
+      .orderBy(col("__wpos"), col("__ppos"))
+    val spanOf: Column => Column = s => struct(
+      split(s, ":")(0).cast("long").as("s"),
+      split(s, ":")(1).cast("long").as("e"))
+    val placed = toks
+      .withColumn("__ps",
+        col("__ws") + coalesce(sum(col("__plen")).over(pOff), lit(0L)))
+      .withColumn("__pe", col("__ps") + col("__plen"))
+      .withColumn("__tidx", (row_number().over(tOrd) - 1).cast("long"))
+      .withColumn("__masked", exists(
+        filter(split(col("mask_spans"), ";"), s => s =!= ""),
+        s => col("__ps") >= spanOf(s)("s") && col("__pe") <= spanOf(s)("e")))
+    // vocabulary rank = token id; the unpartitioned window is over the
+    // ARTIFACT (vocab rows, hundreds by construction), never the corpus
+    val vocabIds = vocab.select(col("piece").as("__piece"),
+      row_number().over(Window.orderBy(col("cnt").desc, col("piece")))
+        .cast("long").as("__vid"))
+    val withIds = placed
+      .join(broadcast(vocabIds), Seq("__piece"), "left")
+      .withColumn("__tid", coalesce(col("__vid"), lit(0L)))
+    val wRun = Window.partitionBy(col("conv_id")).orderBy(col("__tidx"))
+    val runs = withIds.filter(col("__masked"))
+      .withColumn("__grp", col("__tidx") - row_number().over(wRun))
+      .groupBy(col("conv_id"), col("__grp"))
+      .agg(min(col("__tidx")).as("__s"), (max(col("__tidx")) + 1L).as("__e"))
+      .groupBy(col("conv_id"))
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("__s"), col("__e")))),
+        r => concat(r("__s"), lit(":"), r("__e"))), ";")
+        .as("__runs"))
+    withIds
+      .groupBy(col("conv_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("__masked").cast("long")).as("n_masked_tokens"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("__tidx"), col("__tid")))),
+          t => t("__tid")), ",").as("token_ids"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("__tidx"),
+            col("__piece").as("__p")))),
+          t => t("__p")), " ").as("pieces"))
+      .join(runs, Seq("conv_id"), "left")
+      .select(col("conv_id"), col("n_tokens"), col("n_masked_tokens"),
+        col("token_ids"), col("pieces"),
+        coalesce(col("__runs"), lit("")).as("token_mask_spans"))
+  }
+
   /** Pack rendered conversations ([[chatTemplate]] rows) into
     * fixed-size training sequences WITH the loss-mask spans re-based
     * into the packed text — the step naive packing gets wrong: spans
@@ -98,6 +223,66 @@ object Chat {
     *         ";"-joined in conv order; "" when no conversation in the
     *         pack has an assistant turn)
     */
+  /** [[packConversations]] with the bin cut driven by TOKEN counts —
+    * what a training pipeline actually packs by (a sequence budget is
+    * tokens, not characters; char-cut packs mis-size by the corpus'
+    * chars-per-token ratio and its variance). Token counts come from
+    * the caller — e.g. [[tokenLossMask]]'s `n_tokens` under a
+    * persisted vocabulary — joined on `conv_id`, so the tokenizer is
+    * trained once and the pack sees real counts.
+    *
+    * Same sharded concatenate-and-cut discipline: per-shard running
+    * TOKEN sum assigns each conversation to the bin where it starts
+    * (so a pack may overflow `targetTokens` by less than its LAST
+    * conversation — the invariant the spec pins), while the mask-span
+    * re-basing stays in CHAR offsets (concatenation shifts
+    * characters, whatever the bin metric).
+    *
+    * @param convs  [[chatTemplate]] output (conv_id, text,
+    *               total_chars, mask_spans)
+    * @param tokens (conv_id, n_tokens) — e.g. [[tokenLossMask]] output
+    * @return one row per pack: shard, bin, n_convs, packed_tokens,
+    *         packed_chars, text, mask_spans (char-shifted)
+    */
+  def packConversationsByTokens(
+      convs: DataFrame, tokens: DataFrame, targetTokens: Int,
+      shards: Int = 64): DataFrame = {
+    require(targetTokens > 0 && shards > 0,
+      "need positive target and shards")
+    val wRun = Window.partitionBy(col("__shard")).orderBy(col("conv_id"))
+    val wOff = Window.partitionBy(col("__shard"), col("bin"))
+      .orderBy(col("conv_id")).rowsBetween(Window.unboundedPreceding, -1)
+    val binned = convs
+      .join(tokens.select(col("conv_id"), col("n_tokens")), Seq("conv_id"))
+      .withColumn("__shard", pmod(col("conv_id"), lit(shards)))
+      .withColumn("__end", sum(col("n_tokens")).over(wRun))
+      .withColumn("bin",
+        floor((col("__end") - col("n_tokens")) / lit(targetTokens)))
+      .withColumn("__off",
+        coalesce(sum(col("total_chars") + lit(2L)).over(wOff), lit(0L)))
+    val shifted = binned.withColumn("__sspans",
+      array_join(transform(
+        filter(split(col("mask_spans"), ";"), s => s =!= ""),
+        s => concat(
+          split(s, ":")(0).cast("long") + col("__off"), lit(":"),
+          split(s, ":")(1).cast("long") + col("__off"))), ";"))
+    shifted
+      .groupBy(col("__shard").cast("long").as("shard"), col("bin"))
+      .agg(
+        count(lit(1)).as("n_convs"),
+        sum(col("n_tokens")).as("packed_tokens"),
+        (sum(col("total_chars")) + (count(lit(1)) - 1L) * lit(2L))
+          .as("packed_chars"),
+        sort_array(collect_list(struct(
+          col("conv_id"), col("text"), col("__sspans")))).as("__cs"))
+      .select(col("shard"), col("bin"), col("n_convs"),
+        col("packed_tokens"), col("packed_chars"),
+        array_join(transform(col("__cs"), c => c("text")), "\n\n")
+          .as("text"),
+        array_join(filter(transform(col("__cs"), c => c("__sspans")),
+          s => s =!= ""), ";").as("mask_spans"))
+  }
+
   def packConversations(
       convs: DataFrame, targetChars: Int, shards: Int = 64): DataFrame = {
     require(targetChars > 0 && shards > 0, "need positive target and shards")

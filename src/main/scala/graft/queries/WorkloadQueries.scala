@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.functions.MortonExpr
-import graft.operators.{Association, Chat, EventAnalytics, Graphs, Reshape, ScaleAudit, TextDedup}
+import graft.operators.{Association, Chat, EventAnalytics, Graphs, Reshape, ScaleAudit, TextAnalysis, TextDedup, TokenizerStore}
 import graft.sources.Tables
 
 /** Assorted warehouse workloads rounding out the surface: RFM
@@ -1253,7 +1253,7 @@ object WorkloadQueries {
     q198CumUsers, q199Wau, q200DegreeHist, q201PruneSim, q202RankNorm,
     q203TpchQ3, q204TpchQ5, q205TpchQ10, q208AbTest, q209BasketLift,
     q248JwLinkage, q249MutualInfo, q271SegmentFdr, q365ShardPlan,
-    q423ChatTemplate, q425PackedChats)
+    q423ChatTemplate, q425PackedChats, q436TokenMask, q437PackedTokens)
 
   /** Conversation packing with re-based loss masks
     * ([[Chat.packConversations]] over [[Chat.chatTemplate]]): the full
@@ -1356,6 +1356,324 @@ object WorkloadQueries {
              COALESCE(string_agg(sspans, ';' ORDER BY conv_id)
                FILTER (WHERE sspans <> ''), '') AS mask_spans
       FROM sh GROUP BY 1, 2
+      ORDER BY shard, bin
+    """.trim))
+
+  /** Token-level loss masks ([[Chat.tokenLossMask]]): the round-10
+    * gap closed — q423's CHAR-offset mask spans composed with a
+    * PERSISTED WordPiece vocabulary
+    * ([[TokenizerStore.loadWordpieceVocab]] →
+    * [[TextAnalysis.wordpieceSegmentWith]]) into TOKEN-index spans,
+    * the artifact an SFT trainer actually consumes. Conversations are
+    * document-derived (4 docs per conv, alternating roles, content =
+    * each doc's first 8 normalized words) so the corpus vocabulary
+    * genuinely segments the content words, while every header-glued
+    * word degrades to `[UNK]` and straddles its span boundary — the
+    * partial-overlap exclusion the spec pins. The oracle replays the
+    * WHOLE chain in SQL: the q422 vocabulary, the conversation
+    * rendering with char spans, word offsets, the greedy recursive
+    * segmentation of the conversation words, per-piece char extents,
+    * full-containment masking, vocabulary-rank token ids, and the
+    * gaps-and-islands run encoding.
+    */
+  /** Shared oracle prefix for q436/q437: the q422 WordPiece vocabulary
+    * over documents, the document-derived conversation rendering with
+    * char mask spans (`conv`), and the full tokenization replay down
+    * to per-conversation token rows (`mid`: conv_id, ti, piece,
+    * masked, tid) plus the conv-grain aggregate (`agg`).
+    */
+  private val tokenMaskPrefixSql: String = """
+      WITH RECURSIVE toksd AS (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+          AS word
+        FROM documents),
+      wordsd AS MATERIALIZED (
+        SELECT word, CAST(count(*) AS BIGINT) AS wcnt
+        FROM toksd WHERE length(word) BETWEEN 1 AND 16
+        GROUP BY 1),
+      sed AS (
+        SELECT word, wcnt,
+               unnest(generate_series(1, length(word))) AS e
+        FROM wordsd),
+      sejd AS (
+        SELECT word, wcnt, e,
+               unnest(generate_series(1, least(4, e))) AS j
+        FROM sed),
+      subsd AS MATERIALIZED (
+        SELECT word, wcnt, e - j AS s, e,
+               CASE WHEN e - j = 0 THEN substr(word, e - j + 1, j)
+                    ELSE '##' || substr(word, e - j + 1, j) END AS wp
+        FROM sejd),
+      vocab AS MATERIALIZED (
+        SELECT wp, row_number() OVER (ORDER BY cnt DESC, wp) AS tid
+        FROM (SELECT wp, sum(wcnt) AS cnt FROM subsd GROUP BY 1
+              ORDER BY cnt DESC, wp LIMIT 200)),
+      docs8 AS (
+        SELECT doc_id,
+               array_to_string(
+                 (regexp_split_to_array(trim(lower(text)), '\s+'))[1:8],
+                 ' ') AS content
+        FROM documents),
+      turns AS (
+        SELECT CAST(floor(doc_id / 4) AS BIGINT) AS conv_id,
+               CAST(doc_id % 4 + 1 AS INT) AS idx,
+               CASE WHEN doc_id % 2 = 1 THEN 'assistant' ELSE 'user' END
+                 AS role,
+               content
+        FROM docs8),
+      seg AS (
+        SELECT conv_id, idx, role,
+               '<|' || role || '|>' || content AS seg,
+               length(content) AS clen,
+               length(role) + 4 AS hlen
+        FROM turns),
+      soff AS (
+        SELECT *,
+               COALESCE(sum(length(seg) + 1) OVER (
+                 PARTITION BY conv_id ORDER BY idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS o
+        FROM seg),
+      conv AS MATERIALIZED (
+        SELECT conv_id,
+               string_agg(seg, chr(10) ORDER BY idx) AS text,
+               COALESCE(string_agg(
+                 CAST(o + hlen AS VARCHAR) || ':'
+                   || CAST(o + hlen + clen AS VARCHAR), ';'
+                 ORDER BY idx) FILTER (WHERE role = 'assistant'), '')
+                 AS mask_spans
+        FROM soff GROUP BY 1),
+      wl AS (
+        SELECT conv_id, mask_spans,
+               regexp_split_to_array(text, '\s+') AS ws
+        FROM conv),
+      wl1 AS (
+        SELECT conv_id, mask_spans, ws,
+               unnest(generate_series(1, len(ws))) AS i
+        FROM wl),
+      wpw AS MATERIALIZED (
+        SELECT conv_id, mask_spans, i - 1 AS wpos, ws[i] AS word
+        FROM wl1),
+      woff AS (
+        SELECT *,
+               COALESCE(sum(length(word) + 1) OVER (
+                 PARTITION BY conv_id ORDER BY wpos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS wstart
+        FROM wpw),
+      cw AS MATERIALIZED (
+        SELECT DISTINCT word FROM wpw
+        WHERE length(word) BETWEEN 1 AND 16),
+      cse AS (
+        SELECT word, unnest(generate_series(1, length(word))) AS e
+        FROM cw),
+      csej AS (
+        SELECT word, e, unnest(generate_series(1, least(4, e))) AS j
+        FROM cse),
+      csubs AS (
+        SELECT DISTINCT word, e - j AS s, e,
+               CASE WHEN e - j = 0 THEN substr(word, e - j + 1, j)
+                    ELSE '##' || substr(word, e - j + 1, j) END AS wp
+        FROM csej),
+      best AS MATERIALIZED (
+        SELECT word, s, e, wp FROM (
+          SELECT c.word, c.s, c.e, c.wp,
+                 row_number() OVER (PARTITION BY c.word, c.s
+                   ORDER BY c.e DESC) AS rk
+          FROM csubs c JOIN vocab v ON v.wp = c.wp) WHERE rk = 1),
+      step AS (
+        SELECT word, 0 AS pos, '' AS path, false AS failed FROM cw
+        UNION ALL
+        SELECT s.word,
+               CAST(COALESCE(b.e, length(s.word)) AS INT) AS pos,
+               CASE WHEN b.e IS NULL THEN s.path
+                    ELSE s.path || ' ' || b.wp END AS path,
+               b.e IS NULL AS failed
+        FROM step s LEFT JOIN best b
+          ON b.word = s.word AND b.s = s.pos
+        WHERE s.pos < length(s.word) AND NOT s.failed),
+      fin AS MATERIALIZED (
+        SELECT word, ltrim(path) AS pieces, failed FROM step
+        WHERE failed OR pos = length(word)),
+      wseg AS (
+        SELECT w.conv_id, w.mask_spans, w.wpos, w.wstart,
+               length(w.word) AS wlen,
+               CASE WHEN f.failed IS NULL OR f.failed THEN ['[UNK]']
+                    ELSE string_split(f.pieces, ' ') END AS pl
+        FROM woff w LEFT JOIN fin f ON f.word = w.word),
+      wseg1 AS (
+        SELECT conv_id, mask_spans, wpos, wstart, wlen, pl,
+               unnest(generate_series(1, len(pl))) AS p
+        FROM wseg),
+      tok AS MATERIALIZED (
+        SELECT conv_id, mask_spans, wpos, wstart, wlen,
+               p - 1 AS ppos, pl[p] AS piece,
+               CASE WHEN pl[p] = '[UNK]' THEN wlen
+                    ELSE length(pl[p])
+                         - CASE WHEN pl[p] LIKE '##%' THEN 2 ELSE 0 END
+               END AS plen
+        FROM wseg1),
+      toff AS (
+        SELECT *,
+               wstart + COALESCE(sum(plen) OVER (
+                 PARTITION BY conv_id, wpos ORDER BY ppos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS ps
+        FROM tok),
+      tix AS MATERIALIZED (
+        SELECT *, ps + plen AS pe,
+               row_number() OVER (PARTITION BY conv_id
+                 ORDER BY wpos, ppos) - 1 AS ti
+        FROM toff),
+      spans0 AS (
+        SELECT conv_id,
+               unnest(list_filter(string_split(mask_spans, ';'),
+                 x -> x <> '')) AS x
+        FROM conv),
+      spans AS (
+        SELECT conv_id,
+               CAST(string_split(x, ':')[1] AS BIGINT) AS s,
+               CAST(string_split(x, ':')[2] AS BIGINT) AS e
+        FROM spans0),
+      msk AS MATERIALIZED (
+        SELECT t.conv_id, t.ti, any_value(t.piece) AS piece,
+               count(sp.s) > 0 AS masked
+        FROM tix t LEFT JOIN spans sp
+          ON sp.conv_id = t.conv_id AND t.ps >= sp.s AND t.pe <= sp.e
+        GROUP BY t.conv_id, t.ti),
+      mid AS MATERIALIZED (
+        SELECT m.conv_id, m.ti, m.piece, m.masked,
+               COALESCE(v.tid, 0) AS tid
+        FROM msk m LEFT JOIN vocab v ON v.wp = m.piece),
+      agg AS (
+        SELECT conv_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_masked_tokens,
+               string_agg(CAST(tid AS VARCHAR), ',' ORDER BY ti)
+                 AS token_ids,
+               string_agg(piece, ' ' ORDER BY ti) AS pieces
+        FROM mid GROUP BY 1)"""
+
+  val q436TokenMask = HarnessQuery(
+    "q436_token_mask",
+    (spark, dir) => {
+      val path = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q436_wordpiece")
+        .getAbsolutePath
+      val docs = Tables.documents(spark, dir)
+      TokenizerStore.saveWordpieceVocab(
+        TextAnalysis.wordpieceVocab(docs, "text"), path)
+      val vocab = TokenizerStore.loadWordpieceVocab(spark, path)
+      val turns = docs.select(
+        floor(col("doc_id") / 4).cast("long").as("conv_id"),
+        (pmod(col("doc_id"), lit(4L)) + 1).cast("int").as("idx"),
+        when(pmod(col("doc_id"), lit(2L)) === 1, lit("assistant"))
+          .otherwise(lit("user")).as("role"),
+        array_join(slice(split(trim(lower(col("text"))), "\\s+"), 1, 8),
+          " ").as("content"))
+      Chat.tokenLossMask(
+        Chat.chatTemplate(turns, "conv_id", "idx", "role", "content"),
+        vocab)
+        .orderBy(col("conv_id"))
+    },
+    Some(s"""$tokenMaskPrefixSql,
+      runs AS (
+        SELECT conv_id, min(ti) AS s, max(ti) + 1 AS e FROM (
+          SELECT conv_id, ti,
+                 ti - row_number() OVER (PARTITION BY conv_id
+                   ORDER BY ti) AS grp
+          FROM mid WHERE masked)
+        GROUP BY conv_id, grp),
+      rstr AS (
+        SELECT conv_id,
+               string_agg(CAST(s AS VARCHAR) || ':' || CAST(e AS VARCHAR),
+                 ';' ORDER BY s) AS token_mask_spans
+        FROM runs GROUP BY 1)
+      SELECT a.conv_id, a.n_tokens, a.n_masked_tokens, a.token_ids,
+             a.pieces,
+             COALESCE(r.token_mask_spans, '') AS token_mask_spans
+      FROM agg a LEFT JOIN rstr r USING (conv_id)
+      ORDER BY conv_id
+    """.trim))
+
+  /** Pack by TOKEN budget ([[Chat.packConversationsByTokens]]):
+    * q436's conversations pack into ~120-token training sequences —
+    * the bin cut runs on each conversation's REAL token count under
+    * the persisted WordPiece vocabulary (q436's tokenizer chain),
+    * while the mask spans still shift in chars, which is what
+    * concatenation moves. Char-cut packing (q425) mis-sizes
+    * sequences by the corpus' chars-per-token variance; this is the
+    * variant a trainer feeds. The oracle replays the whole q436
+    * tokenization prefix to per-conversation token counts, then the
+    * sharded running-TOKEN-sum binning and char-offset span shifts.
+    */
+  val q437PackedTokens = HarnessQuery(
+    "q437_packed_tokens",
+    (spark, dir) => {
+      val path = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q437_wordpiece")
+        .getAbsolutePath
+      val docs = Tables.documents(spark, dir)
+      TokenizerStore.saveWordpieceVocab(
+        TextAnalysis.wordpieceVocab(docs, "text"), path)
+      val vocab = TokenizerStore.loadWordpieceVocab(spark, path)
+      val turns = docs.select(
+        floor(col("doc_id") / 4).cast("long").as("conv_id"),
+        (pmod(col("doc_id"), lit(4L)) + 1).cast("int").as("idx"),
+        when(pmod(col("doc_id"), lit(2L)) === 1, lit("assistant"))
+          .otherwise(lit("user")).as("role"),
+        array_join(slice(split(trim(lower(col("text"))), "\\s+"), 1, 8),
+          " ").as("content"))
+      val convs = Chat.chatTemplate(turns, "conv_id", "idx", "role",
+        "content")
+      Chat.packConversationsByTokens(convs,
+        Chat.tokenLossMask(convs, vocab), targetTokens = 120,
+        shards = 8)
+        .orderBy(col("shard"), col("bin"))
+    },
+    Some(s"""$tokenMaskPrefixSql,
+      conv2 AS (
+        SELECT c.conv_id, c.text,
+               CAST(length(c.text) AS BIGINT) AS total_chars,
+               c.mask_spans, a.n_tokens, c.conv_id % 8 AS shard
+        FROM conv c JOIN agg a USING (conv_id)),
+      prun AS (
+        SELECT *, sum(n_tokens) OVER (PARTITION BY shard
+                 ORDER BY conv_id) AS e
+        FROM conv2),
+      pbin AS (
+        SELECT *,
+               CAST(floor((e - n_tokens) / 120) AS BIGINT) AS bin
+        FROM prun),
+      poff AS (
+        SELECT *,
+               COALESCE(sum(total_chars + 2) OVER (
+                 PARTITION BY shard, bin ORDER BY conv_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS po
+        FROM pbin),
+      psh AS (
+        SELECT shard, bin, conv_id, text, total_chars, n_tokens,
+               array_to_string(list_transform(
+                 list_filter(string_split(mask_spans, ';'),
+                   x -> x <> ''),
+                 x -> CAST(CAST(string_split(x, ':')[1] AS BIGINT)
+                        + po AS VARCHAR)
+                      || ':' ||
+                      CAST(CAST(string_split(x, ':')[2] AS BIGINT)
+                        + po AS VARCHAR)), ';') AS sspans
+        FROM poff)
+      SELECT CAST(shard AS BIGINT) AS shard, bin,
+             CAST(count(*) AS BIGINT) AS n_convs,
+             CAST(sum(n_tokens) AS BIGINT) AS packed_tokens,
+             CAST(sum(total_chars) + 2 * (count(*) - 1) AS BIGINT)
+               AS packed_chars,
+             string_agg(text, chr(10) || chr(10) ORDER BY conv_id)
+               AS text,
+             COALESCE(string_agg(sspans, ';' ORDER BY conv_id)
+               FILTER (WHERE sspans <> ''), '') AS mask_spans
+      FROM psh GROUP BY 1, 2
       ORDER BY shard, bin
     """.trim))
 

@@ -26,6 +26,82 @@ class ChatSpec extends SparkSpec {
     assert(text.substring(52, 55) === "bye")
   }
 
+  test("tokenLossMask: char spans re-base to token spans; the " +
+    "header-glued token straddles the boundary and is excluded") {
+    val turns = Seq(
+      (1L, 1, "user", "aa bb"), (1L, 2, "assistant", "bb cc dd"),
+      (1L, 3, "assistant", "ee"))
+      .toDF("conv_id", "idx", "role", "content")
+    val vocab = Seq(("b", 10L), ("##b", 9L), ("cc", 8L), ("dd", 7L))
+      .toDF("piece", "cnt")
+    val convs = Chat.chatTemplate(turns, "conv_id", "idx", "role",
+      "content")
+    val r = Chat.tokenLossMask(convs, vocab).collect().head
+    // words: <|user|>aa(UNK) bb(b ##b) <|assistant|>bb(UNK) cc dd
+    //        <|assistant|>ee(UNK)
+    assert(r.getAs[String]("pieces") ===
+      "[UNK] b ##b [UNK] cc dd [UNK]")
+    assert(r.getAs[Long]("n_tokens") === 7L)
+    // only cc and dd sit FULLY inside an assistant span: the glued
+    // <|assistant|>bb token starts before the span (header chars) and
+    // must NOT carry loss, even though its word ends inside the span
+    assert(r.getAs[Long]("n_masked_tokens") === 2L)
+    assert(r.getAs[String]("token_mask_spans") === "4:6")
+    // ids are vocab rank (cnt desc, piece asc, 1-based), [UNK] = 0
+    assert(r.getAs[String]("token_ids") === "0,1,2,0,3,4,0")
+  }
+
+  test("tokenLossMask: an overlong word becomes one [UNK] token and " +
+    "is masked when fully inside an assistant span") {
+    val turns = Seq((2L, 1, "assistant", "cc " + "z" * 20))
+      .toDF("conv_id", "idx", "role", "content")
+    val vocab = Seq(("cc", 8L)).toDF("piece", "cnt")
+    val convs = Chat.chatTemplate(turns, "conv_id", "idx", "role",
+      "content")
+    val r = Chat.tokenLossMask(convs, vocab).collect().head
+    // <|assistant|>cc glues with the header (straddles -> unmasked);
+    // the 20-char z-word exceeds maxWordLen, degrades to [UNK], and
+    // lies fully inside the span -> masked
+    assert(r.getAs[String]("pieces") === "[UNK] [UNK]")
+    assert(r.getAs[Long]("n_tokens") === 2L)
+    assert(r.getAs[Long]("n_masked_tokens") === 1L)
+    assert(r.getAs[String]("token_mask_spans") === "1:2")
+    assert(r.getAs[String]("token_ids") === "0,0")
+  }
+
+  test("packConversationsByTokens: bins cut on token counts, spans " +
+    "shift in chars, packs overflow only by their last conversation") {
+    val convs = Seq(
+      (0L, "aaaa bb", 7L, "5:7"),
+      (1L, "cc", 2L, "0:2"),
+      (2L, "dd ee ff gg", 11L, "0:2"))
+      .toDF("conv_id", "text", "total_chars", "mask_spans")
+    val tokens = Seq((0L, 2L), (1L, 1L), (2L, 6L))
+      .toDF("conv_id", "n_tokens")
+    val packs = Chat.packConversationsByTokens(convs, tokens,
+      targetTokens = 3, shards = 1)
+      .orderBy("bin").collect()
+    assert(packs.length === 2)
+    val p0 = packs(0)
+    // conv 0 (2 tok) + conv 1 (1 tok) start inside token bin 0 even
+    // though their char sizes are lopsided — the cut is tokens
+    assert(p0.getAs[Long]("n_convs") === 2L)
+    assert(p0.getAs[Long]("packed_tokens") === 3L)
+    assert(p0.getAs[Long]("packed_chars") === 11L)
+    assert(p0.getAs[String]("text") === "aaaa bb\n\ncc")
+    // conv 1's span shifts by conv 0's chars + separator (7 + 2)
+    assert(p0.getAs[String]("mask_spans") === "5:7;9:11")
+    val p1 = packs(1)
+    assert(p1.getAs[Long]("n_convs") === 1L)
+    assert(p1.getAs[Long]("packed_tokens") === 6L)
+    assert(p1.getAs[String]("mask_spans") === "0:2")
+    // overflow invariant: a pack exceeds the target only by (part of)
+    // its LAST conversation — tokens before the last stay under the
+    // target (pack 0: 3 − 1 = 2 < 3; pack 1: 6 − 6 = 0 < 3)
+    assert(p0.getAs[Long]("packed_tokens") - 1L < 3L)
+    assert(p1.getAs[Long]("packed_tokens") - 6L < 3L)
+  }
+
   test("no assistant turn: empty mask, zero loss chars") {
     val turns = Seq((7L, 1, "user", "alone"))
       .toDF("conv_id", "idx", "role", "content")
