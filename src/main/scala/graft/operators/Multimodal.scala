@@ -1325,6 +1325,146 @@ object Multimodal {
     sb.toString.getBytes("ISO-8859-1")
   }
 
+  final case class GzMemberMeta(
+      member_idx: Int,
+      member_off: Long,
+      compressed_bytes: Long,
+      uncompressed_bytes: Long,
+      crc_ok: Boolean,
+      payload: Array[Byte])
+
+  /** Walk a MULTI-MEMBER gzip stream (RFC 1952) member by member —
+    * the wire format WARC actually ships in (Common Crawl gzips each
+    * record as its OWN member so readers can seek to record
+    * boundaries; a whole-stream gunzip loses them). Per member: parse
+    * the 10-byte header (magic 1f 8b, deflate CM, FLG-gated FEXTRA /
+    * FNAME / FCOMMENT / FHCRC fields), inflate raw deflate data with
+    * `java.util.zip.Inflater(nowrap)`, then read the 8-byte
+    * CRC32 + ISIZE trailer and verify both. Walks members in order
+    * and STOPS at the first malformed one (bad magic, truncated
+    * header/trailer, deflate error) — garbage degrades to a member
+    * prefix, never a crash, the container-walker convention. A
+    * failed CRC/ISIZE check records the member with
+    * `crc_ok = false` and keeps walking (the next member boundary is
+    * still known exactly).
+    */
+  def gzipMembers(bytes: Array[Byte]): Seq[GzMemberMeta] = {
+    if (bytes == null) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[GzMemberMeta]
+    val len = bytes.length
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long =
+      (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)).toLong |
+        ((u8(i + 3) & 0xffL) << 24)
+    var p = 0
+    var stop = false
+    while (!stop && p + 10 <= len) {
+      if (u8(p) != 0x1f || u8(p + 1) != 0x8b || u8(p + 2) != 8) stop = true
+      else {
+        val flg = u8(p + 3)
+        var q = p + 10
+        var bad = false
+        if ((flg & 4) != 0) { // FEXTRA
+          if (q + 2 > len) bad = true
+          else { q += 2 + le16(q); if (q > len) bad = true }
+        }
+        def skipZeroTerminated(): Unit = {
+          while (q < len && bytes(q) != 0) q += 1
+          if (q >= len) bad = true else q += 1
+        }
+        if (!bad && (flg & 8) != 0) skipZeroTerminated()  // FNAME
+        if (!bad && (flg & 16) != 0) skipZeroTerminated() // FCOMMENT
+        if (!bad && (flg & 2) != 0) { q += 2; if (q > len) bad = true }
+        if (bad) stop = true
+        else {
+          val inf = new java.util.zip.Inflater(true)
+          inf.setInput(bytes, q, len - q)
+          val bos = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          try {
+            while (!inf.finished()) {
+              val n = inf.inflate(buf)
+              if (n > 0) bos.write(buf, 0, n)
+              else if (inf.needsInput()) throw new java.util.zip
+                .DataFormatException("truncated deflate stream")
+            }
+            val consumed = (len - q) - inf.getRemaining
+            val trailer = q + consumed
+            if (trailer + 8 > len) stop = true
+            else {
+              val data = bos.toByteArray
+              val crc = new java.util.zip.CRC32()
+              crc.update(data)
+              val crcOk = crc.getValue == le32(trailer) &&
+                (data.length.toLong & 0xffffffffL) == le32(trailer + 4)
+              out += GzMemberMeta(out.length, p.toLong,
+                (trailer + 8 - p).toLong, data.length.toLong, crcOk, data)
+              p = trailer + 8
+            }
+          } catch {
+            case _: java.util.zip.DataFormatException => stop = true
+          } finally inf.end()
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** Deterministic multi-member gzip fixture: each payload becomes
+    * its OWN member (`GZIPOutputStream` per payload, concatenated) —
+    * the Common-Crawl member-per-record layout.
+    */
+  def gzipMembersBytes(payloads: Seq[Array[Byte]]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    payloads.foreach { pl =>
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(pl)
+      gz.finish()
+    }
+    bos.toByteArray
+  }
+
+  final case class WarcGzRecRow(
+      media_id: Long,
+      member_idx: Int,
+      uncompressed_bytes: Long,
+      crc_ok: Boolean,
+      rec_idx: Int,
+      warc_type: String,
+      target_uri: String,
+      content_length: Long,
+      n_headers: Int)
+
+  /** WARC.gz record inventory: [[gzipMembers]] feeding [[parseWarc]]
+    * per member — the real Common-Crawl ingest shape (q408's record
+    * walk assumed pre-gunzipped bytes; the wire format is per-record
+    * gzip members). One row per (member, record); a media whose bytes
+    * yield NO members, or a member whose payload yields no records,
+    * emits the −1 sentinel row, keeping every input visible
+    * downstream. Compressed sizes and member offsets stay on the
+    * [[GzMemberMeta]] API (deflate output is implementation-defined —
+    * not a differential-testable column); the row carries the
+    * UNCOMPRESSED member size, which is generator-derivable.
+    */
+  def warcGzRecords(ds: Dataset[MediaRow]): Dataset[WarcGzRecRow] = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { r =>
+      val members = gzipMembers(r.media)
+      if (members.isEmpty)
+        Seq(WarcGzRecRow(r.media_id, -1, -1L, false, -1, "", "", -1L, 0))
+      else members.flatMap { m =>
+        val recs = parseWarc(m.payload)
+        if (recs.isEmpty)
+          Seq(WarcGzRecRow(r.media_id, m.member_idx,
+            m.uncompressed_bytes, m.crc_ok, -1, "", "", -1L, 0))
+        else recs.map(rec => WarcGzRecRow(r.media_id, m.member_idx,
+          m.uncompressed_bytes, m.crc_ok, rec.rec_idx, rec.warc_type,
+          rec.target_uri, rec.content_length, rec.n_headers))
+      }
+    }
+  }
+
   /** Parsed GIF header + block inventory. Sentinels when the payload
     * is not a GIF (bad signature or truncated screen descriptor):
     * version "", dimensions −1, counts 0, has_trailer false.

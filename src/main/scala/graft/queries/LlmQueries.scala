@@ -1661,6 +1661,106 @@ object LlmQueries {
       ORDER BY media_id, rec_idx
     """.trim))
 
+  /** WARC.gz member walk ([[Multimodal.gzipMembers]] →
+    * [[Multimodal.warcGzRecords]]): the wire format Common Crawl
+    * actually ships — each WARC record gzipped as its OWN member so
+    * readers can seek record boundaries — walked member by member
+    * (RFC 1952 header fields, raw-deflate inflate, CRC32 + ISIZE
+    * trailer verify) with [[Multimodal.parseWarc]] replayed on each
+    * member's payload. Closes the gap between q408 (pre-gunzipped
+    * record walk) and real crawl bytes. Compressed sizes stay off the
+    * row (deflate output is implementation-defined, not
+    * differential-testable); the oracle rebuilds each member's
+    * UNCOMPRESSED record text in SQL (all-ASCII, length() is the byte
+    * count) and recomputes every field from the generator parameters;
+    * the junk payload must yield the sentinel row.
+    */
+  val q438WarcGz = HarnessQuery(
+    "q438_warcgz_records",
+    (spark, dir) => {
+      import spark.implicits._
+      val warcs = Tables.nation(spark, dir)
+        .select(col("n_nationkey").cast("long").as("id")).as[Long]
+        .map { k =>
+          val host = s"n$k.example"
+          Multimodal.MediaRow(9300L + k,
+            Multimodal.gzipMembersBytes(Seq(
+              Multimodal.warcBytes(Seq(
+                ("warcinfo", "", (10 + k).toInt))),
+              Multimodal.warcBytes(Seq(
+                ("response", s"https://$host/page/$k", (20 + 2 * k).toInt))),
+              Multimodal.warcBytes(Seq(
+                ("request", s"https://$host/page/$k", 0))))),
+            "application/warc", -1, -1)
+        }
+      val junk = Tables.region(spark, dir)
+        .filter(col("r_regionkey") === 0)
+        .select(col("r_regionkey").cast("long").as("id")).as[Long]
+        .map(_ => Multimodal.MediaRow(9999L,
+          "definitely not gzip".getBytes("ISO-8859-1"),
+          "text/plain", -1, -1))
+      Multimodal.warcGzRecords(warcs.union(junk)).toDF()
+        .orderBy(col("media_id"), col("member_idx"))
+    },
+    Some("""
+      WITH c AS (SELECT chr(13) || chr(10) AS crlf),
+      n AS (
+        SELECT CAST(9300 + n_nationkey AS BIGINT) AS media_id,
+               n_nationkey AS k,
+               'n' || n_nationkey || '.example' AS host
+        FROM nation),
+      w AS (
+        SELECT media_id, k,
+               'https://' || host || '/page/' || k AS uri
+        FROM n),
+      g AS (
+        SELECT media_id, CAST(0 AS INT) AS member_idx,
+               CAST(length('WARC/1.0' || crlf
+                 || 'WARC-Type: warcinfo' || crlf
+                 || 'WARC-Record-ID: <urn:graft:warcinfo:' || (10 + k)
+                 || '>' || crlf
+                 || 'Content-Length: ' || (10 + k) || crlf || crlf
+                 || repeat('x', CAST(10 + k AS INT)) || crlf || crlf)
+                 AS BIGINT) AS uncompressed_bytes,
+               true AS crc_ok,
+               CAST(0 AS INT) AS rec_idx,
+               'warcinfo' AS warc_type, '' AS target_uri,
+               CAST(10 + k AS BIGINT) AS content_length,
+               CAST(3 AS INT) AS n_headers
+        FROM w, c
+        UNION ALL
+        SELECT media_id, CAST(1 AS INT),
+               CAST(length('WARC/1.0' || crlf
+                 || 'WARC-Type: response' || crlf
+                 || 'WARC-Target-URI: ' || uri || crlf
+                 || 'WARC-Record-ID: <urn:graft:response:' || (20 + 2 * k)
+                 || '>' || crlf
+                 || 'Content-Length: ' || (20 + 2 * k) || crlf || crlf
+                 || repeat('x', CAST(20 + 2 * k AS INT)) || crlf || crlf)
+                 AS BIGINT),
+               true, CAST(0 AS INT), 'response', uri,
+               CAST(20 + 2 * k AS BIGINT), CAST(4 AS INT)
+        FROM w, c
+        UNION ALL
+        SELECT media_id, CAST(2 AS INT),
+               CAST(length('WARC/1.0' || crlf
+                 || 'WARC-Type: request' || crlf
+                 || 'WARC-Target-URI: ' || uri || crlf
+                 || 'WARC-Record-ID: <urn:graft:request:0>' || crlf
+                 || 'Content-Length: 0' || crlf || crlf || crlf || crlf)
+                 AS BIGINT),
+               true, CAST(0 AS INT), 'request', uri,
+               CAST(0 AS BIGINT), CAST(4 AS INT)
+        FROM w, c),
+      j AS (
+        SELECT CAST(9999 AS BIGINT), CAST(-1 AS INT), CAST(-1 AS BIGINT),
+               false, CAST(-1 AS INT), '', '', CAST(-1 AS BIGINT),
+               CAST(0 AS INT)
+        FROM region WHERE r_regionkey = 0)
+      SELECT * FROM (SELECT * FROM g UNION ALL SELECT * FROM j)
+      ORDER BY media_id, member_idx
+    """.trim))
+
   /** HTTP responses inside WARC ([[Multimodal.parseWarcHttp]] /
     * [[Multimodal.warcHttpResponses]]): the layer between q408's
     * record walk and q397's HTML extraction — status code, media
@@ -7174,7 +7274,7 @@ object LlmQueries {
     q430ExifMeta, q431LshPlan, q434Doremi,
     q392JpegMeta, q419GifMeta, q420WebpMeta,
     q393PackAppend, q394UnigramTrain, q395ContinualPacking,
-    q408WarcMeta, q411WarcHttp, q413WarcToText,
+    q408WarcMeta, q411WarcHttp, q413WarcToText, q438WarcGz,
     q402UnigramPersisted,
     q370UrlCanonical, q377RobotsDecision, q378FrontierSchedule,
     q397HtmlExtract, q403RobotsParse, q407SitemapInventory,

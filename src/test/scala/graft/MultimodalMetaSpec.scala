@@ -520,4 +520,70 @@ class MultimodalMetaSpec extends SparkSpec {
       .getBytes("ISO-8859-1")).width === -1)
     assert(Multimodal.parseWebpMeta(null).width === -1)
   }
+
+  test("gzipMembers: multi-member stream walks member by member, " +
+    "payloads round-trip byte-exactly, offsets/sizes tile the buffer") {
+    val p1 = ("alpha " * 40).getBytes("ISO-8859-1")
+    val p2 = "short".getBytes("ISO-8859-1")
+    val bytes = Multimodal.gzipMembersBytes(Seq(p1, p2))
+    val ms = Multimodal.gzipMembers(bytes)
+    assert(ms.length === 2)
+    assert(ms(0).payload.toSeq === p1.toSeq)
+    assert(ms(1).payload.toSeq === p2.toSeq)
+    assert(ms.forall(_.crc_ok))
+    assert(ms(0).member_off === 0L)
+    assert(ms(1).member_off === ms(0).compressed_bytes)
+    assert(ms.map(_.compressed_bytes).sum === bytes.length.toLong)
+    assert(ms(0).uncompressed_bytes === p1.length.toLong)
+  }
+
+  test("gzipMembers: a corrupted trailer flags crc_ok=false but the " +
+    "walk continues at the known member boundary") {
+    val p1 = "first member payload".getBytes("ISO-8859-1")
+    val p2 = "second member payload".getBytes("ISO-8859-1")
+    val bytes = Multimodal.gzipMembersBytes(Seq(p1, p2))
+    val clean = Multimodal.gzipMembers(bytes)
+    // flip a bit in member 0's stored CRC (first trailer byte)
+    val crcPos = clean(0).compressed_bytes.toInt - 8
+    bytes(crcPos) = (bytes(crcPos) ^ 0x01).toByte
+    val ms = Multimodal.gzipMembers(bytes)
+    assert(ms.length === 2)
+    assert(!ms(0).crc_ok)
+    assert(ms(1).crc_ok)
+    assert(ms(1).payload.toSeq === p2.toSeq)
+  }
+
+  test("gzipMembers: garbage yields nothing; trailing garbage after a " +
+    "valid member degrades to a member prefix") {
+    assert(Multimodal.gzipMembers("not gzip".getBytes("ISO-8859-1")).isEmpty)
+    assert(Multimodal.gzipMembers(null).isEmpty)
+    val ok = Multimodal.gzipMembersBytes(Seq("x".getBytes("ISO-8859-1")))
+    val withJunk = ok ++ "JUNKJUNKJUNKJUNK".getBytes("ISO-8859-1")
+    val ms = Multimodal.gzipMembers(withJunk)
+    assert(ms.length === 1)
+    assert(ms(0).crc_ok)
+  }
+
+  test("warcGzRecords: member-per-record WARC.gz parses end to end; " +
+    "junk media emits the sentinel row") {
+    val recs = Seq(
+      ("warcinfo", "", 12),
+      ("response", "https://e.example/p", 24))
+    val media = Multimodal.gzipMembersBytes(
+      recs.map(r => Multimodal.warcBytes(Seq(r))))
+    val ds = Seq(
+      Multimodal.MediaRow(1L, media, "application/warc", -1, -1),
+      Multimodal.MediaRow(2L, "not gzip at all".getBytes("ISO-8859-1"),
+        "text/plain", -1, -1)).toDS()
+    val rows = Multimodal.warcGzRecords(ds).collect()
+      .sortBy(r => (r.media_id, r.member_idx))
+    assert(rows.length === 3)
+    assert(rows(0).member_idx === 0 && rows(0).warc_type === "warcinfo"
+      && rows(0).content_length === 12L && rows(0).rec_idx === 0)
+    assert(rows(1).member_idx === 1 && rows(1).warc_type === "response"
+      && rows(1).target_uri === "https://e.example/p"
+      && rows(1).content_length === 24L)
+    assert(rows.take(2).forall(_.crc_ok))
+    assert(rows(2).media_id === 2L && rows(2).member_idx === -1)
+  }
 }
