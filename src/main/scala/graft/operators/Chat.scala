@@ -283,6 +283,62 @@ object Chat {
           s => s =!= ""), ";").as("mask_spans"))
   }
 
+  /** The final trainer artifact: token-budget packs whose per-pack
+    * token id sequence and TOKEN-index mask spans are both assembled —
+    * [[packConversationsByTokens]] told where each conversation goes,
+    * this re-bases [[tokenLossMask]]'s token spans by each
+    * conversation's cumulative token offset in its pack. Offsets are
+    * exact with NO separator correction: the pack separator is pure
+    * whitespace ("\n\n"), words split on whitespace runs, so the
+    * pack's token sequence is exactly the concatenation of the
+    * member conversations' sequences.
+    *
+    * @param convs  [[chatTemplate]] output
+    * @param tokens [[tokenLossMask]] output (conv_id, n_tokens,
+    *               token_ids, token_mask_spans)
+    * @return one row per pack: shard, bin, n_convs, packed_tokens,
+    *         token_ids (","-joined across the pack),
+    *         token_mask_spans (token-index spans, re-based, ";"-joined)
+    */
+  def packTokenMasks(
+      convs: DataFrame, tokens: DataFrame, targetTokens: Int,
+      shards: Int = 64): DataFrame = {
+    require(targetTokens > 0 && shards > 0,
+      "need positive target and shards")
+    val wRun = Window.partitionBy(col("__shard")).orderBy(col("conv_id"))
+    val wOff = Window.partitionBy(col("__shard"), col("bin"))
+      .orderBy(col("conv_id")).rowsBetween(Window.unboundedPreceding, -1)
+    val binned = convs.select(col("conv_id"))
+      .join(tokens.select(col("conv_id"), col("n_tokens"),
+        col("token_ids"), col("token_mask_spans")), Seq("conv_id"))
+      .withColumn("__shard", pmod(col("conv_id"), lit(shards)))
+      .withColumn("__end", sum(col("n_tokens")).over(wRun))
+      .withColumn("bin",
+        floor((col("__end") - col("n_tokens")) / lit(targetTokens)))
+      .withColumn("__toff",
+        coalesce(sum(col("n_tokens")).over(wOff), lit(0L)))
+    val shifted = binned.withColumn("__sspans",
+      array_join(transform(
+        filter(split(col("token_mask_spans"), ";"), s => s =!= ""),
+        s => concat(
+          split(s, ":")(0).cast("long") + col("__toff"), lit(":"),
+          split(s, ":")(1).cast("long") + col("__toff"))), ";"))
+    shifted
+      .groupBy(col("__shard").cast("long").as("shard"), col("bin"))
+      .agg(
+        count(lit(1)).as("n_convs"),
+        sum(col("n_tokens")).as("packed_tokens"),
+        sort_array(collect_list(struct(
+          col("conv_id"), col("token_ids").as("__ids"),
+          col("__sspans")))).as("__cs"))
+      .select(col("shard"), col("bin"), col("n_convs"),
+        col("packed_tokens"),
+        array_join(transform(col("__cs"), c => c("__ids")), ",")
+          .as("token_ids"),
+        array_join(filter(transform(col("__cs"), c => c("__sspans")),
+          s => s =!= ""), ";").as("token_mask_spans"))
+  }
+
   def packConversations(
       convs: DataFrame, targetChars: Int, shards: Int = 64): DataFrame = {
     require(targetChars > 0 && shards > 0, "need positive target and shards")

@@ -105,10 +105,14 @@ object LinAlg {
       upperTri: DataFrame, iCol: String, jCol: String, valCol: String,
       dim: Int, rounds: Int, varyStart: Boolean = false): DataFrame = {
     require(rounds >= 1 && rounds <= 8, s"rounds out of range: $rounds")
-    val full = upperTri.select(col(iCol).as("i"), col(jCol).as("j"),
-      col(valCol).as("a"))
-      .unionAll(upperTri.where(col(iCol) =!= col(jCol))
-        .select(col(jCol).as("i"), col(iCol).as("j"), col(valCol).as("a")))
+    // materialize the mirrored matrix once: it re-enters the plan every
+    // round, and its lineage may be an expensive reduce (the covariance
+    // aggregate) — uncut, each round re-embedded and re-paid it
+    val full = graft.Materialize.cut(
+      upperTri.select(col(iCol).as("i"), col(jCol).as("j"),
+        col(valCol).as("a"))
+        .unionAll(upperTri.where(col(iCol) =!= col(jCol))
+          .select(col(jCol).as("i"), col(iCol).as("j"), col(valCol).as("a"))))
     val spark = upperTri.sparkSession
     // varyStart = v0_j = 1 + j: a start vector that is orthogonal to
     // (almost) nothing — required after deflation, where the all-ones
@@ -119,10 +123,14 @@ object LinAlg {
          else lit(1.0)).as("v"))
     var lastNorm: DataFrame = null
     for (_ <- 1 to rounds) {
-      val mv = full.join(broadcast(v), Seq("j"))
-        .groupBy(col("i"))
-        .agg(sum((col("a") * col("v")).cast("decimal(38,18)"))
-          .cast("double").as("u"))
+      // cut per round (the louvainAscent discipline): without it the
+      // round-r plan nests every earlier round's matvec + norm +
+      // broadcast, and Catalyst optimization time grows with depth
+      val mv = graft.Materialize.cut(
+        full.join(broadcast(v), Seq("j"))
+          .groupBy(col("i"))
+          .agg(sum((col("a") * col("v")).cast("decimal(38,18)"))
+            .cast("double").as("u")))
       val norm = mv.agg(
         sqrt(sum((col("u") * col("u")).cast("decimal(38,18)"))
           .cast("double")).as("nrm"))

@@ -335,6 +335,31 @@ object TextDedup {
       .write.mode("overwrite").parquet(path + "/shingles")
   }
 
+  /** Fold an incoming batch INTO a persisted minhash index in place:
+    * the batch's band and shingle rows land as NEW parquet files under
+    * the same index path (`mode("append")`) — existing data is never
+    * rewritten, which is exactly the 100 TB maintenance shape (an
+    * index over a growing corpus accretes files per snapshot; a
+    * rewrite would re-pay the whole history). Same parameters
+    * contract as [[saveMinhashIndex]]; ids must be new to the index.
+    * Append-equivalence — save(A) then append(B) loads identically to
+    * save(A ∪ B) — is spec-pinned (parquet is unordered row storage;
+    * every consumer aggregates or joins, never scans order).
+    */
+  def appendToMinhashIndex(
+      incoming: DataFrame, textCol: String, idCol: String, path: String,
+      n: Int = 3, numHashes: Int = 16, bands: Int = 8,
+      hashFn: Column => Column = TextFunctions.md5Hash60): Unit = {
+    val (exploded, banded) =
+      bandedSide(incoming, textCol, idCol, "id", n, numHashes, bands,
+        hashFn)
+    banded.select(col("id"), col("__sz").as("size"), col("band"),
+        col("band_key"))
+      .write.mode("append").parquet(path + "/bands")
+    exploded.select(col("id"), col("__s").as("shingle"))
+      .write.mode("append").parquet(path + "/shingles")
+  }
+
   /** Load a persisted minhash-LSH index (see [[saveMinhashIndex]]). */
   def loadMinhashIndex(
       spark: org.apache.spark.sql.SparkSession,

@@ -2540,6 +2540,45 @@ object LlmQueries {
       ORDER BY id_a, id_b
     """.trim))
 
+  /** Incremental minhash-index maintenance
+    * ([[TextDedup.appendToMinhashIndex]]): the index is SAVED from one
+    * corpus slice (doc_id % 5 in 1..3), a later snapshot (% 5 == 4)
+    * APPENDS its band/shingle rows as new parquet files — no rewrite
+    * of existing index data, the accrete-per-snapshot maintenance
+    * shape — and the probe slice (% 5 == 0) then queries the loaded
+    * grown index. Append-equivalence (save(A) + append(B) ≡
+    * save(A ∪ B)) is spec-pinned; the resulting pairs equal q435's
+    * from-scratch corpus, so the oracle is q435's VERBATIM.
+    */
+  val q440MinhashAppend = HarnessQuery(
+    "q440_minhash_append",
+    (spark, dir) => {
+      // append mode accretes across RUNS — reset the path first so
+      // warm-up/trial re-executions stay idempotent
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rmrf)
+        f.delete(); ()
+      }
+      val path = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q440_minhash_index")
+      rmrf(path)
+      val docs = Tables.documents(spark, dir)
+      TextDedup.saveMinhashIndex(
+        docs.filter(pmod(col("doc_id"), lit(5L)).isin(1L, 2L, 3L)),
+        "text", "doc_id", path.getAbsolutePath,
+        hashFn = TextFunctions.fastHash)
+      TextDedup.appendToMinhashIndex(
+        docs.filter(pmod(col("doc_id"), lit(5L)) === 4),
+        "text", "doc_id", path.getAbsolutePath,
+        hashFn = TextFunctions.fastHash)
+      TextDedup.minhashNearDupPairsAgainstIndex(
+        TextDedup.loadMinhashIndex(spark, path.getAbsolutePath),
+        docs.filter(pmod(col("doc_id"), lit(5L)) === 0),
+        "text", "doc_id", hashFn = TextFunctions.fastHash)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    q435MinhashPersisted.oracle)
+
   /** The WHOLE corpus-prep pipeline (PII scrub -> quality filter ->
     * language filter -> exact dedup -> transitive near-dedup ->
     * chunking) audited stage by stage and replayed end to end in one
@@ -7290,7 +7329,7 @@ object LlmQueries {
     q63SimhashSig, q64Tfidf, q65MinhashDedup, q66FrameSample, q67Bm25,
     q68LabelCentroid, q69Boilerplate, q70Redact, q71Chunk, q72Vocab,
     q73Fuzzy, q74DedupClusters, q75IncrementalDedup, q435MinhashPersisted,
-    q396IncrementalCc,
+    q440MinhashAppend, q396IncrementalCc,
     q76DocPipeline,
     q82PackSequences, q83Decontaminate, q86RepetitionStats,
     q88MixtureSample, q89QuantizedTopK, q90TokenBudget, q91SubstringDup,

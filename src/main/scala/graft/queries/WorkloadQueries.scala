@@ -1253,7 +1253,8 @@ object WorkloadQueries {
     q198CumUsers, q199Wau, q200DegreeHist, q201PruneSim, q202RankNorm,
     q203TpchQ3, q204TpchQ5, q205TpchQ10, q208AbTest, q209BasketLift,
     q248JwLinkage, q249MutualInfo, q271SegmentFdr, q365ShardPlan,
-    q423ChatTemplate, q425PackedChats, q436TokenMask, q437PackedTokens)
+    q423ChatTemplate, q425PackedChats, q436TokenMask, q437PackedTokens,
+    q439PackedTokenMasks)
 
   /** Conversation packing with re-based loss masks
     * ([[Chat.packConversations]] over [[Chat.chatTemplate]]): the full
@@ -1673,6 +1674,93 @@ object WorkloadQueries {
                AS text,
              COALESCE(string_agg(sspans, ';' ORDER BY conv_id)
                FILTER (WHERE sspans <> ''), '') AS mask_spans
+      FROM psh GROUP BY 1, 2
+      ORDER BY shard, bin
+    """.trim))
+
+  /** Packed token masks ([[Chat.packTokenMasks]]): the FINAL trainer
+    * artifact — token-budget packs carrying the concatenated token id
+    * sequence AND token-index mask spans re-based by each
+    * conversation's cumulative token offset in its pack. Offsets need
+    * no separator correction (the pack separator is whitespace, so
+    * the pack's token sequence is exactly the member sequences
+    * concatenated). Composes q436 (token masks under the persisted
+    * vocab) with q437's token binning; the oracle replays the whole
+    * chain plus the token-offset span shifts.
+    */
+  val q439PackedTokenMasks = HarnessQuery(
+    "q439_packed_token_masks",
+    (spark, dir) => {
+      val path = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q439_wordpiece")
+        .getAbsolutePath
+      val docs = Tables.documents(spark, dir)
+      TokenizerStore.saveWordpieceVocab(
+        TextAnalysis.wordpieceVocab(docs, "text"), path)
+      val vocab = TokenizerStore.loadWordpieceVocab(spark, path)
+      val turns = docs.select(
+        floor(col("doc_id") / 4).cast("long").as("conv_id"),
+        (pmod(col("doc_id"), lit(4L)) + 1).cast("int").as("idx"),
+        when(pmod(col("doc_id"), lit(2L)) === 1, lit("assistant"))
+          .otherwise(lit("user")).as("role"),
+        array_join(slice(split(trim(lower(col("text"))), "\\s+"), 1, 8),
+          " ").as("content"))
+      val convs = Chat.chatTemplate(turns, "conv_id", "idx", "role",
+        "content")
+      Chat.packTokenMasks(convs, Chat.tokenLossMask(convs, vocab),
+        targetTokens = 120, shards = 8)
+        .orderBy(col("shard"), col("bin"))
+    },
+    Some(s"""$tokenMaskPrefixSql,
+      runs AS (
+        SELECT conv_id, min(ti) AS s, max(ti) + 1 AS e FROM (
+          SELECT conv_id, ti,
+                 ti - row_number() OVER (PARTITION BY conv_id
+                   ORDER BY ti) AS grp
+          FROM mid WHERE masked)
+        GROUP BY conv_id, grp),
+      rstr AS (
+        SELECT conv_id,
+               string_agg(CAST(s AS VARCHAR) || ':' || CAST(e AS VARCHAR),
+                 ';' ORDER BY s) AS tspans
+        FROM runs GROUP BY 1),
+      pconv AS (
+        SELECT a.conv_id, a.n_tokens, a.token_ids,
+               COALESCE(r.tspans, '') AS tspans,
+               a.conv_id % 8 AS shard
+        FROM agg a LEFT JOIN rstr r USING (conv_id)),
+      prun AS (
+        SELECT *, sum(n_tokens) OVER (PARTITION BY shard
+                 ORDER BY conv_id) AS e
+        FROM pconv),
+      pbin AS (
+        SELECT *,
+               CAST(floor((e - n_tokens) / 120) AS BIGINT) AS bin
+        FROM prun),
+      ptoff AS (
+        SELECT *,
+               COALESCE(sum(n_tokens) OVER (
+                 PARTITION BY shard, bin ORDER BY conv_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS toff
+        FROM pbin),
+      psh AS (
+        SELECT shard, bin, conv_id, n_tokens, token_ids,
+               array_to_string(list_transform(
+                 list_filter(string_split(tspans, ';'),
+                   x -> x <> ''),
+                 x -> CAST(CAST(string_split(x, ':')[1] AS BIGINT)
+                        + toff AS VARCHAR)
+                      || ':' ||
+                      CAST(CAST(string_split(x, ':')[2] AS BIGINT)
+                        + toff AS VARCHAR)), ';') AS sspans
+        FROM ptoff)
+      SELECT CAST(shard AS BIGINT) AS shard, bin,
+             CAST(count(*) AS BIGINT) AS n_convs,
+             CAST(sum(n_tokens) AS BIGINT) AS packed_tokens,
+             string_agg(token_ids, ',' ORDER BY conv_id) AS token_ids,
+             COALESCE(string_agg(sspans, ';' ORDER BY conv_id)
+               FILTER (WHERE sspans <> ''), '') AS token_mask_spans
       FROM psh GROUP BY 1, 2
       ORDER BY shard, bin
     """.trim))

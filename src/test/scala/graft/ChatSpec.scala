@@ -102,6 +102,29 @@ class ChatSpec extends SparkSpec {
     assert(p1.getAs[Long]("packed_tokens") - 6L < 3L)
   }
 
+  test("packTokenMasks: per-pack token ids concatenate and token " +
+    "spans re-base by cumulative token offsets, no separator tokens") {
+    val convs = Seq(
+      (0L, "a", 1L, ""), (1L, "b", 1L, ""), (2L, "c", 1L, ""))
+      .toDF("conv_id", "text", "total_chars", "mask_spans")
+    val tokens = Seq(
+      (0L, 2L, "5,6", "1:2"),
+      (1L, 1L, "7", "0:1"),
+      (2L, 3L, "8,9,10", "0:2"))
+      .toDF("conv_id", "n_tokens", "token_ids", "token_mask_spans")
+    val packs = Chat.packTokenMasks(convs, tokens, targetTokens = 3,
+      shards = 1).orderBy("bin").collect()
+    assert(packs.length === 2)
+    val p0 = packs(0)
+    assert(p0.getAs[Long]("packed_tokens") === 3L)
+    assert(p0.getAs[String]("token_ids") === "5,6,7")
+    // conv 0's span stays; conv 1's shifts by conv 0's 2 tokens
+    assert(p0.getAs[String]("token_mask_spans") === "1:2;2:3")
+    val p1 = packs(1)
+    assert(p1.getAs[String]("token_ids") === "8,9,10")
+    assert(p1.getAs[String]("token_mask_spans") === "0:2")
+  }
+
   test("no assistant turn: empty mask, zero loss chars") {
     val turns = Seq((7L, 1, "user", "alone"))
       .toDF("conv_id", "idx", "role", "content")

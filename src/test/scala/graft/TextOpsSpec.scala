@@ -385,6 +385,44 @@ class TextOpsSpec extends SparkSpec {
     assert(viaIndex.map(r => (r(0), r(1))).toSet === Set((1L, 10L)))
   }
 
+  test("minhash index append-equivalence: save(A) + append(B) loads " +
+    "identically to save(A ∪ B) and probes identically") {
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete(); ()
+    }
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 7) "ALTERED" else s"w$i").mkString(" ")
+    val a = Seq((1L, base), (2L, "completely different words here"))
+      .toDF("id", "text")
+    val b = Seq((3L, nearDup)).toDF("id", "text")
+    val probe = Seq((10L, base)).toDF("id", "text")
+    val p1 = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_spec_minhash_append")
+    val p2 = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_spec_minhash_union")
+    rmrf(p1); rmrf(p2)
+    TextDedup.saveMinhashIndex(a, "text", "id", p1.getAbsolutePath)
+    TextDedup.appendToMinhashIndex(b, "text", "id", p1.getAbsolutePath)
+    TextDedup.saveMinhashIndex(a.unionByName(b), "text", "id",
+      p2.getAbsolutePath)
+    val i1 = TextDedup.loadMinhashIndex(spark, p1.getAbsolutePath)
+    val i2 = TextDedup.loadMinhashIndex(spark, p2.getAbsolutePath)
+    assert(i1.bands.orderBy("id", "band").collect().map(_.toSeq).toSeq ===
+      i2.bands.orderBy("id", "band").collect().map(_.toSeq).toSeq)
+    assert(i1.shingles.orderBy("id", "shingle").collect().map(_.toSeq).toSeq ===
+      i2.shingles.orderBy("id", "shingle").collect().map(_.toSeq).toSeq)
+    val r1 = TextDedup.minhashNearDupPairsAgainstIndex(i1, probe,
+      "text", "id", threshold = 0.5)
+      .orderBy("id_a", "id_b").collect().map(_.toSeq)
+    val r2 = TextDedup.minhashNearDupPairsAgainstIndex(i2, probe,
+      "text", "id", threshold = 0.5)
+      .orderBy("id_a", "id_b").collect().map(_.toSeq)
+    assert(r1.toSeq === r2.toSeq)
+    // the appended doc (near-dup of the probe) must be findable
+    assert(r1.map(r => (r(0), r(1))).toSet === Set((1L, 10L), (3L, 10L)))
+  }
+
   test("simhash: identical texts collide at hamming 0; near texts close") {
     val base = (1 to 60).map(i => s"w$i").mkString(" ")
     val near = (1 to 60).map(i => if (i % 20 == 0) s"u$i" else s"w$i").mkString(" ")
