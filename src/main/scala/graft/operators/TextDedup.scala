@@ -322,17 +322,30 @@ object TextDedup {
     * never precision, because verification is exact Jaccard either
     * way.
     */
+  /** Build the [[MinhashIndex]] frames in memory (the unsaved form of
+    * [[saveMinhashIndex]]) — what the continual-stream state carries
+    * between micro-batches.
+    */
+  def buildMinhashIndex(
+      df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, numHashes: Int = 16, bands: Int = 8,
+      hashFn: Column => Column = TextFunctions.md5Hash60): MinhashIndex = {
+    val (exploded, banded) =
+      bandedSide(df, textCol, idCol, "id", n, numHashes, bands, hashFn)
+    MinhashIndex(
+      banded.select(col("id"), col("__sz").as("size"), col("band"),
+        col("band_key")),
+      exploded.select(col("id"), col("__s").as("shingle")))
+  }
+
   def saveMinhashIndex(
       df: DataFrame, textCol: String, idCol: String, path: String,
       n: Int = 3, numHashes: Int = 16, bands: Int = 8,
       hashFn: Column => Column = TextFunctions.md5Hash60): Unit = {
-    val (exploded, banded) =
-      bandedSide(df, textCol, idCol, "id", n, numHashes, bands, hashFn)
-    banded.select(col("id"), col("__sz").as("size"), col("band"),
-        col("band_key"))
-      .write.mode("overwrite").parquet(path + "/bands")
-    exploded.select(col("id"), col("__s").as("shingle"))
-      .write.mode("overwrite").parquet(path + "/shingles")
+    val ix = buildMinhashIndex(df, textCol, idCol, n, numHashes, bands,
+      hashFn)
+    ix.bands.write.mode("overwrite").parquet(path + "/bands")
+    ix.shingles.write.mode("overwrite").parquet(path + "/shingles")
   }
 
   /** Fold an incoming batch INTO a persisted minhash index in place:
@@ -350,14 +363,10 @@ object TextDedup {
       incoming: DataFrame, textCol: String, idCol: String, path: String,
       n: Int = 3, numHashes: Int = 16, bands: Int = 8,
       hashFn: Column => Column = TextFunctions.md5Hash60): Unit = {
-    val (exploded, banded) =
-      bandedSide(incoming, textCol, idCol, "id", n, numHashes, bands,
-        hashFn)
-    banded.select(col("id"), col("__sz").as("size"), col("band"),
-        col("band_key"))
-      .write.mode("append").parquet(path + "/bands")
-    exploded.select(col("id"), col("__s").as("shingle"))
-      .write.mode("append").parquet(path + "/shingles")
+    val ix = buildMinhashIndex(incoming, textCol, idCol, n, numHashes,
+      bands, hashFn)
+    ix.bands.write.mode("append").parquet(path + "/bands")
+    ix.shingles.write.mode("append").parquet(path + "/shingles")
   }
 
   /** Load a persisted minhash-LSH index (see [[saveMinhashIndex]]). */

@@ -2579,6 +2579,68 @@ object LlmQueries {
     },
     q435MinhashPersisted.oracle)
 
+  /** Continual minhash dedup ([[graft.streaming.ContinualMinhash]]):
+    * the text twin of q334's continual semantic dedup — document
+    * batches arrive in order, probe the ACCUMULATED minhash-LSH index
+    * (the corpus never re-signs), survivors' band/shingle rows fold
+    * into the index and become corpus for every later batch. The
+    * harness runs the deterministic replay contract (the stream
+    * produces identical rows for the same batch split — spec-pinned
+    * via MemoryStream); the oracle unrolls all three batches in SQL:
+    * each batch left-joins the grown shingle corpus on brute Jaccard
+    * >= 0.8, matched_id = smallest matching corpus id, and only
+    * non-dup rows accrete.
+    */
+  val q441ContinualMinhash = HarnessQuery(
+    "q441_continual_minhash",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val corpus0 = docs.filter(pmod(col("doc_id"), lit(5L)).isin(1L, 2L))
+      val batches = Seq(3L, 4L, 0L).map(m =>
+        docs.filter(pmod(col("doc_id"), lit(5L)) === m))
+      graft.streaming.ContinualMinhash.replayBatches(
+        corpus0, batches, "text", "doc_id",
+        hashFn = TextFunctions.fastHash)
+        .orderBy(col("batch_id"), col("doc_id"))
+    },
+    Some {
+      val round = (b: String, prev: String, i: Int) => s"""
+      h$i AS (SELECT b.doc_id AS doc_id, min(a.doc_id) AS m
+             FROM $b b JOIN $prev a
+               ON CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                  len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+             GROUP BY 1),
+      v$i AS MATERIALIZED (
+             SELECT b.doc_id, CAST($i AS BIGINT) AS batch_id,
+                    h.m IS NOT NULL AS is_dup, h.m AS matched_id
+             FROM $b b LEFT JOIN h$i h USING (doc_id)),
+      c${i + 1} AS MATERIALIZED (
+             SELECT * FROM $prev
+             UNION ALL
+             SELECT b.* FROM $b b JOIN v$i vv
+               ON vv.doc_id = b.doc_id AND NOT vv.is_dup)"""
+      s"""
+      WITH t AS MATERIALIZED (SELECT doc_id,
+                   list_distinct(list_transform(
+                     generate_series(1, len(regexp_split_to_array(trim(lower(text)), '\\s+')) - 2),
+                     i -> array_to_string((regexp_split_to_array(trim(lower(text)), '\\s+'))[i:i+2], ' ')))
+                     AS sh
+                 FROM documents),
+      c0 AS (SELECT * FROM t WHERE doc_id % 5 IN (1, 2)),
+      b0 AS (SELECT * FROM t WHERE doc_id % 5 = 3),
+      b1 AS (SELECT * FROM t WHERE doc_id % 5 = 4),
+      b2 AS (SELECT * FROM t WHERE doc_id % 5 = 0),
+${round("b0", "c0", 0)},
+${round("b1", "c1", 1)},
+${round("b2", "c2", 2)}
+      SELECT doc_id, batch_id, is_dup, matched_id FROM (
+        SELECT * FROM v0
+        UNION ALL SELECT * FROM v1
+        UNION ALL SELECT * FROM v2)
+      ORDER BY batch_id, doc_id
+    """.trim
+    })
+
   /** The WHOLE corpus-prep pipeline (PII scrub -> quality filter ->
     * language filter -> exact dedup -> transitive near-dedup ->
     * chunking) audited stage by stage and replayed end to end in one
@@ -7329,7 +7391,7 @@ object LlmQueries {
     q63SimhashSig, q64Tfidf, q65MinhashDedup, q66FrameSample, q67Bm25,
     q68LabelCentroid, q69Boilerplate, q70Redact, q71Chunk, q72Vocab,
     q73Fuzzy, q74DedupClusters, q75IncrementalDedup, q435MinhashPersisted,
-    q440MinhashAppend, q396IncrementalCc,
+    q440MinhashAppend, q441ContinualMinhash, q396IncrementalCc,
     q76DocPipeline,
     q82PackSequences, q83Decontaminate, q86RepetitionStats,
     q88MixtureSample, q89QuantizedTopK, q90TokenBudget, q91SubstringDup,

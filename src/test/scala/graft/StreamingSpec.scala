@@ -445,6 +445,78 @@ class StreamingSpec extends SparkSpec {
     assert(got.filter(_._1 == 1L).map(_._2) === Seq(3L))
   }
 
+  test("continual minhash dedup: the foreachBatch stream equals the " +
+    "batch replay, and batch-1 survivors block batch-2 arrivals") {
+    import graft.streaming.ContinualMinhash
+    implicit val sqlCtx = spark.sqlContext
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val baseNear = (1 to 40)
+      .map(i => if (i == 20) "CHANGED" else s"w$i").mkString(" ")
+    val other = (100 to 140).map(i => s"v$i").mkString(" ")
+    val otherNear = (100 to 140)
+      .map(i => if (i == 120) "ALTERED" else s"v$i").mkString(" ")
+    val fresh = (200 to 240).map(i => s"u$i").mkString(" ")
+    val corpus0 = Seq((100L, base)).toDF("id", "text")
+    // batch 1: id 1 duplicates corpus 100; id 2 is new content
+    val batch1 = Seq((1L, baseNear), (2L, other))
+    // batch 2: id 3 duplicates SURVIVOR 2; id 4 is new
+    val batch2 = Seq((3L, otherNear), (4L, fresh))
+    type Verdict = (Long, Long, Boolean, Any)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Verdict] =
+      df.collect().map(r => (r.getAs[Long]("id"),
+        r.getAs[Long]("batch_id"), r.getAs[Boolean]("is_dup"),
+        r.getAs[Any]("matched_id"))).toSet
+
+    val streamed = scala.collection.mutable.ArrayBuffer.empty[Verdict]
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("id", "text")
+    val q = ContinualMinhash.start(stream, corpus0, "text", "id") {
+      checked => streamed ++= rows(checked)
+    }
+    mem.addData(batch1: _*)
+    q.processAllAvailable()
+    mem.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val replayed = rows(ContinualMinhash.replayBatches(corpus0,
+      Seq(batch1.toDF("id", "text"), batch2.toDF("id", "text")),
+      "text", "id"))
+    assert(streamed.toSet === replayed)
+    val verdicts = replayed.map(v => v._1 -> ((v._3, v._4))).toMap
+    assert(verdicts(1L) === ((true, 100L)))
+    assert(verdicts(2L) === ((false, null)))
+    assert(verdicts(3L) === ((true, 2L))) // matched a batch-1 survivor
+    assert(verdicts(4L) === ((false, null)))
+  }
+
+  test("continual minhash dedup: a re-delivered batch id does not " +
+    "re-emit or re-append its survivors") {
+    import graft.streaming.ContinualMinhash
+    import graft.functions.TextFunctions
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val other = (100 to 140).map(i => s"v$i").mkString(" ")
+    val otherNear = (100 to 140)
+      .map(i => if (i == 120) "ALTERED" else s"v$i").mkString(" ")
+    val corpus0 = Seq((100L, base)).toDF("id", "text")
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Boolean, Any)]
+    val step = ContinualMinhash.batchStep(corpus0, "text", "id",
+      n = 3, numHashes = 16, bands = 8, threshold = 0.8,
+      hashFn = TextFunctions.md5Hash60) { checked =>
+      got ++= checked.collect().map(r => (r.getAs[Long]("id"),
+        r.getAs[Long]("batch_id"), r.getAs[Boolean]("is_dup"),
+        r.getAs[Any]("matched_id")))
+    }
+    val b0 = Seq((2L, other)).toDF("id", "text")
+    step(b0, 0L)
+    step(b0, 0L) // re-delivery: survivor 2 must not re-enter the index
+    step(Seq((3L, otherNear)).toDF("id", "text"), 1L)
+    assert(got.count(_._2 == 0L) === 1)
+    val v3 = got.filter(_._2 == 1L)
+    assert(v3.map(v => (v._1, v._3, v._4)) === Seq((3L, true, 2L)))
+  }
+
   test("continual dedup: a re-delivered batch id does not re-emit or " +
     "re-append its survivors") {
     import graft.streaming.ContinualDedup
