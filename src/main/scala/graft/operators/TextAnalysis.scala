@@ -245,9 +245,43 @@ object TextAnalysis {
     * the JOIN key's build side, not a window, so AQE's skew handling
     * applies; nothing is collected to the driver.
     */
-  def bigramLogProb(
+  /** A trained bigram LM: reference unigram counts (term, uc) and
+    * bigram counts (w1, w2, bc) — the artifact [[bigramLogProbWith]]
+    * scores against, persistable via [[graft.operators
+    * .TokenizerStore.saveBigramLm]] (counts are longs; parquet
+    * round-trips them bit-exactly, so a loaded LM scores identically
+    * to a fresh one).
+    */
+  final case class BigramLm(unigrams: DataFrame, bigrams: DataFrame)
+
+  /** Train the [[BigramLm]] counts on a clean reference corpus — the
+    * train-once half of the CCNet filter (the score half reads
+    * EVERYTHING; at 100 TB fusing them re-pays training per run, the
+    * tokenizer-store argument applied to LMs).
+    */
+  def trainBigramLm(ref: DataFrame, textCol: String): BigramLm = {
+    val t = col("__t")
+    val refUni = ref
+      .select(explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("uc"))
+    val refBg = ref
+      .select(TextFunctions.tokens(col(textCol)).as("__t"))
+      .filter(size(t) >= 2)
+      .select(explode(zip_with(
+        slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("__bg"))
+      .select(col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("bc"))
+    BigramLm(refUni, refBg)
+  }
+
+  /** Score documents under an already-trained (possibly LOADED)
+    * [[BigramLm]] — the apply half of [[bigramLogProb]], same
+    * interpolation, decimal accumulation, and output shape.
+    */
+  def bigramLogProbWith(
       df: DataFrame,
-      ref: DataFrame,
+      lm: BigramLm,
       textCol: String,
       idCol: String,
       lBigram: Double = 0.7,
@@ -266,14 +300,11 @@ object TextAnalysis {
         .groupBy(col(outId), col("w1"), col("w2"))
         .agg(count(lit(1)).as("n"))
     }
-    val refUni = ref
-      .select(explode(TextFunctions.tokens(col(textCol))).as("term"))
-      .groupBy(col("term")).agg(count(lit(1)).as("uc"))
+    val refUni = lm.unigrams.select(col("term"), col("uc"))
     val refStats = broadcast(refUni.agg(
       sum(col("uc")).cast("double").as("__tot"),
       count(lit(1)).cast("double").as("__v")))
-    val refBg = bigramCounts(ref, "__rid")
-      .groupBy(col("w1"), col("w2")).agg(sum(col("n")).as("bc"))
+    val refBg = lm.bigrams.select(col("w1"), col("w2"), col("bc"))
     val scored = bigramCounts(df, idCol)
       .join(refBg, Seq("w1", "w2"), "left")
       .join(refUni.select(col("term").as("w1"), col("uc").as("__uc1")),
@@ -295,6 +326,21 @@ object TextAnalysis {
         (col("__slp").cast("double") / col("__nb")).as("bigram_logprob"),
         exp(-(col("__slp").cast("double") / col("__nb"))).as("perplexity"))
   }
+
+  /** The one-call train-plus-score form: [[trainBigramLm]] on `ref`
+    * feeding [[bigramLogProbWith]] — see the [[BigramLm]] docs above
+    * for the interpolation and scale shape.
+    */
+  def bigramLogProb(
+      df: DataFrame,
+      ref: DataFrame,
+      textCol: String,
+      idCol: String,
+      lBigram: Double = 0.7,
+      lUnigram: Double = 0.2,
+      lFloor: Double = 0.1): DataFrame =
+    bigramLogProbWith(df, trainBigramLm(ref, textCol), textCol, idCol,
+      lBigram, lUnigram, lFloor)
 
   /** Per-document sentence segmentation stats: sentences split on
     * [.!?]+ runs (the regex segmenter every quality pipeline starts

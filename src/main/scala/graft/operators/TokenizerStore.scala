@@ -74,4 +74,24 @@ object TokenizerStore {
     */
   def loadWordpieceVocab(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path + "/wordpiece_vocab")
+
+  /** Persist a trained bigram LM ([[TextAnalysis.trainBigramLm]]):
+    * unigram and bigram count tables — the CCNet-filter artifact
+    * (train on the clean reference once, score every corpus pass via
+    * [[TextAnalysis.bigramLogProbWith]]). Counts are longs; parquet
+    * round-trips them bit-exactly, so a loaded LM scores identically
+    * to a fresh one.
+    */
+  def saveBigramLm(lm: TextAnalysis.BigramLm, path: String): Unit = {
+    lm.unigrams.select(col("term"), col("uc"))
+      .write.mode("overwrite").parquet(path + "/lm_unigrams")
+    lm.bigrams.select(col("w1"), col("w2"), col("bc"))
+      .write.mode("overwrite").parquet(path + "/lm_bigrams")
+  }
+
+  /** Load a persisted bigram LM (see [[saveBigramLm]]). */
+  def loadBigramLm(spark: SparkSession, path: String): TextAnalysis.BigramLm =
+    TextAnalysis.BigramLm(
+      spark.read.parquet(path + "/lm_unigrams"),
+      spark.read.parquet(path + "/lm_bigrams"))
 }

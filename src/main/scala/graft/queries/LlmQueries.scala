@@ -3553,6 +3553,38 @@ ${round("b2", "c2", 2)}
       FROM base ORDER BY doc_id
     """.trim))
 
+  /** Persisted bigram LM ([[graft.operators.TokenizerStore
+    * .saveBigramLm]] / [[TextAnalysis.bigramLogProbWith]]): q119's
+    * reference LM is trained ONCE, its unigram/bigram count tables
+    * land as parquet, and scoring runs against the LOADED artifact —
+    * the train-once / score-everywhere split for the CCNet filter
+    * (at 100 TB the reference is a sample, the scored corpus is
+    * everything; fusing them re-pays training every pass). Counts
+    * are longs, parquet round-trips them bit-exactly, so this
+    * reproduces q119 row-for-row — the oracle is q119's VERBATIM.
+    */
+  val q442BigramLmPersisted = HarnessQuery(
+    "q442_bigram_lm_persisted",
+    (spark, dir) => {
+      import graft.operators.TokenizerStore
+      val path = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q442_bigram_lm")
+        .getAbsolutePath
+      val docs = Tables.documents(spark, dir)
+      TokenizerStore.saveBigramLm(
+        TextAnalysis.trainBigramLm(
+          docs.filter(col("source").isin("src0", "src1")), "text"),
+        path)
+      TextAnalysis.bigramLogProbWith(
+        docs, TokenizerStore.loadBigramLm(spark, path), "text", "doc_id")
+        .withColumn("bigram_logprob",
+          floor(col("bigram_logprob") * 1e10) / 1e10)
+        .select(col("doc_id"), col("n_bigrams"), col("bigram_logprob"),
+          (floor(exp(-col("bigram_logprob")) * 1e8) / 1e8).as("perplexity"))
+        .orderBy(col("doc_id"))
+    },
+    q119BigramPerplexity.oracle)
+
   /** CCNet head/middle/tail perplexity split
     * ([[Selection.scoreBucketSample]] over q119's bigram-LM
     * perplexities): rank every scored document by (perplexity asc,
@@ -7402,7 +7434,7 @@ ${round("b2", "c2", 2)}
     q113HardNegatives, q114ScrubDupSpans, q115NfcNormalize, q116PipelineV3,
     q117PqTopK, q118IvfPqTopK, q374AnnPersisted, q400AnnIncremental,
     q405AnnRecentroid, q406ContinualAnn,
-    q119BigramPerplexity, q414CcnetBuckets,
+    q119BigramPerplexity, q414CcnetBuckets, q442BigramLmPersisted,
     q120BucketedBatches,
     q121TemperatureWeights, q122SourceDivergence, q123HashedTf,
     q125EventSequences, q126CrossSourceDups, q127DecaySample,

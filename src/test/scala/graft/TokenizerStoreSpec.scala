@@ -98,4 +98,22 @@ class TokenizerStoreSpec extends SparkSpec {
       .orderBy("word").collect().toSeq
     assert(a === b)
   }
+
+  test("bigram LM: counts round-trip parquet; scoring with the loaded " +
+    "LM equals the one-call train-plus-score form") {
+    val withIds = docs.withColumn("id", monotonically_increasing_id())
+    val lm = TextAnalysis.trainBigramLm(docs, "text")
+    val path = tmp("graft_spec_bigram_lm")
+    TokenizerStore.saveBigramLm(lm, path)
+    val loaded = TokenizerStore.loadBigramLm(spark, path)
+    assert(loaded.unigrams.orderBy("term").collect().map(_.toSeq).toSeq ===
+      lm.unigrams.orderBy("term").collect().map(_.toSeq).toSeq)
+    assert(loaded.bigrams.orderBy("w1", "w2").collect().map(_.toSeq).toSeq ===
+      lm.bigrams.orderBy("w1", "w2").collect().map(_.toSeq).toSeq)
+    val oneCall = TextAnalysis.bigramLogProb(withIds, docs, "text", "id")
+      .orderBy("id").collect().map(_.toSeq)
+    val viaLoaded = TextAnalysis.bigramLogProbWith(withIds, loaded,
+      "text", "id").orderBy("id").collect().map(_.toSeq)
+    assert(viaLoaded.toSeq === oneCall.toSeq)
+  }
 }
