@@ -1193,6 +1193,46 @@ object TextAnalysis {
           .otherwise(ltrim(col("__g")("path"))).as("pieces"))
   }
 
+  /** Per-group tokenizer coverage audit under a (loaded) WordPiece
+    * vocabulary: for every group (source, snapshot, language bucket),
+    * the occurrence-weighted OOV rate and fertility (mean pieces per
+    * word) — the first question a corpus owner asks of a tokenizer
+    * ("which sources does this vocab serve badly?") and the signal
+    * that decides re-training. Overlong words (> maxWordLen) count as
+    * `[UNK]` of one piece, the BERT max_input_chars_per_word rule —
+    * the [[graft.operators.Chat.tokenLossMask]] convention, so the
+    * audit measures exactly what the mask/pack path will do.
+    *
+    * Scale shape: segmentation runs on the DISTINCT word table (the
+    * [[wordpieceSegmentWith]] contract); occurrences join back by
+    * word and aggregate to group grain — group-cardinality output.
+    */
+  def wordpieceCoverage(
+      df: DataFrame, textCol: String, groupCol: String, vocab: DataFrame,
+      maxPieceLen: Int = 4, maxWordLen: Int = 16): DataFrame = {
+    val words = df
+      .select(col(groupCol).as("group_key"),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("word"))
+      .filter(length(col("word")) >= 1)
+    val seg = wordpieceSegmentWith(
+      words.select(col("word")).distinct(), "word", vocab,
+      maxPieceLen, maxWordLen)
+      .select(col("word"), col("is_unk"), col("n_pieces"))
+    words
+      .join(broadcast(seg), Seq("word"), "left")
+      .withColumn("__unk", col("is_unk").isNull || col("is_unk"))
+      .withColumn("__np",
+        when(col("__unk"), lit(1)).otherwise(col("n_pieces")).cast("long"))
+      .groupBy(col("group_key"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("__unk").cast("long")).as("n_unk"),
+        round(sum(col("__unk").cast("long")).cast("double")
+          / count(lit(1)), 12).as("oov_rate"),
+        round(sum(col("__np")).cast("double") / count(lit(1)), 12)
+          .as("mean_pieces"))
+  }
+
   /** Seeded-vocabulary WordPiece: [[wordpieceVocab]] feeding
     * [[wordpieceSegmentWith]] — the one-call form of the trio's third
     * tokenizer (BPE q291/q333, unigram q388/q394, WordPiece here).

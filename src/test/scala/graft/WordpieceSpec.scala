@@ -83,6 +83,27 @@ class WordpieceSpec extends SparkSpec {
     assert(total === "I don't like 42 bugs!  I don't".length)
   }
 
+  test("wordpieceCoverage: occurrence-weighted OOV and fertility per " +
+    "group; overlong words count as one [UNK]") {
+    val docs = Seq(
+      ("s1", "abc abc zz"),            // abc = ab ##c (2 pieces), zz OOV
+      ("s2", "abc " + "y" * 20))       // overlong word -> UNK, 1 piece
+      .toDF("source", "text")
+    val out = TextAnalysis.wordpieceCoverage(docs, "text", "source",
+      vocabDf("ab", "##c"))
+      .orderBy("group_key").collect()
+    val s1 = out(0)
+    assert(s1.getAs[Long]("n_words") === 3L)
+    assert(s1.getAs[Long]("n_unk") === 1L)
+    assert(s1.getAs[Double]("oov_rate") === (1.0 / 3 * 1e12).round / 1e12)
+    // pieces: 2 + 2 + 1 = 5 over 3 words
+    assert(s1.getAs[Double]("mean_pieces") === (5.0 / 3 * 1e12).round / 1e12)
+    val s2 = out(1)
+    assert(s2.getAs[Long]("n_words") === 2L)
+    assert(s2.getAs[Long]("n_unk") === 1L)
+    assert(s2.getAs[Double]("mean_pieces") === 1.5)
+  }
+
   test("words beyond maxWordLen are excluded from the output") {
     val out = TextAnalysis.wordpieceSegmentWith(
       Seq("short " + "x" * 20).toDF("text"), "text",
