@@ -21,6 +21,20 @@ import org.apache.spark.sql.Column
   */
 object Chat {
 
+  /** Fail-fast coverage guard for the token-count join in
+    * [[packConversationsByTokens]] / [[packTokenMasks]]: the tokens
+    * frame must carry a row for every conversation — a silent inner
+    * join here would shrink the corpus with no error (unlike
+    * [[packConversations]], which keeps every conversation). The
+    * left join + raise_error surfaces the missing conv_id instead.
+    */
+  private def requireCovered(nTokens: Column): Column =
+    when(nTokens.isNull, raise_error(concat(
+      lit("packConversationsByTokens/packTokenMasks: no token count " +
+        "for conv_id="), col("conv_id").cast("string"),
+      lit(" — the tokens frame must cover every conversation"))))
+      .otherwise(nTokens)
+
   /** Render `<|role|>content` turns joined by newlines, with
     * 0-based [start, end) character offsets of each assistant turn's
     * CONTENT in the rendered text.
@@ -88,10 +102,13 @@ object Chat {
     * [[TextAnalysis.wordpieceSegmentWith]]) → map every char span to
     * the tokens it fully contains.
     *
-    * Tokenization contract: the rendered text is whitespace-split into
-    * words (the renderer guarantees SINGLE-char separators — turns
-    * join with one `\n`, content words with one space — so word char
-    * offsets are exact prefix sums); each word ≤ `maxWordLen` segments
+    * Tokenization contract: the rendered text is split on INDIVIDUAL
+    * whitespace characters (`[ \t\n\f\r]` — each separator is
+    * exactly one char by construction, so word char offsets are exact
+    * prefix sums of `length(word) + 1` for ANY content whitespace:
+    * runs, tabs, CRLF and trailing whitespace contribute empty
+    * elements that advance the offset by their one separator char and
+    * are then dropped, never tokenized); each word ≤ `maxWordLen` segments
     * greedily against `vocab`, and an unsegmentable or overlong word
     * becomes one `[UNK]` token covering the whole word (the BERT
     * `max_input_chars_per_word` rule). A token carries loss iff its
@@ -119,15 +136,23 @@ object Chat {
   def tokenLossMask(
       convs: DataFrame, vocab: DataFrame,
       maxPieceLen: Int = 4, maxWordLen: Int = 16): DataFrame = {
+    // split on SINGLE whitespace chars (not "\\s+"): every element
+    // boundary is exactly one separator char, so the prefix sum below
+    // is positionally exact even when content carries runs/tabs/CRLF —
+    // a "\\s+" split would silently shift every later word's offset by
+    // the extra separator chars (and a trailing run would add a
+    // phantom empty word). Empty elements advance the offset by their
+    // 1 separator char and are dropped AFTER the sum.
     val words = convs
       .select(col("conv_id"), col("mask_spans"),
-        posexplode(split(col("text"), "\\s+")))
+        posexplode(split(col("text"), "[ \t\n\\x0B\f\r]")))
       .withColumnRenamed("pos", "__wpos").withColumnRenamed("col", "__word")
     val wOff = Window.partitionBy(col("conv_id")).orderBy(col("__wpos"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val withOff = words.withColumn("__ws",
       coalesce(sum((length(col("__word")) + lit(1)).cast("long")).over(wOff),
         lit(0L)))
+      .filter(length(col("__word")) >= 1)
     // segment the DISTINCT word set once; overlong words (dropped by
     // the segmenter's word filter) come back null and take the [UNK]
     // branch below
@@ -240,7 +265,10 @@ object Chat {
     *
     * @param convs  [[chatTemplate]] output (conv_id, text,
     *               total_chars, mask_spans)
-    * @param tokens (conv_id, n_tokens) — e.g. [[tokenLossMask]] output
+    * @param tokens (conv_id, n_tokens) — e.g. [[tokenLossMask]] output;
+    *               MUST cover every conv_id in `convs` (a conversation
+    *               with no token-count row fails the query at runtime
+    *               rather than silently vanishing from the corpus)
     * @return one row per pack: shard, bin, n_convs, packed_tokens,
     *         packed_chars, text, mask_spans (char-shifted)
     */
@@ -253,7 +281,9 @@ object Chat {
     val wOff = Window.partitionBy(col("__shard"), col("bin"))
       .orderBy(col("conv_id")).rowsBetween(Window.unboundedPreceding, -1)
     val binned = convs
-      .join(tokens.select(col("conv_id"), col("n_tokens")), Seq("conv_id"))
+      .join(tokens.select(col("conv_id"), col("n_tokens")), Seq("conv_id"),
+        "left")
+      .withColumn("n_tokens", requireCovered(col("n_tokens")))
       .withColumn("__shard", pmod(col("conv_id"), lit(shards)))
       .withColumn("__end", sum(col("n_tokens")).over(wRun))
       .withColumn("bin",
@@ -295,7 +325,9 @@ object Chat {
     *
     * @param convs  [[chatTemplate]] output
     * @param tokens [[tokenLossMask]] output (conv_id, n_tokens,
-    *               token_ids, token_mask_spans)
+    *               token_ids, token_mask_spans); MUST cover every
+    *               conv_id in `convs` (fail-fast, as in
+    *               [[packConversationsByTokens]])
     * @return one row per pack: shard, bin, n_convs, packed_tokens,
     *         token_ids (","-joined across the pack),
     *         token_mask_spans (token-index spans, re-based, ";"-joined)
@@ -310,7 +342,8 @@ object Chat {
       .orderBy(col("conv_id")).rowsBetween(Window.unboundedPreceding, -1)
     val binned = convs.select(col("conv_id"))
       .join(tokens.select(col("conv_id"), col("n_tokens"),
-        col("token_ids"), col("token_mask_spans")), Seq("conv_id"))
+        col("token_ids"), col("token_mask_spans")), Seq("conv_id"), "left")
+      .withColumn("n_tokens", requireCovered(col("n_tokens")))
       .withColumn("__shard", pmod(col("conv_id"), lit(shards)))
       .withColumn("__end", sum(col("n_tokens")).over(wRun))
       .withColumn("bin",

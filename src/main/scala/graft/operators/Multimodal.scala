@@ -1421,6 +1421,12 @@ object Multimodal {
       val gz = new java.util.zip.GZIPOutputStream(bos)
       gz.write(pl)
       gz.finish()
+      // close() releases the native Deflater NOW (finalization-only
+      // release leaks native memory when this runs per-row in a
+      // mapped Dataset); safe after finish() — the trailer is already
+      // written and closing the wrapper just closes the shared
+      // ByteArrayOutputStream, a no-op
+      gz.close()
     }
     bos.toByteArray
   }

@@ -318,9 +318,13 @@ object TextDedup {
     *
     * The probe side must re-derive signatures with the SAME
     * (n, numHashes, bands, hashFn) — parameters are not persisted
-    * (a `hashFn` is code); a mismatch degrades candidate recall but
-    * never precision, because verification is exact Jaccard either
-    * way.
+    * (a `hashFn` is code). A numHashes/bands/hashFn mismatch degrades
+    * candidate recall but never precision (verification is exact
+    * Jaccard either way); the shingle size `n` however MUST match the
+    * save-time value — stored shingles are fixed at save-time n, so a
+    * probe with a different n would verify Jaccard between
+    * different-sized-gram sets and report a number that is neither
+    * corpus's metric.
     */
   /** Build the [[MinhashIndex]] frames in memory (the unsaved form of
     * [[saveMinhashIndex]]) — what the continual-stream state carries

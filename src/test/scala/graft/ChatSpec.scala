@@ -69,6 +69,49 @@ class ChatSpec extends SparkSpec {
     assert(r.getAs[String]("token_ids") === "0,0")
   }
 
+  test("tokenLossMask: content with double spaces, a tab and trailing " +
+    "whitespace keeps token char extents aligned to the rendered text " +
+    "(no phantom empty-word [UNK])") {
+    // "cc  dd" (two spaces), "ee\tff", and a trailing space: prefix
+    // sums over single-char separators must still land every token on
+    // its true char extent, and the empty split elements from the
+    // runs/trailing whitespace must never become [UNK] tokens
+    val turns = Seq(
+      (1L, 1, "user", "aa"), (1L, 2, "assistant", "cc  dd\tee "))
+      .toDF("conv_id", "idx", "role", "content")
+    val vocab = Seq(("cc", 9L), ("dd", 8L), ("ee", 7L))
+      .toDF("piece", "cnt")
+    val convs = Chat.chatTemplate(turns, "conv_id", "idx", "role",
+      "content")
+    val conv = convs.collect().head
+    val text = conv.getAs[String]("text")
+    val Array(s, e) = conv.getAs[String]("mask_spans").split(":")
+      .map(_.toInt)
+    assert(text.substring(s, e) === "cc  dd\tee ")
+    val r = Chat.tokenLossMask(convs, vocab).collect().head
+    // words: <|user|>aa(UNK) <|assistant|>cc(UNK, straddles) dd ee —
+    // NO trailing [UNK] from the trailing space
+    assert(r.getAs[String]("pieces") === "[UNK] [UNK] dd ee")
+    assert(r.getAs[Long]("n_tokens") === 4L)
+    // dd spans chars +4..+6 of the content (after "cc" + two spaces),
+    // ee after the tab: both lie fully inside the assistant span
+    assert(r.getAs[Long]("n_masked_tokens") === 2L)
+    assert(r.getAs[String]("token_mask_spans") === "2:4")
+  }
+
+  test("packConversationsByTokens: a conversation with no token-count " +
+    "row fails fast instead of silently dropping") {
+    val convs = Seq((0L, "aa", 2L, ""), (1L, "bb", 2L, ""))
+      .toDF("conv_id", "text", "total_chars", "mask_spans")
+    val tokens = Seq((0L, 1L)).toDF("conv_id", "n_tokens")
+    val ex = intercept[Exception] {
+      Chat.packConversationsByTokens(convs, tokens, targetTokens = 3,
+        shards = 1).collect()
+    }
+    assert(ex.getMessage.contains("no token count") ||
+      Option(ex.getCause).exists(_.getMessage.contains("no token count")))
+  }
+
   test("packConversationsByTokens: bins cut on token counts, spans " +
     "shift in chars, packs overflow only by their last conversation") {
     val convs = Seq(
