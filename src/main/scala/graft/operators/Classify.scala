@@ -143,6 +143,27 @@ object Classify {
     w
   }
 
+  /** Persist a fitted [[logisticGd]] weight row — the train-once /
+    * score-everywhere split for the classifier family, completing the
+    * persist pattern ([[TokenizerStore.saveBigramLm]] for LMs,
+    * [[TextDedup.saveMinhashIndex]] for dedup,
+    * [[Similarity]]'s index for ANN): at 100 TB the quality
+    * classifier is trained on a SAMPLE once and scores every corpus
+    * pass with the loaded weights; fusing train+apply (the pre-q444
+    * q417 shape) re-pays training on every pass. Weights are doubles;
+    * parquet round-trips them bit-exactly, so scoring with a loaded
+    * model reproduces the fresh one row-for-row.
+    */
+  def saveWeights(weights: DataFrame, path: String): Unit =
+    weights.write.mode("overwrite").parquet(path + "/logistic_weights")
+
+  /** Load a persisted [[logisticGd]] weight row (see
+    * [[saveWeights]]) — one broadcast-sized row, cross-joined into
+    * the scoring expression.
+    */
+  def loadWeights(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path + "/logistic_weights")
+
   def logisticGd(
       df: DataFrame, features: Seq[Column], labelCol: String,
       iters: Int, lr: Double): DataFrame = {

@@ -131,27 +131,41 @@ object ClassifyQueries {
     * feature extraction, unrolls all three GD rounds with the 12 dp
     * weight round-trip, and applies the same 10 dp-rounded weights.
     */
+  /** The q417/q444 shared feature frame: 3 quality features per doc
+    * with the FineWeb-style weak label (reference sources = 1).
+    */
+  private def qualityFeats(
+      spark: org.apache.spark.sql.SparkSession, dir: String) =
+    TextAnalysis.qualityScore(Tables.documents(spark, dir), "text")
+      .withColumn("y",
+        col("source").isin("src0", "src1").cast("int"))
+      .select(col("doc_id"), col("y"), col("mean_token_len"),
+        col("punct_ratio"), col("digit_ratio"))
+
+  /** Score every doc with a (broadcast) logistic weight row and gate
+    * at 0.5 — shared by q417 (fresh weights) and q444 (loaded).
+    */
+  private def scoreWithWeights(
+      feats: org.apache.spark.sql.DataFrame,
+      w: org.apache.spark.sql.DataFrame) =
+    feats.crossJoin(broadcast(w))
+      .withColumn("score", round(lit(1.0) / (lit(1.0) +
+        exp(-(col("w_intercept")
+          + col("w_0") * col("mean_token_len")
+          + col("w_1") * col("punct_ratio")
+          + col("w_2") * col("digit_ratio")))), 10))
+      .select(col("doc_id"), col("score"),
+        (col("score") > 0.5).cast("int").as("kept"))
+      .orderBy(col("doc_id"))
+
   val q417QualityClassifier = HarnessQuery(
     "q417_quality_classifier",
     (spark, dir) => {
-      val docs = Tables.documents(spark, dir)
-      val feats = TextAnalysis.qualityScore(docs, "text")
-        .withColumn("y",
-          col("source").isin("src0", "src1").cast("int"))
-        .select(col("doc_id"), col("y"), col("mean_token_len"),
-          col("punct_ratio"), col("digit_ratio"))
+      val feats = qualityFeats(spark, dir)
       val w = Classify.logisticGd(feats,
         Seq(col("mean_token_len"), col("punct_ratio"), col("digit_ratio")),
         "y", iters = 3, lr = 0.1)
-      feats.crossJoin(broadcast(w))
-        .withColumn("score", round(lit(1.0) / (lit(1.0) +
-          exp(-(col("w_intercept")
-            + col("w_0") * col("mean_token_len")
-            + col("w_1") * col("punct_ratio")
-            + col("w_2") * col("digit_ratio")))), 10))
-        .select(col("doc_id"), col("score"),
-          (col("score") > 0.5).cast("int").as("kept"))
-        .orderBy(col("doc_id"))
+      scoreWithWeights(feats, w)
     },
     Some("""
       WITH t AS (SELECT doc_id, source, text,
@@ -224,6 +238,35 @@ object ClassifyQueries {
              CAST(CASE WHEN score > 0.5 THEN 1 ELSE 0 END AS INT) AS kept
       FROM sc ORDER BY doc_id
     """.trim))
+
+  /** Persisted quality classifier ([[Classify.saveWeights]] /
+    * [[Classify.loadWeights]]): q417's weak-label logistic model is
+    * trained ONCE, its weight row lands as parquet, and every
+    * document is scored with the LOADED weights — the train-once /
+    * score-everywhere split for the LAST trained artifact without a
+    * persisted twin (bigram LM q442, tokenizers q401/q402/q428, ANN
+    * q374, minhash q435 all persist). At 100 TB the classifier
+    * trains on a sample and scores everything; fusing re-pays
+    * training every pass. Weights are doubles; parquet round-trips
+    * them bit-exactly, so this reproduces q417 row-for-row — the
+    * oracle is q417's VERBATIM.
+    */
+  val q444ClassifierPersisted = HarnessQuery(
+    "q444_classifier_persisted",
+    (spark, dir) => {
+      val path = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q444_classifier")
+        .getAbsolutePath
+      val feats = qualityFeats(spark, dir)
+      Classify.saveWeights(
+        Classify.logisticGd(feats,
+          Seq(col("mean_token_len"), col("punct_ratio"),
+            col("digit_ratio")),
+          "y", iters = 3, lr = 0.1),
+        path)
+      scoreWithWeights(feats, Classify.loadWeights(spark, path))
+    },
+    q417QualityClassifier.oracle)
 
   /** Decision stump ([[Classify.decisionStump]]): best Gini threshold on
     * `value` for predicting purchases. The cumulative window runs over
@@ -1776,7 +1819,7 @@ object ClassifyQueries {
     q264NaiveBayes, q265LogisticGd, q266DecisionStump, q267FdAudit, q268Acf,
     q269CmsAudit, q270BoostedStumps, q272Neyman, q273Hits,
     q274NearestCentroid, q275TrigramLm, q276Huber, q277Kmv, q416KmvSetOps,
-    q417QualityClassifier,
+    q417QualityClassifier, q444ClassifierPersisted,
     q278Decompose,
     q279TCloseness, q280Silhouette, q281Ndcg, q282Rendezvous, q283EbShrink,
     q284Als, q285SentenceStats, q286Sortedness, q287Flesch, q288NbFeatures,

@@ -404,6 +404,34 @@ class ClassifySpec extends SparkSpec {
     assert(a.toMap === b.toMap)
   }
 
+  test("saveWeights/loadWeights: a fitted logistic weight row " +
+    "round-trips parquet bit-exactly and scores identically") {
+    val df = Seq((0.0, 1.0, 1), (1.0, 0.5, 0), (2.0, 0.1, 1),
+      (3.0, 0.9, 0)).toDF("x0", "x1", "y")
+    val w = Classify.logisticGd(df, Seq(col("x0"), col("x1")), "y",
+      iters = 3, lr = 0.1)
+    val path = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_spec_clf_weights")
+      .getAbsolutePath
+    Classify.saveWeights(w, path)
+    val loaded = Classify.loadWeights(spark, path)
+    assert(loaded.columns.sorted === w.columns.sorted)
+    val a = w.collect().head
+    val b = loaded.select(w.columns.map(col): _*).collect().head
+    // doubles round-trip parquet bit-exactly — compare raw bits
+    w.columns.zipWithIndex.foreach { case (c, i) =>
+      if (c != "iters")
+        assert(java.lang.Double.doubleToLongBits(a.getDouble(i)) ===
+          java.lang.Double.doubleToLongBits(b.getDouble(i)), c)
+    }
+    val score = (frame: org.apache.spark.sql.DataFrame) =>
+      df.crossJoin(broadcast(frame))
+        .select(round(lit(1.0) / (lit(1.0) + exp(-(col("w_intercept")
+          + col("w_0") * col("x0") + col("w_1") * col("x1")))), 10))
+        .collect().map(_.getDouble(0)).toSeq
+    assert(score(w) === score(loaded))
+  }
+
   test("boostedStumps: shrinkage halves the correction carried into the " +
     "next round's residuals") {
     val df = Seq((1.0, 10.0), (2.0, 10.0), (3.0, 20.0), (4.0, 20.0))
