@@ -1040,6 +1040,85 @@ object TextDedup {
       .filter(col("shared_fps") >= minShared)
   }
 
+  /** Persist a winnowing fingerprint index — the sign-once /
+    * probe-everywhere split for the EXACT-recall overlap family,
+    * completing the persist pattern ([[saveMinhashIndex]] is the
+    * probabilistic sibling): the corpus is fingerprinted ONCE
+    * ([[winnowFingerprints]]) and its (id, pos, fp) rows land as
+    * parquet; later snapshots probe the LOADED index instead of
+    * re-fingerprinting the corpus. Longs round-trip parquet
+    * bit-exactly, so a loaded index probes row-identically to the
+    * from-scratch [[winnowOverlapAgainst]] (spec-pinned).
+    *
+    * The df-prune (posting lists in > maxDf docs are boilerplate) is
+    * applied at PROBE time over the loaded table, not at save time —
+    * that is what makes append exact: a fingerprint's document
+    * frequency changes as the corpus grows, so freezing the prune
+    * into the artifact would either unlock boilerplate (pruned too
+    * early) or over-prune (too late). Probe-time pruning gives
+    * save(A) + append(B) ≡ save(A ∪ B) exactly.
+    *
+    * The probe side must re-derive fingerprints with the SAME (k, w)
+    * as at save time — parameters are not persisted; k sets the gram
+    * the hash is over (a mismatch compares different-sized-gram
+    * fingerprints — meaningless, like the minhash shingle-size rule)
+    * and w sets which grams were selected.
+    */
+  def saveWinnowIndex(
+      df: DataFrame, textCol: String, idCol: String, path: String,
+      k: Int = 3, w: Int = 4): Unit =
+    winnowFingerprints(df, textCol, idCol, k, w)
+      .select(col(idCol).as("id"), col("pos"), col("fp"))
+      .write.mode("overwrite").parquet(path + "/fps")
+
+  /** Fold an incoming batch INTO a persisted winnowing index in
+    * place: its fingerprint rows land as NEW parquet files under the
+    * same path (`mode("append")`) — existing data is never rewritten,
+    * the accrete-per-snapshot maintenance shape. Same parameters
+    * contract as [[saveWinnowIndex]]; ids must be new to the index.
+    */
+  def appendToWinnowIndex(
+      incoming: DataFrame, textCol: String, idCol: String, path: String,
+      k: Int = 3, w: Int = 4): Unit =
+    winnowFingerprints(incoming, textCol, idCol, k, w)
+      .select(col(idCol).as("id"), col("pos"), col("fp"))
+      .write.mode("append").parquet(path + "/fps")
+
+  /** Load a persisted winnowing index (see [[saveWinnowIndex]]). */
+  def loadWinnowIndex(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path + "/fps")
+
+  /** [[winnowOverlapAgainst]] with the corpus side LOADED from a
+    * persisted index: arrivals are fingerprinted fresh (same (k, w)
+    * as at save time), the corpus side df-prunes the LOADED posting
+    * lists (see [[saveWinnowIndex]] for why pruning is probe-time),
+    * and docs sharing >= minShared surviving fingerprints pair.
+    * Returns (new_id, corpus_id, shared_fps) — row-identical to the
+    * from-scratch join.
+    */
+  def winnowOverlapAgainstIndex(
+      index: DataFrame,
+      newDocs: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 3,
+      w: Int = 4,
+      minShared: Int = 3,
+      maxDf: Int = 50): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    val fpc = index.select(col("id").as("corpus_id"), col("fp")).distinct()
+    val dfc = fpc.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+    val pruned = fpc.join(dfc.filter(col("__df") <= maxDf), Seq("fp"))
+      .select(col("corpus_id"), col("fp"))
+    val probe = winnowFingerprints(newDocs, textCol, idCol, k, w)
+      .select(col(idCol).as("new_id"), col("fp")).distinct()
+    probe.join(pruned, Seq("fp"))
+      .groupBy(col("new_id"), col("corpus_id"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
   def winnowOverlapPairs(
       df: DataFrame,
       textCol: String,

@@ -6311,6 +6311,48 @@ ${round("b2", "c2", 2)}
       ORDER BY new_id, corpus_id
     """.trim))
 
+  /** Persisted winnowing index ([[TextDedup.saveWinnowIndex]] /
+    * [[TextDedup.appendToWinnowIndex]] /
+    * [[TextDedup.winnowOverlapAgainstIndex]]): the corpus is
+    * fingerprinted once in TWO snapshots — evens saved, odds appended
+    * as new parquet files (no rewrite of history) — and the arrivals
+    * probe the LOADED grown index, completing the persist family for
+    * the exact-recall dedup side (minhash got its index in q435/q440;
+    * winnowing re-derived its corpus side every run until now).
+    * Df-pruning runs at probe time over the loaded table, so
+    * save(evens) + append(odds) ≡ save(all) exactly (spec-pinned),
+    * and the result equals q348's from-scratch incremental probe —
+    * the oracle is q348's VERBATIM.
+    */
+  val q445WinnowPersisted = HarnessQuery(
+    "q445_winnow_persisted",
+    (spark, dir) => {
+      // append mode accretes across RUNS — reset the path first so
+      // warm-up/trial re-executions stay idempotent (the q440 rule)
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rmrf)
+        f.delete(); ()
+      }
+      val path = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q445_winnow_index")
+      rmrf(path)
+      val docs = Tables.documents(spark, dir)
+      TextDedup.saveWinnowIndex(
+        docs.filter(pmod(col("doc_id"), lit(2L)) === 0),
+        "text", "doc_id", path.getAbsolutePath, k = 3, w = 4)
+      TextDedup.appendToWinnowIndex(
+        docs.filter(pmod(col("doc_id"), lit(2L)) === 1),
+        "text", "doc_id", path.getAbsolutePath, k = 3, w = 4)
+      val arrivals = docs.filter(col("doc_id") < 40)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      TextDedup.winnowOverlapAgainstIndex(
+        TextDedup.loadWinnowIndex(spark, path.getAbsolutePath),
+        arrivals, "text", "doc_id",
+        k = 3, w = 4, minShared = 3, maxDf = 50)
+        .orderBy(col("new_id"), col("corpus_id"))
+    },
+    q348WinnowIncremental.oracle)
+
   /** C4-style line dedup ([[TextDedup.lineDedup]], 10-token segments)
     * over the corpus plus 30 full clones: every clone's segments
     * already exist at a lower (doc_id, idx), so clones must come back
@@ -7505,7 +7547,8 @@ ${round("b2", "c2", 2)}
     q397HtmlExtract, q403RobotsParse, q407SitemapInventory,
     q409CrawlPipeline, q410CrawlDelays, q412ContinualFrontier,
     q415UrlFilter,
-    q338Winnowing, q339WinnowOverlap, q348WinnowIncremental, q350LineDedup,
+    q338Winnowing, q339WinnowOverlap, q348WinnowIncremental,
+    q445WinnowPersisted, q350LineDedup,
     q354TextRank, q356Waterfill, q362TokenizerFertility, q363HeapsFit,
     q210PhashClusters,
     q50TextStats, q51TokenCount, q52LangQuality, q53Fingerprint,

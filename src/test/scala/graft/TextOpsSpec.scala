@@ -849,6 +849,45 @@ class TextOpsSpec extends SparkSpec {
     assert(!pruned.exists(r => r.getLong(1) == 1L || r.getLong(1) == 4L))
   }
 
+  test("winnow index: save+append ≡ save(all) (probe-time df-prune) " +
+    "and the loaded probe equals the from-scratch join") {
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete(); ()
+    }
+    val mk = (seed: Int) =>
+      (seed * 100 to seed * 100 + 30).map(i => s"t$i").mkString(" ")
+    val corpus = Seq((1L, mk(1)), (2L, mk(2)), (3L, mk(3)), (4L, mk(4)))
+      .toDF("doc_id", "text")
+    val arrivals = Seq((101L, mk(1)), (104L, mk(4)),
+      (105L, "totally unrelated words here now")).toDF("doc_id", "text")
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_spec_winnow_index")
+    rmrf(base)
+    val pAppend = new java.io.File(base, "appended").getAbsolutePath
+    val pWhole = new java.io.File(base, "whole").getAbsolutePath
+    TextDedup.saveWinnowIndex(corpus.filter($"doc_id" <= 2),
+      "text", "doc_id", pAppend, k = 3, w = 4)
+    TextDedup.appendToWinnowIndex(corpus.filter($"doc_id" > 2),
+      "text", "doc_id", pAppend, k = 3, w = 4)
+    TextDedup.saveWinnowIndex(corpus, "text", "doc_id", pWhole,
+      k = 3, w = 4)
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    val fromAppend = key(TextDedup.winnowOverlapAgainstIndex(
+      TextDedup.loadWinnowIndex(spark, pAppend), arrivals,
+      "text", "doc_id", k = 3, w = 4, minShared = 3, maxDf = 50))
+    val fromWhole = key(TextDedup.winnowOverlapAgainstIndex(
+      TextDedup.loadWinnowIndex(spark, pWhole), arrivals,
+      "text", "doc_id", k = 3, w = 4, minShared = 3, maxDf = 50))
+    val scratch = key(TextDedup.winnowOverlapAgainst(corpus, arrivals,
+      "text", "doc_id", k = 3, w = 4, minShared = 3, maxDf = 50))
+    assert(fromAppend === scratch)
+    assert(fromWhole === scratch)
+    assert(scratch.map(t => (t._1, t._2)) === Set((101L, 1L), (104L, 4L)))
+  }
+
   test("winnowOverlapPairs finds the planted quote, skips unrelated") {
     val quote = (1 to 12).map(i => s"q$i").mkString(" ")
     val docs = Seq(
