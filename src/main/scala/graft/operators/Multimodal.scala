@@ -1252,19 +1252,60 @@ object Multimodal {
     * A non-HTTP payload rides along whole as the body with status −1,
     * so nothing silently disappears before the downstream filter.
     */
+  /** Shared response-body extraction over one WARC byte buffer:
+    * (rec_idx, target_uri, status, content_type, body) per `response`
+    * record — the inner step of [[warcResponseBodies]] (plain WARC)
+    * and [[warcGzResponseBodies]] (member-per-record WARC.gz).
+    */
+  private def responseBodyRecs(
+      bytes: Array[Byte]): Seq[(Int, String, Int, String, String)] =
+    parseWarc(bytes).filter(_.warc_type == "response").map { r =>
+      val end = r.payload_off + r.content_length.toInt
+      val (status, contentType, charset, headerEnd) = httpHead(bytes, r)
+      val bodyStart = if (headerEnd < 0) r.payload_off else headerEnd
+      val cs = if (charset == "utf-8") "UTF-8" else "ISO-8859-1"
+      val body = new String(bytes, bodyStart, end - bodyStart, cs)
+      (r.rec_idx, r.target_uri,
+        if (headerEnd < 0) -1 else status,
+        if (headerEnd < 0) "" else contentType, body)
+    }
+
   def warcResponseBodies(ds: Dataset[MediaRow]): Dataset[WarcBodyRow] = {
     import ds.sparkSession.implicits._
     ds.flatMap { row =>
-      val bytes = row.media
-      parseWarc(bytes).filter(_.warc_type == "response").map { r =>
-        val end = r.payload_off + r.content_length.toInt
-        val (status, contentType, charset, headerEnd) = httpHead(bytes, r)
-        val bodyStart = if (headerEnd < 0) r.payload_off else headerEnd
-        val cs = if (charset == "utf-8") "UTF-8" else "ISO-8859-1"
-        val body = new String(bytes, bodyStart, end - bodyStart, cs)
-        WarcBodyRow(row.media_id, r.rec_idx, r.target_uri,
-          if (headerEnd < 0) -1 else status,
-          if (headerEnd < 0) "" else contentType, body)
+      responseBodyRecs(row.media).map { case (ri, uri, st, ct, body) =>
+        WarcBodyRow(row.media_id, ri, uri, st, ct, body)
+      }
+    }
+  }
+
+  final case class WarcGzBodyRow(
+      media_id: Long,
+      member_idx: Int,
+      rec_idx: Int,
+      target_uri: String,
+      status: Int,
+      content_type: String,
+      body: String)
+
+  /** Decoded HTTP response bodies straight from WARC.gz wire bytes:
+    * [[gzipMembers]] walks the member-per-record stream (the Common
+    * Crawl layout), [[responseBodyRecs]] extracts each member's
+    * `response` bodies — the one-call hand-off from raw crawl bytes
+    * to [[graft.operators.TextPrep.extractText]], completing the
+    * q438 (members) / q413 (bodies of pre-gunzipped WARC) pair.
+    * Members that fail CRC still parse (the payload is whatever
+    * inflated); media with no members or members with no response
+    * records contribute nothing — the inventory view with sentinels
+    * is [[warcGzRecords]]' job.
+    */
+  def warcGzResponseBodies(ds: Dataset[MediaRow]): Dataset[WarcGzBodyRow] = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { row =>
+      gzipMembers(row.media).flatMap { m =>
+        responseBodyRecs(m.payload).map { case (ri, uri, st, ct, body) =>
+          WarcGzBodyRow(row.media_id, m.member_idx, ri, uri, st, ct, body)
+        }
       }
     }
   }

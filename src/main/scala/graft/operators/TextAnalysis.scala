@@ -1233,6 +1233,39 @@ object TextAnalysis {
           .as("mean_pieces"))
   }
 
+  /** Per-DOCUMENT token counts under a (loaded) WordPiece vocabulary —
+    * the sequence-budget input for token packing
+    * ([[graft.operators.Chat.packConversationsByTokens]]): each word
+    * contributes its piece count, with unsegmentable or overlong
+    * (> maxWordLen) words counting as one `[UNK]` (the
+    * [[wordpieceCoverage]] / [[graft.operators.Chat.tokenLossMask]]
+    * convention, so the count is exactly what the mask/pack path
+    * produces). Same scale shape as the coverage audit: segmentation
+    * on the DISTINCT word table, occurrences join back broadcast and
+    * aggregate to the document grain.
+    *
+    * @return (idCol, n_tokens) — one row per document with >= 1 word
+    */
+  def wordpieceTokenCounts(
+      df: DataFrame, textCol: String, idCol: String, vocab: DataFrame,
+      maxPieceLen: Int = 4, maxWordLen: Int = 16): DataFrame = {
+    val words = df
+      .select(col(idCol),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("word"))
+      .filter(length(col("word")) >= 1)
+    val seg = wordpieceSegmentWith(
+      words.select(col("word")).distinct(), "word", vocab,
+      maxPieceLen, maxWordLen)
+      .select(col("word"), col("is_unk"), col("n_pieces"))
+    words
+      .join(broadcast(seg), Seq("word"), "left")
+      .withColumn("__np",
+        when(col("is_unk").isNull || col("is_unk"), lit(1L))
+          .otherwise(col("n_pieces").cast("long")))
+      .groupBy(col(idCol))
+      .agg(sum(col("__np")).as("n_tokens"))
+  }
+
   /** Seeded-vocabulary WordPiece: [[wordpieceVocab]] feeding
     * [[wordpieceSegmentWith]] — the one-call form of the trio's third
     * tokenizer (BPE q291/q333, unigram q388/q394, WordPiece here).

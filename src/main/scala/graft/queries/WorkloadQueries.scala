@@ -1254,7 +1254,7 @@ object WorkloadQueries {
     q203TpchQ3, q204TpchQ5, q205TpchQ10, q208AbTest, q209BasketLift,
     q248JwLinkage, q249MutualInfo, q271SegmentFdr, q365ShardPlan,
     q423ChatTemplate, q425PackedChats, q436TokenMask, q437PackedTokens,
-    q439PackedTokenMasks)
+    q439PackedTokenMasks, q446WarcCapstone, q447CapstoneAudit)
 
   /** Conversation packing with re-based loss masks
     * ([[Chat.packConversations]] over [[Chat.chatTemplate]]): the full
@@ -1838,5 +1838,337 @@ object WorkloadQueries {
              CAST(length(text) AS BIGINT) AS total_chars,
              assistant_chars, mask_spans
       FROM conv ORDER BY conv_id
+    """.trim))
+
+  /** Build the crawl fixture + persisted artifacts and run the
+    * WARC.gz → packed-tokens capstone ([[graft.pipeline.WarcPipeline]]).
+    *
+    * The crawl: every doc_id % 5 == 0 document shipped as its own
+    * WARC.gz archive — one gzip member carrying the HTTP 200 text/html
+    * response (the document text inside a boilerplate-framed page:
+    * script head + nav chrome + one prose <p>), one member carrying
+    * the request record (filtered out by status/type gating) — the
+    * Common-Crawl member-per-record layout. The persisted artifacts:
+    * the minhash dedup index SAVED over the already-ingested corpus
+    * (doc_id % 5 != 0, the q435 split) and the WordPiece vocabulary
+    * SAVED over the full corpus (the q428 chain); the pipeline runs
+    * against the LOADED parquet forms of both.
+    */
+  private def runWarcCapstone(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      withAudit: Boolean): graft.pipeline.WarcPipeline.WarcPipelineResult = {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val ixPath = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_q446_minhash_index")
+      .getAbsolutePath
+    val vPath = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_q446_wordpiece")
+      .getAbsolutePath
+    val docs = Tables.documents(spark, dir)
+    TextDedup.saveMinhashIndex(
+      docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0),
+      "text", "doc_id", ixPath,
+      hashFn = graft.functions.TextFunctions.fastHash)
+    TokenizerStore.saveWordpieceVocab(
+      TextAnalysis.wordpieceVocab(docs, "text"), vPath)
+    val crawl = docs.filter(pmod(col("doc_id"), lit(5L)) === 0)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val html = "<html><head><script>var x = 1;</script></head>" +
+          "<body><div class=\"nav\"><a href=\"/\">Home</a></div>" +
+          "<p>" + text + "</p></body></html>"
+        val ok = "HTTP/1.1 200 OK\r\n" +
+          "Content-Type: text/html; charset=utf-8\r\n\r\n" + html
+        Multimodal.MediaRow(id,
+          Multimodal.gzipMembersBytes(Seq(
+            Multimodal.warcBytesRaw(Seq(
+              ("response", s"https://d$id.example/", ok))),
+            Multimodal.warcBytesRaw(Seq(
+              ("request", s"https://d$id.example/", ""))))),
+          "application/warc", -1, -1)
+      }
+    graft.pipeline.WarcPipeline.run(crawl,
+      TextDedup.loadMinhashIndex(spark, ixPath),
+      TokenizerStore.loadWordpieceVocab(spark, vPath),
+      withAudit = withAudit)
+  }
+
+  /** Shared oracle prefix for q446/q447: the full capstone chain in
+    * SQL — vocabulary training (the q422/q428 chain), the WARC.gz
+    * fixture's HTML rebuilt per crawl doc and the exact TextPrep
+    * regex/line-classifier replay (the q413 chain), the quality +
+    * language gate (the q52 ladder + stopword vote), the brute-force
+    * near-dup probe against the stored corpus (the q435 ground
+    * truth), greedy WordPiece token counts of the survivors (the q443
+    * chain), and the sharded token-budget binning (the q437 chain).
+    */
+  private val warcCapstonePrefixSql: String = {
+    import graft.operators.TextPrep._
+    def q(p: String) = "'" + p.replace("'", "''") + "'"
+    val entityChain = Entities.foldLeft("s0") { case (acc, (ent, ch)) =>
+      s"regexp_replace($acc, ${q(ent)}, ${q(ch)}, 'g')"
+    }
+    s"""
+      WITH RECURSIVE toksd AS (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+          AS word
+        FROM documents),
+      wordsd AS MATERIALIZED (
+        SELECT word, CAST(count(*) AS BIGINT) AS wcnt
+        FROM toksd WHERE length(word) BETWEEN 1 AND 16
+        GROUP BY 1),
+      sed AS (
+        SELECT word, wcnt,
+               unnest(generate_series(1, length(word))) AS e
+        FROM wordsd),
+      sejd AS (
+        SELECT word, wcnt, e,
+               unnest(generate_series(1, least(4, e))) AS j
+        FROM sed),
+      subsd AS MATERIALIZED (
+        SELECT word, wcnt, e - j AS s, e,
+               CASE WHEN e - j = 0 THEN substr(word, e - j + 1, j)
+                    ELSE '##' || substr(word, e - j + 1, j) END AS wp
+        FROM sejd),
+      vocab AS MATERIALIZED (
+        SELECT wp FROM (
+          SELECT wp, sum(wcnt) AS cnt FROM subsd GROUP BY 1
+          ORDER BY cnt DESC, wp LIMIT 200)),
+      crawl AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+      h AS (
+        SELECT doc_id,
+               '<html><head><script>var x = 1;</script></head>'
+               || '<body><div class="nav"><a href="/">Home</a></div>'
+               || '<p>' || text || '</p></body></html>' AS html
+        FROM crawl),
+      c1 AS (
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(
+                 html, ${q(CommentRe)}, '', 'g'),
+                 ${q(ScriptRe)}, '', 'g'),
+                 ${q(StyleRe)}, '', 'g') AS s0
+        FROM h),
+      c2 AS (
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                 s0, ${q(AnchorOpenRe)}, chr(1), 'g'),
+                 ${q(AnchorCloseRe)}, chr(2), 'g'),
+                 ${q(BlockTagRe)}, chr(10), 'g'),
+                 ${q(AnyTagRe)}, '', 'g') AS s0
+        FROM c1),
+      c3 AS (SELECT doc_id, $entityChain AS s0 FROM c2),
+      l0 AS (SELECT doc_id, string_split(s0, chr(10)) AS ls FROM c3),
+      l1 AS (SELECT doc_id, unnest(generate_series(1, len(ls))) AS i, ls
+             FROM l0),
+      l2 AS (SELECT doc_id, i, ls[i] AS raw FROM l1),
+      feat AS (
+        SELECT doc_id, i,
+               trim(regexp_replace(regexp_replace(
+                 raw, '[\\x01\\x02]', '', 'g'), '\\s+', ' ', 'g')) AS line,
+               coalesce(list_sum(list_transform(
+                 regexp_extract_all(raw, ${q(AnchorSpanRe)}, 1),
+                 x -> length(trim(regexp_replace(x, '\\s+', ' ', 'g'))))),
+                 0) AS link_chars
+        FROM l2),
+      vis AS (
+        SELECT doc_id, i, line, length(line) AS n_chars, link_chars,
+               regexp_extract_all(lower(line), '[a-z]+') AS words
+        FROM feat WHERE length(line) > 0),
+      num AS (
+        SELECT doc_id,
+               row_number() OVER (PARTITION BY doc_id ORDER BY i)
+                 AS line_no,
+               line, n_chars, link_chars, len(words) AS n_words,
+               len(list_filter(words, w -> list_contains(
+                 [${StopwordsEn.map(q).mkString(", ")}], w))) AS n_stop
+        FROM vis),
+      cls AS (
+        SELECT doc_id, line_no, line, n_chars,
+               floor(CAST(least(link_chars, n_chars) AS DOUBLE)
+                 / n_chars * 1e9) / 1e9 AS ld,
+               CASE WHEN n_words > 0
+                    THEN floor(CAST(n_stop AS DOUBLE) / n_words * 1e9) / 1e9
+                    ELSE 0.0 END AS sd
+        FROM num),
+      keptl AS (
+        SELECT doc_id, line_no, line FROM cls
+        WHERE NOT (n_chars < 15 OR ld > 0.35 OR sd < 0.05)),
+      rec AS MATERIALIZED (
+        SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text
+        FROM keptl GROUP BY 1),
+      rt AS (
+        SELECT doc_id, text,
+               regexp_split_to_array(trim(lower(text)), '\\s+') AS toks,
+               length(text) AS n_chars
+        FROM rec),
+      rst AS (
+        SELECT doc_id, len(toks) AS n_tokens,
+               CAST(length(array_to_string(toks, '')) AS DOUBLE)
+                 / len(toks) AS mean_token_len,
+               CAST(n_chars - length(regexp_replace(text,
+                 '[[:punct:]]', '', 'g')) AS DOUBLE)
+                 / nullif(n_chars, 0) AS punct_ratio,
+               CAST(n_chars - length(regexp_replace(text,
+                 '[0-9]', '', 'g')) AS DOUBLE)
+                 / nullif(n_chars, 0) AS digit_ratio
+        FROM rt),
+      rq AS (
+        SELECT doc_id, greatest(0.0, 1.0
+               - CASE WHEN n_tokens < 5 THEN 0.5 ELSE 0.0 END
+               - CASE WHEN punct_ratio > 0.3 THEN 0.3 ELSE 0.0 END
+               - CASE WHEN digit_ratio > 0.3 THEN 0.2 ELSE 0.0 END
+               - CASE WHEN mean_token_len < 2.0 THEN 0.2 ELSE 0.0 END)
+                 AS quality_score
+        FROM rst),
+      rtokx AS (SELECT doc_id, unnest(toks) AS tk FROM rt),
+      rhits AS (
+        SELECT doc_id,
+          sum(CASE WHEN tk IN ('der','die','das','und','ist','nicht','ein','mit','den','zu') THEN 1 ELSE 0 END) AS de,
+          sum(CASE WHEN tk IN ('the','and','of','to','a','in','is','it','that','for') THEN 1 ELSE 0 END) AS en,
+          sum(CASE WHEN tk IN ('el','la','los','y','es','un','una','en','por','que') THEN 1 ELSE 0 END) AS es,
+          sum(CASE WHEN tk IN ('le','la','les','et','est','un','une','dans','pour','que') THEN 1 ELSE 0 END) AS fr
+        FROM rtokx GROUP BY doc_id),
+      gated AS MATERIALIZED (
+        SELECT rt.doc_id, rt.text FROM rt
+        JOIN rq ON rq.doc_id = rt.doc_id
+        LEFT JOIN rhits hh ON hh.doc_id = rt.doc_id
+        WHERE rq.quality_score >= 0.5
+          AND NOT (hh.doc_id IS NULL
+                   OR greatest(hh.de, hh.en, hh.es, hh.fr) = 0)
+          AND NOT (hh.de >= hh.en AND hh.de >= hh.es AND hh.de >= hh.fr)
+          AND (hh.en >= hh.es AND hh.en >= hh.fr)),
+      corpsh AS (
+        SELECT doc_id, list_distinct(list_transform(
+          generate_series(1, len(regexp_split_to_array(trim(lower(text)), '\\s+')) - 2),
+          i -> array_to_string((regexp_split_to_array(trim(lower(text)), '\\s+'))[i:i+2], ' ')))
+          AS sh
+        FROM documents WHERE doc_id % 5 <> 0),
+      incsh AS (
+        SELECT doc_id, list_distinct(list_transform(
+          generate_series(1, len(regexp_split_to_array(trim(lower(text)), '\\s+')) - 2),
+          i -> array_to_string((regexp_split_to_array(trim(lower(text)), '\\s+'))[i:i+2], ' ')))
+          AS sh
+        FROM gated),
+      dup AS (
+        SELECT DISTINCT b.doc_id FROM corpsh a, incsh b
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+      surv AS MATERIALIZED (
+        SELECT g.doc_id, g.text FROM gated g
+        LEFT JOIN dup d ON d.doc_id = g.doc_id
+        WHERE d.doc_id IS NULL),
+      tw AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                 AS word
+        FROM surv),
+      tw1 AS MATERIALIZED (
+        SELECT doc_id, word FROM tw WHERE length(word) >= 1),
+      cw AS MATERIALIZED (
+        SELECT DISTINCT word FROM tw1
+        WHERE length(word) BETWEEN 1 AND 16),
+      cse AS (
+        SELECT word, unnest(generate_series(1, length(word))) AS e
+        FROM cw),
+      csej AS (
+        SELECT word, e, unnest(generate_series(1, least(4, e))) AS j
+        FROM cse),
+      csubs AS (
+        SELECT DISTINCT word, e - j AS s, e,
+               CASE WHEN e - j = 0 THEN substr(word, e - j + 1, j)
+                    ELSE '##' || substr(word, e - j + 1, j) END AS wp
+        FROM csej),
+      best AS MATERIALIZED (
+        SELECT word, s, e, wp FROM (
+          SELECT c.word, c.s, c.e, c.wp,
+                 row_number() OVER (PARTITION BY c.word, c.s
+                   ORDER BY c.e DESC) AS rk
+          FROM csubs c JOIN vocab v ON v.wp = c.wp) WHERE rk = 1),
+      step AS (
+        SELECT word, 0 AS pos, false AS failed, 0 AS np FROM cw
+        UNION ALL
+        SELECT s.word,
+               CAST(COALESCE(b.e, length(s.word)) AS INT) AS pos,
+               b.e IS NULL AS failed,
+               s.np + 1 AS np
+        FROM step s LEFT JOIN best b
+          ON b.word = s.word AND b.s = s.pos
+        WHERE s.pos < length(s.word) AND NOT s.failed),
+      fin AS MATERIALIZED (
+        SELECT word, np, failed FROM step
+        WHERE failed OR pos = length(word)),
+      cnts AS MATERIALIZED (
+        SELECT t.doc_id,
+               CAST(sum(CASE WHEN f.word IS NULL OR f.failed THEN 1
+                 ELSE f.np END) AS BIGINT) AS n_tokens
+        FROM tw1 t LEFT JOIN fin f ON f.word = t.word
+        GROUP BY 1),
+      conv2 AS (
+        SELECT s.doc_id AS conv_id, s.text,
+               CAST(length(s.text) AS BIGINT) AS total_chars,
+               c.n_tokens, s.doc_id % 8 AS shard
+        FROM surv s JOIN cnts c USING (doc_id)),
+      prun AS (
+        SELECT *, sum(n_tokens) OVER (PARTITION BY shard
+                 ORDER BY conv_id) AS e
+        FROM conv2),
+      pbin AS (
+        SELECT *, CAST(floor((e - n_tokens) / 512) AS BIGINT) AS bin
+        FROM prun)"""
+  }
+
+  /** The crawl-to-trainer CAPSTONE ([[graft.pipeline.WarcPipeline]]):
+    * WARC.gz member walk → HTTP/HTML text extraction → quality +
+    * language gate → near-dup probe against the PERSISTED minhash
+    * index → token counts under the PERSISTED WordPiece vocabulary →
+    * token-budget packs — raw crawl bytes in, training sequences out,
+    * every stage an individually-oracled operator (q438/q413/q52/
+    * q435/q428/q437) and the whole chain replayed end to end in ONE
+    * SQL statement. Stage composition is where id-domain and schema
+    * bugs hide; this query pins the composition itself.
+    */
+  val q446WarcCapstone = HarnessQuery(
+    "q446_warc_capstone",
+    (spark, dir) => runWarcCapstone(spark, dir, withAudit = false)
+      .packs.orderBy(col("shard"), col("bin")),
+    Some(s"""$warcCapstonePrefixSql
+      SELECT CAST(shard AS BIGINT) AS shard, bin,
+             CAST(count(*) AS BIGINT) AS n_convs,
+             CAST(sum(n_tokens) AS BIGINT) AS packed_tokens,
+             CAST(sum(total_chars) + 2 * (count(*) - 1) AS BIGINT)
+               AS packed_chars,
+             string_agg(text, chr(10) || chr(10) ORDER BY conv_id)
+               AS text
+      FROM pbin GROUP BY 1, 2
+      ORDER BY shard, bin
+    """.trim))
+
+  /** The capstone's per-stage yield audit (the q76 DocPipeline
+    * pattern): media → extracted → gated → survivors → packs row
+    * counts, replayed by the same oracle chain — the frame a corpus
+    * operator reads to explain where the crawl's volume went.
+    */
+  val q447CapstoneAudit = HarnessQuery(
+    "q447_capstone_audit",
+    (spark, dir) => {
+      import spark.implicits._
+      runWarcCapstone(spark, dir, withAudit = true).audit.zipWithIndex
+        .map { case ((stage, n), i) => (i.toLong, stage, n) }
+        .toDF("ord", "stage", "n")
+        .orderBy(col("ord"))
+    },
+    Some(s"""$warcCapstonePrefixSql
+      SELECT * FROM (
+        SELECT CAST(0 AS BIGINT) AS ord, 'media' AS stage,
+               (SELECT count(*) FROM crawl) AS n
+        UNION ALL SELECT 1, 'extracted', (SELECT count(*) FROM rec)
+        UNION ALL SELECT 2, 'gated', (SELECT count(*) FROM gated)
+        UNION ALL SELECT 3, 'survivors', (SELECT count(*) FROM surv)
+        UNION ALL SELECT 4, 'packs',
+          (SELECT count(*) FROM (SELECT shard, bin FROM pbin
+                                 GROUP BY 1, 2))
+      ) ORDER BY ord
     """.trim))
 }

@@ -586,4 +586,27 @@ class MultimodalMetaSpec extends SparkSpec {
     assert(rows.take(2).forall(_.crc_ok))
     assert(rows(2).media_id === 2L && rows(2).member_idx === -1)
   }
+
+  test("warcGzResponseBodies: response bodies decode straight from " +
+    "member-per-record WARC.gz; non-response members contribute nothing") {
+    val html = "<p>hello archive</p>"
+    val ok = "HTTP/1.1 200 OK\r\n" +
+      "Content-Type: text/html; charset=utf-8\r\n\r\n" + html
+    val media = Multimodal.gzipMembersBytes(Seq(
+      Multimodal.warcBytesRaw(Seq(("warcinfo", "", "software: x\r\n"))),
+      Multimodal.warcBytesRaw(Seq(
+        ("response", "https://e.example/p", ok))),
+      Multimodal.warcBytesRaw(Seq(("request", "https://e.example/p", "")))))
+    val ds = Seq(
+      Multimodal.MediaRow(1L, media, "application/warc", -1, -1),
+      Multimodal.MediaRow(2L, "not gzip".getBytes("ISO-8859-1"),
+        "text/plain", -1, -1)).toDS()
+    val rows = Multimodal.warcGzResponseBodies(ds).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.media_id === 1L && r.member_idx === 1 && r.rec_idx === 0)
+    assert(r.target_uri === "https://e.example/p")
+    assert(r.status === 200 && r.content_type === "text/html")
+    assert(r.body === html)
+  }
 }

@@ -104,6 +104,19 @@ class WordpieceSpec extends SparkSpec {
     assert(s2.getAs[Double]("mean_pieces") === 1.5)
   }
 
+  test("wordpieceTokenCounts: per-document piece totals; UNK and " +
+    "overlong words count 1 (the coverage/mask convention)") {
+    val docs = Seq(
+      (1L, "abc abc zz"),            // 2 + 2 + 1(UNK) = 5
+      (2L, "abc " + "y" * 20))       // 2 + 1(overlong UNK) = 3
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.wordpieceTokenCounts(docs, "text", "doc_id",
+      vocabDf("ab", "##c"))
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 5L, 2L -> 3L))
+  }
+
   test("words beyond maxWordLen are excluded from the output") {
     val out = TextAnalysis.wordpieceSegmentWith(
       Seq("short " + "x" * 20).toDF("text"), "text",
