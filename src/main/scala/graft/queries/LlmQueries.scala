@@ -1321,6 +1321,104 @@ object LlmQueries {
       FROM w2 GROUP BY 1 ORDER BY source
     """.trim))
 
+  /** Continual tokenizer-coverage stream
+    * ([[graft.streaming.ContinualCoverage]]): q443's per-source
+    * OOV/fertility audit measured PER ARRIVING BATCH under the frozen
+    * persisted q428 vocabulary — the production re-train trigger (a
+    * frozen vocab drifts as new slices arrive; this emits the signal
+    * per micro-batch instead of per corpus pass). The harness runs the
+    * deterministic replay contract (three doc_id % 3 batches in
+    * order; the stream produces identical rows for the same split —
+    * spec-pinned via MemoryStream); the vocabulary is frozen, so the
+    * oracle is q443's replay grouped by (batch, source).
+    */
+  val q448ContinualCoverage = HarnessQuery(
+    "q448_continual_coverage",
+    (spark, dir) => {
+      import graft.operators.TokenizerStore
+      val path = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q448_wordpiece")
+        .getAbsolutePath
+      val docs = Tables.documents(spark, dir)
+      TokenizerStore.saveWordpieceVocab(
+        TextAnalysis.wordpieceVocab(docs, "text"), path)
+      val vocab = TokenizerStore.loadWordpieceVocab(spark, path)
+      val batches = (0L to 2L).map(i =>
+        docs.filter(pmod(col("doc_id"), lit(3L)) === i))
+      graft.streaming.ContinualCoverage.replayBatches(
+        vocab, batches, "text", "source")
+        .withColumnRenamed("group_key", "source")
+        .orderBy(col("batch_id"), col("source"))
+    },
+    Some("""
+      WITH RECURSIVE toksrc AS (
+        SELECT doc_id % 3 AS batch_id, source,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                 AS word
+        FROM documents),
+      tw AS MATERIALIZED (
+        SELECT batch_id, source, word FROM toksrc
+        WHERE length(word) >= 1),
+      words AS MATERIALIZED (
+        SELECT word, CAST(count(*) AS BIGINT) AS wcnt
+        FROM tw WHERE length(word) BETWEEN 1 AND 16
+        GROUP BY 1),
+      se AS (
+        SELECT word, wcnt,
+               unnest(generate_series(1, length(word))) AS e
+        FROM words),
+      sej AS (
+        SELECT word, wcnt, e,
+               unnest(generate_series(1, least(4, e))) AS j
+        FROM se),
+      subs AS MATERIALIZED (
+        SELECT word, wcnt, e - j AS s, e,
+               CASE WHEN e - j = 0 THEN substr(word, e - j + 1, j)
+                    ELSE '##' || substr(word, e - j + 1, j) END AS wp
+        FROM sej),
+      vocab AS MATERIALIZED (
+        SELECT wp FROM (
+          SELECT wp, sum(wcnt) AS cnt FROM subs GROUP BY 1)
+        ORDER BY cnt DESC, wp LIMIT 200),
+      best AS MATERIALIZED (
+        SELECT word, s, e, wp FROM (
+          SELECT m.word, m.s, m.e, m.wp,
+                 row_number() OVER (PARTITION BY m.word, m.s
+                   ORDER BY m.e DESC) AS rk
+          FROM (SELECT DISTINCT word, s, e, wp FROM subs) m
+          JOIN vocab v ON v.wp = m.wp) WHERE rk = 1),
+      step AS (
+        SELECT word, 0 AS pos, '' AS path, false AS failed FROM words
+        UNION ALL
+        SELECT s.word,
+               CAST(COALESCE(b.e, length(s.word)) AS INT) AS pos,
+               CASE WHEN b.e IS NULL THEN s.path
+                    ELSE s.path || ' ' || b.wp END AS path,
+               b.e IS NULL AS failed
+        FROM step s LEFT JOIN best b
+          ON b.word = s.word AND b.s = s.pos
+        WHERE s.pos < length(s.word) AND NOT s.failed),
+      fin AS MATERIALIZED (
+        SELECT word, ltrim(path) AS pieces, failed FROM step
+        WHERE failed OR pos = length(word)),
+      w2 AS (
+        SELECT t.batch_id, t.source,
+               CASE WHEN f.word IS NULL OR f.failed THEN true
+                    ELSE false END AS unk,
+               CASE WHEN f.word IS NULL OR f.failed THEN 1
+                    ELSE len(string_split(f.pieces, ' ')) END AS np
+        FROM tw t LEFT JOIN fin f ON f.word = t.word)
+      SELECT CAST(batch_id AS BIGINT) AS batch_id, source,
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(CASE WHEN unk THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unk,
+             round(CAST(sum(CASE WHEN unk THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*), 12) AS oov_rate,
+             round(CAST(sum(np) AS DOUBLE) / count(*), 12)
+               AS mean_pieces
+      FROM w2 GROUP BY 1, 2 ORDER BY batch_id, source
+    """.trim))
+
   /** Unigram-LM Viterbi segmentation ([[TextAnalysis.unigramSegment]],
     * pieces <= 4 chars, vocab 200, words <= 16 chars): the
     * SentencePiece-style other half of the tokenization family (BPE
@@ -7539,6 +7637,7 @@ ${round("b2", "c2", 2)}
     q386SeqPacking, q387PngMeta, q388UnigramSegment, q389UnigramEm,
     q422Wordpiece, q426Pretokens, q427FlacMeta, q428WordpiecePersisted,
     q430ExifMeta, q431LshPlan, q434Doremi, q443TokenizerCoverage,
+    q448ContinualCoverage,
     q392JpegMeta, q419GifMeta, q420WebpMeta,
     q393PackAppend, q394UnigramTrain, q395ContinualPacking,
     q408WarcMeta, q411WarcHttp, q413WarcToText, q438WarcGz,

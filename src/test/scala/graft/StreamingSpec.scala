@@ -780,4 +780,62 @@ class StreamingSpec extends SparkSpec {
     assert(got.filter(_._1 == 1L).map(v => (v._2, v._3)).toSet ===
       Set(("A", 2L), ("B", 1L)))
   }
+
+  test("continual tokenizer coverage: the stream emits exactly the " +
+    "replay rows for the same batch split") {
+    import graft.streaming.ContinualCoverage
+    import graft.operators.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    val vocab = TextAnalysis.wordpieceVocab(
+      Seq("abc abc abc zz yy").toDF("text"), "text")
+    // batch 1: src A segments cleanly, src B is all-OOV;
+    // batch 2: mixed, with an overlong word (one [UNK])
+    val batch1 = Seq(("A", "abc abc"), ("B", "qq rr"))
+    val batch2 = Seq(("A", "abc " + "x" * 20))
+    type Cov = (Long, String, Long, Long, Double, Double)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Cov] =
+      df.collect().map(r => (r.getAs[Long]("batch_id"),
+        r.getAs[String]("group_key"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_unk"), r.getAs[Double]("oov_rate"),
+        r.getAs[Double]("mean_pieces"))).toSet
+
+    val streamed = scala.collection.mutable.ArrayBuffer.empty[Cov]
+    val mem = MemoryStream[(String, String)]
+    val stream = mem.toDF().toDF("source", "text")
+    val q = ContinualCoverage.start(stream, vocab, "text", "source") {
+      cov => streamed ++= rows(cov)
+    }
+    mem.addData(batch1: _*)
+    q.processAllAvailable()
+    mem.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val replayed = rows(ContinualCoverage.replayBatches(vocab,
+      Seq(batch1.toDF("source", "text"), batch2.toDF("source", "text")),
+      "text", "source"))
+    assert(streamed.toSet === replayed)
+    val byKey = replayed.map(c => (c._1, c._2) -> ((c._3, c._4, c._6)))
+      .toMap
+    assert(byKey((0L, "A")) === ((2L, 0L, 1.0))) // abc is a whole piece
+    assert(byKey((0L, "B")) === ((2L, 2L, 1.0))) // all OOV
+    assert(byKey((1L, "A")) === ((2L, 1L, 1.0))) // overlong -> one [UNK]
+  }
+
+  test("continual tokenizer coverage: a re-delivered batch id does " +
+    "not re-emit its rows") {
+    import graft.streaming.ContinualCoverage
+    import graft.operators.TextAnalysis
+    val vocab = TextAnalysis.wordpieceVocab(
+      Seq("abc abc").toDF("text"), "text")
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val step = ContinualCoverage.batchStep(vocab, "text", "source") {
+      cov => got ++= cov.collect().map(_.getAs[Long]("batch_id"))
+    }
+    val b0 = Seq(("A", "abc")).toDF("source", "text")
+    step(b0, 0L)
+    step(b0, 0L) // re-delivery: must not double-emit
+    step(Seq(("A", "abc abc")).toDF("source", "text"), 1L)
+    assert(got.toSeq === Seq(0L, 1L))
+  }
 }
