@@ -6451,6 +6451,100 @@ ${round("b2", "c2", 2)}
     },
     q348WinnowIncremental.oracle)
 
+  /** Continual winnowing overlap ([[graft.streaming.ContinualWinnow]]):
+    * the exact-recall twin of q441's continual minhash — arriving
+    * batches probe the ACCUMULATED fingerprint index (the corpus
+    * never re-fingerprints), survivors' fingerprint rows fold in and
+    * become corpus for later batches, df-pruning at probe time over
+    * the grown posting lists. Two-batch replay contract (the item-6
+    * bench discipline — the spec pins the N-batch stream): batch 2
+    * carries clones of both corpus-0 docs AND batch-1 docs, so hits
+    * against the initial index and against batch-1 SURVIVORS are both
+    * exercised. The oracle unrolls both batches: one shared
+    * fingerprint CTE (fingerprints are per-doc), per-batch df-pruned
+    * accumulated index, >= 3 shared pruned fingerprints = overlap,
+    * matched_id = smallest overlapping corpus id.
+    */
+  val q449ContinualWinnow = HarnessQuery(
+    "q449_continual_winnow",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val corpus0 = docs.filter(pmod(col("doc_id"), lit(8L)) === 1)
+      val b1 = docs.filter(pmod(col("doc_id"), lit(8L)) === 2)
+      val clones = docs
+        .filter((pmod(col("doc_id"), lit(8L)) === 1 ||
+          pmod(col("doc_id"), lit(8L)) === 2) && col("doc_id") < 40)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      val b2 = docs.filter(pmod(col("doc_id"), lit(8L)) === 3)
+        .unionByName(clones)
+      graft.streaming.ContinualWinnow.replayBatches(
+        corpus0, Seq(b1, b2), "text", "doc_id",
+        k = 3, w = 4, minShared = 3, maxDf = 50)
+        .orderBy(col("batch_id"), col("doc_id"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 8 IN (1, 2, 3)
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents
+        WHERE doc_id % 8 IN (1, 2) AND doc_id < 40),
+      t AS (SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+            FROM base),
+      g AS (SELECT doc_id,
+              unnest(list_transform(generate_series(1, len(toks) - 2),
+                i -> CAST(('0x' || substr(md5(array_to_string(toks[i:i+2], ' ')), 1, 12)) AS BIGINT)
+                     * 16384 + (16383 - i))) AS v
+            FROM t),
+      p AS (SELECT doc_id, v, 16383 - (v % 16384) AS pos FROM g),
+      sv AS (SELECT doc_id, pos,
+               min(v) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mv,
+               count(*) OVER (PARTITION BY doc_id) AS m
+             FROM p),
+      fp AS MATERIALIZED (
+        SELECT DISTINCT doc_id, mv // 16384 AS fp FROM sv
+        WHERE pos <= greatest(m - 3, 1)),
+      c0 AS (SELECT doc_id FROM base
+             WHERE doc_id < 1000000 AND doc_id % 8 = 1),
+      b1 AS (SELECT doc_id FROM base
+             WHERE doc_id < 1000000 AND doc_id % 8 = 2),
+      b2 AS (SELECT doc_id FROM base
+             WHERE doc_id >= 1000000 OR doc_id % 8 = 3),
+      idx1 AS (SELECT f.doc_id AS corpus_id, f.fp
+               FROM fp f JOIN c0 USING (doc_id)
+               QUALIFY count(*) OVER (PARTITION BY f.fp) <= 50),
+      probe1 AS (SELECT f.doc_id, f.fp FROM fp f JOIN b1 USING (doc_id)),
+      pair1 AS (SELECT p.doc_id AS new_id, i.corpus_id
+                FROM probe1 p JOIN idx1 i USING (fp)
+                GROUP BY 1, 2 HAVING count(*) >= 3),
+      hit1 AS (SELECT new_id, min(corpus_id) AS matched_id
+               FROM pair1 GROUP BY 1),
+      v1 AS (SELECT b.doc_id, CAST(0 AS BIGINT) AS batch_id,
+                    h.new_id IS NOT NULL AS is_overlap,
+                    CAST(h.matched_id AS BIGINT) AS matched_id
+             FROM b1 b LEFT JOIN hit1 h ON h.new_id = b.doc_id),
+      acc2 AS (SELECT doc_id FROM c0
+               UNION ALL
+               SELECT doc_id FROM v1 WHERE NOT is_overlap),
+      idx2 AS (SELECT f.doc_id AS corpus_id, f.fp
+               FROM fp f JOIN acc2 USING (doc_id)
+               QUALIFY count(*) OVER (PARTITION BY f.fp) <= 50),
+      probe2 AS (SELECT f.doc_id, f.fp FROM fp f JOIN b2 USING (doc_id)),
+      pair2 AS (SELECT p.doc_id AS new_id, i.corpus_id
+                FROM probe2 p JOIN idx2 i USING (fp)
+                GROUP BY 1, 2 HAVING count(*) >= 3),
+      hit2 AS (SELECT new_id, min(corpus_id) AS matched_id
+               FROM pair2 GROUP BY 1),
+      v2 AS (SELECT b.doc_id, CAST(1 AS BIGINT) AS batch_id,
+                    h.new_id IS NOT NULL AS is_overlap,
+                    CAST(h.matched_id AS BIGINT) AS matched_id
+             FROM b2 b LEFT JOIN hit2 h ON h.new_id = b.doc_id)
+      SELECT doc_id, batch_id, is_overlap, matched_id
+      FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+      ORDER BY batch_id, doc_id
+    """.trim))
+
   /** C4-style line dedup ([[TextDedup.lineDedup]], 10-token segments)
     * over the corpus plus 30 full clones: every clone's segments
     * already exist at a lower (doc_id, idx), so clones must come back
@@ -7647,7 +7741,7 @@ ${round("b2", "c2", 2)}
     q409CrawlPipeline, q410CrawlDelays, q412ContinualFrontier,
     q415UrlFilter,
     q338Winnowing, q339WinnowOverlap, q348WinnowIncremental,
-    q445WinnowPersisted, q350LineDedup,
+    q445WinnowPersisted, q449ContinualWinnow, q350LineDedup,
     q354TextRank, q356Waterfill, q362TokenizerFertility, q363HeapsFit,
     q210PhashClusters,
     q50TextStats, q51TokenCount, q52LangQuality, q53Fingerprint,

@@ -781,6 +781,70 @@ class StreamingSpec extends SparkSpec {
       Set(("A", 2L), ("B", 1L)))
   }
 
+  test("continual winnow overlap: the stream emits exactly the replay " +
+    "rows; batch-2 docs match batch-1 survivors") {
+    import graft.streaming.ContinualWinnow
+    implicit val sqlCtx = spark.sqlContext
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val other = (100 to 140).map(i => s"v$i").mkString(" ")
+    val fresh = (200 to 240).map(i => s"u$i").mkString(" ")
+    val corpus0 = Seq((100L, base)).toDF("id", "text")
+    // batch 1: id 1 quotes corpus 100; id 2 is new content
+    val batch1 = Seq((1L, base), (2L, other))
+    // batch 2: id 3 quotes SURVIVOR 2; id 4 is new
+    val batch2 = Seq((3L, other), (4L, fresh))
+    type Verdict = (Long, Long, Boolean, Any)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Verdict] =
+      df.collect().map(r => (r.getAs[Long]("id"),
+        r.getAs[Long]("batch_id"), r.getAs[Boolean]("is_overlap"),
+        r.getAs[Any]("matched_id"))).toSet
+
+    val streamed = scala.collection.mutable.ArrayBuffer.empty[Verdict]
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("id", "text")
+    val q = ContinualWinnow.start(stream, corpus0, "text", "id") {
+      checked => streamed ++= rows(checked)
+    }
+    mem.addData(batch1: _*)
+    q.processAllAvailable()
+    mem.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val replayed = rows(ContinualWinnow.replayBatches(corpus0,
+      Seq(batch1.toDF("id", "text"), batch2.toDF("id", "text")),
+      "text", "id"))
+    assert(streamed.toSet === replayed)
+    val verdicts = replayed.map(v => v._1 -> ((v._3, v._4))).toMap
+    assert(verdicts(1L) === ((true, 100L)))
+    assert(verdicts(2L) === ((false, null)))
+    assert(verdicts(3L) === ((true, 2L))) // matched a batch-1 survivor
+    assert(verdicts(4L) === ((false, null)))
+  }
+
+  test("continual winnow overlap: a re-delivered batch id does not " +
+    "re-emit or re-append its survivors") {
+    import graft.streaming.ContinualWinnow
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val other = (100 to 140).map(i => s"v$i").mkString(" ")
+    val corpus0 = Seq((100L, base)).toDF("id", "text")
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Boolean, Any)]
+    val step = ContinualWinnow.batchStep(corpus0, "text", "id",
+      k = 3, w = 4, minShared = 3, maxDf = 50) { checked =>
+      got ++= checked.collect().map(r => (r.getAs[Long]("id"),
+        r.getAs[Long]("batch_id"), r.getAs[Boolean]("is_overlap"),
+        r.getAs[Any]("matched_id")))
+    }
+    val b0 = Seq((2L, other)).toDF("id", "text")
+    step(b0, 0L)
+    step(b0, 0L) // re-delivery: survivor 2 must not re-enter the index
+    step(Seq((3L, other)).toDF("id", "text"), 1L)
+    assert(got.count(_._2 == 0L) === 1)
+    val v3 = got.filter(_._2 == 1L)
+    assert(v3.map(v => (v._1, v._3, v._4)) === Seq((3L, true, 2L)))
+  }
+
   test("continual tokenizer coverage: the stream emits exactly the " +
     "replay rows for the same batch split") {
     import graft.streaming.ContinualCoverage
