@@ -715,4 +715,83 @@ object Mixture {
           + lit(smoothing) / col("__k").cast("double")) * lit(1e9))
           / lit(1e9)).as("w_doremi"))
   }
+
+  /** Data-constrained epochs planner — the per-domain "how many
+    * epochs, and what are the repeats worth" table a budget-limited
+    * pretraining run reads before committing compute (Muennighoff et
+    * al. 2023, "Scaling Data-Constrained Language Models",
+    * arXiv:2305.16264): a domain allocated more tokens than it
+    * uniquely has must REPEAT, and repeated epochs decay in value —
+    * the paper's fit gives effective data
+    *
+    *   D' = U + U · R* · (1 − e^(−R/R*))
+    *
+    * for R repeat epochs beyond the first over U unique tokens
+    * (R* ≈ 15.4: ~15 epochs' worth is the asymptotic ceiling of
+    * infinite repetition). An allocation at or under U is all fresh
+    * (effective = allocated); `utilization` = effective/allocated is
+    * the fraction of the domain's compute that buys new information —
+    * the signal that says "stop upsampling this source, crawl more
+    * instead".
+    *
+    * The budget is `budgetMultiple` × the total unique supply of the
+    * PLANNED domains, split by `weights` (empty map = uniform over
+    * observed domains) — fully in-plan, so the plan scales with the
+    * corpus. Shape: one tokenize + one hash aggregate to domain grain
+    * (cut once — three consumers), broadcast 1-row totals, pure
+    * closed-form columns after. Cross-engine exactness: token counts
+    * and supply sums are exact longs; the lone transcendental
+    * (`exp`) floor-snaps at 12 dp (tie-free) before entering the
+    * effective-tokens expression; outputs floor-snap at 6 dp.
+    *
+    * @return per planned domain: domain, n_docs, unique_tokens,
+    *         alloc_tokens, epochs (alloc/U), effective_tokens,
+    *         utilization
+    */
+  def dataConstrainedPlan(
+      df: DataFrame,
+      domainCol: String,
+      textCol: String,
+      budgetMultiple: Double,
+      weights: Map[String, Double] = Map.empty,
+      rdStar: Double = 15.4): DataFrame = {
+    require(budgetMultiple > 0,
+      s"budgetMultiple must be > 0, got $budgetMultiple")
+    require(rdStar > 0, s"rdStar must be > 0, got $rdStar")
+    require(weights.values.forall(_ > 0), "weights must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def snap(c: Column, s: Double): Column = floor(c * lit(s)) / lit(s)
+    val perDomain0 = df.select(col(domainCol).as("domain"),
+      size(TextFunctions.tokens(col(textCol))).cast("long").as("__nt"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("__u"))
+    val weighted =
+      if (weights.isEmpty) perDomain0.withColumn("__w", lit(1.0))
+      else perDomain0.join(
+        broadcast(weights.toSeq.sortBy(_._1).toDF("domain", "__w")),
+        Seq("domain"))
+    // domain-grain but read by the totals broadcast AND the output —
+    // cut so the corpus tokenize runs once
+    val perDomain = graft.Materialize.cut(weighted)
+    val totals = broadcast(perDomain.agg(
+      sum(col("__u")).cast("double").as("__tot"),
+      sum(col("__w").cast("decimal(30,15)")).cast("double").as("__z")))
+    val planned = perDomain.crossJoin(totals)
+      .withColumn("__alloc",
+        lit(budgetMultiple) * col("__tot") * (col("__w") / col("__z")))
+      .withColumn("__epochs", col("__alloc") / col("__u").cast("double"))
+      .withColumn("__r", greatest(col("__epochs") - lit(1.0), lit(0.0)))
+      .withColumn("__decay", snap(exp(-col("__r") / lit(rdStar)), 1e12))
+      .withColumn("__eff",
+        when(col("__alloc") <= col("__u").cast("double"), col("__alloc"))
+          .otherwise(col("__u").cast("double") * (lit(1.0)
+            + lit(rdStar) * (lit(1.0) - col("__decay")))))
+    planned.select(col("domain"), col("n_docs"),
+      col("__u").as("unique_tokens"),
+      snap(col("__alloc"), 1e6).as("alloc_tokens"),
+      snap(col("__epochs"), 1e6).as("epochs"),
+      snap(col("__eff"), 1e6).as("effective_tokens"),
+      snap(col("__eff") / col("__alloc"), 1e6).as("utilization"))
+  }
 }

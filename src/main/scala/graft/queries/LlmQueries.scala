@@ -974,6 +974,59 @@ object LlmQueries {
       FROM raw, z ORDER BY domain
     """.trim))
 
+  /** Data-constrained epochs planner ([[Mixture.dataConstrainedPlan]],
+    * Muennighoff et al. 2023, arXiv:2305.16264): a 3×-the-corpus
+    * training budget split uniformly across sources — every source's
+    * epochs, effective tokens under the paper's repeat-value decay
+    * D' = U + U·R*·(1 − e^(−R/R*)) (R* = 15.4), and utilization (the
+    * fraction of the domain's compute buying new information — the
+    * "stop upsampling, crawl more" signal). Closed-form over one
+    * domain-grain aggregate; the lone exp floor-snaps at 12 dp before
+    * entering the arithmetic, so the oracle replays it exactly.
+    */
+  val q450DataConstrained = HarnessQuery(
+    "q450_data_constrained",
+    (spark, dir) =>
+      Mixture.dataConstrainedPlan(
+        Tables.documents(spark, dir), "source", "text",
+        budgetMultiple = 3.0)
+        .orderBy(col("domain")),
+    Some("""
+      WITH pd AS (
+        SELECT source AS domain, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(regexp_split_to_array(trim(lower(text)), '\s+')))
+                 AS BIGINT) AS u
+        FROM documents GROUP BY 1),
+      t AS (
+        SELECT CAST(sum(u) AS DOUBLE) AS tot,
+               CAST(sum(CAST(CAST(1.0 AS DOUBLE) AS DECIMAL(30,15)))
+                 AS DOUBLE) AS z
+        FROM pd),
+      p AS (
+        SELECT pd.domain, pd.n_docs, pd.u,
+               3.0 * t.tot * (1.0 / t.z) AS alloc
+        FROM pd, t),
+      e AS (
+        SELECT *, alloc / CAST(u AS DOUBLE) AS epochs,
+               greatest(alloc / CAST(u AS DOUBLE) - 1.0, 0.0) AS r
+        FROM p),
+      f AS (
+        SELECT *, floor(exp(-r / 15.4) * 1e12) / 1e12 AS decay
+        FROM e),
+      g AS (
+        SELECT domain, n_docs, u, alloc, epochs,
+               CASE WHEN alloc <= CAST(u AS DOUBLE) THEN alloc
+                    ELSE CAST(u AS DOUBLE)
+                         * (1.0 + 15.4 * (1.0 - decay)) END AS eff
+        FROM f)
+      SELECT domain, n_docs, u AS unique_tokens,
+             floor(alloc * 1e6) / 1e6 AS alloc_tokens,
+             floor(epochs * 1e6) / 1e6 AS epochs,
+             floor(eff * 1e6) / 1e6 AS effective_tokens,
+             floor(eff / alloc * 1e6) / 1e6 AS utilization
+      FROM g ORDER BY domain
+    """.trim))
+
   /** MinHash-LSH parameter planner ([[TextDedup.lshPlan]]): the
     * S-curve table — for every power-of-two (bands, rows-per-band)
     * split of 128 hashes, P(candidate|s) = 1 − (1 − s^r)^b on the
@@ -7730,8 +7783,8 @@ ${round("b2", "c2", 2)}
   def all: Seq[HarnessQuery] = Seq(
     q386SeqPacking, q387PngMeta, q388UnigramSegment, q389UnigramEm,
     q422Wordpiece, q426Pretokens, q427FlacMeta, q428WordpiecePersisted,
-    q430ExifMeta, q431LshPlan, q434Doremi, q443TokenizerCoverage,
-    q448ContinualCoverage,
+    q430ExifMeta, q431LshPlan, q434Doremi, q450DataConstrained,
+    q443TokenizerCoverage, q448ContinualCoverage,
     q392JpegMeta, q419GifMeta, q420WebpMeta,
     q393PackAppend, q394UnigramTrain, q395ContinualPacking,
     q408WarcMeta, q411WarcHttp, q413WarcToText, q438WarcGz,

@@ -282,4 +282,37 @@ class MixtureSpec extends SparkSpec {
       + 0.1 / 3.0) * 1e9) / 1e9
     assert(got("a")._2 === wA)
   }
+
+  test("dataConstrainedPlan: fresh allocations pass through at " +
+    "utilization 1; repeated domains decay by the closed form") {
+    def snap(x: Double, s: Double) = math.floor(x * s) / s
+    val a = Seq(("A", (1 to 10).map(i => s"t$i").mkString(" ")))
+    val b = (1 to 10).map(j =>
+      ("B", (1 to 10).map(i => s"u$j$i").mkString(" ")))
+    val df = (a ++ b).toDF("src", "text") // U_A = 10, U_B = 100
+    val out = Mixture.dataConstrainedPlan(df, "src", "text",
+      budgetMultiple = 0.5)
+      .orderBy("domain").collect()
+    val (ra, rb) = (out(0), out(1))
+    // tot = 110, uniform halves: alloc = 0.5 * 110 / 2 = 27.5 each
+    assert(ra.getAs[Double]("alloc_tokens") === 27.5)
+    // B: 27.5 <= 100 -> all fresh
+    assert(rb.getAs[Double]("effective_tokens") === 27.5)
+    assert(rb.getAs[Double]("utilization") === 1.0)
+    // A: U = 10, epochs 2.75, R = 1.75 -> the paper's decay
+    val decay = snap(math.exp(-1.75 / 15.4), 1e12)
+    val eff = 10.0 * (1.0 + 15.4 * (1.0 - decay))
+    assert(ra.getAs[Double]("epochs") === 2.75)
+    assert(ra.getAs[Double]("effective_tokens") === snap(eff, 1e6))
+    assert(ra.getAs[Double]("utilization") === snap(eff / 27.5, 1e6))
+    assert(ra.getAs[Long]("unique_tokens") === 10L)
+    assert(ra.getAs[Long]("n_docs") === 1L)
+    // explicit weights: 3:1 split shifts the allocations, B stays fresh
+    val w = Mixture.dataConstrainedPlan(df, "src", "text",
+      budgetMultiple = 0.5, weights = Map("A" -> 3.0, "B" -> 1.0))
+      .orderBy("domain").collect()
+    assert(w(0).getAs[Double]("alloc_tokens") === 41.25)
+    assert(w(1).getAs[Double]("alloc_tokens") === 13.75)
+    assert(w(1).getAs[Double]("utilization") === 1.0)
+  }
 }
