@@ -35,6 +35,82 @@ object Chat {
       lit(" — the tokens frame must cover every conversation"))))
       .otherwise(nTokens)
 
+  /** SFT-data lint — the validation pass an instruction-tuning
+    * pipeline runs over raw turn tables BEFORE rendering
+    * ([[chatTemplate]]) and masking ([[tokenLossMask]]): malformed
+    * conversations (double-assistant runs from merge glitches, index
+    * gaps from dropped rows, empty contents from extraction bugs,
+    * prompts with no completion) silently poison the loss if they
+    * reach the trainer. One row per conversation with the individual
+    * violation counts AND the rolled-up `valid` flag, so the caller
+    * can both gate (join on valid) and explain the yield (sum the
+    * columns — the audit-frame discipline).
+    *
+    * Checks: `idx_gaps` — per-conversation turn indices are not
+    * exactly 1..n, counted as duplicates (n − n_distinct) + indices
+    * below 1 + max-index overshoot beyond n (0 iff the set is exactly
+    * {1..n}); `bad_alternations`
+    * — adjacent turns (by idx order) with the SAME role;
+    * `empty_turns` — null or whitespace-only content;
+    * `starts_with_assistant` — the first turn carries loss with no
+    * prompt before it; `no_assistant` — nothing to train on.
+    *
+    * Scale shape: one window keyed by conversation + one hash
+    * aggregate — the [[chatTemplate]] partitioning, corpus-parallel.
+    * The adjacency window orders by (idx, role, content) so DUPLICATE
+    * indices — the very malformation being detected — still order
+    * deterministically and the lint replays identically in any
+    * engine.
+    *
+    * @return one row per conversation: conv_id, n_turns, idx_gaps,
+    *         bad_alternations, empty_turns,
+    *         starts_with_assistant (0/1), no_assistant (0/1), valid
+    */
+  def validateTurns(
+      turns: DataFrame, convCol: String, idxCol: String, roleCol: String,
+      contentCol: String, assistantRole: String = "assistant"): DataFrame = {
+    val w = Window.partitionBy(col("conv_id"))
+      .orderBy(col("__idx"), col("__role"), col("__content"))
+    val base = turns.select(col(convCol).as("conv_id"),
+      col(idxCol).cast("long").as("__idx"), col(roleCol).as("__role"),
+      col(contentCol).as("__content"))
+      .withColumn("__prev_role", lag(col("__role"), 1).over(w))
+      .withColumn("__rn", row_number().over(w))
+    base.groupBy(col("conv_id"))
+      .agg(
+        count(lit(1)).as("n_turns"),
+        sum(when(col("__prev_role").isNotNull
+          && col("__prev_role") === col("__role"), 1L).otherwise(0L))
+          .as("bad_alternations"),
+        sum(when(col("__content").isNull
+          || length(trim(col("__content"))) === 0, 1L).otherwise(0L))
+          .as("empty_turns"),
+        max(when(col("__rn") === 1
+          && col("__role") === assistantRole, 1L).otherwise(0L))
+          .as("starts_with_assistant"),
+        when(sum(when(col("__role") === assistantRole, 1L).otherwise(0L))
+          === 0, 1L).otherwise(0L).as("no_assistant"),
+        countDistinct(col("__idx")).as("__nd"),
+        sum(when(col("__idx") >= 1, 1L).otherwise(0L)).as("__ge1"),
+        max(col("__idx")).as("__mx"))
+      .withColumn("idx_gaps",
+        // indices are exactly {1..n} iff all distinct, min >= 1 and
+        // max = n; violations counted as (n - n_distinct) duplicates
+        // plus how far max/min stray from the 1..n frame
+        (col("n_turns") - col("__nd"))
+          + (col("n_turns") - col("__ge1"))
+          + when(col("__mx") > col("n_turns"),
+              col("__mx") - col("n_turns")).otherwise(0L))
+      .withColumn("valid",
+        col("idx_gaps") === 0 && col("bad_alternations") === 0
+          && col("empty_turns") === 0
+          && col("starts_with_assistant") === 0
+          && col("no_assistant") === 0)
+      .select(col("conv_id"), col("n_turns"), col("idx_gaps"),
+        col("bad_alternations"), col("empty_turns"),
+        col("starts_with_assistant"), col("no_assistant"), col("valid"))
+  }
+
   /** Render `<|role|>content` turns joined by newlines, with
     * 0-based [start, end) character offsets of each assistant turn's
     * CONTENT in the rendered text.

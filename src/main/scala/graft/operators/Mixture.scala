@@ -736,8 +736,10 @@ object Mixture {
     *
     * The budget is `budgetMultiple` × the total unique supply of the
     * PLANNED domains, split by `weights` (empty map = uniform over
-    * observed domains) — fully in-plan, so the plan scales with the
-    * corpus. Shape: one tokenize + one hash aggregate to domain grain
+    * observed domains; with a non-empty map, corpus domains absent
+    * from it are EXCLUDED from the plan — the [[sampleMixture]] /
+    * [[interleaveByWeight]] convention) — fully in-plan, so the plan
+    * scales with the corpus. Shape: one tokenize + one hash aggregate to domain grain
     * (cut once — three consumers), broadcast 1-row totals, pure
     * closed-form columns after. Cross-engine exactness: token counts
     * and supply sums are exact longs; the lone transcendental

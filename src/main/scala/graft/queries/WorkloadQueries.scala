@@ -1254,7 +1254,8 @@ object WorkloadQueries {
     q203TpchQ3, q204TpchQ5, q205TpchQ10, q208AbTest, q209BasketLift,
     q248JwLinkage, q249MutualInfo, q271SegmentFdr, q365ShardPlan,
     q423ChatTemplate, q425PackedChats, q436TokenMask, q437PackedTokens,
-    q439PackedTokenMasks, q446WarcCapstone, q447CapstoneAudit)
+    q439PackedTokenMasks, q446WarcCapstone, q447CapstoneAudit,
+    q451ChatLint)
 
   /** Conversation packing with re-based loss masks
     * ([[Chat.packConversations]] over [[Chat.chatTemplate]]): the full
@@ -1838,6 +1839,91 @@ object WorkloadQueries {
              CAST(length(text) AS BIGINT) AS total_chars,
              assistant_chars, mask_spans
       FROM conv ORDER BY conv_id
+    """.trim))
+
+  /** SFT-data lint ([[Chat.validateTurns]]): the validation pass an
+    * instruction-tuning pipeline runs over raw turn tables BEFORE
+    * rendering/masking — per conversation, index-gap count (dups +
+    * below-1 + overshoot vs 1..n), same-role adjacency breaks,
+    * empty/whitespace turns, loss-with-no-prompt starts, and
+    * nothing-to-train-on conversations, rolled into a `valid` gate.
+    * The fixture plants each malformation deterministically in the
+    * q423 doc→turn mapping (doc_id % 37 collapses an index to 1 —
+    * which ALSO puts an assistant first in those conversations via
+    * the deterministic (idx, role, content) tie order; % 29 forces a
+    * same-role run; % 23 blanks a turn); the oracle replays the
+    * mapping and every check.
+    */
+  val q451ChatLint = HarnessQuery(
+    "q451_chat_lint",
+    (spark, dir) => {
+      val turns = Tables.documents(spark, dir).select(
+        floor(col("doc_id") / 4).cast("long").as("conv_id"),
+        when(pmod(col("doc_id"), lit(37L)) === 0, lit(1))
+          .otherwise((pmod(col("doc_id"), lit(4L)) + 1).cast("int"))
+          .as("idx"),
+        when(pmod(col("doc_id"), lit(29L)) === 0, lit("user"))
+          .otherwise(when(pmod(col("doc_id"), lit(2L)) === 1,
+            lit("assistant")).otherwise(lit("user"))).as("role"),
+        when(pmod(col("doc_id"), lit(23L)) === 0, lit(" "))
+          .otherwise(array_join(
+            slice(split(trim(lower(col("text"))), "\\s+"), 1, 8), " "))
+          .as("content"))
+      Chat.validateTurns(turns, "conv_id", "idx", "role", "content")
+        .orderBy(col("conv_id"))
+    },
+    Some("""
+      WITH turns AS (
+        SELECT CAST(floor(doc_id / 4) AS BIGINT) AS conv_id,
+               CASE WHEN doc_id % 37 = 0 THEN 1
+                    ELSE CAST(doc_id % 4 + 1 AS INT) END AS idx,
+               CASE WHEN doc_id % 29 = 0 THEN 'user'
+                    WHEN doc_id % 2 = 1 THEN 'assistant'
+                    ELSE 'user' END AS role,
+               CASE WHEN doc_id % 23 = 0 THEN ' '
+                    ELSE array_to_string(
+                      (regexp_split_to_array(trim(lower(text)), '\s+'))[1:8],
+                      ' ') END AS content
+        FROM documents),
+      o AS (
+        SELECT *,
+               lag(role) OVER (PARTITION BY conv_id
+                 ORDER BY idx, role, content) AS prev_role,
+               row_number() OVER (PARTITION BY conv_id
+                 ORDER BY idx, role, content) AS rn
+        FROM turns),
+      a AS (
+        SELECT conv_id,
+               CAST(count(*) AS BIGINT) AS n_turns,
+               CAST(sum(CASE WHEN prev_role IS NOT NULL
+                 AND prev_role = role THEN 1 ELSE 0 END) AS BIGINT)
+                 AS bad_alternations,
+               CAST(sum(CASE WHEN content IS NULL
+                 OR length(trim(content)) = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS empty_turns,
+               CAST(max(CASE WHEN rn = 1 AND role = 'assistant'
+                 THEN 1 ELSE 0 END) AS BIGINT) AS starts_with_assistant,
+               CAST(CASE WHEN sum(CASE WHEN role = 'assistant'
+                 THEN 1 ELSE 0 END) = 0 THEN 1 ELSE 0 END AS BIGINT)
+                 AS no_assistant,
+               count(DISTINCT idx) AS nd,
+               sum(CASE WHEN idx >= 1 THEN 1 ELSE 0 END) AS ge1,
+               max(idx) AS mx
+        FROM o GROUP BY 1),
+      b AS (
+        SELECT conv_id, n_turns,
+               CAST((n_turns - nd) + (n_turns - ge1)
+                 + CASE WHEN mx > n_turns THEN mx - n_turns
+                   ELSE 0 END AS BIGINT) AS idx_gaps,
+               bad_alternations, empty_turns, starts_with_assistant,
+               no_assistant
+        FROM a)
+      SELECT conv_id, n_turns, idx_gaps, bad_alternations, empty_turns,
+             starts_with_assistant, no_assistant,
+             (idx_gaps = 0 AND bad_alternations = 0 AND empty_turns = 0
+              AND starts_with_assistant = 0 AND no_assistant = 0)
+               AS valid
+      FROM b ORDER BY conv_id
     """.trim))
 
   /** Build the crawl fixture + persisted artifacts and run the

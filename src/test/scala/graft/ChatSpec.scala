@@ -168,6 +168,39 @@ class ChatSpec extends SparkSpec {
     assert(p1.getAs[String]("token_mask_spans") === "0:2")
   }
 
+  test("validateTurns: each malformation is counted once and only " +
+    "clean conversations come back valid") {
+    val turns = Seq(
+      // conv 1: clean
+      (1L, 1, "user", "q"), (1L, 2, "assistant", "a"),
+      // conv 2: duplicate idx (two 1s, hole at 2) + assistant-first
+      // under the deterministic (idx, role, content) tie order
+      (2L, 1, "user", "q"), (2L, 1, "assistant", "a"),
+      // conv 3: same-role run + whitespace-only turn
+      (3L, 1, "user", "q"), (3L, 2, "user", "  "),
+      (3L, 3, "assistant", "a"),
+      // conv 4: no assistant; idx starts at 2 (hole at 1, overshoot)
+      (4L, 2, "user", "alone"),
+      // conv 5: idx 0 (below 1)
+      (5L, 0, "user", "q"), (5L, 2, "assistant", "a"))
+      .toDF("conv_id", "idx", "role", "content")
+    val out = Chat.validateTurns(turns, "conv_id", "idx", "role",
+      "content").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getBoolean(7)))).toMap
+    // (idx_gaps, bad_alternations, empty, starts_assistant, no_asst, valid)
+    assert(out(1L) === ((0L, 0L, 0L, 0L, 0L, true)))
+    // conv 2: dup idx -> 1 gap; 'assistant' sorts before 'user' at
+    // idx 1 -> assistant-first AND an a,u order with no same-role run
+    assert(out(2L) === ((1L, 0L, 0L, 1L, 0L, false)))
+    assert(out(3L) === ((0L, 1L, 1L, 0L, 0L, false)))
+    // conv 4: n=1, idx 2 -> overshoot 1; no assistant
+    assert(out(4L) === ((1L, 0L, 0L, 0L, 1L, false)))
+    // conv 5: n=2, idx {0,2}: below-1 count 1, max 2 = n -> 1 gap
+    assert(out(5L) === ((1L, 0L, 0L, 0L, 0L, false)))
+  }
+
   test("no assistant turn: empty mask, zero loss chars") {
     val turns = Seq((7L, 1, "user", "alone"))
       .toDF("conv_id", "idx", "role", "content")
