@@ -49,7 +49,9 @@ object Chat {
     * Checks: `idx_gaps` — per-conversation turn indices are not
     * exactly 1..n, counted as duplicates (n − n_distinct) + indices
     * below 1 + max-index overshoot beyond n (0 iff the set is exactly
-    * {1..n}); `bad_alternations`
+    * {1..n}). A NULL idx lands in the below-1 count and a NULL
+    * content in `empty_turns` — malformed rows surface as violations,
+    * never as errors. `bad_alternations`
     * — adjacent turns (by idx order) with the SAME role;
     * `empty_turns` — null or whitespace-only content;
     * `starts_with_assistant` — the first turn carries loss with no
