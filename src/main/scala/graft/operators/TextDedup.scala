@@ -636,6 +636,42 @@ object TextDedup {
           .reduce(_ + _).as("sig"))
   }
 
+  /** Banded view of a (idCol, sig) signature table: 4 bands of
+    * bits/4 signature bits each — a pure projection (banding costs
+    * nothing; the expensive part of simhash is SIGNING, which is why
+    * the persisted artifact is the signature table alone).
+    */
+  private def bandedSimhash(
+      sigs: DataFrame, idCol: String, outId: String,
+      bits: Int): DataFrame = {
+    val r = bits / 4
+    val bandKeys = (0 until 4).map(bi =>
+      shiftright(col("sig"), bi * r).bitwiseAND(lit((1L << r) - 1)))
+    sigs.select(col(idCol).as(outId), col("sig"),
+      posexplode(array(bandKeys: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+  }
+
+  /** Candidate pairs between two banded simhash sides (>= 1 equal
+    * band) verified by Hamming distance; `ordered` keeps id_a < id_b.
+    */
+  private def simhashVerify(
+      bandedA: DataFrame, bandedB: DataFrame, ordered: Boolean,
+      maxHamming: Int): DataFrame = {
+    val joined = bandedA
+      .select(col("id_a"), col("sig").as("sig_a"), col("band"),
+        col("band_key"))
+      .join(bandedB.select(col("id_b"), col("sig").as("sig_b"),
+        col("band"), col("band_key")), Seq("band", "band_key"))
+    (if (ordered) joined.filter(col("id_a") < col("id_b")) else joined)
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .distinct()
+      .withColumn("hamming",
+        TextFunctions.hammingDistance(col("sig_a"), col("sig_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** @param hashFn token hash — [[TextFunctions.fastHash]] (xxhash64)
     *               for production, [[TextFunctions.md5Hash60]] with
     *               bits=60 for engine-independent signatures;
@@ -647,25 +683,66 @@ object TextDedup {
       hashFn: Column => Column = TextFunctions.fastHash,
       bits: Int = 64): DataFrame = {
     require(bits % 4 == 0, "bits must divide into 4 bands")
-    val r = bits / 4
     val sigs = simhashSignatures(df, textCol, idCol, hashFn, bits)
-    val bandKeys = (0 until 4).map(bi =>
-      shiftright(col("sig"), bi * r).bitwiseAND(lit((1L << r) - 1)))
-    val banded = sigs.select(col(idCol), col("sig"),
-      posexplode(array(bandKeys: _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
-    val a = banded.select(col(idCol).as("id_a"), col("sig").as("sig_a"),
-      col("band"), col("band_key"))
-    val b = banded.select(col(idCol).as("id_b"), col("sig").as("sig_b"),
-      col("band"), col("band_key"))
-    a.join(b, Seq("band", "band_key"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
-      .distinct()
-      .withColumn("hamming",
-        TextFunctions.hammingDistance(col("sig_a"), col("sig_b")))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+    simhashVerify(
+      bandedSimhash(sigs, idCol, "id_a", bits),
+      bandedSimhash(sigs, idCol, "id_b", bits),
+      ordered = true, maxHamming = maxHamming)
+  }
+
+  /** Persist a simhash signature index — the third dedup family's
+    * sign-once / probe-everywhere split ([[saveMinhashIndex]] and
+    * [[saveWinnowIndex]] are the siblings): one (id, sig) row per
+    * document, 8 bytes of signature — the SMALLEST index of the three
+    * (simhash carries no verification payload; Hamming distance IS
+    * the verdict). Signing is the corpus-scan cost the index
+    * amortizes; banding is a free projection re-derived at probe
+    * time. Appends accrete parquet files without rewriting history.
+    * The probe must use the SAME (hashFn, bits) as at save time —
+    * signatures under different token hashes are incomparable.
+    */
+  def saveSimhashIndex(
+      df: DataFrame, textCol: String, idCol: String, path: String,
+      hashFn: Column => Column = TextFunctions.fastHash,
+      bits: Int = 64): Unit =
+    simhashSignatures(df, textCol, idCol, hashFn, bits)
+      .select(col(idCol).as("id"), col("sig"))
+      .write.mode("overwrite").parquet(path + "/sigs")
+
+  /** Fold an incoming batch's signatures INTO a persisted simhash
+    * index in place (`mode("append")` — no rewrite). Same parameters
+    * contract as [[saveSimhashIndex]]; ids must be new to the index.
+    */
+  def appendToSimhashIndex(
+      incoming: DataFrame, textCol: String, idCol: String, path: String,
+      hashFn: Column => Column = TextFunctions.fastHash,
+      bits: Int = 64): Unit =
+    simhashSignatures(incoming, textCol, idCol, hashFn, bits)
+      .select(col(idCol).as("id"), col("sig"))
+      .write.mode("append").parquet(path + "/sigs")
+
+  /** Load a persisted simhash index (see [[saveSimhashIndex]]). */
+  def loadSimhashIndex(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path + "/sigs")
+
+  /** Simhash near-dup pairs between a LOADED signature index and an
+    * incoming batch: only the batch is signed; the stored corpus
+    * contributes its 8-byte signatures, banded in-plan. Ids must be
+    * disjoint across index and incoming. Returns (id_a = corpus id,
+    * id_b = incoming id, hamming <= maxHamming).
+    */
+  def simhashNearDupPairsAgainstIndex(
+      index: DataFrame, incoming: DataFrame,
+      textCol: String, idCol: String,
+      maxHamming: Int = 3,
+      hashFn: Column => Column = TextFunctions.fastHash,
+      bits: Int = 64): DataFrame = {
+    require(bits % 4 == 0, "bits must divide into 4 bands")
+    val sigsB = simhashSignatures(incoming, textCol, idCol, hashFn, bits)
+    simhashVerify(
+      bandedSimhash(index, "id", "id_a", bits),
+      bandedSimhash(sigsB, idCol, "id_b", bits),
+      ordered = false, maxHamming = maxHamming)
   }
 
   /** Exact repeated-substring coverage — substring-level dedup at

@@ -238,6 +238,75 @@ object LlmQueries {
       ORDER BY id_a, id_b
     """.trim))
 
+  /** Persisted simhash index ([[TextDedup.saveSimhashIndex]] /
+    * [[TextDedup.appendToSimhashIndex]] /
+    * [[TextDedup.simhashNearDupPairsAgainstIndex]]): the THIRD dedup
+    * family's sign-once / probe-everywhere artifact (minhash q435,
+    * winnowing q445) — and the smallest: 8 bytes of signature per
+    * stored document, banding re-derived as a free projection at
+    * probe time. The corpus is signed in two snapshots (doc_id % 5
+    * in 1–3 saved, % 5 = 4 appended as new parquet files), the
+    * incoming slice (% 5 = 0) probes the LOADED grown index, and the
+    * oracle replays the signature vote, the 4-band candidate join,
+    * and the Hamming verify over the same split — the q57 chain,
+    * cross-snapshot.
+    */
+  val q452SimhashPersisted = HarnessQuery(
+    "q452_simhash_persisted",
+    (spark, dir) => {
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rmrf)
+        f.delete(); ()
+      }
+      val path = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q452_simhash_index")
+      rmrf(path)
+      val docs = Tables.documents(spark, dir)
+      TextDedup.saveSimhashIndex(
+        docs.filter(pmod(col("doc_id"), lit(5L)).isin(1L, 2L, 3L)),
+        "text", "doc_id", path.getAbsolutePath,
+        hashFn = TextFunctions.md5Hash60, bits = 60)
+      TextDedup.appendToSimhashIndex(
+        docs.filter(pmod(col("doc_id"), lit(5L)) === 4),
+        "text", "doc_id", path.getAbsolutePath,
+        hashFn = TextFunctions.md5Hash60, bits = 60)
+      TextDedup.simhashNearDupPairsAgainstIndex(
+        TextDedup.loadSimhashIndex(spark, path.getAbsolutePath),
+        docs.filter(pmod(col("doc_id"), lit(5L)) === 0),
+        "text", "doc_id", maxHamming = 8,
+        hashFn = TextFunctions.md5Hash60, bits = 60)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""
+      WITH tok AS (SELECT doc_id,
+                          unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+                   FROM documents),
+      h AS (SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS hv
+            FROM tok),
+      votes AS (SELECT doc_id, b.b,
+                       sum(CASE WHEN (hv >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+                FROM h, generate_series(0, 59) b(b) GROUP BY 1, 2),
+      sig AS (SELECT doc_id,
+                     CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sig
+              FROM votes GROUP BY doc_id),
+      corp AS (SELECT doc_id, sig, b.b AS band,
+                      (sig >> (b.b * 15)) & 32767 AS band_key
+               FROM sig, generate_series(0, 3) b(b)
+               WHERE doc_id % 5 <> 0),
+      inc AS (SELECT doc_id, sig, b.b AS band,
+                     (sig >> (b.b * 15)) & 32767 AS band_key
+              FROM sig, generate_series(0, 3) b(b)
+              WHERE doc_id % 5 = 0),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                      a.sig AS sig_a, b.sig AS sig_b
+               FROM corp a JOIN inc b
+                 ON a.band = b.band AND a.band_key = b.band_key)
+      SELECT id_a, id_b,
+             CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+      FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 8
+      ORDER BY id_a, id_b
+    """.trim))
+
   /** SimHash signatures on the md5-based 60-bit hash — fully
     * oracle-checked bit-for-bit (the engine-independent hash makes the
     * whole signature SQL-reproducible; q57 keeps the fast xxhash64 path).
@@ -7799,6 +7868,7 @@ ${round("b2", "c2", 2)}
     q210PhashClusters,
     q50TextStats, q51TokenCount, q52LangQuality, q53Fingerprint,
     q54Shingles, q55MinhashPairs, q56ExactDedup, q57SimhashPairs,
+    q452SimhashPersisted,
     q58CosineTopK, q59AnnLsh, q60CosineNearDup, q61Multimodal,
     q336MediaMeta, q375Mp4Tracks, q62IvfAnn,
     q63SimhashSig, q64Tfidf, q65MinhashDedup, q66FrameSample, q67Bm25,

@@ -888,6 +888,52 @@ class TextOpsSpec extends SparkSpec {
     assert(scratch.map(t => (t._1, t._2)) === Set((101L, 1L), (104L, 4L)))
   }
 
+  test("simhash index: save+append ≡ save(all), and the loaded probe " +
+    "finds the planted near-clone at its exact Hamming distance") {
+    import graft.functions.TextFunctions
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete(); ()
+    }
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val near = (1 to 40).map(i => if (i == 20) "CHANGED" else s"w$i")
+      .mkString(" ")
+    val other = (100 to 140).map(i => s"v$i").mkString(" ")
+    val corpus = Seq((1L, base), (2L, other)).toDF("doc_id", "text")
+    val incoming = Seq((101L, near), (102L, "totally fresh words here"))
+      .toDF("doc_id", "text")
+    val root = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_spec_simhash_index")
+    rmrf(root)
+    val pAppend = new java.io.File(root, "appended").getAbsolutePath
+    val pWhole = new java.io.File(root, "whole").getAbsolutePath
+    TextDedup.saveSimhashIndex(corpus.filter($"doc_id" === 1), "text",
+      "doc_id", pAppend, hashFn = TextFunctions.md5Hash60, bits = 60)
+    TextDedup.appendToSimhashIndex(corpus.filter($"doc_id" === 2),
+      "text", "doc_id", pAppend, hashFn = TextFunctions.md5Hash60,
+      bits = 60)
+    TextDedup.saveSimhashIndex(corpus, "text", "doc_id", pWhole,
+      hashFn = TextFunctions.md5Hash60, bits = 60)
+    def probe(path: String) =
+      TextDedup.simhashNearDupPairsAgainstIndex(
+        TextDedup.loadSimhashIndex(spark, path), incoming,
+        "text", "doc_id", maxHamming = 8,
+        hashFn = TextFunctions.md5Hash60, bits = 60)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getLong(2))).toSet
+    val a = probe(pAppend)
+    assert(a === probe(pWhole))
+    // one flipped token moves few signature bits: the pair must be
+    // (corpus 1, incoming 101) and match the direct signature delta
+    assert(a.map(t => (t._1, t._2)) === Set((1L, 101L)))
+    val sigs = TextDedup.simhashSignatures(
+      Seq((1L, base), (2L, near)).toDF("doc_id", "text"),
+      "text", "doc_id", TextFunctions.md5Hash60, bits = 60)
+      .orderBy("doc_id").collect().map(_.getLong(1))
+    val expected = java.lang.Long.bitCount(sigs(0) ^ sigs(1)).toLong
+    assert(a.head._3 === expected)
+  }
+
   test("winnowOverlapPairs finds the planted quote, skips unrelated") {
     val quote = (1 to 12).map(i => s"q$i").mkString(" ")
     val docs = Seq(
