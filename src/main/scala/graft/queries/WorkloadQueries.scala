@@ -1851,8 +1851,10 @@ object WorkloadQueries {
     * q423 doc→turn mapping (doc_id % 37 collapses an index to 1 —
     * which ALSO puts an assistant first in those conversations via
     * the deterministic (idx, role, content) tie order; % 29 forces a
-    * same-role run; % 23 blanks a turn); the oracle replays the
-    * mapping and every check.
+    * same-role run; % 23 blanks a turn; conversations with
+    * conv_id % 31 == 0 are all-user — no completion to train on, so
+    * `no_assistant` fires too); the oracle replays the mapping and
+    * every check.
     */
   val q451ChatLint = HarnessQuery(
     "q451_chat_lint",
@@ -1862,9 +1864,11 @@ object WorkloadQueries {
         when(pmod(col("doc_id"), lit(37L)) === 0, lit(1))
           .otherwise((pmod(col("doc_id"), lit(4L)) + 1).cast("int"))
           .as("idx"),
-        when(pmod(col("doc_id"), lit(29L)) === 0, lit("user"))
-          .otherwise(when(pmod(col("doc_id"), lit(2L)) === 1,
-            lit("assistant")).otherwise(lit("user"))).as("role"),
+        when(pmod(floor(col("doc_id") / 4), lit(31L)) === 0, lit("user"))
+          .otherwise(when(pmod(col("doc_id"), lit(29L)) === 0,
+            lit("user"))
+            .otherwise(when(pmod(col("doc_id"), lit(2L)) === 1,
+              lit("assistant")).otherwise(lit("user")))).as("role"),
         when(pmod(col("doc_id"), lit(23L)) === 0, lit(" "))
           .otherwise(array_join(
             slice(split(trim(lower(col("text"))), "\\s+"), 1, 8), " "))
@@ -1877,7 +1881,9 @@ object WorkloadQueries {
         SELECT CAST(floor(doc_id / 4) AS BIGINT) AS conv_id,
                CASE WHEN doc_id % 37 = 0 THEN 1
                     ELSE CAST(doc_id % 4 + 1 AS INT) END AS idx,
-               CASE WHEN doc_id % 29 = 0 THEN 'user'
+               CASE WHEN CAST(floor(doc_id / 4) AS BIGINT) % 31 = 0
+                      THEN 'user'
+                    WHEN doc_id % 29 = 0 THEN 'user'
                     WHEN doc_id % 2 = 1 THEN 'assistant'
                     ELSE 'user' END AS role,
                CASE WHEN doc_id % 23 = 0 THEN ' '
