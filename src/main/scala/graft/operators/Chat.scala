@@ -49,9 +49,14 @@ object Chat {
     * Checks: `idx_gaps` — per-conversation turn indices are not
     * exactly 1..n, counted as duplicates (n − n_distinct) + indices
     * below 1 + max-index overshoot beyond n (0 iff the set is exactly
-    * {1..n}). A NULL idx lands in the below-1 count and a NULL
-    * content in `empty_turns` — malformed rows surface as violations,
-    * never as errors. `bad_alternations`
+    * {1..n}). A NULL idx coalesces to Long.MinValue BEFORE windowing
+    * and counting, so it orders first in EVERY engine (no NULLS
+    * FIRST/LAST divergence can flip the adjacency or first-row
+    * checks) and lands exactly once in the below-1 count (a second
+    * NULL idx in the same conversation additionally counts as a
+    * duplicate — both collapse to the sentinel); a NULL content lands
+    * in `empty_turns` — malformed rows surface as violations, never
+    * as errors. `bad_alternations`
     * — adjacent turns (by idx order) with the SAME role;
     * `empty_turns` — null or whitespace-only content;
     * `starts_with_assistant` — the first turn carries loss with no
@@ -73,8 +78,12 @@ object Chat {
       contentCol: String, assistantRole: String = "assistant"): DataFrame = {
     val w = Window.partitionBy(col("conv_id"))
       .orderBy(col("__idx"), col("__role"), col("__content"))
+    // NULL idx → Long.MinValue sentinel: deterministic cross-engine
+    // window order (Spark sorts nulls first, DuckDB last by default)
+    // and a single below-1 violation, not an engine-dependent one
     val base = turns.select(col(convCol).as("conv_id"),
-      col(idxCol).cast("long").as("__idx"), col(roleCol).as("__role"),
+      coalesce(col(idxCol).cast("long"), lit(Long.MinValue)).as("__idx"),
+      col(roleCol).as("__role"),
       col(contentCol).as("__content"))
       .withColumn("__prev_role", lag(col("__role"), 1).over(w))
       .withColumn("__rn", row_number().over(w))

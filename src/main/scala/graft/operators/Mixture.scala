@@ -739,7 +739,11 @@ object Mixture {
     * observed domains; with a non-empty map, corpus domains absent
     * from it are EXCLUDED from the plan — the [[sampleMixture]] /
     * [[interleaveByWeight]] convention) — fully in-plan, so the plan
-    * scales with the corpus. Shape: one tokenize + one hash aggregate to domain grain
+    * scales with the corpus. Two in-plan fail-fasts: a planned domain
+    * with ZERO unique tokens raises (its epochs/effective_tokens
+    * would be Infinity/NaN), and every `weights` key must appear as a
+    * corpus domain (a typo'd key would silently shift the
+    * normalization). Shape: one tokenize + one hash aggregate to domain grain
     * (cut once — three consumers), broadcast 1-row totals, pure
     * closed-form columns after. Cross-engine exactness: token counts
     * and supply sums are exact longs; the lone transcendental
@@ -773,12 +777,32 @@ object Mixture {
       else perDomain0.join(
         broadcast(weights.toSeq.sortBy(_._1).toDF("domain", "__w")),
         Seq("domain"))
+    // fail fast in-plan on a zero-unique-token domain: its epochs and
+    // effective_tokens would be Infinity/NaN, poisoning the plan with
+    // no signal (a planned domain with no tokens is a data bug)
+    val guarded = weighted.withColumn("__u",
+      when(col("__u").isNull || col("__u") === 0, raise_error(concat(
+        lit("dataConstrainedPlan: domain '"), col("domain"),
+        lit("' has zero unique tokens — cannot plan epochs over it"))))
+        .otherwise(col("__u")))
     // domain-grain but read by the totals broadcast AND the output —
     // cut so the corpus tokenize runs once
-    val perDomain = graft.Materialize.cut(weighted)
+    val perDomain = graft.Materialize.cut(guarded)
+    // the weights-coverage guard rides __z (which __alloc must read,
+    // so it cannot be pruned): every weights key must name a corpus
+    // domain — a typo'd key would otherwise silently vanish from the
+    // normalization and shift every other domain's allocation
+    val zRaw = sum(col("__w").cast("decimal(30,15)")).cast("double")
+    val zGuarded =
+      if (weights.isEmpty) zRaw
+      else when(count(lit(1)) =!= weights.size, raise_error(concat(
+        lit("dataConstrainedPlan: only "), count(lit(1)).cast("string"),
+        lit(s" of ${weights.size} weight keys appear as corpus " +
+          "domains — every weights key must be present"))))
+        .otherwise(zRaw)
     val totals = broadcast(perDomain.agg(
       sum(col("__u")).cast("double").as("__tot"),
-      sum(col("__w").cast("decimal(30,15)")).cast("double").as("__z")))
+      zGuarded.as("__z")))
     val planned = perDomain.crossJoin(totals)
       .withColumn("__alloc",
         lit(budgetMultiple) * col("__tot") * (col("__w") / col("__z")))

@@ -663,7 +663,12 @@ object TextDedup {
         col("band_key"))
       .join(bandedB.select(col("id_b"), col("sig").as("sig_b"),
         col("band"), col("band_key")), Seq("band", "band_key"))
-    (if (ordered) joined.filter(col("id_a") < col("id_b")) else joined)
+    // the unordered caller is the index probe, whose contract says ids
+    // are disjoint across index and incoming; the =!= filter makes a
+    // contract violation drop the hamming-0 self-pair instead of
+    // silently reporting a document as its own near-duplicate
+    (if (ordered) joined.filter(col("id_a") < col("id_b"))
+     else joined.filter(col("id_a") =!= col("id_b")))
       .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
       .distinct()
       .withColumn("hamming",
@@ -728,7 +733,9 @@ object TextDedup {
   /** Simhash near-dup pairs between a LOADED signature index and an
     * incoming batch: only the batch is signed; the stored corpus
     * contributes its 8-byte signatures, banded in-plan. Ids must be
-    * disjoint across index and incoming. Returns (id_a = corpus id,
+    * disjoint across index and incoming — a violating id is dropped
+    * from the output (id_a =!= id_b guard) rather than reported as
+    * its own hamming-0 near-duplicate. Returns (id_a = corpus id,
     * id_b = incoming id, hamming <= maxHamming).
     */
   def simhashNearDupPairsAgainstIndex(

@@ -87,6 +87,7 @@ object ContinualAnn {
       idCol: String,
       vecCol: String,
       threshold: Double): DataFrame = {
+    require(batches.nonEmpty, "replayBatches: need at least one batch")
     var members = Materialize.cut(
       corpusAssign.select(col(idCol), col("cell"))
         .join(corpusVecs.select(col(idCol), col(vecCol)), Seq(idCol))

@@ -60,6 +60,7 @@ object ContinualCounts {
       watch: DataFrame,
       d: Int,
       w: Int): DataFrame = {
+    require(batches.nonEmpty, "replayBatches: need at least one batch")
     var sketch = emptySketch(batches.head.sparkSession)
     val steps = batches.zipWithIndex.map { case (b, i) =>
       val r = mergeAndProbe(sketch, b, itemCol, watch, d, w)

@@ -46,12 +46,14 @@ object ContinualCoverage {
       vocab: DataFrame,
       batches: Seq[DataFrame],
       textCol: String,
-      groupCol: String): DataFrame =
+      groupCol: String): DataFrame = {
+    require(batches.nonEmpty, "replayBatches: need at least one batch")
     batches.zipWithIndex.map { case (b, i) =>
       withBatchId(
         TextAnalysis.wordpieceCoverage(b, textCol, groupCol, vocab),
         i.toLong)
     }.reduce(_.unionByName(_))
+  }
 
   /** The streaming entry: `foreachBatch` measures each arriving
     * micro-batch's coverage under the frozen vocab and hands the

@@ -75,6 +75,7 @@ object ContinualDedup {
       centroids: DataFrame,
       threshold: Double,
       dim: Int = 64): DataFrame = {
+    require(batches.nonEmpty, "replayBatches: need at least one batch")
     var corpus = Materialize.cut(corpus0.select(col(idCol), col(vecCol)))
     val checked = batches.zipWithIndex.map { case (b, i) =>
       val r = checkAndAppend(corpus, b, idCol, vecCol, centroids,

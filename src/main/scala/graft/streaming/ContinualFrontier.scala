@@ -106,6 +106,7 @@ object ContinualFrontier {
       urlCol: String,
       rules: DataFrame,
       delayMs: Long): DataFrame = {
+    require(batches.nonEmpty, "replayBatches: need at least one batch")
     val spark = rules.sparkSession
     var seen = emptySeen(spark)
     var counts = emptyCounts(spark)

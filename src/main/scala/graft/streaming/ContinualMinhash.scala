@@ -90,6 +90,7 @@ object ContinualMinhash {
       bands: Int = 8,
       threshold: Double = 0.8,
       hashFn: Column => Column = TextFunctions.md5Hash60): DataFrame = {
+    require(batches.nonEmpty, "replayBatches: need at least one batch")
     val ix0 = TextDedup.buildMinhashIndex(corpus0, textCol, idCol, n,
       numHashes, bands, hashFn)
     var ix = MinhashIndex(Materialize.cut(ix0.bands),

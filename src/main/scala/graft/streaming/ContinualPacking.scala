@@ -61,6 +61,7 @@ object ContinualPacking {
   def replayBatches(
       batches: Seq[DataFrame], idCol: String, tokenCountCol: String,
       seqLen: Int): DataFrame = {
+    require(batches.nonEmpty, "replayBatches: need at least one batch")
     var state = emptyState(batches.head.sparkSession, idCol)
     val steps = batches.zipWithIndex.map { case (b, i) =>
       val r = step(state, b, idCol, tokenCountCol, seqLen)

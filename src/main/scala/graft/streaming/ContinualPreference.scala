@@ -66,6 +66,7 @@ object ContinualPreference {
       winnerCol: String,
       loserCol: String,
       rounds: Int = 5): DataFrame = {
+    require(batches.nonEmpty, "replayBatches: need at least one batch")
     var pairs = emptyPairsLike(batches.head, winnerCol, loserCol)
     val steps = batches.zipWithIndex.map { case (b, i) =>
       val r = mergeAndRate(pairs, b, winnerCol, loserCol, rounds)

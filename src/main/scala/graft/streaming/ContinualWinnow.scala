@@ -84,6 +84,7 @@ object ContinualWinnow {
       w: Int = 4,
       minShared: Int = 3,
       maxDf: Int = 50): DataFrame = {
+    require(batches.nonEmpty, "replayBatches: need at least one batch")
     var ix = Materialize.cut(
       TextDedup.winnowFingerprints(corpus0, textCol, idCol, k, w)
         .select(col(idCol).as("id"), col("pos"), col("fp")))

@@ -153,4 +153,69 @@ class ReviewRegressionSpec extends SparkSpec {
       corpus, corpus.filter($"vec_id" === 1L), "vec_id", "embedding",
       "label", k = 5).count() === 0L)
   }
+  test("validateTurns: NULL idx orders first in every engine and " +
+    "counts once in idx_gaps (twice-NULL adds one duplicate)") {
+    import graft.operators.Chat
+    val turns = Seq(
+      (1L, Option.empty[Int], "user", "a"), (1L, Some(1), "assistant", "b"),
+      (2L, Option.empty[Int], "user", "a"),
+      (2L, Option.empty[Int], "assistant", "b"))
+      .toDF("conv_id", "idx", "role", "content")
+    val got = Chat.validateTurns(turns, "conv_id", "idx", "role", "content")
+      .orderBy("conv_id").collect()
+    // conv 1: NULL idx -> sentinel orders FIRST (the user turn), so
+    // starts_with_assistant stays 0; one below-1 violation only
+    assert(got(0).getAs[Long]("idx_gaps") === 1L)
+    assert(got(0).getAs[Long]("starts_with_assistant") === 0L)
+    assert(got(0).getAs[Long]("bad_alternations") === 0L)
+    // conv 2: both idx NULL -> both below 1 (2) plus one duplicate (1)
+    assert(got(1).getAs[Long]("idx_gaps") === 3L)
+  }
+
+  test("dataConstrainedPlan fails fast on a zero-token domain and on " +
+    "a weights key absent from the corpus") {
+    import graft.operators.Mixture
+    val ok = Seq(("A", "one two three"), ("B", "four five"))
+      .toDF("src", "text")
+    val nullDom = ok.unionByName(
+      Seq(("C", Option.empty[String])).toDF("src", "text"))
+    val e1 = intercept[Exception] {
+      Mixture.dataConstrainedPlan(nullDom, "src", "text", 2.0).collect()
+    }
+    assert(e1.getMessage.contains("zero unique tokens"))
+    val e2 = intercept[Exception] {
+      Mixture.dataConstrainedPlan(ok, "src", "text", 2.0,
+        weights = Map("A" -> 1.0, "TYPO" -> 1.0)).collect()
+    }
+    assert(e2.getMessage.contains("weight keys"))
+  }
+
+  test("simhash index probe drops (never self-matches) an id present " +
+    "on both sides") {
+    import graft.functions.TextFunctions
+    val text = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val sigs = TextDedup.simhashSignatures(docs, "text", "doc_id",
+      TextFunctions.md5Hash60, bits = 60)
+      .select($"doc_id".as("id"), $"sig")
+    assert(TextDedup.simhashNearDupPairsAgainstIndex(
+      sigs, docs, "text", "doc_id", maxHamming = 8,
+      hashFn = TextFunctions.md5Hash60, bits = 60).count() === 0L)
+  }
+
+  test("continual replayBatches rejects an empty batch sequence " +
+    "instead of throwing from reduce") {
+    import graft.streaming.{ContinualCoverage, ContinualWinnow}
+    val vocab = TextAnalysis.wordpieceVocab(
+      Seq("abc abc").toDF("text"), "text")
+    val corpus0 = Seq((1L, "a b c")).toDF("id", "text")
+    val e1 = intercept[IllegalArgumentException] {
+      ContinualCoverage.replayBatches(vocab, Seq.empty, "text", "id")
+    }
+    assert(e1.getMessage.contains("at least one batch"))
+    val e2 = intercept[IllegalArgumentException] {
+      ContinualWinnow.replayBatches(corpus0, Seq.empty, "text", "id")
+    }
+    assert(e2.getMessage.contains("at least one batch"))
+  }
 }

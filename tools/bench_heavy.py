@@ -11,27 +11,71 @@ per heavy query (java -cp, no sbt), one untimed warm-up execution, then
 applies because SPARK_GRAFT_HEAVY_CUT is raised out of the way), median
 reported.
 
+The query list is the UNION of queries >= threshold in BENCH_SELF.json
+(the committed quiet-host suite run) and in the latest driver artifact
+(BENCH_r*.json) — so every driver-side mover gets a committed isolated
+rebuttal even when it stayed under the cut on the quiet host.
+
 Usage:
-  python3 tools/bench_heavy.py                 # queries >= 5 s in BENCH_SELF.json
+  python3 tools/bench_heavy.py                 # union >= 5 s
   python3 tools/bench_heavy.py --threshold 7
   python3 tools/bench_heavy.py q383_hyperanf,q316_...
 
 Each JVM runs from a scratch cwd so graft.Bench's BENCH_SELF.json side
-file never clobbers the committed suite-level artifact.
+file never clobbers the committed suite-level artifact. The output JSON
+is rewritten after every query, so a hung or killed run keeps every
+completed measurement; a per-query timeout records a sentinel row
+instead of aborting the sweep.
 """
-import json, os, subprocess, sys, time
+import glob, json, os, re, subprocess, sys, time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SCRATCH = "/tmp/bench_heavy_cwd"
 CP = f"{REPO}/target/scala-2.13/classes:/opt/spark/jars/*"
 
 
+def load_queries(path):
+    try:
+        with open(path) as f:
+            return json.load(f).get("queries", {}) or {}
+    except (OSError, ValueError):
+        return {}
+
+
+def latest_driver_bench():
+    rounds = sorted(glob.glob(f"{REPO}/BENCH_r*.json"),
+                    key=lambda p: int(re.search(r"r(\d+)", p).group(1)))
+    return rounds[-1] if rounds else None
+
+
 def pick_queries(threshold):
-    with open(f"{REPO}/BENCH_SELF.json") as f:
-        self_bench = json.load(f)
-    meds = self_bench["queries"]
-    return sorted((n for n, v in meds.items() if v >= threshold),
-                  key=lambda n: -meds[n])
+    """Union of (self >= threshold, latest driver >= threshold)."""
+    self_q = load_queries(f"{REPO}/BENCH_SELF.json")
+    driver = latest_driver_bench()
+    driver_q = load_queries(driver) if driver else {}
+    names = {n for n, v in self_q.items()
+             if isinstance(v, (int, float)) and v >= threshold}
+    names |= {n for n, v in driver_q.items()
+              if isinstance(v, (int, float)) and v >= threshold
+              and n in load_all_names()}
+    src = {"self": f"{REPO}/BENCH_SELF.json", "driver": driver}
+
+    def key(n):
+        return -max(self_q.get(n, 0) if isinstance(self_q.get(n, 0),
+                                                   (int, float)) else 0,
+                    driver_q.get(n, 0) if isinstance(driver_q.get(n, 0),
+                                                     (int, float)) else 0)
+    return sorted(names, key=key), src
+
+
+def load_all_names():
+    """Registered query names — guards against stale driver keys for
+    queries renamed/removed since the driver artifact was written."""
+    names = set()
+    for p in glob.glob(f"{REPO}/src/main/scala/graft/queries/*.scala"):
+        with open(p) as f:
+            names |= set(re.findall(r'"(q\d+[a-z0-9_]*)"', f.read()))
+    return names
 
 
 def run_one(name, sf):
@@ -44,9 +88,15 @@ def run_one(name, sf):
                SPARK_GRAFT_BENCH_SOFT_BUDGET="1000000000",
                SPARK_GRAFT_BENCH_HARD_BUDGET="1000000000")
     t0 = time.time()
-    p = subprocess.run(
-        ["java", "-cp", CP, "graft.Bench"],
-        cwd=SCRATCH, env=env, capture_output=True, text=True, timeout=1200)
+    try:
+        p = subprocess.run(
+            ["java", "-cp", CP, "graft.Bench"],
+            cwd=SCRATCH, env=env, capture_output=True, text=True,
+            timeout=1200)
+    except subprocess.TimeoutExpired:
+        return {"median": -1.0, "trials": [],
+                "jvm_wall_sec": round(time.time() - t0, 1),
+                "timeout": True}
     wall = time.time() - t0
     for line in p.stdout.splitlines():
         if '"trials"' in line:
@@ -69,20 +119,22 @@ def main():
         else:
             names = a.split(",")
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    src = None
     if names is None:
-        names = pick_queries(threshold)
+        names, src = pick_queries(threshold)
     os.makedirs(SCRATCH, exist_ok=True)
     out = {"sf": sf, "method": "one fresh JVM per query (java -cp, "
            "scratch cwd), 1 untimed warm-up + 3 timed trials "
            "(5 on >3x spread), median", "threshold": threshold,
-           "queries": {}}
+           "sources": src, "queries": {}}
     for i, name in enumerate(names):
         r = run_one(name, sf)
         out["queries"][name] = r
         print(f"[{i + 1}/{len(names)}] {name}: median={r['median']} "
               f"trials={r['trials']}", flush=True)
-    with open(f"{REPO}/BENCH_HEAVY_SELF.json", "w") as f:
-        json.dump(out, f, indent=1)
+        # incremental write: a hung/killed later query loses nothing
+        with open(f"{REPO}/BENCH_HEAVY_SELF.json", "w") as f:
+            json.dump(out, f, indent=1)
     print(f"wrote {REPO}/BENCH_HEAVY_SELF.json ({len(names)} queries)")
 
 
