@@ -53,6 +53,34 @@ object WarcPipeline {
       kept: DataFrame,
       audit: Seq[(String, Long)])
 
+  /** Stages 1–3 of the chain — WARC.gz member walk → HTTP 200
+    * text/html bodies → boilerplate-filtered text extraction →
+    * quality + language gate. One source of truth shared by the batch
+    * capstone ([[run]]) and the continual crawl service
+    * ([[graft.streaming.ContinualCrawl]]), so the two products can
+    * never drift apart on extraction semantics.
+    *
+    * @return (extracted, gated) — both (media_id, text), both cut
+    *         (the gate and every downstream consumer read
+    *         materialized blocks, never re-walk the archive bytes)
+    */
+  def extractAndGate(
+      media: Dataset[Multimodal.MediaRow],
+      cfg: WarcPipelineConfig = WarcPipelineConfig()):
+      (DataFrame, DataFrame) = {
+    val bodies = Multimodal.warcGzResponseBodies(media).toDF()
+      .filter(col("status") === 200 && col("content_type") === "text/html")
+    val extracted = Materialize.cut(
+      TextPrep.extractText(bodies, "media_id", "body")
+        .select(col("media_id"), col("text")))
+    val gated = Materialize.cut(
+      TextAnalysis.qualityScore(extracted, "text")
+        .filter(col("quality_score") >= cfg.minQuality &&
+          TextAnalysis.languageId(col("text")).isInCollection(cfg.langs))
+        .select(col("media_id"), col("text")))
+    (extracted, gated)
+  }
+
   /** @param media      the crawl: one row per fetched WARC.gz archive
     *                   (media_id must be disjoint from the index's ids)
     * @param dedupIndex LOADED persisted minhash index of the
@@ -74,18 +102,8 @@ object WarcPipeline {
     val audit = Seq.newBuilder[(String, Long)]
     if (withAudit) audit += ("media" -> media.count())
 
-    val bodies = Multimodal.warcGzResponseBodies(media).toDF()
-      .filter(col("status") === 200 && col("content_type") === "text/html")
-    val extracted = Materialize.cut(
-      TextPrep.extractText(bodies, "media_id", "body")
-        .select(col("media_id"), col("text")))
+    val (extracted, gated) = extractAndGate(media, cfg)
     if (withAudit) audit += ("extracted" -> extracted.count())
-
-    val gated = Materialize.cut(
-      TextAnalysis.qualityScore(extracted, "text")
-        .filter(col("quality_score") >= cfg.minQuality &&
-          TextAnalysis.languageId(col("text")).isInCollection(cfg.langs))
-        .select(col("media_id"), col("text")))
     if (withAudit) audit += ("gated" -> gated.count())
 
     // the incoming batch signs itself; the corpus side is the loaded

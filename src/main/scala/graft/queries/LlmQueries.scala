@@ -6587,6 +6587,96 @@ ${round("b2", "c2", 2)}
     * accumulated index, >= 3 shared pruned fingerprints = overlap,
     * matched_id = smallest overlapping corpus id.
     */
+  /** Continual simhash near-dup stream
+    * ([[graft.streaming.ContinualSimhash.replayBatches]]): the q449
+    * fixture under the THIRD dedup family — corpus docs (doc_id % 8
+    * = 1) seed the signature index, batch 1 (% 8 = 2) probes and its
+    * survivors fold in, batch 2 (% 8 = 3 plus exact clones of early
+    * corpus AND batch-1 docs) must match both the initial corpus and
+    * batch-1 SURVIVORS (the batch-ordering contract). 60-bit md5
+    * signatures, 4×15-bit bands, Hamming <= 8 — engine-independent,
+    * so the oracle replays both phases exactly: the accumulated index
+    * after batch 1 is corpus + batch-1 survivors, nothing else.
+    * Completes the batch / persisted / continual 3×3 across all three
+    * dedup families (minhash q441, winnow q449, simhash here).
+    */
+  val q454ContinualSimhash = HarnessQuery(
+    "q454_continual_simhash",
+    (spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val corpus0 = docs.filter(pmod(col("doc_id"), lit(8L)) === 1)
+      val b1 = docs.filter(pmod(col("doc_id"), lit(8L)) === 2)
+      val clones = docs
+        .filter((pmod(col("doc_id"), lit(8L)) === 1 ||
+          pmod(col("doc_id"), lit(8L)) === 2) && col("doc_id") < 40)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      val b2 = docs.filter(pmod(col("doc_id"), lit(8L)) === 3)
+        .unionByName(clones)
+      graft.streaming.ContinualSimhash.replayBatches(
+        corpus0, Seq(b1, b2), "text", "doc_id",
+        maxHamming = 8, hashFn = TextFunctions.md5Hash60, bits = 60)
+        .orderBy(col("batch_id"), col("doc_id"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 8 IN (1, 2, 3)
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents
+        WHERE doc_id % 8 IN (1, 2) AND doc_id < 40),
+      tok AS (SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+              FROM base),
+      h AS (SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS hv
+            FROM tok),
+      votes AS (SELECT doc_id, b.b,
+                       sum(CASE WHEN (hv >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+                FROM h, generate_series(0, 59) b(b) GROUP BY 1, 2),
+      sig AS MATERIALIZED (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sig
+        FROM votes GROUP BY doc_id),
+      bnd AS MATERIALIZED (
+        SELECT s.doc_id, s.sig, g.b AS band,
+               (s.sig >> (g.b * 15)) & 32767 AS band_key
+        FROM sig s, generate_series(0, 3) g(b)),
+      c0 AS (SELECT doc_id FROM base
+             WHERE doc_id < 1000000 AND doc_id % 8 = 1),
+      b1 AS (SELECT doc_id FROM base
+             WHERE doc_id < 1000000 AND doc_id % 8 = 2),
+      b2 AS (SELECT doc_id FROM base
+             WHERE doc_id >= 1000000 OR doc_id % 8 = 3),
+      cand1 AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                       a.sig AS sig_a, b.sig AS sig_b
+                FROM bnd a JOIN bnd b
+                  ON a.band = b.band AND a.band_key = b.band_key
+                WHERE a.doc_id IN (SELECT doc_id FROM c0)
+                  AND b.doc_id IN (SELECT doc_id FROM b1)),
+      hit1 AS (SELECT id_b, min(id_a) AS matched_id FROM cand1
+               WHERE bit_count(xor(sig_a, sig_b)) <= 8 GROUP BY 1),
+      v1 AS (SELECT b.doc_id, CAST(0 AS BIGINT) AS batch_id,
+                    h.id_b IS NOT NULL AS is_dup,
+                    CAST(h.matched_id AS BIGINT) AS matched_id
+             FROM b1 b LEFT JOIN hit1 h ON h.id_b = b.doc_id),
+      acc2 AS (SELECT doc_id FROM c0
+               UNION ALL
+               SELECT doc_id FROM v1 WHERE NOT is_dup),
+      cand2 AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                       a.sig AS sig_a, b.sig AS sig_b
+                FROM bnd a JOIN bnd b
+                  ON a.band = b.band AND a.band_key = b.band_key
+                WHERE a.doc_id IN (SELECT doc_id FROM acc2)
+                  AND b.doc_id IN (SELECT doc_id FROM b2)),
+      hit2 AS (SELECT id_b, min(id_a) AS matched_id FROM cand2
+               WHERE bit_count(xor(sig_a, sig_b)) <= 8 GROUP BY 1),
+      v2 AS (SELECT b.doc_id, CAST(1 AS BIGINT) AS batch_id,
+                    h.id_b IS NOT NULL AS is_dup,
+                    CAST(h.matched_id AS BIGINT) AS matched_id
+             FROM b2 b LEFT JOIN hit2 h ON h.id_b = b.doc_id)
+      SELECT doc_id, batch_id, is_dup, matched_id
+      FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+      ORDER BY batch_id, doc_id
+    """.trim))
+
   val q449ContinualWinnow = HarnessQuery(
     "q449_continual_winnow",
     (spark, dir) => {
@@ -7863,7 +7953,8 @@ ${round("b2", "c2", 2)}
     q409CrawlPipeline, q410CrawlDelays, q412ContinualFrontier,
     q415UrlFilter,
     q338Winnowing, q339WinnowOverlap, q348WinnowIncremental,
-    q445WinnowPersisted, q449ContinualWinnow, q350LineDedup,
+    q445WinnowPersisted, q449ContinualWinnow, q454ContinualSimhash,
+    q350LineDedup,
     q354TextRank, q356Waterfill, q362TokenizerFertility, q363HeapsFit,
     q210PhashClusters,
     q50TextStats, q51TokenCount, q52LangQuality, q53Fingerprint,

@@ -1255,7 +1255,8 @@ object WorkloadQueries {
     q248JwLinkage, q249MutualInfo, q271SegmentFdr, q365ShardPlan,
     q423ChatTemplate, q425PackedChats, q436TokenMask, q437PackedTokens,
     q439PackedTokenMasks, q446WarcCapstone, q447CapstoneAudit,
-    q451ChatLint)
+    q451ChatLint, q453SftCapstone, q455SftCapstoneAudit,
+    q456ContinualCrawl)
 
   /** Conversation packing with re-based loss masks
     * ([[Chat.packConversations]] over [[Chat.chatTemplate]]): the full
@@ -1932,6 +1933,244 @@ object WorkloadQueries {
       FROM b ORDER BY conv_id
     """.trim))
 
+  /** q436's oracle prefix splits at its conversation fixture: the
+    * WordPiece-vocabulary chain (everything before `docs8`) and the
+    * tokenization chain (`wl` onward) are shared VERBATIM by the SFT
+    * capstone below, which swaps in the LINT-GATED conversation
+    * fixture between them — one source of truth for the tokenizer
+    * replay, so the chains cannot drift apart.
+    */
+  private val wpVocabSql: String =
+    tokenMaskPrefixSql.substring(0, tokenMaskPrefixSql.indexOf("docs8 AS ("))
+  private val tokenizeChainSql: String =
+    tokenMaskPrefixSql.substring(tokenMaskPrefixSql.indexOf("wl AS ("))
+
+  /** The q451 malformed-turn fixture, linted and gated in SQL: only
+    * conversations passing every validateTurns check reach rendering
+    * — the `conv` CTE this emits feeds the shared tokenization chain.
+    */
+  private val sftLintedConvSql: String = """turnsx AS (
+        SELECT CAST(floor(doc_id / 4) AS BIGINT) AS conv_id,
+               CASE WHEN doc_id % 37 = 0 THEN 1
+                    ELSE CAST(doc_id % 4 + 1 AS INT) END AS idx,
+               CASE WHEN CAST(floor(doc_id / 4) AS BIGINT) % 31 = 0
+                      THEN 'user'
+                    WHEN doc_id % 29 = 0 THEN 'user'
+                    WHEN doc_id % 2 = 1 THEN 'assistant'
+                    ELSE 'user' END AS role,
+               CASE WHEN doc_id % 23 = 0 THEN ' '
+                    ELSE array_to_string(
+                      (regexp_split_to_array(trim(lower(text)), '\s+'))[1:8],
+                      ' ') END AS content
+        FROM documents),
+      lo AS (
+        SELECT *,
+               lag(role) OVER (PARTITION BY conv_id
+                 ORDER BY idx, role, content) AS prev_role,
+               row_number() OVER (PARTITION BY conv_id
+                 ORDER BY idx, role, content) AS rn
+        FROM turnsx),
+      la AS (
+        SELECT conv_id,
+               count(*) AS n_turns,
+               sum(CASE WHEN prev_role IS NOT NULL
+                 AND prev_role = role THEN 1 ELSE 0 END)
+                 AS bad_alternations,
+               sum(CASE WHEN content IS NULL
+                 OR length(trim(content)) = 0 THEN 1 ELSE 0 END)
+                 AS empty_turns,
+               max(CASE WHEN rn = 1 AND role = 'assistant'
+                 THEN 1 ELSE 0 END) AS starts_with_assistant,
+               CASE WHEN sum(CASE WHEN role = 'assistant'
+                 THEN 1 ELSE 0 END) = 0 THEN 1 ELSE 0 END
+                 AS no_assistant,
+               count(DISTINCT idx) AS nd,
+               sum(CASE WHEN idx >= 1 THEN 1 ELSE 0 END) AS ge1,
+               max(idx) AS mx
+        FROM lo GROUP BY 1),
+      vgate AS MATERIALIZED (
+        SELECT conv_id FROM la
+        WHERE (n_turns - nd) + (n_turns - ge1)
+                + CASE WHEN mx > n_turns THEN mx - n_turns ELSE 0 END = 0
+          AND bad_alternations = 0 AND empty_turns = 0
+          AND starts_with_assistant = 0 AND no_assistant = 0),
+      gturns AS (
+        SELECT t.* FROM turnsx t JOIN vgate USING (conv_id)),
+      seg AS (
+        SELECT conv_id, idx, role,
+               '<|' || role || '|>' || content AS seg,
+               length(content) AS clen,
+               length(role) + 4 AS hlen
+        FROM gturns),
+      soff AS (
+        SELECT *,
+               COALESCE(sum(length(seg) + 1) OVER (
+                 PARTITION BY conv_id ORDER BY idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS o
+        FROM seg),
+      conv AS MATERIALIZED (
+        SELECT conv_id,
+               string_agg(seg, chr(10) ORDER BY idx) AS text,
+               COALESCE(string_agg(
+                 CAST(o + hlen AS VARCHAR) || ':'
+                   || CAST(o + hlen + clen AS VARCHAR), ';'
+                 ORDER BY idx) FILTER (WHERE role = 'assistant'), '')
+                 AS mask_spans
+        FROM soff GROUP BY 1),
+      """
+
+  /** q439's packing chain (token-budget 120, shard = conv_id % 8)
+    * down to the per-conversation pack rows — shared by the capstone
+    * result (q453) and its yield audit (q455).
+    */
+  private val sftPackChainSql: String = """,
+      runs AS (
+        SELECT conv_id, min(ti) AS s, max(ti) + 1 AS e FROM (
+          SELECT conv_id, ti,
+                 ti - row_number() OVER (PARTITION BY conv_id
+                   ORDER BY ti) AS grp
+          FROM mid WHERE masked)
+        GROUP BY conv_id, grp),
+      rstr AS (
+        SELECT conv_id,
+               string_agg(CAST(s AS VARCHAR) || ':' || CAST(e AS VARCHAR),
+                 ';' ORDER BY s) AS tspans
+        FROM runs GROUP BY 1),
+      pconv AS (
+        SELECT a.conv_id, a.n_tokens, a.token_ids,
+               COALESCE(r.tspans, '') AS tspans,
+               a.conv_id % 8 AS shard
+        FROM agg a LEFT JOIN rstr r USING (conv_id)),
+      prun AS (
+        SELECT *, sum(n_tokens) OVER (PARTITION BY shard
+                 ORDER BY conv_id) AS e
+        FROM pconv),
+      pbin AS (
+        SELECT *,
+               CAST(floor((e - n_tokens) / 120) AS BIGINT) AS bin
+        FROM prun),
+      ptoff AS (
+        SELECT *,
+               COALESCE(sum(n_tokens) OVER (
+                 PARTITION BY shard, bin ORDER BY conv_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS toff
+        FROM pbin),
+      psh AS (
+        SELECT shard, bin, conv_id, n_tokens, token_ids,
+               array_to_string(list_transform(
+                 list_filter(string_split(tspans, ';'),
+                   x -> x <> ''),
+                 x -> CAST(CAST(string_split(x, ':')[1] AS BIGINT)
+                        + toff AS VARCHAR)
+                      || ':' ||
+                      CAST(CAST(string_split(x, ':')[2] AS BIGINT)
+                        + toff AS VARCHAR)), ';') AS sspans
+        FROM ptoff)"""
+
+  /** Shared oracle prefix for q453/q455: the ENTIRE instruction-data
+    * chain in one recursive SQL statement — vocabulary training (the
+    * q422/q428 chain), the q451 malformed-turn fixture linted and
+    * gated, chat-template rendering with char spans (the q423 chain),
+    * the full WordPiece tokenization + token-mask replay (the q436
+    * chain), and token-budget packing with token-offset re-based
+    * spans (the q439 chain).
+    */
+  private val sftCapstonePrefixSql: String =
+    wpVocabSql + sftLintedConvSql + tokenizeChainSql + sftPackChainSql
+
+  /** Build the persisted vocabulary and run the SFT capstone
+    * ([[graft.pipeline.SftPipeline]]) over the q451 malformed-turn
+    * fixture — raw role-tagged turns in, token-budget packs with
+    * re-based TOKEN-index loss masks out, with the lint gate dropping
+    * every planted malformation on the way.
+    */
+  private def runSftCapstone(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      withAudit: Boolean): graft.pipeline.SftPipeline.SftPipelineResult = {
+    val vPath = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_q453_wordpiece")
+      .getAbsolutePath
+    val docs = Tables.documents(spark, dir)
+    TokenizerStore.saveWordpieceVocab(
+      TextAnalysis.wordpieceVocab(docs, "text"), vPath)
+    val turns = docs.select(
+      floor(col("doc_id") / 4).cast("long").as("conv_id"),
+      when(pmod(col("doc_id"), lit(37L)) === 0, lit(1))
+        .otherwise((pmod(col("doc_id"), lit(4L)) + 1).cast("int"))
+        .as("idx"),
+      when(pmod(floor(col("doc_id") / 4), lit(31L)) === 0, lit("user"))
+        .otherwise(when(pmod(col("doc_id"), lit(29L)) === 0,
+          lit("user"))
+          .otherwise(when(pmod(col("doc_id"), lit(2L)) === 1,
+            lit("assistant")).otherwise(lit("user")))).as("role"),
+      when(pmod(col("doc_id"), lit(23L)) === 0, lit(" "))
+        .otherwise(array_join(
+          slice(split(trim(lower(col("text"))), "\\s+"), 1, 8), " "))
+        .as("content"))
+    graft.pipeline.SftPipeline.run(turns,
+      TokenizerStore.loadWordpieceVocab(spark, vPath),
+      "conv_id", "idx", "role", "content",
+      graft.pipeline.SftPipeline.SftPipelineConfig(
+        targetTokens = 120, shards = 8),
+      withAudit = withAudit)
+  }
+
+  /** The instruction-data CAPSTONE ([[graft.pipeline.SftPipeline]]):
+    * SFT lint gate → chat-template rendering → token loss masks under
+    * the PERSISTED WordPiece vocabulary → token-budget packs with
+    * re-based token-index mask spans — raw turn tables in, trainer
+    * sequences out, every stage an individually-oracled operator
+    * (q451/q423/q436/q439) and the whole chain replayed end to end in
+    * ONE SQL statement. The q446 twin for instruction data: stage
+    * composition (mask re-basing across packs, lint-gate id domains,
+    * token-count coverage) is where chaining bugs hide, and this
+    * query pins the composition itself.
+    */
+  val q453SftCapstone = HarnessQuery(
+    "q453_sft_capstone",
+    (spark, dir) => runSftCapstone(spark, dir, withAudit = false)
+      .packs.orderBy(col("shard"), col("bin")),
+    Some(s"""$sftCapstonePrefixSql
+      SELECT CAST(shard AS BIGINT) AS shard, bin,
+             CAST(count(*) AS BIGINT) AS n_convs,
+             CAST(sum(n_tokens) AS BIGINT) AS packed_tokens,
+             string_agg(token_ids, ',' ORDER BY conv_id) AS token_ids,
+             COALESCE(string_agg(sspans, ';' ORDER BY conv_id)
+               FILTER (WHERE sspans <> ''), '') AS token_mask_spans
+      FROM psh GROUP BY 1, 2
+      ORDER BY shard, bin
+    """.trim))
+
+  /** The SFT capstone's per-stage yield audit (the q447 discipline):
+    * turns → valid_convs → rendered → masked → packs row counts,
+    * replayed by the same oracle chain — where the corpus' volume
+    * went, stage by stage, including how many conversations the lint
+    * gate dropped.
+    */
+  val q455SftCapstoneAudit = HarnessQuery(
+    "q455_sft_capstone_audit",
+    (spark, dir) => {
+      import spark.implicits._
+      runSftCapstone(spark, dir, withAudit = true).audit.zipWithIndex
+        .map { case ((stage, n), i) => (i.toLong, stage, n) }
+        .toDF("ord", "stage", "n")
+        .orderBy(col("ord"))
+    },
+    Some(s"""$sftCapstonePrefixSql
+      SELECT * FROM (
+        SELECT CAST(0 AS BIGINT) AS ord, 'turns' AS stage,
+               (SELECT count(*) FROM turnsx) AS n
+        UNION ALL SELECT 1, 'valid_convs', (SELECT count(*) FROM vgate)
+        UNION ALL SELECT 2, 'rendered', (SELECT count(*) FROM conv)
+        UNION ALL SELECT 3, 'masked', (SELECT count(*) FROM agg)
+        UNION ALL SELECT 4, 'packs',
+          (SELECT count(*) FROM (SELECT DISTINCT shard, bin FROM pbin))
+      ) ORDER BY ord
+    """.trim))
+
+
   /** Build the crawl fixture + persisted artifacts and run the
     * WARC.gz → packed-tokens capstone ([[graft.pipeline.WarcPipeline]]).
     *
@@ -2267,5 +2506,177 @@ object WorkloadQueries {
           (SELECT count(*) FROM (SELECT shard, bin FROM pbin
                                  GROUP BY 1, 2))
       ) ORDER BY ord
+    """.trim))
+
+  /** The q446 oracle prefix, split for reuse by the continual crawl
+    * service (q456): the vocabulary chain, the HTML-fixture
+    * extraction + quality/language gate (reads a `crawl` CTE), the
+    * corpus shingle table, and the survivor token-count chain (reads
+    * a `surv` CTE) are shared VERBATIM — q456 swaps in its two-batch
+    * crawl fixture and the two-phase accumulated-index dedup between
+    * them, so the batch and streaming products replay the same
+    * extraction/gate/count semantics from one source of truth.
+    */
+  private val warcVocabSql: String =
+    warcCapstonePrefixSql.substring(
+      0, warcCapstonePrefixSql.indexOf("crawl AS ("))
+  private val warcExtractGateSql: String =
+    warcCapstonePrefixSql.substring(
+      warcCapstonePrefixSql.indexOf("\n      h AS ("),
+      warcCapstonePrefixSql.indexOf("\n      corpsh AS ("))
+  private val warcCorpusShSql: String =
+    warcCapstonePrefixSql.substring(
+      warcCapstonePrefixSql.indexOf("\n      corpsh AS ("),
+      warcCapstonePrefixSql.indexOf("\n      incsh AS ("))
+  private val warcTokenCountSql: String =
+    warcCapstonePrefixSql.substring(
+      warcCapstonePrefixSql.indexOf("\n      tw AS ("),
+      warcCapstonePrefixSql.indexOf("\n      conv2 AS ("))
+
+  /** The streaming twin of the crawl capstone
+    * ([[graft.streaming.ContinualCrawl.replayBatches]]): the q446
+    * WARC.gz fixture split into two arriving batches — batch 1 the
+    * doc_id % 20 = 0 crawl docs as their own archives; batch 2 the
+    * % 20 = 10 docs (media ids + 500000, keeping ids globally
+    * increasing for the packing contract) PLUS exact clones of the
+    * % 40 = 0 batch-1 docs (+ 1000000), which must match either their
+    * batch-1 SURVIVOR original or the same corpus doc the original
+    * matched (the batch-ordering contract). Each batch runs the whole
+    * chain: extraction + gate (the q446 code path), probe against the
+    * ACCUMULATED minhash index seeded from the PERSISTED corpus index
+    * (survivors fold in), token counts under the FROZEN q428
+    * vocabulary, and sequence packing with RUNNING global offsets
+    * (seqLen 512, ContinualPacking's 1-row state). One manifest row
+    * per gated doc: dedup verdict + (for survivors) pack placement.
+    * The oracle replays both phases brute-force (the q441 dedup
+    * discipline) and the global offset cumsum in (batch, media) order.
+    */
+  val q456ContinualCrawl = HarnessQuery(
+    "q456_continual_crawl",
+    (spark, dir) => {
+      import spark.implicits._
+      import graft.operators.Multimodal
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rmrf)
+        f.delete(); ()
+      }
+      val ixPath = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q456_minhash_index")
+      rmrf(ixPath)
+      val docs = Tables.documents(spark, dir)
+      // the persisted corpus index: the q446 corpus (evens excluding
+      // crawl docs), saved then LOADED — the service starts from the
+      // object-storage artifact, exactly as a deployment would
+      TextDedup.saveMinhashIndex(
+        docs.filter(pmod(col("doc_id"), lit(2L)) === 0 &&
+          pmod(col("doc_id"), lit(10L)) =!= 0),
+        "text", "doc_id", ixPath.getAbsolutePath,
+        hashFn = graft.functions.TextFunctions.fastHash)
+      val vocab = TextAnalysis.wordpieceVocab(docs, "text")
+      def mediaOf(sel: org.apache.spark.sql.DataFrame) =
+        sel.as[(Long, String)].map { case (id, text) =>
+          val html = "<html><head><script>var x = 1;</script></head>" +
+            "<body><div class=\"nav\"><a href=\"/\">Home</a></div>" +
+            "<p>" + text + "</p></body></html>"
+          val ok = "HTTP/1.1 200 OK\r\n" +
+            "Content-Type: text/html; charset=utf-8\r\n\r\n" + html
+          Multimodal.MediaRow(id,
+            Multimodal.gzipMembersBytes(Seq(
+              Multimodal.warcBytesRaw(Seq(
+                ("response", s"https://d$id.example/", ok))),
+              Multimodal.warcBytesRaw(Seq(
+                ("request", s"https://d$id.example/", ""))))),
+            "application/warc", -1, -1)
+        }
+      val b1 = mediaOf(docs.filter(pmod(col("doc_id"), lit(20L)) === 0)
+        .select(col("doc_id"), col("text")))
+      val b2 = mediaOf(
+        docs.filter(pmod(col("doc_id"), lit(20L)) === 10)
+          .select((col("doc_id") + 500000L).as("doc_id"), col("text"))
+          .unionByName(
+            docs.filter(pmod(col("doc_id"), lit(40L)) === 0)
+              .select((col("doc_id") + 1000000L).as("doc_id"),
+                col("text"))))
+      // crosses_boundary / append_ok stay in the library manifest but
+      // are projected out here: nullable BOOLEAN columns hash
+      // differently across engines' null stringifications, and both
+      // are derivable (crosses = n_seqs_spanned > 1; append_ok is
+      // all-true under the fixture's increasing media ids)
+      graft.streaming.ContinualCrawl.replayBatches(
+        TextDedup.loadMinhashIndex(spark, ixPath.getAbsolutePath),
+        vocab, Seq(b1, b2))
+        .drop("crosses_boundary", "append_ok")
+        .orderBy(col("batch_id"), col("media_id"))
+    },
+    Some(s"""${warcVocabSql}crawl AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0
+        UNION ALL
+        SELECT doc_id + 500000, text FROM documents
+        WHERE doc_id % 20 = 10
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents
+        WHERE doc_id % 40 = 0),$warcExtractGateSql$warcCorpusShSql
+      ish AS MATERIALIZED (
+        SELECT doc_id, list_distinct(list_transform(
+          generate_series(1, len(regexp_split_to_array(trim(lower(text)), '\\s+')) - 2),
+          i -> array_to_string((regexp_split_to_array(trim(lower(text)), '\\s+'))[i:i+2], ' ')))
+          AS sh
+        FROM gated),
+      i1 AS (SELECT * FROM ish WHERE doc_id < 500000),
+      i2 AS (SELECT * FROM ish WHERE doc_id >= 500000),
+      hit1 AS (SELECT b.doc_id, min(a.doc_id) AS m
+               FROM i1 b JOIN corpsh a
+                 ON CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                    len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+               GROUP BY 1),
+      v1 AS MATERIALIZED (
+        SELECT g.doc_id, CAST(0 AS BIGINT) AS batch_id,
+               h.m IS NOT NULL AS is_dup, h.m AS matched_id
+        FROM i1 g LEFT JOIN hit1 h USING (doc_id)),
+      acc2 AS (SELECT doc_id, sh FROM corpsh
+               UNION ALL
+               SELECT i.doc_id, i.sh FROM i1 i JOIN v1 v
+                 ON v.doc_id = i.doc_id AND NOT v.is_dup),
+      hit2 AS (SELECT b.doc_id, min(a.doc_id) AS m
+               FROM i2 b JOIN acc2 a
+                 ON CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                    len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+               GROUP BY 1),
+      v2 AS MATERIALIZED (
+        SELECT g.doc_id, CAST(1 AS BIGINT) AS batch_id,
+               h.m IS NOT NULL AS is_dup, h.m AS matched_id
+        FROM i2 g LEFT JOIN hit2 h USING (doc_id)),
+      verd AS MATERIALIZED (
+        SELECT * FROM v1 UNION ALL SELECT * FROM v2),
+      surv AS MATERIALIZED (
+        SELECT g.doc_id, g.text FROM gated g JOIN verd v
+          ON v.doc_id = g.doc_id AND NOT v.is_dup),$warcTokenCountSql
+      ordq AS (
+        SELECT v.batch_id, v.doc_id, c.n_tokens
+        FROM verd v JOIN cnts c USING (doc_id)
+        WHERE NOT v.is_dup),
+      poff AS (
+        SELECT batch_id, doc_id, n_tokens,
+               COALESCE(sum(n_tokens) OVER (
+                 ORDER BY batch_id, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS start_offset
+        FROM ordq),
+      pm AS (
+        SELECT batch_id, doc_id, n_tokens, start_offset,
+               start_offset // 512 AS first_seq,
+               CASE WHEN n_tokens > 0
+                 THEN (start_offset + n_tokens - 1) // 512
+                 ELSE start_offset // 512 END AS last_seq,
+               start_offset % 512 AS offset_in_seq
+        FROM poff)
+      SELECT v.batch_id, v.doc_id AS media_id, v.is_dup,
+             CAST(v.matched_id AS BIGINT) AS matched_id,
+             p.n_tokens, p.start_offset, p.first_seq, p.last_seq,
+             p.offset_in_seq,
+             CASE WHEN p.doc_id IS NULL THEN NULL
+               ELSE p.last_seq - p.first_seq + 1 END AS n_seqs_spanned
+      FROM verd v LEFT JOIN pm p ON p.doc_id = v.doc_id
+      ORDER BY v.batch_id, media_id
     """.trim))
 }

@@ -845,6 +845,172 @@ class StreamingSpec extends SparkSpec {
     assert(v3.map(v => (v._1, v._3, v._4)) === Seq((3L, true, 2L)))
   }
 
+  test("continual simhash dedup: the foreachBatch stream equals the " +
+    "batch replay, and batch-1 survivors block batch-2 arrivals") {
+    import graft.streaming.ContinualSimhash
+    implicit val sqlCtx = spark.sqlContext
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val other = (100 to 140).map(i => s"v$i").mkString(" ")
+    val fresh = (200 to 240).map(i => s"u$i").mkString(" ")
+    val corpus0 = Seq((100L, base)).toDF("id", "text")
+    // batch 1: id 1 duplicates corpus 100 exactly (hamming 0 — the
+    // deterministic case); id 2 is new content
+    val batch1 = Seq((1L, base), (2L, other))
+    // batch 2: id 3 duplicates SURVIVOR 2; id 4 is new
+    val batch2 = Seq((3L, other), (4L, fresh))
+    type Verdict = (Long, Long, Boolean, Any)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Verdict] =
+      df.collect().map(r => (r.getAs[Long]("id"),
+        r.getAs[Long]("batch_id"), r.getAs[Boolean]("is_dup"),
+        r.getAs[Any]("matched_id"))).toSet
+
+    val streamed = scala.collection.mutable.ArrayBuffer.empty[Verdict]
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("id", "text")
+    val q = ContinualSimhash.start(stream, corpus0, "text", "id") {
+      checked => streamed ++= rows(checked)
+    }
+    mem.addData(batch1: _*)
+    q.processAllAvailable()
+    mem.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val replayed = rows(ContinualSimhash.replayBatches(corpus0,
+      Seq(batch1.toDF("id", "text"), batch2.toDF("id", "text")),
+      "text", "id"))
+    assert(streamed.toSet === replayed)
+    val verdicts = replayed.map(v => v._1 -> ((v._3, v._4))).toMap
+    assert(verdicts(1L) === ((true, 100L)))
+    assert(verdicts(2L) === ((false, null)))
+    assert(verdicts(3L) === ((true, 2L))) // matched a batch-1 survivor
+    assert(verdicts(4L) === ((false, null)))
+  }
+
+  test("continual simhash dedup: a re-delivered batch id does not " +
+    "re-emit or re-append its survivors") {
+    import graft.streaming.ContinualSimhash
+    import graft.functions.TextFunctions
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val other = (100 to 140).map(i => s"v$i").mkString(" ")
+    val corpus0 = Seq((100L, base)).toDF("id", "text")
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Boolean, Any)]
+    val step = ContinualSimhash.batchStep(corpus0, "text", "id",
+      maxHamming = 8, hashFn = TextFunctions.md5Hash60, bits = 60) {
+      checked =>
+      got ++= checked.collect().map(r => (r.getAs[Long]("id"),
+        r.getAs[Long]("batch_id"), r.getAs[Boolean]("is_dup"),
+        r.getAs[Any]("matched_id")))
+    }
+    val b0 = Seq((2L, other)).toDF("id", "text")
+    step(b0, 0L)
+    step(b0, 0L) // re-delivery: survivor 2 must not re-enter the index
+    step(Seq((3L, other)).toDF("id", "text"), 1L)
+    assert(got.count(_._2 == 0L) === 1)
+    val v3 = got.filter(_._2 == 1L)
+    assert(v3.map(v => (v._1, v._3, v._4)) === Seq((3L, true, 2L)))
+  }
+
+  private def crawlMediaRow(id: Long, text: String)
+      : graft.operators.Multimodal.MediaRow = {
+    import graft.operators.Multimodal
+    val html = "<p>" + text + "</p>"
+    val ok = "HTTP/1.1 200 OK\r\n" +
+      "Content-Type: text/html; charset=utf-8\r\n\r\n" + html
+    Multimodal.MediaRow(id,
+      Multimodal.gzipMembersBytes(Seq(
+        Multimodal.warcBytesRaw(Seq(("response", s"https://d$id/", ok))),
+        Multimodal.warcBytesRaw(Seq(("request", s"https://d$id/", ""))))),
+      "application/warc", -1, -1)
+  }
+
+  test("continual crawl service: the stream equals the batch replay; " +
+    "batch-2 dups match batch-1 survivors and offsets keep running") {
+    import graft.functions.TextFunctions
+    import graft.operators.{Multimodal, TextAnalysis, TextDedup}
+    import graft.streaming.ContinualCrawl
+    implicit val sqlCtx = spark.sqlContext
+    val enDup = "the quick brown fox jumps over the lazy dog today"
+    val enNew = "a fresh page of perfectly ordinary words for the corpus"
+    val enMore = "the corpus keeps growing with more of the simplest words"
+    val corpus = Seq((1L, enDup)).toDF("doc_id", "text")
+    val vocab = TextAnalysis.wordpieceVocab(
+      Seq(enDup, enNew, enMore).toDF("text"), "text")
+    val index0 = TextDedup.buildMinhashIndex(corpus, "text", "doc_id",
+      hashFn = TextFunctions.fastHash)
+    // batch 1: 10 duplicates corpus doc 1; 11 is new -> packs at 0
+    val batch1 = Seq(crawlMediaRow(10L, enDup), crawlMediaRow(11L, enNew))
+    // batch 2: 20 duplicates SURVIVOR 11; 21 is new -> offsets continue
+    val batch2 = Seq(crawlMediaRow(20L, enNew), crawlMediaRow(21L, enMore))
+    type Row = (Long, Long, Boolean, Any, Any)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Row] =
+      df.collect().map(r => (r.getAs[Long]("batch_id"),
+        r.getAs[Long]("media_id"), r.getAs[Boolean]("is_dup"),
+        r.getAs[Any]("matched_id"), r.getAs[Any]("start_offset"))).toSet
+
+    val streamed = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val mem = MemoryStream[Multimodal.MediaRow]
+    val q = ContinualCrawl.start(mem.toDF(), index0, vocab) { m =>
+      streamed ++= rows(m)
+    }
+    mem.addData(batch1: _*)
+    q.processAllAvailable()
+    mem.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val replay = ContinualCrawl.replayBatches(index0, vocab,
+      Seq(batch1.toDS(), batch2.toDS()))
+    assert(streamed.toSet === rows(replay))
+    val byId = replay.collect().map(r =>
+      r.getAs[Long]("media_id") -> r).toMap
+    assert(byId(10L).getAs[Boolean]("is_dup")
+      && byId(10L).getAs[Long]("matched_id") === 1L)
+    assert(!byId(11L).getAs[Boolean]("is_dup")
+      && byId(11L).getAs[Long]("start_offset") === 0L)
+    // 20 matched the batch-1 SURVIVOR, not the initial corpus
+    assert(byId(20L).getAs[Boolean]("is_dup")
+      && byId(20L).getAs[Long]("matched_id") === 11L)
+    // 21's offset continues from survivor 11's token count
+    assert(!byId(21L).getAs[Boolean]("is_dup")
+      && byId(21L).getAs[Long]("start_offset") ===
+        byId(11L).getAs[Long]("n_tokens"))
+    assert(byId(21L).getAs[Boolean]("append_ok"))
+  }
+
+  test("continual crawl service: a re-delivered batch id neither " +
+    "re-emits nor advances the index or offsets") {
+    import graft.functions.TextFunctions
+    import graft.operators.{TextAnalysis, TextDedup}
+    import graft.streaming.ContinualCrawl
+    val enNew = "a fresh page of perfectly ordinary words for the corpus"
+    val enMore = "the corpus keeps growing with more of the simplest words"
+    val vocab = TextAnalysis.wordpieceVocab(
+      Seq(enNew, enMore).toDF("text"), "text")
+    val index0 = TextDedup.buildMinhashIndex(
+      Seq((1L, "the quick brown fox jumps over the lazy dog today"))
+        .toDF("doc_id", "text"), "text", "doc_id",
+      hashFn = TextFunctions.fastHash)
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Boolean, Any)]
+    val step = ContinualCrawl.batchStep(index0, vocab,
+      graft.pipeline.WarcPipeline.WarcPipelineConfig()) { m =>
+      got ++= m.collect().map(r => (r.getAs[Long]("batch_id"),
+        r.getAs[Long]("media_id"), r.getAs[Boolean]("is_dup"),
+        r.getAs[Any]("start_offset")))
+    }
+    val b0 = Seq(crawlMediaRow(11L, enNew)).toDF()
+    step(b0, 0L)
+    step(b0, 0L) // re-delivery: no second emit, no offset advance
+    step(Seq(crawlMediaRow(20L, enNew), crawlMediaRow(21L, enMore))
+      .toDF(), 1L)
+    assert(got.count(_._1 == 0L) === 1)
+    val v = got.filter(_._1 == 1L).map(r => r._2 -> ((r._3, r._4))).toMap
+    assert(v(20L)._1 === true)   // dup of survivor 11, not re-counted
+    assert(v(21L)._1 === false)
+  }
+
   test("continual tokenizer coverage: the stream emits exactly the " +
     "replay rows for the same batch split") {
     import graft.streaming.ContinualCoverage
