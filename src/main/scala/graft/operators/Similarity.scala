@@ -34,27 +34,42 @@ import org.apache.spark.sql.types.DecimalType
 object Similarity {
 
   /** Exact dot product with decimal accumulation (order-independent,
-    * cross-engine reproducible).
+    * cross-engine reproducible). Lowers to the codegen'd
+    * [[graft.functions.ExactDotExpr]] — bit-identical values to the
+    * old `aggregate(zip_with(...))` fold (same per-element decimal
+    * quantization, exact sum), but one tight loop per row inside
+    * whole-stage codegen instead of an interpreted two-lambda tree;
+    * the single largest per-row cost of every cosine path before the
+    * round-13 optimization pass.
     */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double"))
-        .cast("decimal(30,18)")),
-      lit(java.math.BigDecimal.ZERO).cast("decimal(37,18)"),
-      // (37,18) + (30,18) -> (38,18): enough precision headroom that the
-      // add never rounds; the cast back to (37,18) keeps the accumulator
-      // type fixed without touching the scale (values are << 10^19)
-      (acc, v) => (acc + v).cast("decimal(37,18)"))
-      .cast("double")
+  private def registerOnce(
+      name: String,
+      builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression): Unit = {
+    val reg = org.apache.spark.sql.SparkSession.active
+      .sessionState.functionRegistry
+    if (reg.lookupFunctionBuilder(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name)).isEmpty)
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+  }
 
-  /** Plain double dot product — sequential fold, no decimal boxing.
-    * ~10x cheaper than [[dot]]; used as a prefilter where the final
-    * answer is still decided by the exact path.
+  def dot(a: Column, b: Column): Column = {
+    registerOnce("graft_exact_dot",
+      exprs => graft.functions.ExactDotExpr(exprs(0), exprs(1)))
+    call_function("graft_exact_dot", a, b)
+  }
+
+  /** Plain double dot product — the sequential left-to-right fold,
+    * no decimal quantization; used as a prefilter where the final
+    * answer is still decided by the exact path. Lowers to the
+    * codegen'd [[graft.functions.PlainDotExpr]] (bit-identical to the
+    * old lambda fold: same element order, same double adds).
     */
-  def dotDouble(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  def dotDouble(a: Column, b: Column): Column = {
+    registerOnce("graft_plain_dot",
+      exprs => graft.functions.PlainDotExpr(exprs(0), exprs(1)))
+    call_function("graft_plain_dot", a, b)
+  }
 
   /** Fixed-dimension double dot product as an unrolled element_at chain —
     * no higher-order functions. Left-associated like the fold, hence
@@ -455,7 +470,7 @@ object Similarity {
     * literal arrays — the per-row cost is just the dot product, no
     * per-row hashing.
     */
-  private[operators] def hyperplaneValues(h: Int, dim: Int, seed: Long): Array[Double] =
+  private[graft] def hyperplaneValues(h: Int, dim: Int, seed: Long): Array[Double] =
     Array.tabulate(dim) { d =>
       val md = java.security.MessageDigest.getInstance("MD5")
         .digest(s"${seed}_${h}_$d".getBytes("UTF-8"))
@@ -472,11 +487,9 @@ object Similarity {
   def signSketch(vec: Column, numBits: Int, dim: Int, seed: Long): Column =
     (0 until numBits).map { h =>
       val hp = typedLit(hyperplaneValues(h, dim, seed))
-      val dotP = aggregate(
-        zip_with(vec, hp, (x, p) => (x.cast("double") * p)
-          .cast("decimal(30,18)")),
-        lit(java.math.BigDecimal.ZERO).cast("decimal(37,18)"),
-        (acc, v) => (acc + v).cast("decimal(37,18)"))
+      // the exact decimal [[dot]] (codegen'd kernel) — same quantized
+      // terms and exact sum as the old inline fold, per plane
+      val dotP = dot(vec, hp)
       when(dotP > 0, lit(1L << (numBits - 1 - h))).otherwise(lit(0L))
     }.reduce(_ + _)
 
@@ -505,8 +518,15 @@ object Similarity {
     }: _*)
     val weights = array((0 until numBits).map(h =>
       lit(1L << (numBits - 1 - h))): _*)
+    // sign via the certified-fast [[graft.functions.ExactDotPositiveExpr]]:
+    // identical decision to `dot(...) > 0` (exact-decimal fallback when
+    // the double bound can't certify), without paying the decimal
+    // quantization on the ~all rows whose projection is far from zero
+    registerOnce("graft_exact_dot_positive",
+      exprs => graft.functions.ExactDotPositiveExpr(exprs(0), exprs(1)))
     val bits = zip_with(planes, weights, (p, w) =>
-      when(dot(col(vecCol), p) > lit(0.0), w).otherwise(lit(0L)))
+      when(call_function("graft_exact_dot_positive", col(vecCol), p),
+        w).otherwise(lit(0L)))
     df.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
       .select(col(idCol).as(outId),
         aggregate(bits, lit(0L), (a, b) => a + b).as("__sk"))
@@ -1112,25 +1132,35 @@ object Similarity {
   private def assignCells(
       df: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame): DataFrame = {
-    val cellDim = broadcast(
-      centroids.select(col("cell"), posexplode(col("cvec")))
-        .select(col("cell"), col("pos").as("__d"),
-          col("col").cast("double").as("__cv")))
-    val cellNorm = broadcast(normTable(centroids, "cell", "cell", "cvec", "__cn"))
-    val dims = df.select(col(idCol).as("__id"), posexplode(col(vecCol)))
-      .select(col("__id"), col("pos").as("__d"),
-        col("col").cast("double").as("__x"))
-    val dots = dims.join(cellDim, Seq("__d"))
-      .groupBy(col("__id"), col("cell"))
-      .agg(sum((col("__x") * col("__cv")).cast("decimal(30,18)")).as("__dot"))
-    val nrm = normTable(df, idCol, "__id", vecCol, "__nr")
-    val wCell = Window.partitionBy(col("__id")).orderBy(
-      (col("__dot").cast("double") / (col("__nr") * col("__cn"))).desc,
-      col("cell"))
+    // In-row rewrite (round 13): one broadcast of the tiny (cell, cvec,
+    // norm) table and one codegen'd exact-decimal [[dot]] per (row,
+    // cell) — no |rows|·dim explode, no |rows|·dim·nlist join rows
+    // through a HashAggregate. __ccos is bit-identical to the old
+    // exploded shape: the dot's quantized terms and exact sum equal the
+    // per-dim decimal sum, including RAGGED rows (the per-dim equi-join
+    // summed over the SHARED dim prefix — replicated by the
+    // slice-to-min guard). Rows/centroids with null/empty vectors had
+    // no dims to explode and stay excluded. Documented delta: a null
+    // ELEMENT inside a vector now nulls that pair's cosine (ranked
+    // last) where the old sum skipped the dim; the operator contract
+    // already declares malformed vectors undefined.
+    val cents = broadcast(
+      centroids.filter(col("cvec").isNotNull && size(col("cvec")) > 0)
+        .select(col("cell"), col("cvec").as("__cvec"),
+          norm(col("cvec")).as("__cn")))
+    val mLen = least(size(col(vecCol)), size(col("__cvec")))
+    val dotC = when(size(col(vecCol)) === size(col("__cvec")),
+      dot(col(vecCol), col("__cvec")))
+      .otherwise(dot(slice(col(vecCol), lit(1), mLen),
+        slice(col("__cvec"), lit(1), mLen)))
+    val wCell = Window.partitionBy(col("__id"))
+      .orderBy(col("__ccos").desc, col("cell"))
     graft.Materialize.cut(
-      dots.join(nrm, Seq("__id")).join(cellNorm, Seq("cell"))
-        .withColumn("__ccos",
-          col("__dot").cast("double") / (col("__nr") * col("__cn")))
+      df.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+        .select(col(idCol).as("__id"), col(vecCol),
+          norm(col(vecCol)).as("__nr"))
+        .crossJoin(cents)
+        .withColumn("__ccos", dotC / (col("__nr") * col("__cn")))
         .withColumn("__cr", row_number().over(wCell))
         .filter(col("__cr") === 1)
         .select(col("__id"), col("cell"), col("__ccos")))
@@ -1190,41 +1220,35 @@ object Similarity {
       centroids: DataFrame,
       threshold: Double,
       dim: Int = 64): DataFrame = {
+    // Round-13 rewrite: vectors travel as ARRAYS through the one
+    // cell-equi join; the double prefilter is the same unrolled
+    // element_at chain (identical values and null semantics — a vector
+    // shorter than `dim` nulls the chain and drops the pair, as the
+    // flattened-column form did), and the exact verify is the codegen'd
+    // [[dot]] over the shared dim prefix — same quantized terms and
+    // exact sum as the old per-dim explode-join aggregate, minus the
+    // |survivors|·dim keyed shuffle and two whole explode passes.
     val corpusCells = assignCells(corpus, idCol, vecCol, centroids)
       .select(col("__id").as("id_a"), col("cell"))
     val batchCells = assignCells(incoming, idCol, vecCol, centroids)
       .select(col("__id").as("id_b"), col("cell"))
-    def flat(df: DataFrame, outId: String, side: String) =
-      df.select(col(idCol).as(outId) +: (0 until dim).map(i =>
-        element_at(col(vecCol), i + 1).cast("double").as(s"__$side$i")): _*)
-    val aN = normTable(corpus, idCol, "id_a", vecCol, "__na")
-    val bN = normTable(incoming, idCol, "id_b", vecCol, "__nb")
-    val a = corpusCells.join(flat(corpus, "id_a", "a"), Seq("id_a"))
-      .join(aN, Seq("id_a"))
-    val b = batchCells.join(flat(incoming, "id_b", "b"), Seq("id_b"))
-      .join(bN, Seq("id_b"))
+    val a = corpusCells.join(
+      corpus.select(col(idCol).as("id_a"), col(vecCol).as("__va"),
+        norm(col(vecCol)).as("__na")), Seq("id_a"))
+    val b = batchCells.join(
+      incoming.select(col(idCol).as("id_b"), col(vecCol).as("__vb"),
+        norm(col(vecCol)).as("__nb")), Seq("id_b"))
     val dotApprox = (0 until dim).map(i =>
-      col(s"__a$i") * col(s"__b$i")).reduce(_ + _)
-    val survivors = a.join(b, Seq("cell"))
+      element_at(col("__va"), i + 1).cast("double") *
+        element_at(col("__vb"), i + 1).cast("double")).reduce(_ + _)
+    val mLen = least(size(col("__va")), size(col("__vb")))
+    val exactDot = when(size(col("__va")) === size(col("__vb")),
+      dot(col("__va"), col("__vb")))
+      .otherwise(dot(slice(col("__va"), lit(1), mLen),
+        slice(col("__vb"), lit(1), mLen)))
+    val matches = a.join(b, Seq("cell"))
       .filter(dotApprox / (col("__na") * col("__nb")) >= threshold - 1e-6)
-      .select(col("id_a"), col("id_b"))
-    // exact verify across the two tables: corpus dims joined by id_a,
-    // incoming dims by (id_b, dim)
-    val aDim = corpus.select(col(idCol).as("id_a"), posexplode(col(vecCol)))
-      .select(col("id_a"), col("pos").as("__d"),
-        col("col").cast("double").as("__xa"))
-    val bDim = incoming.select(col(idCol).as("id_b"), posexplode(col(vecCol)))
-      .select(col("id_b"), col("pos").as("__d"),
-        col("col").cast("double").as("__xb"))
-    val matches = survivors
-      .join(aDim, Seq("id_a"))
-      .join(bDim, Seq("id_b", "__d"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(sum((col("__xa") * col("__xb")).cast("decimal(30,18)")).as("__dot"))
-      .join(aN, Seq("id_a"))
-      .join(bN, Seq("id_b"))
-      .filter(col("__dot").cast("double") / (col("__na") * col("__nb"))
-        >= threshold)
+      .filter(exactDot / (col("__na") * col("__nb")) >= threshold)
       .groupBy(col("id_b"))
       .agg(min(col("id_a")).as("matched_id"))
     batchCells

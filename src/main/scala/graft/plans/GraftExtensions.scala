@@ -120,5 +120,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           org.apache.spark.sql.catalyst.expressions.Cast(
             children(1), org.apache.spark.sql.types.LongType))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_exact_dot"),
+      new ExpressionInfo(classOf[graft.functions.ExactDotExpr].getName,
+        "graft_exact_dot"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        arity("graft_exact_dot", 2, children)
+        graft.functions.ExactDotExpr(children(0), children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_plain_dot"),
+      new ExpressionInfo(classOf[graft.functions.PlainDotExpr].getName,
+        "graft_plain_dot"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        arity("graft_plain_dot", 2, children)
+        graft.functions.PlainDotExpr(children(0), children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_exact_dot_positive"),
+      new ExpressionInfo(classOf[graft.functions.ExactDotPositiveExpr].getName,
+        "graft_exact_dot_positive"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        arity("graft_exact_dot_positive", 2, children)
+        graft.functions.ExactDotPositiveExpr(children(0), children(1))
+      }))
   }
 }
