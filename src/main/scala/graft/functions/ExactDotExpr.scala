@@ -319,6 +319,119 @@ object ExactDotPositiveExpr {
   }
 }
 
+/** Exact squared-L2 distance over two numeric arrays as one codegen'd
+  * loop, with the SAME per-term semantics as the exploded per-dimension
+  * dataflow it replaces
+  * (`sum(((x - c) * (x - c)).cast("decimal(30,18)"))` over the
+  * per-dim equi-join in [[graft.operators.Clustering]]):
+  *
+  *   - each (x_i - c_i)^2 computed in double, quantized through the
+  *     Cast(double -> DECIMAL(30,18)) path, summed exactly;
+  *   - a null element on EITHER side skips that term (SQL sum ignores
+  *     null terms) — unlike [[ExactDotExpr]]'s zip_with poisoning,
+  *     because the join shape this replaces paired dims positionally
+  *     and summed over the non-null ones;
+  *   - if NO term survives (all elements null), the sum is null, like
+  *     an all-null SQL sum;
+  *   - arrays of different lengths pair over the shared prefix (the
+  *     old equi-join's dim intersection) — callers pass equal-length
+  *     slices when they need that contract surfaced.
+  *
+  * Returns DECIMAL(38,18) (the type of the old sum), so downstream
+  * min/struct comparisons and inertia sums see identical values.
+  */
+case class ExactL2DistExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import org.apache.spark.sql.types.DecimalType
+
+  override def dataType: DataType = DecimalType(38, 18)
+  override def nullable: Boolean = true
+
+  private def code(e: Expression): Int = e.dataType match {
+    case ArrayType(FloatType, _)   => ExactDotExpr.ElemFloat
+    case ArrayType(DoubleType, _)  => ExactDotExpr.ElemDouble
+    case ArrayType(LongType, _)    => ExactDotExpr.ElemLong
+    case ArrayType(IntegerType, _) => ExactDotExpr.ElemInt
+    case t => throw new IllegalArgumentException(
+      s"graft_exact_l2 expects numeric arrays, got $t")
+  }
+  @transient private lazy val leftCode = code(left)
+  @transient private lazy val rightCode = code(right)
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ExactL2DistExpr.dist(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      leftCode, rightCode)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("l2")
+      s"""
+         |org.apache.spark.sql.types.Decimal $tmp =
+         |  graft.functions.ExactL2DistExpr.dist($a, $b, $leftCode, $rightCode);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_exact_l2"
+}
+
+object ExactL2DistExpr {
+  def dist(x: ArrayData, y: ArrayData, cx: Int, cy: Int)
+      : org.apache.spark.sql.types.Decimal = {
+    val n = math.min(x.numElements(), y.numElements())
+    var hi = 0L
+    var lo = 0L
+    var seen = false
+    var big: java.math.BigDecimal = null
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i)) {
+        val dx = (cx match {
+          case ExactDotExpr.ElemDouble => x.getDouble(i)
+          case ExactDotExpr.ElemFloat  => x.getFloat(i).toDouble
+          case ExactDotExpr.ElemLong   => x.getLong(i).toDouble
+          case _                       => x.getInt(i).toDouble
+        }) - (cy match {
+          case ExactDotExpr.ElemDouble => y.getDouble(i)
+          case ExactDotExpr.ElemFloat  => y.getFloat(i).toDouble
+          case ExactDotExpr.ElemLong   => y.getLong(i).toDouble
+          case _                       => y.getInt(i).toDouble
+        })
+        val p = dx * dx
+        try {
+          val u = ExactDotExpr.quant18(p)
+          val s = lo + u
+          val carry = ((lo & u) | ((lo | u) & ~s)) >>> 63
+          hi += (u >> 63) + carry
+          lo = s
+          seen = true
+        } catch {
+          case _: ArithmeticException =>
+            val d = org.apache.spark.sql.types.Decimal(p)
+            if (d.changePrecision(30, 18)) { // overflow -> null term, skipped
+              big = (if (big == null) java.math.BigDecimal.ZERO else big)
+                .add(d.toJavaBigDecimal)
+              seen = true
+            }
+        }
+      }
+      i += 1
+    }
+    if (!seen) return null
+    var bd = new java.math.BigDecimal(
+      java.math.BigInteger.valueOf(hi).shiftLeft(64)
+        .add(new java.math.BigInteger(java.lang.Long.toUnsignedString(lo))), 18)
+    if (big != null) bd = bd.add(big)
+    val d = org.apache.spark.sql.types.Decimal(bd)
+    if (!d.changePrecision(38, 18)) null else d
+  }
+}
+
 /** Plain-double dot product twin of [[ExactDotExpr]] — the sequential
   * left-to-right fold
   *

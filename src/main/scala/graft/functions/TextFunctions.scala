@@ -27,16 +27,21 @@ object TextFunctions {
   def fastHash(c: Column): Column = xxhash64(c)
 
   /** Distinct word n-gram shingles ("a b c" strings). Documents shorter
-    * than n tokens yield an empty set.
+    * than n tokens yield an empty set. Lowers to the codegen'd
+    * [[ShinglesExpr]] — value-identical to the old
+    * `array_distinct(transform(sequence(...), i => array_join(slice(
+    * toks, i, n), " ")))` lambda chain (same joined strings, same
+    * first-occurrence distinct order, same empty-set fallbacks), one
+    * loop per row instead of three interpreted lambdas per shingle.
     */
   def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    val count = size(toks) - (n - 1)
-    array_distinct(
-      when(count > 0,
-        transform(sequence(lit(1), count),
-          i => array_join(slice(toks, i, lit(n)), " ")))
-        .otherwise(array().cast("array<string>")))
+    val reg = org.apache.spark.sql.SparkSession.active
+      .sessionState.functionRegistry
+    if (reg.lookupFunctionBuilder(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_shingles")).isEmpty)
+      reg.createOrReplaceTempFunction("graft_shingles",
+        exprs => ShinglesExpr(exprs(0), exprs(1)), "scala_udf")
+    call_function("graft_shingles", tokens(text), lit(n))
   }
 
   /** MinHash signature: `numHashes` independent min-hashes of the shingle

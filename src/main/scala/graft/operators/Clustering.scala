@@ -43,20 +43,52 @@ object Clustering {
       .select(col("__id"), col("pos").as("__d"),
         col("col").cast("double").as("__x"))
 
+  /** (id, vec) view with the same row exclusion the dim explode had:
+    * null/empty vectors produce no dims, so they were never assigned.
+    */
+  private def vecTable(df: DataFrame, idCol: String, vecCol: String)
+    : DataFrame =
+    df.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      .select(col(idCol).as("__id"), col(vecCol).as("__vv"))
+
   /** Nearest-centroid assignment of each id against an exploded
     * centroid table (cid, __d, __c): returns (__id, cid, __d2) with
     * __d2 the exact decimal squared-L2 distance of the winning cell.
+    *
+    * IN-ROW since round 13: the per-round hot stage was rows·dim·k
+    * joined rows through a decimal HashAggregate (~1.5 s single-task
+    * per round at sf0.1); now each (row, centroid) pair is ONE
+    * codegen'd [[graft.functions.ExactL2DistExpr]] call — same
+    * quantized terms, exact sum and null-term skipping as the exploded
+    * join, so __d2 and the (distance asc, cid asc) argmin are
+    * identical (ragged rows pair over the shared dim prefix via the
+    * slice guard = the old per-dim equi-join intersection). Centroids
+    * re-assemble into a broadcast k-row array table — k·dim is tiny by
+    * contract.
     */
-  private def assign(dims: DataFrame, cent: DataFrame): DataFrame = {
-    val d2 = dims.join(broadcast(cent), Seq("__d"))
-      .groupBy(col("__id"), col("cid"))
-      .agg(sum(((col("__x") - col("__c")) * (col("__x") - col("__c")))
-        .cast("decimal(30,18)")).as("__d2"))
-    val w = Window.partitionBy(col("__id"))
-      .orderBy(col("__d2"), col("cid"))
-    d2.withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") === 1)
-      .select(col("__id"), col("cid"), col("__d2"))
+  private def assign(vecs: DataFrame, cent: DataFrame): DataFrame = {
+    val reg = org.apache.spark.sql.SparkSession.active
+      .sessionState.functionRegistry
+    if (reg.lookupFunctionBuilder(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_exact_l2")).isEmpty)
+      reg.createOrReplaceTempFunction("graft_exact_l2",
+        exprs => graft.functions.ExactL2DistExpr(exprs(0), exprs(1)),
+        "scala_udf")
+    val centArr = broadcast(cent.groupBy(col("cid"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("__d"), col("__c")))),
+        s => s.getField("__c")).as("__cv")))
+    val mLen = least(size(col("__vv")), size(col("__cv")))
+    val d2 = when(size(col("__vv")) === size(col("__cv")),
+      call_function("graft_exact_l2", col("__vv"), col("__cv")))
+      .otherwise(call_function("graft_exact_l2",
+        slice(col("__vv"), lit(1), mLen), slice(col("__cv"), lit(1), mLen)))
+    vecs.crossJoin(centArr)
+      .select(col("__id"), col("cid"), d2.as("__d2"))
+      .groupBy(col("__id"))
+      .agg(min(struct(col("__d2"), col("cid"))).as("__b"))
+      .select(col("__id"), col("__b.cid").as("cid"),
+        col("__b.__d2").as("__d2"))
   }
 
   /** Lloyd k-means: `rounds` rounds of assign + decimal-exact mean
@@ -71,13 +103,17 @@ object Clustering {
       init: DataFrame,
       rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    // dims feed the decimal-exact mean updates (member-count-sized);
+    // the hot assignment stage reads whole vectors through the in-row
+    // L2 kernel instead
     val dims = graft.Materialize.cut(dimTable(df, idCol, vecCol))
+    val vecs = graft.Materialize.cut(vecTable(df, idCol, vecCol))
     var cent = init
       .select(col("cid"), posexplode(col("cvec")))
       .select(col("cid"), col("pos").as("__d"),
         col("col").cast("double").as("__c"))
     for (_ <- 1 to rounds) {
-      val a = assign(dims, cent)
+      val a = assign(vecs, cent)
       val upd = dims
         .join(a.select(col("__id"), col("cid")), Seq("__id"))
         .groupBy(col("cid"), col("__d"))
@@ -103,7 +139,7 @@ object Clustering {
       centroids: DataFrame): DataFrame = {
     val cent = centroids.select(col("cid"), col("dim").as("__d"),
       col("coord").as("__c"))
-    assign(dimTable(df, idCol, vecCol), cent)
+    assign(vecTable(df, idCol, vecCol), cent)
       .groupBy(col("cid"))
       .agg(count(lit(1)).as("n_members"),
         round(sum(col("__d2")).cast("double"), 12).as("inertia"))

@@ -646,12 +646,15 @@ object Graphs {
             - col("__kv") * (col("__tot")
               - when(col("__cand") === col("__c"), col("__kv"))
                 .otherwise(lit(0L))))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("__id"))
-        .orderBy(col("__s").desc, col("__cand"))
-      val winner = scored.withColumn("__rk", row_number().over(w))
-        .where(col("__rk") === 1)
-        .select(col("__id"), col("__cand").as("__win"))
+      // argmax via one hash aggregate (round 13, the louvainAscent
+      // rewrite): same (score desc, community asc) winner, no
+      // window exchange+sort. Only MOVABLE ids appear in scored, so
+      // the left join against cur stays (untouched vertices keep
+      // their label through the coalesce).
+      val winner = scored.groupBy(col("__id"))
+        .agg(max(struct(col("__s"), (-col("__cand")).as("__negc")))
+          .as("__b"))
+        .select(col("__id"), (-col("__b.__negc")).as("__win"))
       cur = Materialize.cut(
         cur.join(winner, Seq("__id"), "left")
           .select(col("__id"),
@@ -701,18 +704,22 @@ object Graphs {
             - col("__kv") * (col("__tot")
               - when(col("__cand") === col("__c"), col("__kv"))
                 .otherwise(lit(0L))))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("__id"))
-        .orderBy(col("__s").desc, col("__cand"))
-      val winner = scored.withColumn("__rk", row_number().over(w))
-        .where(col("__rk") === 1)
-        .select(col("__id"), col("__cand").as("__win"))
+      // argmax via one hash aggregate (round 13): max over
+      // struct(__s, -__cand) picks the same (score desc, community asc)
+      // winner the old rank-1 window did, without the window's
+      // exchange+sort — and because `own` guarantees every vertex a
+      // candidate row carrying its current __c, the new assignment
+      // falls out of the same aggregate with no join back against cur
+      // (2 fewer stages per round).
+      val agg = scored.groupBy(col("__id"))
+        .agg(max(struct(col("__s"), (-col("__cand")).as("__negc")))
+          .as("__b"),
+          first(col("__c")).as("__c0")) // constant within the group
       cur = Materialize.cut(
-        cur.join(winner, Seq("__id"), "left")
-          .select(col("__id"),
-            when(pmod(col("__id"), lit(2L)) === lit(((r + 1) % 2).toLong),
-              coalesce(col("__win"), col("__c")))
-              .otherwise(col("__c")).as("__c")))
+        agg.select(col("__id"),
+          when(pmod(col("__id"), lit(2L)) === lit(((r + 1) % 2).toLong),
+            -col("__b.__negc"))
+            .otherwise(col("__c0")).as("__c")))
     }
     cur
   }
@@ -814,12 +821,13 @@ object Graphs {
           col("__pb").as("__dst"), col("__g"), col("__h"))
         .unionAll(gains.select(col("__pb").as("__src"),
           col("__pa").as("__dst"), col("__g"), col("__h")))
-      val rk = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("__src"))
-        .orderBy(col("__g").desc, col("__h").asc, col("__dst").asc)
-      val best = directed.withColumn("__r", row_number().over(rk))
-        .filter(col("__r") === 1)
-        .select(col("__src"), col("__dst"))
+      // rank-1 proposal via one hash aggregate (round 13): max over
+      // struct(__g, -__h, -__dst) = the old (gain desc, hash asc,
+      // partner asc) window winner, without the exchange+sort
+      val best = directed.groupBy(col("__src"))
+        .agg(max(struct(col("__g"), (-col("__h")).as("__nh"),
+          (-col("__dst")).as("__nd"))).as("__b"))
+        .select(col("__src"), (-col("__b.__nd")).as("__dst"))
       // mutual = (a->b) and (b->a) both rank-1; relabel the larger
       // endpoint to the smaller (the smaller maps to itself via the
       // left-join fallback below)

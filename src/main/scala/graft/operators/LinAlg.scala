@@ -24,37 +24,52 @@ import org.apache.spark.sql.functions._
   */
 object LinAlg {
 
+  private def registerOnce(
+      name: String,
+      builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression): Unit = {
+    val reg = org.apache.spark.sql.SparkSession.active
+      .sessionState.functionRegistry
+    if (reg.lookupFunctionBuilder(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name)).isEmpty)
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+  }
+
+  private def litInt(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+    e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"dim must be an integer literal, got $other")
+    }
+
   /** Upper triangle of the Gram matrix: one row per (i, j), i <= j,
     * with `dot` = sum over rows of vec[i] * vec[j]. `dim` must be the
-    * (fixed) vector length.
+    * (fixed) vector length. Round 13: computed by the single-pass
+    * [[graft.functions.GramAgg]] — bit-identical sums (same decimal
+    * quantization per product, exact 128-bit accumulate) without
+    * exploding n·d(d+1)/2 interpreted structs through a 2080-group
+    * HashAggregate; the shuffle carries one ~50 KB buffer per map
+    * task instead of per-pair decimal rows.
     */
   def gramMatrix(df: DataFrame, vecCol: String, dim: Int): DataFrame = {
     require(dim >= 1, s"dim must be >= 1, got $dim")
-    val pairs = expr(
-      s"""flatten(transform(sequence(0, ${dim - 1}), i ->
-         |  transform(sequence(i, ${dim - 1}), j ->
-         |    named_struct(
-         |      'i', i, 'j', j,
-         |      'p', CAST(CAST($vecCol[i] AS DOUBLE) * CAST($vecCol[j] AS DOUBLE)
-         |             AS DECIMAL(30,18))))))""".stripMargin)
-    df.select(explode(pairs).as("pr"))
-      .groupBy(col("pr.i").as("i"), col("pr.j").as("j"))
-      .agg(sum(col("pr.p")).as("__s"))
-      .select(col("i"), col("j"), col("__s").cast("double").as("dot"))
+    registerOnce("graft_gram_agg",
+      exprs => graft.functions.GramAgg(exprs(0), litInt(exprs(1))))
+    df.agg(call_function("graft_gram_agg", col(vecCol), lit(dim)).as("__g"))
+      .select(inline(col("__g")))
   }
 
   /** Per-dimension exact sums: (i, sx DECIMAL, n). Internal building
-    * block for the covariance; same in-row explode + tiny shuffle
-    * shape as [[gramMatrix]].
+    * block for the covariance; single-pass
+    * [[graft.functions.DimSumsAgg]] (round 13), same values as the old
+    * explode + per-dim decimal sum.
     */
   private def dimSums(df: DataFrame, vecCol: String, dim: Int): DataFrame = {
-    val terms = expr(
-      s"""transform(sequence(0, ${dim - 1}), i ->
-         |  named_struct('i', i,
-         |    'x', CAST(CAST($vecCol[i] AS DOUBLE) AS DECIMAL(30,18))))""".stripMargin)
-    df.select(explode(terms).as("t"))
-      .groupBy(col("t.i").as("i"))
-      .agg(sum(col("t.x")).as("sx"), count(lit(1)).as("n"))
+    registerOnce("graft_dim_sums_agg",
+      exprs => graft.functions.DimSumsAgg(exprs(0), litInt(exprs(1))))
+    df.agg(call_function("graft_dim_sums_agg", col(vecCol), lit(dim)).as("__t"))
+      .select(inline(col("__t")))
   }
 
   /** Upper triangle of the (population, 1/n) covariance matrix:

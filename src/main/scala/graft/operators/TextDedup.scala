@@ -83,26 +83,22 @@ object TextDedup {
   def shingleSets(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
     df.select(col(idCol), TextFunctions.shingles(col(textCol), n).as("shingles"))
 
-  /** Exploded distinct (id, shingle) table in dataflow form: tokens via
-    * posexplode, n-grams via `lead` windows — every stage codegen'd (the
-    * array-lambda shingle builder is interpreted per element). Same
-    * distinct shingle set as [[shingleSets]], exploded.
+  /** Exploded distinct (id, shingle) table: per-row n-gram array
+    * ([[TextFunctions.shingles]] — already per-doc-distinct via
+    * `array_distinct`), exploded. Same distinct (id, shingle) set as
+    * the pre-round-13 posexplode + `lead`-window + global-distinct
+    * shape, with ZERO exchanges behind it: the window form paid a
+    * hash-partition + per-doc sort to line tokens up and a second
+    * exchange for the distinct, both of which shuffled the whole token
+    * stream — at 100 TB exactly the bytes guide §2.3 says must never
+    * travel. The in-row builder keeps shingle construction inside the
+    * scan stage, so the first shuffle any minhash consumer pays is the
+    * id-keyed partial aggregate over (id, shingle) rows.
     */
   def shingleTable(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
     require(n >= 1, "shingle size must be >= 1")
-    val toks = df.select(col(idCol),
-      posexplode(TextFunctions.tokens(col(textCol))))
-      .withColumnRenamed("pos", "__p").withColumnRenamed("col", "__t")
-    if (n == 1)
-      return toks.select(col(idCol), col("__t").as("__s")).distinct()
-    val w = Window.partitionBy(col(idCol)).orderBy(col("__p"))
-    val leads = (1 until n).map(i => lead(col("__t"), i).over(w).as(s"__l$i"))
-    val withLeads = toks.select(col(idCol) +: col("__t") +: leads: _*)
-    withLeads
-      .filter(col(s"__l${n - 1}").isNotNull)
-      .select(col(idCol), concat_ws(" ",
-        col("__t") +: (1 until n).map(i => col(s"__l$i")): _*).as("__s"))
-      .distinct()
+    df.select(col(idCol),
+      explode(TextFunctions.shingles(col(textCol), n)).as("__s"))
   }
 
   def dropBoilerplateShingles(
@@ -1008,31 +1004,24 @@ object TextDedup {
       w: Int = 4): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(w >= 1, s"w must be >= 1, got $w")
-    val toks = TextFunctions.tokens(col(textCol))
-    // gram count, clamped to the 14-bit position field (see scaladoc)
-    val m = least(size(toks) - (k - 1), lit(16383))
-    val grams = when(m >= 1,
-      transform(sequence(lit(1), m),
-        i => conv(substring(md5(
-            array_join(slice(toks, i, lit(k)), " ")), 1, 12), 16, 10)
-          .cast("long") * lit(16384L) + (lit(16383L) - i.cast("long"))))
-      .otherwise(array().cast("array<long>"))
-    val byId = Window.partitionBy(col(idCol))
-    val frame = Window.partitionBy(col(idCol)).orderBy(col("__p"))
-      .rowsBetween(Window.currentRow, (w - 1).toLong)
-    df.select(col(idCol), explode(grams).as("__v"))
-      .withColumn("__p", lit(16383L) - col("__v").bitwiseAND(lit(16383L)))
-      .withColumn("__m", count(lit(1)).over(byId))
-      .withColumn("__min", min(col("__v")).over(frame))
-      // window STARTS: every gram for m >= w windows, only pos 1 when
-      // the doc is shorter than one full window (frame truncates at
-      // the partition end, so that min covers all grams)
-      .filter(col("__p") <= greatest(col("__m") - lit((w - 1).toLong), lit(1L)))
-      .select(col(idCol), col("__min").as("__v"))
-      .distinct()
-      .select(col(idCol),
-        (lit(16383L) - col("__v").bitwiseAND(lit(16383L))).as("pos"),
-        shiftright(col("__v"), 14).as("fp"))
+    // Round 13: the whole selection runs IN-ROW through the codegen'd
+    // [[graft.functions.WinnowExpr]] — same packed-gram hash, window
+    // minima and distinct selection as the old explode + id-keyed
+    // window + filter + global distinct, with ZERO exchanges behind it
+    // (the old shape shuffled every gram to sort it per doc; at 100 TB
+    // that is the token stream crossing the network to compute a
+    // per-document quantity).
+    val reg = org.apache.spark.sql.SparkSession.active
+      .sessionState.functionRegistry
+    if (reg.lookupFunctionBuilder(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_winnow")).isEmpty)
+      reg.createOrReplaceTempFunction("graft_winnow",
+        exprs => graft.functions.WinnowExpr(exprs(0), exprs(1), exprs(2)),
+        "scala_udf")
+    df.select(col(idCol),
+      explode(call_function("graft_winnow",
+        TextFunctions.tokens(col(textCol)), lit(k), lit(w))).as("__sel"))
+      .select(col(idCol), col("__sel.pos").as("pos"), col("__sel.fp").as("fp"))
   }
 
   /** Overlap candidate pairs from the winnowing fingerprint index:

@@ -2735,9 +2735,11 @@ object LlmQueries {
     "q396_incremental_cc",
     (spark, dir) => {
       val docs = Tables.documents(spark, dir)
-      val pairs = TextDedup.minhashNearDupPairs(
+      // cut once (round 13): the base and incremental component passes
+      // each re-entered the uncut minhash pipeline
+      val pairs = graft.Materialize.cut(TextDedup.minhashNearDupPairs(
         docs, "text", "doc_id", n = 3, numHashes = 16, bands = 8,
-        threshold = 0.8, hashFn = TextFunctions.fastHash)
+        threshold = 0.8, hashFn = TextFunctions.fastHash))
       val base = graft.operators.Components.connectedComponents(
         docs.where(col("doc_id") < 300).select(col("doc_id")),
         pairs.where(col("id_a") < 300 && col("id_b") < 300), "doc_id")
@@ -5905,9 +5907,13 @@ ${round("b2", "c2", 2)}
     "q144_canonical_docs",
     (spark, dir) => {
       val docs = Tables.documents(spark, dir)
-      val pairs = TextDedup.minhashNearDupPairs(
+      // cut once (round 13): connectedComponents and pageRank each
+      // materialize their edge input, so an uncut pair graph ran the
+      // whole minhash pipeline twice (measured: the round's slowest
+      // query at 17 s baseline, half of it this duplicate execution)
+      val pairs = graft.Materialize.cut(TextDedup.minhashNearDupPairs(
         docs, "text", "doc_id", n = 3, numHashes = 16, bands = 8,
-        threshold = 0.8, hashFn = TextFunctions.fastHash)
+        threshold = 0.8, hashFn = TextFunctions.fastHash))
       val edges = pairs.select(col("id_a"), col("id_b"))
       val clusters = graft.operators.Components.connectedComponents(
         docs.select(col("doc_id")), edges, "doc_id")

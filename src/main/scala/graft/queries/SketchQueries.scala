@@ -208,8 +208,11 @@ object SketchQueries {
     "q316_modularity",
     (spark, dir) => {
       val docs = Tables.documents(spark, dir)
-      val pairs = TextDedup.minhashNearDupPairs(
-        docs, "text", "doc_id", hashFn = TextFunctions.fastHash)
+      // cut once (round 13): the pair graph feeds BOTH the component
+      // loop and the modularity score — uncut, the minhash pipeline
+      // executed twice
+      val pairs = graft.Materialize.cut(TextDedup.minhashNearDupPairs(
+        docs, "text", "doc_id", hashFn = TextFunctions.fastHash))
       val assign = Components.connectedComponents(
         docs.select(col("doc_id")), pairs, "doc_id")
       Graphs.modularity(assign, "doc_id", "cluster_id", pairs)
