@@ -14,16 +14,15 @@ object HarnessSession {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // AQE coalescing honors the advisory partition size instead of
-      // maximizing parallelism (guide §2.2: fewer, larger reduce
-      // partitions; the Spark docs recommend exactly this on busy
-      // clusters). At 100 TB this is what keeps post-shuffle partitions
-      // in the 100 MB-1 GB band; on the local bench it stops tiny
-      // shuffles from being split into per-core fragments (measured:
-      // q334 10.6 -> 9.0 s warm). Env-overridable so the driver's
-      // scaling runs stay comparable at any core count.
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
-        sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"))
+      // AQE coalescing stays at the stock parallelism-first default:
+      // round 13 measured the advisory-size-first alternative
+      // (parallelismFirst=false) at parity on shuffle-light queries
+      // once the per-row kernels were fixed, while collapsing the
+      // CPU-heavy-but-byte-light HyperANF register fan-out to ONE task
+      // (q383 8.3 -> 20 s). Partition sizing by bytes alone mis-sizes
+      // stages whose cost is row fan-out, so the default floor of one
+      // partition per core is the right call on this workload at any
+      // scale.
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -34,15 +34,8 @@ object TextFunctions {
     * first-occurrence distinct order, same empty-set fallbacks), one
     * loop per row instead of three interpreted lambdas per shingle.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val reg = org.apache.spark.sql.SparkSession.active
-      .sessionState.functionRegistry
-    if (reg.lookupFunctionBuilder(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_shingles")).isEmpty)
-      reg.createOrReplaceTempFunction("graft_shingles",
-        exprs => ShinglesExpr(exprs(0), exprs(1)), "scala_udf")
-    call_function("graft_shingles", tokens(text), lit(n))
-  }
+  def shingles(text: Column, n: Int): Column =
+    Native.shingles(tokens(text), n)
 
   /** MinHash signature: `numHashes` independent min-hashes of the shingle
     * set, hash i of shingle s = hashFn(i || ':' || s).

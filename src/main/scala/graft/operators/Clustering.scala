@@ -67,21 +67,14 @@ object Clustering {
     * contract.
     */
   private def assign(vecs: DataFrame, cent: DataFrame): DataFrame = {
-    val reg = org.apache.spark.sql.SparkSession.active
-      .sessionState.functionRegistry
-    if (reg.lookupFunctionBuilder(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_exact_l2")).isEmpty)
-      reg.createOrReplaceTempFunction("graft_exact_l2",
-        exprs => graft.functions.ExactL2DistExpr(exprs(0), exprs(1)),
-        "scala_udf")
     val centArr = broadcast(cent.groupBy(col("cid"))
       .agg(transform(
         array_sort(collect_list(struct(col("__d"), col("__c")))),
         s => s.getField("__c")).as("__cv")))
     val mLen = least(size(col("__vv")), size(col("__cv")))
     val d2 = when(size(col("__vv")) === size(col("__cv")),
-      call_function("graft_exact_l2", col("__vv"), col("__cv")))
-      .otherwise(call_function("graft_exact_l2",
+      graft.functions.Native.exactL2(col("__vv"), col("__cv")))
+      .otherwise(graft.functions.Native.exactL2(
         slice(col("__vv"), lit(1), mLen), slice(col("__cv"), lit(1), mLen)))
     vecs.crossJoin(centArr)
       .select(col("__id"), col("cid"), d2.as("__d2"))

@@ -1134,40 +1134,56 @@ object Graphs {
     * (vertex, bucket, rho) row from v's own 60-bit hash, exactly
     * [[Sketches]]' registerTable math.
     */
+  /** Seed registers, PACKED (round 13): one array<int> of M slots per
+    * vertex (slot = bucket, 0 = empty) instead of one row per (vertex,
+    * bucket). Identical (bucket, rho) register content to the old row
+    * form; the packing is what lets each round's edge join carry
+    * |edges| rows instead of |edges| x M (the q383/q390 rounds were
+    * ~16M joined rows at sf0.1, all but 1/64 of them re-routing
+    * registers one at a time).
+    */
   private def hllBallSeed(verts: DataFrame): DataFrame = {
     val h = graft.functions.TextFunctions.md5Hash60(col("__id").cast("string"))
     val w = expr(s"__h div ${Sketches.M.toLong}")
     Materialize.cut(verts
       .select(col("__id"), h.as("__h"))
       .select(col("__id"),
-        pmod(col("__h"), lit(Sketches.M.toLong)).as("__b"),
+        pmod(col("__h"), lit(Sketches.M.toLong)).cast("int").as("__b"),
         when(w === 0L, lit(Sketches.WidthBits))
           .otherwise(lit(Sketches.WidthBits + 1) - length(bin(w)))
-          .cast("int").as("__m")))
+          .cast("int").as("__m"))
+      .select(col("__id"),
+        transform(sequence(lit(0), lit(Sketches.M - 1)),
+          i => when(i === col("__b"), col("__m")).otherwise(lit(0)))
+          .as("__regs")))
   }
 
-  /** One HyperANF round: route neighbor registers along edges, merge
-    * by register-wise max, cut lineage.
+  /** One HyperANF round: route neighbor register ARRAYS along edges,
+    * merge by the element-wise-max aggregate
+    * ([[graft.functions.RegMaxAgg]] — same union as the old per-bucket
+    * groupBy/max), cut lineage.
     */
   private def hllBallRound(reg: DataFrame, e: DataFrame): DataFrame = {
     val fromNbr = e
-      .join(reg.select(col("__id").as("__dst"), col("__b"), col("__m")),
-        Seq("__dst"))
-      .select(col("__src").as("__id"), col("__b"), col("__m"))
+      .join(reg.select(col("__id").as("__dst"), col("__regs")), Seq("__dst"))
+      .select(col("__src").as("__id"), col("__regs"))
     Materialize.cut(reg.unionByName(fromNbr)
-      .groupBy(col("__id"), col("__b"))
-      .agg(max(col("__m")).as("__m")))
+      .groupBy(col("__id"))
+      .agg(graft.functions.Native.regMaxAgg(col("__regs"), Sketches.M)
+        .as("__regs")))
   }
 
-  /** Per-vertex ball-size estimate (__id, __est) from a register
-    * table, with [[Sketches]]' shared small-range correction.
+  /** Per-vertex ball-size estimate (__id, __est) from a packed register
+    * table, with [[Sketches]]' shared small-range correction — used and
+    * harmonic sum via [[graft.functions.RegStatsExpr]], identical to
+    * the old per-row count + shiftleft sum.
     */
   private def hllBallEst(reg: DataFrame): DataFrame =
     Sketches.withEstimate(reg
-      .groupBy(col("__id"))
-      .agg(count(lit(1)).cast("int").as("used_registers"),
-        sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${Sketches.WidthBits} - __m)"))
-          .as("__sum")))
+      .select(col("__id"),
+        graft.functions.Native.regStats(col("__regs")).as("__st"))
+      .select(col("__id"), col("__st.used").as("used_registers"),
+        col("__st.sum").as("__sum")))
       .select(col("__id"), col("__est"))
 
   def hyperAnf(

@@ -24,25 +24,6 @@ import org.apache.spark.sql.functions._
   */
 object LinAlg {
 
-  private def registerOnce(
-      name: String,
-      builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
-        org.apache.spark.sql.catalyst.expressions.Expression): Unit = {
-    val reg = org.apache.spark.sql.SparkSession.active
-      .sessionState.functionRegistry
-    if (reg.lookupFunctionBuilder(
-        org.apache.spark.sql.catalyst.FunctionIdentifier(name)).isEmpty)
-      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
-  }
-
-  private def litInt(
-      e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
-    e match {
-      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-      case other => throw new IllegalArgumentException(
-        s"dim must be an integer literal, got $other")
-    }
-
   /** Upper triangle of the Gram matrix: one row per (i, j), i <= j,
     * with `dot` = sum over rows of vec[i] * vec[j]. `dim` must be the
     * (fixed) vector length. Round 13: computed by the single-pass
@@ -54,9 +35,7 @@ object LinAlg {
     */
   def gramMatrix(df: DataFrame, vecCol: String, dim: Int): DataFrame = {
     require(dim >= 1, s"dim must be >= 1, got $dim")
-    registerOnce("graft_gram_agg",
-      exprs => graft.functions.GramAgg(exprs(0), litInt(exprs(1))))
-    df.agg(call_function("graft_gram_agg", col(vecCol), lit(dim)).as("__g"))
+    df.agg(graft.functions.Native.gramAgg(col(vecCol), dim).as("__g"))
       .select(inline(col("__g")))
   }
 
@@ -65,12 +44,9 @@ object LinAlg {
     * [[graft.functions.DimSumsAgg]] (round 13), same values as the old
     * explode + per-dim decimal sum.
     */
-  private def dimSums(df: DataFrame, vecCol: String, dim: Int): DataFrame = {
-    registerOnce("graft_dim_sums_agg",
-      exprs => graft.functions.DimSumsAgg(exprs(0), litInt(exprs(1))))
-    df.agg(call_function("graft_dim_sums_agg", col(vecCol), lit(dim)).as("__t"))
+  private def dimSums(df: DataFrame, vecCol: String, dim: Int): DataFrame =
+    df.agg(graft.functions.Native.dimSumsAgg(col(vecCol), dim).as("__t"))
       .select(inline(col("__t")))
-  }
 
   /** Upper triangle of the (population, 1/n) covariance matrix:
     * cov_ij = sxy/n - (sx/n)(sy/n), assembled from the exact decimal

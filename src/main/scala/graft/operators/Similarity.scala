@@ -42,22 +42,8 @@ object Similarity {
     * the single largest per-row cost of every cosine path before the
     * round-13 optimization pass.
     */
-  private def registerOnce(
-      name: String,
-      builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
-        org.apache.spark.sql.catalyst.expressions.Expression): Unit = {
-    val reg = org.apache.spark.sql.SparkSession.active
-      .sessionState.functionRegistry
-    if (reg.lookupFunctionBuilder(
-        org.apache.spark.sql.catalyst.FunctionIdentifier(name)).isEmpty)
-      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
-  }
-
-  def dot(a: Column, b: Column): Column = {
-    registerOnce("graft_exact_dot",
-      exprs => graft.functions.ExactDotExpr(exprs(0), exprs(1)))
-    call_function("graft_exact_dot", a, b)
-  }
+  def dot(a: Column, b: Column): Column =
+    graft.functions.Native.exactDot(a, b)
 
   /** Plain double dot product — the sequential left-to-right fold,
     * no decimal quantization; used as a prefilter where the final
@@ -65,11 +51,8 @@ object Similarity {
     * codegen'd [[graft.functions.PlainDotExpr]] (bit-identical to the
     * old lambda fold: same element order, same double adds).
     */
-  def dotDouble(a: Column, b: Column): Column = {
-    registerOnce("graft_plain_dot",
-      exprs => graft.functions.PlainDotExpr(exprs(0), exprs(1)))
-    call_function("graft_plain_dot", a, b)
-  }
+  def dotDouble(a: Column, b: Column): Column =
+    graft.functions.Native.plainDot(a, b)
 
   /** Fixed-dimension double dot product as an unrolled element_at chain —
     * no higher-order functions. Left-associated like the fold, hence
@@ -522,10 +505,8 @@ object Similarity {
     // identical decision to `dot(...) > 0` (exact-decimal fallback when
     // the double bound can't certify), without paying the decimal
     // quantization on the ~all rows whose projection is far from zero
-    registerOnce("graft_exact_dot_positive",
-      exprs => graft.functions.ExactDotPositiveExpr(exprs(0), exprs(1)))
     val bits = zip_with(planes, weights, (p, w) =>
-      when(call_function("graft_exact_dot_positive", col(vecCol), p),
+      when(graft.functions.Native.exactDotPositive(col(vecCol), p),
         w).otherwise(lit(0L)))
     df.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
       .select(col(idCol).as(outId),

@@ -1011,16 +1011,9 @@ object TextDedup {
     // (the old shape shuffled every gram to sort it per doc; at 100 TB
     // that is the token stream crossing the network to compute a
     // per-document quantity).
-    val reg = org.apache.spark.sql.SparkSession.active
-      .sessionState.functionRegistry
-    if (reg.lookupFunctionBuilder(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_winnow")).isEmpty)
-      reg.createOrReplaceTempFunction("graft_winnow",
-        exprs => graft.functions.WinnowExpr(exprs(0), exprs(1), exprs(2)),
-        "scala_udf")
     df.select(col(idCol),
-      explode(call_function("graft_winnow",
-        TextFunctions.tokens(col(textCol)), lit(k), lit(w))).as("__sel"))
+      explode(graft.functions.Native.winnow(
+        TextFunctions.tokens(col(textCol)), k, w)).as("__sel"))
       .select(col(idCol), col("__sel.pos").as("pos"), col("__sel.fp").as("fp"))
   }
 

@@ -327,8 +327,11 @@ object StreamingQueries {
           when(col("v1") > col("v2"), col("t2"))
             .when(col("v2") > col("v1"), col("t1"))
             .otherwise(greatest(col("t1"), col("t2"))).as("loser"))
+      // cut once (round 13): the three batch filters each re-ran the
+      // whole duel window otherwise
+      val duelsM = graft.Materialize.cut(duels)
       val batches = (0L to 2L).map(b =>
-        duels.filter(col("__b") === b).select(col("winner"), col("loser")))
+        duelsM.filter(col("__b") === b).select(col("winner"), col("loser")))
       graft.streaming.ContinualPreference.replayBatches(
         batches, "winner", "loser")
         .orderBy(col("batch_id"), col("item"))

@@ -31,14 +31,15 @@ object Scratch2 {
       println(f"VARIANT $label%-38s cold=${ts.head}%6.2f warm=${ts.tail.map(t => f"$t%.2f").mkString(",")}")
     }
 
-    variant("baseline", Map.empty)
-    variant("aqe off", Map("spark.sql.adaptive.enabled" -> "false"))
-    variant("shuffle.partitions=8", Map("spark.sql.shuffle.partitions" -> "8"))
-    variant("aqe off + partitions=8", Map(
-      "spark.sql.adaptive.enabled" -> "false",
-      "spark.sql.shuffle.partitions" -> "8"))
-    variant("aqe parallelismFirst off", Map(
-      "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false"))
+    variant("baseline (pf=false from session)", Map.empty)
+    variant("parallelismFirst true", Map(
+      "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "true"))
+    variant("pf=false minPartitionNum=8", Map(
+      "spark.sql.adaptive.coalescePartitions.minPartitionNum" -> "8"))
+    variant("pf=false minPartitionNum=32", Map(
+      "spark.sql.adaptive.coalescePartitions.minPartitionNum" -> "32"))
+    variant("pf=false minPartitionSize=64k", Map(
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "64k"))
     spark.stop()
   }
 }
