@@ -106,11 +106,11 @@ object Preference {
           greatest(floorDp(
             col("w") * col("__k").cast("double") /
               col("__s").cast("double"), 9), lit(epsilon)).as("w"))
-      // no per-round cut (round 13): rounds are bounded at 20 and each
-      // nests one agg + two broadcast joins over the item-cardinality
-      // frame on top of the MATERIALIZED sym — the uncut plan stays
-      // shallow, and the per-round localCheckpoint was costing ~6 jobs
-      // per MM round (q433's replay ran 188 jobs for 15 tiny rounds)
+      // per-round cut is LOAD-BEARING: round r's plan embeds w_{r-1}
+      // TWICE (both broadcast sides) — uncut, each broadcast re-executes
+      // the previous round independently and the re-execution tree grows
+      // 2^rounds (measured: dropping this cut took q421 4.6 -> 157 s)
+      w = Materialize.cut(w)
     }
     w.join(broadcast(wins), Seq("item"), "left")
       .join(broadcast(matches), Seq("item"), "left")
